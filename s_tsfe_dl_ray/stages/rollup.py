@@ -1,0 +1,253 @@
+"""Tiered tumbling-window rollup with partial (combiner) aggregation.
+
+This is the engine's core operator — the continuous-aggregate re-expression
+of the reference's windowed convolution / pooling downsample semantics
+(reference: models_keras.py:137-142 Conv1D window reduce; 59-63
+MaxPooling1D; blocks_keras.py:96 GlobalAveragePooling; the 5-level pooled
+downsample cascades at models_keras.py:1386-1392).
+
+Scale design (SURVEY.md §4):
+
+- **One shuffle, minimal bytes.**  Each input batch is pre-aggregated to at
+  most one row per ``(key, window)`` *inside* ``map_batches`` (a pyarrow
+  ``Table.group_by`` — vectorized, zero-copy in).  Only these partials go
+  through the ``groupby`` shuffle.  For a 100 TB input with bounded
+  (key, window) cardinality this reduces the all-to-all exchange by orders
+  of magnitude.
+- **Hot keys are pre-salted for free.**  Because partials are per *batch*,
+  a hot conversation's turns are combined into per-batch partial rows
+  before they ever hit the shuffle — the classic salted two-pass merge
+  (SURVEY.md §4 skew row) falls out of the combiner: count/sum/min/max are
+  associative, mean is carried as (sum, count), so the merge is exact.
+- **Cascades never re-read raw data.**  The 1h tier is an exact
+  re-aggregation of 1m partials, 1d of 1h (associative stats combine
+  exactly; mean = sum/count at finalize only).  ``cascade()`` re-windows
+  and re-combines partials per batch before its (much smaller) shuffle.
+- **Floats stay exact where the contract needs it.** token_len stats are
+  integers end-to-end; float sums (events.value) are float64 partial sums
+  — deterministic per blocking, and within 1e-12 relative of any
+  association order at realistic group sizes.
+
+Internal ("partial") schema carried between stages::
+
+    keys..., window_start:int64(µs), _n:int64,
+    __{col}__sum, __{col}__min, __{col}__max, __{col}__cnt  per metric
+
+``finalize()`` turns partials into the public tier table (mean = sum/cnt,
+rate = sum/_n, window_start → timestamp[us]).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Max, Min, Sum
+
+from ..functions.windows import rewindow_us, window_start_us, window_to_timestamp
+
+_BASE_AGGS = ("sum", "min", "max", "cnt")
+
+
+@dataclass(frozen=True)
+class Metric:
+    """One value column and the per-window stats requested for it."""
+
+    col: str
+    aggs: tuple[str, ...] = ("sum", "min", "max", "mean")
+    prefix: str | None = None  # public column prefix; defaults to ``col``
+    public: bool = True  # False → carried for rates only, no output columns
+
+    @property
+    def out_prefix(self) -> str:
+        return self.prefix if self.prefix is not None else self.col
+
+    def needs(self) -> set[str]:
+        """Base (associative) aggregates required to serve ``aggs``."""
+        base = set()
+        for a in self.aggs:
+            if a == "mean":
+                base.update(("sum", "cnt"))
+            elif a == "count":
+                base.add("cnt")
+            else:
+                base.add(a)
+        return base
+
+
+@dataclass(frozen=True)
+class RollupSpec:
+    keys: tuple[str, ...]
+    ts_col: str
+    metrics: tuple[Metric, ...]
+    count_alias: str = "n_rows"  # public name for the per-window row count
+    #: public rate columns: out_name -> metric col (finalize: sum(col)/_n)
+    rates: dict[str, str] = field(default_factory=dict)
+
+    def _internal(self, col: str, agg: str) -> str:
+        return f"__{col}__{agg}"
+
+    def partial_columns(self) -> list[str]:
+        cols = list(self.keys) + ["window_start", "_n"]
+        for m in self.metrics:
+            for a in sorted(m.needs()):
+                cols.append(self._internal(m.col, a))
+        for col in self.rates.values():
+            if not any(m.col == col for m in self.metrics):
+                cols.append(self._internal(col, "sum"))
+        return cols
+
+
+def _pa_partial(spec: RollupSpec, batch: pa.Table) -> pa.Table:
+    """Combine one Arrow batch (with ``window_start`` already assigned)
+    down to per-(key, window) partial rows."""
+    pa_aggs: list[tuple[str, str]] = [(spec.ts_col, "count")]
+    renames = {f"{spec.ts_col}_count": "_n"}
+    wanted: set[tuple[str, str]] = set()
+    for m in spec.metrics:
+        for a in m.needs():
+            wanted.add((m.col, a))
+    for col in spec.rates.values():
+        wanted.add((col, "sum"))
+    for col, a in sorted(wanted):
+        fn = "count" if a == "cnt" else a
+        pa_aggs.append((col, fn))
+        renames[f"{col}_{fn}"] = spec._internal(col, a)
+    keys = list(spec.keys) + ["window_start"]
+    out = batch.group_by(keys, use_threads=False).aggregate(pa_aggs)
+    return out.rename_columns([renames.get(c, c) for c in out.column_names])
+
+
+class _PartialBatch:
+    """Stateless per-batch combiner: assign window, pre-aggregate."""
+
+    def __init__(self, spec: RollupSpec, tier: str):
+        self.spec, self.tier = spec, tier
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spec = self.spec
+        ws = window_start_us(batch[spec.ts_col], self.tier)
+        batch = batch.append_column("window_start", ws)
+        return _pa_partial(spec, batch)
+
+
+def _ray_merge(spec: RollupSpec, ds: Dataset) -> Dataset:
+    """The one shuffle: merge partials per (keys, window_start)."""
+    aggs = [Sum("_n", alias_name="_n")]
+    done = {"_n"}
+    for name in spec.partial_columns():
+        if name in done or name in spec.keys or name == "window_start":
+            continue
+        done.add(name)
+        if name.endswith("__min"):
+            aggs.append(Min(name, alias_name=name))
+        elif name.endswith("__max"):
+            aggs.append(Max(name, alias_name=name))
+        else:  # __sum / __cnt merge by summation
+            aggs.append(Sum(name, alias_name=name))
+    return ds.groupby(list(spec.keys) + ["window_start"]).aggregate(*aggs)
+
+
+def rollup_partial(
+    ds: Dataset,
+    spec: RollupSpec,
+    tier: str,
+    *,
+    batch_size: int | None = 64 * 1024,
+) -> Dataset:
+    """raw rows → merged per-(key, window) partials at ``tier``.
+
+    Pipeline: ``map_batches(pre-aggregate, pyarrow, zero-copy)`` →
+    ``groupby(keys+window).aggregate`` (the only shuffle; carries partials,
+    not rows).
+    """
+    partials = ds.map_batches(
+        _PartialBatch(spec, tier),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    return _ray_merge(spec, partials)
+
+
+def cascade(ds_partial: Dataset, spec: RollupSpec, to_tier: str) -> Dataset:
+    """Exact tier cascade: finer-tier partials → coarser-tier partials.
+
+    Analog of the reference's pooled downsample cascade
+    (models_keras.py:1386-1392): re-aggregate the finer tier, never the raw
+    input.  Associative stats combine exactly; shuffle input is again
+    pre-combined per batch.
+    """
+
+    def rewindow_combine(batch: pa.Table) -> pa.Table:
+        ws = rewindow_us(batch["window_start"], to_tier)
+        batch = batch.set_column(
+            batch.schema.get_field_index("window_start"), "window_start", ws
+        )
+        aggs: list[tuple[str, str]] = []
+        renames = {}
+        for name in batch.column_names:
+            if name in spec.keys or name == "window_start":
+                continue
+            fn = "min" if name.endswith("__min") else "max" if name.endswith("__max") else "sum"
+            aggs.append((name, fn))
+            renames[f"{name}_{fn}"] = name
+        out = batch.group_by(list(spec.keys) + ["window_start"], use_threads=False).aggregate(aggs)
+        return out.rename_columns([renames.get(c, c) for c in out.column_names])
+
+    combined = ds_partial.map_batches(
+        rewindow_combine, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _ray_merge(spec, combined)
+
+
+def finalize(
+    ds_partial: Dataset,
+    spec: RollupSpec,
+    *,
+    window_col: str = "window_start",
+    sort: bool = False,
+) -> Dataset:
+    """Partials → public tier table.
+
+    mean = sum/cnt, rate = sum/_n, window_start → timestamp[us]; internal
+    columns dropped.  Optional sort for human-readable output (the driver's
+    correctness compare is order-insensitive, so default off — a sort is an
+    extra all-to-all at scale).
+    """
+
+    def to_public(batch: pa.Table) -> pa.Table:
+        cols: dict[str, pa.ChunkedArray | pa.Array] = {}
+        for k in spec.keys:
+            cols[k] = batch[k]
+        cols[window_col] = window_to_timestamp(batch["window_start"])
+        n = batch["_n"]
+        cols[spec.count_alias] = n
+        for m in spec.metrics:
+            if not m.public:
+                continue
+            p = m.out_prefix
+            for a in m.aggs:
+                if a == "mean":
+                    cols[f"{p}_mean"] = pc.divide(
+                        pc.cast(batch[spec._internal(m.col, "sum")], pa.float64()),
+                        pc.cast(batch[spec._internal(m.col, "cnt")], pa.float64()),
+                    )
+                elif a == "count":
+                    cols[f"{p}_count"] = batch[spec._internal(m.col, "cnt")]
+                else:
+                    cols[f"{p}_{a}"] = batch[spec._internal(m.col, a)]
+        for out_name, col in spec.rates.items():
+            cols[out_name] = pc.divide(
+                pc.cast(batch[spec._internal(col, "sum")], pa.float64()),
+                pc.cast(n, pa.float64()),
+            )
+        return pa.table(cols)
+
+    out = ds_partial.map_batches(to_public, batch_format="pyarrow", zero_copy_batch=True)
+    if sort:
+        out = out.sort(list(spec.keys) + [window_col])
+    return out
