@@ -1,0 +1,329 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+The reference has no duplicate concept (dense ndarrays — SURVEY.md §2.7);
+the engine adds dedup as first-class ops because (a) ingest idempotence
+(``(conv_id, turn_idx)`` uniqueness) is required for resume-without-double-
+count, and (b) a 100 TB training-data pipeline needs near-dup removal.
+
+Scale design:
+- **exact**: hash-partition on a stable content hash, keep the min-id row
+  per group.  Only (hash, id, payload-needed-downstream) columns cross the
+  shuffle — hash is computed in a vectorized stateless ``map_batches``.
+- **MinHash-LSH**: shingle → minhash signature per row (vectorized numpy,
+  one universal-hash matrix broadcast per actor) → explode to
+  (band, band_hash, id) candidate rows → ``groupby`` buckets → verify
+  exact Jaccard within bucket.  All-pairs work happens only inside LSH
+  buckets (bounded), never globally.
+- **SimHash**: 64-bit signature per row; band on 4×16-bit sub-keys → exact
+  verify by Hamming distance.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Min
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def md5_hex(texts: pd.Series) -> pd.Series:
+    """Row-wise md5 hex (C-bound hashlib; matches DuckDB ``md5(text)``)."""
+    return texts.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+
+
+def exact_dedup_ids(ds: Dataset, *, text_col: str, id_col: str) -> Dataset:
+    """Return (h, <id_col>) — the minimum id per distinct content hash.
+
+    The canonical "keep-first" exact dedup: downstream joins/filters keep
+    only these ids.  Shuffle carries (hash, id) pairs only.
+    """
+
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"h": md5_hex(b[text_col]), id_col: b[id_col]})
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas")
+    return hashed.groupby("h").aggregate(Min(id_col, alias_name=id_col))
+
+
+def first_per_key(
+    ds: Dataset, *, keys: list[str], order_by: list[str]
+) -> Dataset:
+    """Idempotent ingest dedup: first row per key by ``order_by``.
+
+    Engine requirement (SURVEY.md §2.7): ``(conv_id, turn_idx)`` uniqueness
+    at ingest so a resumed/retried write never double-counts.
+    """
+
+    def head1(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_by, kind="mergesort").head(1)
+
+    return ds.groupby(keys).map_groups(head1, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash-LSH
+# ---------------------------------------------------------------------------
+
+# 31-bit Mersenne prime modulus: with a, b, x < p the product a*x + b fits
+# in uint64, so the whole (S, P) universal-hash sweep stays in vectorized
+# native integer arithmetic (no Python bigints).
+_P31 = np.uint64((1 << 31) - 1)
+
+
+def _stable_u64(tokens: np.ndarray) -> np.ndarray:
+    """Vectorized stable 64-bit hash of a string array (polars xxhash)."""
+    import polars as pl
+
+    return pl.Series(tokens).hash(seed=0).to_numpy().astype(np.uint64)
+
+
+def word_shingles(text: str, n: int) -> list[str]:
+    toks = text.split()
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+class MinHasher:
+    """Stateful minhash signer: the (a, b) universal-hash matrix is built
+    once per actor (reference pattern: load-once state per worker,
+    SURVEY.md §2.3).  Shingles of the whole batch are hashed in ONE
+    vectorized polars call; the per-row permutation sweep is an
+    (S_row × num_perm) uint64 matrix op."""
+
+    def __init__(self, num_perm: int = 128, shingle_n: int = 3, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, int(_P31), size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, int(_P31), size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_n = shingle_n
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        """(S,) uint64 shingle hashes → (num_perm,) uint64 signature."""
+        if len(shingle_hashes) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = (shingle_hashes % _P31)[:, None]  # 31-bit universe
+        vals = (x * self.a[None, :] + self.b[None, :]) % _P31
+        return vals.min(axis=0)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        all_sh: list[str] = []
+        offsets = [0]
+        for text in batch["text"]:
+            all_sh.extend(word_shingles(text, self.shingle_n))
+            offsets.append(len(all_sh))
+        hs = _stable_u64(np.array(all_sh, dtype=object)) if all_sh else np.empty(0, np.uint64)
+        sigs = np.empty((len(batch), self.num_perm), dtype=np.uint64)
+        for i in range(len(batch)):
+            sigs[i] = self.signature(np.unique(hs[offsets[i] : offsets[i + 1]]))
+        out = batch[[c for c in batch.columns if c != "text"]].copy()
+        out["sig"] = list(sigs.astype(np.int64))
+        return out
+
+
+def _band_rows(batch: pd.DataFrame, *, id_col: str, bands: int, rows: int) -> pd.DataFrame:
+    """Explode signatures to (band_id, band_hash, id) rows — vectorized:
+    the band hash is a wrapping-uint64 polynomial over the band's rows."""
+    n = len(batch)
+    if n == 0:
+        return pd.DataFrame({"band_id": pd.Series([], dtype="int64"),
+                             "band_hash": pd.Series([], dtype="int64"),
+                             id_col: batch[id_col]})
+    sig = np.vstack(batch["sig"].to_numpy()).view(np.uint64).reshape(n, bands, rows)
+    prime = np.uint64(1099511628211)
+    h = np.zeros((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            h = h * prime + sig[:, :, r]
+    return pd.DataFrame({
+        "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+        "band_hash": h.reshape(-1).view(np.int64),
+        id_col: np.repeat(batch[id_col].to_numpy(), bands),
+    })
+
+
+def minhash_lsh_candidates(
+    ds: Dataset,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 16,
+    seed: int = 42,
+    shingle_n: int = 3,
+) -> Dataset:
+    """Candidate duplicate pairs (id_a < id_b) from LSH band collisions."""
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    if text_col != "text":
+        ds = ds.rename_columns({text_col: "text"})
+    signed = ds.select_columns([ "text", id_col]).map_batches(
+        MinHasher(num_perm=num_perm, shingle_n=shingle_n, seed=seed),
+        batch_format="pandas",
+        concurrency=4,
+    )
+    banded = signed.map_batches(
+        lambda b: _band_rows(b, id_col=id_col, bands=bands, rows=rows),
+        batch_format="pandas",
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype({"id_a": ids.dtype, "id_b": ids.dtype})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # dedupe candidate pairs produced by multiple bands: vectorized
+    # aggregate, not per-pair map_groups
+    from ray.data.aggregate import Count
+
+    deduped = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_nbands"))
+    return deduped.select_columns(["id_a", "id_b"])
+
+
+class JaccardVerifier:
+    """Verify candidate pairs by exact shingle-set Jaccard.
+
+    The shingle sets are rebuilt from a *broadcast* id→text lookup
+    (``ray.put`` once, read per actor in ``__init__`` — the small-side
+    broadcast pattern, SURVEY.md §2.4).  At 100 TB the lookup would be a
+    semi-join re-read of only candidate ids (candidates ≪ corpus); the
+    broadcast keeps the same stage signature.
+    """
+
+    def __init__(self, texts_ref, shingle_n: int = 3):
+        import ray
+
+        self.texts: dict = ray.get(texts_ref)
+        self.shingle_n = shingle_n
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        jac = np.empty(len(batch), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(batch["id_a"], batch["id_b"])):
+            sa = set(word_shingles(self.texts[a], self.shingle_n))
+            sb = set(word_shingles(self.texts[b], self.shingle_n))
+            u = len(sa | sb)
+            jac[i] = (len(sa & sb) / u) if u else 1.0
+        batch = batch.copy()
+        batch["jaccard"] = jac
+        return batch
+
+
+def minhash_dedup_pairs(
+    ds: Dataset,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 16,
+    seed: int = 42,
+    shingle_n: int = 3,
+) -> Dataset:
+    """Near-duplicate pairs with exact Jaccard ≥ threshold (LSH-pruned)."""
+    import ray
+
+    cands = minhash_lsh_candidates(
+        ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        bands=bands, seed=seed, shingle_n=shingle_n,
+    )
+    # broadcast id→text once (ray.put); at 100 TB this becomes a semi-join
+    # re-read of candidate ids only — see JaccardVerifier docstring.
+    tdf = ds.select_columns([id_col, text_col]).to_pandas()
+    ref = ray.put(dict(zip(tdf[id_col], tdf[text_col])))
+    verified = cands.map_batches(
+        JaccardVerifier, fn_constructor_kwargs={"texts_ref": ref, "shingle_n": shingle_n},
+        batch_format="pandas", concurrency=2,
+    )
+    return verified.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["jaccard"], threshold)),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit SimHash per row (vectorized bit-count accumulation)."""
+
+    def __init__(self, seed: int = 0):
+        self.seed = seed
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.empty(len(batch), dtype=np.uint64)
+        for i, text in enumerate(batch["text"]):
+            toks = np.array(text.split(), dtype=object)
+            if len(toks) == 0:
+                sigs[i] = 0
+                continue
+            hs = _stable_u64(toks)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+            score = bits.sum(axis=0) * 2 - len(hs)  # +1 for set bits, -1 for unset
+            # packbits little-endian: element j of the bool array becomes
+            # bit j of the uint64 — matches the (hs >> j) & 1 convention
+            sigs[i] = np.packbits((score > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+        out = batch[[c for c in batch.columns if c != "text"]].copy()
+        out["simhash"] = sigs.astype(np.int64)
+        return out
+
+
+def simhash_signatures(ds: Dataset, *, id_col: str, text_col: str = "text") -> Dataset:
+    if text_col != "text":
+        ds = ds.rename_columns({text_col: "text"})
+    return ds.select_columns(["text", id_col]).map_batches(
+        SimHasher(), batch_format="pandas"
+    )
+
+
+def simhash_dedup_pairs(
+    ds: Dataset, *, id_col: str, text_col: str = "text", max_hamming: int = 3
+) -> Dataset:
+    """Near-dup pairs by SimHash: band 4×16 bits → exact Hamming verify."""
+    signed = simhash_signatures(ds, id_col=id_col, text_col=text_col)
+
+    def band(b: pd.DataFrame) -> pd.DataFrame:
+        sh = b["simhash"].to_numpy().view(np.uint64)
+        out = []
+        for band_id in range(4):
+            part = ((sh >> np.uint64(16 * band_id)) & np.uint64(0xFFFF)).astype(np.int64)
+            out.append(pd.DataFrame({
+                "band_id": band_id, "band_key": part,
+                id_col: b[id_col], "simhash": b["simhash"],
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    banded = signed.map_batches(band, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy().view(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
+                {"id_a": ids.dtype, "id_b": ids.dtype, "hamming": "int64"})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = np.array([bin(int(x)).count("1") for x in (sh[ia] ^ sh[ib])], dtype=np.int64)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "hamming": ham})
+
+    pairs = banded.groupby(["band_id", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pa.compute.less_equal(t["hamming"], max_hamming)),
+        batch_format="pyarrow",
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))

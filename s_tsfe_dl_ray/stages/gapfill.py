@@ -1,0 +1,106 @@
+"""Gap-fill over tier tables: ffill + linear interpolation of empty windows.
+
+The reference *excludes* windows that straddle discontinuities
+(timeseries_batch_generator.py:231-256 ``filter_indices`` →
+``_extend_indices`` removes every window touching a jump) and zero-pads
+series edges (data.py:79-84).  The engine makes gaps first-class instead:
+every tier window between a key's first and last observed window exists in
+the output, flagged by ``fill_method``:
+
+- ``observed`` — the window had input rows; stats as aggregated.
+- ``ffill``    — empty window; carried columns copied from the most recent
+                 observed window (forward fill).
+- ``interp``   — empty window; carried columns linearly interpolated
+                 between the neighboring observed windows by window
+                 position (both neighbors always exist: the grid spans
+                 min→max observed).
+
+Count columns are 0 and sum columns 0 on gap windows (true facts);
+min/max columns are NULL (no observations).  "Carried" columns (means,
+rates — the continuous signals) get the fill treatment.
+
+Scale: runs per key over *tier* rows (one row per window), not raw rows —
+group size is bounded by the retention horizon (e.g. ≤ 1440 rows per conv
+for a day of 1m windows), so ``groupby(key).map_groups`` is safe even for
+hot keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from ..functions.windows import TIER_US
+
+
+class _GapFillGroup:
+    """Per-key grid completion + fill (pandas, vectorized within group)."""
+
+    def __init__(
+        self,
+        keys: list[str],
+        window_col: str,
+        tier_us: int,
+        count_cols: list[str],
+        sum_cols: list[str],
+        null_cols: list[str],
+        carry_cols: list[str],
+        mode: str,
+    ):
+        self.keys = keys
+        self.window_col = window_col
+        self.tier_us = tier_us
+        self.count_cols = count_cols
+        self.sum_cols = sum_cols
+        self.null_cols = null_cols
+        self.carry_cols = carry_cols
+        self.mode = mode
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        w = self.window_col
+        ws = g[w].astype("int64")  # µs since epoch
+        lo, hi = ws.min(), ws.max()
+        grid = np.arange(lo, hi + 1, self.tier_us)
+        g = g.set_index(ws)
+        out = g.reindex(grid)
+        observed = out[w].notna()
+        out[w] = pd.to_datetime(out.index, unit="us")
+        for k in self.keys:
+            out[k] = g[k].iloc[0]  # constant within the group
+        for c in self.count_cols + self.sum_cols:
+            out[c] = out[c].fillna(0).astype("int64" if g[c].dtype.kind in "iu" else g[c].dtype)
+        # null_cols (min/max) stay NaN on gaps
+        if self.mode == "ffill":
+            for c in self.carry_cols:
+                out[c] = out[c].ffill()
+        elif self.mode == "interp":
+            for c in self.carry_cols:
+                out[c] = out[c].astype("float64").interpolate(method="index")
+        else:
+            raise ValueError(f"unknown gap-fill mode {self.mode!r}")
+        out["fill_method"] = np.where(observed, "observed", self.mode)
+        return out.reset_index(drop=True)
+
+
+def gapfill(
+    tier_ds: Dataset,
+    *,
+    keys: list[str],
+    tier: str,
+    window_col: str = "window_start",
+    count_cols: list[str],
+    sum_cols: list[str],
+    null_cols: list[str],
+    carry_cols: list[str],
+    mode: str = "ffill",
+) -> Dataset:
+    """Complete each key's window grid and fill gaps (see module doc)."""
+    inst = _GapFillGroup(
+        keys, window_col, TIER_US[tier], count_cols, sum_cols, null_cols, carry_cols, mode
+    )
+
+    def gapfill_group(g):
+        return inst(g)
+
+    return tier_ds.groupby(keys).map_groups(gapfill_group, batch_format="pandas")

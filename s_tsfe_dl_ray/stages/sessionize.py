@@ -1,0 +1,71 @@
+"""Sessionization: split each key's ordered stream on inactivity gaps.
+
+The engine analog of the reference's run-length segmentation of annotation
+streams (data.py:50-57: consecutive-equal-symbol runs become segments) and
+its discontinuity detection (timeseries_batch_generator.py:125-141
+``_check_time_jumps``): a new segment starts where the stream "jumps".
+
+Semantics: within each key ordered by (ts, tiebreaker), a new session
+starts when ts - prev_ts > gap.  Output: one row per session with
+start/end/row-count/duration.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from ray.data import Dataset
+
+
+class _SessionizeGroup:
+    def __init__(self, key_cols: list[str], ts_col: str, order_by: list[str], gap_us: int):
+        self.key_cols = key_cols
+        self.ts_col = ts_col
+        self.order_by = order_by
+        self.gap_us = gap_us
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(self.order_by, kind="mergesort")
+        ts = g[self.ts_col]
+        gap = ts.diff().dt.total_seconds() * 1e6 > self.gap_us
+        session_id = gap.cumsum().astype("int64")
+        out = (
+            g.assign(session_id=session_id)
+            .groupby("session_id", sort=True)
+            .agg(
+                session_start=(self.ts_col, "min"),
+                session_end=(self.ts_col, "max"),
+                n_rows=(self.ts_col, "size"),
+            )
+            .reset_index()
+        )
+        for k in self.key_cols:
+            out[k] = g[k].iloc[0]
+        out["duration_sec"] = (
+            out["session_end"] - out["session_start"]
+        ).dt.total_seconds()
+        return out[self.key_cols + ["session_id", "session_start", "session_end", "n_rows", "duration_sec"]]
+
+
+def sessionize(
+    ds: Dataset,
+    *,
+    keys: list[str],
+    ts_col: str,
+    order_by: list[str] | None = None,
+    gap: str | int = "30m",
+) -> Dataset:
+    """Session windows per key with inactivity threshold ``gap``
+    (seconds if int, or '30m'/'1h' shorthand)."""
+    if isinstance(gap, str):
+        unit = gap[-1]
+        mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
+        gap_us = int(gap[:-1]) * mult * 1_000_000
+    else:
+        gap_us = int(gap) * 1_000_000
+    order_by = order_by or [ts_col]
+    inst = _SessionizeGroup(keys, ts_col, order_by, gap_us)
+
+    def sessionize_group(g):
+        return inst(g)
+
+    return ds.groupby(keys).map_groups(sessionize_group, batch_format="pandas")

@@ -60,8 +60,35 @@ def assert_frames_match(actual: pd.DataFrame, expected: pd.DataFrame, *, atol=1e
     assert sorted(actual.columns) == sorted(expected.columns), (
         f"columns differ: {sorted(actual.columns)} vs {sorted(expected.columns)}"
     )
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in df.columns:
+            if df[c].dtype.kind == "M":  # normalize datetime64 unit (ns vs us)
+                df[c] = df[c].astype("datetime64[us]")
+        return df
+
+    actual, expected = norm(actual), norm(expected)
     cols = sorted(actual.columns)
-    a = actual[cols].sort_values(cols).reset_index(drop=True)
-    e = expected[cols].sort_values(cols).reset_index(drop=True)
+    # Classify jointly: a column is "float" if float in EITHER frame
+    # (DuckDB returns sum(int) as float64 while the engine keeps int64 —
+    # per-frame classification would sort with different column priorities
+    # and misalign rows).
+    floats = [
+        c for c in cols
+        if actual[c].dtype.kind in "fc" or expected[c].dtype.kind in "fc"
+    ]
+    exact = [c for c in cols if c not in floats]
+
+    def ordered(df: pd.DataFrame) -> pd.DataFrame:
+        # Row alignment: sort by exact columns first; float columns only as
+        # coarsely-rounded tiebreakers, so ~1e-13 float-association diffs
+        # between engine and oracle can't flip the row order.
+        key_df = df.assign(
+            **{f"__r_{c}": df[c].astype("float64").round(3) for c in floats}
+        )
+        order = key_df.sort_values(exact + [f"__r_{c}" for c in floats]).index
+        return df.loc[order, cols].reset_index(drop=True)
+
+    a, e = ordered(actual), ordered(expected)
     assert len(a) == len(e), f"row counts differ: {len(a)} vs {len(e)}"
     pd.testing.assert_frame_equal(a, e, check_dtype=False, atol=atol, rtol=rtol)

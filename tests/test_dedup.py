@@ -1,0 +1,110 @@
+"""Dedup operators: exact vs DuckDB; MinHash/SimHash vs brute-force oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from conftest import SF_CHECK, assert_frames_match, to_pdf
+
+
+def test_exact_dedup_matches_oracle(ddb):
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.dedup import exact_dedup_ids
+
+    ds = read_table(f"{SF_CHECK}/documents.parquet", columns=["doc_id", "text"])
+    actual = to_pdf(exact_dedup_ids(ds, text_col="text", id_col="doc_id"))
+    expected = ddb.sql(
+        f"""SELECT md5(text) AS h, min(doc_id) AS doc_id
+            FROM '{SF_CHECK}/documents.parquet' GROUP BY text"""
+    ).df()
+    assert_frames_match(actual, expected)
+
+
+def test_first_per_key_matches_oracle(ddb):
+    from s_tsfe_dl_ray.sources.parquet import read_events
+    from s_tsfe_dl_ray.stages.dedup import first_per_key
+
+    ds = read_events(SF_CHECK, columns=["event_id", "user_id", "event_type", "ts", "value"])
+    actual = to_pdf(first_per_key(ds, keys=["user_id", "event_type"], order_by=["ts", "event_id"]))
+    expected = ddb.sql(
+        f"""
+        SELECT event_id, user_id, event_type, ts, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) AS rn
+          FROM '{SF_CHECK}/events.parquet'
+        ) WHERE rn = 1
+        """
+    ).df()
+    assert_frames_match(actual, expected)
+
+
+@pytest.fixture(scope="module")
+def dup_docs():
+    """Small corpus with planted near-duplicates (deterministic)."""
+    rng = np.random.default_rng(7)
+    vocab = np.array("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                     "lambda mu nu xi omicron pi rho sigma tau upsilon".split())
+    base = [" ".join(rng.choice(vocab, size=60)) for _ in range(40)]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append({"doc_id": i, "text": t})
+    # near-dups: copy docs 0-4 with one word changed
+    for j in range(5):
+        words = base[j].split()
+        words[10] = "CHANGED"
+        rows.append({"doc_id": 100 + j, "text": " ".join(words)})
+    # one exact dup
+    rows.append({"doc_id": 200, "text": base[0]})
+    return pd.DataFrame(rows)
+
+
+def _exact_jaccard_pairs(df: pd.DataFrame, n: int, threshold: float) -> set[tuple[int, int]]:
+    from s_tsfe_dl_ray.stages.dedup import word_shingles
+
+    sets = {r.doc_id: set(word_shingles(r.text, n)) for r in df.itertuples()}
+    ids = sorted(sets)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            u = len(sets[a] | sets[b])
+            if u and len(sets[a] & sets[b]) / u >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_minhash_dedup_finds_planted_dups(dup_docs):
+    from s_tsfe_dl_ray.stages.dedup import minhash_dedup_pairs
+
+    ds = ray.data.from_pandas(dup_docs)
+    got = to_pdf(minhash_dedup_pairs(ds, id_col="doc_id", threshold=0.5))
+    got_pairs = set(zip(got.id_a.astype(int), got.id_b.astype(int)))
+    expected = _exact_jaccard_pairs(dup_docs, 3, 0.5)
+    # verified pairs are exact-Jaccard-checked → no false positives
+    assert got_pairs <= expected
+    # planted near-dups + the exact dup must be found
+    for j in range(5):
+        assert (j, 100 + j) in got_pairs
+    assert (0, 200) in got_pairs
+
+
+def test_simhash_finds_exact_and_near_dups(dup_docs):
+    from s_tsfe_dl_ray.stages.dedup import simhash_dedup_pairs
+
+    ds = ray.data.from_pandas(dup_docs)
+    got = to_pdf(simhash_dedup_pairs(ds, id_col="doc_id", max_hamming=6))
+    got_pairs = set(zip(got.id_a.astype(int), got.id_b.astype(int)))
+    assert (0, 200) in got_pairs           # identical text → hamming 0
+    row = got[(got.id_a == 0) & (got.id_b == 200)]
+    assert (row.hamming == 0).all()
+
+
+def test_simhash_signature_deterministic(dup_docs):
+    from s_tsfe_dl_ray.stages.dedup import simhash_signatures
+
+    ds = ray.data.from_pandas(dup_docs)
+    a = to_pdf(simhash_signatures(ds, id_col="doc_id")).sort_values("doc_id")
+    b = to_pdf(simhash_signatures(ds, id_col="doc_id")).sort_values("doc_id")
+    assert (a.simhash.to_numpy() == b.simhash.to_numpy()).all()
