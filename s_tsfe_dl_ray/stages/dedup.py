@@ -164,10 +164,11 @@ def minhash_lsh_candidates(
     rows = num_perm // bands
     if text_col != "text":
         ds = ds.rename_columns({text_col: "text"})
-    signed = ds.select_columns([ "text", id_col]).map_batches(
-        MinHasher(num_perm=num_perm, shingle_n=shingle_n, seed=seed),
+    signed = ds.select_columns(["text", id_col]).map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n, "seed": seed},
         batch_format="pandas",
-        concurrency=4,
+        concurrency=(1, 4),
     )
     banded = signed.map_batches(
         lambda b: _band_rows(b, id_col=id_col, bands=bands, rows=rows),
@@ -244,7 +245,7 @@ def minhash_dedup_pairs(
     ref = ray.put(dict(zip(tdf[id_col], tdf[text_col])))
     verified = cands.map_batches(
         JaccardVerifier, fn_constructor_kwargs={"texts_ref": ref, "shingle_n": shingle_n},
-        batch_format="pandas", concurrency=2,
+        batch_format="pandas", concurrency=(1, 2),
     )
     return verified.map_batches(
         lambda t: t.filter(pa.compute.greater_equal(t["jaccard"], threshold)),

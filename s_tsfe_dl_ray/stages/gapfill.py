@@ -96,6 +96,8 @@ def gapfill(
     mode: str = "ffill",
 ) -> Dataset:
     """Complete each key's window grid and fill gaps (see module doc)."""
+    if mode not in ("ffill", "interp"):
+        raise ValueError(f"unknown gap-fill mode {mode!r}; expected 'ffill' or 'interp'")
     inst = _GapFillGroup(
         keys, window_col, TIER_US[tier], count_cols, sum_cols, null_cols, carry_cols, mode
     )

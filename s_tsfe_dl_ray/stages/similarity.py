@@ -1,0 +1,265 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+- ``knn_bruteforce``: exact cosine top-k per query — numpy matmul per batch
+  against a broadcast query matrix (``ray.put`` once, read in every actor),
+  per-batch partial top-k, tiny final merge.  The baseline.
+- ``knn_ivf``: IVF-bucketed approximate variant — deterministic k-means
+  centroids, cluster assignment per batch, queries probe the ``nprobe``
+  nearest clusters only.  The scale path: search cost drops by
+  ~n_clusters/nprobe.
+- ``embedding_neardup_pairs``: exact cosine near-duplicate pairs vs a
+  broadcast matrix (small-side pattern; the LSH analog for >memory
+  corpora is ``stages.dedup``).
+
+Reference analog: trained-model batch scoring — weights loaded once per
+worker, pure vectorized inference per batch (test_keras.py:66
+``model.predict``; SURVEY.md §2.3 "load-once-score-many").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def _l2_normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _stack_embeddings(batch: pd.DataFrame, col: str) -> np.ndarray:
+    return np.stack(batch[col].to_numpy()).astype(np.float64)
+
+
+class _KnnScorer:
+    """Actor: holds the normalized query matrix (fetched once from the
+    object store in ``__init__``); emits per-batch partial top-k rows."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, emb_col: str):
+        import ray
+
+        self.qids, qmat = ray.get(queries_ref)
+        self.qmat = _l2_normalize(qmat)  # (Q, D)
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _l2_normalize(_stack_embeddings(batch, self.emb_col))  # (B, D)
+        ids = batch[self.id_col].to_numpy()
+        cos = self.qmat @ mat.T  # (Q, B)
+        out_q, out_n, out_c = [], [], []
+        k = min(self.k + 1, cos.shape[1])  # +1 so self can be dropped later
+        for qi, qid in enumerate(self.qids):
+            row = cos[qi]
+            # partial top-k within this batch (argpartition = O(B))
+            idx = np.argpartition(-row, k - 1)[:k] if k < len(row) else np.arange(len(row))
+            out_q.extend([qid] * len(idx))
+            out_n.extend(ids[idx])
+            out_c.extend(row[idx])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
+
+
+def knn_bruteforce(
+    ds: Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    n_queries: int = 10,
+    k: int = 10,
+    concurrency: int | tuple[int, int] = (1, 4),
+) -> Dataset:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Queries default to the ``n_queries`` smallest ids (deterministic).
+    Self-matches are excluded.  Ties break on smaller neighbor_id
+    (same rule the SQL oracle uses).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    sel = ds.select_columns([id_col, emb_col])
+    if query_ids is not None:
+        # materialize ONLY the query rows (vectorized semi-filter)
+        qarr = pa.array(list(query_ids))
+        qdf_q = sel.map_batches(
+            lambda t: t.filter(pc.is_in(t[id_col], value_set=qarr)),
+            batch_format="pyarrow",
+        ).to_pandas().sort_values(id_col)
+    else:
+        # deterministic default: first rows in storage order (parquet written
+        # sorted by id); pass explicit query_ids when that doesn't hold
+        qdf_q = sel.limit(n_queries).to_pandas().sort_values(id_col)
+    queries_ref = ray.put(
+        (qdf_q[id_col].to_numpy(), _stack_embeddings(qdf_q, emb_col))
+    )
+    partials = ds.map_batches(
+        _KnnScorer,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref, "k": k, "id_col": id_col, "emb_col": emb_col,
+        },
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+    def topk_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.query_id != g.neighbor_id]
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return partials.groupby("query_id").map_groups(topk_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate variant
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_fit(mat: np.ndarray, n_clusters: int, iters: int = 10) -> np.ndarray:
+    """Deterministic k-means on normalized vectors: init = first
+    ``n_clusters`` rows (by id order), fixed iteration count."""
+    cent = mat[:n_clusters].copy()
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for c in range(n_clusters):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _l2_normalize(cent)
+    return cent
+
+
+class _IvfScorer:
+    """Actor: centroids + query matrix broadcast once; per batch, score
+    queries only against rows whose cluster is probed by that query."""
+
+    def __init__(self, state_ref, k: int, id_col: str, emb_col: str, nprobe: int):
+        import ray
+
+        self.qids, qmat, self.cent = ray.get(state_ref)
+        self.qmat = _l2_normalize(qmat)
+        # (Q, nprobe) probed cluster ids per query
+        sims = self.qmat @ self.cent.T
+        self.probes = np.argsort(-sims, axis=1)[:, :nprobe]
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _l2_normalize(_stack_embeddings(batch, self.emb_col))
+        ids = batch[self.id_col].to_numpy()
+        assign = (mat @ self.cent.T).argmax(axis=1)  # cluster per row
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(self.qids):
+            mask = np.isin(assign, self.probes[qi])
+            if not mask.any():
+                continue
+            row = self.qmat[qi] @ mat[mask].T
+            sub_ids = ids[mask]
+            k = min(self.k + 1, len(row))
+            idx = np.argpartition(-row, k - 1)[:k] if k < len(row) else np.arange(len(row))
+            out_q.extend([qid] * len(idx))
+            out_n.extend(sub_ids[idx])
+            out_c.extend(row[idx])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
+
+
+def knn_ivf(
+    ds: Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
+) -> Dataset:
+    """Approximate cosine top-k via IVF cluster probing.
+
+    Centroids are fit driver-side on a deterministic sample (here: the full
+    small table; at scale, ``ds.random_sample(frac, seed)``), broadcast
+    once.  Recall vs brute force is tested, not assumed.
+    """
+    import ray
+
+    full = ds.select_columns([id_col, emb_col]).to_pandas().sort_values(id_col)
+    mat = _l2_normalize(_stack_embeddings(full, emb_col))
+    cent = _kmeans_fit(mat, n_clusters)
+    q = full.head(n_queries)
+    state_ref = ray.put((q[id_col].to_numpy(), _stack_embeddings(q, emb_col), cent))
+    partials = ds.map_batches(
+        _IvfScorer,
+        fn_constructor_kwargs={
+            "state_ref": state_ref, "k": k, "id_col": id_col,
+            "emb_col": emb_col, "nprobe": nprobe,
+        },
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+    def topk_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.query_id != g.neighbor_id]
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return partials.groupby("query_id").map_groups(topk_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+class _NearDupScorer:
+    def __init__(self, ref, threshold: float, id_col: str, emb_col: str):
+        import ray
+
+        self.all_ids, amat = ray.get(ref)
+        self.amat = _l2_normalize(amat)
+        self.threshold = threshold
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _l2_normalize(_stack_embeddings(batch, self.emb_col))
+        ids = batch[self.id_col].to_numpy()
+        cos = mat @ self.amat.T  # (B, N)
+        bi, ni = np.nonzero(cos >= self.threshold)
+        a = ids[bi]
+        b = self.all_ids[ni]
+        keep = a < b  # dedupe (a,b)/(b,a) and self
+        return pd.DataFrame({"id_a": a[keep], "id_b": b[keep], "cosine": cos[bi, ni][keep]})
+
+
+def embedding_neardup_pairs(
+    ds: Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+    concurrency: int | tuple[int, int] = (1, 4),
+) -> Dataset:
+    """All pairs with cosine ≥ threshold (exact; right side broadcast).
+
+    Each input batch is scored against the broadcast matrix, so the
+    quadratic work is distributed over batches.  For corpora where the
+    broadcast side exceeds worker memory, use the banded LSH route
+    (``stages.dedup``) — this operator is the exact oracle-checkable one.
+    """
+    import ray
+
+    full = ds.select_columns([id_col, emb_col]).to_pandas().sort_values(id_col)
+    ref = ray.put((full[id_col].to_numpy(), _stack_embeddings(full, emb_col)))
+    return ds.map_batches(
+        _NearDupScorer,
+        fn_constructor_kwargs={
+            "ref": ref, "threshold": threshold, "id_col": id_col, "emb_col": emb_col,
+        },
+        batch_format="pandas",
+        concurrency=concurrency,
+    )

@@ -1,0 +1,203 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+Large-scale training-data-pipeline ops, first-class alongside the rollup
+engine.  Reference analogs: per-row projections + label encoding
+(experiments/utils.py:24-107 KDD column parse/one-hot), regex label strip
+(experiments/utils.py:37), per-row scoring (experiments/utils.py:139-155
+``computeScore``).
+
+All stages are vectorized ``map_batches`` bodies; the stopword/marker sets
+are compiled once per actor (``__init__``), not per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+# ---------------------------------------------------------------------------
+# token stats + quality score (pyarrow kernels, zero-copy)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+
+def token_stats(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Append n_tokens / n_chars_engine / avg_token_len (vectorized).
+
+    n_tokens counts whitespace-separated tokens (runs of whitespace = one
+    separator); 0 for empty/blank text.
+    """
+    t = batch[text_col]
+    trimmed = pc.utf8_trim_whitespace(t)
+    empty = pc.equal(pc.utf8_length(trimmed), 0)
+    n_tokens = pc.if_else(
+        empty,
+        pa.scalar(0, pa.int64()),
+        pc.cast(pc.add(pc.count_substring_regex(trimmed, r"\s+"), 1), pa.int64()),
+    )
+    n_chars = pc.cast(pc.utf8_length(t), pa.int64())
+    non_space = pc.cast(pc.utf8_length(pc.replace_substring_regex(t, r"\s", "")), pa.int64())
+    avg_tok = pc.if_else(
+        pc.equal(n_tokens, 0),
+        pa.scalar(0.0),
+        pc.divide(pc.cast(non_space, pa.float64()), pc.cast(n_tokens, pa.float64())),
+    )
+    batch = batch.append_column("n_tokens", n_tokens)
+    batch = batch.append_column("n_chars_engine", n_chars)
+    batch = batch.append_column("avg_token_len", avg_tok)
+    return batch
+
+
+def quality_score(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Append stopword_ratio / punct_ratio / quality heuristics.
+
+    quality = clip(1 - punct_ratio*2, 0, 1) * clip(n_tokens/32, 0, 1)
+    — a deterministic, SQL-mirrorable quality heuristic (length + noise),
+    in the spirit of published quality-filtering recipes (length,
+    punctuation density, stopword presence).
+    """
+    t = batch[text_col]
+    trimmed = pc.utf8_trim_whitespace(t)
+    empty = pc.equal(pc.utf8_length(trimmed), 0)
+    n_tokens = pc.if_else(
+        empty,
+        pa.scalar(0, pa.int64()),
+        pc.cast(pc.add(pc.count_substring_regex(trimmed, r"\s+"), 1), pa.int64()),
+    )
+    n_chars = pc.utf8_length(t)
+    nt_f = pc.cast(n_tokens, pa.float64())
+    stop_pattern = r"\b(" + "|".join(_STOPWORDS) + r")\b"
+    n_stop = pc.cast(pc.count_substring_regex(t, stop_pattern), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(t, r"[^\w\s]"), pa.int64())
+    safe_nt = pc.max_element_wise(nt_f, pa.scalar(1.0))
+    safe_nc = pc.max_element_wise(pc.cast(n_chars, pa.float64()), pa.scalar(1.0))
+    stop_ratio = pc.divide(pc.cast(n_stop, pa.float64()), safe_nt)
+    punct_ratio = pc.divide(pc.cast(n_punct, pa.float64()), safe_nc)
+    one, zero = pa.scalar(1.0), pa.scalar(0.0)
+    q = pc.multiply(
+        pc.max_element_wise(
+            pc.min_element_wise(pc.subtract(one, pc.multiply(punct_ratio, pa.scalar(2.0))), one),
+            zero,
+        ),
+        pc.min_element_wise(pc.divide(nt_f, pa.scalar(32.0)), one),
+    )
+    batch = batch.append_column("stopword_ratio", stop_ratio)
+    batch = batch.append_column("punct_ratio", punct_ratio)
+    batch = batch.append_column("quality", q)
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# language ID (marker-based n-gram heuristic; actor pool compiles markers)
+# ---------------------------------------------------------------------------
+
+#: marker word lists per language (deterministic rule: argmax hit count,
+#: CJK codepoints short-circuit to 'zh', ties/zero → 'und')
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "was", "with", "that", "this"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pas", "pour"),
+    "es": ("el", "los", "las", "es", "una", "por", "que", "para"),
+}
+
+
+class LangId:
+    """Heuristic language ID: per-language marker-word hit counts
+    (compiled to regexes once per actor), CJK-range check for zh.
+
+    Deterministic and SQL-mirrorable (same counts via regexp matches) —
+    the point on synthetic corpora is to validate the distributed
+    plumbing and determinism, not linguistics.
+    """
+
+    def __init__(self):
+        import re
+
+        self.pats = {
+            lang: re.compile(r"\b(" + "|".join(words) + r")\b")
+            for lang, words in _LANG_MARKERS.items()
+        }
+        self.cjk = re.compile(r"[一-鿿]")
+        self.langs = list(_LANG_MARKERS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"]
+        counts = np.stack(
+            [texts.map(lambda s, p=self.pats[lang]: len(p.findall(s))).to_numpy()
+             for lang in self.langs],
+            axis=1,
+        )
+        best = counts.argmax(axis=1)
+        best_cnt = counts.max(axis=1)
+        # strict argmax: tie between top-2 → undetermined
+        sorted_counts = np.sort(counts, axis=1)
+        tie = (counts.shape[1] > 1) & (sorted_counts[:, -1] == sorted_counts[:, -2])
+        pred = np.where(
+            best_cnt == 0, "und",
+            np.where(tie, "und", np.array(self.langs, dtype=object)[best]),
+        )
+        has_cjk = texts.map(lambda s: bool(self.cjk.search(s))).to_numpy()
+        pred = np.where(has_cjk, "zh", pred)
+        out = batch.copy()
+        out["lang_pred"] = pred
+        return out
+
+
+def lang_id(ds: Dataset, *, text_col: str = "text", concurrency: int | tuple[int, int] = (1, 4)) -> Dataset:
+    if text_col != "text":
+        ds = ds.rename_columns({text_col: "text"})
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# document fingerprints
+# ---------------------------------------------------------------------------
+
+
+def md5_fingerprint(batch: pd.DataFrame, *, text_col: str = "text") -> pd.DataFrame:
+    """Normalized-content fingerprint: md5 of lowercase
+    whitespace-collapsed text (SQL twin: md5(lower(regexp_replace(...)))).
+    """
+    norm = (
+        batch[text_col]
+        .str.lower()
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+    )
+    out = batch.copy()
+    out["fingerprint"] = norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+    return out
+
+
+def rolling_fingerprint(batch: pd.DataFrame, *, text_col: str = "text") -> pd.DataFrame:
+    """Order-sensitive 61-bit polynomial rolling hash over word hashes
+    (winnowing-style document fingerprint; not SQL-expressible — fold).
+
+    Vectorized per row: stable word hashes (polars xxhash) folded with a
+    fixed base mod 2^61-1.
+    """
+    import polars as pl
+
+    p = (1 << 61) - 1
+    base = 1_000_003
+    fps = np.empty(len(batch), dtype=np.int64)
+    for i, text in enumerate(batch[text_col]):
+        toks = text.split()
+        if not toks:
+            fps[i] = 0
+            continue
+        hs = pl.Series(toks).hash(seed=0).to_numpy() % p
+        acc = 0
+        for h in hs.tolist():  # O(words); base powers folded sequentially
+            acc = (acc * base + int(h)) % p
+        fps[i] = acc
+    out = batch.copy()
+    out["fingerprint"] = fps
+    return out

@@ -1,0 +1,73 @@
+"""Similarity search vs DuckDB list_cosine_similarity oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from conftest import SF_CHECK, assert_frames_match, to_pdf
+
+EMB = f"{SF_CHECK}/embeddings.parquet"
+QUERY_IDS = list(range(10))
+
+
+def _knn_oracle(ddb, k: int = 10):
+    return ddb.sql(
+        f"""
+        WITH q AS (SELECT vec_id, embedding FROM '{EMB}' WHERE vec_id < 10),
+        scored AS (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.embedding, e.embedding) AS cosine
+          FROM q CROSS JOIN '{EMB}' e
+          WHERE q.vec_id <> e.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored
+        ) WHERE rn <= {k}
+        """
+    ).df()
+
+
+def test_knn_bruteforce_matches_oracle(ddb):
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.similarity import knn_bruteforce
+
+    ds = read_table(EMB, columns=["vec_id", "embedding"])
+    actual = to_pdf(knn_bruteforce(ds, query_ids=QUERY_IDS, k=10))
+    expected = _knn_oracle(ddb, 10)
+    assert_frames_match(actual, expected, atol=1e-6)
+
+
+def test_knn_ivf_recall_vs_bruteforce(ddb):
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.similarity import knn_bruteforce, knn_ivf
+
+    ds = read_table(EMB, columns=["vec_id", "embedding"])
+    exact = to_pdf(knn_bruteforce(ds, query_ids=QUERY_IDS, k=10))
+    approx = to_pdf(knn_ivf(ds, n_queries=10, k=10, n_clusters=8, nprobe=4))
+    exact_pairs = set(zip(exact.query_id, exact.neighbor_id))
+    approx_pairs = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+    # approx results are still true cosines (no made-up scores)
+    m = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"))
+    assert np.allclose(m.cosine_a, m.cosine_e, atol=1e-9)
+
+
+def test_embedding_neardup_pairs_matches_oracle(ddb):
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.similarity import embedding_neardup_pairs
+
+    ds = read_table(EMB, columns=["vec_id", "embedding"])
+    threshold = 0.4
+    actual = to_pdf(embedding_neardup_pairs(ds, threshold=threshold))
+    expected = ddb.sql(
+        f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_cosine_similarity(a.embedding, b.embedding) AS cosine
+        FROM '{EMB}' a JOIN '{EMB}' b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+        """
+    ).df()
+    assert_frames_match(actual, expected, atol=1e-6)
