@@ -69,7 +69,10 @@ def generate_transcripts_table(n_turns: int = 50_000, seed: int = 42) -> pa.Tabl
     median_len = 50
     n_convs = max(4, int(n_turns // median_len))
     lens = np.maximum(2, rng.geometric(1.0 / median_len, size=n_convs))
-    lens[:3] = median_len * 100  # hot conversations (skew fixture)
+    # hot conversations (skew fixture): up to 100× the median, but bounded
+    # so small corpora still contain many conversations
+    hot_mult = min(100, max(2, n_turns // (10 * median_len)))
+    lens[:3] = median_len * hot_mult
     # trim/pad to hit n_turns approximately
     cum = np.cumsum(lens)
     cut = int(np.searchsorted(cum, n_turns)) + 1

@@ -1,0 +1,123 @@
+"""Codec round-trip exactness (SURVEY.md §5: the analog of the reference's
+save/reload bit-match assertions, test_keras.py:84-91 — but exact, not
+allclose) + hypothesis property tests + the Ray encode/decode stages."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from conftest import SF_CHECK, to_pdf
+
+
+# ---------------------------------------------------------------------------
+# pure codec properties (no Ray)
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_floats(vals):
+    from s_tsfe_dl_ray.state.gorilla import GorillaCodec
+
+    codec = GorillaCodec()
+    arr = np.asarray(vals, dtype=np.float64)
+    out = codec.decode(codec.encode(arr))
+    assert arr.view(np.uint64).tolist() == out.view(np.uint64).tolist()
+
+
+def _roundtrip_ts(vals):
+    from s_tsfe_dl_ray.state.deltadelta import DeltaDeltaCodec
+
+    codec = DeltaDeltaCodec()
+    arr = np.asarray(vals, dtype=np.int64)
+    out = codec.decode(codec.encode(arr))
+    assert arr.tolist() == out.tolist()
+
+
+def test_gorilla_edge_cases():
+    _roundtrip_floats([])
+    _roundtrip_floats([0.0])
+    _roundtrip_floats([1.5, 1.5, 1.5])
+    _roundtrip_floats([np.inf, -np.inf, 0.0, -0.0, 1e-308, 1e308])
+    nan = float("nan")
+    from s_tsfe_dl_ray.state.gorilla import GorillaCodec
+
+    c = GorillaCodec()
+    arr = np.array([nan, 1.0, nan])
+    out = c.decode(c.encode(arr))
+    assert arr.view(np.uint64).tolist() == out.view(np.uint64).tolist()
+
+
+def test_deltadelta_edge_cases():
+    _roundtrip_ts([])
+    _roundtrip_ts([0])
+    _roundtrip_ts([5, 5, 5, 5])
+    _roundtrip_ts([-(2**62), 2**62])
+    _roundtrip_ts([1704067200_000000 + i * 60_000_000 for i in range(100)])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, width=64), max_size=200))
+def test_gorilla_roundtrip_property(vals):
+    _roundtrip_floats(vals)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**61), max_value=2**61), max_size=200))
+def test_deltadelta_roundtrip_property(vals):
+    _roundtrip_ts(vals)
+
+
+def test_compression_ratio_on_regular_series():
+    """Regular cadence + smooth values must compress well (the Gorilla
+    value proposition; a sanity check that control paths actually hit)."""
+    from s_tsfe_dl_ray.state.deltadelta import DeltaDeltaCodec
+    from s_tsfe_dl_ray.state.gorilla import GorillaCodec
+
+    ts = np.arange(0, 10_000) * 60_000_000 + 1704067200_000000
+    blob = DeltaDeltaCodec().encode(ts)
+    assert len(blob) < ts.nbytes / 20  # ~constant cadence → ~1 bit/point
+    vals = np.round(np.sin(np.arange(10_000) / 50.0), 2) * 10
+    gblob = GorillaCodec().encode(vals)
+    assert len(gblob) < vals.nbytes  # strictly smaller than raw
+
+
+# ---------------------------------------------------------------------------
+# Ray stages
+# ---------------------------------------------------------------------------
+
+
+def test_encode_decode_series_roundtrip_events():
+    """Full pipeline over real parquet: encode per user, decode, compare
+    exactly against the sorted input."""
+    import ray.data as rd
+    from s_tsfe_dl_ray.sources.parquet import read_events
+    from s_tsfe_dl_ray.state.encode import decode_series, encode_series
+
+    ds = read_events(SF_CHECK, columns=["user_id", "ts", "value"])
+    enc = encode_series(ds, key="user_id", ts_col="ts", value_col="value")
+    enc_df = to_pdf(enc)
+    assert enc_df.n_rows.sum() == 10_000
+    assert (enc_df.enc_bytes < enc_df.raw_bytes).all()  # actually compresses
+
+    dec = to_pdf(decode_series(rd.from_pandas(enc_df), key="user_id",
+                               ts_col="ts", value_col="value"))
+    orig = to_pdf(ds).sort_values(["user_id", "ts"]).reset_index(drop=True)
+    dec = dec.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    assert (orig.user_id.to_numpy() == dec.user_id.to_numpy()).all()
+    assert (orig.ts.astype("datetime64[us]").to_numpy()
+            == dec.ts.astype("datetime64[us]").to_numpy()).all()
+    # float equality must be BIT-exact (Gorilla contract)
+    assert (orig.value.to_numpy().view(np.uint64)
+            == dec.value.to_numpy().view(np.uint64)).all()
+
+
+def test_state_hash_stable():
+    from s_tsfe_dl_ray.state.gorilla import GorillaCodec
+
+    c = GorillaCodec()
+    b1 = c.encode(np.array([1.0, 2.0, 3.0]))
+    b2 = c.encode(np.array([1.0, 2.0, 3.0]))
+    assert GorillaCodec.state_hash(b1) == GorillaCodec.state_hash(b2)
+    assert GorillaCodec.state_hash(b1) != GorillaCodec.state_hash(c.encode(np.array([1.0])))
