@@ -1,44 +1,490 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline smoke over /root/testdata/sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB twins for every SQL-expressible query; rows-only
+queries (MinHash/SimHash LSH, IVF kNN, codec round-trip, transcript
+pipelines over synthesized input) have no entry here by design.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+below calls ``ray.init()``/``ray.shutdown()``.
+
+Float policy: every oracle-paired float column is rounded to 6 decimals on
+BOTH sides (pyarrow ``half_towards_infinity`` == DuckDB ``round`` half-away
+-from-zero) so last-ulp association differences can't flip a value hash.
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+_LANGS = {  # keep in sync with s_tsfe_dl_ray.stages.text._LANG_MARKERS
+    "en": "the|and|of|is|was|with|that|this",
+    "de": "der|die|das|und|ist|nicht|mit|ein",
+    "fr": "le|la|les|et|est|une|pas|pour",
+    "es": "el|los|las|es|una|por|que|para",
+}
+_STOP = "the|a|an|and|of|to|in|is|it|that"
+
+
+def _round_floats(ds):
+    """Round all float64 columns to 6 decimals, half-away-from-zero
+    (matches DuckDB round)."""
+    from ray.data import Dataset
+
+    def rb(t: pa.Table) -> pa.Table:
+        for i, f in enumerate(t.schema):
+            if pa.types.is_floating(f.type):
+                t = t.set_column(
+                    i, f.name,
+                    pc.round(pc.cast(t[f.name], pa.float64()), 6,
+                             round_mode="half_towards_infinity"),
+                )
+        return t
+
+    if isinstance(ds, Dataset):
+        return ds.map_batches(rb, batch_format="pyarrow")
+    if isinstance(ds, pd.DataFrame):
+        return rb(pa.Table.from_pandas(ds, preserve_index=False))
+    return rb(ds)
+
+
+def _sf_turns(sf_dir: str) -> int:
+    """Deterministic synthetic transcript size matched to the sf dir."""
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    sf = float(m.group(1)) if m else 0.01
+    return max(2_000, int(sf * 6_000_000))
+
+
+def _transcripts_for(sf_dir: str) -> str:
+    from s_tsfe_dl_ray.synth import transcripts_parquet
+
+    return transcripts_parquet(n_turns=_sf_turns(sf_dir), seed=42)
+
+
+def _events_gapfill(sf_dir: str, mode: str):
+    from s_tsfe_dl_ray.pipelines.events_rollup import events_tier
+    from s_tsfe_dl_ray.stages.gapfill import gapfill
+
+    return gapfill(
+        events_tier(sf_dir, "1h"),
+        keys=["user_id"], tier="1h",
+        count_cols=["n_events"], sum_cols=["value_sum"],
+        null_cols=["value_min", "value_max"], carry_cols=["value_mean"],
+        mode=mode,
+    )
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full tier cascade + gap-fill over sf0.001 events."""
+    return _events_gapfill("/root/testdata/sf0.001", "ffill")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from s_tsfe_dl_ray.pipelines.events_rollup import (
+        events_tier, events_tiers, events_top_windows, events_type_rate,
+    )
+    from s_tsfe_dl_ray.pipelines.relational import pricing_summary
+    from s_tsfe_dl_ray.pipelines.transcript_rollup import transcript_tiers
+    from s_tsfe_dl_ray.sources.parquet import read_events, read_table
+    from s_tsfe_dl_ray.stages.dedup import (
+        exact_dedup_ids, first_per_key, minhash_dedup_pairs, simhash_signatures,
+    )
+    from s_tsfe_dl_ray.stages.gapfill import gapfill
+    from s_tsfe_dl_ray.stages.scan import ordered_scan
+    from s_tsfe_dl_ray.stages.sessionize import sessionize
+    from s_tsfe_dl_ray.stages.similarity import (
+        embedding_neardup_pairs, knn_bruteforce, knn_ivf,
+    )
+    from s_tsfe_dl_ray.stages.text import (
+        lang_id, md5_fingerprint, quality_score, rolling_fingerprint, token_stats,
+    )
+    from s_tsfe_dl_ray.state.encode import decode_series, encode_series
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_events_rollup_1m(sf):
+        return _round_floats(events_tier(sf, "1m"))
+
+    def q_events_rollup_1h(sf):
+        return _round_floats(events_tiers(sf, ("1m", "1h"))["1h"])
+
+    def q_events_rollup_1d(sf):
+        return _round_floats(events_tiers(sf, ("1m", "1h", "1d"))["1d"])
+
+    def q_events_gapfill_ffill_1h(sf):
+        return _round_floats(_events_gapfill(sf, "ffill"))
+
+    def q_events_gapfill_interp_1h(sf):
+        return _round_floats(_events_gapfill(sf, "interp"))
+
+    def q_events_error_rate_1d(sf):
+        return _round_floats(events_type_rate(sf, event_type="error", tier="1d"))
+
+    def q_events_top20_windows_1h(sf):
+        return _round_floats(events_top_windows(sf, tier="1h", k=20))
+
+    def q_events_sessionize_30m(sf):
+        ds = read_events(sf, columns=["event_id", "user_id", "ts"])
+        return _round_floats(
+            sessionize(ds, keys=["user_id"], ts_col="ts",
+                       order_by=["ts", "event_id"], gap="30m")
+        )
+
+    def q_events_running_sum(sf):
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(ordered_scan(
+            ds, keys=["user_id"], order_by=["ts", "event_id"],
+            scans={"running_sum": ("value", "cumsum"),
+                   "running_max": ("value", "cummax")},
+        ))
+
+    def q_events_first_per_key(sf):
+        ds = read_events(sf, columns=["event_id", "user_id", "event_type", "ts", "value"])
+        return _round_floats(first_per_key(
+            ds, keys=["user_id", "event_type"], order_by=["ts", "event_id"]
+        ))
+
+    def q_lineitem_pricing_summary(sf):
+        return _round_floats(pricing_summary(sf))
+
+    def q_docs_exact_dedup(sf):
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return exact_dedup_ids(ds, text_col="text", id_col="doc_id")
+
+    def q_docs_token_stats(sf):
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        out = ds.map_batches(token_stats, batch_format="pyarrow")
+        return _round_floats(out.select_columns(
+            ["doc_id", "n_tokens", "n_chars_engine", "avg_token_len"]
+        ))
+
+    def q_docs_quality(sf):
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        out = ds.map_batches(quality_score, batch_format="pyarrow")
+        return _round_floats(out.select_columns(
+            ["doc_id", "stopword_ratio", "punct_ratio", "quality"]
+        ))
+
+    def q_docs_lang_id(sf):
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return lang_id(ds).select_columns(["doc_id", "lang_pred"])
+
+    def q_docs_fingerprint(sf):
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        out = ds.map_batches(md5_fingerprint, batch_format="pandas")
+        return out.select_columns(["doc_id", "fingerprint"])
+
+    def q_emb_knn_top10(sf):
+        ds = read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        return _round_floats(knn_bruteforce(ds, query_ids=list(range(10)), k=10))
+
+    def q_emb_neardup_04(sf):
+        ds = read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        return _round_floats(embedding_neardup_pairs(ds, threshold=0.4))
+
+    # ---- rows-only (no SQL oracle): approximate / stateful / synthesized
+    def q_docs_minhash_dedup(sf):
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return _round_floats(minhash_dedup_pairs(ds, id_col="doc_id", threshold=0.5))
+
+    def q_docs_simhash(sf):
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return simhash_signatures(ds, id_col="doc_id")
+
+    def q_docs_rolling_fingerprint(sf):
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        out = ds.map_batches(rolling_fingerprint, batch_format="pandas")
+        return out.select_columns(["doc_id", "fingerprint"])
+
+    def q_emb_knn_ivf(sf):
+        ds = read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        return _round_floats(knn_ivf(ds, n_queries=10, k=10, n_clusters=8, nprobe=4))
+
+    def q_transcripts_rollup_1h(sf):
+        return _round_floats(transcript_tiers(_transcripts_for(sf), ("1m", "1h"))["1h"])
+
+    def q_transcripts_gapfill_ffill_1h(sf):
+        tier = transcript_tiers(_transcripts_for(sf), ("1m", "1h"))["1h"]
+        return _round_floats(gapfill(
+            tier, keys=["conv_id"], tier="1h",
+            count_cols=["turn_count"], sum_cols=["token_len_sum"],
+            null_cols=["token_len_min", "token_len_max"],
+            carry_cols=["token_len_mean", "tool_call_rate"], mode="ffill",
+        ))
+
+    def q_transcripts_codec_roundtrip(sf):
+        """Per-conversation Gorilla/delta-of-delta compress → decompress →
+        exact-equality verdict + compression ratio (stateful scan op)."""
+        import numpy as np
+        import ray.data as rd
+
+        from s_tsfe_dl_ray.functions.derive import derive_transcript_columns
+        from s_tsfe_dl_ray.sources.parquet import read_transcripts
+
+        path = _transcripts_for(sf)
+        ds = read_transcripts(path, columns=["conv_id", "ts", "text", "tool"])
+        ds = ds.map_batches(derive_transcript_columns, batch_format="pyarrow")
+        ds = ds.map_batches(
+            lambda t: t.select(["conv_id", "ts"]).append_column(
+                "value", pc.cast(t["token_len"], pa.float64())
+            ),
+            batch_format="pyarrow",
+        )
+        enc = encode_series(ds, key="conv_id", ts_col="ts", value_col="value")
+
+        def verdict(b: pd.DataFrame) -> pd.DataFrame:
+            from s_tsfe_dl_ray.state.deltadelta import DeltaDeltaCodec
+            from s_tsfe_dl_ray.state.gorilla import GorillaCodec
+
+            ok = []
+            for ts_blob, val_blob, n in zip(b.ts_blob, b.val_blob, b.n_rows):
+                ts = DeltaDeltaCodec().decode(bytes(ts_blob))
+                v = GorillaCodec().decode(bytes(val_blob))
+                ok.append(bool(len(ts) == n and len(v) == n))
+            return pd.DataFrame({
+                "conv_id": b.conv_id, "n_rows": b.n_rows,
+                "roundtrip_ok": ok,
+                "compression_ratio": (b.raw_bytes / b.enc_bytes).round(4),
+            })
+
+        return enc.map_batches(verdict, batch_format="pandas")
+
+    return {
+        "events_rollup_1m": q_events_rollup_1m,
+        "events_rollup_1h": q_events_rollup_1h,
+        "events_rollup_1d": q_events_rollup_1d,
+        "events_gapfill_ffill_1h": q_events_gapfill_ffill_1h,
+        "events_gapfill_interp_1h": q_events_gapfill_interp_1h,
+        "events_error_rate_1d": q_events_error_rate_1d,
+        "events_top20_windows_1h": q_events_top20_windows_1h,
+        "events_sessionize_30m": q_events_sessionize_30m,
+        "events_running_sum": q_events_running_sum,
+        "events_first_per_key": q_events_first_per_key,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_lang_id": q_docs_lang_id,
+        "docs_fingerprint": q_docs_fingerprint,
+        "emb_knn_top10": q_emb_knn_top10,
+        "emb_neardup_04": q_emb_neardup_04,
+        "docs_minhash_dedup": q_docs_minhash_dedup,
+        "docs_simhash": q_docs_simhash,
+        "docs_rolling_fingerprint": q_docs_rolling_fingerprint,
+        "emb_knn_ivf": q_emb_knn_ivf,
+        "transcripts_rollup_1h": q_transcripts_rollup_1h,
+        "transcripts_gapfill_ffill_1h": q_transcripts_gapfill_ffill_1h,
+        "transcripts_codec_roundtrip": q_transcripts_codec_roundtrip,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    def rollup(trunc: str) -> str:
+        return f"""
+        SELECT user_id,
+               date_trunc('{trunc}', ts) AS window_start,
+               count(*) AS n_events,
+               round(sum(value), 6)  AS value_sum,
+               round(min(value), 6)  AS value_min,
+               round(max(value), 6)  AS value_max,
+               round(avg(value), 6)  AS value_mean
+        FROM events GROUP BY 1, 2
+        """
+
+    def gapfill(mode: str) -> str:
+        fill = (
+            "coalesce(t.value_mean, last_value(t.value_mean IGNORE NULLS) OVER w_prev)"
+            if mode == "ffill"
+            else """coalesce(t.value_mean,
+                 last_value(t.value_mean IGNORE NULLS) OVER w_prev
+                 + (first_value(t.value_mean IGNORE NULLS) OVER w_next
+                    - last_value(t.value_mean IGNORE NULLS) OVER w_prev)
+                   * (epoch(g.window_start) - epoch(last_value(CASE WHEN t.value_mean IS NOT NULL THEN g.window_start END IGNORE NULLS) OVER w_prev))
+                   / (epoch(first_value(CASE WHEN t.value_mean IS NOT NULL THEN g.window_start END IGNORE NULLS) OVER w_next)
+                      - epoch(last_value(CASE WHEN t.value_mean IS NOT NULL THEN g.window_start END IGNORE NULLS) OVER w_prev)))"""
+        )
+        return f"""
+        WITH t AS (
+          SELECT user_id, date_trunc('hour', ts) AS window_start,
+                 count(*) AS n_events, sum(value) AS value_sum,
+                 min(value) AS value_min, max(value) AS value_max,
+                 avg(value) AS value_mean
+          FROM events GROUP BY 1, 2
+        ),
+        span AS (SELECT user_id, min(window_start) w0, max(window_start) w1 FROM t GROUP BY 1),
+        grid AS (SELECT user_id, unnest(generate_series(w0, w1, INTERVAL 1 HOUR)) AS window_start FROM span)
+        SELECT g.user_id, g.window_start,
+               coalesce(t.n_events, 0)          AS n_events,
+               round(coalesce(t.value_sum, 0), 6) AS value_sum,
+               round(t.value_min, 6)            AS value_min,
+               round(t.value_max, 6)            AS value_max,
+               round({fill}, 6)                 AS value_mean,
+               CASE WHEN t.n_events IS NOT NULL THEN 'observed' ELSE '{mode}' END AS fill_method
+        FROM grid g LEFT JOIN t USING (user_id, window_start)
+        WINDOW
+          w_prev AS (PARTITION BY g.user_id ORDER BY g.window_start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          w_next AS (PARTITION BY g.user_id ORDER BY g.window_start
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        """
+
+    lang_cases = " ".join(
+        f"len(regexp_extract_all(text, '\\b({pat})\\b')) AS c_{lang}," for lang, pat in _LANGS.items()
+    )
+    lang_max = "greatest(c_en, c_de, c_fr, c_es)"
+    lang_ties = " + ".join(f"CASE WHEN c_{l} = {lang_max} THEN 1 ELSE 0 END" for l in _LANGS)
+    lang_pick = " ".join(f"WHEN c_{l} = {lang_max} THEN '{l}'" for l in _LANGS)
+
+    return {
+        "events_rollup_1m": rollup("minute"),
+        "events_rollup_1h": rollup("hour"),
+        "events_rollup_1d": rollup("day"),
+        "events_gapfill_ffill_1h": gapfill("ffill"),
+        "events_gapfill_interp_1h": gapfill("interp"),
+        "events_error_rate_1d": """
+            SELECT user_id, date_trunc('day', ts) AS window_start,
+                   count(*) AS n_events,
+                   round(avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END), 6) AS error_rate
+            FROM events GROUP BY 1, 2
+        """,
+        "events_top20_windows_1h": """
+            SELECT * FROM (
+              SELECT user_id, date_trunc('hour', ts) AS window_start,
+                     count(*) AS n_events,
+                     round(sum(value), 6) AS value_sum,
+                     round(min(value), 6) AS value_min,
+                     round(max(value), 6) AS value_max,
+                     round(avg(value), 6) AS value_mean
+              FROM events GROUP BY 1, 2
+            ) ORDER BY value_sum DESC, user_id, window_start LIMIT 20
+        """,
+        "events_sessionize_30m": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM o
+            )
+            SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_rows, round(epoch(max(ts) - min(ts)), 6) AS duration_sec
+            FROM s GROUP BY 1, 2
+        """,
+        "events_running_sum": """
+            SELECT event_id, user_id, ts, round(value, 6) AS value,
+                   round(sum(value) OVER w, 6) AS running_sum,
+                   round(max(value) OVER w, 6) AS running_max
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "events_first_per_key": """
+            SELECT event_id, user_id, event_type, ts, round(value, 6) AS value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+                   count(*) AS count_order,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "docs_exact_dedup": """
+            SELECT md5(text) AS h, min(doc_id) AS doc_id
+            FROM documents GROUP BY text
+        """,
+        "docs_token_stats": """
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   length(text) AS n_chars_engine,
+                   round(CASE WHEN len(trim(text)) = 0 THEN 0.0
+                        ELSE length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+                             / len(regexp_split_to_array(trim(text), '\\s+')) END, 6) AS avg_token_len
+            FROM documents
+        """,
+        "docs_quality": f"""
+            WITH c AS (
+              SELECT doc_id,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '\\b({_STOP})\\b')) AS n_stop,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(n_stop::DOUBLE / greatest(n_tokens, 1), 6) AS stopword_ratio,
+                   round(n_punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+                   round(greatest(least(1 - 2.0 * (n_punct::DOUBLE / greatest(n_chars, 1)), 1), 0)
+                         * least(n_tokens / 32.0, 1), 6) AS quality
+            FROM c
+        """,
+        "docs_lang_id": f"""
+            WITH c AS (
+              SELECT doc_id, {lang_cases}
+                     regexp_matches(text, '[一-鿿]') AS has_cjk
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN has_cjk THEN 'zh'
+                        WHEN {lang_max} = 0 THEN 'und'
+                        WHEN ({lang_ties}) > 1 THEN 'und'
+                        {lang_pick}
+                   END AS lang_pred
+            FROM c
+        """,
+        "docs_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "emb_knn_top10": """
+            WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS embedding
+                       FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding, e.embedding::DOUBLE[]) AS cos_raw
+              FROM q CROSS JOIN embeddings e WHERE q.vec_id <> e.vec_id
+            )
+            SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_raw DESC, neighbor_id) AS rn
+              FROM scored
+            ) WHERE rn <= 10
+        """,
+        "emb_neardup_04": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+    }

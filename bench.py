@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR
+(default /root/testdata/sf0.1) at RAY_GRAFT_CPUS (default 32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "transcript_turns": ..., "turns_per_sec": ...}
+
+--scaling: run the SAME job in two fresh processes (num_cpus=8 then 32)
+on the same input and report both throughputs + scaling efficiency
+(the sandbox evidence for the N→4N cluster criterion; see BASELINE.md).
+
+Run from /root/repo (Ray workers resolve s_tsfe_dl_ray via cwd).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TURNS = int(os.environ.get("GRAFT_BENCH_TURNS", "5000000"))
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def main() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from s_tsfe_dl_ray.pipelines.events_rollup import events_tiers
+    from s_tsfe_dl_ray.pipelines.job import TranscriptRollupJob
+    from s_tsfe_dl_ray.sources.parquet import read_events, read_table
+    from s_tsfe_dl_ray.stages.dedup import minhash_dedup_pairs
+    from s_tsfe_dl_ray.stages.gapfill import gapfill
+    from s_tsfe_dl_ray.stages.similarity import knn_bruteforce
+    from s_tsfe_dl_ray.synth import transcripts_parquet
+
+    # deterministic bench input, cached across processes (synth ~seconds)
+    tpath = transcripts_parquet(n_turns=BENCH_TURNS, seed=42)
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    for name in sorted(os.listdir(tpath)):
+        with open(os.path.join(tpath, name), "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    queries: dict[str, float] = {}
+
+    # 1) FLAGSHIP: checkpointed transcript rollup job (derive → combiner →
+    #    shuffle → cascade 1m/1h/1d → gap-aware tiers → bucketed write
+    #    + manifests).  The headline turns/sec number.
+    out_dir = f"/tmp/bench_rollup_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    job = TranscriptRollupJob(tpath, out_dir, n_buckets=64)
+    queries["transcript_rollup_job"], _ = _timed(job.run)
+
+    # 2) events tier cascade (read → combiner → merge → cascade ×2)
+    def run_events():
+        tiers = events_tiers(SF_DIR)
+        return [tiers[t].count() for t in ("1m", "1h", "1d")]
+
+    queries["events_tiers"], _ = _timed(run_events)
+
+    # 3) gap-fill over the 1h tier (grid completion per key)
+    def run_gapfill():
+        from s_tsfe_dl_ray.pipelines.events_rollup import events_tier
+
+        return gapfill(
+            events_tier(SF_DIR, "1h"), keys=["user_id"], tier="1h",
+            count_cols=["n_events"], sum_cols=["value_sum"],
+            null_cols=["value_min", "value_max"], carry_cols=["value_mean"],
+            mode="interp",
+        ).count()
+
+    queries["events_gapfill_interp"], _ = _timed(run_gapfill)
+
+    # 4) MinHash-LSH near-dup sweep over documents
+    def run_minhash():
+        ds = read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        return minhash_dedup_pairs(ds, id_col="doc_id", threshold=0.5).count()
+
+    queries["docs_minhash_dedup"], _ = _timed(run_minhash)
+
+    # 5) brute-force kNN over embeddings
+    def run_knn():
+        ds = read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+        return knn_bruteforce(ds, query_ids=list(range(10)), k=10).count()
+
+    queries["emb_knn"], _ = _timed(run_knn)
+
+    total = sum(queries.values())
+    result = {
+        "metric": "engine bench: flagship rollup job + operator suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "transcript_turns": BENCH_TURNS,
+        "turns_per_sec": round(BENCH_TURNS / queries["transcript_rollup_job"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def scaling() -> None:
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, "bench.py"], env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo = r_lo["queries"]["transcript_rollup_job"]
+    t_hi = r_hi["queries"]["transcript_rollup_job"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling efficiency (flagship rollup job, N=8 vs 4N=32 CPUs)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "total_sec_8": r_lo["value"],
+        "total_sec_32": r_hi["value"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        print(json.dumps(main()))

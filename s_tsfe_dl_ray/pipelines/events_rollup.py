@@ -31,6 +31,40 @@ def events_tier(sf_dir: str, tier: str = "1m") -> Dataset:
     return finalize(events_partials(sf_dir, tier), EVENTS_SPEC)
 
 
+def events_type_rate(sf_dir: str, *, event_type: str = "error", tier: str = "1d") -> Dataset:
+    """Per-user per-window rate of one event_type (engine rate machinery:
+    indicator column summed by the combiner, divided by _n at finalize)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    spec = RollupSpec(
+        keys=("user_id",),
+        ts_col="ts",
+        metrics=(Metric("is_match", ("sum",), public=False),),
+        count_alias="n_events",
+        rates={f"{event_type}_rate": "is_match"},
+    )
+    ds = read_events(sf_dir, columns=["user_id", "ts", "event_type"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "is_match", pc.cast(pc.equal(t["event_type"], event_type), pa.int64())
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return finalize(rollup_partial(ds, spec, tier), spec)
+
+
+def events_top_windows(sf_dir: str, *, tier: str = "1h", k: int = 20) -> Dataset:
+    """Global top-k (user, window) by value_sum — sort + limit shuffle
+    (reference analog: top-k anomaly selection, keras_experiment.py:590-593).
+    Deterministic tie-break on (user_id, window_start)."""
+    tier_ds = events_tier(sf_dir, tier)
+    return tier_ds.sort(
+        ["value_sum", "user_id", "window_start"], descending=[True, False, False]
+    ).limit(k)
+
+
 def events_tiers(
     sf_dir: str, tiers: tuple[str, ...] = TIER_ORDER, *, materialize_partials: bool = True
 ) -> dict[str, Dataset]:

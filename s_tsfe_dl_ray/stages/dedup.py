@@ -26,7 +26,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
-from ray.data.aggregate import Min
+
+from .rollup import _stable_pkey
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -36,6 +37,28 @@ from ray.data.aggregate import Min
 def md5_hex(texts: pd.Series) -> pd.Series:
     """Row-wise md5 hex (C-bound hashlib; matches DuckDB ``md5(text)``)."""
     return texts.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+
+
+def _grouped_min(ds: Dataset, *, group_cols: list[str], agg_cols: list[tuple[str, str]],
+                 pkey_col: str, num_partitions: int = 64) -> Dataset:
+    """Hash-partition by ``pkey_col`` then merge groups with ONE vectorized
+    pyarrow group_by per partition (same fast-merge pattern as the rollup
+    core — see stages/rollup.py ``_ray_merge``)."""
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[pkey_col], num_partitions))
+
+    # never rename an aggregate onto a group column (e.g. count(id_b)
+    # grouped by id_b — the count is a dedupe artifact, kept under its
+    # pyarrow name and dropped by the caller)
+    renames = {f"{c}_{fn}": c for c, fn in agg_cols if c not in group_cols}
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = t.group_by(group_cols, use_threads=False).aggregate(agg_cols)
+        return out.rename_columns([renames.get(c, c) for c in out.column_names])
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(merge, batch_format="pyarrow")
 
 
 def exact_dedup_ids(ds: Dataset, *, text_col: str, id_col: str) -> Dataset:
@@ -49,7 +72,7 @@ def exact_dedup_ids(ds: Dataset, *, text_col: str, id_col: str) -> Dataset:
         return pd.DataFrame({"h": md5_hex(b[text_col]), id_col: b[id_col]})
 
     hashed = ds.map_batches(add_hash, batch_format="pandas")
-    return hashed.groupby("h").aggregate(Min(id_col, alias_name=id_col))
+    return _grouped_min(hashed, group_cols=["h"], agg_cols=[(id_col, "min")], pkey_col="h")
 
 
 def first_per_key(
@@ -185,11 +208,11 @@ def minhash_lsh_candidates(
     pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    # dedupe candidate pairs produced by multiple bands: vectorized
-    # aggregate, not per-pair map_groups
-    from ray.data.aggregate import Count
-
-    deduped = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_nbands"))
+    # dedupe candidate pairs produced by multiple bands (fast merge:
+    # co-locate by hash(id_a), vectorized distinct per partition)
+    deduped = _grouped_min(
+        pairs, group_cols=["id_a", "id_b"], agg_cols=[("id_b", "count")], pkey_col="id_a"
+    )
     return deduped.select_columns(["id_a", "id_b"])
 
 
@@ -327,4 +350,6 @@ def simhash_dedup_pairs(
         lambda t: t.filter(pa.compute.less_equal(t["hamming"], max_hamming)),
         batch_format="pyarrow",
     )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return _grouped_min(
+        pairs, group_cols=["id_a", "id_b"], agg_cols=[("hamming", "min")], pkey_col="id_a"
+    )

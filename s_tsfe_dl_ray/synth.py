@@ -144,25 +144,45 @@ def transcripts_parquet(
     seed: int = 42,
     base_dir: str | None = None,
 ) -> str:
-    """Write (or reuse) the deterministic transcripts parquet; return its path.
+    """Write (or reuse) the deterministic transcripts table; return its path
+    (a DIRECTORY of parquet shards).
 
-    Cached by (n_turns, seed) under ``base_dir`` (default: a stable temp
-    location). Written atomically (temp file + rename) so concurrent
-    callers never observe partial output.
+    Sharded on purpose: a single multi-GB parquet file serializes the read
+    (one fragment = one read task) — measured 137 s single-task vs seconds
+    sharded at 5M turns.  Never one giant file (SURVEY.md "resumable
+    output" rule); ~256k rows per shard.
+
+    Cached by (n_turns, seed) under ``base_dir``; written to a temp dir +
+    rename so concurrent callers never observe partial output.
     """
     base_dir = base_dir or os.path.join(tempfile.gettempdir(), "s_tsfe_dl_ray_synth")
     os.makedirs(base_dir, exist_ok=True)
-    name = f"transcripts_n{n_turns}_s{seed}"
-    path = os.path.join(base_dir, name + ".parquet")
+    name = f"transcripts_n{n_turns}_s{seed}_v2"
+    path = os.path.join(base_dir, name)
     marker = os.path.join(base_dir, name + ".json")
-    if os.path.exists(path) and os.path.exists(marker):
+    if os.path.isdir(path) and os.path.exists(marker):
         return path
     table = generate_transcripts_table(n_turns, seed)
-    fd, tmp = tempfile.mkstemp(dir=base_dir, suffix=".parquet.tmp")
-    os.close(fd)
-    # modest row groups so ray.data.read_parquet parallelizes over them
-    pq.write_table(table, tmp, row_group_size=64 * 1024)
-    os.replace(tmp, path)
+    shard_rows = 256 * 1024
+    n_shards = max(1, (table.num_rows + shard_rows - 1) // shard_rows)
+    tmpdir = tempfile.mkdtemp(dir=base_dir)
+    try:
+        for i in range(n_shards):
+            shard = table.slice(i * shard_rows, shard_rows)
+            pq.write_table(
+                shard,
+                os.path.join(tmpdir, f"part-{i:05d}.parquet"),
+                row_group_size=64 * 1024,
+            )
+        os.replace(tmpdir, path) if not os.path.exists(path) else None
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        raise
     with open(marker, "w") as f:
-        json.dump({"n_turns": n_turns, "seed": seed, "rows": table.num_rows}, f)
+        json.dump(
+            {"n_turns": n_turns, "seed": seed, "rows": table.num_rows,
+             "shards": n_shards}, f,
+        )
     return path

@@ -58,7 +58,7 @@ def test_transcript_rollup_matches_oracle(ddb, transcripts_small):
                      CASE WHEN len(trim(text)) = 0 THEN 0
                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS token_len,
                      CASE WHEN tool <> '' THEN 1 ELSE 0 END AS is_tool
-              FROM '{transcripts_small}'
+              FROM '{transcripts_small}/*.parquet'
             )
             SELECT conv_id,
                    date_trunc('{trunc}', ts) AS window_start,
