@@ -8,19 +8,23 @@ per-partition lineage").
     job.run()          # first run: computes + writes all buckets
     job.run()          # rerun: reads manifests, skips everything done
 
-Dataflow (one shuffle for the rollup + one for the bucket write):
+Dataflow — ONE shuffle total:
 
     read_parquet (column-pruned)
       → map_batches: derive token_len/is_tool_call, assign
         bucket = stable_hash(conv_id) % n_buckets     [vectorized]
       → map_batches: FILTER OUT completed buckets     [resume pruning —
         happens before any aggregation, so resumed work costs ~0]
-      → rollup partials (combiner) → groupby merge    [shuffle #1]
-      → cascade to coarser tiers (re-combine partials, no raw re-read)
-      → finalize all tiers, union with a tier column
-      → groupby(bucket).map_groups(write_bucket)      [shuffle #2; each
-        bucket writes tier=*/bucket=K.parquet atomically, then its
-        manifest record]
+      → map_batches: rollup combiner (per-batch partial aggregation;
+        tags _pkey = stable_hash(conv_id) % n_buckets == bucket)
+      → groupby(_pkey).map_groups(write_bucket)       [THE shuffle: only
+        combiner partials move]
+
+    Inside each bucket group (pure vectorized pyarrow, no further
+    exchange — exact because bucket = f(conv_id) so every conversation
+    is complete within its bucket):
+      merge partials → cascade 1m→1h→1d → finalize means/rates →
+      sort → write tier=*/bucket=K.parquet atomically → manifest record.
 
 Output rows are sorted (tier, conv_id, window_start) inside each bucket
 file and written with fixed parquet settings, so a resumed job's final
@@ -48,7 +52,6 @@ import pyarrow.parquet as pq
 from ..functions.derive import derive_transcript_columns
 from ..functions.windows import TIER_ORDER
 from ..sources.parquet import read_transcripts
-from ..stages.rollup import cascade, finalize, rollup_partial
 from ..state import manifest as mf
 from .transcript_rollup import TRANSCRIPT_SPEC
 
@@ -98,75 +101,62 @@ class TranscriptRollupJob:
             )
         return ds
 
-    def _tiers_union(self, ds):
-        """All finalized tiers as one dataset with a ``tier`` column.
+    def _write_from_partials(self, ds):
+        """THE shuffle + bucket-local compute/write (see module doc)."""
+        import tempfile
 
-        The bucket column survives the rollup because bucket=f(conv_id):
-        it is carried as an extra group key (constant within conv).
-        """
-        spec = TRANSCRIPT_SPEC
-        spec_b = type(spec)(
-            keys=("conv_id", "bucket"),
-            ts_col=spec.ts_col,
-            metrics=spec.metrics,
-            count_alias=spec.count_alias,
-            rates=spec.rates,
+        from ..stages.rollup import (
+            _PartialBatch, _merge_partials_table, cascade_table, finalize_table,
         )
-        partial = rollup_partial(ds, spec_b, self.tiers[0]).materialize()
-        out = None
-        for i, tier in enumerate(self.tiers):
-            if i > 0:
-                partial = cascade(partial, spec_b, tier).materialize()
-            fin = finalize(partial, spec_b)
-            fin = fin.map_batches(
-                lambda t, tier=tier: t.append_column(
-                    "tier", pa.array([tier] * len(t), pa.string())
-                ),
-                batch_format="pyarrow",
-            )
-            out = fin if out is None else out.union(fin)
-        return out
 
-    def _write_buckets(self, tiers_ds):
-        out_dir, tiers, input_path = self.out_dir, self.tiers, self.input_path
+        spec = TRANSCRIPT_SPEC
+        out_dir, tiers = self.out_dir, self.tiers
         frag_hash = mf.fragments_hash(self._input_fragments())
-        sort_cols = ["tier", "conv_id", "window_start"]
 
-        def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            bucket = int(g["bucket"].iloc[0])
-            g = g.sort_values(sort_cols, kind="mergesort")
+        partials = ds.map_batches(
+            _PartialBatch(spec, tiers[0], num_partitions=self.n_buckets),
+            batch_format="pyarrow",
+            batch_size=64 * 1024,
+            zero_copy_batch=True,
+        )
+
+        def write_bucket(g: pa.Table) -> pa.Table:
+            bucket = int(g["_pkey"][0].as_py())
+            partial_t = _merge_partials_table(spec, g)
             record = {
                 "bucket": bucket,
                 "engine_version": _ENGINE_VERSION,
                 "input_fragments_hash": frag_hash,
-                "n_convs": int(g["conv_id"].nunique()),
+                "n_convs": int(pc.count_distinct(partial_t["conv_id"]).as_py()),
                 "tiers": {},
             }
-            for tier in tiers:
-                part = g[g["tier"] == tier].drop(columns=["tier", "bucket"])
+            total_rows = 0
+            for i, tier in enumerate(tiers):
+                if i > 0:
+                    partial_t = cascade_table(spec, partial_t, tier)
+                pub = finalize_table(spec, partial_t)
+                pub = pub.sort_by([("conv_id", "ascending"), ("window_start", "ascending")])
                 rel = os.path.join(f"tier={tier}", mf.bucket_name(bucket) + ".parquet")
                 path = os.path.join(out_dir, rel)
                 os.makedirs(os.path.dirname(path), exist_ok=True)
-                table = pa.Table.from_pandas(part.reset_index(drop=True), preserve_index=False)
-                import tempfile
-
                 fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
                 os.close(fd)
-                pq.write_table(table, tmp, compression="zstd", row_group_size=1 << 20)
+                pq.write_table(pub, tmp, compression="zstd", row_group_size=1 << 20)
                 os.replace(tmp, path)
                 record["tiers"][tier] = {
-                    "rows": int(len(part)),
+                    "rows": int(pub.num_rows),
                     "path": rel,
                     "sha256": mf.file_sha256(path),
                 }
+                total_rows += pub.num_rows
             mf.write_manifest(out_dir, bucket, record)
-            return pd.DataFrame({
-                "bucket": [bucket],
-                "rows": [int(len(g))],
-                "n_convs": [record["n_convs"]],
+            return pa.table({
+                "bucket": pa.array([bucket], pa.int64()),
+                "rows": pa.array([total_rows], pa.int64()),
+                "n_convs": pa.array([record["n_convs"]], pa.int64()),
             })
 
-        return tiers_ds.groupby("bucket").map_groups(write_bucket, batch_format="pandas")
+        return partials.groupby("_pkey").map_groups(write_bucket, batch_format="pyarrow")
 
     def _input_fragments(self) -> list[str]:
         p = self.input_path
@@ -190,8 +180,7 @@ class TranscriptRollupJob:
         if not todo:
             return {"completed": self.n_buckets, "newly_written": 0, "skipped": len(done)}
         ds = self._ingest(set(done))
-        tiers_ds = self._tiers_union(ds)
-        result = self._write_buckets(tiers_ds).to_pandas()
+        result = self._write_from_partials(ds).to_pandas()
         # buckets whose hash range simply contained no conversations: the
         # pass covered all remaining input, so they are durably complete
         for b in todo:

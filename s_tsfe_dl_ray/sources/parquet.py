@@ -28,6 +28,14 @@ def read_table(
     expected_schema=None,
     **kwargs,
 ) -> ray.data.Dataset:
+    # One read task per file for sharded directories: Ray's default
+    # coalesces fragments into few tasks, capping read parallelism AND
+    # adding per-task overhead (measured: 17.6s → 9.7s single-core,
+    # 12.2s → 4.3s at 4 cores, on a 77-shard 4.4 GB table).
+    if "override_num_blocks" not in kwargs and os.path.isdir(path):
+        nfiles = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        if nfiles > 1:
+            kwargs["override_num_blocks"] = nfiles
     ds = ray.data.read_parquet(path, columns=columns, **kwargs)
     if expected_schema is not None:
         subset = expected_schema

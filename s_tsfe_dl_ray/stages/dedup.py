@@ -90,6 +90,61 @@ def first_per_key(
     return ds.groupby(keys).map_groups(head1, batch_format="pandas")
 
 
+def _collision_pairs(
+    banded: Dataset,
+    *,
+    id_col: str,
+    bucket_cols: list[str],
+    carry: list[str] | None = None,
+    num_partitions: int = 64,
+) -> Dataset:
+    """(bucket..., id) rows → unique candidate pairs (id_a < id_b) from
+    bucket collisions.
+
+    One coarse hash shuffle on the bucket key; inside each partition the
+    non-colliding majority is dropped VECTORIZED (duplicated-mask) and the
+    quadratic pair expansion runs only over colliding buckets — never one
+    Python call per bucket (map_groups-per-tiny-group was measured at 18 s
+    of pure invocation overhead for 80k buckets).
+    """
+    carry = carry or []
+    last_bucket = bucket_cols[-1]
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[last_bucket], num_partitions))
+
+    def pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df.duplicated(bucket_cols, keep=False)]
+        out_a, out_b = [], []
+        car: dict[str, tuple[list, list]] = {c: ([], []) for c in carry}
+        for _, g in dup.groupby(bucket_cols, sort=False):
+            g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.extend(ids[ia])
+            out_b.extend(ids[ib])
+            for c in carry:
+                vals = g[c].to_numpy()
+                car[c][0].extend(vals[ia])
+                car[c][1].extend(vals[ib])
+        cols = {"id_a": out_a, "id_b": out_b}
+        for c in carry:
+            cols[f"{c}_a"], cols[f"{c}_b"] = car[c]
+        return pd.DataFrame(cols)
+
+    tagged = banded.map_batches(add_pkey, batch_format="pyarrow")
+    raw_pairs = tagged.groupby("_pkey").map_groups(pairs_partition, batch_format="pandas")
+    # dedupe pairs found by multiple buckets (keeps first carry values —
+    # identical across buckets since they are per-id attributes)
+    agg = [(f"{c}_a", "min") for c in carry] + [(f"{c}_b", "min") for c in carry]
+    agg = agg or [("id_b", "count")]
+    deduped = _grouped_min(raw_pairs, group_cols=["id_a", "id_b"], agg_cols=agg, pkey_col="id_a")
+    keep = ["id_a", "id_b"] + [f"{c}_a" for c in carry] + [f"{c}_b" for c in carry]
+    return deduped.select_columns(keep)
+
+
 # ---------------------------------------------------------------------------
 # shingling + MinHash-LSH
 # ---------------------------------------------------------------------------
@@ -181,39 +236,32 @@ def minhash_lsh_candidates(
     bands: int = 16,
     seed: int = 42,
     shingle_n: int = 3,
+    split: int | None = 32,
 ) -> Dataset:
-    """Candidate duplicate pairs (id_a < id_b) from LSH band collisions."""
+    """Candidate duplicate pairs (id_a < id_b) from LSH band collisions.
+
+    ``split``: rebalance a small corpus (often a single parquet file →
+    ONE block) across this many blocks so the signer pool actually
+    parallelizes; pass None for inputs that already arrive well-sharded.
+    """
     assert num_perm % bands == 0
     rows = num_perm // bands
     if text_col != "text":
         ds = ds.rename_columns({text_col: "text"})
-    signed = ds.select_columns(["text", id_col]).map_batches(
+    ds = ds.select_columns(["text", id_col])
+    if split:
+        ds = ds.repartition(split)
+    signed = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n, "seed": seed},
         batch_format="pandas",
-        concurrency=(1, 4),
+        concurrency=(1, 16),
     )
     banded = signed.map_batches(
         lambda b: _band_rows(b, id_col=id_col, bands=bands, rows=rows),
         batch_format="pandas",
     )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype({"id_a": ids.dtype, "id_b": ids.dtype})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
-
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # dedupe candidate pairs produced by multiple bands (fast merge:
-    # co-locate by hash(id_a), vectorized distinct per partition)
-    deduped = _grouped_min(
-        pairs, group_cols=["id_a", "id_b"], agg_cols=[("id_b", "count")], pkey_col="id_a"
-    )
-    return deduped.select_columns(["id_a", "id_b"])
+    return _collision_pairs(banded, id_col=id_col, bucket_cols=["band_id", "band_hash"])
 
 
 class JaccardVerifier:
@@ -268,7 +316,7 @@ def minhash_dedup_pairs(
     ref = ray.put(dict(zip(tdf[id_col], tdf[text_col])))
     verified = cands.map_batches(
         JaccardVerifier, fn_constructor_kwargs={"texts_ref": ref, "shingle_n": shingle_n},
-        batch_format="pandas", concurrency=(1, 2),
+        batch_format="pandas", concurrency=(1, 16),
     )
     return verified.map_batches(
         lambda t: t.filter(pa.compute.greater_equal(t["jaccard"], threshold)),
@@ -305,12 +353,15 @@ class SimHasher:
         return out
 
 
-def simhash_signatures(ds: Dataset, *, id_col: str, text_col: str = "text") -> Dataset:
+def simhash_signatures(
+    ds: Dataset, *, id_col: str, text_col: str = "text", split: int | None = 32
+) -> Dataset:
     if text_col != "text":
         ds = ds.rename_columns({text_col: "text"})
-    return ds.select_columns(["text", id_col]).map_batches(
-        SimHasher(), batch_format="pandas"
-    )
+    ds = ds.select_columns(["text", id_col])
+    if split:
+        ds = ds.repartition(split)  # parallelize single-block corpora
+    return ds.map_batches(SimHasher(), batch_format="pandas")
 
 
 def simhash_dedup_pairs(
@@ -331,25 +382,21 @@ def simhash_dedup_pairs(
         return pd.concat(out, ignore_index=True)
 
     banded = signed.map_batches(band, batch_format="pandas")
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy().view(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
-                {"id_a": ids.dtype, "id_b": ids.dtype, "hamming": "int64"})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        ham = np.array([bin(int(x)).count("1") for x in (sh[ia] ^ sh[ib])], dtype=np.int64)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "hamming": ham})
-
-    pairs = banded.groupby(["band_id", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = _collision_pairs(
+        banded, id_col=id_col, bucket_cols=["band_id", "band_key"], carry=["simhash"]
     )
-    pairs = pairs.map_batches(
+
+    def add_hamming(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["simhash_a"].to_numpy().view(np.uint64)
+        c = b["simhash_b"].to_numpy().view(np.uint64)
+        x = a ^ c
+        # vectorized popcount via byte-table lookup
+        tbl = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+        ham = tbl[x.view(np.uint8).reshape(-1, 8)].sum(1).astype(np.int64)
+        return pd.DataFrame({"id_a": b["id_a"], "id_b": b["id_b"], "hamming": ham})
+
+    pairs = pairs.map_batches(add_hamming, batch_format="pandas")
+    return pairs.map_batches(
         lambda t: t.filter(pa.compute.less_equal(t["hamming"], max_hamming)),
         batch_format="pyarrow",
-    )
-    return _grouped_min(
-        pairs, group_cols=["id_a", "id_b"], agg_cols=[("hamming", "min")], pkey_col="id_a"
     )

@@ -156,8 +156,14 @@ class _PartialBatch:
 
 def _merge_partials_table(spec: RollupSpec, t: pa.Table) -> pa.Table:
     """Vectorized combine of partial rows within one table: count/sum/cnt
-    merge by sum, min by min, max by max (all associative → exact)."""
-    group_keys = list(spec.keys) + ["window_start", "_pkey"]
+    merge by sum, min by min, max by max (all associative → exact).
+
+    Any partition/bucket tag columns present (``_pkey``) ride along as
+    extra group keys — they are functions of the primary key, so they
+    never split a real group."""
+    group_keys = list(spec.keys) + ["window_start"]
+    if "_pkey" in t.column_names:
+        group_keys.append("_pkey")
     aggs: list[tuple[str, str]] = []
     renames: dict[str, str] = {}
     for name in t.column_names:
@@ -168,6 +174,45 @@ def _merge_partials_table(spec: RollupSpec, t: pa.Table) -> pa.Table:
         renames[f"{name}_{fn}"] = name
     out = t.group_by(group_keys, use_threads=False).aggregate(aggs)
     return out.rename_columns([renames.get(c, c) for c in out.column_names])
+
+
+def cascade_table(spec: RollupSpec, t: pa.Table, to_tier: str) -> pa.Table:
+    """Pure-table tier cascade (used by Ray stages AND bucket-local
+    compute in the checkpointed job): re-window + associative combine."""
+    ws = rewindow_us(t["window_start"], to_tier)
+    t = t.set_column(t.schema.get_field_index("window_start"), "window_start", ws)
+    return _merge_partials_table(spec, t)
+
+
+def finalize_table(spec: RollupSpec, batch: pa.Table, window_col: str = "window_start") -> pa.Table:
+    """Pure-table partials → public tier rows (mean = sum/cnt,
+    rate = sum/_n, window µs → timestamp)."""
+    cols: dict[str, pa.ChunkedArray | pa.Array] = {}
+    for k in spec.keys:
+        cols[k] = batch[k]
+    cols[window_col] = window_to_timestamp(batch["window_start"])
+    n = batch["_n"]
+    cols[spec.count_alias] = n
+    for m in spec.metrics:
+        if not m.public:
+            continue
+        p = m.out_prefix
+        for a in m.aggs:
+            if a == "mean":
+                cols[f"{p}_mean"] = pc.divide(
+                    pc.cast(batch[spec._internal(m.col, "sum")], pa.float64()),
+                    pc.cast(batch[spec._internal(m.col, "cnt")], pa.float64()),
+                )
+            elif a == "count":
+                cols[f"{p}_count"] = batch[spec._internal(m.col, "cnt")]
+            else:
+                cols[f"{p}_{a}"] = batch[spec._internal(m.col, a)]
+    for out_name, col in spec.rates.items():
+        cols[out_name] = pc.divide(
+            pc.cast(batch[spec._internal(col, "sum")], pa.float64()),
+            pc.cast(n, pa.float64()),
+        )
+    return pa.table(cols)
 
 
 def _ray_merge(spec: RollupSpec, ds: Dataset) -> Dataset:
@@ -218,15 +263,10 @@ def cascade(ds_partial: Dataset, spec: RollupSpec, to_tier: str) -> Dataset:
     pre-combined per batch.
     """
 
-    def rewindow_combine(batch: pa.Table) -> pa.Table:
-        ws = rewindow_us(batch["window_start"], to_tier)
-        batch = batch.set_column(
-            batch.schema.get_field_index("window_start"), "window_start", ws
-        )
-        return _merge_partials_table(spec, batch)
-
     combined = ds_partial.map_batches(
-        rewindow_combine, batch_format="pyarrow", zero_copy_batch=True
+        lambda batch: cascade_table(spec, batch, to_tier),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     return _ray_merge(spec, combined)
 
@@ -247,32 +287,7 @@ def finalize(
     """
 
     def to_public(batch: pa.Table) -> pa.Table:
-        cols: dict[str, pa.ChunkedArray | pa.Array] = {}
-        for k in spec.keys:
-            cols[k] = batch[k]
-        cols[window_col] = window_to_timestamp(batch["window_start"])
-        n = batch["_n"]
-        cols[spec.count_alias] = n
-        for m in spec.metrics:
-            if not m.public:
-                continue
-            p = m.out_prefix
-            for a in m.aggs:
-                if a == "mean":
-                    cols[f"{p}_mean"] = pc.divide(
-                        pc.cast(batch[spec._internal(m.col, "sum")], pa.float64()),
-                        pc.cast(batch[spec._internal(m.col, "cnt")], pa.float64()),
-                    )
-                elif a == "count":
-                    cols[f"{p}_count"] = batch[spec._internal(m.col, "cnt")]
-                else:
-                    cols[f"{p}_{a}"] = batch[spec._internal(m.col, a)]
-        for out_name, col in spec.rates.items():
-            cols[out_name] = pc.divide(
-                pc.cast(batch[spec._internal(col, "sum")], pa.float64()),
-                pc.cast(n, pa.float64()),
-            )
-        return pa.table(cols)
+        return finalize_table(spec, batch, window_col)
 
     out = ds_partial.map_batches(to_public, batch_format="pyarrow", zero_copy_batch=True)
     if sort:

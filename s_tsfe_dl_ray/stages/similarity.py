@@ -71,7 +71,7 @@ def knn_bruteforce(
     query_ids: list[int] | None = None,
     n_queries: int = 10,
     k: int = 10,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] = (1, 16),
 ) -> Dataset:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -177,7 +177,7 @@ def knn_ivf(
     k: int = 10,
     n_clusters: int = 16,
     nprobe: int = 4,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] = (1, 16),
 ) -> Dataset:
     """Approximate cosine top-k via IVF cluster probing.
 
@@ -242,7 +242,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.9,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] = (1, 16),
 ) -> Dataset:
     """All pairs with cosine ≥ threshold (exact; right side broadcast).
 

@@ -150,7 +150,7 @@ class LangId:
         return out
 
 
-def lang_id(ds: Dataset, *, text_col: str = "text", concurrency: int | tuple[int, int] = (1, 4)) -> Dataset:
+def lang_id(ds: Dataset, *, text_col: str = "text", concurrency: int | tuple[int, int] = (1, 16)) -> Dataset:
     if text_col != "text":
         ds = ds.rename_columns({text_col: "text"})
     return ds.map_batches(LangId, batch_format="pandas", concurrency=concurrency)

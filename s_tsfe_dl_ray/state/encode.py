@@ -43,34 +43,59 @@ def encode_series(
     ts_col: str,
     value_col: str,
     order_by: list[str] | None = None,
+    num_partitions: int = 64,
 ) -> Dataset:
     """Compress each key's (ts, value) series into Gorilla/delta-of-delta
     blobs.  Ordering is established explicitly inside the group (never
-    block-arrival order)."""
+    block-arrival order).
+
+    Executed partition-wise: ONE coarse hash shuffle co-locates each key's
+    rows (``_pkey = hash(key) % num_partitions``), then each partition
+    sorts once and encodes every key's series in a tight loop — not one
+    Ray group-UDF call per key (measured: 100k per-key map_groups calls
+    cost more than the codecs themselves)."""
     order_by = order_by or [ts_col]
 
-    def encode_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_by, kind="mergesort")
-        ts_series = g[ts_col]
+    import pyarrow as pa
+
+    from ..stages.rollup import _stable_pkey
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def encode_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order_by, kind="mergesort")
+        ts_series = df[ts_col]
         if ts_series.dtype.kind == "M":
             # normalize to µs regardless of the frame's datetime resolution
             ts_series = ts_series.astype("datetime64[us]")
-        ts = ts_series.astype("int64").to_numpy()
-        vals = g[value_col].astype("float64").to_numpy()
-        ts_blob = _DOD.encode(ts)
-        val_blob = _GOR.encode(vals)
-        return pd.DataFrame({
-            key: [g[key].iloc[0]],
-            "n_rows": [len(g)],
-            "ts_blob": [ts_blob],
-            "val_blob": [val_blob],
-            "ts_hash": [DeltaDeltaCodec.state_hash(ts_blob)],
-            "val_hash": [GorillaCodec.state_hash(val_blob)],
-            "raw_bytes": [len(g) * 16],
-            "enc_bytes": [len(ts_blob) + len(val_blob)],
-        })
+        ts_all = ts_series.astype("int64").to_numpy()
+        val_all = df[value_col].astype("float64").to_numpy()
+        keys_all = df[key].to_numpy()
+        # group boundaries within the sorted partition
+        import numpy as np
 
-    return ds.groupby(key).map_groups(encode_group, batch_format="pandas")
+        change = np.flatnonzero(keys_all[1:] != keys_all[:-1]) + 1
+        bounds = np.concatenate([[0], change, [len(df)]])
+        rows: dict[str, list] = {k: [] for k in (
+            key, "n_rows", "ts_blob", "val_blob", "ts_hash", "val_hash",
+            "raw_bytes", "enc_bytes",
+        )}
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            ts_blob = _DOD.encode(ts_all[lo:hi])
+            val_blob = _GOR.encode(val_all[lo:hi])
+            rows[key].append(keys_all[lo])
+            rows["n_rows"].append(int(hi - lo))
+            rows["ts_blob"].append(ts_blob)
+            rows["val_blob"].append(val_blob)
+            rows["ts_hash"].append(DeltaDeltaCodec.state_hash(ts_blob))
+            rows["val_hash"].append(GorillaCodec.state_hash(val_blob))
+            rows["raw_bytes"].append(int(hi - lo) * 16)
+            rows["enc_bytes"].append(len(ts_blob) + len(val_blob))
+        return pd.DataFrame(rows)
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(encode_partition, batch_format="pandas")
 
 
 def decode_series(encoded: Dataset, *, key: str, ts_col: str, value_col: str) -> Dataset:

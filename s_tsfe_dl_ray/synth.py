@@ -150,20 +150,20 @@ def transcripts_parquet(
     Sharded on purpose: a single multi-GB parquet file serializes the read
     (one fragment = one read task) — measured 137 s single-task vs seconds
     sharded at 5M turns.  Never one giant file (SURVEY.md "resumable
-    output" rule); ~256k rows per shard.
+    output" rule); ~64k rows per shard (≥ cluster cores at bench sizes so the read stage can use every core).
 
     Cached by (n_turns, seed) under ``base_dir``; written to a temp dir +
     rename so concurrent callers never observe partial output.
     """
     base_dir = base_dir or os.path.join(tempfile.gettempdir(), "s_tsfe_dl_ray_synth")
     os.makedirs(base_dir, exist_ok=True)
-    name = f"transcripts_n{n_turns}_s{seed}_v2"
+    name = f"transcripts_n{n_turns}_s{seed}_v3"
     path = os.path.join(base_dir, name)
     marker = os.path.join(base_dir, name + ".json")
     if os.path.isdir(path) and os.path.exists(marker):
         return path
     table = generate_transcripts_table(n_turns, seed)
-    shard_rows = 256 * 1024
+    shard_rows = 64 * 1024
     n_shards = max(1, (table.num_rows + shard_rows - 1) // shard_rows)
     tmpdir = tempfile.mkdtemp(dir=base_dir)
     try:
