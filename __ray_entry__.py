@@ -162,6 +162,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_lineitem_pricing_summary(sf):
         return _round_floats(pricing_summary(sf))
 
+    def q_events_rolling_mean5(sf):
+        from s_tsfe_dl_ray.stages.transform import rolling_mean
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(rolling_mean(
+            ds, keys=["user_id"], order_by=["ts", "event_id"],
+            col="value", window=5, out_col="value_ma5",
+        ))
+
+    def q_events_standardize(sf):
+        from s_tsfe_dl_ray.stages.transform import standardize
+
+        ds = read_events(sf, columns=["event_id", "user_id", "value"])
+        return _round_floats(standardize(ds, cols=["value"]))
+
+    def q_events_one_hot(sf):
+        from s_tsfe_dl_ray.stages.transform import one_hot
+
+        ds = read_events(sf, columns=["event_id", "event_type"])
+        return one_hot(ds, col="event_type",
+                       categories=["click", "view", "purchase", "signup", "error"])
+
+    def q_events_segment_runs(sf):
+        from s_tsfe_dl_ray.stages.sessionize import segment_runs
+
+        ds = read_events(sf, columns=["event_id", "user_id", "event_type", "ts"])
+        return segment_runs(ds, keys=["user_id"], value_col="event_type",
+                            ts_col="ts", order_by=["ts", "event_id"])
+
+    def q_events_hash_split(sf):
+        from s_tsfe_dl_ray.stages.transform import hash_split
+
+        ds = read_events(sf, columns=["event_id"])
+        return hash_split(ds, id_col="event_id", test_fraction=0.2)
+
+    def q_events_asof_purchase(sf):
+        from s_tsfe_dl_ray.stages.asof import asof_join_self
+
+        ds = read_events(sf, columns=["event_id", "user_id", "event_type", "ts", "value"])
+        return _round_floats(asof_join_self(
+            ds, key="user_id", ts_col="ts",
+            left_filter=("event_type", "click"),
+            right_filter=("event_type", "purchase"),
+            right_value_cols=["value"],
+            order_tiebreak="event_id",
+        ))
+
+    def q_events_retention_1h(sf):
+        from s_tsfe_dl_ray.stages.rollup import apply_retention
+
+        tier = events_tier(sf, "1h")
+        return _round_floats(apply_retention(
+            tier, keep_from="2024-01-15T00:00:00"
+        ))
+
     def q_docs_exact_dedup(sf):
         ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         return exact_dedup_ids(ds, text_col="text", id_col="doc_id")
@@ -276,6 +331,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_sum": q_events_running_sum,
         "events_first_per_key": q_events_first_per_key,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "events_rolling_mean5": q_events_rolling_mean5,
+        "events_standardize": q_events_standardize,
+        "events_one_hot": q_events_one_hot,
+        "events_segment_runs": q_events_segment_runs,
+        "events_hash_split": q_events_hash_split,
+        "events_asof_purchase": q_events_asof_purchase,
+        "events_retention_1h": q_events_retention_1h,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
@@ -404,6 +466,68 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts, event_id) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "events_rolling_mean5": """
+            SELECT event_id, user_id, ts, round(value, 6) AS value,
+                   round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS value_ma5
+            FROM events
+        """,
+        "events_standardize": """
+            SELECT event_id, user_id, round(value, 6) AS value,
+                   round((value - avg(value) OVER ()) / stddev_pop(value) OVER (), 6) AS value_z
+            FROM events
+        """,
+        "events_one_hot": """
+            SELECT event_id, event_type,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS event_type_click,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS event_type_view,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS event_type_purchase,
+                   CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS event_type_signup,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS event_type_error
+            FROM events
+        """,
+        "events_segment_runs": """
+            WITH o AS (
+              SELECT user_id, event_type, ts,
+                     CASE WHEN event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, event_type, ts,
+                     sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+              FROM o
+            )
+            SELECT user_id, run_id, min(event_type) AS event_type,
+                   min(ts) AS run_start, max(ts) AS run_end, count(*) AS n_rows
+            FROM s GROUP BY 1, 2
+        """,
+        "events_hash_split": """
+            SELECT event_id,
+                   CASE WHEN substring(md5(event_id::VARCHAR), 1, 4) < '3333'
+                        THEN 'test' ELSE 'train' END AS split
+            FROM events
+        """,
+        "events_asof_purchase": """
+            SELECT c.event_id, c.user_id, c.event_type, c.ts,
+                   round(c.value, 6) AS value,
+                   p.ts AS ts_asof, round(p.value, 6) AS value_asof
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "events_retention_1h": """
+            SELECT * FROM (
+              SELECT user_id, date_trunc('hour', ts) AS window_start,
+                     count(*) AS n_events,
+                     round(sum(value), 6) AS value_sum,
+                     round(min(value), 6) AS value_min,
+                     round(max(value), 6) AS value_max,
+                     round(avg(value), 6) AS value_mean
+              FROM events GROUP BY 1, 2
+            ) WHERE window_start >= TIMESTAMP '2024-01-15 00:00:00'
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

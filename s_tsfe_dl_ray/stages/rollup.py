@@ -271,6 +271,29 @@ def cascade(ds_partial: Dataset, spec: RollupSpec, to_tier: str) -> Dataset:
     return _ray_merge(spec, combined)
 
 
+def apply_retention(
+    tier_ds: Dataset, *, window_col: str = "window_start", keep_from
+) -> Dataset:
+    """Retention cutoff: drop windows older than ``keep_from`` (a
+    timestamp-like).  The streaming analog of the reference's positional
+    head/tail splits (IGN_experiment.py:221-225; last-500k-rows holdout
+    keras_experiment.py:33,39): retention = drop windows older than the
+    tier horizon (SURVEY.md §2.6).
+
+    In the checkpointed job layout, retention additionally deletes whole
+    bucket files whose max window precedes the cutoff (cheap, metadata
+    only); this operator is the row-level filter.
+    """
+    import numpy as np
+
+    keep_from = pa.scalar(np.datetime64(keep_from, "us"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t[window_col], keep_from))
+
+    return tier_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def finalize(
     ds_partial: Dataset,
     spec: RollupSpec,

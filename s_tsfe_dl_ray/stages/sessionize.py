@@ -46,6 +46,53 @@ class _SessionizeGroup:
         return out[self.key_cols + ["session_id", "session_start", "session_end", "n_rows", "duration_sec"]]
 
 
+def segment_runs(
+    ds: Dataset,
+    *,
+    keys: list[str],
+    value_col: str,
+    ts_col: str,
+    order_by: list[str] | None = None,
+) -> Dataset:
+    """Run-length segmentation: within each key's ordered stream, a new
+    segment starts whenever ``value_col`` changes.
+
+    This is the reference's annotation segmentation verbatim in stream
+    form (data.py:50-57: consecutive-equal annotation symbols become one
+    segment, then sliced with offsets).  Output: one row per run with
+    (keys..., run_id, <value_col>, run_start, run_end, n_rows).
+    """
+    order_by = order_by or [ts_col]
+
+    class _RunsGroup:
+        def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(order_by, kind="mergesort")
+            change = (g[value_col] != g[value_col].shift()).cumsum() - 1
+            out = (
+                g.assign(run_id=change.astype("int64"))
+                .groupby("run_id", sort=True)
+                .agg(
+                    **{
+                        value_col: (value_col, "first"),
+                        "run_start": (ts_col, "min"),
+                        "run_end": (ts_col, "max"),
+                        "n_rows": (ts_col, "size"),
+                    }
+                )
+                .reset_index()
+            )
+            for k in keys:
+                out[k] = g[k].iloc[0]
+            return out[keys + ["run_id", value_col, "run_start", "run_end", "n_rows"]]
+
+    inst = _RunsGroup()
+
+    def runs_group(g):
+        return inst(g)
+
+    return ds.groupby(keys).map_groups(runs_group, batch_format="pandas")
+
+
 def sessionize(
     ds: Dataset,
     *,
