@@ -217,6 +217,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tier, keep_from="2024-01-15T00:00:00"
         ))
 
+    def q_events_type_counts(sf):
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+
+        ds = read_events(sf, columns=["event_type", "value"])
+        return _round_floats(grouped_aggregate(
+            ds, keys=["event_type"],
+            aggs={
+                "n_events": ("value", "count"),
+                "value_sum": ("value", "sum"),
+                "value_min": ("value", "min"),
+                "value_max": ("value", "max"),
+                "value_mean": ("value", "mean"),
+            },
+        ))
+
+    def q_media_decode_demo(sf):
+        """Multimodal plumbing demo (decode stub, real actor-pool stage):
+        deterministic synthetic media table → image decode features."""
+        import ray.data as rd
+
+        from s_tsfe_dl_ray.stages.media import decode_images, synth_media_table
+
+        media = rd.from_arrow(synth_media_table(256, seed=42))
+        out = decode_images(media)
+        return out.select_columns(["media_id", "pixel_mean", "pixel_std"])
+
     def q_docs_exact_dedup(sf):
         ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         return exact_dedup_ids(ds, text_col="text", id_col="doc_id")
@@ -243,6 +269,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         out = ds.map_batches(md5_fingerprint, batch_format="pandas")
         return out.select_columns(["doc_id", "fingerprint"])
+
+    def q_docs_ngram_jaccard(sf):
+        from s_tsfe_dl_ray.stages.dedup import ngram_jaccard_pairs
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return _round_floats(ngram_jaccard_pairs(
+            ds, id_col="doc_id", n=3, threshold=0.5
+        ))
 
     def q_emb_knn_top10(sf):
         ds = read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -338,11 +372,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hash_split": q_events_hash_split,
         "events_asof_purchase": q_events_asof_purchase,
         "events_retention_1h": q_events_retention_1h,
+        "events_type_counts": q_events_type_counts,
+        "media_decode_demo": q_media_decode_demo,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
         "docs_lang_id": q_docs_lang_id,
         "docs_fingerprint": q_docs_fingerprint,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "emb_knn_top10": q_emb_knn_top10,
         "emb_neardup_04": q_emb_neardup_04,
         "docs_minhash_dedup": q_docs_minhash_dedup,
@@ -541,6 +578,14 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_discount), 6) AS avg_disc
             FROM lineitem GROUP BY 1, 2
         """,
+        "events_type_counts": """
+            SELECT event_type, count(value) AS n_events,
+                   round(sum(value), 6) AS value_sum,
+                   round(min(value), 6) AS value_min,
+                   round(max(value), 6) AS value_max,
+                   round(avg(value), 6) AS value_mean
+            FROM events GROUP BY 1
+        """,
         "docs_exact_dedup": """
             SELECT md5(text) AS h, min(doc_id) AS doc_id
             FROM documents GROUP BY text
@@ -590,6 +635,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "docs_ngram_jaccard": """
+            WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+              FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b,
+                   round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
         """,
         "emb_knn_top10": """
             WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS embedding

@@ -162,10 +162,14 @@ def _stable_u64(tokens: np.ndarray) -> np.ndarray:
     return pl.Series(tokens).hash(seed=0).to_numpy().astype(np.uint64)
 
 
-def word_shingles(text: str, n: int) -> list[str]:
+def word_shingles(text: str, n: int, *, strict: bool = False) -> list[str]:
+    """Word n-grams.  Non-strict (MinHash default): a doc shorter than n
+    words contributes its whole text as one shingle.  Strict (the exact
+    n-gram-Jaccard operator, SQL-mirrorable): short docs contribute no
+    grams."""
     toks = text.split()
     if len(toks) < n:
-        return [" ".join(toks)] if toks else []
+        return [] if strict else ([" ".join(toks)] if toks else [])
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
@@ -398,5 +402,111 @@ def simhash_dedup_pairs(
     pairs = pairs.map_batches(add_hamming, batch_format="pandas")
     return pairs.map_batches(
         lambda t: t.filter(pa.compute.less_equal(t["hamming"], max_hamming)),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (inverted index — no LSH approximation)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    ds: Dataset,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_partitions: int = 64,
+) -> Dataset:
+    """All pairs with word-``n``-gram Jaccard ≥ threshold — EXACT.
+
+    Dataflow: explode distinct grams per doc (vectorized hash) →
+    inverted-index shuffle on hash(gram) → per-partition pair counting
+    (intersection sizes) → merge counts per pair → jaccard =
+    inter / (|A| + |B| − inter) with |·| broadcast (per-doc distinct-gram
+    counts — small; at 100 TB this becomes a semi-join on pair ids).
+
+    Hot grams (stopword-only n-grams) make their bucket quadratic; real
+    deployments drop grams with document frequency above a cap before the
+    pair stage — the synthetic corpora here don't need it, so the cap is
+    left to the caller via a pre-filter.
+    """
+    import ray
+
+    if text_col != "text":
+        ds = ds.rename_columns({text_col: "text"})
+    ds = ds.select_columns(["text", id_col]).repartition(32)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, ghs, szs_id, szs = [], [], [], []
+        for rid, text in zip(b[id_col], b["text"]):
+            grams = set(word_shingles(text, n, strict=True))
+            szs_id.append(rid)
+            szs.append(len(grams))
+            if grams:
+                hs = np.unique(_stable_u64(np.array(sorted(grams), dtype=object)))
+                ids.extend([rid] * len(hs))
+                ghs.extend(hs.view(np.int64))
+        return pd.DataFrame({id_col: ids, "gram": ghs})
+
+    grams_ds = ds.map_batches(explode, batch_format="pandas")
+
+    # per-doc distinct-gram sizes (small side → broadcast)
+    def doc_sizes(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col],
+            "sz": [len(set(word_shingles(t, n, strict=True))) for t in b["text"]],
+        })
+
+    sizes = ds.map_batches(doc_sizes, batch_format="pandas").to_pandas()
+    sizes_ref = ray.put(dict(zip(sizes[id_col], sizes["sz"])))
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t["gram"], num_partitions))
+
+    def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df.duplicated(["gram"], keep=False)]
+        out_a, out_b = [], []
+        for _, g in dup.groupby("gram", sort=False):
+            ids = np.unique(g[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.extend(ids[ia])
+            out_b.extend(ids[ib])
+        d = pd.DataFrame({"id_a": out_a, "id_b": out_b})
+        if len(d) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "inter": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "inter": "int64"})
+        return d.groupby(["id_a", "id_b"], as_index=False).size().rename(columns={"size": "inter"})
+
+    tagged = grams_ds.map_batches(add_pkey, batch_format="pyarrow")
+    partial_counts = tagged.groupby("_pkey").map_groups(count_pairs, batch_format="pandas")
+    merged = _grouped_min(
+        partial_counts, group_cols=["id_a", "id_b"], agg_cols=[("inter", "sum")], pkey_col="id_a"
+    )
+
+    class _Jaccard:
+        def __init__(self, sizes_ref):
+            import ray as _ray
+
+            self.sz = _ray.get(sizes_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            sa = b["id_a"].map(self.sz).to_numpy(dtype=np.float64)
+            sb = b["id_b"].map(self.sz).to_numpy(dtype=np.float64)
+            inter = b["inter"].to_numpy(dtype=np.float64)
+            b = b[["id_a", "id_b"]].copy()
+            b["jaccard"] = inter / (sa + sb - inter)
+            return b
+
+    scored = merged.map_batches(
+        _Jaccard, fn_constructor_kwargs={"sizes_ref": sizes_ref},
+        batch_format="pandas", concurrency=(1, 8),
+    )
+    return scored.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["jaccard"], threshold)),
         batch_format="pyarrow",
     )
