@@ -316,6 +316,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             carry_cols=["token_len_mean", "tool_call_rate"], mode="ffill",
         ))
 
+    def q_transcripts_order_fingerprint(sf):
+        """Per-conversation order-sensitive text fingerprint — the
+        per-turn-text-equality-under-stable-ordering invariant (one row
+        per conv; identical across cluster sizes/blocking)."""
+        from s_tsfe_dl_ray.sources.parquet import read_transcripts
+        from s_tsfe_dl_ray.stages.scan import order_fingerprint
+
+        ds = read_transcripts(_transcripts_for(sf),
+                              columns=["conv_id", "turn_idx", "ts", "text"])
+        return order_fingerprint(ds, key="conv_id",
+                                 order_by=["turn_idx", "ts"], col="text")
+
     def q_transcripts_codec_roundtrip(sf):
         """Per-conversation Gorilla/delta-of-delta compress → decompress →
         exact-equality verdict + compression ratio (stateful scan op)."""
@@ -388,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": q_emb_knn_ivf,
         "transcripts_rollup_1h": q_transcripts_rollup_1h,
         "transcripts_gapfill_ffill_1h": q_transcripts_gapfill_ffill_1h,
+        "transcripts_order_fingerprint": q_transcripts_order_fingerprint,
         "transcripts_codec_roundtrip": q_transcripts_codec_roundtrip,
     }
 

@@ -75,11 +75,19 @@ class TranscriptRollupJob:
         *,
         tiers: tuple[str, ...] = TIER_ORDER,
         n_buckets: int = 32,
+        gapfill_mode: str | None = None,
     ):
+        """``gapfill_mode``: None (tiers contain observed windows only),
+        'ffill' or 'interp' — durable tiers then carry every grid window
+        between each conversation's first and last, flagged by
+        ``fill_method`` (gap semantics: stages/gapfill.py)."""
+        if gapfill_mode not in (None, "ffill", "interp"):
+            raise ValueError(f"bad gapfill_mode {gapfill_mode!r}")
         self.input_path = input_path
         self.out_dir = out_dir
         self.tiers = tiers
         self.n_buckets = n_buckets
+        self.gapfill_mode = gapfill_mode
 
     # -- stages -----------------------------------------------------------
 
@@ -111,7 +119,24 @@ class TranscriptRollupJob:
 
         spec = TRANSCRIPT_SPEC
         out_dir, tiers = self.out_dir, self.tiers
+        gapfill_mode = self.gapfill_mode
         frag_hash = mf.fragments_hash(self._input_fragments())
+
+        def bucket_gapfill(pub: pa.Table, tier: str) -> pa.Table:
+            """Bucket-local gap-fill: per-conv grid completion, no extra
+            shuffle (every conversation is complete within its bucket)."""
+            from ..functions.windows import TIER_US
+            from ..stages.gapfill import _GapFillGroup
+
+            inst = _GapFillGroup(
+                ["conv_id"], "window_start", TIER_US[tier],
+                ["turn_count"], ["token_len_sum"],
+                ["token_len_min", "token_len_max"],
+                ["token_len_mean", "tool_call_rate"], gapfill_mode,
+            )
+            df = pub.to_pandas()
+            out = df.groupby("conv_id", group_keys=False, sort=False).apply(inst)
+            return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
         partials = ds.map_batches(
             _PartialBatch(spec, tiers[0], num_partitions=self.n_buckets),
@@ -135,6 +160,8 @@ class TranscriptRollupJob:
                 if i > 0:
                     partial_t = cascade_table(spec, partial_t, tier)
                 pub = finalize_table(spec, partial_t)
+                if gapfill_mode:
+                    pub = bucket_gapfill(pub, tier)
                 pub = pub.sort_by([("conv_id", "ascending"), ("window_start", "ascending")])
                 rel = os.path.join(f"tier={tier}", mf.bucket_name(bucket) + ".parquet")
                 path = os.path.join(out_dir, rel)

@@ -39,6 +39,58 @@ class _ScanGroup:
         return g
 
 
+def order_fingerprint(
+    ds: Dataset,
+    *,
+    key: str,
+    order_by: list[str],
+    col: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key order-sensitive content fingerprint — the engine's
+    **per-turn text equality under stable turn ordering** invariant
+    (BASELINE.json input_hint).
+
+    Within each key, rows are sorted by ``order_by`` and the stable
+    64-bit hashes of ``col`` are folded with a positional polynomial mod
+    2^61−1.  Two runs at ANY parallelism / blocking produce identical
+    fingerprints iff every row's content and its order agree — so this
+    op is the cheap cross-cluster-size equality check (fingerprints are
+    one row per key; comparing them never moves the text itself,
+    SURVEY.md §7.4 "wide text rows").
+    """
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    from ..stages.rollup import _stable_pkey
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    P = (1 << 61) - 1
+    BASE = 1_000_003
+
+    def fingerprint_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order_by, kind="mergesort")
+        hs = pl.Series(df[col].astype(str).to_numpy()).hash(seed=0).to_numpy() % P
+        keys_all = df[key].to_numpy()
+        change = np.flatnonzero(keys_all[1:] != keys_all[:-1]) + 1
+        bounds = np.concatenate([[0], change, [len(df)]])
+        out_k, out_fp, out_n = [], [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            acc = 0
+            for h in hs[lo:hi].tolist():
+                acc = (acc * BASE + int(h)) % P
+            out_k.append(keys_all[lo])
+            out_fp.append(acc)
+            out_n.append(int(hi - lo))
+        return pd.DataFrame({key: out_k, "fingerprint": out_fp, "n_rows": out_n})
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(fingerprint_partition, batch_format="pandas")
+
+
 def ordered_scan(
     ds: Dataset,
     *,

@@ -107,3 +107,71 @@ def test_lineage_mismatch_refused(small_transcripts, tmp_path):
     mf.atomic_write_bytes(p, json.dumps(rec).encode())
     with pytest.raises(RuntimeError, match="different input"):
         job.run()
+
+
+def test_job_gapfill_matches_standalone_stage(small_transcripts, tmp_path):
+    """Job-level gap-fill (bucket-local) must equal the distributed
+    gapfill stage applied to the plain pipeline's tier."""
+    from conftest import assert_frames_match, to_pdf
+    from s_tsfe_dl_ray.pipelines.job import TranscriptRollupJob
+    from s_tsfe_dl_ray.pipelines.transcript_rollup import transcript_tiers
+    from s_tsfe_dl_ray.stages.gapfill import gapfill
+
+    out = str(tmp_path / "gf")
+    job = TranscriptRollupJob(small_transcripts, out, n_buckets=8, gapfill_mode="ffill")
+    job.run()
+    got = to_pdf(job.read_tier("1h"))
+    tier = transcript_tiers(small_transcripts, tiers=("1m", "1h"))["1h"]
+    expected = to_pdf(gapfill(
+        tier, keys=["conv_id"], tier="1h",
+        count_cols=["turn_count"], sum_cols=["token_len_sum"],
+        null_cols=["token_len_min", "token_len_max"],
+        carry_cols=["token_len_mean", "tool_call_rate"], mode="ffill",
+    ))
+    assert_frames_match(got, expected)
+
+
+def test_order_fingerprint_invariant_across_parallelism(small_transcripts):
+    """Per-turn text equality under stable ordering: fingerprints are
+    identical regardless of blocking/batching of the input."""
+    import ray.data
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.scan import order_fingerprint
+
+    def run(num_blocks):
+        ds = ray.data.read_parquet(small_transcripts, override_num_blocks=num_blocks)
+        out = to_pdf(order_fingerprint(
+            ds, key="conv_id", order_by=["turn_idx", "ts"], col="text"
+        ))
+        return out.sort_values("conv_id").reset_index(drop=True)
+
+    a, b = run(2), run(37)
+    assert (a.conv_id == b.conv_id).all()
+    assert (a.fingerprint == b.fingerprint).all()
+    assert (a.n_rows == b.n_rows).all()
+
+
+def test_combiner_bounds_hot_key_shuffle_rows(small_transcripts):
+    """Skew handling: the shuffle carries per-batch partials, so even the
+    100×-median hot conversations contribute at most (batches × windows)
+    rows — never their raw turn count."""
+    import ray.data
+
+    from s_tsfe_dl_ray.pipelines.transcript_rollup import TRANSCRIPT_SPEC
+    from s_tsfe_dl_ray.stages.rollup import _PartialBatch
+    from s_tsfe_dl_ray.functions.derive import derive_transcript_columns
+
+    ds = ray.data.read_parquet(small_transcripts)
+    ds = ds.map_batches(derive_transcript_columns, batch_format="pyarrow")
+    ds = ds.select_columns(["conv_id", "ts", "token_len", "is_tool_call"])
+    partials = ds.map_batches(
+        _PartialBatch(TRANSCRIPT_SPEC, "1d"), batch_format="pyarrow",
+        batch_size=64 * 1024, zero_copy_batch=True,
+    ).to_pandas()
+    raw = ray.data.read_parquet(small_transcripts).to_pandas()
+    hot = raw.conv_id.value_counts().index[0]
+    hot_turns = (raw.conv_id == hot).sum()
+    hot_partials = (partials.conv_id == hot).sum()
+    assert hot_turns >= 1000          # fixture really is hot
+    assert hot_partials < hot_turns / 5   # combiner collapsed the skew
