@@ -87,7 +87,9 @@ def first_per_key(
     def head1(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(order_by, kind="mergesort").head(1)
 
-    return ds.groupby(keys).map_groups(head1, batch_format="pandas")
+    from .grouped import grouped_apply
+
+    return grouped_apply(ds, keys=keys, fn=head1)
 
 
 def _collision_pairs(

@@ -101,8 +101,6 @@ def gapfill(
     inst = _GapFillGroup(
         keys, window_col, TIER_US[tier], count_cols, sum_cols, null_cols, carry_cols, mode
     )
+    from .grouped import grouped_apply
 
-    def gapfill_group(g):
-        return inst(g)
-
-    return tier_ds.groupby(keys).map_groups(gapfill_group, batch_format="pandas")
+    return grouped_apply(tier_ds, keys=keys, fn=inst)

@@ -105,8 +105,6 @@ def ordered_scan(
     order within each key (include a tiebreaker column, e.g. event_id).
     """
     inst = _ScanGroup(order_by, scans)
+    from .grouped import grouped_apply
 
-    def scan_group(g):
-        return inst(g)
-
-    return ds.groupby(keys).map_groups(scan_group, batch_format="pandas")
+    return grouped_apply(ds, keys=keys, fn=inst)

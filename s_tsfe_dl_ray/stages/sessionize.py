@@ -86,11 +86,9 @@ def segment_runs(
             return out[keys + ["run_id", value_col, "run_start", "run_end", "n_rows"]]
 
     inst = _RunsGroup()
+    from .grouped import grouped_apply
 
-    def runs_group(g):
-        return inst(g)
-
-    return ds.groupby(keys).map_groups(runs_group, batch_format="pandas")
+    return grouped_apply(ds, keys=keys, fn=inst)
 
 
 def sessionize(
@@ -111,8 +109,6 @@ def sessionize(
         gap_us = int(gap) * 1_000_000
     order_by = order_by or [ts_col]
     inst = _SessionizeGroup(keys, ts_col, order_by, gap_us)
+    from .grouped import grouped_apply
 
-    def sessionize_group(g):
-        return inst(g)
-
-    return ds.groupby(keys).map_groups(sessionize_group, batch_format="pandas")
+    return grouped_apply(ds, keys=keys, fn=inst)

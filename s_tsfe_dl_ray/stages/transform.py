@@ -58,11 +58,9 @@ def rolling_mean(
     what exists — the reference's 'same'-edge behavior)."""
     out_col = out_col or f"{col}_ma{window}"
     inst = _RollingGroup(col, out_col, window, order_by)
+    from .grouped import grouped_apply
 
-    def rolling_group(g):
-        return inst(g)
-
-    return ds.groupby(keys).map_groups(rolling_group, batch_format="pandas")
+    return grouped_apply(ds, keys=keys, fn=inst)
 
 
 def standardize(ds: Dataset, *, cols: list[str], suffix: str = "_z") -> Dataset:
