@@ -56,3 +56,36 @@ def read_events(sf_dir_or_path: str, *, columns: list[str] | None = None, **kw) 
     if os.path.isdir(path):
         path = os.path.join(path, "events.parquet")
     return read_table(path, columns=columns, expected_schema=EVENTS_SCHEMA, **kw)
+
+
+def read_csv_typed(
+    path: str,
+    *,
+    dtypes: dict[str, "pa.DataType"] | None = None,
+    columns: list[str] | None = None,
+    **kwargs,
+) -> ray.data.Dataset:
+    """CSV source with explicit per-column dtype casting.
+
+    Analog of the reference's KDD-Cup reader (experiments/utils.py:4-85
+    ``readDataset``: named columns + per-column dtype map before the
+    one-hot expansion).  Casting happens in a vectorized ``map_batches``
+    right after the read; pair with ``stages.transform.one_hot`` /
+    ``binarize_label`` for the full readDataset pipeline.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_csv(path, **kwargs)
+    if columns:
+        ds = ds.select_columns(columns)
+    if dtypes:
+        def cast(t: pa.Table) -> pa.Table:
+            for col, typ in dtypes.items():
+                i = t.schema.get_field_index(col)
+                if i >= 0 and t.schema.field(i).type != typ:
+                    t = t.set_column(i, col, pc.cast(t[col], typ))
+            return t
+
+        ds = ds.map_batches(cast, batch_format="pyarrow", zero_copy_batch=True)
+    return ds

@@ -94,3 +94,25 @@ def test_rolling_fingerprint_deterministic_and_order_sensitive():
     fps = out.fingerprint.tolist()
     assert fps[0] == fps[2]  # same content → same fingerprint
     assert fps[0] != fps[1]  # order-sensitive
+
+
+def test_read_csv_typed(tmp_path, ddb):
+    """readDataset analog: typed CSV read + cast + one-hot (SURVEY §2.1)."""
+    import pyarrow as pa
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.sources.parquet import read_csv_typed
+    from s_tsfe_dl_ray.stages.transform import binarize_label, one_hot
+
+    p = tmp_path / "kdd.csv"
+    p.write_text(
+        "duration,protocol,label\n"
+        "1,tcp,normal.\n2,udp,smurf.\n3,tcp,normal.\n0,icmp,neptune.\n"
+    )
+    ds = read_csv_typed(str(p), dtypes={"duration": pa.float64()})
+    ds = one_hot(ds, col="protocol", categories=["tcp", "udp", "icmp"])
+    ds = binarize_label(ds, col="label", normal_value="normal.")
+    df = to_pdf(ds)
+    assert df.duration.dtype.kind == "f"
+    assert (df.filter(like="protocol_").sum(axis=1) == 1).all()
+    assert df.label_bin.tolist() == [0, 1, 0, 1]
