@@ -79,6 +79,10 @@ def main() -> dict:
         job = TranscriptRollupJob(tpath, out_dir, n_buckets=64)
         t, _ = _timed(job.run)
         best = min(best, t)
+        del job
+        import gc
+
+        gc.collect()  # release Dataset refs so plasma objects free between runs
     queries["transcript_rollup_job"] = best
 
     # 2) events tier cascade (read → combiner → merge → cascade ×2)
@@ -154,13 +158,21 @@ def main() -> dict:
 def scaling() -> None:
     lo, hi = 8, 32
 
-    def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_JOB_REPEATS="3")
+    def run_once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_JOB_REPEATS="1")
         out = subprocess.run(
             [sys.executable, "bench.py"], env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
             capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # min-of-3 with a FRESH process each time: long-lived 32-cpu Ray
+        # sessions degrade across repeats (object-store residue), so each
+        # sample gets a clean session
+        samples = [run_once(ncpu) for _ in range(3)]
+        best = min(samples, key=lambda r: r["queries"]["transcript_rollup_job"])
+        return best
 
     r_lo, r_hi = run(lo), run(hi)
     t_lo = r_lo["queries"]["transcript_rollup_job"]
