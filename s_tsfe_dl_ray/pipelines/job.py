@@ -76,11 +76,19 @@ class TranscriptRollupJob:
         tiers: tuple[str, ...] = TIER_ORDER,
         n_buckets: int = 32,
         gapfill_mode: str | None = None,
+        encode_series: bool = False,
     ):
         """``gapfill_mode``: None (tiers contain observed windows only),
         'ffill' or 'interp' — durable tiers then carry every grid window
         between each conversation's first and last, flagged by
-        ``fill_method`` (gap semantics: stages/gapfill.py)."""
+        ``fill_method`` (gap semantics: stages/gapfill.py).
+
+        ``encode_series``: additionally persist every conversation's
+        (ts, token_len) series Gorilla/delta-of-delta-compressed under
+        ``series/bucket=K.parquet``, and record the per-bucket encoder
+        state hashes in the lineage manifest (BASELINE.json north_star:
+        "lineage records (input fragment IDs, row counts, encoder state
+        hashes)")."""
         if gapfill_mode not in (None, "ffill", "interp"):
             raise ValueError(f"bad gapfill_mode {gapfill_mode!r}")
         self.input_path = input_path
@@ -88,6 +96,7 @@ class TranscriptRollupJob:
         self.tiers = tiers
         self.n_buckets = n_buckets
         self.gapfill_mode = gapfill_mode
+        self.encode_series = encode_series
 
     # -- stages -----------------------------------------------------------
 
@@ -109,7 +118,97 @@ class TranscriptRollupJob:
             )
         return ds
 
-    def _write_from_partials(self, ds):
+    def _write_series_buckets(self, ds) -> dict[int, dict]:
+        """Compress each conversation's (ts, token_len) series per bucket
+        and write ``series/bucket=K.parquet`` atomically.  Returns per-
+        bucket records (rows, conv count, combined encoder state hash)
+        for embedding in the main manifest.
+
+        Same partitioning as the tier write (bucket = stable hash of
+        conv_id), so a bucket's tiers, compressed series and manifest
+        always travel together.  Sort inside the bucket is (conv_id, ts)
+        — ts is unique per conversation in transcripts, so the encode
+        order (and therefore the byte output) is total and deterministic.
+        """
+        import hashlib
+        import tempfile
+
+        import numpy as np
+
+        from ..stages.rollup import _stable_pkey
+        from ..state.deltadelta import DeltaDeltaCodec
+        from ..state.gorilla import GorillaCodec
+
+        out_dir = self.out_dir
+        n_buckets = self.n_buckets
+
+        def tag(t: pa.Table) -> pa.Table:
+            t = t.select(["conv_id", "ts", "token_len"])
+            return t.append_column("_pkey", _stable_pkey(t["conv_id"], n_buckets))
+
+        def encode_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(df["_pkey"].iloc[0])
+            df = df.sort_values(["conv_id", "ts"], kind="mergesort")
+            ts_all = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            val_all = df["token_len"].astype("float64").to_numpy()
+            keys_all = df["conv_id"].to_numpy()
+            change = np.flatnonzero(keys_all[1:] != keys_all[:-1]) + 1
+            bounds = np.concatenate([[0], change, [len(df)]])
+            dod, gor = DeltaDeltaCodec(), GorillaCodec()
+            rows = {k: [] for k in ("conv_id", "n_rows", "ts_blob", "val_blob",
+                                    "ts_hash", "val_hash")}
+            state = hashlib.sha256()
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                ts_blob = dod.encode(ts_all[lo:hi])
+                val_blob = gor.encode(val_all[lo:hi])
+                th = DeltaDeltaCodec.state_hash(ts_blob)
+                vh = GorillaCodec.state_hash(val_blob)
+                rows["conv_id"].append(keys_all[lo])
+                rows["n_rows"].append(int(hi - lo))
+                rows["ts_blob"].append(ts_blob)
+                rows["val_blob"].append(val_blob)
+                rows["ts_hash"].append(th)
+                rows["val_hash"].append(vh)
+                state.update(th.encode())
+                state.update(vh.encode())
+            table = pa.table({
+                "conv_id": pa.array(rows["conv_id"], pa.string()),
+                "n_rows": pa.array(rows["n_rows"], pa.int64()),
+                "ts_blob": pa.array(rows["ts_blob"], pa.binary()),
+                "val_blob": pa.array(rows["val_blob"], pa.binary()),
+                "ts_hash": pa.array(rows["ts_hash"], pa.string()),
+                "val_hash": pa.array(rows["val_hash"], pa.string()),
+            })
+            rel = os.path.join("series", mf.bucket_name(bucket) + ".parquet")
+            path = os.path.join(out_dir, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+            os.close(fd)
+            pq.write_table(table, tmp, compression="zstd")
+            os.replace(tmp, path)
+            return pd.DataFrame({
+                "bucket": [bucket],
+                "series_rows": [int(df.shape[0])],
+                "n_convs": [len(rows["conv_id"])],
+                "encoder_state_hash": [state.hexdigest()[:16]],
+                "path": [rel],
+            })
+
+        tagged = ds.map_batches(tag, batch_format="pyarrow")
+        res = tagged.groupby("_pkey").map_groups(
+            encode_bucket, batch_format="pandas"
+        ).to_pandas()
+        return {
+            int(r.bucket): {
+                "rows": int(r.series_rows),
+                "n_convs": int(r.n_convs),
+                "encoder_state_hash": r.encoder_state_hash,
+                "path": r.path,
+            }
+            for r in res.itertuples()
+        }
+
+    def _write_from_partials(self, ds, series_info: dict[int, dict] | None = None):
         """THE shuffle + bucket-local compute/write (see module doc)."""
         import tempfile
 
@@ -145,6 +244,8 @@ class TranscriptRollupJob:
             zero_copy_batch=True,
         )
 
+        series_info = series_info or {}
+
         def write_bucket(g: pa.Table) -> pa.Table:
             bucket = int(g["_pkey"][0].as_py())
             partial_t = _merge_partials_table(spec, g)
@@ -155,6 +256,8 @@ class TranscriptRollupJob:
                 "n_convs": int(pc.count_distinct(partial_t["conv_id"]).as_py()),
                 "tiers": {},
             }
+            if bucket in series_info:
+                record["series"] = series_info[bucket]
             total_rows = 0
             for i, tier in enumerate(tiers):
                 if i > 0:
@@ -207,7 +310,11 @@ class TranscriptRollupJob:
         if not todo:
             return {"completed": self.n_buckets, "newly_written": 0, "skipped": len(done)}
         ds = self._ingest(set(done))
-        result = self._write_from_partials(ds).to_pandas()
+        series_info = (
+            self._write_series_buckets(self._ingest(set(done)))
+            if self.encode_series else None
+        )
+        result = self._write_from_partials(ds, series_info).to_pandas()
         # buckets whose hash range simply contained no conversations: the
         # pass covered all remaining input, so they are durably complete
         for b in todo:

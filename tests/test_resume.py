@@ -175,3 +175,53 @@ def test_combiner_bounds_hot_key_shuffle_rows(small_transcripts):
     hot_partials = (partials.conv_id == hot).sum()
     assert hot_turns >= 1000          # fixture really is hot
     assert hot_partials < hot_turns / 5   # combiner collapsed the skew
+
+
+def test_job_encode_series_manifest_hashes(small_transcripts, tmp_path):
+    """encode_series=True persists compressed per-conv series per bucket
+    and records encoder state hashes in the manifest; decoding the series
+    files reproduces the raw (ts, token_len) series exactly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from s_tsfe_dl_ray.functions.derive import derive_transcript_columns
+    from s_tsfe_dl_ray.pipelines.job import TranscriptRollupJob
+    from s_tsfe_dl_ray.state.deltadelta import DeltaDeltaCodec
+    from s_tsfe_dl_ray.state.gorilla import GorillaCodec
+
+    out = str(tmp_path / "enc")
+    job = TranscriptRollupJob(small_transcripts, out, n_buckets=8, encode_series=True)
+    job.run()
+    recs = mf.read_manifests(out)
+    with_series = [r for r in recs.values() if "series" in r]
+    assert with_series, "no series sections in manifests"
+    for r in with_series:
+        assert len(r["series"]["encoder_state_hash"]) == 16
+
+    # decode every series file; compare against the raw corpus
+    dod, gor = DeltaDeltaCodec(), GorillaCodec()
+    decoded = {}
+    total_rows = 0
+    for r in with_series:
+        t = pq.read_table(os.path.join(out, r["series"]["path"]))
+        for conv, n, tsb, vb in zip(
+            t["conv_id"].to_pylist(), t["n_rows"].to_pylist(),
+            t["ts_blob"].to_pylist(), t["val_blob"].to_pylist(),
+        ):
+            ts = dod.decode(tsb)
+            v = gor.decode(vb)
+            assert len(ts) == len(v) == n
+            decoded[conv] = (ts, v)
+            total_rows += n
+
+    raw = ray.data.read_parquet(small_transcripts).map_batches(
+        derive_transcript_columns, batch_format="pyarrow"
+    ).to_pandas()
+    assert total_rows == len(raw)
+    some = list(decoded)[:5]
+    for conv in some:
+        g = raw[raw.conv_id == conv].sort_values("ts")
+        ts, v = decoded[conv]
+        assert (g.ts.astype("datetime64[us]").astype("int64").to_numpy() == ts).all()
+        assert np.array_equal(g.token_len.astype("float64").to_numpy(), v)
