@@ -316,6 +316,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             carry_cols=["token_len_mean", "tool_call_rate"], mode="ffill",
         ))
 
+    def q_transcripts_sessions_30m(sf):
+        """Conversation activity sessions: 30-minute inactivity splits
+        within each conv (agent-transcript session analysis)."""
+        from s_tsfe_dl_ray.sources.parquet import read_transcripts
+        from s_tsfe_dl_ray.stages.sessionize import sessionize
+
+        ds = read_transcripts(_transcripts_for(sf), columns=["conv_id", "turn_idx", "ts"])
+        return sessionize(ds, keys=["conv_id"], ts_col="ts",
+                          order_by=["ts", "turn_idx"], gap="30m")
+
+    def q_transcripts_toolcall_last_user(sf):
+        """For every tool-calling assistant turn, the most recent user
+        turn at or before it (as-of alignment on the primary payload)."""
+        from s_tsfe_dl_ray.sources.parquet import read_transcripts
+        from s_tsfe_dl_ray.stages.asof import asof_join_self
+        import pyarrow.compute as _pc
+
+        ds = read_transcripts(
+            _transcripts_for(sf), columns=["conv_id", "turn_idx", "role", "tool", "ts"]
+        )
+        ds = ds.map_batches(
+            lambda t: t.append_column(
+                "kind",
+                _pc.if_else(_pc.not_equal(t["tool"], ""), pa.scalar("tool_call"),
+                            t["role"]),
+            ),
+            batch_format="pyarrow",
+        )
+        return asof_join_self(
+            ds, key="conv_id", ts_col="ts",
+            left_filter=("kind", "tool_call"),
+            right_filter=("kind", "user"),
+            right_value_cols=["turn_idx"],
+            order_tiebreak="turn_idx",
+        )
+
     def q_transcripts_order_fingerprint(sf):
         """Per-conversation order-sensitive text fingerprint — the
         per-turn-text-equality-under-stable-ordering invariant (one row
@@ -400,6 +436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": q_emb_knn_ivf,
         "transcripts_rollup_1h": q_transcripts_rollup_1h,
         "transcripts_gapfill_ffill_1h": q_transcripts_gapfill_ffill_1h,
+        "transcripts_sessions_30m": q_transcripts_sessions_30m,
+        "transcripts_toolcall_last_user": q_transcripts_toolcall_last_user,
         "transcripts_order_fingerprint": q_transcripts_order_fingerprint,
         "transcripts_codec_roundtrip": q_transcripts_codec_roundtrip,
     }
