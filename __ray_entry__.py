@@ -217,6 +217,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tier, keep_from="2024-01-15T00:00:00"
         ))
 
+    def q_orders_lineitem_join(sf):
+        """Partitioned hash join of two large tables (orders ⋈ lineitem)
+        with a grouped revenue rollup on top."""
+        import ray.data
+
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+        from s_tsfe_dl_ray.stages.join import hash_join
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+        )
+        lineitem = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+        )
+        joined = hash_join(orders, lineitem, left_on="o_orderkey", right_on="l_orderkey")
+        joined = joined.map_batches(
+            lambda t: t.append_column(
+                "revenue",
+                pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            ),
+            batch_format="pyarrow",
+        )
+        return _round_floats(grouped_aggregate(
+            joined, keys=["o_orderstatus"],
+            aggs={"n_items": ("revenue", "count"), "revenue_sum": ("revenue", "sum"),
+                  "revenue_mean": ("revenue", "mean")},
+        ))
+
     def q_events_type_counts(sf):
         from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
 
@@ -420,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hash_split": q_events_hash_split,
         "events_asof_purchase": q_events_asof_purchase,
         "events_retention_1h": q_events_retention_1h,
+        "orders_lineitem_join": q_orders_lineitem_join,
         "events_type_counts": q_events_type_counts,
         "media_decode_demo": q_media_decode_demo,
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -628,6 +657,14 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_extendedprice), 6) AS avg_price,
                    round(avg(l_discount), 6) AS avg_disc
             FROM lineitem GROUP BY 1, 2
+        """,
+        "orders_lineitem_join": """
+            SELECT o.o_orderstatus,
+                   count(*) AS n_items,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue_sum,
+                   round(avg(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue_mean
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1
         """,
         "events_type_counts": """
             SELECT event_type, count(value) AS n_events,
