@@ -232,18 +232,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
         )
         joined = hash_join(orders, lineitem, left_on="o_orderkey", right_on="l_orderkey")
-        joined = joined.map_batches(
-            lambda t: t.append_column(
-                "revenue",
-                pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
-            ),
-            batch_format="pyarrow",
-        )
-        return _round_floats(grouped_aggregate(
+
+        def rev_i(t: pa.Table) -> pa.Table:
+            # exact money: price/discount have ≤2 decimals → int64 cents;
+            # revenue_i = price_i*(100-disc_i) at scale 1e4 sums exactly
+            price_i = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+            disc_i = pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64())
+            return t.append_column(
+                "revenue_i", pc.multiply(price_i, pc.subtract(pa.scalar(100, pa.int64()), disc_i))
+            )
+
+        joined = joined.map_batches(rev_i, batch_format="pyarrow")
+        agg = grouped_aggregate(
             joined, keys=["o_orderstatus"],
-            aggs={"n_items": ("revenue", "count"), "revenue_sum": ("revenue", "sum"),
-                  "revenue_mean": ("revenue", "mean")},
-        ))
+            aggs={"n_items": ("revenue_i", "count"), "revenue_sum_i": ("revenue_i", "sum")},
+        )
+
+        def fin(t: pa.Table) -> pa.Table:
+            s = pc.divide(pc.cast(t["revenue_sum_i"], pa.float64()), pa.scalar(10_000.0))
+            return pa.table({
+                "o_orderstatus": t["o_orderstatus"], "n_items": t["n_items"],
+                "revenue_sum": s,
+                "revenue_mean": pc.divide(s, pc.cast(t["n_items"], pa.float64())),
+            })
+
+        return _round_floats(agg.map_batches(fin, batch_format="pyarrow"))
 
     def q_events_type_counts(sf):
         from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
@@ -561,8 +574,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
               SELECT user_id, ts,
-                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                     (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
               FROM o
             )
             SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
@@ -613,8 +626,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
               SELECT user_id, event_type, ts,
-                     sum(chg) OVER (PARTITION BY user_id ORDER BY ts
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+                     (sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS run_id
               FROM o
             )
             SELECT user_id, run_id, min(event_type) AS event_type,
@@ -647,22 +660,25 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE window_start >= TIMESTAMP '2024-01-15 00:00:00'
         """,
         "lineitem_pricing_summary": """
+            -- money has ≤2 decimals: DECIMAL sums are exact, mirroring the
+            -- engine's scaled-int64 combiner; avg written as sum::DOUBLE/n
+            -- to match the engine's float64(exact_sum)/n bit-for-bit.
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 6) AS sum_qty,
-                   round(sum(l_extendedprice), 6) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+                   round(sum(l_quantity::DECIMAL(18,2))::DOUBLE, 6) AS sum_qty,
+                   round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE, 6) AS sum_base_price,
+                   round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE, 6) AS sum_disc_price,
+                   round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)) * (1 + l_tax::DECIMAL(18,2)))::DOUBLE, 6) AS sum_charge,
                    count(*) AS count_order,
-                   round(avg(l_quantity), 6) AS avg_qty,
-                   round(avg(l_extendedprice), 6) AS avg_price,
-                   round(avg(l_discount), 6) AS avg_disc
+                   round(sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_qty,
+                   round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_price,
+                   round(sum(l_discount::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_disc
             FROM lineitem GROUP BY 1, 2
         """,
         "orders_lineitem_join": """
             SELECT o.o_orderstatus,
                    count(*) AS n_items,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue_sum,
-                   round(avg(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue_mean
+                   round(sum(l.l_extendedprice::DECIMAL(18,2) * (1 - l.l_discount::DECIMAL(18,2)))::DOUBLE, 6) AS revenue_sum,
+                   round(sum(l.l_extendedprice::DECIMAL(18,2) * (1 - l.l_discount::DECIMAL(18,2)))::DOUBLE / count(*), 6) AS revenue_mean
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             GROUP BY 1
         """,

@@ -12,7 +12,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def grouped_aggregate(
@@ -76,51 +75,95 @@ def grouped_aggregate(
     return merged.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _money_i(col: pa.ChunkedArray | pa.Array, scale: int = 100) -> pa.ChunkedArray:
+    """TPC-H money / rate columns have ≤2 decimals: scale to exact int64.
+
+    Summing scaled integers makes the engine's partial-sum tree EXACTLY
+    equal to a sequential decimal sum regardless of association — float64
+    partial sums at ~5e8 magnitude differ from DuckDB's sequential sum in
+    the 6th decimal, which a round-to-6 comparator can't hide.
+    """
+    return pc.cast(
+        pc.round(pc.multiply(pc.cast(col, pa.float64()), pa.scalar(float(scale)))),
+        pa.int64(),
+    )
+
+
 def pricing_summary(sf_dir: str) -> Dataset:
-    """TPC-H Q1-shaped rollup over lineitem (returnflag × linestatus)."""
+    """TPC-H Q1-shaped rollup over lineitem (returnflag × linestatus).
 
-    def derive(t: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
-        t = t.append_column("disc_price", disc_price)
-        return t.append_column("charge", charge)
+    Exact-money discipline: qty/price/disc/tax scaled to int64 (cents),
+    disc_price = price_i*(100-disc_i) (scale 1e4), charge =
+    disc_price_i*(100+tax_i) (scale 1e6); sums stay integer end-to-end
+    (decimal128 at the merge for overflow headroom), converted to float
+    only at finalize.  Matches a DuckDB DECIMAL sum bit-for-bit after
+    float64 conversion (int totals < 2^53 convert exactly).
+    """
 
-    def partial(t: pa.Table) -> pa.Table:
+    def derive_partial(t: pa.Table) -> pa.Table:
+        qty_i = _money_i(t["l_quantity"])
+        price_i = _money_i(t["l_extendedprice"])
+        disc_i = _money_i(t["l_discount"])
+        tax_i = _money_i(t["l_tax"])
+        disc_price_i = pc.multiply(price_i, pc.subtract(pa.scalar(100, pa.int64()), disc_i))
+        charge_i = pc.multiply(disc_price_i, pc.add(pa.scalar(100, pa.int64()), tax_i))
+        t = pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "s_qty": qty_i, "s_price": price_i, "s_disc_price": disc_price_i,
+            "s_charge": charge_i, "s_disc": disc_i,
+        })
         out = t.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
-            [
-                ("l_quantity", "sum"), ("l_extendedprice", "sum"),
-                ("disc_price", "sum"), ("charge", "sum"),
-                ("l_discount", "sum"), ("l_quantity", "count"),
-            ]
+            [("s_qty", "sum"), ("s_price", "sum"), ("s_disc_price", "sum"),
+             ("s_charge", "sum"), ("s_disc", "sum"), ("s_qty", "count")]
         )
         renames = {
-            "l_quantity_sum": "s_qty", "l_extendedprice_sum": "s_price",
-            "disc_price_sum": "s_disc_price", "charge_sum": "s_charge",
-            "l_discount_sum": "s_disc", "l_quantity_count": "n",
+            "s_qty_sum": "s_qty", "s_price_sum": "s_price",
+            "s_disc_price_sum": "s_disc_price", "s_charge_sum": "s_charge",
+            "s_disc_sum": "s_disc", "s_qty_count": "n",
         }
-        return out.rename_columns([renames.get(c, c) for c in out.column_names])
+        out = out.rename_columns([renames.get(c, c) for c in out.column_names])
+        # decimal128 partials: exact even when the global total exceeds int64
+        for c in ("s_qty", "s_price", "s_disc_price", "s_charge", "s_disc"):
+            out = out.set_column(
+                out.column_names.index(c), c,
+                pc.cast(out[c], pa.decimal128(38, 0)),
+            )
+        return out
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                  "l_discount", "l_tax"],
     )
-    partials = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
-    partials = partials.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    merged = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("s_qty", alias_name="sum_qty"),
-        Sum("s_price", alias_name="sum_base_price"),
-        Sum("s_disc_price", alias_name="sum_disc_price"),
-        Sum("s_charge", alias_name="sum_charge"),
-        Sum("s_disc", alias_name="_s_disc"),
-        Sum("n", alias_name="count_order"),
+    partials = ds.map_batches(derive_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = t.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
+            [("s_qty", "sum"), ("s_price", "sum"), ("s_disc_price", "sum"),
+             ("s_charge", "sum"), ("s_disc", "sum"), ("n", "sum")]
+        )
+        return out.rename_columns(
+            [c[:-4] if c.endswith("_sum") else c for c in out.column_names]
+        )
+
+    # ≤ a handful of (flag, status) groups: single-partition merge is exact
+    # and tiny — partials per input block are ≤6 rows each.
+    merged = partials.repartition(1).map_batches(
+        merge, batch_format="pyarrow", zero_copy_batch=True
     )
 
     def fin(t: pa.Table) -> pa.Table:
-        n = pc.cast(t["count_order"], pa.float64())
-        t = t.append_column("avg_qty", pc.divide(t["sum_qty"], n))
-        t = t.append_column("avg_price", pc.divide(t["sum_base_price"], n))
-        t = t.append_column("avg_disc", pc.divide(t["_s_disc"], n))
-        return t.drop_columns(["_s_disc"])
+        f = lambda c, s: pc.divide(pc.cast(t[c], pa.float64()), pa.scalar(float(s)))
+        n = pc.cast(t["n"], pa.float64())
+        return pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "sum_qty": f("s_qty", 100), "sum_base_price": f("s_price", 100),
+            "sum_disc_price": f("s_disc_price", 10_000),
+            "sum_charge": f("s_charge", 1_000_000),
+            "count_order": t["n"],
+            "avg_qty": pc.divide(f("s_qty", 100), n),
+            "avg_price": pc.divide(f("s_price", 100), n),
+            "avg_disc": pc.divide(f("s_disc", 100), n),
+        })
 
     return merged.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)

@@ -59,12 +59,14 @@ class _GapFillGroup:
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         w = self.window_col
-        ws = g[w].astype("int64")  # µs since epoch
+        # Normalize to µs explicitly: arrow→pandas may deliver ns-precision
+        # datetimes, and a silent ns int64 would build a 1000×-too-fine grid.
+        ws = g[w].astype("datetime64[us]").astype("int64")  # µs since epoch
         lo, hi = ws.min(), ws.max()
         grid = np.arange(lo, hi + 1, self.tier_us)
         g = g.set_index(ws)
         out = g.reindex(grid)
-        observed = out[w].notna()
+        observed = out[w].notna().to_numpy()
         out[w] = pd.to_datetime(out.index, unit="us")
         for k in self.keys:
             out[k] = g[k].iloc[0]  # constant within the group
@@ -75,8 +77,24 @@ class _GapFillGroup:
             for c in self.carry_cols:
                 out[c] = out[c].ffill()
         elif self.mode == "interp":
+            # Explicit linear interpolation in epoch SECONDS with the exact
+            # arithmetic shape of the SQL oracle — prev + (next-prev)*Δ/Δtot
+            # — so last-ulp differences can't flip the 6-decimal rounding.
+            idx = np.arange(len(grid))
+            obs_idx = idx[observed]
+            # grid spans min→max observed ⇒ first/last rows are observed,
+            # so every gap row has both neighbors.
+            prev_i = obs_idx[np.searchsorted(obs_idx, idx, side="right") - 1]
+            next_i = obs_idx[np.searchsorted(obs_idx, idx, side="left")]
+            w_sec = grid / 1e6
+            dw = w_sec - w_sec[prev_i]
+            dwtot = w_sec[next_i] - w_sec[prev_i]
+            dwtot_safe = np.where(observed, 1.0, dwtot)
             for c in self.carry_cols:
-                out[c] = out[c].astype("float64").interpolate(method="index")
+                v = out[c].astype("float64").to_numpy()
+                prev_v, next_v = v[prev_i], v[next_i]
+                filled = prev_v + (next_v - prev_v) * dw / dwtot_safe
+                out[c] = np.where(observed, v, filled)
         else:
             raise ValueError(f"unknown gap-fill mode {self.mode!r}")
         out["fill_method"] = np.where(observed, "observed", self.mode)

@@ -54,12 +54,29 @@ def to_pdf(result) -> pd.DataFrame:
     return result
 
 
-def assert_frames_match(actual: pd.DataFrame, expected: pd.DataFrame, *, atol=1e-9, rtol=1e-9):
+def assert_frames_match(
+    actual: pd.DataFrame, expected: pd.DataFrame, *, atol=1e-9, rtol=1e-9,
+    check_kind=False,
+):
     """Order-insensitive, column-name-sorted comparison (mirrors the
-    driver's compare: sort columns by name, sort rows, compare values)."""
+    driver's compare: sort columns by name, sort rows, compare values).
+
+    ``check_kind=True`` additionally requires each column's dtype FAMILY
+    (integer vs float) to agree — the driver's value-hash distinguishes
+    ``1`` from ``1.0`` (round-1 `events_sessionize_30m` lesson), so an
+    engine int64 against an oracle float64 is a hash fail even when every
+    value is numerically equal."""
     assert sorted(actual.columns) == sorted(expected.columns), (
         f"columns differ: {sorted(actual.columns)} vs {sorted(expected.columns)}"
     )
+    if check_kind:
+        fam = lambda k: "int" if k in "iu" else "float" if k in "fc" else "other"
+        bad = [
+            (c, actual[c].dtype, expected[c].dtype)
+            for c in actual.columns
+            if fam(actual[c].dtype.kind) != fam(expected[c].dtype.kind)
+        ]
+        assert not bad, f"dtype family mismatch (engine vs oracle): {bad}"
     def norm(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         for c in df.columns:
@@ -91,4 +108,15 @@ def assert_frames_match(actual: pd.DataFrame, expected: pd.DataFrame, *, atol=1e
 
     a, e = ordered(actual), ordered(expected)
     assert len(a) == len(e), f"row counts differ: {len(a)} vs {len(e)}"
-    pd.testing.assert_frame_equal(a, e, check_dtype=False, atol=atol, rtol=rtol)
+    if atol == 0 and rtol == 0:
+        # Driver emulation: the driver rounds float columns to 6 decimals on
+        # BOTH sides before hashing (so last-ulp engine-vs-DuckDB rounding
+        # differences collapse), then compares exactly.
+        import numpy as np
+
+        for c in floats:
+            a[c] = np.round(a[c].astype("float64"), 6)
+            e[c] = np.round(e[c].astype("float64"), 6)
+        pd.testing.assert_frame_equal(a, e, check_dtype=False, atol=0, rtol=0)
+    else:
+        pd.testing.assert_frame_equal(a, e, check_dtype=False, atol=atol, rtol=rtol)

@@ -45,7 +45,9 @@ def test_oracle_paired_query(views, name):
     sql = entrymod.oracle_sql()[name]
     actual = to_pdf(q(SF_CHECK))
     expected = views.sql(sql).df()
-    assert_frames_match(actual, expected, atol=2e-6)
+    # exact: the driver hashes the (6-decimal-rounded) values — any
+    # difference at all, including int-vs-float dtype family, is a fail
+    assert_frames_match(actual, expected, atol=0, rtol=0, check_kind=True)
 
 
 _ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
