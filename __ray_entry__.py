@@ -486,6 +486,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The transcript queries run over the deterministic synthesized corpus
+    # (pure function of (n_turns, seed)); the driver checks at sf=0.01.
+    # Materialize the cache here (pure pyarrow, no Ray) and reference the
+    # parquet shards by absolute path in the SQL.
+    tp = _transcripts_for("/root/testdata/sf0.01")
+    T = f"read_parquet('{tp}/*.parquet')"
+    # token_len fast path: texts are single-space-normalized, so token
+    # count == count(' ')+1 (0 for empty) — functions/derive.py:token_count
+    TOKLEN = "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
     def rollup(trunc: str) -> str:
         return f"""
         SELECT user_id,
@@ -772,6 +781,78 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cos_raw DESC, neighbor_id) AS rn
               FROM scored
             ) WHERE rn <= 10
+        """,
+        "transcripts_rollup_1h": f"""
+            SELECT conv_id, date_trunc('hour', ts) AS window_start,
+                   count(*) AS turn_count,
+                   (sum({TOKLEN}))::BIGINT AS token_len_sum,
+                   (min({TOKLEN}))::BIGINT AS token_len_min,
+                   (max({TOKLEN}))::BIGINT AS token_len_max,
+                   round((sum({TOKLEN}))::DOUBLE / count(*), 6) AS token_len_mean,
+                   round((sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END))::DOUBLE / count(*), 6) AS tool_call_rate
+            FROM {T} GROUP BY 1, 2
+        """,
+        "transcripts_gapfill_ffill_1h": f"""
+            WITH t AS (
+              SELECT conv_id, date_trunc('hour', ts) AS window_start,
+                     count(*) AS turn_count,
+                     (sum({TOKLEN}))::BIGINT AS token_len_sum,
+                     (min({TOKLEN}))::BIGINT AS token_len_min,
+                     (max({TOKLEN}))::BIGINT AS token_len_max,
+                     (sum({TOKLEN}))::DOUBLE / count(*) AS token_len_mean,
+                     (sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END))::DOUBLE / count(*) AS tool_call_rate
+              FROM {T} GROUP BY 1, 2
+            ),
+            span AS (SELECT conv_id, min(window_start) w0, max(window_start) w1 FROM t GROUP BY 1),
+            grid AS (SELECT conv_id, unnest(generate_series(w0, w1, INTERVAL 1 HOUR)) AS window_start FROM span)
+            SELECT g.conv_id, g.window_start,
+                   coalesce(t.turn_count, 0)                   AS turn_count,
+                   coalesce(t.token_len_sum, 0)                AS token_len_sum,
+                   round(t.token_len_min, 6)                   AS token_len_min,
+                   round(t.token_len_max, 6)                   AS token_len_max,
+                   round(coalesce(t.token_len_mean,
+                         last_value(t.token_len_mean IGNORE NULLS) OVER w_prev), 6) AS token_len_mean,
+                   round(coalesce(t.tool_call_rate,
+                         last_value(t.tool_call_rate IGNORE NULLS) OVER w_prev), 6) AS tool_call_rate,
+                   CASE WHEN t.turn_count IS NOT NULL THEN 'observed' ELSE 'ffill' END AS fill_method
+            FROM grid g LEFT JOIN t USING (conv_id, window_start)
+            WINDOW w_prev AS (PARTITION BY g.conv_id ORDER BY g.window_start
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        """,
+        "transcripts_sessions_30m": f"""
+            WITH o AS (
+              SELECT conv_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                               > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+              FROM {T}
+            ),
+            s AS (
+              SELECT conv_id, ts,
+                     (sum(new_session) OVER (PARTITION BY conv_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+              FROM o
+            )
+            SELECT conv_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_rows, round(epoch(max(ts) - min(ts)), 6) AS duration_sec
+            FROM s GROUP BY 1, 2
+        """,
+        "transcripts_toolcall_last_user": f"""
+            WITH k AS (
+              SELECT conv_id, turn_idx, role, tool, ts,
+                     CASE WHEN tool <> '' THEN 'tool_call' ELSE role END AS kind
+              FROM {T}
+            )
+            SELECT c.conv_id, c.turn_idx, c.role, c.tool, c.ts, c.kind,
+                   u.ts AS ts_asof, u.turn_idx AS turn_idx_asof
+            FROM (SELECT * FROM k WHERE kind = 'tool_call') c
+            ASOF LEFT JOIN (SELECT * FROM k WHERE kind = 'user') u
+              ON c.conv_id = u.conv_id AND c.ts >= u.ts
+        """,
+        "transcripts_order_fingerprint": f"""
+            SELECT conv_id,
+                   md5(string_agg(text, chr(31) ORDER BY turn_idx, ts)) AS fingerprint,
+                   count(*) AS n_rows
+            FROM {T} GROUP BY 1
         """,
         "emb_neardup_04": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

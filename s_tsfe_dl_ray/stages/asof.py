@@ -32,31 +32,42 @@ def asof_join_self(
     Self-join form (both sides come from ``ds``) — the common transcript
     question "for each tool call, what was the last user turn".  Rows
     with no earlier match keep NULLs.
+
+    Execution shape: ONE coarse ``_pkey`` hash shuffle co-locates each
+    key's rows, then a single vectorized ``pd.merge_asof(..., by=key)``
+    per PARTITION handles every key in that partition at once — never one
+    group-UDF call per key (the 5-20×-overhead pattern grouped.py bans).
     """
     lcol, lval = left_filter
     rcol, rval = right_filter
 
-    class _AsofGroup:
-        def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-            order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
-            left = g[g[lcol] == lval].sort_values(order, kind="mergesort")
-            right = g[g[rcol] == rval].sort_values(order, kind="mergesort")
-            right_sel = right[[ts_col] + right_value_cols].rename(
-                columns={c: f"{c}{suffix}" for c in [ts_col] + right_value_cols}
-            )
-            out = pd.merge_asof(
-                left,
-                right_sel,
-                left_on=ts_col,
-                right_on=f"{ts_col}{suffix}",
-                direction="backward",
-                allow_exact_matches=True,
-            )
-            return out
+    from .rollup import _stable_pkey
 
-    inst = _AsofGroup()
+    def add_pkey(t):
+        import pyarrow as _pa
 
-    def asof_group(g):
-        return inst(g)
+        return t.append_column("_pkey", _stable_pkey(t[key], 64))
 
-    return ds.groupby([key]).map_groups(asof_group, batch_format="pandas")
+    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+
+    def asof_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_pkey"])
+        # merge_asof(by=key) needs both sides sorted by the ON column only;
+        # the tiebreak makes the within-ts order deterministic.
+        left = g[g[lcol] == lval].sort_values(order, kind="mergesort")
+        right = g[g[rcol] == rval].sort_values(order, kind="mergesort")
+        right_sel = right[[key, ts_col] + right_value_cols].rename(
+            columns={c: f"{c}{suffix}" for c in [ts_col] + right_value_cols}
+        )
+        return pd.merge_asof(
+            left,
+            right_sel,
+            left_on=ts_col,
+            right_on=f"{ts_col}{suffix}",
+            by=key,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(asof_partition, batch_format="pandas")

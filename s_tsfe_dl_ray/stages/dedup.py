@@ -273,11 +273,12 @@ def minhash_lsh_candidates(
 class JaccardVerifier:
     """Verify candidate pairs by exact shingle-set Jaccard.
 
-    The shingle sets are rebuilt from a *broadcast* id→text lookup
-    (``ray.put`` once, read per actor in ``__init__`` — the small-side
-    broadcast pattern, SURVEY.md §2.4).  At 100 TB the lookup would be a
-    semi-join re-read of only candidate ids (candidates ≪ corpus); the
-    broadcast keeps the same stage signature.
+    The shingle sets are rebuilt from a *broadcast* id→text lookup of the
+    CANDIDATE ids only (``ray.put`` once, read per actor in ``__init__`` —
+    the small-side broadcast pattern, SURVEY.md §2.4).  The lookup is
+    produced by a distributed semi-join: the corpus is streamed through a
+    vectorized id-set filter and only matching (id, text) rows ever reach
+    the driver — candidates ≪ corpus, bounded by the LSH collision rate.
     """
 
     def __init__(self, texts_ref, shingle_n: int = 3):
@@ -315,11 +316,28 @@ def minhash_dedup_pairs(
     cands = minhash_lsh_candidates(
         ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
         bands=bands, seed=seed, shingle_n=shingle_n,
+    ).materialize()  # used twice: id set + verify input (small by design)
+    # Semi-join re-read: only texts whose id appears in a candidate pair
+    # cross to the driver.  The corpus itself is never materialized — it
+    # streams through a vectorized isin() filter.
+    ids = cands.select_columns(["id_a", "id_b"]).to_pandas()
+    need = pa.array(pd.unique(pd.concat([ids["id_a"], ids["id_b"]], ignore_index=True)))
+    need_ref = ray.put(need)
+
+    class _IdFilter:
+        def __init__(self, need_ref):
+            self.need = ray.get(need_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.filter(pa.compute.is_in(t[id_col], value_set=self.need))
+
+    texts_small = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(_IdFilter, fn_constructor_kwargs={"need_ref": need_ref},
+                     batch_format="pyarrow", concurrency=(1, 8))
+        .to_pandas()
     )
-    # broadcast id→text once (ray.put); at 100 TB this becomes a semi-join
-    # re-read of candidate ids only — see JaccardVerifier docstring.
-    tdf = ds.select_columns([id_col, text_col]).to_pandas()
-    ref = ray.put(dict(zip(tdf[id_col], tdf[text_col])))
+    ref = ray.put(dict(zip(texts_small[id_col], texts_small[text_col])))
     verified = cands.map_batches(
         JaccardVerifier, fn_constructor_kwargs={"texts_ref": ref, "shingle_n": shingle_n},
         batch_format="pandas", concurrency=(1, 16),
@@ -427,8 +445,9 @@ def ngram_jaccard_pairs(
     Dataflow: explode distinct grams per doc (vectorized hash) →
     inverted-index shuffle on hash(gram) → per-partition pair counting
     (intersection sizes) → merge counts per pair → jaccard =
-    inter / (|A| + |B| − inter) with |·| broadcast (per-doc distinct-gram
-    counts — small; at 100 TB this becomes a semi-join on pair ids).
+    inter / (|A| + |B| − inter).  The |·| sizes are semi-joined to pair
+    ids (corpus streams through an isin() filter; only pair ids' sizes
+    are computed and broadcast — never the corpus-wide size table).
 
     Hot grams (stopword-only n-grams) make their bucket quadratic; real
     deployments drop grams with document frequency above a cap before the
@@ -455,16 +474,6 @@ def ngram_jaccard_pairs(
 
     grams_ds = ds.map_batches(explode, batch_format="pandas")
 
-    # per-doc distinct-gram sizes (small side → broadcast)
-    def doc_sizes(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            id_col: b[id_col],
-            "sz": [len(set(word_shingles(t, n, strict=True))) for t in b["text"]],
-        })
-
-    sizes = ds.map_batches(doc_sizes, batch_format="pandas").to_pandas()
-    sizes_ref = ray.put(dict(zip(sizes[id_col], sizes["sz"])))
-
     def add_pkey(t: pa.Table) -> pa.Table:
         return t.append_column("_pkey", _stable_pkey(t["gram"], num_partitions))
 
@@ -488,7 +497,37 @@ def ngram_jaccard_pairs(
     partial_counts = tagged.groupby("_pkey").map_groups(count_pairs, batch_format="pandas")
     merged = _grouped_min(
         partial_counts, group_cols=["id_a", "id_b"], agg_cols=[("inter", "sum")], pkey_col="id_a"
-    )
+    ).materialize()  # used twice: pair-id set + scoring input (small)
+
+    # per-doc distinct-gram sizes, SEMI-JOINED to pair ids: the corpus-wide
+    # (id, sz) table is never driver-materialized — it streams through a
+    # vectorized isin() filter and only pair ids' sizes are broadcast.
+    pair_ids = merged.select_columns(["id_a", "id_b"]).to_pandas()
+    need = pa.array(pd.unique(pd.concat([pair_ids["id_a"], pair_ids["id_b"]],
+                                        ignore_index=True)))
+    need_ref = ray.put(need)
+
+    class _SizeFilter:
+        def __init__(self, need_ref):
+            import ray as _ray
+
+            self.need = _ray.get(need_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            m = pa.compute.is_in(pa.array(b[id_col]), value_set=self.need).to_numpy(
+                zero_copy_only=False
+            )
+            sub = b[m]
+            return pd.DataFrame({
+                id_col: sub[id_col],
+                "sz": [len(set(word_shingles(t, n, strict=True))) for t in sub["text"]],
+            })
+
+    sizes = ds.map_batches(
+        _SizeFilter, fn_constructor_kwargs={"need_ref": need_ref},
+        batch_format="pandas", concurrency=(1, 8),
+    ).to_pandas()
+    sizes_ref = ray.put(dict(zip(sizes[id_col], sizes["sz"])))
 
     class _Jaccard:
         def __init__(self, sizes_ref):

@@ -51,16 +51,18 @@ def order_fingerprint(
     **per-turn text equality under stable turn ordering** invariant
     (BASELINE.json input_hint).
 
-    Within each key, rows are sorted by ``order_by`` and the stable
-    64-bit hashes of ``col`` are folded with a positional polynomial mod
-    2^61−1.  Two runs at ANY parallelism / blocking produce identical
+    Within each key, rows are sorted by ``order_by`` and the fingerprint
+    is the md5 hex digest of the ``chr(31)``-joined ``col`` values in that
+    order.  Two runs at ANY parallelism / blocking produce identical
     fingerprints iff every row's content and its order agree — so this
     op is the cheap cross-cluster-size equality check (fingerprints are
     one row per key; comparing them never moves the text itself,
-    SURVEY.md §7.4 "wide text rows").
+    SURVEY.md §7.4 "wide text rows") — and it is SQL-checkable:
+    ``md5(string_agg(col, chr(31) ORDER BY ...))``.
     """
+    import hashlib
+
     import numpy as np
-    import polars as pl
     import pyarrow as pa
 
     from ..stages.rollup import _stable_pkey
@@ -68,22 +70,19 @@ def order_fingerprint(
     def add_pkey(t: pa.Table) -> pa.Table:
         return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
 
-    P = (1 << 61) - 1
-    BASE = 1_000_003
+    SEP = "\x1f"
 
     def fingerprint_partition(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key] + order_by, kind="mergesort")
-        hs = pl.Series(df[col].astype(str).to_numpy()).hash(seed=0).to_numpy() % P
+        texts = df[col].astype(str).to_numpy()
         keys_all = df[key].to_numpy()
         change = np.flatnonzero(keys_all[1:] != keys_all[:-1]) + 1
         bounds = np.concatenate([[0], change, [len(df)]])
         out_k, out_fp, out_n = [], [], []
         for lo, hi in zip(bounds[:-1], bounds[1:]):
-            acc = 0
-            for h in hs[lo:hi].tolist():
-                acc = (acc * BASE + int(h)) % P
+            blob = SEP.join(texts[lo:hi])  # join + md5 both run in C
             out_k.append(keys_all[lo])
-            out_fp.append(acc)
+            out_fp.append(hashlib.md5(blob.encode()).hexdigest())
             out_n.append(int(hi - lo))
         return pd.DataFrame({key: out_k, "fingerprint": out_fp, "n_rows": out_n})
 

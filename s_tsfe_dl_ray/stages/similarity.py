@@ -34,6 +34,22 @@ def _stack_embeddings(batch: pd.DataFrame, col: str) -> np.ndarray:
     return np.stack(batch[col].to_numpy()).astype(np.float64)
 
 
+def _partial_topk(row: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k values INCLUDING everything tied with the k-th.
+
+    Plain ``argpartition(...)[:k]`` keeps an arbitrary subset of the
+    candidates tied at the k-boundary, which can discard a tied neighbor
+    with a smaller id inside a batch before the final merge applies the
+    documented smaller-id tie rule.  Keeping the whole tie class makes the
+    partial top-k merge-safe (the final sort still emits exactly k rows).
+    """
+    if k >= len(row):
+        return np.arange(len(row))
+    part = np.argpartition(-row, k - 1)[:k]
+    kth = row[part].min()
+    return np.flatnonzero(row >= kth)
+
+
 class _KnnScorer:
     """Actor: holds the normalized query matrix (fetched once from the
     object store in ``__init__``); emits per-batch partial top-k rows."""
@@ -55,8 +71,7 @@ class _KnnScorer:
         k = min(self.k + 1, cos.shape[1])  # +1 so self can be dropped later
         for qi, qid in enumerate(self.qids):
             row = cos[qi]
-            # partial top-k within this batch (argpartition = O(B))
-            idx = np.argpartition(-row, k - 1)[:k] if k < len(row) else np.arange(len(row))
+            idx = _partial_topk(row, k)
             out_q.extend([qid] * len(idx))
             out_n.extend(ids[idx])
             out_c.extend(row[idx])
@@ -161,7 +176,7 @@ class _IvfScorer:
             row = self.qmat[qi] @ mat[mask].T
             sub_ids = ids[mask]
             k = min(self.k + 1, len(row))
-            idx = np.argpartition(-row, k - 1)[:k] if k < len(row) else np.arange(len(row))
+            idx = _partial_topk(row, k)
             out_q.extend([qid] * len(idx))
             out_n.extend(sub_ids[idx])
             out_c.extend(row[idx])
@@ -181,16 +196,29 @@ def knn_ivf(
 ) -> Dataset:
     """Approximate cosine top-k via IVF cluster probing.
 
-    Centroids are fit driver-side on a deterministic sample (here: the full
-    small table; at scale, ``ds.random_sample(frac, seed)``), broadcast
-    once.  Recall vs brute force is tested, not assumed.
+    Centroids are fit driver-side on a bounded ``random_sample`` of the
+    corpus (never the full table — the sample size is ~50 rows per
+    cluster regardless of corpus size); cluster assignment happens
+    distributed inside each scoring actor.  Recall vs brute force is
+    tested, not assumed.
     """
     import ray
 
-    full = ds.select_columns([id_col, emb_col]).to_pandas().sort_values(id_col)
-    mat = _l2_normalize(_stack_embeddings(full, emb_col))
+    sel = ds.select_columns([id_col, emb_col])
+    # bounded, seeded sample for k-means; corpus count via parquet metadata
+    target = max(50 * n_clusters, 4 * n_clusters)
+    cnt = sel.count()
+    frac = min(1.0, target / max(cnt, 1))
+    sample = (
+        sel.random_sample(frac, seed=42).to_pandas()
+        if frac < 1.0 else sel.to_pandas()
+    ).sort_values(id_col)
+    if len(sample) < n_clusters:  # random_sample undershoot on tiny inputs
+        sample = sel.to_pandas().sort_values(id_col).head(max(n_clusters, target))
+    mat = _l2_normalize(_stack_embeddings(sample, emb_col))
     cent = _kmeans_fit(mat, n_clusters)
-    q = full.head(n_queries)
+    # queries: n_queries smallest ids — pulled via limit(), not a full scan
+    q = sel.limit(n_queries).to_pandas().sort_values(id_col)
     state_ref = ray.put((q[id_col].to_numpy(), _stack_embeddings(q, emb_col), cent))
     partials = ds.map_batches(
         _IvfScorer,
@@ -243,23 +271,31 @@ def embedding_neardup_pairs(
     emb_col: str = "embedding",
     threshold: float = 0.9,
     concurrency: int | tuple[int, int] = (1, 16),
+    chunk_rows: int = 65_536,
 ) -> Dataset:
-    """All pairs with cosine ≥ threshold (exact; right side broadcast).
+    """All pairs with cosine ≥ threshold (exact, block-nested-loop).
 
-    Each input batch is scored against the broadcast matrix, so the
-    quadratic work is distributed over batches.  For corpora where the
-    broadcast side exceeds worker memory, use the banded LSH route
-    (``stages.dedup``) — this operator is the exact oracle-checkable one.
+    The right side is broadcast ONE BOUNDED CHUNK at a time (streamed off
+    the dataset via ``iter_batches`` — the driver never holds more than a
+    chunk, and no actor ever holds the full matrix).  Each chunk pass
+    scores every input batch against that chunk; ``a < b`` keeps each
+    unordered pair exactly once because the chunks partition the corpus.
+    Quadratic compare work is inherent to the exact op (the sub-quadratic
+    scale route is the banded LSH in ``stages.dedup``); this layout makes
+    the MEMORY footprint scale-safe: O(batch × chunk) per actor.
     """
     import ray
 
-    full = ds.select_columns([id_col, emb_col]).to_pandas().sort_values(id_col)
-    ref = ray.put((full[id_col].to_numpy(), _stack_embeddings(full, emb_col)))
-    return ds.map_batches(
-        _NearDupScorer,
-        fn_constructor_kwargs={
-            "ref": ref, "threshold": threshold, "id_col": id_col, "emb_col": emb_col,
-        },
-        batch_format="pandas",
-        concurrency=concurrency,
-    )
+    sel = ds.select_columns([id_col, emb_col])
+    parts: list[Dataset] = []
+    for chunk in sel.iter_batches(batch_size=chunk_rows, batch_format="pandas"):
+        ref = ray.put((chunk[id_col].to_numpy(), _stack_embeddings(chunk, emb_col)))
+        parts.append(ds.map_batches(
+            _NearDupScorer,
+            fn_constructor_kwargs={
+                "ref": ref, "threshold": threshold, "id_col": id_col, "emb_col": emb_col,
+            },
+            batch_format="pandas",
+            concurrency=concurrency,
+        ))
+    return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
