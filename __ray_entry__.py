@@ -38,6 +38,27 @@ _LANGS = {  # keep in sync with s_tsfe_dl_ray.stages.text._LANG_MARKERS
 _STOP = "the|a|an|and|of|to|in|is|it|that"
 
 
+class _EnsembleMember:
+    """Deterministic demo scorer (one per ensemble member): the score
+    formula stands in for a trained model's forward pass; state (here just
+    the mode) is built once per actor."""
+
+    def __init__(self, mode: str):
+        self.mode = mode
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = b["value"].to_numpy(dtype="float64")
+        if self.mode == "double":
+            s = 2.0 * v
+        elif self.mode == "shift":
+            s = v + 10.0
+        else:
+            s = np.sqrt(np.abs(v))
+        return pd.DataFrame({"event_id": b["event_id"], "score": s})
+
+
 def _round_floats(ds):
     """Round all float64 columns to 6 decimals, half-away-from-zero
     (matches DuckDB round)."""
@@ -196,6 +217,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         ds = read_events(sf, columns=["event_id"])
         return hash_split(ds, id_col="event_id", test_fraction=0.2)
+
+    def q_events_stratified_split(sf):
+        from s_tsfe_dl_ray.stages.transform import stratified_hash_split
+
+        ds = read_events(sf, columns=["event_id", "event_type"])
+        return stratified_hash_split(
+            ds, id_col="event_id", strata_col="event_type", test_fraction=0.2
+        )
+
+    def q_events_ensemble_mean(sf):
+        """Ensemble execution (KimMinGu analog, models_keras.py:1169-1242):
+        three member scorers over ONE input via independent actor pools,
+        union, per-row soft-vote mean."""
+        from s_tsfe_dl_ray.pipelines.ensemble import ensemble_mean, ensemble_scores
+
+        ds = read_events(sf, columns=["event_id", "value"])
+        scored = ensemble_scores(ds, {
+            "double": (_EnsembleMember, {"mode": "double"}),
+            "shift": (_EnsembleMember, {"mode": "shift"}),
+            "root": (_EnsembleMember, {"mode": "root"}),
+        })
+        return _round_floats(ensemble_mean(scored, id_cols=["event_id"]))
 
     def q_events_asof_purchase(sf):
         from s_tsfe_dl_ray.stages.asof import asof_join_self
@@ -459,6 +502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_one_hot": q_events_one_hot,
         "events_segment_runs": q_events_segment_runs,
         "events_hash_split": q_events_hash_split,
+        "events_stratified_split": q_events_stratified_split,
+        "events_ensemble_mean": q_events_ensemble_mean,
         "events_asof_purchase": q_events_asof_purchase,
         "events_retention_1h": q_events_retention_1h,
         "orders_lineitem_join": q_orders_lineitem_join,
@@ -647,6 +692,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CASE WHEN substring(md5(event_id::VARCHAR), 1, 4) < '3333'
                         THEN 'test' ELSE 'train' END AS split
+            FROM events
+        """,
+        "events_stratified_split": """
+            SELECT event_id, event_type,
+                   CASE WHEN substring(md5(event_type || '|' || event_id::VARCHAR), 1, 4) < '3333'
+                        THEN 'test' ELSE 'train' END AS split
+            FROM events
+        """,
+        "events_ensemble_mean": """
+            SELECT event_id,
+                   round((2*value + (value + 10) + sqrt(abs(value))) / 3.0, 6) AS score_mean,
+                   3 AS n_members
             FROM events
         """,
         "events_asof_purchase": """

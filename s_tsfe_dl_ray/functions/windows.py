@@ -23,17 +23,31 @@ TIER_US: dict[str, int] = {
 TIER_ORDER = ("1m", "1h", "1d")
 
 
+def _floor_to(us: pa.ChunkedArray | pa.Array, size: int) -> pa.ChunkedArray:
+    """FLOOR (not truncate) ``us`` to a multiple of ``size``.
+
+    pyarrow integer divide truncates toward zero, so plain
+    ``(us/size)*size`` maps pre-epoch timestamps to the WRONG (later)
+    window — e.g. −30 s would land in window 0 instead of −60 s — and
+    diverges from DuckDB ``date_trunc`` (which floors).  Subtracting the
+    nonnegative Euclidean remainder ``((us % size) + size) % size``
+    floors for any sign.
+    """
+    # rem = us - trunc(us/size)*size, range (−size, size); normalize sign:
+    rem = pc.subtract(us, pc.multiply(pc.divide(us, size), size))
+    rem = pc.if_else(pc.less(rem, 0), pc.add(rem, size), rem)
+    return pc.subtract(us, rem)
+
+
 def window_start_us(ts: pa.ChunkedArray | pa.Array, tier: str) -> pa.ChunkedArray:
-    """floor(ts, tier) as int64 µs-since-epoch (vectorized, zero-copy cast)."""
-    size = TIER_US[tier]
-    us = pc.cast(ts, pa.int64())
-    return pc.multiply(pc.divide(us, size), size)  # integer division floors
+    """floor(ts, tier) as int64 µs-since-epoch (vectorized, zero-copy cast).
+    Floors correctly for pre-epoch (negative) timestamps."""
+    return _floor_to(pc.cast(ts, pa.int64()), TIER_US[tier])
 
 
 def rewindow_us(window_start: pa.ChunkedArray, tier: str) -> pa.ChunkedArray:
     """Re-assign an int64 window_start to a coarser tier (cascade step)."""
-    size = TIER_US[tier]
-    return pc.multiply(pc.divide(window_start, size), size)
+    return _floor_to(window_start, TIER_US[tier])
 
 
 def window_to_timestamp(window_start: pa.ChunkedArray) -> pa.ChunkedArray:

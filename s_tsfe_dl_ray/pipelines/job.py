@@ -26,6 +26,14 @@ Dataflow — ONE shuffle total:
       merge partials → cascade 1m→1h→1d → finalize means/rates →
       sort → write tier=*/bucket=K.parquet atomically → manifest record.
 
+With ``encode_series=True`` the job still makes ONE pass and ONE shuffle,
+but the exchange carries the narrow RAW rows (conv_id, ts, token_len,
+is_tool_call — never text) instead of partials: the series codec needs
+every (ts, value) pair of a conversation in one place, and the bucket
+group then writes the compressed series AND computes partials + tiers
+locally from the same rows.  (The partials-only exchange is kept for the
+default path, where it is strictly smaller.)
+
 Output rows are sorted (tier, conv_id, window_start) inside each bucket
 file and written with fixed parquet settings, so a resumed job's final
 tree is BYTE-identical to an uninterrupted run (tested).
@@ -41,7 +49,9 @@ late re-rollups stay per-bucket).
 
 from __future__ import annotations
 
+import hashlib
 import os
+import tempfile
 
 import numpy as np
 import pandas as pd
@@ -50,7 +60,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions.derive import derive_transcript_columns
-from ..functions.windows import TIER_ORDER
+from ..functions.windows import TIER_ORDER, window_start_us
 from ..sources.parquet import read_transcripts
 from ..state import manifest as mf
 from .transcript_rollup import TRANSCRIPT_SPEC
@@ -65,6 +75,23 @@ def _stable_bucket(conv_id: pa.ChunkedArray, n_buckets: int) -> pa.Array:
     arr = conv_id.combine_chunks() if isinstance(conv_id, pa.ChunkedArray) else conv_id
     h = pl.Series(arr).hash(seed=0).to_numpy()
     return pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+
+
+def _bucket_hash_fingerprint() -> str:
+    """Fingerprint of the bucket-hash IMPLEMENTATION (not of any data).
+
+    polars does not guarantee ``Series.hash`` stable across polars
+    versions; a silent change between run and resume would reassign
+    conversations to different buckets while completed-bucket manifests
+    are still trusted (dropping/double-counting rows with no error).
+    Hashing a fixed probe key set detects that: the fingerprint is
+    recorded in every manifest and resume refuses on mismatch.
+    """
+    import polars as pl
+
+    probe = ["", "conv-000000", "conv-999999", "s_tsfe_dl_ray/probe", "π-√2"]
+    h = pl.Series(probe).hash(seed=0).to_numpy()
+    return hashlib.sha256(h.tobytes()).hexdigest()[:16]
 
 
 class TranscriptRollupJob:
@@ -88,7 +115,7 @@ class TranscriptRollupJob:
         ``series/bucket=K.parquet``, and record the per-bucket encoder
         state hashes in the lineage manifest (BASELINE.json north_star:
         "lineage records (input fragment IDs, row counts, encoder state
-        hashes)")."""
+        hashes)").  Single pass, single shuffle (see module doc)."""
         if gapfill_mode not in (None, "ffill", "interp"):
             raise ValueError(f"bad gapfill_mode {gapfill_mode!r}")
         self.input_path = input_path
@@ -118,112 +145,84 @@ class TranscriptRollupJob:
             )
         return ds
 
-    def _write_series_buckets(self, ds) -> dict[int, dict]:
-        """Compress each conversation's (ts, token_len) series per bucket
-        and write ``series/bucket=K.parquet`` atomically.  Returns per-
-        bucket records (rows, conv count, combined encoder state hash)
-        for embedding in the main manifest.
+    def _encode_series_bucket(self, df: pd.DataFrame, bucket: int) -> dict:
+        """Compress one bucket's conversations' (ts, token_len) series and
+        write ``series/bucket=K.parquet`` atomically; returns the lineage
+        record (rows, conv count, combined encoder state hash).
 
-        Same partitioning as the tier write (bucket = stable hash of
-        conv_id), so a bucket's tiers, compressed series and manifest
-        always travel together.  Sort inside the bucket is (conv_id, ts)
-        — ts is unique per conversation in transcripts, so the encode
-        order (and therefore the byte output) is total and deterministic.
-        """
-        import hashlib
-        import tempfile
-
-        import numpy as np
-
-        from ..stages.rollup import _stable_pkey
+        Sort inside the bucket is (conv_id, ts) — ts is unique per
+        conversation in transcripts, so the encode order (and therefore
+        the byte output) is total and deterministic."""
         from ..state.deltadelta import DeltaDeltaCodec
         from ..state.gorilla import GorillaCodec
 
-        out_dir = self.out_dir
-        n_buckets = self.n_buckets
-
-        def tag(t: pa.Table) -> pa.Table:
-            t = t.select(["conv_id", "ts", "token_len"])
-            return t.append_column("_pkey", _stable_pkey(t["conv_id"], n_buckets))
-
-        def encode_bucket(df: pd.DataFrame) -> pd.DataFrame:
-            bucket = int(df["_pkey"].iloc[0])
-            df = df.sort_values(["conv_id", "ts"], kind="mergesort")
-            ts_all = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-            val_all = df["token_len"].astype("float64").to_numpy()
-            keys_all = df["conv_id"].to_numpy()
-            change = np.flatnonzero(keys_all[1:] != keys_all[:-1]) + 1
-            bounds = np.concatenate([[0], change, [len(df)]])
-            dod, gor = DeltaDeltaCodec(), GorillaCodec()
-            rows = {k: [] for k in ("conv_id", "n_rows", "ts_blob", "val_blob",
-                                    "ts_hash", "val_hash")}
-            state = hashlib.sha256()
-            for lo, hi in zip(bounds[:-1], bounds[1:]):
-                ts_blob = dod.encode(ts_all[lo:hi])
-                val_blob = gor.encode(val_all[lo:hi])
-                th = DeltaDeltaCodec.state_hash(ts_blob)
-                vh = GorillaCodec.state_hash(val_blob)
-                rows["conv_id"].append(keys_all[lo])
-                rows["n_rows"].append(int(hi - lo))
-                rows["ts_blob"].append(ts_blob)
-                rows["val_blob"].append(val_blob)
-                rows["ts_hash"].append(th)
-                rows["val_hash"].append(vh)
-                state.update(th.encode())
-                state.update(vh.encode())
-            table = pa.table({
-                "conv_id": pa.array(rows["conv_id"], pa.string()),
-                "n_rows": pa.array(rows["n_rows"], pa.int64()),
-                "ts_blob": pa.array(rows["ts_blob"], pa.binary()),
-                "val_blob": pa.array(rows["val_blob"], pa.binary()),
-                "ts_hash": pa.array(rows["ts_hash"], pa.string()),
-                "val_hash": pa.array(rows["val_hash"], pa.string()),
-            })
-            rel = os.path.join("series", mf.bucket_name(bucket) + ".parquet")
-            path = os.path.join(out_dir, rel)
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
-            os.close(fd)
-            pq.write_table(table, tmp, compression="zstd")
-            os.replace(tmp, path)
-            return pd.DataFrame({
-                "bucket": [bucket],
-                "series_rows": [int(df.shape[0])],
-                "n_convs": [len(rows["conv_id"])],
-                "encoder_state_hash": [state.hexdigest()[:16]],
-                "path": [rel],
-            })
-
-        tagged = ds.map_batches(tag, batch_format="pyarrow")
-        res = tagged.groupby("_pkey").map_groups(
-            encode_bucket, batch_format="pandas"
-        ).to_pandas()
+        df = df.sort_values(["conv_id", "ts"], kind="mergesort")
+        ts_all = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        val_all = df["token_len"].astype("float64").to_numpy()
+        keys_all = df["conv_id"].to_numpy()
+        change = np.flatnonzero(keys_all[1:] != keys_all[:-1]) + 1
+        bounds = np.concatenate([[0], change, [len(df)]])
+        dod, gor = DeltaDeltaCodec(), GorillaCodec()
+        rows = {k: [] for k in ("conv_id", "n_rows", "ts_blob", "val_blob",
+                                "ts_hash", "val_hash")}
+        state = hashlib.sha256()
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            ts_blob = dod.encode(ts_all[lo:hi])
+            val_blob = gor.encode(val_all[lo:hi])
+            th = DeltaDeltaCodec.state_hash(ts_blob)
+            vh = GorillaCodec.state_hash(val_blob)
+            rows["conv_id"].append(keys_all[lo])
+            rows["n_rows"].append(int(hi - lo))
+            rows["ts_blob"].append(ts_blob)
+            rows["val_blob"].append(val_blob)
+            rows["ts_hash"].append(th)
+            rows["val_hash"].append(vh)
+            state.update(th.encode())
+            state.update(vh.encode())
+        table = pa.table({
+            "conv_id": pa.array(rows["conv_id"], pa.string()),
+            "n_rows": pa.array(rows["n_rows"], pa.int64()),
+            "ts_blob": pa.array(rows["ts_blob"], pa.binary()),
+            "val_blob": pa.array(rows["val_blob"], pa.binary()),
+            "ts_hash": pa.array(rows["ts_hash"], pa.string()),
+            "val_hash": pa.array(rows["val_hash"], pa.string()),
+        })
+        rel = os.path.join("series", mf.bucket_name(bucket) + ".parquet")
+        path = os.path.join(self.out_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        os.close(fd)
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, path)
         return {
-            int(r.bucket): {
-                "rows": int(r.series_rows),
-                "n_convs": int(r.n_convs),
-                "encoder_state_hash": r.encoder_state_hash,
-                "path": r.path,
-            }
-            for r in res.itertuples()
+            "rows": int(df.shape[0]),
+            "n_convs": len(rows["conv_id"]),
+            "encoder_state_hash": state.hexdigest()[:16],
+            "path": rel,
         }
 
-    def _write_from_partials(self, ds, series_info: dict[int, dict] | None = None):
-        """THE shuffle + bucket-local compute/write (see module doc)."""
-        import tempfile
-
-        from ..stages.rollup import (
-            _PartialBatch, _merge_partials_table, cascade_table, finalize_table,
-        )
+    def _write_bucket_tiers(
+        self, bucket: int, partial_t: pa.Table, frag_hash: str,
+        series_rec: dict | None = None,
+    ) -> int:
+        """Bucket-local cascade → finalize → (gap-fill) → atomic tier
+        writes → manifest.  Returns total rows written.  Exact because
+        every conversation is complete within its bucket."""
+        from ..stages.rollup import cascade_table, finalize_table
 
         spec = TRANSCRIPT_SPEC
-        out_dir, tiers = self.out_dir, self.tiers
-        gapfill_mode = self.gapfill_mode
-        frag_hash = mf.fragments_hash(self._input_fragments())
+        record = {
+            "bucket": bucket,
+            "engine_version": _ENGINE_VERSION,
+            "input_fragments_hash": frag_hash,
+            "bucket_hash_fingerprint": _bucket_hash_fingerprint(),
+            "n_convs": int(pc.count_distinct(partial_t["conv_id"]).as_py()),
+            "tiers": {},
+        }
+        if series_rec is not None:
+            record["series"] = series_rec
 
         def bucket_gapfill(pub: pa.Table, tier: str) -> pa.Table:
-            """Bucket-local gap-fill: per-conv grid completion, no extra
-            shuffle (every conversation is complete within its bucket)."""
             from ..functions.windows import TIER_US
             from ..stages.gapfill import _GapFillGroup
 
@@ -231,62 +230,95 @@ class TranscriptRollupJob:
                 ["conv_id"], "window_start", TIER_US[tier],
                 ["turn_count"], ["token_len_sum"],
                 ["token_len_min", "token_len_max"],
-                ["token_len_mean", "tool_call_rate"], gapfill_mode,
+                ["token_len_mean", "tool_call_rate"], self.gapfill_mode,
             )
             df = pub.to_pandas()
             out = df.groupby("conv_id", group_keys=False, sort=False).apply(inst)
             return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
+        total_rows = 0
+        for i, tier in enumerate(self.tiers):
+            if i > 0:
+                partial_t = cascade_table(spec, partial_t, tier)
+            pub = finalize_table(spec, partial_t)
+            if self.gapfill_mode:
+                pub = bucket_gapfill(pub, tier)
+            pub = pub.sort_by([("conv_id", "ascending"), ("window_start", "ascending")])
+            rel = os.path.join(f"tier={tier}", mf.bucket_name(bucket) + ".parquet")
+            path = os.path.join(self.out_dir, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+            os.close(fd)
+            pq.write_table(pub, tmp, compression="zstd", row_group_size=1 << 20)
+            os.replace(tmp, path)
+            record["tiers"][tier] = {
+                "rows": int(pub.num_rows),
+                "path": rel,
+                "sha256": mf.file_sha256(path),
+            }
+            total_rows += pub.num_rows
+        mf.write_manifest(self.out_dir, bucket, record)
+        return total_rows
+
+    def _write_from_partials(self, ds):
+        """Default path: THE shuffle carries combiner partials only."""
+        from ..stages.rollup import _PartialBatch, _merge_partials_table
+
+        spec = TRANSCRIPT_SPEC
+        frag_hash = mf.fragments_hash(self._input_fragments())
+        job = self
+
         partials = ds.map_batches(
-            _PartialBatch(spec, tiers[0], num_partitions=self.n_buckets),
+            _PartialBatch(spec, self.tiers[0], num_partitions=self.n_buckets),
             batch_format="pyarrow",
             batch_size=64 * 1024,
             zero_copy_batch=True,
         )
 
-        series_info = series_info or {}
-
         def write_bucket(g: pa.Table) -> pa.Table:
             bucket = int(g["_pkey"][0].as_py())
             partial_t = _merge_partials_table(spec, g)
-            record = {
-                "bucket": bucket,
-                "engine_version": _ENGINE_VERSION,
-                "input_fragments_hash": frag_hash,
-                "n_convs": int(pc.count_distinct(partial_t["conv_id"]).as_py()),
-                "tiers": {},
-            }
-            if bucket in series_info:
-                record["series"] = series_info[bucket]
-            total_rows = 0
-            for i, tier in enumerate(tiers):
-                if i > 0:
-                    partial_t = cascade_table(spec, partial_t, tier)
-                pub = finalize_table(spec, partial_t)
-                if gapfill_mode:
-                    pub = bucket_gapfill(pub, tier)
-                pub = pub.sort_by([("conv_id", "ascending"), ("window_start", "ascending")])
-                rel = os.path.join(f"tier={tier}", mf.bucket_name(bucket) + ".parquet")
-                path = os.path.join(out_dir, rel)
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
-                os.close(fd)
-                pq.write_table(pub, tmp, compression="zstd", row_group_size=1 << 20)
-                os.replace(tmp, path)
-                record["tiers"][tier] = {
-                    "rows": int(pub.num_rows),
-                    "path": rel,
-                    "sha256": mf.file_sha256(path),
-                }
-                total_rows += pub.num_rows
-            mf.write_manifest(out_dir, bucket, record)
+            n_convs = int(pc.count_distinct(partial_t["conv_id"]).as_py())
+            total_rows = job._write_bucket_tiers(bucket, partial_t, frag_hash)
             return pa.table({
                 "bucket": pa.array([bucket], pa.int64()),
                 "rows": pa.array([total_rows], pa.int64()),
-                "n_convs": pa.array([record["n_convs"]], pa.int64()),
+                "n_convs": pa.array([n_convs], pa.int64()),
             })
 
         return partials.groupby("_pkey").map_groups(write_bucket, batch_format="pyarrow")
+
+    def _write_combined(self, ds):
+        """encode_series path: ONE shuffle of narrow raw rows per bucket;
+        the bucket group writes compressed series AND computes partials +
+        tiers locally from the same rows (single input pass)."""
+        from ..stages.rollup import _merge_partials_table, _pa_partial
+
+        spec = TRANSCRIPT_SPEC
+        frag_hash = mf.fragments_hash(self._input_fragments())
+        first_tier = self.tiers[0]
+        job = self
+
+        def write_bucket_all(g: pa.Table) -> pa.Table:
+            bucket = int(g["bucket"][0].as_py())
+            series_rec = job._encode_series_bucket(
+                g.select(["conv_id", "ts", "token_len"]).to_pandas(), bucket
+            )
+            ws = window_start_us(g[spec.ts_col], first_tier)
+            partial_t = _merge_partials_table(
+                spec, _pa_partial(spec, g.append_column("window_start", ws))
+            )
+            n_convs = int(pc.count_distinct(partial_t["conv_id"]).as_py())
+            total_rows = job._write_bucket_tiers(
+                bucket, partial_t, frag_hash, series_rec=series_rec
+            )
+            return pa.table({
+                "bucket": pa.array([bucket], pa.int64()),
+                "rows": pa.array([total_rows], pa.int64()),
+                "n_convs": pa.array([n_convs], pa.int64()),
+            })
+
+        return ds.groupby("bucket").map_groups(write_bucket_all, batch_format="pyarrow")
 
     def _input_fragments(self) -> list[str]:
         p = self.input_path
@@ -306,15 +338,22 @@ class TranscriptRollupJob:
                 f"manifest buckets {stale} were built from different input "
                 f"fragments; refusing to mix lineages (clear {self.out_dir})"
             )
+        fp = _bucket_hash_fingerprint()
+        drift = [b for b, rec in done.items()
+                 if rec.get("bucket_hash_fingerprint") != fp]
+        if drift:
+            raise RuntimeError(
+                f"manifest buckets {drift} were written with a different "
+                f"bucket-hash implementation (polars upgrade?); resuming "
+                f"would reassign conversations across buckets — recompute "
+                f"from scratch (clear {self.out_dir})"
+            )
         todo = [b for b in range(self.n_buckets) if b not in done]
         if not todo:
             return {"completed": self.n_buckets, "newly_written": 0, "skipped": len(done)}
         ds = self._ingest(set(done))
-        series_info = (
-            self._write_series_buckets(self._ingest(set(done)))
-            if self.encode_series else None
-        )
-        result = self._write_from_partials(ds, series_info).to_pandas()
+        writer = self._write_combined if self.encode_series else self._write_from_partials
+        result = writer(ds).to_pandas()
         # buckets whose hash range simply contained no conversations: the
         # pass covered all remaining input, so they are durably complete
         for b in todo:
@@ -323,6 +362,7 @@ class TranscriptRollupJob:
                     "bucket": b,
                     "engine_version": _ENGINE_VERSION,
                     "input_fragments_hash": frag_hash,
+                    "bucket_hash_fingerprint": fp,
                     "n_convs": 0,
                     "tiers": {t: {"rows": 0} for t in self.tiers},
                 })

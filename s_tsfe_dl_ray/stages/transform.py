@@ -142,3 +142,32 @@ def hash_split(
         return b
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def stratified_hash_split(
+    ds: Dataset,
+    *,
+    id_col: str,
+    strata_col: str,
+    test_fraction: float = 0.2,
+    out_col: str = "split",
+) -> Dataset:
+    """Deterministic STRATIFIED train/test assignment (reference analog:
+    ``train_test_split(..., stratify=y)``, test_keras.py:50-53).
+
+    The hash is salted with the stratum (``md5(stratum || '|' || id)``),
+    so the test indicator is independent across strata — each class hits
+    the test fraction in expectation regardless of any correlation
+    between id hashes and class.  Stateless per row → embarrassingly
+    parallel at any scale, stable across cluster sizes, SQL-mirrorable.
+    """
+    cut = int(test_fraction * 65536)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        salted = b[strata_col].astype(str) + "|" + b[id_col].astype(str)
+        h = salted.map(lambda s: int(hashlib.md5(s.encode()).hexdigest()[:4], 16))
+        b = b.copy()
+        b[out_col] = np.where(h < cut, "test", "train")
+        return b
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -121,3 +121,52 @@ def test_state_hash_stable():
     b2 = c.encode(np.array([1.0, 2.0, 3.0]))
     assert GorillaCodec.state_hash(b1) == GorillaCodec.state_hash(b2)
     assert GorillaCodec.state_hash(b1) != GorillaCodec.state_hash(c.encode(np.array([1.0])))
+
+
+def test_salted_encode_decodes_identical_to_unsalted():
+    """Hot-key salting (salt_every_us): a single conversation far larger
+    than the per-chunk budget is encoded as (key, time-chunk) sub-streams
+    spread across partitions, and decoding the chunks in (key, chunk_salt)
+    order reproduces the exact unsalted series."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from s_tsfe_dl_ray.state.encode import decode_series, encode_series
+
+    n = 20_000  # one hot conv, ~100x a 200-row chunk budget
+    ts = pd.to_datetime(1_700_000_000_000_000 + np.cumsum(
+        np.random.default_rng(7).integers(1, 5_000_000, n)
+    ), unit="us")
+    df = pd.DataFrame({
+        "conv_id": "conv-hot", "ts": ts,
+        "value": np.random.default_rng(8).normal(100, 25, n).round(2),
+    })
+    ds = rd.from_pandas(df).repartition(8)
+
+    salt_span = int(5_000_000) * 200  # ~200 rows per time chunk
+    enc_salted = encode_series(
+        ds, key="conv_id", ts_col="ts", value_col="value",
+        salt_every_us=salt_span,
+    ).to_pandas()
+    assert len(enc_salted) > 50, "salting produced too few chunks"
+    assert enc_salted["n_rows"].max() < 1000, "a chunk exceeded the budget"
+
+    enc_plain = encode_series(
+        ds, key="conv_id", ts_col="ts", value_col="value"
+    ).to_pandas()
+    assert len(enc_plain) == 1
+
+    def decode_df(pdf):
+        order_cols = [c for c in ("conv_id", "chunk_salt") if c in pdf.columns]
+        pdf = pdf.sort_values(order_cols).reset_index(drop=True)
+        out = decode_series(
+            rd.from_pandas(pdf).repartition(1),
+            key="conv_id", ts_col="ts", value_col="value",
+        ).to_pandas()
+        return out
+
+    a = decode_df(enc_salted)
+    b = decode_df(enc_plain)
+    assert (a["ts"].to_numpy() == b["ts"].to_numpy()).all()
+    assert (a["value"].to_numpy() == b["value"].to_numpy()).all()

@@ -225,3 +225,42 @@ def test_job_encode_series_manifest_hashes(small_transcripts, tmp_path):
         ts, v = decoded[conv]
         assert (g.ts.astype("datetime64[us]").astype("int64").to_numpy() == ts).all()
         assert np.array_equal(g.token_len.astype("float64").to_numpy(), v)
+
+
+def test_encode_series_tiers_match_plain_job(small_transcripts, tmp_path):
+    """The single-pass encode_series dataflow (raw-row shuffle, bucket
+    group writes series + tiers together) produces BYTE-identical tier
+    files to the default partials-only dataflow."""
+    from s_tsfe_dl_ray.pipelines.job import TranscriptRollupJob
+
+    a, b = str(tmp_path / "plain"), str(tmp_path / "series")
+    TranscriptRollupJob(small_transcripts, a, n_buckets=8).run()
+    TranscriptRollupJob(small_transcripts, b, n_buckets=8, encode_series=True).run()
+    for tier in ("1m", "1h", "1d"):
+        fa = sorted(os.listdir(os.path.join(a, f"tier={tier}")))
+        fb = sorted(os.listdir(os.path.join(b, f"tier={tier}")))
+        assert fa == fb
+        for name in fa:
+            pa_bytes = open(os.path.join(a, f"tier={tier}", name), "rb").read()
+            pb_bytes = open(os.path.join(b, f"tier={tier}", name), "rb").read()
+            assert pa_bytes == pb_bytes, f"tier={tier}/{name} differs"
+
+
+def test_bucket_hash_fingerprint_drift_refused(small_transcripts, tmp_path):
+    """A manifest written under a different bucket-hash implementation
+    (e.g. a polars upgrade changing Series.hash) must refuse to resume."""
+    import json
+
+    import pytest
+
+    from s_tsfe_dl_ray.pipelines.job import TranscriptRollupJob
+
+    out = str(tmp_path / "drift")
+    TranscriptRollupJob(small_transcripts, out, n_buckets=4).run()
+    # tamper one manifest's fingerprint to simulate a hash-impl change
+    p = mf.manifest_path(out, 0)
+    rec = json.load(open(p))
+    rec["bucket_hash_fingerprint"] = "deadbeefdeadbeef"
+    mf.write_manifest(out, 0, rec)
+    with pytest.raises(RuntimeError, match="bucket-hash"):
+        TranscriptRollupJob(small_transcripts, out, n_buckets=4).run()

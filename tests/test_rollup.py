@@ -81,3 +81,28 @@ def test_rollup_smoke_tiny():
     out = to_pdf(events_tier(SF_SMOKE, "1d"))
     assert len(out) > 0
     assert out["n_events"].sum() == 1000  # all events accounted for exactly
+
+
+def test_window_floor_pre_epoch(ddb):
+    """pyarrow integer divide truncates toward zero; the window kernel
+    must FLOOR so pre-1970 timestamps agree with DuckDB date_trunc."""
+    import pyarrow as pa
+
+    from s_tsfe_dl_ray.functions.windows import rewindow_us, window_start_us
+
+    us_vals = [-30_000_000, -60_000_000, -90_000_001, -1, 0, 59_999_999,
+               -86_400_000_000 - 1]
+    ts = pa.array(us_vals, pa.timestamp("us"))
+    got = window_start_us(ts, "1m").to_pylist()
+    exp = [
+        int(r[0].timestamp() * 1_000_000)
+        for r in ddb.sql(
+            "SELECT date_trunc('minute', make_timestamp(x)) FROM "
+            f"(SELECT unnest({us_vals}) AS x)"
+        ).fetchall()
+    ]
+    assert got == exp
+    # cascade re-window floors too
+    assert rewindow_us(pa.array([-60_000_000], pa.int64()), "1h").to_pylist() == [
+        -3_600_000_000
+    ]
