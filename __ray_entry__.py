@@ -316,6 +316,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             },
         ))
 
+    def q_events_value_variance(sf):
+        """Custom aggregate UDF injection (SURVEY.md §2.10): population
+        variance + range as user-registered aggregates decomposed into
+        associative bases (sum, sum-of-squares, count / min, max)."""
+        from s_tsfe_dl_ray.pipelines.relational import CustomAgg, grouped_aggregate
+
+        ds = read_events(sf, columns=["event_type", "value"])
+        ds = ds.map_batches(
+            lambda t: t.append_column("value_sq", pc.multiply(t["value"], t["value"])),
+            batch_format="pyarrow",
+        )
+
+        def fin_var(t: pa.Table):
+            n = pc.cast(t["__value_count"], pa.float64())
+            mean = pc.divide(pc.cast(t["__value_sum"], pa.float64()), n)
+            meansq = pc.divide(pc.cast(t["__value_sq_sum"], pa.float64()), n)
+            return pc.subtract(meansq, pc.multiply(mean, mean))
+
+        return _round_floats(grouped_aggregate(
+            ds, keys=["event_type"],
+            aggs={"n_events": ("value", "count")},
+            custom={
+                "value_var": CustomAgg(
+                    bases=(("value", "sum"), ("value_sq", "sum"), ("value", "count")),
+                    finalize=fin_var,
+                ),
+                "value_range": CustomAgg(
+                    bases=(("value", "min"), ("value", "max")),
+                    finalize=lambda t: pc.subtract(t["__value_max"], t["__value_min"]),
+                ),
+            },
+        ))
+
     def q_media_decode_demo(sf):
         """Multimodal plumbing demo (decode stub, real actor-pool stage):
         deterministic synthetic media table → image decode features."""
@@ -508,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention_1h": q_events_retention_1h,
         "orders_lineitem_join": q_orders_lineitem_join,
         "events_type_counts": q_events_type_counts,
+        "events_value_variance": q_events_value_variance,
         "media_decode_demo": q_media_decode_demo,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
@@ -754,6 +788,15 @@ def oracle_sql() -> dict[str, str]:
                    round(min(value), 6) AS value_min,
                    round(max(value), 6) AS value_max,
                    round(avg(value), 6) AS value_mean
+            FROM events GROUP BY 1
+        """,
+        "events_value_variance": """
+            -- same arithmetic shape as the engine's CustomAgg finalizer
+            -- (sumsq/n - (sum/n)^2), not var_pop, for float parity
+            SELECT event_type, count(value) AS n_events,
+                   round(sum(value*value)/count(value)
+                         - (sum(value)/count(value))*(sum(value)/count(value)), 6) AS value_var,
+                   round(max(value) - min(value), 6) AS value_range
             FROM events GROUP BY 1
         """,
         "docs_exact_dedup": """

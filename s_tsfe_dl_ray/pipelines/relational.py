@@ -14,22 +14,50 @@ import ray.data
 from ray.data import Dataset
 
 
+from dataclasses import dataclass
+from typing import Callable
+
+
+@dataclass(frozen=True)
+class CustomAgg:
+    """User-injected aggregate with combiner discipline (SURVEY.md §2.10
+    "custom aggregate UDF injection").
+
+    The UDF is decomposed the way any distributed aggregate must be:
+    ``bases`` are the associative per-batch partials it needs (col, fn)
+    with fn in {sum, min, max, count}, and ``finalize`` combines the
+    merged base columns into the output — it receives the merged table
+    and reads base columns as ``__{col}_{fn}``.  Anything expressible
+    over associative bases works: variance/stddev via (sum, sum-of-
+    squares, count), ranges via (min, max), rates, ...  Derive non-base
+    inputs (e.g. x²) with a ``map_batches`` BEFORE aggregating.
+    """
+
+    bases: tuple[tuple[str, str], ...]
+    finalize: Callable[[pa.Table], "pa.Array | pa.ChunkedArray"]
+
+
 def grouped_aggregate(
     ds: Dataset,
     *,
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
+    custom: dict[str, CustomAgg] | None = None,
     num_partitions: int = 64,
 ) -> Dataset:
     """Generic non-windowed grouped aggregate with combiner discipline.
 
     ``aggs``: out_name -> (col, fn) with fn in {sum, min, max, count,
-    mean}.  Per-batch pyarrow partial → coarse hash shuffle → vectorized
-    per-partition merge → finalize (mean = sum/count).  The engine's
-    GlobalAveragePooling/GlobalMaxPool analog (blocks_keras.py:96, 232)
-    for arbitrary grouped reductions.
+    mean}.  ``custom``: out_name -> :class:`CustomAgg` for arbitrary
+    UDF aggregates over associative bases.  Per-batch pyarrow partial →
+    coarse hash shuffle → vectorized per-partition merge → finalize
+    (mean = sum/count; custom finalizers over merged bases).  The
+    engine's GlobalAveragePooling/GlobalMaxPool analog
+    (blocks_keras.py:96, 232) for arbitrary grouped reductions.
     """
     from ..stages.rollup import _stable_pkey
+
+    custom = custom or {}
 
     # base (associative) columns needed
     base: set[tuple[str, str]] = set()
@@ -37,6 +65,11 @@ def grouped_aggregate(
         if fn == "mean":
             base.update({(col, "sum"), (col, "count")})
         else:
+            base.add((col, fn))
+    for ca in custom.values():
+        for col, fn in ca.bases:
+            if fn not in ("sum", "min", "max", "count"):
+                raise ValueError(f"CustomAgg base fn must be associative, got {fn!r}")
             base.add((col, fn))
 
     def partial(t: pa.Table) -> pa.Table:
@@ -68,6 +101,8 @@ def grouped_aggregate(
                 )
             else:
                 cols[out_name] = t[f"__{col}_{fn}"]
+        for out_name, ca in custom.items():
+            cols[out_name] = ca.finalize(t)
         return pa.table(cols)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)

@@ -161,6 +161,9 @@ def _merge_partials_table(spec: RollupSpec, t: pa.Table) -> pa.Table:
     Any partition/bucket tag columns present (``_pkey``) ride along as
     extra group keys — they are functions of the primary key, so they
     never split a real group."""
+    # group_by over a many-chunked table (one chunk per upstream run after
+    # a shuffle) degrades sharply; one defragmenting copy first is cheap
+    t = t.combine_chunks()
     group_keys = list(spec.keys) + ["window_start"]
     if "_pkey" in t.column_names:
         group_keys.append("_pkey")
@@ -237,13 +240,18 @@ def rollup_partial(
     spec: RollupSpec,
     tier: str,
     *,
-    batch_size: int | None = 64 * 1024,
+    batch_size: int | None = None,
 ) -> Dataset:
     """raw rows → merged per-(key, window) partials at ``tier``.
 
     Pipeline: ``map_batches(pre-aggregate, pyarrow, zero-copy)`` →
     ``groupby(keys+window).aggregate`` (the only shuffle; carries partials,
     not rows).
+
+    ``batch_size=None`` (default) lets the combiner consume whole input
+    blocks AND keeps Read→MapBatches operator fusion possible — with a
+    batch_size set, Ray refuses to fuse a row-modifying read into the
+    combiner and every raw batch crosses the object store once.
     """
     partials = ds.map_batches(
         _PartialBatch(spec, tier),
