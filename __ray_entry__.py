@@ -316,6 +316,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             },
         ))
 
+    def q_events_sliding_features(sf):
+        """Reference window-generator semantics (length=5, stride=3,
+        full windows only) as per-window feature rows."""
+        from s_tsfe_dl_ray.stages.slide import sliding_window_features
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(sliding_window_features(
+            ds, keys=["user_id"], order_by=["ts", "event_id"],
+            value_col="value", length=5, stride=3,
+        ))
+
+    def q_events_reverse_series(sf):
+        from s_tsfe_dl_ray.stages.slide import reverse_series
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(reverse_series(
+            ds, keys=["user_id"], order_by=["ts", "event_id"]
+        ))
+
     def q_events_value_variance(sf):
         """Custom aggregate UDF injection (SURVEY.md §2.10): population
         variance + range as user-registered aggregates decomposed into
@@ -542,6 +561,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join": q_orders_lineitem_join,
         "events_type_counts": q_events_type_counts,
         "events_value_variance": q_events_value_variance,
+        "events_sliding_features": q_events_sliding_features,
+        "events_reverse_series": q_events_reverse_series,
         "media_decode_demo": q_media_decode_demo,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
@@ -789,6 +810,28 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 6) AS value_max,
                    round(avg(value), 6) AS value_mean
             FROM events GROUP BY 1
+        """,
+        "events_sliding_features": """
+            SELECT event_id, user_id, ts,
+                   round(window_end_value, 6) AS window_end_value,
+                   round(value_wmean, 6) AS value_wmean,
+                   round(value_wmin, 6) AS value_wmin,
+                   round(value_wmax, 6) AS value_wmax
+            FROM (
+              SELECT event_id, user_id, ts,
+                     value AS window_end_value,
+                     row_number() OVER w - 1 AS pos,
+                     avg(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS value_wmean,
+                     min(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS value_wmin,
+                     max(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS value_wmax
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) WHERE pos >= 4 AND (pos - 4) % 3 = 0
+        """,
+        "events_reverse_series": """
+            SELECT event_id, user_id, ts, round(value, 6) AS value,
+                   (row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) - 1)::BIGINT AS rev_idx
+            FROM events
         """,
         "events_value_variance": """
             -- same arithmetic shape as the engine's CustomAgg finalizer

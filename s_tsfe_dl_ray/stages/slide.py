@@ -1,0 +1,108 @@
+"""Sliding-window feature extraction: the reference's window generator
+re-expressed as a per-key batch operator.
+
+Reference semantics (timeseries_batch_generator.py:186-299): cut windows
+of ``length`` from each ordered series with ``stride`` between window
+starts and ``sampling_rate`` dilation WITHIN the window (every r-th
+timestep), full windows only; the engine emits one ROW per window
+instance with vectorized summary features instead of a (B, L, V) tensor
+— the windowed-convolution view of the same computation
+(models_keras.py:137-142).
+
+Execution shape: one coarse ``_pkey`` shuffle co-locates each key's rows
+(``stages/grouped.grouped_apply``), then pandas ``rolling`` computes all
+window stats vectorized and a stride mask selects the emitted windows —
+never one Python call per window.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+
+class _SlideGroup:
+    def __init__(self, order_by, value_col, length, stride, sampling_rate, stats):
+        self.order_by = order_by
+        self.value_col = value_col
+        self.length = length
+        self.stride = stride
+        self.sampling_rate = sampling_rate
+        self.stats = stats
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        L, S, r = self.length, self.stride, self.sampling_rate
+        g = g.sort_values(self.order_by, kind="mergesort").reset_index(drop=True)
+        v = g[self.value_col].astype("float64")
+        span = (L - 1) * r + 1  # rows covered by a dilated window
+        n = len(g)
+        pos = np.arange(n)
+        # window END positions: full windows only, every S-th start
+        keep = (pos >= span - 1) & ((pos - (span - 1)) % S == 0)
+        if r == 1:
+            roll = v.rolling(L)
+            feats = {s: getattr(roll, s)().to_numpy() for s in self.stats}
+        else:
+            # dilated window = every r-th element of the span, ending at pos:
+            # stack the r phase-shifted strided views and reduce vectorized
+            vv = v.to_numpy()
+            idx_end = pos[keep]
+            take = idx_end[:, None] - np.arange(L - 1, -1, -1)[None, :] * r
+            windows = vv[take]  # (n_windows, L)
+            agg = {"mean": np.mean, "min": np.min, "max": np.max,
+                   "sum": np.sum, "std": lambda a, axis: np.std(a, axis=axis, ddof=1)}
+            feats_sel = {s: agg[s](windows, axis=1) for s in self.stats}
+        out = g.loc[keep, [c for c in g.columns if c != self.value_col]].copy()
+        out["window_end_" + self.value_col] = v.to_numpy()[keep]
+        for s in self.stats:
+            col = f"{self.value_col}_w{s}"
+            out[col] = feats[s][keep] if r == 1 else feats_sel[s]
+        return out.reset_index(drop=True)
+
+
+def sliding_window_features(
+    ds: Dataset,
+    *,
+    keys: list[str],
+    order_by: list[str],
+    value_col: str,
+    length: int,
+    stride: int = 1,
+    sampling_rate: int = 1,
+    stats: tuple[str, ...] = ("mean", "min", "max"),
+) -> Dataset:
+    """Per-key sliding windows → one feature row per window instance.
+
+    ``length``/``stride``/``sampling_rate`` follow the reference's window
+    generator exactly: windows end at ordered positions
+    ``span-1, span-1+stride, ...`` with ``span = (length-1)*sampling_rate
+    + 1`` (full windows only); dilation takes every ``sampling_rate``-th
+    row within the span.  ``stats`` ⊆ {mean, min, max, sum, std}.
+    """
+    from .grouped import grouped_apply
+
+    inst = _SlideGroup(order_by, value_col, length, stride, sampling_rate, stats)
+    return grouped_apply(ds, keys=keys, fn=inst)
+
+
+class _ReverseGroup:
+    def __init__(self, order_by):
+        self.order_by = order_by
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(self.order_by, kind="mergesort")
+        g = g.iloc[::-1].reset_index(drop=True)
+        g["rev_idx"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+
+def reverse_series(ds: Dataset, *, keys: list[str], order_by: list[str]) -> Dataset:
+    """Reverse each key's series (reference ``samples[:, ::-1, ...]``,
+    timeseries_batch_generator.py:296-298): rows re-emitted in reverse
+    ``order_by`` order with an explicit ``rev_idx`` position column (the
+    engine never relies on block arrival order, so the reversal is
+    carried as data)."""
+    from .grouped import grouped_apply
+
+    return grouped_apply(ds, keys=keys, fn=_ReverseGroup(order_by))

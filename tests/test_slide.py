@@ -1,0 +1,61 @@
+"""Sliding-window feature generator (reference window-generator
+semantics: length/stride/sampling_rate, full windows only) + reverse."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _mk(n=40, keys=2):
+    rng = np.random.default_rng(5)
+    return pd.DataFrame({
+        "k": np.repeat([f"u{i}" for i in range(keys)], n),
+        "i": np.tile(np.arange(n), keys),
+        "v": rng.normal(10, 3, n * keys).round(3),
+    })
+
+
+def test_sliding_matches_naive_with_dilation():
+    import ray.data as rd
+
+    from s_tsfe_dl_ray.stages.slide import sliding_window_features
+
+    df = _mk()
+    L, S, r = 4, 2, 3
+    out = sliding_window_features(
+        rd.from_pandas(df).repartition(3),
+        keys=["k"], order_by=["i"], value_col="v",
+        length=L, stride=S, sampling_rate=r, stats=("mean", "min", "max", "sum"),
+    ).to_pandas().sort_values(["k", "i"]).reset_index(drop=True)
+
+    # naive oracle: explicit python windows
+    rows = []
+    span = (L - 1) * r + 1
+    for k, g in df.groupby("k"):
+        v = g.sort_values("i")["v"].to_numpy()
+        for end in range(span - 1, len(v), S):
+            w = v[end - (L - 1) * r : end + 1 : r]
+            assert len(w) == L
+            rows.append((k, g["i"].iloc[end], w.mean(), w.min(), w.max(), w.sum()))
+    exp = pd.DataFrame(rows, columns=["k", "i", "m", "lo", "hi", "s"]) \
+        .sort_values(["k", "i"]).reset_index(drop=True)
+    assert len(out) == len(exp)
+    assert np.allclose(out["v_wmean"], exp["m"])
+    assert np.allclose(out["v_wmin"], exp["lo"])
+    assert np.allclose(out["v_wmax"], exp["hi"])
+    assert np.allclose(out["v_wsum"], exp["s"])
+
+
+def test_reverse_series_positions():
+    import ray.data as rd
+
+    from s_tsfe_dl_ray.stages.slide import reverse_series
+
+    df = _mk(n=10)
+    out = reverse_series(
+        rd.from_pandas(df).repartition(2), keys=["k"], order_by=["i"]
+    ).to_pandas()
+    for k, g in out.groupby("k"):
+        g = g.sort_values("rev_idx")
+        assert (g["i"].to_numpy() == np.arange(9, -1, -1)).all()
