@@ -537,6 +537,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return enc.map_batches(verdict, batch_format="pandas")
 
+    def q_transcripts_codec_roundtrip_oracle(sf):
+        """Oracle-checkable slice of the codec round-trip: per-conv row
+        counts recovered from the compressed blobs + the exactness
+        verdict (the SQL twin asserts counts from the RAW corpus and
+        roundtrip_ok ≡ true, so a decode losing rows hash-fails)."""
+        out = q_transcripts_codec_roundtrip(sf)
+        return out.select_columns(["conv_id", "n_rows", "roundtrip_ok"])
+
     return {
         "events_rollup_1m": q_events_rollup_1m,
         "events_rollup_1h": q_events_rollup_1h,
@@ -582,6 +590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_toolcall_last_user": q_transcripts_toolcall_last_user,
         "transcripts_order_fingerprint": q_transcripts_order_fingerprint,
         "transcripts_codec_roundtrip": q_transcripts_codec_roundtrip,
+        "transcripts_codec_roundtrip_oracle": q_transcripts_codec_roundtrip_oracle,
     }
 
 
@@ -995,6 +1004,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id,
                    md5(string_agg(text, chr(31) ORDER BY turn_idx, ts)) AS fingerprint,
                    count(*) AS n_rows
+            FROM {T} GROUP BY 1
+        """,
+        "transcripts_codec_roundtrip_oracle": f"""
+            SELECT conv_id, count(*) AS n_rows, true AS roundtrip_ok
             FROM {T} GROUP BY 1
         """,
         "emb_neardup_04": """
