@@ -379,6 +379,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = decode_images(media)
         return out.select_columns(["media_id", "pixel_mean", "pixel_std"])
 
+    def q_media_audio_demo(sf):
+        """Audio feature-extraction plumbing (decode stub, real DSP over
+        deterministic fake PCM: RMS / ZCR / spectral centroid)."""
+        import ray.data as rd
+
+        from s_tsfe_dl_ray.stages.media import decode_audio, synth_media_table
+
+        media = rd.from_arrow(synth_media_table(256, seed=42))
+        return decode_audio(media)
+
+    def q_media_frames_demo(sf):
+        """Video frame-sampling plumbing: evenly-spaced frame indices from
+        duration × fps (one row per sampled frame)."""
+        import ray.data as rd
+
+        from s_tsfe_dl_ray.stages.media import sample_video_frames, synth_media_table
+
+        media = rd.from_arrow(synth_media_table(256, seed=42))
+        return sample_video_frames(media, n_frames=4)
+
     def q_docs_exact_dedup(sf):
         ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         return exact_dedup_ids(ds, text_col="text", id_col="doc_id")
@@ -572,6 +592,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_features": q_events_sliding_features,
         "events_reverse_series": q_events_reverse_series,
         "media_decode_demo": q_media_decode_demo,
+        "media_audio_demo": q_media_audio_demo,
+        "media_frames_demo": q_media_frames_demo,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,

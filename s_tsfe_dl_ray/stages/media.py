@@ -92,6 +92,54 @@ class DecodeImage:
         })
 
 
+class DecodeAudio:
+    """Actor-pool audio decode + feature stage.
+
+    Decode is a deterministic fake (crc32-seeded PCM at ``sr`` Hz for the
+    declared duration — no audio libs in this container; ``strict=True``
+    raises instead), but the FEATURE math is real DSP over the samples:
+    RMS energy, zero-crossing rate, and spectral centroid via numpy FFT —
+    the per-batch vectorized shape a real librosa/torchaudio stage would
+    have (load-once in ``__init__``, score per batch)."""
+
+    def __init__(self, *, sr: int = 8000, max_samples: int = 1 << 16,
+                 strict: bool = False):
+        self.sr = sr
+        self.max_samples = max_samples
+        if strict:
+            raise NotImplementedError(
+                "real audio decode requires soundfile/librosa, not available "
+                "in this environment; run with strict=False for the "
+                "deterministic fake"
+            )
+
+    def _fake_decode(self, payload: bytes, duration_ms: int) -> np.ndarray:
+        n = min(max(int(duration_ms / 1000.0 * self.sr), self.sr // 10),
+                self.max_samples)
+        rng = np.random.default_rng(zlib.crc32(payload))
+        # band-limited-ish fake: white noise + a payload-dependent tone
+        t = np.arange(n) / self.sr
+        f = 100.0 + (zlib.crc32(payload[:16]) % 2000)
+        return (0.3 * np.sin(2 * np.pi * f * t)
+                + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rms, zcr, centroid = [], [], []
+        for payload, dur in zip(batch["payload"], batch["duration_ms"]):
+            x = self._fake_decode(payload, max(int(dur), 100))
+            rms.append(float(np.sqrt(np.mean(x * x))))
+            zcr.append(float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))))
+            spec = np.abs(np.fft.rfft(x))
+            freqs = np.fft.rfftfreq(len(x), d=1.0 / self.sr)
+            centroid.append(float((freqs * spec).sum() / max(spec.sum(), 1e-12)))
+        return pd.DataFrame({
+            "media_id": batch["media_id"],
+            "rms": rms,
+            "zero_crossing_rate": zcr,
+            "spectral_centroid_hz": centroid,
+        })
+
+
 class SampleFrames:
     """Video frame-sampling stage (stub decode, real sampling math):
     picks ``n_frames`` evenly-spaced frame indices from duration × fps."""
@@ -127,6 +175,19 @@ def decode_images(
     )
     return imgs.map_batches(
         DecodeImage, batch_format="pandas", batch_size=batch_size, concurrency=concurrency
+    )
+
+
+def decode_audio(
+    ds: Dataset, *, batch_size: int = 64, concurrency=(1, 4)
+) -> Dataset:
+    """audio rows → (media_id, rms, zero_crossing_rate, spectral_centroid_hz)."""
+    auds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "audio")), batch_format="pyarrow"
+    )
+    return auds.map_batches(
+        DecodeAudio, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
     )
 
 

@@ -52,3 +52,44 @@ def test_strict_decode_raises():
 
     with pytest.raises(NotImplementedError):
         DecodeImage(strict=True)
+
+
+def test_audio_decode_features_deterministic():
+    import ray.data as rd
+
+    from s_tsfe_dl_ray.stages.media import decode_audio, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(96, seed=42))
+    a = decode_audio(media).to_pandas().sort_values("media_id").reset_index(drop=True)
+    b = decode_audio(rd.from_arrow(synth_media_table(96, seed=42))).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert len(a) > 0
+    assert (a["media_id"] == b["media_id"]).all()
+    assert (a["rms"] == b["rms"]).all()  # deterministic fake decode
+    assert (a["rms"] > 0).all()
+    assert a["zero_crossing_rate"].between(0, 2).all()
+    assert (a["spectral_centroid_hz"] > 0).all()
+
+
+def test_audio_strict_mode_is_honest():
+    import pytest
+
+    from s_tsfe_dl_ray.stages.media import DecodeAudio
+
+    with pytest.raises(NotImplementedError):
+        DecodeAudio(strict=True)
+
+
+def test_video_frame_sampling_counts():
+    import ray.data as rd
+
+    from s_tsfe_dl_ray.stages.media import sample_video_frames, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(96, seed=42))
+    frames = sample_video_frames(media, n_frames=4).to_pandas()
+    assert len(frames) > 0
+    per = frames.groupby("media_id").size()
+    assert (per <= 4).all()
+    # frame timestamps are within each video's duration
+    meta = media.to_pandas().set_index("media_id")["duration_ms"]
+    assert (frames["frame_ms"] <= frames["media_id"].map(meta)).all()
