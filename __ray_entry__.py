@@ -399,6 +399,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = rd.from_arrow(synth_media_table(256, seed=42))
         return sample_video_frames(media, n_frames=4)
 
+    def q_docs_prep_pipeline(sf):
+        """Composite LLM training-data prep: quality filter → language
+        filter → exact dedup in one streaming dataflow (one row per
+        distinct kept text, smallest doc_id wins)."""
+        from s_tsfe_dl_ray.pipelines.docs_prep import prep_documents
+
+        return _round_floats(prep_documents(
+            f"{sf}/documents.parquet", min_quality=0.35, keep_langs=("en",)
+        ))
+
     def q_docs_exact_dedup(sf):
         ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         return exact_dedup_ids(ds, text_col="text", id_col="doc_id")
@@ -599,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": q_docs_quality,
         "docs_lang_id": q_docs_lang_id,
         "docs_fingerprint": q_docs_fingerprint,
+        "docs_prep_pipeline": q_docs_prep_pipeline,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "emb_knn_top10": q_emb_knn_top10,
         "emb_neardup_04": q_emb_neardup_04,
@@ -922,6 +933,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "docs_prep_pipeline": f"""
+            WITH c AS (
+              SELECT doc_id, text,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                     {lang_cases}
+                     regexp_matches(text, '[一-鿿]') AS has_cjk
+              FROM documents
+            ), q AS (
+              SELECT doc_id, text, n_tokens,
+                     greatest(least(1 - 2.0 * (n_punct::DOUBLE / greatest(n_chars, 1)), 1), 0)
+                       * least(n_tokens / 32.0, 1) AS quality,
+                     CASE WHEN has_cjk THEN 'zh'
+                          WHEN {lang_max} = 0 THEN 'und'
+                          WHEN ({lang_ties}) > 1 THEN 'und'
+                          {lang_pick}
+                     END AS lang_pred
+              FROM c
+            )
+            SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+                   round(min(quality), 6) AS quality, min(lang_pred) AS lang_pred
+            FROM q WHERE quality >= 0.35 AND lang_pred = 'en'
+            GROUP BY md5(text)
         """,
         "docs_ngram_jaccard": """
             WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

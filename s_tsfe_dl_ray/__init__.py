@@ -28,4 +28,13 @@ write_parquet`` with partial aggregation before every shuffle.
 No module in this package calls ``ray.init()``/``ray.shutdown()``.
 """
 
+import os as _os
+
+# polars sizes its global thread pool to ALL machine cores at import; in
+# a Ray worker that means num_cpus-way oversubscription for the hash
+# kernels (_stable_pkey / _stable_bucket) running in 32 concurrent
+# 1-CPU tasks.  Every worker imports this package before any polars
+# import, so pin the pool unless the user chose otherwise.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 __version__ = "0.1.0"
