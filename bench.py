@@ -199,10 +199,11 @@ def scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     def run(ncpu: int) -> dict:
-        # min-of-3 with a FRESH process each time: long-lived 32-cpu Ray
-        # sessions degrade across repeats (object-store residue), so each
-        # sample gets a clean session
-        samples = [run_once(ncpu) for _ in range(3)]
+        # min-of-4 with a FRESH process each time: long-lived 32-cpu Ray
+        # sessions degrade across repeats (object-store residue) and this
+        # VM's noise has a heavy upper tail, so each sample gets a clean
+        # session and we keep the best
+        samples = [run_once(ncpu) for _ in range(4)]
         best = min(samples, key=lambda r: r["queries"]["transcript_rollup_job"])
         return best
 
