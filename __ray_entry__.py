@@ -399,6 +399,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = rd.from_arrow(synth_media_table(256, seed=42))
         return sample_video_frames(media, n_frames=4)
 
+    def q_docs_top_tokens(sf):
+        """Distributed word-count → global top-50 tokens (per-batch
+        vectorized explode+count combiner; only distinct (token, n)
+        partials cross the shuffle)."""
+        from s_tsfe_dl_ray.stages.text import top_tokens
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return top_tokens(ds, k=50)
+
+    def q_docs_simhash_pairs(sf):
+        """SimHash near-dup pairs (band 4x16 bits -> exact Hamming
+        verify) - rows-only (the 64-bit hash isn't SQL-reproducible)."""
+        from s_tsfe_dl_ray.stages.dedup import simhash_dedup_pairs
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return simhash_dedup_pairs(ds, id_col="doc_id", max_hamming=3)
+
     def q_docs_prep_pipeline(sf):
         """Composite LLM training-data prep: quality filter → language
         filter → exact dedup in one streaming dataflow (one row per
@@ -610,6 +627,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_id": q_docs_lang_id,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_prep_pipeline": q_docs_prep_pipeline,
+        "docs_top_tokens": q_docs_top_tokens,
+        "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "emb_knn_top10": q_emb_knn_top10,
         "emb_neardup_04": q_emb_neardup_04,
@@ -933,6 +952,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "docs_top_tokens": """
+            SELECT token, count(*)::BIGINT AS n FROM (
+              SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents
+            ) WHERE token <> ''
+            GROUP BY 1 ORDER BY n DESC, token LIMIT 50
         """,
         "docs_prep_pipeline": f"""
             WITH c AS (

@@ -201,3 +201,51 @@ def rolling_fingerprint(batch: pd.DataFrame, *, text_col: str = "text") -> pd.Da
     out = batch.copy()
     out["fingerprint"] = fps
     return out
+
+
+# ---------------------------------------------------------------------------
+# corpus token frequencies (distributed word-count → top-k)
+# ---------------------------------------------------------------------------
+
+
+def top_tokens(
+    ds: "Dataset",
+    *,
+    text_col: str = "text",
+    k: int = 50,
+    num_partitions: int = 64,
+) -> "Dataset":
+    """Corpus-wide token frequencies, top-``k`` by count (ties: token asc).
+
+    The canonical distributed word-count with combiner discipline: each
+    batch explodes to tokens VECTORIZED (split → flatten → value_counts,
+    all Arrow kernels) and pre-aggregates to per-batch (token, n) rows,
+    so the shuffle carries per-batch distinct tokens, not token
+    instances; a ``_pkey`` hash merge sums counts per token and the tiny
+    merged table is sorted for the global top-k.  Tokens are single-space
+    splits of trimmed text with empties dropped (SQL:
+    ``unnest(string_split(trim(text), ' '))``).
+    """
+    from .dedup import _grouped_min
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.utf8_trim_whitespace(t[text_col]), " ")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        if len(toks) == 0:
+            return pa.table({
+                "token": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            })
+        vc = toks.value_counts()
+        return pa.table({
+            "token": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = _grouped_min(
+        partials, group_cols=["token"], agg_cols=[("n", "sum")], pkey_col="token"
+    )
+    return merged.sort(["n", "token"], descending=[True, False]).limit(k)
