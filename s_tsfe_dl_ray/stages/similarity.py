@@ -298,4 +298,12 @@ def embedding_neardup_pairs(
             batch_format="pandas",
             concurrency=concurrency,
         ))
+    if not parts:  # empty corpus → empty, correctly-typed pair table
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }))
     return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
