@@ -148,7 +148,7 @@ class TranscriptRollupJob:
             sum(1 for f in os.listdir(self.input_path) if f.endswith(".parquet"))
             if os.path.isdir(self.input_path) else 1
         )
-        nblocks = min(nfiles, max(2 * ncpu, 16)) if nfiles > 1 else None
+        nblocks = min(nfiles, max(int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "2")) * ncpu, 16)) if nfiles > 1 else None
         kw = {"override_num_blocks": nblocks} if nblocks else {}
         ds = read_transcripts(
             self.input_path, columns=["conv_id", "ts", "text", "tool"], **kw

@@ -264,3 +264,24 @@ def test_bucket_hash_fingerprint_drift_refused(small_transcripts, tmp_path):
     mf.write_manifest(out, 0, rec)
     with pytest.raises(RuntimeError, match="bucket-hash"):
         TranscriptRollupJob(small_transcripts, out, n_buckets=4).run()
+
+
+def test_flagship_read_stage_fuses(small_transcripts, tmp_path):
+    """Regression guard for the load-bearing Read→MapBatches fusion: if
+    the combiner ever re-introduces a batch_size (or the read grows a
+    split factor), raw batches including text start crossing the object
+    store again.  The fused operator name must appear in the stats."""
+    from s_tsfe_dl_ray.pipelines.job import TranscriptRollupJob
+    from s_tsfe_dl_ray.synth import transcripts_parquet
+
+    # fusion requires a sharded input (single files get SplitBlocks,
+    # whose split factor legitimately blocks fusion) — 3 shards here
+    src = transcripts_parquet(n_turns=150_000, seed=42,
+                              base_dir=str(tmp_path / "synth"))
+    out = str(tmp_path / "fuse")
+    job = TranscriptRollupJob(src, out, n_buckets=4)
+    ds = job._ingest(set())
+    res = job._write_from_partials(ds)
+    res.to_pandas()
+    stats = res.stats()
+    assert "ReadParquet->MapBatches(derive_and_bucket)" in stats, stats[:2000]
