@@ -38,27 +38,6 @@ _LANGS = {  # keep in sync with s_tsfe_dl_ray.stages.text._LANG_MARKERS
 _STOP = "the|a|an|and|of|to|in|is|it|that"
 
 
-class _EnsembleMember:
-    """Deterministic demo scorer (one per ensemble member): the score
-    formula stands in for a trained model's forward pass; state (here just
-    the mode) is built once per actor."""
-
-    def __init__(self, mode: str):
-        self.mode = mode
-
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        v = b["value"].to_numpy(dtype="float64")
-        if self.mode == "double":
-            s = 2.0 * v
-        elif self.mode == "shift":
-            s = v + 10.0
-        else:
-            s = np.sqrt(np.abs(v))
-        return pd.DataFrame({"event_id": b["event_id"], "score": s})
-
-
 def _round_floats(ds):
     """Round all float64 columns to 6 decimals, half-away-from-zero
     (matches DuckDB round)."""
@@ -231,6 +210,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         three member scorers over ONE input via independent actor pools,
         union, per-row soft-vote mean."""
         from s_tsfe_dl_ray.pipelines.ensemble import ensemble_mean, ensemble_scores
+
+        # defined in function scope so cloudpickle ships the actor class
+        # by VALUE — workers need not import this module under its
+        # driver-side name
+        class _EnsembleMember:
+            """Deterministic demo scorer (stands in for a trained model's
+            forward pass); state built once per actor."""
+
+            def __init__(self, mode: str):
+                self.mode = mode
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                import numpy as np
+
+                v = b["value"].to_numpy(dtype="float64")
+                if self.mode == "double":
+                    s = 2.0 * v
+                elif self.mode == "shift":
+                    s = v + 10.0
+                else:
+                    s = np.sqrt(np.abs(v))
+                return pd.DataFrame({"event_id": b["event_id"], "score": s})
 
         ds = read_events(sf, columns=["event_id", "value"])
         scored = ensemble_scores(ds, {

@@ -220,7 +220,7 @@ class TranscriptRollupJob:
 
     def _write_bucket_tiers(
         self, bucket: int, partial_t: pa.Table, frag_hash: str,
-        series_rec: dict | None = None,
+        series_rec: dict | None = None, hash_fp: str | None = None,
     ) -> int:
         """Bucket-local cascade → finalize → (gap-fill) → atomic tier
         writes → manifest.  Returns total rows written.  Exact because
@@ -232,7 +232,7 @@ class TranscriptRollupJob:
             "bucket": bucket,
             "engine_version": _ENGINE_VERSION,
             "input_fragments_hash": frag_hash,
-            "bucket_hash_fingerprint": _bucket_hash_fingerprint(),
+            "bucket_hash_fingerprint": hash_fp or _bucket_hash_fingerprint(),
             "n_convs": int(pc.count_distinct(partial_t["conv_id"]).as_py()),
             "tiers": {},
         }
@@ -283,6 +283,7 @@ class TranscriptRollupJob:
 
         spec = TRANSCRIPT_SPEC
         frag_hash = mf.fragments_hash(self._input_fragments())
+        hash_fp = _bucket_hash_fingerprint()  # computed once, shipped to workers
         job = self
 
         # NO batch_size here: specifying one blocks Ray's Read→MapBatches
@@ -301,7 +302,8 @@ class TranscriptRollupJob:
             bucket = int(g["_pkey"][0].as_py())
             partial_t = _merge_partials_table(spec, g)
             n_convs = int(pc.count_distinct(partial_t["conv_id"]).as_py())
-            total_rows = job._write_bucket_tiers(bucket, partial_t, frag_hash)
+            total_rows = job._write_bucket_tiers(bucket, partial_t, frag_hash,
+                                                 hash_fp=hash_fp)
             return pa.table({
                 "bucket": pa.array([bucket], pa.int64()),
                 "rows": pa.array([total_rows], pa.int64()),
@@ -314,10 +316,11 @@ class TranscriptRollupJob:
         """encode_series path: ONE shuffle of narrow raw rows per bucket;
         the bucket group writes compressed series AND computes partials +
         tiers locally from the same rows (single input pass)."""
-        from ..stages.rollup import _merge_partials_table, _pa_partial
+        from ..stages.rollup import _pa_partial
 
         spec = TRANSCRIPT_SPEC
         frag_hash = mf.fragments_hash(self._input_fragments())
+        hash_fp = _bucket_hash_fingerprint()  # computed once, shipped to workers
         first_tier = self.tiers[0]
         job = self
 
@@ -327,12 +330,12 @@ class TranscriptRollupJob:
                 g.select(["conv_id", "ts", "token_len"]).to_pandas(), bucket
             )
             ws = window_start_us(g[spec.ts_col], first_tier)
-            partial_t = _merge_partials_table(
-                spec, _pa_partial(spec, g.append_column("window_start", ws))
-            )
+            # _pa_partial over the FULL bucket table already yields one row
+            # per (conv, window) — no further merge pass needed
+            partial_t = _pa_partial(spec, g.append_column("window_start", ws))
             n_convs = int(pc.count_distinct(partial_t["conv_id"]).as_py())
             total_rows = job._write_bucket_tiers(
-                bucket, partial_t, frag_hash, series_rec=series_rec
+                bucket, partial_t, frag_hash, series_rec=series_rec, hash_fp=hash_fp
             )
             return pa.table({
                 "bucket": pa.array([bucket], pa.int64()),

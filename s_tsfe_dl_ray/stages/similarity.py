@@ -217,7 +217,9 @@ def knn_ivf(
         sample = sel.to_pandas().sort_values(id_col).head(max(n_clusters, target))
     mat = _l2_normalize(_stack_embeddings(sample, emb_col))
     cent = _kmeans_fit(mat, n_clusters)
-    # queries: n_queries smallest ids — pulled via limit(), not a full scan
+    # queries: first rows in storage order via limit() (parquet written
+    # sorted by id) — same deterministic default knn_bruteforce documents;
+    # pass explicit ids through that API when storage order doesn't hold
     q = sel.limit(n_queries).to_pandas().sort_values(id_col)
     state_ref = ray.put((q[id_col].to_numpy(), _stack_embeddings(q, emb_col), cent))
     partials = ds.map_batches(
@@ -276,13 +278,16 @@ def embedding_neardup_pairs(
     """All pairs with cosine ≥ threshold (exact, block-nested-loop).
 
     The right side is broadcast ONE BOUNDED CHUNK at a time (streamed off
-    the dataset via ``iter_batches`` — the driver never holds more than a
-    chunk, and no actor ever holds the full matrix).  Each chunk pass
-    scores every input batch against that chunk; ``a < b`` keeps each
-    unordered pair exactly once because the chunks partition the corpus.
-    Quadratic compare work is inherent to the exact op (the sub-quadratic
-    scale route is the banded LSH in ``stages.dedup``); this layout makes
-    the MEMORY footprint scale-safe: O(batch × chunk) per actor.
+    the dataset via ``iter_batches``): each chunk pass executes EAGERLY
+    (materialized pair outputs are tiny) and its broadcast ref is
+    released before the next chunk is put, so the object store holds one
+    chunk + the surviving pairs at any moment — never the full matrix.
+    ``a < b`` keeps each unordered pair exactly once because the chunks
+    partition the corpus.  Quadratic compare work — and one full corpus
+    scan per chunk, the classic block-nested-loop — is inherent to the
+    exact op (the sub-quadratic scale route is the banded LSH in
+    ``stages.dedup``); this layout makes the MEMORY footprint scale-safe:
+    O(batch × chunk) per actor.
     """
     import ray
 
@@ -290,14 +295,16 @@ def embedding_neardup_pairs(
     parts: list[Dataset] = []
     for chunk in sel.iter_batches(batch_size=chunk_rows, batch_format="pandas"):
         ref = ray.put((chunk[id_col].to_numpy(), _stack_embeddings(chunk, emb_col)))
-        parts.append(ds.map_batches(
+        part = ds.map_batches(
             _NearDupScorer,
             fn_constructor_kwargs={
                 "ref": ref, "threshold": threshold, "id_col": id_col, "emb_col": emb_col,
             },
             batch_format="pandas",
             concurrency=concurrency,
-        ))
+        ).materialize()  # eager: chunk ref freed before the next ray.put
+        del ref
+        parts.append(part)
     if not parts:  # empty corpus → empty, correctly-typed pair table
         import ray.data as rd
 

@@ -229,8 +229,10 @@ def top_tokens(
     from .dedup import _grouped_min
 
     def partial(t: pa.Table) -> pa.Table:
+        # trim SPACES only (pc.utf8_trim_whitespace would also strip
+        # tabs/newlines, diverging from DuckDB trim() in the SQL twin)
         toks = pc.list_flatten(
-            pc.split_pattern(pc.utf8_trim_whitespace(t[text_col]), " ")
+            pc.split_pattern(pc.utf8_trim(t[text_col], " "), " ")
         )
         toks = toks.filter(pc.not_equal(toks, ""))
         if len(toks) == 0:

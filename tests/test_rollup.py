@@ -94,10 +94,13 @@ def test_window_floor_pre_epoch(ddb):
                -86_400_000_000 - 1]
     ts = pa.array(us_vals, pa.timestamp("us"))
     got = window_start_us(ts, "1m").to_pylist()
+    # epoch_us() keeps the comparison in integer µs — python
+    # datetime.timestamp() would reinterpret DuckDB's naive values in
+    # the local timezone
     exp = [
-        int(r[0].timestamp() * 1_000_000)
+        int(r[0])
         for r in ddb.sql(
-            "SELECT date_trunc('minute', make_timestamp(x)) FROM "
+            "SELECT epoch_us(date_trunc('minute', make_timestamp(x))) FROM "
             f"(SELECT unnest({us_vals}) AS x)"
         ).fetchall()
     ]
