@@ -16,8 +16,6 @@ BOTH sides (pyarrow ``half_towards_infinity`` == DuckDB ``round`` half-away
 
 from __future__ import annotations
 
-import os
-import re
 from collections.abc import Callable
 from typing import Any
 
@@ -60,17 +58,15 @@ def _round_floats(ds):
     return rb(ds)
 
 
-def _sf_turns(sf_dir: str) -> int:
-    """Deterministic synthetic transcript size matched to the sf dir."""
-    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
-    sf = float(m.group(1)) if m else 0.01
-    return max(2_000, int(sf * 6_000_000))
-
-
 def _transcripts_for(sf_dir: str) -> str:
+    """Deterministic synthesized transcript corpus for the transcript
+    queries — PINNED to the driver's correctness scale (sf=0.01 → 60k
+    turns) regardless of ``sf_dir``: ``oracle_sql()`` strings must
+    reference one concrete parquet path, so query and oracle always read
+    the SAME corpus.  Throughput scaling is bench.py's job (20M turns)."""
     from s_tsfe_dl_ray.synth import transcripts_parquet
 
-    return transcripts_parquet(n_turns=_sf_turns(sf_dir), seed=42)
+    return transcripts_parquet(n_turns=60_000, seed=42)
 
 
 def _events_gapfill(sf_dir: str, mode: str):
