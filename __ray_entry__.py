@@ -313,6 +313,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             },
         ))
 
+    def q_events_attention_pool(sf):
+        """Attention-reweighting analog (reference §0: aggregate → weight
+        → elementwise multiply; e.g. squeeze-excite/attention blocks):
+        per-key softmax-weighted value pooling,
+        out = Σ exp(v/100)·v / Σ exp(v/100), decomposed into associative
+        sums via CustomAgg (the score is pre-scaled so exp() stays in
+        range — same expression in the SQL twin)."""
+        from s_tsfe_dl_ray.pipelines.relational import CustomAgg, grouped_aggregate
+
+        ds = read_events(sf, columns=["user_id", "value"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            es = pc.exp(pc.divide(t["value"], pa.scalar(100.0)))
+            t = t.append_column("es", es)
+            return t.append_column("esv", pc.multiply(es, t["value"]))
+
+        ds = ds.map_batches(derive, batch_format="pyarrow")
+
+        def fin(t: pa.Table):
+            return pc.divide(t["__esv_sum"], t["__es_sum"])
+
+        return _round_floats(grouped_aggregate(
+            ds, keys=["user_id"],
+            aggs={"n_events": ("value", "count")},
+            custom={"value_attn": CustomAgg(
+                bases=(("es", "sum"), ("esv", "sum")), finalize=fin,
+            )},
+        ))
+
     def q_events_sliding_features(sf):
         """Reference window-generator semantics (length=5, stride=3,
         full windows only) as per-window feature rows."""
@@ -613,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join": q_orders_lineitem_join,
         "events_type_counts": q_events_type_counts,
         "events_value_variance": q_events_value_variance,
+        "events_attention_pool": q_events_attention_pool,
         "events_sliding_features": q_events_sliding_features,
         "events_reverse_series": q_events_reverse_series,
         "media_decode_demo": q_media_decode_demo,
@@ -867,6 +897,11 @@ def oracle_sql() -> dict[str, str]:
                    round(min(value), 6) AS value_min,
                    round(max(value), 6) AS value_max,
                    round(avg(value), 6) AS value_mean
+            FROM events GROUP BY 1
+        """,
+        "events_attention_pool": """
+            SELECT user_id, count(value) AS n_events,
+                   round(sum(exp(value / 100) * value) / sum(exp(value / 100)), 6) AS value_attn
             FROM events GROUP BY 1
         """,
         "events_sliding_features": """
