@@ -155,6 +155,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, keys=["user_id", "event_type"], order_by=["ts", "event_id"]
         ))
 
+    def q_events_latest_per_key(sf):
+        """Late-data upsert: last-writer-wins per (user, type) — replays
+        and corrections collapse to the newest version."""
+        from s_tsfe_dl_ray.stages.dedup import latest_per_key
+
+        ds = read_events(sf, columns=["event_id", "user_id", "event_type", "ts", "value"])
+        return _round_floats(latest_per_key(
+            ds, keys=["user_id", "event_type"], order_by=["ts", "event_id"]
+        ))
+
     def q_lineitem_pricing_summary(sf):
         return _round_floats(pricing_summary(sf))
 
@@ -629,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize_30m": q_events_sessionize_30m,
         "events_running_sum": q_events_running_sum,
         "events_first_per_key": q_events_first_per_key,
+        "events_latest_per_key": q_events_latest_per_key,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "events_rolling_mean5": q_events_rolling_mean5,
         "events_standardize": q_events_standardize,
@@ -791,6 +802,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type, ts, round(value, 6) AS value FROM (
               SELECT *, row_number() OVER (PARTITION BY user_id, event_type
                                            ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "events_latest_per_key": """
+            SELECT event_id, user_id, event_type, ts, round(value, 6) AS value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             ) WHERE rn = 1
         """,

@@ -92,6 +92,22 @@ def first_per_key(
     return grouped_apply(ds, keys=keys, fn=head1)
 
 
+def latest_per_key(
+    ds: Dataset, *, keys: list[str], order_by: list[str]
+) -> Dataset:
+    """Late-data upsert semantics: LAST row per key by ``order_by``
+    (last-writer-wins).  The mirror of :func:`first_per_key` — replays,
+    corrections and late arrivals collapse to the newest version of each
+    key; same partition-wise execution shape."""
+
+    def tail1(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_by, kind="mergesort").tail(1)
+
+    from .grouped import grouped_apply
+
+    return grouped_apply(ds, keys=keys, fn=tail1)
+
+
 def _collision_pairs(
     banded: Dataset,
     *,
