@@ -9,7 +9,7 @@ import sys
 
 import pytest
 
-from conftest import SF_CHECK, SF_SMOKE, assert_frames_match, to_pdf
+from conftest import SF_CHECK, assert_frames_match, to_pdf
 
 sys.path.insert(0, "/root/repo")
 
@@ -55,8 +55,9 @@ _ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
 
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_query_runs(name):
-    # smoke at the smallest scale (these run again at sf0.01 in the driver)
-    out = to_pdf(entrymod.queries()[name](SF_SMOKE))
+    # run at the DRIVER's scale (sf0.01) — a query that only works at the
+    # smoke scale would pass here but break in the correctness run
+    out = to_pdf(entrymod.queries()[name](SF_CHECK))
     assert len(out) >= 0
     if name == "transcripts_codec_roundtrip":
         assert out["roundtrip_ok"].all()
