@@ -12,6 +12,18 @@ below calls ``ray.init()``/``ray.shutdown()``.
 Float policy: every oracle-paired float column is rounded to 6 decimals on
 BOTH sides (pyarrow ``half_towards_infinity`` == DuckDB ``round`` half-away
 -from-zero) so last-ulp association differences can't flip a value hash.
+Residual risk (accepted, per round-2 advice): queries whose float64 sums
+are irreducibly float (events_attention_pool exp-sums, events_value_variance,
+events_ensemble_mean) sum partials in engine tree order vs DuckDB's
+sequential order; a value landing exactly on a ...5 boundary at the 7th
+decimal could flip the 6-decimal rounding.  Money/int-derivable sums are
+decomposed onto exactly-summable bases (scaled int64 / decimal128) instead;
+for the exp-sum/variance cases no exact base exists, so the risk is
+documented here rather than hidden.
+
+Driver row cap: the round-2 driver recorded exactly the first 50 entries
+of ``queries()`` — keep oracle-paired queries within the first 50 (see the
+ordering note inside ``queries()``).
 """
 
 from __future__ import annotations
@@ -499,7 +511,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_emb_knn_top10(sf):
         ds = read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
-        return _round_floats(knn_bruteforce(ds, query_ids=list(range(10)), k=10))
+        return _round_floats(knn_bruteforce(
+            ds, query_ids=list(range(10)), k=10,
+            source_path=f"{sf}/embeddings.parquet",
+        ))
 
     def q_emb_neardup_04(sf):
         ds = read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -628,7 +643,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = q_transcripts_codec_roundtrip(sf)
         return out.select_columns(["conv_id", "n_rows", "roundtrip_ok"])
 
+    # ORDER MATTERS: the round-2 driver recorded rows for exactly the
+    # FIRST 50 dict entries (insertion order) — 52 were registered and
+    # precisely the last two (the codec round-trip pair) were absent from
+    # CORRECTNESS_r02.json.  All oracle-paired queries therefore come
+    # first; rows-only (no_oracle) queries last, least-critical at the
+    # very end (they remain pytest-covered either way).
     return {
+        # -- oracle-paired (hash-checked by the driver) --------------------
         "events_rollup_1m": q_events_rollup_1m,
         "events_rollup_1h": q_events_rollup_1h,
         "events_rollup_1d": q_events_rollup_1d,
@@ -656,9 +678,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attention_pool": q_events_attention_pool,
         "events_sliding_features": q_events_sliding_features,
         "events_reverse_series": q_events_reverse_series,
-        "media_decode_demo": q_media_decode_demo,
-        "media_audio_demo": q_media_audio_demo,
-        "media_frames_demo": q_media_frames_demo,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
@@ -666,14 +685,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_prep_pipeline": q_docs_prep_pipeline,
         "docs_top_tokens": q_docs_top_tokens,
-        "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "emb_knn_top10": q_emb_knn_top10,
         "emb_neardup_04": q_emb_neardup_04,
-        "docs_minhash_dedup": q_docs_minhash_dedup,
-        "docs_simhash": q_docs_simhash,
-        "docs_rolling_fingerprint": q_docs_rolling_fingerprint,
-        "emb_knn_ivf": q_emb_knn_ivf,
         "transcripts_rollup_1h": q_transcripts_rollup_1h,
         "transcripts_gapfill_ffill_1h": q_transcripts_gapfill_ffill_1h,
         "transcripts_sessions_30m": q_transcripts_sessions_30m,
@@ -681,6 +695,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_order_fingerprint": q_transcripts_order_fingerprint,
         "transcripts_codec_roundtrip": q_transcripts_codec_roundtrip,
         "transcripts_codec_roundtrip_oracle": q_transcripts_codec_roundtrip_oracle,
+        # -- rows-only (no SQL-expressible oracle; pytest-covered) ---------
+        "docs_minhash_dedup": q_docs_minhash_dedup,
+        "emb_knn_ivf": q_emb_knn_ivf,
+        "docs_simhash_pairs": q_docs_simhash_pairs,
+        "docs_simhash": q_docs_simhash,
+        "docs_rolling_fingerprint": q_docs_rolling_fingerprint,
+        "media_decode_demo": q_media_decode_demo,
+        "media_audio_demo": q_media_audio_demo,
+        "media_frames_demo": q_media_frames_demo,
     }
 
 

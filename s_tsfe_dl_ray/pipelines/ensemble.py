@@ -35,6 +35,8 @@ def ensemble_scores(
     scored per batch in ``__call__``) — the load-once-score-many pattern
     (SURVEY.md §2.3).
     """
+    if not members:
+        raise ValueError("members must be non-empty")
     parts: list[Dataset] = []
     for name, (cls, kwargs) in members.items():
         scored = ds.map_batches(

@@ -182,10 +182,20 @@ def pricing_summary(sf_dir: str) -> Dataset:
         )
 
     # ≤ a handful of (flag, status) groups: single-partition merge is exact
-    # and tiny — partials per input block are ≤6 rows each.
+    # and tiny — partials per input block are ≤6 rows each.  batch_size=None
+    # is load-bearing: the merge must see the whole repartition(1) block as
+    # ONE batch or it would emit duplicate group rows silently.
     merged = partials.repartition(1).map_batches(
-        merge, batch_format="pyarrow", zero_copy_batch=True
+        merge, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+    def assert_merged(t: pa.Table) -> pa.Table:
+        # ≤6 distinct (returnflag, linestatus) groups exist in TPC-H data;
+        # more rows here means the single-batch merge assumption broke
+        assert t.num_rows <= 6, f"pricing merge saw {t.num_rows} rows"
+        return t
+
+    merged = merged.map_batches(assert_merged, batch_format="pyarrow")
 
     def fin(t: pa.Table) -> pa.Table:
         f = lambda c, s: pc.divide(pc.cast(t[c], pa.float64()), pa.scalar(float(s)))

@@ -87,18 +87,32 @@ def knn_bruteforce(
     n_queries: int = 10,
     k: int = 10,
     concurrency: int | tuple[int, int] = (1, 16),
+    source_path: str | None = None,
 ) -> Dataset:
     """Exact cosine top-k neighbors for each query vector.
 
     Queries default to the ``n_queries`` smallest ids (deterministic).
     Self-matches are excluded.  Ties break on smaller neighbor_id
     (same rule the SQL oracle uses).
+
+    ``source_path``: when given with ``query_ids``, the query rows are
+    fetched by a direct predicate-pushdown parquet read (row-group
+    pruned, no Ray pass) instead of a full ``map_batches`` filter scan
+    over the corpus — the whole pipeline then makes exactly ONE
+    distributed pass over the corpus (the scoring pass).
     """
     import pyarrow.compute as pc
     import ray
 
     sel = ds.select_columns([id_col, emb_col])
-    if query_ids is not None:
+    if query_ids is not None and source_path is not None:
+        import pyarrow.parquet as pq
+
+        qdf_q = pq.read_table(
+            source_path, columns=[id_col, emb_col],
+            filters=[(id_col, "in", list(query_ids))],
+        ).to_pandas().sort_values(id_col)
+    elif query_ids is not None:
         # materialize ONLY the query rows (vectorized semi-filter)
         qarr = pa.array(list(query_ids))
         qdf_q = sel.map_batches(
@@ -188,11 +202,13 @@ def knn_ivf(
     *,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    query_ids: list[int] | None = None,
     n_queries: int = 10,
     k: int = 10,
     n_clusters: int = 16,
     nprobe: int = 4,
     concurrency: int | tuple[int, int] = (1, 16),
+    source_path: str | None = None,
 ) -> Dataset:
     """Approximate cosine top-k via IVF cluster probing.
 
@@ -217,10 +233,28 @@ def knn_ivf(
         sample = sel.to_pandas().sort_values(id_col).head(max(n_clusters, target))
     mat = _l2_normalize(_stack_embeddings(sample, emb_col))
     cent = _kmeans_fit(mat, n_clusters)
-    # queries: first rows in storage order via limit() (parquet written
-    # sorted by id) — same deterministic default knn_bruteforce documents;
-    # pass explicit ids through that API when storage order doesn't hold
-    q = sel.limit(n_queries).to_pandas().sort_values(id_col)
+    # queries: explicit query_ids (optionally via predicate-pushdown read
+    # when source_path is given) beat the storage-order default, which
+    # silently changes the evaluated set if the parquet isn't id-sorted
+    if query_ids is not None and source_path is not None:
+        import pyarrow.parquet as pq
+
+        q = pq.read_table(
+            source_path, columns=[id_col, emb_col],
+            filters=[(id_col, "in", list(query_ids))],
+        ).to_pandas().sort_values(id_col)
+    elif query_ids is not None:
+        import pyarrow.compute as pc
+
+        qarr = pa.array(list(query_ids))
+        q = sel.map_batches(
+            lambda t: t.filter(pc.is_in(t[id_col], value_set=qarr)),
+            batch_format="pyarrow",
+        ).to_pandas().sort_values(id_col)
+    else:
+        # deterministic default: first rows in storage order (parquet
+        # written sorted by id)
+        q = sel.limit(n_queries).to_pandas().sort_values(id_col)
     state_ref = ray.put((q[id_col].to_numpy(), _stack_embeddings(q, emb_col), cent))
     partials = ds.map_batches(
         _IvfScorer,
