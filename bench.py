@@ -55,6 +55,11 @@ def _timed(fn):
 
 
 def _init_ray():
+    # Workers inherit the raylet's env: exporting the polars thread pin
+    # BEFORE ray.init guarantees every worker's polars pool is size 1
+    # regardless of worker-side import order (a 32-thread pool in each of
+    # 32 workers oversubscribes the hash kernels badly — see CLAUDE.md).
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
     import ray
 
     ray.init(
@@ -68,6 +73,16 @@ def _init_ray():
 
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Push-based sort shuffle pipelines the map→merge exchange (measured
+    # on the flagship at 32 CPUs: 9.4 s → 7.8 s best); GRAFT_SHUFFLE
+    # overrides (sort_shuffle_pull_based | sort_shuffle_push_based |
+    # hash_shuffle — hash_shuffle measured 3× SLOWER for the 64-partition
+    # map_groups shape, its aggregator actors don't fit this job).
+    from ray.data.context import ShuffleStrategy
+
+    ctx.shuffle_strategy = ShuffleStrategy(
+        os.environ.get("GRAFT_SHUFFLE", "sort_shuffle_push_based")
+    )
     # Operator resource reservation (default: 50% of CPUs held back for
     # downstream ops) throttles the fused read→derive→combine stage to a
     # fraction of the machine (measured: flagship 14.3 s → 6.2 s at 8
@@ -102,12 +117,14 @@ def _warm_workers() -> None:
     def imp(b):
         import time as _t
 
+        # ORDER MATTERS: the package import pins POLARS_MAX_THREADS=1 and
+        # must come before polars itself or the pool sizes to all cores
+        import s_tsfe_dl_ray  # noqa: F401
+        from s_tsfe_dl_ray.stages import dedup, rollup, similarity, text  # noqa: F401
+
         import numpy  # noqa: F401
         import pandas  # noqa: F401
         import polars  # noqa: F401
-
-        import s_tsfe_dl_ray  # noqa: F401
-        from s_tsfe_dl_ray.stages import dedup, rollup, similarity, text  # noqa: F401
 
         _t.sleep(0.2)  # hold the worker so every slot spawns one
         return b
@@ -314,9 +331,58 @@ def scaling() -> None:
     }))
 
 
+def ceiling() -> None:
+    """Measure THIS BOX's 8→32-process scaling ceiling with pure-CPU
+    microbenchmarks (no Ray, no I/O): the upper bound any 8-vs-32-CPU
+    efficiency measurement on this machine can reach.
+
+    Two working-set sizes separate the effects: a ~156 KB array isolates
+    frequency/power inflation (all-core turbo drop under a full machine);
+    a ~1.5 MB array adds shared-L3 contention — the profile that matches
+    the flagship's parquet-block working sets.  See BASELINE.md.
+    """
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def worker(q, iters, size):
+        a = np.random.default_rng(0).random(size)
+        t0 = time.perf_counter()
+        s = 0.0
+        for _ in range(iters):
+            s += float(np.sum(np.sqrt(a) * a + 1.0001))
+        q.put(time.perf_counter() - t0)
+
+    out = {}
+    for label, size, iters in (("l2_156KB", 20_000, 3000), ("l3_1.5MB", 200_000, 300)):
+        per = {}
+        for nproc in (8, 32):
+            q = mp.Queue()
+            ps = [mp.Process(target=worker, args=(q, iters, size)) for _ in range(nproc)]
+            for p in ps:
+                p.start()
+            times = [q.get() for _ in ps]
+            for p in ps:
+                p.join()
+            per[nproc] = sum(times) / len(times)
+        # same fixed work per process: eff ceiling = throughput ratio / 4
+        out[label] = {
+            "per_proc_sec_8": round(per[8], 3),
+            "per_proc_sec_32": round(per[32], 3),
+            "eff_ceiling_8_to_32": round((32 * per[8] / per[32]) / 8 / 4, 3),
+        }
+    print(json.dumps({
+        "metric": "box scaling ceiling (pure-CPU fixed work per process, 8 vs 32 procs)",
+        "results": out,
+        "note": "any 8-vs-32-CPU efficiency measured on this box is bounded by these ceilings; they are properties of the VM (all-core frequency + shared L3), not of the dataflow",
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--ceiling" in sys.argv:
+        ceiling()
     elif "--flagship" in sys.argv:
         print(json.dumps(flagship()))
     elif "--query" in sys.argv:

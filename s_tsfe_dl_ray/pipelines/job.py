@@ -148,7 +148,20 @@ class TranscriptRollupJob:
             sum(1 for f in os.listdir(self.input_path) if f.endswith(".parquet"))
             if os.path.isdir(self.input_path) else 1
         )
-        nblocks = min(nfiles, max(int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "2")) * ncpu, 16)) if nfiles > 1 else None
+        if os.environ.get("GRAFT_NBLOCKS"):
+            nblocks = int(os.environ["GRAFT_NBLOCKS"])
+        elif nfiles > 1:
+            # target ≈ 2×CPUs, then round DOWN to an even files-per-task
+            # split: 306 shards into 64 tasks gives 4-or-5 files per task
+            # (1.25× row skew feeding straggler waves); 306 into 61 gives
+            # 5-per-task — near-equal tasks pack the waves tightly
+            target = max(int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "2")) * ncpu, 16)
+            if nfiles > target:
+                nblocks = nfiles // -(-nfiles // target)  # files per task rounded up
+            else:
+                nblocks = nfiles
+        else:
+            nblocks = None
         kw = {"override_num_blocks": nblocks} if nblocks else {}
         ds = read_transcripts(
             self.input_path, columns=["conv_id", "ts", "text", "tool"], **kw
