@@ -25,6 +25,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 from .rollup import _stable_pkey
@@ -147,9 +148,15 @@ def _collision_pairs(
                 vals = g[c].to_numpy()
                 car[c][0].extend(vals[ia])
                 car[c][1].extend(vals[ib])
-        cols = {"id_a": out_a, "id_b": out_b}
+        # type empty outputs from the input dtypes — an object-dtype empty
+        # list would become an Arrow null column and poison downstream
+        # schema unification / Acero joins
+        idt = df[id_col].dtype
+        cols = {"id_a": pd.Series(out_a, dtype=idt), "id_b": pd.Series(out_b, dtype=idt)}
         for c in carry:
-            cols[f"{c}_a"], cols[f"{c}_b"] = car[c]
+            cdt = df[c].dtype
+            cols[f"{c}_a"] = pd.Series(car[c][0], dtype=cdt)
+            cols[f"{c}_b"] = pd.Series(car[c][1], dtype=cdt)
         return pd.DataFrame(cols)
 
     tagged = banded.map_batches(add_pkey, batch_format="pyarrow")
@@ -286,33 +293,150 @@ def minhash_lsh_candidates(
     return _collision_pairs(banded, id_col=id_col, bucket_cols=["band_id", "band_hash"])
 
 
-class JaccardVerifier:
-    """Verify candidate pairs by exact shingle-set Jaccard.
+def _as_arrow_schema(ds: Dataset) -> pa.Schema:
+    """Dataset schema as a pyarrow Schema.  Pandas-backed datasets (e.g.
+    ``from_pandas`` in tests) report a PandasBlockSchema whose dtypes are
+    numpy; object dtype means strings in this engine's tables."""
+    s = ds.schema().base_schema
+    if isinstance(s, pa.Schema):
+        return s
 
-    The shingle sets are rebuilt from a *broadcast* id→text lookup of the
-    CANDIDATE ids only (``ray.put`` once, read per actor in ``__init__`` —
-    the small-side broadcast pattern, SURVEY.md §2.4).  The lookup is
-    produced by a distributed semi-join: the corpus is streamed through a
-    vectorized id-set filter and only matching (id, text) rows ever reach
-    the driver — candidates ≪ corpus, bounded by the LSH collision rate.
+    def conv(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    return pa.schema([(n, conv(t)) for n, t in zip(s.names, s.types)])
+
+
+def _pair_side_join(
+    pairs: Dataset,
+    side: Dataset,
+    *,
+    id_col: str,
+    value_cols: list[str],
+    carry: list[str] | None = None,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Attach per-id attributes to BOTH ends of candidate pairs, fully
+    partitioned — the distributed verify join (no broadcast, no driver hop).
+
+    Round 1 ("fetch"): every pair emits two request rows keyed by the id it
+    needs (``_rid`` = id_a for side 0, id_b for side 1); the side table
+    streams in under the same ``_pkey`` hash of its id; a per-partition
+    Acero hash join attaches the values (the side table's non-matching
+    majority drops here).  Round 2 ("recombine"): matched rows shuffle on
+    ``id_a`` and the two halves of each pair join back together.  Worst
+    case (candidates ≈ corpus — a duplicate-saturated crawl) the two
+    exchanges carry O(corpus + pairs) rows and nothing is ever collected
+    or broadcast, unlike the driver-side lookup this replaces.
+
+    Output columns: ``id_a, id_b, *carry, *<v>_a, *<v>_b``.
     """
+    carry = list(carry or [])
+    side_schema = _as_arrow_schema(side)
+    id_type = side_schema.field(id_col).type
+    val_types = {v: side_schema.field(v).type for v in value_cols}
+    pairs_schema = _as_arrow_schema(pairs)
+    carry_types = {c: pairs_schema.field(c).type for c in carry}
 
-    def __init__(self, texts_ref, shingle_n: int = 3):
-        import ray
+    # canonical typed schemas per stage: upstream map_groups emit
+    # COLUMN-LESS empty pandas blocks for empty partitions, which would
+    # otherwise unify to null-typed columns and break the Acero joins
+    tagged_schema = pa.schema(
+        [("_rid", id_type), ("id_a", id_type), ("id_b", id_type)]
+        + [(c, carry_types[c]) for c in carry]
+        + [(v, val_types[v]) for v in value_cols]
+        + [("_sd", pa.int8()), ("_pkey", pa.int64())]
+    )
+    matched_schema = pa.schema(
+        [("id_a", id_type), ("id_b", id_type)]
+        + [(c, carry_types[c]) for c in carry]
+        + [("_sd", pa.int8())]
+        + [(v, val_types[v]) for v in value_cols]
+        + [("_pkey2", pa.int64())]
+    )
+    out_schema = pa.schema(
+        [("id_a", id_type), ("id_b", id_type)]
+        + [(c, carry_types[c]) for c in carry]
+        + [(f"{v}_a", val_types[v]) for v in value_cols]
+        + [(f"{v}_b", val_types[v]) for v in value_cols]
+    )
 
-        self.texts: dict = ray.get(texts_ref)
-        self.shingle_n = shingle_n
+    def to_requests(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tagged_schema.empty_table()
+        t = t.combine_chunks()
+        n = t.num_rows
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        jac = np.empty(len(batch), dtype=np.float64)
-        for i, (a, b) in enumerate(zip(batch["id_a"], batch["id_b"])):
-            sa = set(word_shingles(self.texts[a], self.shingle_n))
-            sb = set(word_shingles(self.texts[b], self.shingle_n))
-            u = len(sa | sb)
-            jac[i] = (len(sa & sb) / u) if u else 1.0
-        batch = batch.copy()
-        batch["jaccard"] = jac
-        return batch
+        def dup(name):
+            col = t[name].chunks
+            return pa.concat_arrays(col + col)
+
+        cols = {
+            "_rid": pa.concat_arrays(t["id_a"].chunks + t["id_b"].chunks),
+            "id_a": dup("id_a"),
+            "id_b": dup("id_b"),
+        }
+        for c in carry:
+            cols[c] = dup(c)
+        for v in value_cols:
+            cols[v] = pa.nulls(2 * n, val_types[v])
+        cols["_sd"] = pa.array(np.repeat(np.array([0, 1], np.int8), n))
+        out = pa.table(cols)
+        return out.append_column("_pkey", _stable_pkey(out["_rid"], num_partitions))
+
+    def to_side(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tagged_schema.empty_table()
+        n = t.num_rows
+        cols = {
+            "_rid": t[id_col],
+            "id_a": pa.nulls(n, id_type),
+            "id_b": pa.nulls(n, id_type),
+        }
+        for c in carry:
+            cols[c] = pa.nulls(n, carry_types[c])
+        for v in value_cols:
+            cols[v] = t[v]
+        cols["_sd"] = pa.array(np.full(n, 2, np.int8))
+        out = pa.table(cols)
+        return out.append_column("_pkey", _stable_pkey(out["_rid"], num_partitions))
+
+    tagged = pairs.map_batches(to_requests, batch_format="pyarrow").union(
+        side.map_batches(to_side, batch_format="pyarrow")
+    )
+
+    def match(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "_sd" not in t.column_names:
+            return matched_schema.empty_table()
+        # empty upstream partitions surface as column-less blocks whose
+        # columns unify to null type during the sort — cast back (all-null
+        # columns cast to any type) so the Acero join sees real types
+        t = t.select(tagged_schema.names).cast(tagged_schema).combine_chunks()
+        req = t.filter(pc.not_equal(t["_sd"], 2)).select(
+            ["_rid", "id_a", "id_b", *carry, "_sd"])
+        sde = t.filter(pc.equal(t["_sd"], 2)).select(["_rid", *value_cols])
+        out = req.join(sde, keys="_rid", join_type="inner").drop_columns(["_rid"])
+        out = out.append_column("_pkey2", _stable_pkey(out["id_a"], num_partitions))
+        return out.select(matched_schema.names)
+
+    matched = tagged.groupby("_pkey").map_groups(match, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "_sd" not in t.column_names:
+            return out_schema.empty_table()
+        t = t.select(matched_schema.names).cast(matched_schema).combine_chunks()
+        a = t.filter(pc.equal(t["_sd"], 0)).select(["id_a", "id_b", *carry, *value_cols])
+        b = t.filter(pc.equal(t["_sd"], 1)).select(["id_a", "id_b", *value_cols])
+        a = a.rename_columns(["id_a", "id_b", *carry, *[f"{v}_a" for v in value_cols]])
+        b = b.rename_columns(["id_a", "id_b", *[f"{v}_b" for v in value_cols]])
+        return a.join(b, keys=["id_a", "id_b"], join_type="inner").select(out_schema.names)
+
+    return matched.groupby("_pkey2").map_groups(combine, batch_format="pyarrow")
 
 
 def minhash_dedup_pairs(
@@ -326,40 +450,35 @@ def minhash_dedup_pairs(
     seed: int = 42,
     shingle_n: int = 3,
 ) -> Dataset:
-    """Near-duplicate pairs with exact Jaccard ≥ threshold (LSH-pruned)."""
-    import ray
+    """Near-duplicate pairs with exact Jaccard ≥ threshold (LSH-pruned).
 
+    One streaming dataflow: LSH candidates → partitioned two-sided text
+    fetch (:func:`_pair_side_join`) → exact shingle-set Jaccard verify per
+    batch.  No materialization, no broadcast, no driver round-trip.
+    """
     cands = minhash_lsh_candidates(
         ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
         bands=bands, seed=seed, shingle_n=shingle_n,
-    ).materialize()  # used twice: id set + verify input (small by design)
-    # Semi-join re-read: only texts whose id appears in a candidate pair
-    # cross to the driver.  The corpus itself is never materialized — it
-    # streams through a vectorized isin() filter.
-    ids = cands.select_columns(["id_a", "id_b"]).to_pandas()
-    need = pa.array(pd.unique(pd.concat([ids["id_a"], ids["id_b"]], ignore_index=True)))
-    need_ref = ray.put(need)
-
-    class _IdFilter:
-        def __init__(self, need_ref):
-            self.need = ray.get(need_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return t.filter(pa.compute.is_in(t[id_col], value_set=self.need))
-
-    texts_small = (
-        ds.select_columns([id_col, text_col])
-        .map_batches(_IdFilter, fn_constructor_kwargs={"need_ref": need_ref},
-                     batch_format="pyarrow", concurrency=(1, 8))
-        .to_pandas()
     )
-    ref = ray.put(dict(zip(texts_small[id_col], texts_small[text_col])))
-    verified = cands.map_batches(
-        JaccardVerifier, fn_constructor_kwargs={"texts_ref": ref, "shingle_n": shingle_n},
-        batch_format="pandas", concurrency=(1, 16),
-    )
+    corpus = ds.select_columns([id_col, text_col])
+    if text_col != "text":
+        corpus = corpus.rename_columns({text_col: "text"})
+    withtexts = _pair_side_join(cands, corpus, id_col=id_col, value_cols=["text"])
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        jac = np.empty(len(batch), dtype=np.float64)
+        for i, (ta, tb) in enumerate(zip(batch["text_a"], batch["text_b"])):
+            sa = set(word_shingles(ta, shingle_n))
+            sb = set(word_shingles(tb, shingle_n))
+            u = len(sa | sb)
+            jac[i] = (len(sa & sb) / u) if u else 1.0
+        out = batch[["id_a", "id_b"]].copy()
+        out["jaccard"] = jac
+        return out
+
+    verified = withtexts.map_batches(verify, batch_format="pandas")
     return verified.map_batches(
-        lambda t: t.filter(pa.compute.greater_equal(t["jaccard"], threshold)),
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
         batch_format="pyarrow",
     )
 
@@ -455,115 +574,94 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     num_partitions: int = 64,
+    max_gram_df: int | None = None,
 ) -> Dataset:
     """All pairs with word-``n``-gram Jaccard ≥ threshold — EXACT.
 
-    Dataflow: explode distinct grams per doc (vectorized hash) →
-    inverted-index shuffle on hash(gram) → per-partition pair counting
-    (intersection sizes) → merge counts per pair → jaccard =
-    inter / (|A| + |B| − inter).  The |·| sizes are semi-joined to pair
-    ids (corpus streams through an isin() filter; only pair ids' sizes
-    are computed and broadcast — never the corpus-wide size table).
+    Dataflow: explode distinct grams per doc (vectorized hash), each gram
+    row CARRYING its doc's total distinct-gram count → inverted-index
+    shuffle on hash(gram) → per-partition pair counting (intersection
+    partials, sizes riding along) → one pair-key merge → jaccard =
+    inter / (sz_a + sz_b − inter).  Because every gram row knows its doc's
+    size, no size table, broadcast, or driver round-trip exists anywhere —
+    the whole op is two hash exchanges and stays streaming at any corpus
+    size.
 
-    Hot grams (stopword-only n-grams) make their bucket quadratic; real
-    deployments drop grams with document frequency above a cap before the
-    pair stage — the synthetic corpora here don't need it, so the cap is
-    left to the caller via a pre-filter.
+    ``max_gram_df``: drop grams appearing in more than this many documents
+    before pair expansion.  A stopword-only gram over a web-scale corpus
+    otherwise makes its bucket quadratic (DF² candidate pairs).  Each
+    gram's exact document frequency is already complete inside its hash
+    partition, so the cap costs one vectorized value_counts — no extra
+    pass.  Semantics with a cap: a pair is found iff the docs share at
+    least one sub-cap gram, and its reported ``inter`` (hence jaccard)
+    excludes hot grams — a lower bound.  ``None`` (default) disables the
+    cap — fully exact; the SQL-oracle path uses None.
     """
-    import ray
-
     if text_col != "text":
         ds = ds.rename_columns({text_col: "text"})
     ds = ds.select_columns(["text", id_col]).repartition(32)
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
-        ids, ghs, szs_id, szs = [], [], [], []
+        ids, ghs, szs = [], [], []
         for rid, text in zip(b[id_col], b["text"]):
             grams = set(word_shingles(text, n, strict=True))
-            szs_id.append(rid)
-            szs.append(len(grams))
             if grams:
                 hs = np.unique(_stable_u64(np.array(sorted(grams), dtype=object)))
                 ids.extend([rid] * len(hs))
                 ghs.extend(hs.view(np.int64))
-        return pd.DataFrame({id_col: ids, "gram": ghs})
+                szs.extend([len(grams)] * len(hs))
+        return pd.DataFrame({id_col: ids, "gram": ghs, "sz": np.asarray(szs, dtype=np.int64)})
 
     grams_ds = ds.map_batches(explode, batch_format="pandas")
 
     def add_pkey(t: pa.Table) -> pa.Table:
         return t.append_column("_pkey", _stable_pkey(t["gram"], num_partitions))
 
+    empty = pd.DataFrame({
+        "id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+        "inter": pd.Series(dtype="int64"),
+        "sz_a": pd.Series(dtype="int64"), "sz_b": pd.Series(dtype="int64"),
+    })
+
     def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
         dup = df[df.duplicated(["gram"], keep=False)]
-        out_a, out_b = [], []
+        if max_gram_df is not None and len(dup):
+            # each gram is COMPLETE within this partition → value_counts is
+            # its exact corpus-wide document frequency
+            dfreq = dup["gram"].value_counts()
+            dup = dup[dup["gram"].map(dfreq) <= max_gram_df]
+        out_a, out_b, sz_a, sz_b = [], [], [], []
         for _, g in dup.groupby("gram", sort=False):
-            ids = np.unique(g[id_col].to_numpy())
-            if len(ids) < 2:
+            gu = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            if len(gu) < 2:
                 continue
+            ids = gu[id_col].to_numpy()
+            szs = gu["sz"].to_numpy()
             ia, ib = np.triu_indices(len(ids), k=1)
             out_a.extend(ids[ia])
             out_b.extend(ids[ib])
-        d = pd.DataFrame({"id_a": out_a, "id_b": out_b})
-        if len(d) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "inter": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "inter": "int64"})
-        return d.groupby(["id_a", "id_b"], as_index=False).size().rename(columns={"size": "inter"})
+            sz_a.extend(szs[ia])
+            sz_b.extend(szs[ib])
+        if not out_a:
+            return empty
+        d = pd.DataFrame({"id_a": out_a, "id_b": out_b, "sz_a": sz_a, "sz_b": sz_b})
+        return d.groupby(["id_a", "id_b"], as_index=False).agg(
+            inter=("sz_a", "size"), sz_a=("sz_a", "first"), sz_b=("sz_b", "first")
+        )
 
     tagged = grams_ds.map_batches(add_pkey, batch_format="pyarrow")
     partial_counts = tagged.groupby("_pkey").map_groups(count_pairs, batch_format="pandas")
     merged = _grouped_min(
-        partial_counts, group_cols=["id_a", "id_b"], agg_cols=[("inter", "sum")], pkey_col="id_a"
-    ).materialize()  # used twice: pair-id set + scoring input (small)
-
-    # per-doc distinct-gram sizes, SEMI-JOINED to pair ids: the corpus-wide
-    # (id, sz) table is never driver-materialized — it streams through a
-    # vectorized isin() filter and only pair ids' sizes are broadcast.
-    pair_ids = merged.select_columns(["id_a", "id_b"]).to_pandas()
-    need = pa.array(pd.unique(pd.concat([pair_ids["id_a"], pair_ids["id_b"]],
-                                        ignore_index=True)))
-    need_ref = ray.put(need)
-
-    class _SizeFilter:
-        def __init__(self, need_ref):
-            import ray as _ray
-
-            self.need = _ray.get(need_ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            m = pa.compute.is_in(pa.array(b[id_col]), value_set=self.need).to_numpy(
-                zero_copy_only=False
-            )
-            sub = b[m]
-            return pd.DataFrame({
-                id_col: sub[id_col],
-                "sz": [len(set(word_shingles(t, n, strict=True))) for t in sub["text"]],
-            })
-
-    sizes = ds.map_batches(
-        _SizeFilter, fn_constructor_kwargs={"need_ref": need_ref},
-        batch_format="pandas", concurrency=(1, 8),
-    ).to_pandas()
-    sizes_ref = ray.put(dict(zip(sizes[id_col], sizes["sz"])))
-
-    class _Jaccard:
-        def __init__(self, sizes_ref):
-            import ray as _ray
-
-            self.sz = _ray.get(sizes_ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            sa = b["id_a"].map(self.sz).to_numpy(dtype=np.float64)
-            sb = b["id_b"].map(self.sz).to_numpy(dtype=np.float64)
-            inter = b["inter"].to_numpy(dtype=np.float64)
-            b = b[["id_a", "id_b"]].copy()
-            b["jaccard"] = inter / (sa + sb - inter)
-            return b
-
-    scored = merged.map_batches(
-        _Jaccard, fn_constructor_kwargs={"sizes_ref": sizes_ref},
-        batch_format="pandas", concurrency=(1, 8),
+        partial_counts, group_cols=["id_a", "id_b"],
+        agg_cols=[("inter", "sum"), ("sz_a", "min"), ("sz_b", "min")], pkey_col="id_a",
     )
-    return scored.map_batches(
-        lambda t: t.filter(pa.compute.greater_equal(t["jaccard"], threshold)),
-        batch_format="pyarrow",
-    )
+
+    def score(t: pa.Table) -> pa.Table:
+        inter = t["inter"].to_numpy().astype(np.float64)
+        sa = t["sz_a"].to_numpy().astype(np.float64)
+        sb = t["sz_b"].to_numpy().astype(np.float64)
+        jac = inter / (sa + sb - inter)
+        out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "jaccard": pa.array(jac)})
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return merged.map_batches(score, batch_format="pyarrow")

@@ -108,3 +108,54 @@ def test_simhash_signature_deterministic(dup_docs):
     a = to_pdf(simhash_signatures(ds, id_col="doc_id")).sort_values("doc_id")
     b = to_pdf(simhash_signatures(ds, id_col="doc_id")).sort_values("doc_id")
     assert (a.simhash.to_numpy() == b.simhash.to_numpy()).all()
+
+
+def test_ngram_jaccard_exact_and_hot_gram_cap():
+    """ngram_jaccard_pairs matches the brute-force oracle; with a DF cap a
+    stopword-flooded corpus stays bounded (hot gram skipped) while pairs
+    sharing any rare gram are still found."""
+    from s_tsfe_dl_ray.stages.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = np.array("red orange yellow green blue indigo violet cyan".split())
+    # every doc starts with the same 3 stopwords -> one gram with DF = n_docs
+    docs = []
+    for i in range(30):
+        body = " ".join(rng.choice(vocab, size=12))
+        docs.append({"doc_id": i, "text": "the of and " + body})
+    # planted near-dup pair sharing many rare grams
+    docs.append({"doc_id": 100, "text": docs[0]["text"] + " extra"})
+    df = pd.DataFrame(docs)
+    ds = ray.data.from_pandas(df)
+
+    uncapped = to_pdf(ngram_jaccard_pairs(ds, id_col="doc_id", n=3, threshold=0.3))
+    exp = _exact_jaccard_pairs_strict(df, 3, 0.3)
+    assert set(zip(uncapped.id_a.astype(int), uncapped.id_b.astype(int))) == set(exp)
+    for (a, b), j in exp.items():
+        row = uncapped[(uncapped.id_a == a) & (uncapped.id_b == b)]
+        assert abs(float(row.jaccard.iloc[0]) - j) < 1e-12
+
+    # cap below the stopword gram's DF: the hot gram is excluded from
+    # intersections, so scores are lower bounds; the planted pair still
+    # surfaces through its many rare shared grams
+    capped = to_pdf(ngram_jaccard_pairs(ds, id_col="doc_id", n=3, threshold=0.3,
+                                        max_gram_df=5))
+    capped_pairs = set(zip(capped.id_a.astype(int), capped.id_b.astype(int)))
+    assert (0, 100) in capped_pairs
+    # no pair can exceed its uncapped jaccard
+    for r in capped.itertuples():
+        assert r.jaccard <= exp[(int(r.id_a), int(r.id_b))] + 1e-12
+
+
+def _exact_jaccard_pairs_strict(df: pd.DataFrame, n: int, threshold: float) -> dict:
+    from s_tsfe_dl_ray.stages.dedup import word_shingles
+
+    sets = {r.doc_id: set(word_shingles(r.text, n, strict=True)) for r in df.itertuples()}
+    ids = sorted(sets)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            u = len(sets[a] | sets[b])
+            if u and len(sets[a] & sets[b]) / u >= threshold:
+                out[(a, b)] = len(sets[a] & sets[b]) / u
+    return out
