@@ -101,7 +101,7 @@ class TranscriptRollupJob:
         out_dir: str,
         *,
         tiers: tuple[str, ...] = TIER_ORDER,
-        n_buckets: int = 32,
+        n_buckets: int | None = 32,
         gapfill_mode: str | None = None,
         encode_series: bool = False,
     ):
@@ -121,9 +121,33 @@ class TranscriptRollupJob:
         self.input_path = input_path
         self.out_dir = out_dir
         self.tiers = tiers
-        self.n_buckets = n_buckets
+        self.n_buckets = n_buckets if n_buckets is not None else self._auto_n_buckets()
         self.gapfill_mode = gapfill_mode
         self.encode_series = encode_series
+
+    def _auto_n_buckets(self) -> int:
+        """``n_buckets=None``: scale the bucket count with input size so a
+        bucket group's in-memory rows stay bounded as the corpus grows.
+
+        A bucket group holds NARROW rows (conv_id, ts, token_len,
+        is_tool_call — never text; ~48 B/row in-memory) on the encode
+        path, or only combiner partials on the default path.  Target
+        ≈256 MiB of narrow rows per bucket, floor 32: at 20M turns this
+        resolves to 32 (unchanged behavior); at 10^12 turns it resolves
+        to ~180k buckets, keeping the per-group footprint flat — the
+        100×-scale fix for the whole-bucket ``to_pandas`` in
+        ``_write_combined`` (a single conversation larger than a bucket
+        is the remaining hazard; the series codec's ``salt_every_us``
+        pattern covers that case, state/encode.py:62-92).
+
+        Derived from immutable input parquet metadata, so run and resume
+        agree (and the manifest records n_buckets; resume refuses on
+        mismatch)."""
+        rows = 0
+        for frag in self._input_fragments():
+            rows += pq.ParquetFile(frag).metadata.num_rows
+        target_rows = (256 << 20) // 48
+        return max(32, -(-rows // target_rows))
 
     # -- stages -----------------------------------------------------------
 
@@ -246,6 +270,7 @@ class TranscriptRollupJob:
             "engine_version": _ENGINE_VERSION,
             "input_fragments_hash": frag_hash,
             "bucket_hash_fingerprint": hash_fp or _bucket_hash_fingerprint(),
+            "n_buckets": self.n_buckets,
             "n_convs": int(pc.count_distinct(partial_t["conv_id"]).as_py()),
             "tiers": {},
         }
@@ -391,6 +416,14 @@ class TranscriptRollupJob:
                 f"would reassign conversations across buckets — recompute "
                 f"from scratch (clear {self.out_dir})"
             )
+        nb_mismatch = [b for b, rec in done.items()
+                       if rec.get("n_buckets", self.n_buckets) != self.n_buckets]
+        if nb_mismatch:
+            raise RuntimeError(
+                f"manifest buckets {nb_mismatch} were written with a "
+                f"different n_buckets; resuming would reassign "
+                f"conversations across buckets (clear {self.out_dir})"
+            )
         todo = [b for b in range(self.n_buckets) if b not in done]
         if not todo:
             return {"completed": self.n_buckets, "newly_written": 0, "skipped": len(done)}
@@ -406,6 +439,7 @@ class TranscriptRollupJob:
                     "engine_version": _ENGINE_VERSION,
                     "input_fragments_hash": frag_hash,
                     "bucket_hash_fingerprint": fp,
+                    "n_buckets": self.n_buckets,
                     "n_convs": 0,
                     "tiers": {t: {"rows": 0} for t in self.tiers},
                 })

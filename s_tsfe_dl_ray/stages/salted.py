@@ -1,0 +1,195 @@
+"""Salted mega-key execution for ordered per-key scans.
+
+``grouped_apply`` requires a key's FULL history inside one partition —
+fine for conversations, fatal for a key whose stream exceeds a worker's
+heap (SURVEY.md §7.4 hot-key note; the reference streams one long series
+without materializing it, timeseries_batch_generator.py:289-295).
+
+This module generalizes the ``salt_every_us`` pattern proven in
+``state/encode.py`` to ANY ordered scan, as a classic two-pass parallel
+prefix:
+
+    pass 1  rows → (key, time-chunk) groups → one tiny SUMMARY row per
+            chunk (e.g. the chunk's sum / last ts / tail values);
+    bridge  per-key sequential fold of the summaries (chunks per key are
+            few — summaries are tiny) → the CARRY-IN state each chunk
+            needs from everything before it;
+    pass 2  rows again → same (key, chunk) groups, now with each group's
+            carry routed into its partition through the shuffle itself
+            (union-tagged, never broadcast, never via the driver) →
+            ``apply(chunk_rows, carry_in)`` emits the final output.
+
+The salt is a pure function of ``ts`` (computable before any shuffle),
+so no partition ever holds more than one time-chunk of a hot key.  The
+input is read twice (the price of a streaming two-pass scan); nothing is
+ever materialized.
+
+Carries/summaries travel as JSON strings — op-defined dicts of scalars
+or small lists; Python json round-trips float64 exactly.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from .rollup import _stable_pkey
+
+
+def _chunk_tag(t: pa.Table, key: str, ts_col: str, salt_every_us: int,
+               num_partitions: int) -> pa.Table:
+    """Append chunk_salt = floor(ts/salt) and _pkey = mix(hash(key), salt)
+    — the exact salting used by state/encode.py (encode.py:78-92)."""
+    import polars as pl
+
+    arr = t[key].combine_chunks() if isinstance(t[key], pa.ChunkedArray) else t[key]
+    h = pl.Series(arr).hash(seed=0).to_numpy()
+    ts_us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+    salt = np.floor_divide(ts_us, salt_every_us)
+    pk = (
+        (h + salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        % np.uint64(num_partitions)
+    ).astype(np.int64)
+    t = t.append_column("chunk_salt", pa.array(salt.astype(np.int64)))
+    return t.append_column("_pkey", pa.array(pk))
+
+
+def salted_scan(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    salt_every_us: int,
+    summarize,
+    step,
+    apply,
+    order_by: list[str] | None = None,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Run an ordered per-key scan with (key, time-chunk) salting.
+
+    ``summarize(chunk_df) -> dict``: the chunk's boundary summary (rows
+    arrive sorted by ``order_by``).
+    ``step(carry_in: dict | None, summary: dict) -> dict``: fold one
+    chunk's summary into the carry; ``None`` marks the key's first chunk.
+    ``apply(chunk_df, carry_in: dict | None) -> DataFrame``: produce the
+    chunk's output given the carry from all earlier chunks.
+
+    Partitioning assumption: one (key, time-chunk) group is complete
+    within one partition — never a whole key.
+    """
+    order_by = order_by or [ts_col]
+    sort_cols = [key, "chunk_salt"] + order_by
+
+    def tag(t: pa.Table) -> pa.Table:
+        return _chunk_tag(t, key, ts_col, salt_every_us, num_partitions)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    # -- pass 1: per-chunk summaries (tiny rows) --------------------------
+    def summarize_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series(dtype="object"),
+                                 "chunk_salt": pd.Series(dtype="int64"),
+                                 "_summary": pd.Series(dtype="object")})
+        df = df.sort_values(sort_cols, kind="mergesort")
+        out_k, out_s, out_j = [], [], []
+        for (k, s), g in df.groupby([key, "chunk_salt"], sort=False):
+            out_k.append(k)
+            out_s.append(s)
+            out_j.append(json.dumps(summarize(g)))
+        return pd.DataFrame({key: out_k, "chunk_salt": out_s, "_summary": out_j})
+
+    summaries = tagged.groupby("_pkey").map_groups(
+        summarize_partition, batch_format="pandas")
+
+    # -- bridge: per-key sequential fold over chunk summaries -------------
+    # summaries are one tiny row per (key, chunk): a key with thousands of
+    # chunks still folds in microseconds, and THIS grouping (key-complete)
+    # only ever holds summaries, never rows
+    def fold_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("chunk_salt", kind="mergesort")
+        carry = None
+        outs = []
+        for s_json in g["_summary"]:
+            outs.append(json.dumps(carry))
+            carry = step(carry, json.loads(s_json))
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            "chunk_salt": g["chunk_salt"].to_numpy(),
+            "_carry": outs,
+        })
+
+    from .grouped import grouped_apply
+
+    carries = grouped_apply(summaries, keys=[key], fn=fold_key,
+                            num_partitions=num_partitions)
+
+    # -- pass 2: rows + carries co-shuffled, apply per chunk --------------
+    from .dedup import _as_arrow_schema
+
+    data_schema = _as_arrow_schema(ds)
+    union_schema = pa.schema(
+        list(data_schema)
+        + [pa.field("chunk_salt", pa.int64()), pa.field("_carry", pa.string()),
+           pa.field("_kind", pa.int8()), pa.field("_pkey", pa.int64())]
+    )
+
+    def tag_data(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return union_schema.empty_table()
+        t = _chunk_tag(t, key, ts_col, salt_every_us, num_partitions)
+        t = t.append_column("_carry", pa.nulls(t.num_rows, pa.string()))
+        t = t.append_column("_kind", pa.array(np.zeros(t.num_rows, np.int8)))
+        return t.select(union_schema.names)
+
+    def tag_carry(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return union_schema.empty_table()
+        cols = {}
+        for f in data_schema:
+            if f.name == key:
+                cols[f.name] = t[key].cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(t.num_rows, f.type)
+        cols["chunk_salt"] = t["chunk_salt"]
+        cols["_carry"] = t["_carry"]
+        cols["_kind"] = pa.array(np.ones(t.num_rows, np.int8))
+        out = pa.table(cols)
+        # identical _pkey mix as the data rows: hash(key) + salt mix
+        import polars as pl
+
+        arr = out[key].combine_chunks()
+        h = pl.Series(arr).hash(seed=0).to_numpy()
+        salt = out["chunk_salt"].to_numpy()
+        pk = ((h + salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+              % np.uint64(num_partitions)).astype(np.int64)
+        return out.append_column("_pkey", pa.array(pk))
+
+    unioned = ds.map_batches(tag_data, batch_format="pyarrow").union(
+        carries.map_batches(tag_carry, batch_format="pyarrow")
+    )
+
+    def apply_partition(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0 or "_kind" not in t.column_names:
+            return apply(pd.DataFrame(), None)
+        t = t.select(union_schema.names).cast(union_schema)
+        kind = t["_kind"]
+        data = t.filter(pc.equal(kind, 0)).drop_columns(["_carry", "_kind", "_pkey"])
+        cdf = t.filter(pc.equal(kind, 1)).select([key, "chunk_salt", "_carry"]).to_pandas()
+        carry_of = {(k, s): (json.loads(c) if c is not None else None)
+                    for k, s, c in zip(cdf[key], cdf["chunk_salt"], cdf["_carry"])}
+        df = data.to_pandas().sort_values(sort_cols, kind="mergesort")
+        outs = []
+        for (k, s), g in df.groupby([key, "chunk_salt"], sort=False):
+            outs.append(apply(g.drop(columns=["chunk_salt"]), carry_of.get((k, s))))
+        if not outs:
+            return apply(pd.DataFrame(), None)
+        return pd.concat(outs, ignore_index=True)
+
+    return unioned.groupby("_pkey").map_groups(apply_partition, batch_format="pyarrow")

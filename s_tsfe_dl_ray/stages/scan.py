@@ -96,14 +96,81 @@ def ordered_scan(
     keys: list[str],
     order_by: list[str],
     scans: dict[str, tuple[str, str]],
+    salt_every_us: int | None = None,
 ) -> Dataset:
     """Add running-aggregate columns per key.
 
     ``scans``: out_col -> (input_col, kind) with kind in
     {cumsum, cummax, cummin, cumcount}.  ``order_by`` must be a total
     order within each key (include a tiebreaker column, e.g. event_id).
-    """
-    inst = _ScanGroup(order_by, scans)
-    from .grouped import grouped_apply
 
-    return grouped_apply(ds, keys=keys, fn=inst)
+    ``salt_every_us``: mega-key mode.  When set, no partition ever holds
+    more than one time-chunk of a key — the scan runs as a two-pass
+    salted prefix (stages/salted.py): chunk-local scans, a per-key fold
+    of tiny chunk summaries (sum/max/min/count), then a second pass that
+    adds each chunk's carry.  Output equals the unsalted scan exactly
+    (integer/monotone combiners).  Requires a single key whose first
+    ``order_by`` column is the timestamp.
+    """
+    if salt_every_us is None:
+        inst = _ScanGroup(order_by, scans)
+        from .grouped import grouped_apply
+
+        return grouped_apply(ds, keys=keys, fn=inst)
+
+    if len(keys) != 1:
+        raise ValueError("salted ordered_scan requires a single key")
+    import numpy as np
+
+    from .salted import salted_scan
+
+    ts_col = order_by[0]
+
+    def summarize(g: pd.DataFrame) -> dict:
+        out = {}
+        for out_col, (col, kind) in scans.items():
+            if kind == "cumsum":
+                out[out_col] = g[col].sum().item()
+            elif kind == "cummax":
+                out[out_col] = g[col].max().item()
+            elif kind == "cummin":
+                out[out_col] = g[col].min().item()
+            else:  # cumcount
+                out[out_col] = int(len(g))
+        return out
+
+    def step(carry: dict | None, s: dict) -> dict:
+        if carry is None:
+            return s
+        out = {}
+        for out_col, (col, kind) in scans.items():
+            a, b = carry[out_col], s[out_col]
+            if kind in ("cumsum", "cumcount"):
+                out[out_col] = a + b
+            elif kind == "cummax":
+                out[out_col] = max(a, b)
+            else:
+                out[out_col] = min(a, b)
+        return out
+
+    def apply(g: pd.DataFrame, carry: dict | None) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        g = g.sort_values(order_by, kind="mergesort")
+        for out_col, (col, kind) in scans.items():
+            local = _SCAN_FNS[kind](g[col])
+            if carry is not None:
+                c = carry[out_col]
+                if kind in ("cumsum", "cumcount"):
+                    local = local + c
+                elif kind == "cummax":
+                    local = np.maximum(local, c)
+                else:
+                    local = np.minimum(local, c)
+            g[out_col] = local
+        return g
+
+    return salted_scan(
+        ds, key=keys[0], ts_col=ts_col, salt_every_us=salt_every_us,
+        summarize=summarize, step=step, apply=apply, order_by=order_by,
+    )

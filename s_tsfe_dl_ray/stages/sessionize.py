@@ -98,9 +98,18 @@ def sessionize(
     ts_col: str,
     order_by: list[str] | None = None,
     gap: str | int = "30m",
+    salt_every_us: int | None = None,
 ) -> Dataset:
     """Session windows per key with inactivity threshold ``gap``
-    (seconds if int, or '30m'/'1h' shorthand)."""
+    (seconds if int, or '30m'/'1h' shorthand).
+
+    ``salt_every_us``: mega-key mode (stages/salted.py).  Each time chunk
+    sessionizes locally with globally-correct session ids derived from a
+    per-key fold of (first_ts, last_ts, n_sessions) chunk summaries; a
+    session spanning a chunk boundary appears as partial rows sharing one
+    session_id and is merged by a final vectorized per-key reduce.  No
+    partition ever holds a hot key's full history; output equals the
+    unsalted path."""
     if isinstance(gap, str):
         unit = gap[-1]
         mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
@@ -108,7 +117,77 @@ def sessionize(
     else:
         gap_us = int(gap) * 1_000_000
     order_by = order_by or [ts_col]
-    inst = _SessionizeGroup(keys, ts_col, order_by, gap_us)
-    from .grouped import grouped_apply
+    if salt_every_us is None:
+        inst = _SessionizeGroup(keys, ts_col, order_by, gap_us)
+        from .grouped import grouped_apply
 
-    return grouped_apply(ds, keys=keys, fn=inst)
+        return grouped_apply(ds, keys=keys, fn=inst)
+
+    if len(keys) != 1:
+        raise ValueError("salted sessionize requires a single key")
+    key = keys[0]
+    from .salted import salted_scan
+
+    def _ts_int(g: pd.DataFrame) -> pd.Series:
+        return g[ts_col].astype("datetime64[us]").astype("int64")
+
+    def summarize(g: pd.DataFrame) -> dict:
+        ts = _ts_int(g)
+        n_sessions = int((ts.diff() > gap_us).sum()) + 1
+        return {"first_ts": int(ts.iloc[0]), "last_ts": int(ts.iloc[-1]),
+                "n_sessions": n_sessions}
+
+    def step(carry: dict | None, s: dict) -> dict:
+        if carry is None:
+            return {"last_ts": s["last_ts"], "next_id": s["n_sessions"]}
+        merged = (s["first_ts"] - carry["last_ts"]) <= gap_us
+        base = carry["next_id"] - (1 if merged else 0)
+        return {"last_ts": s["last_ts"], "next_id": base + s["n_sessions"]}
+
+    def apply(g: pd.DataFrame, carry: dict | None) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                key: pd.Series(dtype="object"),
+                "session_id": pd.Series(dtype="int64"),
+                "session_start": pd.Series(dtype="datetime64[us]"),
+                "session_end": pd.Series(dtype="datetime64[us]"),
+                "n_rows": pd.Series(dtype="int64"),
+            })
+        g = g.sort_values(order_by, kind="mergesort")
+        ts = _ts_int(g)
+        local_sid = (ts.diff() > gap_us).cumsum().astype("int64")
+        if carry is not None:
+            # the chunk's first session either continues the previous
+            # chunk's last session (same id) or opens the next id
+            merged = (int(ts.iloc[0]) - carry["last_ts"]) <= gap_us
+            local_sid = local_sid + (carry["next_id"] - 1 if merged else carry["next_id"])
+        out = (
+            g.assign(session_id=local_sid)
+            .groupby("session_id", sort=True)
+            .agg(session_start=(ts_col, "min"), session_end=(ts_col, "max"),
+                 n_rows=(ts_col, "size"))
+            .reset_index()
+        )
+        out[key] = g[key].iloc[0]
+        return out[[key, "session_id", "session_start", "session_end", "n_rows"]]
+
+    partial = salted_scan(
+        ds, key=key, ts_col=ts_col, salt_every_us=salt_every_us,
+        summarize=summarize, step=step, apply=apply, order_by=order_by,
+    )
+    # boundary sessions span chunks as partial rows with one session_id
+    from .dedup import _grouped_min
+
+    merged = _grouped_min(
+        partial, group_cols=[key, "session_id"],
+        agg_cols=[("session_start", "min"), ("session_end", "max"), ("n_rows", "sum")],
+        pkey_col=key,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["duration_sec"] = (b["session_end"] - b["session_start"]).dt.total_seconds()
+        return b[[key, "session_id", "session_start", "session_end", "n_rows",
+                  "duration_sec"]]
+
+    return merged.map_batches(finish, batch_format="pandas")

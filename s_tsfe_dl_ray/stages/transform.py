@@ -52,15 +52,55 @@ def rolling_mean(
     col: str,
     window: int,
     out_col: str | None = None,
+    salt_every_us: int | None = None,
 ) -> Dataset:
     """Trailing moving average over the ``window`` most recent rows per
     key (min_periods=1: partial windows at the head are averaged over
-    what exists — the reference's 'same'-edge behavior)."""
-    out_col = out_col or f"{col}_ma{window}"
-    inst = _RollingGroup(col, out_col, window, order_by)
-    from .grouped import grouped_apply
+    what exists — the reference's 'same'-edge behavior).
 
-    return grouped_apply(ds, keys=keys, fn=inst)
+    ``salt_every_us``: mega-key mode (stages/salted.py) — each time chunk
+    carries only the previous chunks' last ``window-1`` values as its
+    summary, so no partition ever holds a hot key's full history.  Values
+    agree with the unsalted path to float64 rolling precision (pandas'
+    sliding-sum accumulator starts at a different offset per chunk)."""
+    out_col = out_col or f"{col}_ma{window}"
+    if salt_every_us is None:
+        inst = _RollingGroup(col, out_col, window, order_by)
+        from .grouped import grouped_apply
+
+        return grouped_apply(ds, keys=keys, fn=inst)
+
+    if len(keys) != 1:
+        raise ValueError("salted rolling_mean requires a single key")
+    from .salted import salted_scan
+
+    ts_col = order_by[0]
+    keep = window - 1
+
+    def summarize(g: pd.DataFrame) -> dict:
+        return {"tail": [float(v) for v in g[col].to_numpy()[-keep:]] if keep else []}
+
+    def step(carry: dict | None, s: dict) -> dict:
+        prev = carry["tail"] if carry else []
+        return {"tail": (prev + s["tail"])[-keep:] if keep else []}
+
+    def apply(g: pd.DataFrame, carry: dict | None) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        g = g.sort_values(order_by, kind="mergesort")
+        prev = carry["tail"] if carry else []
+        s = pd.concat(
+            [pd.Series(prev, dtype="float64"), g[col].astype("float64")],
+            ignore_index=True,
+        )
+        r = s.rolling(window, min_periods=1).mean()
+        g[out_col] = r.iloc[len(prev):].to_numpy()
+        return g
+
+    return salted_scan(
+        ds, key=keys[0], ts_col=ts_col, salt_every_us=salt_every_us,
+        summarize=summarize, step=step, apply=apply, order_by=order_by,
+    )
 
 
 def standardize(ds: Dataset, *, cols: list[str], suffix: str = "_z") -> Dataset:

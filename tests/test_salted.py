@@ -1,0 +1,108 @@
+"""Salted mega-key scans: salted == unsalted for sessionize / ordered
+scan / rolling mean on a key whose history spans ~100 salt chunks.
+
+The mega-key guarantee under test (stages/salted.py): no partition ever
+holds more than one time-chunk of a key, yet the output matches the
+key-complete path exactly (scan/sessionize) or to float64 rolling
+precision (rolling mean).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from conftest import to_pdf
+
+SALT_US = 3_600_000_000  # 1h chunks
+
+
+def _corpus() -> pd.DataFrame:
+    """One mega key spanning ~100 one-hour chunks + two small keys.
+
+    Timestamp steps are irregular and include inactivity gaps placed to
+    cross chunk boundaries (the hard case for salted sessionize)."""
+    rng = np.random.default_rng(3)
+    rows = []
+    t = np.int64(1_700_000_000_000_000)  # µs epoch
+    for i in range(4000):
+        # mostly 30-120s steps; every ~200 rows a 40-90min gap (> 30m
+        # session gap, and long enough to skip whole 1h chunks sometimes)
+        if i % 200 == 199:
+            t += rng.integers(40 * 60, 90 * 60) * 1_000_000
+        else:
+            t += rng.integers(30, 120) * 1_000_000
+        rows.append({"user_id": "mega", "event_id": i,
+                     "ts": pd.Timestamp(t, unit="us"),
+                     "value": float(rng.normal(10, 3))})
+    t2 = np.int64(1_700_050_000_000_000)
+    for k in ("small-a", "small-b"):
+        for i in range(37):
+            t2 += rng.integers(10, 4000) * 1_000_000
+            rows.append({"user_id": k, "event_id": 10_000 + i,
+                         "ts": pd.Timestamp(t2, unit="us"),
+                         "value": float(rng.normal(5, 1))})
+    return pd.DataFrame(rows)
+
+
+def _span_chunks(df: pd.DataFrame) -> int:
+    ts_us = df[df.user_id == "mega"].ts.astype("datetime64[us]").astype("int64")
+    return int(ts_us.max() // SALT_US - ts_us.min() // SALT_US) + 1
+
+
+def test_salted_ordered_scan_exact():
+    from s_tsfe_dl_ray.stages.scan import ordered_scan
+
+    df = _corpus()
+    assert _span_chunks(df) >= 80  # genuinely many chunks
+    scans = {"run_sum": ("value", "cumsum"), "run_max": ("value", "cummax"),
+             "run_n": ("value", "cumcount")}
+    base = to_pdf(ordered_scan(ray.data.from_pandas(df), keys=["user_id"],
+                               order_by=["ts", "event_id"], scans=scans))
+    salted = to_pdf(ordered_scan(ray.data.from_pandas(df), keys=["user_id"],
+                                 order_by=["ts", "event_id"], scans=scans,
+                                 salt_every_us=SALT_US))
+    b = base.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    s = salted.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert len(b) == len(s) == len(df)
+    assert (b.run_n.to_numpy() == s.run_n.to_numpy()).all()
+    np.testing.assert_allclose(b.run_sum.to_numpy(), s.run_sum.to_numpy(), rtol=1e-12)
+    np.testing.assert_array_equal(b.run_max.to_numpy(), s.run_max.to_numpy())
+
+
+def test_salted_rolling_mean_matches():
+    from s_tsfe_dl_ray.stages.transform import rolling_mean
+
+    df = _corpus()
+    base = to_pdf(rolling_mean(ray.data.from_pandas(df), keys=["user_id"],
+                               order_by=["ts", "event_id"], col="value", window=5))
+    salted = to_pdf(rolling_mean(ray.data.from_pandas(df), keys=["user_id"],
+                                 order_by=["ts", "event_id"], col="value", window=5,
+                                 salt_every_us=SALT_US))
+    b = base.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    s = salted.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert len(b) == len(s) == len(df)
+    np.testing.assert_allclose(b.value_ma5.to_numpy(), s.value_ma5.to_numpy(),
+                               rtol=1e-9)
+
+
+def test_salted_sessionize_exact():
+    from s_tsfe_dl_ray.stages.sessionize import sessionize
+
+    df = _corpus()
+    base = to_pdf(sessionize(ray.data.from_pandas(df), keys=["user_id"],
+                             ts_col="ts", order_by=["ts", "event_id"], gap="30m"))
+    salted = to_pdf(sessionize(ray.data.from_pandas(df), keys=["user_id"],
+                               ts_col="ts", order_by=["ts", "event_id"], gap="30m",
+                               salt_every_us=SALT_US))
+    cols = ["user_id", "session_id", "session_start", "session_end", "n_rows",
+            "duration_sec"]
+    b = base[cols].sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    s = salted[cols].sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    # sessions must exist that span a chunk boundary for this to be a
+    # meaningful test
+    starts = b[b.user_id == "mega"].session_start.astype("datetime64[us]").astype("int64")
+    ends = b[b.user_id == "mega"].session_end.astype("datetime64[us]").astype("int64")
+    assert ((starts // SALT_US) != (ends // SALT_US)).any()
+    pd.testing.assert_frame_equal(b, s, check_dtype=False)
