@@ -538,6 +538,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
         return _round_floats(knn_ivf(ds, n_queries=10, k=10, n_clusters=8, nprobe=4))
 
+    def q_emb_neardup_lsh(sf):
+        """Banded random-projection near-dup (production-scale route);
+        exact-verified, so any found pair is a true >=0.9 pair.  The sf
+        embeddings are random (no >=0.9 pairs exist), so the demo plants
+        deterministic seeded perturbations of the 16 lowest vec_ids — every
+        planted pair must be recovered, making the row count a real recall
+        probe rather than a vacuous 0.  Rows-only: recall is probabilistic
+        in general (tested >=99.6% per-pair in pytest)."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from s_tsfe_dl_ray.stages.similarity import embedding_neardup_lsh
+
+        ds = read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        seeds = ds.sort("vec_id").limit(16).to_pandas()
+        rng = np.random.default_rng(7)
+        planted = pd.DataFrame({
+            "vec_id": seeds.vec_id.to_numpy() + 10_000_000,
+            "embedding": [
+                np.asarray(v, dtype=np.float64)
+                + rng.standard_normal(len(v)) * 0.02
+                for v in seeds.embedding
+            ],
+        })
+        corpus = ds.union(ray.data.from_pandas(planted))
+        out = _round_floats(embedding_neardup_lsh(corpus, threshold=0.9))
+        return out.sort(["id_a", "id_b"])
+
     def q_transcripts_rollup_1h(sf):
         return _round_floats(transcript_tiers(_transcripts_for(sf), ("1m", "1h"))["1h"])
 
@@ -698,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- rows-only (no SQL-expressible oracle; pytest-covered) ---------
         "docs_minhash_dedup": q_docs_minhash_dedup,
         "emb_knn_ivf": q_emb_knn_ivf,
+        "emb_neardup_lsh": q_emb_neardup_lsh,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_simhash": q_docs_simhash,
         "docs_rolling_fingerprint": q_docs_rolling_fingerprint,

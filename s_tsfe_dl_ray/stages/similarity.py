@@ -348,3 +348,124 @@ def embedding_neardup_pairs(
             "cosine": pa.array([], pa.float64()),
         }))
     return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+
+
+# ---------------------------------------------------------------------------
+# banded random-projection near-dup (the production-scale route)
+# ---------------------------------------------------------------------------
+
+
+class _RPSigner:
+    """Actor: random-hyperplane (SimHash-for-vectors) band signer.
+
+    ``bands × rows_per_band`` seeded hyperplanes are built once per actor
+    on the first batch (dimension discovered from the data); each vector's
+    sign pattern packs into one integer key per band.  Two vectors at
+    angle θ agree on one hyperplane with probability 1−θ/π, so a band of
+    ``r`` rows collides with (1−θ/π)^r — at threshold 0.9 (θ≈26°) the
+    default 16×8 layout catches a true pair with ≥99.6% probability.
+    """
+
+    def __init__(self, id_col: str, emb_col: str, bands: int, rows_per_band: int,
+                 seed: int):
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.bands = bands
+        self.r = rows_per_band
+        self.seed = seed
+        self.H: np.ndarray | None = None
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _l2_normalize(_stack_embeddings(batch, self.emb_col))
+        if self.H is None:
+            rng = np.random.default_rng(self.seed)
+            self.H = rng.standard_normal((self.bands * self.r, mat.shape[1]))
+        bits = (mat @ self.H.T) > 0  # (B, bands*r)
+        keys = np.zeros((len(batch), self.bands), dtype=np.int64)
+        for j in range(self.r):
+            keys = (keys << 1) | bits[:, j::self.r][:, : self.bands]
+        n = len(batch)
+        return pd.DataFrame({
+            "band_id": np.tile(np.arange(self.bands, dtype=np.int64), n),
+            "band_key": keys.reshape(-1),
+            self.id_col: np.repeat(batch[self.id_col].to_numpy(), self.bands),
+        })
+
+
+def embedding_neardup_lsh(
+    ds: Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+    bands: int = 16,
+    rows_per_band: int = 8,
+    seed: int = 42,
+    concurrency: int | tuple[int, int] = (1, 16),
+    num_partitions: int = 64,
+) -> Dataset:
+    """Near-duplicate pairs (cosine ≥ threshold) via banded random
+    projections — the sub-quadratic production route.
+
+    Dataflow: sign each vector against ``bands × rows_per_band`` seeded
+    hyperplanes (actor pool, hyperplanes built once per actor) → explode
+    to (band_id, band_key, id) rows → partitioned collision-pair
+    expansion (``stages.dedup._collision_pairs``) → fetch BOTH vectors of
+    each candidate through the fully partitioned two-sided join
+    (``_pair_side_join``; vectors travel as float64 blobs because Acero
+    joins can't carry list columns) → exact cosine verify.  No broadcast,
+    no driver hop, no corpus re-scan — total cost is one signing pass +
+    shuffles proportional to corpus + candidates, vs the block-nested
+    loop's O(N²/chunk) scans in :func:`embedding_neardup_pairs` (kept as
+    the exact/oracle path).
+
+    Probabilistic recall: a true pair is missed only if every band
+    disagrees — P(miss) = (1−(1−θ/π)^r)^bands; tune ``bands`` up (or
+    ``rows_per_band`` down) for lower thresholds.  Verification is exact,
+    so false positives never survive.
+    """
+    from .dedup import _collision_pairs, _pair_side_join
+
+    sel = ds.select_columns([id_col, emb_col])
+    banded = sel.map_batches(
+        _RPSigner,
+        fn_constructor_kwargs={
+            "id_col": id_col, "emb_col": emb_col, "bands": bands,
+            "rows_per_band": rows_per_band, "seed": seed,
+        },
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+    cands = _collision_pairs(
+        banded, id_col=id_col, bucket_cols=["band_id", "band_key"],
+        num_partitions=num_partitions,
+    )
+
+    def to_blob(b: pd.DataFrame) -> pa.Table:
+        # typed arrow output: a pandas object column of bytes would be
+        # schema-inferred as string and fail UTF8 validation downstream
+        mat = _l2_normalize(_stack_embeddings(b, emb_col))
+        return pa.table({
+            id_col: pa.array(b[id_col].to_numpy()),
+            "emb_bin": pa.array([row.tobytes() for row in mat], pa.binary()),
+        })
+
+    side = sel.map_batches(to_blob, batch_format="pandas")
+    withvecs = _pair_side_join(
+        cands, side, id_col=id_col, value_cols=["emb_bin"],
+        num_partitions=num_partitions,
+    )
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        a = np.stack([np.frombuffer(x, dtype=np.float64) for x in b["emb_bin_a"]])
+        c = np.stack([np.frombuffer(x, dtype=np.float64) for x in b["emb_bin_b"]])
+        cos = np.einsum("ij,ij->i", a, c)
+        out = pd.DataFrame({"id_a": b["id_a"].to_numpy(),
+                            "id_b": b["id_b"].to_numpy(), "cosine": cos})
+        return out[out["cosine"] >= threshold]
+
+    return withvecs.map_batches(verify, batch_format="pandas")

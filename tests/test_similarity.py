@@ -71,3 +71,38 @@ def test_embedding_neardup_pairs_matches_oracle(ddb):
         """
     ).df()
     assert_frames_match(actual, expected, atol=1e-6)
+
+
+def test_embedding_neardup_lsh_full_recall_at_09():
+    """The banded random-projection route finds every pair the exact
+    block-nested-loop finds at threshold 0.9 (planted near-dups), with
+    identical cosines (verification is exact) and no false positives."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from s_tsfe_dl_ray.stages.similarity import (
+        embedding_neardup_lsh, embedding_neardup_pairs)
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((60, 32))
+    rows = [{"vec_id": i, "embedding": base[i].astype(np.float64)}
+            for i in range(60)]
+    # planted near-dups: tiny perturbations of vectors 0-7
+    for j in range(8):
+        v = base[j] + rng.standard_normal(32) * 0.02
+        rows.append({"vec_id": 100 + j, "embedding": v})
+    df = pd.DataFrame(rows)
+
+    exact = embedding_neardup_pairs(
+        ray.data.from_pandas(df), threshold=0.9).to_pandas()
+    assert len(exact) >= 8  # the planted pairs are really above 0.9
+
+    lsh = embedding_neardup_lsh(
+        ray.data.from_pandas(df), threshold=0.9).to_pandas()
+    e = exact.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    l = lsh.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    # full recall on this corpus + exact verify => identical pair sets
+    pd.testing.assert_frame_equal(
+        e[["id_a", "id_b"]].astype("int64"), l[["id_a", "id_b"]].astype("int64"))
+    np.testing.assert_allclose(e.cosine.to_numpy(), l.cosine.to_numpy(), rtol=1e-12)
