@@ -23,7 +23,11 @@ documented here rather than hidden.
 
 Driver row cap: the round-2 driver recorded exactly the first 50 entries
 of ``queries()`` — keep oracle-paired queries within the first 50 (see the
-ordering note inside ``queries()``).
+ordering note inside ``queries()``).  With 55 registered queries the tail
+is ordered by information value: the 5 entries past the cap are the
+pytest-covered rows-only demos (simhash signatures, rolling fingerprint,
+the three stub-decode media demos) — dropped consciously, never an
+oracle-paired query.
 """
 
 from __future__ import annotations
@@ -520,6 +524,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
         return _round_floats(embedding_neardup_pairs(ds, threshold=0.4))
 
+    def q_emb_dedup_clusters(sf):
+        """Transitive closure of near-dup pairs: every paired vector
+        labeled with its connected component's min id (hash-to-min label
+        propagation, stages/cluster.py).  Oracle: recursive CTE
+        reachability min."""
+        from s_tsfe_dl_ray.stages.cluster import connected_components
+
+        ds = read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        pairs = embedding_neardup_pairs(ds, threshold=0.4)
+        return connected_components(pairs).sort("id")
+
+    def q_docs_dedup_keep(sf):
+        """Corpus dedup decision: n-gram-Jaccard near-dup pairs →
+        components → one survivor (min doc_id) per cluster; unpaired docs
+        keep themselves."""
+        import pyarrow.compute as pc
+
+        from s_tsfe_dl_ray.stages.cluster import dedup_keep
+        from s_tsfe_dl_ray.stages.dedup import ngram_jaccard_pairs
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        pairs = ngram_jaccard_pairs(ds, id_col="doc_id", n=3, threshold=0.5)
+        out = dedup_keep(ds.select_columns(["doc_id"]), pairs, id_col="doc_id")
+        # keep as BIGINT 0/1: integers are the battle-tested comparator path
+        out = out.map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("keep"), "keep",
+                pc.cast(t["keep"], pa.int64())),
+            batch_format="pyarrow",
+        )
+        return out.sort("doc_id")
+
     # ---- rows-only (no SQL oracle): approximate / stateful / synthesized
     def q_docs_minhash_dedup(sf):
         ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
@@ -717,6 +753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "emb_knn_top10": q_emb_knn_top10,
         "emb_neardup_04": q_emb_neardup_04,
+        "emb_dedup_clusters": q_emb_dedup_clusters,
+        "docs_dedup_keep": q_docs_dedup_keep,
         "transcripts_rollup_1h": q_transcripts_rollup_1h,
         "transcripts_gapfill_ffill_1h": q_transcripts_gapfill_ffill_1h,
         "transcripts_sessions_30m": q_transcripts_sessions_30m,
@@ -1202,5 +1240,59 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        # connected components as recursive reachability: component(v) =
+        # min over everything reachable from v (tiny at sf0.01; the Ray
+        # side's label propagation computes the same fixpoint partitioned)
+        "emb_dedup_clusters": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+            ), e AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+              SELECT DISTINCT a, a FROM e
+              UNION
+              SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+            )
+            SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id
+        """,
+        "docs_dedup_keep": """
+            WITH RECURSIVE toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+              FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT i.id_a, i.id_b FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.id_a
+              JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
+            ),
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, r) AS (
+              SELECT DISTINCT a, a FROM e
+              UNION
+              SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+            ),
+            labels AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+            SELECT d.doc_id,
+                   coalesce(l.component, d.doc_id) AS component,
+                   CASE WHEN coalesce(l.component, d.doc_id) = d.doc_id
+                        THEN 1 ELSE 0 END::BIGINT AS keep
+            FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+            ORDER BY d.doc_id
         """,
     }

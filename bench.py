@@ -301,7 +301,13 @@ def main() -> dict:
 
 
 def scaling() -> None:
-    lo, hi = 8, 32
+    # N vs 4N CPUs.  Default 8→32; GRAFT_SCALE_LO=2 measures 2→8 — the
+    # pair BELOW this box's all-core turbo-drop + shared-L3 saturation
+    # point (bench.py --ceiling: 8→32 pure-CPU ceiling is 0.63 on this
+    # VM regardless of dataflow), i.e. the regime where adding cores
+    # behaves like adding nodes.  BASELINE.md reports both pairs.
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = lo * 4
 
     def run(ncpu: int) -> dict:
         # min-of-4 with a FRESH process each time: long-lived 32-cpu Ray
@@ -320,14 +326,14 @@ def scaling() -> None:
     t_hi = r_hi["queries"]["transcript_rollup_job"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
-        "metric": "scaling efficiency (flagship rollup job, N=8 vs 4N=32 CPUs)",
+        "metric": f"scaling efficiency (flagship rollup job, N={lo} vs 4N={hi} CPUs)",
         "transcript_turns": r_lo["transcript_turns"],
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "turns_per_sec_8": r_lo["turns_per_sec"],
-        "turns_per_sec_32": r_hi["turns_per_sec"],
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
+        f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "note": "single node: 8 vs 32 of ONE box's cores share one memory bus and one NVMe; see BASELINE.md scaling analysis",
+        "note": f"single node: {lo} vs {hi} of ONE box's cores share one memory bus and one NVMe; see BASELINE.md scaling analysis + bench.py --ceiling",
     }))
 
 

@@ -1,0 +1,246 @@
+"""Connected components over near-duplicate pair edges → dedup clusters.
+
+Completes the dedup story: exact hashes / MinHash / SimHash / n-gram /
+embedding stages emit PAIRS (id_a, id_b); corpus-level deduplication
+needs the transitive closure — every doc labeled with its cluster's
+canonical (minimum) id so one representative per cluster survives.
+
+Reference analog: the reference's per-record label remap
+(``data/interpolate.py`` binary relabel) is a pointwise map; clustering
+transitive duplicate relations has no reference analog and is an engine
+addition for the LLM-data-pipeline tier (SURVEY.md LLM ops).
+
+Algorithm: hash-to-min label propagation (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014 — the two-phase min-label
+exchange, simplified to the undirected near-dup case):
+
+- init: label(v) = min(v, all direct neighbors) — one partitioned
+  grouped-min over the symmetrized edge list.  For cliques (the common
+  LSH output shape: every member paired with every other) this already
+  converges: everyone sees the cluster min directly.
+- iterate, TWO hash exchanges per round:
+  - exchange 1 co-locates, per hash bucket of the *lookup key*, three
+    row kinds: edges keyed by src, labels keyed by id (serving), and
+    labels keyed by their own label (requesting).  One vectorized body
+    emits both message types: neighbor push ``(dst, label(src))`` and
+    pointer jump ``(v, label(label(v)))`` — the path-doubling step that
+    makes long chains converge in O(log diameter) rounds instead of
+    O(diameter).
+  - exchange 2 regroups ``labels ∪ messages`` by vertex and computes
+    the per-vertex min AND the round's change count in one body.
+  Labels only decrease; a round with zero changes is the fixpoint.
+
+The driver only orchestrates the O(log diameter) rounds and reads one
+scalar change-count per round (never row data).  Near-dup clusters are
+cliques or short chains, so 1–2 rounds in practice; ``max_iters`` guards
+adversarial long paths.  The partition count adapts to the edge count
+(pair graphs are far smaller than the corpus) unless pinned.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from .dedup import _grouped_min
+from .join import hash_join
+from .rollup import _stable_pkey
+
+# phase-1 row kinds: (x = lookup key the row is partitioned on, y = payload)
+_K_EDGE = 0     # x=src (lookup), y=dst            → emit (dst, label(src))
+_K_SERVE = 1    # x=id, y=lbl (the label table itself)
+_K_REQ = 2      # x=lbl (lookup), y=id             → emit (id, label(lbl))
+
+
+def connected_components(
+    pairs: Dataset,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    num_partitions: int | None = None,
+    max_iters: int = 50,
+) -> Dataset:
+    """Label every vertex of the pair graph with its component's min id.
+
+    Returns ``(id, component)`` for vertices that appear in ``pairs``
+    (isolated docs never enter the edge list — callers treat absence as
+    "own component"; see :func:`dedup_keep`).
+
+    ``num_partitions=None`` (default) sizes the per-round exchanges to
+    the edge count — ~1 partition per 200k edges within [8, 256]; pin it
+    explicitly for a known cluster size.
+    """
+    import ray.data
+
+    def sym(t: pa.Table) -> pa.Table:
+        a, b = t[id_a], t[id_b]
+        return pa.table({
+            "src": pa.chunked_array([*a.chunks, *b.chunks]),
+            "dst": pa.chunked_array([*b.chunks, *a.chunks]),
+        })
+
+    edges = pairs.select_columns([id_a, id_b]).map_batches(
+        sym, batch_format="pyarrow"
+    ).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table({"id": pa.array([], pa.int64()),
+                      "component": pa.array([], pa.int64())})
+        )
+    if num_partitions is None:
+        num_partitions = int(min(256, max(8, n_edges // 200_000 + 8)))
+
+    # init: label(v) = min(v, neighbors) — one grouped-min over
+    # (src → dst) ∪ (src → src)
+    def with_self(t: pa.Table) -> pa.Table:
+        src, dst = t["src"], t["dst"]
+        return pa.table({
+            "id": pa.chunked_array([*src.chunks, *src.chunks]),
+            "lbl": pa.chunked_array([*dst.chunks, *src.chunks]),
+        })
+
+    labels = _grouped_min(
+        edges.map_batches(with_self, batch_format="pyarrow"),
+        group_cols=["id"], agg_cols=[("lbl", "min")],
+        pkey_col="id", num_partitions=num_partitions,
+    ).map_batches(lambda t: t, batch_format="pyarrow").materialize()
+
+    def tag_xy(kind: int, x_col: str, y_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            x = pc.cast(t[x_col], pa.int64())
+            return pa.table({
+                "x": x,
+                "y": pc.cast(t[y_col], pa.int64()),
+                "kind": pa.array(np.full(t.num_rows, kind, np.int8)),
+                "_pkey": _stable_pkey(x, num_partitions),
+            })
+        return fn
+
+    def emit_msgs(df: pd.DataFrame) -> pd.DataFrame:
+        # one body serves both message kinds from the co-located lookup
+        serve = df[df["kind"] == _K_SERVE]
+        lut = serve.set_index("x")["y"]
+        ask = df[df["kind"] != _K_SERVE]
+        looked = lut.reindex(ask["x"]).to_numpy()
+        assert not np.isnan(looked).any(), "vertex missing from label table"
+        return pd.DataFrame({
+            "id": ask["y"].to_numpy(),
+            "lbl": looked.astype(np.int64),
+        })
+
+    def tag_vertex(old: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(["id", "lbl"])
+            return t.append_column(
+                "_old", pa.array(np.full(t.num_rows, old, np.int8))
+            ).append_column(
+                "_pkey", _stable_pkey(t["id"], num_partitions)
+            )
+        return fn
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("id", sort=False)
+        new = g["lbl"].min()
+        old = df[df["_old"] == 1].set_index("id")["lbl"]
+        changed = int((new.loc[old.index] < old).sum())
+        out = new.reset_index()
+        out["_changed"] = 0
+        if len(out):
+            out.iloc[0, out.columns.get_loc("_changed")] = changed
+        return out
+
+    for _ in range(max_iters):
+        # exchange 1: edges(x=src) ∪ labels(x=id, serving) ∪ labels(x=lbl,
+        # requesting the jump) — one groupby, one body, both message kinds
+        phase1 = (
+            edges.map_batches(tag_xy(_K_EDGE, "src", "dst"), batch_format="pyarrow")
+            .union(labels.map_batches(tag_xy(_K_SERVE, "id", "lbl"), batch_format="pyarrow"))
+            .union(labels.map_batches(tag_xy(_K_REQ, "lbl", "id"), batch_format="pyarrow"))
+            .repartition(num_partitions, shuffle=False)  # bound sort input blocks
+        )
+        msgs = phase1.groupby("_pkey").map_groups(emit_msgs, batch_format="pandas")
+
+        # exchange 2: per-vertex min of [own label ∪ messages] + change count
+        both = labels.map_batches(tag_vertex(1), batch_format="pyarrow").union(
+            msgs.map_batches(tag_vertex(0), batch_format="pyarrow")
+        ).repartition(num_partitions, shuffle=False)
+        labels = (
+            both.groupby("_pkey")
+            .map_groups(merge, batch_format="pandas")
+            .materialize()
+        )
+        n_changed = labels.sum("_changed", ignore_nulls=True) or 0
+        # back to Arrow blocks: downstream tag_xy/_stable_pkey introspect
+        # Arrow tables, and the map_groups merge emits pandas blocks
+        labels = labels.select_columns(["id", "lbl"]).map_batches(
+            lambda t: t, batch_format="pyarrow"
+        )
+        if n_changed == 0:
+            break
+
+    def rename_final(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "id": pc.cast(t["id"], pa.int64()),
+            "component": pc.cast(t["lbl"], pa.int64()),
+        })
+
+    return labels.map_batches(rename_final, batch_format="pyarrow")
+
+
+def dedup_keep(
+    docs: Dataset,
+    pairs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    num_partitions: int = 64,
+    cc_num_partitions: int | None = None,
+) -> Dataset:
+    """Per-doc dedup decision from near-dup pairs: docs gain ``component``
+    (cluster canonical id; own id when unpaired) and ``keep`` (True for
+    the cluster minimum — exactly one survivor per cluster).
+
+    Partitioned end-to-end: components from :func:`connected_components`
+    (edge-count-adaptive partitioning unless ``cc_num_partitions`` pins
+    it), then one hash join of docs against the (small relative to
+    corpus) label table.  Filter on ``keep`` for the deduplicated corpus.
+    """
+    labels = connected_components(
+        pairs, id_a=id_a, id_b=id_b, num_partitions=cc_num_partitions
+    ).rename_columns({"id": "_cc_id"})
+
+    joined = hash_join(
+        docs, labels, left_on=id_col, right_on="_cc_id", how="left",
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # the left join's unmatched rows surface component as float
+        # null-or-NaN (pandas merge widens int64+missing to float64);
+        # normalize NaN→null, coalesce with the own id, restore int64
+        c = t["component"]
+        if pa.types.is_null(c.type):
+            # partition had zero label matches: all-NaN pandas column
+            # arrives as Arrow null type — everyone keeps their own id
+            comp = pc.cast(t[id_col], pa.int64())
+        else:
+            if pa.types.is_floating(c.type):
+                c = pc.if_else(pc.is_nan(c), pa.nulls(len(c), c.type), c)
+            comp = pc.cast(
+                pc.coalesce(c, pc.cast(t[id_col], c.type)), pa.int64()
+            )
+        keep = pc.equal(comp, pc.cast(t[id_col], pa.int64()))
+        t = t.drop_columns([c for c in ("component", "_cc_id") if c in t.column_names])
+        return t.append_column("component", comp).append_column("keep", keep)
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -38,8 +38,18 @@ def hash_join(
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type {how!r}")
 
-    left_schema = left.schema().base_schema
-    right_schema = right.schema().base_schema
+    def _pa_schema(ds: Dataset) -> pa.Schema:
+        s = ds.schema().base_schema
+        if isinstance(s, pa.Schema):
+            return s
+        # pandas-block dataset (from_pandas / map_groups output): infer the
+        # Arrow schema from a one-row sample — numpy object dtype is
+        # ambiguous (str vs bytes) without looking at a value
+        sample = ds.limit(1).to_pandas()
+        return pa.Table.from_pandas(sample, preserve_index=False).schema
+
+    left_schema = _pa_schema(left)
+    right_schema = _pa_schema(right)
     left_cols = [f.name for f in left_schema]
     right_cols = [f.name for f in right_schema]
     # Dataset.union needs one schema: union of both column sets, each side
@@ -74,4 +84,30 @@ def hash_join(
         r = df[df["_side"] == "r"][right_cols]
         return l.merge(r, left_on=left_on, right_on=right_on, how=how)
 
-    return tagged.groupby("_pkey").map_groups(join_partition, batch_format="pandas")
+    def restore_types(t: pa.Table) -> pa.Table:
+        # the null-padded union forces pandas to widen int64 → float64
+        # (NaN for the other side's columns); restore every column to its
+        # declared Arrow type so the join is type-stable.  Left-join
+        # misses surface as NaN → normalized to real nulls first.
+        import pyarrow.compute as pc
+
+        cols = {}
+        for name in t.column_names:
+            c = t[name]
+            want = all_fields.get(name)
+            if want is not None and c.type != want:
+                if pa.types.is_floating(c.type) and not pa.types.is_floating(want):
+                    c = pc.if_else(pc.is_nan(c), pa.nulls(len(c), c.type), c)
+                c = pc.cast(c, want)
+            cols[name] = c
+        return pa.table(cols)
+
+    # Bound the sort's input block count: groupby's shuffle scales with
+    # input blocks, and callers that loop joins (stages/cluster.py) would
+    # otherwise compound block counts round over round (observed: 340
+    # tiny blocks → 40 s sorts on a 13-vertex graph).  Shuffle-less
+    # coalesce — the groupby re-distributes rows anyway.
+    tagged = tagged.repartition(num_partitions, shuffle=False)
+    return tagged.groupby("_pkey").map_groups(
+        join_partition, batch_format="pandas"
+    ).map_batches(restore_types, batch_format="pyarrow")

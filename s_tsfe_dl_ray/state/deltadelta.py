@@ -34,6 +34,8 @@ _BUCKETS = (  # (control value, control bits, payload bits)
     (0b1110, 4, 24),
     (0b11110, 5, 36),
 )
+# zigzag thresholds for vectorized bucket choice (np.digitize)
+_Z_THRESH = np.array([1 << 7, 1 << 12, 1 << 24, 1 << 36], dtype=np.uint64)
 
 
 def _zigzag(v: int) -> int:
@@ -52,17 +54,65 @@ class DeltaDeltaCodec:
     def encode(self, ts: np.ndarray) -> bytes:
         vals = np.ascontiguousarray(ts, dtype=np.int64)
         n = len(vals)
-        w = BitWriter()
         if n == 0:
             return self.MAGIC + struct.pack("<I", 0)
-        w.write(int(vals[0]) & ((1 << 64) - 1), 64)
         if n == 1:
+            w = BitWriter()
+            w.write(int(vals[0]) & ((1 << 64) - 1), 64)
             return self.MAGIC + struct.pack("<I", 1) + w.getvalue()
-        # Python-int deltas: int64 differences can overflow int64
+        # Fast path: int64 deltas/dods computed vectorized.  int64
+        # differences CAN overflow (they need up to 65 bits); detect
+        # wraparound — ovf(b−a)=((a^b)&(b^wrapped))<0 — and fall back to
+        # the exact Python-int loop on any hit (pathological inputs only;
+        # real timestamp streams never overflow).
+        a, b = vals[:-1], vals[1:]
+        d = b - a  # numpy wraps silently
+        if (((a ^ b) & (b ^ d)) < 0).any():
+            return self._encode_slow(vals)
+        dd = d[1:] - d[:-1]
+        if (((d[:-1] ^ d[1:]) & (d[1:] ^ dd)) < 0).any():
+            return self._encode_slow(vals)
+        # vectorized zigzag + bucket choice; zigzag(int64) always fits
+        # uint64, and numpy's wrapping << gives exactly that value
+        z = ((dd << np.int64(1)) ^ (dd >> np.int64(63))).view(np.uint64)
+        idx = np.digitize(z, _Z_THRESH).tolist()
+        buf = bytearray()
+        acc = int(vals[0]) & ((1 << 64) - 1)
+        acc = (acc << 66) | _zigzag(int(d[0]))
+        nacc = 64 + 66
+        for zi, i in zip(z.tolist(), idx):
+            if zi == 0:
+                acc <<= 1
+                nacc += 1
+            elif i < 4:
+                ctrl, cbits, pbits = _BUCKETS[i]
+                acc = (acc << (cbits + pbits)) | (ctrl << pbits) | zi
+                nacc += cbits + pbits
+            else:
+                acc = (acc << 71) | (0b11111 << 66) | zi
+                nacc += 71
+            if nacc >= 1024:
+                keep = nacc & 7
+                buf += (acc >> keep).to_bytes((nacc - keep) >> 3, "big")
+                acc &= (1 << keep) - 1
+                nacc = keep
+        if nacc & 7:
+            pad = 8 - (nacc & 7)
+            acc <<= pad
+            nacc += pad
+        buf += acc.to_bytes(nacc >> 3, "big")
+        return self.MAGIC + struct.pack("<I", n) + bytes(buf)
+
+    def _encode_slow(self, vals: np.ndarray) -> bytes:
+        """Exact Python-int path for streams whose deltas/dods overflow
+        int64 (identical wire format to the fast path)."""
+        n = len(vals)
+        w = BitWriter()
+        w.write(int(vals[0]) & ((1 << 64) - 1), 64)
         pyvals = vals.tolist()
-        deltas = [b - a for a, b in zip(pyvals, pyvals[1:])]
+        deltas = [y - x for x, y in zip(pyvals, pyvals[1:])]
         w.write(_zigzag(deltas[0]), 66)
-        for d in (b - a for a, b in zip(deltas, deltas[1:])):
+        for d in (y - x for x, y in zip(deltas, deltas[1:])):
             if d == 0:
                 w.write(0, 1)
                 continue

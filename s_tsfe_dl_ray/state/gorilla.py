@@ -32,7 +32,21 @@ import struct
 
 import numpy as np
 
-from .bits import BitReader, BitWriter
+from .bits import BitReader
+
+# byte-wise popcount LUT (numpy 1.26 has no bitwise_count)
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1, dtype=np.int64
+)
+
+
+def _bit_lengths(a: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length of a uint64 array (0 → 0): smear the MSB
+    down, then popcount the all-ones-below-MSB pattern byte-wise."""
+    sm = a.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        sm |= sm >> np.uint64(s)
+    return _POP8[sm.view(np.uint8).reshape(-1, 8)].sum(axis=1, dtype=np.int64)
 
 
 class GorillaCodec:
@@ -43,31 +57,48 @@ class GorillaCodec:
     def encode(self, values: np.ndarray) -> bytes:
         bits = np.ascontiguousarray(values, dtype=np.float64).view(np.uint64)
         n = len(bits)
-        w = BitWriter()
         if n == 0:
             return self.MAGIC + struct.pack("<I", 0)
-        w.write(int(bits[0]), 64)
         xors = (bits[:-1] ^ bits[1:]) if n > 1 else np.empty(0, np.uint64)
+        # control plane precomputed vectorized: leading/trailing zero
+        # counts for every xor in three numpy passes (the per-value
+        # bit_length() calls dominated the old loop)
+        lzs = (64 - _bit_lengths(xors)).tolist()
+        lsb = xors & (~xors + np.uint64(1))
+        tzs = _bit_lengths(lsb - np.uint64(1)).tolist()  # popcount(lsb-1)
+        # bit packing: one fused (value, nbits) append per xor into a
+        # Python-int accumulator, flushed to bytes in chunks (the old
+        # BitWriter flushed byte-at-a-time per write call)
+        buf = bytearray()
+        acc = int(bits[0])
+        nacc = 64
         prev_lz, prev_tz = -1, -1  # no window yet
-        for x in xors.tolist():
+        for x, lz, tz in zip(xors.tolist(), lzs, tzs):
             if x == 0:
-                w.write(0, 1)
-                continue
-            blen = x.bit_length()
-            lz = 64 - blen
-            tz = (x & -x).bit_length() - 1
-            if prev_lz >= 0 and lz >= prev_lz and tz >= prev_tz:
-                mbits = 64 - prev_lz - prev_tz
-                w.write(0b10, 2)
-                w.write(x >> prev_tz, mbits)
+                acc <<= 1
+                nacc += 1
+            elif prev_lz >= 0 and lz >= prev_lz and tz >= prev_tz:
+                mb = 64 - prev_lz - prev_tz
+                acc = (acc << (2 + mb)) | (0b10 << mb) | (x >> prev_tz)
+                nacc += 2 + mb
             else:
-                mbits = blen - tz
-                w.write(0b11, 2)
-                w.write(lz, 6)
-                w.write(mbits - 1, 6)
-                w.write(x >> tz, mbits)
+                mb = 64 - lz - tz
+                acc = (acc << (14 + mb)) | (
+                    ((0b11 << 12) | (lz << 6) | (mb - 1)) << mb
+                ) | (x >> tz)
+                nacc += 14 + mb
                 prev_lz, prev_tz = lz, tz
-        return self.MAGIC + struct.pack("<I", n) + w.getvalue()
+            if nacc >= 1024:
+                keep = nacc & 7
+                buf += (acc >> keep).to_bytes((nacc - keep) >> 3, "big")
+                acc &= (1 << keep) - 1
+                nacc = keep
+        if nacc & 7:
+            pad = 8 - (nacc & 7)
+            acc <<= pad
+            nacc += pad
+        buf += acc.to_bytes(nacc >> 3, "big")
+        return self.MAGIC + struct.pack("<I", n) + bytes(buf)
 
     def decode(self, blob: bytes) -> np.ndarray:
         assert blob[:4] == self.MAGIC, "not a Gorilla blob"

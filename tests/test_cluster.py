@@ -1,0 +1,93 @@
+"""Connected-components dedup clustering (stages/cluster.py) against a
+pure-Python union-find oracle, including multi-iteration chain graphs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+def _uf_components(pairs: list[tuple[int, int]], vertices=None) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    verts = set(parent) | set(vertices or [])
+    return {v: find(v) for v in verts}
+
+
+def _cc_df(pairs: list[tuple[int, int]], **kw) -> pd.DataFrame:
+    from s_tsfe_dl_ray.stages.cluster import connected_components
+
+    kw.setdefault("num_partitions", 8)  # tiny graphs on the 4-CPU test session
+    ds = rd.from_pandas(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+    out = connected_components(ds, **kw).to_pandas()
+    return out.sort_values("id").reset_index(drop=True)
+
+
+def test_cc_chain_needs_iterations():
+    # a path graph 0-1-2-...-12: init labels only see direct neighbors,
+    # so propagation must iterate ~log2(len) rounds to converge
+    pairs = [(i, i + 1) for i in range(12)]
+    out = _cc_df(pairs)
+    assert out.id.tolist() == list(range(13))
+    assert (out.component == 0).all()
+
+
+def test_cc_matches_union_find_on_random_graph():
+    rng = np.random.default_rng(3)
+    verts = rng.choice(10_000, size=120, replace=False)
+    pairs = [
+        (int(verts[i]), int(verts[j]))
+        for i, j in rng.integers(0, len(verts), (80, 2))
+        if i != j
+    ]
+    oracle = _uf_components(pairs)
+    out = _cc_df(pairs)
+    assert dict(zip(out.id, out.component)) == oracle
+
+
+def test_cc_cliques_and_empty():
+    # LSH output shape: two cliques — init alone converges
+    pairs = [(a, b) for c in ([5, 9, 17, 40], [100, 101, 102]) for i, a in
+             enumerate(c) for b in c[i + 1:]]
+    out = _cc_df(pairs)
+    assert dict(zip(out.id, out.component)) == _uf_components(pairs)
+
+    from s_tsfe_dl_ray.stages.cluster import connected_components
+
+    empty = rd.from_pandas(pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                         "id_b": pd.Series(dtype="int64")}))
+    assert connected_components(empty).count() == 0
+
+
+def test_dedup_keep_one_survivor_per_cluster():
+    from s_tsfe_dl_ray.stages.cluster import dedup_keep
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": list(range(20)),
+        "text": [f"doc {i}" for i in range(20)],
+    }))
+    # clusters {1,3,7} and {2,18} (chain), rest isolated
+    pairs = rd.from_pandas(pd.DataFrame(
+        [(1, 3), (3, 7), (2, 18)], columns=["id_a", "id_b"]))
+    out = dedup_keep(docs, pairs, num_partitions=8).to_pandas().sort_values("doc_id")
+    assert len(out) == 20
+    comp = dict(zip(out.doc_id, out.component))
+    assert comp[1] == comp[3] == comp[7] == 1
+    assert comp[2] == comp[18] == 2
+    assert comp[5] == 5  # isolated doc is its own component
+    kept = set(out[out.keep].doc_id)
+    assert kept == (set(range(20)) - {3, 7, 18})
+    # survivors carry their original payload columns
+    assert set(out.columns) >= {"doc_id", "text", "component", "keep"}
