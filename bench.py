@@ -351,6 +351,9 @@ def ceiling() -> None:
 
     import numpy as np
 
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = lo * 4
+
     def worker(q, iters, size):
         a = np.random.default_rng(0).random(size)
         t0 = time.perf_counter()
@@ -362,7 +365,7 @@ def ceiling() -> None:
     out = {}
     for label, size, iters in (("l2_156KB", 20_000, 3000), ("l3_1.5MB", 200_000, 300)):
         per = {}
-        for nproc in (8, 32):
+        for nproc in (lo, hi):
             q = mp.Queue()
             ps = [mp.Process(target=worker, args=(q, iters, size)) for _ in range(nproc)]
             for p in ps:
@@ -373,14 +376,14 @@ def ceiling() -> None:
             per[nproc] = sum(times) / len(times)
         # same fixed work per process: eff ceiling = throughput ratio / 4
         out[label] = {
-            "per_proc_sec_8": round(per[8], 3),
-            "per_proc_sec_32": round(per[32], 3),
-            "eff_ceiling_8_to_32": round((32 * per[8] / per[32]) / 8 / 4, 3),
+            f"per_proc_sec_{lo}": round(per[lo], 3),
+            f"per_proc_sec_{hi}": round(per[hi], 3),
+            f"eff_ceiling_{lo}_to_{hi}": round((hi * per[lo] / per[hi]) / lo / 4, 3),
         }
     print(json.dumps({
-        "metric": "box scaling ceiling (pure-CPU fixed work per process, 8 vs 32 procs)",
+        "metric": f"box scaling ceiling (pure-CPU fixed work per process, {lo} vs {hi} procs)",
         "results": out,
-        "note": "any 8-vs-32-CPU efficiency measured on this box is bounded by these ceilings; they are properties of the VM (all-core frequency + shared L3), not of the dataflow",
+        "note": f"any {lo}-vs-{hi}-CPU efficiency measured on this box is bounded by these ceilings; they are properties of the VM (all-core frequency + shared L3), not of the dataflow",
     }))
 
 
