@@ -251,3 +251,60 @@ def top_tokens(
         partials, group_cols=["token"], agg_cols=[("n", "sum")], pkey_col="token"
     )
     return merged.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# text normalization (pre-dedup canonical form)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(
+    batch: pa.Table,
+    *,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    lowercase: bool = True,
+    collapse_ws: bool = True,
+    nfc: bool = True,
+) -> pa.Table:
+    """Append a canonicalized copy of ``text_col`` (pure Arrow kernels).
+
+    The standard pre-dedup cleanup for web corpora: whitespace runs
+    collapsed to single spaces + trim → lowercase → Unicode NFC
+    (combining marks composed so visually-identical strings hash
+    identically).  NFC runs LAST because Arrow's ``utf8_lower``
+    decomposes precomposed characters (é → e + U+0301); composing
+    afterwards restores the canonical form.  Order matches the SQL twin
+    exactly: ``nfc_normalize(lower(trim(regexp_replace(text, '\\s+',
+    ' ', 'g'))))``.
+
+    Reference analog: the reference's regex label strip / string cleanup
+    (experiments/utils.py:37) — here a batch transform so exact dedup and
+    MinHash run over canonical text.  A ``map_batches`` body; compose as
+    ``ds.map_batches(normalize_text, batch_format="pyarrow")``.
+    """
+    s = batch[text_col]
+    if collapse_ws:
+        s = pc.utf8_trim_whitespace(pc.replace_substring_regex(s, r"\s+", " "))
+    if lowercase:
+        s = pc.utf8_lower(s)
+    if nfc:
+        # pyarrow 16's pc.utf8_normalize(form="NFC") decomposes but does
+        # NOT re-compose (e + U+0301 stays two codepoints — verified
+        # against unicodedata), so the compose step runs through Python's
+        # unicodedata — but ONLY for non-ASCII rows (byte length ≠ char
+        # length); the overwhelmingly-ASCII corpus path stays Arrow-only.
+        import unicodedata
+
+        arr = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        non_ascii = pc.not_equal(pc.binary_length(arr), pc.utf8_length(arr))
+        if pc.any(non_ascii).as_py():
+            vals = arr.to_pylist()
+            mask = non_ascii.to_pylist()
+            fixed = [
+                unicodedata.normalize("NFC", v) if (m and v is not None) else v
+                for v, m in zip(vals, mask)
+            ]
+            arr = pa.array(fixed, type=arr.type)
+        s = arr
+    return batch.append_column(out_col, s)

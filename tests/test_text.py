@@ -116,3 +116,31 @@ def test_read_csv_typed(tmp_path, ddb):
     assert df.duration.dtype.kind == "f"
     assert (df.filter(like="protocol_").sum(axis=1) == 1).all()
     assert df.label_bin.tolist() == [0, 1, 0, 1]
+
+
+def test_normalize_text_matches_duckdb(ddb):
+    """NFC + whitespace collapse + lower must match the SQL twin exactly
+    (combining marks, fullwidth chars, tabs/newlines, empties)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.text import normalize_text
+
+    texts = [
+        "  Héllo \t Wörld \n ",      # precomposed + messy ws
+        "e\u0301clair  E\u0301CLAIR",  # combining acute -> NFC composes
+        "", "   ", "MiXeD   Case",
+    ]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    got = to_pdf(
+        ds.map_batches(normalize_text, batch_format="pyarrow")
+        .select_columns(["doc_id", "text_norm"]).sort("doc_id")
+    )
+    ddb.register("norm_t", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    exp = ddb.sql(
+        "SELECT doc_id, nfc_normalize(lower(trim(regexp_replace(text, "
+        "'\\s+', ' ', 'g')))) AS text_norm FROM norm_t ORDER BY doc_id"
+    ).df()
+    assert got["text_norm"].tolist() == exp["text_norm"].tolist()
+    assert got["text_norm"][1] == "\u00e9clair \u00e9clair"  # composed
