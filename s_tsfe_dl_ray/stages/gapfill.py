@@ -112,13 +112,113 @@ def gapfill(
     null_cols: list[str],
     carry_cols: list[str],
     mode: str = "ffill",
+    salt_every_us: int | None = None,
 ) -> Dataset:
-    """Complete each key's window grid and fill gaps (see module doc)."""
+    """Complete each key's window grid and fill gaps (see module doc).
+
+    ``salt_every_us``: mega-key mode (stages/salted.py).  When set, no
+    partition ever holds more than one time-chunk of a key: each chunk
+    fills its own slice of the global grid, anchored by its nearest
+    observed neighbors OUTSIDE the chunk (previous chunk's last observed
+    row and next chunk's first — both directions, because ``interp``
+    needs lookahead), which travel as tiny fold carries.  Time ranges a
+    gap spans entirely (chunks with zero input rows) are emitted by the
+    fold so their grid rows still exist.  Output equals the unsalted
+    operator exactly (same neighbor windows → bit-identical interp
+    arithmetic).  Requires a single key.
+    """
     if mode not in ("ffill", "interp"):
         raise ValueError(f"unknown gap-fill mode {mode!r}; expected 'ffill' or 'interp'")
+    tier_us = TIER_US[tier]
     inst = _GapFillGroup(
-        keys, window_col, TIER_US[tier], count_cols, sum_cols, null_cols, carry_cols, mode
+        keys, window_col, tier_us, count_cols, sum_cols, null_cols, carry_cols, mode
     )
-    from .grouped import grouped_apply
+    if salt_every_us is None:
+        from .grouped import grouped_apply
 
-    return grouped_apply(tier_ds, keys=keys, fn=inst)
+        return grouped_apply(tier_ds, keys=keys, fn=inst)
+
+    if len(keys) != 1:
+        raise ValueError("salted gapfill requires a single key")
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .salted import salted_scan
+
+    key, w = keys[0], window_col
+
+    def to_us(t: pa.Table) -> pa.Table:
+        # _chunk_tag casts the ts column to int64 verbatim — a
+        # ns-precision window column would mis-chunk by 1000×
+        i = t.column_names.index(w)
+        return t.set_column(i, w, pc.cast(t[w], pa.timestamp("us")))
+
+    tier_ds = tier_ds.map_batches(to_us, batch_format="pyarrow")
+
+    def _vals(row: pd.Series) -> dict:
+        return {c: (None if pd.isna(row[c]) else float(row[c])) for c in carry_cols}
+
+    def summarize(g: pd.DataFrame) -> dict:
+        wus = g[w].astype("datetime64[us]").astype("int64")
+        return {
+            "fw": int(wus.iloc[0]), "lw": int(wus.iloc[-1]),
+            "fv": _vals(g.iloc[0]), "lv": _vals(g.iloc[-1]),
+        }
+
+    def fold(salts: list[int], summaries: list[dict]) -> dict:
+        lo = summaries[0]["fw"]
+        hi = summaries[-1]["lw"]
+        out: dict[int, dict] = {}
+        present = dict(zip(salts, summaries))
+        s_lo = lo // salt_every_us
+        s_hi = hi // salt_every_us
+        # walk every chunk the key's grid touches; prev/next anchors are
+        # the neighboring PRESENT chunks' boundary rows
+        import bisect
+
+        for s in range(s_lo, s_hi + 1):
+            i = bisect.bisect_left(salts, s)
+            prev_s = salts[i - 1] if i > 0 else None
+            in_present = i < len(salts) and salts[i] == s
+            next_s = (salts[i + 1] if i + 1 < len(salts) else None) \
+                if in_present else (salts[i] if i < len(salts) else None)
+            out[s] = {
+                "lo": lo, "hi": hi,
+                "pw": present[prev_s]["lw"] if prev_s is not None else None,
+                "pv": present[prev_s]["lv"] if prev_s is not None else None,
+                "nw": present[next_s]["fw"] if next_s is not None else None,
+                "nv": present[next_s]["fv"] if next_s is not None else None,
+            }
+        return out
+
+    def apply(g: pd.DataFrame, carry: dict, k, s) -> pd.DataFrame:
+        anchors = []
+        for wv, vv in (("pw", "pv"), ("nw", "nv")):
+            if carry[wv] is not None:
+                row = {key: k, w: pd.to_datetime(carry[wv], unit="us")}
+                for c in count_cols + sum_cols:
+                    row[c] = 0
+                for c in null_cols:
+                    row[c] = np.nan
+                row.update({c: carry[vv][c] for c in carry_cols})
+                anchors.append((carry[wv], row))
+        before = [r for wv_us, r in anchors if wv_us < s * salt_every_us]
+        after = [r for wv_us, r in anchors if wv_us >= (s + 1) * salt_every_us]
+        aug = pd.concat(
+            [pd.DataFrame(before), g, pd.DataFrame(after)], ignore_index=True,
+        )
+        if len(aug) == 0:
+            return g.assign(fill_method=pd.Series(dtype="object"))
+        # anchor dict column order differs from the tier table's — restore
+        # it so every partition's output blocks share one schema
+        aug = aug[list(g.columns)]
+        filled = inst(aug)
+        wout = filled[w].astype("datetime64[us]").astype("int64")
+        lo_b = max(s * salt_every_us, carry["lo"])
+        hi_b = min((s + 1) * salt_every_us - 1, carry["hi"])
+        return filled[(wout >= lo_b) & (wout <= hi_b)].reset_index(drop=True)
+
+    return salted_scan(
+        tier_ds, key=key, ts_col=w, salt_every_us=salt_every_us,
+        summarize=summarize, fold=fold, apply=apply, order_by=[w],
+    )

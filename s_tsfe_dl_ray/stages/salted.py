@@ -66,8 +66,9 @@ def salted_scan(
     ts_col: str,
     salt_every_us: int,
     summarize,
-    step,
+    step=None,
     apply,
+    fold=None,
     order_by: list[str] | None = None,
     num_partitions: int = 64,
 ) -> Dataset:
@@ -80,9 +81,21 @@ def salted_scan(
     ``apply(chunk_df, carry_in: dict | None) -> DataFrame``: produce the
     chunk's output given the carry from all earlier chunks.
 
+    ``fold`` (alternative to ``step``, for ops that need LOOKAHEAD or
+    must emit output for chunks with no input rows — e.g. gap filling
+    across empty time-chunks): ``fold(salts: list[int], summaries:
+    list[dict]) -> dict[int, dict]`` sees every chunk summary of one key
+    at once (sorted by salt) and returns carry dicts keyed by salt —
+    INCLUDING salts absent from the input; pass 2 then calls
+    ``apply(empty_df, carry)`` for those row-less chunks.  Summaries are
+    tiny (one per chunk), so the whole-key fold stays microscopic even
+    for a key with thousands of chunks.
+
     Partitioning assumption: one (key, time-chunk) group is complete
     within one partition — never a whole key.
     """
+    if (step is None) == (fold is None):
+        raise ValueError("provide exactly one of step= or fold=")
     order_by = order_by or [ts_col]
     sort_cols = [key, "chunk_salt"] + order_by
 
@@ -114,6 +127,15 @@ def salted_scan(
     # only ever holds summaries, never rows
     def fold_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("chunk_salt", kind="mergesort")
+        if fold is not None:
+            salts = [int(s) for s in g["chunk_salt"]]
+            carry_by_salt = fold(salts, [json.loads(s) for s in g["_summary"]])
+            return pd.DataFrame({
+                key: np.repeat(g[key].iloc[0], len(carry_by_salt)),
+                "chunk_salt": np.fromiter(carry_by_salt, np.int64,
+                                          len(carry_by_salt)),
+                "_carry": [json.dumps(c) for c in carry_by_salt.values()],
+            })
         carry = None
         outs = []
         for s_json in g["_summary"]:
@@ -177,7 +199,7 @@ def salted_scan(
 
     def apply_partition(t: pa.Table) -> pd.DataFrame:
         if t.num_rows == 0 or "_kind" not in t.column_names:
-            return apply(pd.DataFrame(), None)
+            return apply(pd.DataFrame(), None) if fold is None else pd.DataFrame()
         t = t.select(union_schema.names).cast(union_schema)
         kind = t["_kind"]
         data = t.filter(pc.equal(kind, 0)).drop_columns(["_carry", "_kind", "_pkey"])
@@ -186,10 +208,24 @@ def salted_scan(
                     for k, s, c in zip(cdf[key], cdf["chunk_salt"], cdf["_carry"])}
         df = data.to_pandas().sort_values(sort_cols, kind="mergesort")
         outs = []
+        seen = set()
         for (k, s), g in df.groupby([key, "chunk_salt"], sort=False):
-            outs.append(apply(g.drop(columns=["chunk_salt"]), carry_of.get((k, s))))
+            g = g.drop(columns=["chunk_salt"])
+            if fold is not None:
+                seen.add((k, s))
+                outs.append(apply(g, carry_of.get((k, s)), k, s))
+            else:
+                outs.append(apply(g, carry_of.get((k, s))))
+        if fold is not None:
+            # chunks the fold emitted a carry for but that have no input
+            # rows (e.g. fully-empty time ranges a gap spans): apply gets
+            # a 0-row frame with the data columns plus (key, salt)
+            empty = df.head(0).drop(columns=["chunk_salt"])
+            for (k, s), c in carry_of.items():
+                if (k, s) not in seen and c is not None:
+                    outs.append(apply(empty, c, k, s))
         if not outs:
-            return apply(pd.DataFrame(), None)
+            return apply(pd.DataFrame(), None) if fold is None else pd.DataFrame()
         return pd.concat(outs, ignore_index=True)
 
     return unioned.groupby("_pkey").map_groups(apply_partition, batch_format="pyarrow")

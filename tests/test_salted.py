@@ -106,3 +106,49 @@ def test_salted_sessionize_exact():
     ends = b[b.user_id == "mega"].session_end.astype("datetime64[us]").astype("int64")
     assert ((starts // SALT_US) != (ends // SALT_US)).any()
     pd.testing.assert_frame_equal(b, s, check_dtype=False)
+
+
+def test_salted_gapfill_matches_unsalted():
+    """Salted gap-fill == unsalted for ffill AND interp on a key whose
+    grid spans ~150 one-hour chunks with multi-chunk dead zones (whole
+    salt chunks with zero observed windows — the fold must emit them)."""
+    from s_tsfe_dl_ray.stages.gapfill import gapfill
+
+    rng = np.random.default_rng(11)
+    rows = []
+    base = np.int64(1_700_000_000_000_000)
+    base -= base % 60_000_000  # align to the 1m grid
+    w = base
+    for i in range(300):
+        # mostly 1-5 minute hops; every ~40 windows a 2-5 HOUR dead zone
+        if i % 40 == 39:
+            w += rng.integers(120, 300) * 60_000_000
+        else:
+            w += rng.integers(1, 5) * 60_000_000
+        rows.append({"user_id": "mega", "window_start": pd.Timestamp(w, unit="us"),
+                     "n_events": int(rng.integers(1, 9)),
+                     "value_sum": int(rng.integers(0, 500)),
+                     "value_min": float(rng.normal(1, 1)),
+                     "value_max": float(rng.normal(9, 1)),
+                     "value_mean": float(rng.normal(5, 2))})
+    w2 = base + 7 * 3_600_000_000
+    for k in ("small-a", "small-b"):
+        for i in range(9):
+            w2 += rng.integers(1, 90) * 60_000_000
+            rows.append({"user_id": k, "window_start": pd.Timestamp(w2, unit="us"),
+                         "n_events": 1, "value_sum": 7, "value_min": 0.5,
+                         "value_max": 2.5, "value_mean": 1.5})
+    df = pd.DataFrame(rows)
+
+    kw = dict(keys=["user_id"], tier="1m", count_cols=["n_events"],
+              sum_cols=["value_sum"], null_cols=["value_min", "value_max"],
+              carry_cols=["value_mean"])
+    for mode in ("ffill", "interp"):
+        plain = to_pdf(gapfill(ray.data.from_pandas(df), mode=mode, **kw))
+        salted = to_pdf(gapfill(ray.data.from_pandas(df), mode=mode,
+                                salt_every_us=SALT_US, **kw))
+        sort = ["user_id", "window_start"]
+        p = plain.sort_values(sort).reset_index(drop=True)
+        s = salted.sort_values(sort).reset_index(drop=True)[p.columns]
+        assert len(p) == len(s) and len(p) > 2000, (mode, len(p), len(s))
+        pd.testing.assert_frame_equal(p, s, check_exact=True), mode

@@ -112,10 +112,11 @@ def test_read_csv_typed(tmp_path, ddb):
     ds = read_csv_typed(str(p), dtypes={"duration": pa.float64()})
     ds = one_hot(ds, col="protocol", categories=["tcp", "udp", "icmp"])
     ds = binarize_label(ds, col="label", normal_value="normal.")
-    df = to_pdf(ds)
+    # block arrival order is not deterministic under load — sort first
+    df = to_pdf(ds).sort_values("duration").reset_index(drop=True)
     assert df.duration.dtype.kind == "f"
     assert (df.filter(like="protocol_").sum(axis=1) == 1).all()
-    assert df.label_bin.tolist() == [0, 1, 0, 1]
+    assert df.label_bin.tolist() == [1, 0, 1, 0]  # durations 0,1,2,3
 
 
 def test_normalize_text_matches_duckdb(ddb):
