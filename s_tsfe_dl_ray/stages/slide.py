@@ -61,6 +61,10 @@ class _SlideGroup:
         return out.reset_index(drop=True)
 
 
+_NP_AGG = {"mean": np.mean, "min": np.min, "max": np.max, "sum": np.sum,
+           "std": lambda a, axis: np.std(a, axis=axis, ddof=1)}
+
+
 def sliding_window_features(
     ds: Dataset,
     *,
@@ -71,6 +75,7 @@ def sliding_window_features(
     stride: int = 1,
     sampling_rate: int = 1,
     stats: tuple[str, ...] = ("mean", "min", "max"),
+    salt_every_us: int | None = None,
 ) -> Dataset:
     """Per-key sliding windows → one feature row per window instance.
 
@@ -79,11 +84,64 @@ def sliding_window_features(
     ``span-1, span-1+stride, ...`` with ``span = (length-1)*sampling_rate
     + 1`` (full windows only); dilation takes every ``sampling_rate``-th
     row within the span.  ``stats`` ⊆ {mean, min, max, sum, std}.
-    """
-    from .grouped import grouped_apply
 
+    ``salt_every_us``: mega-key mode (stages/salted.py) — no partition
+    ever holds a whole key.  Windows whose span crosses chunk boundaries
+    read their earlier values from a HALO carried by the per-key fold:
+    the carry is the running row count (window emission positions are
+    global) plus the last ``span−1`` values seen so far, so a chunk
+    shorter than a window still works.  Requires a single key whose
+    first ``order_by`` column is the timestamp.  The mean/std kernels in
+    this mode are numpy reductions — identical to the unsalted
+    ``sampling_rate>1`` path; vs the unsalted ``sampling_rate==1``
+    pandas-rolling path they can differ in the last float64 ulp.
+    """
     inst = _SlideGroup(order_by, value_col, length, stride, sampling_rate, stats)
-    return grouped_apply(ds, keys=keys, fn=inst)
+    if salt_every_us is None:
+        from .grouped import grouped_apply
+
+        return grouped_apply(ds, keys=keys, fn=inst)
+
+    if len(keys) != 1:
+        raise ValueError("salted sliding_window_features requires a single key")
+    from .salted import salted_scan
+
+    L, S, r = length, stride, sampling_rate
+    span = (L - 1) * r + 1
+    ts_col = order_by[0]
+
+    def summarize(g: pd.DataFrame) -> dict:
+        v = g[value_col].astype("float64")
+        return {"n": int(len(g)),
+                "tail": v.iloc[-(span - 1):].tolist() if span > 1 else []}
+
+    def step(carry: dict | None, s: dict) -> dict:
+        prev = carry or {"n": 0, "tail": []}
+        tail = (prev["tail"] + s["tail"])[-(span - 1):] if span > 1 else []
+        return {"n": prev["n"] + s["n"], "tail": tail}
+
+    def apply(g: pd.DataFrame, carry: dict | None) -> pd.DataFrame:
+        g = g.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+        n_before = carry["n"] if carry else 0
+        tail = np.asarray(carry["tail"], dtype="float64") if carry else np.empty(0)
+        v = g[value_col].astype("float64").to_numpy()
+        vv = np.concatenate([tail, v])
+        off = len(tail)
+        gpos = n_before + np.arange(len(g))
+        keep = (gpos >= span - 1) & ((gpos - (span - 1)) % S == 0)
+        idx_end = np.flatnonzero(keep)
+        take = (off + idx_end)[:, None] - np.arange(L - 1, -1, -1)[None, :] * r
+        windows = vv[take]  # (n_windows, L)
+        out = g.loc[keep, [c for c in g.columns if c != value_col]].copy()
+        out["window_end_" + value_col] = v[idx_end]
+        for s in stats:
+            out[f"{value_col}_w{s}"] = _NP_AGG[s](windows, axis=1)
+        return out.reset_index(drop=True)
+
+    return salted_scan(
+        ds, key=keys[0], ts_col=ts_col, salt_every_us=salt_every_us,
+        summarize=summarize, step=step, apply=apply, order_by=order_by,
+    )
 
 
 class _ReverseGroup:

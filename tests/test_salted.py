@@ -152,3 +152,31 @@ def test_salted_gapfill_matches_unsalted():
         s = salted.sort_values(sort).reset_index(drop=True)[p.columns]
         assert len(p) == len(s) and len(p) > 2000, (mode, len(p), len(s))
         pd.testing.assert_frame_equal(p, s, check_exact=True), mode
+
+
+def test_salted_sliding_windows_match():
+    """Salted sliding windows == unsalted across stride/dilation combos on
+    the mega key (windows spanning chunk boundaries read halo values from
+    the fold carry; emission positions are global)."""
+    from s_tsfe_dl_ray.stages.slide import sliding_window_features
+
+    df = _corpus()
+    kw = dict(keys=["user_id"], order_by=["ts", "event_id"], value_col="value",
+              stats=("mean", "min", "max", "sum", "std"))
+    for length, stride, rate in ((32, 7, 1), (12, 5, 4), (64, 64, 1)):
+        plain = to_pdf(sliding_window_features(
+            ray.data.from_pandas(df), length=length, stride=stride,
+            sampling_rate=rate, **kw))
+        salted = to_pdf(sliding_window_features(
+            ray.data.from_pandas(df), length=length, stride=stride,
+            sampling_rate=rate, salt_every_us=SALT_US, **kw))
+        srt = ["user_id", "event_id"]
+        p = plain.sort_values(srt).reset_index(drop=True)
+        s = salted.sort_values(srt).reset_index(drop=True)[p.columns]
+        assert len(p) == len(s) > 50, (length, stride, rate, len(p), len(s))
+        # min/max/window-end are selections — exact; mean/sum/std compare
+        # to float64 tolerance (pandas rolling vs numpy reduce when r==1)
+        for c in ("value_wmin", "value_wmax", "window_end_value"):
+            assert p[c].tolist() == s[c].tolist(), (c, length)
+        for c in ("value_wmean", "value_wsum", "value_wstd"):
+            np.testing.assert_allclose(p[c], s[c], rtol=1e-12, atol=1e-12)
