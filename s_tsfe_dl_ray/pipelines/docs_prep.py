@@ -71,3 +71,64 @@ def prep_documents(
         pkey_col="h",
     )
     return out.select_columns(["doc_id", "n_tokens", "quality", "lang_pred"])
+
+
+def prep_documents_neardup(
+    path: str,
+    *,
+    min_quality: float = 0.35,
+    keep_langs: tuple[str, ...] = ("en",),
+    ngram: int = 3,
+    jaccard: float = 0.5,
+) -> Dataset:
+    """Near-duplicate variant of :func:`prep_documents`: the dedup step
+    collapses TRANSITIVE near-duplicate clusters instead of exact-hash
+    groups — the full modern prep stack in one composition:
+
+        quality/lang filter → text normalization (whitespace/case/NFC,
+        so trivially-reworded copies collide) → n-gram Jaccard pair
+        detection (hot-gram-capped inverted index) → connected
+        components → one survivor (min doc_id) per cluster.
+
+    Returns the kept docs with their metrics plus ``component`` (cluster
+    canonical id).  Every stage is the already-tested partitioned op;
+    this function is the composition users run.
+    """
+    from ..stages.cluster import dedup_keep
+    from ..stages.dedup import ngram_jaccard_pairs
+    from ..stages.text import normalize_text
+
+    ds = read_table(path, columns=["doc_id", "text"])
+    ds = ds.map_batches(token_stats, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(quality_score, batch_format="pyarrow", zero_copy_batch=True)
+    ds = lang_id(ds)
+
+    langs = pa.array(list(keep_langs))
+
+    def keep_mask(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(t["quality"], pa.scalar(float(min_quality))),
+            pc.is_in(t["lang_pred"], value_set=langs),
+        )
+        return t.filter(mask)
+
+    filtered = ds.map_batches(keep_mask, batch_format="pyarrow")
+    filtered = filtered.map_batches(normalize_text, batch_format="pyarrow")
+
+    pairs = ngram_jaccard_pairs(
+        filtered.select_columns(["doc_id", "text_norm"]).rename_columns(
+            {"text_norm": "text"}
+        ),
+        id_col="doc_id", n=ngram, threshold=jaccard,
+    )
+    decided = dedup_keep(
+        filtered.select_columns(
+            ["doc_id", "n_tokens", "quality", "lang_pred"]
+        ),
+        pairs, id_col="doc_id",
+    )
+
+    def only_kept(t: pa.Table) -> pa.Table:
+        return t.filter(pc.cast(t["keep"], pa.bool_())).drop_columns(["keep"])
+
+    return decided.map_batches(only_kept, batch_format="pyarrow")

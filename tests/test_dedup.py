@@ -159,3 +159,40 @@ def _exact_jaccard_pairs_strict(df: pd.DataFrame, n: int, threshold: float) -> d
             if u and len(sets[a] & sets[b]) / u >= threshold:
                 out[(a, b)] = len(sets[a] & sets[b]) / u
     return out
+
+
+def test_prep_documents_neardup_end_to_end(tmp_path):
+    """Composite near-dup prep: quality/lang filter -> normalize ->
+    n-gram pairs -> components -> one survivor per cluster.  Planted:
+    a 3-doc near-dup chain (case/whitespace variants + one-word edit),
+    an unrelated keeper, a junk doc, and a non-English doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s_tsfe_dl_ray.pipelines.docs_prep import prep_documents_neardup
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "farmer watches the field and the river runs past the mill")
+    variant_ws = "  The  quick BROWN fox jumps over the lazy dog while the " \
+                 "farmer watches the field and the river runs past the mill "
+    variant_edit = ("the quick brown fox jumps over the lazy dog while the "
+                    "farmer watches the field and the river runs past the barn")
+    other = ("a completely different document about the weather today with "
+             "plenty of sunshine and a mild breeze over the coast and the hills")
+    junk = "!!! ??? !!!"
+    es = ("el rapido zorro marron salta sobre el perro perezoso mientras el "
+          "granjero mira el campo y el rio pasa por el molino con la luz")
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [base, variant_ws, variant_edit, other, junk, es],
+    })
+    p = tmp_path / "documents.parquet"
+    pq.write_table(docs, str(p))
+    out = prep_documents_neardup(str(p), jaccard=0.5).to_pandas()
+    kept = set(out.doc_id)
+    assert 5 not in kept and 6 not in kept      # junk + non-English filtered
+    assert 4 in kept                            # unrelated doc survives
+    assert kept & {1, 2, 3} == {1}              # one survivor per cluster
+    comp = out.set_index("doc_id").component
+    assert comp[1] == 1 and comp[4] == 4
+    assert {"n_tokens", "quality", "lang_pred"} <= set(out.columns)
