@@ -23,11 +23,15 @@ documented here rather than hidden.
 
 Driver row cap: the round-2 driver recorded exactly the first 50 entries
 of ``queries()`` — keep oracle-paired queries within the first 50 (see the
-ordering note inside ``queries()``).  With 57 registered queries the tail
-is ordered by information value: the 7 entries past the cap are the
-pytest-covered rows-only demos (embedding-LSH recall probe, simhash
-signatures + pairs, rolling fingerprint, the three stub-decode media
-demos) — dropped consciously, never an oracle-paired query.
+ordering note inside ``queries()``).  With 62 registered queries the tail
+is ordered by information value: the 12 entries past the cap are the
+pytest-covered rows-only queries (minhash dedup, IVF, EWMA, dup-words,
+mixture sampling, embedding-LSH recall probe, simhash signatures + pairs,
+rolling fingerprint, the three stub-decode media demos) — dropped
+consciously, never an oracle-paired query.  EWMA / dup-words / mixture DO
+have exact DuckDB twins, but those live in pytest (tests/test_ewma.py,
+tests/test_text.py) rather than ``oracle_sql()`` so the driver never sees
+a registered oracle it cannot check.
 """
 
 from __future__ import annotations
@@ -192,6 +196,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, keys=["user_id"], order_by=["ts", "event_id"],
             col="value", window=5, out_col="value_ma5",
         ))
+
+    def q_events_ewma(sf):
+        """Per-user EWMA (alpha 0.3) in explicit (ts, event_id) order —
+        the recency-weighted smoother for drift/anomaly baselines.
+        Bitwise-identical to a DuckDB recursive-CTE twin (pytest
+        tests/test_ewma.py carries it); registered rows-only here — the
+        driver's 50-row cap is spent on the oracle-paired set."""
+        from s_tsfe_dl_ray.stages.transform import ewma
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(ewma(
+            ds, keys=["user_id"], order_by=["ts", "event_id"],
+            col="value", alpha=0.3, out_col="value_ewma",
+        ))
+
+    def q_docs_mixture_sample(sf):
+        """Deterministic source-mixture downsampling (LLM data-mixing
+        step): md5 hex-threshold per source, row-exact reproducible.
+        Pytest carries the DuckDB twin (tests/test_text.py); registered
+        rows-only here — the driver's 50-row cap is spent on the
+        oracle-paired set."""
+        from s_tsfe_dl_ray.stages.transform import mixture_sample
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "source"])
+        return mixture_sample(
+            ds, id_col="doc_id", source_col="source",
+            rates={"src0": 0.25, "src1": 0.75}, default_rate=0.5,
+        )
 
     def q_events_standardize(sf):
         from s_tsfe_dl_ray.stages.transform import standardize
@@ -534,6 +566,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, id_col="doc_id", n=3, threshold=0.5
         ))
 
+    def q_docs_chunk_windows(sf):
+        """Context-window chunking: every document → overlapping 16-word
+        windows at stride 8 (the training-sample construction step of an
+        LLM data pipeline; per-row fan-out, no shuffle).  SQL twin:
+        generate_series offsets + list_slice."""
+        from s_tsfe_dl_ray.stages.text import chunk_words
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return chunk_words(ds, chunk_len=16, stride=8)
+
+    def q_docs_redact(sf):
+        """PII-style regex scrubbing: match count + global replacement as
+        pure RE2 Arrow kernels (DuckDB regexp_* is RE2 too, so the oracle
+        matches byte-for-byte)."""
+        from functools import partial
+
+        from s_tsfe_dl_ray.stages.text import redact_regex
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        out = ds.map_batches(
+            partial(redact_regex, pattern=r"\b(customer|value)\b",
+                    replacement="<PII>"),
+            batch_format="pyarrow",
+        )
+        return out.select_columns(["doc_id", "n_redacted", "text_redacted"])
+
+    def q_docs_dup_words(sf):
+        """Within-document repetition quality signal (duplicate-word
+        fraction).  Pytest carries the DuckDB list_distinct oracle
+        (tests/test_text.py); registered rows-only here — the driver's
+        50-row cap is spent on the oracle-paired set."""
+        from s_tsfe_dl_ray.stages.text import dup_word_stats
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        out = ds.map_batches(dup_word_stats, batch_format="pyarrow")
+        return _round_floats(out.select_columns(
+            ["doc_id", "n_words", "n_distinct_words", "dup_word_frac"]
+        ))
+
     def q_emb_knn_top10(sf):
         ds = read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
         return _round_floats(knn_bruteforce(
@@ -774,6 +845,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_prep_pipeline": q_docs_prep_pipeline,
         "docs_top_tokens": q_docs_top_tokens,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_chunk_windows": q_docs_chunk_windows,
+        "docs_redact": q_docs_redact,
         "emb_knn_top10": q_emb_knn_top10,
         "emb_neardup_04": q_emb_neardup_04,
         "emb_dedup_clusters": q_emb_dedup_clusters,
@@ -785,9 +858,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_order_fingerprint": q_transcripts_order_fingerprint,
         "transcripts_codec_roundtrip": q_transcripts_codec_roundtrip,
         "transcripts_codec_roundtrip_oracle": q_transcripts_codec_roundtrip_oracle,
-        # -- rows-only (no SQL-expressible oracle; pytest-covered) ---------
+        # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
+        # the 50-row cap so every oracle-paired query above gets a driver
+        # row — ewma and dup_words DO have DuckDB oracles, but they live
+        # in pytest (test_ewma.py / test_text.py) rather than oracle_sql()
+        # to avoid registering an oracle the driver would never check) ----
         "docs_minhash_dedup": q_docs_minhash_dedup,
         "emb_knn_ivf": q_emb_knn_ivf,
+        "events_ewma": q_events_ewma,
+        "docs_dup_words": q_docs_dup_words,
+        "docs_mixture_sample": q_docs_mixture_sample,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_simhash": q_docs_simhash,
@@ -1179,6 +1259,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.id_a
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
+        """,
+        "docs_chunk_windows": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            e AS (SELECT doc_id, words,
+                         unnest(generate_series(0, len(words) - 1, 8)) AS off
+                  FROM w)
+            SELECT doc_id, off // 8 AS chunk_idx,
+                   array_to_string(list_slice(words, off + 1, off + 16), ' ') AS chunk_text,
+                   CAST(len(list_slice(words, off + 1, off + 16)) AS BIGINT) AS n_words
+            FROM e
+        """,
+        "docs_redact": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\b(customer|value)\\b')) AS BIGINT)
+                       AS n_redacted,
+                   regexp_replace(text, '\\b(customer|value)\\b', '<PII>', 'g')
+                       AS text_redacted
+            FROM documents
         """,
         "emb_knn_top10": """
             WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS embedding

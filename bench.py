@@ -309,31 +309,255 @@ def scaling() -> None:
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = lo * 4
 
-    def run(ncpu: int) -> dict:
-        # min-of-4 with a FRESH process each time: long-lived 32-cpu Ray
-        # sessions degrade across repeats (object-store residue) and this
-        # VM's noise has a heavy upper tail, so each sample gets a clean
-        # session and we keep the best
-        samples = [
-            _spawn(["--flagship"],
-                   {"RAY_GRAFT_CPUS": str(ncpu), "GRAFT_JOB_REPEATS": "1"})
-            for _ in range(4)
-        ]
-        return min(samples, key=lambda r: r["queries"]["transcript_rollup_job"])
-
-    r_lo, r_hi = run(lo), run(hi)
-    t_lo = r_lo["queries"]["transcript_rollup_job"]
-    t_hi = r_hi["queries"]["transcript_rollup_job"]
+    # INTERLEAVED lo/hi pairs with a FRESH process per sample: long-lived
+    # 32-cpu Ray sessions degrade across repeats (object-store residue),
+    # this VM's noise has a heavy upper tail AND oscillates ±2× on a
+    # minutes timescale — adjacent lo/hi samples see the same box state,
+    # so the per-pair ratio is meaningful where sequential same-level
+    # blocks are not.
+    npairs = int(os.environ.get("GRAFT_SCALE_PAIRS", "4"))
+    probe_before = _dram_probe(lo, hi)
+    samples: dict[int, list] = {lo: [], hi: []}
+    for _ in range(npairs):
+        for ncpu in (lo, hi):
+            samples[ncpu].append(
+                _spawn(["--flagship"],
+                       {"RAY_GRAFT_CPUS": str(ncpu), "GRAFT_JOB_REPEATS": "1"})
+            )
+    t = {n: [r["queries"]["transcript_rollup_job"] for r in samples[n]]
+         for n in (lo, hi)}
+    pair_effs = [round((a / b) / (hi / lo), 3) for a, b in zip(t[lo], t[hi])]
+    t_lo, t_hi = min(t[lo]), min(t[hi])
     eff = (t_lo / t_hi) / (hi / lo)
+    turns = samples[lo][0]["transcript_turns"]
     print(json.dumps({
         "metric": f"scaling efficiency (flagship rollup job, N={lo} vs 4N={hi} CPUs)",
-        "transcript_turns": r_lo["transcript_turns"],
+        "transcript_turns": turns,
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
-        f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
-        f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+        f"samples_{lo}": t[lo],
+        f"samples_{hi}": t[hi],
+        f"turns_per_sec_{lo}": round(turns / t_lo, 1),
+        f"turns_per_sec_{hi}": round(turns / t_hi, 1),
+        "pair_efficiencies": pair_effs,
         "scaling_efficiency": round(eff, 3),
-        "note": f"single node: {lo} vs {hi} of ONE box's cores share one memory bus and one NVMe; see BASELINE.md scaling analysis + bench.py --ceiling",
+        "scaling_efficiency_best_pair": max(pair_effs),
+        "box_state_before": probe_before,
+        "box_state_after": _dram_probe(lo, hi),
+        "note": f"single node: {lo} vs {hi} of ONE box's cores share one memory bus and one NVMe; interleaved fresh-process pairs; dram_eff_ceiling is the box's pure-CPU DRAM-streaming scaling bound at probe time; see BASELINE.md scaling analysis + bench.py --ceiling",
+    }))
+
+
+def _dram_probe(lo: int, hi: int) -> dict:
+    """30-second box-state probe: pure-CPU numpy streaming over a 64 MB
+    working set in ``lo`` vs ``hi`` concurrent processes (no Ray, no I/O).
+    Returns the DRAM-bandwidth scaling ceiling of the box AT THIS MOMENT —
+    measured oscillating between 0.73 and 0.16 within one hour on this VM,
+    which bounds any lo→hi efficiency a data pipeline can show.  Embedded
+    in every scaling JSON so each measurement carries its own box-state
+    context."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def worker(q, iters, size):
+        a = np.random.default_rng(0).random(size)
+        t0 = time.perf_counter()
+        s = 0.0
+        for _ in range(iters):
+            s += float(np.sum(np.sqrt(a) * a + 1.0001))
+        q.put(time.perf_counter() - t0)
+
+    per = {}
+    for nproc in (lo, hi):
+        q = mp.Queue()
+        ps = [mp.Process(target=worker, args=(q, 2, 8_000_000)) for _ in range(nproc)]
+        for p in ps:
+            p.start()
+        times = [q.get() for _ in ps]
+        for p in ps:
+            p.join()
+        per[nproc] = sum(times) / len(times)
+    return {
+        f"dram_per_proc_sec_{lo}": round(per[lo], 3),
+        f"dram_per_proc_sec_{hi}": round(per[hi], 3),
+        "dram_eff_ceiling": round((hi * per[lo] / per[hi]) / lo / 4, 3),
+    }
+
+
+def _read_geom(tpath: str, ncpu: int):
+    """Read the transcript corpus with the SAME block policy as the job
+    (≈4 read waves per CPU, even files-per-task split)."""
+    from s_tsfe_dl_ray.sources.parquet import read_transcripts
+
+    nfiles = sum(1 for f in os.listdir(tpath) if f.endswith(".parquet"))
+    target = max(int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "4")) * ncpu, 16)
+    nblocks = nfiles // -(-nfiles // target) if nfiles > target else nfiles
+    return read_transcripts(
+        tpath, columns=["conv_id", "ts", "text", "tool"],
+        override_num_blocks=nblocks,
+    )
+
+
+def run_stage(name: str) -> None:
+    """--stage NAME: fresh Ray session, ONE flagship stage in isolation,
+    fixed work.  Stage inputs are built/materialized OUTSIDE the timed
+    region so each measurement covers exactly one stage:
+
+      read     — parquet scan + decompress of the 20M-turn corpus, consumed
+                 by a per-batch row count (DRAM/NVMe-bandwidth-bound);
+      combine  — derive (text tokenization) + per-batch partial rollup over
+                 plasma-materialized raw rows at 5M turns (the compute
+                 core; plasma reads are zero-copy);
+      exchange — THE shuffle + per-bucket vectorized merge + tier cascade +
+                 64 atomic writes + manifests, over pre-materialized
+                 partials (what a cluster's cross-node exchange does);
+      e2e      — the whole fused job at 5M turns for the same-corpus
+                 reference point.
+
+    Besides the stage wall time, reports ``sec_marginal``: the same stage
+    over a tiny (GRAFT_STAGE_FLOOR_TURNS, default 50k) input is timed
+    back-to-back IN THE SAME PROCESS and subtracted, cancelling the
+    pipeline-launch floor (streaming-executor startup + driver tail)
+    under the same box state — this VM's noise is heavy-tailed enough
+    (measured floor 0.2 s → 2.6 s minutes apart) that separately-sampled
+    floors mislead.  Used by --stage-scaling to isolate WHICH stage owns
+    the single-box 8→32 shortfall (BASELINE.md scaling analysis; VERDICT
+    r2 #1 alternate done-condition: compute stages ≥0.8 with the
+    DRAM-bound residual isolated per stage)."""
+    import pyarrow as pa
+
+    ray = _init_ray()
+    from s_tsfe_dl_ray.pipelines.job import TranscriptRollupJob
+    from s_tsfe_dl_ray.pipelines.transcript_rollup import TRANSCRIPT_SPEC
+    from s_tsfe_dl_ray.stages.rollup import _PartialBatch
+    from s_tsfe_dl_ray.functions.derive import derive_transcript_columns
+    from s_tsfe_dl_ray.synth import transcripts_parquet
+
+    stage_turns = int(os.environ.get("GRAFT_STAGE_TURNS", "5000000"))
+    floor_turns = int(os.environ.get("GRAFT_STAGE_FLOOR_TURNS", "50000"))
+    turns = BENCH_TURNS if name == "read" else stage_turns
+
+    def consume_count(ds) -> int:
+        # per-batch row count: tiny rows cross the object store, the
+        # stage's real output is dropped inside the task
+        return int(
+            ds.map_batches(
+                lambda t: pa.table({"rows": [t.num_rows]}),
+                batch_format="pyarrow",
+            ).sum("rows")
+        )
+
+    def build(n_turns: int, tag: str):
+        """Return a zero-arg closure running the stage at ``n_turns``
+        (inputs built/materialized here, outside any timed region)."""
+        tpath = transcripts_parquet(n_turns=n_turns, seed=42)
+        _warm_dir(tpath)
+        out_dir = f"/tmp/bench_stage_{NUM_CPUS}_{tag}"
+        if name == "read":
+            return lambda: consume_count(_read_geom(tpath, NUM_CPUS))
+        if name == "combine":
+            base = _read_geom(tpath, NUM_CPUS).materialize()
+
+            def once():
+                ds = base.map_batches(
+                    derive_transcript_columns, batch_format="pyarrow"
+                ).map_batches(
+                    _PartialBatch(TRANSCRIPT_SPEC, "1m", num_partitions=64),
+                    batch_format="pyarrow",
+                )
+                return consume_count(ds)
+
+            return once
+        if name == "exchange":
+            partials = (
+                _read_geom(tpath, NUM_CPUS)
+                .map_batches(derive_transcript_columns, batch_format="pyarrow")
+                .map_batches(
+                    _PartialBatch(TRANSCRIPT_SPEC, "1m", num_partitions=64),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+
+            def once():
+                shutil.rmtree(out_dir, ignore_errors=True)
+                job = TranscriptRollupJob(tpath, out_dir, n_buckets=64)
+                return len(job.merge_and_write(partials).to_pandas())
+
+            return once
+        if name == "e2e":
+            def once():
+                shutil.rmtree(out_dir, ignore_errors=True)
+                job = TranscriptRollupJob(tpath, out_dir, n_buckets=64)
+                return job.run()["newly_written"]
+
+            return once
+        raise SystemExit(f"unknown stage {name!r}")
+
+    big, small = build(turns, "big"), build(floor_turns, "floor")
+    _warm_workers()
+    best, best_floor = float("inf"), float("inf")
+    for _ in range(int(os.environ.get("GRAFT_STAGE_REPEATS", "3"))):
+        tf, _ = _timed(small)   # floor first: also warms the code path
+        t, _ = _timed(big)
+        best, best_floor = min(best, t), min(best_floor, tf)
+    ray.shutdown()
+    print(json.dumps({
+        "stage": name, "sec": round(best, 3),
+        "sec_floor": round(best_floor, 3),
+        "sec_marginal": round(best - best_floor, 3),
+        "turns": turns, "floor_turns": floor_turns, "num_cpus": NUM_CPUS,
+    }))
+
+
+def stage_scaling() -> None:
+    """--stage-scaling: each flagship stage in isolation at N and 4N CPUs
+    (fresh process per sample), reporting per-stage scaling efficiency.
+    Separates the dataflow's scalability from the box's shared memory
+    bus/NVMe: on a multi-node cluster each node brings its own bus and
+    disks, so the per-stage numbers bound what the same dataflow does
+    there."""
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = lo * 4
+    pairs = int(os.environ.get("GRAFT_STAGE_PAIRS", "2"))
+    probe_before = _dram_probe(lo, hi)
+    out = {}
+    for stage in ("read", "combine", "exchange", "e2e"):
+        samples = {lo: [], hi: []}
+        # INTERLEAVED lo/hi pairs: this VM's throughput oscillates ±2× on
+        # a minutes timescale, so adjacent lo/hi samples see the same box
+        # state and their ratio is meaningful where sequential blocks of
+        # samples are not
+        for _ in range(pairs):
+            for ncpu in (lo, hi):
+                samples[ncpu].append(_spawn(["--stage", stage],
+                                            {"RAY_GRAFT_CPUS": str(ncpu)}))
+        effs = [
+            round((a["sec_marginal"] / b["sec_marginal"]) / (hi / lo), 3)
+            for a, b in zip(samples[lo], samples[hi])
+            if b["sec_marginal"] > 0
+        ]
+        effs_wall = [
+            round((a["sec"] / b["sec"]) / (hi / lo), 3)
+            for a, b in zip(samples[lo], samples[hi])
+        ]
+        out[stage] = {
+            "turns": samples[lo][0]["turns"],
+            f"sec_{lo}": [s["sec"] for s in samples[lo]],
+            f"sec_{hi}": [s["sec"] for s in samples[hi]],
+            f"marginal_{lo}": [s["sec_marginal"] for s in samples[lo]],
+            f"marginal_{hi}": [s["sec_marginal"] for s in samples[hi]],
+            "eff_pairs_marginal": effs,
+            "eff_pairs_wall": effs_wall,
+            "eff_best_marginal": max(effs) if effs else None,
+        }
+    print(json.dumps({
+        "metric": f"per-stage scaling (flagship stages in isolation, N={lo} vs 4N={hi} CPUs, interleaved pairs)",
+        "stages": out,
+        "box_state_before": probe_before,
+        "box_state_after": _dram_probe(lo, hi),
+        "note": "fixed work per stage, inputs built outside the timed region; marginal = stage wall minus same-process 50k-turn floor (cancels pipeline-launch overhead under the same box state); dram_eff_ceiling is the box's pure-CPU DRAM-streaming scaling bound at probe time; see BASELINE.md scaling analysis",
     }))
 
 
@@ -363,7 +587,8 @@ def ceiling() -> None:
         q.put(time.perf_counter() - t0)
 
     out = {}
-    for label, size, iters in (("l2_156KB", 20_000, 3000), ("l3_1.5MB", 200_000, 300)):
+    for label, size, iters in (("l2_156KB", 20_000, 3000), ("l3_1.5MB", 200_000, 300),
+                               ("dram_64MB", 8_000_000, 8)):
         per = {}
         for nproc in (lo, hi):
             q = mp.Queue()
@@ -390,6 +615,10 @@ def ceiling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--stage-scaling" in sys.argv:
+        stage_scaling()
+    elif "--stage" in sys.argv:
+        run_stage(sys.argv[sys.argv.index("--stage") + 1])
     elif "--ceiling" in sys.argv:
         ceiling()
     elif "--flagship" in sys.argv:

@@ -324,13 +324,9 @@ class TranscriptRollupJob:
 
     def _write_from_partials(self, ds):
         """Default path: THE shuffle carries combiner partials only."""
-        from ..stages.rollup import _PartialBatch, _merge_partials_table
+        from ..stages.rollup import _PartialBatch
 
         spec = TRANSCRIPT_SPEC
-        frag_hash = mf.fragments_hash(self._input_fragments())
-        hash_fp = _bucket_hash_fingerprint()  # computed once, shipped to workers
-        job = self
-
         # NO batch_size here: specifying one blocks Ray's Read→MapBatches
         # operator fusion (downstream min_rows_per_bundled_input vs a
         # row-modifying read).  Unfused, every raw batch INCLUDING TEXT
@@ -342,6 +338,22 @@ class TranscriptRollupJob:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        return self.merge_and_write(partials)
+
+    def merge_and_write(self, partials):
+        """Exchange + merge + write phase over a combiner-partials Dataset
+        (``_pkey``-tagged, as produced by ``_PartialBatch``): THE shuffle,
+        then per-bucket vectorized merge → tier cascade → atomic writes →
+        manifests.  Split out of ``_write_from_partials`` so the bench's
+        per-stage scaling isolation (bench.py --stage-scaling) can time
+        exactly the production exchange+write path on a pre-materialized
+        partials input."""
+        from ..stages.rollup import _merge_partials_table
+
+        spec = TRANSCRIPT_SPEC
+        frag_hash = mf.fragments_hash(self._input_fragments())
+        hash_fp = _bucket_hash_fingerprint()  # computed once, shipped to workers
+        job = self
 
         def write_bucket(g: pa.Table) -> pa.Table:
             bucket = int(g["_pkey"][0].as_py())

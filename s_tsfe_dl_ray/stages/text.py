@@ -254,6 +254,126 @@ def top_tokens(
 
 
 # ---------------------------------------------------------------------------
+# context-window chunking (training-sample construction)
+# ---------------------------------------------------------------------------
+
+
+def chunk_words(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_len: int = 16,
+    stride: int = 8,
+) -> Dataset:
+    """Split every document into overlapping word windows — the
+    context-window chunking step of an LLM training-data pipeline
+    (long documents → fixed-budget training samples with overlap).
+
+    Chunks start at word offsets 0, ``stride``, 2·``stride``, … < n_words;
+    each takes ``chunk_len`` words (the final chunks are shorter).  Pure
+    per-row fan-out, so it runs embarrassingly parallel as one vectorized
+    ``map_batches`` (polars split → int_ranges → explode → list.slice →
+    join; no Python per-row loop) with no shuffle at any scale.  SQL twin:
+    ``unnest(generate_series(0, len(words)-1, stride))`` +
+    ``list_slice``.  Same windowing semantics as the reference's
+    length/stride window generator (timeseries_batch_generator.py:289-295)
+    applied to words instead of samples.
+
+    Output: (id_col, chunk_idx, chunk_text, n_words), one row per chunk.
+    Empty text behaves like DuckDB ``string_split``: one ``['']`` word →
+    one empty chunk.
+    """
+    if chunk_len < 1 or stride < 1:
+        raise ValueError("chunk_len and stride must be >= 1")
+
+    def explode(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t.select([id_col, text_col]))
+        df = df.with_columns(pl.col(text_col).str.split(" ").alias("_w"))
+        df = df.with_columns(
+            pl.int_ranges(0, pl.col("_w").list.len().cast(pl.Int64), stride).alias("_off")
+        ).explode("_off")
+        df = df.with_columns(
+            (pl.col("_off") // stride).alias("chunk_idx"),
+            pl.col("_w").list.slice(pl.col("_off"), chunk_len).alias("_cw"),
+        )
+        out = df.select(
+            pl.col(id_col),
+            pl.col("chunk_idx").cast(pl.Int64),
+            pl.col("_cw").list.join(" ").alias("chunk_text"),
+            pl.col("_cw").list.len().cast(pl.Int64).alias("n_words"),
+        )
+        return out.to_arrow().cast(
+            pa.schema([
+                (id_col, t.schema.field(id_col).type),
+                ("chunk_idx", pa.int64()),
+                ("chunk_text", pa.string()),
+                ("n_words", pa.int64()),
+            ])
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# regex redaction (PII-style scrubbing)
+# ---------------------------------------------------------------------------
+
+
+def redact_regex(
+    batch: pa.Table,
+    *,
+    pattern: str,
+    replacement: str = "<REDACTED>",
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+) -> pa.Table:
+    """Append ``out_col`` with every ``pattern`` match replaced and
+    ``n_redacted`` with the per-row match count — the PII/URL-scrubbing
+    shape of a training-data pipeline, as pure RE2 Arrow kernels
+    (``count_substring_regex`` + ``replace_substring_regex``; DuckDB's
+    regexp functions are RE2 too, so the SQL twin
+    ``regexp_replace(text, pat, rep, 'g')`` matches byte-for-byte).
+    Compose as ``ds.map_batches(partial(redact_regex, pattern=...),
+    batch_format="pyarrow")`` — stateless, no shuffle.
+    """
+    s = batch[text_col]
+    n = pc.cast(pc.count_substring_regex(s, pattern), pa.int64())
+    red = pc.replace_substring_regex(s, pattern, replacement)
+    return batch.append_column("n_redacted", n).append_column(out_col, red)
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition (quality signal)
+# ---------------------------------------------------------------------------
+
+
+def dup_word_stats(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Append n_words / n_distinct_words / dup_word_frac — the
+    within-document repetition quality signal (high duplicate-token
+    fraction flags boilerplate/spam; the word-level analog of published
+    repetition filters).  Vectorized: polars ``str.split`` +
+    ``list.n_unique`` per row, no Python loop.  SQL twin:
+    ``len(string_split(text, ' '))`` / ``len(list_distinct(...))``.
+    """
+    import polars as pl
+
+    arr = batch[text_col]
+    words = pl.Series("t", arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr).str.split(" ")
+    n_words = words.list.len().cast(pl.Int64).to_arrow()
+    n_distinct = words.list.n_unique().cast(pl.Int64).to_arrow()
+    frac = pc.subtract(
+        pa.scalar(1.0),
+        pc.divide(pc.cast(n_distinct, pa.float64()), pc.cast(n_words, pa.float64())),
+    )
+    batch = batch.append_column("n_words", pc.cast(n_words, pa.int64()))
+    batch = batch.append_column("n_distinct_words", pc.cast(n_distinct, pa.int64()))
+    return batch.append_column("dup_word_frac", frac)
+
+
+# ---------------------------------------------------------------------------
 # text normalization (pre-dedup canonical form)
 # ---------------------------------------------------------------------------
 

@@ -103,6 +103,99 @@ def rolling_mean(
     )
 
 
+class _EwmaGroup:
+    def __init__(self, col: str, out_col: str, alpha: float, order_by: list[str]):
+        self.col, self.out_col, self.alpha, self.order_by = col, out_col, alpha, order_by
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(self.order_by, kind="mergesort")
+        g[self.out_col] = (
+            g[self.col].astype("float64").ewm(alpha=self.alpha, adjust=False).mean()
+        )
+        return g
+
+
+def ewma(
+    ds: Dataset,
+    *,
+    keys: list[str],
+    order_by: list[str],
+    col: str,
+    alpha: float,
+    out_col: str | None = None,
+    salt_every_us: int | None = None,
+) -> Dataset:
+    """Exponentially-weighted moving average per key in explicit order:
+    ``y_0 = x_0; y_i = alpha*x_i + (1-alpha)*y_{i-1}`` (pandas
+    ``ewm(adjust=False)`` — verified bitwise-identical to the naive
+    float64 recurrence AND to a DuckDB recursive-CTE twin computing
+    ``alpha*x + (1-alpha)*ewma``, so the op is oracle-checkable despite
+    being non-windowed SQL).  The recency-weighted smoother the reference
+    applies as ``moving_average`` pre-filtering
+    (experiments/IGN_experiment.py:190-205) — the infinite-impulse
+    variant, standard for drift/anomaly baselines over event streams.
+
+    ``salt_every_us``: mega-key mode (stages/salted.py).  Each chunk's
+    summary is the linear decomposition (v, w) of the recurrence
+    (``y_end = v + w·y_in``; w = (1-alpha)^n), so no partition ever holds
+    a hot key's full history.  The carry fold reassociates float
+    products, so salted output agrees with the unsalted path to float64
+    precision (same caveat as salted ``rolling_mean``), not bitwise.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    out_col = out_col or f"{col}_ewma"
+    if salt_every_us is None:
+        inst = _EwmaGroup(col, out_col, alpha, order_by)
+        from .grouped import grouped_apply
+
+        return grouped_apply(ds, keys=keys, fn=inst)
+
+    if len(keys) != 1:
+        raise ValueError("salted ewma requires a single key")
+    from .salted import salted_scan
+
+    ts_col = order_by[0]
+    one_m = 1.0 - alpha
+
+    def summarize(g: pd.DataFrame) -> dict:
+        x = g[col].astype("float64")
+        # v: the recurrence seeded with y_in = 0 (pure input contribution,
+        # via a prepended synthetic 0 row); v0: seeded with y_0 = x_0 (the
+        # value if this is the key's FIRST chunk).  y_end = v + w*y_in for
+        # continuation chunks.  Both vectorized pandas ewm.
+        z = pd.concat([pd.Series([0.0]), x], ignore_index=True)
+        v = float(z.ewm(alpha=alpha, adjust=False).mean().iloc[-1])
+        v0 = float(x.ewm(alpha=alpha, adjust=False).mean().iloc[-1])
+        return {"v": v, "w": float(one_m ** len(x)), "v0": v0}
+
+    def step(carry: dict | None, s: dict) -> dict:
+        if carry is None:
+            return {"y": s["v0"]}
+        return {"y": s["v"] + s["w"] * carry["y"]}
+
+    def apply(g: pd.DataFrame, carry: dict | None) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        g = g.sort_values(order_by, kind="mergesort")
+        x = g[col].astype("float64")
+        if carry is None:
+            g[out_col] = x.ewm(alpha=alpha, adjust=False).mean()
+        else:
+            # prepend the carried y so pandas' recurrence seeds from it,
+            # then drop the synthetic first row
+            s = pd.concat(
+                [pd.Series([carry["y"]], dtype="float64"), x], ignore_index=True
+            )
+            g[out_col] = s.ewm(alpha=alpha, adjust=False).mean().iloc[1:].to_numpy()
+        return g
+
+    return salted_scan(
+        ds, key=keys[0], ts_col=ts_col, salt_every_us=salt_every_us,
+        summarize=summarize, step=step, apply=apply, order_by=order_by,
+    )
+
+
 def standardize(ds: Dataset, *, cols: list[str], suffix: str = "_z") -> Dataset:
     """Two-pass global standardization: tiny aggregate (mean/std via
     per-batch partial sums — one small shuffle), then a broadcast scale
@@ -182,6 +275,44 @@ def hash_split(
         return b
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def mixture_sample(
+    ds: Dataset,
+    *,
+    id_col: str,
+    source_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> Dataset:
+    """Deterministic source-mixture downsampling — the data-mixing step of
+    an LLM training pipeline (hit a target corpus mix by keeping each
+    source at its own rate).  A row survives iff the first 4 hex digits
+    of ``md5(source || '|' || id)`` fall below its source's rate, so the
+    sample is order-independent, stable across cluster sizes and reruns,
+    exactly reproducible row-by-row (not just in expectation), and
+    SQL-mirrorable with the same hex-threshold idiom as ``hash_split``.
+    Salting with the source makes rates independent across sources.
+    Stateless per row → embarrassingly parallel; no shuffle at any scale.
+
+    ``rates``: source value → keep rate in [0, 1]; sources not listed get
+    ``default_rate``.  Rate ≥ 1.0 keeps every row of that source.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r:
+            raise ValueError(f"rate for {s!r} must be >= 0, got {r}")
+    cuts = {s: min(int(r * 65536), 65536) for s, r in rates.items()}
+    default_cut = min(int(default_rate * 65536), 65536)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        salted = b[source_col].astype(str) + "|" + b[id_col].astype(str)
+        h = salted.map(
+            lambda s: int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+        ).to_numpy()
+        cut = b[source_col].map(lambda s: cuts.get(s, default_cut)).to_numpy()
+        return b[h < cut]
+
+    return ds.map_batches(keep, batch_format="pandas")
 
 
 def stratified_hash_split(

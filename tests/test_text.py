@@ -145,3 +145,148 @@ def test_normalize_text_matches_duckdb(ddb):
     ).df()
     assert got["text_norm"].tolist() == exp["text_norm"].tolist()
     assert got["text_norm"][1] == "\u00e9clair \u00e9clair"  # composed
+
+
+def test_chunk_words_matches_oracle(ddb):
+    """Context-window chunking vs the DuckDB generate_series/list_slice
+    twin: same offsets, same (possibly short) final chunks, same text."""
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.text import chunk_words
+
+    ds = read_table(DOCS, columns=["doc_id", "text"])
+    actual = to_pdf(chunk_words(ds, chunk_len=16, stride=8))
+    expected = ddb.sql(
+        f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM '{DOCS}'),
+        e AS (SELECT doc_id, words,
+                     unnest(generate_series(0, len(words) - 1, 8)) AS off
+              FROM w)
+        SELECT doc_id, off // 8 AS chunk_idx,
+               array_to_string(list_slice(words, off + 1, off + 16), ' ') AS chunk_text,
+               CAST(len(list_slice(words, off + 1, off + 16)) AS BIGINT) AS n_words
+        FROM e
+        """
+    ).df()
+    assert len(actual) > len(to_pdf(read_table(DOCS, columns=["doc_id"])))
+    assert_frames_match(actual, expected, check_kind=True)
+
+
+def test_chunk_words_edges():
+    """Empty text → one empty chunk (string_split semantics); short docs →
+    one chunk; exact-multiple lengths don't emit a trailing empty chunk."""
+    import pandas as pd
+    import ray.data as rd
+
+    from s_tsfe_dl_ray.stages.text import chunk_words
+
+    texts = ["", "one two three", " ".join(f"w{i}" for i in range(8)),
+             " ".join(f"w{i}" for i in range(9))]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    got = to_pdf(chunk_words(ds, chunk_len=4, stride=4)).sort_values(
+        ["doc_id", "chunk_idx"]).reset_index(drop=True)
+    # doc 0: [''] -> 1 chunk of the single empty word
+    assert got[got.doc_id == 0].chunk_text.tolist() == [""]
+    assert got[got.doc_id == 0].n_words.tolist() == [1]
+    # doc 1: 3 words < stride -> one chunk
+    assert got[got.doc_id == 1].chunk_text.tolist() == ["one two three"]
+    # doc 2: exactly 8 words -> 2 full chunks, no trailing empty
+    assert got[got.doc_id == 2].chunk_text.tolist() == ["w0 w1 w2 w3", "w4 w5 w6 w7"]
+    # doc 3: 9 words -> 3rd chunk is the single remainder word
+    assert got[got.doc_id == 3].n_words.tolist() == [4, 4, 1]
+    assert got[got.doc_id == 3].chunk_idx.tolist() == [0, 1, 2]
+
+
+def test_redact_regex_matches_oracle(ddb):
+    """RE2 on both sides: count + global replace must agree byte-for-byte."""
+    import ray.data as rd
+    from functools import partial
+
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.text import redact_regex
+
+    pat = r"\b(customer|value)\b"
+    ds = read_table(DOCS, columns=["doc_id", "text"])
+    actual = to_pdf(
+        ds.map_batches(
+            partial(redact_regex, pattern=pat, replacement="<PII>"),
+            batch_format="pyarrow",
+        ).select_columns(["doc_id", "n_redacted", "text_redacted"])
+    )
+    expected = ddb.sql(
+        f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\\b(customer|value)\\b')) AS BIGINT)
+                   AS n_redacted,
+               regexp_replace(text, '\\b(customer|value)\\b', '<PII>', 'g')
+                   AS text_redacted
+        FROM '{DOCS}'
+        """
+    ).df()
+    assert expected.n_redacted.sum() > 0  # the pattern actually fires
+    assert_frames_match(actual, expected, check_kind=True)
+
+
+def test_dup_word_stats_matches_oracle(ddb):
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.text import dup_word_stats
+
+    ds = read_table(DOCS, columns=["doc_id", "text"])
+    actual = to_pdf(
+        ds.map_batches(dup_word_stats, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_words", "n_distinct_words", "dup_word_frac"])
+    )
+    expected = ddb.sql(
+        f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM '{DOCS}')
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+               1.0 - len(list_distinct(words))::DOUBLE / len(words) AS dup_word_frac
+        FROM w
+        """
+    ).df()
+    assert (expected.dup_word_frac > 0).any()  # repetition exists in the corpus
+    assert_frames_match(actual, expected, check_kind=True)
+
+
+def test_mixture_sample_matches_oracle(ddb):
+    """Source-mixture downsampling vs the DuckDB md5 hex-threshold twin:
+    row-exact reproducibility, not just rates-in-expectation."""
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.transform import mixture_sample
+
+    rates = {"src0": 0.25, "src1": 0.75}
+    ds = read_table(DOCS, columns=["doc_id", "source"])
+    actual = to_pdf(mixture_sample(
+        ds, id_col="doc_id", source_col="source", rates=rates,
+        default_rate=0.5,
+    ))
+    expected = ddb.sql(
+        f"""
+        SELECT doc_id, source FROM '{DOCS}'
+        WHERE substring(md5(source || '|' || doc_id::VARCHAR), 1, 4) <
+              CASE source WHEN 'src0' THEN '{0x4000:04x}'
+                          WHEN 'src1' THEN '{0xc000:04x}'
+                          ELSE '{0x8000:04x}' END
+        """
+    ).df()
+    assert 0 < len(actual) < 500
+    assert_frames_match(actual, expected, check_kind=True)
+    # per-source rates land near their targets on this corpus
+    full = to_pdf(read_table(DOCS, columns=["doc_id", "source"]))
+    got_rate = len(actual[actual.source == "src1"]) / len(full[full.source == "src1"])
+    assert 0.55 < got_rate < 0.95
+
+
+def test_mixture_sample_edge_rates():
+    import pandas as pd
+    import ray.data as rd
+
+    from s_tsfe_dl_ray.stages.transform import mixture_sample
+
+    df = pd.DataFrame({"doc_id": range(100),
+                       "source": ["a"] * 50 + ["b"] * 50})
+    ds = rd.from_pandas(df)
+    out = to_pdf(mixture_sample(ds, id_col="doc_id", source_col="source",
+                                rates={"a": 0.0, "b": 1.0}))
+    assert set(out.source) == {"b"} and len(out) == 50
