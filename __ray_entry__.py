@@ -800,12 +800,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = q_transcripts_codec_roundtrip(sf)
         return out.select_columns(["conv_id", "n_rows", "roundtrip_ok"])
 
+    def q_events_incremental_1h(sf):
+        """Continuous-aggregate refresh: history + delta rolled up
+        independently, merged via ``merge_partials`` — must equal the
+        direct full-table rollup (same oracle SQL shape as rollup_1h)."""
+        from s_tsfe_dl_ray.pipelines.events_rollup import events_incremental_tier
+
+        return _round_floats(events_incremental_tier(sf, "1h"))
+
+    def q_events_distinct_users_1h(sf):
+        from s_tsfe_dl_ray.pipelines.events_rollup import events_distinct_users
+
+        return events_distinct_users(sf, tier="1h")
+
+    def q_events_distinct_users_approx(sf):
+        """HyperLogLog sketch path (rows-only: accuracy bounded, not exact;
+        tolerance-tested against the exact op in tests/test_distinct.py)."""
+        from s_tsfe_dl_ray.pipelines.events_rollup import events_distinct_users
+
+        return events_distinct_users(sf, tier="1h", exact=False)
+
+    def q_events_top_types_per_user(sf):
+        from s_tsfe_dl_ray.pipelines.events_rollup import events_top_types_per_user
+
+        return events_top_types_per_user(sf, k=3)
+
     # ORDER MATTERS: the round-2 driver recorded rows for exactly the
     # FIRST 50 dict entries (insertion order) — 52 were registered and
     # precisely the last two (the codec round-trip pair) were absent from
-    # CORRECTNESS_r02.json.  All oracle-paired queries therefore come
-    # first; rows-only (no_oracle) queries last, least-critical at the
-    # very end (they remain pytest-covered either way).
+    # CORRECTNESS_r02.json.  All 50 leading entries are now oracle-paired
+    # (hash-checkable); further oracle-paired queries follow immediately
+    # after (they get driver rows only if the cap lifts, and remain
+    # oracle-checked in tests/test_entry_contract.py either way); rows-only
+    # (no_oracle) queries last, least-critical at the very end.
     return {
         # -- oracle-paired (hash-checked by the driver) --------------------
         "events_rollup_1m": q_events_rollup_1m,
@@ -856,13 +883,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_sessions_30m": q_transcripts_sessions_30m,
         "transcripts_toolcall_last_user": q_transcripts_toolcall_last_user,
         "transcripts_order_fingerprint": q_transcripts_order_fingerprint,
-        "transcripts_codec_roundtrip": q_transcripts_codec_roundtrip,
         "transcripts_codec_roundtrip_oracle": q_transcripts_codec_roundtrip_oracle,
+        "events_incremental_1h": q_events_incremental_1h,
+        # ---- 50-row cap boundary (see ORDER MATTERS above) ---------------
+        # oracle-paired overflow: checked by the rehearsal test at driver
+        # scale; driver rows appear only if the cap lifts
+        "events_distinct_users_1h": q_events_distinct_users_1h,
+        "events_top_types_per_user": q_events_top_types_per_user,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
         # in pytest (test_ewma.py / test_text.py) rather than oracle_sql()
         # to avoid registering an oracle the driver would never check) ----
+        "transcripts_codec_roundtrip": q_transcripts_codec_roundtrip,
+        "events_distinct_users_approx": q_events_distinct_users_approx,
         "docs_minhash_dedup": q_docs_minhash_dedup,
         "emb_knn_ivf": q_emb_knn_ivf,
         "events_ewma": q_events_ewma,
@@ -1102,6 +1136,22 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l.l_extendedprice::DECIMAL(18,2) * (1 - l.l_discount::DECIMAL(18,2)))::DOUBLE / count(*), 6) AS revenue_mean
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             GROUP BY 1
+        """,
+        # merged history+delta partials must equal the direct rollup —
+        # the oracle is the SAME SQL as events_rollup_1h on purpose
+        "events_incremental_1h": rollup("hour"),
+        "events_distinct_users_1h": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "events_top_types_per_user": """
+            SELECT user_id, event_type, n_events, rank FROM (
+              SELECT user_id, event_type, count(*) AS n_events,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY count(*) DESC, event_type) AS rank
+              FROM events GROUP BY 1, 2
+            ) WHERE rank <= 3
         """,
         "events_type_counts": """
             SELECT event_type, count(value) AS n_events,

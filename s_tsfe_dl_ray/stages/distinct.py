@@ -1,0 +1,227 @@
+"""Distinct-cardinality operators: exact count-distinct, top-k-per-group,
+and a HyperLogLog sketch for the 100 TB regime.
+
+Count-distinct is the one aggregate the rollup combiner cannot carry as a
+scalar partial (it is not associative over counts), so it gets its own
+two-stage shape:
+
+1. **per-batch dedup combiner** — one vectorized pyarrow ``group_by`` over
+   ``keys + [member]`` collapses each batch to its distinct pairs before
+   the shuffle; on repetitive streams this is the same orders-of-magnitude
+   exchange reduction the rollup combiner gets (stages/rollup.py §scale);
+2. **hash-partition by key** (``_pkey`` pattern) — every key's surviving
+   pairs co-locate, so one exact ``count_distinct`` kernel per partition
+   finishes the job.  No driver round-trip, no ``Dataset.aggregate``.
+
+The exact path concentrates a key's full distinct set in one partition —
+inherent to exactness.  For hot keys at web scale use
+``grouped_distinct_approx`` (HyperLogLog): its partial state is
+``(key, bucket, max rho)`` rows — at most ``2**p`` per key regardless of
+input size — and merges by ``max``, which IS associative, so the sketch
+composes with the same combiner/shuffle shape as any rollup metric.
+
+Reference analog: the reference's label-cardinality bookkeeping before
+one-hot encoding (data.py's per-class segment counting,
+/root/reference/TSFEDL/data.py:99-154) is a small-data count-distinct;
+here it is re-expressed as a distributed exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from .rollup import _stable_pkey
+
+
+def _dedup_partial(keys: list[str], member_col: str, num_partitions: int):
+    def fn(t: pa.Table) -> pa.Table:
+        out = (
+            t.select(keys + [member_col])
+            .group_by(keys + [member_col], use_threads=False)
+            .aggregate([])
+        )
+        return out.append_column("_pkey", _stable_pkey(out[keys[0]], num_partitions))
+
+    return fn
+
+
+def grouped_distinct_count(
+    ds: Dataset,
+    *,
+    keys: list[str],
+    member_col: str,
+    out_col: str = "n_distinct",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Exact ``count(DISTINCT member_col) GROUP BY keys``.
+
+    Returns one row per key group: ``keys… + out_col:int64``.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+
+    def count_partition(t: pa.Table) -> pa.Table:
+        # all pairs for a key are complete within this partition, so the
+        # count_distinct kernel is exact; combine_chunks first — group_by
+        # over many post-shuffle chunks degrades sharply (CLAUDE.md)
+        t = t.combine_chunks()
+        out = t.group_by(keys, use_threads=False).aggregate(
+            [(member_col, "count_distinct")]
+        )
+        return out.rename_columns(keys + [out_col])
+
+    return (
+        ds.map_batches(
+            _dedup_partial(keys, member_col, num_partitions),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("_pkey")
+        .map_groups(count_partition, batch_format="pyarrow")
+    )
+
+
+def grouped_top_k(
+    ds: Dataset,
+    *,
+    keys: list[str],
+    member_col: str,
+    k: int = 1,
+    count_col: str = "n_rows",
+    rank_col: str = "rank",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Top-k most frequent ``member_col`` values per key group, with a
+    deterministic tie-break (higher count first, then member ascending).
+
+    Returns ``keys… + member_col + count_col:int64 + rank_col:int64``.
+
+    Shape: per-batch ``(keys, member) → count`` partials (associative) →
+    one ``_pkey`` shuffle → vectorized merge + rank per partition.  Only
+    (key, member, count) rows cross the exchange.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        out = (
+            t.select(keys + [member_col])
+            .group_by(keys + [member_col], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        out = out.rename_columns(keys + [member_col, "_cnt"])
+        return out.append_column("_pkey", _stable_pkey(out[keys[0]], num_partitions))
+
+    def rank_partition(df: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            df.groupby(keys + [member_col], sort=False)["_cnt"]
+            .sum()
+            .reset_index()
+        )
+        m = m.sort_values(
+            keys + ["_cnt", member_col],
+            ascending=[True] * len(keys) + [False, True],
+            kind="mergesort",
+        )
+        m[rank_col] = m.groupby(keys, sort=False).cumcount() + 1
+        m = m[m[rank_col] <= k].reset_index(drop=True)
+        return m.rename(columns={"_cnt": count_col})
+
+    return (
+        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(rank_partition, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog — the sketch path for web-scale cardinality
+# --------------------------------------------------------------------------
+
+
+def _hll_rho(members: pa.ChunkedArray | pa.Array, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (bucket, rho) for each member hash: bucket = top ``p``
+    bits, rho = 1 + leading-zero count of the remaining ``64-p`` bits
+    (clamped to 64-p+1 when they are all zero)."""
+    import polars as pl
+
+    arr = members.combine_chunks() if isinstance(members, pa.ChunkedArray) else members
+    h = pl.Series(arr).hash(seed=0).to_numpy().astype(np.uint64)
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)).astype(np.uint64)
+    # exact vectorized bit_length (float64 conversion near 2^63 can round
+    # across a power of two and skew the exponent by one — avoid it)
+    x = rest.copy()
+    bl = np.zeros(len(x), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        x[m] >>= np.uint64(s)
+    bl += (x != 0).astype(np.int64)
+    # rho = leading zeros within the 64-p suffix + 1; all-zero suffix
+    # clamps to 64-p+1
+    rho = np.minimum(64 - bl + 1, 64 - p + 1).astype(np.int64)
+    return bucket, rho
+
+
+def grouped_distinct_approx(
+    ds: Dataset,
+    *,
+    keys: list[str],
+    member_col: str,
+    out_col: str = "n_distinct_approx",
+    p: int = 10,
+    num_partitions: int = 64,
+) -> Dataset:
+    """HyperLogLog ``count(DISTINCT member_col) GROUP BY keys`` — relative
+    error ≈ 1.04/sqrt(2**p) (~3.2% at p=10), with linear-counting small-
+    range correction.
+
+    Partial state per batch: ``(keys, bucket, rho_max)`` rows — bounded by
+    ``2**p`` per key per batch and merged by ``max`` (associative), so a
+    hot key's sketch stays O(2**p) through the shuffle no matter how many
+    raw rows it has.  This is the scale path where
+    ``grouped_distinct_count`` would concentrate the key's full distinct
+    set on one worker.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        bucket, rho = _hll_rho(t[member_col], p)
+        st = t.select(keys).append_column("_bucket", pa.array(bucket))
+        st = st.append_column("_rho", pa.array(rho))
+        out = st.group_by(keys + ["_bucket"], use_threads=False).aggregate(
+            [("_rho", "max")]
+        )
+        out = out.rename_columns(keys + ["_bucket", "_rho"])
+        return out.append_column("_pkey", _stable_pkey(out[keys[0]], num_partitions))
+
+    def estimate_partition(df: pd.DataFrame) -> pd.DataFrame:
+        regs = (
+            df.groupby(keys + ["_bucket"], sort=False)["_rho"].max().reset_index()
+        )
+        g = regs.groupby(keys, sort=False)
+        # raw HLL estimate: alpha * m^2 / (zero-register mass + sum 2^-rho)
+        inv = g["_rho"].apply(lambda r: np.sum(np.exp2(-r.to_numpy(dtype=np.float64))))
+        nonzero = g.size()
+        z = (m - nonzero).astype(np.float64)  # registers never touched
+        est = alpha * m * m / (z + inv)
+        # linear counting when the estimate is small and zeros remain
+        lc = m * np.log(m / z.where(z > 0, np.nan))
+        est = est.where(~((est <= 2.5 * m) & (z > 0)), lc)
+        out = nonzero.reset_index()[keys]
+        out[out_col] = np.rint(est.to_numpy()).astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(sketch_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(estimate_partition, batch_format="pandas")
+    )

@@ -262,6 +262,34 @@ def rollup_partial(
     return _ray_merge(spec, partials)
 
 
+def merge_partials(parts: list[Dataset], spec: RollupSpec) -> Dataset:
+    """Continuous-aggregate merge: combine independently computed partial
+    sets (e.g. yesterday's stored partials + today's delta rollup) into one
+    exact partial set — ``finalize(merge_partials([rollup(a), rollup(b)]))``
+    equals ``finalize(rollup(a ∪ b))`` because every carried stat is
+    associative (count/sum/cnt by sum, min/max by min/max; mean derives at
+    finalize only).
+
+    This is the incremental-update half of the engine's continuous
+    aggregates (north rule): new data is rolled up alone and merged into
+    the standing tier without re-reading history.  The merge is one
+    ``_pkey`` co-partition + one vectorized group_by per partition — the
+    ``_pkey`` column each partial set already carries is a pure function of
+    the primary key, so identical keys from different sets meet in the
+    same partition by construction.
+
+    Reference analog: the reference refreshes its pooled feature summaries
+    by re-running the whole extractor (models_keras.py downsample
+    cascades); here the refresh cost is proportional to the delta.
+    """
+    if not parts:
+        raise ValueError("parts must be non-empty")
+    ds = parts[0]
+    if len(parts) > 1:
+        ds = ds.union(*parts[1:])
+    return _ray_merge(spec, ds)
+
+
 def cascade(ds_partial: Dataset, spec: RollupSpec, to_tier: str) -> Dataset:
     """Exact tier cascade: finer-tier partials → coarser-tier partials.
 

@@ -1,0 +1,154 @@
+"""Distinct-cardinality operators (stages/distinct.py): exact two-stage
+count-distinct, top-k-per-group argmax, HyperLogLog sketch, and the
+continuous-aggregate ``merge_partials`` refresh."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from conftest import SF_CHECK, assert_frames_match, to_pdf
+
+EVENTS = f"{SF_CHECK}/events.parquet"
+
+
+def _events_df(columns):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(EVENTS, columns=columns).to_pandas()
+
+
+def test_distinct_count_exact_multi_batch(ddb):
+    """Members repeated across many input blocks must be counted once —
+    the per-batch dedup partials only bound shuffle volume, never the
+    answer."""
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.distinct import grouped_distinct_count
+
+    # tiny blocks so each user's rows are split across many batches
+    ds = read_table(EVENTS, columns=["user_id", "event_type"]).repartition(16)
+    actual = to_pdf(grouped_distinct_count(
+        ds, keys=["event_type"], member_col="user_id", out_col="n_users"
+    ))
+    expected = ddb.sql(
+        f"SELECT event_type, count(DISTINCT user_id) AS n_users "
+        f"FROM '{EVENTS}' GROUP BY 1"
+    ).df()
+    assert_frames_match(actual, expected, atol=0, rtol=0, check_kind=True)
+
+
+def test_top_k_deterministic_tie_break():
+    """Equal counts rank by member ascending, stably, across any blocking."""
+    from s_tsfe_dl_ray.stages.distinct import grouped_top_k
+
+    rows = (
+        [{"k": "a", "m": "x"}] * 3 + [{"k": "a", "m": "y"}] * 3
+        + [{"k": "a", "m": "z"}] * 1 + [{"k": "b", "m": "z"}] * 2
+        + [{"k": "b", "m": "w"}] * 2
+    )
+    ds = ray.data.from_items(rows).repartition(5)
+    out = to_pdf(grouped_top_k(
+        ds, keys=["k"], member_col="m", k=2, count_col="n", rank_col="rank"
+    )).sort_values(["k", "rank"]).reset_index(drop=True)
+    expected = pd.DataFrame({
+        "k": ["a", "a", "b", "b"],
+        "m": ["x", "y", "w", "z"],  # ties (3,3) and (2,2) break member-asc
+        "n": [3, 3, 2, 2],
+        "rank": [1, 2, 1, 2],
+    })
+    assert_frames_match(out, expected, atol=0, rtol=0, check_kind=True)
+
+
+def test_hll_accuracy_vs_exact():
+    """Sketch estimate within the p=10 error envelope on real groups, and
+    near-exact in the linear-counting regime (small cardinalities)."""
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.distinct import (
+        grouped_distinct_approx, grouped_distinct_count,
+    )
+
+    ds = read_table(EVENTS, columns=["user_id", "event_type"])
+    exact = to_pdf(grouped_distinct_count(
+        ds, keys=["event_type"], member_col="user_id", out_col="n"
+    )).set_index("event_type")["n"]
+    approx = to_pdf(grouped_distinct_approx(
+        read_table(EVENTS, columns=["user_id", "event_type"]),
+        keys=["event_type"], member_col="user_id", out_col="n", p=10,
+    )).set_index("event_type")["n"]
+    assert set(exact.index) == set(approx.index)
+    rel = (approx - exact).abs() / exact
+    # 1.04/sqrt(1024) ≈ 3.2% std error; 5 sigma headroom for small groups
+    assert (rel < 0.17).all(), rel.sort_values()
+
+
+def test_hll_partial_state_is_bounded():
+    """A hot key's sketch partials never exceed 2**p rows per batch — the
+    property that makes this the web-scale path."""
+    from s_tsfe_dl_ray.stages.distinct import _hll_rho
+
+    members = pa.array([f"m{i}" for i in range(100_000)])
+    bucket, rho = _hll_rho(members, p=8)
+    assert bucket.min() >= 0 and bucket.max() < 256
+    assert rho.min() >= 1 and rho.max() <= 64 - 8 + 1
+    assert len(np.unique(bucket)) <= 256
+
+
+def test_merge_partials_equals_direct_rollup():
+    """finalize(merge(rollup(A), rollup(B))) == finalize(rollup(A ∪ B)) for
+    an arbitrary split — the continuous-aggregate refresh invariant."""
+    from s_tsfe_dl_ray.pipelines.events_rollup import EVENTS_SPEC
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.rollup import finalize, merge_partials, rollup_partial
+
+    cols = ["user_id", "ts", "value"]
+    full = read_table(EVENTS, columns=cols)
+    direct = to_pdf(finalize(rollup_partial(full, EVENTS_SPEC, "1h"), EVENTS_SPEC))
+
+    import pyarrow.compute as pc
+
+    def half(keep_even: bool):
+        ds = read_table(EVENTS, columns=["event_id"] + cols)
+
+        def f(t: pa.Table) -> pa.Table:
+            even = pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)
+            return t.filter(even if keep_even else pc.invert(even)).select(cols)
+
+        return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    merged = to_pdf(finalize(
+        merge_partials(
+            [rollup_partial(half(True), EVENTS_SPEC, "1h"),
+             rollup_partial(half(False), EVENTS_SPEC, "1h")],
+            EVENTS_SPEC,
+        ),
+        EVENTS_SPEC,
+    ))
+    # float sums re-associate across the split: compare to tight tolerance
+    assert_frames_match(merged, direct, atol=1e-9, rtol=1e-12)
+
+
+def test_merge_partials_empty_side():
+    """Merging with an empty delta is an identity (first run of a
+    continuous aggregate)."""
+    from s_tsfe_dl_ray.pipelines.events_rollup import EVENTS_SPEC
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.rollup import finalize, merge_partials, rollup_partial
+
+    import pyarrow.compute as pc
+
+    cols = ["user_id", "ts", "value"]
+    full = rollup_partial(read_table(EVENTS, columns=cols), EVENTS_SPEC, "1h")
+    empty = rollup_partial(
+        read_table(EVENTS, columns=cols).map_batches(
+            lambda t: t.filter(pc.is_null(t["user_id"])),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        EVENTS_SPEC, "1h",
+    )
+    merged = to_pdf(finalize(merge_partials([full, empty], EVENTS_SPEC), EVENTS_SPEC))
+    direct = to_pdf(finalize(
+        rollup_partial(read_table(EVENTS, columns=cols), EVENTS_SPEC, "1h"), EVENTS_SPEC
+    ))
+    assert_frames_match(merged, direct, atol=0, rtol=0)
