@@ -800,6 +800,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = q_transcripts_codec_roundtrip(sf)
         return out.select_columns(["conv_id", "n_rows", "roundtrip_ok"])
 
+    def q_customers_no_orders(sf):
+        """Distributed anti join (NOT EXISTS): the right side is reduced
+        to distinct keys per batch before the exchange (stages/join.py
+        semi_join — the set-op gap-fill uses internally, first-class).
+        Right side restricted to urgent orders so the anti set is
+        non-empty at every test scale."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.join import anti_join
+
+        cust = read_table(f"{sf}/customer.parquet",
+                          columns=["c_custkey", "c_name", "c_acctbal"])
+        orders = read_table(f"{sf}/orders.parquet",
+                            columns=["o_custkey", "o_orderpriority"])
+        urgent = orders.map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+                       .select(["o_custkey"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        return _round_floats(
+            anti_join(cust, urgent, left_on="c_custkey", right_on="o_custkey")
+        )
+
     def q_events_incremental_1h(sf):
         """Continuous-aggregate refresh: history + delta rolled up
         independently, merged via ``merge_partials`` — must equal the
@@ -890,6 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scale; driver rows appear only if the cap lifts
         "events_distinct_users_1h": q_events_distinct_users_1h,
         "events_top_types_per_user": q_events_top_types_per_user,
+        "customers_no_orders": q_customers_no_orders,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -1144,6 +1167,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "customers_no_orders": """
+            SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
         """,
         "events_top_types_per_user": """
             SELECT user_id, event_type, n_events, rank FROM (

@@ -111,3 +111,91 @@ def hash_join(
     return tagged.groupby("_pkey").map_groups(
         join_partition, batch_format="pandas"
     ).map_batches(restore_types, batch_format="pyarrow")
+
+
+def semi_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    anti: bool = False,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Set-membership join: keep left rows whose ``left_on`` value exists
+    in ``right[right_on]`` (``anti=True`` inverts — the NOT EXISTS shape
+    gap-fill uses internally, exposed as a first-class operator).
+
+    Cheaper than ``hash_join`` by construction: the right side is reduced
+    to its per-batch DISTINCT keys before the exchange, so the shuffle
+    carries left rows + right's key set only — at 100 TB a membership
+    probe against a billion-key set never builds a joined row.  Left rows
+    pass through exactly once (no duplication on right-side multiplicity),
+    so the output schema is the left schema verbatim.
+    """
+    key_t = [f for f in _schema_of(right) if f.name == right_on]
+    if not key_t:
+        raise ValueError(f"right side has no column {right_on!r}")
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.append_column("_pkey", _stable_pkey(t[left_on], num_partitions))
+        return t.append_column("_side", pa.array(["l"] * t.num_rows, pa.string()))
+
+    def right_keys(t: pa.Table) -> pa.Table:
+        # per-batch dedup combiner: only distinct keys cross the shuffle
+        out = t.select([right_on]).group_by([right_on], use_threads=False).aggregate([])
+        if right_on != "_rkey":
+            out = out.rename_columns(["_rkey"])
+        return out.append_column("_pkey", _stable_pkey(out["_rkey"], num_partitions))
+
+    left_schema = _schema_of(left)
+    left_cols = [f.name for f in left_schema]
+
+    def widen_left(t: pa.Table) -> pa.Table:
+        if "_rkey" not in t.column_names:
+            t = t.append_column("_rkey", pa.nulls(t.num_rows, key_t[0].type))
+        return t.select(left_cols + ["_rkey", "_pkey", "_side"])
+
+    def widen_right(t: pa.Table) -> pa.Table:
+        for f in left_schema:
+            t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+        t = t.append_column("_side", pa.array(["r"] * t.num_rows, pa.string()))
+        return t.select(left_cols + ["_rkey", "_pkey", "_side"])
+
+    tagged = (
+        left.map_batches(tag_left, batch_format="pyarrow")
+        .map_batches(widen_left, batch_format="pyarrow")
+        .union(
+            right.map_batches(right_keys, batch_format="pyarrow")
+            .map_batches(widen_right, batch_format="pyarrow")
+        )
+        .repartition(num_partitions, shuffle=False)
+    )
+
+    def probe_partition(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.combine_chunks()
+        is_l = pc.equal(t["_side"], "l")
+        l = t.filter(is_l)
+        keys = t.filter(pc.invert(is_l))["_rkey"]
+        hit = pc.is_in(l[left_on], value_set=keys.combine_chunks())
+        keep = pc.invert(pc.fill_null(hit, False)) if anti else pc.fill_null(hit, False)
+        return l.filter(keep).select(left_cols)
+
+    return tagged.groupby("_pkey").map_groups(probe_partition, batch_format="pyarrow")
+
+
+def anti_join(left: Dataset, right: Dataset, *, left_on: str, right_on: str,
+              num_partitions: int = 64) -> Dataset:
+    """Left rows with NO match in the right side (NOT EXISTS)."""
+    return semi_join(left, right, left_on=left_on, right_on=right_on,
+                     anti=True, num_partitions=num_partitions)
+
+
+def _schema_of(ds: Dataset) -> pa.Schema:
+    s = ds.schema().base_schema
+    if isinstance(s, pa.Schema):
+        return s
+    sample = ds.limit(1).to_pandas()
+    return pa.Table.from_pandas(sample, preserve_index=False).schema
