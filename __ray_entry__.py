@@ -822,6 +822,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             anti_join(cust, urgent, left_on="c_custkey", right_on="o_custkey")
         )
 
+    def q_events_click_attribution(sf):
+        """Interval (range) join: each click resolves to the most recent
+        1-hour purchase attribution window still active at click time —
+        the range-predicate join Ray Data lacks natively
+        (stages/asof.interval_join: co-partition + merge_asof + expiry)."""
+        from s_tsfe_dl_ray.stages.asof import interval_join
+
+        clicks = read_events(
+            sf, columns=["event_id", "user_id", "event_type", "ts", "value"]
+        ).map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "click"))
+                       .select(["event_id", "user_id", "ts", "value"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+        def windows(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], "purchase"))
+            end = pc.add(t["ts"], pa.scalar(3_600_000_000, pa.duration("us")))
+            return pa.table({
+                "user_id": t["user_id"], "win_start": t["ts"],
+                "win_end": end, "purchase_value": t["value"],
+            })
+
+        intervals = read_events(
+            sf, columns=["user_id", "event_type", "ts", "value"]
+        ).map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+        return _round_floats(interval_join(
+            clicks, intervals, key="user_id", point_ts="ts",
+            start_col="win_start", end_col="win_end",
+            interval_cols=["purchase_value"], how="left",
+        ))
+
     def q_events_incremental_1h(sf):
         """Continuous-aggregate refresh: history + delta rolled up
         independently, merged via ``merge_partials`` — must equal the
@@ -913,6 +945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_1h": q_events_distinct_users_1h,
         "events_top_types_per_user": q_events_top_types_per_user,
         "customers_no_orders": q_customers_no_orders,
+        "events_click_attribution": q_events_click_attribution,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -1174,6 +1207,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
+        """,
+        "events_click_attribution": """
+            -- latest-started window semantics: ASOF picks the most recent
+            -- purchase at-or-before the click; the CASE nulls it out when
+            -- the 1h window has already expired (engine: interval_join)
+            SELECT c.event_id, c.user_id, c.ts, round(c.value, 6) AS value,
+                   CASE WHEN c.ts <= p.ts + INTERVAL 1 HOUR THEN p.ts END AS win_start,
+                   CASE WHEN c.ts <= p.ts + INTERVAL 1 HOUR
+                        THEN p.ts + INTERVAL 1 HOUR END AS win_end,
+                   CASE WHEN c.ts <= p.ts + INTERVAL 1 HOUR
+                        THEN round(p.value, 6) END AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
         "events_top_types_per_user": """
             SELECT user_id, event_type, n_events, rank FROM (

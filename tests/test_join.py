@@ -58,6 +58,48 @@ def test_semi_plus_anti_partition_left(ddb):
     assert_frames_match(both, left, atol=0, rtol=0, check_kind=True)
 
 
+def test_interval_join_inner_and_overlap_semantics():
+    """inner drops unmatched/expired points; with overlapping intervals
+    the LATEST-started one wins (and a point past it resolves to no match
+    even if an earlier interval still covers it — documented semantics)."""
+    import numpy as np
+
+    from s_tsfe_dl_ray.stages.asof import interval_join
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60_000_000, "us")  # one minute
+    pts = ray.data.from_items([
+        {"pid": 1, "k": "a", "ts": t0 + 5 * m},    # inside iv1 only
+        {"pid": 2, "k": "a", "ts": t0 + 12 * m},   # inside iv1 AND iv2 → iv2
+        {"pid": 3, "k": "a", "ts": t0 + 25 * m},   # past iv2 end, iv1 covers
+                                                   # → latest-start expired → none
+        {"pid": 4, "k": "b", "ts": t0 + 1 * m},    # no intervals for key b
+    ]).repartition(2)
+    ivs = ray.data.from_items([
+        {"k": "a", "lo": t0, "hi": t0 + 30 * m, "tag": "iv1"},
+        {"k": "a", "lo": t0 + 10 * m, "hi": t0 + 20 * m, "tag": "iv2"},
+    ])
+    left = to_pdf(interval_join(
+        pts, ivs, key="k", point_ts="ts", start_col="lo", end_col="hi",
+        interval_cols=["tag"], how="left",
+    )).sort_values("pid").reset_index(drop=True)
+    assert left.tag.tolist()[0] == "iv1"
+    assert left.tag.tolist()[1] == "iv2"
+    assert left.tag.isna().tolist() == [False, False, True, True]
+    assert left.pid.dtype.kind == "i"  # type-stable through the union
+
+    pts2 = ray.data.from_items([
+        {"pid": 1, "k": "a", "ts": t0 + 5 * m},
+        {"pid": 3, "k": "a", "ts": t0 + 25 * m},
+        {"pid": 4, "k": "b", "ts": t0 + 1 * m},
+    ])
+    inner = to_pdf(interval_join(
+        pts2, ivs, key="k", point_ts="ts", start_col="lo", end_col="hi",
+        interval_cols=["tag"], how="inner",
+    ))
+    assert inner.pid.tolist() == [1]
+
+
 def test_semi_join_small_synthetic():
     """Multi-block + duplicate right keys + a left key type the probe must
     not coerce."""
