@@ -169,6 +169,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    "running_max": ("value", "cummax")},
         ))
 
+    def q_events_value_delta(sf):
+        """SQL lag/diff as ordered-scan kinds (stages/scan.py) — the
+        engine's first-difference feature for change detection; carries
+        across salt-chunk boundaries in mega-key mode (test_salted)."""
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(ordered_scan(
+            ds, keys=["user_id"], order_by=["ts", "event_id"],
+            scans={"value_prev": ("value", "lag"),
+                   "value_delta": ("value", "delta")},
+        ))
+
     def q_events_first_per_key(sf):
         ds = read_events(sf, columns=["event_id", "user_id", "event_type", "ts", "value"])
         return _round_floats(first_per_key(
@@ -946,6 +957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_types_per_user": q_events_top_types_per_user,
         "customers_no_orders": q_customers_no_orders,
         "events_click_attribution": q_events_click_attribution,
+        "events_value_delta": q_events_value_delta,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -1095,6 +1107,13 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "events_value_delta": """
+            SELECT event_id, user_id, ts, round(value, 6) AS value,
+                   round(lag(value) OVER w, 6) AS value_prev,
+                   round(value - lag(value) OVER w, 6) AS value_delta
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "events_rolling_mean5": """
             SELECT event_id, user_id, ts, round(value, 6) AS value,

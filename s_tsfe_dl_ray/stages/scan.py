@@ -24,6 +24,10 @@ _SCAN_FNS = {
     "cummax": lambda s: s.cummax(),
     "cummin": lambda s: s.cummin(),
     "cumcount": lambda s: pd.Series(range(1, len(s) + 1), index=s.index),
+    # previous-row value / first difference within the key (SQL lag/diff);
+    # first row of a key yields NULL (NaN) like the SQL twin
+    "lag": lambda s: s.shift(1),
+    "delta": lambda s: s - s.shift(1),
 }
 
 
@@ -135,6 +139,9 @@ def ordered_scan(
                 out[out_col] = g[col].max().item()
             elif kind == "cummin":
                 out[out_col] = g[col].min().item()
+            elif kind in ("lag", "delta"):
+                # boundary carry = the chunk's LAST value in time order
+                out[out_col] = g[col].iloc[-1]
             else:  # cumcount
                 out[out_col] = int(len(g))
         return out
@@ -149,6 +156,8 @@ def ordered_scan(
                 out[out_col] = a + b
             elif kind == "cummax":
                 out[out_col] = max(a, b)
+            elif kind in ("lag", "delta"):
+                out[out_col] = b  # newest chunk's last value wins
             else:
                 out[out_col] = min(a, b)
         return out
@@ -158,6 +167,12 @@ def ordered_scan(
             return g
         g = g.sort_values(order_by, kind="mergesort")
         for out_col, (col, kind) in scans.items():
+            if kind in ("lag", "delta"):
+                prev = g[col].shift(1)
+                if carry is not None:
+                    prev.iloc[0] = carry[out_col]
+                g[out_col] = prev if kind == "lag" else g[col] - prev
+                continue
             local = _SCAN_FNS[kind](g[col])
             if carry is not None:
                 c = carry[out_col]

@@ -57,7 +57,10 @@ def test_salted_ordered_scan_exact():
     df = _corpus()
     assert _span_chunks(df) >= 80  # genuinely many chunks
     scans = {"run_sum": ("value", "cumsum"), "run_max": ("value", "cummax"),
-             "run_n": ("value", "cumcount")}
+             "run_n": ("value", "cumcount"),
+             # lag/delta carry the previous chunk's LAST value across the
+             # boundary — exact, incl. NaN on each key's first row
+             "val_prev": ("value", "lag"), "val_delta": ("value", "delta")}
     base = to_pdf(ordered_scan(ray.data.from_pandas(df), keys=["user_id"],
                                order_by=["ts", "event_id"], scans=scans))
     salted = to_pdf(ordered_scan(ray.data.from_pandas(df), keys=["user_id"],
@@ -69,6 +72,10 @@ def test_salted_ordered_scan_exact():
     assert (b.run_n.to_numpy() == s.run_n.to_numpy()).all()
     np.testing.assert_allclose(b.run_sum.to_numpy(), s.run_sum.to_numpy(), rtol=1e-12)
     np.testing.assert_array_equal(b.run_max.to_numpy(), s.run_max.to_numpy())
+    np.testing.assert_allclose(b.val_prev.to_numpy(), s.val_prev.to_numpy(),
+                               rtol=0, atol=0, equal_nan=True)
+    np.testing.assert_allclose(b.val_delta.to_numpy(), s.val_delta.to_numpy(),
+                               rtol=0, atol=0, equal_nan=True)
 
 
 def test_salted_rolling_mean_matches():
