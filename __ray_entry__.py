@@ -180,6 +180,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    "value_delta": ("value", "delta")},
         ))
 
+    def q_events_trailing_1h(sf):
+        """Trailing RANGE window (continuous sibling of the tumbling
+        rollup): per event, sum/count over the user's last hour —
+        offset-packed searchsorted + prefix sums, no per-key loop
+        (stages/scan.trailing_agg)."""
+        from s_tsfe_dl_ray.stages.scan import trailing_agg
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(trailing_agg(
+            ds, key="user_id", ts_col="ts", value_col="value",
+            window_us=3_600_000_000,
+            sum_col="value_sum_1h", count_col="n_events_1h",
+        ))
+
     def q_events_first_per_key(sf):
         ds = read_events(sf, columns=["event_id", "user_id", "event_type", "ts", "value"])
         return _round_floats(first_per_key(
@@ -958,6 +972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": q_customers_no_orders,
         "events_click_attribution": q_events_click_attribution,
         "events_value_delta": q_events_value_delta,
+        "events_trailing_1h": q_events_trailing_1h,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -1107,6 +1122,14 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "events_trailing_1h": """
+            SELECT event_id, user_id, ts, round(value, 6) AS value,
+                   round(sum(value) OVER w, 6) AS value_sum_1h,
+                   count(*) OVER w AS n_events_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """,
         "events_value_delta": """
             SELECT event_id, user_id, ts, round(value, 6) AS value,

@@ -94,6 +94,72 @@ def order_fingerprint(
     return tagged.groupby("_pkey").map_groups(fingerprint_partition, batch_format="pandas")
 
 
+def trailing_agg(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window_us: int,
+    sum_col: str = "value_sum_w",
+    count_col: str = "n_rows_w",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Trailing time-RANGE window aggregate: for every row, the sum and
+    count of ``value_col`` over the same key's rows with
+    ``ts ∈ [row.ts − window, row.ts]`` — SQL ``RANGE BETWEEN INTERVAL w
+    PRECEDING AND CURRENT ROW`` (peers included), the continuous sibling
+    of the tumbling rollup (rows-based rolling lives in transform.py).
+
+    Vectorization: one ``_pkey`` co-partition, then per partition every
+    key is handled in a SINGLE pair of ``searchsorted`` calls — timestamps
+    are offset-packed per key group (offset > any key's span + window) so
+    group boundaries can never be crossed by a window probe.  O(n log n)
+    per partition, no per-key Python loop.
+
+    Float note: sums come from prefix-sum differences — associativity
+    differs from a sequential fold by ≤ a few ulps of the key's prefix
+    magnitude (same residual-association risk class as the rollup's float
+    sums; exact for integer/decimal inputs).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .rollup import _stable_pkey
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def window_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [key, ts_col], kind="mergesort"
+        ).reset_index(drop=True)
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keys_all = df[key].to_numpy()
+        change = np.flatnonzero(keys_all[1:] != keys_all[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        gid = np.zeros(len(df), dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        # pack each key group onto a disjoint integer axis: rebase to the
+        # group's min ts, then add gid * (max span + window + 2) so a
+        # probe at (t - window) stays inside its own group
+        base = ts[starts][gid]
+        rel = ts - base
+        span = int(rel.max(initial=0)) + int(window_us) + 2
+        packed = rel + gid * span
+        lo = np.searchsorted(packed, packed - window_us, side="left")
+        hi = np.searchsorted(packed, packed, side="right")  # include peers
+        v = df[value_col].to_numpy(dtype=np.float64)
+        prefix = np.concatenate([[0.0], np.cumsum(v)])
+        df[sum_col] = prefix[hi] - prefix[lo]
+        df[count_col] = hi - lo
+        return df
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(window_partition, batch_format="pandas")
+
+
 def ordered_scan(
     ds: Dataset,
     *,

@@ -61,3 +61,45 @@ def test_sessionize_matches_oracle(ddb):
         """
     ).df()
     assert_frames_match(actual, expected, atol=1e-6)
+
+
+def test_trailing_agg_peer_ties_and_boundaries(ddb):
+    """RANGE window semantics: equal-timestamp peers include each other,
+    the (ts - window) boundary is inclusive, and key groups never leak
+    into each other through the offset packing."""
+    import numpy as np
+    import ray.data
+
+    from s_tsfe_dl_ray.stages.scan import trailing_agg
+
+    t0 = np.datetime64("2024-03-01T00:00:00", "us")
+    s = np.timedelta64(1_000_000, "us")  # one second
+    rows = [
+        # key a: two peers at t0+10s, one row exactly 60s before another
+        {"rid": 1, "k": "a", "ts": t0, "v": 1.0},
+        {"rid": 2, "k": "a", "ts": t0 + 10 * s, "v": 2.0},
+        {"rid": 3, "k": "a", "ts": t0 + 10 * s, "v": 4.0},   # peer of rid 2
+        {"rid": 4, "k": "a", "ts": t0 + 70 * s, "v": 8.0},   # t0+10 at boundary
+        # key b overlaps key a's timestamps — must not cross-contaminate
+        {"rid": 5, "k": "b", "ts": t0 + 5 * s, "v": 100.0},
+        {"rid": 6, "k": "b", "ts": t0 + 20 * s, "v": 200.0},
+    ]
+    out = to_pdf(trailing_agg(
+        ray.data.from_items(rows).repartition(3),
+        key="k", ts_col="ts", value_col="v", window_us=60_000_000,
+        sum_col="vs", count_col="n",
+    )).sort_values("rid").reset_index(drop=True)
+    # rid2/rid3 are peers: both see {1, 2, 4}; rid4's window [t0+10, t0+70]
+    # includes the boundary peers but not t0
+    assert out.vs.tolist() == [1.0, 7.0, 7.0, 14.0, 100.0, 300.0]
+    assert out.n.tolist() == [1, 3, 3, 3, 1, 2]
+    # DuckDB twin over the same frame
+    import pandas as pd
+    df = pd.DataFrame(rows)
+    expected = ddb.sql(
+        """SELECT rid, sum(v) OVER w AS vs, count(*) OVER w AS n FROM df
+           WINDOW w AS (PARTITION BY k ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 MINUTE PRECEDING AND CURRENT ROW)"""
+    ).df().sort_values("rid").reset_index(drop=True)
+    assert out.vs.tolist() == expected.vs.tolist()
+    assert out.n.tolist() == expected.n.astype(int).tolist()
