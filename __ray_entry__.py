@@ -879,6 +879,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             interval_cols=["purchase_value"], how="left",
         ))
 
+    def q_docs_tfidf_top3(sf):
+        """Corpus-statistics feature extraction: top-3 TF-IDF terms per
+        document (stages/text.tfidf_top_terms — tf final per batch, df by
+        token partition, rank by doc partition; no broadcast dictionary)."""
+        from s_tsfe_dl_ray.stages.text import tfidf_top_terms
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return _round_floats(tfidf_top_terms(docs, k=3))
+
     def q_events_incremental_1h(sf):
         """Continuous-aggregate refresh: history + delta rolled up
         independently, merged via ``merge_partials`` — must equal the
@@ -973,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_click_attribution": q_events_click_attribution,
         "events_value_delta": q_events_value_delta,
         "events_trailing_1h": q_events_trailing_1h,
+        "docs_tfidf_top3": q_docs_tfidf_top3,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -1377,6 +1387,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "docs_tfidf_top3": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, count(*)::BIGINT AS tf
+              FROM toks WHERE token <> '' GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1
+            ), n AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id, token, tf, round(tfidf, 6) AS tfidf, rank FROM (
+              SELECT tf.doc_id, tf.token, tf.tf,
+                     tf.tf * ln(n.n / dfreq.df) AS tfidf,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln(n.n / dfreq.df) DESC, tf.token
+                     ) AS rank
+              FROM tf, dfreq, n WHERE tf.token = dfreq.token
+            ) WHERE rank <= 3
         """,
         "docs_top_tokens": """
             SELECT token, count(*)::BIGINT AS n FROM (

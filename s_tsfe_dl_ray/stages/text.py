@@ -428,3 +428,93 @@ def normalize_text(
             arr = pa.array(fixed, type=arr.type)
         s = arr
     return batch.append_column(out_col, s)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF salient terms (corpus-statistics feature extraction)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_docs: int | None = None,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Top-``k`` TF-IDF terms per document: ``tfidf = tf · ln(N/df)`` with
+    ``tf`` the in-document token count, ``df`` the number of documents
+    containing the token, ``N`` the corpus document count.  Ties rank by
+    token ascending (row_number semantics).
+
+    Two genuinely required exchanges, both partial-combined:
+
+    1. tf is FINAL per batch (a document's text is one row, so its token
+       counts complete inside the batch — one vectorized explode +
+       group_by); only (doc, token, tf) rows shuffle by hash(token);
+    2. df is a per-partition row count per token (each (doc, token) row is
+       already distinct), scored in place — the idf lookup is a same-
+       partition merge, never a broadcast of a corpus-wide dictionary;
+    3. the scored rows re-shuffle by hash(doc) for the per-doc top-k rank.
+
+    Tokenization matches ``top_tokens`` (and the SQL twin):
+    ``string_split(trim(text), ' ')``, empties dropped.
+
+    ``n_docs``: pass the corpus size if known; otherwise one extra
+    ``ds.count()`` pass runs first (metadata-only on parquet sources).
+    """
+    if n_docs is None:
+        n_docs = ds.count()
+    n_docs = float(n_docs)
+
+    from .rollup import _stable_pkey
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern(pc.utf8_trim(t[text_col], " "), " ")
+        lens = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        ids = np.repeat(
+            t[id_col].to_numpy(zero_copy_only=False), lens.astype(np.int64)
+        )
+        flat = pc.list_flatten(toks_list)
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table({id_col: pa.array(ids), "token": flat}).filter(keep)
+        out = pairs.group_by([id_col, "token"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        out = out.rename_columns([id_col, "token", "tf"])
+        return out.append_column("_pkey", _stable_pkey(out["token"], num_partitions))
+
+    def df_score(df: pd.DataFrame) -> pd.DataFrame:
+        # every (doc, token) row is distinct and the token's rows are
+        # complete in this partition → df = group size; idf merged in place
+        dfreq = df.groupby("token", sort=False)["tf"].transform("size")
+        df = df.drop(columns=["_pkey"]).copy()
+        df["tfidf"] = df["tf"].to_numpy(dtype=np.float64) * np.log(
+            n_docs / dfreq.to_numpy(dtype=np.float64)
+        )
+        return df
+
+    def rank_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [id_col, "tfidf", "token"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df["rank"] = df.groupby(id_col, sort=False).cumcount() + 1
+        return df[df["rank"] <= k].reset_index(drop=True)
+
+    scored = (
+        ds.map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(df_score, batch_format="pandas")
+    )
+
+    def add_doc_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[id_col], num_partitions))
+
+    return (
+        scored.map_batches(add_doc_pkey, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(rank_partition, batch_format="pandas")
+    )

@@ -290,3 +290,33 @@ def test_mixture_sample_edge_rates():
     out = to_pdf(mixture_sample(ds, id_col="doc_id", source_col="source",
                                 rates={"a": 0.0, "b": 1.0}))
     assert set(out.source) == {"b"} and len(out) == 50
+
+
+def test_tfidf_top_terms_semantics():
+    """Known tiny corpus: corpus-wide tokens get idf 0 (never ranked above
+    rare terms), df counts documents not instances, ties break token-asc."""
+    import math
+
+    import ray.data
+
+    from s_tsfe_dl_ray.stages.text import tfidf_top_terms
+
+    docs = [
+        {"doc_id": 1, "text": "the cat sat"},
+        {"doc_id": 2, "text": "the the dog"},   # 'the' tf=2 but df=3 → idf 0
+        {"doc_id": 3, "text": "the cat cat"},
+    ]
+    out = to_pdf(tfidf_top_terms(
+        ray.data.from_items(docs).repartition(3), k=2
+    )).sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    ln = math.log
+    # doc 1: cat tf1 df2 → ln(1.5); sat tf1 df1 → ln(3) top
+    assert out[out.doc_id == 1].token.tolist() == ["sat", "cat"]
+    # doc 2: dog ln(3) beats the (2·ln(1)=0)
+    assert out[out.doc_id == 2].token.tolist()[0] == "dog"
+    # doc 3: cat tf2·ln(1.5) ≈ 0.81 < dog's ln(3)… compare within doc:
+    # cat 2·ln(1.5)=0.811 vs the 0 → cat first
+    assert out[out.doc_id == 3].token.tolist() == ["cat", "the"]
+    d3 = out[(out.doc_id == 3) & (out.token == "cat")].tfidf.iloc[0]
+    assert abs(d3 - 2 * ln(3 / 2)) < 1e-12
+    assert (out.groupby("doc_id")["rank"].max() <= 2).all()
