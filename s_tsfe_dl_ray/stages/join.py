@@ -113,6 +113,71 @@ def hash_join(
     ).map_batches(restore_types, batch_format="pyarrow")
 
 
+def _bloom_hashes(keys: pa.ChunkedArray | pa.Array, m_bits: int, k: int):
+    """k double-hashed bit positions per key, vectorized (polars xxhash
+    seeds 0/1): pos_i = (h1 + i·h2) mod m."""
+    import numpy as np
+    import polars as pl
+
+    arr = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    s = pl.Series(arr)
+    h1 = s.hash(seed=0).to_numpy().astype(np.uint64)
+    h2 = s.hash(seed=1).to_numpy().astype(np.uint64) | np.uint64(1)
+    m = np.uint64(m_bits)
+    return [((h1 + np.uint64(i) * h2) % m) for i in range(k)]
+
+
+def build_bloom(ds: Dataset, *, key: str, m_bits: int = 1 << 23, k: int = 4):
+    """Distributed Bloom filter over ``ds[key]``: per-batch bitmap
+    partials OR-merged down to ONE ``m_bits/8``-byte array (1 MiB at the
+    default), returned as a ``ray.put`` object ref for map-side probing.
+
+    The reduce moves one bitmap per input block through a single worker —
+    bounded by block count, never by key count; the driver holds exactly
+    one bitmap.  False-positive rate ≈ (1−e^{−kn/m})^k — size ``m_bits``
+    to the expected distinct-key count (≈1% at n=m/10, k=4).
+    """
+    import numpy as np
+    import ray
+
+    nbytes = m_bits // 8
+
+    def batch_bitmap(t: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        for pos in _bloom_hashes(t[key], m_bits, k):
+            np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                             np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)))
+        return pa.table({"bitmap": pa.array([bits.tobytes()], pa.large_binary())})
+
+    def or_merge(t: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for blob in t["bitmap"].to_pylist():
+            acc |= np.frombuffer(blob, dtype=np.uint8)
+        return pa.table({"bitmap": pa.array([acc.tobytes()], pa.large_binary())})
+
+    merged = (
+        ds.map_batches(batch_bitmap, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(or_merge, batch_format="pyarrow", batch_size=None)
+        .take(1)
+    )
+    bits = np.frombuffer(merged[0]["bitmap"], dtype=np.uint8)
+    return ray.put(bits)
+
+
+def _bloom_probe(keys, bits_ref, m_bits: int, k: int):
+    """Vectorized membership probe → bool ndarray (True = maybe-member)."""
+    import numpy as np
+    import ray
+
+    bits = ray.get(bits_ref)
+    ok = np.ones(len(keys), dtype=bool)
+    for pos in _bloom_hashes(keys, m_bits, k):
+        byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+        ok &= (byte & np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))) != 0
+    return ok
+
+
 def semi_join(
     left: Dataset,
     right: Dataset,
@@ -121,6 +186,8 @@ def semi_join(
     right_on: str,
     anti: bool = False,
     num_partitions: int = 64,
+    bloom_bits: int | None = None,
+    bloom_k: int = 4,
 ) -> Dataset:
     """Set-membership join: keep left rows whose ``left_on`` value exists
     in ``right[right_on]`` (``anti=True`` inverts — the NOT EXISTS shape
@@ -132,10 +199,44 @@ def semi_join(
     probe against a billion-key set never builds a joined row.  Left rows
     pass through exactly once (no duplication on right-side multiplicity),
     so the output schema is the left schema verbatim.
+
+    ``bloom_bits``: map-side Bloom prefilter.  A bloom over the right
+    keys is built first (``build_bloom`` — one broadcast bitmap, default
+    sizing via the caller) and probed inside the left's read stage, so
+    only bloom HITS (true members + FP-rate strays) ever enter the
+    exchange; in ``anti`` mode bloom MISSES are definite non-members and
+    bypass the shuffle entirely.  Output is EXACT either way — survivors
+    still go through the exact probe; the bloom only shrinks the shuffle.
+    Costs one extra pass over the right keys (the bloom build) and, in
+    anti mode, a second pass over the left (hit/miss split).
     """
     key_t = [f for f in _schema_of(right) if f.name == right_on]
     if not key_t:
         raise ValueError(f"right side has no column {right_on!r}")
+
+    if bloom_bits is not None:
+        bits_ref = build_bloom(right, key=right_on, m_bits=bloom_bits, k=bloom_k)
+
+        def bloom_filter(keep_hits: bool):
+            def fn(t: pa.Table) -> pa.Table:
+                ok = _bloom_probe(t[left_on], bits_ref, bloom_bits, bloom_k)
+                return t.filter(pa.array(ok if keep_hits else ~ok))
+
+            return fn
+
+        hits = left.map_batches(
+            bloom_filter(True), batch_format="pyarrow", zero_copy_batch=True
+        )
+        if anti:
+            misses = left.map_batches(
+                bloom_filter(False), batch_format="pyarrow", zero_copy_batch=True
+            )
+            exact = semi_join(
+                hits, right, left_on=left_on, right_on=right_on,
+                anti=True, num_partitions=num_partitions,
+            )
+            return misses.union(exact)
+        left = hits
 
     def tag_left(t: pa.Table) -> pa.Table:
         t = t.append_column("_pkey", _stable_pkey(t[left_on], num_partitions))
@@ -187,10 +288,12 @@ def semi_join(
 
 
 def anti_join(left: Dataset, right: Dataset, *, left_on: str, right_on: str,
-              num_partitions: int = 64) -> Dataset:
+              num_partitions: int = 64, bloom_bits: int | None = None,
+              bloom_k: int = 4) -> Dataset:
     """Left rows with NO match in the right side (NOT EXISTS)."""
     return semi_join(left, right, left_on=left_on, right_on=right_on,
-                     anti=True, num_partitions=num_partitions)
+                     anti=True, num_partitions=num_partitions,
+                     bloom_bits=bloom_bits, bloom_k=bloom_k)
 
 
 def _schema_of(ds: Dataset) -> pa.Schema:

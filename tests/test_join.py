@@ -114,3 +114,36 @@ def test_semi_join_small_synthetic():
     out = to_pdf(semi_join(left, right, left_on="k", right_on="rk"))
     assert sorted(out.k.tolist()) == [2, 4]
     assert list(out.columns) == ["k", "v"]
+
+
+def test_bloom_prefilter_preserves_exactness():
+    """semi/anti with the Bloom prefilter equal the plain exact paths —
+    the bloom only shrinks the shuffle (FPs re-checked, anti misses
+    bypass)."""
+    from s_tsfe_dl_ray.stages.join import anti_join, semi_join
+
+    def mk():
+        left = ray.data.from_items(
+            [{"k": i, "v": f"L{i}"} for i in range(200)]
+        ).repartition(4)
+        right = ray.data.from_items(
+            [{"rk": i * 3} for i in range(40)] + [{"rk": 6}] * 5
+        ).repartition(3)
+        return left, right
+
+    # tiny bitmap (256 bits for ~40 keys) to force a real FP rate: the
+    # exactness guarantee must hold even when the bloom is saturated
+    for bits in (1 << 8,):
+        l1, r1 = mk()
+        plain = to_pdf(semi_join(l1, r1, left_on="k", right_on="rk"))
+        l2, r2 = mk()
+        bloomed = to_pdf(semi_join(l2, r2, left_on="k", right_on="rk",
+                                   bloom_bits=bits))
+        assert sorted(bloomed.k) == sorted(plain.k), bits
+
+        l3, r3 = mk()
+        plain_a = to_pdf(anti_join(l3, r3, left_on="k", right_on="rk"))
+        l4, r4 = mk()
+        bloomed_a = to_pdf(anti_join(l4, r4, left_on="k", right_on="rk",
+                                     bloom_bits=bits))
+        assert sorted(bloomed_a.k) == sorted(plain_a.k), bits
