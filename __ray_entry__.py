@@ -879,6 +879,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             interval_cols=["purchase_value"], how="left",
         ))
 
+    def q_events_pivot_type_sums(sf):
+        """Long→wide PIVOT: per-user value sums per event_type as columns
+        (pipelines/relational.pivot_wide — indicator-multiply derive fused
+        into the combiner; wide partials only cross the exchange)."""
+        from s_tsfe_dl_ray.pipelines.relational import pivot_wide
+
+        ds = read_events(sf, columns=["user_id", "event_type", "value"])
+        return _round_floats(pivot_wide(
+            ds, keys=["user_id"], pivot_col="event_type", value_col="value",
+            categories=["click", "view", "purchase", "signup", "error"],
+            count_alias="n_events",
+        ))
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -983,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_delta": q_events_value_delta,
         "events_trailing_1h": q_events_trailing_1h,
         "docs_tfidf_top3": q_docs_tfidf_top3,
+        "events_pivot_type_sums": q_events_pivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -1158,6 +1172,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, round(value, 6) AS value,
                    round((value - avg(value) OVER ()) / stddev_pop(value) OVER (), 6) AS value_z
             FROM events
+        """,
+        "events_pivot_type_sums": """
+            SELECT user_id, count(value) AS n_events,
+                   round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 6) AS value_sum_click,
+                   round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 6) AS value_sum_view,
+                   round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 6) AS value_sum_purchase,
+                   round(sum(CASE WHEN event_type = 'signup' THEN value ELSE 0 END), 6) AS value_sum_signup,
+                   round(sum(CASE WHEN event_type = 'error' THEN value ELSE 0 END), 6) AS value_sum_error
+            FROM events GROUP BY 1
         """,
         "events_one_hot": """
             SELECT event_id, event_type,

@@ -212,3 +212,45 @@ def pricing_summary(sf_dir: str) -> Dataset:
         })
 
     return merged.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pivot_wide(
+    ds: Dataset,
+    *,
+    keys: list[str],
+    pivot_col: str,
+    value_col: str,
+    categories: list[str],
+    count_alias: str = "n_rows",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Wide conditional aggregation (SQL PIVOT): one output column per
+    category — ``{value}_sum_{cat} = sum(value where pivot == cat)`` —
+    plus the group row count.  The long→wide reshape feature tables need.
+
+    Execution is the plain combiner shape: the per-category columns are
+    derived VECTORIZED (value × equality indicator, one kernel per
+    category) inside the same fused map as the partial aggregate, so the
+    exchange carries one wide partial row per (key, batch) — never the
+    long rows.  ``categories`` must be enumerated by the caller (the
+    output schema has to be static); discover them with a cheap
+    ``grouped_distinct_count``/``top_tokens``-style pre-pass when unknown.
+    Rows whose pivot value is outside ``categories`` still count in
+    ``count_alias`` but contribute to no pivot column (SQL ELSE 0).
+    """
+    out_cols = {c: f"{value_col}_sum_{c}" for c in categories}
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        for cat, out in out_cols.items():
+            ind = pc.cast(pc.equal(t[pivot_col], cat), v.type)
+            t = t.append_column(out, pc.multiply(v, ind))
+        return t
+
+    aggs: dict[str, tuple[str, str]] = {count_alias: (value_col, "count")}
+    for out in out_cols.values():
+        aggs[out] = (out, "sum")
+    derived = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_aggregate(
+        derived, keys=keys, aggs=aggs, num_partitions=num_partitions
+    )
