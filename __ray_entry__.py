@@ -892,6 +892,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             count_alias="n_events",
         ))
 
+    def q_emb_label_centroids(sf):
+        """Vector aggregate: per-label embedding centroids in LONG form
+        (label, dim, n_vectors, centroid) — partials are labels×dims
+        rows per batch, embeddings never cross the exchange
+        (stages/similarity.label_centroids)."""
+        from s_tsfe_dl_ray.stages.similarity import label_centroids
+
+        emb = read_table(f"{sf}/embeddings.parquet", columns=["label", "embedding"])
+        return _round_floats(label_centroids(emb))
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -997,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trailing_1h": q_events_trailing_1h,
         "docs_tfidf_top3": q_docs_tfidf_top3,
         "events_pivot_type_sums": q_events_pivot_type_sums,
+        "emb_label_centroids": q_emb_label_centroids,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -1410,6 +1421,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "emb_label_centroids": """
+            -- two unnests in one SELECT zip element-wise in DuckDB,
+            -- giving (value, 1-based dim) pairs per embedding
+            SELECT label, dim, count(*) AS n_vectors,
+                   round(avg(v), 6) AS centroid
+            FROM (
+              SELECT label, unnest(embedding) AS v,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings
+            ) GROUP BY 1, 2
         """,
         "docs_tfidf_top3": """
             WITH toks AS (

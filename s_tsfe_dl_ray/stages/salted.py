@@ -49,7 +49,12 @@ def _chunk_tag(t: pa.Table, key: str, ts_col: str, salt_every_us: int,
 
     arr = t[key].combine_chunks() if isinstance(t[key], pa.ChunkedArray) else t[key]
     h = pl.Series(arr).hash(seed=0).to_numpy()
-    ts_us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+    ts = t[ts_col]
+    if pa.types.is_timestamp(ts.type):
+        # normalize to µs first: a verbatim int64 cast of a ns-precision
+        # column would mis-chunk by 1000× (salt_every_us is µs by contract)
+        ts = pc.cast(ts, pa.timestamp("us"))
+    ts_us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
     salt = np.floor_divide(ts_us, salt_every_us)
     pk = (
         (h + salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))

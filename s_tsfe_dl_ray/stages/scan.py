@@ -104,6 +104,7 @@ def trailing_agg(
     sum_col: str = "value_sum_w",
     count_col: str = "n_rows_w",
     num_partitions: int = 64,
+    salt_every_us: int | None = None,
 ) -> Dataset:
     """Trailing time-RANGE window aggregate: for every row, the sum and
     count of ``value_col`` over the same key's rows with
@@ -117,6 +118,14 @@ def trailing_agg(
     group boundaries can never be crossed by a window probe.  O(n log n)
     per partition, no per-key Python loop.
 
+    ``salt_every_us`` (must be ≥ ``window_us``): mega-key mode — no
+    partition ever holds a whole key (stages/salted.py time-chunking).
+    The carry is a HALO: the previous chunk's rows within the trailing
+    ``window_us`` of its end boundary, so each chunk computes its rows'
+    windows from (halo + chunk) alone; rows older than one window never
+    matter by construction.  Halo size is bounded by the key's row rate ×
+    window — the inherent state of a trailing window — not by history.
+
     Float note: sums come from prefix-sum differences — associativity
     differs from a sequential fold by ≤ a few ulps of the key's prefix
     magnitude (same residual-association risk class as the rollup's float
@@ -126,6 +135,53 @@ def trailing_agg(
     import pyarrow as pa
 
     from .rollup import _stable_pkey
+
+    if salt_every_us is not None:
+        if salt_every_us < window_us:
+            raise ValueError("salt_every_us must be >= window_us (the halo "
+                             "spans at most one chunk boundary)")
+        from .salted import salted_scan
+
+        salt = int(salt_every_us)
+
+        def summarize(g: pd.DataFrame) -> dict:
+            ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            end = (int(ts[0]) // salt + 1) * salt
+            keep = ts >= end - window_us
+            return {"end": end, "tail_ts": ts[keep].tolist(),
+                    "tail_v": g[value_col].to_numpy(dtype=np.float64)[keep].tolist()}
+
+        def step(carry: dict | None, s: dict) -> dict:
+            # salt >= window ⇒ only the immediately preceding chunk's tail
+            # can reach into the next chunk; older tails age out by time
+            return s
+
+        def apply(g: pd.DataFrame, carry: dict | None) -> pd.DataFrame:
+            if len(g) == 0:
+                return g
+            g = g.sort_values([ts_col], kind="mergesort").reset_index(drop=True)
+            ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            v = g[value_col].to_numpy(dtype=np.float64)
+            start = (int(ts[0]) // salt) * salt
+            if carry is not None:
+                c_ts = np.asarray(carry["tail_ts"], dtype=np.int64)
+                c_v = np.asarray(carry["tail_v"], dtype=np.float64)
+                live = c_ts >= start - window_us  # drop aged-out halo rows
+                all_ts = np.concatenate([c_ts[live], ts])
+                all_v = np.concatenate([c_v[live], v])
+            else:
+                all_ts, all_v = ts, v
+            prefix = np.concatenate([[0.0], np.cumsum(all_v)])
+            lo = np.searchsorted(all_ts, ts - window_us, side="left")
+            hi = np.searchsorted(all_ts, ts, side="right")
+            g[sum_col] = prefix[hi] - prefix[lo]
+            g[count_col] = (hi - lo).astype(np.int64)
+            return g
+
+        return salted_scan(
+            ds, key=key, ts_col=ts_col, salt_every_us=salt_every_us,
+            summarize=summarize, step=step, apply=apply, order_by=[ts_col],
+        )
 
     def add_pkey(t: pa.Table) -> pa.Table:
         return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))

@@ -469,3 +469,66 @@ def embedding_neardup_lsh(
         return out[out["cosine"] >= threshold]
 
     return withvecs.map_batches(verify, batch_format="pandas")
+
+
+def label_centroids(
+    ds: Dataset,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Per-label element-wise mean of an embedding column (class
+    centroids — the fit step of a nearest-centroid classifier and the
+    exact analog of one k-means update over given assignments, cf. the
+    sampled `_kmeans_fit` above).
+
+    Combiner discipline for vector aggregates: each batch reduces to one
+    (label, dim, partial_sum, n) LONG row per label×dimension — labels ×
+    dims rows regardless of batch size — so the exchange carries sketch-
+    sized partials, never embeddings.  Long output keeps the op
+    SQL-checkable (`avg(embedding[dim])` per label).  ``dim`` is 1-based
+    to match SQL list indexing.
+    """
+    from .rollup import _stable_pkey
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                label_col: pa.array([], t[label_col].type),
+                "dim": pa.array([], pa.int64()),
+                "_s": pa.array([], pa.float64()),
+                "_n": pa.array([], pa.int64()),
+                "_pkey": pa.array([], pa.int64()),
+            })
+        vecs = t[vec_col].combine_chunks()
+        flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(vecs[0])
+        assert len(flat) == t.num_rows * d, "ragged embedding lengths"
+        mat = flat.reshape(t.num_rows, d)
+        labs = t[label_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labs, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        out = pa.table({
+            label_col: pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq))),
+            "_s": pa.array(sums.ravel()),
+            "_n": pa.array(np.repeat(counts, d)),
+        })
+        return out.append_column("_pkey", _stable_pkey(out[label_col], num_partitions))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([label_col, "dim"], sort=False).agg(
+            _s=("_s", "sum"), _n=("_n", "sum")
+        ).reset_index()
+        g["centroid"] = g["_s"] / g["_n"]
+        g = g.rename(columns={"_n": "n_vectors"})
+        return g[[label_col, "dim", "n_vectors", "centroid"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
+    )

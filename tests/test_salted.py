@@ -187,3 +187,22 @@ def test_salted_sliding_windows_match():
             assert p[c].tolist() == s[c].tolist(), (c, length)
         for c in ("value_wmean", "value_wsum", "value_wstd"):
             np.testing.assert_allclose(p[c], s[c], rtol=1e-12, atol=1e-12)
+
+
+def test_salted_trailing_agg_matches():
+    """Trailing RANGE window in mega-key mode: the halo carry (previous
+    chunk's last-window rows) reproduces the key-complete answer across
+    ~100 chunk boundaries; counts exact, sums to float64 precision."""
+    from s_tsfe_dl_ray.stages.scan import trailing_agg
+
+    df = _corpus()
+    kw = dict(key="user_id", ts_col="ts", value_col="value",
+              window_us=10 * 60 * 1_000_000, sum_col="vs", count_col="n")
+    base = to_pdf(trailing_agg(ray.data.from_pandas(df), **kw))
+    salted = to_pdf(trailing_agg(ray.data.from_pandas(df), **kw,
+                                 salt_every_us=SALT_US))
+    b = base.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    s = salted.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert len(b) == len(s) == len(df)
+    np.testing.assert_array_equal(b.n.to_numpy(), s.n.to_numpy())
+    np.testing.assert_allclose(b.vs.to_numpy(), s.vs.to_numpy(), rtol=1e-12)
