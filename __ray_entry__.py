@@ -902,6 +902,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = read_table(f"{sf}/embeddings.parquet", columns=["label", "embedding"])
         return _round_floats(label_centroids(emb))
 
+    def q_events_linear_trend(sf):
+        """Per-key OLS trend (slope/intercept/corr of value on days since
+        2024-01-01) — seven raw moments per key per batch cross the
+        exchange, closed-form finalize (stages/trend.grouped_linear_trend;
+        the per-series model-fit analog of the reference's per-recording
+        training loop, experiments/keras_experiment.py:420-447)."""
+        from s_tsfe_dl_ray.stages.trend import grouped_linear_trend
+
+        ds = read_events(sf, columns=["user_id", "ts", "value"])
+        return _round_floats(grouped_linear_trend(
+            ds, key="user_id", ts_col="ts", value_col="value",
+            ref_ts_us=1_704_067_200_000_000,  # 2024-01-01T00:00:00Z
+        ))
+
+    def q_events_m4_1h(sf):
+        """M4 visualization downsample (Jugel et al., VLDB 2014): per
+        (user, hour) min/max/first/last value WITH their timestamps;
+        extreme (value, ts) pairs merge lexicographically so the one
+        exchange carries 8 scalars per key-window per batch
+        (stages/downsample.m4_downsample)."""
+        from s_tsfe_dl_ray.stages.downsample import m4_downsample
+
+        ds = read_events(sf, columns=["user_id", "ts", "value"])
+        return _round_floats(m4_downsample(
+            ds, key="user_id", ts_col="ts", value_col="value", tier="1h",
+        ))
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1008,6 +1035,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf_top3": q_docs_tfidf_top3,
         "events_pivot_type_sums": q_events_pivot_type_sums,
         "emb_label_centroids": q_emb_label_centroids,
+        "events_linear_trend": q_events_linear_trend,
+        "events_m4_1h": q_events_m4_1h,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -1432,6 +1461,36 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "events_linear_trend": """
+            SELECT user_id, count(*) AS n_events,
+                   round(regr_slope(value, x), 6) AS slope_per_day,
+                   round(regr_intercept(value, x), 6) AS intercept,
+                   round(corr(value, x), 6) AS corr_xy
+            FROM (
+              SELECT user_id, value,
+                     epoch(ts - TIMESTAMP '2024-01-01') / 86400.0 AS x
+              FROM events
+            ) GROUP BY 1
+        """,
+        "events_m4_1h": """
+            -- min/max over structs order lexicographically in DuckDB:
+            -- (v, t) picks the extreme value with deterministic ts ties,
+            -- (t, v) picks the first/last row with deterministic v ties
+            SELECT user_id, window_start, n_rows,
+                   round(pmin.v, 6) AS v_min,  pmin.t AS ts_at_min,
+                   round(pmax.v, 6) AS v_max,  pmax.t AS ts_at_max,
+                   round(pfirst.v, 6) AS v_first, pfirst.t AS ts_first,
+                   round(plast.v, 6) AS v_last,  plast.t AS ts_last
+            FROM (
+              SELECT user_id, date_trunc('hour', ts) AS window_start,
+                     count(*) AS n_rows,
+                     min(struct_pack(v := value, t := ts)) AS pmin,
+                     max(struct_pack(v := value, t := ts)) AS pmax,
+                     min(struct_pack(t := ts, v := value)) AS pfirst,
+                     max(struct_pack(t := ts, v := value)) AS plast
+              FROM events GROUP BY 1, 2
+            )
         """,
         "docs_tfidf_top3": """
             WITH toks AS (

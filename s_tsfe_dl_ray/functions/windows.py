@@ -42,6 +42,10 @@ def _floor_to(us: pa.ChunkedArray | pa.Array, size: int) -> pa.ChunkedArray:
 def window_start_us(ts: pa.ChunkedArray | pa.Array, tier: str) -> pa.ChunkedArray:
     """floor(ts, tier) as int64 µs-since-epoch (vectorized, zero-copy cast).
     Floors correctly for pre-epoch (negative) timestamps."""
+    if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+        # normalize first: a verbatim int64 cast of e.g. a ns-precision
+        # column (pandas default) would mis-window by 1000×
+        ts = pc.cast(ts, pa.timestamp("us", tz=ts.type.tz))
     return _floor_to(pc.cast(ts, pa.int64()), TIER_US[tier])
 
 

@@ -1,0 +1,117 @@
+"""Per-key OLS trend (stages/trend.py) and M4 downsample
+(stages/downsample.py): multi-block exactness vs DuckDB, degenerate-key
+NULL semantics, and tie determinism of the extreme (value, ts) pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from conftest import SF_CHECK, assert_frames_match, to_pdf
+
+EVENTS = f"{SF_CHECK}/events.parquet"
+REF_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+
+def test_linear_trend_multi_batch(ddb):
+    """Raw-moment partials merged across 16 blocks reproduce DuckDB's
+    regr_slope/regr_intercept/corr per key."""
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.trend import grouped_linear_trend
+
+    ds = read_table(EVENTS, columns=["user_id", "ts", "value"]).repartition(16)
+    actual = to_pdf(grouped_linear_trend(
+        ds, key="user_id", ts_col="ts", value_col="value", ref_ts_us=REF_US,
+    ))
+    expected = ddb.sql(f"""
+        SELECT user_id, count(*) AS n_events,
+               regr_slope(value, x) AS slope_per_day,
+               regr_intercept(value, x) AS intercept,
+               corr(value, x) AS corr_xy
+        FROM (SELECT user_id, value,
+                     epoch(ts - TIMESTAMP '2024-01-01') / 86400.0 AS x
+              FROM '{EVENTS}')
+        GROUP BY 1
+    """).df()
+    assert_frames_match(actual, expected, atol=1e-9, rtol=1e-9)
+
+
+def test_linear_trend_degenerate_keys_null():
+    """n=1 and zero-time-variance keys yield NULL fit columns (SQL
+    regr_*/corr semantics), never inf/nan leaking into the output."""
+    from s_tsfe_dl_ray.stages.trend import grouped_linear_trend
+
+    t0 = REF_US
+    df = pd.DataFrame({
+        "k": ["solo", "flat", "flat", "ok", "ok", "ok"],
+        "ts": pd.to_datetime(
+            [t0, t0 + 5_000_000, t0 + 5_000_000,
+             t0, t0 + 86_400_000_000, t0 + 2 * 86_400_000_000], unit="us"),
+        "v": [1.0, 2.0, 4.0, 1.0, 2.0, 3.0],
+    })
+    out = to_pdf(grouped_linear_trend(
+        ray.data.from_pandas(df).repartition(3),
+        key="k", ts_col="ts", value_col="v", ref_ts_us=REF_US,
+    )).set_index("k")
+    assert np.isnan(out.loc["solo", "slope_per_day"])
+    assert np.isnan(out.loc["flat", "slope_per_day"])  # var(x) == 0
+    np.testing.assert_allclose(out.loc["ok", "slope_per_day"], 1.0, atol=1e-12)
+    np.testing.assert_allclose(out.loc["ok", "intercept"], 1.0, atol=1e-12)
+    np.testing.assert_allclose(out.loc["ok", "corr_xy"], 1.0, atol=1e-12)
+
+
+def test_m4_multi_batch(ddb):
+    """M4 pairs merged across 16 blocks match the lexicographic
+    struct-min/max oracle on the real events table."""
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.downsample import m4_downsample
+
+    ds = read_table(EVENTS, columns=["user_id", "ts", "value"]).repartition(16)
+    actual = to_pdf(m4_downsample(
+        ds, key="user_id", ts_col="ts", value_col="value", tier="1h"))
+    expected = ddb.sql(f"""
+        SELECT user_id, window_start, n_rows,
+               pmin.v AS v_min,  pmin.t AS ts_at_min,
+               pmax.v AS v_max,  pmax.t AS ts_at_max,
+               pfirst.v AS v_first, pfirst.t AS ts_first,
+               plast.v AS v_last,  plast.t AS ts_last
+        FROM (
+          SELECT user_id, date_trunc('hour', ts) AS window_start,
+                 count(*) AS n_rows,
+                 min(struct_pack(v := value, t := ts)) AS pmin,
+                 max(struct_pack(v := value, t := ts)) AS pmax,
+                 min(struct_pack(t := ts, v := value)) AS pfirst,
+                 max(struct_pack(t := ts, v := value)) AS plast
+          FROM '{EVENTS}' GROUP BY 1, 2
+        )
+    """).df()
+    assert_frames_match(actual, expected, atol=0, rtol=0)
+
+
+def test_m4_tie_determinism():
+    """Duplicate extreme values and duplicate timestamps within a window
+    resolve by the documented lexicographic rule under ANY blocking."""
+    from s_tsfe_dl_ray.stages.downsample import m4_downsample
+
+    t0 = 1_704_067_200_000_000
+    # one key, one window: min value 1.0 at two ts; max 9.0 at two ts;
+    # two rows share the earliest ts with different values
+    df = pd.DataFrame({
+        "k": ["a"] * 6,
+        "ts": pd.to_datetime(
+            [t0, t0, t0 + 1_000_000, t0 + 2_000_000,
+             t0 + 3_000_000, t0 + 4_000_000], unit="us"),
+        "v": [5.0, 3.0, 1.0, 9.0, 1.0, 9.0],
+    })
+    for nblocks in (1, 3, 6):
+        out = to_pdf(m4_downsample(
+            ray.data.from_pandas(df).repartition(nblocks),
+            key="k", ts_col="ts", value_col="v", tier="1h"))
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert r.v_min == 1.0 and r.ts_at_min == pd.Timestamp(t0 + 1_000_000, unit="us")
+        assert r.v_max == 9.0 and r.ts_at_max == pd.Timestamp(t0 + 4_000_000, unit="us")
+        assert r.v_first == 3.0 and r.ts_first == pd.Timestamp(t0, unit="us")
+        assert r.v_last == 9.0 and r.ts_last == pd.Timestamp(t0 + 4_000_000, unit="us")
+        assert r.n_rows == 6
