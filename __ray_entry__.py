@@ -929,6 +929,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, key="user_id", ts_col="ts", value_col="value", tier="1h",
         ))
 
+    def q_events_trailing_zscore(sf):
+        """Trailing-window anomaly score: value standardized against the
+        user's own last 6h (stream analog of the reference's
+        reconstruction-error thresholding) — same offset-packed prefix-sum
+        dataflow as trailing_agg, plus a value² prefix
+        (stages/scan.trailing_zscore)."""
+        from s_tsfe_dl_ray.stages.scan import trailing_zscore
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(trailing_zscore(
+            ds, key="user_id", ts_col="ts", value_col="value",
+            window_us=6 * 3_600_000_000,
+        ))
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1037,6 +1051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_centroids": q_emb_label_centroids,
         "events_linear_trend": q_events_linear_trend,
         "events_m4_1h": q_events_m4_1h,
+        "events_trailing_zscore": q_events_trailing_zscore,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -1461,6 +1476,16 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "events_trailing_zscore": """
+            SELECT event_id, user_id, ts, round(value, 6) AS value,
+                   round(avg(value) OVER w, 6) AS trailing_mean,
+                   round(stddev_samp(value) OVER w, 6) AS trailing_std,
+                   round((value - avg(value) OVER w)
+                         / stddev_samp(value) OVER w, 6) AS zscore
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
         """,
         "events_linear_trend": """
             SELECT user_id, count(*) AS n_events,

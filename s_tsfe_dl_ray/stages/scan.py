@@ -216,6 +216,133 @@ def trailing_agg(
     return tagged.groupby("_pkey").map_groups(window_partition, batch_format="pandas")
 
 
+def trailing_zscore(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window_us: int,
+    mean_col: str = "trailing_mean",
+    std_col: str = "trailing_std",
+    z_col: str = "zscore",
+    num_partitions: int = 64,
+    salt_every_us: int | None = None,
+) -> Dataset:
+    """Trailing-window anomaly score: each row's value standardized
+    against its OWN key's last ``window_us`` (peers included) — the
+    streaming analog of the reference's reconstruction-error anomaly
+    thresholding (experiments/keras_experiment.py:560-593 scores each
+    window against recent statistics).
+
+    Adds ``mean_col``/``std_col`` (sample std, SQL ``stddev_samp``) and
+    ``z_col = (value − mean)/std``; std and z are NULL for windows with
+    n < 2 or zero variance, matching the SQL twin.
+
+    Same dataflow as :func:`trailing_agg` (one co-partition, offset-packed
+    searchsorted, prefix sums over value and value²); ``salt_every_us``
+    enables the identical halo-carry mega-key mode.  Float note: variance
+    via prefix-of-squares differences cancels when windows are
+    near-constant relative to prefix magnitude — negative residue is
+    clamped to 0 (std NULL), the documented residual-association risk.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .rollup import _stable_pkey
+
+    def _derive(g: pd.DataFrame, all_ts, all_v, ts, v) -> pd.DataFrame:
+        # center before the prefix sums: variance is shift-invariant, and
+        # centered prefixes keep the cancellation error ~O(window) instead
+        # of ~O(whole-partition magnitude) on tiny-variance windows
+        c = float(all_v.mean()) if len(all_v) else 0.0
+        av = (all_v - c).astype(np.longdouble)
+        # extended-precision (80-bit on x86) prefixes: the prefix-difference
+        # trick loses ~log10(partition/window) digits to cancellation; the
+        # extra mantissa bits put the result back at float64 accuracy
+        p1 = np.concatenate([np.zeros(1, np.longdouble), np.cumsum(av)])
+        p2 = np.concatenate([np.zeros(1, np.longdouble), np.cumsum(av * av)])
+        lo = np.searchsorted(all_ts, ts - window_us, side="left")
+        hi = np.searchsorted(all_ts, ts, side="right")
+        n = (hi - lo).astype(np.float64)
+        s = (p1[hi] - p1[lo]).astype(np.float64)
+        ss = (p2[hi] - p2[lo]).astype(np.float64)
+        mean = c + s / n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = np.maximum(ss - s * s / n, 0.0) / (n - 1.0)
+            # SQL twin semantics: stddev_samp is NULL for n<2 but 0.0 for
+            # a zero-variance window; division by that 0 makes z NULL
+            std = np.where(n < 2, np.nan, np.sqrt(var))
+            z = np.where(std == 0.0, np.nan, (v - mean) / std)
+        g[mean_col] = mean
+        g[std_col] = std
+        g[z_col] = z
+        return g
+
+    if salt_every_us is not None:
+        if salt_every_us < window_us:
+            raise ValueError("salt_every_us must be >= window_us")
+        from .salted import salted_scan
+
+        salt = int(salt_every_us)
+
+        def summarize(g: pd.DataFrame) -> dict:
+            ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            end = (int(ts[0]) // salt + 1) * salt
+            keep = ts >= end - window_us
+            return {"tail_ts": ts[keep].tolist(),
+                    "tail_v": g[value_col].to_numpy(dtype=np.float64)[keep].tolist()}
+
+        def step(carry: dict | None, s: dict) -> dict:
+            return s
+
+        def apply(g: pd.DataFrame, carry: dict | None) -> pd.DataFrame:
+            if len(g) == 0:
+                return g
+            g = g.sort_values([ts_col], kind="mergesort").reset_index(drop=True)
+            ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            v = g[value_col].to_numpy(dtype=np.float64)
+            start = (int(ts[0]) // salt) * salt
+            if carry is not None:
+                c_ts = np.asarray(carry["tail_ts"], dtype=np.int64)
+                c_v = np.asarray(carry["tail_v"], dtype=np.float64)
+                live = c_ts >= start - window_us
+                all_ts = np.concatenate([c_ts[live], ts])
+                all_v = np.concatenate([c_v[live], v])
+            else:
+                all_ts, all_v = ts, v
+            return _derive(g, all_ts, all_v, ts, v)
+
+        return salted_scan(
+            ds, key=key, ts_col=ts_col, salt_every_us=salt_every_us,
+            summarize=summarize, step=step, apply=apply, order_by=[ts_col],
+        )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def window_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [key, ts_col], kind="mergesort"
+        ).reset_index(drop=True)
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keys_all = df[key].to_numpy()
+        change = np.flatnonzero(keys_all[1:] != keys_all[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        gid = np.zeros(len(df), dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        base = ts[starts][gid]
+        rel = ts - base
+        span = int(rel.max(initial=0)) + int(window_us) + 2
+        packed = rel + gid * span
+        v = df[value_col].to_numpy(dtype=np.float64)
+        return _derive(df, packed, v, packed, v)
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(window_partition, batch_format="pandas")
+
+
 def ordered_scan(
     ds: Dataset,
     *,

@@ -61,6 +61,49 @@ def test_linear_trend_degenerate_keys_null():
     np.testing.assert_allclose(out.loc["ok", "corr_xy"], 1.0, atol=1e-12)
 
 
+def test_trailing_zscore_matches_duckdb(ddb):
+    """Trailing z-score vs the RANGE-window SQL twin: NULL for n<2 and
+    for zero-variance windows, values to float64 precision."""
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.scan import trailing_zscore
+
+    ds = read_table(EVENTS, columns=["event_id", "user_id", "ts", "value"])
+    actual = to_pdf(trailing_zscore(
+        ds, key="user_id", ts_col="ts", value_col="value",
+        window_us=6 * 3_600_000_000))
+    expected = ddb.sql(f"""
+        SELECT event_id, user_id, ts, value,
+               avg(value) OVER w AS trailing_mean,
+               stddev_samp(value) OVER w AS trailing_std,
+               (value - avg(value) OVER w)
+                 / stddev_samp(value) OVER w AS zscore
+        FROM '{EVENTS}'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
+    """).df()
+    assert_frames_match(actual, expected, atol=1e-8, rtol=1e-8)
+
+
+def test_trailing_zscore_salted_parity():
+    """Mega-key mode (halo carry) reproduces the partitioned answer."""
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.scan import trailing_zscore
+
+    kw = dict(key="user_id", ts_col="ts", value_col="value",
+              window_us=3_600_000_000)
+    base = to_pdf(trailing_zscore(
+        read_table(EVENTS, columns=["event_id", "user_id", "ts", "value"]),
+        **kw)).sort_values("event_id").reset_index(drop=True)
+    salted = to_pdf(trailing_zscore(
+        read_table(EVENTS, columns=["event_id", "user_id", "ts", "value"]),
+        **kw, salt_every_us=4 * 3_600_000_000,
+    )).sort_values("event_id").reset_index(drop=True)
+    assert len(base) == len(salted)
+    for c in ("trailing_mean", "trailing_std", "zscore"):
+        np.testing.assert_allclose(
+            base[c].to_numpy(), salted[c].to_numpy(), rtol=1e-9, atol=1e-12)
+
+
 def test_m4_multi_batch(ddb):
     """M4 pairs merged across 16 blocks match the lexicographic
     struct-min/max oracle on the real events table."""
