@@ -943,6 +943,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             window_us=6 * 3_600_000_000,
         ))
 
+    def q_events_rolling_median5(sf):
+        """Rolling MEDIAN (robust despiking smoother) over the user's 5
+        most recent rows — order-statistic sibling of rolling_mean5, same
+        grouped dataflow + salted mega-key mode
+        (stages/transform.rolling_median)."""
+        from s_tsfe_dl_ray.stages.transform import rolling_median
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(rolling_median(
+            ds, keys=["user_id"], order_by=["ts", "event_id"],
+            col="value", window=5, out_col="value_med5",
+        ))
+
+    def q_docs_token_entropy(sf):
+        """Per-document unigram Shannon entropy (nats) — the
+        repetition/diversity corpus-quality signal; pure per-batch
+        explode + group_by, no shuffle (stages/text.token_entropy)."""
+        from s_tsfe_dl_ray.stages.text import token_entropy
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return _round_floats(token_entropy(docs))
+
+    def q_events_unpivot_type_sums(sf):
+        """Wide→long UNPIVOT closing the reshape loop: pivot_wide's
+        per-type sum columns melted back to (user, variable, value_sum)
+        rows — zero-copy column slices, no shuffle beyond the pivot's own
+        (stages/transform.unpivot)."""
+        from s_tsfe_dl_ray.pipelines.relational import pivot_wide
+        from s_tsfe_dl_ray.stages.transform import unpivot
+
+        cats = ["click", "view", "purchase", "signup", "error"]
+        ds = read_events(sf, columns=["user_id", "event_type", "value"])
+        wide = pivot_wide(
+            ds, keys=["user_id"], pivot_col="event_type", value_col="value",
+            categories=cats, count_alias="n_events",
+        )
+        return _round_floats(unpivot(
+            wide, keys=["user_id"],
+            value_cols=[f"value_sum_{c}" for c in cats],
+            var_col="variable", value_col="value_sum",
+        ))
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1052,6 +1094,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_linear_trend": q_events_linear_trend,
         "events_m4_1h": q_events_m4_1h,
         "events_trailing_zscore": q_events_trailing_zscore,
+        "events_rolling_median5": q_events_rolling_median5,
+        "docs_token_entropy": q_docs_token_entropy,
+        "events_unpivot_type_sums": q_events_unpivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -1476,6 +1521,36 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "events_rolling_median5": """
+            SELECT event_id, user_id, ts, round(value, 6) AS value,
+                   round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS value_med5
+            FROM events
+        """,
+        "docs_token_entropy": """
+            WITH c AS (
+              SELECT doc_id, tok, count(*) AS c FROM (
+                SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+                FROM documents
+              ) WHERE tok <> '' GROUP BY 1, 2
+            ), h AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                     round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS token_entropy
+              FROM c GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(h.n_tokens, 0) AS n_tokens, h.token_entropy
+            FROM documents d LEFT JOIN h USING (doc_id)
+        """,
+        "events_unpivot_type_sums": """
+            SELECT u.user_id, 'value_sum_' || c.cat AS variable,
+                   round(coalesce(s.v, 0), 6) AS value_sum
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (VALUES ('click'), ('view'), ('purchase'),
+                               ('signup'), ('error')) c(cat)
+            LEFT JOIN (SELECT user_id, event_type, sum(value) AS v
+                       FROM events GROUP BY 1, 2) s
+              ON s.user_id = u.user_id AND s.event_type = c.cat
         """,
         "events_trailing_zscore": """
             SELECT event_id, user_id, ts, round(value, 6) AS value,

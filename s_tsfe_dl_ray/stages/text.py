@@ -518,3 +518,65 @@ def tfidf_top_terms(
         .groupby("_pkey")
         .map_groups(rank_partition, batch_format="pandas")
     )
+
+
+def token_entropy(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "token_entropy",
+) -> Dataset:
+    """Per-document unigram (token) Shannon entropy in nats — the
+    repetition/diversity quality signal LLM corpus filters pair with
+    length and stopword ratios (low entropy ⇒ boilerplate / keyword spam;
+    the Gopher-rules class of heuristics).  Counts the same whitespace
+    tokens as ``top_tokens``/``tfidf_top_terms``:
+    ``string_split(trim(text), ' ')`` with empty tokens dropped.
+
+    Pure per-batch kernel (a document's text is one row, so its token
+    histogram completes inside the batch — no shuffle): one vectorized
+    explode, one pyarrow ``group_by`` per (doc, token), one per-doc
+    reduction of ``H = ln(n) − Σ c·ln(c) / n``.  Zero-token documents get
+    ``n_tokens 0`` and NULL entropy.
+
+    Output: one row per document — ``id_col, n_tokens, out_col``.
+    """
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ids_in = t[id_col]
+        toks_list = pc.split_pattern(pc.utf8_trim(t[text_col], " "), " ")
+        lens = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        ids = np.repeat(ids_in.to_numpy(zero_copy_only=False), lens.astype(np.int64))
+        toks = toks_list.combine_chunks().flatten() if isinstance(
+            toks_list, pa.ChunkedArray) else toks_list.flatten()
+        exploded = pa.table({"_id": pa.array(ids, ids_in.type), "_tok": toks})
+        exploded = exploded.filter(pc.not_equal(exploded["_tok"], ""))
+        counts = exploded.group_by(["_id", "_tok"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        c = counts["count_all"].to_numpy(zero_copy_only=False).astype(np.float64)
+        gid_vals = counts["_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(gid_vals, return_inverse=True)
+        k = len(uniq)
+        n = np.bincount(inv, weights=c, minlength=k)
+        clogc = np.bincount(inv, weights=c * np.log(c), minlength=k)
+        ent = np.log(n) - clogc / n  # n >= 1 by construction here
+        # align back to every input document (0-token docs -> 0 / NULL);
+        # np.unique returns sorted uniques, so searchsorted is an exact
+        # vectorized lookup
+        ids_full = ids_in.to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(uniq, ids_full)
+        pos = np.clip(pos, 0, max(k - 1, 0))
+        hit = (k > 0) & (uniq[pos] == ids_full)
+        n_out = np.zeros(t.num_rows, dtype=np.int64)
+        n_out[hit] = n[pos[hit]].astype(np.int64)
+        e_out = np.full(t.num_rows, np.nan)
+        e_out[hit] = ent[pos[hit]]
+        return pa.table({
+            id_col: ids_in,
+            "n_tokens": pa.array(n_out),
+            out_col: pa.array(e_out),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -33,13 +33,15 @@ from ray.data import Dataset
 
 
 class _RollingGroup:
-    def __init__(self, col: str, out_col: str, window: int, order_by: list[str]):
+    def __init__(self, col: str, out_col: str, window: int, order_by: list[str],
+                 stat: str = "mean"):
         self.col, self.out_col, self.window, self.order_by = col, out_col, window, order_by
+        self.stat = stat
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(self.order_by, kind="mergesort")
         g[self.out_col] = (
-            g[self.col].rolling(self.window, min_periods=1).mean()
+            g[self.col].rolling(self.window, min_periods=1).agg(self.stat)
         )
         return g
 
@@ -64,14 +66,52 @@ def rolling_mean(
     agree with the unsalted path to float64 rolling precision (pandas'
     sliding-sum accumulator starts at a different offset per chunk)."""
     out_col = out_col or f"{col}_ma{window}"
+    return _rolling(ds, keys=keys, order_by=order_by, col=col, window=window,
+                    out_col=out_col, stat="mean", salt_every_us=salt_every_us)
+
+
+def rolling_median(
+    ds: Dataset,
+    *,
+    keys: list[str],
+    order_by: list[str],
+    col: str,
+    window: int,
+    out_col: str | None = None,
+    salt_every_us: int | None = None,
+) -> Dataset:
+    """Trailing rolling MEDIAN over the ``window`` most recent rows per
+    key (min_periods=1) — the robust (outlier-immune) sibling of
+    :func:`rolling_mean`, the despiking smoother timeseries cleaning
+    reaches for when a mean would chase glitches.  Even windows
+    interpolate (mean of the two middle order statistics), matching SQL
+    ``median``.  Same dataflow and mega-key ``salt_every_us`` mode; the
+    salted output is EXACTLY equal to the unsalted one (order statistics
+    have no accumulator drift)."""
+    out_col = out_col or f"{col}_med{window}"
+    return _rolling(ds, keys=keys, order_by=order_by, col=col, window=window,
+                    out_col=out_col, stat="median", salt_every_us=salt_every_us)
+
+
+def _rolling(
+    ds: Dataset,
+    *,
+    keys: list[str],
+    order_by: list[str],
+    col: str,
+    window: int,
+    out_col: str,
+    stat: str,
+    salt_every_us: int | None,
+) -> Dataset:
     if salt_every_us is None:
-        inst = _RollingGroup(col, out_col, window, order_by)
+        inst = _RollingGroup(col, out_col, window, order_by, stat)
         from .grouped import grouped_apply
 
         return grouped_apply(ds, keys=keys, fn=inst)
 
     if len(keys) != 1:
-        raise ValueError("salted rolling_mean requires a single key")
+        raise ValueError("salted rolling requires a single key")
     from .salted import salted_scan
 
     ts_col = order_by[0]
@@ -93,7 +133,7 @@ def rolling_mean(
             [pd.Series(prev, dtype="float64"), g[col].astype("float64")],
             ignore_index=True,
         )
-        r = s.rolling(window, min_periods=1).mean()
+        r = s.rolling(window, min_periods=1).agg(stat)
         g[out_col] = r.iloc[len(prev):].to_numpy()
         return g
 
@@ -342,3 +382,43 @@ def stratified_hash_split(
         return b
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def unpivot(
+    ds: Dataset,
+    *,
+    keys: list[str],
+    value_cols: list[str],
+    var_col: str = "variable",
+    value_col: str = "value",
+    cast_to: "pa.DataType | None" = None,
+) -> Dataset:
+    """Wide→long UNPIVOT (melt): one output row per (input row ×
+    value column) — the inverse of ``pipelines/relational.pivot_wide``
+    and the engine's reshape for feeding wide feature tables into long
+    per-metric pipelines (the reference reshapes the same way when
+    flattening channel axes, data.py:copy-to-channel layouts).
+
+    Pure per-batch kernel, no shuffle, no Python row loop: each value
+    column becomes one zero-copy column slice + a constant label column;
+    the per-column slices concat into the long batch.  ``cast_to``
+    unifies heterogeneous value-column dtypes (melting int and float
+    columns together requires a common type — pass e.g.
+    ``pa.float64()``); without it the dtypes must already agree.
+    """
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            v = t[c]
+            if cast_to is not None:
+                v = pc.cast(v, cast_to)
+            cols = {k: t[k] for k in keys}
+            cols[var_col] = pa.array([c] * t.num_rows, pa.string())
+            cols[value_col] = v
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)

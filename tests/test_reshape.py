@@ -1,0 +1,82 @@
+"""Reshape + quality ops: unpivot (melt), rolling median (incl. salted
+mega-key parity), per-document token entropy edge cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from conftest import SF_CHECK, to_pdf
+
+EVENTS = f"{SF_CHECK}/events.parquet"
+
+
+def test_unpivot_round_trip():
+    """melt of a wide frame: one row per (input row × value col), labels
+    and values aligned, keys repeated; int+float melt via cast_to."""
+    import pyarrow as pa
+
+    from s_tsfe_dl_ray.stages.transform import unpivot
+
+    wide = pd.DataFrame({
+        "k": ["a", "b"],
+        "m1": [1.5, 2.5],
+        "m2": [10, 20],
+    })
+    out = to_pdf(unpivot(
+        ray.data.from_pandas(wide), keys=["k"], value_cols=["m1", "m2"],
+        cast_to=pa.float64(),
+    )).sort_values(["k", "variable"]).reset_index(drop=True)
+    assert out.columns.tolist() == ["k", "variable", "value"]
+    assert out["k"].tolist() == ["a", "a", "b", "b"]
+    assert out["variable"].tolist() == ["m1", "m2", "m1", "m2"]
+    assert out["value"].tolist() == [1.5, 10.0, 2.5, 20.0]
+
+
+def test_unpivot_requires_value_cols():
+    import pytest
+
+    from s_tsfe_dl_ray.stages.transform import unpivot
+
+    with pytest.raises(ValueError):
+        unpivot(ray.data.range(1), keys=["id"], value_cols=[])
+
+
+def test_rolling_median_salted_parity():
+    """Salted mega-key rolling median == unsalted EXACTLY (order
+    statistics carry no accumulator drift across chunk boundaries)."""
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.transform import rolling_median
+
+    kw = dict(keys=["user_id"], order_by=["ts", "event_id"],
+              col="value", window=5, out_col="med5")
+    cols = ["event_id", "user_id", "ts", "value"]
+    base = to_pdf(rolling_median(read_table(EVENTS, columns=cols), **kw)) \
+        .sort_values("event_id").reset_index(drop=True)
+    salted = to_pdf(rolling_median(
+        read_table(EVENTS, columns=cols), **kw,
+        salt_every_us=2 * 86_400_000_000,
+    )).sort_values("event_id").reset_index(drop=True)
+    assert len(base) == len(salted) > 0
+    np.testing.assert_array_equal(base.med5.to_numpy(), salted.med5.to_numpy())
+
+
+def test_token_entropy_hand_cases():
+    """Hand-computed entropies: uniform tokens = ln(k); constant doc = 0;
+    blank doc = 0 tokens + NULL entropy; extra whitespace ignored."""
+    from s_tsfe_dl_ray.stages.text import token_entropy
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d", "x x x x", "  ", "a  a b"],
+    })
+    out = to_pdf(token_entropy(ray.data.from_pandas(docs))) \
+        .set_index("doc_id").sort_index()
+    assert out.n_tokens.tolist() == [4, 4, 0, 3]
+    np.testing.assert_allclose(out.loc[1, "token_entropy"], np.log(4), atol=1e-12)
+    np.testing.assert_allclose(out.loc[2, "token_entropy"], 0.0, atol=1e-12)
+    assert np.isnan(out.loc[3, "token_entropy"])
+    # p = (2/3, 1/3)
+    h = -(2 / 3) * np.log(2 / 3) - (1 / 3) * np.log(1 / 3)
+    np.testing.assert_allclose(out.loc[4, "token_entropy"], h, atol=1e-12)
