@@ -985,6 +985,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             var_col="variable", value_col="value_sum",
         ))
 
+    def q_events_twa(sf):
+        """Per-user time-weighted (LOCF, duration-weighted) mean — the
+        correct average for irregularly sampled series; lead/diff/
+        weighted-sum vectorized over key-change boundaries in one
+        co-partition (stages/scan.time_weighted_mean)."""
+        from s_tsfe_dl_ray.stages.scan import time_weighted_mean
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(time_weighted_mean(
+            ds, key="user_id", ts_col="ts", value_col="value",
+            order_by=["ts", "event_id"],
+        ))
+
+    def q_events_funnel(sf):
+        """Ordered funnel view → click → purchase: first completion of
+        each stage strictly after the previous one, one vectorized pass
+        per stage, no per-key loop (stages/funnel.funnel)."""
+        from s_tsfe_dl_ray.stages.funnel import funnel
+
+        ds = read_events(sf, columns=["user_id", "ts", "event_type"])
+        return funnel(
+            ds, key="user_id", ts_col="ts", type_col="event_type",
+            stages=["view", "click", "purchase"],
+        )
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1095,6 +1120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_m4_1h": q_events_m4_1h,
         "events_trailing_zscore": q_events_trailing_zscore,
         "events_rolling_median5": q_events_rolling_median5,
+        "events_twa": q_events_twa,
+        "events_funnel": q_events_funnel,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
@@ -1521,6 +1548,38 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "events_twa": """
+            WITH x AS (
+              SELECT user_id, value, ts,
+                     lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nts
+              FROM events
+            )
+            SELECT user_id,
+                   count(*)::BIGINT AS n_segments,
+                   round(sum(value * epoch(nts - ts))
+                         / sum(epoch(nts - ts)), 6) AS twa
+            FROM x WHERE nts IS NOT NULL GROUP BY 1
+        """,
+        "events_funnel": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+            SELECT u.user_id, s1.t AS ts_view, s2.t AS ts_click,
+                   s3.t AS ts_purchase,
+                   (CASE WHEN s1.t IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN s2.t IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN s3.t IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS stages_reached
+            FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                   LEFT JOIN s3 USING (user_id)
         """,
         "events_rolling_median5": """
             SELECT event_id, user_id, ts, round(value, 6) AS value,

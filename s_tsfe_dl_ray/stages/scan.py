@@ -438,3 +438,80 @@ def ordered_scan(
         ds, key=keys[0], ts_col=ts_col, salt_every_us=salt_every_us,
         summarize=summarize, step=step, apply=apply, order_by=order_by,
     )
+
+
+def time_weighted_mean(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    order_by: list[str] | None = None,
+    out_col: str = "twa",
+    n_col: str = "n_segments",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key duration-weighted (LOCF) mean: each observation holds its
+    value until the key's next observation, so
+    ``twa = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first)`` — the time-weighted
+    average of timeseries databases, the correct mean for irregularly
+    sampled series where the arithmetic mean over-weights bursts (the
+    reference resamples to a uniform grid for the same reason,
+    timeseries_batch_generator.py sampling_rate).
+
+    Keys with fewer than two observations have no held segment and are
+    dropped (SQL twin: ``WHERE lead(ts) IS NOT NULL``).
+
+    Dataflow: one ``_pkey`` co-partition; per partition the lead/diff/
+    weighted-sum runs over key-change boundaries vectorized — no per-key
+    loop.  Output: ``key, n_col, out_col`` (one row per surviving key).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .rollup import _stable_pkey
+
+    order_by = order_by or [ts_col]
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def twa_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [key] + order_by, kind="mergesort"
+        ).reset_index(drop=True)
+        if len(df) == 0:
+            return pd.DataFrame({key: [], n_col: pd.Series([], dtype="int64"),
+                                 out_col: pd.Series([], dtype="float64")})
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        keys_all = df[key].to_numpy()
+        same_next = np.zeros(len(df), dtype=bool)
+        same_next[:-1] = keys_all[1:] == keys_all[:-1]
+        # segment i: value v[i] held for (ts[i+1] - ts[i]) µs → seconds
+        dur = np.zeros(len(df))
+        dur[:-1] = (ts[1:] - ts[:-1]) / 1e6
+        dur[~same_next] = 0.0
+        change = np.flatnonzero(keys_all[1:] != keys_all[:-1]) + 1
+        gid = np.zeros(len(df), dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        k = int(gid[-1]) + 1
+        wsum = np.bincount(gid, weights=v * dur, minlength=k)
+        tsum = np.bincount(gid, weights=dur, minlength=k)
+        nseg = np.bincount(gid, weights=same_next.astype(np.float64),
+                           minlength=k).astype(np.int64)
+        starts = np.concatenate([[0], change])
+        # keys with >=2 rows survive even if every interval is 0 µs wide
+        # (twa NULL then) — mirrors the SQL twin's WHERE lead IS NOT NULL
+        keep = nseg > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            twa = np.where(tsum > 0, wsum / np.where(tsum > 0, tsum, 1.0), np.nan)
+        return pd.DataFrame({
+            key: keys_all[starts][keep],
+            n_col: nseg[keep],
+            out_col: twa[keep],
+        })
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(twa_partition, batch_format="pandas")

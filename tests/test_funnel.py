@@ -1,0 +1,87 @@
+"""Funnel (stages/funnel.py) and time-weighted mean (stages/scan.py):
+hand-built corpora exercising the ordering/tie/degenerate semantics the
+SQL twins pin down."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from conftest import to_pdf
+
+T0 = 1_704_067_200_000_000
+
+
+def _ts(*offsets_s):
+    return pd.to_datetime([T0 + int(o * 1e6) for o in offsets_s], unit="us")
+
+
+def test_funnel_semantics():
+    """Strictly-after ordering: ties don't advance; stage events BEFORE
+    the previous stage's completion don't count; missing middle stage
+    blocks the rest even when the last stage exists."""
+    from s_tsfe_dl_ray.stages.funnel import funnel
+
+    rows = []
+    # u1: clean A(0) -> B(10) -> C(20)
+    rows += [("u1", 0, "view"), ("u1", 10, "click"), ("u1", 20, "purchase")]
+    # u2: click BEFORE view, then no later click -> stops after view
+    rows += [("u2", 0, "click"), ("u2", 5, "view"), ("u2", 9, "purchase")]
+    # wait - u2's purchase at 9 is after view(5) but there's no click > 5;
+    # stages_reached must be 1
+    # u3: click tied with view at the same microsecond -> tie blocks
+    rows += [("u3", 0, "view"), ("u3", 0, "click"), ("u3", 7, "purchase")]
+    # u4: view only
+    rows += [("u4", 3, "view")]
+    # u5: second click after view counts even though first was before
+    rows += [("u5", 4, "click"), ("u5", 6, "view"), ("u5", 8, "click"),
+             ("u5", 9, "purchase")]
+    df = pd.DataFrame(rows, columns=["user_id", "off", "event_type"])
+    df["ts"] = _ts(*df.pop("off"))
+    out = to_pdf(funnel(
+        ray.data.from_pandas(df).repartition(4),
+        key="user_id", ts_col="ts", type_col="event_type",
+        stages=["view", "click", "purchase"],
+    )).set_index("user_id").sort_index()
+    assert out.stages_reached.tolist() == [3, 1, 1, 1, 3]
+    assert out.loc["u1", "ts_purchase"] == _ts(20)[0]
+    assert pd.isna(out.loc["u2", "ts_click"]) and pd.isna(out.loc["u2", "ts_purchase"])
+    assert pd.isna(out.loc["u3", "ts_click"])  # same-µs tie does not advance
+    assert out.loc["u5", "ts_click"] == _ts(8)[0]
+    assert out.loc["u5", "ts_purchase"] == _ts(9)[0]
+
+
+def test_funnel_validation():
+    import pytest
+
+    from s_tsfe_dl_ray.stages.funnel import funnel
+
+    with pytest.raises(ValueError):
+        funnel(ray.data.range(1), key="k", ts_col="t", type_col="c", stages=["a"])
+    with pytest.raises(ValueError):
+        funnel(ray.data.range(1), key="k", ts_col="t", type_col="c",
+               stages=["a", "a"])
+
+
+def test_time_weighted_mean_hand_case():
+    """LOCF weighting: value 10 held 1s then 0 held 3s -> twa 2.5 (the
+    arithmetic mean would say 5); singleton keys dropped; all-same-ts
+    keys survive with NULL twa."""
+    from s_tsfe_dl_ray.stages.scan import time_weighted_mean
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "c", "c"],
+        "ts": _ts(0, 1, 4, 0, 2, 2),
+        "v": [10.0, 0.0, 99.0, 5.0, 1.0, 3.0],
+    })
+    df["event_id"] = range(len(df))
+    out = to_pdf(time_weighted_mean(
+        ray.data.from_pandas(df).repartition(3),
+        key="k", ts_col="ts", value_col="v", order_by=["ts", "event_id"],
+    )).set_index("k").sort_index()
+    assert out.index.tolist() == ["a", "c"]  # b has one row -> dropped
+    assert out.loc["a", "n_segments"] == 2
+    np.testing.assert_allclose(out.loc["a", "twa"], 2.5, atol=1e-12)
+    assert out.loc["c", "n_segments"] == 1
+    assert np.isnan(out.loc["c", "twa"])  # zero total duration
