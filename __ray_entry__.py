@@ -1010,6 +1010,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             stages=["view", "click", "purchase"],
         )
 
+    def q_events_cohort_retention(sf):
+        """Cohort retention matrix (first-seen day × activity day user
+        counts): both grains fused into one (user, day, min_ts) combiner
+        partial, one user-hash exchange, tiny days² final merge
+        (stages/cohort.cohort_retention)."""
+        from s_tsfe_dl_ray.stages.cohort import cohort_retention
+
+        ds = read_events(sf, columns=["user_id", "ts"])
+        return cohort_retention(ds, key="user_id", ts_col="ts", tier="1d")
+
+    def q_docs_heavy_hitters(sf):
+        """Approximate heavy hitters (Misra-Gries) over document tokens:
+        bounded summaries (<= capacity rows) merged through a two-level
+        tree; count_lo <= true <= count_hi guarantee (stages/
+        distinct.heavy_hitters). Sketch-state-dependent -> rows-only;
+        the bound guarantees are pinned by pytest against exact counts."""
+        from s_tsfe_dl_ray.stages.distinct import heavy_hitters
+        from s_tsfe_dl_ray.stages.text import explode_tokens
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        toks = explode_tokens(docs, id_col="doc_id", text_col="text")
+        return heavy_hitters(toks, col="token", capacity=512, k=20)
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1122,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_median5": q_events_rolling_median5,
         "events_twa": q_events_twa,
         "events_funnel": q_events_funnel,
+        "events_cohort_retention": q_events_cohort_retention,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
@@ -1130,6 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in pytest (test_ewma.py / test_text.py) rather than oracle_sql()
         # to avoid registering an oracle the driver would never check) ----
         "transcripts_codec_roundtrip": q_transcripts_codec_roundtrip,
+        "docs_heavy_hitters": q_docs_heavy_hitters,
         "events_distinct_users_approx": q_events_distinct_users_approx,
         "docs_minhash_dedup": q_docs_minhash_dedup,
         "emb_knn_ivf": q_emb_knn_ivf,
@@ -1548,6 +1573,17 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "events_cohort_retention": """
+            WITH f AS (
+              SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+              FROM events GROUP BY 1
+            ), a AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS activity_day
+              FROM events
+            )
+            SELECT f.cohort_day, a.activity_day, count(*)::BIGINT AS n_users
+            FROM a JOIN f USING (user_id) GROUP BY 1, 2
         """,
         "events_twa": """
             WITH x AS (

@@ -225,3 +225,105 @@ def grouped_distinct_approx(
         .groupby("_pkey")
         .map_groups(estimate_partition, batch_format="pandas")
     )
+
+
+def heavy_hitters(
+    ds: Dataset,
+    *,
+    col: str,
+    capacity: int = 1024,
+    k: int = 20,
+    merge_partitions: int = 32,
+) -> Dataset:
+    """Approximate global heavy hitters (Misra–Gries / SpaceSaving
+    family): the items of ``col`` whose frequency exceeds ~n/capacity,
+    with per-item count bounds — the bounded-memory sibling of the exact
+    ``text.top_tokens`` word count, for when the distinct universe
+    (tokens, URLs, user agents) is too large to shuffle exactly.
+
+    Each batch reduces to an EXACT local count trimmed to the largest
+    ``capacity`` items via the Misra–Gries decrement (subtract the
+    (capacity+1)-th count, drop ≤0, add it to the summary's error
+    bound).  Summaries merge associatively — sum counts, sum error
+    bounds, trim again — through a TWO-LEVEL tree (``merge_partitions``
+    intermediate reducers, then one final merge of ≤ merge_partitions ×
+    capacity rows), so no stage ever sees more than
+    ``capacity × fan-in`` rows regardless of corpus size.  Guarantee:
+    ``count_lo ≤ true ≤ count_hi`` for every reported item, and any item
+    with true count > final error bound is present in the summary.
+
+    Output: ``k`` rows — ``col, count_lo, count_hi`` (int64), ranked by
+    count_lo desc, ties by value asc.  No SQL twin (the exact result is
+    sketch-state-dependent); tests pin the bound guarantees against the
+    exact count.
+    """
+    import os
+
+    def _trim(vals: np.ndarray, cnts: np.ndarray, err: int) -> tuple:
+        if len(cnts) <= capacity:
+            return vals, cnts, err
+        kth = np.partition(cnts, len(cnts) - capacity - 1)[len(cnts) - capacity - 1]
+        keep = cnts > kth
+        return vals[keep], cnts[keep] - kth, err + int(kth)
+
+    def _summary_table(vals, cnts, err, col_type, pid) -> pa.Table:
+        n = len(vals)
+        return pa.table({
+            col: pa.array(vals, col_type),
+            "_cnt": pa.array(np.asarray(cnts, dtype=np.int64)),
+            "_err": pa.array(np.full(n, err, dtype=np.int64)),
+            "_pid": pa.array(np.full(n, pid, dtype=np.int64)),
+        })
+
+    def _merge_rows(df: pd.DataFrame) -> tuple:
+        # one error bound per SOURCE summary (constant on its rows):
+        # count each source exactly once via its unique _pid
+        err = int(df.drop_duplicates(subset=["_pid"])["_err"].sum())
+        g = df.groupby(col, sort=False)["_cnt"].sum().reset_index()
+        return _trim(g[col].to_numpy(), g["_cnt"].to_numpy().astype(np.int64), err)
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = t.select([col]).group_by([col], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        vals = counts[col].to_numpy(zero_copy_only=False)
+        cnts = counts["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnts, err = _trim(vals, cnts, 0)
+        # pid must be unique ACROSS worker processes (a per-process
+        # counter alone would collide and undercount merged error bounds)
+        pid = (os.getpid() << 24) ^ next(_HH_COUNTER)
+        out = _summary_table(vals, cnts, err, t[col].type, pid)
+        return out.append_column(
+            "_mgrp", pa.array(np.full(out.num_rows, pid % merge_partitions,
+                                      dtype=np.int64))
+        )
+
+    def mid_merge(df: pd.DataFrame) -> pd.DataFrame:
+        vals, cnts, err = _merge_rows(df)
+        grp = int(df["_mgrp"].iloc[0]) if len(df) else 0
+        out = pd.DataFrame({col: vals, "_cnt": cnts})
+        out["_err"] = np.int64(err)
+        out["_pid"] = np.int64(grp)  # unique per group at this level
+        return out
+
+    def final_merge(df: pd.DataFrame) -> pd.DataFrame:
+        vals, cnts, err = _merge_rows(df)
+        out = pd.DataFrame({col: vals, "count_lo": cnts.astype(np.int64)})
+        out["count_hi"] = out["count_lo"] + np.int64(err)
+        return out.sort_values(["count_lo", col], ascending=[False, True],
+                               kind="mergesort").head(k).reset_index(drop=True)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_mgrp")
+        .map_groups(mid_merge, batch_format="pandas")
+        .repartition(1)
+        # repartition(1) + batch_size=None ⇒ the final merge sees ALL
+        # intermediate rows (≤ merge_partitions × capacity) as one batch
+        .map_batches(final_merge, batch_format="pandas", batch_size=None)
+    )
+
+
+import itertools as _itertools
+
+_HH_COUNTER = _itertools.count()

@@ -580,3 +580,33 @@ def token_entropy(
         })
 
     return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def explode_tokens(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "token",
+) -> Dataset:
+    """Explode documents to one row per token (``id_col, token_col``) —
+    the long form feeding token-level aggregates (heavy_hitters,
+    external joins against vocabularies).  Same tokenization as
+    ``top_tokens``/``tfidf_top_terms``/``token_entropy``:
+    ``string_split(trim(text), ' ')`` with empty tokens dropped.
+    Vectorized split + flatten per batch, no shuffle; output is larger
+    than the input (one row per token) — follow with a combining
+    aggregate, never a full materialize.
+    """
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern(pc.utf8_trim(t[text_col], " "), " ")
+        lens = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False),
+                        lens.astype(np.int64))
+        toks = toks_list.combine_chunks().flatten() if isinstance(
+            toks_list, pa.ChunkedArray) else toks_list.flatten()
+        out = pa.table({id_col: pa.array(ids, t[id_col].type), token_col: toks})
+        return out.filter(pc.not_equal(out[token_col], ""))
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -152,3 +152,47 @@ def test_merge_partials_empty_side():
         rollup_partial(read_table(EVENTS, columns=cols), EVENTS_SPEC, "1h"), EVENTS_SPEC
     ))
     assert_frames_match(merged, direct, atol=0, rtol=0)
+
+
+def test_heavy_hitters_bounds(ddb):
+    """Misra-Gries guarantees against the exact count: every reported
+    item has count_lo <= true <= count_hi, and every TRUE heavy hitter
+    (count > corpus/capacity) is reported with correct ordering for the
+    unambiguous head."""
+    from s_tsfe_dl_ray.stages.distinct import heavy_hitters
+    from s_tsfe_dl_ray.stages.text import explode_tokens
+    from s_tsfe_dl_ray.sources.parquet import read_table
+
+    DOCS = f"{SF_CHECK}/documents.parquet"
+    docs = read_table(DOCS, columns=["doc_id", "text"]).repartition(16)
+    toks = explode_tokens(docs)
+    out = to_pdf(heavy_hitters(toks, col="token", capacity=256, k=10))
+    exact = ddb.sql(f"""
+        SELECT tok AS token, count(*)::BIGINT AS n FROM (
+          SELECT unnest(string_split(trim(text), ' ')) AS tok FROM '{DOCS}'
+        ) WHERE tok <> '' GROUP BY 1
+    """).df().set_index("token")["n"]
+    assert len(out) == 10
+    total = int(exact.sum())
+    for _, r in out.iterrows():
+        true = int(exact.get(r.token, 0))
+        assert r.count_lo <= true <= r.count_hi, (r.token, r.count_lo, true, r.count_hi)
+    # any token with true count > total/capacity must be reported
+    # (restrict to the top-10 the sketch was asked for)
+    hot = exact[exact > total // 256].sort_values(ascending=False)
+    for tok in hot.index[: min(3, len(hot))]:
+        assert tok in set(out.token), f"true heavy hitter {tok} missing"
+
+
+def test_heavy_hitters_exact_when_under_capacity():
+    """A universe smaller than capacity is EXACT: count_lo == count_hi
+    == true count, zero error, under any blocking."""
+    from s_tsfe_dl_ray.stages.distinct import heavy_hitters
+
+    df = pd.DataFrame({"w": ["x"] * 7 + ["y"] * 5 + ["z"] * 2})
+    out = to_pdf(heavy_hitters(
+        ray.data.from_pandas(df).repartition(4), col="w", capacity=16, k=3,
+    ))
+    assert out.w.tolist() == ["x", "y", "z"]
+    assert out.count_lo.tolist() == [7, 5, 2]
+    assert out.count_hi.tolist() == [7, 5, 2]
