@@ -1033,6 +1033,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         toks = explode_tokens(docs, id_col="doc_id", text_col="text")
         return heavy_hitters(toks, col="token", capacity=512, k=20)
 
+    def q_events_cusum(sf):
+        """One-sided CUSUM drift statistic per user (Page 1954),
+        vectorized via the reflected-walk identity s = c − min(0, min c)
+        — two grouped cumulative kernels, no per-row recurrence; the same
+        identity makes it a plain window-function SQL twin
+        (stages/scan.cusum)."""
+        from s_tsfe_dl_ray.stages.scan import cusum
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(cusum(
+            ds, key="user_id", order_by=["ts", "event_id"],
+            value_col="value", target=50.0,
+        ))
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1146,6 +1160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_twa": q_events_twa,
         "events_funnel": q_events_funnel,
         "events_cohort_retention": q_events_cohort_retention,
+        "events_cusum": q_events_cusum,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
@@ -1573,6 +1588,20 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "events_cusum": """
+            -- reflected-walk identity: cusum = c - min(0, running min c)
+            WITH c AS (
+              SELECT event_id, user_id, ts, value,
+                     sum(value - 50.0) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS c
+              FROM events
+            )
+            SELECT event_id, user_id, ts, round(value, 6) AS value,
+                   round(c - least(0, min(c) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)), 6)
+                     AS cusum
+            FROM c
         """,
         "events_cohort_retention": """
             WITH f AS (

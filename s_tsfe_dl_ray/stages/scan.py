@@ -515,3 +515,94 @@ def time_weighted_mean(
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(twa_partition, batch_format="pandas")
+
+
+def cusum(
+    ds: Dataset,
+    *,
+    key: str,
+    order_by: list[str],
+    value_col: str,
+    target: float = 0.0,
+    out_col: str = "cusum",
+    num_partitions: int = 64,
+    salt_every_us: int | None = None,
+) -> Dataset:
+    """One-sided CUSUM drift statistic per key in explicit order:
+    ``s₀ = 0; sᵢ = max(0, sᵢ₋₁ + (xᵢ − target))`` — the classic
+    sequential change-point detector (Page 1954), the engine's streaming
+    analog of the reference's anomaly-score thresholding over a scored
+    sequence (experiments/keras_experiment.py:560-593).  Alarm when the
+    statistic crosses a threshold: drift above ``target`` accumulates,
+    noise resets to 0.
+
+    Vectorization — no per-row recurrence: by the reflected-walk
+    identity, ``sᵢ = cᵢ − min(0, min_{j≤i} cⱼ)`` with ``c`` the running
+    sum of ``x − target``; both terms are grouped cumulative kernels
+    (groupby cumsum + cummin), which is also exactly the SQL twin
+    (``sum OVER`` / ``min OVER`` unbounded-preceding windows).
+
+    ``salt_every_us``: mega-key mode.  A chunk's carry is the scalar
+    ``s_end``; composition uses
+    ``s_end = max(c_n − min_j cⱼ, s_in + c_n)`` — the chunk summary
+    ``(c_n, min_j cⱼ)`` is O(1) regardless of chunk size, and the salted
+    output equals the unsalted one to float64 association (cumsum starts
+    at a per-chunk offset).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .rollup import _stable_pkey
+
+    def _chunk_stat(g: pd.DataFrame, s0: float) -> np.ndarray:
+        y = g[value_col].to_numpy(dtype=np.float64) - target
+        c = np.cumsum(y)
+        m = np.minimum.accumulate(c)
+        return np.maximum(c - m, s0 + c)
+
+    if salt_every_us is not None:
+        from .salted import salted_scan
+
+        def summarize(g: pd.DataFrame) -> dict:
+            y = g[value_col].to_numpy(dtype=np.float64) - target
+            c = np.cumsum(y)
+            return {"total": float(c[-1]), "minc": float(np.min(c))}
+
+        def step(carry: dict | None, s: dict) -> dict:
+            s_in = carry["s"] if carry else 0.0
+            s_end = max(s["total"] - s["minc"], s_in + s["total"])
+            return {"s": float(max(s_end, 0.0))}
+
+        def apply(g: pd.DataFrame, carry: dict | None) -> pd.DataFrame:
+            if len(g) == 0:
+                return g
+            g = g.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+            s0 = carry["s"] if carry else 0.0
+            g[out_col] = _chunk_stat(g, s0)
+            return g
+
+        return salted_scan(
+            ds, key=key, ts_col=order_by[0], salt_every_us=salt_every_us,
+            summarize=summarize, step=step, apply=apply, order_by=order_by,
+        )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def scan_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [key] + order_by, kind="mergesort"
+        ).reset_index(drop=True)
+        y = df[value_col].astype("float64") - target
+        # attach the running sum, then its grouped running min — both
+        # scans are C-speed grouped kernels
+        df["_c"] = y.groupby(df[key], sort=False).cumsum()
+        df["_m"] = df.groupby(key, sort=False)["_c"].cummin()
+        df[out_col] = np.maximum(
+            df["_c"].to_numpy() - np.minimum(df["_m"].to_numpy(), 0.0),
+            0.0,
+        )
+        return df.drop(columns=["_c", "_m"])
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(scan_partition, batch_format="pandas")

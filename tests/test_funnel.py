@@ -85,3 +85,54 @@ def test_time_weighted_mean_hand_case():
     np.testing.assert_allclose(out.loc["a", "twa"], 2.5, atol=1e-12)
     assert out.loc["c", "n_segments"] == 1
     assert np.isnan(out.loc["c", "twa"])  # zero total duration
+
+
+def test_cusum_matches_sequential_recurrence():
+    """The vectorized reflected-walk identity equals the literal
+    s = max(0, s + x - k) fold, per key, under multi-block input."""
+    from s_tsfe_dl_ray.stages.scan import cusum
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, n),
+        "ts": _ts(*np.sort(rng.uniform(0, 1e6, n))),
+        "v": rng.normal(5.0, 2.0, n),
+    })
+    df["event_id"] = range(n)
+    out = to_pdf(cusum(
+        ray.data.from_pandas(df).repartition(8),
+        key="k", order_by=["ts", "event_id"], value_col="v", target=5.5,
+    )).sort_values(["k", "event_id"]).reset_index(drop=True)
+    exp = []
+    for k, g in df.sort_values(["k", "ts", "event_id"]).groupby("k"):
+        s = 0.0
+        for x in g["v"]:
+            s = max(0.0, s + x - 5.5)
+            exp.append(s)
+    np.testing.assert_allclose(out["cusum"].to_numpy(), np.array(exp),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_cusum_salted_parity():
+    """Mega-key mode: per-chunk (total, min-prefix) carries reproduce the
+    key-complete statistic across chunk boundaries."""
+    import ray as _ray
+
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.scan import cusum
+
+    from conftest import SF_CHECK
+
+    EVENTS = f"{SF_CHECK}/events.parquet"
+    kw = dict(key="user_id", order_by=["ts", "event_id"],
+              value_col="value", target=50.0)
+    cols = ["event_id", "user_id", "ts", "value"]
+    base = to_pdf(cusum(read_table(EVENTS, columns=cols), **kw)) \
+        .sort_values("event_id").reset_index(drop=True)
+    salted = to_pdf(cusum(read_table(EVENTS, columns=cols), **kw,
+                          salt_every_us=2 * 86_400_000_000)) \
+        .sort_values("event_id").reset_index(drop=True)
+    assert len(base) == len(salted) > 0
+    np.testing.assert_allclose(base.cusum.to_numpy(), salted.cusum.to_numpy(),
+                               rtol=1e-9, atol=1e-9)
