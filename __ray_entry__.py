@@ -732,6 +732,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             carry_cols=["token_len_mean", "tool_call_rate"], mode="ffill",
         ))
 
+    def q_transcripts_role_funnel(sf):
+        """Per-conversation role funnel user → assistant → tool: first
+        completion of each role strictly after the previous stage — the
+        transcript instance of the ordered-sequence op
+        (stages/funnel.funnel)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.funnel import funnel
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "ts", "role"])
+        return funnel(
+            turns, key="conv_id", ts_col="ts", type_col="role",
+            stages=["user", "assistant", "tool"],
+        )
+
     def q_transcripts_sessions_30m(sf):
         """Conversation activity sessions: 30-minute inactivity splits
         within each conv (agent-transcript session analysis)."""
@@ -1047,6 +1062,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             value_col="value", target=50.0,
         ))
 
+    def q_events_seasonal_adjust(sf):
+        """Seasonal-naive decomposition: value minus the user's own
+        hour-of-day mean (the residual anomaly detectors should consume
+        for daily-patterned series); fit+transform fused into the one
+        key-hash partition (stages/trend.seasonal_adjust)."""
+        from s_tsfe_dl_ray.stages.trend import seasonal_adjust
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(seasonal_adjust(
+            ds, key="user_id", ts_col="ts", value_col="value",
+            period="hour_of_day",
+        ))
+
+    def q_events_type_corr(sf):
+        """Cross-series correlation matrix: pairwise Pearson corr of the
+        per-user event-type value sums (pivot_wide → pairwise_corr) —
+        K×K raw-moment partials per batch, one tiny final reduce
+        (stages/trend.pairwise_corr)."""
+        from s_tsfe_dl_ray.pipelines.relational import pivot_wide
+        from s_tsfe_dl_ray.stages.trend import pairwise_corr
+
+        cats = ["click", "view", "purchase", "signup", "error"]
+        ds = read_events(sf, columns=["user_id", "event_type", "value"])
+        wide = pivot_wide(
+            ds, keys=["user_id"], pivot_col="event_type", value_col="value",
+            categories=cats, count_alias="n_events",
+        )
+        return _round_floats(pairwise_corr(
+            wide, cols=[f"value_sum_{c}" for c in cats]))
+
+    def q_events_winsorize_p95(sf):
+        """Per-user p95 clipping (one-sided winsorization): quantile_disc
+        fit + clamp fused in one key-hash partition, vectorized rank
+        indexing (stages/transform.winsorize)."""
+        from s_tsfe_dl_ray.stages.transform import winsorize
+
+        ds = read_events(sf, columns=["event_id", "user_id", "value"])
+        return _round_floats(winsorize(
+            ds, key="user_id", value_col="value", q=0.95,
+            out_col="value_w95",
+        ))
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1161,6 +1218,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "events_cohort_retention": q_events_cohort_retention,
         "events_cusum": q_events_cusum,
+        "events_seasonal_adjust": q_events_seasonal_adjust,
+        "events_type_corr": q_events_type_corr,
+        "events_winsorize_p95": q_events_winsorize_p95,
+        "transcripts_role_funnel": q_transcripts_role_funnel,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
@@ -1589,6 +1650,71 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             ) GROUP BY 1, 2
         """,
+        "events_winsorize_p95": """
+            SELECT event_id, user_id, round(value, 6) AS value,
+                   round(least(value, quantile_disc(value, 0.95)
+                         OVER (PARTITION BY user_id)), 6) AS value_w95
+            FROM events
+        """,
+        "events_type_corr": """
+            WITH p AS (
+              SELECT user_id,
+                     sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS s_click,
+                     sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END) AS s_view,
+                     sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS s_purchase,
+                     sum(CASE WHEN event_type = 'signup' THEN value ELSE 0 END) AS s_signup,
+                     sum(CASE WHEN event_type = 'error' THEN value ELSE 0 END) AS s_error
+              FROM events GROUP BY 1
+            )
+            SELECT 'value_sum_click' AS col_a, 'value_sum_view' AS col_b,
+                     count(*)::BIGINT AS n_rows,
+                     round(corr(s_click, s_view), 6) AS corr FROM p
+              UNION ALL
+              SELECT 'value_sum_click' AS col_a, 'value_sum_purchase' AS col_b,
+                     count(*)::BIGINT AS n_rows,
+                     round(corr(s_click, s_purchase), 6) AS corr FROM p
+              UNION ALL
+              SELECT 'value_sum_click' AS col_a, 'value_sum_signup' AS col_b,
+                     count(*)::BIGINT AS n_rows,
+                     round(corr(s_click, s_signup), 6) AS corr FROM p
+              UNION ALL
+              SELECT 'value_sum_click' AS col_a, 'value_sum_error' AS col_b,
+                     count(*)::BIGINT AS n_rows,
+                     round(corr(s_click, s_error), 6) AS corr FROM p
+              UNION ALL
+              SELECT 'value_sum_view' AS col_a, 'value_sum_purchase' AS col_b,
+                     count(*)::BIGINT AS n_rows,
+                     round(corr(s_view, s_purchase), 6) AS corr FROM p
+              UNION ALL
+              SELECT 'value_sum_view' AS col_a, 'value_sum_signup' AS col_b,
+                     count(*)::BIGINT AS n_rows,
+                     round(corr(s_view, s_signup), 6) AS corr FROM p
+              UNION ALL
+              SELECT 'value_sum_view' AS col_a, 'value_sum_error' AS col_b,
+                     count(*)::BIGINT AS n_rows,
+                     round(corr(s_view, s_error), 6) AS corr FROM p
+              UNION ALL
+              SELECT 'value_sum_purchase' AS col_a, 'value_sum_signup' AS col_b,
+                     count(*)::BIGINT AS n_rows,
+                     round(corr(s_purchase, s_signup), 6) AS corr FROM p
+              UNION ALL
+              SELECT 'value_sum_purchase' AS col_a, 'value_sum_error' AS col_b,
+                     count(*)::BIGINT AS n_rows,
+                     round(corr(s_purchase, s_error), 6) AS corr FROM p
+              UNION ALL
+              SELECT 'value_sum_signup' AS col_a, 'value_sum_error' AS col_b,
+                     count(*)::BIGINT AS n_rows,
+                     round(corr(s_signup, s_error), 6) AS corr FROM p
+        """,
+
+        "events_seasonal_adjust": """
+            SELECT event_id, user_id, ts, round(value, 6) AS value,
+                   hour(ts)::BIGINT AS phase,
+                   round(avg(value) OVER w, 6) AS seasonal_mean,
+                   round(value - avg(value) OVER w, 6) AS residual
+            FROM events
+            WINDOW w AS (PARTITION BY user_id, hour(ts))
+        """,
         "events_cusum": """
             -- reflected-walk identity: cusum = c - min(0, running min c)
             WITH c AS (
@@ -1818,6 +1944,25 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cos_raw DESC, neighbor_id) AS rn
               FROM scored
             ) WHERE rn <= 10
+        """,
+        "transcripts_role_funnel": f"""
+            WITH u AS (SELECT DISTINCT conv_id FROM {T}),
+            s1 AS (SELECT conv_id, min(ts) AS t FROM {T}
+                   WHERE role = 'user' GROUP BY 1),
+            s2 AS (SELECT e.conv_id, min(e.ts) AS t FROM {T} e
+                   JOIN s1 ON e.conv_id = s1.conv_id
+                   WHERE e.role = 'assistant' AND e.ts > s1.t GROUP BY 1),
+            s3 AS (SELECT e.conv_id, min(e.ts) AS t FROM {T} e
+                   JOIN s2 ON e.conv_id = s2.conv_id
+                   WHERE e.role = 'tool' AND e.ts > s2.t GROUP BY 1)
+            SELECT u.conv_id, s1.t AS ts_user, s2.t AS ts_assistant,
+                   s3.t AS ts_tool,
+                   (CASE WHEN s1.t IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN s2.t IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN s3.t IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS stages_reached
+            FROM u LEFT JOIN s1 USING (conv_id) LEFT JOIN s2 USING (conv_id)
+                   LEFT JOIN s3 USING (conv_id)
         """,
         "transcripts_rollup_1h": f"""
             SELECT conv_id, date_trunc('hour', ts) AS window_start,

@@ -422,3 +422,57 @@ def unpivot(
         return pa.concat_tables(parts)
 
     return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def winsorize(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    q: float = 0.95,
+    out_col: str | None = None,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key quantile clipping (one-sided winsorization): values above
+    the key's own ``q`` quantile are clamped to it — the standard
+    outlier-robust cleaning step before means/trends (the reference
+    clips activations the same way, functions scalar clip;
+    experiments/utils.py en_loss clip).
+
+    Quantile semantics are ``quantile_disc`` (element at sorted 0-based
+    index ⌈n·q⌉−1, the same contract as stages/quantile.py), so integer
+    columns stay integers and the SQL twin reproduces bit-exactly.
+
+    One exchange: rows co-partition by hash(key); a partition holds each
+    key's complete rows, so the per-key quantile computed inside it is
+    the global one — fit and clip fuse into one vectorized body (sort +
+    per-group rank index, no per-key loop).
+    """
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    out_col = out_col or f"{value_col}_w{int(q * 100)}"
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        from .rollup import _stable_pkey
+
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def clip_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).reset_index(drop=True)
+        # quantile_disc per key, vectorized: sort by (key, value), then
+        # the key's quantile element sits at group_start + ceil(n·q) − 1
+        s = df.sort_values([key, value_col], kind="mergesort")
+        keys_sorted = s[key].to_numpy()
+        vals_sorted = s[value_col].to_numpy()
+        change = np.flatnonzero(keys_sorted[1:] != keys_sorted[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(s)]])
+        n = ends - starts
+        idx = starts + np.maximum(np.ceil(n * q), 1).astype(np.int64) - 1
+        cuts = pd.Series(vals_sorted[idx], index=keys_sorted[starts])
+        cut_per_row = cuts.reindex(df[key]).to_numpy()
+        df[out_col] = np.minimum(df[value_col].to_numpy(), cut_per_row)
+        return df
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(clip_partition, batch_format="pandas")

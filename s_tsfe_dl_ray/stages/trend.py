@@ -105,3 +105,137 @@ def grouped_linear_trend(
         .groupby("_pkey")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def seasonal_adjust(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    period: str = "hour_of_day",
+    mean_col: str = "seasonal_mean",
+    resid_col: str = "residual",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Seasonal-profile adjustment: every row's value minus its key's own
+    mean for that calendar phase (hour-of-day / day-of-week) — the
+    classical seasonal-naive decomposition step (value = seasonal +
+    residual), the de-seasonalized residual being what drift/anomaly
+    detectors (cusum, trailing_zscore) should consume for daily-patterned
+    series.
+
+    One exchange: rows co-partition by hash(key), and because a
+    partition then holds each of its keys' COMPLETE rows, the per
+    (key, phase) profile computed inside the partition is already the
+    exact global profile — fit and transform fuse into one vectorized
+    body (groupby transform('mean')).  For mega-keys, pre-aggregate the
+    profile with a combiner instead (the rollup pattern) and broadcast —
+    documented trade-off, not needed while a key fits a partition.
+
+    ``period``: ``hour_of_day`` (0–23) or ``day_of_week`` (0=Sunday…,
+    matching SQL ``dayofweek``).  Output appends ``phase`` (int64),
+    ``mean_col``, ``resid_col``.
+    """
+    import pyarrow as pa
+
+    from .rollup import _stable_pkey
+
+    if period not in ("hour_of_day", "day_of_week"):
+        raise ValueError(f"unknown period {period!r}")
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def adjust_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).reset_index(drop=True)
+        ts = df[ts_col].dt
+        if period == "hour_of_day":
+            phase = ts.hour.astype(np.int64)
+        else:
+            # SQL dayofweek: 0=Sunday … 6=Saturday; pandas: 0=Monday
+            phase = ((ts.dayofweek + 1) % 7).astype(np.int64)
+        df["phase"] = phase
+        df[mean_col] = df.groupby([key, "phase"], sort=False)[value_col] \
+            .transform("mean")
+        df[resid_col] = df[value_col] - df[mean_col]
+        return df
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(adjust_partition, batch_format="pandas")
+
+
+def pairwise_corr(
+    ds: Dataset,
+    *,
+    cols: list[str],
+    n_col: str = "n_rows",
+    corr_col: str = "corr",
+) -> Dataset:
+    """Pairwise Pearson correlation matrix over numeric columns — the
+    cross-series co-movement summary (do error counts rise with
+    latency?), the engine's analog of the reference's multi-branch
+    feature correlation inspection.
+
+    Combiner discipline for the quadratic aggregate: each batch reduces
+    to K(K−1)/2 pair rows carrying mergeable raw moments
+    ``(n, Σa, Σb, Σa², Σb², Σab)`` — a K×K ``Xᵀ X`` matmul per batch, so
+    the exchange carries ~K² scalars per batch regardless of rows.  The
+    final merge is one tiny single-partition reduce.  Rows with a NULL
+    in ANY of ``cols`` are dropped entirely (SQL ``corr`` twin over a
+    NULL-free projection).
+
+    Output: one row per unordered pair in ``cols`` order —
+    ``col_a, col_b, n_col, corr_col`` (NULL corr for degenerate pairs).
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    k = len(cols)
+    ia, ib = np.triu_indices(k, 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.column_stack([
+            pc.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
+            for c in cols
+        ])
+        x = x[~np.isnan(x).any(axis=1)]
+        n = len(x)
+        s = x.sum(axis=0) if n else np.zeros(k)
+        m = x.T @ x if n else np.zeros((k, k))
+        return pa.table({
+            "col_a": pa.array(np.array(cols, dtype=object)[ia]),
+            "col_b": pa.array(np.array(cols, dtype=object)[ib]),
+            "_n": pa.array(np.full(len(ia), n, dtype=np.int64)),
+            "_sa": pa.array(s[ia]),
+            "_sb": pa.array(s[ib]),
+            "_saa": pa.array(m[ia, ia]),
+            "_sbb": pa.array(m[ib, ib]),
+            "_sab": pa.array(m[ia, ib]),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["col_a", "col_b"], sort=False)[
+            ["_n", "_sa", "_sb", "_saa", "_sbb", "_sab"]
+        ].sum().reset_index()
+        n = g["_n"].to_numpy(dtype=np.float64)
+        sa, sb = g["_sa"].to_numpy(), g["_sb"].to_numpy()
+        saa, sbb, sab = g["_saa"].to_numpy(), g["_sbb"].to_numpy(), g["_sab"].to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cov = sab - sa * sb / n
+            corr = cov / np.sqrt((saa - sa * sa / n) * (sbb - sb * sb / n))
+        corr = np.where(np.isfinite(corr), corr, np.nan)
+        out = pd.DataFrame({
+            "col_a": g["col_a"], "col_b": g["col_b"],
+            n_col: g["_n"].astype(np.int64), corr_col: corr,
+        })
+        # deterministic output order: pair order as given in ``cols``
+        order = {(cols[a], cols[b]): i for i, (a, b) in enumerate(zip(ia, ib))}
+        out["_o"] = [order[(a, b)] for a, b in zip(out.col_a, out.col_b)]
+        return out.sort_values("_o").drop(columns="_o").reset_index(drop=True)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        # repartition(1) + batch_size=None ⇒ merge sees every pair row
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )

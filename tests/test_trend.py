@@ -158,3 +158,49 @@ def test_m4_tie_determinism():
         assert r.v_first == 3.0 and r.ts_first == pd.Timestamp(t0, unit="us")
         assert r.v_last == 9.0 and r.ts_last == pd.Timestamp(t0 + 4_000_000, unit="us")
         assert r.n_rows == 6
+
+
+def test_seasonal_adjust_day_of_week():
+    """day_of_week phase uses SQL dayofweek numbering (0=Sunday) and the
+    residual removes the per-(key, phase) mean exactly."""
+    from s_tsfe_dl_ray.stages.trend import seasonal_adjust
+
+    # 2024-01-07 was a Sunday
+    base = pd.Timestamp("2024-01-07")
+    df = pd.DataFrame({
+        "k": ["a"] * 4,
+        "ts": [base, base + pd.Timedelta(days=1),
+               base + pd.Timedelta(days=7), base + pd.Timedelta(days=8)],
+        "v": [1.0, 10.0, 3.0, 20.0],
+    })
+    out = to_pdf(seasonal_adjust(
+        ray.data.from_pandas(df).repartition(2),
+        key="k", ts_col="ts", value_col="v", period="day_of_week",
+    )).sort_values("ts").reset_index(drop=True)
+    assert out.phase.tolist() == [0, 1, 0, 1]  # Sun, Mon, Sun, Mon
+    np.testing.assert_allclose(out.seasonal_mean.tolist(), [2.0, 15.0, 2.0, 15.0])
+    np.testing.assert_allclose(out.residual.tolist(), [-1.0, -5.0, 1.0, 5.0])
+
+
+def test_pairwise_corr_semantics():
+    """Perfect/anti/zero correlations, NULL-row dropping, degenerate
+    constant column -> NULL corr, multi-block merge exactness."""
+    from s_tsfe_dl_ray.stages.trend import pairwise_corr
+
+    n = 64
+    a = np.arange(n, dtype=np.float64)
+    df = pd.DataFrame({
+        "a": a, "b": 2 * a + 3, "c": -a, "d": np.full(n, 7.0),
+    })
+    df.loc[5, "a"] = np.nan  # drops the whole row
+    out = to_pdf(pairwise_corr(
+        ray.data.from_pandas(df).repartition(8), cols=["a", "b", "c", "d"],
+    ))
+    assert out.col_a.tolist() == ["a", "a", "a", "b", "b", "c"]
+    assert out.col_b.tolist() == ["b", "c", "d", "c", "d", "d"]
+    assert (out.n_rows == n - 1).all()
+    got = dict(zip(zip(out.col_a, out.col_b), out["corr"]))
+    np.testing.assert_allclose(got[("a", "b")], 1.0, atol=1e-12)
+    np.testing.assert_allclose(got[("a", "c")], -1.0, atol=1e-12)
+    assert np.isnan(got[("a", "d")])  # constant column
+    np.testing.assert_allclose(got[("b", "c")], -1.0, atol=1e-12)
