@@ -1104,6 +1104,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out_col="value_w95",
         ))
 
+    def q_events_grouping_sets(sf):
+        """GROUPING SETS in one input pass: (user, type) / (user) / grand
+        total, each granularity's combiner partial from the same batch
+        scan, SQL GROUPING() bitmask, sentinel-coalesced rolled-up keys
+        (stages/grouping.grouping_sets)."""
+        from s_tsfe_dl_ray.stages.grouping import grouping_sets
+
+        ds = read_events(sf, columns=["user_id", "event_type", "value"])
+        return _round_floats(grouping_sets(
+            ds, keys=["user_id", "event_type"],
+            sets=[["user_id", "event_type"], ["user_id"], []],
+            value_col="value",
+            sentinels={"user_id": -1, "event_type": ""},
+            count_alias="n_events",
+        ))
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1222,6 +1238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_corr": q_events_type_corr,
         "events_winsorize_p95": q_events_winsorize_p95,
         "transcripts_role_funnel": q_transcripts_role_funnel,
+        "events_grouping_sets": q_events_grouping_sets,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
@@ -1649,6 +1666,15 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "events_grouping_sets": """
+            SELECT coalesce(user_id, -1) AS user_id,
+                   coalesce(event_type, '') AS event_type,
+                   GROUPING(user_id, event_type)::BIGINT AS grouping_id,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS value_sum
+            FROM events
+            GROUP BY GROUPING SETS ((user_id, event_type), (user_id), ())
         """,
         "events_winsorize_p95": """
             SELECT event_id, user_id, round(value, 6) AS value,

@@ -80,3 +80,43 @@ def test_token_entropy_hand_cases():
     # p = (2/3, 1/3)
     h = -(2 / 3) * np.log(2 / 3) - (1 / 3) * np.log(1 / 3)
     np.testing.assert_allclose(out.loc[4, "token_entropy"], h, atol=1e-12)
+
+
+def test_grouping_sets_multiblock(ddb):
+    """All three granularities from one pass match GROUP BY GROUPING SETS
+    exactly across 16 input blocks; bitmask follows SQL GROUPING order."""
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.grouping import grouping_sets
+    from conftest import assert_frames_match
+
+    ds = read_table(EVENTS, columns=["user_id", "event_type", "value"]) \
+        .repartition(16)
+    actual = to_pdf(grouping_sets(
+        ds, keys=["user_id", "event_type"],
+        sets=[["user_id", "event_type"], ["user_id"], []],
+        value_col="value", sentinels={"user_id": -1, "event_type": ""},
+        count_alias="n_events",
+    ))
+    expected = ddb.sql(f"""
+        SELECT coalesce(user_id, -1) AS user_id,
+               coalesce(event_type, '') AS event_type,
+               GROUPING(user_id, event_type)::BIGINT AS grouping_id,
+               count(*)::BIGINT AS n_events, sum(value) AS value_sum
+        FROM '{EVENTS}'
+        GROUP BY GROUPING SETS ((user_id, event_type), (user_id), ())
+    """).df()
+    assert_frames_match(actual, expected, atol=1e-6, rtol=1e-9)
+    assert set(actual.grouping_id) == {0, 1, 3}
+
+
+def test_grouping_sets_validation():
+    import pytest
+
+    from s_tsfe_dl_ray.stages.grouping import grouping_sets
+
+    with pytest.raises(ValueError):
+        grouping_sets(ray.data.range(1), keys=["a"], sets=[["b"]],
+                      value_col="v", sentinels={"a": -1})
+    with pytest.raises(ValueError):
+        grouping_sets(ray.data.range(1), keys=["a"], sets=[["a"]],
+                      value_col="v", sentinels={})
