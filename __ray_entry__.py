@@ -1120,6 +1120,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             count_alias="n_events",
         ))
 
+    def q_events_sample_per_user(sf):
+        """Deterministic balanced subsample: 5 rows per user ranked by
+        md5(event_id) — stable across cluster sizes / reruns / row order
+        (stages/transform.sample_per_key)."""
+        from s_tsfe_dl_ray.stages.transform import sample_per_key
+
+        ds = read_events(sf, columns=["event_id", "user_id", "value"])
+        return _round_floats(sample_per_key(
+            ds, key="user_id", id_col="event_id", n=5))
+
+    def q_events_value_quantiles_approx(sf):
+        """Approximate per-user p50/p95/p99 of the CONTINUOUS value
+        column: t-digest-style centroid sketch, O(keys × delta) exchange
+        rows per batch, fully vectorized across keys (stages/
+        quantile.grouped_quantiles_approx). Sketch-state-dependent ->
+        rows-only; the rank-error envelope is pinned by pytest."""
+        from s_tsfe_dl_ray.stages.quantile import grouped_quantiles_approx
+
+        ds = read_events(sf, columns=["user_id", "value"])
+        return _round_floats(grouped_quantiles_approx(
+            ds, value_col="value", keys=["user_id"],
+            quantiles=(0.5, 0.95, 0.99), delta=128,
+        ))
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1239,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorize_p95": q_events_winsorize_p95,
         "transcripts_role_funnel": q_transcripts_role_funnel,
         "events_grouping_sets": q_events_grouping_sets,
+        "events_sample_per_user": q_events_sample_per_user,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
@@ -1248,6 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # to avoid registering an oracle the driver would never check) ----
         "transcripts_codec_roundtrip": q_transcripts_codec_roundtrip,
         "docs_heavy_hitters": q_docs_heavy_hitters,
+        "events_value_quantiles_approx": q_events_value_quantiles_approx,
         "events_distinct_users_approx": q_events_distinct_users_approx,
         "docs_minhash_dedup": q_docs_minhash_dedup,
         "emb_knn_ivf": q_emb_knn_ivf,
@@ -1666,6 +1692,14 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "events_sample_per_user": """
+            SELECT event_id, user_id, round(value, 6) AS value FROM (
+              SELECT event_id, user_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY md5(event_id::VARCHAR), event_id) AS rn
+              FROM events
+            ) WHERE rn <= 5
         """,
         "events_grouping_sets": """
             SELECT coalesce(user_id, -1) AS user_id,

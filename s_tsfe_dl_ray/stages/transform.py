@@ -476,3 +476,45 @@ def winsorize(
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(clip_partition, batch_format="pandas")
+
+
+def sample_per_key(
+    ds: Dataset,
+    *,
+    key: str,
+    id_col: str,
+    n: int,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Deterministic balanced subsample: the ``n`` rows of each key with
+    the smallest ``md5(id)`` — the order-independent way to build
+    fixed-size per-stratum eval sets (the reference's seeded
+    train_test_split analog, test_keras.py:50-53, but stable across
+    cluster sizes, reruns, and row order because rank comes from a
+    content hash, not a position or RNG stream).
+
+    Ties are impossible in practice (md5 over distinct ids); exact ties
+    break by id ascending.  One ``_pkey`` co-partition; per partition a
+    single sort + grouped cumcount — no per-key loop.  SQL twin:
+    ``row_number() OVER (PARTITION BY key ORDER BY md5(id::VARCHAR), id)
+    <= n``.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        from .rollup import _stable_pkey
+
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = np.array([hashlib.md5(str(v).encode()).hexdigest() for v in ids],
+                     dtype=object)
+        t = t.append_column("_h", pa.array(h, pa.string()))
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def pick_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "_h", id_col], kind="mergesort")
+        r = df.groupby(key, sort=False).cumcount()
+        return df[r < n].drop(columns=["_h", "_pkey"]).reset_index(drop=True)
+
+    tagged = ds.map_batches(add_rank, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(pick_partition, batch_format="pandas")

@@ -9,6 +9,8 @@ import pandas as pd
 import pytest
 import ray.data as rd
 
+from conftest import SF_CHECK, to_pdf
+
 
 def _run(df: pd.DataFrame, quantiles, keys=("k",), value_col="v") -> pd.DataFrame:
     from s_tsfe_dl_ray.stages.quantile import grouped_quantiles
@@ -82,3 +84,50 @@ def test_quantiles_duplicate_heavy_and_empty_keys_arg():
 
     with pytest.raises(ValueError):
         grouped_quantiles(rd.from_pandas(df), value_col="v", keys=[])
+
+
+def test_approx_quantiles_rank_envelope(ddb):
+    """t-digest sketch: for every key and q, the estimate's TRUE rank is
+    within 3/delta of q (empirical envelope), merged across 16 blocks."""
+    import numpy as np
+
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.quantile import grouped_quantiles_approx
+
+    EVENTS = f"{SF_CHECK}/events.parquet"
+    delta = 128
+    ds = read_table(EVENTS, columns=["user_id", "value"]).repartition(16)
+    est = to_pdf(grouped_quantiles_approx(
+        ds, value_col="value", keys=["user_id"],
+        quantiles=(0.5, 0.95, 0.99), delta=delta,
+    )).set_index("user_id").sort_index()
+    import pyarrow.parquet as pq
+
+    raw = pq.read_table(EVENTS, columns=["user_id", "value"]).to_pandas()
+    tol = 3.0 / delta
+    for uid, g in raw.groupby("user_id"):
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+        for q, col in [(0.5, "q_50"), (0.95, "q_95"), (0.99, "q_99")]:
+            e = est.loc[uid, col]
+            rank = np.searchsorted(v, e, side="right") / n
+            assert abs(rank - q) <= tol + 1.0 / n, (uid, q, rank)
+
+
+def test_approx_quantiles_exact_small_key():
+    """A key with fewer values than delta centroids reproduces exact
+    order statistics at q=0/1 and the midpoint median."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from s_tsfe_dl_ray.stages.quantile import grouped_quantiles_approx
+
+    df = pd.DataFrame({"k": ["a"] * 101, "v": np.arange(101, dtype=np.float64)})
+    out = to_pdf(grouped_quantiles_approx(
+        ray.data.from_pandas(df).repartition(1), value_col="v", keys=["k"],
+        quantiles=(0.0, 0.5, 1.0), delta=512,
+    ))
+    assert out.q_0.iloc[0] == 0.0
+    np.testing.assert_allclose(out.q_50.iloc[0], 50.0, atol=0.5)
+    assert out.q_100.iloc[0] == 100.0
