@@ -1144,6 +1144,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             quantiles=(0.5, 0.95, 0.99), delta=128,
         ))
 
+    def q_docs_bm25(sf):
+        """BM25 relevance to the query {'hash', 'join', 'shuffle'}
+        (Lucene idf variant): tiny stats pass (per-term df + avgdl
+        partials, |query|+1 rows per batch) folded into a broadcast
+        scoring closure; one vectorized scoring pass
+        (stages/text.bm25_score)."""
+        from s_tsfe_dl_ray.stages.text import bm25_score
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return _round_floats(bm25_score(
+            docs, query_terms=["hash", "join", "shuffle"]))
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1264,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_role_funnel": q_transcripts_role_funnel,
         "events_grouping_sets": q_events_grouping_sets,
         "events_sample_per_user": q_events_sample_per_user,
+        "docs_bm25": q_docs_bm25,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
@@ -1692,6 +1705,33 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "docs_bm25": """
+            WITH toks AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+                FROM documents
+              ) WHERE tok <> ''
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT count(*) FROM toks)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            dfs AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+                    WHERE tok IN ('hash', 'join', 'shuffle') GROUP BY 1),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                   WHERE tok IN ('hash', 'join', 'shuffle') GROUP BY 1, 2)
+            SELECT tf.doc_id,
+                   round(sum(
+                     ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                     * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                   ), 6) AS bm25
+            FROM tf JOIN dfs USING (tok) JOIN dl USING (doc_id)
+                 CROSS JOIN stats
+            GROUP BY 1
         """,
         "events_sample_per_user": """
             SELECT event_id, user_id, round(value, 6) AS value FROM (

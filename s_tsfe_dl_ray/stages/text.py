@@ -610,3 +610,123 @@ def explode_tokens(
         return out.filter(pc.not_equal(out[token_col], ""))
 
     return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bm25_score(
+    ds: Dataset,
+    *,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_col: str = "bm25",
+) -> Dataset:
+    """BM25 relevance of every document to a bag of query terms — the
+    classical lexical retrieval scorer (Robertson/Sparck Jones; the
+    Lucene ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))`` variant), the
+    first-stage ranker of retrieval/RAG data pipelines.
+
+    Two passes, both combiner-shaped:
+
+    1. STATS: each batch reduces to ≤ |query| + 1 rows — per-term
+       document frequencies and a (docs, token-length) sum — merged to a
+       tiny table the driver folds into the scoring closure (a broadcast
+       of |query| floats, the canonical small-side pattern);
+    2. SCORE: one vectorized pass — per batch, term counts come from one
+       ``is_in``-filtered explode + group_by; only documents containing
+       at least one query term are emitted.
+
+    Tokenization matches the corpus ops (``string_split(trim(text), ' ')``,
+    empties dropped).  Output: ``id_col, score_col`` (float64).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    term_set = pa.array(terms, pa.string())
+
+    def _explode(t: pa.Table):
+        toks_list = pc.split_pattern(pc.utf8_trim(t[text_col], " "), " ")
+        lens = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False),
+                        lens.astype(np.int64))
+        toks = toks_list.combine_chunks().flatten() if isinstance(
+            toks_list, pa.ChunkedArray) else toks_list.flatten()
+        keep = pc.not_equal(toks, "")
+        return (pa.table({"_id": pa.array(ids, t[id_col].type), "_tok": toks})
+                .filter(keep))
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        ex = _explode(t)
+        hits = ex.filter(pc.is_in(ex["_tok"], value_set=term_set))
+        # df partial: distinct docs per term within this batch
+        dfreq = (hits.group_by(["_tok", "_id"], use_threads=False)
+                 .aggregate([]).group_by(["_tok"], use_threads=False)
+                 .aggregate([([], "count_all")]))
+        out = pa.table({
+            "term": dfreq["_tok"],
+            "df": pc.cast(dfreq["count_all"], pa.int64()),
+            "n_docs": pa.array(np.zeros(dfreq.num_rows, dtype=np.int64)),
+            "dl_sum": pa.array(np.zeros(dfreq.num_rows, dtype=np.int64)),
+        })
+        tot = pa.table({
+            "term": pa.array([""], pa.string()),
+            "df": pa.array([0], pa.int64()),
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "dl_sum": pa.array([int(ex.num_rows)], pa.int64()),
+        })
+        return pa.concat_tables([out, tot])
+
+    # tiny: ≤ (|terms|+1) rows per batch; merge on the driver (the stats
+    # table is the |query|-float broadcast side, never the corpus)
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("term").sum(["df", "n_docs", "dl_sum"])
+        .take_all()
+    )
+    n_docs = sum(r["sum(n_docs)"] for r in stats)
+    dl_sum = sum(r["sum(dl_sum)"] for r in stats)
+    avgdl = (dl_sum / n_docs) if n_docs else 0.0
+    df_map = {r["term"]: r["sum(df)"] for r in stats if r["term"]}
+    idf = {
+        t: float(np.log(1.0 + (n_docs - df_map.get(t, 0) + 0.5)
+                        / (df_map.get(t, 0) + 0.5)))
+        for t in terms
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        ex = _explode(t)
+        # per-doc token length (over ALL tokens) for the length norm
+        dl_tbl = ex.group_by(["_id"], use_threads=False).aggregate(
+            [([], "count_all")])
+        dl_ids = dl_tbl["_id"].to_numpy(zero_copy_only=False)
+        dl_n = dl_tbl["count_all"].to_numpy(zero_copy_only=False).astype(np.float64)
+        hits = ex.filter(pc.is_in(ex["_tok"], value_set=term_set))
+        if hits.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], t[id_col].type),
+                score_col: pa.array([], pa.float64()),
+            })
+        tf_tbl = hits.group_by(["_id", "_tok"], use_threads=False).aggregate(
+            [([], "count_all")])
+        ids = tf_tbl["_id"].to_numpy(zero_copy_only=False)
+        tf = tf_tbl["count_all"].to_numpy(zero_copy_only=False).astype(np.float64)
+        toks = tf_tbl["_tok"].to_numpy(zero_copy_only=False)
+        # align dl to tf rows (both come from the same batch's docs)
+        order = np.argsort(dl_ids, kind="stable")
+        pos = np.searchsorted(dl_ids[order], ids)
+        dl = dl_n[order][pos]
+        terms_np = np.array(terms, dtype=object)
+        idf_vals = np.array([idf[x] for x in terms])  # |query| floats
+        idf_arr = idf_vals[np.searchsorted(terms_np, toks)]
+        contrib = idf_arr * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl))
+        uniq, inv = np.unique(ids, return_inverse=True)
+        scores = np.bincount(inv, weights=contrib, minlength=len(uniq))
+        return pa.table({
+            id_col: pa.array(uniq, t[id_col].type),
+            score_col: pa.array(scores),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -120,3 +120,27 @@ def test_grouping_sets_validation():
     with pytest.raises(ValueError):
         grouping_sets(ray.data.range(1), keys=["a"], sets=[["a"]],
                       value_col="v", sentinels={})
+
+
+def test_bm25_sanity():
+    """More matching terms -> higher score; no matching term -> no row;
+    rarer term outweighs a common one at equal tf."""
+    from s_tsfe_dl_ray.stages.text import bm25_score
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "alpha beta gamma delta",          # both query terms? no: one
+            "alpha alpha beta beta gamma",     # both, higher tf
+            "delta epsilon zeta eta",          # none
+            "beta delta delta delta",          # rare term only
+        ],
+    })
+    # 'alpha' appears in 2 docs, 'beta' in 3 -> alpha is rarer
+    out = to_pdf(bm25_score(
+        ray.data.from_pandas(docs).repartition(2),
+        query_terms=["alpha", "beta"],
+    )).set_index("doc_id").sort_index()
+    assert 3 not in out.index
+    assert out.loc[2, "bm25"] > out.loc[1, "bm25"]
+    assert out.loc[1, "bm25"] > 0 and out.loc[4, "bm25"] > 0
