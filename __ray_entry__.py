@@ -1156,6 +1156,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(bm25_score(
             docs, query_terms=["hash", "join", "shuffle"]))
 
+    def q_events_burstiness(sf):
+        """Per-user inter-event-gap distribution + Goh–Barabási
+        burstiness index (σ−µ)/(σ+µ) — how far each key's firing pattern
+        is from a uniform clock (stages/trend.interarrival_stats)."""
+        from s_tsfe_dl_ray.stages.trend import interarrival_stats
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts"])
+        return _round_floats(interarrival_stats(
+            ds, key="user_id", ts_col="ts", order_by=["ts", "event_id"]))
+
+    def q_events_lag1_autocorr(sf):
+        """Per-user lag-1 autocorrelation of value (noise vs momentum in
+        one number); corr over (x, lag x) pairs with SQL NULL rules
+        (stages/trend.lag1_autocorr)."""
+        from s_tsfe_dl_ray.stages.trend import lag1_autocorr
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(lag1_autocorr(
+            ds, key="user_id", value_col="value",
+            order_by=["ts", "event_id"]))
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1277,6 +1298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_grouping_sets": q_events_grouping_sets,
         "events_sample_per_user": q_events_sample_per_user,
         "docs_bm25": q_docs_bm25,
+        "events_burstiness": q_events_burstiness,
+        "events_lag1_autocorr": q_events_lag1_autocorr,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
@@ -1705,6 +1728,31 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "events_burstiness": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id)) AS gap
+              FROM events
+            )
+            SELECT user_id, count(*)::BIGINT AS n_gaps,
+                   round(avg(gap), 6) AS gap_mean_s,
+                   round(stddev_samp(gap), 6) AS gap_std_s,
+                   round((stddev_pop(gap) - avg(gap))
+                         / (stddev_pop(gap) + avg(gap)), 6) AS burstiness
+            FROM g WHERE gap IS NOT NULL GROUP BY 1
+        """,
+        "events_lag1_autocorr": """
+            WITH p AS (
+              SELECT user_id, value,
+                     lag(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+              FROM events
+            )
+            SELECT user_id, count(*)::BIGINT AS n_pairs,
+                   round(corr(value, prev), 6) AS autocorr
+            FROM p WHERE prev IS NOT NULL GROUP BY 1
         """,
         "docs_bm25": """
             WITH toks AS (

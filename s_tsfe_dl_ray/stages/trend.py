@@ -239,3 +239,149 @@ def pairwise_corr(
         # repartition(1) + batch_size=None ⇒ merge sees every pair row
         .map_batches(merge, batch_format="pandas", batch_size=None)
     )
+
+
+def _key_groups(df: pd.DataFrame, key: str):
+    """(keys_all, gid, starts) for a frame already sorted by key."""
+    keys_all = df[key].to_numpy()
+    change = np.flatnonzero(keys_all[1:] != keys_all[:-1]) + 1
+    gid = np.zeros(len(df), dtype=np.int64)
+    gid[change] = 1
+    gid = np.cumsum(gid)
+    starts = np.concatenate([[0], change])
+    return keys_all, gid, starts
+
+
+def interarrival_stats(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    order_by: list[str] | None = None,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key inter-event-time distribution: mean/std of the gaps (s)
+    and the Goh–Barabási burstiness index B = (σ−µ)/(σ+µ) — B→−1 for a
+    regular clock, 0 for Poisson, →1 for extreme bursts.  The standard
+    first look at WHEN a series fires (the reference resamples on the
+    assumption of a uniform clock; this op measures how far a key is
+    from one).
+
+    One co-partition; gaps/moments vectorized over key-change boundaries
+    (no per-key loop).  Keys with <2 events are dropped (no gap exists);
+    std is sample std (NULL when only one gap), burstiness uses
+    population std to match its literature definition and is NULL when
+    σ+µ = 0.  Output: ``key, n_gaps, gap_mean_s, gap_std_s, burstiness``.
+    """
+    import pyarrow as pa
+
+    from .rollup import _stable_pkey
+
+    order_by = order_by or [ts_col]
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def stats_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [key] + order_by, kind="mergesort").reset_index(drop=True)
+        if len(df) == 0:
+            return pd.DataFrame({key: [], "n_gaps": pd.Series([], dtype="int64"),
+                                 "gap_mean_s": [], "gap_std_s": [],
+                                 "burstiness": []})
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keys_all, gid, starts = _key_groups(df, key)
+        same = np.zeros(len(df), dtype=bool)
+        same[1:] = keys_all[1:] == keys_all[:-1]
+        gap = np.zeros(len(df))
+        gap[1:] = (ts[1:] - ts[:-1]) / 1e6
+        gap[~same] = 0.0
+        w = same.astype(np.float64)
+        k = int(gid[-1]) + 1
+        n = np.bincount(gid, weights=w, minlength=k)
+        s1 = np.bincount(gid, weights=gap, minlength=k)
+        s2 = np.bincount(gid, weights=gap * gap, minlength=k)
+        keep = n >= 1
+        n, s1, s2 = n[keep], s1[keep], s2[keep]
+        mean = s1 / n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var_pop = np.maximum(s2 - s1 * s1 / n, 0.0) / n
+            std_pop = np.sqrt(var_pop)
+            std_samp = np.where(
+                n >= 2, np.sqrt(np.maximum(s2 - s1 * s1 / n, 0.0) / (n - 1.0)),
+                np.nan)
+            denom = std_pop + mean
+            burst = np.where(denom > 0, (std_pop - mean) / np.where(
+                denom > 0, denom, 1.0), np.nan)
+        return pd.DataFrame({
+            key: keys_all[starts][keep],
+            "n_gaps": n.astype(np.int64),
+            "gap_mean_s": mean,
+            "gap_std_s": std_samp,
+            "burstiness": burst,
+        })
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(stats_partition, batch_format="pandas")
+
+
+def lag1_autocorr(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    order_by: list[str],
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key lag-1 autocorrelation: Pearson corr of (xᵢ, xᵢ₋₁) pairs in
+    explicit order — the standard is-it-noise-or-momentum statistic
+    (positive: trending/smooth series, ~0: white noise, negative:
+    mean-reverting), the one-number sibling of the recurrent scan.
+
+    Semantics == SQL ``corr(value, lag(value) OVER (...))`` including
+    its NULL rules (keys with <3 rows or a constant side give NULL).
+    One co-partition, moments via bincount over key-change boundaries.
+    Output: ``key, n_pairs, autocorr``.
+    """
+    import pyarrow as pa
+
+    from .rollup import _stable_pkey
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def corr_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [key] + order_by, kind="mergesort").reset_index(drop=True)
+        if len(df) == 0:
+            return pd.DataFrame({key: [], "n_pairs": pd.Series([], dtype="int64"),
+                                 "autocorr": []})
+        v = df[value_col].to_numpy(dtype=np.float64)
+        keys_all, gid, starts = _key_groups(df, key)
+        same = np.zeros(len(df), dtype=bool)
+        same[1:] = keys_all[1:] == keys_all[:-1]
+        x = np.zeros(len(df))  # previous value, where same key
+        x[1:] = v[:-1]
+        w = same.astype(np.float64)
+        y = v * w
+        x = x * w
+        k = int(gid[-1]) + 1
+        n = np.bincount(gid, weights=w, minlength=k)
+        sx = np.bincount(gid, weights=x, minlength=k)
+        sy = np.bincount(gid, weights=y, minlength=k)
+        sxx = np.bincount(gid, weights=x * x, minlength=k)
+        syy = np.bincount(gid, weights=y * y, minlength=k)
+        sxy = np.bincount(gid, weights=x * y, minlength=k)
+        keep = n >= 1
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cov = sxy - sx * sy / n
+            corr = cov / np.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        corr = np.where(np.isfinite(corr), corr, np.nan)
+        return pd.DataFrame({
+            key: keys_all[starts][keep],
+            "n_pairs": n[keep].astype(np.int64),
+            "autocorr": corr[keep],
+        })
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(corr_partition, batch_format="pandas")

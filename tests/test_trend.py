@@ -204,3 +204,53 @@ def test_pairwise_corr_semantics():
     np.testing.assert_allclose(got[("a", "c")], -1.0, atol=1e-12)
     assert np.isnan(got[("a", "d")])  # constant column
     np.testing.assert_allclose(got[("b", "c")], -1.0, atol=1e-12)
+
+
+def test_interarrival_burstiness_hand_cases():
+    """Perfect clock -> burstiness -1; singleton keys dropped; sample
+    std NULL for a single gap."""
+    from s_tsfe_dl_ray.stages.trend import interarrival_stats
+
+    t0 = REF_US
+    df = pd.DataFrame({
+        "k": ["clock"] * 5 + ["one"] + ["pair"] * 2,
+        "ts": pd.to_datetime(
+            [t0, t0 + 10_000_000, t0 + 20_000_000, t0 + 30_000_000,
+             t0 + 40_000_000, t0, t0, t0 + 3_000_000], unit="us"),
+    })
+    df["event_id"] = range(len(df))
+    out = to_pdf(interarrival_stats(
+        ray.data.from_pandas(df).repartition(3),
+        key="k", ts_col="ts", order_by=["ts", "event_id"],
+    )).set_index("k").sort_index()
+    assert out.index.tolist() == ["clock", "pair"]
+    assert out.loc["clock", "n_gaps"] == 4
+    np.testing.assert_allclose(out.loc["clock", "gap_mean_s"], 10.0)
+    np.testing.assert_allclose(out.loc["clock", "burstiness"], -1.0)
+    assert out.loc["pair", "n_gaps"] == 1
+    assert np.isnan(out.loc["pair", "gap_std_s"])
+
+
+def test_lag1_autocorr_hand_cases():
+    """Alternating series -> autocorr -1; smooth ramp -> +1; constant
+    series -> NULL (zero variance side)."""
+    from s_tsfe_dl_ray.stages.trend import lag1_autocorr
+
+    t0 = REF_US
+    rows = []
+    for i, v in enumerate([1.0, -1.0, 1.0, -1.0, 1.0, -1.0]):
+        rows.append(("alt", t0 + i * 1_000_000, v))
+    for i in range(6):
+        rows.append(("ramp", t0 + i * 1_000_000, float(i)))
+    for i in range(4):
+        rows.append(("const", t0 + i * 1_000_000, 5.0))
+    df = pd.DataFrame(rows, columns=["k", "ts_us", "v"])
+    df["ts"] = pd.to_datetime(df.pop("ts_us"), unit="us")
+    df["event_id"] = range(len(df))
+    out = to_pdf(lag1_autocorr(
+        ray.data.from_pandas(df).repartition(4),
+        key="k", value_col="v", order_by=["ts", "event_id"],
+    )).set_index("k").sort_index()
+    np.testing.assert_allclose(out.loc["alt", "autocorr"], -1.0, atol=1e-12)
+    np.testing.assert_allclose(out.loc["ramp", "autocorr"], 1.0, atol=1e-12)
+    assert np.isnan(out.loc["const", "autocorr"])
