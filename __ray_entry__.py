@@ -1177,6 +1177,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, key="user_id", value_col="value",
             order_by=["ts", "event_id"]))
 
+    def q_events_percent_rank(sf):
+        """Per-user empirical-CDF rank transform (distribution-free
+        normalization, min-rank ties) — one sort + cumulative-max run
+        propagation, no per-key loop (stages/transform.percent_rank)."""
+        from s_tsfe_dl_ray.stages.transform import percent_rank
+
+        ds = read_events(sf, columns=["event_id", "user_id", "value"])
+        return _round_floats(percent_rank(
+            ds, key="user_id", value_col="value"))
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1300,6 +1310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25": q_docs_bm25,
         "events_burstiness": q_events_burstiness,
         "events_lag1_autocorr": q_events_lag1_autocorr,
+        "events_percent_rank": q_events_percent_rank,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
@@ -1728,6 +1739,12 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "events_percent_rank": """
+            SELECT event_id, user_id, round(value, 6) AS value,
+                   round(percent_rank() OVER (PARTITION BY user_id
+                         ORDER BY value), 6) AS pct_rank
+            FROM events
         """,
         "events_burstiness": """
             WITH g AS (

@@ -518,3 +518,57 @@ def sample_per_key(
 
     tagged = ds.map_batches(add_rank, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(pick_partition, batch_format="pandas")
+
+
+def percent_rank(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    out_col: str = "pct_rank",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key empirical-CDF rank transform: SQL ``percent_rank() OVER
+    (PARTITION BY key ORDER BY value)`` = (rank − 1)/(n − 1) with ties
+    sharing their MINIMUM rank — the robust, distribution-free
+    normalization (uniform output whatever the input law), the
+    rank-based sibling of ``standardize``.
+
+    One co-partition; ranks vectorized: one sort by (key, value), run
+    starts (key or value change) propagated with a cumulative max — no
+    per-key loop.  Single-row keys get 0 (SQL convention).
+    """
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        from .rollup import _stable_pkey
+
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def rank_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [key, value_col], kind="mergesort").reset_index(drop=True)
+        if len(df) == 0:
+            df[out_col] = pd.Series([], dtype="float64")
+            return df
+        keys_all = df[key].to_numpy()
+        vals = df[value_col].to_numpy()
+        i = np.arange(len(df))
+        key_change = np.zeros(len(df), dtype=bool)
+        key_change[0] = True
+        key_change[1:] = keys_all[1:] != keys_all[:-1]
+        new_run = key_change.copy()
+        new_run[1:] |= vals[1:] != vals[:-1]
+        key_start = np.maximum.accumulate(np.where(key_change, i, 0))
+        run_start = np.maximum.accumulate(np.where(new_run, i, 0))
+        # n per key: next key start − key start
+        starts = i[key_change]
+        ends = np.concatenate([starts[1:], [len(df)]])
+        n = (ends - starts)  # per group
+        gid = np.cumsum(key_change) - 1
+        n_row = n[gid].astype(np.float64)
+        rank0 = (run_start - key_start).astype(np.float64)
+        df[out_col] = np.where(n_row > 1, rank0 / (n_row - 1.0), 0.0)
+        return df
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(rank_partition, batch_format="pandas")

@@ -144,3 +144,20 @@ def test_bm25_sanity():
     assert 3 not in out.index
     assert out.loc[2, "bm25"] > out.loc[1, "bm25"]
     assert out.loc[1, "bm25"] > 0 and out.loc[4, "bm25"] > 0
+
+
+def test_percent_rank_ties_and_singletons():
+    """Min-rank tie semantics (both tied rows share the lower rank) and
+    0 for single-row keys, under multi-block input."""
+    from s_tsfe_dl_ray.stages.transform import percent_rank
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["solo"],
+        "v": [10.0, 20.0, 20.0, 30.0, 40.0, 7.0],
+        "id": range(6),
+    })
+    out = to_pdf(percent_rank(
+        ray.data.from_pandas(df).repartition(3), key="k", value_col="v",
+    )).sort_values("id").reset_index(drop=True)
+    np.testing.assert_allclose(
+        out.pct_rank.tolist(), [0.0, 0.25, 0.25, 0.75, 1.0, 0.0])
