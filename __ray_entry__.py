@@ -921,8 +921,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Per-key OLS trend (slope/intercept/corr of value on days since
         2024-01-01) — seven raw moments per key per batch cross the
         exchange, closed-form finalize (stages/trend.grouped_linear_trend;
-        the per-series model-fit analog of the reference's per-recording
-        training loop, experiments/keras_experiment.py:420-447)."""
+        the per-series model-fit analog of the reference's
+        fit-per-unit loop, experiments/arrythmia_experiment.py:179)."""
         from s_tsfe_dl_ray.stages.trend import grouped_linear_trend
 
         ds = read_events(sf, columns=["user_id", "ts", "value"])

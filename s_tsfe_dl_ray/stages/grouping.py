@@ -4,7 +4,11 @@ The warehouse staple (per-(user, type), per-user, grand total in one
 query) and the engine's generalization of its tier cascade: instead of
 re-aggregating one granularity into the next, every requested set gets
 its combiner partial from the same batch scan, so the input is read and
-the exchange paid once for all granularities together.
+the exchange paid once for all granularities together.  Reference
+analog: the evaluation tail derives five summary metrics at once from
+ONE prediction pass (reference experiments/keras_experiment.py:595-599
+— accuracy/auc/f1/precision/recall from the same scores array); here
+the per-pass fan-out is aggregation granularities instead of metrics.
 
 Scale design: per batch, one vectorized pyarrow ``group_by`` PER SET
 (sets are few; rows are many) emits partials tagged with the SQL

@@ -232,8 +232,8 @@ def trailing_zscore(
     """Trailing-window anomaly score: each row's value standardized
     against its OWN key's last ``window_us`` (peers included) — the
     streaming analog of the reference's reconstruction-error anomaly
-    thresholding (experiments/keras_experiment.py:560-593 scores each
-    window against recent statistics).
+    thresholding (experiments/keras_experiment.py:583-599 scores windows and
+    thresholds them against the score distribution).
 
     Adds ``mean_col``/``std_col`` (sample std, SQL ``stddev_samp``) and
     ``z_col = (value − mean)/std``; std and z are NULL for windows with
@@ -532,7 +532,7 @@ def cusum(
     ``s₀ = 0; sᵢ = max(0, sᵢ₋₁ + (xᵢ − target))`` — the classic
     sequential change-point detector (Page 1954), the engine's streaming
     analog of the reference's anomaly-score thresholding over a scored
-    sequence (experiments/keras_experiment.py:560-593).  Alarm when the
+    sequence (experiments/keras_experiment.py:583-599).  Alarm when the
     statistic crosses a threshold: drift above ``target`` accumulates,
     noise resets to 0.
 

@@ -532,7 +532,10 @@ def percent_rank(
     (PARTITION BY key ORDER BY value)`` = (rank − 1)/(n − 1) with ties
     sharing their MINIMUM rank — the robust, distribution-free
     normalization (uniform output whatever the input law), the
-    rank-based sibling of ``standardize``.
+    rank-based sibling of ``standardize`` (reference analog: score
+    thresholding by sorted rank position,
+    experiments/keras_experiment.py:583-593 — the same
+    select-by-rank, here emitted as a per-row feature).
 
     One co-partition; ranks vectorized: one sort by (key, value), run
     starts (key or value change) propagated with a cumulative max — no

@@ -1,10 +1,11 @@
 """Per-key linear trend (OLS fit) as a one-exchange sketch aggregate.
 
 The distributed analog of fitting a tiny model per series — the engine's
-re-expression of the reference's per-recording training loop shape (one
-model per patient record, experiments/keras_experiment.py:420-447): here
-the "model" is the closed-form least-squares line value ~ time, fitted to
-every key in one pass.  Drift/trend per key is the standard tier-timeseries
+re-expression of the reference's fit-one-model-per-unit loop shape (the
+per-architecture train/eval loop, experiments/arrythmia_experiment.py:179
+``for name, model in methods_dict.items()``): here the "model" is the
+closed-form least-squares line value ~ time, fitted to every key in one
+pass.  Drift/trend per key is the standard tier-timeseries
 health signal (is this user's metric creeping up?).
 
 Scale design: each batch reduces to ONE row of raw moments per key —
