@@ -1187,6 +1187,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(percent_rank(
             ds, key="user_id", value_col="value"))
 
+    def q_events_impute_mean(sf):
+        """Missing-value repair: error-turn values nulled (simulated
+        sensor dropout) then imputed with the user's own mean —
+        fit+fill fused in one key-hash partition
+        (stages/transform.impute_mean)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from s_tsfe_dl_ray.stages.transform import impute_mean
+
+        def null_errors(t: pa.Table) -> pa.Table:
+            v = pc.if_else(pc.equal(t["event_type"], "error"),
+                           pa.scalar(None, pa.float64()), t["value"])
+            return t.drop_columns(["value", "event_type"]).append_column("value", v)
+
+        ds = read_events(sf, columns=["event_id", "user_id", "event_type",
+                                      "value"])
+        ds = ds.map_batches(null_errors, batch_format="pyarrow")
+        return _round_floats(impute_mean(ds, key="user_id", value_col="value"))
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1311,6 +1331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_burstiness": q_events_burstiness,
         "events_lag1_autocorr": q_events_lag1_autocorr,
         "events_percent_rank": q_events_percent_rank,
+        "events_impute_mean": q_events_impute_mean,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
@@ -1739,6 +1760,18 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "events_impute_mean": """
+            WITH v AS (
+              SELECT event_id, user_id,
+                     CASE WHEN event_type = 'error' THEN NULL
+                          ELSE value END AS value
+              FROM events
+            )
+            SELECT event_id, user_id, round(value, 6) AS value,
+                   round(coalesce(value, avg(value) OVER (
+                         PARTITION BY user_id)), 6) AS value_filled
+            FROM v
         """,
         "events_percent_rank": """
             SELECT event_id, user_id, round(value, 6) AS value,

@@ -32,10 +32,13 @@ def hash_join(
 ) -> Dataset:
     """Join two Datasets on equality of ``left_on``/``right_on``.
 
-    ``how``: inner | left.  Column collisions take pandas' default
-    ``_x``/``_y`` suffixes — project/rename upstream for exact schemas.
+    ``how``: inner | left | outer (full outer).  Column collisions take
+    pandas' default ``_x``/``_y`` suffixes — project/rename upstream for
+    exact schemas.  All three are exact under the hash co-partition:
+    both sides of a key land in the same partition, so orphan detection
+    (left/outer) is partition-local.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "outer"):
         raise ValueError(f"unsupported join type {how!r}")
 
     def _pa_schema(ds: Dataset) -> pa.Schema:

@@ -575,3 +575,38 @@ def percent_rank(
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(rank_partition, batch_format="pandas")
+
+
+def impute_mean(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    out_col: str | None = None,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Missing-value imputation with the key's own mean: NULLs in
+    ``value_col`` become ``avg(value)`` over the key's non-null rows —
+    the standard gap-repair step before models that cannot consume NaN
+    (the reference zero-pads or truncates incomplete segments for the
+    same reason, reference TSFEDL/data.py:78-80; mean-fill is the
+    value-column analog of that repair).
+
+    SQL twin: ``coalesce(value, avg(value) OVER (PARTITION BY key))``.
+    Keys whose values are ALL null stay null (SQL avg over nothing).
+    One key-hash co-partition, fit+fill fused (grouped transform)."""
+    out_col = out_col or f"{value_col}_filled"
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        from .rollup import _stable_pkey
+
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def fill_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).reset_index(drop=True)
+        means = df.groupby(key, sort=False)[value_col].transform("mean")
+        df[out_col] = df[value_col].fillna(means)
+        return df
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(fill_partition, batch_format="pandas")

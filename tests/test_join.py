@@ -147,3 +147,30 @@ def test_bloom_prefilter_preserves_exactness():
         bloomed_a = to_pdf(anti_join(l4, r4, left_on="k", right_on="rk",
                                      bloom_bits=bits))
         assert sorted(bloomed_a.k) == sorted(plain_a.k), bits
+
+
+def test_hash_join_full_outer():
+    """Full outer: matched rows joined, left orphans right-null, right
+    orphans left-null, exact under multi-block hash co-partitioning."""
+    import pandas as pd
+    import ray
+
+    from s_tsfe_dl_ray.stages.join import hash_join
+
+    l = pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]})
+    r = pd.DataFrame({"rk": [2, 3, 4], "rv": [200, 300, 400]})
+    out = to_pdf(hash_join(
+        ray.data.from_pandas(l).repartition(2),
+        ray.data.from_pandas(r).repartition(2),
+        left_on="k", right_on="rk", how="outer",
+    ))
+    # matched
+    m = out[(out.k == 2)]
+    assert m.rv.tolist() == [200]
+    # left orphan: right side null
+    lo = out[out.k == 1]
+    assert len(lo) == 1 and pd.isna(lo.rk.iloc[0]) and pd.isna(lo.rv.iloc[0])
+    # right orphan: left side null
+    ro = out[out.rk == 4]
+    assert len(ro) == 1 and pd.isna(ro.k.iloc[0]) and pd.isna(ro.lv.iloc[0])
+    assert len(out) == 4
