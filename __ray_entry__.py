@@ -1207,6 +1207,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ds.map_batches(null_errors, batch_format="pyarrow")
         return _round_floats(impute_mean(ds, key="user_id", value_col="value"))
 
+    def q_events_snapshot_diff(sf):
+        """Snapshot reconciliation: two deterministic views of events
+        (mod-rule deletions, insertions, and value edits) diffed to
+        added/removed/changed rows per key — hash co-partition, NULL-
+        safe compare (stages/join.snapshot_diff)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from s_tsfe_dl_ray.stages.join import snapshot_diff
+
+        import numpy as np
+
+        def old_view(t: pa.Table) -> pa.Table:
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 7 != 0))
+
+        def new_view(t: pa.Table) -> pa.Table:
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ids % 5 != 0))
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            v = pc.if_else(pa.array(ids % 11 == 0),
+                           pc.add(t["value"], 1.0), t["value"])
+            return t.drop_columns(["value"]).append_column("value", v)
+
+        base = read_events(sf, columns=["event_id", "value"])
+        old = base.map_batches(old_view, batch_format="pyarrow")
+        new = read_events(sf, columns=["event_id", "value"]) \
+            .map_batches(new_view, batch_format="pyarrow")
+        return snapshot_diff(old, new, key="event_id",
+                             compare_cols=["value"])
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1332,6 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag1_autocorr": q_events_lag1_autocorr,
         "events_percent_rank": q_events_percent_rank,
         "events_impute_mean": q_events_impute_mean,
+        "events_snapshot_diff": q_events_snapshot_diff,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
@@ -1760,6 +1792,23 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "events_snapshot_diff": """
+            WITH o AS (
+              SELECT event_id, value FROM events WHERE event_id % 7 <> 0
+            ), n AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 11 = 0 THEN value + 1.0
+                          ELSE value END AS value
+              FROM events WHERE event_id % 5 <> 0
+            )
+            SELECT coalesce(o.event_id, n.event_id) AS event_id,
+                   CASE WHEN o.event_id IS NULL THEN 'added'
+                        WHEN n.event_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM o FULL JOIN n ON o.event_id = n.event_id
+            WHERE o.event_id IS NULL OR n.event_id IS NULL
+               OR o.value IS DISTINCT FROM n.value
         """,
         "events_impute_mean": """
             WITH v AS (

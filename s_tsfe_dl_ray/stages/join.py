@@ -305,3 +305,73 @@ def _schema_of(ds: Dataset) -> pa.Schema:
         return s
     sample = ds.limit(1).to_pandas()
     return pa.Table.from_pandas(sample, preserve_index=False).schema
+
+
+def snapshot_diff(
+    old: Dataset,
+    new: Dataset,
+    *,
+    key: str,
+    compare_cols: list[str],
+    change_col: str = "change",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Reconcile two snapshots of a keyed table: one row per key whose
+    state differs — ``change ∈ {added, removed, changed}`` (unchanged
+    keys are dropped).  The ingest-idempotence audit tool: what did this
+    batch actually do to the table?  (Engine-side sibling of the
+    resume manifest diff, pipelines/job.py — there lineage hashes decide
+    whether a BUCKET changed; here row content decides per key.
+    Reference analog: save/reload equality checks,
+    reference test/test_keras.py:85-91.)
+
+    Dataflow: the hash_join union pattern — both sides tagged and
+    co-partitioned by hash(key), so classification is one partition-
+    local vectorized merge; only keys + compared columns cross the
+    exchange.  ``compare_cols`` equality is NULL-safe (two NULLs are
+    equal, SQL ``IS NOT DISTINCT FROM``).  Assumes ``key`` is unique
+    within each snapshot (first snapshot duplicate wins is NOT defined
+    — dedup upstream with ``first_per_key``).
+    """
+    cols = [key] + compare_cols
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(cols)
+            t = t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+            return t.append_column(
+                "_side", pa.array([side] * t.num_rows, pa.string()))
+
+        return fn
+
+    tagged = old.map_batches(tag("o"), batch_format="pyarrow").union(
+        new.map_batches(tag("n"), batch_format="pyarrow"))
+
+    def diff_partition(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        o = df[df["_side"] == "o"][cols]
+        n = df[df["_side"] == "n"][cols]
+        m = o.merge(n, on=key, how="outer", suffixes=("_o", "_n"),
+                    indicator=True)
+        added = m["_merge"] == "right_only"
+        removed = m["_merge"] == "left_only"
+        both = m["_merge"] == "both"
+        changed = both.copy()
+        if compare_cols:
+            eq = np.ones(len(m), dtype=bool)
+            for c in compare_cols:
+                a = m[f"{c}_o"]
+                b = m[f"{c}_n"]
+                # NULL-safe: equal values OR both null
+                eq &= ((a == b) | (a.isna() & b.isna())).to_numpy()
+            changed &= ~eq
+        else:
+            changed[:] = False
+        keep = added | removed | changed
+        out = m.loc[keep, [key]].copy()
+        out[change_col] = np.select(
+            [added[keep], removed[keep]], ["added", "removed"], "changed")
+        return out.reset_index(drop=True)
+
+    return tagged.groupby("_pkey").map_groups(diff_partition, batch_format="pandas")

@@ -174,3 +174,27 @@ def test_hash_join_full_outer():
     ro = out[out.rk == 4]
     assert len(ro) == 1 and pd.isna(ro.k.iloc[0]) and pd.isna(ro.lv.iloc[0])
     assert len(out) == 4
+
+
+def test_snapshot_diff_classification():
+    """added/removed/changed classification with NULL-safe compare;
+    unchanged keys dropped; multi-block."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from s_tsfe_dl_ray.stages.join import snapshot_diff
+
+    old = pd.DataFrame({"k": [1, 2, 3, 4],
+                        "v": [1.0, 2.0, np.nan, 4.0]})
+    new = pd.DataFrame({"k": [2, 3, 4, 5],
+                        "v": [2.0, np.nan, 40.0, 5.0]})
+    out = to_pdf(snapshot_diff(
+        ray.data.from_pandas(old).repartition(2),
+        ray.data.from_pandas(new).repartition(2),
+        key="k", compare_cols=["v"],
+    )).set_index("k").sort_index()
+    # 1 removed; 2 unchanged (dropped); 3 NULL==NULL unchanged (dropped);
+    # 4 changed; 5 added
+    assert out.index.tolist() == [1, 4, 5]
+    assert out.change.tolist() == ["removed", "changed", "added"]
