@@ -747,6 +747,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             stages=["user", "assistant", "tool"],
         )
 
+    def q_transcripts_reply_latency(sf):
+        """Per-conversation user→assistant reply-latency stats — the
+        first-order dialog health metric; conv-local reversed running
+        min over the order axis, no per-conversation loop
+        (stages/dialog.reply_latency)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import reply_latency
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "ts", "role"])
+        return _round_floats(reply_latency(
+            turns, conv_col="conv_id", ts_col="ts",
+            order_by=["ts", "turn_idx"]))
+
     def q_transcripts_sessions_30m(sf):
         """Conversation activity sessions: 30-minute inactivity splits
         within each conv (agent-transcript session analysis)."""
@@ -1238,6 +1252,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return snapshot_diff(old, new, key="event_id",
                              compare_cols=["value"])
 
+    def q_events_holt_forecast(sf):
+        """Holt double-exponential smoothing per user (level + trend +
+        one-step forecast) — the classical forecast baseline; affine
+        (A^n, v) salted carries (stages/transform.holt_smooth).  Second-
+        order recurrence -> no SQL twin; pinned in pytest against the
+        literal sequential fold and salted parity."""
+        from s_tsfe_dl_ray.stages.transform import holt_smooth
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(holt_smooth(
+            ds, keys=["user_id"], order_by=["ts", "event_id"],
+            col="value", alpha=0.4, beta=0.2))
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1364,6 +1391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": q_events_percent_rank,
         "events_impute_mean": q_events_impute_mean,
         "events_snapshot_diff": q_events_snapshot_diff,
+        "transcripts_reply_latency": q_transcripts_reply_latency,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
@@ -1374,6 +1402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_codec_roundtrip": q_transcripts_codec_roundtrip,
         "docs_heavy_hitters": q_docs_heavy_hitters,
         "events_value_quantiles_approx": q_events_value_quantiles_approx,
+        "events_holt_forecast": q_events_holt_forecast,
         "events_distinct_users_approx": q_events_distinct_users_approx,
         "docs_minhash_dedup": q_docs_minhash_dedup,
         "emb_knn_ivf": q_emb_knn_ivf,
@@ -2191,6 +2220,20 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cos_raw DESC, neighbor_id) AS rn
               FROM scored
             ) WHERE rn <= 10
+        """,
+        "transcripts_reply_latency": f"""
+            WITH nx AS (
+              SELECT conv_id, ts, role,
+                     min(CASE WHEN role = 'assistant' THEN ts END) OVER (
+                       PARTITION BY conv_id ORDER BY ts, turn_idx
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS nxt
+              FROM {T}
+            )
+            SELECT conv_id, count(*)::BIGINT AS n_replies,
+                   round(avg(epoch(nxt - ts)), 6) AS mean_reply_s,
+                   round(max(epoch(nxt - ts)), 6) AS max_reply_s
+            FROM nx WHERE role = 'user' AND nxt IS NOT NULL GROUP BY 1
         """,
         "transcripts_role_funnel": f"""
             WITH u AS (SELECT DISTINCT conv_id FROM {T}),

@@ -610,3 +610,118 @@ def impute_mean(
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(fill_partition, batch_format="pandas")
+
+
+def holt_smooth(
+    ds: Dataset,
+    *,
+    keys: list[str],
+    order_by: list[str],
+    col: str,
+    alpha: float,
+    beta: float,
+    level_col: str = "holt_level",
+    trend_col: str = "holt_trend",
+    forecast_col: str = "holt_forecast",
+    salt_every_us: int | None = None,
+) -> Dataset:
+    """Holt double-exponential smoothing per key in explicit order — the
+    classical level+trend forecast baseline (the second-order sibling of
+    :func:`ewma`):
+
+        l₀ = x₀, b₀ = 0
+        lᵢ = α·xᵢ + (1−α)(lᵢ₋₁ + bᵢ₋₁)
+        bᵢ = β(lᵢ − lᵢ₋₁) + (1−β)bᵢ₋₁
+
+    Emits the smoothed level, the trend estimate, and the one-step-ahead
+    forecast ``l + b`` per row.  Every DL forecaster in the reference is
+    benchmarked against exactly this class of classical baseline; the
+    engine ships it as a first-class scan.
+
+    The recurrence is a per-row fold (like the codec control loops,
+    state/gorilla.py — same accepted cost class; vectorize via prefix
+    matrix products if it ever leads a profile).  ``salt_every_us``:
+    mega-key mode — state (l, b) evolves AFFINELY (sᵢ = A sᵢ₋₁ + cᵢ with
+    constant A), so a chunk's effect is the composed affine map
+    ``s_end = A^n s_in + v``: the summary is 6 floats (A^n in closed
+    form via matrix power + the zero-state fold v) regardless of chunk
+    size, and carries compose exactly; salted output equals unsalted to
+    float64 association.
+    """
+    if not (0.0 < alpha <= 1.0 and 0.0 <= beta <= 1.0):
+        raise ValueError(f"need 0<alpha<=1, 0<=beta<=1; got {alpha}, {beta}")
+
+    A = np.array([[1 - alpha, 1 - alpha],
+                  [-alpha * beta, 1 - alpha * beta]])
+
+    def _fold(x: np.ndarray, s0: tuple[float, float] | None):
+        """Run the recurrence; s0 None ⇒ series start (l=x0, b=0).
+        Returns (levels, trends)."""
+        n = len(x)
+        l_out = np.empty(n)
+        b_out = np.empty(n)
+        if s0 is None:
+            l, b = float(x[0]), 0.0
+            l_out[0], b_out[0] = l, b
+            start = 1
+        else:
+            l, b = s0
+            start = 0
+        for i in range(start, n):
+            l_new = alpha * x[i] + (1 - alpha) * (l + b)
+            b = beta * (l_new - l) + (1 - beta) * b
+            l = l_new
+            l_out[i], b_out[i] = l, b
+        return l_out, b_out
+
+    def _emit(g: pd.DataFrame, levels, trends) -> pd.DataFrame:
+        g[level_col] = levels
+        g[trend_col] = trends
+        g[forecast_col] = levels + trends
+        return g
+
+    if salt_every_us is None:
+        def holt_group(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(order_by, kind="mergesort")
+            levels, trends = _fold(g[col].to_numpy(dtype=np.float64), None)
+            return _emit(g, levels, trends)
+
+        from .grouped import grouped_apply
+
+        return grouped_apply(ds, keys=keys, fn=holt_group)
+
+    if len(keys) != 1:
+        raise ValueError("salted holt_smooth requires a single key")
+    from .salted import salted_scan
+
+    ts_col = order_by[0]
+
+    def summarize(g: pd.DataFrame) -> dict:
+        x = g.sort_values(order_by, kind="mergesort")[col] \
+            .to_numpy(dtype=np.float64)
+        n = len(x)
+        lv, tv = _fold(x, (0.0, 0.0))        # v = zero-state fold
+        lf, tf = _fold(x, None)              # series-start variant
+        M = np.linalg.matrix_power(A, n)
+        return {"M": M.ravel().tolist(), "v": [lv[-1], tv[-1]],
+                "first": [lf[-1], tf[-1]]}
+
+    def step(carry: dict | None, s: dict) -> dict:
+        if carry is None:
+            return {"s": s["first"]}
+        M = np.array(s["M"]).reshape(2, 2)
+        out = M @ np.array(carry["s"]) + np.array(s["v"])
+        return {"s": out.tolist()}
+
+    def apply(g: pd.DataFrame, carry: dict | None) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        g = g.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+        s0 = tuple(carry["s"]) if carry else None
+        levels, trends = _fold(g[col].to_numpy(dtype=np.float64), s0)
+        return _emit(g, levels, trends)
+
+    return salted_scan(
+        ds, key=keys[0], ts_col=ts_col, salt_every_us=salt_every_us,
+        summarize=summarize, step=step, apply=apply, order_by=order_by,
+    )

@@ -115,3 +115,73 @@ def test_ewma_alpha_validation():
         ewma(ds, keys=["k"], order_by=["ts"], col="value", alpha=0.0)
     with pytest.raises(ValueError):
         ewma(ds, keys=["k"], order_by=["ts"], col="value", alpha=1.5)
+
+
+def test_holt_matches_sequential_reference():
+    """Holt level/trend/forecast equal the literal recurrence fold per
+    key under multi-block input; linear ramp converges to slope 1."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from s_tsfe_dl_ray.stages.transform import holt_smooth
+
+    t0 = 1_704_067_200_000_000
+    rng = np.random.default_rng(3)
+    rows = []
+    for k in range(6):
+        for i in range(200):
+            rows.append((f"k{k}", t0 + i * 1_000_000,
+                         float(i) if k == 0 else rng.normal(10, 2)))
+    df = pd.DataFrame(rows, columns=["k", "ts_us", "v"])
+    df["ts"] = pd.to_datetime(df.pop("ts_us"), unit="us")
+    df["i"] = range(len(df))
+    a, b = 0.5, 0.3
+    out = to_pdf(holt_smooth(
+        ray.data.from_pandas(df).repartition(5),
+        keys=["k"], order_by=["ts", "i"], col="v", alpha=a, beta=b,
+    )).sort_values(["k", "i"]).reset_index(drop=True)
+    # independent sequential reference
+    exp_l, exp_t = [], []
+    for k, g in df.sort_values(["k", "ts", "i"]).groupby("k"):
+        l = tr = None
+        for j, x in enumerate(g["v"]):
+            if j == 0:
+                l, tr = float(x), 0.0
+            else:
+                ln = a * x + (1 - a) * (l + tr)
+                tr = b * (ln - l) + (1 - b) * tr
+                l = ln
+            exp_l.append(l)
+            exp_t.append(tr)
+    np.testing.assert_allclose(out.holt_level.to_numpy(), exp_l, rtol=1e-12)
+    np.testing.assert_allclose(out.holt_trend.to_numpy(), exp_t, rtol=1e-12)
+    np.testing.assert_allclose(out.holt_forecast.to_numpy(),
+                               np.array(exp_l) + np.array(exp_t), rtol=1e-12)
+    # ramp key: trend converges to the true slope 1, forecast ~ next value
+    ramp = out[out.k == "k0"].iloc[-1]
+    np.testing.assert_allclose(ramp.holt_trend, 1.0, atol=1e-3)
+    np.testing.assert_allclose(ramp.holt_forecast, 200.0, atol=0.01)
+
+
+def test_holt_salted_parity():
+    """Affine (A^n, v) chunk summaries reproduce the unsalted fold
+    across chunk boundaries to float64 association."""
+    import numpy as np
+
+    from conftest import SF_CHECK
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.transform import holt_smooth
+
+    EV = f"{SF_CHECK}/events.parquet"
+    kw = dict(keys=["user_id"], order_by=["ts", "event_id"], col="value",
+              alpha=0.4, beta=0.2)
+    cols = ["event_id", "user_id", "ts", "value"]
+    base = to_pdf(holt_smooth(read_table(EV, columns=cols), **kw)) \
+        .sort_values("event_id").reset_index(drop=True)
+    salted = to_pdf(holt_smooth(read_table(EV, columns=cols), **kw,
+                                salt_every_us=2 * 86_400_000_000)) \
+        .sort_values("event_id").reset_index(drop=True)
+    for c in ("holt_level", "holt_trend", "holt_forecast"):
+        np.testing.assert_allclose(base[c].to_numpy(), salted[c].to_numpy(),
+                                   rtol=1e-9, atol=1e-9)
