@@ -1265,6 +1265,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, keys=["user_id"], order_by=["ts", "event_id"],
             col="value", alpha=0.4, beta=0.2))
 
+    def q_docs_bpe_token_count(sf):
+        """Subword-style token cost estimate: GPT-2-ish pre-tokenizer
+        regex matches per document — EXACT SQL twin because pyarrow and
+        DuckDB share the RE2 engine (stages/text.bpe_token_count)."""
+        from s_tsfe_dl_ray.stages.text import bpe_token_count
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        out = docs.map_batches(bpe_token_count, batch_format="pyarrow")
+        return out.drop_columns(["text"])
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1392,6 +1402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_impute_mean": q_events_impute_mean,
         "events_snapshot_diff": q_events_snapshot_diff,
         "transcripts_reply_latency": q_transcripts_reply_latency,
+        "docs_bpe_token_count": q_docs_bpe_token_count,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
@@ -1821,6 +1832,13 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "docs_bpe_token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'
+                   ))::BIGINT AS n_tokens_bpe
+            FROM documents
         """,
         "events_snapshot_diff": """
             WITH o AS (

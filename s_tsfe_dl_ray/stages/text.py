@@ -730,3 +730,25 @@ def bm25_score(
         })
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+#: GPT-2-style pre-tokenizer pattern, RE2-compatible (no lookahead):
+#: contractions, space-prefixed letter runs, digit runs, punctuation
+#: runs.  Pure-whitespace tails are uncounted (the lookahead branch of
+#: the original pattern), which only affects trailing-space documents.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(
+    batch: pa.Table, *, text_col: str = "text", out_col: str = "n_tokens_bpe"
+) -> pa.Table:
+    """Append a subword-style token count: matches of the GPT-2-ish
+    pre-tokenizer regex — the standard first-order estimate of LLM token
+    cost, finer than whitespace ``n_tokens`` (punctuation and number
+    runs count separately, contractions split).  Vectorized RE2 kernel
+    (``count_substring_regex``); DuckDB's regex engine is RE2 too, so
+    the SQL twin (``len(regexp_extract_all(...))``) is EXACT, not
+    approximate."""
+    n = pc.cast(pc.count_substring_regex(batch[text_col], BPE_ISH_PATTERN),
+                pa.int64())
+    return batch.append_column(out_col, n)
