@@ -1275,6 +1275,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = docs.map_batches(bpe_token_count, batch_format="pyarrow")
         return out.drop_columns(["text"])
 
+    def q_events_next_purchase(sf):
+        """FORWARD as-of with staleness tolerance: for each click, the
+        next purchase by the same user within 24h (NULL past the
+        tolerance) — direction/tolerance extension of the as-of
+        operator (stages/asof.asof_join_self)."""
+        from s_tsfe_dl_ray.stages.asof import asof_join_self
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+        out = asof_join_self(
+            ds, key="user_id", ts_col="ts",
+            left_filter=("event_type", "click"),
+            right_filter=("event_type", "purchase"),
+            right_value_cols=[], order_tiebreak="event_id",
+            direction="forward", tolerance_us=24 * 3_600_000_000,
+        )
+        return out.drop_columns(["event_type"])
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1403,6 +1421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_snapshot_diff": q_events_snapshot_diff,
         "transcripts_reply_latency": q_transcripts_reply_latency,
         "docs_bpe_token_count": q_docs_bpe_token_count,
+        "events_next_purchase": q_events_next_purchase,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
@@ -1832,6 +1851,20 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "events_next_purchase": """
+            WITH nx AS (
+              SELECT event_id, user_id, ts, event_type,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS nts
+              FROM events
+            )
+            SELECT event_id, user_id, ts,
+                   CASE WHEN nts - ts <= INTERVAL 24 HOUR THEN nts
+                        END AS ts_asof
+            FROM nx WHERE event_type = 'click'
         """,
         "docs_bpe_token_count": """
             SELECT doc_id,

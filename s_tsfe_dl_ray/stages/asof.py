@@ -24,10 +24,17 @@ def asof_join_self(
     right_value_cols: list[str],
     order_tiebreak: str | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> Dataset:
     """Within each key: for every LEFT row (``left_filter`` col==value),
     attach the most recent RIGHT row (``right_filter``) with
-    ``right.ts <= left.ts``.
+    ``right.ts <= left.ts`` (``direction='backward'``), the NEXT right
+    row with ``right.ts >= left.ts`` (``'forward'`` — the what-happened-
+    next lookup), or whichever is closest in time (``'nearest'``).
+    ``tolerance_us`` bounds the match distance (matches farther than the
+    tolerance become NULL) — the standard staleness guard for sensor
+    alignment.
 
     Self-join form (both sides come from ``ds``) — the common transcript
     question "for each tool call, what was the last user turn".  Rows
@@ -38,6 +45,8 @@ def asof_join_self(
     per PARTITION handles every key in that partition at once — never one
     group-UDF call per key (the 5-20×-overhead pattern grouped.py bans).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unsupported direction {direction!r}")
     lcol, lval = left_filter
     rcol, rval = right_filter
 
@@ -65,8 +74,10 @@ def asof_join_self(
             left_on=ts_col,
             right_on=f"{ts_col}{suffix}",
             by=key,
-            direction="backward",
+            direction=direction,
             allow_exact_matches=True,
+            tolerance=(pd.Timedelta(microseconds=tolerance_us)
+                       if tolerance_us is not None else None),
         )
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
