@@ -1293,6 +1293,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.drop_columns(["event_type"])
 
+    def q_emb_pca_top2(sf):
+        """Exact distributed PCA: covariance from one (d + d² + 1)-moment
+        combiner pass, driver eigh, broadcast (X−µ)W transform; sign-
+        deterministic components (stages/similarity.pca_fit_transform).
+        Eigendecomposition -> no SQL twin; variance-order/orthogonality/
+        blocking-invariance pinned in pytest."""
+        from s_tsfe_dl_ray.stages.similarity import pca_fit_transform
+
+        emb = read_table(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+        return _round_floats(pca_fit_transform(emb, n_components=2))
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1433,6 +1445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heavy_hitters": q_docs_heavy_hitters,
         "events_value_quantiles_approx": q_events_value_quantiles_approx,
         "events_holt_forecast": q_events_holt_forecast,
+        "emb_pca_top2": q_emb_pca_top2,
         "events_distinct_users_approx": q_events_distinct_users_approx,
         "docs_minhash_dedup": q_docs_minhash_dedup,
         "emb_knn_ivf": q_emb_knn_ivf,

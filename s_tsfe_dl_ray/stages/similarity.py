@@ -532,3 +532,96 @@ def label_centroids(
         .groupby("_pkey")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def pca_fit_transform(
+    ds: Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_components: int = 2,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Exact distributed PCA over an embedding column: fit the principal
+    axes from the full covariance, project every vector onto the top
+    ``n_components``.  The dimensionality-reduction front door of
+    embedding analytics (visualization, cheap ANN pre-filtering,
+    whitening) — the engine's linear sibling of the reference's
+    autoencoder bottleneck (reference TSFEDL/models_keras.py:1055-1091
+    encode/decode compression).
+
+    Two passes, both combiner-shaped:
+
+    1. FIT: each batch reduces to d + d² + 1 raw moments (mean vector,
+       XᵀX, count) carried as ONE long (i, j, v) partial table —
+       vectorized matmul per batch, merged by a tiny single-partition
+       sum; the d×d eigendecomposition runs once on the driver (µs for
+       embedding-sized d) and the component matrix broadcasts back in
+       the scoring closure.
+    2. TRANSFORM: one vectorized ``(X − µ) @ W`` per batch.
+
+    Determinism: eigenvectors have a sign ambiguity — each component is
+    flipped so its largest-|weight| element is positive, making scores
+    reproducible across runs/blockings.  Output: ``id_col, pc1..pcK``
+    (float64).  No SQL twin (eigendecomposition); tests pin variance
+    ordering, orthogonality, and blocking invariance.
+    """
+    if n_components < 1:
+        raise ValueError("n_components must be >= 1")
+
+    def moments(t: pa.Table) -> pa.Table:
+        vecs = t[vec_col].combine_chunks()
+        flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(vecs[0])
+        x = flat.reshape(t.num_rows, d)
+        m = x.T @ x                       # d×d
+        s = x.sum(axis=0)                 # d
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        rows_i = np.concatenate([ii.ravel(), np.arange(d), [-1]])
+        rows_j = np.concatenate([jj.ravel(), np.full(d, -1), [-1]])
+        vals = np.concatenate([m.ravel(), s, [float(t.num_rows)]])
+        return pa.table({"_i": pa.array(rows_i, pa.int64()),
+                         "_j": pa.array(rows_j, pa.int64()),
+                         "_v": pa.array(vals)})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["_i", "_j"], sort=True)["_v"].sum().reset_index()
+
+    stats = (
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .take_all()  # d² + d + 1 tiny rows — the broadcast small side
+    )
+    n = next(r["_v"] for r in stats if r["_i"] == -1)
+    d = max(r["_i"] for r in stats) + 1
+    s = np.zeros(d)
+    m = np.zeros((d, d))
+    for r in stats:
+        if r["_i"] == -1:
+            continue
+        if r["_j"] == -1:
+            s[r["_i"]] = r["_v"]
+        else:
+            m[r["_i"], r["_j"]] = r["_v"]
+    mu = s / n
+    cov = (m - np.outer(s, mu)) / max(n - 1.0, 1.0)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    w = evecs[:, order]
+    # deterministic sign: largest-|weight| element of each axis positive
+    flip = np.sign(w[np.abs(w).argmax(axis=0), np.arange(w.shape[1])])
+    flip[flip == 0] = 1.0
+    w = w * flip
+
+    def transform(t: pa.Table) -> pa.Table:
+        vecs = t[vec_col].combine_chunks()
+        flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        x = flat.reshape(t.num_rows, len(mu))
+        scores = (x - mu) @ w
+        cols = {id_col: t[id_col]}
+        for k in range(n_components):
+            cols[f"pc{k + 1}"] = pa.array(scores[:, k])
+        return pa.table(cols)
+
+    return ds.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True)

@@ -106,3 +106,45 @@ def test_embedding_neardup_lsh_full_recall_at_09():
     pd.testing.assert_frame_equal(
         e[["id_a", "id_b"]].astype("int64"), l[["id_a", "id_b"]].astype("int64"))
     np.testing.assert_allclose(e.cosine.to_numpy(), l.cosine.to_numpy(), rtol=1e-12)
+
+
+def test_pca_fit_transform_properties():
+    """Exact PCA from moment partials: scores match a direct eigh on the
+    locally-computed covariance (up to the documented sign rule), pc1
+    variance >= pc2 variance, components orthogonal, and the result is
+    invariant to input blocking."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from conftest import SF_CHECK, to_pdf
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.similarity import pca_fit_transform
+
+    EMB = f"{SF_CHECK}/embeddings.parquet"
+    out = to_pdf(pca_fit_transform(
+        read_table(EMB, columns=["vec_id", "embedding"]).repartition(8),
+        n_components=2,
+    )).sort_values("vec_id").reset_index(drop=True)
+    out2 = to_pdf(pca_fit_transform(
+        read_table(EMB, columns=["vec_id", "embedding"]).repartition(3),
+        n_components=2,
+    )).sort_values("vec_id").reset_index(drop=True)
+    np.testing.assert_allclose(out.pc1, out2.pc1, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(out.pc2, out2.pc2, rtol=1e-9, atol=1e-9)
+
+    raw = pq.read_table(EMB).to_pandas()
+    x = np.stack(raw.sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc / (len(x) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    w = evecs[:, order]
+    flip = np.sign(w[np.abs(w).argmax(axis=0), np.arange(2)])
+    ref = xc @ (w * flip)
+    np.testing.assert_allclose(out.pc1, ref[:, 0], rtol=1e-7, atol=1e-7)
+    np.testing.assert_allclose(out.pc2, ref[:, 1], rtol=1e-7, atol=1e-7)
+    assert out.pc1.var() >= out.pc2.var()
+    # orthogonality of scores (centered): correlation ~ 0
+    c = np.corrcoef(out.pc1, out.pc2)[0, 1]
+    assert abs(c) < 1e-6
