@@ -1305,6 +1305,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          columns=["vec_id", "embedding"])
         return _round_floats(pca_fit_transform(emb, n_components=2))
 
+    def q_emb_kmeans(sf):
+        """Full-corpus Lloyd k-means: one fused assign+reduce combiner
+        pass per iteration, k x d centroid state on the driver, final
+        assignment pass (stages/similarity.kmeans_lloyd). Iterative ->
+        no SQL twin; planted-cluster recovery and blocking invariance
+        pinned in pytest."""
+        from s_tsfe_dl_ray.stages.similarity import kmeans_lloyd
+
+        emb = read_table(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+        return kmeans_lloyd(emb, n_clusters=8, n_iter=4)
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1446,6 +1458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles_approx": q_events_value_quantiles_approx,
         "events_holt_forecast": q_events_holt_forecast,
         "emb_pca_top2": q_emb_pca_top2,
+        "emb_kmeans": q_emb_kmeans,
         "events_distinct_users_approx": q_events_distinct_users_approx,
         "docs_minhash_dedup": q_docs_minhash_dedup,
         "emb_knn_ivf": q_emb_knn_ivf,

@@ -625,3 +625,116 @@ def pca_fit_transform(
         return pa.table(cols)
 
     return ds.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kmeans_lloyd(
+    ds: Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    n_iter: int = 5,
+    cluster_col: str = "cluster",
+    sample_size: int | None = None,
+) -> Dataset:
+    """Full-corpus Lloyd k-means (Euclidean): the iterative-algorithm
+    class done Ray-Data-style — each iteration is ONE combiner pass over
+    the corpus (assignment to broadcast centroids fused with the
+    per-cluster (sum, n) reduction inside the same batch kernel), the
+    tiny k×d centroid table updates on the driver, and a final pass
+    emits assignments.  The exact full-data big sibling of the bounded-
+    sample ``_kmeans_fit`` the IVF index uses; reference analog: the
+    two-phase fit-then-apply training loop (reference
+    experiments/arrythmia_experiment.py:92-99 fit → predict).
+
+    Determinism: init = the ``n_clusters`` vectors with the smallest
+    ids from a seeded bounded sample (corpus-size-independent);
+    empty clusters keep their previous centroid; ties in assignment
+    break toward the lower cluster index (argmin).  n_iter passes +
+    one assignment pass; at petabyte scale checkpoint the (tiny)
+    centroid state between iterations rather than rereading — the
+    per-iteration dataflow is unchanged.
+
+    Output: ``id_col, cluster_col (int64)``.  No SQL twin (iterative);
+    tests pin monotone inertia, blocking invariance, and planted-
+    cluster recovery.
+    """
+    if n_clusters < 1 or n_iter < 1:
+        raise ValueError("n_clusters and n_iter must be >= 1")
+    sample_size = sample_size or max(50 * n_clusters, 500)
+
+    # deterministic bounded init (the knn_ivf pattern): smallest-id rows
+    # of a seeded fractional sample, NOT the whole corpus
+    sel = ds.select_columns([id_col, vec_col])
+    cnt = sel.count()
+    frac = min(1.0, sample_size / max(cnt, 1))
+    sample = (
+        sel.random_sample(frac, seed=0).to_pandas()
+        if frac < 1.0 else sel.to_pandas()
+    ).sort_values(id_col)
+    if len(sample) < n_clusters:  # random_sample undershoot on tiny inputs
+        sample = sel.to_pandas().sort_values(id_col)
+    cent = np.stack(sample[vec_col].head(n_clusters).to_numpy()).astype(np.float64)
+    d = cent.shape[1]
+
+    def iter_pass(centroids: np.ndarray):
+        c = centroids.copy()
+        c2 = (c * c).sum(axis=1)
+
+        def assign_reduce(t: pa.Table) -> pa.Table:
+            vecs = t[vec_col].combine_chunks()
+            x = (vecs.flatten().to_numpy(zero_copy_only=False)
+                 .astype(np.float64).reshape(t.num_rows, d))
+            # argmin ||x - c||² = argmin (c² - 2 x·c); ties -> lower index
+            a = (c2[None, :] - 2.0 * (x @ c.T)).argmin(axis=1)
+            sums = np.zeros((n_clusters, d))
+            np.add.at(sums, a, x)
+            cnt = np.bincount(a, minlength=n_clusters).astype(np.float64)
+            ii = np.repeat(np.arange(n_clusters), d)
+            return pa.table({
+                "_c": pa.array(np.concatenate([ii, np.arange(n_clusters)]),
+                               pa.int64()),
+                "_dim": pa.array(np.concatenate(
+                    [np.tile(np.arange(d), n_clusters),
+                     np.full(n_clusters, -1)]), pa.int64()),
+                "_v": pa.array(np.concatenate([sums.ravel(), cnt])),
+            })
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(["_c", "_dim"], sort=True)["_v"].sum().reset_index()
+
+        rows = (
+            ds.map_batches(assign_reduce, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+            .take_all()  # k×(d+1) tiny rows
+        )
+        sums = np.zeros((n_clusters, d))
+        cnt = np.zeros(n_clusters)
+        for r in rows:
+            if r["_dim"] == -1:
+                cnt[r["_c"]] = r["_v"]
+            else:
+                sums[r["_c"], r["_dim"]] = r["_v"]
+        new = centroids.copy()
+        nonempty = cnt > 0
+        new[nonempty] = sums[nonempty] / cnt[nonempty, None]
+        return new
+
+    for _ in range(n_iter):
+        cent = iter_pass(cent)
+
+    c = cent
+    c2 = (c * c).sum(axis=1)
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        vecs = t[vec_col].combine_chunks()
+        x = (vecs.flatten().to_numpy(zero_copy_only=False)
+             .astype(np.float64).reshape(t.num_rows, d))
+        a = (c2[None, :] - 2.0 * (x @ c.T)).argmin(axis=1)
+        return pa.table({id_col: t[id_col],
+                         cluster_col: pa.array(a.astype(np.int64))})
+
+    return ds.map_batches(final_assign, batch_format="pyarrow",
+                          zero_copy_batch=True)

