@@ -1317,6 +1317,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          columns=["vec_id", "embedding"])
         return kmeans_lloyd(emb, n_clusters=8, n_iter=4)
 
+    def q_events_binary_metrics(sf):
+        """Distributed confusion matrix + accuracy/precision/recall/F1
+        (prediction: value >= 50, label: purchase) — four counts per
+        batch, one tiny merge; the reference's metric tail as a
+        distributed aggregate (stages/metrics.binary_metrics)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from s_tsfe_dl_ray.stages.metrics import binary_metrics
+
+        def derive(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "label", pc.equal(t["event_type"], "purchase"))
+
+        ds = read_events(sf, columns=["value", "event_type"]) \
+            .map_batches(derive, batch_format="pyarrow")
+        return _round_floats(binary_metrics(
+            ds, score_col="value", label_col="label", threshold=50.0))
+
+    def q_events_auc(sf):
+        """Exact distributed ROC-AUC via the Mann–Whitney mid-rank form
+        over the (score → n_pos, n_neg) value histogram — one row per
+        distinct score crosses the exchange, never raw rows
+        (stages/metrics.auc_roc)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from s_tsfe_dl_ray.stages.metrics import auc_roc
+
+        def derive(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "label", pc.equal(t["event_type"], "purchase"))
+
+        ds = read_events(sf, columns=["value", "event_type"]) \
+            .map_batches(derive, batch_format="pyarrow")
+        return _round_floats(auc_roc(ds, score_col="value", label_col="label"))
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1446,6 +1483,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_reply_latency": q_transcripts_reply_latency,
         "docs_bpe_token_count": q_docs_bpe_token_count,
         "events_next_purchase": q_events_next_purchase,
+        "events_binary_metrics": q_events_binary_metrics,
+        "events_auc": q_events_auc,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
@@ -1877,6 +1916,47 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "events_binary_metrics": """
+            WITH t AS (
+              SELECT value >= 50.0 AS p, event_type = 'purchase' AS y
+              FROM events
+            ), c AS (
+              SELECT sum(CASE WHEN p AND y THEN 1 ELSE 0 END)::BIGINT AS tp,
+                     sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END)::BIGINT AS fp,
+                     sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END)::BIGINT AS fn,
+                     sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END)::BIGINT AS tn
+              FROM t
+            ), d AS (
+              SELECT *, tp / (tp + fp + 0.0) AS prec,
+                        tp / (tp + fn + 0.0) AS rec
+              FROM c
+            )
+            SELECT tp, fp, fn, tn,
+                   round((tp + tn) / (tp + fp + fn + tn + 0.0), 6) AS accuracy,
+                   round(prec, 6) AS precision, round(rec, 6) AS recall,
+                   round(2 * prec * rec / (prec + rec), 6) AS f1
+            FROM d
+        """,
+        "events_auc": """
+            WITH t AS (
+              SELECT value AS s, event_type = 'purchase' AS y FROM events
+            ), x AS (
+              SELECT s, y, row_number() OVER (ORDER BY s) AS rn FROM t
+            ), m AS (
+              SELECT s, avg(rn) AS mid,
+                     sum(CASE WHEN y THEN 1 ELSE 0 END) AS np
+              FROM x GROUP BY 1
+            ), k AS (
+              SELECT count(*) FILTER (WHERE y) + 0.0 AS npos,
+                     count(*) FILTER (WHERE NOT y) + 0.0 AS nneg
+              FROM t
+            )
+            SELECT k.npos::BIGINT AS n_pos, k.nneg::BIGINT AS n_neg,
+                   round(((SELECT sum(mid * np) FROM m)
+                          - k.npos * (k.npos + 1) / 2)
+                         / (k.npos * k.nneg), 6) AS auc
+            FROM k
         """,
         "events_next_purchase": """
             WITH nx AS (

@@ -1,0 +1,123 @@
+"""Distributed model-evaluation metrics over scored rows.
+
+The reference's evaluation tail computes accuracy / AUC / F1 /
+precision / recall from a scores array in memory (reference
+experiments/keras_experiment.py:595-599); these operators compute the
+same numbers exactly when the scored rows are a distributed table.
+
+Both are single-exchange combiner aggregates:
+
+- ``binary_metrics``: the 2×2 confusion matrix is four counts —
+  per-batch partials, one tiny merge, derived metrics at finalize.
+- ``auc_roc``: exact ROC-AUC via the Mann–Whitney rank form.  Global
+  ranks normally need a sort; the (score → n_pos, n_neg) VALUE
+  HISTOGRAM is sufficient (mid-rank of a tie group is a function of
+  cumulative counts), so the exchange carries one row per distinct
+  score, the same memory class as stages/quantile.grouped_quantiles —
+  with the same caveat: quantize all-distinct continuous scores
+  upstream (or accept histogram ≈ row count).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+
+def binary_metrics(
+    ds: Dataset,
+    *,
+    score_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+) -> Dataset:
+    """Confusion counts + accuracy/precision/recall/f1 at a threshold
+    (prediction = score >= threshold; label truthy = positive).  One
+    row out; metrics NULL where undefined (zero denominators)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        pred = pc.greater_equal(pc.cast(t[score_col], pa.float64()),
+                                pa.scalar(float(threshold)))
+        lab = pc.cast(t[label_col], pa.bool_())
+        p = pred.to_numpy(zero_copy_only=False)
+        y = lab.to_numpy(zero_copy_only=False)
+        tp = int(np.sum(p & y)); fp = int(np.sum(p & ~y))
+        fn = int(np.sum(~p & y)); tn = int(np.sum(~p & ~y))
+        return pa.table({"tp": [tp], "fp": [fp], "fn": [fn], "tn": [tn]})
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        tp, fp = int(df.tp.sum()), int(df.fp.sum())
+        fn, tn = int(df.fn.sum()), int(df.tn.sum())
+        n = tp + fp + fn + tn
+
+        def div(a, b):
+            return a / b if b else np.nan
+
+        prec = div(tp, tp + fp)
+        rec = div(tp, tp + fn)
+        f1 = (2 * prec * rec / (prec + rec)
+              if np.isfinite(prec) and np.isfinite(rec) and (prec + rec)
+              else np.nan)
+        return pd.DataFrame([{
+            "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+            "accuracy": div(tp + tn, n),
+            "precision": prec, "recall": rec, "f1": f1,
+        }])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        # repartition(1) + batch_size=None ⇒ finalize sees every partial
+        .map_batches(finalize, batch_format="pandas", batch_size=None)
+    )
+
+
+def auc_roc(
+    ds: Dataset,
+    *,
+    score_col: str,
+    label_col: str,
+) -> Dataset:
+    """Exact ROC-AUC (Mann–Whitney with mid-rank tie handling):
+    ``AUC = (Σ midrank(positives) − n₊(n₊+1)/2) / (n₊ n₋)`` — equal to
+    P(score₊ > score₋) + ½P(score₊ = score₋).  One row out:
+    ``n_pos, n_neg, auc`` (NULL when either class is empty)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[score_col], pa.float64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(t[label_col], pa.bool_()).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(s, return_inverse=True)
+        npos = np.bincount(inv, weights=y.astype(np.float64),
+                           minlength=len(uniq))
+        nall = np.bincount(inv, minlength=len(uniq))
+        return pa.table({
+            "_s": pa.array(uniq),
+            "_pos": pa.array(npos.astype(np.int64)),
+            "_neg": pa.array((nall - npos).astype(np.int64)),
+        })
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        h = df.groupby("_s", sort=True)[["_pos", "_neg"]].sum()
+        pos = h["_pos"].to_numpy(dtype=np.float64)
+        neg = h["_neg"].to_numpy(dtype=np.float64)
+        cnt = pos + neg
+        n_pos, n_neg = pos.sum(), neg.sum()
+        if n_pos == 0 or n_neg == 0:
+            auc = np.nan
+        else:
+            below = np.concatenate([[0.0], np.cumsum(cnt)[:-1]])
+            midrank = below + (cnt + 1.0) / 2.0   # avg rank of the tie group
+            rank_sum_pos = float((midrank * pos).sum())
+            auc = (rank_sum_pos - n_pos * (n_pos + 1.0) / 2.0) / (n_pos * n_neg)
+        return pd.DataFrame([{
+            "n_pos": int(n_pos), "n_neg": int(n_neg), "auc": auc,
+        }])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(finalize, batch_format="pandas", batch_size=None)
+    )

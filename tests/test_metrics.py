@@ -1,0 +1,86 @@
+"""Distributed evaluation metrics (stages/metrics.py): confusion-matrix
+aggregate and exact mid-rank AUC, including tie handling and degenerate
+class cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from conftest import to_pdf
+
+
+def test_auc_hand_cases():
+    """Perfect separation -> 1; reversed -> 0; all-tied scores -> 0.5;
+    a known small mixed case matches the pairwise definition."""
+    from s_tsfe_dl_ray.stages.metrics import auc_roc
+
+    def auc_of(scores, labels, nblocks=3):
+        df = pd.DataFrame({"s": scores, "y": labels})
+        out = to_pdf(auc_roc(
+            ray.data.from_pandas(df).repartition(nblocks),
+            score_col="s", label_col="y"))
+        return float(out.auc.iloc[0])
+
+    assert auc_of([1.0, 2.0, 3.0, 4.0], [False, False, True, True]) == 1.0
+    assert auc_of([1.0, 2.0, 3.0, 4.0], [True, True, False, False]) == 0.0
+    assert auc_of([5.0] * 6, [True, False] * 3) == 0.5
+    # mixed with a tie: pairwise P(s+ > s-) + 0.5 P(s+ = s-)
+    scores = [1.0, 2.0, 2.0, 3.0]
+    labels = [False, False, True, True]
+    # pairs (pos, neg): (2,1)>, (2,2)=, (3,1)>, (3,2)> -> (3 + 0.5)/4
+    np.testing.assert_allclose(auc_of(scores, labels), 3.5 / 4)
+
+
+def test_auc_matches_rank_reference_multiblock():
+    """Histogram-merged AUC equals the direct mid-rank computation on a
+    random corpus split across many blocks."""
+    from s_tsfe_dl_ray.stages.metrics import auc_roc
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    y = rng.random(n) < 0.3
+    # quantized scores -> plenty of ties
+    s = np.round(rng.normal(0, 1, n) + y * 0.8, 1)
+    out = to_pdf(auc_roc(
+        ray.data.from_pandas(pd.DataFrame({"s": s, "y": y})).repartition(16),
+        score_col="s", label_col="y"))
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(n)
+    sorted_s = s[order]
+    i = 0
+    rank_vals = np.arange(1, n + 1, dtype=np.float64)
+    while i < n:
+        j = i
+        while j < n and sorted_s[j] == sorted_s[i]:
+            j += 1
+        ranks[order[i:j]] = rank_vals[i:j].mean()
+        i = j
+    n_pos = y.sum()
+    expected = (ranks[y].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * (n - n_pos))
+    np.testing.assert_allclose(out.auc.iloc[0], expected, rtol=1e-12)
+    assert out.n_pos.iloc[0] == n_pos and out.n_neg.iloc[0] == n - n_pos
+
+
+def test_binary_metrics_counts_and_degenerate():
+    from s_tsfe_dl_ray.stages.metrics import binary_metrics
+
+    df = pd.DataFrame({
+        "s": [0.9, 0.8, 0.3, 0.7, 0.1, 0.6],
+        "y": [True, False, True, True, False, False],
+    })
+    out = to_pdf(binary_metrics(
+        ray.data.from_pandas(df).repartition(3),
+        score_col="s", label_col="y", threshold=0.5))
+    r = out.iloc[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (2, 2, 1, 1)
+    np.testing.assert_allclose(r.precision, 0.5)
+    np.testing.assert_allclose(r.recall, 2 / 3)
+    np.testing.assert_allclose(r.f1, 2 * 0.5 * (2 / 3) / (0.5 + 2 / 3))
+    np.testing.assert_allclose(r.accuracy, 0.5)
+    # degenerate: no predicted positives -> precision NULL
+    out2 = to_pdf(binary_metrics(
+        ray.data.from_pandas(df), score_col="s", label_col="y",
+        threshold=100.0))
+    assert np.isnan(out2.precision.iloc[0])
