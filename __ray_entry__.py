@@ -1354,6 +1354,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(derive, batch_format="pyarrow")
         return _round_floats(auc_roc(ds, score_col="value", label_col="label"))
 
+    def q_events_props_extract(sf):
+        """Semi-structured payload ingestion: the JSON props column's
+        $.k field extracted per row (vectorized Rust json_path_match,
+        no per-row json.loads) then summed per user — extraction
+        feeding the standard rollup combiner
+        (stages/transform.json_extract_scalar)."""
+        import pyarrow as pa
+
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+        from s_tsfe_dl_ray.stages.transform import json_extract_scalar
+
+        ds = read_events(sf, columns=["user_id", "props"])
+        ext = json_extract_scalar(
+            ds, col="props", path="$.k", out_col="k_value",
+            cast_to=pa.int64())
+        return grouped_aggregate(
+            ext, keys=["user_id"],
+            aggs={"k_sum": ("k_value", "sum"),
+                  "k_min": ("k_value", "min"),
+                  "k_max": ("k_value", "max"),
+                  "n_events": ("k_value", "count")},
+        )
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1485,6 +1508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_next_purchase": q_events_next_purchase,
         "events_binary_metrics": q_events_binary_metrics,
         "events_auc": q_events_auc,
+        "events_props_extract": q_events_props_extract,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
@@ -1916,6 +1940,18 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "events_props_extract": """
+            SELECT user_id,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     ::BIGINT AS k_sum,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     ::BIGINT AS k_min,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     ::BIGINT AS k_max,
+                   count(json_extract_string(props, '$.k'))::BIGINT
+                     AS n_events
+            FROM events GROUP BY 1
         """,
         "events_binary_metrics": """
             WITH t AS (

@@ -725,3 +725,36 @@ def holt_smooth(
         ds, key=keys[0], ts_col=ts_col, salt_every_us=salt_every_us,
         summarize=summarize, step=step, apply=apply, order_by=order_by,
     )
+
+
+def json_extract_scalar(
+    ds: Dataset,
+    *,
+    col: str,
+    path: str,
+    out_col: str,
+    cast_to: "pa.DataType | None" = None,
+    keep_input: bool = False,
+) -> Dataset:
+    """Schema-flexible ingestion: extract a scalar JSON path from a
+    string column (semi-structured event payloads — the ``props``
+    pattern) as a vectorized kernel (polars' Rust ``json_path_match``;
+    never a per-row ``json.loads`` loop).  Missing keys and malformed
+    documents yield NULL (lenient, unlike SQL ``json_extract`` which
+    errors on malformed input — quarantine bad rows upstream when that
+    distinction matters).  ``cast_to`` casts the extracted string (e.g.
+    ``pa.int64()``); failed casts raise (use a string target + derive
+    for try-cast semantics).
+    """
+    import polars as pl
+
+    def extract(t: pa.Table) -> pa.Table:
+        s = pl.Series(t[col].combine_chunks())
+        v = s.str.json_path_match(path).to_arrow()
+        if cast_to is not None:
+            v = pc.cast(v, cast_to)
+        if not keep_input:
+            t = t.drop_columns([col])
+        return t.append_column(out_col, pc.cast(v, v.type))
+
+    return ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)

@@ -161,3 +161,23 @@ def test_percent_rank_ties_and_singletons():
     )).sort_values("id").reset_index(drop=True)
     np.testing.assert_allclose(
         out.pct_rank.tolist(), [0.0, 0.25, 0.25, 0.75, 1.0, 0.0])
+
+
+def test_json_extract_scalar_lenient():
+    """Missing keys and malformed JSON yield NULL; valid values extract
+    and cast vectorized."""
+    import pyarrow as pa
+
+    from s_tsfe_dl_ray.stages.transform import json_extract_scalar
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "js": ['{"k": 7}', '{"x": 1}', 'not json', '{"k": -3}'],
+    })
+    out = to_pdf(json_extract_scalar(
+        ray.data.from_pandas(df).repartition(2),
+        col="js", path="$.k", out_col="k", cast_to=pa.int64(),
+    )).sort_values("id").reset_index(drop=True)
+    assert out.columns.tolist() == ["id", "k"]
+    assert out.k.tolist()[0] == 7 and out.k.tolist()[3] == -3
+    assert pd.isna(out.k.iloc[1]) and pd.isna(out.k.iloc[2])
