@@ -1377,6 +1377,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   "n_events": ("k_value", "count")},
         )
 
+    def q_events_calibration(sf):
+        """Reliability table (calibration diagnostic next to AUC): value
+        rescaled to [0,1], 10 equal-width bins, per-bin count / mean
+        score / positive rate (stages/metrics.calibration_bins)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from s_tsfe_dl_ray.stages.metrics import calibration_bins
+
+        def derive(t: pa.Table) -> pa.Table:
+            t = t.append_column("label", pc.equal(t["event_type"], "purchase"))
+            return t.append_column("score", pc.divide(t["value"], 100.0))
+
+        ds = read_events(sf, columns=["value", "event_type"]) \
+            .map_batches(derive, batch_format="pyarrow")
+        return _round_floats(calibration_bins(
+            ds, score_col="score", label_col="label", n_bins=10))
+
+    def q_events_top3_by_value(sf):
+        """Generic per-key row selection: each user's 3 highest-value
+        events (full rows), deterministic ties by event_id
+        (stages/transform.top_n_per_key)."""
+        from s_tsfe_dl_ray.stages.transform import top_n_per_key
+
+        ds = read_events(sf, columns=["event_id", "user_id", "value"])
+        return _round_floats(top_n_per_key(
+            ds, key="user_id", score_col="value", n=3,
+            tiebreak_col="event_id"))
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1509,6 +1538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_binary_metrics": q_events_binary_metrics,
         "events_auc": q_events_auc,
         "events_props_extract": q_events_props_extract,
+        "events_calibration": q_events_calibration,
+        "events_top3_by_value": q_events_top3_by_value,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
@@ -1940,6 +1971,34 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "events_calibration": """
+            -- binning mirrors the engine formula exactly (same double
+            -- arithmetic), not width_bucket's internal variant
+            WITH t AS (
+              SELECT value / 100.0 AS s,
+                     event_type = 'purchase' AS y
+              FROM events
+            ), b AS (
+              SELECT CASE WHEN s < 0 THEN 0
+                          WHEN s >= 1 THEN 11
+                          ELSE 1 + floor(s / 0.1) END::BIGINT AS bin,
+                     s, y
+              FROM t
+            )
+            SELECT bin, count(*)::BIGINT AS n_rows,
+                   round(avg(s), 6) AS mean_score,
+                   round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6)
+                     AS positive_rate
+            FROM b GROUP BY 1
+        """,
+        "events_top3_by_value": """
+            SELECT event_id, user_id, round(value, 6) AS value FROM (
+              SELECT event_id, user_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id) AS rn
+              FROM events
+            ) WHERE rn <= 3
         """,
         "events_props_extract": """
             SELECT user_id,

@@ -121,3 +121,60 @@ def auc_roc(
         .repartition(1)
         .map_batches(finalize, batch_format="pandas", batch_size=None)
     )
+
+
+def calibration_bins(
+    ds: Dataset,
+    *,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> Dataset:
+    """Reliability table: scores bucketed into ``n_bins`` equal-width
+    bins over [lo, hi]; per bin the count, mean score, and positive rate
+    — the calibration diagnostic read next to AUC (does a 0.8 score
+    mean 80%?).  SQL ``width_bucket`` semantics: values below ``lo``
+    land in bin 0, at/above ``hi`` in bin n_bins+1, else
+    1 + floor((s−lo)/w).  Pure combiner: (bin, n, Σscore, Σpos) partials
+    per batch, one tiny merge.  Output: ``bin, n_rows, mean_score,
+    positive_rate`` for non-empty bins, bin ascending."""
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    w = (hi - lo) / n_bins
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[score_col], pa.float64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(t[label_col], pa.bool_()).to_numpy(zero_copy_only=False)
+        b = np.where(s < lo, 0,
+                     np.where(s >= hi, n_bins + 1,
+                              1 + np.floor((s - lo) / w))).astype(np.int64)
+        k = n_bins + 2
+        n = np.bincount(b, minlength=k)
+        ssum = np.bincount(b, weights=s, minlength=k)
+        pos = np.bincount(b, weights=y.astype(np.float64), minlength=k)
+        keep = n > 0
+        return pa.table({
+            "bin": pa.array(np.arange(k)[keep]),
+            "_n": pa.array(n[keep].astype(np.int64)),
+            "_s": pa.array(ssum[keep]),
+            "_p": pa.array(pos[keep].astype(np.int64)),
+        })
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bin", sort=True).agg(
+            _n=("_n", "sum"), _s=("_s", "sum"), _p=("_p", "sum")).reset_index()
+        out = pd.DataFrame({
+            "bin": g["bin"].astype(np.int64),
+            "n_rows": g["_n"].astype(np.int64),
+            "mean_score": g["_s"] / g["_n"],
+            "positive_rate": g["_p"] / g["_n"],
+        })
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(finalize, batch_format="pandas", batch_size=None)
+    )

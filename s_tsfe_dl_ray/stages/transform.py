@@ -758,3 +758,41 @@ def json_extract_scalar(
         return t.append_column(out_col, pc.cast(v, v.type))
 
     return ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_n_per_key(
+    ds: Dataset,
+    *,
+    key: str,
+    score_col: str,
+    n: int,
+    tiebreak_col: str | None = None,
+    num_partitions: int = 64,
+) -> Dataset:
+    """The ``n`` highest-``score_col`` rows of each key (full rows) —
+    the generic per-stratum selection (top documents per source, worst
+    latencies per service); the score-ranked sibling of
+    :func:`sample_per_key` and the row-level generalization of the
+    count-based ``distinct.grouped_top_k``.  Ties rank by
+    ``tiebreak_col`` ascending (required for determinism when scores
+    can repeat).  One co-partition; sort + grouped cumcount, no per-key
+    loop.  SQL twin: ``row_number() OVER (PARTITION BY key ORDER BY
+    score DESC, tiebreak) <= n``."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        from .rollup import _stable_pkey
+
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    order = [key, score_col] + ([tiebreak_col] if tiebreak_col else [])
+    asc = [True, False] + ([True] if tiebreak_col else [])
+
+    def pick_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order, ascending=asc, kind="mergesort")
+        r = df.groupby(key, sort=False).cumcount()
+        return df[r < n].drop(columns=["_pkey"]).reset_index(drop=True)
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(pick_partition, batch_format="pandas")

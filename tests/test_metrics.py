@@ -84,3 +84,39 @@ def test_binary_metrics_counts_and_degenerate():
         ray.data.from_pandas(df), score_col="s", label_col="y",
         threshold=100.0))
     assert np.isnan(out2.precision.iloc[0])
+
+
+def test_calibration_bins_semantics():
+    """Under/overflow bins, per-bin means, multi-block merge."""
+    from s_tsfe_dl_ray.stages.metrics import calibration_bins
+
+    df = pd.DataFrame({
+        "s": [-0.1, 0.05, 0.15, 0.15, 1.0, 0.95],
+        "y": [True, False, True, False, True, True],
+    })
+    out = to_pdf(calibration_bins(
+        ray.data.from_pandas(df).repartition(3),
+        score_col="s", label_col="y", n_bins=10,
+    )).set_index("bin")
+    assert out.index.tolist() == [0, 1, 2, 10, 11]
+    assert out.loc[0, "n_rows"] == 1 and out.loc[0, "positive_rate"] == 1.0
+    assert out.loc[2, "n_rows"] == 2
+    np.testing.assert_allclose(out.loc[2, "mean_score"], 0.15)
+    np.testing.assert_allclose(out.loc[2, "positive_rate"], 0.5)
+    assert out.loc[11, "n_rows"] == 1  # s >= hi overflow
+
+
+def test_top_n_per_key_ties():
+    from s_tsfe_dl_ray.stages.transform import top_n_per_key
+
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"],
+        "v": [5.0, 9.0, 9.0, 1.0, 3.0],
+        "id": [1, 2, 3, 4, 5],
+    })
+    out = to_pdf(top_n_per_key(
+        ray.data.from_pandas(df).repartition(2),
+        key="k", score_col="v", n=2, tiebreak_col="id",
+    )).sort_values(["k", "id"]).reset_index(drop=True)
+    assert out[out.k == "a"].id.tolist() == [2, 3]  # tie -> lower id first
+    assert out[out.k == "b"].id.tolist() == [5]
