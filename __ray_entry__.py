@@ -1406,6 +1406,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, key="user_id", score_col="value", n=3,
             tiebreak_col="event_id"))
 
+    def q_events_debounce_1m(sf):
+        """Greedy min-gap throttle (alert dedup): keep an event only if
+        >= 60s since the user's last KEPT event; survivor-jump
+        searchsorted walk, loop length == output size
+        (stages/sessionize.debounce). Greedy chain -> no SQL twin;
+        literal-fold + blocking-invariance pytest."""
+        from s_tsfe_dl_ray.stages.sessionize import debounce
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts"])
+        return debounce(ds, key="user_id", ts_col="ts",
+                        min_gap_us=60_000_000, order_by=["ts", "event_id"])
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1551,6 +1563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heavy_hitters": q_docs_heavy_hitters,
         "events_value_quantiles_approx": q_events_value_quantiles_approx,
         "events_holt_forecast": q_events_holt_forecast,
+        "events_debounce_1m": q_events_debounce_1m,
         "emb_pca_top2": q_emb_pca_top2,
         "emb_kmeans": q_emb_kmeans,
         "events_distinct_users_approx": q_events_distinct_users_approx,

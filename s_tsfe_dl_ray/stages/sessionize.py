@@ -191,3 +191,63 @@ def sessionize(
                   "duration_sec"]]
 
     return merged.map_batches(finish, batch_format="pandas")
+
+
+def debounce(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    min_gap_us: int,
+    order_by: list[str] | None = None,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Greedy min-gap throttle (alert deduplication / debounce): within
+    each key, keep an event only if at least ``min_gap_us`` has passed
+    since the last KEPT event; the first event of a key always survives.
+    The standard notification/alert hygiene primitive — a SESSION-aware
+    dedup (unlike first_per_key, suppression resets once the gap
+    elapses).
+
+    Greedy keep-chains have no prefix-parallel closed form (each
+    decision depends on the previous SURVIVOR, not the previous row), so
+    the partition body walks survivors via ``searchsorted`` jumps — the
+    loop count is the OUTPUT size (kept events), not the input size,
+    which is exactly the regime where throttling is used (dense bursts,
+    sparse survivors).  Not SQL-expressible (recursive); tests pin the
+    literal greedy fold and blocking invariance.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .rollup import _stable_pkey
+
+    order_by = order_by or [ts_col]
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def keep_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [key] + order_by, kind="mergesort").reset_index(drop=True)
+        if len(df) == 0:
+            return df
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keys_all = df[key].to_numpy()
+        change = np.flatnonzero(keys_all[1:] != keys_all[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(df)]])
+        kept = []
+        for lo, hi in zip(starts, ends):
+            i = lo
+            while i < hi:
+                kept.append(i)
+                # next survivor: first event >= kept_ts + gap (the +1
+                # floor guards duplicate timestamps at min_gap_us == 0)
+                i = max(i + 1,
+                        lo + np.searchsorted(ts[lo:hi], ts[i] + min_gap_us,
+                                             side="left"))
+        return df.iloc[kept].reset_index(drop=True)
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(keep_partition, batch_format="pandas")

@@ -103,3 +103,45 @@ def test_trailing_agg_peer_ties_and_boundaries(ddb):
     ).df().sort_values("rid").reset_index(drop=True)
     assert out.vs.tolist() == expected.vs.tolist()
     assert out.n.tolist() == expected.n.astype(int).tolist()
+
+
+def test_debounce_greedy_semantics():
+    """Matches the literal greedy fold (keep if >= gap since last KEPT),
+    first event always kept, invariant to blocking."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from s_tsfe_dl_ray.stages.sessionize import debounce
+
+    t0 = 1_704_067_200_000_000
+    rng = np.random.default_rng(9)
+    rows = []
+    for k in range(5):
+        t = t0
+        for _ in range(200):
+            t += int(rng.integers(1, 30)) * 1_000_000
+            rows.append((f"k{k}", t))
+    df = pd.DataFrame(rows, columns=["k", "ts_us"])
+    df["ts"] = pd.to_datetime(df.pop("ts_us"), unit="us")
+    gap = 45_000_000  # 45 s
+    out = to_pdf(debounce(
+        ray.data.from_pandas(df).repartition(7),
+        key="k", ts_col="ts", min_gap_us=gap,
+    )).sort_values(["k", "ts"]).reset_index(drop=True)
+    out2 = to_pdf(debounce(
+        ray.data.from_pandas(df).repartition(2),
+        key="k", ts_col="ts", min_gap_us=gap,
+    )).sort_values(["k", "ts"]).reset_index(drop=True)
+    assert out.ts.tolist() == out2.ts.tolist()
+    # literal greedy reference
+    exp = []
+    for k, g in df.sort_values(["k", "ts"]).groupby("k"):
+        last = None
+        for t in g["ts"]:
+            if last is None or (t - last).value // 1000 >= gap:
+                exp.append((k, t))
+                last = t
+    expdf = pd.DataFrame(exp, columns=["k", "ts"])
+    assert out[["k", "ts"]].values.tolist() == expdf.values.tolist()
+    assert 0 < len(out) < len(df)
