@@ -76,8 +76,11 @@ def grouping_sets(
                 import pyarrow.compute as pc
 
                 cols = {}
-                n = pa.array([t.num_rows], pa.int64())
-                v = pa.array([pc.sum(t[value_col]).as_py() or 0.0], pa.float64())
+                # count NON-NULL values, matching the keyed sets' count
+                # semantics (pyarrow group_by count skips nulls)
+                n = pa.array([pc.count(t[value_col]).as_py()], pa.int64())
+                sv = pc.sum(t[value_col]).as_py()
+                v = pa.array([0.0 if sv is None else float(sv)], pa.float64())
                 size = 1
             for k in keys:
                 if k not in cols:
