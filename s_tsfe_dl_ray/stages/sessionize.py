@@ -222,6 +222,9 @@ def debounce(
 
     from .rollup import _stable_pkey
 
+    if min_gap_us < 1:
+        raise ValueError("min_gap_us must be >= 1 (a 0 gap keeps every "
+                         "row — drop the stage instead)")
     order_by = order_by or [ts_col]
 
     def add_pkey(t: pa.Table) -> pa.Table:
