@@ -1418,6 +1418,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return debounce(ds, key="user_id", ts_col="ts",
                         min_gap_us=60_000_000, order_by=["ts", "event_id"])
 
+    def q_events_health_report(sf):
+        """Composite drift monitor (pipelines/health.series_health_report):
+        seasonal_adjust → slacked CUSUM on residuals → threshold →
+        debounced alerts → per-key report joined with the OLS trend —
+        the round-3 timeseries operators composed end-to-end.  Contains
+        debounce (greedy) -> rows-only; semantics pinned by the
+        planted-drift pytest."""
+        from s_tsfe_dl_ray.pipelines.health import series_health_report
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(series_health_report(
+            ds, key="user_id", ts_col="ts", value_col="value",
+            event_id_col="event_id",
+            ref_ts_us=1_704_067_200_000_000,
+            cusum_threshold=250.0, slack=10.0,
+        ))
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1564,6 +1581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles_approx": q_events_value_quantiles_approx,
         "events_holt_forecast": q_events_holt_forecast,
         "events_debounce_1m": q_events_debounce_1m,
+        "events_health_report": q_events_health_report,
         "emb_pca_top2": q_emb_pca_top2,
         "emb_kmeans": q_emb_kmeans,
         "events_distinct_users_approx": q_events_distinct_users_approx,

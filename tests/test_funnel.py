@@ -136,3 +136,37 @@ def test_cusum_salted_parity():
     assert len(base) == len(salted) > 0
     np.testing.assert_allclose(base.cusum.to_numpy(), salted.cusum.to_numpy(),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_series_health_report_planted_drift():
+    """A key with a mid-series level shift alarms (positive slope,
+    alerts present); stationary keys stay silent; cool-down throttles
+    alerts."""
+    from s_tsfe_dl_ray.pipelines.health import series_health_report
+
+    rng = np.random.default_rng(21)
+    t0 = 1_704_067_200_000_000
+    rows = []
+    eid = 0
+    for k in ("calm1", "calm2", "drifty"):
+        for i in range(400):
+            v = float(rng.normal(0, 1))
+            if k == "drifty" and i >= 200:
+                v += 8.0
+            rows.append((k, t0 + i * 3_600_000_000, v, eid))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["k", "ts_us", "v", "eid"])
+    df["ts"] = pd.to_datetime(df.pop("ts_us"), unit="us")
+    out = to_pdf(series_health_report(
+        ray.data.from_pandas(df).repartition(6),
+        key="k", ts_col="ts", value_col="v", event_id_col="eid",
+        ref_ts_us=1_704_067_200_000_000, cusum_threshold=50.0, slack=0.5,
+        cooldown_us=24 * 3_600_000_000,
+    ))
+    assert out.k.tolist() == ["drifty"]
+    r = out.iloc[0]
+    assert r.n_alerts >= 1
+    assert r.peak_cusum > 50.0
+    assert r.slope_per_day > 0
+    # cool-down: alerts can't exceed span/cooldown + 1
+    assert r.n_alerts <= 400 // 24 + 1
