@@ -1435,6 +1435,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             cusum_threshold=250.0, slack=10.0,
         ))
 
+    def q_events_standardize_per_user(sf):
+        """Per-key z-score (each series normalized against ITSELF) —
+        the grouped sibling of the global standardize; SQL stddev_samp
+        NULL semantics (stages/transform.standardize_per_key)."""
+        from s_tsfe_dl_ray.stages.transform import standardize_per_key
+
+        ds = read_events(sf, columns=["event_id", "user_id", "value"])
+        return _round_floats(standardize_per_key(
+            ds, key="user_id", value_col="value", out_col="value_zk"))
+
+    def q_events_funnel_24h(sf):
+        """Funnel with a conversion window: click within 24h of the
+        first view, purchase within 24h of that click — the bounded
+        'converted in time' form (stages/funnel.funnel max_gap_us)."""
+        from s_tsfe_dl_ray.stages.funnel import funnel
+
+        ds = read_events(sf, columns=["user_id", "ts", "event_type"])
+        return funnel(
+            ds, key="user_id", ts_col="ts", type_col="event_type",
+            stages=["view", "click", "purchase"],
+            max_gap_us=24 * 3_600_000_000,
+        )
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1568,6 +1591,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_auc": q_events_auc,
         "events_props_extract": q_events_props_extract,
         "events_calibration": q_events_calibration,
+        "events_standardize_per_user": q_events_standardize_per_user,
+        "events_funnel_24h": q_events_funnel_24h,
         "events_top3_by_value": q_events_top3_by_value,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
@@ -2002,6 +2027,34 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "events_standardize_per_user": """
+            SELECT event_id, user_id, round(value, 6) AS value,
+                   round((value - avg(value) OVER w)
+                         / stddev_samp(value) OVER w, 6) AS value_zk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id)
+        """,
+        "events_funnel_24h": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t
+                     AND e.ts <= s1.t + INTERVAL 24 HOUR GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                     AND e.ts <= s2.t + INTERVAL 24 HOUR GROUP BY 1)
+            SELECT u.user_id, s1.t AS ts_view, s2.t AS ts_click,
+                   s3.t AS ts_purchase,
+                   (CASE WHEN s1.t IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN s2.t IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN s3.t IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS stages_reached
+            FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                   LEFT JOIN s3 USING (user_id)
         """,
         "events_calibration": """
             -- binning mirrors the engine formula exactly (same double

@@ -38,8 +38,13 @@ def funnel(
     ts_col: str,
     type_col: str,
     stages: list[str],
+    max_gap_us: int | None = None,
     num_partitions: int = 64,
 ) -> Dataset:
+    """``max_gap_us``: conversion window — stage k must occur within
+    ``max_gap_us`` of stage k−1's completion (the 'purchase within 24h
+    of click' form); ``None`` = unbounded.  See module docstring for
+    semantics and dataflow."""
     if len(stages) < 2:
         raise ValueError("a funnel needs at least two stages")
     if len(set(stages)) != len(stages):
@@ -55,11 +60,16 @@ def funnel(
         reached: list[pd.Series] = []
         # stage 0 probes against -inf: every first-stage row qualifies
         prev = pd.Series(pd.Timestamp.min, index=all_keys)
-        for st in stages:
+        for si, st in enumerate(stages):
             sub = df[df[type_col] == st]
             if len(sub):
                 bar = prev.reindex(sub[key]).to_numpy()
-                ok = ts[sub.index].to_numpy() > bar
+                sub_ts = ts[sub.index].to_numpy()
+                ok = sub_ts > bar
+                # conversion window applies between stages, never to the
+                # funnel entry (stage 0 has no previous completion)
+                if max_gap_us is not None and si > 0:
+                    ok &= sub_ts <= bar + np.timedelta64(max_gap_us, "us")
                 firsts = sub[ok].groupby(key, sort=False)[ts_col].min()
             else:
                 firsts = pd.Series(dtype="datetime64[us]")

@@ -796,3 +796,37 @@ def top_n_per_key(
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(pick_partition, batch_format="pandas")
+
+
+def standardize_per_key(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    out_col: str | None = None,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key z-score: ``(value − key mean) / key stddev_samp`` — the
+    grouped sibling of the global :func:`standardize` (each series
+    normalized against ITSELF, the right scaling when keys live on
+    different magnitudes).  NULL where the key has n < 2 or zero
+    variance (SQL ``stddev_samp`` /0 semantics).  One key-hash
+    co-partition, fit+scale fused (grouped transforms)."""
+    out_col = out_col or f"{value_col}_zk"
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        from .rollup import _stable_pkey
+
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def scale_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).reset_index(drop=True)
+        g = df.groupby(key, sort=False)[value_col]
+        mu = g.transform("mean")
+        sd = g.transform("std")  # pandas std = sample std, ddof=1
+        z = (df[value_col] - mu) / sd
+        df[out_col] = np.where(np.isfinite(z), z, np.nan)
+        return df
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(scale_partition, batch_format="pandas")

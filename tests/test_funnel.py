@@ -170,3 +170,24 @@ def test_series_health_report_planted_drift():
     assert r.slope_per_day > 0
     # cool-down: alerts can't exceed span/cooldown + 1
     assert r.n_alerts <= 400 // 24 + 1
+
+
+def test_funnel_conversion_window():
+    """max_gap_us: a stage completing after the window does not count;
+    within the window it does; entry stage is exempt."""
+    from s_tsfe_dl_ray.stages.funnel import funnel
+
+    rows = [
+        ("fast", 0, "view"), ("fast", 5, "click"),
+        ("slow", 0, "view"), ("slow", 100, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "off", "event_type"])
+    df["ts"] = _ts(*df.pop("off"))
+    out = to_pdf(funnel(
+        ray.data.from_pandas(df).repartition(2),
+        key="user_id", ts_col="ts", type_col="event_type",
+        stages=["view", "click"], max_gap_us=10 * 1_000_000,
+    )).set_index("user_id").sort_index()
+    assert out.loc["fast", "stages_reached"] == 2
+    assert out.loc["slow", "stages_reached"] == 1
+    assert pd.isna(out.loc["slow", "ts_click"])
