@@ -1458,6 +1458,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_gap_us=24 * 3_600_000_000,
         )
 
+    def q_events_longest_error_streak(sf):
+        """Longest consecutive error run per user — pure composition:
+        segment_runs (run-length segmentation) → filter → top_n_per_key
+        argmax; oracle is the classic gaps-and-islands SQL."""
+        import pyarrow.compute as pc
+
+        from s_tsfe_dl_ray.stages.sessionize import segment_runs
+        from s_tsfe_dl_ray.stages.transform import top_n_per_key
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+        runs = segment_runs(
+            ds, keys=["user_id"], value_col="event_type", ts_col="ts",
+            order_by=["ts", "event_id"],
+        ).map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "error")),
+            batch_format="pyarrow",
+        )
+        best = top_n_per_key(
+            runs, key="user_id", score_col="n_rows", n=1,
+            tiebreak_col="run_start",
+        )
+        return best.select_columns(["user_id", "run_start", "run_end",
+                                    "n_rows"])
+
     def q_docs_tfidf_top3(sf):
         """Corpus-statistics feature extraction: top-3 TF-IDF terms per
         document (stages/text.tfidf_top_terms — tf final per batch, df by
@@ -1593,6 +1618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_calibration": q_events_calibration,
         "events_standardize_per_user": q_events_standardize_per_user,
         "events_funnel_24h": q_events_funnel_24h,
+        "events_longest_error_streak": q_events_longest_error_streak,
         "events_top3_by_value": q_events_top3_by_value,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
@@ -2027,6 +2053,25 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "events_longest_error_streak": """
+            WITH r AS (
+              SELECT user_id, event_type, ts,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)
+                     - row_number() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS isl
+              FROM events
+            ), runs AS (
+              SELECT user_id, min(ts) AS run_start, max(ts) AS run_end,
+                     count(*)::BIGINT AS n_rows
+              FROM r WHERE event_type = 'error' GROUP BY user_id, isl
+            )
+            SELECT user_id, run_start, run_end, n_rows FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY n_rows DESC, run_start) AS rn
+              FROM runs
+            ) WHERE rn = 1
         """,
         "events_standardize_per_user": """
             SELECT event_id, user_id, round(value, 6) AS value,
