@@ -1517,28 +1517,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return events_top_types_per_user(sf, k=3)
 
-    # ORDER MATTERS: the round-2 driver recorded rows for exactly the
-    # FIRST 50 dict entries (insertion order) — 52 were registered and
-    # precisely the last two (the codec round-trip pair) were absent from
-    # CORRECTNESS_r02.json.  All 50 leading entries are now oracle-paired
-    # (hash-checkable); further oracle-paired queries follow immediately
-    # after (they get driver rows only if the cap lifts, and remain
-    # oracle-checked in tests/test_entry_contract.py either way); rows-only
-    # (no_oracle) queries last, least-critical at the very end.
+    # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
+    # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
+    # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
+    # GROUPING SETS/BM25/TF-IDF/AUC/calibration/percent-rank/snapshot-diff/
+    # reply-latency/…) had never received an external CORRECTNESS row, so
+    # 30 of those queries now occupy recorded slots while a representative
+    # core of 20 long-green veterans (rollup tiers, gap-fill, sessionize,
+    # scan, joins, as-of, dedup/kNN/cluster, transcripts, codec round-trip,
+    # incremental refresh) is retained.  Every recorded slot remains
+    # oracle-paired (hash-checkable).  Demoted veterans follow immediately
+    # after the cap — still oracle-paired, still verified at driver scale by
+    # tests/test_entry_contract.py, with r1–r3 driver rows on record.
+    # Rows-only (no_oracle) queries last.
     return {
-        # -- oracle-paired (hash-checked by the driver) --------------------
+        # -- recorded slots 1–50 (hash-checked by the driver) --------------
+        # retained veterans (20):
         "events_rollup_1m": q_events_rollup_1m,
         "events_rollup_1h": q_events_rollup_1h,
         "events_rollup_1d": q_events_rollup_1d,
         "events_gapfill_ffill_1h": q_events_gapfill_ffill_1h,
         "events_gapfill_interp_1h": q_events_gapfill_interp_1h,
-        "events_error_rate_1d": q_events_error_rate_1d,
-        "events_top20_windows_1h": q_events_top20_windows_1h,
         "events_sessionize_30m": q_events_sessionize_30m,
         "events_running_sum": q_events_running_sum,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "orders_lineitem_join": q_orders_lineitem_join,
+        "events_asof_purchase": q_events_asof_purchase,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "emb_knn_top10": q_emb_knn_top10,
+        "emb_neardup_04": q_emb_neardup_04,
+        "emb_dedup_clusters": q_emb_dedup_clusters,
+        "docs_dedup_keep": q_docs_dedup_keep,
+        "transcripts_rollup_1h": q_transcripts_rollup_1h,
+        "transcripts_toolcall_last_user": q_transcripts_toolcall_last_user,
+        "transcripts_codec_roundtrip_oracle": q_transcripts_codec_roundtrip_oracle,
+        "events_incremental_1h": q_events_incremental_1h,
+        # round-3 wave, promoted for external verification (30):
+        "events_linear_trend": q_events_linear_trend,
+        "events_m4_1h": q_events_m4_1h,
+        "events_trailing_zscore": q_events_trailing_zscore,
+        "events_trailing_1h": q_events_trailing_1h,
+        "events_value_delta": q_events_value_delta,
+        "events_rolling_median5": q_events_rolling_median5,
+        "events_twa": q_events_twa,
+        "events_funnel": q_events_funnel,
+        "events_cohort_retention": q_events_cohort_retention,
+        "events_cusum": q_events_cusum,
+        "events_seasonal_adjust": q_events_seasonal_adjust,
+        "events_type_corr": q_events_type_corr,
+        "events_grouping_sets": q_events_grouping_sets,
+        "events_burstiness": q_events_burstiness,
+        "events_lag1_autocorr": q_events_lag1_autocorr,
+        "events_percent_rank": q_events_percent_rank,
+        "events_snapshot_diff": q_events_snapshot_diff,
+        "events_binary_metrics": q_events_binary_metrics,
+        "events_auc": q_events_auc,
+        "events_calibration": q_events_calibration,
+        "events_click_attribution": q_events_click_attribution,
+        "events_distinct_users_1h": q_events_distinct_users_1h,
+        "events_top_types_per_user": q_events_top_types_per_user,
+        "events_pivot_type_sums": q_events_pivot_type_sums,
+        "customers_no_orders": q_customers_no_orders,
+        "docs_tfidf_top3": q_docs_tfidf_top3,
+        "docs_bm25": q_docs_bm25,
+        "docs_bpe_token_count": q_docs_bpe_token_count,
+        "emb_label_centroids": q_emb_label_centroids,
+        "transcripts_reply_latency": q_transcripts_reply_latency,
+        # ---- 50-row cap boundary (see ORDER MATTERS above) ---------------
+        # oracle-paired overflow: checked by the rehearsal test at driver
+        # scale; driver rows appear only if the cap lifts.  Demoted veterans
+        # (r1–r3 driver rows on record) first, then the rest of the r3 wave.
+        "events_error_rate_1d": q_events_error_rate_1d,
+        "events_top20_windows_1h": q_events_top20_windows_1h,
         "events_first_per_key": q_events_first_per_key,
         "events_latest_per_key": q_events_latest_per_key,
-        "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "events_rolling_mean5": q_events_rolling_mean5,
         "events_standardize": q_events_standardize,
         "events_one_hot": q_events_one_hot,
@@ -1546,15 +1599,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hash_split": q_events_hash_split,
         "events_stratified_split": q_events_stratified_split,
         "events_ensemble_mean": q_events_ensemble_mean,
-        "events_asof_purchase": q_events_asof_purchase,
         "events_retention_1h": q_events_retention_1h,
-        "orders_lineitem_join": q_orders_lineitem_join,
         "events_type_counts": q_events_type_counts,
         "events_value_variance": q_events_value_variance,
         "events_attention_pool": q_events_attention_pool,
         "events_sliding_features": q_events_sliding_features,
         "events_reverse_series": q_events_reverse_series,
-        "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
         "docs_normalize": q_docs_normalize,
@@ -1563,59 +1613,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_prep_pipeline": q_docs_prep_pipeline,
         "docs_top_tokens": q_docs_top_tokens,
-        "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_chunk_windows": q_docs_chunk_windows,
         "docs_redact": q_docs_redact,
-        "emb_knn_top10": q_emb_knn_top10,
-        "emb_neardup_04": q_emb_neardup_04,
-        "emb_dedup_clusters": q_emb_dedup_clusters,
-        "docs_dedup_keep": q_docs_dedup_keep,
-        "transcripts_rollup_1h": q_transcripts_rollup_1h,
         "transcripts_gapfill_ffill_1h": q_transcripts_gapfill_ffill_1h,
         "transcripts_sessions_30m": q_transcripts_sessions_30m,
-        "transcripts_toolcall_last_user": q_transcripts_toolcall_last_user,
         "transcripts_order_fingerprint": q_transcripts_order_fingerprint,
-        "transcripts_codec_roundtrip_oracle": q_transcripts_codec_roundtrip_oracle,
-        "events_incremental_1h": q_events_incremental_1h,
-        # ---- 50-row cap boundary (see ORDER MATTERS above) ---------------
-        # oracle-paired overflow: checked by the rehearsal test at driver
-        # scale; driver rows appear only if the cap lifts
-        "events_distinct_users_1h": q_events_distinct_users_1h,
-        "events_top_types_per_user": q_events_top_types_per_user,
-        "customers_no_orders": q_customers_no_orders,
-        "events_click_attribution": q_events_click_attribution,
-        "events_value_delta": q_events_value_delta,
-        "events_trailing_1h": q_events_trailing_1h,
-        "docs_tfidf_top3": q_docs_tfidf_top3,
-        "events_pivot_type_sums": q_events_pivot_type_sums,
-        "emb_label_centroids": q_emb_label_centroids,
-        "events_linear_trend": q_events_linear_trend,
-        "events_m4_1h": q_events_m4_1h,
-        "events_trailing_zscore": q_events_trailing_zscore,
-        "events_rolling_median5": q_events_rolling_median5,
-        "events_twa": q_events_twa,
-        "events_funnel": q_events_funnel,
-        "events_cohort_retention": q_events_cohort_retention,
-        "events_cusum": q_events_cusum,
-        "events_seasonal_adjust": q_events_seasonal_adjust,
-        "events_type_corr": q_events_type_corr,
         "events_winsorize_p95": q_events_winsorize_p95,
         "transcripts_role_funnel": q_transcripts_role_funnel,
-        "events_grouping_sets": q_events_grouping_sets,
         "events_sample_per_user": q_events_sample_per_user,
-        "docs_bm25": q_docs_bm25,
-        "events_burstiness": q_events_burstiness,
-        "events_lag1_autocorr": q_events_lag1_autocorr,
-        "events_percent_rank": q_events_percent_rank,
         "events_impute_mean": q_events_impute_mean,
-        "events_snapshot_diff": q_events_snapshot_diff,
-        "transcripts_reply_latency": q_transcripts_reply_latency,
-        "docs_bpe_token_count": q_docs_bpe_token_count,
         "events_next_purchase": q_events_next_purchase,
-        "events_binary_metrics": q_events_binary_metrics,
-        "events_auc": q_events_auc,
         "events_props_extract": q_events_props_extract,
-        "events_calibration": q_events_calibration,
         "events_standardize_per_user": q_events_standardize_per_user,
         "events_funnel_24h": q_events_funnel_24h,
         "events_longest_error_streak": q_events_longest_error_streak,

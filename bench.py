@@ -292,7 +292,18 @@ def main() -> dict:
     transcripts_parquet(n_turns=BENCH_TURNS, seed=42)
     transcripts_parquet(n_turns=CODEC_TURNS, seed=42)
 
-    result = _spawn(["--flagship"])
+    # Flagship min-of-K with a FRESH PROCESS PER SAMPLE (VERDICT r3 #3):
+    # repeated heavy runs inside one long-lived 32-CPU session degrade
+    # (object-store residue, measured 17.5 → 40.9 → 55.6 s), and this VM's
+    # box-state oscillates ±2× on a minutes timescale — independent
+    # processes give min-of-K the best chance of catching a clean window.
+    repeats = int(os.environ.get("GRAFT_JOB_REPEATS", "3"))
+    samples = [
+        _spawn(["--flagship"], {"GRAFT_JOB_REPEATS": "1"})
+        for _ in range(repeats)
+    ]
+    result = min(samples, key=lambda r: r["value"])
+    result["flagship_samples"] = [s["value"] for s in samples]
     result["metric"] = "engine bench: flagship rollup job + operator suite"
     for name in SUITE:  # fresh process per query; key names match r1/r2
         result["queries"][name] = _spawn(["--query", name])["sec"]
