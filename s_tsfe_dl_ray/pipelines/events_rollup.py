@@ -42,7 +42,7 @@ def events_type_rate(sf_dir: str, *, event_type: str = "error", tier: str = "1d"
     spec = RollupSpec(
         keys=("user_id",),
         ts_col="ts",
-        metrics=(Metric("is_match", ("sum",), public=False),),
+        metrics=(Metric("is_match", ("sum",), public=False, indicator=True),),
         count_alias="n_events",
         rates={f"{event_type}_rate": "is_match"},
     )

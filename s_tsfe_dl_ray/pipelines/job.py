@@ -101,9 +101,10 @@ class TranscriptRollupJob:
         out_dir: str,
         *,
         tiers: tuple[str, ...] = TIER_ORDER,
-        n_buckets: int | None = 32,
+        n_buckets: int | None = None,
         gapfill_mode: str | None = None,
         encode_series: bool = False,
+        series_chunk_rows: int = 1 << 22,
     ):
         """``gapfill_mode``: None (tiers contain observed windows only),
         'ffill' or 'interp' — durable tiers then carry every grid window
@@ -115,7 +116,23 @@ class TranscriptRollupJob:
         ``series/bucket=K.parquet``, and record the per-bucket encoder
         state hashes in the lineage manifest (BASELINE.json north_star:
         "lineage records (input fragment IDs, row counts, encoder state
-        hashes)").  Single pass, single shuffle (see module doc)."""
+        hashes)").  Single pass, single shuffle (see module doc).
+
+        ``n_buckets=None`` (default) auto-scales the bucket count with the
+        input size (``_auto_n_buckets``) so bucket groups stay bounded at
+        any corpus scale; pass an int to pin it (resume requires the same
+        value — the manifest records and enforces it).
+
+        ``series_chunk_rows``: per-codec-call row budget on the encode
+        path.  A conversation longer than this encodes as multiple
+        independently-decodable chunks (rows carry ``chunk_idx``; decoding
+        blobs in (conv_id, chunk_idx) order reproduces the exact unchunked
+        series) — the in-bucket analog of ``state/encode.py``'s
+        ``salt_every_us`` hot-key salting, with row-based boundaries
+        because the bucket's rows are already sorted locally, giving an
+        exact per-call memory bound where a fixed time width bounds it
+        only probabilistically.  Default 4M rows ≈ 64 MB of (ts, value)
+        per codec call."""
         if gapfill_mode not in (None, "ffill", "interp"):
             raise ValueError(f"bad gapfill_mode {gapfill_mode!r}")
         self.input_path = input_path
@@ -124,6 +141,9 @@ class TranscriptRollupJob:
         self.n_buckets = n_buckets if n_buckets is not None else self._auto_n_buckets()
         self.gapfill_mode = gapfill_mode
         self.encode_series = encode_series
+        if series_chunk_rows < 2:
+            raise ValueError("series_chunk_rows must be >= 2")
+        self.series_chunk_rows = series_chunk_rows
 
     def _auto_n_buckets(self) -> int:
         """``n_buckets=None``: scale the bucket count with input size so a
@@ -219,24 +239,34 @@ class TranscriptRollupJob:
         change = np.flatnonzero(keys_all[1:] != keys_all[:-1]) + 1
         bounds = np.concatenate([[0], change, [len(df)]])
         dod, gor = DeltaDeltaCodec(), GorillaCodec()
-        rows = {k: [] for k in ("conv_id", "n_rows", "ts_blob", "val_blob",
-                                "ts_hash", "val_hash")}
+        rows = {k: [] for k in ("conv_id", "chunk_idx", "n_rows", "ts_blob",
+                                "val_blob", "ts_hash", "val_hash")}
         state = hashlib.sha256()
+        budget = self.series_chunk_rows
+        n_convs = 0
         for lo, hi in zip(bounds[:-1], bounds[1:]):
-            ts_blob = dod.encode(ts_all[lo:hi])
-            val_blob = gor.encode(val_all[lo:hi])
-            th = DeltaDeltaCodec.state_hash(ts_blob)
-            vh = GorillaCodec.state_hash(val_blob)
-            rows["conv_id"].append(keys_all[lo])
-            rows["n_rows"].append(int(hi - lo))
-            rows["ts_blob"].append(ts_blob)
-            rows["val_blob"].append(val_blob)
-            rows["ts_hash"].append(th)
-            rows["val_hash"].append(vh)
-            state.update(th.encode())
-            state.update(vh.encode())
+            n_convs += 1
+            # mega-conversation guard: encode in independently-decodable
+            # row-budget chunks so no codec call (or decode consumer) ever
+            # holds an unbounded series (see __init__ docstring)
+            for ci, a in enumerate(range(lo, hi, budget)):
+                b = min(a + budget, hi)
+                ts_blob = dod.encode(ts_all[a:b])
+                val_blob = gor.encode(val_all[a:b])
+                th = DeltaDeltaCodec.state_hash(ts_blob)
+                vh = GorillaCodec.state_hash(val_blob)
+                rows["conv_id"].append(keys_all[lo])
+                rows["chunk_idx"].append(ci)
+                rows["n_rows"].append(int(b - a))
+                rows["ts_blob"].append(ts_blob)
+                rows["val_blob"].append(val_blob)
+                rows["ts_hash"].append(th)
+                rows["val_hash"].append(vh)
+                state.update(th.encode())
+                state.update(vh.encode())
         table = pa.table({
             "conv_id": pa.array(rows["conv_id"], pa.string()),
+            "chunk_idx": pa.array(rows["chunk_idx"], pa.int32()),
             "n_rows": pa.array(rows["n_rows"], pa.int64()),
             "ts_blob": pa.array(rows["ts_blob"], pa.binary()),
             "val_blob": pa.array(rows["val_blob"], pa.binary()),
@@ -252,7 +282,7 @@ class TranscriptRollupJob:
         os.replace(tmp, path)
         return {
             "rows": int(df.shape[0]),
-            "n_convs": len(rows["conv_id"]),
+            "n_convs": n_convs,
             "encoder_state_hash": state.hexdigest()[:16],
             "path": rel,
         }
@@ -281,17 +311,20 @@ class TranscriptRollupJob:
 
         def bucket_gapfill(pub: pa.Table, tier: str) -> pa.Table:
             from ..functions.windows import TIER_US
-            from ..stages.gapfill import _GapFillGroup
+            from ..stages.gapfill import gapfill_frame
 
-            inst = _GapFillGroup(
-                ["conv_id"], "window_start", TIER_US[tier],
-                ["turn_count"], ["token_len_sum"],
-                ["token_len_min", "token_len_max"],
-                ["token_len_mean", "tool_call_rate"], self.gapfill_mode,
+            # ONE vectorized call for the whole bucket (every conversation
+            # at once) — not a pandas apply per conversation (VERDICT r3 #6)
+            out = gapfill_frame(
+                pub.to_pandas(),
+                keys=["conv_id"], window_col="window_start",
+                tier_us=TIER_US[tier],
+                count_cols=["turn_count"], sum_cols=["token_len_sum"],
+                null_cols=["token_len_min", "token_len_max"],
+                carry_cols=["token_len_mean", "tool_call_rate"],
+                mode=self.gapfill_mode,
             )
-            df = pub.to_pandas()
-            out = df.groupby("conv_id", group_keys=False, sort=False).apply(inst)
-            return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+            return pa.Table.from_pandas(out, preserve_index=False)
 
         total_rows = 0
         for i, tier in enumerate(self.tiers):

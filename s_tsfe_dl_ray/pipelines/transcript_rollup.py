@@ -27,8 +27,10 @@ TRANSCRIPT_SPEC = RollupSpec(
     keys=("conv_id",),
     ts_col="ts",
     metrics=(
-        Metric("token_len", ("sum", "min", "max", "mean")),
-        Metric("is_tool_call", ("sum",), public=False),
+        # narrow_minmax: a single turn's token count always fits int32
+        # (a 2^31-token turn would be a multi-GB string row)
+        Metric("token_len", ("sum", "min", "max", "mean"), narrow_minmax=True),
+        Metric("is_tool_call", ("sum",), public=False, indicator=True),
     ),
     count_alias="turn_count",
     rates={"tool_call_rate": "is_tool_call"},

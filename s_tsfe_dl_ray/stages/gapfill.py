@@ -34,6 +34,121 @@ from ray.data import Dataset
 from ..functions.windows import TIER_US
 
 
+def gapfill_frame(
+    df: pd.DataFrame,
+    *,
+    keys: list[str],
+    window_col: str,
+    tier_us: int,
+    count_cols: list[str],
+    sum_cols: list[str],
+    null_cols: list[str],
+    carry_cols: list[str],
+    mode: str,
+) -> pd.DataFrame:
+    """Grid completion + fill for ALL keys in one frame, fully vectorized
+    (no per-key Python call — VERDICT r3 #6: the per-conversation pandas
+    ``apply`` was the job-embedded gapfill's cost).
+
+    Exactly the per-group semantics of the historical per-key kernel, run
+    over every key segment at once:
+
+    - sort by (keys, window); key segments found by consecutive compare;
+    - the concatenated grid is built with one ``repeat``/``arange`` pass
+      (grid row → segment via ``np.repeat``; window = seg_lo + pos·tier);
+    - observed rows scatter into their exact grid slots (windows are
+      tier-aligned, so the slot index is ``(ws - seg_lo) / tier``);
+    - ffill uses a global last-observed-index ``maximum.accumulate`` and
+      interp a global prev/next ``searchsorted`` — both are segment-safe
+      WITHOUT masks because every segment's first and last grid rows are
+      observed by construction (the grid spans min→max observed), so a
+      fill can never reach across a key boundary;
+    - interp arithmetic is the exact SQL-oracle shape
+      (``prev + (next-prev)·Δ/Δtot`` in epoch seconds), unchanged.
+
+    Rows come back in (keys, window) sorted order (the historical kernel
+    preserved first-appearance key order; every consumer sorts or compares
+    order-insensitively).  Gap rows: counts/sums 0, min/max-style
+    ``null_cols`` NaN (float64), ``carry_cols`` filled per ``mode``.
+    """
+    w = window_col
+    if len(df) == 0:
+        out = df.copy()
+        out["fill_method"] = pd.Series(dtype="object")
+        return out
+    ws_in = df[w].astype("datetime64[us]").astype("int64").to_numpy()
+    order = np.lexsort((ws_in, *[df[k].to_numpy() for k in reversed(keys)]))
+    df = df.iloc[order]
+    ws = ws_in[order]
+    kvals = [df[k].to_numpy() for k in keys]
+    n = len(df)
+    newseg = np.zeros(n, dtype=bool)
+    newseg[0] = True
+    for v in kvals:
+        newseg[1:] |= v[1:] != v[:-1]
+    seg_id = np.cumsum(newseg) - 1
+    seg_starts = np.flatnonzero(newseg)
+    seg_ends = np.append(seg_starts[1:], n) - 1
+    lo, hi = ws[seg_starts], ws[seg_ends]
+    m = (hi - lo) // tier_us + 1  # grid rows per segment
+    offs = np.concatenate([[0], np.cumsum(m)])
+    total = int(offs[-1])
+    gseg = np.repeat(np.arange(len(seg_starts)), m)
+    gws = lo[gseg] + (np.arange(total) - offs[gseg]) * tier_us
+    slot = offs[seg_id] + (ws - lo[seg_id]) // tier_us
+    observed = np.zeros(total, dtype=bool)
+    observed[slot] = True
+
+    def scatter(v: np.ndarray, fill, dtype) -> np.ndarray:
+        out = np.full(total, fill, dtype=dtype)
+        out[slot] = v
+        return out
+
+    cols: dict[str, np.ndarray] = {}
+    for k, v in zip(keys, kvals):
+        cols[k] = v[np.repeat(seg_starts, m)]
+    filled_carry: dict[str, np.ndarray] = {}
+    carry_vals = {c: scatter(df[c].astype("float64").to_numpy(), np.nan, "float64")
+                  for c in carry_cols}
+    if mode == "ffill":
+        last_obs = np.where(observed, np.arange(total), 0)
+        np.maximum.accumulate(last_obs, out=last_obs)
+        for c, v in carry_vals.items():
+            filled_carry[c] = v[last_obs]
+    elif mode == "interp":
+        gidx = np.arange(total)
+        obs_idx = gidx[observed]
+        prev_i = obs_idx[np.searchsorted(obs_idx, gidx, side="right") - 1]
+        next_i = obs_idx[np.searchsorted(obs_idx, gidx, side="left")]
+        w_sec = gws / 1e6
+        dw = w_sec - w_sec[prev_i]
+        dwtot = w_sec[next_i] - w_sec[prev_i]
+        dwtot_safe = np.where(observed, 1.0, dwtot)
+        for c, v in carry_vals.items():
+            prev_v, next_v = v[prev_i], v[next_i]
+            filled_carry[c] = np.where(
+                observed, v, prev_v + (next_v - prev_v) * dw / dwtot_safe
+            )
+    else:
+        raise ValueError(f"unknown gap-fill mode {mode!r}")
+
+    out = pd.DataFrame(index=pd.RangeIndex(total))
+    for c in df.columns:  # preserve the input column order
+        if c == w:
+            out[c] = pd.to_datetime(gws, unit="us")
+        elif c in keys:
+            out[c] = cols[c]
+        elif c in carry_cols:
+            out[c] = filled_carry[c]
+        elif c in count_cols or c in sum_cols:
+            dt = "int64" if df[c].dtype.kind in "iu" else df[c].dtype
+            out[c] = scatter(df[c].to_numpy(), 0, dt)
+        else:  # null_cols and any ride-along column: NaN on gaps
+            out[c] = scatter(df[c].astype("float64").to_numpy(), np.nan, "float64")
+    out["fill_method"] = np.where(observed, "observed", mode)
+    return out
+
+
 class _GapFillGroup:
     """Per-key grid completion + fill (pandas, vectorized within group)."""
 
@@ -58,47 +173,18 @@ class _GapFillGroup:
         self.mode = mode
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        w = self.window_col
-        # Normalize to µs explicitly: arrow→pandas may deliver ns-precision
-        # datetimes, and a silent ns int64 would build a 1000×-too-fine grid.
-        ws = g[w].astype("datetime64[us]").astype("int64")  # µs since epoch
-        lo, hi = ws.min(), ws.max()
-        grid = np.arange(lo, hi + 1, self.tier_us)
-        g = g.set_index(ws)
-        out = g.reindex(grid)
-        observed = out[w].notna().to_numpy()
-        out[w] = pd.to_datetime(out.index, unit="us")
-        for k in self.keys:
-            out[k] = g[k].iloc[0]  # constant within the group
-        for c in self.count_cols + self.sum_cols:
-            out[c] = out[c].fillna(0).astype("int64" if g[c].dtype.kind in "iu" else g[c].dtype)
-        # null_cols (min/max) stay NaN on gaps
-        if self.mode == "ffill":
-            for c in self.carry_cols:
-                out[c] = out[c].ffill()
-        elif self.mode == "interp":
-            # Explicit linear interpolation in epoch SECONDS with the exact
-            # arithmetic shape of the SQL oracle — prev + (next-prev)*Δ/Δtot
-            # — so last-ulp differences can't flip the 6-decimal rounding.
-            idx = np.arange(len(grid))
-            obs_idx = idx[observed]
-            # grid spans min→max observed ⇒ first/last rows are observed,
-            # so every gap row has both neighbors.
-            prev_i = obs_idx[np.searchsorted(obs_idx, idx, side="right") - 1]
-            next_i = obs_idx[np.searchsorted(obs_idx, idx, side="left")]
-            w_sec = grid / 1e6
-            dw = w_sec - w_sec[prev_i]
-            dwtot = w_sec[next_i] - w_sec[prev_i]
-            dwtot_safe = np.where(observed, 1.0, dwtot)
-            for c in self.carry_cols:
-                v = out[c].astype("float64").to_numpy()
-                prev_v, next_v = v[prev_i], v[next_i]
-                filled = prev_v + (next_v - prev_v) * dw / dwtot_safe
-                out[c] = np.where(observed, v, filled)
-        else:
-            raise ValueError(f"unknown gap-fill mode {self.mode!r}")
-        out["fill_method"] = np.where(observed, "observed", self.mode)
-        return out.reset_index(drop=True)
+        # single shared kernel (a one-key group is one segment of it)
+        return gapfill_frame(
+            g,
+            keys=self.keys,
+            window_col=self.window_col,
+            tier_us=self.tier_us,
+            count_cols=self.count_cols,
+            sum_cols=self.sum_cols,
+            null_cols=self.null_cols,
+            carry_cols=self.carry_cols,
+            mode=self.mode,
+        )
 
 
 def gapfill(
@@ -136,7 +222,10 @@ def gapfill(
     if salt_every_us is None:
         from .grouped import grouped_apply
 
-        return grouped_apply(tier_ds, keys=keys, fn=inst)
+        # whole_partition: ONE vectorized gapfill_frame call per partition
+        # (all of its keys at once) instead of a pandas groupby.apply
+        # Python call per key
+        return grouped_apply(tier_ds, keys=keys, fn=inst, whole_partition=True)
 
     if len(keys) != 1:
         raise ValueError("salted gapfill requires a single key")

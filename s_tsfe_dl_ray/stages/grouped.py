@@ -29,15 +29,22 @@ def grouped_apply(
     keys: list[str],
     fn,
     num_partitions: int = 64,
+    whole_partition: bool = False,
 ) -> Dataset:
-    """Apply ``fn(group_df) -> df`` to every key group, partition-wise."""
+    """Apply ``fn(group_df) -> df`` to every key group, partition-wise.
+
+    ``whole_partition=True``: ``fn`` is vectorized across keys and receives
+    the ENTIRE partition frame (every key it holds, still key-complete) in
+    ONE call — no per-key pandas ``groupby.apply`` crossing at all.  Used
+    by kernels like :func:`stages.gapfill.gapfill_frame` that handle all
+    key segments at once."""
 
     def add_pkey(t: pa.Table) -> pa.Table:
         return t.append_column("_pkey", _stable_pkey(t[keys[0]], num_partitions))
 
     def apply_partition(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["_pkey"])
-        if len(df) == 0:
+        if whole_partition or len(df) == 0:
             return fn(df)
         out = df.groupby(keys, group_keys=False, sort=False)[df.columns.tolist()].apply(fn)
         return out.reset_index(drop=True)

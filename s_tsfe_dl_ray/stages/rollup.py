@@ -59,6 +59,14 @@ class Metric:
     aggs: tuple[str, ...] = ("sum", "min", "max", "mean")
     prefix: str | None = None  # public column prefix; defaults to ``col``
     public: bool = True  # False → carried for rates only, no output columns
+    #: declares every individual value of ``col`` fits int32 (e.g. a
+    #: per-turn token count) → the partials' min/max cross the exchange
+    #: as int32.  Sums stay int64 unless ``indicator``.
+    narrow_minmax: bool = False
+    #: declares ``col`` is a 0/1 indicator → its per-batch partial sum is
+    #: bounded by the batch row count (always < 2^31) and crosses the
+    #: exchange as int32, as do min/max.
+    indicator: bool = False
 
     @property
     def out_prefix(self) -> str:
@@ -120,6 +128,61 @@ def _pa_partial(spec: RollupSpec, batch: pa.Table) -> pa.Table:
     return out.rename_columns([renames.get(c, c) for c in out.column_names])
 
 
+def _narrow_partials(spec: RollupSpec, t: pa.Table) -> pa.Table:
+    """Shrink the bytes/row of partial rows BEFORE the exchange (the
+    measured single-box scaling limiter is the combine/exchange stage's
+    memory-bus traffic — BASELINE.md per-stage scaling).
+
+    Statically-safe narrowings only (the decision must be deterministic so
+    every block shares one schema):
+
+    - ``_n`` and every ``__col__cnt``: per-batch counts, bounded by the
+      batch row count < 2^31 → int32.
+    - ``__col__min/max`` when the metric declares ``narrow_minmax`` (or is
+      an ``indicator``): individual VALUES of the column → int32.
+    - ``__col__sum`` when the metric is an ``indicator``: bounded by the
+      per-batch count → int32.
+
+    Non-indicator sums stay int64 (a hot window's per-batch sum has no
+    static bound); float columns are never touched (exactness).  The casts
+    are checked (``safe=True``) so a violated declaration fails loudly.
+    ``_merge_partials_table`` widens everything back to int64 after the
+    shuffle, so the public schema is unchanged.
+    """
+    narrow = {"_n"}
+    for m in spec.metrics:
+        for a in m.needs():
+            if (
+                a == "cnt"
+                or (a in ("min", "max") and (m.narrow_minmax or m.indicator))
+                or (a == "sum" and m.indicator)
+            ):
+                narrow.add(spec._internal(m.col, a))
+    cols = []
+    for name in t.column_names:
+        c = t[name]
+        if name in narrow and pa.types.is_int64(c.type):
+            c = pc.cast(c, pa.int32())
+        cols.append(c)
+    return pa.table(dict(zip(t.column_names, cols)))
+
+
+def _dict_encode_keys(spec: RollupSpec, t: pa.Table) -> pa.Table:
+    """Dictionary-encode string key columns of a partials table: each
+    partial block carries one string per DISTINCT key plus int32 indices
+    instead of one string per (key, window) row — the key strings are the
+    widest thing crossing the exchange otherwise.  Decoded right after the
+    shuffle (``_merge_partials_table``); a pure representation change."""
+    for k in spec.keys:
+        c = t[k]
+        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+            enc = pc.dictionary_encode(
+                c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            )
+            t = t.set_column(t.column_names.index(k), k, enc)
+    return t
+
+
 #: partition-key fan-out of the merge shuffle.  At 10^12 turns this would
 #: scale with cluster size (one partition ≈ one reducer's memory budget).
 DEFAULT_MERGE_PARTITIONS = 64
@@ -149,9 +212,13 @@ class _PartialBatch:
         ws = window_start_us(batch[spec.ts_col], self.tier)
         batch = batch.append_column("window_start", ws)
         out = _pa_partial(spec, batch)
-        return out.append_column(
-            "_pkey", _stable_pkey(out[spec.keys[0]], self.num_partitions)
+        out = out.append_column(
+            "_pkey",
+            pc.cast(_stable_pkey(out[spec.keys[0]], self.num_partitions), pa.int32()),
         )
+        # exchange-bytes reduction: int32 for statically-bounded partials,
+        # dictionary indices for key strings (widened back post-shuffle)
+        return _dict_encode_keys(spec, _narrow_partials(spec, out))
 
 
 def _merge_partials_table(spec: RollupSpec, t: pa.Table) -> pa.Table:
@@ -163,7 +230,14 @@ def _merge_partials_table(spec: RollupSpec, t: pa.Table) -> pa.Table:
     never split a real group."""
     # group_by over a many-chunked table (one chunk per upstream run after
     # a shuffle) degrades sharply; one defragmenting copy first is cheap
+    # (it also unifies the per-block key dictionaries)
     t = t.combine_chunks()
+    # post-shuffle: decode dictionary-encoded key strings back to plain
+    # strings (the narrow form only needs to exist ACROSS the exchange)
+    for k in spec.keys:
+        c = t[k]
+        if pa.types.is_dictionary(c.type):
+            t = t.set_column(t.column_names.index(k), k, pc.cast(c, c.type.value_type))
     group_keys = list(spec.keys) + ["window_start"]
     if "_pkey" in t.column_names:
         group_keys.append("_pkey")
@@ -176,7 +250,16 @@ def _merge_partials_table(spec: RollupSpec, t: pa.Table) -> pa.Table:
         aggs.append((name, fn))
         renames[f"{name}_{fn}"] = name
     out = t.group_by(group_keys, use_threads=False).aggregate(aggs)
-    return out.rename_columns([renames.get(c, c) for c in out.column_names])
+    out = out.rename_columns([renames.get(c, c) for c in out.column_names])
+    # widen _narrow_partials' int32 partials back to int64 so every schema
+    # downstream of the merge is byte-for-byte what it was pre-narrowing
+    # (sums already promoted to int64 by the aggregate; min/max have not)
+    for name in out.column_names:
+        if name not in group_keys and pa.types.is_int32(out[name].type):
+            out = out.set_column(
+                out.column_names.index(name), name, pc.cast(out[name], pa.int64())
+            )
+    return out
 
 
 def cascade_table(spec: RollupSpec, t: pa.Table, to_tier: str) -> pa.Table:

@@ -285,3 +285,67 @@ def test_flagship_read_stage_fuses(small_transcripts, tmp_path):
     res.to_pandas()
     stats = res.stats()
     assert "ReadParquet->MapBatches(derive_and_bucket)" in stats, stats[:2000]
+
+
+def test_encode_series_mega_conv_chunked(small_transcripts, tmp_path):
+    """A conversation longer than ``series_chunk_rows`` encodes as multiple
+    independently-decodable chunks (VERDICT r3 #5): decoding blobs in
+    (conv_id, chunk_idx) order reproduces the exact series the unchunked
+    run encodes, and resume remains byte-identical under chunking."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from s_tsfe_dl_ray.pipelines.job import TranscriptRollupJob
+    from s_tsfe_dl_ray.state.deltadelta import DeltaDeltaCodec
+    from s_tsfe_dl_ray.state.gorilla import GorillaCodec
+
+    def decode_all(out_dir):
+        dod, gor = DeltaDeltaCodec(), GorillaCodec()
+        series: dict[str, tuple[list, list]] = {}
+        chunks_per_conv: dict[str, int] = {}
+        sdir = os.path.join(out_dir, "series")
+        for f in sorted(os.listdir(sdir)):
+            t = pq.read_table(os.path.join(sdir, f))
+            # stitch in (conv_id, chunk_idx) order
+            t = t.sort_by([("conv_id", "ascending"), ("chunk_idx", "ascending")])
+            for conv, ci, tsb, vb in zip(
+                t["conv_id"].to_pylist(), t["chunk_idx"].to_pylist(),
+                t["ts_blob"].to_pylist(), t["val_blob"].to_pylist(),
+            ):
+                ts, v = series.setdefault(conv, ([], []))
+                ts.extend(dod.decode(tsb))
+                v.extend(gor.decode(vb))
+                chunks_per_conv[conv] = max(chunks_per_conv.get(conv, 0), ci + 1)
+        return series, chunks_per_conv
+
+    plain = str(tmp_path / "plain")
+    TranscriptRollupJob(small_transcripts, plain, n_buckets=4,
+                        encode_series=True).run()
+    s_plain, ch_plain = decode_all(plain)
+    assert max(ch_plain.values()) == 1  # default budget: no conv chunks
+
+    chunked = str(tmp_path / "chunked")
+    TranscriptRollupJob(small_transcripts, chunked, n_buckets=4,
+                        encode_series=True, series_chunk_rows=7).run()
+    s_chunk, ch_chunk = decode_all(chunked)
+    assert max(ch_chunk.values()) > 1, "budget 7 should force multi-chunk convs"
+    assert set(s_plain) == set(s_chunk)
+    for conv in s_plain:
+        assert np.array_equal(np.asarray(s_plain[conv][0]), np.asarray(s_chunk[conv][0]))
+        assert np.array_equal(np.asarray(s_plain[conv][1]), np.asarray(s_chunk[conv][1]))
+
+    # chunked resume is still byte-identical: wipe half the buckets + rerun
+    import shutil as _sh
+
+    recs = mf.read_manifests(chunked)
+    expected = _tree_hashes(chunked)
+    for b in list(recs)[:2]:
+        os.remove(mf.manifest_path(chunked, b))
+        for rel in [v["path"] for v in recs[b]["tiers"].values() if "path" in v] + \
+                   ([recs[b]["series"]["path"]] if "series" in recs[b] else []):
+            p = os.path.join(chunked, rel)
+            if os.path.exists(p):
+                os.remove(p)
+    TranscriptRollupJob(small_transcripts, chunked, n_buckets=4,
+                        encode_series=True, series_chunk_rows=7).run()
+    assert _tree_hashes(chunked) == expected
