@@ -308,8 +308,18 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     concurrency: int | tuple[int, int] = (1, 16),
     chunk_rows: int = 65_536,
+    exact_max_rows: int | None = 262_144,
 ) -> Dataset:
     """All pairs with cosine ≥ threshold (exact, block-nested-loop).
+
+    Size guard (VERDICT r3 #8): above ``exact_max_rows`` the quadratic
+    block-nested loop is the wrong tool, and the call routes itself
+    through :func:`embedding_neardup_lsh` — banded random projections →
+    partitioned collision pairs → EXACT cosine verify (so false positives
+    never survive; recall ≥99.6% at threshold 0.9 with the default band
+    layout).  One code path selected by corpus size; pass
+    ``exact_max_rows=None`` to force the exact path at any size (the
+    oracle twin).
 
     The right side is broadcast ONE BOUNDED CHUNK at a time (streamed off
     the dataset via ``iter_batches``): each chunk pass executes EAGERLY
@@ -326,6 +336,11 @@ def embedding_neardup_pairs(
     import ray
 
     sel = ds.select_columns([id_col, emb_col])
+    if exact_max_rows is not None and sel.count() > exact_max_rows:
+        return embedding_neardup_lsh(
+            ds, id_col=id_col, emb_col=emb_col, threshold=threshold,
+            concurrency=concurrency,
+        )
     parts: list[Dataset] = []
     for chunk in sel.iter_batches(batch_size=chunk_rows, batch_format="pandas"):
         ref = ray.put((chunk[id_col].to_numpy(), _stack_embeddings(chunk, emb_col)))

@@ -182,3 +182,33 @@ def test_kmeans_lloyd_planted_clusters():
     m = pd.crosstab(pd.Series(truth), out.cluster)
     assert (m.gt(0).sum(axis=1) == 1).all()
     assert out.cluster.nunique() == 3
+
+
+def test_embedding_neardup_size_guard_routes_to_lsh():
+    """Above ``exact_max_rows`` the exact op self-routes through the LSH +
+    exact-verify path (VERDICT r3 #8): one code path selected by corpus
+    size, same pair set on a full-recall corpus."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from s_tsfe_dl_ray.stages.similarity import embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((60, 32))
+    rows = [{"vec_id": i, "embedding": base[i].astype(np.float64)}
+            for i in range(60)]
+    for j in range(8):
+        v = base[j] + rng.standard_normal(32) * 0.02
+        rows.append({"vec_id": 100 + j, "embedding": v})
+    df = pd.DataFrame(rows)
+
+    exact = embedding_neardup_pairs(
+        ray.data.from_pandas(df), threshold=0.9, exact_max_rows=None).to_pandas()
+    routed = embedding_neardup_pairs(
+        ray.data.from_pandas(df), threshold=0.9, exact_max_rows=10).to_pandas()
+    e = exact.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    r = routed.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        e[["id_a", "id_b"]].astype("int64"), r[["id_a", "id_b"]].astype("int64"))
+    np.testing.assert_allclose(e.cosine.to_numpy(), r.cosine.to_numpy(), rtol=1e-12)
