@@ -478,8 +478,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ))
 
     def q_media_decode_demo(sf):
-        """Multimodal plumbing demo (decode stub, real actor-pool stage):
-        deterministic synthetic media table → image decode features."""
+        """Multimodal image features over REAL PNG decode (stdlib zlib +
+        scanline unfiltering — stages/media.py png_decode): deterministic
+        synthetic PNG corpus → actor-pool decode → pixel stats."""
         import ray.data as rd
 
         from s_tsfe_dl_ray.stages.media import decode_images, synth_media_table
@@ -489,8 +490,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["media_id", "pixel_mean", "pixel_std"])
 
     def q_media_audio_demo(sf):
-        """Audio feature-extraction plumbing (decode stub, real DSP over
-        deterministic fake PCM: RMS / ZCR / spectral centroid)."""
+        """Audio features over REAL WAV decode (stdlib wave → 16-bit PCM
+        — stages/media.py wav_decode) + real DSP: RMS / ZCR / spectral
+        centroid."""
         import ray.data as rd
 
         from s_tsfe_dl_ray.stages.media import decode_audio, synth_media_table

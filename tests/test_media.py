@@ -47,11 +47,52 @@ def test_sample_video_frames(media_ds):
     assert (out.frame_ms == (out.frame_idx / 25.0 * 1000).astype(int)).all()
 
 
-def test_strict_decode_raises():
-    from s_tsfe_dl_ray.stages.media import DecodeImage
+def test_strict_decode_raises_on_non_png_only():
+    """strict=True: PNG decodes for real; an undecodable format (JPEG
+    magic) raises honestly instead of silently faking."""
+    import pandas as pd
 
+    from s_tsfe_dl_ray.stages.media import DecodeImage, png_encode
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    st = DecodeImage(strict=True)
+    out = st(pd.DataFrame({
+        "media_id": [0], "payload": [png_encode(img)], "width": [8], "height": [8],
+    }))
+    assert np.isclose(out.pixel_mean[0], img.mean())
     with pytest.raises(NotImplementedError):
-        DecodeImage(strict=True)
+        st(pd.DataFrame({
+            "media_id": [1], "payload": [b"\xff\xd8\xff\xe0" + b"x" * 64],
+            "width": [8], "height": [8],
+        }))
+
+
+def test_png_codec_golden_roundtrip():
+    """Known-pixel golden: every PNG filter type (the encoder cycles all
+    five) unfilters back to the exact pixels."""
+    from s_tsfe_dl_ray.stages.media import png_decode, png_encode
+
+    rng = np.random.default_rng(3)
+    for h, w in ((1, 1), (5, 3), (7, 64), (40, 17)):
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode(img)), img)
+    # fixed golden: a ramp whose mean/std are known exactly
+    ramp = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    dec = png_decode(png_encode(ramp))
+    assert np.array_equal(dec, ramp) and dec.mean() == 127.5
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all----")
+
+
+def test_wav_codec_golden_roundtrip():
+    """16-bit PCM golden: int16-exact round trip through the stdlib
+    `wave` path."""
+    from s_tsfe_dl_ray.stages.media import wav_decode, wav_encode
+
+    pcm16 = np.array([0, 1, -1, 32767, -32767, 12345], dtype=np.int16)
+    x, sr = wav_decode(wav_encode(pcm16 / 32767.0, 8000))
+    assert sr == 8000
+    assert np.array_equal((x * 32768.0).round().astype(np.int16), pcm16)
 
 
 def test_audio_decode_features_deterministic():
@@ -65,19 +106,31 @@ def test_audio_decode_features_deterministic():
         .sort_values("media_id").reset_index(drop=True)
     assert len(a) > 0
     assert (a["media_id"] == b["media_id"]).all()
-    assert (a["rms"] == b["rms"]).all()  # deterministic fake decode
+    assert (a["rms"] == b["rms"]).all()  # deterministic real WAV decode
     assert (a["rms"] > 0).all()
     assert a["zero_crossing_rate"].between(0, 2).all()
     assert (a["spectral_centroid_hz"] > 0).all()
 
 
 def test_audio_strict_mode_is_honest():
+    """strict=True: WAV decodes for real; a non-WAV container raises."""
+    import pandas as pd
     import pytest
 
-    from s_tsfe_dl_ray.stages.media import DecodeAudio
+    from s_tsfe_dl_ray.stages.media import DecodeAudio, wav_encode
 
+    st = DecodeAudio(strict=True)
+    x = np.sin(2 * np.pi * 440 * np.arange(800) / 8000)
+    out = st(pd.DataFrame({
+        "media_id": [0], "payload": [wav_encode(x, 8000)], "duration_ms": [100],
+    }))
+    # RMS of a full-scale-0.?? sine ≈ amplitude/√2 (int16 quantized)
+    assert np.isclose(out.rms[0], np.sqrt(np.mean(x * x)), atol=1e-3)
     with pytest.raises(NotImplementedError):
-        DecodeAudio(strict=True)
+        st(pd.DataFrame({
+            "media_id": [1], "payload": [b"\x00\x00\x00\x20ftypmp42" + b"x" * 64],
+            "duration_ms": [100],
+        }))
 
 
 def test_video_frame_sampling_counts():
