@@ -1519,6 +1519,130 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return events_top_types_per_user(sf, k=3)
 
+    # ---- round-4 operator wave ---------------------------------------
+
+    def q_events_mad_per_user(sf):
+        """Robust per-key location/scale: median, MAD, MAD-z outlier
+        count (stages/robust.grouped_mad — one _pkey exchange, cython
+        medians across all keys per partition)."""
+        from s_tsfe_dl_ray.stages.robust import grouped_mad
+
+        ds = read_events(sf, columns=["user_id", "value"])
+        return _round_floats(grouped_mad(ds, key="user_id", value_col="value"))
+
+    def q_events_theil_sen(sf):
+        """Theil–Sen robust slope per key: median of pairwise slopes
+        over exact µs time deltas (stages/robust.theil_sen)."""
+        from s_tsfe_dl_ray.stages.robust import theil_sen
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(theil_sen(
+            ds, key="user_id", ts_col="ts", value_col="value",
+            id_col="event_id"))
+
+    def q_events_spearman_trend(sf):
+        """Per-key Spearman rank corr of value vs time order — the
+        scale-free monotonic-drift score (stages/robust)."""
+        from s_tsfe_dl_ray.stages.robust import spearman_monotonicity
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(spearman_monotonicity(
+            ds, key="user_id", ts_col="ts", value_col="value",
+            id_col="event_id"))
+
+    def q_events_paa8(sf):
+        """Piecewise Aggregate Approximation, segment length 8
+        (stages/symbolic.paa — the pooling downsample as a transform)."""
+        from s_tsfe_dl_ray.stages.symbolic import paa
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(paa(
+            ds, key="user_id", order_by=["ts", "event_id"],
+            value_col="value", seg_len=8))
+
+    def q_events_sax4(sf):
+        """SAX symbolization: per-key z-norm → PAA(8) → 4-letter gaussian
+        alphabet (stages/symbolic.sax)."""
+        from s_tsfe_dl_ray.stages.symbolic import sax
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return sax(ds, key="user_id", order_by=["ts", "event_id"],
+                   value_col="value", seg_len=8)
+
+    def q_events_value_histogram(sf):
+        """Global fixed-width value histogram — pure combiner, O(bins)
+        exchange (stages/quantile.fixed_histogram)."""
+        from s_tsfe_dl_ray.stages.quantile import fixed_histogram
+
+        ds = read_events(sf, columns=["value"])
+        return _round_floats(fixed_histogram(ds, value_col="value", width=25.0))
+
+    def q_events_mode_type(sf):
+        """Per-user modal event type with deterministic tie-break
+        (stages/distinct.mode_per_key)."""
+        from s_tsfe_dl_ray.stages.distinct import mode_per_key
+
+        ds = read_events(sf, columns=["user_id", "event_type"])
+        return mode_per_key(ds, key="user_id", cat_col="event_type")
+
+    def q_events_bollinger(sf):
+        """Trailing Bollinger bands (rolling mean ± 2·sample-std over 5
+        rows, min_periods=1) per user (stages/transform.bollinger_bands)."""
+        from s_tsfe_dl_ray.stages.transform import bollinger_bands
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        out = bollinger_bands(ds, keys=["user_id"],
+                              order_by=["ts", "event_id"], col="value",
+                              window=5, k=2.0)
+        return _round_floats(out.select_columns(
+            ["event_id", "user_id", "bb_mean", "bb_std", "bb_upper",
+             "bb_lower"]))
+
+    def q_revenue_by_nation(sf):
+        """TPC-H Q5 skeleton: lineitem ⋈ orders ⋈ customer chained hash
+        joins + broadcast nation dimension → exact scaled-int revenue per
+        nation (pipelines/relational.revenue_by_nation)."""
+        from s_tsfe_dl_ray.pipelines.relational import revenue_by_nation
+
+        return _round_floats(revenue_by_nation(sf))
+
+    def q_docs_bigram_top20(sf):
+        """Corpus top-20 bigrams — vectorized in-doc pair construction +
+        token-hash partitioned count merge (stages/text.top_bigrams)."""
+        from s_tsfe_dl_ray.stages.text import top_bigrams
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return top_bigrams(docs, k=20)
+
+    def q_docs_zipf_slope(sf):
+        """Zipf exponent of the corpus (regr_slope of ln count on ln rank
+        over the top-100 tokens) — corpus-health one-number check
+        (stages/text.zipf_slope)."""
+        from s_tsfe_dl_ray.stages.text import zipf_slope
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return _round_floats(zipf_slope(docs, top_n=100))
+
+    def q_events_cross_corr_1h(sf):
+        """Lead/lag coupling of click vs purchase hourly count series:
+        Pearson corr at lag 0 and with clicks lagged one observed hour
+        (stages/trend.cross_series_corr)."""
+        from s_tsfe_dl_ray.stages.trend import cross_series_corr
+
+        ds = read_events(sf, columns=["ts", "event_type"])
+        return _round_floats(cross_series_corr(
+            ds, ts_col="ts", type_col="event_type",
+            type_a="click", type_b="purchase", tier="1h"))
+
+    def q_emb_cosine_centroid(sf):
+        """Cosine of every embedding to the corpus mean vector — global
+        typicality score (stages/similarity.cosine_to_centroid)."""
+        from s_tsfe_dl_ray.stages.similarity import cosine_to_centroid
+
+        emb = read_table(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+        return _round_floats(cosine_to_centroid(emb))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -1632,6 +1756,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top3_by_value": q_events_top3_by_value,
         "docs_token_entropy": q_docs_token_entropy,
         "events_unpivot_type_sums": q_events_unpivot_type_sums,
+        # round-4 wave (oracle-paired, past the cap — rotate into the
+        # recorded 50 next round):
+        "events_mad_per_user": q_events_mad_per_user,
+        "events_theil_sen": q_events_theil_sen,
+        "events_spearman_trend": q_events_spearman_trend,
+        "events_paa8": q_events_paa8,
+        "events_sax4": q_events_sax4,
+        "events_value_histogram": q_events_value_histogram,
+        "events_mode_type": q_events_mode_type,
+        "events_bollinger": q_events_bollinger,
+        "revenue_by_nation": q_revenue_by_nation,
+        "docs_bigram_top20": q_docs_bigram_top20,
+        "docs_zipf_slope": q_docs_zipf_slope,
+        "events_cross_corr_1h": q_events_cross_corr_1h,
+        "emb_cosine_centroid": q_emb_cosine_centroid,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -2780,5 +2919,209 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END::BIGINT AS keep
             FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        # ---- round-4 wave -------------------------------------------------
+        "events_mad_per_user": """
+            WITH m AS (
+              SELECT user_id, count(*)::BIGINT AS n_events,
+                     median(value) AS med
+              FROM events GROUP BY 1
+            ), d AS (
+              SELECT e.user_id, m.n_events, m.med,
+                     abs(e.value - m.med) AS dev
+              FROM events e JOIN m USING (user_id)
+            ), a AS (SELECT user_id, median(dev) AS mad FROM d GROUP BY 1)
+            SELECT d.user_id, min(d.n_events) AS n_events,
+                   round(min(d.med), 6) AS med, round(min(a.mad), 6) AS mad,
+                   sum(CASE WHEN d.dev > 3 * 1.4826 * a.mad
+                            THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+            FROM d JOIN a USING (user_id) GROUP BY d.user_id
+        """,
+        # exact µs delta (date_diff), NOT epoch(b)-epoch(a) whose float
+        # cancellation costs ~2.4e-7 s; x/0 → NULL drops same-ts pairs
+        "events_theil_sen": """
+            WITH p AS (
+              SELECT a.user_id,
+                     (b.value - a.value)
+                       / (date_diff('microsecond', a.ts, b.ts) / 1000000.0)
+                       AS slope
+              FROM events a JOIN events b
+                ON a.user_id = b.user_id
+               AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+            )
+            SELECT user_id, count(slope)::BIGINT AS n_pairs,
+                   round(median(slope), 6) AS sen_slope
+            FROM p GROUP BY 1
+        """,
+        # value ranks average over ties (AVG of row_numbers per tie group)
+        "events_spearman_trend": """
+            WITH rv AS (
+              SELECT user_id, ts, event_id, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY value)
+                       AS rvn
+              FROM events
+            ), r AS (
+              SELECT user_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn,
+                     AVG(rvn) OVER (PARTITION BY user_id, value) AS rv
+              FROM rv
+            )
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   round(corr(rn, rv), 6) AS spearman
+            FROM r GROUP BY 1
+        """,
+        "events_paa8": """
+            WITH r AS (
+              SELECT user_id, value,
+                     CAST(floor((row_number() OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                                 - 1) / 8.0) AS BIGINT) AS seg
+              FROM events
+            )
+            SELECT user_id, seg, count(*)::BIGINT AS n_in_seg,
+                   round(avg(value), 6) AS seg_mean
+            FROM r GROUP BY 1, 2
+        """,
+        # explicit NULL for sd NULL/0 (a bare CASE would fall through NULL
+        # comparisons to the last bucket); breakpoints = norm.ppf(1/4, 2/4,
+        # 3/4) literals shared with stages/symbolic.BREAKPOINTS_4
+        "events_sax4": """
+            WITH s AS (
+              SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+              FROM events GROUP BY 1
+            ), r AS (
+              SELECT user_id, value,
+                     CAST(floor((row_number() OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                                 - 1) / 8.0) AS BIGINT) AS seg
+              FROM events
+            ), p AS (
+              SELECT user_id, seg, count(*)::BIGINT AS n_in_seg,
+                     avg(value) AS seg_mean
+              FROM r GROUP BY 1, 2
+            )
+            SELECT p.user_id, p.seg, p.n_in_seg,
+                   CASE WHEN s.sd IS NULL OR s.sd = 0 THEN NULL
+                        WHEN (p.seg_mean - s.mu) / s.sd
+                             < -0.6744897501960817 THEN 'a'
+                        WHEN (p.seg_mean - s.mu) / s.sd < 0.0 THEN 'b'
+                        WHEN (p.seg_mean - s.mu) / s.sd
+                             < 0.6744897501960817 THEN 'c'
+                        ELSE 'd' END AS symbol
+            FROM p JOIN s USING (user_id)
+        """,
+        "events_value_histogram": """
+            SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+                   round(CAST(floor(value / 25.0) AS BIGINT) * 25.0, 6)
+                     AS bin_lo,
+                   count(*)::BIGINT AS n_rows
+            FROM events GROUP BY 1, 2
+        """,
+        # struct_pack argmin: min over (-n, type) = highest count then
+        # lexicographically smallest type (round-3 recipe)
+        "events_mode_type": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   struct_extract(min(struct_pack(nn := -n, t := event_type)),
+                                  't') AS mode_type,
+                   max(n)::BIGINT AS n_mode
+            FROM c GROUP BY 1
+        """,
+        "events_bollinger": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER w, 6) AS bb_mean,
+                   round(stddev_samp(value) OVER w, 6) AS bb_std,
+                   round(avg(value) OVER w
+                         + 2.0 * stddev_samp(value) OVER w, 6) AS bb_upper,
+                   round(avg(value) OVER w
+                         - 2.0 * stddev_samp(value) OVER w, 6) AS bb_lower
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        # exact money: int64 cents × (100 − int discount) at scale 1e4 —
+        # both sides sum exact integers (same base as orders_lineitem_join)
+        "revenue_by_nation": """
+            WITH r AS (
+              SELECT n.n_name,
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                       AS revenue_i
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+            )
+            SELECT n_name, count(*)::BIGINT AS n_items,
+                   round(sum(revenue_i) / 10000.0, 6) AS revenue_sum
+            FROM r GROUP BY 1
+        """,
+        # adjacency on raw split positions (runs of spaces break pairs,
+        # never bridge them)
+        "docs_bigram_top20": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(text), ' ')) AS tok,
+                     generate_subscripts(string_split(trim(text), ' '), 1)
+                       AS pos
+              FROM documents
+            )
+            SELECT t1.tok || ' ' || t2.tok AS bigram, count(*)::BIGINT AS n
+            FROM w t1 JOIN w t2
+              ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+            WHERE t1.tok <> '' AND t2.tok <> ''
+            GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
+        """,
+        "docs_zipf_slope": """
+            WITH tok AS (
+              SELECT unnest(string_split(trim(text), ' ')) AS token
+              FROM documents
+            ), tc AS (
+              SELECT token, count(*)::BIGINT AS n FROM tok
+              WHERE token <> '' GROUP BY 1
+            ), top AS (
+              SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r
+              FROM tc ORDER BY n DESC, token LIMIT 100
+            )
+            SELECT count(*)::BIGINT AS n_tokens,
+                   round(regr_slope(ln(n), ln(r)), 6) AS zipf_slope
+            FROM top
+        """,
+        # lag over OBSERVED windows (corr ignores the NULL first lag)
+        "events_cross_corr_1h": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS w,
+                     sum(CASE WHEN event_type = 'click'
+                              THEN 1 ELSE 0 END)::BIGINT AS a_n,
+                     sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END)::BIGINT AS b_n
+              FROM events GROUP BY 1
+            ), l AS (
+              SELECT a_n, b_n, lag(a_n) OVER (ORDER BY w) AS a_prev FROM h
+            )
+            SELECT count(*)::BIGINT AS n_windows,
+                   round(corr(a_n, b_n), 6) AS corr_lag0,
+                   round(corr(a_prev, b_n), 6) AS corr_lag1
+            FROM l
+        """,
+        "emb_cosine_centroid": """
+            WITH u AS (
+              SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings
+            ), c AS (SELECT i, avg(v) AS cv FROM u GROUP BY 1),
+            nc AS (SELECT sqrt(sum(cv * cv)) AS norm_c FROM c),
+            d AS (
+              SELECT u.vec_id, sum(u.v * c.cv) AS dot,
+                     sqrt(sum(u.v * u.v)) AS norm_u
+              FROM u JOIN c USING (i) GROUP BY 1
+            )
+            SELECT d.vec_id,
+                   round(d.dot / (d.norm_u * nc.norm_c), 6) AS cos_centroid
+            FROM d, nc
         """,
     }

@@ -254,3 +254,86 @@ def pivot_wide(
     return grouped_aggregate(
         derived, keys=keys, aggs=aggs, num_partitions=num_partitions
     )
+
+
+def revenue_by_nation(sf_dir: str, *, num_partitions: int = 64) -> Dataset:
+    """Multi-join revenue rollup: lineitem ⋈ orders ⋈ customer ⋈ nation →
+    revenue per nation (the TPC-H Q5 skeleton) — the engine's reference
+    composition for CHAINED large-table joins plus a broadcast dimension.
+
+    Scale design: the two large sides flow through partitioned hash
+    joins (stages/join.py) with columns pruned at the read to exactly
+    the join keys + the money column; revenue is carried as the exact
+    int64 scaled product (price_i × (100 − disc_i), scale 1e4 — float
+    partial sums at ~5e8 differ from a sequential decimal sum in the 6th
+    decimal); the 25-row nation table is read once on the driver and
+    broadcast into the final map as a plain closure array — never a
+    shuffle.  Output: ``n_name, n_items, revenue_sum``.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.join import hash_join
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def rev_i(t: pa.Table) -> pa.Table:
+        price_i = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_i = pc.cast(pc.round(pc.multiply(
+            t["l_discount"], pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "revenue_i": pc.multiply(
+                price_i, pc.subtract(pa.scalar(100, pa.int64()), disc_i)),
+        })
+
+    li = lineitem.map_batches(rev_i, batch_format="pyarrow", zero_copy_batch=True)
+    j1 = hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey",
+                   num_partitions=num_partitions)
+    j1 = j1.map_batches(
+        lambda t: pa.table({"o_custkey": t["o_custkey"],
+                            "revenue_i": t["revenue_i"]}),
+        batch_format="pyarrow")
+    j2 = hash_join(j1, customer, left_on="o_custkey", right_on="c_custkey",
+                   num_partitions=num_partitions)
+
+    # broadcast dimension: nationkey → name (25 rows, closure-shipped once
+    # per task, never shuffled)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nkeys = nat["n_nationkey"].to_numpy()
+    names = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    lut = np.empty(int(nkeys.max()) + 1, dtype=object)
+    lut[nkeys] = names
+
+    def add_name(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array(lut[nk], pa.string()),
+            "revenue_i": t["revenue_i"],
+        })
+
+    named = j2.map_batches(add_name, batch_format="pyarrow")
+    agg = grouped_aggregate(
+        named, keys=["n_name"],
+        aggs={"n_items": ("revenue_i", "count"),
+              "revenue_sum_i": ("revenue_i", "sum")},
+        num_partitions=num_partitions)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t["n_name"],
+            "n_items": t["n_items"],
+            "revenue_sum": pc.divide(
+                pc.cast(t["revenue_sum_i"], pa.float64()), pa.scalar(10_000.0)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)

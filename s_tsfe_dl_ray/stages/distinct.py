@@ -327,3 +327,50 @@ def heavy_hitters(
 import itertools as _itertools
 
 _HH_COUNTER = _itertools.count()
+
+
+def mode_per_key(
+    ds: "Dataset",
+    *,
+    key: str,
+    cat_col: str,
+    mode_col: str = "mode_type",
+    n_col: str = "n_mode",
+    num_partitions: int = 64,
+) -> "Dataset":
+    """Per-key MODE of a categorical column with a deterministic
+    tie-break (highest count, then lexicographically smallest category) —
+    the "what does this key mostly do" summary, the categorical sibling
+    of the rollup's numeric aggregates.
+
+    Combiner discipline: per-batch ``group_by(key, cat)`` counts collapse
+    each batch to its distinct pairs (bounded by keys × categories, not
+    rows); one ``_pkey`` exchange by key; the per-partition merge sums
+    counts and takes the argmax vectorized (sort + drop_duplicates), so
+    the tie-break is explicit, not hash-order luck.  Output:
+    ``key, mode_col, n_col``.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .rollup import _stable_pkey
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = pa.table({key: t[key], cat_col: t[cat_col]}) \
+            .group_by([key, cat_col], use_threads=False) \
+            .aggregate([([], "count_all")])
+        out = pa.table({key: out[key], cat_col: out[cat_col],
+                        "_n": pc.cast(out["count_all"], pa.int64())})
+        return out.append_column("_pkey", _stable_pkey(out[key], num_partitions))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key, cat_col], sort=False)["_n"].sum().reset_index()
+        g = g.sort_values([key, "_n", cat_col],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.drop_duplicates(subset=[key], keep="first")
+        return pd.DataFrame({key: g[key].to_numpy(),
+                             mode_col: g[cat_col].to_numpy(),
+                             n_col: g["_n"].to_numpy(dtype="int64")})
+
+    tagged = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_pkey").map_groups(merge, batch_format="pandas")

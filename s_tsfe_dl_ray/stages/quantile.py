@@ -210,3 +210,47 @@ def grouped_quantiles_approx(
         .groupby("_pkey")
         .map_groups(merge_and_estimate, batch_format="pandas")
     )
+
+
+def fixed_histogram(
+    ds: "Dataset",
+    *,
+    value_col: str,
+    width: float,
+    n_col: str = "n_rows",
+    num_partitions: int = 64,
+) -> "Dataset":
+    """Global fixed-width histogram: ``bin = floor(value / width)`` →
+    count, plus the bin's left edge — the O(bins) distribution summary
+    that replaces "look at the data" at 100 TB (the first chart of any
+    corpus-quality report; the reference's equivalent is the per-class
+    count inspection before training, TSFEDL/data.py:99-154).
+
+    Pure combiner: each batch reduces to its distinct (bin, count) rows
+    via one vectorized floor-divide + pyarrow ``group_by``; the shuffle
+    carries O(bins) rows per batch.  ``floor(value / width)`` uses the
+    identical float ops as the SQL twin, so binning is bit-identical.
+    Output: ``bin (int64), bin_lo (float64), n_col``.
+    """
+    import pyarrow.compute as pc
+
+    from .dedup import _grouped_min
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.float64())
+        b = pc.cast(pc.floor(pc.divide(v, width)), pa.int64())
+        out = pa.table({"bin": b}).group_by(["bin"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({"bin": out["bin"],
+                         n_col: pc.cast(out["count_all"], pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = _grouped_min(partials, group_cols=["bin"],
+                          agg_cols=[(n_col, "sum")], pkey_col="bin",
+                          num_partitions=num_partitions)
+
+    def fin(t: pa.Table) -> pa.Table:
+        lo = pc.multiply(pc.cast(t["bin"], pa.float64()), width)
+        return pa.table({"bin": t["bin"], "bin_lo": lo, n_col: t[n_col]})
+
+    return merged.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,212 @@
+"""Robust (order-statistic / rank-based) per-key statistics.
+
+The reference thresholds anomaly scores with order statistics over a
+scored window (top-k cut of reconstruction error,
+experiments/keras_experiment.py:583-593) and smooths with plain moving
+averages (experiments/IGN_experiment.py:190-205); this module supplies
+the robust siblings a production tier-timeseries pipeline uses when the
+mean/OLS versions would chase outliers:
+
+- :func:`grouped_mad`              — per-key median / MAD / MAD-z outlier
+                                     count (the robust z-score)
+- :func:`theil_sen`                — per-key median-of-pairwise-slopes
+                                     robust trend (vs trend.py's OLS)
+- :func:`spearman_monotonicity`    — per-key Spearman rank correlation of
+                                     value against time order (monotonic
+                                     drift score; rank sibling of
+                                     lag1_autocorr)
+
+Scale design: all three co-partition ONCE by hash(key) (the engine's
+standard ``_pkey`` exchange) and are fully vectorized inside the
+partition — pandas/numpy cython kernels across ALL keys of the
+partition, no per-key Python apply.  ``theil_sen`` is the one
+deliberately quadratic-per-key op (n_k(n_k-1)/2 pair slopes); it is
+meant for post-rollup series (points-per-key bounded by the tier grid).
+``max_key_rows`` guards it: a key exceeding the bound raises rather
+than silently allocating O(n²) — window or downsample first (PAA,
+rollup tiers) exactly as you would before fitting any per-series model.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from .grouped import grouped_apply
+
+
+def grouped_mad(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    n_col: str = "n_events",
+    k: float = 3.0,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key median, MAD and robust-outlier count.
+
+    Output: one row per key — ``key, n_col, med, mad, n_outliers`` where
+    ``n_outliers`` counts rows with ``|x - med| > k * 1.4826 * mad``
+    (1.4826 = consistency constant making MAD estimate sigma for
+    gaussians).  Keys where mad == 0 flag every ``x != med`` row —
+    identical to the SQL twin's comparison, no special-casing.
+
+    Exactness: median/MAD interpolate on DOUBLE (mean of the two middle
+    order statistics) exactly like DuckDB ``median``; the threshold
+    comparison uses the same float ops on both sides, so the comparison
+    is bit-identical, not merely close.
+    """
+    kc = k * 1.4826
+
+    def mad_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: [], n_col: pd.Series([], dtype="int64"),
+                                 "med": [], "mad": [],
+                                 "n_outliers": pd.Series([], dtype="int64")})
+        g = df.groupby(key, sort=False)[value_col]
+        med = g.median()
+        dev = (df[value_col] - df[key].map(med)).abs()
+        mad = dev.groupby(df[key], sort=False).median()
+        thr = df[key].map(kc * mad)
+        out_mask = dev > thr
+        n = g.size()
+        n_out = out_mask.groupby(df[key], sort=False).sum()
+        out = pd.DataFrame({
+            key: med.index.to_numpy(),
+            n_col: n.reindex(med.index).to_numpy(dtype=np.int64),
+            "med": med.to_numpy(),
+            "mad": mad.reindex(med.index).to_numpy(),
+            "n_outliers": n_out.reindex(med.index).to_numpy(dtype=np.int64),
+        })
+        return out.reset_index(drop=True)
+
+    return grouped_apply(ds, keys=[key], fn=mad_partition,
+                         num_partitions=num_partitions, whole_partition=True)
+
+
+def theil_sen(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    slope_col: str = "sen_slope",
+    max_key_rows: int = 20_000,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key Theil–Sen robust slope: the MEDIAN of all pairwise slopes
+    ``(v_j - v_i) / dt_sec`` over ordered pairs — up to ~29% outliers
+    cannot move it, unlike the OLS line (stages/trend.py) they drag.
+
+    Pairs with dt == 0 contribute nothing (the SQL twin's x/0 → NULL,
+    ignored by ``median``); ``dt_sec`` is the exact µs difference /1e6
+    (NOT epoch(b)-epoch(a), whose float cancellation costs ~2.4e-7 s).
+    Output: ``key, n_pairs, slope_col`` (NULL slope when no valid pair).
+
+    Scale: O(n_k²) per key by construction — run it on post-rollup /
+    windowed series.  Keys with more than ``max_key_rows`` rows raise
+    (window or PAA-downsample first) instead of silently allocating the
+    quadratic pair block.
+    """
+
+    def sen_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: [], "n_pairs": pd.Series([], dtype="int64"),
+                                 slope_col: []})
+        df = df.sort_values([key, ts_col, id_col], kind="mergesort")
+        keys = []
+        n_pairs = []
+        slopes = []
+        ts_all = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v_all = df[value_col].to_numpy(dtype=np.float64)
+        k_all = df[key].to_numpy()
+        change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
+        starts = np.concatenate([[0], change, [len(df)]])
+        for s, e in zip(starts[:-1], starts[1:]):
+            n = e - s
+            if n < 2:
+                # no pair exists — key absent from output (the SQL
+                # twin's pair self-join produces no row to group)
+                continue
+            if n > max_key_rows:
+                raise ValueError(
+                    f"theil_sen: key {k_all[s]!r} has {n} rows > "
+                    f"max_key_rows={max_key_rows}; window or downsample first")
+            t, v = ts_all[s:e], v_all[s:e]
+            iu, ju = np.triu_indices(n, 1)
+            dt = (t[ju] - t[iu]) / 1e6
+            ok = dt > 0
+            keys.append(k_all[s])
+            n_pairs.append(int(ok.sum()))
+            slopes.append(
+                float(np.median((v[ju][ok] - v[iu][ok]) / dt[ok]))
+                if ok.any() else np.nan)
+        return pd.DataFrame({key: keys,
+                             "n_pairs": pd.Series(n_pairs, dtype="int64"),
+                             slope_col: slopes})
+
+    return grouped_apply(ds, keys=[key], fn=sen_partition,
+                         num_partitions=num_partitions, whole_partition=True)
+
+
+def spearman_monotonicity(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    out_col: str = "spearman",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key Spearman rank correlation of value against time order —
+    the scale-free monotonicity score (+1: strictly rising, −1: strictly
+    falling, 0: no monotone drift), robust to any monotone transform of
+    the values.  Value ties get AVERAGE ranks (the Spearman convention);
+    time order is made unique by ``(ts, id_col)``.
+
+    One ``_pkey`` exchange; ranks via cython ``groupby.rank`` /
+    ``cumcount`` across all keys of the partition at once; the Pearson
+    step runs on exact half-integer ranks (float64 sums of products of
+    ranks ≤ n_k are exact for n_k < 2^17), so both sides compute from
+    exact moments.  Keys with n < 2 or all-tied values give NULL,
+    matching SQL ``corr``.  Output: ``key, n_events, out_col``.
+    """
+
+    def spear_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: [], "n_events": pd.Series([], dtype="int64"),
+                                 out_col: []})
+        df = df.sort_values([key, ts_col, id_col], kind="mergesort")
+        g = df.groupby(key, sort=False)
+        rn = (g.cumcount() + 1).to_numpy(dtype=np.float64)
+        rv = g[value_col].rank(method="average").to_numpy(dtype=np.float64)
+        k_all = df[key].to_numpy()
+        change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
+        gid = np.zeros(len(df), dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        starts = np.concatenate([[0], change])
+        nk = int(gid[-1]) + 1
+        n = np.bincount(gid, minlength=nk).astype(np.float64)
+        sx = np.bincount(gid, weights=rn, minlength=nk)
+        sy = np.bincount(gid, weights=rv, minlength=nk)
+        sxx = np.bincount(gid, weights=rn * rn, minlength=nk)
+        syy = np.bincount(gid, weights=rv * rv, minlength=nk)
+        sxy = np.bincount(gid, weights=rn * rv, minlength=nk)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cov = sxy - sx * sy / n
+            corr = cov / np.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        corr = np.where(np.isfinite(corr), corr, np.nan)
+        return pd.DataFrame({
+            key: k_all[starts],
+            "n_events": n.astype(np.int64),
+            out_col: corr,
+        })
+
+    return grouped_apply(ds, keys=[key], fn=spear_partition,
+                         num_partitions=num_partitions, whole_partition=True)

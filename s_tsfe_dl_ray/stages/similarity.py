@@ -753,3 +753,66 @@ def kmeans_lloyd(
 
     return ds.map_batches(final_assign, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def cosine_to_centroid(
+    ds: Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cos_centroid",
+) -> Dataset:
+    """Cosine similarity of every vector to the corpus MEAN vector — the
+    cheapest global "how typical is this embedding" score (outliers →
+    low similarity), the single-centroid degenerate case of the k-means
+    assignment pass and the first filter of embedding-quality triage.
+
+    Two passes, both combiner-shaped (same discipline as
+    :func:`pca_fit_transform`): (1) FIT — each batch reduces to a d+1
+    moment row-set (Σx per dim + count), merged in one tiny final
+    partition and broadcast via closure; (2) SCORE — one vectorized
+    matvec + row-norm per batch.  All math in float64 (float32 inputs
+    cast exactly), matching the SQL twin's DOUBLE arithmetic.  Zero
+    vectors (or a zero centroid) give NULL, mirroring SQL x/0.
+    Output: ``id_col, out_col``.
+    """
+
+    def moments(t: pa.Table) -> pa.Table:
+        vecs = t[vec_col].combine_chunks()
+        flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(vecs[0])
+        x = flat.reshape(t.num_rows, d)
+        return pa.table({"_i": pa.array(
+            np.concatenate([np.arange(d), [-1]]).astype(np.int64)),
+            "_v": pa.array(np.concatenate([x.sum(axis=0), [float(t.num_rows)]]))})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("_i", sort=True)["_v"].sum().reset_index()
+
+    stats = (
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .take_all()  # d + 1 tiny rows — the broadcast small side
+    )
+    n = next(r["_v"] for r in stats if r["_i"] == -1)
+    d = sum(1 for r in stats if r["_i"] >= 0)
+    c = np.zeros(d)
+    for r in stats:
+        if r["_i"] >= 0:
+            c[r["_i"]] = r["_v"]
+    c = c / n
+    norm_c = float(np.sqrt(np.dot(c, c)))
+
+    def score(t: pa.Table) -> pa.Table:
+        vecs = t[vec_col].combine_chunks()
+        flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        x = flat.reshape(t.num_rows, d)
+        dot = x @ c
+        norms = np.sqrt((x * x).sum(axis=1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = dot / (norms * norm_c)
+        cos = np.where(np.isfinite(cos), cos, np.nan)
+        return pa.table({id_col: t[id_col], out_col: pa.array(cos)})
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

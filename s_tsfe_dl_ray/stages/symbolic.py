@@ -1,0 +1,131 @@
+"""Symbolic / piecewise series compression: PAA and SAX.
+
+The reference compresses series with pooling layers (AvgPooling1D tier
+downsampling, TSFEDL/blocks_keras.py:96 — mean per fixed-length window);
+PAA (Piecewise Aggregate Approximation) is exactly that operation as a
+data transform, and SAX (Symbolic Aggregate approXimation, Lin et al.
+2003) quantizes the PAA means into a small gaussian-breakpoint alphabet —
+the standard symbolic form for motif mining / cheap similarity over
+massive series corpora.
+
+Scale design: one ``_pkey`` co-partition by series key; segment ids,
+segment means and per-key z-normalization are all cython/numpy kernels
+over the whole partition (no per-key Python).  The output is ~n/seg_len
+rows per key — PAA is itself the downsample you run BEFORE quadratic
+per-key ops (stages/robust.theil_sen, DTW-style matchers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from .grouped import grouped_apply
+
+# gaussian quartile breakpoints for a 4-symbol alphabet: norm.ppf(q) for
+# q = 1/4, 2/4, 3/4 — written as literals so the SQL twin can embed the
+# identical constants
+BREAKPOINTS_4 = (-0.6744897501960817, 0.0, 0.6744897501960817)
+ALPHABET_4 = ("a", "b", "c", "d")
+
+
+def _sorted_with_segments(df: pd.DataFrame, key: str, order_by: list[str],
+                          seg_len: int) -> tuple[pd.DataFrame, np.ndarray]:
+    df = df.sort_values([key] + order_by, kind="mergesort")
+    pos = df.groupby(key, sort=False).cumcount().to_numpy()
+    return df, pos // seg_len
+
+
+def paa(
+    ds: Dataset,
+    *,
+    key: str,
+    order_by: list[str],
+    value_col: str,
+    seg_len: int,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Piecewise Aggregate Approximation: per key in explicit order,
+    chunk rows into consecutive segments of ``seg_len`` and emit each
+    segment's mean (the trailing ragged segment keeps its partial count —
+    'same'-edge behavior, like the reference's pooling with partial final
+    window).  Output: ``key, seg, n_in_seg, seg_mean``.
+    """
+
+    def paa_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: [], "seg": pd.Series([], dtype="int64"),
+                                 "n_in_seg": pd.Series([], dtype="int64"),
+                                 "seg_mean": []})
+        df, seg = _sorted_with_segments(df, key, order_by, seg_len)
+        out = (
+            df.assign(seg=seg)
+            .groupby([key, "seg"], sort=False)[value_col]
+            .agg(n_in_seg="size", seg_mean="mean")
+            .reset_index()
+        )
+        out["seg"] = out["seg"].astype(np.int64)
+        out["n_in_seg"] = out["n_in_seg"].astype(np.int64)
+        return out
+
+    return grouped_apply(ds, keys=[key], fn=paa_partition,
+                         num_partitions=num_partitions, whole_partition=True)
+
+
+def sax(
+    ds: Dataset,
+    *,
+    key: str,
+    order_by: list[str],
+    value_col: str,
+    seg_len: int,
+    num_partitions: int = 64,
+) -> Dataset:
+    """SAX symbols: z-normalize each key's series by its OWN mean and
+    sample std, PAA it, and bin each segment mean at the gaussian
+    quartile breakpoints into letters ``a<b<c<d``.
+
+    Keys that cannot be z-normalized (n < 2 → sample std NULL, or zero
+    variance → x/0) yield NULL symbols — mirroring SQL ``stddev_samp``
+    NULL-for-n<2 / float-division-by-zero-is-NULL semantics, with the
+    NULL propagated explicitly (never falling through to the last
+    alphabet bucket).  Output: ``key, seg, n_in_seg, symbol``.
+    """
+    b1, b2, b3 = BREAKPOINTS_4
+
+    def sax_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: [], "seg": pd.Series([], dtype="int64"),
+                                 "n_in_seg": pd.Series([], dtype="int64"),
+                                 "symbol": pd.Series([], dtype="object")})
+        df, seg = _sorted_with_segments(df, key, order_by, seg_len)
+        g = df.groupby(key, sort=False)[value_col]
+        mean = df[key].map(g.mean())
+        std = df[key].map(g.std(ddof=1))  # sample std; NaN for n<2
+        out = (
+            df.assign(seg=seg, _mean=mean.to_numpy(), _std=std.to_numpy())
+            .groupby([key, "seg"], sort=False)
+            .agg(n_in_seg=(value_col, "size"), seg_mean=(value_col, "mean"),
+                 _mean=("_mean", "first"), _std=("_std", "first"))
+            .reset_index()
+        )
+        std = out["_std"].to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (out["seg_mean"].to_numpy() - out["_mean"].to_numpy()) / std
+        sym = np.full(len(z), ALPHABET_4[3], dtype=object)
+        sym[z < b3] = ALPHABET_4[2]
+        sym[z < b2] = ALPHABET_4[1]
+        sym[z < b1] = ALPHABET_4[0]
+        # n<2 (std NaN) or zero variance (x/0 → SQL NULL): explicit NULL,
+        # never the last alphabet bucket
+        sym[np.isnan(std) | (std == 0.0)] = None
+        return pd.DataFrame({
+            key: out[key],
+            "seg": out["seg"].astype(np.int64),
+            "n_in_seg": out["n_in_seg"].astype(np.int64),
+            "symbol": sym,
+        })
+
+    return grouped_apply(ds, keys=[key], fn=sax_partition,
+                         num_partitions=num_partitions, whole_partition=True)

@@ -766,3 +766,109 @@ def bpe_token_count(
     n = pc.cast(pc.count_substring_regex(batch[text_col], BPE_ISH_PATTERN),
                 pa.int64())
     return batch.append_column(out_col, n)
+
+
+def top_bigrams(
+    ds: "Dataset",
+    *,
+    text_col: str = "text",
+    k: int = 20,
+    num_partitions: int = 64,
+) -> "Dataset":
+    """Corpus-wide BIGRAM frequencies, top-``k`` by count (ties: bigram
+    asc) — the n=2 step of n-gram LM statistics / collocation mining
+    over a training corpus (the pairwise sibling of :func:`top_tokens`).
+
+    Adjacency is defined on the raw single-space split positions of each
+    document (pairs never cross documents); a pair is kept only when
+    BOTH tokens are non-empty, so runs of spaces break adjacency rather
+    than bridging it — matching the SQL twin's position self-join.
+
+    Fully vectorized combiner: split → per-chunk offsets mark document
+    boundaries → one ``binary_join_element_wise`` builds every in-doc
+    pair → ``value_counts`` pre-aggregates the batch; the shuffle
+    carries per-batch distinct (bigram, n) rows, merged by the same
+    token-hash partition sum as word count.
+    """
+    from .dedup import _grouped_min
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bigram": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        toks = pc.split_pattern(pc.utf8_trim(t[text_col], " "), " ")
+        parts = []
+        for ch in (toks.chunks if isinstance(toks, pa.ChunkedArray) else [toks]):
+            vals = ch.flatten()
+            nv = len(vals)
+            if nv < 2:
+                continue
+            lengths = pc.list_value_length(ch).to_numpy(zero_copy_only=False)
+            first = vals.slice(0, nv - 1)
+            second = vals.slice(1, nv - 1)
+            pair_ok = np.ones(nv - 1, dtype=bool)
+            ends = np.cumsum(lengths)[:-1] - 1  # last-token index per doc
+            pair_ok[ends[ends < nv - 1]] = False
+            pair_ok &= pc.not_equal(first, "").to_numpy(zero_copy_only=False)
+            pair_ok &= pc.not_equal(second, "").to_numpy(zero_copy_only=False)
+            if not pair_ok.any():
+                continue
+            big = pc.binary_join_element_wise(first, second, " ")
+            parts.append(big.filter(pa.array(pair_ok)))
+        if not parts:
+            return empty
+        vc = pa.chunked_array(parts).combine_chunks().value_counts()
+        return pa.table({"bigram": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = _grouped_min(partials, group_cols=["bigram"],
+                          agg_cols=[("n", "sum")], pkey_col="bigram",
+                          num_partitions=num_partitions)
+    return merged.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def zipf_slope(
+    ds: "Dataset",
+    *,
+    text_col: str = "text",
+    top_n: int = 100,
+    num_partitions: int = 64,
+) -> "Dataset":
+    """Zipf exponent of the corpus: OLS slope of ``ln(count)`` on
+    ``ln(rank)`` over the ``top_n`` most frequent tokens (rank 1 = most
+    frequent; ties broken token-asc so the ranking is deterministic).
+    Natural corpora sit near −1; a far-off slope is a cheap corpus-
+    health red flag (template spam ≫ −1, shuffled noise ≈ 0).
+
+    Dataflow: the :func:`top_tokens` combiner does the heavy lift; the
+    fit runs once over ``top_n`` rows in a single tiny final partition
+    (re-sorted there so rank assignment never depends on block order).
+    Output: one row — ``n_tokens, zipf_slope`` (slope = covar_pop/var_pop,
+    the SQL ``regr_slope`` definition; NULL when fewer than 2 tokens).
+    """
+
+    top = top_tokens(ds, text_col=text_col, k=top_n,
+                     num_partitions=num_partitions)
+
+    def fit(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        df = df.sort_values(["n", "token"], ascending=[False, True],
+                            kind="mergesort").reset_index(drop=True)
+        cnt = df["n"].to_numpy(dtype=np.float64)
+        m = len(cnt)
+        if m < 2:
+            return pd.DataFrame({"n_tokens": pd.Series([m], dtype="int64"),
+                                 "zipf_slope": [np.nan]})
+        x = np.log(np.arange(1, m + 1, dtype=np.float64))
+        y = np.log(cnt)
+        n = float(m)
+        sx, sy = x.sum(), y.sum()
+        sxx, sxy = (x * x).sum(), (x * y).sum()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        return pd.DataFrame({"n_tokens": pd.Series([m], dtype="int64"),
+                             "zipf_slope": [slope if np.isfinite(slope) else np.nan]})
+
+    return top.repartition(1).map_batches(fit, batch_format="pandas",
+                                          batch_size=None)

@@ -830,3 +830,64 @@ def standardize_per_key(
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(scale_partition, batch_format="pandas")
+
+
+def bollinger_bands(
+    ds: Dataset,
+    *,
+    keys: list[str],
+    order_by: list[str],
+    col: str,
+    window: int = 5,
+    k: float = 2.0,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Trailing Bollinger bands per key: rolling mean, rolling SAMPLE
+    std and mean ± k·std over the ``window`` most recent rows
+    (min_periods=1) — the volatility envelope version of
+    :func:`rolling_mean` (reference moving_average,
+    experiments/IGN_experiment.py:190-205, with a dispersion channel).
+
+    Exactness discipline: the window stats are computed TWO-PASS from an
+    explicit per-key shift matrix (window ≤ ~16), not a sliding
+    accumulator — a constant window yields std exactly 0.0 (matching SQL
+    ``stddev_samp`` zero-variance == 0.0; pandas' rolling accumulator
+    can leak ~1e-6 cancellation noise there, which a 6-decimal
+    comparator sees).  n == 1 windows give NULL std/bands (``stddev_samp``
+    NULL for n < 2).  Appends ``bb_mean, bb_std, bb_upper, bb_lower``.
+
+    One key-hash co-partition; the shift matrix is built with cython
+    ``groupby.shift`` across all keys at once — no per-key Python.
+    """
+    from .grouped import grouped_apply
+
+    def bb_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + order_by, kind="mergesort").reset_index(drop=True)
+        if len(df) == 0:
+            for c in ("bb_mean", "bb_std", "bb_upper", "bb_lower"):
+                df[c] = pd.Series([], dtype="float64")
+            return df
+        g = df.groupby(keys, sort=False)[col]
+        m = np.column_stack(
+            [g.shift(i).to_numpy(dtype=np.float64) for i in range(window - 1, -1, -1)]
+        )  # (n, window): oldest … current, NaN where the key lacks history
+        valid = ~np.isnan(m)
+        n = valid.sum(axis=1).astype(np.float64)
+        mean = np.nansum(m, axis=1) / n
+        dev = m - mean[:, None]
+        ss = np.nansum(dev * dev, axis=1)
+        # constant window → EXACTLY 0 variance: the two-pass mean of k
+        # identical floats need not be exact (mean([0.1]*3) ≠ 0.1), which
+        # leaks ~1e-17 into ss, while SQL's Welford update is exactly 0
+        # for identical values (delta = 0 every step)
+        ss = np.where(np.nanmin(m, axis=1) == np.nanmax(m, axis=1), 0.0, ss)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            std = np.where(n >= 2, np.sqrt(ss / np.maximum(n - 1.0, 1.0)), np.nan)
+        df["bb_mean"] = mean
+        df["bb_std"] = std
+        df["bb_upper"] = mean + k * std
+        df["bb_lower"] = mean - k * std
+        return df
+
+    return grouped_apply(ds, keys=keys, fn=bb_partition,
+                         num_partitions=num_partitions, whole_partition=True)

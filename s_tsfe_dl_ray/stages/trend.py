@@ -386,3 +386,69 @@ def lag1_autocorr(
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(corr_partition, batch_format="pandas")
+
+
+def cross_series_corr(
+    ds: Dataset,
+    *,
+    ts_col: str,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    tier: str = "1h",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Lead/lag coupling between two event types: build the per-window
+    count series of ``type_a`` and ``type_b`` on the same tumbling grid,
+    then report Pearson corr at lag 0 AND with ``type_a`` lagged one
+    OBSERVED window (does a burst of A precede a burst of B?) — the
+    cross-series sibling of :func:`lag1_autocorr` and the engine's
+    two-branch analog of the reference's multi-lead coupling inspection
+    (multi-branch concat, SURVEY.md §2.4).
+
+    The lag steps over OBSERVED windows in time order (an empty-grid
+    window is skipped, exactly like SQL ``lag() OVER (ORDER BY hr)``
+    over the grouped result) — document gaps first with the gap-fill op
+    if calendar-lag semantics are wanted.
+
+    Dataflow: a per-batch (window, a_n, b_n) count combiner — O(windows)
+    rows per batch — then ONE tiny ordered merge in a single final
+    partition (the window-count series for years of hourly data is ~1e4
+    rows).  Counts are exact int64, so both corr inputs are exact;
+    output: one row — ``n_windows, corr_lag0, corr_lag1``.
+    """
+    from ..functions.windows import window_start_us
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = window_start_us(t[ts_col], tier)
+        is_a = pc.cast(pc.equal(t[type_col], type_a), pa.int64())
+        is_b = pc.cast(pc.equal(t[type_col], type_b), pa.int64())
+        out = pa.table({"w": w, "a_n": is_a, "b_n": is_b}) \
+            .group_by(["w"], use_threads=False) \
+            .aggregate([("a_n", "sum"), ("b_n", "sum")])
+        return out.rename_columns(["w", "a_n", "b_n"])
+
+    def _corr(x: np.ndarray, y: np.ndarray) -> float:
+        n = float(len(x))
+        if n < 2:
+            return np.nan
+        sx, sy = x.sum(), y.sum()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c = (np.dot(x, y) - sx * sy / n) / np.sqrt(
+                (np.dot(x, x) - sx * sx / n) * (np.dot(y, y) - sy * sy / n))
+        return float(c) if np.isfinite(c) else np.nan
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("w", sort=True)[["a_n", "b_n"]].sum()
+        a = g["a_n"].to_numpy(dtype=np.float64)
+        b = g["b_n"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "n_windows": pd.Series([len(g)], dtype="int64"),
+            "corr_lag0": [_corr(a, b)],
+            # type_a leads: a[t] vs b[t+1] over observed windows
+            "corr_lag1": [_corr(a[:-1], b[1:]) if len(g) >= 2 else np.nan],
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.repartition(1).map_batches(fin, batch_format="pandas",
+                                               batch_size=None)

@@ -1,0 +1,252 @@
+"""Semantic property tests for the round-4 operator wave (oracle parity
+at driver scale lives in test_entry_contract.py; these pin the
+ALGORITHMIC claims — robustness, symbol semantics, exactness edges —
+on constructed inputs where the right answer is known a priori)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from conftest import to_pdf
+
+
+def _ds(df: pd.DataFrame) -> "ray.data.Dataset":
+    return ray.data.from_pandas(df)
+
+
+# ---------------------------------------------------------------------------
+# robust stats
+# ---------------------------------------------------------------------------
+
+
+def test_mad_flags_planted_outliers():
+    from s_tsfe_dl_ray.stages.robust import grouped_mad
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(100.0, 1.0, 400)
+    vals = np.concatenate([base, [500.0, -300.0]])  # 2 gross outliers
+    df = pd.DataFrame({"k": np.repeat("u1", len(vals)), "v": vals})
+    out = to_pdf(grouped_mad(_ds(df), key="k", value_col="v"))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert abs(row["med"] - np.median(vals)) < 1e-12
+    dev = np.abs(vals - np.median(vals))
+    assert abs(row["mad"] - np.median(dev)) < 1e-12
+    expected_out = int((dev > 3 * 1.4826 * np.median(dev)).sum())
+    assert row["n_outliers"] == expected_out  # bit-identical threshold
+    assert expected_out >= 2  # the two planted spikes are always flagged
+
+
+def test_theil_sen_ignores_outlier_ols_chases_it():
+    from s_tsfe_dl_ray.stages.robust import theil_sen
+
+    n = 60
+    ts = pd.to_datetime(np.arange(n), unit="s")
+    v = 2.0 * np.arange(n, dtype=float)  # slope exactly 2/s
+    v[30] = 1e6  # one gross spike
+    df = pd.DataFrame({"k": "a", "ts": ts, "v": v, "id": np.arange(n)})
+    out = to_pdf(theil_sen(_ds(df), key="k", ts_col="ts", value_col="v",
+                           id_col="id"))
+    assert abs(out.iloc[0]["sen_slope"] - 2.0) < 1e-9  # median unmoved
+    assert out.iloc[0]["n_pairs"] == n * (n - 1) // 2
+
+
+def test_theil_sen_singleton_key_dropped_and_cap_raises():
+    from s_tsfe_dl_ray.stages.robust import theil_sen
+
+    df = pd.DataFrame({
+        "k": ["solo", "pair", "pair"],
+        "ts": pd.to_datetime([0, 0, 1], unit="s"),
+        "v": [1.0, 1.0, 3.0],
+        "id": [0, 1, 2],
+    })
+    out = to_pdf(theil_sen(_ds(df), key="k", ts_col="ts", value_col="v",
+                           id_col="id"))
+    assert set(out["k"]) == {"pair"}  # n<2 key absent, like the SQL twin
+    with pytest.raises(Exception, match="max_key_rows"):
+        big = pd.DataFrame({
+            "k": "hot", "ts": pd.to_datetime(np.arange(50), unit="s"),
+            "v": np.arange(50.0), "id": np.arange(50)})
+        to_pdf(theil_sen(_ds(big), key="k", ts_col="ts", value_col="v",
+                         id_col="id", max_key_rows=10))
+
+
+def test_spearman_monotone_series_is_plus_minus_one():
+    from s_tsfe_dl_ray.stages.robust import spearman_monotonicity
+
+    n = 40
+    ts = pd.to_datetime(np.arange(n), unit="s")
+    df = pd.DataFrame({
+        "k": np.repeat(["up", "down", "const"], n),
+        "ts": np.tile(ts, 3),
+        "v": np.concatenate([np.exp(np.arange(n, dtype=float)),  # monotone ↑
+                             -np.arange(n, dtype=float),          # monotone ↓
+                             np.ones(n)]),                        # all tied
+        "id": np.arange(3 * n),
+    })
+    out = to_pdf(spearman_monotonicity(
+        _ds(df), key="k", ts_col="ts", value_col="v", id_col="id"))
+    got = out.set_index("k")["spearman"]
+    assert got["up"] == pytest.approx(1.0)
+    assert got["down"] == pytest.approx(-1.0)
+    assert np.isnan(got["const"])  # zero rank variance → NULL
+
+
+# ---------------------------------------------------------------------------
+# symbolic compression
+# ---------------------------------------------------------------------------
+
+
+def test_paa_segments_and_ragged_tail():
+    from s_tsfe_dl_ray.stages.symbolic import paa
+
+    v = np.arange(10, dtype=float)  # segments of 4: [0..3],[4..7],[8,9]
+    df = pd.DataFrame({"k": "a", "ts": pd.to_datetime(np.arange(10), unit="s"),
+                       "v": v, "id": np.arange(10)})
+    out = to_pdf(paa(_ds(df), key="k", order_by=["ts", "id"], value_col="v",
+                     seg_len=4)).sort_values("seg")
+    assert list(out["n_in_seg"]) == [4, 4, 2]
+    assert list(out["seg_mean"]) == [1.5, 5.5, 8.5]
+
+
+def test_sax_symbols_and_null_rules():
+    from s_tsfe_dl_ray.stages.symbolic import sax
+
+    # key "w": one value per segment (seg_len=1) spanning the alphabet
+    v = np.array([-10.0, -0.1, 0.1, 10.0, 0.0])
+    dfs = [pd.DataFrame({"k": "w", "ts": pd.to_datetime(np.arange(5), unit="s"),
+                         "v": v, "id": np.arange(5)}),
+           # n<2 → std NULL → symbol NULL
+           pd.DataFrame({"k": "single", "ts": pd.to_datetime([99], unit="s"),
+                         "v": [5.0], "id": [99]}),
+           # zero variance → x/0 → symbol NULL
+           pd.DataFrame({"k": "flat", "ts": pd.to_datetime([200, 201], unit="s"),
+                         "v": [3.0, 3.0], "id": [200, 201]})]
+    out = to_pdf(sax(_ds(pd.concat(dfs, ignore_index=True)), key="k",
+                     order_by=["ts", "id"], value_col="v", seg_len=1))
+    w = out[out["k"] == "w"].sort_values("seg")["symbol"].tolist()
+    assert w[0] == "a" and w[3] == "d"  # extremes hit the outer buckets
+    assert out[out["k"] == "single"]["symbol"].isna().all()
+    assert out[out["k"] == "flat"]["symbol"].isna().all()
+
+
+# ---------------------------------------------------------------------------
+# bollinger / histogram / mode
+# ---------------------------------------------------------------------------
+
+
+def test_bollinger_zero_variance_window_is_exactly_zero():
+    from s_tsfe_dl_ray.stages.transform import bollinger_bands
+
+    df = pd.DataFrame({"k": "a", "ts": pd.to_datetime(np.arange(8), unit="s"),
+                       "v": [0.1] * 8, "id": np.arange(8)})
+    out = to_pdf(bollinger_bands(_ds(df), keys=["k"], order_by=["ts", "id"],
+                                 col="v", window=5)).sort_values("id")
+    assert np.isnan(out.iloc[0]["bb_std"])  # n=1 → stddev_samp NULL
+    # constant window: two-pass std is EXACTLY 0.0 (no accumulator leak)
+    assert (out.iloc[1:]["bb_std"] == 0.0).all()
+    # bands collapse onto the mean (which is the FLOAT mean — DuckDB's
+    # avg over [0.1]*k is equally non-exact, so we pin band == mean)
+    assert (out.iloc[1:]["bb_upper"] == out.iloc[1:]["bb_mean"]).all()
+    assert (out.iloc[1:]["bb_lower"] == out.iloc[1:]["bb_mean"]).all()
+
+
+def test_histogram_counts_cover_all_rows():
+    from s_tsfe_dl_ray.stages.quantile import fixed_histogram
+
+    rng = np.random.default_rng(3)
+    v = np.concatenate([rng.uniform(-50, 100, 5000), [-50.0, 0.0, 25.0]])
+    out = to_pdf(fixed_histogram(_ds(pd.DataFrame({"v": v})), value_col="v",
+                                 width=25.0))
+    assert out["n_rows"].sum() == len(v)
+    assert (out["bin_lo"] == out["bin"] * 25.0).all()
+    lo = out.set_index("bin")["bin_lo"]
+    assert lo.loc[-2] == -50.0 and lo.loc[1] == 25.0  # exact edges bin left
+
+
+def test_mode_tiebreak_is_lexicographic():
+    from s_tsfe_dl_ray.stages.distinct import mode_per_key
+
+    df = pd.DataFrame({"k": [1, 1, 1, 1, 2, 2],
+                       "c": ["b", "b", "a", "a", "z", "y"]})
+    out = to_pdf(mode_per_key(_ds(df), key="k", cat_col="c")).set_index("k")
+    assert out.loc[1, "mode_type"] == "a" and out.loc[1, "n_mode"] == 2
+    assert out.loc[2, "mode_type"] == "y" and out.loc[2, "n_mode"] == 1
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+
+def test_bigrams_respect_doc_boundaries_and_space_runs():
+    from s_tsfe_dl_ray.stages.text import top_bigrams
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a b c", "c a b", "x  y"]})
+    out = to_pdf(top_bigrams(_ds(df), k=10))
+    got = dict(zip(out["bigram"], out["n"]))
+    assert got == {"a b": 2, "b c": 1, "c a": 1}  # no "c c" bridge, no "x y"
+
+
+def test_zipf_slope_recovers_planted_exponent():
+    from s_tsfe_dl_ray.stages.text import zipf_slope
+
+    # corpus where token t_r appears round(1000/r) times → slope ≈ −1
+    words = []
+    for r in range(1, 101):
+        words += [f"tok{r:03d}"] * round(1000 / r)
+    rng = np.random.default_rng(11)
+    rng.shuffle(words)
+    docs = [" ".join(words[i::20]) for i in range(20)]
+    out = to_pdf(zipf_slope(
+        _ds(pd.DataFrame({"doc_id": range(20), "text": docs})), top_n=100))
+    assert out.iloc[0]["n_tokens"] == 100
+    assert out.iloc[0]["zipf_slope"] == pytest.approx(-1.0, abs=0.05)
+
+
+# ---------------------------------------------------------------------------
+# embeddings / cross-series
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_to_centroid_axes():
+    from s_tsfe_dl_ray.stages.similarity import cosine_to_centroid
+
+    # 3 copies of e1 + 1 of e2: centroid = (0.75, 0.25); zero vec → NULL
+    emb = [[1.0, 0.0]] * 3 + [[0.0, 1.0], [0.0, 0.0]]
+    df = pd.DataFrame({"vec_id": range(5), "embedding": emb})
+    out = to_pdf(cosine_to_centroid(_ds(df))).set_index("vec_id")["cos_centroid"]
+    c = np.array([0.75, 0.25])
+    c = c / np.linalg.norm(c)
+    assert out.loc[0] == pytest.approx(c[0])
+    assert out.loc[3] == pytest.approx(c[1])
+    assert np.isnan(out.loc[4])
+
+
+def test_cross_series_corr_planted_lead():
+    from s_tsfe_dl_ray.stages.trend import cross_series_corr
+
+    # clicks at hour h predict purchases at h+1 exactly; lag0 decorrelated
+    rng = np.random.default_rng(5)
+    hours = 48
+    clicks = rng.integers(1, 20, hours)
+    rows = []
+    t0 = pd.Timestamp("2026-01-01")
+    for h in range(hours):
+        for _ in range(int(clicks[h])):
+            rows.append((t0 + pd.Timedelta(hours=h), "click"))
+        if h >= 1:
+            for _ in range(int(clicks[h - 1])):
+                rows.append((t0 + pd.Timedelta(hours=h), "purchase"))
+    df = pd.DataFrame(rows, columns=["ts", "event_type"])
+    out = to_pdf(cross_series_corr(_ds(df), ts_col="ts",
+                                   type_col="event_type", type_a="click",
+                                   type_b="purchase", tier="1h"))
+    row = out.iloc[0]
+    assert row["n_windows"] == hours
+    assert row["corr_lag1"] == pytest.approx(1.0)
+    assert abs(row["corr_lag0"]) < 0.5
