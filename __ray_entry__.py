@@ -1634,6 +1634,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, ts_col="ts", type_col="event_type",
             type_a="click", type_b="purchase", tier="1h"))
 
+    def q_events_changepoint(sf):
+        """Single level-shift changepoint per key (binary segmentation's
+        first split, exact scaled-int prefix sums so the argmax is
+        bit-identical to SQL) — stages/robust.binary_changepoint."""
+        from s_tsfe_dl_ray.stages.robust import binary_changepoint
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(binary_changepoint(
+            ds, key="user_id", ts_col="ts", value_col="value",
+            id_col="event_id"))
+
+    def q_events_acf(sf):
+        """Autocorrelation function at lags 1–3 per key, long format
+        (stages/trend.acf)."""
+        from s_tsfe_dl_ray.stages.trend import acf
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(acf(
+            ds, key="user_id", value_col="value",
+            order_by=["ts", "event_id"], lags=(1, 2, 3)))
+
+    def q_events_lttb_20(sf):
+        """LTTB visual downsample to ≤20 points per key — rows-only (the
+        recursive previous-point dependence has no SQL twin; property
+        tests pin anchors/count/spike retention)."""
+        from s_tsfe_dl_ray.stages.symbolic import lttb
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return lttb(ds, key="user_id", ts_col="ts", value_col="value",
+                    n_out=20, id_col="event_id")
+
     def q_emb_cosine_centroid(sf):
         """Cosine of every embedding to the corpus mean vector — global
         typicality score (stages/similarity.cosine_to_centroid)."""
@@ -1771,6 +1802,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_zipf_slope": q_docs_zipf_slope,
         "events_cross_corr_1h": q_events_cross_corr_1h,
         "emb_cosine_centroid": q_emb_cosine_centroid,
+        "events_changepoint": q_events_changepoint,
+        "events_acf": q_events_acf,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -1794,6 +1827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_simhash": q_docs_simhash,
         "docs_rolling_fingerprint": q_docs_rolling_fingerprint,
+        "events_lttb_20": q_events_lttb_20,
         "media_decode_demo": q_media_decode_demo,
         "media_audio_demo": q_media_audio_demo,
         "media_frames_demo": q_media_frames_demo,
@@ -3107,6 +3141,66 @@ def oracle_sql() -> dict[str, str]:
                    round(corr(a_n, b_n), 6) AS corr_lag0,
                    round(corr(a_prev, b_n), 6) AS corr_lag1
             FROM l
+        """,
+        # exact scaled-int prefix sums both sides → bit-identical scores,
+        # argmax cannot flip on association noise; ties → smallest k
+        "events_changepoint": """
+            WITH o AS (
+              SELECT user_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS k,
+                     count(*) OVER (PARTITION BY user_id) AS n,
+                     sum(CAST(round(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS ps,
+                     sum(CAST(round(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id) AS tot
+              FROM events
+            ), sc AS (
+              SELECT user_id, k, n,
+                     ps::DOUBLE / k / 100.0 AS mean_left,
+                     (tot - ps)::DOUBLE / (n - k) / 100.0 AS mean_right,
+                     k * (n - k) / CAST(n AS DOUBLE)
+                       * (ps::DOUBLE / k - (tot - ps)::DOUBLE / (n - k))
+                       * (ps::DOUBLE / k - (tot - ps)::DOUBLE / (n - k))
+                       AS score
+              FROM o WHERE k < n
+            ), w AS (
+              SELECT user_id, max(n) AS n,
+                     min(struct_pack(negs := -score, k := k,
+                                     ml := mean_left, mr := mean_right)) AS s
+              FROM sc GROUP BY 1
+            )
+            SELECT user_id, n::BIGINT AS n_events,
+                   struct_extract(s, 'k')::BIGINT AS split_k,
+                   round(struct_extract(s, 'ml'), 6) AS mean_left,
+                   round(struct_extract(s, 'mr'), 6) AS mean_right,
+                   round(-struct_extract(s, 'negs'), 6) AS score
+            FROM w
+        """,
+        # every key emits a row per lag (n_pairs = 0, NULL corr when the
+        # series is shorter than the lag)
+        "events_acf": """
+            SELECT user_id, 1::BIGINT AS lag, count(prev)::BIGINT AS n_pairs,
+                   round(corr(value, prev), 6) AS autocorr
+            FROM (SELECT user_id, value,
+                         lag(value, 1) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+                  FROM events) GROUP BY 1
+            UNION ALL
+            SELECT user_id, 2::BIGINT AS lag, count(prev)::BIGINT AS n_pairs,
+                   round(corr(value, prev), 6) AS autocorr
+            FROM (SELECT user_id, value,
+                         lag(value, 2) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+                  FROM events) GROUP BY 1
+            UNION ALL
+            SELECT user_id, 3::BIGINT AS lag, count(prev)::BIGINT AS n_pairs,
+                   round(corr(value, prev), 6) AS autocorr
+            FROM (SELECT user_id, value,
+                         lag(value, 3) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+                  FROM events) GROUP BY 1
         """,
         "emb_cosine_centroid": """
             WITH u AS (

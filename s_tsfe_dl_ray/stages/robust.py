@@ -210,3 +210,89 @@ def spearman_monotonicity(
 
     return grouped_apply(ds, keys=[key], fn=spear_partition,
                          num_partitions=num_partitions, whole_partition=True)
+
+
+def binary_changepoint(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    value_scale: int = 100,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Single-changepoint detection per key (the first split of binary
+    segmentation / CUSUM's offline sibling): the split index k that
+    maximizes the between-segment SSE reduction
+    ``k(n−k)/n · (mean_left − mean_right)²`` over the ordered series —
+    i.e. the most likely level-shift point.  The reference's anomaly
+    experiments threshold per-window scores to find where a series
+    changes regime (experiments/keras_experiment.py:583-593); this is
+    the closed-form two-segment version as a data operator.
+
+    Exactness discipline: values with ≤2 decimals are scaled to int64
+    (``value_scale``) so the prefix sums both sides compute are EXACT
+    integers — every downstream float op (means, score) is then
+    bit-identical to the SQL twin and the argmax cannot flip on
+    association noise.  Ties break toward the smallest k.  Keys with
+    n < 2 have no split and emit nothing.  Output: ``key, n_events,
+    split_k (last index of the left segment, 1-based), mean_left,
+    mean_right, score`` (score in scaled units², rows-weighted).
+
+    One ``_pkey`` co-partition; prefix sums / scores / argmax are
+    numpy kernels over key boundaries — no per-key Python.
+    """
+
+    def cp_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key: [], "n_events": pd.Series([], dtype="int64"),
+            "split_k": pd.Series([], dtype="int64"),
+            "mean_left": [], "mean_right": [], "score": []})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values([key, ts_col, id_col], kind="mergesort")
+        v_i = np.rint(df[value_col].to_numpy(dtype=np.float64)
+                      * value_scale).astype(np.int64)
+        k_all = df[key].to_numpy()
+        change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
+        gid = np.zeros(len(df), dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        starts = np.concatenate([[0], change])
+        nk = int(gid[-1]) + 1
+        n_per = np.bincount(gid, minlength=nk)
+        cs = np.cumsum(v_i)
+        base = np.concatenate([[0], cs[starts[1:] - 1]])  # sum before key
+        ps = cs - base[gid]                                # exact int prefix
+        tot = (ps[np.concatenate([starts[1:] - 1, [len(df) - 1]])])
+        n_row = n_per[gid].astype(np.int64)
+        k_row = (np.arange(len(df)) - starts[gid] + 1).astype(np.int64)
+        valid = k_row < n_row                              # k < n splits only
+        kf = k_row.astype(np.float64)
+        nf = n_row.astype(np.float64)
+        psf = ps.astype(np.float64)
+        totf = tot[gid].astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ml = psf / kf
+            mr = (totf - psf) / (nf - kf)
+            diff = ml - mr
+            score = (k_row * (n_row - k_row)) / nf * diff * diff
+        idx = np.flatnonzero(valid)
+        if len(idx) == 0:
+            return empty
+        # argmax per key: sort by (gid, -score, k) and take the first row
+        order = idx[np.lexsort((k_row[idx], -score[idx], gid[idx]))]
+        first = order[np.concatenate(
+            [[True], gid[order][1:] != gid[order][:-1]])]
+        return pd.DataFrame({
+            key: k_all[first],
+            "n_events": n_row[first],
+            "split_k": k_row[first],
+            "mean_left": ml[first] / value_scale,
+            "mean_right": mr[first] / value_scale,
+            "score": score[first],
+        })
+
+    return grouped_apply(ds, keys=[key], fn=cp_partition,
+                         num_partitions=num_partitions, whole_partition=True)

@@ -129,3 +129,77 @@ def sax(
 
     return grouped_apply(ds, keys=[key], fn=sax_partition,
                          num_partitions=num_partitions, whole_partition=True)
+
+
+def lttb(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    n_out: int,
+    id_col: str | None = None,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Largest-Triangle-Three-Buckets downsampling per key (Steinarsson
+    2013): keep ``n_out`` visually-representative points — first and last
+    anchored, each interior bucket contributing the point with the
+    largest triangle area against the previously kept point and the next
+    bucket's centroid.  THE standard series-downsample for dashboards /
+    previews over tier rollups (where PAA's means would flatten spikes,
+    LTTB keeps them).
+
+    Keys with n ≤ n_out pass through unchanged.  Output: the original
+    rows (all columns) of the selected points.
+
+    One ``_pkey`` co-partition; buckets loop n_out−2 times per key with
+    vectorized area math inside each bucket — O(n) per key total.  Like
+    every viz downsample it is deliberately NOT SQL-expressible (the
+    selected point depends recursively on the previous selection), so it
+    is property-tested (anchors kept, count exact, spike retention)
+    rather than oracle-paired.
+    """
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3 (first + last + 1 bucket)")
+    order_by = [ts_col] + ([id_col] if id_col else [])
+
+    def lttb_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        df = df.sort_values([key] + order_by, kind="mergesort").reset_index(drop=True)
+        k_all = df[key].to_numpy()
+        change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
+        starts = np.concatenate([[0], change, [len(df)]])
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        keep_idx: list[int] = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            n = e - s
+            if n <= n_out:
+                keep_idx.extend(range(s, e))
+                continue
+            x = (ts[s:e] - ts[s]) / 1e6
+            y = v[s:e]
+            # bucket b covers [edges[b], edges[b+1]) of the interior points
+            edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+            sel = [0]
+            a = 0
+            for b in range(n_out - 2):
+                lo, hi = edges[b], edges[b + 1]
+                # next-bucket centroid (last bucket's "next" is the final point)
+                if b < n_out - 3:
+                    cx = x[edges[b + 1]:edges[b + 2]].mean()
+                    cy = y[edges[b + 1]:edges[b + 2]].mean()
+                else:
+                    cx, cy = x[n - 1], y[n - 1]
+                area = np.abs((x[a] - cx) * (y[lo:hi] - y[a])
+                              - (x[a] - x[lo:hi]) * (cy - y[a]))
+                a = lo + int(np.argmax(area))
+                sel.append(a)
+            sel.append(n - 1)
+            keep_idx.extend(s + np.asarray(sel, dtype=np.int64))
+        return df.iloc[np.asarray(sorted(keep_idx), dtype=np.int64)] \
+            .reset_index(drop=True)
+
+    return grouped_apply(ds, keys=[key], fn=lttb_partition,
+                         num_partitions=num_partitions, whole_partition=True)

@@ -452,3 +452,72 @@ def cross_series_corr(
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return partials.repartition(1).map_batches(fin, batch_format="pandas",
                                                batch_size=None)
+
+
+def acf(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    order_by: list[str],
+    lags: tuple[int, ...] = (1, 2, 3),
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key autocorrelation function at multiple lags — the
+    multi-lag generalization of :func:`lag1_autocorr` (is the series
+    noise, momentum, or periodic?), long-format output so downstream
+    code can pivot or threshold per lag.
+
+    Semantics == SQL ``corr(value, lag(value, L) OVER (...))`` per lag,
+    including NULL rules (fewer than 2 valid pairs, or a constant side)
+    and the "every key emits a row per lag" shape (keys shorter than the
+    lag report ``n_pairs = 0`` and NULL autocorr).
+
+    One co-partition; each lag is one cython ``groupby.shift`` over the
+    whole partition + bincount moments — no per-key Python, lags × keys
+    rows out.  Output: ``key, lag, n_pairs, autocorr``.
+    """
+    import pyarrow as pa
+
+    from .rollup import _stable_pkey
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def acf_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [key] + order_by, kind="mergesort").reset_index(drop=True)
+        if len(df) == 0:
+            return pd.DataFrame({key: [], "lag": pd.Series([], dtype="int64"),
+                                 "n_pairs": pd.Series([], dtype="int64"),
+                                 "autocorr": []})
+        v = df[value_col].to_numpy(dtype=np.float64)
+        keys_all, gid, starts = _key_groups(df, key)
+        nk = int(gid[-1]) + 1
+        g = df.groupby(key, sort=False)[value_col]
+        frames = []
+        for lag_ in lags:
+            prev = g.shift(lag_).to_numpy(dtype=np.float64)
+            w = (~np.isnan(prev)).astype(np.float64)
+            x = np.where(np.isnan(prev), 0.0, prev)
+            y = v * w
+            n = np.bincount(gid, weights=w, minlength=nk)
+            sx = np.bincount(gid, weights=x, minlength=nk)
+            sy = np.bincount(gid, weights=y, minlength=nk)
+            sxx = np.bincount(gid, weights=x * x, minlength=nk)
+            syy = np.bincount(gid, weights=y * y, minlength=nk)
+            sxy = np.bincount(gid, weights=x * y, minlength=nk)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cov = sxy - sx * sy / n
+                corr = cov / np.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+            corr = np.where(np.isfinite(corr), corr, np.nan)
+            frames.append(pd.DataFrame({
+                key: keys_all[starts],
+                "lag": np.full(nk, lag_, dtype=np.int64),
+                "n_pairs": n.astype(np.int64),
+                "autocorr": corr,
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(acf_partition, batch_format="pandas")

@@ -250,3 +250,90 @@ def test_cross_series_corr_planted_lead():
     assert row["n_windows"] == hours
     assert row["corr_lag1"] == pytest.approx(1.0)
     assert abs(row["corr_lag0"]) < 0.5
+
+
+# ---------------------------------------------------------------------------
+# wave 2: changepoint / acf / lttb
+# ---------------------------------------------------------------------------
+
+
+def test_changepoint_finds_planted_level_shift():
+    from s_tsfe_dl_ray.stages.robust import binary_changepoint
+
+    rng = np.random.default_rng(9)
+    n = 80
+    v = np.concatenate([10.0 + rng.uniform(-0.5, 0.5, 50),
+                        20.0 + rng.uniform(-0.5, 0.5, 30)])
+    v = np.round(v, 2)  # the operator's 2-decimal exactness contract
+    df = pd.DataFrame({"k": "a", "ts": pd.to_datetime(np.arange(n), unit="s"),
+                       "v": v, "id": np.arange(n)})
+    out = to_pdf(binary_changepoint(_ds(df), key="k", ts_col="ts",
+                                    value_col="v", id_col="id"))
+    row = out.iloc[0]
+    assert row["split_k"] == 50  # exact planted boundary
+    assert abs(row["mean_left"] - v[:50].mean()) < 1e-9
+    assert abs(row["mean_right"] - v[50:].mean()) < 1e-9
+
+
+def test_changepoint_singleton_dropped_constant_tie_breaks_smallest_k():
+    from s_tsfe_dl_ray.stages.robust import binary_changepoint
+
+    df = pd.DataFrame({
+        "k": ["solo"] + ["flat"] * 4,
+        "ts": pd.to_datetime([0, 1, 2, 3, 4], unit="s"),
+        "v": [1.0, 2.0, 2.0, 2.0, 2.0],
+        "id": range(5),
+    })
+    out = to_pdf(binary_changepoint(_ds(df), key="k", ts_col="ts",
+                                    value_col="v", id_col="id"))
+    assert set(out["k"]) == {"flat"}   # n<2 key has no split
+    row = out.set_index("k").loc["flat"]
+    assert row["score"] == 0.0 and row["split_k"] == 1  # all-tied → first k
+
+
+def test_acf_period2_series():
+    from s_tsfe_dl_ray.stages.trend import acf
+
+    n = 40
+    v = np.tile([0.0, 1.0], n // 2)  # perfect period 2
+    df = pd.DataFrame({"k": "a", "ts": pd.to_datetime(np.arange(n), unit="s"),
+                       "v": v, "id": np.arange(n)})
+    out = to_pdf(acf(_ds(df), key="k", value_col="v",
+                     order_by=["ts", "id"], lags=(1, 2))).set_index("lag")
+    assert out.loc[1, "autocorr"] == pytest.approx(-1.0)
+    assert out.loc[2, "autocorr"] == pytest.approx(1.0)
+    assert out.loc[1, "n_pairs"] == n - 1 and out.loc[2, "n_pairs"] == n - 2
+
+
+def test_acf_short_key_emits_null_rows():
+    from s_tsfe_dl_ray.stages.trend import acf
+
+    df = pd.DataFrame({"k": ["s", "s"], "ts": pd.to_datetime([0, 1], unit="s"),
+                       "v": [1.0, 2.0], "id": [0, 1]})
+    out = to_pdf(acf(_ds(df), key="k", value_col="v", order_by=["ts", "id"],
+                     lags=(1, 3))).set_index("lag")
+    assert out.loc[3, "n_pairs"] == 0 and np.isnan(out.loc[3, "autocorr"])
+    assert out.loc[1, "n_pairs"] == 1 and np.isnan(out.loc[1, "autocorr"])
+
+
+def test_lttb_anchors_count_and_spike_retention():
+    from s_tsfe_dl_ray.stages.symbolic import lttb
+
+    rng = np.random.default_rng(2)
+    n = 500
+    v = rng.normal(0, 0.1, n)
+    v[137] = 50.0  # a spike a mean-downsample would flatten
+    df = pd.DataFrame({"k": np.repeat("a", n),
+                       "ts": pd.to_datetime(np.arange(n), unit="s"),
+                       "v": v, "id": np.arange(n)})
+    # plus a short key that must pass through untouched
+    short = pd.DataFrame({"k": "tiny", "ts": pd.to_datetime([0, 1], unit="s"),
+                          "v": [1.0, 2.0], "id": [1000, 1001]})
+    out = to_pdf(lttb(_ds(pd.concat([df, short], ignore_index=True)),
+                      key="k", ts_col="ts", value_col="v", n_out=20,
+                      id_col="id"))
+    a = out[out["k"] == "a"].sort_values("id")
+    assert len(a) == 20
+    assert a["id"].iloc[0] == 0 and a["id"].iloc[-1] == n - 1  # anchors
+    assert 137 in set(a["id"])  # the spike survives
+    assert len(out[out["k"] == "tiny"]) == 2  # n <= n_out passes through
