@@ -1665,6 +1665,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lttb(ds, key="user_id", ts_col="ts", value_col="value",
                     n_out=20, id_col="event_id")
 
+    def q_events_mannwhitney_u(sf):
+        """Per-user Mann–Whitney U (purchase vs click values) + rank-
+        biserial effect size — exact half-integer rank sums
+        (stages/robust.mann_whitney_u)."""
+        from s_tsfe_dl_ray.stages.robust import mann_whitney_u
+
+        ds = read_events(sf, columns=["user_id", "event_type", "value"])
+        return _round_floats(mann_whitney_u(
+            ds, key="user_id", group_col="event_type", value_col="value",
+            group_a="purchase", group_b="click"))
+
+    def q_docs_js_divergence(sf):
+        """Jensen–Shannon divergence between two sources' token
+        distributions — corpus-drift check (stages/text.js_divergence)."""
+        from s_tsfe_dl_ray.stages.text import js_divergence
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["source", "text"])
+        return _round_floats(js_divergence(
+            docs, side_col="source", side_a="src0", side_b="src1"))
+
+    def q_events_user_quantiles(sf):
+        """Exact per-user p50/p95/p99 of value via the distributed
+        value-histogram quantile op (stages/quantile.grouped_quantiles)."""
+        from s_tsfe_dl_ray.stages.quantile import grouped_quantiles
+
+        ds = read_events(sf, columns=["user_id", "value"])
+        return grouped_quantiles(ds, value_col="value", keys=["user_id"],
+                                 quantiles=(0.5, 0.95, 0.99))
+
     def q_emb_cosine_centroid(sf):
         """Cosine of every embedding to the corpus mean vector — global
         typicality score (stages/similarity.cosine_to_centroid)."""
@@ -1804,6 +1834,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_centroid": q_emb_cosine_centroid,
         "events_changepoint": q_events_changepoint,
         "events_acf": q_events_acf,
+        "events_mannwhitney_u": q_events_mannwhitney_u,
+        "docs_js_divergence": q_docs_js_divergence,
+        "events_user_quantiles": q_events_user_quantiles,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -3201,6 +3234,70 @@ def oracle_sql() -> dict[str, str]:
                          lag(value, 3) OVER (PARTITION BY user_id
                                              ORDER BY ts, event_id) AS prev
                   FROM events) GROUP BY 1
+        """,
+        # exact half-integer rank sums both sides → u_stat bit-identical;
+        # rank_biserial NULL when either group is empty (x/0)
+        "events_mannwhitney_u": """
+            WITH b AS (
+              SELECT user_id, event_type, value FROM events
+              WHERE event_type IN ('purchase', 'click')
+            ), r AS (
+              SELECT user_id, event_type,
+                     AVG(rn) OVER (PARTITION BY user_id, value) AS rk
+              FROM (SELECT user_id, event_type, value,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY value) AS rn
+                    FROM b)
+            ), u AS (
+              SELECT user_id,
+                     sum(CASE WHEN event_type = 'purchase'
+                              THEN rk ELSE 0 END) AS r_a,
+                     sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                     sum(CASE WHEN event_type = 'click'
+                              THEN 1 ELSE 0 END)::BIGINT AS n_b
+              FROM r GROUP BY 1
+            )
+            SELECT user_id, n_a, n_b,
+                   round(r_a - n_a * (n_a + 1) / 2.0, 6) AS u_stat,
+                   round(1 - 2 * (r_a - n_a * (n_a + 1) / 2.0)
+                             / (n_a * n_b), 6) AS rank_biserial
+            FROM u
+        """,
+        "docs_js_divergence": """
+            WITH tok AS (
+              SELECT source, unnest(string_split(trim(text), ' ')) AS token
+              FROM documents WHERE source IN ('src0', 'src1')
+            ), c AS (
+              SELECT token,
+                     sum(CASE WHEN source = 'src0'
+                              THEN 1 ELSE 0 END)::BIGINT AS na,
+                     sum(CASE WHEN source = 'src1'
+                              THEN 1 ELSE 0 END)::BIGINT AS nb
+              FROM tok WHERE token <> '' GROUP BY 1
+            ), t AS (
+              SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb FROM c
+            )
+            SELECT count(*)::BIGINT AS n_tokens,
+                   round(sum(
+                     CASE WHEN c.na > 0
+                          THEN 0.5 * (c.na / t.ta)
+                               * ln(2.0 * (c.na / t.ta)
+                                    / (c.na / t.ta + c.nb / t.tb))
+                          ELSE 0 END
+                     + CASE WHEN c.nb > 0
+                            THEN 0.5 * (c.nb / t.tb)
+                                 * ln(2.0 * (c.nb / t.tb)
+                                      / (c.na / t.ta + c.nb / t.tb))
+                            ELSE 0 END), 6) AS js_div
+            FROM c, t
+        """,
+        "events_user_quantiles": """
+            SELECT user_id,
+                   quantile_disc(value, 0.5)  AS q_50,
+                   quantile_disc(value, 0.95) AS q_95,
+                   quantile_disc(value, 0.99) AS q_99
+            FROM events GROUP BY user_id
         """,
         "emb_cosine_centroid": """
             WITH u AS (

@@ -32,6 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 from .grouped import grouped_apply
@@ -296,3 +297,67 @@ def binary_changepoint(
 
     return grouped_apply(ds, keys=[key], fn=cp_partition,
                          num_partitions=num_partitions, whole_partition=True)
+
+
+def mann_whitney_u(
+    ds: Dataset,
+    *,
+    key: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key Mann–Whitney U (rank-sum) statistic between two groups —
+    the nonparametric "are A's values systematically higher than B's"
+    test, plus the rank-biserial effect size ``1 − 2U/(n_a·n_b)``
+    (+1: every A beats every B; −1: the reverse).  The distribution-free
+    sibling of comparing group means, robust to outliers and any
+    monotone transform — the statistically sound version of the
+    reference's compare-scores-between-classes step
+    (experiments/keras_experiment.py:583-593 top-k score thresholding).
+
+    Rows of other groups are dropped BEFORE the exchange (combiner
+    discipline).  Ranks are combined average ranks per key (cython
+    ``groupby.rank``); rank sums are exact half-integers in float64, so
+    ``u_stat`` is bit-identical to the SQL twin, not merely close.
+    Keys with n_a = 0 or n_b = 0 report their counts with NULL effect
+    size (x/0).  Output: ``key, n_a, n_b, u_stat, rank_biserial``.
+    """
+    from .rollup import _stable_pkey
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[group_col],
+                        value_set=pa.array([group_a, group_b]))
+        t = t.filter(mask)
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def mw_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                key: [], "n_a": pd.Series([], dtype="int64"),
+                "n_b": pd.Series([], dtype="int64"),
+                "u_stat": [], "rank_biserial": []})
+        df = df.drop(columns=["_pkey"]).reset_index(drop=True)
+        rk = df.groupby(key, sort=False)[value_col].rank(method="average")
+        is_a = df[group_col] == group_a
+        agg = pd.DataFrame({
+            key: df[key],
+            "_ra": rk.where(is_a, 0.0),
+            "n_a": is_a.astype(np.int64),
+            "n_b": (~is_a).astype(np.int64),
+        }).groupby(key, sort=False).sum().reset_index()
+        na = agg["n_a"].to_numpy(dtype=np.int64)
+        nb = agg["n_b"].to_numpy(dtype=np.int64)
+        ra = agg["_ra"].to_numpy(dtype=np.float64)
+        u = ra - na * (na + 1) / 2.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rb = 1.0 - 2.0 * u / (na * nb)
+        rb = np.where(np.isfinite(rb), rb, np.nan)
+        return pd.DataFrame({key: agg[key], "n_a": na, "n_b": nb,
+                             "u_stat": u, "rank_biserial": rb})
+
+    tagged = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_pkey").map_groups(mw_partition,
+                                              batch_format="pandas")

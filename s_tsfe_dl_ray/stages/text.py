@@ -872,3 +872,112 @@ def zipf_slope(
 
     return top.repartition(1).map_batches(fit, batch_format="pandas",
                                           batch_size=None)
+
+
+def js_divergence(
+    ds: "Dataset",
+    *,
+    text_col: str = "text",
+    side_col: str = "source",
+    side_a: str = "src0",
+    side_b: str = "src1",
+    num_partitions: int = 64,
+) -> "Dataset":
+    """Jensen–Shannon divergence between the token distributions of two
+    corpus slices — the standard bounded (0..ln 2) symmetric "how
+    different are these two sources / snapshots" number, the
+    distribution-drift check an LLM-corpus pipeline runs between crawls
+    or between a source and the blend.
+
+    Combiner dataflow: (1) a tiny per-side token-total pass (2 scalars,
+    closure-broadcast); (2) per-batch (token, n_a, n_b) count partials →
+    one token-hash exchange merges them — distinct tokens cross the
+    shuffle, never token instances; (3) per-token contributions are one
+    vectorized log kernel, summed in a single final partition.  Rows of
+    other sides are dropped before tokenizing.  Output: one row —
+    ``n_tokens`` (union vocabulary size), ``js_div``.
+    """
+    from .dedup import _grouped_min
+
+    def _tokens(t: pa.Table, side: str) -> pa.Array:
+        sub = t.filter(pc.equal(t[side_col], side))
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.utf8_trim(sub[text_col], " "), " "))
+        return toks.filter(pc.not_equal(toks, ""))
+
+    # pass 1: per-side instance totals (the denominators)
+    def totals(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "side": pa.array(["a", "b"]),
+            "n": pa.array([len(_tokens(t, side_a)), len(_tokens(t, side_b))],
+                          pa.int64()),
+        })
+
+    tot = (
+        ds.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(
+            lambda df: df.groupby("side", sort=True)["n"].sum().reset_index(),
+            batch_format="pandas", batch_size=None)
+        .take_all()  # 2 tiny rows — the broadcast small side
+    )
+    ta = next(r["n"] for r in tot if r["side"] == "a")
+    tb = next(r["n"] for r in tot if r["side"] == "b")
+
+    # pass 2: per-token counts, merged by token hash
+    def partial(t: pa.Table) -> pa.Table:
+        frames = []
+        for name, side in (("n_a", side_a), ("n_b", side_b)):
+            toks = _tokens(t, side)
+            if len(toks) == 0:
+                continue
+            vc = toks.value_counts()
+            frames.append(pa.table({
+                "token": vc.field("values"),
+                "n_a": pc.cast(vc.field("counts") if name == "n_a"
+                               else pa.nulls(len(vc), pa.int64()), pa.int64()),
+                "n_b": pc.cast(vc.field("counts") if name == "n_b"
+                               else pa.nulls(len(vc), pa.int64()), pa.int64()),
+            }))
+        if not frames:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n_a": pa.array([], pa.int64()),
+                             "n_b": pa.array([], pa.int64())})
+        out = pa.concat_tables(frames)
+        return pa.table({
+            "token": out["token"],
+            "n_a": pc.coalesce(out["n_a"], pa.scalar(0, pa.int64())),
+            "n_b": pc.coalesce(out["n_b"], pa.scalar(0, pa.int64())),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    merged = _grouped_min(partials, group_cols=["token"],
+                          agg_cols=[("n_a", "sum"), ("n_b", "sum")],
+                          pkey_col="token", num_partitions=num_partitions)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = na / ta
+        q = nb / tb
+        m = p + q
+        with np.errstate(invalid="ignore", divide="ignore"):
+            term = (np.where(p > 0, 0.5 * p * np.log(2.0 * p / m), 0.0)
+                    + np.where(q > 0, 0.5 * q * np.log(2.0 * q / m), 0.0))
+        return pa.table({"n_tokens": pa.array([len(na)], pa.int64()),
+                         "js_part": pa.array([float(term.sum())])})
+
+    def fin(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        return pd.DataFrame({
+            "n_tokens": pd.Series([int(df["n_tokens"].sum())], dtype="int64"),
+            "js_div": [float(df["js_part"].sum())],
+        })
+
+    return (
+        merged.map_batches(contrib, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fin, batch_format="pandas", batch_size=None)
+    )

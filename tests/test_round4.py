@@ -337,3 +337,44 @@ def test_lttb_anchors_count_and_spike_retention():
     assert a["id"].iloc[0] == 0 and a["id"].iloc[-1] == n - 1  # anchors
     assert 137 in set(a["id"])  # the spike survives
     assert len(out[out["k"] == "tiny"]) == 2  # n <= n_out passes through
+
+
+# ---------------------------------------------------------------------------
+# wave 3: mann-whitney / js divergence
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_separated_groups_hit_extremes():
+    from s_tsfe_dl_ray.stages.robust import mann_whitney_u
+
+    # every A value beats every B → U = na*nb, rank_biserial = -1
+    df = pd.DataFrame({
+        "k": ["u"] * 8,
+        "g": ["A"] * 4 + ["B"] * 4,
+        "v": [10.0, 11.0, 12.0, 13.0, 1.0, 2.0, 3.0, 4.0],
+    })
+    out = to_pdf(mann_whitney_u(_ds(df), key="k", group_col="g",
+                                value_col="v", group_a="A", group_b="B"))
+    row = out.iloc[0]
+    # R_a = ranks 5..8 = 26; U = 26 - 4*5/2 = 16 = na*nb
+    assert row["u_stat"] == 16.0
+    assert row["rank_biserial"] == -1.0
+    # one-sided key → NULL effect size
+    df2 = pd.DataFrame({"k": ["x"] * 3, "g": ["A"] * 3, "v": [1.0, 2.0, 3.0]})
+    out2 = to_pdf(mann_whitney_u(_ds(df2), key="k", group_col="g",
+                                 value_col="v", group_a="A", group_b="B"))
+    assert out2.iloc[0]["n_b"] == 0 and np.isnan(out2.iloc[0]["rank_biserial"])
+
+
+def test_js_divergence_identical_zero_disjoint_ln2():
+    from s_tsfe_dl_ray.stages.text import js_divergence
+
+    same = pd.DataFrame({"source": ["src0", "src1"],
+                         "text": ["a b c a", "a b c a"]})
+    out = to_pdf(js_divergence(_ds(same)))
+    assert out.iloc[0]["js_div"] == pytest.approx(0.0, abs=1e-12)
+    disjoint = pd.DataFrame({"source": ["src0", "src1"],
+                             "text": ["a a b", "x y z"]})
+    out2 = to_pdf(js_divergence(_ds(disjoint)))
+    assert out2.iloc[0]["js_div"] == pytest.approx(np.log(2.0))
+    assert out2.iloc[0]["n_tokens"] == 5
