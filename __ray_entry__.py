@@ -1695,6 +1695,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_quantiles(ds, value_col="value", keys=["user_id"],
                                  quantiles=(0.5, 0.95, 0.99))
 
+    def q_events_ks_test(sf):
+        """Per-user two-sample Kolmogorov–Smirnov D between view and
+        error value distributions (stages/robust.ks_test) — exact
+        rational ECDF steps, bit-identical max."""
+        from s_tsfe_dl_ray.stages.robust import ks_test
+
+        ds = read_events(sf, columns=["user_id", "event_type", "value"])
+        return _round_floats(ks_test(
+            ds, key="user_id", group_col="event_type", value_col="value",
+            group_a="view", group_b="error"))
+
+    def q_events_resample_locf(sf):
+        """As-of resample onto the hourly grid: last observation carried
+        forward at every grid instant between each user's first and last
+        event (stages/gapfill.resample_locf)."""
+        from s_tsfe_dl_ray.stages.gapfill import resample_locf
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(resample_locf(
+            ds, key="user_id", ts_col="ts", value_col="value",
+            id_col="event_id", tier="1h"))
+
     def q_emb_cosine_centroid(sf):
         """Cosine of every embedding to the corpus mean vector — global
         typicality score (stages/similarity.cosine_to_centroid)."""
@@ -1837,6 +1859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mannwhitney_u": q_events_mannwhitney_u,
         "docs_js_divergence": q_docs_js_divergence,
         "events_user_quantiles": q_events_user_quantiles,
+        "events_ks_test": q_events_ks_test,
+        "events_resample_locf": q_events_resample_locf,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -3291,6 +3315,61 @@ def oracle_sql() -> dict[str, str]:
                                       / (c.na / t.ta + c.nb / t.tb))
                             ELSE 0 END), 6) AS js_div
             FROM c, t
+        """,
+        # RANGE-frame cumulative counts include ties, so every peer row
+        # carries the full step — the max is tie-robust on both sides
+        "events_ks_test": """
+            WITH b AS (
+              SELECT user_id, value, event_type FROM events
+              WHERE event_type IN ('view', 'error')
+            ), tot AS (
+              SELECT user_id,
+                     sum(CASE WHEN event_type = 'view'
+                              THEN 1 ELSE 0 END)::BIGINT AS na,
+                     sum(CASE WHEN event_type = 'error'
+                              THEN 1 ELSE 0 END)::BIGINT AS nb
+              FROM b GROUP BY 1
+            ), s AS (
+              SELECT user_id, value,
+                     sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY value) AS ca,
+                     sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY value) AS cb
+              FROM b
+            )
+            SELECT s.user_id, tot.na AS n_a, tot.nb AS n_b,
+                   round(max(abs(s.ca / tot.na - s.cb / tot.nb)), 6) AS ks_d
+            FROM s JOIN tot USING (user_id)
+            WHERE tot.na > 0 AND tot.nb > 0
+            GROUP BY s.user_id, tot.na, tot.nb
+        """,
+        # union-of-grid-and-events + IGNORE NULLS carry: a grid instant
+        # equal to an event ts takes that event (events sort before the
+        # grid row at equal ts)
+        "events_resample_locf": """
+            WITH span AS (
+              SELECT user_id, date_trunc('hour', min(ts)) AS w0,
+                     date_trunc('hour', max(ts)) AS w1
+              FROM events GROUP BY 1
+            ), grid AS (
+              SELECT user_id,
+                     unnest(generate_series(w0, w1, INTERVAL 1 HOUR)) AS ts
+              FROM span
+            ), pts AS (
+              SELECT user_id, ts, value, 0 AS is_grid, event_id FROM events
+              UNION ALL
+              SELECT user_id, ts, NULL, 1, NULL FROM grid
+            ), f AS (
+              SELECT user_id, ts, is_grid,
+                     last_value(value IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, is_grid, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS value_locf
+              FROM pts
+            )
+            SELECT user_id, ts AS sample_ts, round(value_locf, 6) AS value_locf
+            FROM f WHERE is_grid = 1
         """,
         "events_user_quantiles": """
             SELECT user_id,

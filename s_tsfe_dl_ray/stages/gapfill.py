@@ -311,3 +311,74 @@ def gapfill(
         tier_ds, key=key, ts_col=w, salt_every_us=salt_every_us,
         summarize=summarize, fold=fold, apply=apply, order_by=[w],
     )
+
+
+def resample_locf(
+    ds: "Dataset",
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    tier: str = "1h",
+    out_ts_col: str = "sample_ts",
+    out_col: str = "value_locf",
+    num_partitions: int = 64,
+) -> "Dataset":
+    """Resample an IRREGULAR event stream onto the regular tier grid by
+    last-observation-carried-forward: for every grid point between each
+    key's first and last event (grid = tier-floored span), emit the most
+    recent value at-or-before that instant — the classic as-of sampler
+    that turns raw events into an aligned series WITHOUT aggregating
+    (unlike the rollup, which summarizes a window; this samples a
+    point).  Sensor-alignment semantics: the reference assumes a uniform
+    clock (timeseries_batch_generator.py:186-221); this op manufactures
+    one.
+
+    Tie rule: a grid point equal to an event's timestamp takes that
+    event (latest by ``(ts, id_col)`` among equals).  Grid points before
+    a key's first event yield NULL.  One ``_pkey`` exchange; per key one
+    ``np.searchsorted`` of the grid against the sorted event times.
+    Output: ``key, out_ts_col, out_col``.
+    """
+    import numpy as np
+
+    from ..functions.windows import TIER_US
+    from .grouped import grouped_apply
+
+    size = TIER_US[tier]
+
+    def locf_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame({key: [], out_ts_col: pd.Series(
+                [], dtype="datetime64[us]"), out_col: []})
+        df = df.sort_values([key, ts_col, id_col], kind="mergesort")
+        k_all = df[key].to_numpy()
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
+        starts = np.concatenate([[0], change, [len(df)]])
+        keys_out, ts_out, v_out = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            t = ts[s:e]
+            g0 = (t[0] // size) * size  # non-negative epochs in practice
+            g1 = (t[-1] // size) * size
+            grid = np.arange(g0, g1 + size, size, dtype=np.int64)
+            idx = np.searchsorted(t, grid, side="right") - 1
+            val = np.where(idx >= 0, v[s:e][np.maximum(idx, 0)], np.nan)
+            keys_out.append(np.repeat(k_all[s], len(grid)))
+            ts_out.append(grid)
+            v_out.append(val)
+        return pd.DataFrame({
+            key: np.concatenate(keys_out),
+            out_ts_col: np.concatenate(ts_out).astype("datetime64[us]"),
+            out_col: np.concatenate(v_out),
+        })
+
+    cols = ds.map_batches(
+        lambda t: t.select([key, ts_col, value_col, id_col]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_apply(cols, keys=[key], fn=locf_partition,
+                         num_partitions=num_partitions, whole_partition=True)

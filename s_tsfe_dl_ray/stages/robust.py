@@ -361,3 +361,87 @@ def mann_whitney_u(
     tagged = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("_pkey").map_groups(mw_partition,
                                               batch_format="pandas")
+
+
+def ks_test(
+    ds: Dataset,
+    *,
+    key: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key two-sample Kolmogorov–Smirnov statistic
+    ``D = max |ECDF_a − ECDF_b|`` between two groups' value
+    distributions — the whole-shape sibling of :func:`mann_whitney_u`
+    (which only sees location): detects variance/tail changes a rank-sum
+    misses.
+
+    ECDF steps are exact rationals (cumulative counts / group size);
+    both sides compute the same float divisions, so D is bit-identical
+    to the SQL twin (cumulative window counts include ties — RANGE
+    frame semantics).  Keys missing either group emit nothing.  Rows of
+    other groups are dropped before the exchange.  Output:
+    ``key, n_a, n_b, ks_d``.
+    """
+    from .rollup import _stable_pkey
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[group_col],
+                        value_set=pa.array([group_a, group_b]))
+        t = t.filter(mask)
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def ks_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key: [], "n_a": pd.Series([], dtype="int64"),
+                              "n_b": pd.Series([], dtype="int64"), "ks_d": []})
+        if len(df) == 0:
+            return empty
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [key, value_col], kind="mergesort").reset_index(drop=True)
+        k_all = df[key].to_numpy()
+        a = (df[group_col] == group_a).to_numpy(dtype=np.int64)
+        b = (df[group_col] == group_b).to_numpy(dtype=np.int64)
+        v = df[value_col].to_numpy()
+        change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
+        gid = np.zeros(len(df), dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(df)]])
+        nk = len(starts)
+        ca = np.cumsum(a)
+        cb = np.cumsum(b)
+        base_a = np.concatenate([[0], ca[starts[1:] - 1]])
+        base_b = np.concatenate([[0], cb[starts[1:] - 1]])
+        ca = ca - base_a[gid]
+        cb = cb - base_b[gid]
+        # ECDF evaluated including ties: use the LAST row of each tie run
+        # (cumulative count at value v == count of rows ≤ v) — identical
+        # to the SQL RANGE-frame cumulative, which repeats that count on
+        # every peer row (the max is unaffected, so row-wise is fine too)
+        na = np.bincount(gid, weights=a, minlength=nk)
+        nb = np.bincount(gid, weights=b, minlength=nk)
+        same_key_next = np.zeros(len(df), dtype=bool)
+        same_key_next[:-1] = k_all[1:] == k_all[:-1]
+        same_val_next = np.zeros(len(df), dtype=bool)
+        same_val_next[:-1] = (v[1:] == v[:-1]) & same_key_next[:-1]
+        last_of_run = ~same_val_next
+        with np.errstate(invalid="ignore", divide="ignore"):
+            diff = np.abs(ca / na[gid] - cb / nb[gid])
+        diff = np.where(last_of_run, diff, 0.0)
+        d = np.zeros(nk)
+        np.maximum.at(d, gid, diff)
+        keep = (na > 0) & (nb > 0)
+        return pd.DataFrame({
+            key: k_all[starts][keep],
+            "n_a": na[keep].astype(np.int64),
+            "n_b": nb[keep].astype(np.int64),
+            "ks_d": d[keep],
+        })
+
+    tagged = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_pkey").map_groups(ks_partition,
+                                              batch_format="pandas")

@@ -378,3 +378,62 @@ def test_js_divergence_identical_zero_disjoint_ln2():
     out2 = to_pdf(js_divergence(_ds(disjoint)))
     assert out2.iloc[0]["js_div"] == pytest.approx(np.log(2.0))
     assert out2.iloc[0]["n_tokens"] == 5
+
+
+# ---------------------------------------------------------------------------
+# wave 4: ks test / locf resample
+# ---------------------------------------------------------------------------
+
+
+def test_ks_disjoint_distributions_hit_one():
+    from s_tsfe_dl_ray.stages.robust import ks_test
+
+    df = pd.DataFrame({
+        "k": ["u"] * 8 + ["onlya"] * 2,
+        "g": (["A"] * 4 + ["B"] * 4) + ["A"] * 2,
+        "v": [1.0, 2.0, 3.0, 4.0, 10.0, 11.0, 12.0, 13.0] + [1.0, 2.0],
+    })
+    out = to_pdf(ks_test(_ds(df), key="k", group_col="g", value_col="v",
+                         group_a="A", group_b="B"))
+    assert set(out["k"]) == {"u"}  # one-sided key emits nothing
+    assert out.iloc[0]["ks_d"] == 1.0  # fully separated supports
+
+
+def test_ks_identical_distributions_zero():
+    from s_tsfe_dl_ray.stages.robust import ks_test
+
+    v = [1.0, 2.0, 3.0]
+    df = pd.DataFrame({"k": "u", "g": ["A"] * 3 + ["B"] * 3, "v": v + v})
+    out = to_pdf(ks_test(_ds(df), key="k", group_col="g", value_col="v",
+                         group_a="A", group_b="B"))
+    assert out.iloc[0]["ks_d"] == 0.0
+
+
+def test_resample_locf_grid_and_carry():
+    from s_tsfe_dl_ray.stages.gapfill import resample_locf
+
+    # events at 00:30, 02:15 → hourly grid 00:00..02:00:
+    # 00:00 → NULL (before first), 01:00 → 00:30's value, 02:00 → same
+    df = pd.DataFrame({
+        "k": ["a", "a"],
+        "ts": pd.to_datetime(["2026-01-01 00:30", "2026-01-01 02:15"]),
+        "v": [7.0, 9.0],
+        "id": [1, 2],
+    })
+    out = to_pdf(resample_locf(_ds(df), key="k", ts_col="ts", value_col="v",
+                               id_col="id", tier="1h")).sort_values("sample_ts")
+    assert len(out) == 3
+    assert np.isnan(out.iloc[0]["value_locf"])
+    assert out.iloc[1]["value_locf"] == 7.0 and out.iloc[2]["value_locf"] == 7.0
+    # grid point == event ts takes that event, latest id among ties
+    df2 = pd.DataFrame({
+        "k": ["b"] * 3,
+        "ts": pd.to_datetime(["2026-01-01 01:00", "2026-01-01 01:00",
+                              "2026-01-01 02:00"]),
+        "v": [1.0, 2.0, 3.0],
+        "id": [10, 11, 12],
+    })
+    out2 = to_pdf(resample_locf(_ds(df2), key="k", ts_col="ts", value_col="v",
+                                id_col="id", tier="1h")).sort_values("sample_ts")
+    assert out2.iloc[0]["value_locf"] == 2.0  # tie → largest id
+    assert out2.iloc[1]["value_locf"] == 3.0
