@@ -1717,6 +1717,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, key="user_id", ts_col="ts", value_col="value",
             id_col="event_id", tier="1h"))
 
+    def q_events_drawdown(sf):
+        """Per-user maximum drawdown (worst peak-to-trough drop in time
+        order) — bit-exact comparison scan (stages/robust.max_drawdown)."""
+        from s_tsfe_dl_ray.stages.robust import max_drawdown
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(max_drawdown(
+            ds, key="user_id", ts_col="ts", value_col="value",
+            id_col="event_id"))
+
+    def q_docs_vocab_stats(sf):
+        """Corpus vocabulary health: instances / vocab / hapax counts +
+        type-token and hapax ratios (stages/text.vocab_stats)."""
+        from s_tsfe_dl_ray.stages.text import vocab_stats
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return _round_floats(vocab_stats(docs))
+
     def q_emb_cosine_centroid(sf):
         """Cosine of every embedding to the corpus mean vector — global
         typicality score (stages/similarity.cosine_to_centroid)."""
@@ -1861,6 +1879,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_quantiles": q_events_user_quantiles,
         "events_ks_test": q_events_ks_test,
         "events_resample_locf": q_events_resample_locf,
+        "events_drawdown": q_events_drawdown,
+        "docs_vocab_stats": q_docs_vocab_stats,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -3377,6 +3397,34 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.95) AS q_95,
                    quantile_disc(value, 0.99) AS q_99
             FROM events GROUP BY user_id
+        """,
+        "events_drawdown": """
+            WITH r AS (
+              SELECT user_id,
+                     max(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - value AS dd
+              FROM events
+            )
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   round(max(dd), 6) AS max_drawdown
+            FROM r GROUP BY 1
+        """,
+        "docs_vocab_stats": """
+            WITH tc AS (
+              SELECT token, count(*)::BIGINT AS n FROM (
+                SELECT unnest(string_split(trim(text), ' ')) AS token
+                FROM documents
+              ) WHERE token <> '' GROUP BY 1
+            )
+            SELECT sum(n)::BIGINT AS n_instances,
+                   count(*)::BIGINT AS n_vocab,
+                   sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+                   round(count(*) / sum(n)::DOUBLE, 6) AS type_token_ratio,
+                   round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                         / count(*)::DOUBLE, 6) AS hapax_ratio
+            FROM tc
         """,
         "emb_cosine_centroid": """
             WITH u AS (

@@ -445,3 +445,42 @@ def ks_test(
     tagged = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("_pkey").map_groups(ks_partition,
                                               batch_format="pandas")
+
+
+def max_drawdown(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key maximum drawdown: ``max_t (running_max(value) − value)``
+    in explicit time order — the worst peak-to-trough drop, THE
+    stability metric for any monitored level series (and the ordered-
+    scan sibling of the M4 min/max aggregate, which cannot see ordering).
+
+    Exact: running max is a pure comparison scan (cython ``cummax``) and
+    the drawdown is one float subtraction — both sides compute identical
+    doubles, so the result is bit-identical to the SQL window twin.
+    Output: ``key, n_events, max_drawdown`` (0.0 for a monotone-rising
+    series; keys emit one row each).
+    """
+
+    def dd_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: [], "n_events": pd.Series([], dtype="int64"),
+                                 "max_drawdown": []})
+        df = df.sort_values([key, ts_col, id_col], kind="mergesort")
+        g = df.groupby(key, sort=False)[value_col]
+        dd = g.cummax() - df[value_col]
+        out = pd.DataFrame({key: df[key], "_dd": dd}) \
+            .groupby(key, sort=False)["_dd"].agg(n_events="size",
+                                                 max_drawdown="max") \
+            .reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return grouped_apply(ds, keys=[key], fn=dd_partition,
+                         num_partitions=num_partitions, whole_partition=True)

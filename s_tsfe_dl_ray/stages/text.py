@@ -981,3 +981,68 @@ def js_divergence(
         .repartition(1)
         .map_batches(fin, batch_format="pandas", batch_size=None)
     )
+
+
+def vocab_stats(
+    ds: "Dataset",
+    *,
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> "Dataset":
+    """Corpus vocabulary health summary: total token instances,
+    vocabulary size, hapax legomena count (tokens appearing exactly
+    once), type-token ratio and hapax ratio — the two classic one-number
+    checks for template spam (TTR → 0, hapax → 0) vs noise (both → 1)
+    in an LLM training corpus.
+
+    Dataflow: the word-count combiner (per-batch distinct (token, n)
+    partials → one token-hash exchange) feeds per-partition scalar
+    partials ``(instances, vocab, hapax)``; one tiny final sum.  Ratios
+    are single exact-int divisions.  Output: one row —
+    ``n_instances, n_vocab, n_hapax, type_token_ratio, hapax_ratio``.
+    """
+    from .dedup import _grouped_min
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.utf8_trim(t[text_col], " "), " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    merged = _grouped_min(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        group_cols=["token"], agg_cols=[("n", "sum")], pkey_col="token",
+        num_partitions=num_partitions)
+
+    def part_stats(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_inst": pa.array([int(n.sum())], pa.int64()),
+            "_vocab": pa.array([len(n)], pa.int64()),
+            "_hapax": pa.array([int((n == 1).sum())], pa.int64()),
+        })
+
+    def fin(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        inst = int(df["_inst"].sum())
+        vocab = int(df["_vocab"].sum())
+        hapax = int(df["_hapax"].sum())
+        return pd.DataFrame({
+            "n_instances": pd.Series([inst], dtype="int64"),
+            "n_vocab": pd.Series([vocab], dtype="int64"),
+            "n_hapax": pd.Series([hapax], dtype="int64"),
+            "type_token_ratio": [vocab / inst if inst else np.nan],
+            "hapax_ratio": [hapax / vocab if vocab else np.nan],
+        })
+
+    return (
+        merged.map_batches(part_stats, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fin, batch_format="pandas", batch_size=None)
+    )

@@ -437,3 +437,36 @@ def test_resample_locf_grid_and_carry():
                                 id_col="id", tier="1h")).sort_values("sample_ts")
     assert out2.iloc[0]["value_locf"] == 2.0  # tie → largest id
     assert out2.iloc[1]["value_locf"] == 3.0
+
+
+# ---------------------------------------------------------------------------
+# wave 5: drawdown / vocab stats
+# ---------------------------------------------------------------------------
+
+
+def test_max_drawdown_peak_to_trough():
+    from s_tsfe_dl_ray.stages.robust import max_drawdown
+
+    df = pd.DataFrame({
+        "k": ["a"] * 6 + ["up"] * 3,
+        "ts": pd.to_datetime(list(range(6)) + list(range(3)), unit="s"),
+        "v": [10.0, 50.0, 20.0, 40.0, 5.0, 30.0] + [1.0, 2.0, 3.0],
+        "id": range(9),
+    })
+    out = to_pdf(max_drawdown(_ds(df), key="k", ts_col="ts", value_col="v",
+                              id_col="id")).set_index("k")
+    assert out.loc["a", "max_drawdown"] == 45.0  # 50 → 5
+    assert out.loc["up", "max_drawdown"] == 0.0  # monotone rise
+
+
+def test_vocab_stats_counts():
+    from s_tsfe_dl_ray.stages.text import vocab_stats
+
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["a a b c", "b d"]})
+    out = to_pdf(vocab_stats(_ds(df))).iloc[0]
+    assert out["n_instances"] == 6
+    assert out["n_vocab"] == 4      # a b c d
+    assert out["n_hapax"] == 2      # c, d
+    assert out["type_token_ratio"] == pytest.approx(4 / 6)
+    assert out["hapax_ratio"] == pytest.approx(0.5)
