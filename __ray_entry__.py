@@ -1735,6 +1735,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         return _round_floats(vocab_stats(docs))
 
+    def q_events_hopping_1h_15m(sf):
+        """Overlapping windows: 1h windows hopping every 15 min, via pane
+        composition — rows combine once into 15 min panes, each merged
+        pane feeds its 4 containing windows partition-locally
+        (stages/rollup.hopping_rollup; exchange == tumbling-15m cost)."""
+        from s_tsfe_dl_ray.pipelines.events_rollup import EVENTS_SPEC
+        from s_tsfe_dl_ray.stages.rollup import hopping_rollup
+
+        ds = read_events(sf, columns=["user_id", "ts", "value"])
+        return _round_floats(hopping_rollup(
+            ds, EVENTS_SPEC, size="1h", hop=15 * 60 * 1_000_000))
+
     def q_emb_cosine_centroid(sf):
         """Cosine of every embedding to the corpus mean vector — global
         typicality score (stages/similarity.cosine_to_centroid)."""
@@ -1881,6 +1893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_resample_locf": q_events_resample_locf,
         "events_drawdown": q_events_drawdown,
         "docs_vocab_stats": q_docs_vocab_stats,
+        "events_hopping_1h_15m": q_events_hopping_1h_15m,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -3410,6 +3423,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*)::BIGINT AS n_events,
                    round(max(dd), 6) AS max_drawdown
             FROM r GROUP BY 1
+        """,
+        # each event replicated to its 4 containing 1h-windows on the
+        # 15-min hop grid (same explode the engine applies to PANES)
+        "events_hopping_1h_15m": """
+            WITH x AS (
+              SELECT user_id, value,
+                     (epoch_us(ts) // 900000000) * 900000000 AS pane,
+                     unnest([0, 1, 2, 3]) AS j
+              FROM events
+            )
+            SELECT user_id,
+                   make_timestamp(pane - j::BIGINT * 900000000) AS window_start,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS value_sum,
+                   round(min(value), 6) AS value_min,
+                   round(max(value), 6) AS value_max,
+                   round(avg(value), 6) AS value_mean
+            FROM x GROUP BY 1, 2
         """,
         "docs_vocab_stats": """
             WITH tc AS (

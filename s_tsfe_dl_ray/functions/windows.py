@@ -39,19 +39,25 @@ def _floor_to(us: pa.ChunkedArray | pa.Array, size: int) -> pa.ChunkedArray:
     return pc.subtract(us, rem)
 
 
-def window_start_us(ts: pa.ChunkedArray | pa.Array, tier: str) -> pa.ChunkedArray:
+def _tier_us(tier: "str | int") -> int:
+    """Resolve a tier to µs: a registered tier name or a raw int µs size
+    (hopping windows use arbitrary hop grids, e.g. 15 min panes)."""
+    return TIER_US[tier] if isinstance(tier, str) else int(tier)
+
+
+def window_start_us(ts: pa.ChunkedArray | pa.Array, tier: "str | int") -> pa.ChunkedArray:
     """floor(ts, tier) as int64 µs-since-epoch (vectorized, zero-copy cast).
     Floors correctly for pre-epoch (negative) timestamps."""
     if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
         # normalize first: a verbatim int64 cast of e.g. a ns-precision
         # column (pandas default) would mis-window by 1000×
         ts = pc.cast(ts, pa.timestamp("us", tz=ts.type.tz))
-    return _floor_to(pc.cast(ts, pa.int64()), TIER_US[tier])
+    return _floor_to(pc.cast(ts, pa.int64()), _tier_us(tier))
 
 
-def rewindow_us(window_start: pa.ChunkedArray, tier: str) -> pa.ChunkedArray:
+def rewindow_us(window_start: pa.ChunkedArray, tier: "str | int") -> pa.ChunkedArray:
     """Re-assign an int64 window_start to a coarser tier (cascade step)."""
-    return _floor_to(window_start, TIER_US[tier])
+    return _floor_to(window_start, _tier_us(tier))
 
 
 def window_to_timestamp(window_start: pa.ChunkedArray) -> pa.ChunkedArray:

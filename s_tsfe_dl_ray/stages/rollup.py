@@ -46,7 +46,9 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-from ..functions.windows import rewindow_us, window_start_us, window_to_timestamp
+from ..functions.windows import (
+    _tier_us, rewindow_us, window_start_us, window_to_timestamp,
+)
 
 _BASE_AGGS = ("sum", "min", "max", "cnt")
 
@@ -435,3 +437,64 @@ def finalize(
     if sort:
         out = out.sort(list(spec.keys) + [window_col])
     return out
+
+
+def hopping_rollup(
+    ds: Dataset,
+    spec: RollupSpec,
+    *,
+    size: "str | int",
+    hop: "str | int",
+) -> Dataset:
+    """OVERLAPPING (hopping) event-time windows: every ``hop`` a window
+    of length ``size`` opens, and each row belongs to ``size/hop``
+    windows — the sliding-window aggregate of stream processors (and the
+    aggregate analog of the reference's overlapping window generator,
+    timeseries_batch_generator.py:186-221 ``length``/``stride``).
+
+    Pane composition, NOT row duplication: rows pre-aggregate once into
+    tumbling ``hop``-sized PANES (the standard rollup combiner + its one
+    partials-only shuffle); each merged pane row is then replicated to
+    the ``size/hop`` windows that contain it and re-combined WITHIN the
+    partition (``_pkey`` is a function of the key alone, so no second
+    exchange is needed).  Exchange bytes are identical to a tumbling
+    rollup at ``hop``; the k-way amplification happens only on the tiny
+    merged pane rows.  Windows with zero events do not appear (gap-fill
+    downstream if a dense grid is wanted).
+
+    ``size``/``hop``: tier names (``"1h"``) or raw µs ints; ``hop`` must
+    divide ``size``.  Output: the same public schema as ``finalize``
+    (keys, window_start, count, metric stats), one row per (key, window
+    start) with ≥1 event.
+    """
+    import numpy as np
+
+    size_us = _tier_us(size)
+    hop_us = _tier_us(hop)
+    if size_us % hop_us:
+        raise ValueError(f"hop must divide size ({size_us} % {hop_us} != 0)")
+    k = size_us // hop_us
+    offs = np.arange(k, dtype=np.int64) * hop_us
+
+    panes = ds.map_batches(
+        _PartialBatch(spec, hop_us),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    merged = _ray_merge(spec, panes)
+
+    def explode_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), k)
+        t2 = t.take(pa.array(idx))
+        ws = t2["window_start"].to_numpy(zero_copy_only=False) \
+            - np.tile(offs, t.num_rows)
+        t2 = t2.set_column(t2.column_names.index("window_start"),
+                           "window_start", pa.array(ws, pa.int64()))
+        return _merge_partials_table(spec, t2)
+
+    win = merged.map_batches(explode_merge, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True)
+    return win.map_batches(lambda t: finalize_table(spec, t),
+                           batch_format="pyarrow", zero_copy_batch=True)

@@ -470,3 +470,24 @@ def test_vocab_stats_counts():
     assert out["n_hapax"] == 2      # c, d
     assert out["type_token_ratio"] == pytest.approx(4 / 6)
     assert out["hapax_ratio"] == pytest.approx(0.5)
+
+
+def test_hopping_windows_contain_tumbling_and_conserve_mass():
+    from s_tsfe_dl_ray.pipelines.events_rollup import EVENTS_SPEC, events_tier
+    from s_tsfe_dl_ray.stages.rollup import hopping_rollup
+    from s_tsfe_dl_ray.sources.parquet import read_events
+
+    sf = "/root/testdata/sf0.001"
+    hop = to_pdf(hopping_rollup(
+        read_events(sf, columns=["user_id", "ts", "value"]),
+        EVENTS_SPEC, size="1h", hop=15 * 60 * 1_000_000))
+    tumb = to_pdf(events_tier(sf, "1h"))
+    # every event lands in exactly size/hop = 4 windows
+    assert hop["n_events"].sum() == 4 * tumb["n_events"].sum()
+    # hour-aligned hopping windows ARE the tumbling 1h rollup
+    aligned = hop[hop["window_start"].dt.minute == 0]
+    m = aligned.merge(tumb, on=["user_id", "window_start"],
+                      suffixes=("_h", "_t"))
+    assert len(m) == len(tumb) == len(aligned)
+    assert (m["n_events_h"] == m["n_events_t"]).all()
+    assert np.allclose(m["value_sum_h"], m["value_sum_t"], rtol=0, atol=1e-9)
