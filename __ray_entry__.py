@@ -23,15 +23,16 @@ documented here rather than hidden.
 
 Driver row cap: the round-2 driver recorded exactly the first 50 entries
 of ``queries()`` — keep oracle-paired queries within the first 50 (see the
-ordering note inside ``queries()``).  With 62 registered queries the tail
-is ordered by information value: the 12 entries past the cap are the
-pytest-covered rows-only queries (minhash dedup, IVF, EWMA, dup-words,
-mixture sampling, embedding-LSH recall probe, simhash signatures + pairs,
-rolling fingerprint, the three stub-decode media demos) — dropped
-consciously, never an oracle-paired query.  EWMA / dup-words / mixture DO
-have exact DuckDB twins, but those live in pytest (tests/test_ewma.py,
-tests/test_text.py) rather than ``oracle_sql()`` so the driver never sees
-a registered oracle it cannot check.
+ordering note inside ``queries()``).  With 137 registered queries (115
+oracle-paired) the tail is ordered by information value: demoted veterans
+with r1–r3 driver rows on record first, then the round-3/round-4 waves
+(all oracle-paired, verified at driver scale by
+tests/test_entry_contract.py), then the pytest-covered rows-only queries
+(minhash dedup, IVF, EWMA, dup-words, mixture sampling, embedding-LSH
+recall probe, simhash, rolling fingerprint, LTTB, media demos).  EWMA /
+dup-words / mixture DO have exact DuckDB twins, but those live in pytest
+(tests/test_ewma.py, tests/test_text.py) rather than ``oracle_sql()`` so
+the driver never sees a registered oracle it cannot check.
 """
 
 from __future__ import annotations
