@@ -841,6 +841,7 @@ def bollinger_bands(
     window: int = 5,
     k: float = 2.0,
     num_partitions: int = 64,
+    salt_every_us: int | None = None,
 ) -> Dataset:
     """Trailing Bollinger bands per key: rolling mean, rolling SAMPLE
     std and mean ± k·std over the ``window`` most recent rows
@@ -858,19 +859,16 @@ def bollinger_bands(
 
     One key-hash co-partition; the shift matrix is built with cython
     ``groupby.shift`` across all keys at once — no per-key Python.
+
+    ``salt_every_us``: mega-key mode (stages/salted.py) — each time
+    chunk carries only the previous chunks' last ``window−1`` values, so
+    no partition ever holds a hot key's full history.  Output is EXACTLY
+    equal to the unsalted path (every window sees identical contents and
+    the stats are deterministic two-pass — no accumulator drift).
     """
     from .grouped import grouped_apply
 
-    def bb_partition(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(keys + order_by, kind="mergesort").reset_index(drop=True)
-        if len(df) == 0:
-            for c in ("bb_mean", "bb_std", "bb_upper", "bb_lower"):
-                df[c] = pd.Series([], dtype="float64")
-            return df
-        g = df.groupby(keys, sort=False)[col]
-        m = np.column_stack(
-            [g.shift(i).to_numpy(dtype=np.float64) for i in range(window - 1, -1, -1)]
-        )  # (n, window): oldest … current, NaN where the key lacks history
+    def _stats(m: np.ndarray, df: pd.DataFrame) -> pd.DataFrame:
         valid = ~np.isnan(m)
         n = valid.sum(axis=1).astype(np.float64)
         mean = np.nansum(m, axis=1) / n
@@ -888,6 +886,55 @@ def bollinger_bands(
         df["bb_upper"] = mean + k * std
         df["bb_lower"] = mean - k * std
         return df
+
+    if salt_every_us is not None:
+        if len(keys) != 1:
+            raise ValueError("salted bollinger requires a single key")
+        from .salted import salted_scan
+
+        ts_col = order_by[0]
+        keep = window - 1
+
+        def summarize(g: pd.DataFrame) -> dict:
+            return {"tail": [float(v) for v in g[col].to_numpy()[-keep:]]
+                    if keep else []}
+
+        def step(carry: dict | None, s: dict) -> dict:
+            prev = carry["tail"] if carry else []
+            return {"tail": (prev + s["tail"])[-keep:] if keep else []}
+
+        def apply(g: pd.DataFrame, carry: dict | None) -> pd.DataFrame:
+            if len(g) == 0:
+                return g
+            g = g.sort_values(order_by, kind="mergesort")
+            prev = np.asarray(carry["tail"] if carry else [], dtype=np.float64)
+            v = np.concatenate([prev, g[col].to_numpy(dtype=np.float64)])
+
+            def shifted(i: int) -> np.ndarray:
+                if i >= len(v):
+                    return np.full(len(v), np.nan)
+                return np.concatenate([np.full(i, np.nan), v[:len(v) - i]])
+
+            m = np.column_stack(
+                [shifted(i) for i in range(window - 1, -1, -1)])[len(prev):]
+            return _stats(m, g)
+
+        return salted_scan(
+            ds, key=keys[0], ts_col=ts_col, salt_every_us=salt_every_us,
+            summarize=summarize, step=step, apply=apply, order_by=order_by,
+        )
+
+    def bb_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + order_by, kind="mergesort").reset_index(drop=True)
+        if len(df) == 0:
+            for c in ("bb_mean", "bb_std", "bb_upper", "bb_lower"):
+                df[c] = pd.Series([], dtype="float64")
+            return df
+        g = df.groupby(keys, sort=False)[col]
+        m = np.column_stack(
+            [g.shift(i).to_numpy(dtype=np.float64) for i in range(window - 1, -1, -1)]
+        )  # (n, window): oldest … current, NaN where the key lacks history
+        return _stats(m, df)
 
     return grouped_apply(ds, keys=keys, fn=bb_partition,
                          num_partitions=num_partitions, whole_partition=True)

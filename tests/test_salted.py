@@ -206,3 +206,22 @@ def test_salted_trailing_agg_matches():
     assert len(b) == len(s) == len(df)
     np.testing.assert_array_equal(b.n.to_numpy(), s.n.to_numpy())
     np.testing.assert_allclose(b.vs.to_numpy(), s.vs.to_numpy(), rtol=1e-12)
+
+
+def test_salted_bollinger_exact():
+    from s_tsfe_dl_ray.stages.transform import bollinger_bands
+
+    df = _corpus()
+    kw = dict(keys=["user_id"], order_by=["ts", "event_id"], col="value",
+              window=5)
+    plain = to_pdf(bollinger_bands(ray.data.from_pandas(df), **kw)) \
+        .sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    salted = to_pdf(bollinger_bands(ray.data.from_pandas(df),
+                                    salt_every_us=SALT_US, **kw)) \
+        .sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    for c in ("bb_mean", "bb_std", "bb_upper", "bb_lower"):
+        a = plain[c].to_numpy()
+        b = salted[c].to_numpy()
+        # EXACT: every window sees identical contents; stats are
+        # deterministic two-pass (no accumulator drift across chunks)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
