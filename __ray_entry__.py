@@ -1748,6 +1748,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(hopping_rollup(
             ds, EVENTS_SPEC, size="1h", hop=15 * 60 * 1_000_000))
 
+    def q_events_dominant_period(sf):
+        """Per-user dominant period: argmax autocorrelation over lags
+        1–12 (ties -> smallest lag) — seasonality probe on top of acf
+        (stages/trend.dominant_period)."""
+        from s_tsfe_dl_ray.stages.trend import dominant_period
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(dominant_period(
+            ds, key="user_id", value_col="value",
+            order_by=["ts", "event_id"], max_lag=12))
+
+    def q_docs_pack_512(sf):
+        """Greedy first-fit-decreasing sample packing into 512-token
+        bins, partition-local (stages/text.pack_sequences) — rows-only
+        (the greedy assignment is order-dependent, no SQL twin; property
+        tests pin budget respect / coverage / determinism)."""
+        from s_tsfe_dl_ray.stages.text import pack_sequences
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return pack_sequences(docs, budget=512)
+
     def q_emb_cosine_centroid(sf):
         """Cosine of every embedding to the corpus mean vector — global
         typicality score (stages/similarity.cosine_to_centroid)."""
@@ -1895,6 +1916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_drawdown": q_events_drawdown,
         "docs_vocab_stats": q_docs_vocab_stats,
         "events_hopping_1h_15m": q_events_hopping_1h_15m,
+        "events_dominant_period": q_events_dominant_period,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -1919,6 +1941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": q_docs_simhash,
         "docs_rolling_fingerprint": q_docs_rolling_fingerprint,
         "events_lttb_20": q_events_lttb_20,
+        "docs_pack_512": q_docs_pack_512,
         "media_decode_demo": q_media_decode_demo,
         "media_audio_demo": q_media_audio_demo,
         "media_frames_demo": q_media_frames_demo,
@@ -3457,6 +3480,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
                          / count(*)::DOUBLE, 6) AS hapax_ratio
             FROM tc
+        """,
+        # variable-lag pairs via a row_number self-join (SQL lag() needs a
+        # constant offset); argmax via struct_pack min on (-ac, lag)
+        "events_dominant_period": """
+            WITH o AS (
+              SELECT user_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ), l AS (SELECT unnest(generate_series(1, 12)) AS lag),
+            c AS (
+              SELECT a.user_id, l.lag, corr(a.value, b.value) AS ac
+              FROM o a JOIN l ON true
+              JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn - l.lag
+              GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   struct_extract(min(struct_pack(na := -ac, l := lag)),
+                                  'l')::BIGINT AS period,
+                   round(-struct_extract(min(struct_pack(na := -ac, l := lag)),
+                                         'na'), 6) AS acf_peak
+            FROM c WHERE ac IS NOT NULL GROUP BY 1
         """,
         "emb_cosine_centroid": """
             WITH u AS (

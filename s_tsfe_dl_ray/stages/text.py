@@ -1046,3 +1046,86 @@ def vocab_stats(
         .repartition(1)
         .map_batches(fin, batch_format="pandas", batch_size=None)
     )
+
+
+def pack_sequences(
+    ds: "Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    num_partitions: int = 64,
+) -> "Dataset":
+    """Greedy sample packing: assign documents to fixed-token-budget bins
+    (first-fit-decreasing) — the packing step that turns chunked
+    documents into dense fixed-length training samples (wasted pad
+    tokens are wasted FLOPs at 100 TB).  Token counts are whitespace
+    tokens (the engine's standard split).
+
+    Packing is PARTITION-LOCAL by design — exactly how production
+    pipelines do it (bins never span shards, so packing parallelizes
+    embarrassingly and a resumed run repacks only its own shard).  Bin
+    ids are globally unique: ``partition_id << 40 | local_bin``.
+    Documents longer than the budget get a dedicated bin, flagged
+    ``oversize=True`` (truncation policy is the caller's — compose with
+    chunk_words upstream to pre-split).
+
+    The FFD loop is per-partition Python over DOC rows (not tokens) —
+    bounded by the block's row count and dwarfed by the tokenize cost;
+    documented trade-off, the assignment is inherently sequential.
+    Output: ``id_col, n_tokens, bin_id, oversize``.
+    """
+    from .rollup import _stable_pkey
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim(t[text_col], " ")
+        toks = pc.split_pattern(trimmed, " ")
+        flat_n = pc.list_value_length(toks)
+        # empty docs tokenize to [''] — count real tokens only
+        n_empty = pc.cast(pc.equal(trimmed, ""), pa.int64())
+        n = pc.subtract(pc.cast(flat_n, pa.int64()), n_empty)
+        out = pa.table({id_col: t[id_col], "n_tokens": n})
+        return out.append_column(
+            "_pkey", _stable_pkey(out[id_col], num_partitions))
+
+    def pack_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame({id_col: [], "n_tokens": pd.Series([], dtype="int64"),
+                                 "bin_id": pd.Series([], dtype="int64"),
+                                 "oversize": pd.Series([], dtype="bool")})
+        pkey = int(df["_pkey"].iloc[0])
+        df = df.drop(columns=["_pkey"]).sort_values(
+            ["n_tokens", id_col], ascending=[False, True],
+            kind="mergesort").reset_index(drop=True)
+        sizes = df["n_tokens"].to_numpy(dtype=np.int64)
+        bins_free: list[int] = []
+        assign = np.empty(len(df), dtype=np.int64)
+        oversize = sizes > budget
+        for i, sz in enumerate(sizes):
+            if sz > budget:
+                assign[i] = len(bins_free)
+                bins_free.append(0)  # dedicated, full
+                continue
+            # first fit over open bins (linear scan; fine for block-sized
+            # partitions — see docstring)
+            for b, free in enumerate(bins_free):
+                if free >= sz:
+                    assign[i] = b
+                    bins_free[b] = free - sz
+                    break
+            else:
+                assign[i] = len(bins_free)
+                bins_free.append(budget - sz)
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "n_tokens": sizes,
+            "bin_id": (np.int64(pkey) << np.int64(40)) | assign,
+            "oversize": oversize,
+        })
+
+    tagged = ds.map_batches(tokenize, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return tagged.groupby("_pkey").map_groups(pack_partition,
+                                              batch_format="pandas")

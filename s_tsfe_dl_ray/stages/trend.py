@@ -521,3 +521,42 @@ def acf(
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(acf_partition, batch_format="pandas")
+
+
+def dominant_period(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    order_by: list[str],
+    max_lag: int = 24,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key dominant period: the lag in ``1..max_lag`` with the
+    highest autocorrelation (ties → smallest lag) — the cheap "does this
+    series have a daily/weekly pulse, and at what period" detector built
+    on :func:`acf` (a one-number seasonality probe before reaching for a
+    full decomposition).
+
+    Keys whose every lag is undefined (too short / constant) emit
+    nothing.  The argmax runs per acf output block (each block holds ALL
+    lags of its keys — acf computes lags inside one co-partition body),
+    so no extra exchange is added.  Output: ``key, period, acf_peak``.
+    """
+
+    a = acf(ds, key=key, value_col=value_col, order_by=order_by,
+            lags=tuple(range(1, max_lag + 1)), num_partitions=num_partitions)
+
+    def argmax_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["autocorr"].notna()]
+        if len(df) == 0:
+            return pd.DataFrame({key: [], "period": pd.Series([], dtype="int64"),
+                                 "acf_peak": []})
+        df = df.sort_values([key, "autocorr", "lag"],
+                            ascending=[True, False, True], kind="mergesort")
+        top = df.drop_duplicates(subset=[key], keep="first")
+        return pd.DataFrame({key: top[key].to_numpy(),
+                             "period": top["lag"].to_numpy(dtype=np.int64),
+                             "acf_peak": top["autocorr"].to_numpy()})
+
+    return a.map_batches(argmax_block, batch_format="pandas", batch_size=None)

@@ -491,3 +491,58 @@ def test_hopping_windows_contain_tumbling_and_conserve_mass():
     assert len(m) == len(tumb) == len(aligned)
     assert (m["n_events_h"] == m["n_events_t"]).all()
     assert np.allclose(m["value_sum_h"], m["value_sum_t"], rtol=0, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# wave 6: dominant period / sample packing
+# ---------------------------------------------------------------------------
+
+
+def test_dominant_period_finds_planted_cycle():
+    from s_tsfe_dl_ray.stages.trend import dominant_period
+
+    n = 72
+    v = np.sin(2 * np.pi * np.arange(n) / 6) + 5.0  # exact period 6
+    df = pd.DataFrame({"k": "a", "ts": pd.to_datetime(np.arange(n), unit="s"),
+                       "v": v, "id": np.arange(n)})
+    out = to_pdf(dominant_period(_ds(df), key="k", value_col="v",
+                                 order_by=["ts", "id"], max_lag=12))
+    row = out.iloc[0]
+    assert row["period"] == 6
+    assert row["acf_peak"] > 0.99
+    # a 2-row key has every lag's corr NULL → emits nothing
+    tiny = pd.DataFrame({"k": "t", "ts": pd.to_datetime([0, 1], unit="s"),
+                         "v": [1.0, 2.0], "id": [0, 1]})
+    out2 = to_pdf(dominant_period(_ds(tiny), key="k", value_col="v",
+                                  order_by=["ts", "id"], max_lag=12))
+    assert len(out2) == 0
+
+
+def test_pack_sequences_budget_coverage_determinism():
+    from s_tsfe_dl_ray.stages.text import pack_sequences
+
+    rng = np.random.default_rng(13)
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(5, 200, 300)]
+    texts += [" ".join(["w"] * 700), ""]  # one oversize, one empty doc
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = to_pdf(pack_sequences(_ds(df), budget=512))
+    # every doc assigned exactly once
+    assert sorted(out["doc_id"]) == list(range(len(texts)))
+    # token counts correct (empty doc = 0 tokens)
+    assert out.set_index("doc_id").loc[len(texts) - 1, "n_tokens"] == 0
+    assert out.set_index("doc_id").loc[len(texts) - 2, "n_tokens"] == 700
+    # budget respected for every non-oversize bin
+    g = out[~out["oversize"]].groupby("bin_id")["n_tokens"].sum()
+    assert (g <= 512).all()
+    # oversize docs sit alone in their bin, flagged
+    over = out[out["oversize"]]
+    assert len(over) == 1
+    assert (out["bin_id"] == over["bin_id"].iloc[0]).sum() == 1
+    # deterministic across runs
+    out2 = to_pdf(pack_sequences(_ds(df), budget=512))
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert (a["bin_id"].to_numpy() == b["bin_id"].to_numpy()).all()
+    # packing is dense: utilization of closed bins is decent for FFD
+    util = g.sum() / (512 * len(g))
+    assert util > 0.6
