@@ -1769,6 +1769,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         return pack_sequences(docs, budget=512)
 
+    def q_events_type_concentration(sf):
+        """Per-user behavioral concentration over event types: HHI,
+        Shannon entropy, top share (stages/distinct.categorical_concentration)."""
+        from s_tsfe_dl_ray.stages.distinct import categorical_concentration
+
+        ds = read_events(sf, columns=["user_id", "event_type"])
+        return _round_floats(categorical_concentration(
+            ds, group_col="user_id", member_col="event_type"))
+
+    def q_events_daily_user_hhi(sf):
+        """Daily traffic concentration across users (is the day dominated
+        by few users?) — same op, day-grid group."""
+        from s_tsfe_dl_ray.functions.windows import window_start_us, window_to_timestamp
+        from s_tsfe_dl_ray.stages.distinct import categorical_concentration
+
+        ds = read_events(sf, columns=["ts", "user_id"])
+        ds = ds.map_batches(
+            lambda t: pa.table({
+                "day": window_to_timestamp(window_start_us(t["ts"], "1d")),
+                "user_id": t["user_id"],
+            }),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return _round_floats(categorical_concentration(
+            ds, group_col="day", member_col="user_id"))
+
     def q_emb_cosine_centroid(sf):
         """Cosine of every embedding to the corpus mean vector — global
         typicality score (stages/similarity.cosine_to_centroid)."""
@@ -1917,6 +1942,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_stats": q_docs_vocab_stats,
         "events_hopping_1h_15m": q_events_hopping_1h_15m,
         "events_dominant_period": q_events_dominant_period,
+        "events_type_concentration": q_events_type_concentration,
+        "events_daily_user_hhi": q_events_daily_user_hhi,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -3502,6 +3529,35 @@ def oracle_sql() -> dict[str, str]:
                    round(-struct_extract(min(struct_pack(na := -ac, l := lag)),
                                          'na'), 6) AS acf_peak
             FROM c WHERE ac IS NOT NULL GROUP BY 1
+        """,
+        "events_type_concentration": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2
+            ), t AS (
+              SELECT user_id, sum(n)::BIGINT AS tot, count(*)::BIGINT AS k
+              FROM c GROUP BY 1
+            )
+            SELECT c.user_id, min(t.tot) AS n_rows, min(t.k) AS n_members,
+                   round(sum((c.n / t.tot) * (c.n / t.tot)), 6) AS hhi,
+                   round(-sum((c.n / t.tot) * ln(c.n / t.tot)), 6) AS entropy,
+                   round(max(c.n / t.tot), 6) AS top_share
+            FROM c JOIN t USING (user_id) GROUP BY 1
+        """,
+        "events_daily_user_hhi": """
+            WITH c AS (
+              SELECT date_trunc('day', ts) AS day, user_id,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2
+            ), t AS (
+              SELECT day, sum(n)::BIGINT AS tot, count(*)::BIGINT AS k
+              FROM c GROUP BY 1
+            )
+            SELECT c.day, min(t.tot) AS n_rows, min(t.k) AS n_members,
+                   round(sum((c.n / t.tot) * (c.n / t.tot)), 6) AS hhi,
+                   round(-sum((c.n / t.tot) * ln(c.n / t.tot)), 6) AS entropy,
+                   round(max(c.n / t.tot), 6) AS top_share
+            FROM c JOIN t USING (day) GROUP BY 1
         """,
         "emb_cosine_centroid": """
             WITH u AS (

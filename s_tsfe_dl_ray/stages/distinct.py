@@ -374,3 +374,65 @@ def mode_per_key(
 
     tagged = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("_pkey").map_groups(merge, batch_format="pandas")
+
+
+def categorical_concentration(
+    ds: "Dataset",
+    *,
+    group_col: str,
+    member_col: str,
+    num_partitions: int = 64,
+) -> "Dataset":
+    """Per-group concentration profile of a categorical column: member
+    count, Herfindahl–Hirschman index ``Σ share²``, Shannon entropy
+    ``−Σ p·ln p`` and the top member's share — the one-pass "is this
+    group dominated by one member or spread out" summary (daily traffic
+    concentration, per-user behavioral entropy).
+
+    Combiner discipline: per-batch ``group_by(group, member)`` counts
+    (bounded by groups × members, not rows) → one ``_pkey`` exchange by
+    group → vectorized per-partition share math from EXACT merged int
+    counts.  Output: ``group_col, n_rows, n_members, hhi, entropy,
+    top_share``.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .rollup import _stable_pkey
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = pa.table({group_col: t[group_col], member_col: t[member_col]}) \
+            .group_by([group_col, member_col], use_threads=False) \
+            .aggregate([([], "count_all")])
+        out = pa.table({group_col: out[group_col], member_col: out[member_col],
+                        "_n": pc.cast(out["count_all"], pa.int64())})
+        return out.append_column("_pkey",
+                                 _stable_pkey(out[group_col], num_partitions))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([group_col, member_col], sort=False)["_n"] \
+            .sum().reset_index()
+        tot = g.groupby(group_col, sort=False)["_n"].transform("sum")
+        p = g["_n"].to_numpy(dtype=np.float64) / tot.to_numpy(dtype=np.float64)
+        agg = pd.DataFrame({
+            group_col: g[group_col],
+            "_tot": tot,
+            "_p2": p * p,
+            "_plnp": p * np.log(p),
+            "_p": p,
+        }).groupby(group_col, sort=False).agg(
+            n_rows=("_tot", "first"), n_members=("_p", "size"),
+            hhi=("_p2", "sum"), nent=("_plnp", "sum"), top_share=("_p", "max"),
+        ).reset_index()
+        return pd.DataFrame({
+            group_col: agg[group_col],
+            "n_rows": agg["n_rows"].astype(np.int64),
+            "n_members": agg["n_members"].astype(np.int64),
+            "hhi": agg["hhi"],
+            "entropy": -agg["nent"].to_numpy(),
+            "top_share": agg["top_share"],
+        })
+
+    tagged = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return tagged.groupby("_pkey").map_groups(merge, batch_format="pandas")

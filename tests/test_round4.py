@@ -546,3 +546,19 @@ def test_pack_sequences_budget_coverage_determinism():
     # packing is dense: utilization of closed bins is decent for FFD
     util = g.sum() / (512 * len(g))
     assert util > 0.6
+
+
+def test_categorical_concentration_extremes():
+    from s_tsfe_dl_ray.stages.distinct import categorical_concentration
+
+    df = pd.DataFrame({
+        "g": ["mono"] * 4 + ["uni"] * 4,
+        "m": ["x"] * 4 + ["a", "b", "c", "d"],
+    })
+    out = to_pdf(categorical_concentration(_ds(df), group_col="g",
+                                           member_col="m")).set_index("g")
+    assert out.loc["mono", "hhi"] == 1.0 and out.loc["mono", "entropy"] == 0.0
+    assert out.loc["mono", "top_share"] == 1.0
+    assert out.loc["uni", "hhi"] == pytest.approx(0.25)
+    assert out.loc["uni", "entropy"] == pytest.approx(np.log(4.0))
+    assert out.loc["uni", "n_members"] == 4
