@@ -23,7 +23,7 @@ documented here rather than hidden.
 
 Driver row cap: the round-2 driver recorded exactly the first 50 entries
 of ``queries()`` — keep oracle-paired queries within the first 50 (see the
-ordering note inside ``queries()``).  With 137 registered queries (115
+ordering note inside ``queries()``).  With 141 registered queries (118
 oracle-paired) the tail is ordered by information value: demoted veterans
 with r1–r3 driver rows on record first, then the round-3/round-4 waves
 (all oracle-paired, verified at driver scale by
