@@ -1803,6 +1803,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          columns=["vec_id", "embedding"])
         return _round_floats(cosine_to_centroid(emb))
 
+    # ---- round-4b wave: TPC-H-shaped decision-support joins ----------
+
+    def q_tpch_q3_shipping(sf):
+        """Top-10 open-order revenue (Q3 skeleton): segment semi-join +
+        date-pruned reads + one combiner aggregate + tiny sorted cut
+        (pipelines/tpch.q3_shipping_priority)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q3_shipping_priority
+
+        return _round_floats(q3_shipping_priority(sf))
+
+    def q_tpch_q4_priority_returns(sf):
+        """Priority distribution of orders with a returned line (Q4
+        skeleton, EXISTS via shuffle-light semi_join)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q4_priority_returns
+
+        return q4_priority_returns(sf)
+
+    def q_tpch_q10_returned_revenue(sf):
+        """Top-20 customers by returned-lineitem revenue (Q10 skeleton):
+        early per-customer fold, broadcast nation dimension."""
+        from s_tsfe_dl_ray.pipelines.tpch import q10_returned_revenue
+
+        return _round_floats(q10_returned_revenue(sf))
+
+    def q_tpch_q14_promo_share(sf):
+        """Promo revenue share for one ship-month (Q14 skeleton) — exact
+        int64 numerator/denominator through one global combiner."""
+        from s_tsfe_dl_ray.pipelines.tpch import q14_promo_share
+
+        return _round_floats(q14_promo_share(sf))
+
+    def q_tpch_q18_large_orders(sf):
+        """Orders whose total quantity exceeds 300 with customer identity
+        (Q18 skeleton): HAVING-filter BEFORE any join."""
+        from s_tsfe_dl_ray.pipelines.tpch import q18_large_orders
+
+        return _round_floats(q18_large_orders(sf))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -1944,6 +1982,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dominant_period": q_events_dominant_period,
         "events_type_concentration": q_events_type_concentration,
         "events_daily_user_hhi": q_events_daily_user_hhi,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "tpch_q4_priority_returns": q_tpch_q4_priority_returns,
+        "tpch_q10_returned_revenue": q_tpch_q10_returned_revenue,
+        "tpch_q14_promo_share": q_tpch_q14_promo_share,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -3574,5 +3617,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.vec_id,
                    round(d.dot / (d.norm_u * nc.norm_c), 6) AS cos_centroid
             FROM d, nc
+        """,
+        # ---- round-4b wave: TPC-H-shaped joins (exact int64 money:
+        # round(price*100) * (100 - round(disc*100)), scale 1e4 — float
+        # partial sums differ from sequential decimal sums in the 6th
+        # decimal at ~5e8 magnitudes) ------------------------------------
+        "tpch_q3_shipping": """
+            WITH r AS (
+              SELECT l.l_orderkey, o.o_orderdate,
+                     sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+                       / 10000.0 AS revenue
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer cu ON o.o_custkey = cu.c_custkey
+              WHERE cu.c_mktsegment = 'BUILDING'
+                AND o.o_orderdate < TIMESTAMP '1998-01-01'
+                AND l.l_shipdate > TIMESTAMP '1998-01-01'
+              GROUP BY 1, 2)
+            SELECT l_orderkey, o_orderdate, round(revenue, 6) AS revenue
+            FROM r ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+        """,
+        "tpch_q4_priority_returns": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY 1
+        """,
+        "tpch_q10_returned_revenue": """
+            WITH r AS (
+              SELECT o.o_custkey,
+                     sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+                       / 10000.0 AS revenue
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o.o_orderdate < TIMESTAMP '1997-07-01'
+              GROUP BY 1)
+            SELECT cu.c_custkey, cu.c_name, n.n_name,
+                   round(cu.c_acctbal, 6) AS c_acctbal,
+                   round(r.revenue, 6) AS revenue
+            FROM r JOIN customer cu ON r.o_custkey = cu.c_custkey
+            JOIN nation n ON cu.c_nationkey = n.n_nationkey
+            ORDER BY r.revenue DESC, cu.c_custkey LIMIT 20
+        """,
+        "tpch_q14_promo_share": """
+            WITH r AS (
+              SELECT p.p_type,
+                     CAST(round(l.l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount*100) AS BIGINT)) AS rev_i
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+                AND l.l_shipdate < TIMESTAMP '1997-04-01')
+            SELECT round(sum(CASE WHEN p_type = 'PROMO' THEN rev_i ELSE 0 END)
+                         / 10000.0, 6) AS promo_revenue,
+                   round(sum(rev_i) / 10000.0, 6) AS total_revenue,
+                   round(100.0
+                         * (sum(CASE WHEN p_type = 'PROMO' THEN rev_i ELSE 0 END)
+                            / 10000.0)
+                         / (sum(rev_i) / 10000.0), 6) AS promo_share
+            FROM r
+        """,
+        "tpch_q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300.0)
+            SELECT cu.c_custkey, cu.c_name, o.o_orderkey, o.o_orderdate,
+                   round(o.o_totalprice, 6) AS o_totalprice,
+                   round(b.sum_qty, 6) AS sum_qty
+            FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer cu ON o.o_custkey = cu.c_custkey
         """,
     }

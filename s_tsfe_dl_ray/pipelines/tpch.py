@@ -1,0 +1,311 @@
+"""Decision-support join pipelines over the TPC-H-ish star schema.
+
+The reference's data plumbing is single-table (one signal source per
+experiment — data.py:99-154 reads MIT-BIH alone, keras_experiment.py:41-47
+streams one KDD file); a production tier-timeseries engine additionally
+has to answer the classic fact⋈dimension questions over the SAME
+star-schema inputs its rollups consume.  This module composes the
+engine's relational primitives — partitioned :func:`~..stages.join.hash_join`,
+shuffle-light :func:`~..stages.join.semi_join`, combiner-disciplined
+:func:`~.relational.grouped_aggregate`, broadcast dimension lookups —
+into five TPC-H-shaped pipelines (Q3/Q4/Q10/Q14/Q18 skeletons adapted
+to the columns this star schema actually has).
+
+Scale design (every pipeline):
+
+- **prune at the read**: ``columns=`` lists exactly what the join needs,
+  and row predicates (date windows, return flags, market segment) are
+  pushed into the parquet scan via ``filter=`` — at 100 TB the date
+  window prunes whole row groups before a byte leaves storage;
+- **money is exact int64**: revenue rides as the scaled integer product
+  ``round(price*100) * (100 - round(disc*100))`` (scale 1e4) so
+  distributed partial sums are associative-exact and match a sequential
+  decimal sum bit-for-bit (float sums at ~5e8 differ in the 6th decimal);
+- **semi joins where only existence matters**: Q4's "order had a
+  returned line" never builds joined rows — the right side crosses the
+  exchange as per-batch DISTINCT keys only;
+- **top-k after aggregation**: sort+limit runs on the aggregated
+  (orders-sized, not lineitem-sized) result with a full deterministic
+  tie-break so the k-cut is stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import ray.data
+from ray.data import Dataset
+
+from .relational import grouped_aggregate
+from ..stages.join import hash_join, semi_join
+
+def _ts(s: str):
+    import datetime as dt
+
+    return dt.datetime.fromisoformat(s)
+
+
+def _revenue_i(t: pa.Table, keep: list[str]) -> pa.Table:
+    """Exact scaled revenue: int64 round(price*100) * (100 - round(disc*100))."""
+    price_i = pc.cast(pc.round(pc.multiply(
+        t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+    disc_i = pc.cast(pc.round(pc.multiply(
+        t["l_discount"], pa.scalar(100.0))), pa.int64())
+    cols = {k: t[k] for k in keep}
+    cols["revenue_i"] = pc.multiply(
+        price_i, pc.subtract(pa.scalar(100, pa.int64()), disc_i))
+    return pa.table(cols)
+
+
+def q3_shipping_priority(
+    sf_dir: str,
+    *,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Top-k open-order revenue (TPC-H Q3 skeleton): orders placed before
+    ``cutoff`` by customers in ``segment``, revenue from lineitems shipped
+    after ``cutoff``; top k by revenue.
+
+    Shape: segment filter → semi_join orders⋉customer (orders survive
+    with their own schema, no joined rows) → hash_join with the
+    date-pruned lineitem side → one combiner aggregate keyed
+    (l_orderkey, o_orderdate) → tiny sort+limit on the aggregate.
+    Output: ``l_orderkey, o_orderdate, revenue`` (revenue desc,
+    o_orderdate asc, l_orderkey asc).
+    """
+    cut = _ts(cutoff)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == segment)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") < cut)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pads.field("l_shipdate") > cut)
+
+    orders = semi_join(orders, cust, left_on="o_custkey", right_on="c_custkey",
+                       num_partitions=num_partitions)
+    li = li.map_batches(lambda t: _revenue_i(t, ["l_orderkey"]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey",
+                  num_partitions=num_partitions)
+    agg = grouped_aggregate(
+        j, keys=["l_orderkey", "o_orderdate"],
+        aggs={"revenue_i": ("revenue_i", "sum")},
+        num_partitions=num_partitions)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "revenue": pc.divide(pc.cast(t["revenue_i"], pa.float64()),
+                                 pa.scalar(10_000.0)),
+        })
+
+    out = agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(["revenue", "o_orderdate", "l_orderkey"],
+                    descending=[True, False, False]).limit(k)
+
+
+def q4_priority_returns(
+    sf_dir: str,
+    *,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-07-01",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Order-priority distribution of orders with at least one RETURNED
+    lineitem (TPC-H Q4 skeleton; this schema has no commit/receipt dates,
+    so the EXISTS predicate is ``l_returnflag = 'R'``).
+
+    The existence probe is a :func:`semi_join` — the lineitem side is
+    reduced to per-batch DISTINCT orderkeys before the exchange, so at
+    100 TB the shuffle carries the (much smaller) order rows plus a key
+    set, never a joined row.  Output: ``o_orderpriority, n_orders``.
+    """
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= _ts(date_from))
+        & (pads.field("o_orderdate") < _ts(date_to)))
+    returned = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"],
+        filter=pads.field("l_returnflag") == "R")
+    hit = semi_join(orders, returned, left_on="o_orderkey",
+                    right_on="l_orderkey", num_partitions=num_partitions)
+    return grouped_aggregate(
+        hit, keys=["o_orderpriority"],
+        aggs={"n_orders": ("o_orderkey", "count")},
+        num_partitions=num_partitions)
+
+
+def q10_returned_revenue(
+    sf_dir: str,
+    *,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-07-01",
+    k: int = 20,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Top-k customers by revenue lost to returns (TPC-H Q10 skeleton):
+    lineitems flagged 'R' on orders placed in the window, rolled up per
+    customer, nation name attached from the broadcast dimension.
+
+    Join order folds early: lineitem⋈orders reduces to (o_custkey,
+    revenue_i) partials BEFORE the customer join, so the second exchange
+    carries one row per (partition, customer), not per lineitem.
+    Output: ``c_custkey, c_name, n_name, c_acctbal, revenue``.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= _ts(date_from))
+        & (pads.field("o_orderdate") < _ts(date_to)))
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R")
+    li = li.map_batches(lambda t: _revenue_i(t, ["l_orderkey"]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey",
+                  num_partitions=num_partitions)
+    per_cust = grouped_aggregate(
+        j, keys=["o_custkey"], aggs={"revenue_i": ("revenue_i", "sum")},
+        num_partitions=num_partitions)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    j2 = hash_join(per_cust, cust, left_on="o_custkey", right_on="c_custkey",
+                   num_partitions=num_partitions)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nkeys = nat["n_nationkey"].to_numpy()
+    names = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    lut = np.empty(int(nkeys.max()) + 1, dtype=object)
+    lut[nkeys] = names
+
+    def fin(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_name": t["c_name"],
+            "n_name": pa.array(lut[nk], pa.string()),
+            "c_acctbal": t["c_acctbal"],
+            "revenue": pc.divide(pc.cast(t["revenue_i"], pa.float64()),
+                                 pa.scalar(10_000.0)),
+        })
+
+    out = j2.map_batches(fin, batch_format="pyarrow")
+    return out.sort(["revenue", "c_custkey"],
+                    descending=[True, False]).limit(k)
+
+
+def q14_promo_share(
+    sf_dir: str,
+    *,
+    month_from: str = "1997-03-01",
+    month_to: str = "1997-04-01",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Promotion revenue share for one ship-month (TPC-H Q14 skeleton):
+    100 × promo revenue / total revenue where promo = ``p_type = 'PROMO'``
+    (this schema's p_type is a plain category, not a 3-word string).
+
+    Both numerator and denominator are exact int64 partial sums carried
+    through ONE global combiner reduce (a single literal-key group);
+    the part dimension joins via the partitioned hash join so the
+    pipeline stays two-large-table-safe at any part-table size.
+    Output: one row ``promo_revenue, total_revenue, promo_share``.
+    """
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= _ts(month_from))
+        & (pads.field("l_shipdate") < _ts(month_to)))
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    li = li.map_batches(lambda t: _revenue_i(t, ["l_partkey"]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(li, part, left_on="l_partkey", right_on="p_partkey",
+                  num_partitions=num_partitions)
+
+    def split(t: pa.Table) -> pa.Table:
+        promo = pc.cast(pc.equal(t["p_type"], "PROMO"), pa.int64())
+        return pa.table({
+            "_all": pa.array([1] * t.num_rows, pa.int8()),
+            "promo_i": pc.multiply(t["revenue_i"], promo),
+            "revenue_i": t["revenue_i"],
+        })
+
+    j = j.map_batches(split, batch_format="pyarrow")
+    agg = grouped_aggregate(
+        j, keys=["_all"],
+        aggs={"promo_i": ("promo_i", "sum"), "revenue_i": ("revenue_i", "sum")},
+        num_partitions=1)
+
+    def fin(t: pa.Table) -> pa.Table:
+        promo = pc.divide(pc.cast(t["promo_i"], pa.float64()), pa.scalar(10_000.0))
+        total = pc.divide(pc.cast(t["revenue_i"], pa.float64()), pa.scalar(10_000.0))
+        return pa.table({
+            "promo_revenue": promo,
+            "total_revenue": total,
+            "promo_share": pc.multiply(pa.scalar(100.0), pc.divide(promo, total)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q18_large_orders(
+    sf_dir: str,
+    *,
+    min_qty: float = 300.0,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Large-volume orders (TPC-H Q18 skeleton): orders whose total
+    lineitem quantity exceeds ``min_qty``, with customer identity.
+
+    The HAVING subquery is a combiner aggregate over lineitem (exact:
+    quantities are integral, float64 partial sums are associative-exact
+    for them), filtered BEFORE any join — only the few surviving hot
+    orders enter the orders/customer joins.  Output: ``c_custkey,
+    c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty``.
+    """
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    per_order = grouped_aggregate(
+        li, keys=["l_orderkey"], aggs={"sum_qty": ("l_quantity", "sum")},
+        num_partitions=num_partitions)
+    big = per_order.filter(
+        expr=f"sum_qty > {min_qty}")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    j = hash_join(big, orders, left_on="l_orderkey", right_on="o_orderkey",
+                  num_partitions=num_partitions)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    j2 = hash_join(j, cust, left_on="o_custkey", right_on="c_custkey",
+                   num_partitions=num_partitions)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_name": t["c_name"],
+            "o_orderkey": t["o_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "o_totalprice": t["o_totalprice"],
+            "sum_qty": t["sum_qty"],
+        })
+
+    return j2.map_batches(fin, batch_format="pyarrow")
