@@ -1841,6 +1841,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _round_floats(q18_large_orders(sf))
 
+    # ---- round-4b wave: per-key feature extraction ---------------------
+
+    def q_events_skew_kurtosis(sf):
+        """Distributed 3rd/4th standardized central moments per key —
+        two-pass centered sums (stages/features.grouped_moments)."""
+        from s_tsfe_dl_ray.stages.features import grouped_moments
+
+        ds = read_events(sf, columns=["user_id", "value"])
+        return _round_floats(grouped_moments(ds, key="user_id", value_col="value"))
+
+    def q_events_ts_features(sf):
+        """tsfresh-style ordered-series battery: abs energy, mean abs
+        change, mean crossings, count/longest-strike above mean, first
+        location of max (stages/features.ts_feature_battery)."""
+        from s_tsfe_dl_ray.stages.features import ts_feature_battery
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(ts_feature_battery(
+            ds, key="user_id", ts_col="ts", value_col="value",
+            id_col="event_id"))
+
+    def q_events_kendall_tau(sf):
+        """Kendall tau-b of value vs time order per key — the bounded-
+        influence trend score (stages/robust.kendall_tau)."""
+        from s_tsfe_dl_ray.stages.robust import kendall_tau
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(kendall_tau(
+            ds, key="user_id", ts_col="ts", value_col="value",
+            id_col="event_id"))
+
+    def q_events_session_stats(sf):
+        """Session-level summary per user: sessionize (30m gap) composed
+        with the combiner aggregate — stage composition, no new kernel."""
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+        from s_tsfe_dl_ray.stages.sessionize import sessionize
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts"])
+        sess = sessionize(ds, keys=["user_id"], ts_col="ts",
+                          order_by=["ts", "event_id"], gap="30m")
+        return _round_floats(grouped_aggregate(
+            sess, keys=["user_id"],
+            aggs={
+                "n_sessions": ("session_id", "count"),
+                "avg_session_events": ("n_rows", "mean"),
+                "max_session_events": ("n_rows", "max"),
+                "avg_duration_sec": ("duration_sec", "mean"),
+                "max_duration_sec": ("duration_sec", "max"),
+            }))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -1987,6 +2037,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q10_returned_revenue": q_tpch_q10_returned_revenue,
         "tpch_q14_promo_share": q_tpch_q14_promo_share,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "events_skew_kurtosis": q_events_skew_kurtosis,
+        "events_ts_features": q_events_ts_features,
+        "events_kendall_tau": q_events_kendall_tau,
+        "events_session_stats": q_events_session_stats,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -3692,5 +3746,114 @@ def oracle_sql() -> dict[str, str]:
                    round(b.sum_qty, 6) AS sum_qty
             FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
             JOIN customer cu ON o.o_custkey = cu.c_custkey
+        """,
+        # two-pass centered moments (NOT raw power sums — cancellation
+        # there flips the 6th decimal); x/0 → NULL covers m2 == 0
+        "events_skew_kurtosis": """
+            WITH m AS (
+              SELECT user_id, count(*)::BIGINT AS n_events, avg(value) AS mean
+              FROM events GROUP BY 1
+            ), d AS (
+              SELECT e.user_id, m.n_events, m.mean, e.value - m.mean AS d
+              FROM events e JOIN m USING (user_id)
+            ), s AS (
+              SELECT user_id, min(n_events) AS n_events, min(mean) AS mean,
+                     sum(d*d) / min(n_events) AS m2,
+                     sum(d*d*d) / min(n_events) AS m3,
+                     sum(d*d*d*d) / min(n_events) AS m4
+              FROM d GROUP BY 1)
+            SELECT user_id, n_events, round(mean, 6) AS mean,
+                   round(m3 / pow(m2, 1.5), 6) AS skew_g1,
+                   round(m4 / (m2 * m2) - 3.0, 6) AS kurt_excess
+            FROM s
+        """,
+        "events_ts_features": """
+            WITH m AS (
+              SELECT user_id, count(*)::BIGINT AS n_events, avg(value) AS mu,
+                     sum(value * value) AS abs_energy, max(value) AS mx
+              FROM events GROUP BY 1
+            ), o AS (
+              SELECT e.user_id, e.value, m.mu, m.mx,
+                     row_number() OVER w AS rn,
+                     lag(e.value) OVER w AS pv
+              FROM events e JOIN m USING (user_id)
+              WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
+            ), agg AS (
+              SELECT user_id,
+                     avg(abs(value - pv)) AS mean_abs_change,
+                     sum(CASE WHEN pv IS NOT NULL
+                              AND ((value > mu) != (pv > mu))
+                         THEN 1 ELSE 0 END)::BIGINT AS n_mean_crossings,
+                     sum(CASE WHEN value > mu THEN 1 ELSE 0 END)::BIGINT
+                       AS count_above_mean,
+                     min(CASE WHEN value = mx THEN rn END)::BIGINT
+                       AS first_loc_max
+              FROM o GROUP BY 1
+            ), runs AS (
+              SELECT user_id, count(*) AS len
+              FROM (SELECT user_id, rn,
+                           rn - row_number() OVER (
+                             PARTITION BY user_id, (value > mu)
+                             ORDER BY rn) AS grp
+                    FROM o WHERE value > mu)
+              GROUP BY user_id, grp
+            ), strike AS (
+              SELECT user_id, max(len)::BIGINT AS longest_strike_above_mean
+              FROM runs GROUP BY 1)
+            SELECT m.user_id, m.n_events, round(m.abs_energy, 6) AS abs_energy,
+                   round(a.mean_abs_change, 6) AS mean_abs_change,
+                   a.n_mean_crossings, a.count_above_mean,
+                   coalesce(s.longest_strike_above_mean, 0)
+                     AS longest_strike_above_mean,
+                   a.first_loc_max
+            FROM m JOIN agg a USING (user_id)
+            LEFT JOIN strike s USING (user_id)
+        """,
+        # x strictly ordered by (ts, event_id) → tau-b denominator is
+        # sqrt(n0 · (C + D)); every factor exact in double at these sizes
+        "events_kendall_tau": """
+            WITH o AS (
+              SELECT user_id, value,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events
+            ), p AS (
+              SELECT a.user_id, b.value - a.value AS d
+              FROM o a JOIN o b ON a.user_id = b.user_id AND b.rn > a.rn
+            ), t AS (
+              SELECT user_id, count(*)::BIGINT AS n_pairs,
+                     sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS c,
+                     sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS dd
+              FROM p GROUP BY 1)
+            SELECT user_id, n_pairs,
+                   round((c - dd) / sqrt(n_pairs * (c + dd)), 6) AS kendall_tau
+            FROM t
+        """,
+        # duration in exact µs (date_diff), /1e6 — bit-identical to the
+        # pandas total_seconds() path (same rational, same RN)
+        "events_session_stats": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN date_diff('microsecond',
+                                         lag(ts) OVER w, ts) > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            ), sess AS (
+              SELECT user_id, sid, count(*)::BIGINT AS n_rows,
+                     date_diff('microsecond', min(ts), max(ts)) / 1000000.0
+                       AS duration_sec
+              FROM s GROUP BY 1, 2)
+            SELECT user_id, count(*)::BIGINT AS n_sessions,
+                   round(avg(n_rows), 6) AS avg_session_events,
+                   max(n_rows) AS max_session_events,
+                   round(avg(duration_sec), 6) AS avg_duration_sec,
+                   round(max(duration_sec), 6) AS max_duration_sec
+            FROM sess GROUP BY 1
         """,
     }

@@ -1,0 +1,169 @@
+"""Per-key series feature extraction — the tsfresh-style battery.
+
+The reference IS a feature-extraction library (TSFE-DL: every model's
+convolutional head is a learned feature extractor over a windowed
+series, models_keras.py), and its experiments hand-compute classical
+statistics around the models (top-k thresholds over scored windows,
+keras_experiment.py:583-593).  This module supplies the classical
+per-series feature vector a production pipeline computes BEFORE/WITHOUT
+a model — the standard tsfresh/TSFEL catalogue members that are exactly
+SQL-twinnable:
+
+- :func:`grouped_moments`    — distributed 3rd/4th standardized central
+                               moments (skewness g1, excess kurtosis g2)
+- :func:`ts_feature_battery` — ordered-series features: abs energy, mean
+                               absolute change, mean-crossing count,
+                               count above mean, longest strike above
+                               mean, first location of maximum
+
+Scale design: both ops ride the engine's standard ``_pkey`` exchange
+(stages/grouped.grouped_apply, whole_partition=True) — ONE coarse hash
+shuffle, then every statistic is a vectorized pandas/numpy kernel across
+ALL keys of the partition (cython groupby sums, shift/cumsum run logic);
+no per-key Python apply anywhere.  Key-complete co-location is the only
+partitioning assumption.
+
+Exactness notes (oracle parity): moments are TWO-PASS — the per-key mean
+is computed first, then centered power sums.  Centered sums of ~uniform
+magnitudes are well-conditioned (relative error ~1e-16·√n), so the
+6-decimal driver rounding matches DuckDB computing the same two-pass
+formula even though summation orders differ.  Never compute skewness
+from raw power sums E[x³]-style — the cancellation there DOES flip the
+6th decimal at ~1e8 magnitudes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from .grouped import grouped_apply
+
+
+def grouped_moments(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key mean + population skewness/excess kurtosis.
+
+    Output: ``key, n_events, mean, skew_g1, kurt_excess`` where
+    ``g1 = m3 / m2^1.5`` and ``g2 = m4 / m2² − 3`` over population
+    central moments ``m_k = Σ(x−mean)^k / n``.  Keys with zero variance
+    (or n == 1) yield NULL for both (0/0 → NULL, matching SQL division
+    semantics).
+    """
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: [], "n_events": pd.Series([], dtype="int64"),
+                                 "mean": [], "skew_g1": [], "kurt_excess": []})
+        g = df.groupby(key, sort=False)[value_col]
+        mu = g.mean()
+        d = df[value_col] - df[key].map(mu)
+        kg = df[key]
+        d2 = (d * d).groupby(kg, sort=False).sum()
+        d3 = (d * d * d).groupby(kg, sort=False).sum()
+        d4 = (d * d * d * d).groupby(kg, sort=False).sum()
+        n = g.size().astype("float64")
+        m2 = d2 / n
+        m3 = d3 / n
+        m4 = d4 / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            skew = m3 / np.power(m2, 1.5)
+            kurt = m4 / (m2 * m2) - 3.0
+        skew[m2 == 0.0] = np.nan
+        kurt[m2 == 0.0] = np.nan
+        return pd.DataFrame({
+            key: mu.index.to_numpy(),
+            "n_events": g.size().reindex(mu.index).to_numpy(dtype=np.int64),
+            "mean": mu.to_numpy(),
+            "skew_g1": skew.reindex(mu.index).to_numpy(),
+            "kurt_excess": kurt.reindex(mu.index).to_numpy(),
+        })
+
+    return grouped_apply(ds, keys=[key], fn=part,
+                         num_partitions=num_partitions, whole_partition=True)
+
+
+def ts_feature_battery(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Ordered per-key feature vector (time order = ``(ts_col, id_col)``).
+
+    Output columns (one row per key):
+
+    - ``n_events``
+    - ``abs_energy``          — Σ v²
+    - ``mean_abs_change``     — mean |v_{i+1} − v_i| (NULL when n < 2)
+    - ``n_mean_crossings``    — # of adjacent pairs on opposite sides of
+                                the key mean (sides = strict ``v > mean``)
+    - ``count_above_mean``    — # of values strictly above the key mean
+    - ``longest_strike_above_mean`` — longest consecutive run with
+                                ``v > mean`` (0 when none)
+    - ``first_loc_max``       — 1-based position (time order) of the
+                                first occurrence of the maximum
+    """
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: [], "n_events": pd.Series([], dtype="int64"),
+                "abs_energy": [], "mean_abs_change": [],
+                "n_mean_crossings": pd.Series([], dtype="int64"),
+                "count_above_mean": pd.Series([], dtype="int64"),
+                "longest_strike_above_mean": pd.Series([], dtype="int64"),
+                "first_loc_max": pd.Series([], dtype="int64")}
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        df = df.sort_values([key, ts_col, id_col], kind="mergesort")
+        kg = df[key]
+        v = df[value_col]
+        g = df.groupby(key, sort=False)[value_col]
+        mu = g.mean()
+        mx = g.max()
+        n = g.size()
+
+        abs_energy = (v * v).groupby(kg, sort=False).sum()
+
+        same_key = kg.eq(kg.shift())
+        dv = (v - v.shift()).abs()
+        mac = dv[same_key].groupby(kg[same_key], sort=False).mean()
+
+        above = v > kg.map(mu)
+        count_above = above.groupby(kg, sort=False).sum()
+
+        crossing = same_key & (above != above.shift())
+        n_cross = crossing.groupby(kg, sort=False).sum()
+
+        # run-length of `above` streaks: new run on key change or side flip
+        new_run = (~same_key) | (above != above.shift())
+        run_id = new_run.cumsum()
+        run_len = above.groupby(run_id, sort=False).transform("size")
+        strike = run_len.where(above, 0).groupby(kg, sort=False).max()
+
+        rn = df.groupby(key, sort=False).cumcount() + 1
+        is_max = v == kg.map(mx)
+        loc_max = rn.where(is_max).groupby(kg, sort=False).min()
+
+        idx = mu.index
+        return pd.DataFrame({
+            key: idx.to_numpy(),
+            "n_events": n.reindex(idx).to_numpy(dtype=np.int64),
+            "abs_energy": abs_energy.reindex(idx).to_numpy(),
+            "mean_abs_change": mac.reindex(idx).to_numpy(),
+            "n_mean_crossings": n_cross.reindex(idx).to_numpy(dtype=np.int64),
+            "count_above_mean": count_above.reindex(idx).to_numpy(dtype=np.int64),
+            "longest_strike_above_mean": strike.reindex(idx).to_numpy(dtype=np.int64),
+            "first_loc_max": loc_max.reindex(idx).to_numpy(dtype=np.int64),
+        })
+
+    return grouped_apply(ds, keys=[key], fn=part,
+                         num_partitions=num_partitions, whole_partition=True)

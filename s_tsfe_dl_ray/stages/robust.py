@@ -484,3 +484,67 @@ def max_drawdown(
 
     return grouped_apply(ds, keys=[key], fn=dd_partition,
                          num_partitions=num_partitions, whole_partition=True)
+
+
+def kendall_tau(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    out_col: str = "kendall_tau",
+    max_key_rows: int = 20_000,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key Kendall tau-b of value against time order — the pair-based
+    sibling of :func:`spearman_monotonicity` (which is rank-moment based);
+    tau's bounded influence per pair makes it the most outlier-resistant
+    of the three trend scores (OLS < Spearman < Kendall).
+
+    Time order is made strictly unique by ``(ts, id_col)``, so the x side
+    has no ties and tau-b reduces to ``(C − D) / sqrt(n0 · (C + D))`` with
+    ``n0 = n(n−1)/2`` and C/D the concordant/discordant pair counts over
+    time-ordered pairs; value-tied pairs count in n0 only.  NULL when
+    every pair is value-tied (0/0 — matches SQL division semantics).
+
+    Same scale contract as :func:`theil_sen`: one ``_pkey`` exchange,
+    deliberately O(n_k²) per key via numpy pair blocks, guarded by
+    ``max_key_rows`` — run it on post-rollup/windowed series.  Output:
+    ``key, n_pairs, out_col``.
+    """
+
+    def tau_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: [], "n_pairs": pd.Series([], dtype="int64"),
+                                 out_col: []})
+        df = df.sort_values([key, ts_col, id_col], kind="mergesort")
+        v_all = df[value_col].to_numpy(dtype=np.float64)
+        k_all = df[key].to_numpy()
+        change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
+        starts = np.concatenate([[0], change, [len(df)]])
+        keys, n_pairs, taus = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            n = e - s
+            if n < 2:
+                continue  # the SQL pair self-join emits no row
+            if n > max_key_rows:
+                raise ValueError(
+                    f"kendall_tau: key {k_all[s]!r} has {n} rows > "
+                    f"max_key_rows={max_key_rows}; window or downsample first")
+            v = v_all[s:e]
+            iu, ju = np.triu_indices(n, 1)
+            d = v[ju] - v[iu]
+            c = int((d > 0).sum())
+            dsc = int((d < 0).sum())
+            n0 = n * (n - 1) // 2
+            keys.append(k_all[s])
+            n_pairs.append(n0)
+            taus.append((c - dsc) / np.sqrt(float(n0) * (c + dsc))
+                        if (c + dsc) > 0 else np.nan)
+        return pd.DataFrame({key: keys,
+                             "n_pairs": pd.Series(n_pairs, dtype="int64"),
+                             out_col: taus})
+
+    return grouped_apply(ds, keys=[key], fn=tau_partition,
+                         num_partitions=num_partitions, whole_partition=True)

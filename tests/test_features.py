@@ -1,0 +1,88 @@
+"""Property tests for stages/features.py and robust.kendall_tau —
+hand-built goldens where the statistic has a known closed form.
+(Oracle parity at sf0.01 is covered by test_entry_contract.py.)"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from s_tsfe_dl_ray.stages.features import grouped_moments, ts_feature_battery
+from s_tsfe_dl_ray.stages.robust import kendall_tau
+
+
+def _events(rows):
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    return ray.data.from_pandas(df)
+
+
+def test_kendall_tau_bounds_and_known_values():
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: strictly increasing -> tau = 1
+    for i in range(10):
+        rows.append((i, 1, t0 + pd.Timedelta(seconds=i), float(i)))
+    # user 2: strictly decreasing -> tau = -1
+    for i in range(10):
+        rows.append((100 + i, 2, t0 + pd.Timedelta(seconds=i), float(-i)))
+    # user 3: all equal -> every pair tied -> NULL
+    for i in range(5):
+        rows.append((200 + i, 3, t0 + pd.Timedelta(seconds=i), 7.0))
+    out = kendall_tau(_events(rows), key="user_id", ts_col="ts",
+                      value_col="value", id_col="event_id").to_pandas()
+    out = out.set_index("user_id")
+    assert out.loc[1, "kendall_tau"] == 1.0
+    assert out.loc[2, "kendall_tau"] == -1.0
+    assert np.isnan(out.loc[3, "kendall_tau"])
+    assert out.loc[1, "n_pairs"] == 45
+    assert out.loc[3, "n_pairs"] == 10
+
+
+def test_grouped_moments_symmetric_and_constant():
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: symmetric {-2,-1,0,1,2} -> skew 0; m2=2, m4=34/5 -> kurt=-1.3
+    for i, v in enumerate([-2.0, -1.0, 0.0, 1.0, 2.0]):
+        rows.append((i, 1, t0, v))
+    # user 2: constant -> NULL skew/kurt
+    for i in range(4):
+        rows.append((10 + i, 2, t0, 3.5))
+    out = grouped_moments(
+        _events(rows).drop_columns(["event_id", "ts"]),
+        key="user_id", value_col="value").to_pandas().set_index("user_id")
+    assert out.loc[1, "skew_g1"] == 0.0
+    assert abs(out.loc[1, "kurt_excess"] - (34 / 5 / 4 - 3)) < 1e-12
+    assert np.isnan(out.loc[2, "skew_g1"]) and np.isnan(out.loc[2, "kurt_excess"])
+    assert out.loc[2, "mean"] == 3.5
+
+
+def test_ts_feature_battery_golden():
+    t0 = pd.Timestamp("2024-01-01")
+    vals = [1.0, 5.0, 5.0, 1.0, 5.0, 5.0, 5.0, 1.0]  # mean = 3.5
+    rows = [(i, 1, t0 + pd.Timedelta(seconds=i), v) for i, v in enumerate(vals)]
+    out = ts_feature_battery(_events(rows), key="user_id", ts_col="ts",
+                             value_col="value", id_col="event_id").to_pandas()
+    r = out.iloc[0]
+    assert r["n_events"] == 8
+    assert r["abs_energy"] == sum(v * v for v in vals)
+    assert abs(r["mean_abs_change"] - np.mean(np.abs(np.diff(vals)))) < 1e-12
+    # above-mean pattern: F T T F T T T F -> crossings at 4 boundaries
+    assert r["n_mean_crossings"] == 4
+    assert r["count_above_mean"] == 5
+    assert r["longest_strike_above_mean"] == 3
+    assert r["first_loc_max"] == 2  # first 5.0 is at position 2 (1-based)
+
+
+def test_ts_feature_battery_single_row_key():
+    t0 = pd.Timestamp("2024-01-01")
+    out = ts_feature_battery(_events([(0, 9, t0, 2.0)]), key="user_id",
+                             ts_col="ts", value_col="value",
+                             id_col="event_id").to_pandas().iloc[0]
+    assert out["n_events"] == 1
+    assert np.isnan(out["mean_abs_change"])
+    assert out["n_mean_crossings"] == 0
+    assert out["count_above_mean"] == 0  # strict > of value vs itself
+    assert out["longest_strike_above_mean"] == 0
+    assert out["first_loc_max"] == 1
