@@ -1891,6 +1891,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "max_duration_sec": ("duration_sec", "max"),
             }))
 
+    def q_events_type_cooccurrence(sf):
+        """Pairwise event-type co-engagement across users: support, lift,
+        Jaccard (stages/distinct.pair_cooccurrence — distinct base +
+        in-partition self-merge + broadcast denominators)."""
+        from s_tsfe_dl_ray.stages.distinct import pair_cooccurrence
+
+        ds = read_events(sf, columns=["user_id", "event_type"])
+        return _round_floats(pair_cooccurrence(
+            ds, group_col="user_id", member_col="event_type"))
+
+    def q_docs_top_bigram(sf):
+        """Per-doc most-frequent bigram + character-coverage fraction —
+        the Gopher-style repetition signal (stages/text.doc_top_bigram,
+        shuffle-free)."""
+        from s_tsfe_dl_ray.stages.text import doc_top_bigram
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return _round_floats(doc_top_bigram(docs))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2041,6 +2060,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ts_features": q_events_ts_features,
         "events_kendall_tau": q_events_kendall_tau,
         "events_session_stats": q_events_session_stats,
+        "events_type_cooccurrence": q_events_type_cooccurrence,
+        "docs_top_bigram": q_docs_top_bigram,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -3855,5 +3876,49 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(duration_sec), 6) AS avg_duration_sec,
                    round(max(duration_sec), 6) AS max_duration_sec
             FROM sess GROUP BY 1
+        """,
+        "events_type_cooccurrence": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+            u AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+            c AS (SELECT event_type, count(*)::BIGINT AS n FROM d GROUP BY 1),
+            p AS (
+              SELECT a.event_type AS member_a, b.event_type AS member_b,
+                     count(*)::BIGINT AS n_both
+              FROM d a JOIN d b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+            SELECT p.member_a, p.member_b, p.n_both,
+                   round((p.n_both * u.nu)::DOUBLE / (ca.n * cb.n), 6) AS lift,
+                   round(p.n_both::DOUBLE / (ca.n + cb.n - p.n_both), 6)
+                     AS jaccard
+            FROM p, u
+            JOIN c ca ON ca.event_type = p.member_a
+            JOIN c cb ON cb.event_type = p.member_b
+        """,
+        # argmax via struct_pack min (negated count) — the documented
+        # lexicographic-argmin recipe; single-space split == the Ray side
+        "docs_top_bigram": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(text), ' ')) AS tok,
+                     generate_subscripts(string_split(trim(text), ' '), 1)
+                       AS pos
+              FROM documents
+            ), b AS (
+              SELECT t1.doc_id, t1.tok || ' ' || t2.tok AS bigram,
+                     count(*)::BIGINT AS n
+              FROM w t1 JOIN w t2
+                ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+              WHERE t1.tok <> '' AND t2.tok <> ''
+              GROUP BY 1, 2
+            ), top AS (
+              SELECT doc_id,
+                     min(struct_pack(negn := -n, bigram := bigram)) AS s
+              FROM b GROUP BY 1)
+            SELECT t.doc_id, t.s.bigram AS top_bigram,
+                   (-t.s.negn)::BIGINT AS n_occ,
+                   round((-t.s.negn) * length(t.s.bigram)
+                         / length(d.text)::DOUBLE, 6) AS rep_frac
+            FROM top t JOIN documents d USING (doc_id)
         """,
     }

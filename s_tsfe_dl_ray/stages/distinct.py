@@ -436,3 +436,102 @@ def categorical_concentration(
     tagged = ds.map_batches(partial, batch_format="pyarrow",
                             zero_copy_batch=True)
     return tagged.groupby("_pkey").map_groups(merge, batch_format="pandas")
+
+
+def pair_cooccurrence(
+    ds: Dataset,
+    *,
+    group_col: str,
+    member_col: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Market-basket pair co-occurrence: for every unordered pair of
+    members sharing a group, the number of groups containing both, plus
+    lift and Jaccard association scores.
+
+    The association-rule / co-engagement primitive (which event types
+    co-occur for the same user; which tags co-occur on the same doc) —
+    the set-similarity sibling of :func:`~.trend.cross_series_corr`,
+    which correlates counts over time rather than set membership.
+
+    Shape (three combiner passes, no driver loop over data):
+
+    1. distinct ``(group, member)`` base — per-batch pyarrow dedup, one
+       ``_pkey(group)`` exchange, partition-level dedup (exact under
+       key-complete co-location);
+    2. pair expansion INSIDE each partition — a vectorized self-merge on
+       the group column (blow-up bounded by members-per-group², i.e. the
+       categorical vocabulary, not the row count), pre-counted locally;
+       one small (member_a)-hash exchange merges pair counts;
+    3. denominators — per-member group counts via
+       :func:`grouped_distinct_count` (vocabulary-sized result, pulled to
+       the driver and BROADCAST into the final map — never a shuffle) and
+       the total distinct-group count via the same op on a constant key.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    the member vocabulary is categorical (≤ ~10⁵ values), so the pair
+    table and the per-member count table are small; groups may number in
+    the billions.  Output: ``member_a, member_b, n_both, lift, jaccard``
+    with ``lift = n_both·n_groups/(n_a·n_b)`` (>1: attract, <1: repel).
+    """
+    import pyarrow.compute as pc
+
+    from .dedup import _grouped_min
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        out = (t.select([group_col, member_col])
+               .group_by([group_col, member_col], use_threads=False)
+               .aggregate([]))
+        return out.append_column("_pkey", _stable_pkey(out[group_col], num_partitions))
+
+    base = ds.map_batches(batch_distinct, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    a, b = f"{member_col}_x", f"{member_col}_y"
+
+    def pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).drop_duplicates([group_col, member_col])
+        m = df.merge(df, on=group_col)
+        m = m[m[a] < m[b]]
+        out = m.groupby([a, b], sort=False).size().reset_index(name="n_both")
+        out.columns = ["member_a", "member_b", "n_both"]
+        out["n_both"] = out["n_both"].astype("int64")
+        return out
+
+    pair_partials = base.groupby("_pkey").map_groups(
+        pairs_partition, batch_format="pandas")
+    pairs = _grouped_min(pair_partials, group_cols=["member_a", "member_b"],
+                         agg_cols=[("n_both", "sum")], pkey_col="member_a",
+                         num_partitions=num_partitions)
+
+    # vocabulary-sized small sides (driver pull is bounded by the vocab,
+    # not the data): per-member group counts + total group count
+    member_counts = grouped_distinct_count(
+        ds, keys=[member_col], member_col=group_col, out_col="n_groups",
+        num_partitions=num_partitions).to_pandas()
+    counts = dict(zip(member_counts[member_col], member_counts["n_groups"]))
+
+    total_ds = ds.map_batches(
+        lambda t: t.select([group_col]).append_column(
+            "_all", pa.array([1] * t.num_rows, pa.int8())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    n_groups = int(grouped_distinct_count(
+        total_ds, keys=["_all"], member_col=group_col, out_col="n",
+        num_partitions=num_partitions).to_pandas()["n"].iloc[0])
+
+    def score(t: pa.Table) -> pa.Table:
+        ma = t["member_a"].to_pylist()
+        mb = t["member_b"].to_pylist()
+        nb = t["n_both"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = np.array([counts[x] for x in ma], dtype=np.float64)
+        nbm = np.array([counts[x] for x in mb], dtype=np.float64)
+        lift = (nb * float(n_groups)) / (na * nbm)
+        jac = nb / (na + nbm - nb)
+        return pa.table({
+            "member_a": t["member_a"], "member_b": t["member_b"],
+            "n_both": t["n_both"],
+            "lift": pa.array(lift, pa.float64()),
+            "jaccard": pa.array(jac, pa.float64()),
+        })
+
+    return pairs.map_batches(score, batch_format="pyarrow")

@@ -1129,3 +1129,81 @@ def pack_sequences(
                             zero_copy_batch=True)
     return tagged.groupby("_pkey").map_groups(pack_partition,
                                               batch_format="pandas")
+
+
+def doc_top_bigram(
+    ds: "Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "Dataset":
+    """Per-document most-frequent word bigram and the fraction of the
+    document's characters it covers — the Gopher-style repetition signal
+    ("top n-gram character fraction") used to score LLM training text
+    for degenerate repetition; the per-doc sibling of the corpus-level
+    :func:`top_bigrams`.
+
+    Tokenization is identical to :func:`top_bigrams` (single-space split
+    of trimmed text, pairs skip empty tokens and never cross documents).
+    Tie-break: highest count, then lexicographically smallest bigram.
+    Documents with no valid bigram (fewer than two non-empty adjacent
+    tokens) emit no row — the SQL twin's pair join produces nothing to
+    group.
+
+    Completely shuffle-free: every statistic is document-local, so each
+    batch finishes its own rows (map-only at any corpus size).  Output:
+    ``doc_id, top_bigram, n_occ, rep_frac`` where
+    ``rep_frac = n_occ · length(top_bigram) / length(text)``.
+    """
+
+    def batch(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], t.schema.field(id_col).type),
+            "top_bigram": pa.array([], pa.string()),
+            "n_occ": pa.array([], pa.int64()),
+            "rep_frac": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        t = t.combine_chunks()
+        toks = pc.split_pattern(pc.utf8_trim(t[text_col], " "), " ")
+        ch = toks.chunk(0) if isinstance(toks, pa.ChunkedArray) else toks
+        vals = ch.flatten()
+        nv = len(vals)
+        if nv < 2:
+            return empty
+        lengths = pc.list_value_length(ch).to_numpy(zero_copy_only=False)
+        tok_doc = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        first = vals.slice(0, nv - 1)
+        second = vals.slice(1, nv - 1)
+        pair_ok = np.ones(nv - 1, dtype=bool)
+        ends = np.cumsum(lengths)[:-1] - 1
+        pair_ok[ends[ends < nv - 1]] = False
+        pair_ok &= pc.not_equal(first, "").to_numpy(zero_copy_only=False)
+        pair_ok &= pc.not_equal(second, "").to_numpy(zero_copy_only=False)
+        if not pair_ok.any():
+            return empty
+        big = pc.binary_join_element_wise(first, second, " ").filter(
+            pa.array(pair_ok))
+        pair_doc = tok_doc[:-1][pair_ok] if len(tok_doc) > 1 else tok_doc[:0]
+        df = pd.DataFrame({"_doc": pair_doc, "_bigram": big.to_pandas()})
+        cnt = df.groupby(["_doc", "_bigram"], sort=False).size() \
+                .reset_index(name="n_occ")
+        cnt = cnt.sort_values(["_doc", "n_occ", "_bigram"],
+                              ascending=[True, False, True], kind="mergesort")
+        top = cnt.drop_duplicates("_doc")
+        doc_idx = top["_doc"].to_numpy()
+        ids = t[id_col].take(pa.array(doc_idx))
+        text_len = pc.utf8_length(t[text_col]).take(pa.array(doc_idx)) \
+                     .to_numpy(zero_copy_only=False).astype(np.float64)
+        bigram = top["_bigram"].to_numpy(dtype=object)
+        n_occ = top["n_occ"].to_numpy(dtype=np.int64)
+        blen = np.array([len(s) for s in bigram], dtype=np.float64)
+        return pa.table({
+            id_col: ids,
+            "top_bigram": pa.array(bigram, pa.string()),
+            "n_occ": pa.array(n_occ, pa.int64()),
+            "rep_frac": pa.array(n_occ * blen / text_len, pa.float64()),
+        })
+
+    return ds.map_batches(batch, batch_format="pyarrow", zero_copy_batch=True)

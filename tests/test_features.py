@@ -86,3 +86,43 @@ def test_ts_feature_battery_single_row_key():
     assert out["count_above_mean"] == 0  # strict > of value vs itself
     assert out["longest_strike_above_mean"] == 0
     assert out["first_loc_max"] == 1
+
+
+def test_pair_cooccurrence_golden():
+    from s_tsfe_dl_ray.stages.distinct import pair_cooccurrence
+
+    # baskets: u1={a,b}, u2={a,b}, u3={a,c}, u4={c} -> 4 groups
+    rows = [(1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"), (4, "c")]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    out = pair_cooccurrence(ray.data.from_pandas(df), group_col="user_id",
+                            member_col="event_type").to_pandas()
+    out = out.set_index(["member_a", "member_b"]).sort_index()
+    # a∩b = {u1,u2}; n_a=3, n_b=2, n=4 -> lift = 2*4/(3*2) = 4/3
+    assert out.loc[("a", "b"), "n_both"] == 2
+    assert abs(out.loc[("a", "b"), "lift"] - 8 / 6) < 1e-12
+    assert abs(out.loc[("a", "b"), "jaccard"] - 2 / 3) < 1e-12
+    # a∩c = {u3}; lift = 1*4/(3*2) = 2/3
+    assert out.loc[("a", "c"), "n_both"] == 1
+    assert abs(out.loc[("a", "c"), "lift"] - 4 / 6) < 1e-12
+    assert ("b", "c") not in out.index  # never co-occur -> no row
+
+
+def test_doc_top_bigram_golden():
+    from s_tsfe_dl_ray.stages.text import doc_top_bigram
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["x y x y x y z", "solo", "a  b a b"],  # doc3: double space
+    })
+    out = doc_top_bigram(ray.data.from_pandas(docs)).to_pandas()
+    out = out.set_index("doc_id")
+    assert out.loc[1, "top_bigram"] == "x y"
+    assert out.loc[1, "n_occ"] == 3
+    assert abs(out.loc[1, "rep_frac"] - 3 * 3 / 13) < 1e-12
+    # doc2 has no bigram -> no row
+    assert 2 not in out.index
+    # doc3: the double space yields an empty token that blocks the first
+    # pair, leaving ("b","a") and ("a","b") once each -> lexicographic tie-break
+    assert out.loc[3, "top_bigram"] == "a b"
+    assert out.loc[3, "n_occ"] == 1
