@@ -1910,6 +1910,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         return _round_floats(doc_top_bigram(docs))
 
+    def q_events_complexity(sf):
+        """Nonlinearity/complexity battery per key: c3, time-reversal
+        asymmetry, CID-CE, peak count, binned entropy
+        (stages/features.ts_complexity_battery — exact scaled-int cubic
+        sums for oracle parity)."""
+        from s_tsfe_dl_ray.stages.features import ts_complexity_battery
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(ts_complexity_battery(
+            ds, key="user_id", ts_col="ts", value_col="value",
+            id_col="event_id"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2062,6 +2074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_stats": q_events_session_stats,
         "events_type_cooccurrence": q_events_type_cooccurrence,
         "docs_top_bigram": q_docs_top_bigram,
+        "events_complexity": q_events_complexity,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -3920,5 +3933,71 @@ def oracle_sql() -> dict[str, str]:
                    round((-t.s.negn) * length(t.s.bigram)
                          / length(d.text)::DOUBLE, 6) AS rep_frac
             FROM top t JOIN documents d USING (doc_id)
+        """,
+        # cubic stats on exact scaled ints (values are exact cents →
+        # round(v*100) is the same integer under banker's and half-away);
+        # HUGEINT sums ::DOUBLE then /cnt/1e6 — the identical single
+        # rounding the longdouble path performs.  Bin index uses the
+        # SAME float expression ((v-mn)/(mx-mn)*10) both sides.
+        "events_complexity": """
+            WITH q AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) AS kq,
+                     lag(CAST(round(value * 100) AS BIGINT)) OVER w AS pv,
+                     lead(CAST(round(value * 100) AS BIGINT), 1) OVER w AS k1,
+                     lead(CAST(round(value * 100) AS BIGINT), 2) OVER w AS k2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), base AS (
+              SELECT user_id, count(*)::BIGINT AS n_events,
+                     min(value) AS mn, max(value) AS mx
+              FROM events GROUP BY 1
+            ), cub AS (
+              SELECT user_id,
+                     sum(kq * k1 * k2) AS s3,
+                     sum(k2 * k2 * k1 - k1 * kq * kq) AS st,
+                     count(*)::BIGINT AS cnt3
+              FROM q WHERE k2 IS NOT NULL GROUP BY 1
+            ), dif AS (
+              SELECT user_id,
+                     sum((k1 - kq) * (k1 - kq)) AS sd,
+                     count(*)::BIGINT AS cnt1
+              FROM q WHERE k1 IS NOT NULL GROUP BY 1
+            ), pk AS (
+              SELECT user_id,
+                     sum(CASE WHEN pv IS NOT NULL AND k1 IS NOT NULL
+                               AND pv < kq AND kq > k1
+                         THEN 1 ELSE 0 END)::BIGINT AS n_peaks
+              FROM q GROUP BY 1
+            ), bn AS (
+              SELECT e.user_id,
+                     CASE WHEN b.mx = b.mn THEN 0
+                          ELSE least(CAST(floor((e.value - b.mn)
+                                 / (b.mx - b.mn) * 10) AS BIGINT), 9)
+                     END AS bin
+              FROM events e JOIN base b USING (user_id)
+            ), bc AS (
+              SELECT user_id, bin, count(*)::DOUBLE AS c
+              FROM bn GROUP BY 1, 2
+            ), ent AS (
+              SELECT bc.user_id,
+                     -sum((c / b.n_events) * ln(c / b.n_events))
+                       AS binned_entropy
+              FROM bc JOIN base b USING (user_id) GROUP BY 1)
+            SELECT b.user_id, b.n_events,
+                   round(CASE WHEN c.cnt3 > 0
+                         THEN c.s3::DOUBLE / c.cnt3 / 1000000.0 END, 6) AS c3,
+                   round(CASE WHEN c.cnt3 > 0
+                         THEN c.st::DOUBLE / c.cnt3 / 1000000.0 END, 6)
+                     AS time_rev_asym,
+                   round(CASE WHEN d.cnt1 > 0
+                         THEN sqrt(d.sd::DOUBLE) / 100.0 END, 6) AS cid_ce,
+                   p.n_peaks,
+                   round(e.binned_entropy, 6) AS binned_entropy
+            FROM base b
+            LEFT JOIN cub c USING (user_id)
+            LEFT JOIN dif d USING (user_id)
+            JOIN pk p USING (user_id)
+            JOIN ent e USING (user_id)
         """,
     }

@@ -15,6 +15,9 @@ SQL-twinnable:
                                absolute change, mean-crossing count,
                                count above mean, longest strike above
                                mean, first location of maximum
+- :func:`ts_complexity_battery` — nonlinearity/complexity features: c3,
+                               time-reversal asymmetry, CID-CE, peak
+                               count, binned entropy
 
 Scale design: both ops ride the engine's standard ``_pkey`` exchange
 (stages/grouped.grouped_apply, whole_partition=True) — ONE coarse hash
@@ -163,6 +166,131 @@ def ts_feature_battery(
             "count_above_mean": count_above.reindex(idx).to_numpy(dtype=np.int64),
             "longest_strike_above_mean": strike.reindex(idx).to_numpy(dtype=np.int64),
             "first_loc_max": loc_max.reindex(idx).to_numpy(dtype=np.int64),
+        })
+
+    return grouped_apply(ds, keys=[key], fn=part,
+                         num_partitions=num_partitions, whole_partition=True)
+
+
+def ts_complexity_battery(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    bins: int = 10,
+    scale: int = 100,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Nonlinearity / complexity features per key (time order =
+    ``(ts_col, id_col)``) — the tsfresh catalogue members that probe
+    structure beyond second moments:
+
+    - ``c3``             — E[x_t · x_{t+1} · x_{t+2}] (Schreiber–Schmitz
+                           nonlinearity score)
+    - ``time_rev_asym``  — E[x_{t+2}²·x_{t+1} − x_{t+1}·x_t²] (time-
+                           reversal asymmetry, lag 1)
+    - ``cid_ce``         — √Σ(Δx)² (complexity-invariant distance)
+    - ``n_peaks``        — strict local maxima count (support 1)
+    - ``binned_entropy`` — Shannon entropy of the ``bins``-bin equal-width
+                           value histogram over [min, max]
+
+    Exactness: the cubic statistics are the one place float partial sums
+    genuinely flip the 6th decimal (|x|³ terms at ~1e14 summed per key),
+    so values are scaled to exact ints (``round(x·scale)``; the synthetic
+    tables carry 2-decimal values) and accumulated in extended precision
+    (np.longdouble ``add.at`` — exact for partial sums < 2⁶³), then
+    converted to double ONCE — the same single rounding DuckDB's
+    HUGEINT ``sum(...)::DOUBLE`` performs, so both sides are
+    bit-identical.  NULL when a statistic has no valid term (n < 3 for
+    the cubics, n < 2 for cid_ce), matching SQL aggregates over empty
+    groups.  Bin indices use the identical float expression
+    ``floor((x−mn)/(mx−mn)·bins)`` on both sides (single-bin when
+    mx == mn).
+
+    One ``_pkey`` exchange; everything inside the partition is numpy
+    over all keys at once.
+    """
+    s3 = float(scale) ** 3
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                key: [], "n_events": pd.Series([], dtype="int64"),
+                "c3": [], "time_rev_asym": [], "cid_ce": [],
+                "n_peaks": pd.Series([], dtype="int64"),
+                "binned_entropy": []})
+        df = df.sort_values([key, ts_col, id_col], kind="mergesort")
+        k_all = df[key].to_numpy()
+        v = df[value_col].to_numpy(dtype=np.float64)
+        kq = np.round(v * scale).astype(np.int64)
+        change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
+        gid = np.zeros(len(df), dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        nk = int(gid[-1]) + 1
+        n = np.bincount(gid, minlength=nk)
+
+        # cubic statistics on exact scaled ints, extended-precision sums
+        acc3 = np.zeros(nk, dtype=np.longdouble)
+        acct = np.zeros(nk, dtype=np.longdouble)
+        cnt3 = np.zeros(nk, dtype=np.int64)
+        if len(df) >= 3:
+            valid2 = gid[:-2] == gid[2:]
+            g2 = gid[:-2][valid2]
+            a, b, c = kq[:-2][valid2], kq[1:-1][valid2], kq[2:][valid2]
+            np.add.at(acc3, g2, (a * b * c).astype(np.longdouble))
+            np.add.at(acct, g2, (c * c * b - b * a * a).astype(np.longdouble))
+            cnt3 = np.bincount(g2, minlength=nk)
+
+        accc = np.zeros(nk, dtype=np.longdouble)
+        cnt1 = np.zeros(nk, dtype=np.int64)
+        if len(df) >= 2:
+            valid1 = gid[:-1] == gid[1:]
+            g1 = gid[:-1][valid1]
+            dk = (kq[1:] - kq[:-1])[valid1]
+            np.add.at(accc, g1, (dk * dk).astype(np.longdouble))
+            cnt1 = np.bincount(g1, minlength=nk)
+
+        n_peaks = np.zeros(nk, dtype=np.int64)
+        if len(df) >= 3:
+            interior = (gid[1:-1] == gid[:-2]) & (gid[1:-1] == gid[2:])
+            pk = interior & (kq[:-2] < kq[1:-1]) & (kq[1:-1] > kq[2:])
+            n_peaks = np.bincount(gid[1:-1][pk], minlength=nk)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c3 = np.where(cnt3 > 0,
+                          acc3.astype(np.float64) / np.maximum(cnt3, 1) / s3,
+                          np.nan)
+            tra = np.where(cnt3 > 0,
+                           acct.astype(np.float64) / np.maximum(cnt3, 1) / s3,
+                           np.nan)
+            cid = np.where(cnt1 > 0,
+                           np.sqrt(accc.astype(np.float64)) / scale, np.nan)
+
+        # binned entropy — identical float expression to the SQL twin
+        g = df.groupby(key, sort=False)[value_col]
+        mn = g.min().to_numpy()[gid]
+        mx = g.max().to_numpy()[gid]
+        width = mx - mn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = np.floor((v - mn) / width * bins)
+        bin_ix = np.where(width == 0.0, 0.0,
+                          np.minimum(raw, bins - 1)).astype(np.int64)
+        bc = np.bincount(gid * bins + bin_ix, minlength=nk * bins) \
+               .reshape(nk, bins).astype(np.float64)
+        p = bc / n[:, None]
+        ent = -np.sum(p * np.log(p, out=np.zeros_like(p), where=p > 0),
+                      axis=1)
+
+        firsts = np.concatenate([[0], change])
+        return pd.DataFrame({
+            key: k_all[firsts],
+            "n_events": n.astype(np.int64),
+            "c3": c3, "time_rev_asym": tra, "cid_ce": cid,
+            "n_peaks": n_peaks.astype(np.int64),
+            "binned_entropy": ent,
         })
 
     return grouped_apply(ds, keys=[key], fn=part,

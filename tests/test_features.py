@@ -126,3 +126,46 @@ def test_doc_top_bigram_golden():
     # pair, leaving ("b","a") and ("a","b") once each -> lexicographic tie-break
     assert out.loc[3, "top_bigram"] == "a b"
     assert out.loc[3, "n_occ"] == 1
+
+
+def test_ts_complexity_battery_golden():
+    from s_tsfe_dl_ray.stages.features import ts_complexity_battery
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: [1, 3, 2, 5, 4] — hand-computable triple/pair stats
+    vals1 = [1.0, 3.0, 2.0, 5.0, 4.0]
+    for i, v in enumerate(vals1):
+        rows.append((i, 1, t0 + pd.Timedelta(seconds=i), v))
+    # user 2: constant series — zero complexity, single-bin entropy 0
+    for i in range(4):
+        rows.append((10 + i, 2, t0 + pd.Timedelta(seconds=i), 7.0))
+    # user 3: two rows — cubics NULL, cid defined
+    rows.append((20, 3, t0, 1.0))
+    rows.append((21, 3, t0 + pd.Timedelta(seconds=1), 2.0))
+    out = ts_complexity_battery(
+        _events(rows), key="user_id", ts_col="ts", value_col="value",
+        id_col="event_id").to_pandas().set_index("user_id")
+
+    v = np.asarray(vals1)
+    c3_exp = np.mean(v[:-2] * v[1:-1] * v[2:])
+    tra_exp = np.mean(v[2:] ** 2 * v[1:-1] - v[1:-1] * v[:-2] ** 2)
+    cid_exp = np.sqrt(np.sum(np.diff(v) ** 2))
+    r = out.loc[1]
+    assert r["n_events"] == 5
+    assert abs(r["c3"] - c3_exp) < 1e-9
+    assert abs(r["time_rev_asym"] - tra_exp) < 1e-9
+    assert abs(r["cid_ce"] - cid_exp) < 1e-9
+    # peaks: 3 (at idx 1, between 1 and 2) and 5 (at idx 3) -> 2 strict maxima
+    assert r["n_peaks"] == 2
+    # bins over [1,5], width 4: values 1,3,2,5,4 -> bins 0,5,2,9,7 all distinct
+    assert abs(r["binned_entropy"] - np.log(5)) < 1e-12
+
+    r2 = out.loc[2]
+    assert r2["c3"] == 7.0 ** 3 and r2["time_rev_asym"] == 0.0
+    assert r2["cid_ce"] == 0.0 and r2["n_peaks"] == 0
+    assert r2["binned_entropy"] == 0.0  # single bin, p=1 -> entropy 0
+
+    r3 = out.loc[3]
+    assert np.isnan(r3["c3"]) and np.isnan(r3["time_rev_asym"])
+    assert r3["cid_ce"] == 1.0 and r3["n_peaks"] == 0
