@@ -1922,6 +1922,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, key="user_id", ts_col="ts", value_col="value",
             id_col="event_id"))
 
+    # ---- round-4c wave: dialog / transcript analytics -------------------
+
+    def q_transcripts_role_transitions(sf):
+        """Corpus role→next-role transition matrix with per-source-role
+        fractions — the dialog Markov structure
+        (stages/dialog.role_transitions)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import role_transitions
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "role"])
+        return _round_floats(role_transitions(turns))
+
+    def q_transcripts_tool_streaks(sf):
+        """Per-conversation agent-loop depth: tool-call count and longest
+        consecutive tool-calling run (stages/dialog.tool_chain_streaks)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import tool_chain_streaks
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "tool"])
+        return tool_chain_streaks(turns)
+
+    def q_transcripts_context_cost(sf):
+        """Per-conversation context economics: Σ prefix chars (the
+        quadratic full-history bill), total/peak chars — exact int64
+        (stages/dialog.context_cost; text never crosses the shuffle)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import context_cost
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "text"])
+        return context_cost(turns)
+
+    def q_transcripts_role_balance(sf):
+        """Per-conversation user/assistant volume balance + character
+        ratio — pure combiner, conditional partials folded per batch
+        (stages/dialog.role_balance)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import role_balance
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "role", "text"])
+        return _round_floats(role_balance(turns))
+
+    def q_transcripts_tool_usage(sf):
+        """Per-tool usage profile: calls, exact distinct conversations,
+        char volume, share of all calls (stages/dialog.tool_usage)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import tool_usage
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "tool", "text"])
+        return _round_floats(tool_usage(turns))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2075,6 +2130,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_cooccurrence": q_events_type_cooccurrence,
         "docs_top_bigram": q_docs_top_bigram,
         "events_complexity": q_events_complexity,
+        "transcripts_role_transitions": q_transcripts_role_transitions,
+        "transcripts_tool_streaks": q_transcripts_tool_streaks,
+        "transcripts_context_cost": q_transcripts_context_cost,
+        "transcripts_role_balance": q_transcripts_role_balance,
+        "transcripts_tool_usage": q_transcripts_tool_usage,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -3999,5 +4059,91 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN dif d USING (user_id)
             JOIN pk p USING (user_id)
             JOIN ent e USING (user_id)
+        """,
+        "transcripts_role_transitions": f"""
+            WITH o AS (
+              SELECT conv_id, role,
+                     lead(role) OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx) AS nxt
+              FROM {T}
+            ), g AS (
+              SELECT role AS role_from, nxt AS role_to,
+                     count(*)::BIGINT AS n_transitions
+              FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2)
+            SELECT role_from, role_to, n_transitions,
+                   round(n_transitions::DOUBLE
+                         / sum(n_transitions) OVER (PARTITION BY role_from),
+                         6) AS frac_from
+            FROM g
+        """,
+        "transcripts_tool_streaks": f"""
+            WITH o AS (
+              SELECT conv_id, (tool <> '') AS flg,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) AS rn
+              FROM {T}
+            ), base AS (
+              SELECT conv_id, count(*)::BIGINT AS n_turns,
+                     sum(CASE WHEN flg THEN 1 ELSE 0 END)::BIGINT
+                       AS n_tool_calls
+              FROM o GROUP BY 1
+            ), runs AS (
+              SELECT conv_id, count(*) AS len
+              FROM (SELECT conv_id, rn,
+                           rn - row_number() OVER (
+                             PARTITION BY conv_id ORDER BY rn) AS grp
+                    FROM o WHERE flg)
+              GROUP BY conv_id, grp)
+            SELECT b.conv_id, b.n_turns, b.n_tool_calls,
+                   coalesce(s.m, 0)::BIGINT AS longest_tool_streak
+            FROM base b LEFT JOIN (
+              SELECT conv_id, max(len) AS m FROM runs GROUP BY 1) s
+            USING (conv_id)
+        """,
+        "transcripts_context_cost": f"""
+            WITH o AS (
+              SELECT conv_id, length(text)::BIGINT AS chars,
+                     sum(length(text)::BIGINT) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS UNBOUNDED PRECEDING) AS pref
+              FROM {T})
+            SELECT conv_id, count(*)::BIGINT AS n_turns,
+                   sum(chars)::BIGINT AS total_chars,
+                   max(chars)::BIGINT AS max_turn_chars,
+                   sum(pref)::BIGINT AS context_cost
+            FROM o GROUP BY 1
+        """,
+        "transcripts_role_balance": f"""
+            SELECT conv_id,
+                   sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT
+                     AS n_user,
+                   sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+                     AS n_assistant,
+                   sum(CASE WHEN role = 'user'
+                       THEN length(text) ELSE 0 END)::BIGINT AS user_chars,
+                   sum(CASE WHEN role = 'assistant'
+                       THEN length(text) ELSE 0 END)::BIGINT
+                     AS assistant_chars,
+                   round(CASE WHEN sum(CASE WHEN role = 'user'
+                                       THEN length(text) ELSE 0 END) > 0
+                         THEN sum(CASE WHEN role = 'assistant'
+                                  THEN length(text) ELSE 0 END)::DOUBLE
+                              / sum(CASE WHEN role = 'user'
+                                    THEN length(text) ELSE 0 END)
+                         END, 6) AS assistant_user_ratio
+            FROM {T} GROUP BY 1
+        """,
+        "transcripts_tool_usage": f"""
+            WITH c AS (
+              SELECT tool, conv_id, count(*)::BIGINT AS n,
+                     sum(length(text))::BIGINT AS ch
+              FROM {T} WHERE tool <> '' GROUP BY 1, 2)
+            SELECT tool, sum(n)::BIGINT AS n_calls,
+                   count(*)::BIGINT AS n_convs,
+                   sum(ch)::BIGINT AS total_call_chars,
+                   round(sum(ch)::DOUBLE / sum(n), 6) AS mean_call_chars,
+                   round(sum(n)::DOUBLE / sum(sum(n)) OVER (), 6)
+                     AS share_of_calls
+            FROM c GROUP BY 1
         """,
     }

@@ -99,3 +99,301 @@ def reply_latency(
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(latency_partition, batch_format="pandas")
+
+
+def _gid(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """Dense group ids over a key-sorted array → (gid, first_indices, nk)."""
+    change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    gid = np.zeros(len(keys), dtype=np.int64)
+    gid[change] = 1
+    gid = np.cumsum(gid)
+    firsts = np.concatenate([[0], change])
+    return gid, firsts, int(gid[-1]) + 1 if len(keys) else 0
+
+
+def role_transitions(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Corpus-wide role→next-role transition matrix (the dialog Markov
+    structure): for every adjacent turn pair within a conversation
+    (ordered by ``order_col``), count ``(role_from, role_to)`` and the
+    fraction of all transitions leaving ``role_from``.
+
+    Scale shape: conv-hash exchange carries only (conv, order, role);
+    each partition emits at most |roles|² partial rows, so the final
+    merge is a fixed-size single-partition fold regardless of corpus
+    size.  Reference analog: the label-transition structure of the beat
+    annotation stream (reference TSFEDL/data.py:10-80 walks annotations
+    in record order).
+    """
+    from .grouped import grouped_apply
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"role_from": pd.Series([], dtype="object"),
+                              "role_to": pd.Series([], dtype="object"),
+                              "n": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values([conv_col, order_col], kind="mergesort")
+        conv = df[conv_col].to_numpy()
+        role = df[role_col].to_numpy()
+        same = conv[1:] == conv[:-1]
+        if not same.any():
+            return empty
+        pairs = pd.DataFrame({"role_from": role[:-1][same],
+                              "role_to": role[1:][same]})
+        out = pairs.groupby(["role_from", "role_to"], sort=False) \
+                   .size().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = grouped_apply(ds, keys=[conv_col], fn=part,
+                             num_partitions=num_partitions,
+                             whole_partition=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["role_from", "role_to"], sort=True)["n"] \
+              .sum().reset_index()
+        tot = g.groupby("role_from")["n"].transform("sum")
+        return pd.DataFrame({
+            "role_from": g["role_from"], "role_to": g["role_to"],
+            "n_transitions": g["n"].astype("int64"),
+            "frac_from": g["n"] / tot,
+        })
+
+    return partials.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
+
+
+def tool_chain_streaks(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-conversation tool-call structure: total turns, tool-calling
+    turns, and the longest run of CONSECUTIVE tool-calling turns (by
+    ``order_col``) — the agent-loop depth signal.  Gaps-and-islands,
+    vectorized across every conversation of the partition at once."""
+    from .grouped import grouped_apply
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                conv_col: pd.Series([], dtype="object"),
+                "n_turns": pd.Series([], dtype="int64"),
+                "n_tool_calls": pd.Series([], dtype="int64"),
+                "longest_tool_streak": pd.Series([], dtype="int64")})
+        df = df.sort_values([conv_col, order_col], kind="mergesort")
+        conv = df[conv_col].to_numpy()
+        flg = (df[tool_col].to_numpy() != "")
+        gid, firsts, nk = _gid(conv)
+        n_turns = np.bincount(gid, minlength=nk)
+        n_calls = np.bincount(gid[flg], minlength=nk)
+        # island ids: a new run starts at a conv boundary or a flag flip
+        start = np.ones(len(df), dtype=bool)
+        start[1:] = (gid[1:] != gid[:-1]) | (flg[1:] != flg[:-1])
+        run_id = np.cumsum(start) - 1
+        streak = np.zeros(nk, dtype=np.int64)
+        if flg.any():
+            run_len = np.bincount(run_id[flg])
+            run_conv = np.zeros(run_id.max() + 1, dtype=np.int64)
+            run_conv[run_id[flg]] = gid[flg]
+            lens = run_len[run_len > 0]
+            convs_of_runs = run_conv[np.flatnonzero(run_len)]
+            np.maximum.at(streak, convs_of_runs, lens)
+        return pd.DataFrame({
+            conv_col: conv[firsts],
+            "n_turns": n_turns.astype(np.int64),
+            "n_tool_calls": n_calls.astype(np.int64),
+            "longest_tool_streak": streak,
+        })
+
+    return grouped_apply(ds, keys=[conv_col], fn=part,
+                         num_partitions=num_partitions,
+                         whole_partition=True)
+
+
+def context_cost(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-conversation context economics: turn count, total characters,
+    peak single-turn size, and ``context_cost`` = Σ_t prefix_chars(t) —
+    the total characters an LLM that re-reads full history processes
+    across the conversation (the quadratic context bill).
+
+    Scale shape: character lengths are derived per batch BEFORE the
+    conv exchange, so the text column never crosses the shuffle — only
+    (conv, order, chars) does.  All statistics are exact int64 sums.
+    """
+    from .grouped import grouped_apply
+
+    def derive(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            conv_col: t[conv_col], order_col: t[order_col],
+            "chars": pc.cast(pc.utf8_length(t[text_col]), pa.int64()),
+        })
+
+    narrow = ds.map_batches(derive, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                conv_col: pd.Series([], dtype="object"),
+                "n_turns": pd.Series([], dtype="int64"),
+                "total_chars": pd.Series([], dtype="int64"),
+                "max_turn_chars": pd.Series([], dtype="int64"),
+                "context_cost": pd.Series([], dtype="int64")})
+        df = df.sort_values([conv_col, order_col], kind="mergesort")
+        conv = df[conv_col].to_numpy()
+        c = df["chars"].to_numpy(dtype=np.int64)
+        gid, firsts, nk = _gid(conv)
+        cs = np.cumsum(c)
+        base = np.zeros(len(df), dtype=np.int64)
+        base[:] = np.repeat(cs[firsts] - c[firsts], np.bincount(gid))
+        prefix = cs - base                       # per-conv running total
+        total = np.zeros(nk, dtype=np.int64)
+        cost = np.zeros(nk, dtype=np.int64)
+        np.add.at(total, gid, c)
+        np.add.at(cost, gid, prefix)
+        mx = np.zeros(nk, dtype=np.int64)
+        np.maximum.at(mx, gid, c)
+        return pd.DataFrame({
+            conv_col: conv[firsts],
+            "n_turns": np.bincount(gid, minlength=nk).astype(np.int64),
+            "total_chars": total, "max_turn_chars": mx,
+            "context_cost": cost,
+        })
+
+    return grouped_apply(narrow, keys=[conv_col], fn=part,
+                         num_partitions=num_partitions,
+                         whole_partition=True)
+
+
+def role_balance(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-conversation user/assistant volume balance: turn counts,
+    character totals per side, and assistant:user character ratio
+    (NULL when the conversation has no user characters).
+
+    Pure combiner — conditional partials are folded per batch (text is
+    reduced to two int columns before the exchange), then one conv-hash
+    merge; no ordered scan needed."""
+    import pyarrow.compute as pc
+
+    from .dedup import _grouped_min
+
+    def partial(t: pa.Table) -> pa.Table:
+        chars = pc.cast(pc.utf8_length(t[text_col]), pa.int64())
+        is_u = pc.equal(t[role_col], "user")
+        is_a = pc.equal(t[role_col], "assistant")
+        zero = pa.scalar(0, pa.int64())
+        tbl = pa.table({
+            conv_col: t[conv_col],
+            "n_user": pc.cast(is_u, pa.int64()),
+            "n_assistant": pc.cast(is_a, pa.int64()),
+            "user_chars": pc.if_else(is_u, chars, zero),
+            "assistant_chars": pc.if_else(is_a, chars, zero),
+        })
+        out = tbl.group_by(conv_col, use_threads=False).aggregate(
+            [("n_user", "sum"), ("n_assistant", "sum"),
+             ("user_chars", "sum"), ("assistant_chars", "sum")])
+        return out.rename_columns(
+            [conv_col, "n_user", "n_assistant", "user_chars",
+             "assistant_chars"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    merged = _grouped_min(
+        partials, group_cols=[conv_col],
+        agg_cols=[("n_user", "sum"), ("n_assistant", "sum"),
+                  ("user_chars", "sum"), ("assistant_chars", "sum")],
+        pkey_col=conv_col, num_partitions=num_partitions)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"], errors="ignore")
+        u = df["user_chars"].to_numpy(dtype=np.float64)
+        a = df["assistant_chars"].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            df["assistant_user_ratio"] = np.where(u > 0, a / u, np.nan)
+        return df
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+def tool_usage(
+    ds: Dataset,
+    *,
+    tool_col: str = "tool",
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-tool usage profile over the corpus: call count, EXACT count
+    of distinct conversations using the tool, character volume, mean
+    call size, and share of all tool calls.
+
+    Two-level fold: per-batch partials collapse to (tool, conv) rows,
+    one conv-hash exchange dedupes/merges them exactly, and the final
+    |tools|-row fold runs in a single partition (tool cardinality is
+    small and fixed; nothing key-skewed ever crosses a shuffle)."""
+    import pyarrow.compute as pc
+
+    from .dedup import _grouped_min
+
+    def partial(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.not_equal(t[tool_col], ""))
+        chars = pc.cast(pc.utf8_length(sub[text_col]), pa.int64())
+        tbl = pa.table({
+            tool_col: sub[tool_col], conv_col: sub[conv_col],
+            "n_calls": pa.array(np.ones(len(sub), dtype=np.int64)),
+            "sum_chars": chars,
+        })
+        out = tbl.group_by([tool_col, conv_col], use_threads=False) \
+                 .aggregate([("n_calls", "sum"), ("sum_chars", "sum")])
+        return out.rename_columns([tool_col, conv_col, "n_calls",
+                                   "sum_chars"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    pairs = _grouped_min(
+        partials, group_cols=[tool_col, conv_col],
+        agg_cols=[("n_calls", "sum"), ("sum_chars", "sum")],
+        pkey_col=conv_col, num_partitions=num_partitions)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"], errors="ignore")
+        g = df.groupby(tool_col, sort=True).agg(
+            n_calls=("n_calls", "sum"),
+            n_convs=(conv_col, "size"),
+            total_call_chars=("sum_chars", "sum"),
+        ).reset_index()
+        total = g["n_calls"].sum()
+        g["mean_call_chars"] = g["total_call_chars"] / g["n_calls"]
+        g["share_of_calls"] = g["n_calls"] / total
+        for c in ("n_calls", "n_convs", "total_call_chars"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return pairs.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
