@@ -1841,6 +1841,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _round_floats(q18_large_orders(sf))
 
+    def q_tpch_q12_priority_lines(sf):
+        """Order-priority mix per lineitem status for a ship-year (Q12
+        skeleton on this schema): conditional counters folded per batch
+        after the partitioned join."""
+        from s_tsfe_dl_ray.pipelines.tpch import q12_priority_lines
+
+        return q12_priority_lines(sf)
+
+    def q_tpch_q19_disjunctive_revenue(sf):
+        """OR-of-ANDs brand/size/quantity revenue (Q19 skeleton): the
+        conjunctive envelope pushed into both reads, residual disjunction
+        one boolean kernel post-join."""
+        from s_tsfe_dl_ray.pipelines.tpch import q19_disjunctive_revenue
+
+        return _round_floats(q19_disjunctive_revenue(sf))
+
+    def q_tpch_q7_nation_volume(sf):
+        """Nation-pair shipping volume per year (Q7 skeleton): two big
+        hash joins, early fold to (nation, supp, year) partials, nation
+        dimension broadcast."""
+        from s_tsfe_dl_ray.pipelines.tpch import q7_nation_volume
+
+        return _round_floats(q7_nation_volume(sf))
+
     # ---- round-4b wave: per-key feature extraction ---------------------
 
     def q_events_skew_kurtosis(sf):
@@ -2130,6 +2154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_cooccurrence": q_events_type_cooccurrence,
         "docs_top_bigram": q_docs_top_bigram,
         "events_complexity": q_events_complexity,
+        "tpch_q12_priority_lines": q_tpch_q12_priority_lines,
+        "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
+        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
         "transcripts_role_transitions": q_transcripts_role_transitions,
         "transcripts_tool_streaks": q_transcripts_tool_streaks,
         "transcripts_context_cost": q_transcripts_context_cost,
@@ -3840,6 +3867,52 @@ def oracle_sql() -> dict[str, str]:
                    round(b.sum_qty, 6) AS sum_qty
             FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
             JOIN customer cu ON o.o_custkey = cu.c_custkey
+        """,
+        "tpch_q12_priority_lines": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+            GROUP BY 1
+        """,
+        "tpch_q19_disjunctive_revenue": """
+            WITH j AS (
+              SELECT l_quantity, p_brand, p_size,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS revenue_i
+              FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT count(*)::BIGINT AS n_lines,
+                   round(sum(revenue_i)::DOUBLE / 10000.0, 6) AS revenue
+            FROM j
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q7_nation_volume": """
+            WITH r AS (
+              SELECT l_orderkey, l_suppkey,
+                     year(l_shipdate)::BIGINT AS l_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS revenue_i
+              FROM lineitem
+              WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1999-01-01')
+            SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                   r.l_year,
+                   round(sum(r.revenue_i)::DOUBLE / 10000.0, 6) AS revenue
+            FROM r JOIN orders o ON r.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            GROUP BY 1, 2, 3
         """,
         # two-pass centered moments (NOT raw power sums — cancellation
         # there flips the 6th decimal); x/0 → NULL covers m2 == 0

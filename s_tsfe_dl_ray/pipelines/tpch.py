@@ -309,3 +309,193 @@ def q18_large_orders(
         })
 
     return j2.map_batches(fin, batch_format="pyarrow")
+
+
+def q12_priority_lines(
+    sf_dir: str,
+    *,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Order-priority mix per lineitem status for a ship-year (TPC-H Q12
+    skeleton; this schema has no l_shipmode/commitdate, so the group
+    axis is ``l_linestatus`` and the window predicate is l_shipdate).
+
+    high = orders with priority 1-URGENT/2-HIGH.  The join output folds
+    immediately to two conditional int64 counters per batch, so the
+    post-join exchange carries |linestatus| partial rows per partition.
+    Output: ``l_linestatus, high_line_count, low_line_count``.
+    """
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus"],
+        filter=(pads.field("l_shipdate") >= _ts(date_from))
+        & (pads.field("l_shipdate") < _ts(date_to)))
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+    j = hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey",
+                  num_partitions=num_partitions)
+
+    def split(t: pa.Table) -> pa.Table:
+        hi = pc.cast(pc.is_in(
+            t["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"])), pa.int64())
+        return pa.table({
+            "l_linestatus": t["l_linestatus"],
+            "high_line_count": hi,
+            "low_line_count": pc.subtract(pa.scalar(1, pa.int64()), hi),
+        })
+
+    j = j.map_batches(split, batch_format="pyarrow")
+    return grouped_aggregate(
+        j, keys=["l_linestatus"],
+        aggs={"high_line_count": ("high_line_count", "sum"),
+              "low_line_count": ("low_line_count", "sum")},
+        num_partitions=2)
+
+
+def q19_disjunctive_revenue(
+    sf_dir: str,
+    *,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Discounted revenue under an OR-of-ANDs brand/size/quantity
+    predicate (TPC-H Q19 skeleton).  The conjunctive envelope of the
+    disjunction (quantity ≤ 30, size ≤ 35) is pushed into BOTH parquet
+    reads so non-candidate rows never leave storage; the residual
+    disjunction is one vectorized boolean kernel after the partitioned
+    hash join.  Output: one row ``n_lines, revenue``.
+    """
+    import numpy as np
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_quantity") >= 1)
+        & (pads.field("l_quantity") <= 30))
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=(pads.field("p_size") >= 1) & (pads.field("p_size") <= 35))
+
+    def derive(t: pa.Table) -> pa.Table:
+        out = _revenue_i(t, ["l_partkey"])
+        return out.append_column("l_quantity", t["l_quantity"])
+
+    li = li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(li, part, left_on="l_partkey", right_on="p_partkey",
+                  num_partitions=num_partitions)
+
+    def residual(t: pa.Table) -> pa.Table:
+        q, b, s = t["l_quantity"], t["p_brand"], t["p_size"]
+
+        def branch(brand, smax, qlo, qhi):
+            return pc.and_(pc.and_(pc.equal(b, brand),
+                                   pc.less_equal(s, smax)),
+                           pc.and_(pc.greater_equal(q, qlo),
+                                   pc.less_equal(q, qhi)))
+
+        keep = pc.or_(pc.or_(branch("Brand#12", 15, 1, 11),
+                             branch("Brand#23", 25, 10, 20)),
+                      branch("Brand#34", 35, 20, 30))
+        sub = t.filter(keep)
+        n = sub.num_rows
+        return pa.table({
+            "_all": pa.array(np.ones(n, dtype=np.int8)),
+            "n_lines": pa.array(np.ones(n, dtype=np.int64)),
+            "revenue_i": sub["revenue_i"],
+        })
+
+    j = j.map_batches(residual, batch_format="pyarrow")
+    agg = grouped_aggregate(
+        j, keys=["_all"],
+        aggs={"n_lines": ("n_lines", "sum"),
+              "revenue_i": ("revenue_i", "sum")},
+        num_partitions=1)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_lines": t["n_lines"],
+            "revenue": pc.divide(pc.cast(t["revenue_i"], pa.float64()),
+                                 pa.scalar(10_000.0)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q7_nation_volume(
+    sf_dir: str,
+    *,
+    date_from: str = "1997-01-01",
+    date_to: str = "1999-01-01",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Shipping volume between every (customer nation, supplier nation)
+    pair per ship-year (TPC-H Q7 skeleton, un-filtered pair matrix).
+
+    Join strategy for 100 TB: the two BIG joins (lineitem⋈orders on
+    orderkey, +customer on custkey) run as partitioned hash joins; the
+    result folds to (c_nationkey, l_suppkey, l_year) partial sums BEFORE
+    the supplier join, so the supplier exchange carries at most
+    |nations|×|suppliers|×|years| rows regardless of lineitem count; the
+    25-row nation dimension is a broadcast lookup, never shuffled.
+    Output: ``cust_nation, supp_nation, l_year, revenue``.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= _ts(date_from))
+        & (pads.field("l_shipdate") < _ts(date_to)))
+
+    def derive(t: pa.Table) -> pa.Table:
+        out = _revenue_i(t, ["l_orderkey", "l_suppkey"])
+        return out.append_column(
+            "l_year", pc.cast(pc.year(t["l_shipdate"]), pa.int64()))
+
+    li = li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    j1 = hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey",
+                   num_partitions=num_partitions)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    j2 = hash_join(j1, cust, left_on="o_custkey", right_on="c_custkey",
+                   num_partitions=num_partitions)
+    folded = grouped_aggregate(
+        j2, keys=["c_nationkey", "l_suppkey", "l_year"],
+        aggs={"revenue_i": ("revenue_i", "sum")},
+        num_partitions=num_partitions)
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    j3 = hash_join(folded, supp, left_on="l_suppkey", right_on="s_suppkey",
+                   num_partitions=num_partitions)
+    pairs = grouped_aggregate(
+        j3, keys=["c_nationkey", "s_nationkey", "l_year"],
+        aggs={"revenue_i": ("revenue_i", "sum")},
+        num_partitions=8)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nkeys = nat["n_nationkey"].to_numpy()
+    names = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    lut = np.empty(int(nkeys.max()) + 1, dtype=object)
+    lut[nkeys] = names
+
+    def fin(t: pa.Table) -> pa.Table:
+        ck = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        sk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cust_nation": pa.array(lut[ck], pa.string()),
+            "supp_nation": pa.array(lut[sk], pa.string()),
+            "l_year": t["l_year"],
+            "revenue": pc.divide(pc.cast(t["revenue_i"], pa.float64()),
+                                 pa.scalar(10_000.0)),
+        })
+
+    return pairs.map_batches(fin, batch_format="pyarrow")
