@@ -1946,6 +1946,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, key="user_id", ts_col="ts", value_col="value",
             id_col="event_id"))
 
+    def q_events_location_features(sf):
+        """Location/dispersion battery per key: extreme positions, index
+        mass quantile, mean 2nd derivative, beyond-2σ ratio, uniqueness —
+        every boundary comparison in exact ints
+        (stages/features.ts_location_battery)."""
+        from s_tsfe_dl_ray.stages.features import ts_location_battery
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(ts_location_battery(
+            ds, key="user_id", ts_col="ts", value_col="value",
+            id_col="event_id"))
+
     # ---- round-4c wave: dialog / transcript analytics -------------------
 
     def q_transcripts_role_transitions(sf):
@@ -2154,6 +2166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_cooccurrence": q_events_type_cooccurrence,
         "docs_top_bigram": q_docs_top_bigram,
         "events_complexity": q_events_complexity,
+        "events_location_features": q_events_location_features,
         "tpch_q12_priority_lines": q_tpch_q12_priority_lines,
         "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
         "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
@@ -4132,6 +4145,56 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN dif d USING (user_id)
             JOIN pk p USING (user_id)
             JOIN ent e USING (user_id)
+        """,
+        # every boundary comparison on exact scaled ints: mass-quantile
+        # condition 2·prefix ≥ total; the 2σ test is the cross-multiplied
+        # rational (c·n − S)² > 4(n·SS − S²) — neither side computes a
+        # float σ, so no ulp can flip a count
+        "events_location_features": """
+            WITH o AS (
+              SELECT user_id, value,
+                     CAST(round(value * 100) AS BIGINT) AS c,
+                     row_number() OVER w AS rn,
+                     lead(CAST(round(value * 100) AS BIGINT), 1) OVER w AS c1,
+                     lead(CAST(round(value * 100) AS BIGINT), 2) OVER w AS c2,
+                     sum(abs(CAST(round(value * 100) AS BIGINT)))
+                       OVER (w ROWS UNBOUNDED PRECEDING) AS pref
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), base AS (
+              SELECT user_id, count(*)::BIGINT AS n_events,
+                     sum(c) AS s, sum(c * c) AS ss, sum(abs(c)) AS tot,
+                     max(c) AS cmx, min(c) AS cmn,
+                     count(DISTINCT value)::BIGINT AS n_uniq
+              FROM o GROUP BY 1
+            ), locs AS (
+              SELECT o.user_id,
+                     max(CASE WHEN o.c = b.cmx THEN o.rn END)::BIGINT
+                       AS last_loc_max,
+                     min(CASE WHEN o.c = b.cmn THEN o.rn END)::BIGINT
+                       AS first_loc_min,
+                     min(CASE WHEN 2 * o.pref >= b.tot THEN o.rn END)::BIGINT
+                       AS imq_rn,
+                     sum(CASE WHEN
+                           (o.c * b.n_events - b.s)::HUGEINT
+                           * (o.c * b.n_events - b.s)
+                           > 4::HUGEINT * (b.n_events * b.ss - b.s * b.s)
+                         THEN 1 ELSE 0 END)::BIGINT AS n_beyond
+              FROM o JOIN base b USING (user_id) GROUP BY 1
+            ), der AS (
+              SELECT user_id, sum(c2 - 2 * c1 + c) AS sd,
+                     count(*)::BIGINT AS cnt3
+              FROM o WHERE c2 IS NOT NULL GROUP BY 1)
+            SELECT b.user_id, b.n_events, l.last_loc_max, l.first_loc_min,
+                   round(l.imq_rn::DOUBLE / b.n_events, 6) AS imq50_pos,
+                   round(CASE WHEN d.cnt3 > 0
+                         THEN d.sd::DOUBLE / (2 * d.cnt3) / 100.0 END, 6)
+                     AS mean_2nd_deriv,
+                   round(l.n_beyond::DOUBLE / b.n_events, 6)
+                     AS ratio_beyond_2sigma,
+                   round(b.n_uniq::DOUBLE / b.n_events, 6) AS ratio_unique
+            FROM base b JOIN locs l USING (user_id)
+            LEFT JOIN der d USING (user_id)
         """,
         "transcripts_role_transitions": f"""
             WITH o AS (

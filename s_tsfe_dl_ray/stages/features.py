@@ -18,6 +18,9 @@ SQL-twinnable:
 - :func:`ts_complexity_battery` — nonlinearity/complexity features: c3,
                                time-reversal asymmetry, CID-CE, peak
                                count, binned entropy
+- :func:`ts_location_battery` — location/dispersion features: extreme
+                               positions, index mass quantile, second
+                               derivative, beyond-2σ ratio, uniqueness
 
 Scale design: both ops ride the engine's standard ``_pkey`` exchange
 (stages/grouped.grouped_apply, whole_partition=True) — ONE coarse hash
@@ -291,6 +294,128 @@ def ts_complexity_battery(
             "c3": c3, "time_rev_asym": tra, "cid_ce": cid,
             "n_peaks": n_peaks.astype(np.int64),
             "binned_entropy": ent,
+        })
+
+    return grouped_apply(ds, keys=[key], fn=part,
+                         num_partitions=num_partitions, whole_partition=True)
+
+
+def ts_location_battery(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    scale: int = 100,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Location / dispersion features per key (time order =
+    ``(ts_col, id_col)``) — the tsfresh catalogue members about WHERE
+    things happen in the series:
+
+    - ``last_loc_max``        — last 1-based position of the maximum
+    - ``first_loc_min``       — first 1-based position of the minimum
+    - ``imq50_pos``           — index-mass-quantile(0.5): relative
+                                position where the running |value| mass
+                                first reaches half the total
+    - ``mean_2nd_deriv``      — mean central second difference
+                                (x_{t+2} − 2x_{t+1} + x_t)/2
+    - ``ratio_beyond_2sigma`` — fraction of points with
+                                |x − mean| > 2σ (population σ)
+    - ``ratio_unique``        — distinct values / n
+
+    Exactness: every comparison that could sit on a float boundary is
+    carried out in EXACT integer arithmetic on ``round(x·scale)``
+    (values are exact cents): the mass-quantile condition is
+    ``2·prefix ≥ total`` on int64 sums, and the 2σ condition is the
+    cross-multiplied ``(c·n − S)² > 4(n·SS − S²)`` — numerators of the
+    rational mean/variance — evaluated in extended precision, so
+    neither side ever computes a float σ.  The only float ops are the
+    final single divisions, identical on both sides.
+    """
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                key: [], "n_events": pd.Series([], dtype="int64"),
+                "last_loc_max": pd.Series([], dtype="int64"),
+                "first_loc_min": pd.Series([], dtype="int64"),
+                "imq50_pos": [], "mean_2nd_deriv": [],
+                "ratio_beyond_2sigma": [], "ratio_unique": []})
+        df = df.sort_values([key, ts_col, id_col], kind="mergesort")
+        k_all = df[key].to_numpy()
+        v = df[value_col].to_numpy(dtype=np.float64)
+        c = np.round(v * scale).astype(np.int64)
+        change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
+        gid = np.zeros(len(df), dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        firsts = np.concatenate([[0], change])
+        nk = int(gid[-1]) + 1
+        n = np.bincount(gid, minlength=nk)
+        rank = np.arange(len(df), dtype=np.int64) - firsts[gid] + 1
+
+        # extreme locations on exact ints
+        cmx = np.full(nk, np.iinfo(np.int64).min, dtype=np.int64)
+        cmn = np.full(nk, np.iinfo(np.int64).max, dtype=np.int64)
+        np.maximum.at(cmx, gid, c)
+        np.minimum.at(cmn, gid, c)
+        last_loc = np.zeros(nk, dtype=np.int64)
+        at_max = c == cmx[gid]
+        np.maximum.at(last_loc, gid[at_max], rank[at_max])
+        first_loc = np.full(nk, np.iinfo(np.int64).max, dtype=np.int64)
+        at_min = c == cmn[gid]
+        np.minimum.at(first_loc, gid[at_min], rank[at_min])
+
+        # index mass quantile 0.5 — exact int condition 2·prefix ≥ total
+        a = np.abs(c)
+        cs = np.cumsum(a)
+        base = np.repeat(cs[firsts] - a[firsts], n)
+        prefix = cs - base
+        tot = np.zeros(nk, dtype=np.int64)
+        np.add.at(tot, gid, a)
+        hit = 2 * prefix >= tot[gid]
+        imq = np.full(nk, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(imq, gid[hit], rank[hit])
+
+        # central second difference on exact ints
+        sd = np.zeros(nk, dtype=np.int64)
+        cnt3 = np.zeros(nk, dtype=np.int64)
+        if len(df) >= 3:
+            valid = gid[:-2] == gid[2:]
+            g2 = gid[:-2][valid]
+            d2 = (c[2:] - 2 * c[1:-1] + c[:-2])[valid]
+            np.add.at(sd, g2, d2)
+            cnt3 = np.bincount(g2, minlength=nk)
+
+        # 2σ outliers via cross-multiplied rational variance (no float σ)
+        S = np.zeros(nk, dtype=np.int64)
+        SS = np.zeros(nk, dtype=np.int64)
+        np.add.at(S, gid, c)
+        np.add.at(SS, gid, c * c)
+        lhs = (c * n[gid] - S[gid]).astype(np.longdouble) ** 2
+        rhs = (4 * (n * SS - S * S)).astype(np.longdouble)
+        beyond = np.zeros(nk, dtype=np.int64)
+        over = lhs > rhs[gid]
+        np.add.at(beyond, gid[over], 1)
+
+        n_uniq = df.groupby(key, sort=False)[value_col].nunique() \
+                   .to_numpy().astype(np.int64)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m2d = np.where(cnt3 > 0,
+                           sd.astype(np.float64) / (2 * np.maximum(cnt3, 1))
+                           / float(scale), np.nan)
+        return pd.DataFrame({
+            key: k_all[firsts],
+            "n_events": n.astype(np.int64),
+            "last_loc_max": last_loc,
+            "first_loc_min": first_loc,
+            "imq50_pos": imq.astype(np.float64) / n,
+            "mean_2nd_deriv": m2d,
+            "ratio_beyond_2sigma": beyond.astype(np.float64) / n,
+            "ratio_unique": n_uniq.astype(np.float64) / n,
         })
 
     return grouped_apply(ds, keys=[key], fn=part,

@@ -169,3 +169,35 @@ def test_ts_complexity_battery_golden():
     r3 = out.loc[3]
     assert np.isnan(r3["c3"]) and np.isnan(r3["time_rev_asym"])
     assert r3["cid_ce"] == 1.0 and r3["n_peaks"] == 0
+
+
+def test_ts_location_battery_golden():
+    from s_tsfe_dl_ray.stages.features import ts_location_battery
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: [5, 1, 5, 2, 5] — max at 1,3,5; min at 2
+    vals1 = [5.0, 1.0, 5.0, 2.0, 5.0]
+    for i, v in enumerate(vals1):
+        rows.append((i, 1, t0 + pd.Timedelta(seconds=i), v))
+    # user 2: one big outlier among constants -> beyond-2sigma hit
+    vals2 = [1.0] * 9 + [100.0]
+    for i, v in enumerate(vals2):
+        rows.append((10 + i, 2, t0 + pd.Timedelta(seconds=i), v))
+    out = ts_location_battery(
+        _events(rows), key="user_id", ts_col="ts", value_col="value",
+        id_col="event_id").to_pandas().set_index("user_id")
+
+    r = out.loc[1]
+    assert r["last_loc_max"] == 5 and r["first_loc_min"] == 2
+    # |v| prefix: 5,6,11,13,18; total 18; first 2*pref>=18 at rn 3 (22>=18)
+    assert abs(r["imq50_pos"] - 3 / 5) < 1e-12
+    # second diffs: (5-2+5)=8, (2-10+1)=-7, (5-4+5)=6 -> sum 7, /(2*3)
+    assert abs(r["mean_2nd_deriv"] - 7 / (2 * 3)) < 1e-12
+    assert abs(r["ratio_unique"] - 3 / 5) < 1e-12
+
+    r2 = out.loc[2]
+    # mean 10.9, sigma ~29.7: only the 100.0 is beyond 2 sigma
+    assert abs(r2["ratio_beyond_2sigma"] - 1 / 10) < 1e-12
+    assert r2["last_loc_max"] == 10 and r2["first_loc_min"] == 1
+    assert abs(r2["ratio_unique"] - 2 / 10) < 1e-12
