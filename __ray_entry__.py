@@ -2013,6 +2013,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            columns=["conv_id", "tool", "text"])
         return _round_floats(tool_usage(turns))
 
+    def q_transcripts_turn_dedup(sf):
+        """Exact dedup over turn texts on the graft table: md5 group →
+        lexicographic-min (conv, turn) survivor — the engine's keep-first
+        dedup applied to transcripts (stages/dedup.exact_dedup_ids)."""
+        import pyarrow.compute as _pc
+
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dedup import exact_dedup_ids
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "text"])
+
+        def uid(t):
+            return pa.table({
+                "text": t["text"],
+                "turn_uid": _pc.binary_join_element_wise(
+                    t["conv_id"], _pc.cast(t["turn_idx"], pa.string()), "#"),
+            })
+
+        turns = turns.map_batches(uid, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        return exact_dedup_ids(turns, text_col="text", id_col="turn_uid")
+
+    def q_transcripts_len_quantiles_by_role(sf):
+        """Exact per-role p50/p90/p99 of turn character length — the
+        distributed value-histogram quantile op on the transcript axis
+        (stages/quantile.grouped_quantiles)."""
+        import pyarrow.compute as _pc
+
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.quantile import grouped_quantiles
+
+        turns = read_table(_transcripts_for(sf), columns=["role", "text"])
+
+        def chars(t):
+            return pa.table({
+                "role": t["role"],
+                "chars": _pc.cast(_pc.utf8_length(t["text"]), pa.int64()),
+            })
+
+        turns = turns.map_batches(chars, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        return grouped_quantiles(turns, value_col="chars", keys=["role"],
+                                 quantiles=(0.5, 0.9, 0.99))
+
+    def q_transcripts_hourly_activity(sf):
+        """Hour-of-day load profile: turns, tool calls, exact distinct
+        active conversations per hour (stages/dialog.hourly_profile)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import hourly_profile
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "ts", "tool"])
+        return hourly_profile(turns)
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2175,6 +2230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_context_cost": q_transcripts_context_cost,
         "transcripts_role_balance": q_transcripts_role_balance,
         "transcripts_tool_usage": q_transcripts_tool_usage,
+        "transcripts_turn_dedup": q_transcripts_turn_dedup,
+        "transcripts_len_quantiles_by_role": q_transcripts_len_quantiles_by_role,
+        "transcripts_hourly_activity": q_transcripts_hourly_activity,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -4280,6 +4338,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(ch)::DOUBLE / sum(n), 6) AS mean_call_chars,
                    round(sum(n)::DOUBLE / sum(sum(n)) OVER (), 6)
                      AS share_of_calls
+            FROM c GROUP BY 1
+        """,
+        "transcripts_turn_dedup": f"""
+            SELECT md5(text) AS h,
+                   min(conv_id || '#' || turn_idx::VARCHAR) AS turn_uid
+            FROM {T} GROUP BY text
+        """,
+        "transcripts_len_quantiles_by_role": f"""
+            SELECT role,
+                   quantile_disc(length(text), 0.5)  AS q_50,
+                   quantile_disc(length(text), 0.9)  AS q_90,
+                   quantile_disc(length(text), 0.99) AS q_99
+            FROM {T} GROUP BY role
+        """,
+        "transcripts_hourly_activity": f"""
+            WITH c AS (
+              SELECT hour(ts)::BIGINT AS hour, conv_id,
+                     count(*)::BIGINT AS n,
+                     sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END)::BIGINT
+                       AS tc
+              FROM {T} GROUP BY 1, 2)
+            SELECT hour, sum(n)::BIGINT AS n_turns,
+                   sum(tc)::BIGINT AS n_tool_calls,
+                   count(*)::BIGINT AS n_convs
             FROM c GROUP BY 1
         """,
     }

@@ -397,3 +397,56 @@ def tool_usage(
 
     return pairs.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def hourly_profile(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    tool_col: str = "tool",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Hour-of-day activity profile over the corpus: turns, tool calls,
+    and EXACT distinct active conversations per hour (0–23) — the
+    load-shape / capacity-planning view of a transcript stream.
+
+    Same two-level fold as :func:`tool_usage`: per-batch partials
+    collapse to (hour, conv) rows, one conv-hash exchange merges them
+    exactly, and the 24-row final fold runs in a single partition."""
+    import pyarrow.compute as pc
+
+    from .dedup import _grouped_min
+
+    def partial(t: pa.Table) -> pa.Table:
+        hr = pc.cast(pc.hour(t[ts_col]), pa.int64())
+        tbl = pa.table({
+            "hour": hr, conv_col: t[conv_col],
+            "n_turns": pa.array(np.ones(len(t), dtype=np.int64)),
+            "n_tool_calls": pc.cast(pc.not_equal(t[tool_col], ""),
+                                    pa.int64()),
+        })
+        out = tbl.group_by(["hour", conv_col], use_threads=False) \
+                 .aggregate([("n_turns", "sum"), ("n_tool_calls", "sum")])
+        return out.rename_columns(["hour", conv_col, "n_turns",
+                                   "n_tool_calls"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    pairs = _grouped_min(
+        partials, group_cols=["hour", conv_col],
+        agg_cols=[("n_turns", "sum"), ("n_tool_calls", "sum")],
+        pkey_col=conv_col, num_partitions=num_partitions)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("hour", sort=True).agg(
+            n_turns=("n_turns", "sum"),
+            n_tool_calls=("n_tool_calls", "sum"),
+            n_convs=(conv_col, "size"),
+        ).reset_index()
+        for c in ("hour", "n_turns", "n_tool_calls", "n_convs"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return pairs.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

@@ -91,3 +91,25 @@ def test_tool_usage_golden():
     assert abs(out.loc["search", "mean_call_chars"] - 7.5) < 1e-12
     assert abs(out.loc["search", "share_of_calls"] - 2 / 3) < 1e-12
     assert len(out) == 2
+
+
+def test_hourly_profile_golden():
+    from s_tsfe_dl_ray.stages.dialog import hourly_profile
+
+    t = pd.Timestamp
+    rows = [
+        ("a", 0, "user", "x", "", t("2024-01-01 09:10")),
+        ("a", 1, "assistant", "y", "bash", t("2024-01-01 09:50")),
+        ("a", 2, "user", "z", "", t("2024-01-01 10:05")),
+        ("b", 0, "user", "w", "sql", t("2024-01-01 09:30")),
+    ]
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                     "text", "tool", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = hourly_profile(ray.data.from_pandas(df)).to_pandas() \
+        .set_index("hour")
+    assert out.loc[9, "n_turns"] == 3
+    assert out.loc[9, "n_tool_calls"] == 2
+    assert out.loc[9, "n_convs"] == 2
+    assert out.loc[10, "n_turns"] == 1 and out.loc[10, "n_convs"] == 1
+    assert len(out) == 2
