@@ -934,6 +934,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = read_table(f"{sf}/embeddings.parquet", columns=["label", "embedding"])
         return _round_floats(label_centroids(emb))
 
+    def q_emb_centroid_similarity(sf):
+        """Class-confusability matrix: pairwise cosine between label
+        centroids (stages/similarity.centroid_similarity — rides the
+        labels×dims combiner; the |labels|² step is a single tiny
+        partition)."""
+        from s_tsfe_dl_ray.stages.similarity import centroid_similarity
+
+        emb = read_table(f"{sf}/embeddings.parquet",
+                         columns=["label", "embedding"])
+        return _round_floats(centroid_similarity(emb))
+
     def q_events_linear_trend(sf):
         """Per-key OLS trend (slope/intercept/corr of value on days since
         2024-01-01) — seven raw moments per key per batch cross the
@@ -2230,6 +2241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_context_cost": q_transcripts_context_cost,
         "transcripts_role_balance": q_transcripts_role_balance,
         "transcripts_tool_usage": q_transcripts_tool_usage,
+        "emb_centroid_similarity": q_emb_centroid_similarity,
         "transcripts_turn_dedup": q_transcripts_turn_dedup,
         "transcripts_len_quantiles_by_role": q_transcripts_len_quantiles_by_role,
         "transcripts_hourly_activity": q_transcripts_hourly_activity,
@@ -2666,6 +2678,19 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, len(embedding))) AS dim
               FROM embeddings
             ) GROUP BY 1, 2
+        """,
+        "emb_centroid_similarity": """
+            WITH e AS (
+              SELECT label, unnest(embedding) AS v,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings
+            ), c AS (
+              SELECT label, dim, avg(v) AS x FROM e GROUP BY 1, 2
+            ), l AS (
+              SELECT label, list(x ORDER BY dim) AS vec FROM c GROUP BY 1)
+            SELECT a.label AS label_a, b.label AS label_b,
+                   round(list_cosine_similarity(a.vec, b.vec), 6) AS cosine
+            FROM l a JOIN l b ON a.label < b.label
         """,
         "events_longest_error_streak": """
             WITH r AS (

@@ -816,3 +816,44 @@ def cosine_to_centroid(
         return pa.table({id_col: t[id_col], out_col: pa.array(cos)})
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def centroid_similarity(
+    ds: Dataset,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Pairwise cosine similarity between per-label centroids — the
+    class-confusability matrix (which clusters sit close in embedding
+    space), the standard diagnostic before nearest-centroid routing or
+    coarse quantization.
+
+    Rides :func:`label_centroids` (labels×dims long partials; raw
+    embeddings never shuffled); the |labels|²-sized pairwise step runs
+    in a single final partition, which is scale-safe because label
+    cardinality — unlike corpus size — is small and fixed.
+    Output: ``label_a, label_b, cosine`` for label_a < label_b.
+    """
+    cents = label_centroids(ds, label_col=label_col, vec_col=vec_col,
+                            num_partitions=num_partitions)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"label_a": [], "label_b": [],
+                                 "cosine": []})
+        piv = df.pivot(index=label_col, columns="dim", values="centroid") \
+                .sort_index()
+        mat = piv[sorted(piv.columns)].to_numpy(dtype=np.float64)
+        labs = piv.index.to_numpy()
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sim = (mat @ mat.T) / np.outer(norms, norms)
+        iu = np.triu_indices(len(labs), k=1)
+        return pd.DataFrame({
+            "label_a": labs[iu[0]], "label_b": labs[iu[1]],
+            "cosine": sim[iu],
+        })
+
+    return cents.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

@@ -212,3 +212,24 @@ def test_embedding_neardup_size_guard_routes_to_lsh():
     pd.testing.assert_frame_equal(
         e[["id_a", "id_b"]].astype("int64"), r[["id_a", "id_b"]].astype("int64"))
     np.testing.assert_allclose(e.cosine.to_numpy(), r.cosine.to_numpy(), rtol=1e-12)
+
+
+def test_centroid_similarity_golden():
+    import pandas as pd
+    import ray.data
+
+    from s_tsfe_dl_ray.stages.similarity import centroid_similarity
+
+    # label 0 centroids to (1,0); label 1 to (0,1); label 2 to (1,1)/norm
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 1),
+        (3, [1.0, 1.0], 2), (4, [1.0, 1.0], 2),
+    ]
+    df = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    out = centroid_similarity(ray.data.from_pandas(df)) \
+        .to_pandas().set_index(["label_a", "label_b"])
+    assert abs(out.loc[(0, 1), "cosine"] - 0.0) < 1e-12
+    assert abs(out.loc[(0, 2), "cosine"] - 1 / np.sqrt(2)) < 1e-12
+    assert abs(out.loc[(1, 2), "cosine"] - 1 / np.sqrt(2)) < 1e-12
+    assert len(out) == 3
