@@ -2079,6 +2079,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            columns=["conv_id", "ts", "tool"])
         return hourly_profile(turns)
 
+    def q_docs_lexical_diversity(sf):
+        """Per-doc vocabulary richness: type–token ratio + hapax ratio —
+        shuffle-free per-batch token histograms
+        (stages/text.lexical_diversity)."""
+        from s_tsfe_dl_ray.stages.text import lexical_diversity
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        return _round_floats(lexical_diversity(docs))
+
+    def q_events_interarrival(sf):
+        """Per-user event-cadence profile: gap count, mean/min/max and
+        variance of inter-arrival seconds — exact µs integer core
+        (stages/features.interarrival_stats)."""
+        from s_tsfe_dl_ray.stages.features import interarrival_stats
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts"])
+        return _round_floats(interarrival_stats(
+            ds, key="user_id", ts_col="ts", id_col="event_id"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2245,6 +2265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_turn_dedup": q_transcripts_turn_dedup,
         "transcripts_len_quantiles_by_role": q_transcripts_len_quantiles_by_role,
         "transcripts_hourly_activity": q_transcripts_hourly_activity,
+        "docs_lexical_diversity": q_docs_lexical_diversity,
+        "events_interarrival": q_events_interarrival,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -4376,6 +4398,60 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(length(text), 0.9)  AS q_90,
                    quantile_disc(length(text), 0.99) AS q_99
             FROM {T} GROUP BY role
+        """,
+        # mean = exact µs int sum ::DOUBLE /n/1e6 (bit-identical);
+        # variance keeps the engine's raw-moment shape (Σd²/n − mean²)
+        # with d = µs/1e6 per element — same float expression both sides
+        "events_interarrival": """
+            WITH o AS (
+              SELECT user_id,
+                     date_diff('microsecond', lag(ts) OVER w, ts) AS dt_us
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), g AS (
+              SELECT user_id, count(dt_us)::BIGINT AS n_gaps,
+                     sum(dt_us) AS s_us, min(dt_us) AS mn_us,
+                     max(dt_us) AS mx_us,
+                     sum((dt_us / 1000000.0) * (dt_us / 1000000.0)) AS sd2
+              FROM o WHERE dt_us IS NOT NULL GROUP BY 1
+            ), b AS (
+              SELECT user_id, count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1)
+            SELECT b.user_id, b.n_events,
+                   coalesce(g.n_gaps, 0) AS n_gaps,
+                   round(g.s_us::DOUBLE / g.n_gaps / 1000000.0, 6)
+                     AS mean_gap_s,
+                   round(g.mn_us / 1000000.0, 6) AS min_gap_s,
+                   round(g.mx_us / 1000000.0, 6) AS max_gap_s,
+                   round(g.sd2 / g.n_gaps
+                         - (g.s_us::DOUBLE / g.n_gaps / 1000000.0)
+                           * (g.s_us::DOUBLE / g.n_gaps / 1000000.0), 6)
+                     AS var_gap_s
+            FROM b LEFT JOIN g USING (user_id)
+        """,
+        "docs_lexical_diversity": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+              FROM documents
+            ), f AS (
+              SELECT doc_id, tok, count(*)::BIGINT AS c
+              FROM w WHERE tok <> '' GROUP BY 1, 2
+            ), a AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                     count(*)::BIGINT AS n_types,
+                     sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_hapax
+              FROM f GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.n_types, 0) AS n_types,
+                   round(CASE WHEN a.n_tokens > 0
+                         THEN a.n_types::DOUBLE / a.n_tokens END, 6)
+                     AS type_token_ratio,
+                   round(CASE WHEN a.n_tokens > 0
+                         THEN a.n_hapax::DOUBLE / a.n_tokens END, 6)
+                     AS hapax_ratio
+            FROM documents d LEFT JOIN a USING (doc_id)
         """,
         "transcripts_hourly_activity": f"""
             WITH c AS (

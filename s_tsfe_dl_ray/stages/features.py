@@ -21,6 +21,9 @@ SQL-twinnable:
 - :func:`ts_location_battery` — location/dispersion features: extreme
                                positions, index mass quantile, second
                                derivative, beyond-2σ ratio, uniqueness
+- :func:`interarrival_stats` — event-cadence profile: gap count,
+                               mean/min/max/variance of inter-arrival
+                               seconds (exact µs integer core)
 
 Scale design: both ops ride the engine's standard ``_pkey`` exchange
 (stages/grouped.grouped_apply, whole_partition=True) — ONE coarse hash
@@ -416,6 +419,80 @@ def ts_location_battery(
             "mean_2nd_deriv": m2d,
             "ratio_beyond_2sigma": beyond.astype(np.float64) / n,
             "ratio_unique": n_uniq.astype(np.float64) / n,
+        })
+
+    return grouped_apply(ds, keys=[key], fn=part,
+                         num_partitions=num_partitions, whole_partition=True)
+
+
+def interarrival_stats(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    id_col: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key inter-arrival-gap statistics (time order =
+    ``(ts_col, id_col)``): gap count, mean/min/max gap seconds, and
+    population variance of the gap — the event-cadence profile used for
+    rate limiting, anomaly scoring, and Poisson-ness checks.
+
+    Exactness: gaps are exact µs int64 deltas; the MEAN is the exact
+    int sum converted to double once (``sum_us::DOUBLE / n / 1e6`` —
+    bit-identical to the SQL twin), min/max are exact ints divided
+    once.  The variance keeps the engine's proven raw-moment shape
+    (``Σd²/n − mean²`` with d = µs/1e6 per element, the SAME float
+    expression on both sides — see the ``events_value_variance``
+    parity note).  Keys with a single event get NULL gap stats.
+    """
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                key: [], "n_events": pd.Series([], dtype="int64"),
+                "n_gaps": pd.Series([], dtype="int64"),
+                "mean_gap_s": [], "min_gap_s": [], "max_gap_s": [],
+                "var_gap_s": []})
+        df = df.sort_values([key, ts_col, id_col], kind="mergesort")
+        k_all = df[key].to_numpy()
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
+        gid = np.zeros(len(df), dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        firsts = np.concatenate([[0], change])
+        nk = int(gid[-1]) + 1
+        n = np.bincount(gid, minlength=nk)
+
+        same = gid[:-1] == gid[1:]
+        g1 = gid[1:][same]
+        dt_us = (ts[1:] - ts[:-1])[same]
+        n_gaps = np.bincount(g1, minlength=nk)
+        s_us = np.zeros(nk, dtype=np.int64)
+        np.add.at(s_us, g1, dt_us)
+        mn = np.full(nk, np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(nk, np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(mn, g1, dt_us)
+        np.maximum.at(mx, g1, dt_us)
+        d = dt_us.astype(np.float64) / 1e6
+        sd2 = np.zeros(nk, dtype=np.float64)
+        np.add.at(sd2, g1, d * d)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ng = np.maximum(n_gaps, 1)
+            mean = s_us.astype(np.float64) / ng / 1e6
+            var = sd2 / ng - mean * mean
+        has = n_gaps > 0
+        nanw = lambda x: np.where(has, x, np.nan)  # noqa: E731
+        return pd.DataFrame({
+            key: k_all[firsts],
+            "n_events": n.astype(np.int64),
+            "n_gaps": n_gaps.astype(np.int64),
+            "mean_gap_s": nanw(mean),
+            "min_gap_s": nanw(mn / 1e6),
+            "max_gap_s": nanw(mx / 1e6),
+            "var_gap_s": nanw(var),
         })
 
     return grouped_apply(ds, keys=[key], fn=part,

@@ -1207,3 +1207,72 @@ def doc_top_bigram(
         })
 
     return ds.map_batches(batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lexical_diversity(
+    ds: "Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "Dataset":
+    """Per-document lexical-diversity signals: token count, distinct
+    token (type) count, type–token ratio, and hapax-legomenon ratio
+    (share of tokens occurring exactly once) — the vocabulary-richness
+    class of corpus-quality heuristics, complementing
+    :func:`token_entropy`.  Same whitespace tokenization as the other
+    token ops (``string_split(trim(text), ' ')``, empties dropped).
+
+    Pure per-batch kernel, no shuffle: a document's histogram completes
+    inside its batch.  Zero-token documents get zero counts and NULL
+    ratios (SQL ``x/0 → NULL``).
+
+    Output: ``id_col, n_tokens, n_types, type_token_ratio, hapax_ratio``.
+    """
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ids_in = t[id_col]
+        toks_list = pc.split_pattern(pc.utf8_trim(t[text_col], " "), " ")
+        lens = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        ids = np.repeat(ids_in.to_numpy(zero_copy_only=False),
+                        lens.astype(np.int64))
+        toks = toks_list.combine_chunks().flatten() if isinstance(
+            toks_list, pa.ChunkedArray) else toks_list.flatten()
+        exploded = pa.table({"_id": pa.array(ids, ids_in.type), "_tok": toks})
+        exploded = exploded.filter(pc.not_equal(exploded["_tok"], ""))
+        counts = exploded.group_by(["_id", "_tok"], use_threads=False) \
+                         .aggregate([([], "count_all")])
+        c = counts["count_all"].to_numpy(zero_copy_only=False) \
+                               .astype(np.int64)
+        gid_vals = counts["_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(gid_vals, return_inverse=True)
+        k = len(uniq)
+        n_tok = np.bincount(inv, weights=c.astype(np.float64), minlength=k) \
+                  .astype(np.int64)
+        n_typ = np.bincount(inv, minlength=k)
+        n_hap = np.bincount(inv[c == 1], minlength=k)
+
+        ids_full = ids_in.to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(uniq, ids_full)
+        pos = np.clip(pos, 0, max(k - 1, 0))
+        hit = (k > 0) & (uniq[pos] == ids_full)
+        nt = np.zeros(t.num_rows, dtype=np.int64)
+        ny = np.zeros(t.num_rows, dtype=np.int64)
+        nh = np.zeros(t.num_rows, dtype=np.int64)
+        nt[hit] = n_tok[pos[hit]]
+        ny[hit] = n_typ[pos[hit]]
+        nh[hit] = n_hap[pos[hit]]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ttr = np.where(nt > 0, ny / np.maximum(nt, 1).astype(np.float64),
+                           np.nan)
+            hr = np.where(nt > 0, nh / np.maximum(nt, 1).astype(np.float64),
+                          np.nan)
+        return pa.table({
+            id_col: ids_in,
+            "n_tokens": pa.array(nt),
+            "n_types": pa.array(ny),
+            "type_token_ratio": pa.array(ttr),
+            "hapax_ratio": pa.array(hr),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)

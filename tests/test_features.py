@@ -201,3 +201,27 @@ def test_ts_location_battery_golden():
     assert abs(r2["ratio_beyond_2sigma"] - 1 / 10) < 1e-12
     assert r2["last_loc_max"] == 10 and r2["first_loc_min"] == 1
     assert abs(r2["ratio_unique"] - 2 / 10) < 1e-12
+
+
+def test_interarrival_stats_golden():
+    from s_tsfe_dl_ray.stages.features import interarrival_stats
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: gaps of 10s, 20s, 30s -> mean 20, var ((100+400+900)/3-400)
+    offs = [0, 10, 30, 60]
+    for i, o in enumerate(offs):
+        rows.append((i, 1, t0 + pd.Timedelta(seconds=o), 0.0))
+    # user 2: single event -> NULL gap stats
+    rows.append((10, 2, t0, 0.0))
+    out = interarrival_stats(
+        _events(rows).drop_columns(["value"]), key="user_id",
+        ts_col="ts", id_col="event_id").to_pandas().set_index("user_id")
+    r = out.loc[1]
+    assert r["n_events"] == 4 and r["n_gaps"] == 3
+    assert abs(r["mean_gap_s"] - 20.0) < 1e-12
+    assert r["min_gap_s"] == 10.0 and r["max_gap_s"] == 30.0
+    assert abs(r["var_gap_s"] - (1400 / 3 - 400)) < 1e-9
+    r2 = out.loc[2]
+    assert r2["n_gaps"] == 0 and np.isnan(r2["mean_gap_s"])
+    assert np.isnan(r2["var_gap_s"])

@@ -320,3 +320,26 @@ def test_tfidf_top_terms_semantics():
     d3 = out[(out.doc_id == 3) & (out.token == "cat")].tfidf.iloc[0]
     assert abs(d3 - 2 * ln(3 / 2)) < 1e-12
     assert (out.groupby("doc_id")["rank"].max() <= 2).all()
+
+
+def test_lexical_diversity_golden():
+    import pandas as pd
+    import ray.data
+
+    from s_tsfe_dl_ray.stages.text import lexical_diversity
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a c", "x x x", ""],
+    })
+    out = lexical_diversity(ray.data.from_pandas(docs)).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 4 and out.loc[1, "n_types"] == 3
+    # hapax: b and c occur once -> 2/4
+    assert abs(out.loc[1, "hapax_ratio"] - 0.5) < 1e-12
+    assert abs(out.loc[1, "type_token_ratio"] - 0.75) < 1e-12
+    assert out.loc[2, "n_types"] == 1
+    assert out.loc[2, "hapax_ratio"] == 0.0
+    assert out.loc[3, "n_tokens"] == 0
+    import numpy as np
+    assert np.isnan(out.loc[3, "type_token_ratio"])
