@@ -2099,6 +2099,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(interarrival_stats(
             ds, key="user_id", ts_col="ts", id_col="event_id"))
 
+    def q_events_type_transitions(sf):
+        """Event-type Markov transition matrix per user stream — the
+        dialog transition op generalized to event streams with a
+        (ts, event_id) order tiebreak (stages/dialog.role_transitions)."""
+        from s_tsfe_dl_ray.stages.dialog import role_transitions
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+        return _round_floats(role_transitions(
+            ds, conv_col="user_id", role_col="event_type",
+            order_by=["ts", "event_id"]))
+
+    def q_transcripts_final_role(sf):
+        """Conversation outcome distribution: which role speaks last —
+        latest-per-key composed with a tiny fold
+        (stages/dialog.final_role_distribution)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import final_role_distribution
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "role"])
+        return _round_floats(final_role_distribution(turns))
+
+    def q_events_benford(sf):
+        """First-significant-digit distribution per event type vs
+        Benford's law — digit from the exact scaled int, never float
+        log10 (stages/distinct.benford_profile)."""
+        from s_tsfe_dl_ray.stages.distinct import benford_profile
+
+        ds = read_events(sf, columns=["event_type", "value"])
+        return _round_floats(benford_profile(
+            ds, group_col="event_type", value_col="value"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2267,6 +2300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_hourly_activity": q_transcripts_hourly_activity,
         "docs_lexical_diversity": q_docs_lexical_diversity,
         "events_interarrival": q_events_interarrival,
+        "events_type_transitions": q_events_type_transitions,
+        "transcripts_final_role": q_transcripts_final_role,
+        "events_benford": q_events_benford,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -4387,6 +4423,15 @@ def oracle_sql() -> dict[str, str]:
                      AS share_of_calls
             FROM c GROUP BY 1
         """,
+        "transcripts_final_role": f"""
+            WITH l AS (
+              SELECT conv_id, max_by(role, turn_idx) AS role
+              FROM {T} GROUP BY 1)
+            SELECT role AS final_role, count(*)::BIGINT AS n_convs,
+                   round(count(*)::DOUBLE / sum(count(*)) OVER (), 6)
+                     AS frac
+            FROM l GROUP BY 1
+        """,
         "transcripts_turn_dedup": f"""
             SELECT md5(text) AS h,
                    min(conv_id || '#' || turn_idx::VARCHAR) AS turn_uid
@@ -4398,6 +4443,39 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(length(text), 0.9)  AS q_90,
                    quantile_disc(length(text), 0.99) AS q_99
             FROM {T} GROUP BY role
+        """,
+        "events_type_transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS nxt
+              FROM events
+            ), g AS (
+              SELECT event_type AS role_from, nxt AS role_to,
+                     count(*)::BIGINT AS n_transitions
+              FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2)
+            SELECT role_from, role_to, n_transitions,
+                   round(n_transitions::DOUBLE
+                         / sum(n_transitions) OVER (PARTITION BY role_from),
+                         6) AS frac_from
+            FROM g
+        """,
+        # digit from the exact scaled int via ::VARCHAR (never float
+        # log10 — libm boundaries at powers of ten could flip a digit)
+        "events_benford": """
+            WITH d AS (
+              SELECT event_type,
+                     substr((CAST(round(value * 100) AS BIGINT))::VARCHAR,
+                            1, 1)::BIGINT AS digit
+              FROM events WHERE round(value * 100) > 0
+            ), g AS (
+              SELECT event_type, digit, count(*)::BIGINT AS n
+              FROM d GROUP BY 1, 2)
+            SELECT event_type, digit, n,
+                   round(n::DOUBLE
+                         / sum(n) OVER (PARTITION BY event_type), 6) AS frac,
+                   round(log10(1 + 1.0 / digit), 6) AS benford_p
+            FROM g
         """,
         # mean = exact µs int sum ::DOUBLE /n/1e6 (bit-identical);
         # variance keeps the engine's raw-moment shape (Σd²/n − mean²)

@@ -117,6 +117,7 @@ def role_transitions(
     conv_col: str = "conv_id",
     order_col: str = "turn_idx",
     role_col: str = "role",
+    order_by: list[str] | None = None,
     num_partitions: int = 64,
 ) -> Dataset:
     """Corpus-wide role→next-role transition matrix (the dialog Markov
@@ -130,8 +131,13 @@ def role_transitions(
     size.  Reference analog: the label-transition structure of the beat
     annotation stream (reference TSFEDL/data.py:10-80 walks annotations
     in record order).
+
+    ``order_by`` overrides the single ``order_col`` when the order axis
+    needs a tiebreak (e.g. ``["ts", "event_id"]`` for event streams).
     """
     from .grouped import grouped_apply
+
+    order = order_by or [order_col]
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"role_from": pd.Series([], dtype="object"),
@@ -139,7 +145,7 @@ def role_transitions(
                               "n": pd.Series([], dtype="int64")})
         if len(df) == 0:
             return empty
-        df = df.sort_values([conv_col, order_col], kind="mergesort")
+        df = df.sort_values([conv_col] + order, kind="mergesort")
         conv = df[conv_col].to_numpy()
         role = df[role_col].to_numpy()
         same = conv[1:] == conv[:-1]
@@ -449,4 +455,45 @@ def hourly_profile(
         return g
 
     return pairs.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
+
+
+def final_role_distribution(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+) -> Dataset:
+    """How conversations END: the distribution of the final turn's role
+    over the corpus (assistant-final ≈ answered, user-final ≈ abandoned,
+    tool-final ≈ interrupted agent loop) — the coarse outcome label of a
+    transcript store.
+
+    Composition, no new kernel: :func:`stages.dedup.latest_per_key`
+    (last-writer-wins per conversation) then a |roles|-row fold in one
+    final partition.  Output: ``final_role, n_convs, frac``.
+    """
+    import pyarrow.compute as pc
+
+    from .dedup import latest_per_key
+
+    last = latest_per_key(ds, keys=[conv_col], order_by=[order_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.group_by(role_col, use_threads=False) \
+               .aggregate([([], "count_all")])
+        return out.rename_columns([role_col, "n"])
+
+    partials = last.map_batches(partial, batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(role_col, sort=True)["n"].sum().reset_index()
+        return pd.DataFrame({
+            "final_role": g[role_col],
+            "n_convs": g["n"].astype("int64"),
+            "frac": g["n"] / g["n"].sum(),
+        })
+
+    return partials.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)

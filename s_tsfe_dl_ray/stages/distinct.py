@@ -535,3 +535,65 @@ def pair_cooccurrence(
         })
 
     return pairs.map_batches(score, batch_format="pyarrow")
+
+
+def benford_profile(
+    ds: Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+    num_partitions: int = 16,
+) -> Dataset:
+    """First-significant-digit distribution per group against Benford's
+    law — the classic fabricated/synthetic-data forensics check over a
+    positive-valued measure column.
+
+    The leading digit is extracted from the EXACT scaled integer
+    ``round(v·scale)`` by repeated integer division (never a float
+    ``log10``, whose libm boundaries at powers of ten could flip a
+    digit), so both sides bucket identically.  Rows with a non-positive
+    scaled value are excluded.  Per-batch (group, digit) partials →
+    one group-hash merge → a |groups|×9 final fold.
+    Output: ``group_col, digit, n, frac, benford_p``.
+    """
+    from .dedup import _grouped_min
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = np.round(v * scale).astype(np.int64)
+        pos = k > 0
+        k = k[pos]
+        grp = t[group_col].filter(pa.array(pos))
+        for _ in range(18):
+            big = k >= 10
+            if not big.any():
+                break
+            k[big] //= 10
+        tbl = pa.table({group_col: grp, "digit": pa.array(k),
+                        "n": pa.array(np.ones(len(k), dtype=np.int64))})
+        out = tbl.group_by([group_col, "digit"], use_threads=False) \
+                 .aggregate([("n", "sum")])
+        return out.rename_columns([group_col, "digit", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    merged = _grouped_min(partials, group_cols=[group_col, "digit"],
+                          agg_cols=[("n", "sum")], pkey_col=group_col,
+                          num_partitions=num_partitions)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"], errors="ignore")
+        df = df.sort_values([group_col, "digit"]).reset_index(drop=True)
+        tot = df.groupby(group_col, sort=False)["n"].transform("sum")
+        d = df["digit"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            group_col: df[group_col],
+            "digit": df["digit"].astype("int64"),
+            "n": df["n"].astype("int64"),
+            "frac": df["n"] / tot,
+            "benford_p": np.log10(1 + 1.0 / d),
+        })
+
+    return merged.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

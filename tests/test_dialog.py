@@ -113,3 +113,15 @@ def test_hourly_profile_golden():
     assert out.loc[9, "n_convs"] == 2
     assert out.loc[10, "n_turns"] == 1 and out.loc[10, "n_convs"] == 1
     assert len(out) == 2
+
+
+def test_final_role_distribution_golden():
+    from s_tsfe_dl_ray.stages.dialog import final_role_distribution
+
+    out = final_role_distribution(_turns(_CORPUS)).to_pandas() \
+        .set_index("final_role")
+    # conv a ends with assistant, conv b with user
+    assert out.loc["assistant", "n_convs"] == 1
+    assert out.loc["user", "n_convs"] == 1
+    assert abs(out.loc["user", "frac"] - 0.5) < 1e-12
+    assert len(out) == 2

@@ -196,3 +196,27 @@ def test_heavy_hitters_exact_when_under_capacity():
     assert out.w.tolist() == ["x", "y", "z"]
     assert out.count_lo.tolist() == [7, 5, 2]
     assert out.count_hi.tolist() == [7, 5, 2]
+
+
+def test_benford_profile_golden():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from s_tsfe_dl_ray.stages.distinct import benford_profile
+
+    df = pd.DataFrame({
+        "event_type": ["a"] * 6 + ["b"] * 2,
+        # scaled ints: 100,1999,30000,105,12,0 -> digits 1,1,3,1,1,(drop)
+        "value": [1.0, 19.99, 300.0, 1.05, 0.12, 0.0, 9.0, 0.9],
+    })
+    out = benford_profile(ray.data.from_pandas(df), group_col="event_type",
+                          value_col="value").to_pandas()
+    out = out.set_index(["event_type", "digit"])
+    assert out.loc[("a", 1), "n"] == 4
+    assert out.loc[("a", 3), "n"] == 1
+    assert abs(out.loc[("a", 1), "frac"] - 4 / 5) < 1e-12
+    assert abs(out.loc[("a", 1), "benford_p"] - np.log10(2)) < 1e-12
+    # b: 9.0 -> digit 9; 0.9 -> scaled 90 -> digit 9
+    assert out.loc[("b", 9), "n"] == 2
+    assert len(out) == 3
