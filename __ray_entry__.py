@@ -2132,6 +2132,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(benford_profile(
             ds, group_col="event_type", value_col="value"))
 
+    def q_transcripts_tool_transitions(sf):
+        """Tool→next-tool Markov matrix over each conversation's tool
+        sequence (which tool follows which) — the transitions op on the
+        tool-turn subsequence (stages/dialog.role_transitions after a
+        tool filter)."""
+        import pyarrow.compute as _pc
+
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import role_transitions
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "tool"])
+        turns = turns.map_batches(
+            lambda t: t.filter(_pc.not_equal(t["tool"], "")),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return _round_floats(role_transitions(
+            turns, conv_col="conv_id", order_col="turn_idx",
+            role_col="tool"))
+
+    def q_transcripts_tool_latency(sf):
+        """Per-conversation tool→assistant consumption latency: for every
+        tool turn, time to the next assistant turn — the reply-latency
+        scan with swapped roles (stages/dialog.reply_latency)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import reply_latency
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "ts", "role"])
+        return _round_floats(reply_latency(
+            turns, conv_col="conv_id", ts_col="ts",
+            order_by=["ts", "turn_idx"], from_role="tool",
+            to_role="assistant"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2303,6 +2336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_transitions": q_events_type_transitions,
         "transcripts_final_role": q_transcripts_final_role,
         "events_benford": q_events_benford,
+        "transcripts_tool_transitions": q_transcripts_tool_transitions,
+        "transcripts_tool_latency": q_transcripts_tool_latency,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -4422,6 +4457,38 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(n)::DOUBLE / sum(sum(n)) OVER (), 6)
                      AS share_of_calls
             FROM c GROUP BY 1
+        """,
+        "transcripts_tool_transitions": f"""
+            WITH tt AS (
+              SELECT conv_id, turn_idx, tool FROM {T} WHERE tool <> ''
+            ), o AS (
+              SELECT conv_id, tool,
+                     lead(tool) OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx) AS nxt
+              FROM tt
+            ), g AS (
+              SELECT tool AS role_from, nxt AS role_to,
+                     count(*)::BIGINT AS n_transitions
+              FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2)
+            SELECT role_from, role_to, n_transitions,
+                   round(n_transitions::DOUBLE
+                         / sum(n_transitions) OVER (PARTITION BY role_from),
+                         6) AS frac_from
+            FROM g
+        """,
+        "transcripts_tool_latency": f"""
+            WITH nx AS (
+              SELECT conv_id, ts, role,
+                     min(CASE WHEN role = 'assistant' THEN ts END) OVER (
+                       PARTITION BY conv_id ORDER BY ts, turn_idx
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS nxt
+              FROM {T}
+            )
+            SELECT conv_id, count(*)::BIGINT AS n_replies,
+                   round(avg(epoch(nxt - ts)), 6) AS mean_reply_s,
+                   round(max(epoch(nxt - ts)), 6) AS max_reply_s
+            FROM nx WHERE role = 'tool' AND nxt IS NOT NULL GROUP BY 1
         """,
         "transcripts_final_role": f"""
             WITH l AS (
