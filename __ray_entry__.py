@@ -2165,6 +2165,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             order_by=["ts", "turn_idx"], from_role="tool",
             to_role="assistant"))
 
+    def q_events_key_skew(sf):
+        """One-row skew diagnostic of user_id as a partition key —
+        cardinality, rows-per-key quantiles, hottest-key share, HHI
+        (stages/distinct.key_skew_profile; the numbers salting decisions
+        are made from)."""
+        from s_tsfe_dl_ray.stages.distinct import key_skew_profile
+
+        ds = read_events(sf, columns=["user_id"])
+        return _round_floats(key_skew_profile(ds, key="user_id"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2338,6 +2348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_benford": q_events_benford,
         "transcripts_tool_transitions": q_transcripts_tool_transitions,
         "transcripts_tool_latency": q_transcripts_tool_latency,
+        "events_key_skew": q_events_key_skew,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -4457,6 +4468,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(n)::DOUBLE / sum(sum(n)) OVER (), 6)
                      AS share_of_calls
             FROM c GROUP BY 1
+        """,
+        "events_key_skew": """
+            WITH c AS (
+              SELECT user_id, count(*)::BIGINT AS n
+              FROM events GROUP BY 1)
+            SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows,
+                   max(n)::BIGINT AS max_per_key,
+                   quantile_disc(n, 0.5)::BIGINT AS p50_per_key,
+                   quantile_disc(n, 0.99)::BIGINT AS p99_per_key,
+                   round(max(n)::DOUBLE / sum(n), 6) AS top1_share,
+                   round(sum(n * n)::DOUBLE / (sum(n) * sum(n)), 6) AS hhi
+            FROM c
         """,
         "transcripts_tool_transitions": f"""
             WITH tt AS (

@@ -597,3 +597,69 @@ def benford_profile(
 
     return merged.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def key_skew_profile(
+    ds: Dataset,
+    *,
+    key: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """One-row skew diagnostic of a prospective partition key — the
+    numbers the engine's own salting / bucketing decisions are made
+    from (stages/salted.py picks ``salt_every`` off exactly this
+    shape): key cardinality, row count, max/median/p99 rows-per-key,
+    hottest-key share, and the HHI concentration of rows over keys.
+
+    Dataflow: per-batch (key, n) partials → one key-hash merge → each
+    merge partition folds its keys to a (rows_per_key → n_keys)
+    HISTOGRAM, so the final partition sees count-values, not keys —
+    bounded by the distinct per-key-count values, not key cardinality.
+    Quantiles use the engine's exact ``quantile_disc`` rule
+    (first value whose cumulative key count reaches ``ceil(K·q)``).
+    """
+    from .dedup import _grouped_min
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.select([key]).group_by(key, use_threads=False) \
+               .aggregate([([], "count_all")])
+        return out.rename_columns([key, "n"])
+
+    counts = _grouped_min(ds.map_batches(partial, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                          group_cols=[key], agg_cols=[("n", "sum")],
+                          pkey_col=key, num_partitions=num_partitions)
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n", sort=False).size().reset_index(name="n_keys")
+        g["n_rows"] = g["n"] * g["n_keys"]
+        g["n_sq"] = g["n"] * g["n"] * g["n_keys"]
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n", sort=True).agg(
+            n_keys=("n_keys", "sum"), n_rows=("n_rows", "sum"),
+            n_sq=("n_sq", "sum")).reset_index()
+        k_tot = int(g["n_keys"].sum())
+        rows = int(g["n_rows"].sum())
+        sq = int(g["n_sq"].sum())
+        mx = int(g["n"].max())
+        cum = g["n_keys"].cumsum()
+
+        def qdisc(q: float) -> int:
+            target = max(int(np.ceil(k_tot * q)), 1)
+            return int(g.loc[cum >= target, "n"].iloc[0])
+
+        return pd.DataFrame({
+            "n_keys": pd.Series([k_tot], dtype="int64"),
+            "n_rows": pd.Series([rows], dtype="int64"),
+            "max_per_key": pd.Series([mx], dtype="int64"),
+            "p50_per_key": pd.Series([qdisc(0.5)], dtype="int64"),
+            "p99_per_key": pd.Series([qdisc(0.99)], dtype="int64"),
+            "top1_share": [mx / rows] if rows else [np.nan],
+            "hhi": [sq / (rows * rows)] if rows else [np.nan],
+        })
+
+    return (counts.map_batches(hist, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))

@@ -220,3 +220,21 @@ def test_benford_profile_golden():
     # b: 9.0 -> digit 9; 0.9 -> scaled 90 -> digit 9
     assert out.loc[("b", 9), "n"] == 2
     assert len(out) == 3
+
+
+def test_key_skew_profile_golden():
+    import pandas as pd
+    import ray.data
+
+    from s_tsfe_dl_ray.stages.distinct import key_skew_profile
+
+    # keys: a×6, b×2, c×1, d×1 -> rows 10, K=4
+    df = pd.DataFrame({"k": ["a"] * 6 + ["b"] * 2 + ["c", "d"]})
+    out = key_skew_profile(ray.data.from_pandas(df), key="k").to_pandas()
+    r = out.iloc[0]
+    assert r["n_keys"] == 4 and r["n_rows"] == 10
+    assert r["max_per_key"] == 6
+    # sorted counts [1,1,2,6]; p50: ceil(4*.5)=2nd -> 1; p99: ceil(3.96)=4th -> 6
+    assert r["p50_per_key"] == 1 and r["p99_per_key"] == 6
+    assert abs(r["top1_share"] - 0.6) < 1e-12
+    assert abs(r["hhi"] - (36 + 4 + 1 + 1) / 100) < 1e-12
