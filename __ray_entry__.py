@@ -2175,6 +2175,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_events(sf, columns=["user_id"])
         return _round_floats(key_skew_profile(ds, key="user_id"))
 
+    def q_events_energy_chunks(sf):
+        """NTILE(10)-segmented energy shares per user series — exact
+        scaled-int energies, ntile remainders to the leading chunks
+        (stages/features.energy_by_chunks)."""
+        from s_tsfe_dl_ray.stages.features import energy_by_chunks
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(energy_by_chunks(
+            ds, key="user_id", ts_col="ts", value_col="value",
+            id_col="event_id"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2349,6 +2360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_tool_transitions": q_transcripts_tool_transitions,
         "transcripts_tool_latency": q_transcripts_tool_latency,
         "events_key_skew": q_events_key_skew,
+        "events_energy_chunks": q_events_energy_chunks,
         # -- rows-only (pytest-covered; minhash/ivf/ewma/dup_words sit past
         # the 50-row cap so every oracle-paired query above gets a driver
         # row — ewma and dup_words DO have DuckDB oracles, but they live
@@ -4468,6 +4480,22 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(n)::DOUBLE / sum(sum(n)) OVER (), 6)
                      AS share_of_calls
             FROM c GROUP BY 1
+        """,
+        "events_energy_chunks": """
+            WITH o AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) AS kq,
+                     ntile(10) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS chunk
+              FROM events
+            ), g AS (
+              SELECT user_id, chunk::BIGINT AS chunk,
+                     count(*)::BIGINT AS n_in_chunk, sum(kq * kq) AS e
+              FROM o GROUP BY 1, 2)
+            SELECT user_id, chunk, n_in_chunk,
+                   round(e::DOUBLE / sum(e) OVER (PARTITION BY user_id), 6)
+                     AS energy_frac
+            FROM g
         """,
         "events_key_skew": """
             WITH c AS (

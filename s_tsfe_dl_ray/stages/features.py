@@ -24,6 +24,8 @@ SQL-twinnable:
 - :func:`interarrival_stats` — event-cadence profile: gap count,
                                mean/min/max/variance of inter-arrival
                                seconds (exact µs integer core)
+- :func:`energy_by_chunks`   — NTILE-segmented energy shares (where in
+                               time the power sits)
 
 Scale design: both ops ride the engine's standard ``_pkey`` exchange
 (stages/grouped.grouped_apply, whole_partition=True) — ONE coarse hash
@@ -493,6 +495,89 @@ def interarrival_stats(
             "min_gap_s": nanw(mn / 1e6),
             "max_gap_s": nanw(mx / 1e6),
             "var_gap_s": nanw(var),
+        })
+
+    return grouped_apply(ds, keys=[key], fn=part,
+                         num_partitions=num_partitions, whole_partition=True)
+
+
+def energy_by_chunks(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    n_chunks: int = 10,
+    scale: int = 100,
+    num_partitions: int = 64,
+) -> Dataset:
+    """tsfresh ``energy_ratio_by_chunks``: split each key's ordered
+    series into ``n_chunks`` NTILE segments (SQL ntile semantics — the
+    first ``n mod k`` chunks get the extra row) and report each chunk's
+    share of the total energy Σv² — the where-in-time-the-power-sits
+    profile.
+
+    Exactness: energies are exact int64 sums of ``round(v·scale)²``;
+    the only float op is the final share division, identical on both
+    sides.  Keys with n < n_chunks produce only their first n chunks,
+    matching ntile.  Output: ``key, chunk (1-based), n_in_chunk,
+    energy_frac``.
+    """
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                key: [], "chunk": pd.Series([], dtype="int64"),
+                "n_in_chunk": pd.Series([], dtype="int64"),
+                "energy_frac": []})
+        df = df.sort_values([key, ts_col, id_col], kind="mergesort")
+        k_all = df[key].to_numpy()
+        v = df[value_col].to_numpy(dtype=np.float64)
+        kq = np.round(v * scale).astype(np.int64)
+        e = kq * kq
+        change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
+        gid = np.zeros(len(df), dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        firsts = np.concatenate([[0], change])
+        nk = int(gid[-1]) + 1
+        n = np.bincount(gid, minlength=nk)
+        rank = np.arange(len(df), dtype=np.int64) - firsts[gid] + 1
+
+        # ntile(k): first r = n mod k chunks have q+1 rows (q = n div k)
+        q = n // n_chunks
+        r = n % n_chunks
+        qg, rg = q[gid], r[gid]
+        head = rg * (qg + 1)
+        in_head = rank <= head
+        with np.errstate(divide="ignore", invalid="ignore"):
+            chunk = np.where(
+                in_head,
+                (rank + qg) // np.maximum(qg + 1, 1),
+                rg + (rank - head + np.maximum(qg, 1) - 1)
+                // np.maximum(qg, 1))
+        chunk = chunk.astype(np.int64)
+
+        tot = np.zeros(nk, dtype=np.int64)
+        np.add.at(tot, gid, e)
+        cid = gid * n_chunks + (chunk - 1)
+        ce = np.zeros(nk * n_chunks, dtype=np.int64)
+        cn = np.zeros(nk * n_chunks, dtype=np.int64)
+        np.add.at(ce, cid, e)
+        np.add.at(cn, cid, 1)
+        keep = cn > 0
+        out_g = np.repeat(np.arange(nk), n_chunks)[keep]
+        out_c = np.tile(np.arange(1, n_chunks + 1), nk)[keep]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.where(tot[out_g] > 0,
+                            ce[keep].astype(np.float64)
+                            / np.maximum(tot[out_g], 1), np.nan)
+        return pd.DataFrame({
+            key: k_all[firsts][out_g],
+            "chunk": out_c.astype(np.int64),
+            "n_in_chunk": cn[keep].astype(np.int64),
+            "energy_frac": frac,
         })
 
     return grouped_apply(ds, keys=[key], fn=part,

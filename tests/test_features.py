@@ -225,3 +225,31 @@ def test_interarrival_stats_golden():
     r2 = out.loc[2]
     assert r2["n_gaps"] == 0 and np.isnan(r2["mean_gap_s"])
     assert np.isnan(r2["var_gap_s"])
+
+
+def test_energy_by_chunks_golden():
+    from s_tsfe_dl_ray.stages.features import energy_by_chunks
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: 12 rows -> ntile(10): first 2 chunks get 2 rows, rest 1
+    vals = [1.0] * 12
+    vals[0] = 3.0  # chunk 1 = rows 1,2 -> energy 9+1 = 10 of total 20
+    for i, v in enumerate(vals):
+        rows.append((i, 1, t0 + pd.Timedelta(seconds=i), v))
+    # user 2: 3 rows < 10 chunks -> only chunks 1..3, one row each
+    for i, v in enumerate([2.0, 0.0, 1.0]):
+        rows.append((100 + i, 2, t0 + pd.Timedelta(seconds=i), v))
+    out = energy_by_chunks(
+        _events(rows), key="user_id", ts_col="ts", value_col="value",
+        id_col="event_id").to_pandas().set_index(["user_id", "chunk"])
+    total1 = 9 + 11  # 3² + 11·1²
+    assert out.loc[(1, 1), "n_in_chunk"] == 2
+    assert out.loc[(1, 2), "n_in_chunk"] == 2
+    assert out.loc[(1, 10), "n_in_chunk"] == 1
+    assert abs(out.loc[(1, 1), "energy_frac"] - 10 / total1) < 1e-12
+    assert abs(out.loc[(1, 3), "energy_frac"] - 1 / total1) < 1e-12
+    assert len(out.loc[1]) == 10
+    assert len(out.loc[2]) == 3
+    assert abs(out.loc[(2, 1), "energy_frac"] - 4 / 5) < 1e-12
+    assert out.loc[(2, 2), "energy_frac"] == 0.0
