@@ -2186,6 +2186,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, key="user_id", ts_col="ts", value_col="value",
             id_col="event_id"))
 
+    # ---- round-4d wave: TPC-H completion over the available columns ----
+
+    def q_tpch_q6_forecast_revenue(sf):
+        """Discount-band revenue scan (Q6 skeleton): all three predicates
+        pushed into the parquet read, exact int64 product through one
+        global combiner cell (pipelines/tpch.q6_forecast_revenue)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q6_forecast_revenue
+
+        return _round_floats(q6_forecast_revenue(sf))
+
+    def q_tpch_q8_market_share(sf):
+        """Target-nation revenue share per order year within one region
+        (Q8 skeleton): semi-join part prune, broadcast nation⋈region
+        flags, early (year, suppkey) fold
+        (pipelines/tpch.q8_market_share)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q8_market_share
+
+        return _round_floats(q8_market_share(sf))
+
+    def q_tpch_q13_order_counts(sf):
+        """Customer order-count histogram including zero-order customers
+        (Q13 skeleton): combiner fold, LEFT hash join, null→0, second
+        tiny fold (pipelines/tpch.q13_order_count_distribution)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q13_order_count_distribution
+
+        return q13_order_count_distribution(sf)
+
+    def q_tpch_q15_top_supplier(sf):
+        """Top supplier(s) by quarter revenue (Q15 skeleton): revenue
+        view folded once, exact int64 MAX subquery, equality cut
+        (pipelines/tpch.q15_top_supplier)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q15_top_supplier
+
+        return _round_floats(q15_top_supplier(sf))
+
+    def q_tpch_q17_small_qty(sf):
+        """Avg yearly revenue below 0.2× the part's mean quantity (Q17
+        skeleton): correlated AVG as a two-pass fold+rejoin over the
+        brand-pruned slice (pipelines/tpch.q17_small_quantity_revenue)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q17_small_quantity_revenue
+
+        return _round_floats(q17_small_quantity_revenue(sf))
+
+    def q_tpch_q22_dormant_customers(sf):
+        """Above-average-balance customers with no recent order, by
+        nation (Q22 skeleton): exact driver-side AVG fold + date-pruned
+        anti_join (pipelines/tpch.q22_global_sales_opportunity)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q22_global_sales_opportunity
+
+        return _round_floats(q22_global_sales_opportunity(sf))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2389,6 +2440,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_demo": q_media_decode_demo,
         "media_audio_demo": q_media_audio_demo,
         "media_frames_demo": q_media_frames_demo,
+        # round-4d wave (all oracle-paired)
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q13_order_counts": q_tpch_q13_order_counts,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q17_small_qty": q_tpch_q17_small_qty,
+        "tpch_q22_dormant_customers": q_tpch_q22_dormant_customers,
     }
 
 
@@ -4660,5 +4718,97 @@ def oracle_sql() -> dict[str, str]:
                    sum(tc)::BIGINT AS n_tool_calls,
                    count(*)::BIGINT AS n_convs
             FROM c GROUP BY 1
+        """,
+        # ---- round-4d wave: TPC-H completion (same exact int64 money
+        # discipline as the 4b joins) -------------------------------------
+        "tpch_q6_forecast_revenue": """
+            SELECT round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                             * CAST(round(l_discount*100) AS BIGINT))
+                         / 10000.0, 6) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 - 1e-9 AND 0.07 + 1e-9
+              AND l_quantity < 24
+        """,
+        "tpch_q8_market_share": """
+            WITH j AS (
+              SELECT year(o.o_orderdate)::BIGINT AS o_year,
+                     CAST(round(l.l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+                       AS rev_i,
+                     sn.n_name AS supp_nation
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+                         AND p.p_type = 'PROMO'
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+              JOIN region r ON cn.n_regionkey = r.r_regionkey
+                           AND r.r_name = 'AMERICA'
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation sn ON s.s_nationkey = sn.n_nationkey)
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'BRAZIL'
+                             THEN rev_i ELSE 0 END)::DOUBLE
+                         / sum(rev_i)::DOUBLE, 6) AS mkt_share
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q13_order_counts": """
+            WITH pc AS (
+              SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS c_count
+              FROM customer c LEFT JOIN orders o
+                ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY 1)
+            SELECT c_count, count(*)::BIGINT AS custdist
+            FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q15_top_supplier": """
+            WITH rv AS (
+              SELECT l_suppkey,
+                     sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                       AS rev_i
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+              GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name,
+                   round(rv.rev_i / 10000.0, 6) AS total_revenue
+            FROM rv JOIN supplier s ON rv.l_suppkey = s.s_suppkey
+            WHERE rv.rev_i = (SELECT max(rev_i) FROM rv)
+            ORDER BY s.s_suppkey
+        """,
+        "tpch_q17_small_qty": """
+            WITH li AS (
+              SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+              FROM lineitem l JOIN part p
+                ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#23'),
+            st AS (SELECT l_partkey, avg(l_quantity) AS avg_qty
+                   FROM li GROUP BY 1)
+            SELECT round(sum(CAST(round(li.l_extendedprice*100) AS BIGINT))
+                         / 100.0 / 7.0, 6) AS avg_yearly
+            FROM li JOIN st ON li.l_partkey = st.l_partkey
+            WHERE li.l_quantity < 0.2 * st.avg_qty
+        """,
+        "tpch_q22_dormant_customers": """
+            WITH cust AS (
+              SELECT * FROM customer
+              WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+            a AS (
+              SELECT (sum(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0)
+                     / count(*) AS avg_bal
+              FROM cust WHERE c_acctbal > 0.0)
+            SELECT c_nationkey::BIGINT AS cntrycode,
+                   count(*)::BIGINT AS numcust,
+                   round(sum(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0,
+                         6) AS totacctbal
+            FROM cust, a
+            WHERE c_acctbal > a.avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = cust.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+            GROUP BY 1 ORDER BY 1
         """,
     }

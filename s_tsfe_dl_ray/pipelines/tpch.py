@@ -38,7 +38,7 @@ import ray.data
 from ray.data import Dataset
 
 from .relational import grouped_aggregate
-from ..stages.join import hash_join, semi_join
+from ..stages.join import anti_join, hash_join, semi_join
 
 def _ts(s: str):
     import datetime as dt
@@ -499,3 +499,404 @@ def q7_nation_volume(
         })
 
     return pairs.map_batches(fin, batch_format="pyarrow")
+
+
+def q6_forecast_revenue(
+    sf_dir: str,
+    *,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> Dataset:
+    """Forecast-revenue-change scan (TPC-H Q6 skeleton): revenue that
+    would have been earned by dropping small discounts —
+    ``sum(l_extendedprice * l_discount)`` over a ship-year, a discount
+    band and a quantity ceiling.
+
+    The canonical "predicate pushdown wins" query: ALL three predicates
+    go into the parquet ``filter=`` so at 100 TB whole row groups are
+    skipped on (shipdate, discount, quantity) statistics and only two
+    float columns leave storage.  The product rides as exact int64
+    (price cents × discount percent, scale 1e4) through one global
+    combiner cell — a single 16-byte partial per partition crosses the
+    exchange.  Output: one row ``revenue``.
+
+    Reference analog: the one-pass masked reduction over a windowed
+    stream in /root/reference/experiments/keras_experiment.py:583-593
+    (score → top-k threshold over 500k held-out rows).
+    """
+    from .relational import grouped_aggregate
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= _ts(date_from))
+        & (pads.field("l_shipdate") < _ts(date_to))
+        & (pads.field("l_discount") >= disc_lo - 1e-9)
+        & (pads.field("l_discount") <= disc_hi + 1e-9)
+        & (pads.field("l_quantity") < max_qty))
+
+    def derive(t: pa.Table) -> pa.Table:
+        price_i = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_i = pc.cast(pc.round(pc.multiply(
+            t["l_discount"], pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "_all": pa.array([1] * t.num_rows, pa.int8()),
+            "rev_i": pc.multiply(price_i, disc_i),
+        })
+
+    agg = grouped_aggregate(
+        li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["_all"], aggs={"rev_i": ("rev_i", "sum")}, num_partitions=1)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"revenue": pc.divide(
+            pc.cast(t["rev_i"], pa.float64()), pa.scalar(10_000.0))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q8_market_share(
+    sf_dir: str,
+    *,
+    target_nation: str = "BRAZIL",
+    region: str = "AMERICA",
+    p_type: str = "PROMO",
+    num_partitions: int = 64,
+) -> Dataset:
+    """National market share (TPC-H Q8 skeleton): for orders by customers
+    in ``region`` buying parts of ``p_type``, the share of revenue
+    supplied by ``target_nation``, per order year.
+
+    100-TB join strategy: lineitem is pre-filtered by a semi-join
+    against the typed part keys (existence only — no part payload
+    crosses), then hash-joined with orders and customers; the customer
+    nation → region membership and the supplier nation flag are both
+    O(25) broadcast lookups (nation ⋈ region folds on the driver), so
+    after the two big joins the stream folds to (o_year, l_suppkey)
+    int64 partials BEFORE the supplier join.  The final share divides
+    two exact int64 sums per year.  Output: ``o_year, mkt_share``.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+    from .relational import grouped_aggregate
+
+    # driver-side 25-row dimension fold: nationkey -> in-region flag, name
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    rkey = {k: v for k, v in zip(reg["r_regionkey"].to_pylist(),
+                                 reg["r_name"].to_pylist())}
+    nk = nat["n_nationkey"].to_numpy()
+    in_region = np.zeros(int(nk.max()) + 1, dtype=bool)
+    is_target = np.zeros(int(nk.max()) + 1, dtype=bool)
+    for k, name, rk in zip(nk, nat["n_name"].to_pylist(),
+                           nat["n_regionkey"].to_pylist()):
+        in_region[k] = rkey.get(rk) == region
+        is_target[k] = name == target_nation
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=pads.field("p_type") == p_type)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+    li = semi_join(li, part, left_on="l_partkey", right_on="p_partkey",
+                   num_partitions=num_partitions)
+    li = li.map_batches(lambda t: _revenue_i(t, ["l_orderkey", "l_suppkey"]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    j1 = hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey",
+                   num_partitions=num_partitions)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    j2 = hash_join(j1, cust, left_on="o_custkey", right_on="c_custkey",
+                   num_partitions=num_partitions)
+
+    def fold_in(t: pa.Table) -> pa.Table:
+        ck = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = in_region[ck]
+        sub = t.filter(pa.array(keep))
+        return pa.table({
+            "o_year": pc.cast(pc.year(sub["o_orderdate"]), pa.int64()),
+            "l_suppkey": sub["l_suppkey"],
+            "revenue_i": sub["revenue_i"],
+        })
+
+    folded = grouped_aggregate(
+        j2.map_batches(fold_in, batch_format="pyarrow"),
+        keys=["o_year", "l_suppkey"],
+        aggs={"revenue_i": ("revenue_i", "sum")},
+        num_partitions=num_partitions)
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    j3 = hash_join(folded, supp, left_on="l_suppkey", right_on="s_suppkey",
+                   num_partitions=num_partitions)
+
+    def split(t: pa.Table) -> pa.Table:
+        sk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        tgt = pc.cast(pa.array(is_target[sk]), pa.int64())
+        return pa.table({
+            "o_year": t["o_year"],
+            "target_i": pc.multiply(t["revenue_i"], tgt),
+            "total_i": t["revenue_i"],
+        })
+
+    years = grouped_aggregate(
+        j3.map_batches(split, batch_format="pyarrow"),
+        keys=["o_year"],
+        aggs={"target_i": ("target_i", "sum"), "total_i": ("total_i", "sum")},
+        num_partitions=2)
+
+    def fin(t: pa.Table) -> pa.Table:
+        share = pc.divide(pc.cast(t["target_i"], pa.float64()),
+                          pc.cast(t["total_i"], pa.float64()))
+        return pa.table({"o_year": t["o_year"], "mkt_share": share})
+
+    return years.map_batches(fin, batch_format="pyarrow").sort("o_year")
+
+
+def q13_order_count_distribution(
+    sf_dir: str,
+    *,
+    exclude_priority: str = "1-URGENT",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Customer order-count distribution (TPC-H Q13 skeleton; the
+    NOT-LIKE comment filter becomes an order-priority exclusion on this
+    schema): how many customers placed exactly k qualifying orders,
+    INCLUDING the zero-order customers the left join keeps.
+
+    Shape: orders fold to per-customer counts first (combiner — the
+    exchange carries one row per customer, never per order), then a
+    LEFT hash join from customer attaches counts with null→0, then a
+    second tiny combiner builds the k → n_customers histogram.
+    Output: ``c_count, custdist`` (custdist desc, c_count desc).
+    """
+    from .relational import grouped_aggregate
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") != exclude_priority)
+    per_cust = grouped_aggregate(
+        orders, keys=["o_custkey"], aggs={"c_count": ("o_custkey", "count")},
+        num_partitions=num_partitions)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    j = hash_join(cust, per_cust, left_on="c_custkey", right_on="o_custkey",
+                  how="left", num_partitions=num_partitions)
+
+    def fold(t: pa.Table) -> pa.Table:
+        cnt = pc.fill_null(pc.cast(t["c_count"], pa.int64()), 0)
+        return pa.table({"c_count": cnt,
+                         "custdist": pa.array([1] * t.num_rows, pa.int64())})
+
+    hist = grouped_aggregate(
+        j.map_batches(fold, batch_format="pyarrow"),
+        keys=["c_count"], aggs={"custdist": ("custdist", "sum")},
+        num_partitions=4)
+    return hist.sort(["custdist", "c_count"], descending=[True, True])
+
+
+def q15_top_supplier(
+    sf_dir: str,
+    *,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Top supplier(s) by ship-quarter revenue (TPC-H Q15 skeleton —
+    the revenue view + max-subquery pair).
+
+    The revenue "view" is one combiner fold of the date-pruned lineitem
+    to (l_suppkey, revenue_i); the MAX subquery reduces those partials
+    to a single int64 on the driver (supplier-count rows, tiny); the
+    equality filter then keeps every supplier AT the max exactly —
+    int64 money means no epsilon is needed, ties are exact.  Only the
+    surviving row(s) join the supplier dimension.
+    Output: ``s_suppkey, s_name, total_revenue``.
+    """
+    from .relational import grouped_aggregate
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= _ts(date_from))
+        & (pads.field("l_shipdate") < _ts(date_to)))
+    li = li.map_batches(lambda t: _revenue_i(t, ["l_suppkey"]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    # materialize the (supplier-count-sized) fold once: both the MAX
+    # subquery and the equality filter read it, and without pinning the
+    # 100-TB lineitem scan would run twice
+    per_supp = grouped_aggregate(
+        li, keys=["l_suppkey"], aggs={"revenue_i": ("revenue_i", "sum")},
+        num_partitions=num_partitions).materialize()
+    best = int(per_supp.max("revenue_i"))
+    top = per_supp.filter(expr=f"revenue_i == {best}")
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    j = hash_join(top, supp, left_on="l_suppkey", right_on="s_suppkey",
+                  num_partitions=8)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": t["s_suppkey"],
+            "s_name": t["s_name"],
+            "total_revenue": pc.divide(pc.cast(t["revenue_i"], pa.float64()),
+                                       pa.scalar(10_000.0)),
+        })
+
+    return j.map_batches(fin, batch_format="pyarrow").sort("s_suppkey")
+
+
+def q17_small_quantity_revenue(
+    sf_dir: str,
+    *,
+    brand: str = "Brand#23",
+    frac: float = 0.2,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Small-quantity-order revenue (TPC-H Q17 skeleton; no p_container
+    on this schema, so the part predicate is brand alone): average
+    yearly revenue lost if orders below ``frac`` × the part's mean
+    quantity were not taken — ``sum(l_extendedprice)/7`` over lineitems
+    with ``l_quantity < frac * avg(l_quantity per part)``.
+
+    The correlated AVG subquery becomes a two-pass dance over the SAME
+    brand-pruned lineitem slice: pass 1 folds (l_partkey → sum_qty, n)
+    partials (combiner — exact, quantities are integral), pass 2
+    re-joins those per-part stats back and applies the threshold
+    vectorized.  Both passes are semi-join-pruned by the brand's part
+    keys so the 100-TB lineitem is touched only where it can match.
+    Output: one row ``avg_yearly``.
+    """
+    from .relational import grouped_aggregate
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=pads.field("p_brand") == brand)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    li = semi_join(li, part, left_on="l_partkey", right_on="p_partkey",
+                   num_partitions=num_partitions)
+
+    def fold_qty(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "sum_qty": pc.cast(t["l_quantity"], pa.float64()),
+            "n_lines": pa.array([1] * t.num_rows, pa.int64()),
+        })
+
+    stats = grouped_aggregate(
+        li.map_batches(fold_qty, batch_format="pyarrow"),
+        keys=["l_partkey"],
+        aggs={"sum_qty": ("sum_qty", "sum"), "n_lines": ("n_lines", "sum")},
+        num_partitions=num_partitions)
+    j = hash_join(li, stats, left_on="l_partkey", right_on="l_partkey",
+                  num_partitions=num_partitions)
+
+    def thresh(t: pa.Table) -> pa.Table:
+        avg = pc.divide(t["sum_qty"], pc.cast(t["n_lines"], pa.float64()))
+        keep = pc.less(t["l_quantity"], pc.multiply(pa.scalar(frac), avg))
+        sub = t.filter(keep)
+        price_i = pc.cast(pc.round(pc.multiply(
+            sub["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        return pa.table({"_all": pa.array([1] * sub.num_rows, pa.int8()),
+                         "price_i": price_i})
+
+    agg = grouped_aggregate(
+        j.map_batches(thresh, batch_format="pyarrow"),
+        keys=["_all"], aggs={"price_i": ("price_i", "sum")},
+        num_partitions=1)
+
+    def fin(t: pa.Table) -> pa.Table:
+        total = pc.divide(pc.cast(t["price_i"], pa.float64()),
+                          pa.scalar(100.0))
+        return pa.table({"avg_yearly": pc.divide(total, pa.scalar(7.0))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q22_global_sales_opportunity(
+    sf_dir: str,
+    *,
+    nationkeys: tuple[int, ...] = (1, 3, 5, 7, 9, 11, 13),
+    dormant_since: str = "2001-01-01",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Global sales opportunity (TPC-H Q22 skeleton; no c_phone on this
+    schema, so the country-code IN-list becomes a nationkey IN-list,
+    and — since every synthetic customer has SOME order — "never placed
+    an order" becomes "placed none since ``dormant_since``"): dormant
+    customers from the listed nations with above-average positive
+    account balance, grouped by nation.
+
+    The scalar AVG subquery folds to (sum_cents, n) int64 partials on
+    the driver (exact division once); the NOT EXISTS is the engine's
+    anti_join — the recency predicate is pushed into the orders parquet
+    read (row groups past the cutoff never leave storage) and the
+    surviving keys cross the exchange as per-batch DISTINCT custkeys
+    only.  Output: ``cntrycode, numcust, totacctbal``.
+    """
+    from .relational import grouped_aggregate
+
+    keys = list(nationkeys)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        filter=pads.field("c_nationkey").isin(keys))
+
+    def fold_avg(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["c_acctbal"], 0.0))
+        cents = pc.cast(pc.round(pc.multiply(
+            pos["c_acctbal"], pa.scalar(100.0))), pa.int64())
+        return pa.table({"_all": pa.array([1] * pos.num_rows, pa.int8()),
+                         "sum_c": cents,
+                         "n": pa.array([1] * pos.num_rows, pa.int64())})
+
+    avg_t = grouped_aggregate(
+        cust.map_batches(fold_avg, batch_format="pyarrow"),
+        keys=["_all"], aggs={"sum_c": ("sum_c", "sum"), "n": ("n", "sum")},
+        num_partitions=1).take_all()
+    avg_bal = (avg_t[0]["sum_c"] / 100.0) / avg_t[0]["n"]
+
+    rich = cust.filter(expr=f"c_acctbal > {avg_bal!r}")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_orderdate") >= _ts(dormant_since))
+    no_orders = anti_join(rich, orders, left_on="c_custkey",
+                          right_on="o_custkey",
+                          num_partitions=num_partitions)
+
+    def fold(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t["c_acctbal"], pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "cntrycode": pc.cast(t["c_nationkey"], pa.int64()),
+            "numcust": pa.array([1] * t.num_rows, pa.int64()),
+            "bal_c": cents,
+        })
+
+    agg = grouped_aggregate(
+        no_orders.map_batches(fold, batch_format="pyarrow"),
+        keys=["cntrycode"],
+        aggs={"numcust": ("numcust", "sum"), "bal_c": ("bal_c", "sum")},
+        num_partitions=4)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cntrycode": t["cntrycode"],
+            "numcust": t["numcust"],
+            "totacctbal": pc.divide(pc.cast(t["bal_c"], pa.float64()),
+                                    pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort("cntrycode")
