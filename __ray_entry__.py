@@ -2237,6 +2237,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _round_floats(q22_global_sales_opportunity(sf))
 
+    # ---- round-4e wave: contamination / complexity / AR fit / budget ---
+
+    def q_docs_contamination(sf):
+        """Pairwise trigram contamination between sources — distinct
+        (source, gram) combiner, gram-partitioned pair expansion,
+        overlap coefficient + Jaccard (stages/text.ngram_contamination)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.text import ngram_contamination
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["source", "text"])
+        return _round_floats(ngram_contamination(docs, group_col="source"))
+
+    def q_events_perm_entropy(sf):
+        """Per-user order-3 permutation entropy (Bandt–Pompe ordinal
+        patterns; ties rank by recency) —
+        stages/features.permutation_entropy."""
+        from s_tsfe_dl_ray.stages.features import permutation_entropy
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(permutation_entropy(
+            ds, key="user_id", value_col="value",
+            order_by=["ts", "event_id"]))
+
+    def q_events_ar2(sf):
+        """Per-user AR(2) Yule–Walker fit from mean-centered
+        autocovariance sums (stages/trend.ar2_yule_walker)."""
+        from s_tsfe_dl_ray.stages.trend import ar2_yule_walker
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(ar2_yule_walker(
+            ds, key="user_id", value_col="value",
+            order_by=["ts", "event_id"]))
+
+    def q_transcripts_context_budget(sf):
+        """Per-conversation 512-token context-window truncation audit —
+        leading-prefix fit counts and dropped tokens, int64-exact
+        (stages/dialog.context_budget)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import context_budget
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "ts", "text"])
+        return context_budget(turns, budget_tokens=512)
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2447,6 +2492,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q17_small_qty": q_tpch_q17_small_qty,
         "tpch_q22_dormant_customers": q_tpch_q22_dormant_customers,
+        "docs_contamination": q_docs_contamination,
+        "events_perm_entropy": q_events_perm_entropy,
+        "events_ar2": q_events_ar2,
+        "transcripts_context_budget": q_transcripts_context_budget,
     }
 
 
@@ -4810,5 +4859,111 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = cust.c_custkey
                                 AND o.o_orderdate >= TIMESTAMP '2001-01-01')
             GROUP BY 1 ORDER BY 1
+        """,
+        # ---- round-4e wave ----------------------------------------------
+        # trigram positions via generate_subscripts; zero-overlap pairs
+        # are omitted on BOTH sides (inner join on shared grams)
+        "docs_contamination": """
+            WITH w AS (
+              SELECT source, doc_id,
+                     unnest(string_split(trim(text, ' '), ' ')) AS tok,
+                     generate_subscripts(string_split(trim(text, ' '), ' '),
+                                         1) AS pos
+              FROM documents
+            ), t AS (
+              SELECT DISTINCT a.source,
+                     a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+              FROM w a
+              JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+              WHERE a.tok <> '' AND b.tok <> '' AND c.tok <> ''
+            ), n AS (
+              SELECT source, count(*)::BIGINT AS n FROM t GROUP BY 1
+            ), i AS (
+              SELECT x.source AS source_a, y.source AS source_b,
+                     count(*)::BIGINT AS n_shared
+              FROM t x JOIN t y ON x.gram = y.gram AND x.source < y.source
+              GROUP BY 1, 2)
+            SELECT i.source_a, i.source_b, i.n_shared,
+                   round(i.n_shared::DOUBLE / least(na.n, nb.n), 6)
+                     AS overlap_coef,
+                   round(i.n_shared::DOUBLE / (na.n + nb.n - i.n_shared), 6)
+                     AS jaccard
+            FROM i JOIN n na ON na.source = i.source_a
+                 JOIN n nb ON nb.source = i.source_b
+            ORDER BY 1, 2
+        """,
+        # ordinal pattern code: (b>=a)*4 + (c>=a)*2 + (c>=b); later
+        # element wins float ties, so the coding is total on both sides
+        "events_perm_entropy": """
+            WITH l AS (
+              SELECT user_id, value AS a,
+                     lead(value, 1) OVER w AS b,
+                     lead(value, 2) OVER w AS c
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), p AS (
+              SELECT user_id,
+                     (CASE WHEN b >= a THEN 4 ELSE 0 END
+                      + CASE WHEN c >= a THEN 2 ELSE 0 END
+                      + CASE WHEN c >= b THEN 1 ELSE 0 END) AS code
+              FROM l WHERE c IS NOT NULL
+            ), g AS (
+              SELECT user_id, code, count(*)::BIGINT AS n
+              FROM p GROUP BY 1, 2
+            ), tt AS (
+              SELECT user_id, sum(n)::BIGINT AS nt FROM g GROUP BY 1)
+            SELECT g.user_id, min(tt.nt) AS n_triples,
+                   round(-sum((g.n::DOUBLE / tt.nt)
+                              * ln(g.n::DOUBLE / tt.nt)), 6)
+                     AS perm_entropy
+            FROM g JOIN tt USING (user_id) GROUP BY 1
+        """,
+        # Yule-Walker ratios are normalizer-free: raw centered lag sums
+        # s0/s1/s2 compared directly; NULL for n<3 or zero denominator
+        "events_ar2": """
+            WITH m AS (
+              SELECT user_id, avg(value) AS mean FROM events GROUP BY 1
+            ), l AS (
+              SELECT e.user_id, e.value - m.mean AS d,
+                     lag(e.value - m.mean, 1) OVER w AS d1,
+                     lag(e.value - m.mean, 2) OVER w AS d2
+              FROM events e JOIN m USING (user_id)
+              WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
+            ), c AS (
+              SELECT user_id, count(*)::BIGINT AS n_events,
+                     sum(d * d) AS s0, sum(d * d1) AS s1, sum(d * d2) AS s2
+              FROM l GROUP BY 1)
+            SELECT user_id, n_events,
+                   round(CASE WHEN n_events >= 3
+                              AND (s0 * s0 - s1 * s1) <> 0
+                         THEN s1 * (s0 - s2) / (s0 * s0 - s1 * s1) END, 6)
+                     AS phi1,
+                   round(CASE WHEN n_events >= 3
+                              AND (s0 * s0 - s1 * s1) <> 0
+                         THEN (s2 * s0 - s1 * s1) / (s0 * s0 - s1 * s1)
+                         END, 6) AS phi2
+            FROM c
+        """,
+        "transcripts_context_budget": f"""
+            WITH t AS (
+              SELECT conv_id, ts, turn_idx,
+                     CASE WHEN text = '' THEN 0
+                          ELSE length(text) - length(replace(text, ' ', ''))
+                               + 1 END AS ntok
+              FROM {T}
+            ), c AS (
+              SELECT conv_id, ntok,
+                     sum(ntok) OVER (PARTITION BY conv_id
+                                     ORDER BY ts, turn_idx
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+            SELECT conv_id, count(*)::BIGINT AS n_turns,
+                   sum(CASE WHEN cum <= 512 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_fit,
+                   sum(ntok)::BIGINT AS tokens_total,
+                   (sum(ntok) - sum(CASE WHEN cum <= 512 THEN ntok
+                                    ELSE 0 END))::BIGINT AS tokens_dropped
+            FROM c GROUP BY 1
         """,
     }

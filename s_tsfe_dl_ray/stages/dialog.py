@@ -497,3 +497,76 @@ def final_role_distribution(
 
     return partials.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def context_budget(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    budget_tokens: int = 512,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-conversation context-window truncation audit: walking the
+    turns in time order, how many leading turns fit inside a
+    ``budget_tokens`` context window (whitespace-token prefix sums), and
+    how many tokens the truncation drops — the planning number behind
+    "what fraction of our transcripts even fits the model's window".
+
+    Token counts (single-space split, '' → 0) are derived per batch
+    BEFORE the conv exchange — the text never crosses the shuffle, only
+    (conv, ts, order, ntok:int64).  Prefix sums are monotone
+    nondecreasing so "fits" == ``cum ≤ budget`` rows form the exact
+    leading run; everything is int64-exact.
+    Output: ``conv_id, n_turns, n_fit, tokens_total, tokens_dropped``.
+    """
+    from .grouped import grouped_apply
+
+    def derive(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        txt = t[text_col]
+        spaces = pc.count_substring(txt, " ")
+        ntok = pc.if_else(pc.equal(txt, ""), pa.scalar(0, pa.int64()),
+                          pc.add(pc.cast(spaces, pa.int64()),
+                                 pa.scalar(1, pa.int64())))
+        return pa.table({conv_col: t[conv_col], ts_col: t[ts_col],
+                         order_col: t[order_col], "ntok": ntok})
+
+    narrow = ds.map_batches(derive, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                conv_col: pd.Series([], dtype="object"),
+                "n_turns": pd.Series([], dtype="int64"),
+                "n_fit": pd.Series([], dtype="int64"),
+                "tokens_total": pd.Series([], dtype="int64"),
+                "tokens_dropped": pd.Series([], dtype="int64")})
+        df = df.sort_values([conv_col, ts_col, order_col], kind="mergesort")
+        conv = df[conv_col].to_numpy()
+        c = df["ntok"].to_numpy(dtype=np.int64)
+        gid, firsts, nk = _gid(conv)
+        cs = np.cumsum(c)
+        base = np.repeat(cs[firsts] - c[firsts], np.bincount(gid))
+        prefix = cs - base
+        fits = (prefix <= budget_tokens).astype(np.int64)
+        n_fit = np.zeros(nk, dtype=np.int64)
+        np.add.at(n_fit, gid, fits)
+        total = np.zeros(nk, dtype=np.int64)
+        np.add.at(total, gid, c)
+        kept = np.zeros(nk, dtype=np.int64)
+        np.add.at(kept, gid, c * fits)
+        return pd.DataFrame({
+            conv_col: conv[firsts],
+            "n_turns": np.bincount(gid, minlength=nk).astype(np.int64),
+            "n_fit": n_fit,
+            "tokens_total": total,
+            "tokens_dropped": total - kept,
+        })
+
+    return grouped_apply(narrow, keys=[conv_col], fn=part,
+                         num_partitions=num_partitions,
+                         whole_partition=True)

@@ -582,3 +582,73 @@ def energy_by_chunks(
 
     return grouped_apply(ds, keys=[key], fn=part,
                          num_partitions=num_partitions, whole_partition=True)
+
+
+def permutation_entropy(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    order_by: list[str],
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key order-3 permutation entropy (Bandt–Pompe): Shannon entropy
+    of the distribution of ordinal patterns of consecutive value triples
+    — the standard model-free complexity measure (white noise → ln 6,
+    monotone ramp → 0); the classical sibling of the learned sequence
+    features the reference's recurrent heads extract
+    (/root/reference/TSFEDL/models_keras.py sequence branches).
+
+    Tie rule: a later element equal to an earlier one ranks HIGHER
+    (comparisons are ``>=`` toward the later position), so the pattern
+    is total and the SQL twin's CASE expressions reproduce it exactly.
+    A triple's pattern is encoded by three pairwise bools
+    (b≥a, c≥a, c≥b) → 6 reachable codes of 8.
+
+    One ``_pkey`` co-partition; triples never cross keys (gid-adjacency
+    mask); counts via one ``bincount(gid*8+code)``.  Keys with fewer
+    than 3 points emit nothing (no triple exists).
+    Output: ``key, n_triples, perm_entropy``.
+    """
+    import pyarrow as pa
+
+    from .rollup import _stable_pkey
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key: [],
+                              "n_triples": pd.Series([], dtype="int64"),
+                              "perm_entropy": []})
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [key] + order_by, kind="mergesort").reset_index(drop=True)
+        m = len(df)
+        if m < 3:
+            return empty
+        v = df[value_col].to_numpy(dtype=np.float64)
+        keys_all = df[key].to_numpy()
+        change = np.flatnonzero(keys_all[1:] != keys_all[:-1]) + 1
+        gid = np.zeros(m, dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        starts = np.concatenate([[0], change])
+        nk = int(gid[-1]) + 1
+        a, b, c = v[:-2], v[1:-1], v[2:]
+        valid = gid[:-2] == gid[2:]
+        code = ((b >= a).astype(np.int64) * 4 + (c >= a) * 2 + (c >= b))
+        cell = gid[:-2] * 8 + code
+        counts = np.bincount(cell[valid], minlength=nk * 8).reshape(nk, 8)
+        nt = counts.sum(axis=1).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            p = counts / nt[:, None]
+            ent = -np.nansum(np.where(counts > 0, p * np.log(p), 0.0), axis=1)
+        ok = nt > 0
+        if not ok.any():
+            return empty
+        return pd.DataFrame({key: keys_all[starts][ok],
+                             "n_triples": nt[ok].astype(np.int64),
+                             "perm_entropy": ent[ok]})
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(body, batch_format="pandas")

@@ -1276,3 +1276,137 @@ def lexical_diversity(
 
     return ds.map_batches(per_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def ngram_contamination(
+    ds: "Dataset",
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> "Dataset":
+    """Pairwise token-TRIGRAM contamination between corpus groups — the
+    train/test-leakage check every LLM data pipeline runs before a split
+    ships: for every pair of groups (sources, splits, snapshot dates),
+    how many distinct trigrams they share, as an overlap coefficient
+    (|A∩B| / min(|A|,|B|)) and Jaccard (|A∩B| / |A∪B|).
+
+    Dataflow (100-TB shape): the batch combiner builds in-doc trigrams
+    exactly like :func:`top_bigrams` (single-space positions, all three
+    tokens non-empty) and pre-dedupes (group, gram) per batch, so the
+    ONE exchange — hash-partitioned by gram — carries distinct pairs
+    only.  Each gram partition then expands its ≤|groups| source set
+    into pairs locally (bounded by |groups|²; this operator assumes the
+    group cardinality is modest — splits/sources, not user ids) and
+    pre-sums, so the final exchange carries |groups|² counter rows per
+    partition.  Group sizes ride the same stream as self-pairs
+    (source_a == source_b), never a second corpus scan.
+    Output: ``source_a, source_b, n_shared, overlap_coef, jaccard``
+    for source_a < source_b, sorted.
+    """
+    from .dedup import _grouped_min
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"g": pa.array([], pa.string()),
+                          "gram": pa.array([], pa.string())})
+        toks = pc.split_pattern(pc.utf8_trim(t[text_col], " "), " ")
+        groups = t[group_col].combine_chunks() if isinstance(
+            t[group_col], pa.ChunkedArray) else t[group_col]
+        parts = []
+        row_off = 0
+        for ch in (toks.chunks if isinstance(toks, pa.ChunkedArray) else [toks]):
+            lengths = pc.list_value_length(ch).to_numpy(zero_copy_only=False)
+            ndocs = len(lengths)
+            grp = np.asarray(groups.slice(row_off, ndocs).to_pylist(),
+                             dtype=object)
+            row_off += ndocs
+            vals = ch.flatten()
+            nv = len(vals)
+            if nv < 3:
+                continue
+            doc_of = np.repeat(np.arange(ndocs), lengths)
+            t1 = vals.slice(0, nv - 2)
+            t2 = vals.slice(1, nv - 2)
+            t3 = vals.slice(2, nv - 2)
+            ok = doc_of[: nv - 2] == doc_of[2:nv]
+            ok &= pc.not_equal(t1, "").to_numpy(zero_copy_only=False)
+            ok &= pc.not_equal(t2, "").to_numpy(zero_copy_only=False)
+            ok &= pc.not_equal(t3, "").to_numpy(zero_copy_only=False)
+            if not ok.any():
+                continue
+            okm = pa.array(ok)
+            gram = pc.binary_join_element_wise(t1, t2, t3, " ").filter(okm)
+            g = pa.array(grp[doc_of[: nv - 2][ok]], pa.string())
+            parts.append(pa.table({"g": g, "gram": gram}))
+        if not parts:
+            return empty
+        batch = pa.concat_tables(parts).combine_chunks()
+        return batch.group_by(["g", "gram"], use_threads=False).aggregate([])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    from .rollup import _stable_pkey
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t["gram"], num_partitions))
+
+    def pairs_body(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"source_a": pd.Series([], dtype=object),
+                              "source_b": pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype="int64")})
+        df = df.drop(columns=["_pkey"]).drop_duplicates(["g", "gram"])
+        if len(df) == 0:
+            return empty
+        # per-group distinct-gram sizes ride as self-pairs
+        sz = df.groupby("g", sort=False).size()
+        size_rows = pd.DataFrame({"source_a": sz.index.to_numpy(dtype=object),
+                                  "source_b": sz.index.to_numpy(dtype=object),
+                                  "n": sz.to_numpy(dtype=np.int64)})
+        df = df.sort_values(["gram", "g"], kind="mergesort").reset_index(drop=True)
+        gram = df["gram"].to_numpy()
+        grp = df["g"].to_numpy()
+        m = len(df)
+        change = np.flatnonzero(gram[1:] != gram[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends_all = np.concatenate([change, [m]])
+        gidx = np.zeros(m, dtype=np.int64)
+        gidx[change] = 1
+        gidx = np.cumsum(gidx)
+        reps = ends_all[gidx] - np.arange(m) - 1
+        total = int(reps.sum())
+        if total == 0:
+            return pd.concat([size_rows, empty], ignore_index=True)
+        a_idx = np.repeat(np.arange(m), reps)
+        cum = np.concatenate([[0], np.cumsum(reps)])
+        b_idx = np.arange(total) - cum[a_idx] + a_idx + 1
+        pairs = pd.DataFrame({"source_a": grp[a_idx], "source_b": grp[b_idx]})
+        cnt = pairs.groupby(["source_a", "source_b"], sort=False).size()
+        pair_rows = cnt.reset_index(name="n")
+        pair_rows["n"] = pair_rows["n"].astype(np.int64)
+        return pd.concat([size_rows, pair_rows], ignore_index=True)
+
+    tagged = partials.map_batches(add_pkey, batch_format="pyarrow")
+    counts = tagged.groupby("_pkey").map_groups(pairs_body,
+                                                batch_format="pandas")
+    merged = _grouped_min(counts, group_cols=["source_a", "source_b"],
+                          agg_cols=[("n", "sum")], pkey_col="source_a",
+                          num_partitions=8)
+
+    def fin(df: "pd.DataFrame") -> "pd.DataFrame":
+        sizes = df[df["source_a"] == df["source_b"]].set_index("source_a")["n"]
+        pairs = df[df["source_a"] != df["source_b"]].sort_values(
+            ["source_a", "source_b"], kind="mergesort").reset_index(drop=True)
+        na = sizes.reindex(pairs["source_a"]).to_numpy(dtype=np.float64)
+        nb = sizes.reindex(pairs["source_b"]).to_numpy(dtype=np.float64)
+        inter = pairs["n"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "source_a": pairs["source_a"],
+            "source_b": pairs["source_b"],
+            "n_shared": pairs["n"].astype(np.int64),
+            "overlap_coef": inter / np.minimum(na, nb),
+            "jaccard": inter / (na + nb - inter),
+        })
+
+    return merged.repartition(1).map_batches(fin, batch_format="pandas",
+                                             batch_size=None)

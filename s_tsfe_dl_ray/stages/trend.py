@@ -560,3 +560,75 @@ def dominant_period(
                              "acf_peak": top["autocorr"].to_numpy()})
 
     return a.map_batches(argmax_block, batch_format="pandas", batch_size=None)
+
+
+def ar2_yule_walker(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    order_by: list[str],
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key AR(2) fit by Yule–Walker — the classical linear-recurrence
+    model behind the reference's recurrent layers (an LSTM/GRU cell IS a
+    learned nonlinear autoregression over the ordered series,
+    /root/reference/TSFEDL/blocks_pytorch.py RNN blocks); this is the
+    closed-form linear baseline a feature pipeline ships next to ACF.
+
+    Biased autocovariance sums over the mean-centered series
+    (``s_L = Σ d_t · d_{t-L}``, d = x − mean(x)); the normalizer cancels
+    in the Yule–Walker ratios so raw sums are compared directly:
+
+        phi1 = s1·(s0 − s2) / (s0² − s1²)
+        phi2 = (s2·s0 − s1²) / (s0² − s1²)
+
+    NULL when the key has < 3 points or the denominator is exactly 0
+    (constant series).  One ``_pkey`` co-partition, then bincount
+    moments — no per-key Python.  Output: ``key, n_events, phi1, phi2``.
+    """
+    import pyarrow as pa
+
+    from .rollup import _stable_pkey
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def fit_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [key] + order_by, kind="mergesort").reset_index(drop=True)
+        if len(df) == 0:
+            return pd.DataFrame({key: [],
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "phi1": [], "phi2": []})
+        v = df[value_col].to_numpy(dtype=np.float64)
+        keys_all, gid, starts = _key_groups(df, key)
+        nk = int(gid[-1]) + 1
+        n = np.bincount(gid, minlength=nk).astype(np.float64)
+        mean = np.bincount(gid, weights=v, minlength=nk) / n
+        d = v - mean[gid]
+        s0 = np.bincount(gid, weights=d * d, minlength=nk)
+        # lag products masked to same-key adjacency (gid equality)
+        same1 = np.empty(len(d), dtype=bool)
+        same1[0] = False
+        same1[1:] = gid[1:] == gid[:-1]
+        p1 = np.zeros(len(d))
+        p1[1:] = d[1:] * d[:-1]
+        s1 = np.bincount(gid, weights=np.where(same1, p1, 0.0), minlength=nk)
+        same2 = np.zeros(len(d), dtype=bool)
+        same2[2:] = gid[2:] == gid[:-2]
+        p2 = np.zeros(len(d))
+        p2[2:] = d[2:] * d[:-2]
+        s2 = np.bincount(gid, weights=np.where(same2, p2, 0.0), minlength=nk)
+        den = s0 * s0 - s1 * s1
+        ok = (n >= 3) & (den != 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            phi1 = np.where(ok, s1 * (s0 - s2) / den, np.nan)
+            phi2 = np.where(ok, (s2 * s0 - s1 * s1) / den, np.nan)
+        return pd.DataFrame({key: keys_all[starts],
+                             "n_events": n.astype(np.int64),
+                             "phi1": phi1, "phi2": phi2})
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(fit_partition,
+                                              batch_format="pandas")
