@@ -1,0 +1,154 @@
+"""Property tests for the round-4d/4e operator waves (TPC-H completion
+is covered by the entry-contract oracle rehearsal; here are the
+behavioral invariants the SQL twins can't express)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+def _ds(df: pd.DataFrame):
+    return ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+# ---------------------------------------------------------------- perm entropy
+
+def test_perm_entropy_monotone_ramp_is_zero():
+    from s_tsfe_dl_ray.stages.features import permutation_entropy
+
+    n = 200
+    df = pd.DataFrame({
+        "user_id": np.zeros(n, dtype=np.int64),
+        "ts": pd.date_range("2024-01-01", periods=n, freq="1min"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": np.arange(n, dtype=np.float64),
+    })
+    out = permutation_entropy(_ds(df), key="user_id", value_col="value",
+                              order_by=["ts", "event_id"]).to_pandas()
+    assert len(out) == 1
+    assert out.n_triples.iloc[0] == n - 2
+    assert out.perm_entropy.iloc[0] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_perm_entropy_short_series_emit_nothing_and_noise_near_ln6():
+    from s_tsfe_dl_ray.stages.features import permutation_entropy
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    noise = pd.DataFrame({
+        "user_id": np.ones(n, dtype=np.int64),
+        "ts": pd.date_range("2024-01-01", periods=n, freq="1min"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": rng.normal(size=n),
+    })
+    short = pd.DataFrame({
+        "user_id": np.full(2, 9, dtype=np.int64),
+        "ts": pd.date_range("2024-01-01", periods=2, freq="1min"),
+        "event_id": np.arange(2, dtype=np.int64),
+        "value": [1.0, 2.0],
+    })
+    out = permutation_entropy(_ds(pd.concat([noise, short])),
+                              key="user_id", value_col="value",
+                              order_by=["ts", "event_id"]).to_pandas()
+    assert set(out.user_id) == {1}          # the 2-point key emits nothing
+    ent = out.perm_entropy.iloc[0]
+    assert abs(ent - np.log(6)) < 0.05      # iid noise ≈ uniform patterns
+
+
+# ---------------------------------------------------------------------- AR(2)
+
+def test_ar2_recovers_planted_coefficients():
+    from s_tsfe_dl_ray.stages.trend import ar2_yule_walker
+
+    rng = np.random.default_rng(3)
+    phi1, phi2, n = 0.55, -0.3, 20_000
+    x = np.zeros(n)
+    eps = rng.normal(size=n)
+    for t in range(2, n):
+        x[t] = phi1 * x[t - 1] + phi2 * x[t - 2] + eps[t]
+    df = pd.DataFrame({
+        "user_id": np.zeros(n, dtype=np.int64),
+        "ts": pd.date_range("2024-01-01", periods=n, freq="1s"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": x,
+    })
+    out = ar2_yule_walker(_ds(df), key="user_id", value_col="value",
+                          order_by=["ts", "event_id"]).to_pandas()
+    assert out.phi1.iloc[0] == pytest.approx(phi1, abs=0.03)
+    assert out.phi2.iloc[0] == pytest.approx(phi2, abs=0.03)
+
+
+def test_ar2_nulls_for_short_and_constant_series():
+    from s_tsfe_dl_ray.stages.trend import ar2_yule_walker
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2, 2, 2, 2],
+        "ts": pd.date_range("2024-01-01", periods=6, freq="1min"),
+        "event_id": np.arange(6, dtype=np.int64),
+        "value": [1.0, 2.0, 5.0, 5.0, 5.0, 5.0],
+    })
+    out = (ar2_yule_walker(_ds(df), key="user_id", value_col="value",
+                           order_by=["ts", "event_id"])
+           .to_pandas().set_index("user_id"))
+    assert np.isnan(out.loc[1, "phi1"])     # n < 3
+    assert np.isnan(out.loc[2, "phi2"])     # constant → zero denominator
+
+
+# -------------------------------------------------------------- contamination
+
+def test_contamination_planted_overlap_exact():
+    from s_tsfe_dl_ray.stages.text import ngram_contamination
+
+    # group A: 2 docs sharing a trigram internally (counted once);
+    # group B: one doc overlapping A on exactly one trigram
+    df = pd.DataFrame({
+        "source": ["A", "A", "B"],
+        "text": ["a b c d",            # grams: "a b c", "b c d"
+                 "a b c",              # gram:  "a b c" (dup within A)
+                 "b c d e f"],         # grams: "b c d", "c d e", "d e f"
+    })
+    out = ngram_contamination(_ds(df), group_col="source").to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.source_a, r.source_b) == ("A", "B")
+    assert r.n_shared == 1                       # "b c d"
+    assert r.overlap_coef == pytest.approx(1 / 2)  # |A|=2, |B|=3
+    assert r.jaccard == pytest.approx(1 / 4)
+
+
+def test_contamination_disjoint_groups_emit_no_pair():
+    from s_tsfe_dl_ray.stages.text import ngram_contamination
+
+    df = pd.DataFrame({
+        "source": ["A", "B"],
+        "text": ["a b c d", "x y z w"],
+    })
+    out = ngram_contamination(_ds(df), group_col="source").to_pandas()
+    assert len(out) == 0
+
+
+# -------------------------------------------------------------- context budget
+
+def test_context_budget_hand_case():
+    from s_tsfe_dl_ray.stages.dialog import context_budget
+
+    df = pd.DataFrame({
+        "conv_id": ["c1"] * 4 + ["c2"],
+        "turn_idx": [0, 1, 2, 3, 0],
+        "ts": pd.date_range("2024-01-01", periods=5, freq="1min"),
+        # token counts: 3, 2, 4, 1 | 2
+        "text": ["x y z", "a b", "p q r s", "k", "m n"],
+    })
+    out = (context_budget(_ds(df), budget_tokens=5)
+           .to_pandas().set_index("conv_id"))
+    # c1 prefix sums 3,5,9,10 → first two fit, 5 of 10 tokens dropped
+    assert out.loc["c1", "n_turns"] == 4
+    assert out.loc["c1", "n_fit"] == 2
+    assert out.loc["c1", "tokens_total"] == 10
+    assert out.loc["c1", "tokens_dropped"] == 5
+    assert out.loc["c2", "n_fit"] == 1
+    assert out.loc["c2", "tokens_dropped"] == 0
