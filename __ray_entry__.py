@@ -2282,6 +2282,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            columns=["conv_id", "turn_idx", "ts", "text"])
         return context_budget(turns, budget_tokens=512)
 
+    def q_transcripts_watermark_rollup(sf):
+        """Event-time hourly rollup with a per-conversation watermark:
+        turns arriving >2 min behind the running max event time (the
+        synth corpus's planted disorder) are dropped and counted —
+        stages/stream.watermark_rollup."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.stream import watermark_rollup
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "ts", "text"])
+
+        def derive(t):
+            import pyarrow.compute as pc
+            import pyarrow as pa
+
+            return pa.table({
+                "conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+                "ts": t["ts"],
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.float64()),
+            })
+
+        turns = turns.map_batches(derive, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        return _round_floats(watermark_rollup(
+            turns, key="conv_id", ts_col="ts", arrival_col="turn_idx",
+            value_col="n_chars", window="1h",
+            allowed_lateness_us=120_000_000))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2496,6 +2524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_perm_entropy": q_events_perm_entropy,
         "events_ar2": q_events_ar2,
         "transcripts_context_budget": q_transcripts_context_budget,
+        "transcripts_watermark_rollup": q_transcripts_watermark_rollup,
     }
 
 
@@ -4965,5 +4994,28 @@ def oracle_sql() -> dict[str, str]:
                    (sum(ntok) - sum(CASE WHEN cum <= 512 THEN ntok
                                     ELSE 0 END))::BIGINT AS tokens_dropped
             FROM c GROUP BY 1
+        """,
+        # per-key watermark = running max event time over ARRIVAL order
+        # (turn_idx); strict µs comparison; all-late windows → NULL sum
+        "transcripts_watermark_rollup": f"""
+            WITH s AS (
+              SELECT conv_id, ts, turn_idx,
+                     length(text)::DOUBLE AS n_chars,
+                     max(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS wm
+              FROM {T}
+            ), f AS (
+              SELECT *, (wm IS NOT NULL
+                         AND ts < wm - INTERVAL 2 MINUTE) AS late
+              FROM s)
+            SELECT conv_id, date_trunc('hour', ts) AS window_start,
+                   sum(CASE WHEN NOT late THEN 1 ELSE 0 END)::BIGINT
+                     AS n_events,
+                   sum(CASE WHEN late THEN 1 ELSE 0 END)::BIGINT
+                     AS n_late_dropped,
+                   round(sum(CASE WHEN NOT late THEN n_chars END), 6)
+                     AS value_sum
+            FROM f GROUP BY 1, 2
         """,
     }

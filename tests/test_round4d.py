@@ -152,3 +152,46 @@ def test_context_budget_hand_case():
     assert out.loc["c1", "tokens_dropped"] == 5
     assert out.loc["c2", "n_fit"] == 1
     assert out.loc["c2", "tokens_dropped"] == 0
+
+
+# ------------------------------------------------------------- watermark drop
+
+def test_watermark_rollup_hand_case():
+    from s_tsfe_dl_ray.stages.stream import watermark_rollup
+
+    # arrival order 0..4; event times (minutes): 0, 10, 3, 9, 20
+    # watermark before each: -, 0, 10, 10, 10 ; lateness 5 min
+    #   t=3  arrives with wm=10 → 10-3=7 > 5  → LATE (dropped)
+    #   t=9  arrives with wm=10 → 1 ≤ 5       → on time
+    ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:10",
+                         "2024-01-01 00:03", "2024-01-01 00:09",
+                         "2024-01-01 00:20"])
+    df = pd.DataFrame({"k": ["a"] * 5,
+                       "arr": np.arange(5, dtype=np.int64),
+                       "ts": ts,
+                       "v": [1.0, 2.0, 4.0, 8.0, 16.0]})
+    out = watermark_rollup(_ds(df), key="k", ts_col="ts", arrival_col="arr",
+                           value_col="v", window="1h",
+                           allowed_lateness_us=5 * 60_000_000).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r.n_events == 4 and r.n_late_dropped == 1
+    assert r.value_sum == pytest.approx(1 + 2 + 8 + 16)
+
+
+def test_watermark_all_late_window_has_null_sum():
+    from s_tsfe_dl_ray.stages.stream import watermark_rollup
+
+    # second hour's only event arrives 2 h behind the watermark → its
+    # window exists with n_events 0 and NULL value_sum
+    ts = pd.to_datetime(["2024-01-01 03:00", "2024-01-01 01:30"])
+    df = pd.DataFrame({"k": ["a", "a"],
+                       "arr": np.array([0, 1], dtype=np.int64),
+                       "ts": ts, "v": [1.0, 99.0]})
+    out = (watermark_rollup(_ds(df), key="k", ts_col="ts", arrival_col="arr",
+                            value_col="v", window="1h",
+                            allowed_lateness_us=60_000_000)
+           .to_pandas().sort_values("window_start").reset_index(drop=True))
+    assert out.n_events.tolist() == [0, 1]
+    assert out.n_late_dropped.tolist() == [1, 0]
+    assert np.isnan(out.value_sum.iloc[0]) and out.value_sum.iloc[1] == 1.0
