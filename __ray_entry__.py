@@ -2310,6 +2310,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             value_col="n_chars", window="1h",
             allowed_lateness_us=120_000_000))
 
+    def q_events_spectral_power(sf):
+        """Per-user single-bin DFT power at daily/weekly periods
+        (Goertzel probe over mean-centered values, per-key epoch) —
+        stages/features.spectral_power."""
+        from s_tsfe_dl_ray.stages.features import spectral_power
+
+        ds = read_events(sf, columns=["user_id", "ts", "value"])
+        return _round_floats(spectral_power(
+            ds, key="user_id", ts_col="ts", value_col="value"))
+
+    def q_events_column_profile(sf):
+        """Data-quality profile of the events table: per-column row/null
+        counts, exact distinct cardinality, typed min/max
+        (stages/distinct.column_profile)."""
+        from s_tsfe_dl_ray.stages.distinct import column_profile
+
+        ds = read_events(sf, columns=["user_id", "event_type", "value"])
+        return _round_floats(column_profile(
+            ds, columns=["user_id", "event_type", "value"]))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2525,6 +2545,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ar2": q_events_ar2,
         "transcripts_context_budget": q_transcripts_context_budget,
         "transcripts_watermark_rollup": q_transcripts_watermark_rollup,
+        "events_spectral_power": q_events_spectral_power,
+        "events_column_profile": q_events_column_profile,
     }
 
 
@@ -5017,5 +5039,55 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN NOT late THEN n_chars END), 6)
                      AS value_sum
             FROM f GROUP BY 1, 2
+        """,
+        # per-key epoch keeps trig arguments small; identical float op
+        # order both sides: 2*pi() * (t / P)
+        "events_spectral_power": """
+            WITH m AS (
+              SELECT user_id, min(ts) AS t0, avg(value) AS mean,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1
+            ), d AS (
+              SELECT e.user_id, e.value - m.mean AS d,
+                     date_diff('microsecond', m.t0, e.ts) / 1000000.0 AS t,
+                     m.n
+              FROM events e JOIN m USING (user_id)
+            ), s AS (
+              SELECT user_id, min(n) AS n,
+                     sum(d * cos(2*pi() * (t / 86400.0)))  AS a1,
+                     sum(d * sin(2*pi() * (t / 86400.0)))  AS b1,
+                     sum(d * cos(2*pi() * (t / 604800.0))) AS a7,
+                     sum(d * sin(2*pi() * (t / 604800.0))) AS b7
+              FROM d GROUP BY 1)
+            SELECT user_id, n AS n_events,
+                   round((a1*a1 + b1*b1) / (n*n), 6) AS power_1d,
+                   round((a7*a7 + b7*b7) / (n*n), 6) AS power_7d
+            FROM s
+        """,
+        "events_column_profile": """
+            SELECT 'event_type' AS col, count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0
+                       END)::BIGINT AS n_nulls,
+                   count(DISTINCT event_type)::BIGINT AS n_distinct,
+                   NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,
+                   min(event_type) AS min_str, max(event_type) AS max_str
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*)::BIGINT,
+                   sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0
+                       END)::BIGINT,
+                   count(DISTINCT user_id)::BIGINT,
+                   round(min(user_id)::DOUBLE, 6),
+                   round(max(user_id)::DOUBLE, 6),
+                   NULL::VARCHAR, NULL::VARCHAR
+            FROM events
+            UNION ALL
+            SELECT 'value', count(*)::BIGINT,
+                   sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT value)::BIGINT,
+                   round(min(value), 6), round(max(value), 6),
+                   NULL::VARCHAR, NULL::VARCHAR
+            FROM events
+            ORDER BY col
         """,
     }

@@ -663,3 +663,122 @@ def key_skew_profile(
     return (counts.map_batches(hist, batch_format="pandas")
             .repartition(1)
             .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def column_profile(
+    ds: Dataset,
+    *,
+    columns: list[str],
+    num_partitions: int = 64,
+) -> Dataset:
+    """Long-format data-quality profile — the validation pass a pipeline
+    runs on every new partition drop before trusting it: per column,
+    row/null counts, EXACT distinct cardinality, and min/max (numeric
+    columns report ``min_num``/``max_num`` as float64; string columns
+    report lexicographic ``min_str``/``max_str``; the other pair is
+    NULL).  The profiling sibling of ``schema.check_inputs`` (which
+    validates shape; this validates content).
+
+    Shape: counts and extrema fold in ONE combiner pass over all
+    columns at once (each batch emits |columns| partial rows); distinct
+    cardinality needs value co-location, so each column gets its own
+    per-batch-dedup + ``_pkey`` exchange (the
+    :func:`grouped_distinct_count` discipline) — |columns| narrow
+    exchanges of distinct values only, never raw rows.  Everything
+    meets in one tiny final join keyed by column name.
+    Output: ``col, n_rows, n_nulls, n_distinct, min_num, max_num,
+    min_str, max_str`` sorted by col.
+    """
+    import pyarrow.compute as pc
+
+    num_cols = set()
+    schema = ds.schema().base_schema
+    for f in schema:
+        if f.name in columns and (pa.types.is_integer(f.type)
+                                  or pa.types.is_floating(f.type)):
+            num_cols.add(f.name)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        rows = {"col": [], "n_rows": [], "n_nulls": [],
+                "min_num": [], "max_num": [], "min_str": [], "max_str": []}
+        for c in columns:
+            arr = t[c]
+            rows["col"].append(c)
+            rows["n_rows"].append(len(arr))
+            rows["n_nulls"].append(arr.null_count)
+            if c in num_cols:
+                mm = pc.min_max(arr)
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                rows["min_num"].append(None if mn is None else float(mn))
+                rows["max_num"].append(None if mx is None else float(mx))
+                rows["min_str"].append(None)
+                rows["max_str"].append(None)
+            else:
+                mm = pc.min_max(arr)
+                rows["min_num"].append(None)
+                rows["max_num"].append(None)
+                rows["min_str"].append(mm["min"].as_py())
+                rows["max_str"].append(mm["max"].as_py())
+        return pa.table({
+            "col": pa.array(rows["col"], pa.string()),
+            "n_rows": pa.array(rows["n_rows"], pa.int64()),
+            "n_nulls": pa.array(rows["n_nulls"], pa.int64()),
+            "min_num": pa.array(rows["min_num"], pa.float64()),
+            "max_num": pa.array(rows["max_num"], pa.float64()),
+            "min_str": pa.array(rows["min_str"], pa.string()),
+            "max_str": pa.array(rows["max_str"], pa.string()),
+        })
+
+    from .dedup import _grouped_min
+
+    stats = _grouped_min(
+        ds.map_batches(stats_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        group_cols=["col"],
+        agg_cols=[("n_rows", "sum"), ("n_nulls", "sum"),
+                  ("min_num", "min"), ("max_num", "max"),
+                  ("min_str", "min"), ("max_str", "max")],
+        pkey_col="col", num_partitions=1)
+
+    def distinct_for(c: str) -> Dataset:
+        def batch_distinct(t: pa.Table) -> pa.Table:
+            vals = t.select([c]).combine_chunks()
+            d = vals.group_by([c], use_threads=False).aggregate([])
+            d = d.filter(pc.is_valid(d[c]))
+            return d.rename_columns(["v"])
+
+        dd = ds.map_batches(batch_distinct, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        uniq = _grouped_min(
+            dd.map_batches(
+                lambda t: t.append_column("one", pa.array(
+                    np.ones(t.num_rows, dtype=np.int64))),
+                batch_format="pyarrow"),
+            group_cols=["v"], agg_cols=[("one", "min")], pkey_col="v",
+            num_partitions=num_partitions)
+
+        def count_partial(t: pa.Table) -> pa.Table:
+            return pa.table({"col": pa.array([c], pa.string()),
+                             "n_distinct": pa.array([t.num_rows], pa.int64())})
+
+        return _grouped_min(
+            uniq.map_batches(count_partial, batch_format="pyarrow"),
+            group_cols=["col"], agg_cols=[("n_distinct", "sum")],
+            pkey_col="col", num_partitions=1)
+
+    dist = distinct_for(columns[0])
+    for c in columns[1:]:
+        dist = dist.union(distinct_for(c))
+
+    from .join import hash_join
+
+    j = hash_join(stats, dist, left_on="col", right_on="col",
+                  num_partitions=1)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("col", kind="mergesort").reset_index(drop=True)
+        return df[["col", "n_rows", "n_nulls", "n_distinct",
+                   "min_num", "max_num", "min_str", "max_str"]]
+
+    return j.repartition(1).map_batches(fin, batch_format="pandas",
+                                        batch_size=None)

@@ -652,3 +652,78 @@ def permutation_entropy(
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(body, batch_format="pandas")
+
+
+def spectral_power(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    periods: tuple[tuple[str, float], ...] = (("1d", 86_400.0),
+                                              ("7d", 604_800.0)),
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key normalized spectral power at FIXED candidate periods — a
+    Goertzel-style single-bin DFT probe ("does this series pulse daily /
+    weekly?"), the frequency-domain sibling of :func:`~.trend.acf`.
+    The reference is a DSP library at heart (every conv head in
+    /root/reference/TSFEDL/models_keras.py is a learned FIR filter
+    bank); this is the classical fixed-frequency filter a pipeline runs
+    before any model.
+
+    For each key and period P:  ``power_P = (a² + b²) / n²`` with
+    ``a = Σ d·cos(2πt/P)``, ``b = Σ d·sin(2πt/P)``, d the mean-centered
+    value and t the seconds since the KEY'S FIRST timestamp (per-key
+    epoch keeps trig arguments small, so libm argument reduction can't
+    drift between engines).  Exact µs integer deltas divide by 1e6 on
+    both sides.  One ``_pkey`` co-partition, bincount sums, one output
+    row per key: ``key, n_events, power_<label>...``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .rollup import _stable_pkey
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = pc.cast(ts, pa.timestamp("us", tz=ts.type.tz))
+        out = pa.table({key: t[key], "_ts_us": pc.cast(ts, pa.int64()),
+                        value_col: t[value_col]})
+        return out.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series([], dtype="object"),
+                "n_events": pd.Series([], dtype="int64")}
+        for label, _ in periods:
+            cols[f"power_{label}"] = pd.Series([], dtype="float64")
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        df = df.drop(columns=["_pkey"]).sort_values(
+            key, kind="mergesort").reset_index(drop=True)
+        keys_all = df[key].to_numpy()
+        change = np.flatnonzero(keys_all[1:] != keys_all[:-1]) + 1
+        gid = np.zeros(len(df), dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        starts = np.concatenate([[0], change])
+        nk = int(gid[-1]) + 1
+        ts = df["_ts_us"].to_numpy(dtype=np.int64)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        n = np.bincount(gid, minlength=nk).astype(np.float64)
+        mean = np.bincount(gid, weights=v, minlength=nk) / n
+        d = v - mean[gid]
+        t0 = np.full(nk, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(t0, gid, ts)
+        trel = (ts - t0[gid]).astype(np.float64) / 1e6
+        out = {key: keys_all[starts], "n_events": n.astype(np.int64)}
+        for label, p_s in periods:
+            ang = (2.0 * np.pi) * (trel / p_s)
+            a = np.bincount(gid, weights=d * np.cos(ang), minlength=nk)
+            b = np.bincount(gid, weights=d * np.sin(ang), minlength=nk)
+            out[f"power_{label}"] = (a * a + b * b) / (n * n)
+        return pd.DataFrame(out)
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(body, batch_format="pandas")

@@ -195,3 +195,42 @@ def test_watermark_all_late_window_has_null_sum():
     assert out.n_events.tolist() == [0, 1]
     assert out.n_late_dropped.tolist() == [1, 0]
     assert np.isnan(out.value_sum.iloc[0]) and out.value_sum.iloc[1] == 1.0
+
+
+# ------------------------------------------------------------- spectral power
+
+def test_spectral_power_detects_planted_daily_cycle():
+    from s_tsfe_dl_ray.stages.features import spectral_power
+
+    n = 24 * 14  # two weeks hourly
+    t = np.arange(n) * 3600.0
+    df = pd.DataFrame({
+        "user_id": np.zeros(n, dtype=np.int64),
+        "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(t, unit="s"),
+        "value": 5.0 + np.sin(2 * np.pi * t / 86_400.0),
+    })
+    out = spectral_power(_ds(df), key="user_id", ts_col="ts",
+                         value_col="value").to_pandas()
+    r = out.iloc[0]
+    # a pure unit sinusoid at bin frequency → power = amplitude²/4 = 0.25
+    assert r.power_1d == pytest.approx(0.25, abs=0.01)
+    assert r.power_7d < 0.02
+
+
+# ------------------------------------------------------------- column profile
+
+def test_column_profile_hand_case():
+    from s_tsfe_dl_ray.stages.distinct import column_profile
+
+    df = pd.DataFrame({
+        "k": ["a", "b", "a", None],
+        "x": [1.0, 2.0, np.nan, 2.0],
+    })
+    out = (column_profile(_ds(df), columns=["k", "x"])
+           .to_pandas().set_index("col"))
+    assert out.loc["k", "n_rows"] == 4 and out.loc["k", "n_nulls"] == 1
+    assert out.loc["k", "n_distinct"] == 2
+    assert out.loc["k", "min_str"] == "a" and out.loc["k", "max_str"] == "b"
+    assert np.isnan(out.loc["k", "min_num"])
+    assert out.loc["x", "n_nulls"] == 1 and out.loc["x", "n_distinct"] == 2
+    assert out.loc["x", "min_num"] == 1.0 and out.loc["x", "max_num"] == 2.0
