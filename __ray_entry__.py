@@ -2330,6 +2330,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(column_profile(
             ds, columns=["user_id", "event_type", "value"]))
 
+    def q_events_peak_rate_1h(sf):
+        """Per-user peak sliding-1h event rate (rate-limit audit):
+        RANGE-window count argmax via per-key-lifted binary search, µs
+        integers end-to-end (stages/stream.peak_sliding_rate)."""
+        from s_tsfe_dl_ray.stages.stream import peak_sliding_rate
+
+        ds = read_events(sf, columns=["user_id", "ts"])
+        return peak_sliding_rate(ds, key="user_id", ts_col="ts",
+                                 window_us=3_600_000_000)
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2547,6 +2557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_watermark_rollup": q_transcripts_watermark_rollup,
         "events_spectral_power": q_events_spectral_power,
         "events_column_profile": q_events_column_profile,
+        "events_peak_rate_1h": q_events_peak_rate_1h,
     }
 
 
@@ -5089,5 +5100,22 @@ def oracle_sql() -> dict[str, str]:
                    NULL::VARCHAR, NULL::VARCHAR
             FROM events
             ORDER BY col
+        """,
+        # RANGE frame: peers (equal ts) all count; argmax ties → earliest
+        # ts, via the struct_pack argmin recipe
+        "events_peak_rate_1h": """
+            WITH c AS (
+              SELECT user_id, ts,
+                     count(*) OVER (PARTITION BY user_id ORDER BY ts
+                                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                    AND CURRENT ROW) AS cnt
+              FROM events
+            ), s AS (
+              SELECT user_id, count(*)::BIGINT AS n_events,
+                     min(struct_pack(nc := -cnt, ts := ts)) AS t
+              FROM c GROUP BY 1)
+            SELECT user_id, n_events,
+                   (-(t.nc))::BIGINT AS peak_count, t.ts AS peak_at
+            FROM s
         """,
     }

@@ -113,3 +113,82 @@ def watermark_rollup(
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(body, batch_format="pandas")
+
+
+def peak_sliding_rate(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    window_us: int = 3_600_000_000,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key PEAK sliding-window event rate — the abuse/rate-limit
+    audit number: the maximum count any ``window_us``-wide window ending
+    at an event ever reaches, and when it first happens.  Semantics ==
+    SQL ``count(*) OVER (... RANGE BETWEEN <window> PRECEDING AND
+    CURRENT ROW)`` then argmax (ties → earliest), including the RANGE
+    peer rule: rows sharing the current timestamp all count.
+
+    The sliding count is two global ``searchsorted`` calls — per-key
+    segments are lifted onto disjoint integer ranges (ts + gid·span) so
+    ONE vectorized binary search handles every key at once; µs integers
+    end-to-end, no floats anywhere.  One ``_pkey`` co-partition.
+    Output: ``key, n_events, peak_count, peak_at``.
+    """
+    def add_pkey(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = pc.cast(ts, pa.timestamp("us", tz=ts.type.tz))
+        out = pa.table({key: t[key], "_ts_us": pc.cast(ts, pa.int64())})
+        return out.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series([], dtype="object"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "peak_count": pd.Series([], dtype="int64"),
+                                 "peak_at": pd.Series([],
+                                                      dtype="datetime64[us]")})
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [key, "_ts_us"], kind="mergesort").reset_index(drop=True)
+        keys_all = df[key].to_numpy()
+        ts = df["_ts_us"].to_numpy(dtype=np.int64)
+        change = np.flatnonzero(keys_all[1:] != keys_all[:-1]) + 1
+        gid = np.zeros(len(df), dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        starts = np.concatenate([[0], change])
+        nk = int(gid[-1]) + 1
+        t0 = int(ts.min())
+        span = int(ts.max()) - t0 + int(window_us) + 1
+        rebased = ts - np.int64(t0)
+        # lift each key's segment onto a disjoint range; process in key
+        # blocks so gid·span never overflows int64 even at huge key counts
+        keys_per_block = max(1, (2 ** 62) // span)
+        cnt = np.empty(len(df), dtype=np.int64)
+        for b0 in range(0, nk, keys_per_block):
+            b1 = min(b0 + keys_per_block, nk)
+            lo = starts[b0]
+            hi = starts[b1] if b1 < nk else len(df)
+            lifted = rebased[lo:hi] + (gid[lo:hi] - b0) * np.int64(span)
+            right = np.searchsorted(lifted, lifted, side="right")
+            left = np.searchsorted(lifted, lifted - np.int64(window_us),
+                                   side="left")
+            cnt[lo:hi] = right - left
+        mx = np.zeros(nk, dtype=np.int64)
+        np.maximum.at(mx, gid, cnt)
+        cand = cnt == mx[gid]
+        first_at = np.full(nk, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first_at, gid[cand], ts[cand])
+        return pd.DataFrame({
+            key: keys_all[starts],
+            "n_events": np.bincount(gid, minlength=nk).astype(np.int64),
+            "peak_count": mx,
+            "peak_at": pd.to_datetime(first_at, unit="us"),
+        })
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(body, batch_format="pandas")

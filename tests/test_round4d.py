@@ -234,3 +234,23 @@ def test_column_profile_hand_case():
     assert np.isnan(out.loc["k", "min_num"])
     assert out.loc["x", "n_nulls"] == 1 and out.loc["x", "n_distinct"] == 2
     assert out.loc["x", "min_num"] == 1.0 and out.loc["x", "max_num"] == 2.0
+
+
+# ---------------------------------------------------------- peak sliding rate
+
+def test_peak_sliding_rate_hand_case():
+    from s_tsfe_dl_ray.stages.stream import peak_sliding_rate
+
+    # bursts: three events within 10 min, then a lone one hours later
+    ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:05",
+                         "2024-01-01 00:10", "2024-01-01 09:00",
+                         # second key: two simultaneous events (RANGE peers)
+                         "2024-01-01 00:00", "2024-01-01 00:00"])
+    df = pd.DataFrame({"k": ["a"] * 4 + ["b"] * 2, "ts": ts})
+    out = (peak_sliding_rate(_ds(df), key="k", ts_col="ts",
+                             window_us=3_600_000_000)
+           .to_pandas().set_index("k"))
+    assert out.loc["a", "peak_count"] == 3
+    assert out.loc["a", "peak_at"] == pd.Timestamp("2024-01-01 00:10")
+    # both b-rows share a timestamp → each counts the other (peers rule)
+    assert out.loc["b", "peak_count"] == 2
