@@ -2340,6 +2340,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return peak_sliding_rate(ds, key="user_id", ts_col="ts",
                                  window_us=3_600_000_000)
 
+    def q_events_decayed_type_counts(sf):
+        """Time-decayed popularity per event type (half-life 12 h,
+        horizon = corpus max ts) — stages/distinct.decayed_counts."""
+        from s_tsfe_dl_ray.stages.distinct import decayed_counts
+
+        ds = read_events(sf, columns=["event_type", "ts"])
+        return _round_floats(decayed_counts(
+            ds, key_col="event_type", ts_col="ts",
+            half_life_us=43_200_000_000))
+
+    def q_emb_dedup_cluster_sizes(sf):
+        """Cluster-size histogram of the near-dup components — how much
+        of the corpus is pairwise-duplicated, at what multiplicity
+        (composition: connected_components → size → histogram)."""
+        from s_tsfe_dl_ray.stages.cluster import connected_components
+        from s_tsfe_dl_ray.stages.dedup import _grouped_min
+
+        ds = read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+        pairs = embedding_neardup_pairs(ds, threshold=0.4)
+        comp = connected_components(pairs)
+
+        def one(t):
+            import pyarrow as pa
+            import numpy as np
+
+            return t.append_column(
+                "n", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+        sizes = _grouped_min(
+            comp.map_batches(one, batch_format="pyarrow"),
+            group_cols=["component"], agg_cols=[("n", "sum")],
+            pkey_col="component", num_partitions=8)
+
+        def rename(t):
+            import pyarrow as pa
+            import numpy as np
+
+            return pa.table({
+                "cluster_size": t["n"],
+                "n_clusters": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            })
+
+        hist = _grouped_min(
+            sizes.map_batches(rename, batch_format="pyarrow"),
+            group_cols=["cluster_size"], agg_cols=[("n_clusters", "sum")],
+            pkey_col="cluster_size", num_partitions=1)
+        return hist.sort("cluster_size")
+
+    def q_events_quantile_tiers_1h(sf):
+        """Continuous-aggregate percentiles: hourly p50/p95/p99 produced
+        by MERGING the 1m tier's t-digest state (raw data read once) —
+        stages/quantile.tiered_quantile_digest.  Rows-only: sketch
+        estimates are state-dependent; the cascade-vs-exact envelope is
+        property-tested."""
+        from s_tsfe_dl_ray.stages.quantile import tiered_quantile_digest
+
+        ds = read_events(sf, columns=["ts", "value"])
+        tiers = tiered_quantile_digest(ds, ts_col="ts", value_col="value",
+                                       tiers=("1m", "1h"))
+        return _round_floats(tiers["1h"].sort("window_start"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2558,6 +2620,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_spectral_power": q_events_spectral_power,
         "events_column_profile": q_events_column_profile,
         "events_peak_rate_1h": q_events_peak_rate_1h,
+        "events_decayed_type_counts": q_events_decayed_type_counts,
+        "emb_dedup_cluster_sizes": q_emb_dedup_cluster_sizes,
+        "events_quantile_tiers_1h": q_events_quantile_tiers_1h,
     }
 
 
@@ -5117,5 +5182,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, n_events,
                    (-(t.nc))::BIGINT AS peak_count, t.ts AS peak_at
             FROM s
+        """,
+        # identical float op shape both sides: pow(2, -(dt_us / hl_us))
+        "events_decayed_type_counts": """
+            WITH h AS (SELECT max(ts) AS t FROM events)
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   round(sum(pow(2.0,
+                       -(date_diff('microsecond', e.ts, h.t)::DOUBLE
+                         / 43200000000.0))), 6) AS decayed_count
+            FROM events e, h GROUP BY 1
+        """,
+        "emb_dedup_cluster_sizes": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) >= 0.4
+            ), e AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+              SELECT DISTINCT a, a FROM e
+              UNION
+              SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+            ), comp AS (
+              SELECT id, MIN(r) AS component FROM reach GROUP BY id
+            ), cs AS (
+              SELECT component, count(*)::BIGINT AS cluster_size
+              FROM comp GROUP BY 1)
+            SELECT cluster_size, count(*)::BIGINT AS n_clusters
+            FROM cs GROUP BY 1 ORDER BY 1
         """,
     }

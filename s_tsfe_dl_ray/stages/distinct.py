@@ -782,3 +782,54 @@ def column_profile(
 
     return j.repartition(1).map_batches(fin, batch_format="pandas",
                                         batch_size=None)
+
+
+def decayed_counts(
+    ds: Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    half_life_us: int = 43_200_000_000,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Exponentially time-decayed counts per key at the corpus horizon —
+    the "what's hot NOW" popularity ranking (each event contributes
+    ``2^(−age/half_life)`` where age is measured from the corpus max
+    timestamp), the streaming-decay sibling of plain value counts.
+
+    Two passes: a cheap pruned scan finds the global horizon T (one
+    column, one max — the only driver-side scalar), then one combiner
+    pass folds per-batch partial sums of ``pow(2, −(T−t)/hl)``; the
+    exchange carries one float per (batch, key).  Term order differs
+    from a sequential sum but every term is in [0,1] — accumulation
+    error ~1e-13·n, far below 6-decimal rounding.
+    Output: ``key, n_events, decayed_count``.
+    """
+    import pyarrow.compute as pc
+
+    from .dedup import _grouped_min
+
+    horizon = ds.max(ts_col)
+    t_us = pa.scalar(horizon, pa.timestamp("us")).cast(pa.int64()).as_py()
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = pc.cast(ts, pa.timestamp("us", tz=ts.type.tz))
+        dt = np.asarray(pc.subtract(pa.scalar(t_us, pa.int64()),
+                                    pc.cast(ts, pa.int64())))
+        w = np.power(2.0, -(dt.astype(np.float64) / float(half_life_us)))
+        tbl = pa.table({key_col: t[key_col],
+                        "n_events": pa.array(np.ones(len(w), np.int64)),
+                        "decayed_count": pa.array(w)})
+        return tbl.combine_chunks().group_by(
+            [key_col], use_threads=False).aggregate(
+            [("n_events", "sum"), ("decayed_count", "sum")]
+        ).rename_columns([key_col, "n_events", "decayed_count"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return _grouped_min(partials, group_cols=[key_col],
+                        agg_cols=[("n_events", "sum"),
+                                  ("decayed_count", "sum")],
+                        pkey_col=key_col, num_partitions=num_partitions)

@@ -126,6 +126,45 @@ def _digest_rows(df: pd.DataFrame, keys: list[str], delta: int) -> pd.DataFrame:
     return out[keys + ["_m", "_w"]]
 
 
+def _estimate_rows(d: pd.DataFrame, keys: list[str],
+                   quantiles: tuple[float, ...],
+                   qcols: list[str]) -> pd.DataFrame:
+    """Quantile estimates from merged digest rows (sorted by keys+_m) —
+    vectorized per-key interpolation: offset-pack the centroid mid-rank
+    axis so one searchsorted serves every key."""
+    m = d["_m"].to_numpy()
+    w = d["_w"].to_numpy()
+    same = np.ones(len(d) - 1, dtype=bool)
+    for kcol in keys:
+        kv = d[kcol].to_numpy()
+        same &= kv[1:] == kv[:-1]
+    starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
+    ends = np.concatenate([starts[1:], [len(d)]])
+    gid = np.zeros(len(d), dtype=np.int64)
+    gid[starts[1:]] = 1
+    gid = np.cumsum(gid)
+    cw_all = np.cumsum(w)
+    base = np.concatenate([[0.0], cw_all[ends[:-1] - 1]])
+    cw = cw_all - base[gid]                 # per-key cumweight
+    c_mid = cw - 0.5 * w                    # centroid mid-rank
+    W = (cw_all[ends - 1] - base)           # per-key total weight
+    BIG = float(W.max()) * 4.0 + 1.0
+    packed_c = c_mid + gid * BIG
+    out = d.iloc[starts][keys].reset_index(drop=True)
+    ng = len(starts)
+    for q, col in zip(quantiles, qcols):
+        target = np.arange(ng) * BIG + q * W
+        pos = np.searchsorted(packed_c, target)
+        lo = np.clip(pos - 1, starts, ends - 1)
+        hi = np.clip(pos, starts, ends - 1)
+        denom = packed_c[hi] - packed_c[lo]
+        t_frac = np.where(denom > 0, (target - packed_c[lo]) / np.where(
+            denom > 0, denom, 1.0), 0.0)
+        t_frac = np.clip(t_frac, 0.0, 1.0)
+        out[col] = m[lo] + t_frac * (m[hi] - m[lo])
+    return out
+
+
 def grouped_quantiles_approx(
     ds: Dataset,
     *,
@@ -171,39 +210,7 @@ def grouped_quantiles_approx(
         df = df.drop(columns=["_pkey"]).sort_values(
             keys + ["_m"], kind="mergesort").reset_index(drop=True)
         d = _digest_rows(df, keys, delta)
-        # vectorized per-key interpolation: offset-pack the centroid
-        # mid-rank axis so one searchsorted serves every key
-        m = d["_m"].to_numpy()
-        w = d["_w"].to_numpy()
-        same = np.ones(len(d) - 1, dtype=bool)
-        for kcol in keys:
-            kv = d[kcol].to_numpy()
-            same &= kv[1:] == kv[:-1]
-        starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
-        ends = np.concatenate([starts[1:], [len(d)]])
-        gid = np.zeros(len(d), dtype=np.int64)
-        gid[starts[1:]] = 1
-        gid = np.cumsum(gid)
-        cw_all = np.cumsum(w)
-        base = np.concatenate([[0.0], cw_all[ends[:-1] - 1]])
-        cw = cw_all - base[gid]                 # per-key cumweight
-        c_mid = cw - 0.5 * w                    # centroid mid-rank
-        W = (cw_all[ends - 1] - base)           # per-key total weight
-        BIG = float(W.max()) * 4.0 + 1.0
-        packed_c = c_mid + gid * BIG
-        out = d.iloc[starts][keys].reset_index(drop=True)
-        ng = len(starts)
-        for q, col in zip(quantiles, qcols):
-            target = np.arange(ng) * BIG + q * W
-            pos = np.searchsorted(packed_c, target)
-            lo = np.clip(pos - 1, starts, ends - 1)
-            hi = np.clip(pos, starts, ends - 1)
-            denom = packed_c[hi] - packed_c[lo]
-            t_frac = np.where(denom > 0, (target - packed_c[lo]) / np.where(
-                denom > 0, denom, 1.0), 0.0)
-            t_frac = np.clip(t_frac, 0.0, 1.0)
-            out[col] = m[lo] + t_frac * (m[hi] - m[lo])
-        return out
+        return _estimate_rows(d, keys, quantiles, qcols)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -254,3 +261,102 @@ def fixed_histogram(
         return pa.table({"bin": t["bin"], "bin_lo": lo, n_col: t[n_col]})
 
     return merged.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tiered_quantile_digest(
+    ds: Dataset,
+    *,
+    ts_col: str,
+    value_col: str,
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    delta: int = 128,
+    num_partitions: int = 64,
+) -> "dict[str, Dataset]":
+    """Continuous-aggregate PERCENTILES up the retention cascade — the
+    sketch analogue of the sum/min/max tier cascade
+    (stages/rollup.py): per-window t-digest state is built ONCE at the
+    finest tier, and every coarser tier is produced by re-MERGING the
+    finer tier's centroid state (concat → sort → re-compress) — the raw
+    data is never re-read.  This is the property that makes percentile
+    retention tiers affordable at 100 TB: the 1h tier's input is
+    O(minutes × delta) centroid rows, not O(events).
+
+    Mergeability is t-digest's defining contract (Dunning's sketch);
+    the estimate bias from double-compression is bounded by the same
+    O(1/delta) rank error — the cascade-vs-direct property test pins
+    it.  Reference analog: the pooled downsample cascade
+    (/root/reference/TSFEDL/models_keras.py pooling chains) re-reduces
+    REDUCED state, never raw input.
+
+    Returns {tier: Dataset(window_start, n_events, q_50, q_95, q_99)}.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.windows import window_start_us, rewindow_us
+
+    qcols = [
+        f"q_{int(q * 100)}" if float(q * 100).is_integer()
+        else f"q_{str(q * 100).replace('.', '_')}"
+        for q in quantiles
+    ]
+    keys = ["window_start"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "window_start": np.asarray(window_start_us(t[ts_col], tiers[0])),
+            "_m": t[value_col].to_numpy(zero_copy_only=False).astype(
+                np.float64),
+            "_w": 1.0,
+        })
+        df = df.sort_values(keys + ["_m"], kind="mergesort").reset_index(
+            drop=True)
+        out = _digest_rows(df, keys, delta)
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        return tbl.append_column(
+            "_pkey", _stable_pkey(tbl["window_start"], num_partitions))
+
+    def merge_state(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).sort_values(
+            keys + ["_m"], kind="mergesort").reset_index(drop=True)
+        return _digest_rows(df, keys, delta)
+
+    def estimate_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            cols = {"window_start": pd.Series([], dtype="datetime64[us]"),
+                    "n_events": pd.Series([], dtype="int64")}
+            for c in qcols:
+                cols[c] = pd.Series([], dtype="float64")
+            return pd.DataFrame(cols)
+        df = df.sort_values(keys + ["_m"], kind="mergesort").reset_index(
+            drop=True)
+        out = _estimate_rows(df, keys, quantiles, qcols)
+        n = df.groupby("window_start", sort=True)["_w"].sum()
+        out.insert(1, "n_events",
+                   n.reindex(out["window_start"]).to_numpy().astype(np.int64))
+        out["window_start"] = pd.to_datetime(out["window_start"], unit="us")
+        return out
+
+    state = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("_pkey").map_groups(merge_state,
+                                          batch_format="pandas"))
+    result: dict[str, Dataset] = {}
+    result[tiers[0]] = state.map_batches(estimate_block,
+                                         batch_format="pandas",
+                                         batch_size=None)
+    for prev, tier in zip(tiers, tiers[1:]):
+        def relabel(t: pa.Table, _tier=tier) -> pa.Table:
+            win = rewindow_us(pc.cast(t["window_start"], pa.int64()), _tier)
+            out = pa.table({"window_start": win, "_m": t["_m"],
+                            "_w": t["_w"]})
+            return out.append_column(
+                "_pkey", _stable_pkey(win, num_partitions))
+
+        state = (state.map_batches(relabel, batch_format="pyarrow")
+                 .groupby("_pkey").map_groups(merge_state,
+                                              batch_format="pandas"))
+        result[tier] = state.map_batches(estimate_block,
+                                         batch_format="pandas",
+                                         batch_size=None)
+    return result

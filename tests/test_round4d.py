@@ -254,3 +254,67 @@ def test_peak_sliding_rate_hand_case():
     assert out.loc["a", "peak_at"] == pd.Timestamp("2024-01-01 00:10")
     # both b-rows share a timestamp → each counts the other (peers rule)
     assert out.loc["b", "peak_count"] == 2
+
+
+# -------------------------------------------------------------- decayed counts
+
+def test_decayed_counts_halves_per_half_life():
+    from s_tsfe_dl_ray.stages.distinct import decayed_counts
+
+    # horizon = last event; ages: 2hl, 1hl, 0 → weights 0.25, 0.5, 1.0
+    hl = 3_600_000_000
+    ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00",
+                         "2024-01-01 02:00"])
+    df = pd.DataFrame({"k": ["x", "x", "x"], "ts": ts})
+    out = decayed_counts(_ds(df), key_col="k", ts_col="ts",
+                         half_life_us=hl).to_pandas()
+    assert out.n_events.iloc[0] == 3
+    assert out.decayed_count.iloc[0] == pytest.approx(1.75, abs=1e-12)
+
+
+# ------------------------------------------------------ tiered quantile digest
+
+def test_tiered_quantile_digest_cascade_rank_error_bounded():
+    from s_tsfe_dl_ray.stages.quantile import tiered_quantile_digest
+
+    rng = np.random.default_rng(11)
+    n = 60_000
+    ts = (pd.Timestamp("2024-01-01")
+          + pd.to_timedelta(rng.integers(0, 6 * 3600, n), unit="s"))
+    df = pd.DataFrame({"ts": ts, "value": rng.lognormal(0.0, 1.0, n)})
+    tiers = tiered_quantile_digest(_ds(df), ts_col="ts", value_col="value",
+                                   tiers=("1m", "1h"), delta=128)
+    got = tiers["1h"].to_pandas().sort_values("window_start")
+    assert len(got) == 6
+    # exact counts must survive the double compression exactly
+    exact_n = df.groupby(df.ts.dt.floor("1h")).size()
+    assert got.set_index("window_start").n_events.sort_index().tolist() \
+        == exact_n.sort_index().tolist()
+    # rank error of each estimate within its window ≤ 3% (delta=128,
+    # double-compressed ⇒ a few × 1/delta)
+    for _, row in got.iterrows():
+        w = df[df.ts.dt.floor("1h") == row.window_start].value.to_numpy()
+        for q, col in [(0.5, "q_50"), (0.95, "q_95"), (0.99, "q_99")]:
+            rank = (w <= row[col]).mean()
+            assert abs(rank - q) < 0.03, (row.window_start, col, rank)
+
+
+def test_tiered_digest_cascade_close_to_direct_digest():
+    from s_tsfe_dl_ray.stages.quantile import (grouped_quantiles_approx,
+                                               tiered_quantile_digest)
+
+    rng = np.random.default_rng(5)
+    n = 30_000
+    ts = (pd.Timestamp("2024-01-01")
+          + pd.to_timedelta(rng.integers(0, 2 * 3600, n), unit="s"))
+    df = pd.DataFrame({"ts": ts, "value": rng.normal(size=n)})
+    casc = (tiered_quantile_digest(_ds(df), ts_col="ts", value_col="value",
+                                   tiers=("1m", "1h"))["1h"]
+            .to_pandas().sort_values("window_start").reset_index(drop=True))
+    df2 = df.assign(window_start=df.ts.dt.floor("1h"))
+    direct = (grouped_quantiles_approx(_ds(df2[["window_start", "value"]]),
+                                       value_col="value",
+                                       keys=["window_start"])
+              .to_pandas().sort_values("window_start").reset_index(drop=True))
+    for col in ["q_50", "q_95", "q_99"]:
+        assert np.allclose(casc[col], direct[col], atol=0.08)
