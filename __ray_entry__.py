@@ -2402,6 +2402,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        tiers=("1m", "1h"))
         return _round_floats(tiers["1h"].sort("window_start"))
 
+    def q_docs_source_lang_chi2(sf):
+        """Pearson χ² independence of (source, lang) + Cramér's V — the
+        stratification-balance check (stages/distinct.chi2_independence)."""
+        from s_tsfe_dl_ray.stages.distinct import chi2_independence
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["source", "lang"])
+        return _round_floats(chi2_independence(
+            docs, col_a="source", col_b="lang"))
+
+    def q_events_rollup_1h_delta(sf):
+        """Hour-over-hour change per user: the 1h rollup tier composed
+        with the lag/delta ordered scan — continuous-aggregate output
+        consumed as a first-class input (stage composition)."""
+        tier = events_tiers(sf, ("1m", "1h"))["1h"]
+        narrow = tier.select_columns(["user_id", "window_start",
+                                      "n_events"])
+        return _round_floats(ordered_scan(
+            narrow, keys=["user_id"], order_by=["window_start"],
+            scans={"n_prev": ("n_events", "lag"),
+                   "n_delta": ("n_events", "delta")}))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2623,6 +2645,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_decayed_type_counts": q_events_decayed_type_counts,
         "emb_dedup_cluster_sizes": q_emb_dedup_cluster_sizes,
         "events_quantile_tiers_1h": q_events_quantile_tiers_1h,
+        "docs_source_lang_chi2": q_docs_source_lang_chi2,
+        "events_rollup_1h_delta": q_events_rollup_1h_delta,
     }
 
 
@@ -5213,5 +5237,41 @@ def oracle_sql() -> dict[str, str]:
               FROM comp GROUP BY 1)
             SELECT cluster_size, count(*)::BIGINT AS n_clusters
             FROM cs GROUP BY 1 ORDER BY 1
+        """,
+        # expected counts over ALL cells incl. unobserved zeros; identical
+        # float op shape both sides: e = rs*cs/n, then (o-e)²/e
+        "docs_source_lang_chi2": """
+            WITH o AS (
+              SELECT source AS a, lang AS b, count(*)::DOUBLE AS o
+              FROM documents GROUP BY 1, 2
+            ), r AS (SELECT a, sum(o) AS rs FROM o GROUP BY 1),
+            c AS (SELECT b, sum(o) AS cs FROM o GROUP BY 1),
+            t AS (SELECT sum(o) AS n FROM o),
+            cell AS (
+              SELECT r.rs * c.cs / t.n AS e, coalesce(oo.o, 0.0) AS obs
+              FROM r CROSS JOIN c CROSS JOIN t
+              LEFT JOIN o oo ON oo.a = r.a AND oo.b = c.b)
+            SELECT (SELECT n FROM t)::BIGINT AS n,
+                   (((SELECT count(*) FROM r) - 1)
+                    * ((SELECT count(*) FROM c) - 1))::BIGINT AS dof,
+                   round(sum((obs - e) * (obs - e) / e), 6) AS chi2,
+                   round(sqrt(sum((obs - e) * (obs - e) / e)
+                              / ((SELECT n FROM t)
+                                 * least((SELECT count(*) FROM r) - 1,
+                                         (SELECT count(*) FROM c) - 1))),
+                         6) AS cramers_v
+            FROM cell
+        """,
+        "events_rollup_1h_delta": """
+            WITH tier AS (
+              SELECT user_id, date_trunc('hour', ts) AS window_start,
+                     count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1, 2)
+            SELECT user_id, window_start, n_events,
+                   round(lag(n_events) OVER w::DOUBLE, 6) AS n_prev,
+                   round((n_events - lag(n_events) OVER w)::DOUBLE, 6)
+                     AS n_delta
+            FROM tier
+            WINDOW w AS (PARTITION BY user_id ORDER BY window_start)
         """,
     }

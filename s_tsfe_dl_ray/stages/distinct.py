@@ -833,3 +833,57 @@ def decayed_counts(
                         agg_cols=[("n_events", "sum"),
                                   ("decayed_count", "sum")],
                         pkey_col=key_col, num_partitions=num_partitions)
+
+
+def chi2_independence(
+    ds: Dataset,
+    *,
+    col_a: str,
+    col_b: str,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Pearson χ² test of independence between two categorical columns
+    (+ Cramér's V effect size) — the "is lang balanced across sources /
+    is event mix drifting across cohorts" check run before trusting a
+    stratified split.
+
+    One combiner pass folds per-batch (a, b) counts; the contingency
+    matrix (|a|×|b| — categorical cardinalities, tiny by assumption)
+    finalizes in a single partition: expected = rowsum·colsum/n over ALL
+    cells including unobserved zeros, χ² = Σ(O−E)²/E, dof=(r−1)(c−1),
+    V = √(χ²/(n·min(r−1,c−1))) (NULL when either axis is constant).
+    Output: one row ``n, dof, chi2, cramers_v``.
+    """
+    from .dedup import _grouped_min
+
+    def partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({"a": t[col_a], "b": t[col_b]})
+        out = tbl.combine_chunks().group_by(
+            ["a", "b"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["a", "b", "o"])
+
+    counts = _grouped_min(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        group_cols=["a", "b"], agg_cols=[("o", "sum")], pkey_col="a",
+        num_partitions=num_partitions)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        piv = df.pivot_table(index="a", columns="b", values="o",
+                             aggfunc="sum", fill_value=0).sort_index()
+        obs = piv.to_numpy(dtype=np.float64)
+        rs = obs.sum(axis=1)
+        cs = obs.sum(axis=0)
+        n = obs.sum()
+        e = np.outer(rs, cs) / n
+        chi2 = float(((obs - e) ** 2 / e).sum())
+        r, c = obs.shape
+        dof = (r - 1) * (c - 1)
+        k = min(r - 1, c - 1)
+        v = float(np.sqrt(chi2 / (n * k))) if k > 0 else np.nan
+        return pd.DataFrame({"n": pd.Series([int(n)], dtype="int64"),
+                             "dof": pd.Series([dof], dtype="int64"),
+                             "chi2": [chi2], "cramers_v": [v]})
+
+    return counts.repartition(1).map_batches(fin, batch_format="pandas",
+                                             batch_size=None)

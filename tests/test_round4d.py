@@ -318,3 +318,22 @@ def test_tiered_digest_cascade_close_to_direct_digest():
               .to_pandas().sort_values("window_start").reset_index(drop=True))
     for col in ["q_50", "q_95", "q_99"]:
         assert np.allclose(casc[col], direct[col], atol=0.08)
+
+
+# ----------------------------------------------------------- chi² independence
+
+def test_chi2_perfect_association_and_independence():
+    from s_tsfe_dl_ray.stages.distinct import chi2_independence
+
+    # perfect association: b == a → V = 1
+    df = pd.DataFrame({"a": ["x", "y"] * 50, "b": ["x", "y"] * 50})
+    out = chi2_independence(_ds(df), col_a="a", col_b="b").to_pandas()
+    assert out.cramers_v.iloc[0] == pytest.approx(1.0)
+    assert out.dof.iloc[0] == 1 and out.n.iloc[0] == 100
+
+    # exact independence: uniform product table → chi2 = 0
+    a = np.repeat(["x", "y"], 50)
+    b = np.tile(np.repeat(["p", "q"], 25), 2)
+    out2 = chi2_independence(_ds(pd.DataFrame({"a": a, "b": b})),
+                             col_a="a", col_b="b").to_pandas()
+    assert out2.chi2.iloc[0] == pytest.approx(0.0, abs=1e-12)
