@@ -2424,6 +2424,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             scans={"n_prev": ("n_events", "lag"),
                    "n_delta": ("n_events", "delta")}))
 
+    def q_emb_quantize_error(sf):
+        """Per-vector uint8 min-max quantization reconstruction error
+        (×1e6) — the embedding-store compression audit
+        (stages/similarity.quantize_error)."""
+        from s_tsfe_dl_ray.stages.similarity import quantize_error
+
+        emb = read_table(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+        return _round_floats(quantize_error(emb).sort("vec_id"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2647,6 +2657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantile_tiers_1h": q_events_quantile_tiers_1h,
         "docs_source_lang_chi2": q_docs_source_lang_chi2,
         "events_rollup_1h_delta": q_events_rollup_1h_delta,
+        "emb_quantize_error": q_emb_quantize_error,
     }
 
 
@@ -5273,5 +5284,28 @@ def oracle_sql() -> dict[str, str]:
                      AS n_delta
             FROM tier
             WINDOW w AS (PARTITION BY user_id ORDER BY window_start)
+        """,
+        # identical float op shape both sides; DuckDB round() is
+        # half-away-from-zero == np.floor(v+0.5) on the nonneg scale
+        "emb_quantize_error": """
+            WITH u AS (
+              SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings
+            ), mm AS (
+              SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY 1
+            ), r AS (
+              SELECT u.vec_id, u.x,
+                     CASE WHEN mm.mx > mm.mn
+                          THEN mm.mn
+                               + round((u.x - mm.mn) / (mm.mx - mm.mn)
+                                       * 255)
+                                 * ((mm.mx - mm.mn) / 255)
+                          ELSE mm.mn END AS recon
+              FROM u JOIN mm USING (i))
+            SELECT vec_id,
+                   round(avg((x - recon) * (x - recon)) * 1e6, 6)
+                     AS mse_e6
+            FROM r GROUP BY 1 ORDER BY vec_id
         """,
     }
