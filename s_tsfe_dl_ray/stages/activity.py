@@ -1,0 +1,188 @@
+"""Active-user analytics: DAU / trailing-window WAU / stickiness, and
+new-vs-returning user splits per day.
+
+The product-analytics staples over event streams, and the trailing-
+window sibling of the cohort matrix (stages/cohort.py): cohort asks
+"users first seen on day c, active on day d"; these ask "how many
+DISTINCT users were active in the trailing w-day window ending at d"
+(WAU) and "of day d's actives, how many are brand new".  Reference
+analog: the per-class segment bookkeeping the reference runs before
+splitting MIT-BIH episodes (/root/reference/TSFEDL/data.py:99-154) is
+a small-data distinct-count per (label, day)-like group; here it is
+re-expressed as a distributed exchange.
+
+Scale design — the same one-big-exchange shape as cohort_retention:
+
+1. per-batch combiner: one pyarrow ``group_by`` collapses each batch to
+   its distinct ``(key, day)`` pairs, so the key-hash shuffle carries
+   one row per (key, active day, batch), never raw events;
+2. per key-partition (a user's full day set co-located): WAU expands
+   each pair to the ``window`` target days it keeps the user active for
+   (day .. day+w-1) and dedups per (key, target) WITHIN the partition —
+   exact, because the partition holds the user's complete day set; DAU
+   and new/returning splits are direct per-partition counts over
+   disjoint user sets;
+3. per-partition counts are partials over disjoint users, so the final
+   exchange merges ~days tiny rows (sum) — no driver round-trip.
+
+Exactness note: the trailing-distinct problem is the one window
+aggregate pane composition cannot solve (distinct does not merge by
+sum); the pair-expansion trick restores exactness at a ×window cost on
+the (key, day) PAIRS — already orders of magnitude smaller than the
+event stream.  For very long windows use the HLL panes in
+stages/distinct.py instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..functions.windows import TIER_US, window_start_us
+from .rollup import _stable_pkey
+
+
+def _pair_partial(key: str, ts_col: str, tier: str, num_partitions: int):
+    def partial(t: pa.Table) -> pa.Table:
+        day = window_start_us(t[ts_col], tier)
+        base = pa.table({key: t[key], "_day": day})
+        out = base.group_by([key, "_day"], use_threads=False).aggregate([])
+        return out.append_column("_pkey", _stable_pkey(out[key], num_partitions))
+
+    return partial
+
+
+def active_users(
+    ds: Dataset,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    tier: str = "1d",
+    window: int = 7,
+    num_partitions: int = 64,
+    final_partitions: int = 4,
+) -> Dataset:
+    """Per observed day: exact DAU, exact trailing-``window``-day WAU,
+    and stickiness = DAU/WAU.
+
+    Output: ``day (timestamp[us]), dau (int64), wau (int64),
+    stickiness (float64)``, one row per day with at least one event.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    day_us = TIER_US[tier]
+
+    def per_key_partition(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df[[key, "_day"]].drop_duplicates()
+        k = pairs[key].to_numpy()
+        d = pairs["_day"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        # DAU partial: users are disjoint across partitions, so a plain
+        # per-day pair count is an exact partial
+        dau = pd.DataFrame({"_day": d}).groupby("_day").size().rename("_d")
+        # WAU partial: each (key, day) keeps the key active for target
+        # days day .. day+(w-1); dedup (key, target) within the
+        # partition (the key's day set is complete here), then count
+        tgt = (d[:, None] + np.arange(window, dtype=np.int64) * day_us).ravel()
+        kk = np.repeat(k, window)
+        wau = (
+            pd.DataFrame({key: kk, "_t": tgt})
+            .drop_duplicates()
+            .groupby("_t")
+            .size()
+            .rename("_w")
+        )
+        out = pd.concat([dau, wau], axis=1).fillna(0).reset_index()
+        out.columns = ["day", "_d", "_w"]
+        out["_d"] = out["_d"].astype(np.int64)
+        out["_w"] = out["_w"].astype(np.int64)
+        return out
+
+    def add_final_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey2", _stable_pkey(t["day"], final_partitions))
+
+    def final_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("day", sort=True)[["_d", "_w"]].sum().reset_index()
+        # expansion reaches past the last observed day; report only days
+        # that actually had events (dau > 0)
+        out = out[out["_d"] > 0].reset_index(drop=True)
+        res = pd.DataFrame(
+            {
+                "day": out["day"].astype("datetime64[us]"),
+                "dau": out["_d"].astype(np.int64),
+                "wau": out["_w"].astype(np.int64),
+            }
+        )
+        res["stickiness"] = res["dau"].to_numpy() / res["wau"].to_numpy()
+        return res
+
+    return (
+        ds.map_batches(
+            _pair_partial(key, ts_col, tier, num_partitions),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("_pkey")
+        .map_groups(per_key_partition, batch_format="pandas")
+        .map_batches(add_final_pkey, batch_format="pyarrow")
+        .groupby("_pkey2")
+        .map_groups(final_merge, batch_format="pandas")
+    )
+
+
+def new_vs_returning(
+    ds: Dataset,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    tier: str = "1d",
+    num_partitions: int = 64,
+    final_partitions: int = 4,
+) -> Dataset:
+    """Per observed day: distinct users seen for the FIRST time that day
+    vs distinct returning users (first seen on an earlier day).
+
+    Output: ``day (timestamp[us]), new_users (int64),
+    returning_users (int64)``.
+    """
+
+    def per_key_partition(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df[[key, "_day"]].drop_duplicates()
+        first = pairs.groupby(key, sort=False)["_day"].transform("min")
+        is_new = (pairs["_day"] == first).to_numpy()
+        g = pd.DataFrame({"day": pairs["_day"].to_numpy(), "_new": is_new})
+        out = (
+            g.groupby("day", sort=False)["_new"]
+            .agg(_n="sum", _tot="size")
+            .reset_index()
+        )
+        out["_n"] = out["_n"].astype(np.int64)
+        out["_r"] = (out["_tot"] - out["_n"]).astype(np.int64)
+        return out[["day", "_n", "_r"]]
+
+    def add_final_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey2", _stable_pkey(t["day"], final_partitions))
+
+    def final_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("day", sort=True)[["_n", "_r"]].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "day": out["day"].astype("datetime64[us]"),
+                "new_users": out["_n"].astype(np.int64),
+                "returning_users": out["_r"].astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            _pair_partial(key, ts_col, tier, num_partitions),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("_pkey")
+        .map_groups(per_key_partition, batch_format="pandas")
+        .map_batches(add_final_pkey, batch_format="pyarrow")
+        .groupby("_pkey2")
+        .map_groups(final_merge, batch_format="pandas")
+    )

@@ -86,3 +86,123 @@ def funnel(
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(funnel_partition, batch_format="pandas")
+
+
+def funnel_latency(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+    max_gap_us: int | None = None,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Time-to-convert distribution per consecutive funnel stage pair:
+    for keys that completed stage k, the latency ``ts_k − ts_{k−1}`` in
+    microseconds, aggregated to count, exact mean, and exact
+    ``quantile_disc`` quantiles.
+
+    Composes :func:`funnel` (per-key stage timestamps, already one
+    exchange) with a value-histogram reduce: per-batch
+    ``(pair, lat_us) → count`` combiner partials cross ONE tiny
+    stage-pair exchange (stages/quantile.py grouped_quantiles
+    discipline; a pair's distinct-latency histogram concentrates in one
+    partition — inherent to exact quantiles; the t-digest op is the
+    very-hot-pair fallback).
+
+    Output: one row per stage pair —
+    ``stage_from, stage_to, n_converted (int64), mean_s (float64),
+    q_<pct>_us (int64)…`` where ``mean_s`` is exact-integer-sum mean
+    latency in seconds.
+    """
+    qcols = [f"q_{int(q * 100)}_us" for q in quantiles]
+    per_key = funnel(
+        ds, key=key, ts_col=ts_col, type_col=type_col,
+        stages=stages, max_gap_us=max_gap_us,
+        num_partitions=num_partitions,
+    )
+    pair_from = stages[:-1]
+    pair_to = stages[1:]
+
+    def to_latencies(t: pa.Table) -> pa.Table:
+        frames = []
+        for a, b in zip(pair_from, pair_to):
+            ta = t[f"ts_{a}"].to_numpy(zero_copy_only=False)
+            tb = t[f"ts_{b}"].to_numpy(zero_copy_only=False)
+            ok = ~pd.isna(tb)
+            lat = (
+                tb[ok].astype("datetime64[us]").astype(np.int64)
+                - ta[ok].astype("datetime64[us]").astype(np.int64)
+            )
+            if len(lat):
+                g = pd.DataFrame({"lat_us": lat}).groupby("lat_us").size()
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "stage_from": a,
+                            "stage_to": b,
+                            "lat_us": g.index.to_numpy(),
+                            "_cnt": g.to_numpy().astype(np.int64),
+                        }
+                    )
+                )
+        if not frames:
+            return pa.table(
+                {
+                    "stage_from": pa.array([], pa.string()),
+                    "stage_to": pa.array([], pa.string()),
+                    "lat_us": pa.array([], pa.int64()),
+                    "_cnt": pa.array([], pa.int64()),
+                    "_pkey": pa.array([], pa.int64()),
+                }
+            )
+        out = pa.Table.from_pandas(pd.concat(frames), preserve_index=False)
+        return out.append_column("_pkey", _stable_pkey(out["stage_from"], 8))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            df.groupby(["stage_from", "stage_to", "lat_us"], sort=True)["_cnt"]
+            .sum()
+            .reset_index()
+        )
+        keys = ["stage_from", "stage_to"]
+        h["_cum"] = h.groupby(keys, sort=False)["_cnt"].cumsum()
+        tot = h.groupby(keys, sort=False)["_cnt"].sum().rename("_n")
+        # exact integer sum -> one double division == DuckDB avg(BIGINT)
+        ssum = (
+            (h["lat_us"] * h["_cnt"]).groupby(
+                [h["stage_from"], h["stage_to"]], sort=False
+            ).sum().rename("_s")
+        )
+        out = h[keys].drop_duplicates().reset_index(drop=True)
+        out = out.merge(tot, left_on=keys, right_index=True)
+        out = out.merge(ssum, left_on=keys, right_index=True)
+        h = h.merge(tot, left_on=keys, right_index=True)
+        res = pd.DataFrame(
+            {
+                "stage_from": out["stage_from"],
+                "stage_to": out["stage_to"],
+                "n_converted": out["_n"].astype(np.int64),
+                "mean_s": (out["_s"].astype(np.float64) / out["_n"].to_numpy())
+                / 1e6,
+            }
+        )
+        for q, col in zip(quantiles, qcols):
+            # quantile_disc: element at sorted 0-based index ceil(n*q)-1
+            # (stages/quantile.py parity, probed against DuckDB)
+            target = np.maximum(np.ceil(h["_n"] * q), 1)
+            hit = h[h["_cum"] >= target]
+            picked = hit.groupby(keys, sort=False)["lat_us"].first().rename(col)
+            res = res.merge(
+                picked.reset_index(), on=keys, how="left"
+            )
+            res[col] = res[col].astype(np.int64)
+        return res
+
+    return (
+        per_key.map_batches(to_latencies, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
+    )
