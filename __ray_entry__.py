@@ -2462,6 +2462,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             stages=["view", "click", "purchase"],
         ).sort("stage_from"))
 
+    def q_events_anova_f(sf):
+        """One-way ANOVA F / eta-squared of value across event types
+        (stages/robust.anova_oneway)."""
+        from s_tsfe_dl_ray.stages.robust import anova_oneway
+
+        ds = read_events(sf, columns=["event_type", "value"])
+        return _round_floats(anova_oneway(
+            ds, group_col="event_type", value_col="value"))
+
+    def q_transcripts_prompt_ols(sf):
+        """Corpus OLS of assistant reply token length on the adjacent
+        preceding user turn's token length — exact int64 moment sums
+        (stages/dialog.prompt_response_ols)."""
+        from s_tsfe_dl_ray.sources.parquet import read_transcripts
+        from s_tsfe_dl_ray.stages.dialog import prompt_response_ols
+
+        ds = read_transcripts(
+            _transcripts_for(sf),
+            columns=["conv_id", "turn_idx", "role", "text"])
+        return _round_floats(prompt_response_ols(ds))
+
+    def q_events_wau_hll(sf):
+        """Approximate trailing-7-day active users via HLL pane
+        composition — the long-window scale path for active_users
+        (stages/activity.active_users_approx).  Rows-only: sketch
+        estimates have no SQL twin; tests/test_activity.py pins the
+        error envelope against the exact op."""
+        from s_tsfe_dl_ray.stages.activity import active_users_approx
+
+        ds = read_events(sf, columns=["user_id", "ts"])
+        return active_users_approx(ds).sort("day")
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2689,6 +2721,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_active_users": q_events_active_users,
         "events_new_returning": q_events_new_returning,
         "events_funnel_latency": q_events_funnel_latency,
+        "events_anova_f": q_events_anova_f,
+        "transcripts_prompt_ols": q_transcripts_prompt_ols,
+        "events_wau_hll": q_events_wau_hll,
     }
 
 
@@ -5399,5 +5434,52 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(lat_us, 0.5) AS q_50_us,
                    quantile_disc(lat_us, 0.9) AS q_90_us
             FROM lat GROUP BY 1, 2 ORDER BY 1
+        """,
+        # identical sufficient-statistics algebra both sides:
+        # SSB = Σ S_g²/n_g − S²/N, SSW = ΣΣx² − Σ S_g²/n_g
+        "events_anova_f": """
+            WITH g AS (
+              SELECT event_type, count(*)::DOUBLE AS n,
+                     sum(value) AS s, sum(value * value) AS ss
+              FROM events GROUP BY 1
+            ), t AS (
+              SELECT sum(n) AS n, count(*)::DOUBLE AS k, sum(s) AS s,
+                     sum(ss) AS ss, sum(s * s / n) AS sgs
+              FROM g
+            )
+            SELECT n::BIGINT AS n_rows, k::BIGINT AS k_groups,
+                   round(((sgs - s * s / n) / (k - 1))
+                         / ((ss - sgs) / (n - k)), 6) AS f_stat,
+                   round((sgs - s * s / n)
+                         / ((sgs - s * s / n) + (ss - sgs)), 6) AS eta_sq
+            FROM t
+        """,
+        # x/y are int64 token counts -> the moment sums are EXACT on
+        # both sides; the fit expressions below mirror the engine's
+        # (stages/dialog.prompt_response_ols) term for term
+        "transcripts_prompt_ols": f"""
+            WITH tl AS (
+              SELECT conv_id, turn_idx, role, ({TOKLEN})::BIGINT AS ntok
+              FROM {T}
+            ), p AS (
+              SELECT a.ntok AS x, b.ntok AS y
+              FROM tl a JOIN tl b
+                ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+              WHERE a.role = 'user' AND b.role = 'assistant'
+            ), m AS (
+              SELECT count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx,
+                     sum(y)::DOUBLE AS sy, sum(x * x)::DOUBLE AS sxx,
+                     sum(x * y)::DOUBLE AS sxy, sum(y * y)::DOUBLE AS syy
+              FROM p
+            )
+            SELECT n::BIGINT AS n_pairs,
+                   round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+                     AS slope,
+                   round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                          * sx) / n, 6) AS intercept,
+                   round((sxy - sx * sy / n)
+                         / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+                         6) AS corr_xy
+            FROM m
         """,
     }

@@ -186,3 +186,91 @@ def new_vs_returning(
         .groupby("_pkey2")
         .map_groups(final_merge, batch_format="pandas")
     )
+
+
+def active_users_approx(
+    ds: Dataset,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    tier: str = "1d",
+    window: int = 7,
+    p: int = 12,
+    num_partitions: int = 16,
+    out_col: str = "wau_approx",
+) -> Dataset:
+    """HyperLogLog trailing-``window`` active users — the scale path for
+    long windows where :func:`active_users`'s pair expansion (×window on
+    the distinct (key, day) PAIRS) gets expensive.
+
+    HLL registers merge by ``max`` (associative), so the trailing-window
+    union IS pane composition: each day-pane's ``(bucket, rho)``
+    register rows are replicated to the ``window`` target days they stay
+    visible for — O(days × 2^p × window) tiny int rows, INDEPENDENT of
+    user count — then one day-hash exchange and a vectorized max-merge +
+    estimate per target day.  Relative error ≈ 1.04/sqrt(2^p) (~1.6% at
+    p=12).  Only observed days (one with ≥1 event) are reported.
+
+    Output: ``day (timestamp[us]), <out_col> (int64)``.
+    """
+    from .distinct import _hll_rho
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    day_us = TIER_US[tier]
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (
+            window_start_us(t[ts_col], tier)
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        bucket, rho = _hll_rho(t[key], p)
+        base = pa.table({"_day": day, "_bucket": bucket, "_rho": rho})
+        regs = base.group_by(["_day", "_bucket"], use_threads=False).aggregate(
+            [("_rho", "max")]
+        ).rename_columns(["_day", "_bucket", "_rho"])
+        d = regs["_day"].to_numpy()
+        b = regs["_bucket"].to_numpy()
+        r = regs["_rho"].to_numpy()
+        w = np.arange(window, dtype=np.int64)
+        tgt = (d[:, None] + w * day_us).ravel()
+        obs = np.zeros((len(d), window), dtype=np.int64)
+        obs[:, 0] = 1  # offset-0 rows mark the day as actually observed
+        out = pa.table({
+            "_t": pa.array(tgt),
+            "_bucket": pa.array(np.repeat(b, window)),
+            "_rho": pa.array(np.repeat(r, window)),
+            "_obs": pa.array(obs.ravel()),
+        })
+        return out.append_column("_pkey", _stable_pkey(out["_t"], num_partitions))
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        regs = (
+            df.groupby(["_t", "_bucket"], sort=True)
+            .agg(_rho=("_rho", "max"), _obs=("_obs", "max"))
+            .reset_index()
+        )
+        g = regs.groupby("_t", sort=True)
+        inv = g["_rho"].apply(
+            lambda r: np.sum(np.exp2(-r.to_numpy(dtype=np.float64))))
+        nonzero = g.size()
+        observed = g["_obs"].max() > 0
+        z = (m - nonzero).astype(np.float64)
+        est = alpha * m * m / (z + inv)
+        lc = m * np.log(m / z.where(z > 0, np.nan))
+        est = est.where(~((est <= 2.5 * m) & (z > 0)), lc)
+        est = est[observed]
+        return pd.DataFrame({
+            "day": est.index.to_numpy().astype("datetime64[us]"),
+            out_col: np.rint(est.to_numpy()).astype(np.int64),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(estimate, batch_format="pandas")
+    )

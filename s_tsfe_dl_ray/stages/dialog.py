@@ -570,3 +570,100 @@ def context_budget(
     return grouped_apply(narrow, keys=[conv_col], fn=part,
                          num_partitions=num_partitions,
                          whole_partition=True)
+
+
+def prompt_response_ols(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Does a longer prompt buy a longer response?  Corpus-level OLS of
+    the assistant reply's token length on the IMMEDIATELY preceding user
+    turn's token length (adjacent ``turn_idx`` within a conversation) —
+    the dialog sibling of the per-key trend fit
+    (stages/trend.grouped_linear_trend), with the same moment-sum
+    algebra.
+
+    Token counts (single-space split, '' → 0) are derived per batch so
+    text never crosses the shuffle; adjacent-pair matching happens
+    inside each conv partition (vectorized shift compare, no per-conv
+    loop); the moment partials (n, Σx, Σy, Σx², Σxy, Σy²) are EXACT
+    int64 sums, so the final single-row merge and the SQL twin compute
+    bit-identical doubles from identical integers.
+
+    Output: one row — ``n_pairs (int64), slope, intercept, corr_xy``
+    (NULL fit when degenerate).
+    """
+    import pyarrow.compute as pc
+
+    from .grouped import grouped_apply
+
+    def derive(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        spaces = pc.count_substring(txt, " ")
+        ntok = pc.if_else(pc.equal(txt, ""), pa.scalar(0, pa.int64()),
+                          pc.add(pc.cast(spaces, pa.int64()),
+                                 pa.scalar(1, pa.int64())))
+        return pa.table({conv_col: t[conv_col], order_col: t[order_col],
+                         role_col: t[role_col], "_ntok": ntok})
+
+    narrow = ds.map_batches(derive, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ["_n", "_sx", "_sy", "_sxx",
+                                           "_sxy", "_syy"]})
+        df = df.sort_values([conv_col, order_col], kind="mergesort")
+        conv = df[conv_col].to_numpy()
+        idx = df[order_col].to_numpy().astype(np.int64)
+        role = df[role_col].to_numpy()
+        ntok = df["_ntok"].to_numpy().astype(np.int64)
+        ok = (
+            (conv[:-1] == conv[1:])
+            & (idx[1:] == idx[:-1] + 1)
+            & (role[:-1] == prompt_role)
+            & (role[1:] == response_role)
+        )
+        x = ntok[:-1][ok]
+        y = ntok[1:][ok]
+        return pd.DataFrame({
+            "_n": pd.Series([len(x)], dtype="int64"),
+            "_sx": pd.Series([int(x.sum())], dtype="int64"),
+            "_sy": pd.Series([int(y.sum())], dtype="int64"),
+            "_sxx": pd.Series([int((x * x).sum())], dtype="int64"),
+            "_sxy": pd.Series([int((x * y).sum())], dtype="int64"),
+            "_syy": pd.Series([int((y * y).sum())], dtype="int64"),
+        })
+
+    partials = grouped_apply(narrow, keys=[conv_col], fn=part,
+                             num_partitions=num_partitions,
+                             whole_partition=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        n = float(df["_n"].sum())
+        sx, sy = float(df["_sx"].sum()), float(df["_sy"].sum())
+        sxx = float(df["_sxx"].sum())
+        sxy = float(df["_sxy"].sum())
+        syy = float(df["_syy"].sum())
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cov = sxy - sx * sy / n
+            varx = sxx - sx * sx / n
+            vary = syy - sy * sy / n
+            slope = cov / varx if varx > 0 else np.nan
+            intercept = (sy - slope * sx) / n if varx > 0 else np.nan
+            corr = cov / np.sqrt(varx * vary) if varx > 0 and vary > 0 else np.nan
+        return pd.DataFrame({
+            "n_pairs": pd.Series([int(n)], dtype="int64"),
+            "slope": [slope], "intercept": [intercept], "corr_xy": [corr],
+        })
+
+    return partials.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

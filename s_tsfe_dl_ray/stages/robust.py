@@ -548,3 +548,63 @@ def kendall_tau(
 
     return grouped_apply(ds, keys=[key], fn=tau_partition,
                          num_partitions=num_partitions, whole_partition=True)
+
+
+def anova_oneway(
+    ds: Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+) -> Dataset:
+    """One-way ANOVA of ``value_col`` across ``group_col`` levels: does
+    the metric's mean differ between groups more than within-group
+    variance explains?  The k-sample extension of the engine's
+    two-sample tests (:func:`mann_whitney_u`, :func:`ks_test`) and the
+    continuous-response dual of the chi-square independence test
+    (stages/distinct.chi2_independence) — reference analog: the
+    per-class response-separation checks behind the reference's label
+    remapping decisions (/root/reference/TSFEDL/data.py:99-154).
+
+    Classic sufficient-statistics decomposition — per-batch
+    ``(group, n, Σx, Σx²)`` partials (one pyarrow group_by each), then
+    ONE tiny k-row final merge:
+    ``SSB = Σ_g S_g²/n_g − S²/N``, ``SSW = ΣΣx² − Σ_g S_g²/n_g``,
+    ``F = (SSB/(k−1)) / (SSW/(N−k))``, ``eta² = SSB/(SSB+SSW)``.
+    The identical algebra runs in the SQL twin so both sides agree to
+    float rounding.  Output: one row —
+    ``n_rows, k_groups, f_stat, eta_sq`` (NULL F when dof degenerate).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[value_col], pa.float64())
+        base = pa.table({group_col: t[group_col], "_x": x,
+                         "_xx": pc.multiply(x, x)})
+        out = base.group_by([group_col], use_threads=False).aggregate(
+            [("_x", "count"), ("_x", "sum"), ("_xx", "sum")]
+        )
+        return out.rename_columns([group_col, "_n", "_s", "_ss"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, sort=False)[["_n", "_s", "_ss"]].sum()
+        n = float(g["_n"].sum())
+        k = len(g)
+        s = g["_s"].sum()
+        ss = g["_ss"].sum()
+        sgs = (g["_s"] * g["_s"] / g["_n"].astype(np.float64)).sum()
+        ssb = sgs - s * s / n
+        ssw = ss - sgs
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f = (ssb / (k - 1)) / (ssw / (n - k)) if k > 1 and n > k else np.nan
+            eta = ssb / (ssb + ssw)
+        return pd.DataFrame({
+            "n_rows": pd.Series([int(n)], dtype="int64"),
+            "k_groups": pd.Series([k], dtype="int64"),
+            "f_stat": [f if np.isfinite(f) else np.nan],
+            "eta_sq": [eta if np.isfinite(eta) else np.nan],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

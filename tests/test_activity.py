@@ -77,3 +77,19 @@ def test_funnel_latency_matches_per_key_funnel():
         s = np.sort(lat_us)
         assert row["q_50_us"] == s[max(int(np.ceil(len(s) * 0.5)), 1) - 1]
         assert row["q_90_us"] == s[max(int(np.ceil(len(s) * 0.9)), 1) - 1]
+
+
+def test_wau_hll_error_envelope():
+    from s_tsfe_dl_ray.stages.activity import active_users_approx
+
+    t = _events(seed=23, n=20000, users=900, days=25)
+    ds = ray.data.from_arrow(t)
+    exact = active_users(ds, window=7).to_pandas().set_index("day")["wau"]
+    approx = (
+        active_users_approx(ray.data.from_arrow(t), window=7, p=12)
+        .to_pandas().set_index("day")["wau_approx"]
+    )
+    assert set(exact.index) == set(approx.index)
+    rel = (approx - exact).abs() / exact
+    # 1.04/sqrt(4096) ~ 1.6%; allow 4 sigma
+    assert rel.max() < 0.065, rel.sort_values().tail()
