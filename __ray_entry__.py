@@ -2494,6 +2494,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_events(sf, columns=["user_id", "ts"])
         return active_users_approx(ds).sort("day")
 
+    def q_tpch_integrity_audit(sf):
+        """Referential-integrity audit across the star schema's seven
+        FK→PK relationships: child rows / distinct keys / orphan rows /
+        orphan keys per edge (stages/join.referential_orphans)."""
+        from s_tsfe_dl_ray.stages.join import referential_orphans
+
+        rels = [
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem", "l_partkey", "part", "p_partkey"),
+            ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+            ("supplier", "s_nationkey", "nation", "n_nationkey"),
+            ("nation", "n_regionkey", "region", "r_regionkey"),
+        ]
+        out = None
+        for ctab, fk, ptab, pk in rels:
+            child = read_table(f"{sf}/{ctab}.parquet", columns=[fk])
+            parent = read_table(f"{sf}/{ptab}.parquet", columns=[pk])
+            one = referential_orphans(
+                child, parent, fk=fk, pk=pk,
+                relationship=f"{ctab}.{fk}->{ptab}.{pk}")
+            out = one if out is None else out.union(one)
+        return out.sort("relationship")
+
+    def q_events_type_cond_entropy(sf):
+        """Conditional next-type entropy H(next|from) in bits per source
+        event type — predictability of the per-user event-type Markov
+        chain (stages/dialog.transition_entropy)."""
+        from s_tsfe_dl_ray.stages.dialog import transition_entropy
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+        return _round_floats(transition_entropy(
+            ds, conv_col="user_id", role_col="event_type",
+            order_by=["ts", "event_id"]))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2724,6 +2761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anova_f": q_events_anova_f,
         "transcripts_prompt_ols": q_transcripts_prompt_ols,
         "events_wau_hll": q_events_wau_hll,
+        "tpch_integrity_audit": q_tpch_integrity_audit,
+        "events_type_cond_entropy": q_events_type_cond_entropy,
     }
 
 
@@ -2737,6 +2776,27 @@ def oracle_sql() -> dict[str, str]:
     # token_len fast path: texts are single-space-normalized, so token
     # count == count(' ')+1 (0 for empty) — functions/derive.py:token_count
     TOKLEN = "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
+
+    _REL_EDGES = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    INTEGRITY_SQL = "\nUNION ALL\n".join(
+        f"""SELECT '{c}.{fk}->{p}.{pk}' AS relationship,
+               count(*)::BIGINT AS n_child_rows,
+               count(DISTINCT c.{fk})::BIGINT AS n_distinct_fk,
+               (count(*) FILTER (WHERE p.{pk} IS NULL))::BIGINT
+                 AS n_orphan_rows,
+               (count(DISTINCT c.{fk}) FILTER (WHERE p.{pk} IS NULL))::BIGINT
+                 AS n_orphan_keys
+            FROM {c} c LEFT JOIN {p} p ON c.{fk} = p.{pk}"""
+        for c, fk, p, pk in _REL_EDGES
+    ) + "\nORDER BY relationship"
     def rollup(trunc: str) -> str:
         return f"""
         SELECT user_id,
@@ -5481,5 +5541,25 @@ def oracle_sql() -> dict[str, str]:
                          / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
                          6) AS corr_xy
             FROM m
+        """,
+        "tpch_integrity_audit": INTEGRITY_SQL,
+        # p(j|i) from exact integer transition counts; log2 both sides
+        "events_type_cond_entropy": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS nxt
+              FROM events
+            ), g AS (
+              SELECT event_type AS role_from, nxt,
+                     count(*)::BIGINT AS n
+              FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+            ), t AS (
+              SELECT role_from, n,
+                     n::DOUBLE / sum(n) OVER (PARTITION BY role_from) AS p
+              FROM g)
+            SELECT role_from, sum(n)::BIGINT AS n_from,
+                   round(sum(-p * log2(p)), 6) AS h_bits
+            FROM t GROUP BY 1 ORDER BY 1
         """,
     }

@@ -667,3 +667,47 @@ def prompt_response_ols(
 
     return partials.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def transition_entropy(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    order_by: list[str] | None = None,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Conditional next-state entropy of the stream's Markov structure:
+    for each ``role_from``, ``H(next | from) = −Σ_j p(j|from)·log2
+    p(j|from)`` over the transition matrix — 0 bits = the next state is
+    fully determined, log2(k) bits = uniformly unpredictable.  The
+    summary scalar on top of :func:`role_transitions` (predictability of
+    a dialog's turn structure / an event stream's type sequence).
+
+    Same scale shape as the matrix op it composes: per-conv partials,
+    |roles|²-row fold; the entropy fold is a tiny single-partition pass
+    over EXACT integer counts, so the SQL twin reproduces the floats
+    term for term.  Output: ``role_from, n_from (int64),
+    h_bits (float64)``, one row per observed source state.
+    """
+    mat = role_transitions(
+        ds, conv_col=conv_col, order_col=order_col, role_col=role_col,
+        order_by=order_by, num_partitions=num_partitions,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_transitions"].to_numpy(dtype=np.float64)
+        tot = df.groupby("role_from")["n_transitions"].transform("sum") \
+                .to_numpy(dtype=np.float64)
+        p = n / tot
+        term = -p * np.log2(p)
+        out = pd.DataFrame({"role_from": df["role_from"], "_t": term,
+                            "_n": df["n_transitions"]})
+        g = out.groupby("role_from", sort=True).agg(
+            n_from=("_n", "sum"), h_bits=("_t", "sum")).reset_index()
+        g["n_from"] = g["n_from"].astype(np.int64)
+        return g
+
+    return mat.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

@@ -375,3 +375,86 @@ def snapshot_diff(
         return out.reset_index(drop=True)
 
     return tagged.groupby("_pkey").map_groups(diff_partition, batch_format="pandas")
+
+
+def referential_orphans(
+    child: Dataset,
+    parent: Dataset,
+    *,
+    fk: str,
+    pk: str,
+    relationship: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Referential-integrity audit for one FK → PK relationship: how
+    many child ROWS (and distinct keys) reference a parent key that does
+    not exist.  The data-quality composition of the anti-join
+    (:func:`semi_anti_join`) — but counting, so nothing but
+    ``(key, partial count)`` rows ever cross the exchange from the child
+    side and ``(key)`` rows from the parent side (both pre-deduped per
+    batch by a pyarrow group_by combiner).
+
+    Output: one row — ``relationship (string), n_child_rows (int64),
+    n_distinct_fk (int64), n_orphan_rows (int64), n_orphan_keys
+    (int64)``.  Reference analog: the label↔segment consistency check
+    the reference runs when pairing annotation streams with signal
+    windows (/root/reference/TSFEDL/data.py:99-154).
+    """
+    import numpy as np
+
+    def child_partial(t: pa.Table) -> pa.Table:
+        out = (
+            t.select([fk])
+            .group_by([fk], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["_k", "_n"])
+        )
+        out = out.append_column("_side", pa.array(
+            np.zeros(out.num_rows, dtype=np.int8)))
+        return out.append_column("_pkey", _stable_pkey(out["_k"], num_partitions))
+
+    def parent_partial(t: pa.Table) -> pa.Table:
+        out = (
+            t.select([pk])
+            .group_by([pk], use_threads=False)
+            .aggregate([])
+            .rename_columns(["_k"])
+        )
+        out = out.append_column("_n", pa.array(
+            np.zeros(out.num_rows, dtype=np.int64)))
+        out = out.append_column("_side", pa.array(
+            np.ones(out.num_rows, dtype=np.int8)))
+        return out.append_column("_pkey", _stable_pkey(out["_k"], num_partitions))
+
+    both = child.map_batches(
+        child_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(parent.map_batches(
+        parent_partial, batch_format="pyarrow", zero_copy_batch=True))
+
+    def audit_partition(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_k", sort=False).agg(
+            _rows=("_n", "sum"), _par=("_side", "max"))
+        is_child = g["_rows"] > 0
+        orphan = is_child & (g["_par"] == 0)
+        return pd.DataFrame({
+            "_cr": pd.Series([int(g["_rows"].sum())], dtype="int64"),
+            "_ck": pd.Series([int(is_child.sum())], dtype="int64"),
+            "_or": pd.Series([int(g["_rows"][orphan].sum())], dtype="int64"),
+            "_ok": pd.Series([int(orphan.sum())], dtype="int64"),
+        })
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "relationship": [relationship],
+            "n_child_rows": pd.Series([df["_cr"].sum()], dtype="int64"),
+            "n_distinct_fk": pd.Series([df["_ck"].sum()], dtype="int64"),
+            "n_orphan_rows": pd.Series([df["_or"].sum()], dtype="int64"),
+            "n_orphan_keys": pd.Series([df["_ok"].sum()], dtype="int64"),
+        })
+
+    return (
+        both.groupby("_pkey")
+        .map_groups(audit_partition, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

@@ -198,3 +198,22 @@ def test_snapshot_diff_classification():
     # 4 changed; 5 added
     assert out.index.tolist() == [1, 4, 5]
     assert out.change.tolist() == ["removed", "changed", "added"]
+
+
+def test_referential_orphans_planted():
+    import pyarrow as pa
+    import ray
+    from s_tsfe_dl_ray.stages.join import referential_orphans
+
+    child = ray.data.from_arrow(pa.table({"fk": [1, 1, 2, 3, 9, 9, 9, 7]}))
+    parent = ray.data.from_arrow(pa.table({"pk": [1, 2, 3, 4]}))
+    out = referential_orphans(
+        child, parent, fk="fk", pk="pk", relationship="c.fk->p.pk"
+    ).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["relationship"] == "c.fk->p.pk"
+    assert row["n_child_rows"] == 8
+    assert row["n_distinct_fk"] == 5
+    assert row["n_orphan_rows"] == 4   # three 9s + one 7
+    assert row["n_orphan_keys"] == 2   # {9, 7}
