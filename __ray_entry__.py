@@ -2531,6 +2531,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, conv_col="user_id", role_col="event_type",
             order_by=["ts", "event_id"]))
 
+    def q_orders_lineitem_join_salted(sf):
+        """The orders ⋈ lineitem revenue rollup routed through the
+        skew-aware salted join (stages/join.salted_join): identical
+        result to the plain hash join — salting only changes routing —
+        so it shares the plain join's oracle."""
+        import ray.data
+
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+        from s_tsfe_dl_ray.stages.join import salted_join
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+        )
+        lineitem = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"]
+        )
+        joined = salted_join(
+            lineitem, orders, left_on="l_orderkey", right_on="o_orderkey",
+            hot_keys=[1, 7, 13, 32, 33], salt=4)
+
+        def rev_i(t: pa.Table) -> pa.Table:
+            price_i = pc.cast(pc.round(pc.multiply(
+                t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+            disc_i = pc.cast(pc.round(pc.multiply(
+                t["l_discount"], pa.scalar(100.0))), pa.int64())
+            return t.append_column(
+                "revenue_i", pc.multiply(
+                    price_i, pc.subtract(pa.scalar(100, pa.int64()), disc_i)))
+
+        joined = joined.map_batches(rev_i, batch_format="pyarrow")
+        agg = grouped_aggregate(
+            joined, keys=["o_orderstatus"],
+            aggs={"n_items": ("revenue_i", "count"),
+                  "revenue_sum_i": ("revenue_i", "sum")},
+        )
+
+        def fin(t: pa.Table) -> pa.Table:
+            s = pc.divide(pc.cast(t["revenue_sum_i"], pa.float64()),
+                          pa.scalar(10_000.0))
+            return pa.table({
+                "o_orderstatus": t["o_orderstatus"],
+                "n_items": t["n_items"],
+                "revenue_sum": s,
+                "revenue_mean": pc.divide(
+                    s, pc.cast(t["n_items"], pa.float64())),
+            })
+
+        return _round_floats(agg.map_batches(fin, batch_format="pyarrow"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2763,6 +2813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_wau_hll": q_events_wau_hll,
         "tpch_integrity_audit": q_tpch_integrity_audit,
         "events_type_cond_entropy": q_events_type_cond_entropy,
+        "orders_lineitem_join_salted": q_orders_lineitem_join_salted,
     }
 
 
@@ -5544,6 +5595,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_integrity_audit": INTEGRITY_SQL,
         # p(j|i) from exact integer transition counts; log2 both sides
+        "orders_lineitem_join_salted": """
+            SELECT o.o_orderstatus,
+                   count(*) AS n_items,
+                   round(sum(l.l_extendedprice::DECIMAL(18,2) * (1 - l.l_discount::DECIMAL(18,2)))::DOUBLE, 6) AS revenue_sum,
+                   round(sum(l.l_extendedprice::DECIMAL(18,2) * (1 - l.l_discount::DECIMAL(18,2)))::DOUBLE / count(*), 6) AS revenue_mean
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1
+        """,
         "events_type_cond_entropy": """
             WITH o AS (
               SELECT user_id, event_type,

@@ -458,3 +458,81 @@ def referential_orphans(
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def salted_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    hot_keys: list,
+    salt: int = 8,
+    how: str = "inner",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Skew-aware :func:`hash_join`: keys in ``hot_keys`` are spread
+    across ``salt`` sub-partitions instead of concentrating on one
+    worker — the standard mega-key mitigation for joins, sibling of the
+    ordered-scan salting in stages/salted.py.
+
+    Mechanics: big-side rows of a hot key get a round-robin salt
+    (routing only — the result set is salt-invariant); small-side rows
+    of a hot key are REPLICATED to every salt, so each (key, salt)
+    sub-partition is self-sufficient.  Both sides then join on an
+    exact composite string key ``key '#' salt`` through the plain
+    hash_join machinery — no new join code path to trust.  ``hot_keys``
+    comes from the caller (profile with stages/distinct.heavy_hitters
+    or the key-skew profiler); replication costs ×salt on the hot
+    small-side rows only.
+
+    ``how``: inner | left.  A FULL outer join is deliberately
+    unsupported: a replicated small-side row that matches nothing
+    would surface ``salt`` orphan copies.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left' only")
+    if salt < 2:
+        raise ValueError("salt must be >= 2")
+    hot = list(set(hot_keys))
+    if not hot:
+        raise ValueError("hot_keys must be non-empty (use hash_join)")
+
+    def _composite(keys: pa.ChunkedArray, salts: np.ndarray) -> pa.Array:
+        ks = pc.cast(keys, pa.string())
+        ss = pa.array(salts.astype("U"), pa.string())
+        return pc.binary_join_element_wise(ks, ss, "#")
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        k = t[left_on].to_numpy(zero_copy_only=False)
+        is_hot = np.isin(k, hot)
+        s = np.zeros(t.num_rows, dtype=np.int64)
+        s[is_hot] = np.arange(int(is_hot.sum()), dtype=np.int64) % salt
+        return t.append_column("_slk", _composite(t[left_on], s))
+
+    def expand_right(t: pa.Table) -> pa.Table:
+        k = t[right_on].to_numpy(zero_copy_only=False)
+        is_hot = np.isin(k, hot)
+        cold = t.filter(pa.array(~is_hot))
+        cold = cold.append_column(
+            "_srk", _composite(cold[right_on],
+                               np.zeros(cold.num_rows, dtype=np.int64)))
+        hot_t = t.filter(pa.array(is_hot))
+        if hot_t.num_rows == 0:
+            return cold
+        idx = np.repeat(np.arange(hot_t.num_rows), salt)
+        rep = hot_t.take(pa.array(idx))
+        salts = np.tile(np.arange(salt, dtype=np.int64), hot_t.num_rows)
+        rep = rep.append_column("_srk", _composite(rep[right_on], salts))
+        return pa.concat_tables([cold, rep])
+
+    l2 = left.map_batches(tag_left, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    r2 = right.map_batches(expand_right, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    joined = hash_join(l2, r2, left_on="_slk", right_on="_srk",
+                       how=how, num_partitions=num_partitions)
+    return joined.drop_columns(["_slk", "_srk"])

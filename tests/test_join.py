@@ -217,3 +217,31 @@ def test_referential_orphans_planted():
     assert row["n_distinct_fk"] == 5
     assert row["n_orphan_rows"] == 4   # three 9s + one 7
     assert row["n_orphan_keys"] == 2   # {9, 7}
+
+
+def test_salted_join_matches_hash_join_on_skew():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from s_tsfe_dl_ray.stages.join import hash_join, salted_join
+
+    rng = np.random.default_rng(5)
+    # 80% of left rows hit two mega keys
+    k = np.where(rng.random(5000) < 0.8,
+                 rng.choice([7, 13], 5000),
+                 rng.integers(100, 400, 5000))
+    left = pa.table({"k": k, "lv": rng.integers(0, 1000, 5000)})
+    rk = np.concatenate([np.array([7, 13]), np.arange(100, 350)])
+    right = pa.table({"rk": rk,
+                      "rv": rng.integers(0, 1000, len(rk))})
+    for how in ("inner", "left"):
+        a = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                      left_on="k", right_on="rk", how=how).to_pandas()
+        b = salted_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                        left_on="k", right_on="rk", hot_keys=[7, 13],
+                        salt=4, how=how).to_pandas()
+        cols = sorted(a.columns)
+        assert cols == sorted(b.columns)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b), how
