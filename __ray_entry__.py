@@ -2581,6 +2581,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _round_floats(agg.map_batches(fin, batch_format="pyarrow"))
 
+    def q_transcripts_latency_by_hour(sf):
+        """Reply-latency SLA profile by prompt hour-of-day: count, exact
+        mean, exact discrete p50/p95 (stages/dialog.reply_latency_by_hour)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import reply_latency_by_hour
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "ts", "role"])
+        return _round_floats(reply_latency_by_hour(
+            turns, order_by=["ts", "turn_idx"]).sort("hour"))
+
+    def q_emb_norm_stats(sf):
+        """Per-label L2-norm profile of the embedding store
+        (stages/similarity.norm_stats)."""
+        from s_tsfe_dl_ray.stages.similarity import norm_stats
+
+        emb = read_table(f"{sf}/embeddings.parquet",
+                         columns=["label", "embedding"])
+        return _round_floats(norm_stats(emb).sort("label"))
+
+    def q_emb_kmeans_silhouette(sf):
+        """Per-cluster simplified silhouette of the Lloyd k-means fit
+        (stages/similarity.kmeans_silhouette).  Rows-only: iterative
+        fit has no SQL twin; tests/test_similarity.py pins planted
+        recovery."""
+        from s_tsfe_dl_ray.stages.similarity import kmeans_silhouette
+
+        emb = read_table(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+        return _round_floats(kmeans_silhouette(emb, n_clusters=8)
+                             .sort("cluster"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2814,6 +2846,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_integrity_audit": q_tpch_integrity_audit,
         "events_type_cond_entropy": q_events_type_cond_entropy,
         "orders_lineitem_join_salted": q_orders_lineitem_join_salted,
+        "transcripts_latency_by_hour": q_transcripts_latency_by_hour,
+        "emb_norm_stats": q_emb_norm_stats,
+        "emb_kmeans_silhouette": q_emb_kmeans_silhouette,
     }
 
 
@@ -5620,5 +5655,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT role_from, sum(n)::BIGINT AS n_from,
                    round(sum(-p * log2(p)), 6) AS h_bits
             FROM t GROUP BY 1 ORDER BY 1
+        """,
+        # same suffix-min pair derivation as transcripts_reply_latency;
+        # avg(BIGINT µs) is exact, quantile_disc == ceil(n·q)-1 parity,
+        # date_diff avoids epoch() float cancellation
+        "transcripts_latency_by_hour": f"""
+            WITH nx AS (
+              SELECT conv_id, ts, role,
+                     min(CASE WHEN role = 'assistant' THEN ts END) OVER (
+                       PARTITION BY conv_id ORDER BY ts, turn_idx
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS nxt
+              FROM {T}
+            ), lat AS (
+              SELECT extract(hour FROM ts)::BIGINT AS hour,
+                     date_diff('microsecond', ts, nxt) AS lat_us
+              FROM nx WHERE role = 'user' AND nxt IS NOT NULL
+            )
+            SELECT hour, count(*)::BIGINT AS n_replies,
+                   round(avg(lat_us) / 1e6, 6) AS mean_s,
+                   quantile_disc(lat_us, 0.5) AS p50_us,
+                   quantile_disc(lat_us, 0.95) AS p95_us
+            FROM lat GROUP BY 1 ORDER BY 1
+        """,
+        # per-vector norm = sqrt of the in-order 64-dim square sum ==
+        # the engine's numpy sequential axis-1 sum (< pairwise block)
+        "emb_norm_stats": """
+            WITH u AS (
+              SELECT vec_id, label, sum(x * x) AS nsq
+              FROM (SELECT vec_id, label,
+                           unnest(embedding)::DOUBLE AS x
+                    FROM embeddings)
+              GROUP BY 1, 2
+            ), n AS (SELECT label, sqrt(nsq) AS nrm FROM u)
+            SELECT label, count(*)::BIGINT AS n_vecs,
+                   round(avg(nrm), 6) AS norm_mean,
+                   round(min(nrm), 6) AS norm_min,
+                   round(max(nrm), 6) AS norm_max
+            FROM n GROUP BY 1 ORDER BY 1
         """,
     }

@@ -711,3 +711,118 @@ def transition_entropy(
 
     return mat.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def reply_latency_by_hour(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_by: list[str] | None = None,
+    role_col: str = "role",
+    from_role: str = "user",
+    to_role: str = "assistant",
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+    num_partitions: int = 8,
+) -> Dataset:
+    """Reply-latency SLA profile by hour of day (UTC): for every
+    ``from_role`` turn with a later ``to_role`` turn in its
+    conversation, bucket the latency by the PROMPT's hour-of-day and
+    report count, exact mean, and exact ``quantile_disc`` percentiles —
+    the "is the assistant slower at peak hours" operations view of
+    :func:`reply_latency`.
+
+    Same conv-partition suffix-min derivation as reply_latency (no
+    per-conversation loop); per-partition ``(hour, lat_us) → count``
+    histogram partials cross one tiny 24-key exchange
+    (stages/quantile.py grouped_quantiles discipline).
+
+    Output: ``hour (int64), n_replies (int64), mean_s (float64),
+    p<pct>_us (int64)…``.
+    """
+    order_by = order_by or [ts_col]
+    qcols = [f"p{int(q * 100)}_us" for q in quantiles]
+    HOUR_US = 3_600_000_000
+    INF = np.int64(np.iinfo(np.int64).max)
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[conv_col], 64))
+
+    def pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [conv_col] + order_by, kind="mergesort").reset_index(drop=True)
+        empty = pd.DataFrame({
+            "hour": pd.Series([], dtype="int64"),
+            "lat_us": pd.Series([], dtype="int64"),
+            "_cnt": pd.Series([], dtype="int64"),
+        })
+        if len(df) == 0:
+            return empty
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        convs = df[conv_col].to_numpy()
+        roles = df[role_col].to_numpy()
+        n = len(df)
+        change = np.flatnonzero(convs[1:] != convs[:-1]) + 1
+        gid = np.zeros(n, dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        ends = np.concatenate([change, [n]])
+        to_ts = np.where(roles == to_role, ts, INF)
+        rev_gid = gid[::-1]
+        seg_change = np.ones(n, dtype=bool)
+        seg_change[1:] = rev_gid[1:] != rev_gid[:-1]
+        seg_idx = np.cumsum(seg_change) - 1
+        run_min = pd.Series(to_ts[::-1]).groupby(seg_idx).cummin().to_numpy()
+        suffix_min = run_min[::-1]
+        nxt = np.full(n, INF, dtype=np.int64)
+        nxt[:-1] = suffix_min[1:]
+        nxt[ends - 1] = INF
+        valid = (roles == from_role) & (nxt != INF)
+        if not valid.any():
+            return empty
+        hour = (ts[valid] // HOUR_US) % 24
+        lat = nxt[valid] - ts[valid]
+        out = (
+            pd.DataFrame({"hour": hour, "lat_us": lat})
+            .groupby(["hour", "lat_us"], sort=False)
+            .size().rename("_cnt").reset_index()
+        )
+        out["_cnt"] = out["_cnt"].astype(np.int64)
+        return out
+
+    def add_hour_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_pkey2", _stable_pkey(t["hour"], num_partitions))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        h = df.groupby(["hour", "lat_us"], sort=True)["_cnt"].sum().reset_index()
+        h["_cum"] = h.groupby("hour", sort=False)["_cnt"].cumsum()
+        tot = h.groupby("hour", sort=False)["_cnt"].sum().rename("_n")
+        ssum = (h["lat_us"] * h["_cnt"]).groupby(h["hour"], sort=False) \
+                                        .sum().rename("_s")
+        out = h[["hour"]].drop_duplicates().reset_index(drop=True)
+        out = out.merge(tot, left_on="hour", right_index=True)
+        out = out.merge(ssum, left_on="hour", right_index=True)
+        h = h.merge(tot, left_on="hour", right_index=True)
+        res = pd.DataFrame({
+            "hour": out["hour"].astype(np.int64),
+            "n_replies": out["_n"].astype(np.int64),
+            "mean_s": (out["_s"].astype(np.float64) / out["_n"].to_numpy())
+            / 1e6,
+        })
+        for q, col in zip(quantiles, qcols):
+            target = np.maximum(np.ceil(h["_n"] * q), 1)
+            hit = h[h["_cum"] >= target]
+            picked = hit.groupby("hour", sort=False)["lat_us"].first().rename(col)
+            res = res.merge(picked.reset_index(), on="hour", how="left")
+            res[col] = res[col].astype(np.int64)
+        return res
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(pairs_partition, batch_format="pandas")
+        .map_batches(add_hour_pkey, batch_format="pyarrow")
+        .groupby("_pkey2")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -674,6 +674,37 @@ def kmeans_lloyd(
     tests pin monotone inertia, blocking invariance, and planted-
     cluster recovery.
     """
+    cent = _lloyd_fit(ds, id_col=id_col, vec_col=vec_col,
+                      n_clusters=n_clusters, n_iter=n_iter,
+                      sample_size=sample_size)
+    c = cent
+    c2 = (c * c).sum(axis=1)
+    d = c.shape[1]
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        vecs = t[vec_col].combine_chunks()
+        x = (vecs.flatten().to_numpy(zero_copy_only=False)
+             .astype(np.float64).reshape(t.num_rows, d))
+        a = (c2[None, :] - 2.0 * (x @ c.T)).argmin(axis=1)
+        return pa.table({id_col: t[id_col],
+                         cluster_col: pa.array(a.astype(np.int64))})
+
+    return ds.map_batches(final_assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _lloyd_fit(
+    ds: Dataset,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    n_iter: int,
+    sample_size: int | None,
+) -> np.ndarray:
+    """The deterministic bounded-init Lloyd fit loop shared by
+    :func:`kmeans_lloyd` and :func:`kmeans_silhouette` — returns the
+    k×d centroid array (tiny, driver-resident)."""
     if n_clusters < 1 or n_iter < 1:
         raise ValueError("n_clusters and n_iter must be >= 1")
     sample_size = sample_size or max(50 * n_clusters, 500)
@@ -739,20 +770,81 @@ def kmeans_lloyd(
 
     for _ in range(n_iter):
         cent = iter_pass(cent)
+    return cent
 
+
+def kmeans_silhouette(
+    ds: Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    n_iter: int = 5,
+    sample_size: int | None = None,
+) -> Dataset:
+    """Per-cluster SIMPLIFIED silhouette of the Lloyd fit — the
+    clustering-quality gate a 100 TB embedding pipeline runs before
+    trusting k-means buckets (IVF lists, dedup blocks).  Simplified
+    silhouette uses centroid distances instead of all-pairs member
+    distances (the classic variant is O(N²)): per vector,
+    ``a`` = distance to its own centroid, ``b`` = distance to the
+    nearest OTHER centroid, ``s = (b − a) / max(a, b)`` (1 = compact
+    and far from neighbors, <0 = likely misassigned).
+
+    One extra combiner pass after the shared :func:`_lloyd_fit`
+    (broadcast k×d centroids, per-batch (cluster, n, Σs) partials, tiny
+    k-row fold).  No SQL twin (iterative fit); tests pin planted
+    well-separated recovery ≈ 1 and an overlapping-blob degradation.
+
+    Output: ``cluster (int64), n_vecs (int64), mean_silhouette
+    (float64)``, one row per non-empty cluster.
+    """
+    if n_clusters < 2:
+        raise ValueError("silhouette needs n_clusters >= 2")
+    cent = _lloyd_fit(ds, id_col=id_col, vec_col=vec_col,
+                      n_clusters=n_clusters, n_iter=n_iter,
+                      sample_size=sample_size)
     c = cent
-    c2 = (c * c).sum(axis=1)
+    d = c.shape[1]
 
-    def final_assign(t: pa.Table) -> pa.Table:
+    def score_reduce(t: pa.Table) -> pa.Table:
         vecs = t[vec_col].combine_chunks()
         x = (vecs.flatten().to_numpy(zero_copy_only=False)
              .astype(np.float64).reshape(t.num_rows, d))
-        a = (c2[None, :] - 2.0 * (x @ c.T)).argmin(axis=1)
-        return pa.table({id_col: t[id_col],
-                         cluster_col: pa.array(a.astype(np.int64))})
+        # full distance matrix to the (tiny) centroid set
+        d2 = ((x * x).sum(axis=1)[:, None]
+              + (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T))
+        np.maximum(d2, 0.0, out=d2)
+        assign = d2.argmin(axis=1)
+        rows = np.arange(len(x))
+        a = np.sqrt(d2[rows, assign])
+        d2[rows, assign] = np.inf
+        b = np.sqrt(d2.min(axis=1))
+        denom = np.maximum(a, b)
+        s = np.where(denom > 0, (b - a) / np.where(denom > 0, denom, 1.0), 0.0)
+        n = np.bincount(assign, minlength=n_clusters).astype(np.int64)
+        ssum = np.bincount(assign, weights=s, minlength=n_clusters)
+        return pa.table({
+            "_c": pa.array(np.arange(n_clusters, dtype=np.int64)),
+            "_n": pa.array(n),
+            "_s": pa.array(ssum),
+        })
 
-    return ds.map_batches(final_assign, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_c", sort=True)[["_n", "_s"]].sum().reset_index()
+        g = g[g["_n"] > 0]
+        return pd.DataFrame({
+            "cluster": g["_c"].astype(np.int64),
+            "n_vecs": g["_n"].astype(np.int64),
+            "mean_silhouette": g["_s"].to_numpy() / g["_n"].to_numpy(),
+        })
+
+    return (
+        ds.map_batches(score_reduce, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+    )
 
 
 def cosine_to_centroid(
@@ -925,3 +1017,50 @@ def quantize_error(
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def norm_stats(
+    ds: Dataset,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Per-label L2-norm profile of the embedding column — the first
+    sanity gate on an embedding store (un-normalized vectors silently
+    break cosine ANN; a label whose norms drift is a bad encoder batch).
+
+    One combiner pass: per-batch per-label ``(n, Σ‖x‖, min, max)``
+    partials (norms in float64, numpy sequential 64-dim sums == the SQL
+    twin's per-vector sum order), tiny label-row fold.
+    Output: ``label, n_vecs (int64), norm_mean, norm_min, norm_max``.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        vecs = t[vec_col].combine_chunks()
+        d = len(vecs[0])
+        x = (vecs.flatten().to_numpy(zero_copy_only=False)
+             .astype(np.float64).reshape(t.num_rows, d))
+        nrm = np.sqrt((x * x).sum(axis=1))
+        base = pa.table({label_col: t[label_col], "_n": nrm})
+        out = base.group_by([label_col], use_threads=False).aggregate(
+            [("_n", "count"), ("_n", "sum"), ("_n", "min"), ("_n", "max")]
+        )
+        return out.rename_columns([label_col, "_c", "_s", "_mn", "_mx"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(label_col, sort=True).agg(
+            _c=("_c", "sum"), _s=("_s", "sum"),
+            _mn=("_mn", "min"), _mx=("_mx", "max")).reset_index()
+        return pd.DataFrame({
+            label_col: g[label_col],
+            "n_vecs": g["_c"].astype(np.int64),
+            "norm_mean": g["_s"].to_numpy() / g["_c"].to_numpy(),
+            "norm_min": g["_mn"],
+            "norm_max": g["_mx"],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+    )

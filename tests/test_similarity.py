@@ -233,3 +233,37 @@ def test_centroid_similarity_golden():
     assert abs(out.loc[(0, 2), "cosine"] - 1 / np.sqrt(2)) < 1e-12
     assert abs(out.loc[(1, 2), "cosine"] - 1 / np.sqrt(2)) < 1e-12
     assert len(out) == 3
+
+
+def test_kmeans_silhouette_planted_vs_overlapping():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from s_tsfe_dl_ray.stages.similarity import kmeans_silhouette
+
+    rng = np.random.default_rng(9)
+
+    def corpus(sep):
+        centers = rng.normal(0, 1, (4, 16)) * sep
+        rows = []
+        for c in range(4):
+            rows.append(centers[c] + rng.normal(0, 0.05, (120, 16)))
+        x = np.concatenate(rows)
+        # interleave blob membership across ids: the deterministic init
+        # takes the smallest-id sample rows, which must span the blobs
+        perm = np.arange(len(x)).reshape(4, -1).T.ravel()
+        x = x[perm]
+        return pa.table({
+            "vec_id": pa.array(np.arange(len(x), dtype=np.int64)),
+            "embedding": pa.array(list(x.astype(np.float32))),
+        })
+
+    tight = kmeans_silhouette(
+        ray.data.from_arrow(corpus(6.0)), n_clusters=4, n_iter=8
+    ).to_pandas()
+    loose = kmeans_silhouette(
+        ray.data.from_arrow(corpus(0.12)), n_clusters=4, n_iter=8
+    ).to_pandas()
+    assert tight["n_vecs"].sum() == 480
+    assert (tight["mean_silhouette"] > 0.9).all()
+    assert loose["mean_silhouette"].mean() < tight["mean_silhouette"].mean()
