@@ -2613,6 +2613,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(kmeans_silhouette(emb, n_clusters=8)
                              .sort("cluster"))
 
+    def q_events_session_conversion(sf):
+        """Share of 30m inactivity-gap sessions containing a purchase
+        (stages/sessionize.session_conversion)."""
+        from s_tsfe_dl_ray.stages.sessionize import session_conversion
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+        return _round_floats(session_conversion(
+            ds, keys=["user_id"], ts_col="ts", type_col="event_type",
+            target="purchase", order_by=["ts", "event_id"], gap="30m"))
+
+    def q_parquet_layout_audit(sf):
+        """Footer-only physical-layout audit (rows / columns / bytes per
+        row group) of the correctness-scale tables — PINNED to sf0.01
+        like the transcript corpus so the SQL twin can name concrete
+        paths (sources/parquet.parquet_layout_audit)."""
+        from s_tsfe_dl_ray.sources.parquet import parquet_layout_audit
+
+        paths = [f"/root/testdata/sf0.01/{t}.parquet"
+                 for t in ("events", "lineitem", "documents", "embeddings")]
+        return parquet_layout_audit(paths).sort(
+            ["file_name", "row_group_id"])
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2849,6 +2872,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_latency_by_hour": q_transcripts_latency_by_hour,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_kmeans_silhouette": q_emb_kmeans_silhouette,
+        "events_session_conversion": q_events_session_conversion,
+        "parquet_layout_audit": q_parquet_layout_audit,
     }
 
 
@@ -5693,5 +5718,48 @@ def oracle_sql() -> dict[str, str]:
                    round(min(nrm), 6) AS norm_min,
                    round(max(nrm), 6) AS norm_max
             FROM n GROUP BY 1 ORDER BY 1
+        """,
+        # gaps-and-islands twin of the engine's break-scan; a session
+        # converts if ANY of its events is a purchase
+        "events_session_conversion": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, event_type,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            ), g AS (
+              SELECT user_id, sid,
+                     max(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS conv
+              FROM s GROUP BY 1, 2)
+            SELECT count(*)::BIGINT AS n_sessions,
+                   sum(conv)::BIGINT AS n_converted,
+                   round(sum(conv)::DOUBLE / count(*), 6)
+                     AS conversion_rate
+            FROM g
+        """,
+        # duckdb's parquet_metadata == the engine's pyarrow footer read;
+        # paths pinned to the correctness scale (see the query docstring)
+        "parquet_layout_audit": """
+            SELECT file_name, row_group_id::BIGINT AS row_group_id,
+                   any_value(row_group_num_rows)::BIGINT AS n_rows,
+                   any_value(row_group_num_columns)::BIGINT AS n_columns,
+                   sum(total_compressed_size)::BIGINT AS compressed_bytes,
+                   sum(total_uncompressed_size)::BIGINT
+                     AS uncompressed_bytes
+            FROM parquet_metadata(
+              ['/root/testdata/sf0.01/events.parquet',
+               '/root/testdata/sf0.01/lineitem.parquet',
+               '/root/testdata/sf0.01/documents.parquet',
+               '/root/testdata/sf0.01/embeddings.parquet'])
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

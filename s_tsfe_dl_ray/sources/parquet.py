@@ -89,3 +89,53 @@ def read_csv_typed(
 
         ds = ds.map_batches(cast, batch_format="pyarrow", zero_copy_batch=True)
     return ds
+
+
+def parquet_layout_audit(paths: list[str]) -> "Dataset":
+    """Physical-layout audit of a parquet fileset: one row per
+    (file, row group) with row/column counts and compressed/uncompressed
+    byte sizes — the input every 100 TB compaction / small-files /
+    row-group-sizing decision reads (Ray Data's read parallelism and
+    predicate pushdown are both bounded by this layout).
+
+    Footer-only: each task reads parquet FOOTERS (KBs), never data
+    pages, so auditing a petabyte fileset costs one metadata round per
+    file.  The file list is distributed as a Dataset and footers are
+    fetched inside ``map_batches`` — the driver never touches a footer.
+
+    Output: ``file_name, row_group_id (int64), n_rows (int64),
+    n_columns (int64), compressed_bytes (int64), uncompressed_bytes
+    (int64)``.
+    """
+    import numpy as np
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    files = ray.data.from_items([{"file_name": p} for p in paths])
+
+    def audit(t: pa.Table) -> pa.Table:
+        names, rgids, rows, cols, comp, uncomp = [], [], [], [], [], []
+        for p in t["file_name"].to_pylist():
+            md = pq.ParquetFile(p).metadata
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                names.append(p)
+                rgids.append(i)
+                rows.append(rg.num_rows)
+                cols.append(rg.num_columns)
+                comp.append(sum(rg.column(j).total_compressed_size
+                                for j in range(rg.num_columns)))
+                uncomp.append(sum(rg.column(j).total_uncompressed_size
+                                  for j in range(rg.num_columns)))
+        return pa.table({
+            "file_name": pa.array(names, pa.string()),
+            "row_group_id": pa.array(np.array(rgids, dtype=np.int64)),
+            "n_rows": pa.array(np.array(rows, dtype=np.int64)),
+            "n_columns": pa.array(np.array(cols, dtype=np.int64)),
+            "compressed_bytes": pa.array(np.array(comp, dtype=np.int64)),
+            "uncompressed_bytes": pa.array(np.array(uncomp, dtype=np.int64)),
+        })
+
+    return files.map_batches(audit, batch_format="pyarrow")

@@ -12,6 +12,7 @@ start/end/row-count/duration.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from ray.data import Dataset
 
@@ -254,3 +255,75 @@ def debounce(
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(keep_partition, batch_format="pandas")
+
+
+def session_conversion(
+    ds: Dataset,
+    *,
+    keys: list[str],
+    ts_col: str,
+    type_col: str,
+    target: str,
+    order_by: list[str] | None = None,
+    gap: str | int = "30m",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Corpus conversion rate at SESSION grain: share of inactivity-gap
+    sessions that contain at least one ``target``-typed event — the
+    product metric :func:`sessionize` feeds ("what % of visits
+    purchase").
+
+    Same island derivation as sessionize (key-complete partition, one
+    vectorized break-scan, no per-key loop), but folded straight to
+    per-partition ``(n_sessions, n_converted)`` partials — session rows
+    never materialize.  Output: one row — ``n_sessions (int64),
+    n_converted (int64), conversion_rate (float64)``.
+    """
+    from .grouped import grouped_apply
+
+    if isinstance(gap, str):
+        unit = gap[-1]
+        mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
+        gap_us = int(gap[:-1]) * mult * 1_000_000
+    else:
+        gap_us = int(gap) * 1_000_000
+    order_by = order_by or [ts_col]
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"_s": pd.Series([], dtype="int64"),
+                                 "_c": pd.Series([], dtype="int64")})
+        df = df.sort_values(keys + order_by, kind="mergesort")
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        kk = df[keys[0]].to_numpy()
+        same = np.ones(len(df), dtype=bool)
+        same[1:] = kk[1:] == kk[:-1]
+        for k in keys[1:]:
+            kv = df[k].to_numpy()
+            same[1:] &= kv[1:] == kv[:-1]
+        brk = ~same
+        brk[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        brk[0] = True
+        sid = np.cumsum(brk) - 1
+        hit = (df[type_col].to_numpy() == target)
+        n_sessions = int(sid[-1]) + 1
+        conv = np.zeros(n_sessions, dtype=bool)
+        np.logical_or.at(conv, sid[hit], True)
+        return pd.DataFrame({"_s": pd.Series([n_sessions], dtype="int64"),
+                             "_c": pd.Series([int(conv.sum())], dtype="int64")})
+
+    partials = grouped_apply(ds, keys=[keys[0]], fn=part,
+                             num_partitions=num_partitions,
+                             whole_partition=True)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        s = int(df["_s"].sum())
+        c = int(df["_c"].sum())
+        return pd.DataFrame({
+            "n_sessions": pd.Series([s], dtype="int64"),
+            "n_converted": pd.Series([c], dtype="int64"),
+            "conversion_rate": [c / s if s else float("nan")],
+        })
+
+    return partials.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None)
