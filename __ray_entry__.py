@@ -2636,6 +2636,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return parquet_layout_audit(paths).sort(
             ["file_name", "row_group_id"])
 
+    def q_emb_pq_distortion(sf):
+        """Product-quantization reconstruction error (m=8 subspaces,
+        16 codes) per vector (stages/similarity.pq_distortion).
+        Rows-only: iterative codebook fit has no SQL twin;
+        tests/test_similarity.py pins planted-codebook recovery and
+        monotone-in-codes distortion."""
+        from s_tsfe_dl_ray.stages.similarity import pq_distortion
+
+        emb = read_table(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+        return _round_floats(pq_distortion(emb).sort("vec_id"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2874,6 +2886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans_silhouette": q_emb_kmeans_silhouette,
         "events_session_conversion": q_events_session_conversion,
         "parquet_layout_audit": q_parquet_layout_audit,
+        "emb_pq_distortion": q_emb_pq_distortion,
     }
 
 

@@ -1064,3 +1064,82 @@ def norm_stats(
         .repartition(1)
         .map_batches(fold, batch_format="pandas", batch_size=None)
     )
+
+
+def pq_distortion(
+    ds: Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 10,
+    sample_size: int = 2000,
+) -> Dataset:
+    """Product-quantization reconstruction error per vector — the OTHER
+    embedding-store compression audit (:func:`quantize_error` is the
+    scalar path): split each d-dim vector into ``m`` subvectors, learn a
+    ``n_codes``-entry codebook per subspace, reconstruct from the
+    nearest codes.  PQ at m=8/k=256 is what IVF-PQ indexes ship at
+    100 TB (d·4 bytes → m bytes per vector).
+
+    Scale shape (the IVF ``_kmeans_fit`` discipline): codebooks train
+    driver-side on a BOUNDED seeded sample (corpus-size-independent,
+    deterministic smallest-id init), broadcast via closure; scoring is
+    ONE distributed pass — per batch, m small (B×n_codes) distance
+    matmuls, no shuffle.  No SQL twin (iterative fit); tests pin
+    monotone-in-codes distortion and exact recovery of a planted
+    codebook.  Output: ``id_col, pq_mse_e6 (float64)``.
+    """
+    if m < 1 or n_codes < 1:
+        raise ValueError("m and n_codes must be >= 1")
+
+    sel = ds.select_columns([id_col, vec_col])
+    cnt = sel.count()
+    frac = min(1.0, sample_size / max(cnt, 1))
+    sample = (
+        sel.random_sample(frac, seed=0).to_pandas()
+        if frac < 1.0 else sel.to_pandas()
+    ).sort_values(id_col)
+    if len(sample) < n_codes:
+        sample = sel.to_pandas().sort_values(id_col)
+    smat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    d = smat.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+
+    def _fit_subspace(x: np.ndarray) -> np.ndarray:
+        cent = x[:n_codes].copy()
+        for _ in range(n_iter):
+            d2 = ((x * x).sum(1)[:, None] + (cent * cent).sum(1)[None, :]
+                  - 2.0 * (x @ cent.T))
+            a = d2.argmin(axis=1)
+            for c in range(n_codes):
+                mem = x[a == c]
+                if len(mem):
+                    cent[c] = mem.mean(axis=0)
+        return cent
+
+    books = np.stack([
+        _fit_subspace(smat[:, j * sub:(j + 1) * sub]) for j in range(m)
+    ])  # (m, n_codes, sub)
+
+    def score(t: pa.Table) -> pa.Table:
+        vecs = t[vec_col].combine_chunks()
+        x = (vecs.flatten().to_numpy(zero_copy_only=False)
+             .astype(np.float64).reshape(t.num_rows, d))
+        err = np.zeros(t.num_rows)
+        for j in range(m):
+            xs = x[:, j * sub:(j + 1) * sub]
+            cb = books[j]
+            d2 = ((xs * xs).sum(1)[:, None] + (cb * cb).sum(1)[None, :]
+                  - 2.0 * (xs @ cb.T))
+            a = d2.argmin(axis=1)
+            diff = xs - cb[a]
+            err += (diff * diff).sum(axis=1)
+        return pa.table({id_col: t[id_col],
+                         "pq_mse_e6": pa.array(err / d * 1e6)})
+
+    return sel.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -267,3 +267,37 @@ def test_kmeans_silhouette_planted_vs_overlapping():
     assert tight["n_vecs"].sum() == 480
     assert (tight["mean_silhouette"] > 0.9).all()
     assert loose["mean_silhouette"].mean() < tight["mean_silhouette"].mean()
+
+
+def test_pq_distortion_planted_and_monotone():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from s_tsfe_dl_ray.stages.similarity import pq_distortion
+
+    rng = np.random.default_rng(17)
+    # planted: every 8-dim subvector drawn from a 4-entry codebook ->
+    # PQ with n_codes >= 4 reconstructs (near) exactly
+    codebook = rng.normal(0, 1, (4, 8))
+    picks = rng.integers(0, 4, (300, 8))
+    x = np.concatenate([codebook[picks[:, j]] for j in range(8)], axis=1)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+        "embedding": pa.array(list(x.astype(np.float32))),
+    })
+    out = pq_distortion(ray.data.from_arrow(t), m=8, n_codes=8,
+                        sample_size=300).to_pandas()
+    assert out["pq_mse_e6"].max() < 1.0  # ~float32 noise only
+
+    # random vectors: distortion decreases as the codebook grows
+    y = rng.normal(0, 1, (400, 64)).astype(np.float32)
+    t2 = pa.table({
+        "vec_id": pa.array(np.arange(400, dtype=np.int64)),
+        "embedding": pa.array(list(y)),
+    })
+    mse = {}
+    for k in (2, 16):
+        mse[k] = pq_distortion(ray.data.from_arrow(t2), m=8, n_codes=k,
+                               sample_size=400).to_pandas()["pq_mse_e6"].mean()
+    assert mse[16] < mse[2]
+    assert mse[16] > 0
