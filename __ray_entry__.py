@@ -2648,6 +2648,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          columns=["vec_id", "embedding"])
         return _round_floats(pq_distortion(emb).sort("vec_id"))
 
+    def q_docs_source_ks(sf):
+        """Per-language two-sample KS D between src0 and src1 document
+        lengths — source drift detection over the docs table, the same
+        exact rational-ECDF op the events query verifies
+        (stages/robust.ks_test)."""
+        from s_tsfe_dl_ray.stages.robust import ks_test
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["lang", "source", "n_chars"])
+        return _round_floats(ks_test(
+            docs, key="lang", group_col="source", value_col="n_chars",
+            group_a="src0", group_b="src1"))
+
+    def q_events_weekly_profile(sf):
+        """Hour-of-week seasonality profile: event count and mean value
+        per (day-of-week, hour-of-day) cell — one combiner pass over a
+        derived 168-cell key (pipelines/relational.grouped_aggregate)."""
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+
+        ds = read_events(sf, columns=["ts", "value"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            days = us // 86_400_000_000
+            # epoch day 0 = Thursday; ISO dow (Mon=1..Sun=7)
+            dow = ((days + 3) % 7) + 1
+            hour = (us // 3_600_000_000) % 24
+            import numpy as np
+            return pa.table({
+                "dow": pa.array(dow.astype(np.int64)),
+                "hour": pa.array(hour.astype(np.int64)),
+                "value": t["value"],
+            })
+
+        cells = ds.map_batches(derive, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        agg = grouped_aggregate(
+            cells, keys=["dow", "hour"],
+            aggs={"n_events": ("value", "count"),
+                  "value_sum": ("value", "sum")})
+
+        def fin(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "dow": t["dow"], "hour": t["hour"],
+                "n_events": t["n_events"],
+                "value_mean": pc.divide(
+                    pc.cast(t["value_sum"], pa.float64()),
+                    pc.cast(t["n_events"], pa.float64())),
+            })
+
+        return _round_floats(agg.map_batches(fin, batch_format="pyarrow")
+                             .sort(["dow", "hour"]))
+
+    def q_events_mase(sf):
+        """Per-user seasonal-naive vs persistence forecast skill ratio
+        at lag 24 (stages/trend.naive_forecast_ratio)."""
+        from s_tsfe_dl_ray.stages.trend import naive_forecast_ratio
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(naive_forecast_ratio(
+            ds, key="user_id", order_by=["ts", "event_id"],
+            value_col="value", season_lag=24))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2887,6 +2951,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_conversion": q_events_session_conversion,
         "parquet_layout_audit": q_parquet_layout_audit,
         "emb_pq_distortion": q_emb_pq_distortion,
+        "docs_source_ks": q_docs_source_ks,
+        "events_weekly_profile": q_events_weekly_profile,
+        "events_mase": q_events_mase,
     }
 
 
@@ -5774,5 +5841,52 @@ def oracle_sql() -> dict[str, str]:
                '/root/testdata/sf0.01/documents.parquet',
                '/root/testdata/sf0.01/embeddings.parquet'])
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "docs_source_ks": """
+            WITH b AS (
+              SELECT lang, n_chars, source FROM documents
+              WHERE source IN ('src0', 'src1')
+            ), tot AS (
+              SELECT lang,
+                     sum(CASE WHEN source = 'src0'
+                              THEN 1 ELSE 0 END)::BIGINT AS na,
+                     sum(CASE WHEN source = 'src1'
+                              THEN 1 ELSE 0 END)::BIGINT AS nb
+              FROM b GROUP BY 1
+            ), s AS (
+              SELECT lang, n_chars,
+                     sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY lang ORDER BY n_chars) AS ca,
+                     sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY lang ORDER BY n_chars) AS cb
+              FROM b
+            )
+            SELECT s.lang, tot.na AS n_a, tot.nb AS n_b,
+                   round(max(abs(s.ca / tot.na - s.cb / tot.nb)), 6) AS ks_d
+            FROM s JOIN tot USING (lang)
+            WHERE tot.na > 0 AND tot.nb > 0
+            GROUP BY s.lang, tot.na, tot.nb
+        """,
+        "events_weekly_profile": """
+            SELECT isodow(ts)::BIGINT AS dow,
+                   extract(hour FROM ts)::BIGINT AS hour,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value) / count(*), 6) AS value_mean
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # NULL when the key is shorter than the seasonal lag (numerator
+        # avg over zero rows) or the persistence error is exactly 0
+        "events_mase": """
+            WITH o AS (
+              SELECT user_id, value,
+                     lag(value, 1) OVER w AS l1,
+                     lag(value, 24) OVER w AS lm
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   round(avg(abs(value - lm)) / avg(abs(value - l1)), 6)
+                     AS mase
+            FROM o GROUP BY 1
         """,
     }

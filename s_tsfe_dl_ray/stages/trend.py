@@ -632,3 +632,72 @@ def ar2_yule_walker(
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(fit_partition,
                                               batch_format="pandas")
+
+
+def naive_forecast_ratio(
+    ds: Dataset,
+    *,
+    key: str,
+    order_by: list[str],
+    value_col: str,
+    season_lag: int = 24,
+    out_col: str = "mase",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key MASE-style seasonal-naive skill ratio:
+    ``mean |yₜ − yₜ₋ₘ| / mean |yₜ − yₜ₋₁|`` over the key's ordered
+    series — < 1 means the season-lag naive forecast beats the
+    persistence forecast (the series has exploitable seasonality at lag
+    m), the denominator being exactly MASE's scale term (Hyndman &
+    Koehler 2006).  The forecast-quality sibling of
+    :func:`lag1_autocorr` / :func:`acf`.
+
+    Vectorized across keys: position-in-group via first-index
+    subtraction, boundary-masked lag diffs, bincount folds — no per-key
+    loop.  NULL when the key is too short for the seasonal lag or the
+    persistence error is exactly 0 (SQL x/0 semantics).
+    Output: ``key, n_events (int64), out_col``.
+    """
+    from .grouped import grouped_apply
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: [],
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 out_col: []})
+        df = df.sort_values([key] + order_by, kind="mergesort")
+        y = df[value_col].to_numpy(dtype=np.float64)
+        k = df[key].to_numpy()
+        n = len(df)
+        change = np.flatnonzero(k[1:] != k[:-1]) + 1
+        gid = np.zeros(n, dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        firsts = np.concatenate([[0], change])
+        pos = np.arange(n) - firsts[gid]
+        nk = int(gid[-1]) + 1
+
+        def lag_fold(m: int):
+            valid = pos >= m
+            idx = np.flatnonzero(valid)
+            d = np.abs(y[idx] - y[idx - m])
+            s = np.bincount(gid[idx], weights=d, minlength=nk)
+            c = np.bincount(gid[idx], minlength=nk)
+            return s, c
+
+        s1, c1 = lag_fold(1)
+        sm, cm = lag_fold(season_lag)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            e1 = s1 / c1
+            em = sm / cm
+            ratio = em / e1
+        ratio = np.where(np.isfinite(ratio), ratio, np.nan)
+        return pd.DataFrame({
+            key: k[firsts],
+            "n_events": np.bincount(gid, minlength=nk).astype(np.int64),
+            out_col: ratio,
+        })
+
+    return grouped_apply(ds, keys=[key], fn=part,
+                         num_partitions=num_partitions,
+                         whole_partition=True)
