@@ -2712,6 +2712,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, key="user_id", order_by=["ts", "event_id"],
             value_col="value", season_lag=24))
 
+    def q_events_priority_sample(sf):
+        """Deterministic distributed uniform sample: the 100 events with
+        the smallest md5(event_id) priority — cluster-size- and
+        layout-invariant (stages/transform.priority_sample)."""
+        from s_tsfe_dl_ray.stages.transform import priority_sample
+
+        ds = read_events(sf, columns=["event_id", "value"])
+        return _round_floats(priority_sample(ds, id_col="event_id", k=100))
+
+    def q_events_cms_user_counts(sf):
+        """Count-min point-frequency estimates for five probe users —
+        the sketch-family frequency member
+        (stages/distinct.count_min_sketch).  Rows-only: estimates are
+        hash-dependent; tests/test_distinct.py pins the never-undercount
+        and bounded-overcount guarantees."""
+        from s_tsfe_dl_ray.stages.distinct import count_min_sketch
+
+        ds = read_events(sf, columns=["user_id"])
+        return count_min_sketch(
+            ds, col="user_id",
+            query_items=[1, 2, 3, 500, 999]).sort("item")
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2954,6 +2976,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_ks": q_docs_source_ks,
         "events_weekly_profile": q_events_weekly_profile,
         "events_mase": q_events_mase,
+        "events_priority_sample": q_events_priority_sample,
+        "events_cms_user_counts": q_events_cms_user_counts,
     }
 
 
@@ -5888,5 +5912,13 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(abs(value - lm)) / avg(abs(value - l1)), 6)
                      AS mase
             FROM o GROUP BY 1
+        """,
+        # md5 of the decimal id string is identical in hashlib and DuckDB
+        # (the hash_split determinism contract)
+        "events_priority_sample": """
+            SELECT event_id, value,
+                   md5(CAST(event_id AS VARCHAR)) AS priority
+            FROM events
+            ORDER BY priority LIMIT 100
         """,
     }

@@ -887,3 +887,76 @@ def chi2_independence(
 
     return counts.repartition(1).map_batches(fin, batch_format="pandas",
                                              batch_size=None)
+
+
+def count_min_sketch(
+    ds: Dataset,
+    *,
+    col: str,
+    query_items: list,
+    width: int = 2048,
+    depth: int = 4,
+    out_col: str = "est_count",
+) -> Dataset:
+    """Count-min point-frequency estimates: ``est(x) = min_d
+    sketch[d, h_d(x)]`` with the classic one-sided guarantee
+    ``true ≤ est ≤ true + e·N/width`` (w.h.p. over the ``depth``
+    hashes) — the frequency sibling of the engine's HLL (cardinality)
+    and Misra–Gries (top-k) sketches, for point lookups over a universe
+    too large to count exactly.
+
+    Scale shape: each batch folds to ≤ depth×width ``(d, bucket, cnt)``
+    rows (one polars seeded-hash + bincount per depth row — no Python
+    loop); partials merge by SUM (associative) into the tiny dense
+    sketch on one final partition, where the broadcast ``query_items``
+    are probed.  Output: ``item (string), <out_col> (int64)`` per query
+    item.  No SQL twin (estimates are hash-dependent); tests pin the
+    never-undercount and bounded-overcount guarantees against exact
+    counts.
+    """
+    import polars as pl
+    import pyarrow.compute as pc
+
+    if width < 8 or depth < 1:
+        raise ValueError("width >= 8 and depth >= 1 required")
+    items = [str(x) for x in query_items]
+    if not items:
+        raise ValueError("query_items must be non-empty")
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[col].combine_chunks() if isinstance(t[col], pa.ChunkedArray) else t[col]
+        s = pl.Series(pc.cast(vals, pa.string()))
+        ds_, bs_, cs_ = [], [], []
+        for d in range(depth):
+            b = (s.hash(seed=d).to_numpy().astype(np.uint64)
+                 % np.uint64(width)).astype(np.int64)
+            cnt = np.bincount(b, minlength=width)
+            nz = np.flatnonzero(cnt)
+            ds_.append(np.full(len(nz), d, dtype=np.int64))
+            bs_.append(nz.astype(np.int64))
+            cs_.append(cnt[nz].astype(np.int64))
+        return pa.table({
+            "_d": pa.array(np.concatenate(ds_)),
+            "_b": pa.array(np.concatenate(bs_)),
+            "_c": pa.array(np.concatenate(cs_)),
+        })
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        sk = np.zeros((depth, width), dtype=np.int64)
+        g = df.groupby(["_d", "_b"], sort=False)["_c"].sum()
+        idx = np.array([*g.index.to_numpy()])
+        sk[idx[:, 0], idx[:, 1]] = g.to_numpy()
+        qs = pl.Series(items)
+        ests = np.full(len(items), np.iinfo(np.int64).max)
+        for d in range(depth):
+            b = (qs.hash(seed=d).to_numpy().astype(np.uint64)
+                 % np.uint64(width)).astype(np.int64)
+            ests = np.minimum(ests, sk[d, b])
+        return pd.DataFrame({"item": items,
+                             out_col: ests.astype(np.int64)})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(estimate, batch_format="pandas", batch_size=None)
+    )

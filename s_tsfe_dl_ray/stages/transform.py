@@ -938,3 +938,43 @@ def bollinger_bands(
 
     return grouped_apply(ds, keys=keys, fn=bb_partition,
                          num_partitions=num_partitions, whole_partition=True)
+
+
+def priority_sample(
+    ds: Dataset,
+    *,
+    id_col: str,
+    k: int = 100,
+    priority_col: str = "priority",
+) -> Dataset:
+    """Deterministic distributed uniform sample WITHOUT replacement:
+    the ``k`` rows with the smallest ``md5(str(id))`` priority — the
+    top-k-by-hash formulation of reservoir sampling, which (unlike an
+    actual reservoir) is associative, so it runs as per-batch partial
+    top-k + one tiny final merge, and the SAME rows are drawn at any
+    cluster size, block layout, or rerun (md5, not a process-seeded
+    hash — the :func:`hash_split` determinism contract).
+
+    Output: the sampled input rows + ``priority_col`` (md5 hex),
+    sorted by priority.  Per-row md5 is a Python map (no Arrow kernel
+    exists); it touches at most ``batch`` rows before the partial
+    top-k trims to k.
+    """
+    import hashlib
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        pr = df[id_col].map(
+            lambda v: hashlib.md5(str(v).encode()).hexdigest())
+        df = df.assign(**{priority_col: pr})
+        # nsmallest rejects object dtype; hex strings sort lexicographically
+        return df.sort_values(priority_col, kind="mergesort").head(k)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(priority_col, kind="mergesort").head(k) \
+                 .reset_index(drop=True)
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pandas", batch_size=None)
+    )

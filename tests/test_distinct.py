@@ -238,3 +238,31 @@ def test_key_skew_profile_golden():
     assert r["p50_per_key"] == 1 and r["p99_per_key"] == 6
     assert abs(r["top1_share"] - 0.6) < 1e-12
     assert abs(r["hhi"] - (36 + 4 + 1 + 1) / 100) < 1e-12
+
+
+def test_count_min_sketch_guarantees():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from s_tsfe_dl_ray.stages.distinct import count_min_sketch
+
+    rng = np.random.default_rng(31)
+    # zipf-ish: a few heavy items over a long tail
+    vals = np.concatenate([
+        np.repeat(["hot_a", "hot_b"], [3000, 1200]),
+        [f"tail{i}" for i in rng.integers(0, 5000, 6000)],
+    ])
+    rng.shuffle(vals)
+    t = pa.table({"v": pa.array(vals.astype("U"), pa.string())})
+    items = ["hot_a", "hot_b", "tail1", "never_seen"]
+    exact = {x: int((vals == x).sum()) for x in items}
+    out = count_min_sketch(
+        ray.data.from_arrow(t).repartition(6), col="v",
+        query_items=items, width=2048, depth=4,
+    ).to_pandas().set_index("item")["est_count"]
+    n = len(vals)
+    for x in items:
+        assert out[x] >= exact[x]                       # never undercounts
+        assert out[x] <= exact[x] + (2 * n) // 2048 + 1  # CM overcount bound
+    # heavy items are estimated nearly exactly at this width
+    assert out["hot_a"] - exact["hot_a"] <= 30
