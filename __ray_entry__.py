@@ -2734,6 +2734,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, col="user_id",
             query_items=[1, 2, 3, 500, 999]).sort("item")
 
+    def q_parquet_zonemap_audit(sf):
+        """Per-column zone-map/statistics audit (read-pruning health) of
+        the correctness-scale tables — pinned paths like the layout
+        audit (sources/parquet.parquet_zonemap_audit)."""
+        from s_tsfe_dl_ray.sources.parquet import parquet_zonemap_audit
+
+        paths = [f"/root/testdata/sf0.01/{t}.parquet"
+                 for t in ("events", "lineitem", "documents", "embeddings")]
+        return parquet_zonemap_audit(paths).sort(
+            ["file_name", "row_group_id", "column"])
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2978,6 +2989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mase": q_events_mase,
         "events_priority_sample": q_events_priority_sample,
         "events_cms_user_counts": q_events_cms_user_counts,
+        "parquet_zonemap_audit": q_parquet_zonemap_audit,
     }
 
 
@@ -5920,5 +5932,19 @@ def oracle_sql() -> dict[str, str]:
                    md5(CAST(event_id AS VARCHAR)) AS priority
             FROM events
             ORDER BY priority LIMIT 100
+        """,
+        "parquet_zonemap_audit": """
+            SELECT file_name, row_group_id::BIGINT AS row_group_id,
+                   replace(path_in_schema, ', ', '.')
+                     AS column, num_values::BIGINT AS n_values,
+                   coalesce(stats_null_count, 0)::BIGINT AS null_count,
+                   (stats_min_value IS NOT NULL
+                    AND stats_max_value IS NOT NULL) AS has_min_max
+            FROM parquet_metadata(
+              ['/root/testdata/sf0.01/events.parquet',
+               '/root/testdata/sf0.01/lineitem.parquet',
+               '/root/testdata/sf0.01/documents.parquet',
+               '/root/testdata/sf0.01/embeddings.parquet'])
+            ORDER BY 1, 2, 3
         """,
     }

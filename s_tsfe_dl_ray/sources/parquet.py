@@ -139,3 +139,51 @@ def parquet_layout_audit(paths: list[str]) -> "Dataset":
         })
 
     return files.map_batches(audit, batch_format="pyarrow")
+
+
+def parquet_zonemap_audit(paths: list[str]) -> "Dataset":
+    """Per-column zone-map (statistics) audit of a parquet fileset: for
+    every (file, row group, column) — value count, null count, and
+    whether min/max statistics exist.  Columns WITHOUT min/max stats
+    defeat row-group pruning (`read_parquet(filters=…)` degrades to
+    full scans), so at 100 TB this is the read-side health check that
+    pairs with :func:`parquet_layout_audit`'s write-side sizing check.
+
+    Footer-only and distributed exactly like the layout audit.
+    Output: ``file_name, row_group_id (int64), column (string),
+    n_values (int64), null_count (int64), has_min_max (bool)``.
+    """
+    import numpy as np
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    files = ray.data.from_items([{"file_name": p} for p in paths])
+
+    def audit(t: pa.Table) -> pa.Table:
+        names, rgids, cols, nvals, nulls, hasmm = [], [], [], [], [], []
+        for p in t["file_name"].to_pylist():
+            md = pq.ParquetFile(p).metadata
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for j in range(rg.num_columns):
+                    c = rg.column(j)
+                    st = c.statistics
+                    names.append(p)
+                    rgids.append(i)
+                    cols.append(c.path_in_schema)
+                    nvals.append(c.num_values)
+                    nulls.append(st.null_count if st is not None
+                                 and st.has_null_count else 0)
+                    hasmm.append(bool(st is not None and st.has_min_max))
+        return pa.table({
+            "file_name": pa.array(names, pa.string()),
+            "row_group_id": pa.array(np.array(rgids, dtype=np.int64)),
+            "column": pa.array(cols, pa.string()),
+            "n_values": pa.array(np.array(nvals, dtype=np.int64)),
+            "null_count": pa.array(np.array(nulls, dtype=np.int64)),
+            "has_min_max": pa.array(hasmm, pa.bool_()),
+        })
+
+    return files.map_batches(audit, batch_format="pyarrow")
