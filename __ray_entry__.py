@@ -2745,6 +2745,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return parquet_zonemap_audit(paths).sort(
             ["file_name", "row_group_id", "column"])
 
+    def q_parquet_compaction_plan(sf):
+        """Greedy FFD compaction plan over the layout audit (pinned
+        sf0.01 paths; sources/parquet.plan_compaction).  Rows-only by
+        nature (a plan, not a query); tests pin bin-capacity and
+        determinism."""
+        from s_tsfe_dl_ray.sources.parquet import (
+            parquet_layout_audit, plan_compaction)
+
+        paths = [f"/root/testdata/sf0.01/{t}.parquet"
+                 for t in ("events", "lineitem", "documents", "embeddings")]
+        return plan_compaction(parquet_layout_audit(paths),
+                               target_bytes=1 << 20)
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -2990,6 +3003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_priority_sample": q_events_priority_sample,
         "events_cms_user_counts": q_events_cms_user_counts,
         "parquet_zonemap_audit": q_parquet_zonemap_audit,
+        "parquet_compaction_plan": q_parquet_compaction_plan,
     }
 
 

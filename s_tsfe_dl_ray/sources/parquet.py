@@ -187,3 +187,61 @@ def parquet_zonemap_audit(paths: list[str]) -> "Dataset":
         })
 
     return files.map_batches(audit, batch_format="pyarrow")
+
+
+def plan_compaction(
+    audit: "Dataset",
+    *,
+    target_bytes: int = 128 << 20,
+    bytes_col: str = "compressed_bytes",
+) -> "Dataset":
+    """Greedy first-fit-decreasing compaction plan over a
+    :func:`parquet_layout_audit` result: assign files to merge bins so
+    each bin's total compressed size approaches ``target_bytes`` —
+    the standard small-files remediation (too many tiny files starve
+    Ray's read parallelism of useful work per task; the greedy FFD bound
+    is ≤ 11/9·OPT + 1 bins).  The sibling of the token-level
+    ``stages.text.pack_chunks`` greedy packer, at file grain.
+
+    The plan is a driver-scale decision over file-level rows (one row
+    per file — already ~10⁶× smaller than the data), so the fold runs
+    on one partition by design.  Deterministic: files sorted by
+    (size desc, name).  Files ≥ target get their own bin.
+    Output: ``file_name, bin_id (int64), file_bytes (int64),
+    bin_bytes (int64)`` sorted by (bin_id, file_name).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        per_file = (
+            df.groupby("file_name", sort=False)[bytes_col].sum()
+            .reset_index()
+            .sort_values([bytes_col, "file_name"],
+                         ascending=[False, True], kind="mergesort")
+        )
+        bins: list[int] = []  # running byte total per bin
+        assign = []
+        for _, row in per_file.iterrows():
+            sz = int(row[bytes_col])
+            placed = None
+            for bi, used in enumerate(bins):
+                if used + sz <= target_bytes:
+                    placed = bi
+                    break
+            if placed is None:
+                bins.append(0)
+                placed = len(bins) - 1
+            bins[placed] += sz
+            assign.append(placed)
+        out = pd.DataFrame({
+            "file_name": per_file["file_name"].to_numpy(),
+            "bin_id": np.array(assign, dtype=np.int64),
+            "file_bytes": per_file[bytes_col].to_numpy().astype(np.int64),
+        })
+        out["bin_bytes"] = out.groupby("bin_id")["file_bytes"].transform("sum")
+        return out.sort_values(["bin_id", "file_name"],
+                               kind="mergesort").reset_index(drop=True)
+
+    return audit.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None)

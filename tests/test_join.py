@@ -245,3 +245,31 @@ def test_salted_join_matches_hash_join_on_skew():
         a = a[cols].sort_values(cols).reset_index(drop=True)
         b = b[cols].sort_values(cols).reset_index(drop=True)
         assert a.equals(b), how
+
+
+def test_plan_compaction_bins_respect_target():
+    import pyarrow as pa
+    import ray
+    from s_tsfe_dl_ray.sources.parquet import plan_compaction
+
+    audit = pa.table({
+        "file_name": [f"f{i}" for i in range(8)],
+        "compressed_bytes": [90, 70, 60, 40, 30, 20, 10, 150],
+    })
+    out = plan_compaction(
+        ray.data.from_arrow(audit), target_bytes=100,
+        bytes_col="compressed_bytes",
+    ).to_pandas()
+    assert set(out["file_name"]) == {f"f{i}" for i in range(8)}
+    g = out.groupby("bin_id")["file_bytes"].sum()
+    # every multi-file bin respects the target; oversize files get own bin
+    multi = out.groupby("bin_id").size()
+    for b, total in g.items():
+        if multi[b] > 1:
+            assert total <= 100
+    assert (out[out.file_name == "f7"].bin_bytes == 150).all()
+    # deterministic: rerun gives the identical plan
+    out2 = plan_compaction(
+        ray.data.from_arrow(audit), target_bytes=100,
+        bytes_col="compressed_bytes").to_pandas()
+    assert out.equals(out2)
