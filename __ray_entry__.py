@@ -2758,6 +2758,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return plan_compaction(parquet_layout_audit(paths),
                                target_bytes=1 << 20)
 
+    def q_events_k_anonymity(sf):
+        """k-anonymity audit (k=5) of the (event_type, hour-of-day,
+        day) quasi-identifier combination
+        (stages/distinct.k_anonymity_audit)."""
+        from s_tsfe_dl_ray.stages.distinct import k_anonymity_audit
+
+        ds = read_events(sf, columns=["event_type", "ts"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            import numpy as np
+            return pa.table({
+                "event_type": t["event_type"],
+                "day": pa.array((us // 86_400_000_000).astype(np.int64)),
+                "hour": pa.array(((us // 3_600_000_000) % 24)
+                                 .astype(np.int64)),
+            })
+
+        qi = ds.map_batches(derive, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        return k_anonymity_audit(qi, qi_cols=["event_type", "day", "hour"],
+                                 k=5)
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3004,6 +3028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cms_user_counts": q_events_cms_user_counts,
         "parquet_zonemap_audit": q_parquet_zonemap_audit,
         "parquet_compaction_plan": q_parquet_compaction_plan,
+        "events_k_anonymity": q_events_k_anonymity,
     }
 
 
@@ -5960,5 +5985,22 @@ def oracle_sql() -> dict[str, str]:
                '/root/testdata/sf0.01/documents.parquet',
                '/root/testdata/sf0.01/embeddings.parquet'])
             ORDER BY 1, 2, 3
+        """,
+        "events_k_anonymity": """
+            WITH g AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 86400000000)::BIGINT AS day,
+                     ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS hour,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2, 3
+            )
+            SELECT sum(n)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_classes,
+                   (count(*) FILTER (WHERE n < 5))::BIGINT
+                     AS n_risky_classes,
+                   coalesce(sum(n) FILTER (WHERE n < 5), 0)::BIGINT
+                     AS n_risky_rows,
+                   min(n)::BIGINT AS min_class_size
+            FROM g
         """,
     }

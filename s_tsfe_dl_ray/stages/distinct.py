@@ -960,3 +960,63 @@ def count_min_sketch(
         .repartition(1)
         .map_batches(estimate, batch_format="pandas", batch_size=None)
     )
+
+
+def k_anonymity_audit(
+    ds: Dataset,
+    *,
+    qi_cols: list[str],
+    k: int = 5,
+    num_partitions: int = 64,
+) -> Dataset:
+    """k-anonymity audit over a quasi-identifier combination: how many
+    equivalence classes (distinct QI tuples) have fewer than ``k``
+    records — the governance gate a training-data release runs before
+    shipping (small classes re-identify individuals).
+
+    Same combiner shape as :func:`grouped_distinct_count`: per-batch
+    ``(QI…) → count`` partials, one QI-hash exchange, per-partition
+    class totals, then a tiny scalar fold.  Output: one row —
+    ``n_rows, n_classes, n_risky_classes, n_risky_rows,
+    min_class_size (all int64)``.
+    """
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = (
+            t.select(qi_cols)
+            .group_by(qi_cols, use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(qi_cols + ["_n"])
+        )
+        return out.append_column(
+            "_pkey", _stable_pkey(out[qi_cols[0]], num_partitions))
+
+    def classes_partition(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(qi_cols, sort=False)["_n"].sum()
+        risky = g < k
+        return pd.DataFrame({
+            "_rows": pd.Series([int(g.sum())], dtype="int64"),
+            "_cls": pd.Series([len(g)], dtype="int64"),
+            "_rc": pd.Series([int(risky.sum())], dtype="int64"),
+            "_rr": pd.Series([int(g[risky].sum())], dtype="int64"),
+            "_min": pd.Series([int(g.min())], dtype="int64"),
+        })
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_rows": pd.Series([df["_rows"].sum()], dtype="int64"),
+            "n_classes": pd.Series([df["_cls"].sum()], dtype="int64"),
+            "n_risky_classes": pd.Series([df["_rc"].sum()], dtype="int64"),
+            "n_risky_rows": pd.Series([df["_rr"].sum()], dtype="int64"),
+            "min_class_size": pd.Series([df["_min"].min()], dtype="int64"),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(classes_partition, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+    )
