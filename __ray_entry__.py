@@ -2782,6 +2782,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return k_anonymity_audit(qi, qi_cols=["event_type", "day", "hour"],
                                  k=5)
 
+    def q_events_auc_by_user(sf):
+        """Stratified exact mid-rank ROC-AUC per user segment — value as
+        score, purchase as positive (stages/metrics.grouped_auc)."""
+        from s_tsfe_dl_ray.stages.metrics import grouped_auc
+
+        ds = read_events(sf, columns=["user_id", "event_type", "value"])
+
+        def lab(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": t["user_id"], "score": t["value"],
+                "y": pc.equal(t["event_type"], pa.scalar("purchase")),
+            })
+
+        labeled = ds.map_batches(lab, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        return _round_floats(grouped_auc(
+            labeled, key="user_id", score_col="score", label_col="y"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3029,6 +3047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parquet_zonemap_audit": q_parquet_zonemap_audit,
         "parquet_compaction_plan": q_parquet_compaction_plan,
         "events_k_anonymity": q_events_k_anonymity,
+        "events_auc_by_user": q_events_auc_by_user,
     }
 
 
@@ -6002,5 +6021,35 @@ def oracle_sql() -> dict[str, str]:
                      AS n_risky_rows,
                    min(n)::BIGINT AS min_class_size
             FROM g
+        """,
+        # the global events_auc mid-rank recipe, PARTITIONed per user;
+        # all rank terms are integers/halves -> exact doubles both sides
+        "events_auc_by_user": """
+            WITH t AS (
+              SELECT user_id, value AS s,
+                     event_type = 'purchase' AS y
+              FROM events
+            ), x AS (
+              SELECT user_id, s, y,
+                     row_number() OVER (PARTITION BY user_id ORDER BY s)
+                       AS rn
+              FROM t
+            ), m AS (
+              SELECT user_id, s, avg(rn) AS mid,
+                     sum(CASE WHEN y THEN 1 ELSE 0 END) AS np
+              FROM x GROUP BY 1, 2
+            ), a AS (
+              SELECT user_id, sum(mid * np) AS rsp FROM m GROUP BY 1
+            ), c AS (
+              SELECT user_id,
+                     count(*) FILTER (WHERE y) + 0.0 AS npos,
+                     count(*) FILTER (WHERE NOT y) + 0.0 AS nneg
+              FROM t GROUP BY 1
+            )
+            SELECT c.user_id, c.npos::BIGINT AS n_pos,
+                   c.nneg::BIGINT AS n_neg,
+                   round((a.rsp - c.npos * (c.npos + 1) / 2)
+                         / (c.npos * c.nneg), 6) AS auc
+            FROM c JOIN a USING (user_id)
         """,
     }

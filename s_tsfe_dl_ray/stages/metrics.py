@@ -178,3 +178,76 @@ def calibration_bins(
         .repartition(1)
         .map_batches(finalize, batch_format="pandas", batch_size=None)
     )
+
+
+def grouped_auc(
+    ds: Dataset,
+    *,
+    key: str,
+    score_col: str,
+    label_col: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-segment exact ROC-AUC — the stratified-evaluation sibling of
+    :func:`auc_roc` (a global AUC can hide a segment where the model is
+    inverted; per-key AUC is the fairness/debug view).  Same mid-rank
+    Mann–Whitney identity, same histogram discipline: per-batch
+    ``(key, score) → (pos, neg)`` partials, ONE key-hash exchange, then
+    a vectorized ranked fold across all keys in each partition (sorted
+    cumulative counts + segment-offset subtraction — no per-key loop).
+
+    Output: ``key, n_pos, n_neg (int64), auc`` (NULL when either class
+    is empty for the key).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[score_col], pa.float64())
+        y = pc.cast(pc.cast(t[label_col], pa.bool_()), pa.int64())
+        base = pa.table({key: t[key], "_s": s, "_y": y})
+        out = base.group_by([key, "_s"], use_threads=False).aggregate(
+            [("_y", "sum"), ("_y", "count")]
+        ).rename_columns([key, "_s", "_pos", "_cnt"])
+        from .rollup import _stable_pkey
+
+        return out.append_column("_pkey", _stable_pkey(out[key], num_partitions))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            df.groupby([key, "_s"], sort=True)[["_pos", "_cnt"]]
+            .sum().reset_index()
+        )
+        k = h[key].to_numpy()
+        pos = h["_pos"].to_numpy(dtype=np.float64)
+        cnt = h["_cnt"].to_numpy(dtype=np.float64)
+        n = len(h)
+        change = np.ones(n, dtype=bool)
+        change[1:] = k[1:] != k[:-1]
+        gid = np.cumsum(change) - 1
+        firsts = np.flatnonzero(change)
+        nk = int(gid[-1]) + 1 if n else 0
+        # global running count, re-zeroed per key by subtracting the
+        # key's offset — the vectorized per-key "ranks below this tie"
+        cum = np.cumsum(cnt)
+        below_global = np.concatenate([[0.0], cum[:-1]])
+        offset = below_global[firsts]
+        below = below_global - offset[gid]
+        midrank = below + (cnt + 1.0) / 2.0
+        rsp = np.bincount(gid, weights=midrank * pos, minlength=nk)
+        n_pos = np.bincount(gid, weights=pos, minlength=nk)
+        n_all = np.bincount(gid, weights=cnt, minlength=nk)
+        n_neg = n_all - n_pos
+        with np.errstate(divide="ignore", invalid="ignore"):
+            auc = (rsp - n_pos * (n_pos + 1.0) / 2.0) / (n_pos * n_neg)
+        auc = np.where((n_pos > 0) & (n_neg > 0), auc, np.nan)
+        return pd.DataFrame({
+            key: k[firsts],
+            "n_pos": n_pos.astype(np.int64),
+            "n_neg": n_neg.astype(np.int64),
+            "auc": auc,
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(finalize, batch_format="pandas")
+    )
