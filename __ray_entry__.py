@@ -2800,6 +2800,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(grouped_auc(
             labeled, key="user_id", score_col="score", label_col="y"))
 
+    def q_events_poincare(sf):
+        """Poincaré SD1/SD2 variability descriptors of per-user
+        inter-event intervals — the HRV summary of the reference's
+        RR-interval domain (stages/trend.poincare_descriptors)."""
+        from s_tsfe_dl_ray.stages.trend import poincare_descriptors
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts"])
+        return _round_floats(poincare_descriptors(
+            ds, key="user_id", order_by=["ts", "event_id"], ts_col="ts"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3048,6 +3058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parquet_compaction_plan": q_parquet_compaction_plan,
         "events_k_anonymity": q_events_k_anonymity,
         "events_auc_by_user": q_events_auc_by_user,
+        "events_poincare": q_events_poincare,
     }
 
 
@@ -6051,5 +6062,40 @@ def oracle_sql() -> dict[str, str]:
                    round((a.rsp - c.npos * (c.npos + 1) / 2)
                          / (c.npos * c.nneg), 6) AS auc
             FROM c JOIN a USING (user_id)
+        """,
+        # identical moment algebra both sides; date_diff µs / 1e6 avoids
+        # epoch() float cancellation; single-event users emit no row
+        "events_poincare": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER w AS p1, lag(ts, 2) OVER w AS p2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), x AS (
+              SELECT user_id,
+                     date_diff('microsecond', p1, ts) / 1e6 AS iv
+              FROM o WHERE p1 IS NOT NULL
+            ), d AS (
+              SELECT user_id,
+                     date_diff('microsecond', p1, ts) / 1e6
+                     - date_diff('microsecond', p2, p1) / 1e6 AS dd
+              FROM o WHERE p2 IS NOT NULL
+            ), mx AS (
+              SELECT user_id, count(*)::BIGINT AS n,
+                     sum(iv) AS s1, sum(iv * iv) AS s2
+              FROM x GROUP BY 1
+            ), md AS (
+              SELECT user_id, count(*) AS m,
+                     sum(dd) AS t1, sum(dd * dd) AS t2
+              FROM d GROUP BY 1
+            )
+            SELECT mx.user_id, mx.n AS n_intervals,
+                   round(sqrt((t2 / m - (t1 / m) * (t1 / m)) / 2), 6)
+                     AS sd1_s,
+                   round(sqrt(greatest(
+                     2 * (s2 / n - (s1 / n) * (s1 / n))
+                     - (t2 / m - (t1 / m) * (t1 / m)) / 2, 0)), 6)
+                     AS sd2_s
+            FROM mx LEFT JOIN md USING (user_id)
         """,
     }

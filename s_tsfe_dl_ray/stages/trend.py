@@ -701,3 +701,78 @@ def naive_forecast_ratio(
     return grouped_apply(ds, keys=[key], fn=part,
                          num_partitions=num_partitions,
                          whole_partition=True)
+
+
+def poincare_descriptors(
+    ds: Dataset,
+    *,
+    key: str,
+    order_by: list[str],
+    ts_col: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Poincaré-plot descriptors SD1/SD2 of each key's inter-event
+    intervals — THE heart-rate-variability summary of the reference's
+    home domain (MIT-BIH RR-interval analysis; reference
+    TSFEDL/data.py:10-80 walks exactly these beat-to-beat gaps), lifted
+    to generic event streams: SD1 = short-term variability (width of
+    the lag-1 scatter ellipse), SD2 = long-term variability (its
+    length), from ``SD1² = var(Δ)/2``, ``SD2² = 2·var(x) − var(Δ)/2``
+    over successive-interval differences Δ.
+
+    Everything reduces to int64-µs moment sums folded per key with
+    boundary-masked diffs (the :func:`naive_forecast_ratio`
+    vectorization — no per-key loop); the SQL twin computes the same
+    algebra from the same exact sums.  Output: ``key,
+    n_intervals (int64), sd1_s, sd2_s`` (NULL when < 2 intervals).
+    """
+    from .grouped import grouped_apply
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: [],
+                                 "n_intervals": pd.Series([], dtype="int64"),
+                                 "sd1_s": [], "sd2_s": []})
+        df = df.sort_values([key] + order_by, kind="mergesort")
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        k = df[key].to_numpy()
+        n = len(df)
+        change = np.flatnonzero(k[1:] != k[:-1]) + 1
+        gid = np.zeros(n, dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        firsts = np.concatenate([[0], change])
+        pos = np.arange(n) - firsts[gid]
+        nk = int(gid[-1]) + 1
+        # intervals x (pos>=1) and successive differences d (pos>=2)
+        iv = np.flatnonzero(pos >= 1)
+        x = (ts[iv] - ts[iv - 1]) / 1e6
+        gx = gid[iv]
+        dv = np.flatnonzero(pos >= 2)
+        d = (ts[dv] - ts[dv - 1]) / 1e6 - (ts[dv - 1] - ts[dv - 2]) / 1e6
+        gd = gid[dv]
+        cn = np.bincount(gx, minlength=nk)
+        s1 = np.bincount(gx, weights=x, minlength=nk)
+        s2 = np.bincount(gx, weights=x * x, minlength=nk)
+        m = np.bincount(gd, minlength=nk)
+        t2 = np.bincount(gd, weights=d * d, minlength=nk)
+        t1 = np.bincount(gd, weights=d, minlength=nk)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var_x = s2 / cn - (s1 / cn) ** 2
+            var_d = t2 / m - (t1 / m) ** 2
+            sd1 = np.sqrt(var_d / 2.0)
+            sd2 = np.sqrt(np.maximum(2.0 * var_x - var_d / 2.0, 0.0))
+        ok = m >= 1
+        sd1 = np.where(ok, sd1, np.nan)
+        sd2 = np.where(ok, sd2, np.nan)
+        keep = cn >= 1  # single-event keys have no intervals (SQL twin
+        return pd.DataFrame({  # emits no row for them either)
+            key: k[firsts][keep],
+            "n_intervals": cn[keep].astype(np.int64),
+            "sd1_s": sd1[keep],
+            "sd2_s": sd2[keep],
+        })
+
+    return grouped_apply(ds, keys=[key], fn=part,
+                         num_partitions=num_partitions,
+                         whole_partition=True)
