@@ -2810,6 +2810,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(poincare_descriptors(
             ds, key="user_id", order_by=["ts", "event_id"], ts_col="ts"))
 
+    def q_events_hrv(sf):
+        """RMSSD / pNN(60s) successive-difference interval stats per
+        user (stages/trend.hrv_stats)."""
+        from s_tsfe_dl_ray.stages.trend import hrv_stats
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts"])
+        return _round_floats(hrv_stats(
+            ds, key="user_id", order_by=["ts", "event_id"], ts_col="ts",
+            pnn_threshold_s=60.0))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3059,6 +3069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_k_anonymity": q_events_k_anonymity,
         "events_auc_by_user": q_events_auc_by_user,
         "events_poincare": q_events_poincare,
+        "events_hrv": q_events_hrv,
     }
 
 
@@ -6097,5 +6108,26 @@ def oracle_sql() -> dict[str, str]:
                      - (t2 / m - (t1 / m) * (t1 / m)) / 2, 0)), 6)
                      AS sd2_s
             FROM mx LEFT JOIN md USING (user_id)
+        """,
+        # pNN count compares EXACT integer µs against the integer
+        # threshold; rmssd mirrors the engine's (µs/1e6)² moment sum
+        "events_hrv": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER w AS p1, lag(ts, 2) OVER w AS p2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), d AS (
+              SELECT user_id,
+                     date_diff('microsecond', p1, ts)
+                     - date_diff('microsecond', p2, p1) AS dus
+              FROM o WHERE p2 IS NOT NULL
+            )
+            SELECT user_id, count(*)::BIGINT AS n_diffs,
+                   round(sqrt(sum((dus / 1e6) * (dus / 1e6))
+                              / count(*)), 6) AS rmssd_s,
+                   round((count(*) FILTER (WHERE abs(dus) > 60000000))
+                         / (count(*) + 0.0), 6) AS pnn_share
+            FROM d GROUP BY 1
         """,
     }

@@ -776,3 +776,66 @@ def poincare_descriptors(
     return grouped_apply(ds, keys=[key], fn=part,
                          num_partitions=num_partitions,
                          whole_partition=True)
+
+
+def hrv_stats(
+    ds: Dataset,
+    *,
+    key: str,
+    order_by: list[str],
+    ts_col: str,
+    pnn_threshold_s: float = 60.0,
+    num_partitions: int = 64,
+) -> Dataset:
+    """RMSSD and pNN-style successive-difference statistics of per-key
+    inter-event intervals — the time-domain HRV pair to
+    :func:`poincare_descriptors` (RMSSD = √mean Δ², pNN = share of
+    |Δ| exceeding a threshold; classically 50 ms on RR intervals, here
+    parameterized for event streams).  Same boundary-masked moment
+    vectorization; exact integer µs comparisons for the pNN count.
+
+    Output: ``key, n_diffs (int64), rmssd_s, pnn_share`` — keys with no
+    successive-difference pair emit no row (SQL twin semantics).
+    """
+    from .grouped import grouped_apply
+
+    thr_us = int(round(pnn_threshold_s * 1e6))
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: [],
+                                 "n_diffs": pd.Series([], dtype="int64"),
+                                 "rmssd_s": [], "pnn_share": []})
+        df = df.sort_values([key] + order_by, kind="mergesort")
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        k = df[key].to_numpy()
+        n = len(df)
+        change = np.flatnonzero(k[1:] != k[:-1]) + 1
+        gid = np.zeros(n, dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        firsts = np.concatenate([[0], change])
+        pos = np.arange(n) - firsts[gid]
+        nk = int(gid[-1]) + 1
+        dv = np.flatnonzero(pos >= 2)
+        d_us = (ts[dv] - ts[dv - 1]) - (ts[dv - 1] - ts[dv - 2])
+        d = d_us / 1e6
+        gd = gid[dv]
+        m = np.bincount(gd, minlength=nk)
+        t2 = np.bincount(gd, weights=d * d, minlength=nk)
+        over = np.bincount(gd, weights=(np.abs(d_us) > thr_us)
+                           .astype(np.float64), minlength=nk)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rmssd = np.sqrt(t2 / m)
+            pnn = over / m
+        keep = m >= 1
+        return pd.DataFrame({
+            key: k[firsts][keep],
+            "n_diffs": m[keep].astype(np.int64),
+            "rmssd_s": rmssd[keep],
+            "pnn_share": pnn[keep],
+        })
+
+    return grouped_apply(ds, keys=[key], fn=part,
+                         num_partitions=num_partitions,
+                         whole_partition=True)
