@@ -23,7 +23,8 @@ Scale design — the same one-big-exchange shape as cohort_retention:
    and new/returning splits are direct per-partition counts over
    disjoint user sets;
 3. per-partition counts are partials over disjoint users, so the final
-   exchange merges ~days tiny rows (sum) — no driver round-trip.
+   merge folds ~days tiny rows (sum) on one partition — no second
+   hash exchange, no driver round-trip.
 
 Exactness note: the trailing-distinct problem is the one window
 aggregate pane composition cannot solve (distinct does not merge by
@@ -62,7 +63,6 @@ def active_users(
     tier: str = "1d",
     window: int = 7,
     num_partitions: int = 64,
-    final_partitions: int = 4,
 ) -> Dataset:
     """Per observed day: exact DAU, exact trailing-``window``-day WAU,
     and stickiness = DAU/WAU.
@@ -99,9 +99,6 @@ def active_users(
         out["_w"] = out["_w"].astype(np.int64)
         return out
 
-    def add_final_pkey(t: pa.Table) -> pa.Table:
-        return t.append_column("_pkey2", _stable_pkey(t["day"], final_partitions))
-
     def final_merge(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby("day", sort=True)[["_d", "_w"]].sum().reset_index()
         # expansion reaches past the last observed day; report only days
@@ -125,9 +122,8 @@ def active_users(
         )
         .groupby("_pkey")
         .map_groups(per_key_partition, batch_format="pandas")
-        .map_batches(add_final_pkey, batch_format="pyarrow")
-        .groupby("_pkey2")
-        .map_groups(final_merge, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final_merge, batch_format="pandas", batch_size=None)
     )
 
 
@@ -138,7 +134,6 @@ def new_vs_returning(
     ts_col: str = "ts",
     tier: str = "1d",
     num_partitions: int = 64,
-    final_partitions: int = 4,
 ) -> Dataset:
     """Per observed day: distinct users seen for the FIRST time that day
     vs distinct returning users (first seen on an earlier day).
@@ -161,9 +156,6 @@ def new_vs_returning(
         out["_r"] = (out["_tot"] - out["_n"]).astype(np.int64)
         return out[["day", "_n", "_r"]]
 
-    def add_final_pkey(t: pa.Table) -> pa.Table:
-        return t.append_column("_pkey2", _stable_pkey(t["day"], final_partitions))
-
     def final_merge(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby("day", sort=True)[["_n", "_r"]].sum().reset_index()
         return pd.DataFrame(
@@ -182,9 +174,8 @@ def new_vs_returning(
         )
         .groupby("_pkey")
         .map_groups(per_key_partition, batch_format="pandas")
-        .map_batches(add_final_pkey, batch_format="pyarrow")
-        .groupby("_pkey2")
-        .map_groups(final_merge, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final_merge, batch_format="pandas", batch_size=None)
     )
 
 
