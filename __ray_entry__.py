@@ -2820,6 +2820,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, key="user_id", order_by=["ts", "event_id"], ts_col="ts",
             pnn_threshold_s=60.0))
 
+    def q_transcripts_duration_stats(sf):
+        """Conversation wall-duration distribution: count, exact mean,
+        exact discrete p50/p95
+        (stages/dialog.conversation_duration_stats)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import conversation_duration_stats
+
+        turns = read_table(_transcripts_for(sf), columns=["conv_id", "ts"])
+        return _round_floats(conversation_duration_stats(turns))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3070,6 +3080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_auc_by_user": q_events_auc_by_user,
         "events_poincare": q_events_poincare,
         "events_hrv": q_events_hrv,
+        "transcripts_duration_stats": q_transcripts_duration_stats,
     }
 
 
@@ -6129,5 +6140,17 @@ def oracle_sql() -> dict[str, str]:
                    round((count(*) FILTER (WHERE abs(dus) > 60000000))
                          / (count(*) + 0.0), 6) AS pnn_share
             FROM d GROUP BY 1
+        """,
+        "transcripts_duration_stats": f"""
+            WITH c AS (
+              SELECT conv_id,
+                     date_diff('microsecond', min(ts), max(ts)) AS dur_us
+              FROM {T} GROUP BY 1
+            )
+            SELECT count(*)::BIGINT AS n_convs,
+                   round(avg(dur_us) / 1e6, 6) AS mean_s,
+                   quantile_disc(dur_us, 0.5) AS p50_us,
+                   quantile_disc(dur_us, 0.95) AS p95_us
+            FROM c
         """,
     }

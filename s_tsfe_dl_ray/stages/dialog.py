@@ -826,3 +826,70 @@ def reply_latency_by_hour(
         .groupby("_pkey2")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def conversation_duration_stats(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+    num_partitions: int = 64,
+) -> Dataset:
+    """Corpus distribution of conversation wall durations (last turn −
+    first turn): count, exact mean, exact ``quantile_disc`` percentiles
+    — the capacity-planning number behind session stickiness and
+    context-retention settings.
+
+    Combiner shape: per-batch per-conv ``(min ts, max ts)`` partials
+    (one pyarrow group_by), conv-hash exchange, exact per-conv duration
+    inside the partition, then the (mostly-distinct) duration histogram
+    folds on one final partition — the funnel_latency quantile
+    discipline.  Output: one row — ``n_convs (int64), mean_s (float64),
+    p<pct>_us (int64)…``.
+    """
+    qcols = [f"p{int(q * 100)}_us" for q in quantiles]
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            import pyarrow.compute as pc
+
+            ts = pc.cast(ts, pa.timestamp("us"))
+        base = pa.table({conv_col: t[conv_col], "_ts": ts})
+        out = base.group_by([conv_col], use_threads=False).aggregate(
+            [("_ts", "min"), ("_ts", "max")]
+        ).rename_columns([conv_col, "_mn", "_mx"])
+        return out.append_column(
+            "_pkey", _stable_pkey(out[conv_col], num_partitions))
+
+    def durations(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(conv_col, sort=False).agg(
+            _mn=("_mn", "min"), _mx=("_mx", "max"))
+        dur = (g["_mx"].to_numpy().astype("datetime64[us]").astype(np.int64)
+               - g["_mn"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        h = pd.DataFrame({"_dur": dur}).groupby("_dur").size() \
+                                       .rename("_cnt").reset_index()
+        h["_cnt"] = h["_cnt"].astype(np.int64)
+        return h
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        h = df.groupby("_dur", sort=True)["_cnt"].sum().reset_index()
+        n = int(h["_cnt"].sum())
+        s = int((h["_dur"] * h["_cnt"]).sum())
+        cum = h["_cnt"].cumsum()
+        out = {"n_convs": pd.Series([n], dtype="int64"),
+               "mean_s": [(float(s) / n) / 1e6 if n else np.nan]}
+        for q, col in zip(quantiles, qcols):
+            target = max(int(np.ceil(n * q)), 1)
+            out[col] = pd.Series(
+                [int(h["_dur"][cum >= target].iloc[0])], dtype="int64")
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(durations, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+    )
