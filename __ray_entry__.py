@@ -2830,6 +2830,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         turns = read_table(_transcripts_for(sf), columns=["conv_id", "ts"])
         return _round_floats(conversation_duration_stats(turns))
 
+    def q_orders_lineitem_join_size(sf):
+        """Exact orders ⋈ lineitem cardinality WITHOUT executing the
+        join — count-product combiner (stages/join.join_size)."""
+        from s_tsfe_dl_ray.stages.join import join_size
+
+        orders = read_table(f"{sf}/orders.parquet", columns=["o_orderkey"])
+        lineitem = read_table(f"{sf}/lineitem.parquet",
+                              columns=["l_orderkey"])
+        return join_size(orders, lineitem,
+                         left_on="o_orderkey", right_on="l_orderkey")
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3081,6 +3092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_poincare": q_events_poincare,
         "events_hrv": q_events_hrv,
         "transcripts_duration_stats": q_transcripts_duration_stats,
+        "orders_lineitem_join_size": q_orders_lineitem_join_size,
     }
 
 
@@ -6152,5 +6164,16 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(dur_us, 0.5) AS p50_us,
                    quantile_disc(dur_us, 0.95) AS p95_us
             FROM c
+        """,
+        "orders_lineitem_join_size": """
+            SELECT (SELECT count(*) FROM orders)::BIGINT AS n_left,
+                   (SELECT count(*) FROM lineitem)::BIGINT AS n_right,
+                   (SELECT count(*) FROM orders o JOIN lineitem l
+                      ON o.o_orderkey = l.l_orderkey)::BIGINT
+                     AS n_join_rows,
+                   (SELECT count(DISTINCT o.o_orderkey)
+                      FROM orders o JOIN lineitem l
+                      ON o.o_orderkey = l.l_orderkey)::BIGINT
+                     AS n_matching_keys
         """,
     }
