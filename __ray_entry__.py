@@ -64,7 +64,10 @@ def _round_floats(ds):
 
     def rb(t: pa.Table) -> pa.Table:
         for i, f in enumerate(t.schema):
-            if pa.types.is_floating(f.type):
+            # Ray's pandas→arrow block conversion types an ALL-NaN float
+            # column as arrow `null`; restore it to float64 so degenerate
+            # blocks keep a stable schema (fuzz shape3 regression)
+            if pa.types.is_floating(f.type) or pa.types.is_null(f.type):
                 t = t.set_column(
                     i, f.name,
                     pc.round(pc.cast(t[f.name], pa.float64()), 6,
@@ -6126,10 +6129,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT mx.user_id, mx.n AS n_intervals,
                    round(sqrt((t2 / m - (t1 / m) * (t1 / m)) / 2), 6)
                      AS sd1_s,
-                   round(sqrt(greatest(
-                     2 * (s2 / n - (s1 / n) * (s1 / n))
-                     - (t2 / m - (t1 / m) * (t1 / m)) / 2, 0)), 6)
-                     AS sd2_s
+                   -- greatest() IGNORES NULLs (greatest(NULL,0)=0), so
+                   -- single-interval keys need the explicit NULL branch
+                   CASE WHEN t2 IS NULL THEN NULL
+                        ELSE round(sqrt(greatest(
+                          2 * (s2 / n - (s1 / n) * (s1 / n))
+                          - (t2 / m - (t1 / m) * (t1 / m)) / 2, 0)), 6)
+                   END AS sd2_s
             FROM mx LEFT JOIN md USING (user_id)
         """,
         # pNN count compares EXACT integer µs against the integer

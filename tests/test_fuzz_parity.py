@@ -1,0 +1,88 @@
+"""Randomized differential testing: synthesize small random events
+corpora (including degenerate shapes the fixed sf0.01 corpus never
+exercises — single user, heavy ts ties, constant values) and check a
+spread of oracle-paired queries against their own DuckDB twins on the
+SAME random table.  This reuses the production query + oracle pair
+verbatim — only the input changes — so a pass means the parity holds as
+a property, not as a coincidence of one corpus."""
+
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from conftest import assert_frames_match, to_pdf
+
+# events-only oracle-paired queries cheap enough to fuzz
+QUERIES = [
+    "events_rollup_1h",
+    "events_running_sum",
+    "events_active_users",
+    "events_new_returning",
+    "events_session_conversion",
+    "events_funnel_latency",
+    "events_mase",
+    "events_poincare",
+    "events_hrv",
+    "events_auc_by_user",
+    "events_anova_f",
+    "events_weekly_profile",
+    "events_k_anonymity",
+    "events_priority_sample",
+]
+
+SHAPES = [
+    # (seed, n_rows, n_users, ts tie probability, constant values?)
+    (1, 3000, 40, 0.0, False),
+    (2, 2000, 1, 0.5, False),     # single mega user, many ts ties
+    (3, 1500, 200, 0.0, True),    # constant values (zero variance)
+]
+
+
+def _synth_events(tmpdir: str, seed: int, n: int, users: int,
+                  tie_p: float, const: bool) -> str:
+    rng = np.random.default_rng(seed)
+    ts_us = np.sort(rng.integers(1_700_000_000_000_000,
+                                 1_700_600_000_000_000, n))
+    if tie_p > 0:
+        dup = rng.random(n) < tie_p
+        ts_us[dup] = ts_us[np.maximum(np.flatnonzero(dup) - 1, 0)]
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts_us.astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(1, users + 1, n)),
+        "event_type": pa.array(rng.choice(
+            ["view", "click", "purchase", "signup", "error"], n)),
+        "value": pa.array(np.full(n, 7.25) if const
+                          else np.round(rng.normal(50, 20, n), 2)),
+        "props": pa.array(["{}"] * n),
+    })
+    d = os.path.join(tmpdir, f"fuzz_{seed}")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+@pytest.mark.parametrize("shape", SHAPES, ids=[f"shape{s[0]}" for s in SHAPES])
+@pytest.mark.parametrize("name", QUERIES)
+def test_fuzz_query_matches_oracle(tmp_path_factory, entrymod, shape, name):
+    seed, n, users, tie_p, const = shape
+    base = str(tmp_path_factory.getbasetemp())
+    sf = _synth_events(base, seed, n, users, tie_p, const)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')")
+    actual = to_pdf(entrymod.queries()[name](sf))
+    expected = con.sql(entrymod.oracle_sql()[name]).df()
+    assert_frames_match(actual, expected, atol=0, rtol=0, check_kind=True)
