@@ -32,6 +32,21 @@ QUERIES = [
     "events_weekly_profile",
     "events_k_anonymity",
     "events_priority_sample",
+    "events_cusum",
+    "events_value_delta",
+    "events_percent_rank",
+    "events_burstiness",
+    "events_lag1_autocorr",
+    "events_type_transitions",
+    "events_type_cond_entropy",
+    "events_benford",
+    "events_changepoint",
+    "events_drawdown",
+    "events_mad_per_user",
+    "events_spearman_trend",
+    "events_kendall_tau",
+    "events_mode_type",
+    "events_value_histogram",
 ]
 
 SHAPES = [
