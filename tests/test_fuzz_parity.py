@@ -101,3 +101,82 @@ def test_fuzz_query_matches_oracle(tmp_path_factory, entrymod, shape, name):
     actual = to_pdf(entrymod.queries()[name](sf))
     expected = con.sql(entrymod.oracle_sql()[name]).df()
     assert_frames_match(actual, expected, atol=0, rtol=0, check_kind=True)
+
+
+# ---------------------------------------------------------------------------
+# transcript-op fuzz: random corpora (varying seed/size, incl. heavy ts
+# ties), oracle SQL repointed from the pinned corpus to the fuzz corpus
+# ---------------------------------------------------------------------------
+
+T_QUERIES = ["transcripts_latency_by_hour", "transcripts_duration_stats",
+             "transcripts_prompt_ols", "transcripts_reply_latency"]
+
+
+def _synth_transcripts(tmpdir: str, seed: int, n: int, ties: bool) -> str:
+    rng = np.random.default_rng(seed)
+    n_convs = max(n // 12, 1)
+    conv = np.sort(rng.integers(0, n_convs, n))
+    order = np.zeros(n, dtype=np.int32)
+    for i in range(1, n):
+        order[i] = order[i - 1] + 1 if conv[i] == conv[i - 1] else 0
+    ts = np.sort(rng.integers(1_700_000_000_000_000,
+                              1_700_100_000_000_000, n))
+    if ties:
+        dup = rng.random(n) < 0.4
+        ts[dup] = ts[np.maximum(np.flatnonzero(dup) - 1, 0)]
+    roles = np.where(order % 2 == 0, "user", "assistant").astype(object)
+    tool_rows = rng.random(n) < 0.07
+    roles[tool_rows] = "tool"
+    words = rng.integers(0, 40, n)
+    text = np.array([" ".join(["w"] * int(w)) for w in words], dtype=object)
+    t = pa.table({
+        "conv_id": pa.array([f"c{c}" for c in conv], pa.string()),
+        "turn_idx": pa.array(order, pa.int32()),
+        "role": pa.array(roles, pa.string()),
+        "text": pa.array(text, pa.string()),
+        "tool": pa.array([""] * n, pa.string()),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+    })
+    d = os.path.join(tmpdir, f"tfuzz_{seed}")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, os.path.join(d, "part-0.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("shape", [(11, 2500, False), (12, 1800, True)],
+                         ids=["tshape1", "tshape2-ties"])
+@pytest.mark.parametrize("name", T_QUERIES)
+def test_fuzz_transcript_query_matches_oracle(tmp_path_factory, entrymod,
+                                              shape, name):
+    import re
+
+    seed, n, ties = shape
+    base = str(tmp_path_factory.getbasetemp())
+    d = _synth_transcripts(base, seed, n, ties)
+    sql = entrymod.oracle_sql()[name]
+    # repoint the pinned corpus read at the fuzz corpus
+    sql, n_sub = re.subn(r"read_parquet\('[^']+/\*\.parquet'\)",
+                         f"read_parquet('{d}/*.parquet')", sql)
+    assert n_sub >= 1
+    # the engine side of these queries pins the corpus too — drive the
+    # underlying stage with the fuzz table the same way the query does
+    import ray.data
+
+    from s_tsfe_dl_ray.stages.dialog import (
+        conversation_duration_stats, prompt_response_ols, reply_latency,
+        reply_latency_by_hour)
+
+    ds = ray.data.read_parquet(f"{d}/part-0.parquet")
+    if name == "transcripts_latency_by_hour":
+        out = reply_latency_by_hour(ds, order_by=["ts", "turn_idx"])
+    elif name == "transcripts_duration_stats":
+        out = conversation_duration_stats(ds)
+    elif name == "transcripts_prompt_ols":
+        out = prompt_response_ols(ds)
+    else:
+        out = reply_latency(ds, conv_col="conv_id", ts_col="ts",
+                            order_by=["ts", "turn_idx"])
+    con = duckdb.connect()
+    actual = to_pdf(entrymod._round_floats(out))
+    expected = con.sql(sql).df()
+    assert_frames_match(actual, expected, atol=0, rtol=0, check_kind=True)
