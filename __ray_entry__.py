@@ -2844,6 +2844,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return join_size(orders, lineitem,
                          left_on="o_orderkey", right_on="l_orderkey")
 
+    def q_docs_curation_job(sf):
+        """Durable resumable docs-curation job (quality→lang→exact
+        dedup with per-bucket lineage manifests) — runs into /tmp,
+        reruns skip finished buckets, result == the streaming prep
+        pipeline so it shares that oracle
+        (pipelines/docs_job.DocsCurationJob)."""
+        import hashlib as _hl
+
+        import ray.data
+
+        from s_tsfe_dl_ray.pipelines.docs_job import DocsCurationJob
+
+        tag = _hl.md5(sf.encode()).hexdigest()[:10]
+        out = f"/tmp/s_tsfe_dl_ray_docs_job_{tag}"
+        DocsCurationJob(f"{sf}/documents.parquet", out, n_buckets=8).run()
+        ds = ray.data.read_parquet(f"{out}/curated")
+        return _round_floats(ds.sort("doc_id"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3096,6 +3114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hrv": q_events_hrv,
         "transcripts_duration_stats": q_transcripts_duration_stats,
         "orders_lineitem_join_size": q_orders_lineitem_join_size,
+        "docs_curation_job": q_docs_curation_job,
     }
 
 
@@ -6170,6 +6189,32 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(dur_us, 0.5) AS p50_us,
                    quantile_disc(dur_us, 0.95) AS p95_us
             FROM c
+        """,
+"docs_curation_job": f"""
+            WITH c AS (
+              SELECT doc_id, text,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                     {lang_cases}
+                     regexp_matches(text, '[一-鿿]') AS has_cjk
+              FROM documents
+            ), q AS (
+              SELECT doc_id, text, n_tokens,
+                     greatest(least(1 - 2.0 * (n_punct::DOUBLE / greatest(n_chars, 1)), 1), 0)
+                       * least(n_tokens / 32.0, 1) AS quality,
+                     CASE WHEN has_cjk THEN 'zh'
+                          WHEN {lang_max} = 0 THEN 'und'
+                          WHEN ({lang_ties}) > 1 THEN 'und'
+                          {lang_pick}
+                     END AS lang_pred
+              FROM c
+            )
+            SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+                   round(min(quality), 6) AS quality, min(lang_pred) AS lang_pred
+            FROM q WHERE quality >= 0.35 AND lang_pred = 'en'
+            GROUP BY md5(text)
         """,
         "orders_lineitem_join_size": """
             SELECT (SELECT count(*) FROM orders)::BIGINT AS n_left,

@@ -1,0 +1,84 @@
+"""DocsCurationJob: correctness vs the streaming prep pipeline, byte-
+identical reruns, resume-skips-finished-buckets, and lineage guards."""
+
+import glob
+import hashlib
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from conftest import SF_CHECK
+
+DOCS = f"{SF_CHECK}/documents.parquet"
+
+
+def _read_curated(out_dir: str) -> pd.DataFrame:
+    parts = sorted(glob.glob(os.path.join(out_dir, "curated", "*.parquet")))
+    return (
+        pd.concat([pq.read_table(p).to_pandas() for p in parts])
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _tree_hash(out_dir: str) -> dict:
+    return {
+        os.path.relpath(p, out_dir):
+        hashlib.sha256(open(p, "rb").read()).hexdigest()
+        for p in sorted(glob.glob(os.path.join(out_dir, "curated", "*")))
+    }
+
+
+def test_docs_job_matches_streaming_prep_and_resumes(tmp_path):
+    from s_tsfe_dl_ray.pipelines.docs_job import DocsCurationJob
+    from s_tsfe_dl_ray.pipelines.docs_prep import prep_documents
+
+    out = str(tmp_path / "run1")
+    job = DocsCurationJob(DOCS, out, n_buckets=8)
+    s1 = job.run()
+    assert s1["buckets_written"] == 8 and s1["buckets_skipped"] == 0
+
+    curated = _read_curated(out)
+    ref = (
+        prep_documents(DOCS).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    cols = ["doc_id", "n_tokens", "quality", "lang_pred"]
+    pd.testing.assert_frame_equal(curated[cols], ref[cols],
+                                  check_dtype=False)
+
+    # second run: everything skipped, tree untouched
+    h1 = _tree_hash(out)
+    s2 = DocsCurationJob(DOCS, out, n_buckets=8).run()
+    assert s2["buckets_written"] == 0 and s2["buckets_skipped"] == 8
+    assert s2["rows"] == s1["rows"]
+    assert _tree_hash(out) == h1
+
+    # delete one bucket's shard+manifest: only that bucket recomputes,
+    # and its bytes come back identical
+    os.remove(os.path.join(out, "curated", "bucket=3.parquet"))
+    os.remove(os.path.join(out, "_manifest", "bucket=00003.json"))
+    s3 = DocsCurationJob(DOCS, out, n_buckets=8).run()
+    assert s3["buckets_written"] == 1 and s3["buckets_skipped"] == 7
+    assert _tree_hash(out) == h1
+
+    # changed parameters refuse to mix with the existing lineage
+    with pytest.raises(RuntimeError, match="different curation parameters"):
+        DocsCurationJob(DOCS, out, n_buckets=8, min_quality=0.9).run()
+    with pytest.raises(RuntimeError, match="n_buckets|curation parameters"):
+        DocsCurationJob(DOCS, out, n_buckets=4).run()
+
+
+def test_docs_job_empty_buckets_get_manifests(tmp_path):
+    from s_tsfe_dl_ray.pipelines.docs_job import DocsCurationJob
+
+    out = str(tmp_path / "strict")
+    # absurd quality bar: everything filtered, every bucket legitimately
+    # empty — and the rerun must SKIP all of them
+    job = DocsCurationJob(DOCS, out, n_buckets=4, min_quality=2.0)
+    s1 = job.run()
+    assert s1["rows"] == 0 and s1["buckets_written"] == 4
+    s2 = DocsCurationJob(DOCS, out, n_buckets=4, min_quality=2.0).run()
+    assert s2["buckets_written"] == 0 and s2["buckets_skipped"] == 4
