@@ -82,3 +82,42 @@ def test_docs_job_empty_buckets_get_manifests(tmp_path):
     assert s1["rows"] == 0 and s1["buckets_written"] == 4
     s2 = DocsCurationJob(DOCS, out, n_buckets=4, min_quality=2.0).run()
     assert s2["buckets_written"] == 0 and s2["buckets_skipped"] == 4
+
+
+def test_cli_entrypoints(tmp_path):
+    """`python -m s_tsfe_dl_ray {rollup,curate}` run end-to-end in a
+    fresh process (the `ray job submit` surface) and print ONE JSON
+    summary line; a second submit resumes by skipping buckets."""
+    import json
+    import subprocess
+    import sys
+
+    from s_tsfe_dl_ray.synth import transcripts_parquet
+
+    corpus = transcripts_parquet(n_turns=5_000, seed=7)
+    out = str(tmp_path / "cli_rollup")
+    cmd = [sys.executable, "-m", "s_tsfe_dl_ray", "rollup",
+           "--input", corpus, "--out", out, "--n-buckets", "4"]
+    r1 = subprocess.run(cmd, capture_output=True, text=True,
+                        cwd="/root/repo", timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert s1["newly_written"] >= 1 and s1["skipped"] == 0
+    r2 = subprocess.run(cmd, capture_output=True, text=True,
+                        cwd="/root/repo", timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["newly_written"] == 0 and s2["skipped"] == 4
+
+    outc = str(tmp_path / "cli_curate")
+    cmdc = [sys.executable, "-m", "s_tsfe_dl_ray", "curate",
+            "--input", DOCS, "--out", outc, "--n-buckets", "4"]
+    rc = subprocess.run(cmdc, capture_output=True, text=True,
+                        cwd="/root/repo", timeout=300)
+    assert rc.returncode == 0, rc.stderr[-2000:]
+    sc = json.loads(rc.stdout.strip().splitlines()[-1])
+    assert sc["buckets_written"] == 4
+    rc2 = subprocess.run(cmdc, capture_output=True, text=True,
+                         cwd="/root/repo", timeout=300)
+    sc2 = json.loads(rc2.stdout.strip().splitlines()[-1])
+    assert sc2["buckets_written"] == 0 and sc2["buckets_skipped"] == 4
