@@ -54,25 +54,38 @@ SHAPES = [
     (1, 3000, 40, 0.0, False),
     (2, 2000, 1, 0.5, False),     # single mega user, many ts ties
     (3, 1500, 200, 0.0, True),    # constant values (zero variance)
+    (4, 1200, 30, 0.2, False),    # everything inside ONE hour, heavy ties
 ]
 
 
 def _synth_events(tmpdir: str, seed: int, n: int, users: int,
                   tie_p: float, const: bool) -> str:
     rng = np.random.default_rng(seed)
+    # span ~1 week (or 1 hour for shape4): keeps interarrival magnitudes
+    # ≤ ~1e6 s — beyond that, 6-decimal rounding of a std needs > 15
+    # significant digits, which NEITHER side's float64 summation order
+    # can guarantee (documented capacity boundary, not an engine bug)
+    span = 3_600_000_000 if seed == 4 else 604_800_000_000
     ts_us = np.sort(rng.integers(1_700_000_000_000_000,
-                                 1_700_600_000_000_000, n))
+                                 1_700_000_000_000_000 + span, n))
     if tie_p > 0:
         dup = rng.random(n) < tie_p
         ts_us[dup] = ts_us[np.maximum(np.flatnonzero(dup) - 1, 0)]
     t = pa.table({
+        # event_id is the PK the (ts, event_id) tiebreak contract assumes
+        # unique — duplicate ids are out of contract, so not fuzzed
         "event_id": pa.array(np.arange(n, dtype=np.int64)),
         "ts": pa.array(ts_us.astype("datetime64[us]")),
         "user_id": pa.array(rng.integers(1, users + 1, n)),
         "event_type": pa.array(rng.choice(
             ["view", "click", "purchase", "signup", "error"], n)),
+        # full-precision doubles: 2-decimal values make window means land
+        # EXACTLY on x.xxxxxx5 half-boundaries, where the 6-decimal round
+        # direction depends on the last bit of the (order-dependent) float
+        # sum — an inherent knife edge the engine's money paths avoid with
+        # int cents, and not a parity property worth asserting
         "value": pa.array(np.full(n, 7.25) if const
-                          else np.round(rng.normal(50, 20, n), 2)),
+                          else rng.normal(50, 20, n)),
         "props": pa.array(["{}"] * n),
     })
     d = os.path.join(tmpdir, f"fuzz_{seed}")
