@@ -193,3 +193,79 @@ def test_fuzz_transcript_query_matches_oracle(tmp_path_factory, entrymod,
     actual = to_pdf(entrymod._round_floats(out))
     expected = con.sql(sql).df()
     assert_frames_match(actual, expected, atol=0, rtol=0, check_kind=True)
+
+
+# ---------------------------------------------------------------------------
+# docs-text fuzz: adversarial text shapes (empties, whitespace runs,
+# punctuation salad, unicode incl. CJK/accents) against the RE2 twins
+# ---------------------------------------------------------------------------
+
+D_QUERIES = [
+    "docs_token_stats",
+    "docs_quality",
+    "docs_lang_id",
+    "docs_normalize",
+    "docs_token_entropy",
+    "docs_lexical_diversity",
+    "docs_vocab_stats",
+    "docs_zipf_slope",
+    "docs_bigram_top20",
+    "docs_exact_dedup",
+]
+
+_WORDS = ["the", "fast", "data", "merge", "la", "le", "und", "der",
+          "el", "los", "a", "de"]
+_PUNCT = [",", ".", "!!", "?", ";;", "(", ")", "--", "\"", "'"]
+_UNICODE = ["héllo", "naïve", "Ωμέγα", "数据", "处理", "émigré", "ß"]
+
+
+def _synth_docs(tmpdir: str, seed: int, unicode_heavy: bool) -> str:
+    rng = np.random.default_rng(seed)
+    texts = []
+    for i in range(400):
+        kind = rng.integers(0, 10)
+        if kind == 0:
+            texts.append("")                       # empty
+        elif kind == 1:
+            texts.append("   ")                    # whitespace only
+        elif kind == 2:
+            texts.append(" ".join(rng.choice(_PUNCT, 12)))  # punct salad
+        else:
+            pool = _WORDS + (_UNICODE if unicode_heavy else [])
+            n_w = int(rng.integers(1, 60))
+            toks = list(rng.choice(pool, n_w))
+            if rng.random() < 0.3:                 # inject punctuation
+                toks.insert(0, rng.choice(_PUNCT))
+            texts.append(" ".join(toks))
+    # planted duplicates for the dedup pair
+    texts[5] = texts[3]
+    texts[7] = texts[3]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(400, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 400, pa.string()),
+        "source": pa.array([f"src{i % 4}" for i in range(400)], pa.string()),
+        "n_chars": pa.array(np.array([len(x) for x in texts],
+                                     dtype=np.int64)),
+    })
+    d = os.path.join(tmpdir, f"dfuzz_{seed}")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("shape", [(21, False), (22, True)],
+                         ids=["dshape-ascii", "dshape-unicode"])
+@pytest.mark.parametrize("name", D_QUERIES)
+def test_fuzz_docs_query_matches_oracle(tmp_path_factory, entrymod,
+                                        shape, name):
+    seed, uheavy = shape
+    base = str(tmp_path_factory.getbasetemp())
+    sf = _synth_docs(base, seed, uheavy)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')")
+    actual = to_pdf(entrymod.queries()[name](sf))
+    expected = con.sql(entrymod.oracle_sql()[name]).df()
+    assert_frames_match(actual, expected, atol=0, rtol=0, check_kind=True)
