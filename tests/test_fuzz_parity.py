@@ -269,3 +269,59 @@ def test_fuzz_docs_query_matches_oracle(tmp_path_factory, entrymod,
     actual = to_pdf(entrymod.queries()[name](sf))
     expected = con.sql(entrymod.oracle_sql()[name]).df()
     assert_frames_match(actual, expected, atol=0, rtol=0, check_kind=True)
+
+
+# ---------------------------------------------------------------------------
+# embeddings fuzz: zero vectors, planted exact duplicates, extreme scales
+# ---------------------------------------------------------------------------
+
+E_QUERIES = [
+    "emb_quantize_error",
+    "emb_norm_stats",
+    "emb_label_centroids",
+    "emb_knn_top10",
+    "emb_neardup_04",
+    "emb_cosine_centroid",
+]
+
+
+def _synth_emb(tmpdir: str, seed: int, hard: bool) -> str:
+    rng = np.random.default_rng(seed)
+    n, d = 250, 16
+    x = rng.normal(0, 1, (n, d)).astype(np.float32)
+    if hard:
+        # degenerate vectors live OUTSIDE the default query-id range
+        # (first 10 ids): a zero vector's cosine is undefined and the
+        # two sides pick different conventions (engine 0, DuckDB -1) —
+        # as a NEIGHBOR it ranks below top-k either way, so parity
+        # still exercises it in every distance computation
+        x[100] = 0.0                     # zero vector (zero norm)
+        x[101] = x[2]                    # exact duplicate of a query
+        x[102] = x[2] * 1000.0           # same direction, huge scale
+        x[103] = np.full(d, 1e-8, np.float32)  # near-zero norm
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(x)),
+        "label": pa.array((np.arange(n) % 5).astype(np.int32)),
+    })
+    dd = os.path.join(tmpdir, f"efuzz_{seed}")
+    os.makedirs(dd, exist_ok=True)
+    pq.write_table(t, os.path.join(dd, "embeddings.parquet"))
+    return dd
+
+
+@pytest.mark.parametrize("shape", [(31, False), (32, True)],
+                         ids=["eshape-random", "eshape-degenerate"])
+@pytest.mark.parametrize("name", E_QUERIES)
+def test_fuzz_emb_query_matches_oracle(tmp_path_factory, entrymod,
+                                       shape, name):
+    seed, hard = shape
+    base = str(tmp_path_factory.getbasetemp())
+    sf = _synth_emb(base, seed, hard)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')")
+    actual = to_pdf(entrymod.queries()[name](sf))
+    expected = con.sql(entrymod.oracle_sql()[name]).df()
+    assert_frames_match(actual, expected, atol=0, rtol=0, check_kind=True)
