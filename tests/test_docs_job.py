@@ -121,3 +121,20 @@ def test_cli_entrypoints(tmp_path):
                          cwd="/root/repo", timeout=300)
     sc2 = json.loads(rc2.stdout.strip().splitlines()[-1])
     assert sc2["buckets_written"] == 0 and sc2["buckets_skipped"] == 4
+
+
+def test_docs_job_refuses_changed_input(tmp_path):
+    """Lineage identity is the FRAGMENT LIST (immutable-data-lake
+    assumption, same as the transcript job): a new shard appearing in
+    the input directory must refuse to mix with the old manifests."""
+    from s_tsfe_dl_ray.pipelines.docs_job import DocsCurationJob
+
+    src_dir = tmp_path / "input"
+    src_dir.mkdir()
+    shutil.copy(DOCS, src_dir / "part-0.parquet")
+    out = str(tmp_path / "out")
+    DocsCurationJob(str(src_dir), out, n_buckets=4).run()
+    t = pq.read_table(src_dir / "part-0.parquet")
+    pq.write_table(t.slice(0, 10), src_dir / "part-1.parquet")
+    with pytest.raises(RuntimeError, match="different input fragments"):
+        DocsCurationJob(str(src_dir), out, n_buckets=4).run()
