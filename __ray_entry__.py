@@ -2862,6 +2862,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(f"{out}/curated")
         return _round_floats(ds.sort("doc_id"))
 
+    def q_emb_knn_ivf_pq(sf):
+        """IVF-PQ approximate top-10 cosine neighbors — the last rung of
+        the ANN ladder (stages/similarity.knn_ivf_pq).  Rows-only:
+        PQ scores are approximations; tests/test_similarity.py pins
+        recall and score fidelity against brute force."""
+        from s_tsfe_dl_ray.stages.similarity import knn_ivf_pq
+
+        emb = read_table(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+        return _round_floats(knn_ivf_pq(emb, n_queries=10, k=10,
+                                        n_clusters=8, nprobe=4))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3115,6 +3127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_duration_stats": q_transcripts_duration_stats,
         "orders_lineitem_join_size": q_orders_lineitem_join_size,
         "docs_curation_job": q_docs_curation_job,
+        "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
 

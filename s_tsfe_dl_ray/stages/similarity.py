@@ -1143,3 +1143,150 @@ def pq_distortion(
 
     return sel.map_batches(score, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+class _IvfPqScorer:
+    """Actor: coarse centroids + per-subspace PQ codebooks + query matrix
+    broadcast once; per batch, probed-list rows are scored against their
+    PQ RECONSTRUCTION (asymmetric distance by reconstruction — the query
+    stays exact, the corpus side is m bytes/vector)."""
+
+    def __init__(self, state_ref, k: int, id_col: str, emb_col: str,
+                 nprobe: int):
+        import ray
+
+        self.qids, qmat, self.cent, self.books = ray.get(state_ref)
+        self.qmat = _l2_normalize(qmat)
+        sims = self.qmat @ self.cent.T
+        self.probes = np.argsort(-sims, axis=1)[:, :nprobe]
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.m, self.n_codes, self.sub = self.books.shape
+
+    def _reconstruct(self, x: np.ndarray) -> np.ndarray:
+        out = np.empty_like(x)
+        for j in range(self.m):
+            xs = x[:, j * self.sub:(j + 1) * self.sub]
+            cb = self.books[j]
+            d2 = ((xs * xs).sum(1)[:, None] + (cb * cb).sum(1)[None, :]
+                  - 2.0 * (xs @ cb.T))
+            out[:, j * self.sub:(j + 1) * self.sub] = cb[d2.argmin(axis=1)]
+        return out
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _l2_normalize(_stack_embeddings(batch, self.emb_col))
+        ids = batch[self.id_col].to_numpy()
+        assign = (mat @ self.cent.T).argmax(axis=1)
+        recon = _l2_normalize(self._reconstruct(mat))
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(self.qids):
+            mask = np.isin(assign, self.probes[qi])
+            if not mask.any():
+                continue
+            row = self.qmat[qi] @ recon[mask].T
+            sub_ids = ids[mask]
+            k = min(self.k + 1, len(row))
+            idx = _partial_topk(row, k)
+            out_q.extend([qid] * len(idx))
+            out_n.extend(sub_ids[idx])
+            out_c.extend(row[idx])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                             "cosine_pq": out_c})
+
+
+def knn_ivf_pq(
+    ds: Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    n_queries: int = 10,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 32,
+    concurrency: int | tuple[int, int] = (1, 16),
+) -> Dataset:
+    """IVF-PQ approximate cosine top-k — the last rung of the engine's
+    ANN ladder (brute → IVF → IVF-PQ): coarse quantizer prunes the
+    corpus to ``nprobe`` lists, product quantization compresses each
+    candidate to ``m`` bytes, and scoring runs against the PQ
+    reconstruction (asymmetric: the query stays exact).  At 100 TB this
+    is what makes the candidate set RAM-resident (d·4 bytes → m per
+    vector); scores are approximations, so the output column is
+    ``cosine_pq``, not ``cosine`` — recall and score fidelity are
+    pinned by tests, never assumed.
+
+    Both codebooks fit driver-side on ONE bounded seeded sample
+    (corpus-size-independent, the knn_ivf discipline) and broadcast via
+    ``ray.put``; one distributed scoring pass, tiny per-query merge.
+    """
+    import ray
+
+    sel = ds.select_columns([id_col, emb_col])
+    target = max(50 * n_clusters, 4 * n_clusters, 20 * n_codes)
+    cnt = sel.count()
+    frac = min(1.0, target / max(cnt, 1))
+    sample = (
+        sel.random_sample(frac, seed=42).to_pandas()
+        if frac < 1.0 else sel.to_pandas()
+    ).sort_values(id_col)
+    if len(sample) < max(n_clusters, n_codes):
+        sample = sel.to_pandas().sort_values(id_col).head(max(n_clusters, target))
+    mat = _l2_normalize(_stack_embeddings(sample, emb_col))
+    d = mat.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    cent = _kmeans_fit(mat, n_clusters)
+    sub = d // m
+
+    def _fit_book(xs: np.ndarray) -> np.ndarray:
+        cb = xs[:min(n_codes, len(xs))].copy()
+        if len(cb) < n_codes:  # degenerate tiny sample: pad by repetition
+            cb = np.concatenate([cb] * (n_codes // len(cb) + 1))[:n_codes]
+        for _ in range(10):
+            d2 = ((xs * xs).sum(1)[:, None] + (cb * cb).sum(1)[None, :]
+                  - 2.0 * (xs @ cb.T))
+            a = d2.argmin(axis=1)
+            for c in range(n_codes):
+                mem = xs[a == c]
+                if len(mem):
+                    cb[c] = mem.mean(axis=0)
+        return cb
+
+    books = np.stack([
+        _fit_book(mat[:, j * sub:(j + 1) * sub]) for j in range(m)
+    ])
+
+    if query_ids is not None:
+        import pyarrow.compute as pc
+
+        qarr = pa.array(list(query_ids))
+        q = sel.map_batches(
+            lambda t: t.filter(pc.is_in(t[id_col], value_set=qarr)),
+            batch_format="pyarrow",
+        ).to_pandas().sort_values(id_col)
+    else:
+        q = sel.limit(n_queries).to_pandas().sort_values(id_col)
+    state_ref = ray.put((q[id_col].to_numpy(),
+                         _stack_embeddings(q, emb_col), cent, books))
+    partials = ds.map_batches(
+        _IvfPqScorer,
+        fn_constructor_kwargs={
+            "state_ref": state_ref, "k": k, "id_col": id_col,
+            "emb_col": emb_col, "nprobe": nprobe,
+        },
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+    def topk_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.query_id != g.neighbor_id]
+        g = g.sort_values(["cosine_pq", "neighbor_id"],
+                          ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return partials.groupby("query_id").map_groups(
+        topk_group, batch_format="pandas")

@@ -301,3 +301,39 @@ def test_pq_distortion_planted_and_monotone():
                                sample_size=400).to_pandas()["pq_mse_e6"].mean()
     assert mse[16] < mse[2]
     assert mse[16] > 0
+
+
+def test_knn_ivf_pq_recall_and_planted_neighbors():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.similarity import knn_bruteforce, knn_ivf_pq
+
+    rng = np.random.default_rng(13)
+    # planted: each of the 10 query vectors has 3 tight neighbors
+    base = rng.standard_normal((200, 32))
+    rows = [{"vec_id": i, "embedding": base[i].astype(np.float64)}
+            for i in range(200)]
+    nid = 500
+    for q in range(10):
+        for _ in range(3):
+            rows.append({"vec_id": nid,
+                         "embedding": base[q] + rng.standard_normal(32) * 0.05})
+            nid += 1
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df)
+    exact = to_pdf(knn_bruteforce(ds, query_ids=list(range(10)), k=3))
+    approx = to_pdf(knn_ivf_pq(
+        ray.data.from_pandas(df), query_ids=list(range(10)), k=3,
+        n_clusters=8, nprobe=4, m=8, n_codes=32))
+    # the planted near-identical neighbors survive PQ compression
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, recall
+    # scores are PQ approximations of true cosines: close, not equal
+    merged = approx.merge(
+        exact, on=["query_id", "neighbor_id"])
+    assert np.abs(merged.cosine_pq - merged.cosine).max() < 0.2
