@@ -900,3 +900,246 @@ def q22_global_sales_opportunity(
         })
 
     return agg.map_batches(fin, batch_format="pyarrow").sort("cntrycode")
+
+
+def q5_local_supplier_volume(
+    sf_dir: str,
+    *,
+    region: str = "ASIA",
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Local-supplier revenue per nation (TPC-H Q5 skeleton): lineitems
+    whose customer AND supplier sit in the same nation of ``region``,
+    orders placed in the date window; revenue summed per nation.
+
+    Join strategy for 100 TB: the two BIG joins (lineitem⋈orders on
+    orderkey, +customer on custkey) run partitioned; customers are
+    pre-filtered to the region's nations (a tiny broadcast `isin` pushed
+    into the parquet scan) so the customer side of the second join only
+    carries the region's rows; the result folds to
+    (c_nationkey, l_suppkey) partial sums BEFORE the supplier join, so
+    the supplier exchange carries at most |nations|×|suppliers| rows
+    regardless of lineitem count; the same-nation predicate and the
+    25-row nation name lookup run on that folded table.
+    Output: ``n_name, revenue`` (revenue desc).
+
+    Reference analog: multi-source alignment in
+    /root/reference/TSFEDL/data.py:99-154 (signals + annotations joined
+    on record id before windowing) — here the star schema's three-way
+    fact⋈dimension alignment.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    rkeys = {k for k, n in zip(reg["r_regionkey"].to_pylist(),
+                               reg["r_name"].to_pylist()) if n == region}
+    region_nations = [int(k) for k, r in zip(nat["n_nationkey"].to_pylist(),
+                                             nat["n_regionkey"].to_pylist())
+                      if int(r) in rkeys]
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda t: _revenue_i(t, ["l_orderkey", "l_suppkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= _ts(date_from))
+        & (pads.field("o_orderdate") < _ts(date_to)))
+    j1 = hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey",
+                   num_partitions=num_partitions)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
+        filter=pads.field("c_nationkey").isin(region_nations))
+    j2 = hash_join(j1, cust, left_on="o_custkey", right_on="c_custkey",
+                   num_partitions=num_partitions)
+    folded = grouped_aggregate(
+        j2, keys=["c_nationkey", "l_suppkey"],
+        aggs={"revenue_i": ("revenue_i", "sum")},
+        num_partitions=num_partitions)
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    j3 = hash_join(folded, supp, left_on="l_suppkey", right_on="s_suppkey",
+                   num_partitions=num_partitions)
+
+    def local_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["c_nationkey"], t["s_nationkey"]))
+
+    per_nation = grouped_aggregate(
+        j3.map_batches(local_only, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["c_nationkey"], aggs={"revenue_i": ("revenue_i", "sum")},
+        num_partitions=4)
+
+    nkeys = nat["n_nationkey"].to_numpy()
+    names = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    lut = np.empty(int(nkeys.max()) + 1, dtype=object)
+    lut[nkeys] = names
+
+    def fin(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array(lut[nk], pa.string()),
+            "revenue": pc.divide(pc.cast(t["revenue_i"], pa.float64()),
+                                 pa.scalar(10_000.0)),
+        })
+
+    return per_nation.map_batches(fin, batch_format="pyarrow").sort(
+        ["revenue", "n_name"], descending=[True, False])
+
+
+def q9_product_profit(
+    sf_dir: str,
+    *,
+    name_substr: str = "red",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Product-type profit per (supplier nation, order year) — TPC-H Q9
+    adapted to this star schema: no ``partsupp`` table exists, so profit
+    is the discounted revenue ``l_extendedprice*(1-l_discount)`` (the
+    supplycost term is dropped; the join/fold SHAPE is Q9's).
+
+    Shape: the part filter (name substring) becomes a semi join — the
+    lineitem side survives with its own schema, only distinct partkeys
+    cross the exchange; the big lineitem⋈orders join attaches the order
+    year; partials fold to (l_suppkey, o_year) BEFORE the supplier join;
+    the nation name is a broadcast lookup on the folded result.
+    Output: ``n_name, o_year, profit`` (n_name asc, o_year desc).
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=pc.match_substring(pads.field("p_name"), name_substr))
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+    li = semi_join(li, part, left_on="l_partkey", right_on="p_partkey",
+                   num_partitions=num_partitions)
+    li = li.map_batches(
+        lambda t: _revenue_i(t, ["l_orderkey", "l_suppkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    j1 = hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey",
+                   num_partitions=num_partitions)
+
+    def derive_year(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_suppkey": t["l_suppkey"],
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            "revenue_i": t["revenue_i"],
+        })
+
+    folded = grouped_aggregate(
+        j1.map_batches(derive_year, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["l_suppkey", "o_year"],
+        aggs={"revenue_i": ("revenue_i", "sum")},
+        num_partitions=num_partitions)
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    j2 = hash_join(folded, supp, left_on="l_suppkey", right_on="s_suppkey",
+                   num_partitions=num_partitions)
+    per_nation = grouped_aggregate(
+        j2, keys=["s_nationkey", "o_year"],
+        aggs={"revenue_i": ("revenue_i", "sum")},
+        num_partitions=4)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nkeys = nat["n_nationkey"].to_numpy()
+    names = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    lut = np.empty(int(nkeys.max()) + 1, dtype=object)
+    lut[nkeys] = names
+
+    def fin(t: pa.Table) -> pa.Table:
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array(lut[nk], pa.string()),
+            "o_year": t["o_year"],
+            "profit": pc.divide(pc.cast(t["revenue_i"], pa.float64()),
+                                pa.scalar(10_000.0)),
+        })
+
+    return per_nation.map_batches(fin, batch_format="pyarrow").sort(
+        ["n_name", "o_year"], descending=[False, True])
+
+
+def q21_waiting_supplier(
+    sf_dir: str,
+    *,
+    k: int = 10,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Suppliers who kept multi-supplier orders waiting — TPC-H Q21
+    adapted to the available columns: no receipt/commit dates exist, so
+    "the supplier everyone waited on" is the UNIQUE supplier whose line
+    shipped last (strictly latest l_shipdate) in a finished ('F') order
+    that involved more than one supplier.  Q21's EXISTS / NOT EXISTS
+    pair maps onto ``n_supp > 1`` / ``n_at_max == 1``.
+
+    Shape: semi join lineitem⋉F-orders (only distinct orderkeys cross),
+    fold to (orderkey, suppkey, max_ship) pairs — the per-order argmax
+    then runs on the PAIRS table (orders-sized, not lineitem-sized) via
+    one partition-wise vectorized pass keyed by orderkey; blame counts
+    fold per suppkey and the supplier name attaches by one last small
+    join.  Output: ``s_name, numwait`` (numwait desc, s_name asc), top k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.grouped import grouped_apply
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"],
+        filter=pads.field("o_orderstatus") == "F")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    li = semi_join(li, orders, left_on="l_orderkey", right_on="o_orderkey",
+                   num_partitions=num_partitions)
+    pairs = grouped_aggregate(
+        li, keys=["l_orderkey", "l_suppkey"],
+        aggs={"max_ship": ("l_shipdate", "max")},
+        num_partitions=num_partitions)
+
+    def blame(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"l_suppkey": pd.Series([], dtype="int64"),
+                                 "numwait": pd.Series([], dtype="int64")})
+        g = df.groupby("l_orderkey", sort=False)["max_ship"]
+        omax = g.transform("max")
+        n_supp = g.transform("size")
+        at_max = df["max_ship"].eq(omax)
+        n_at_max = at_max.groupby(df["l_orderkey"], sort=False).transform("sum")
+        culprit = df.loc[(n_supp > 1) & (n_at_max == 1) & at_max, "l_suppkey"]
+        out = culprit.value_counts().rename_axis("l_suppkey").reset_index(
+            name="numwait")
+        return out.astype({"l_suppkey": "int64", "numwait": "int64"})
+
+    per_supp_part = grouped_apply(
+        pairs, keys=["l_orderkey"], fn=blame,
+        num_partitions=num_partitions, whole_partition=True)
+    per_supp = grouped_aggregate(
+        per_supp_part, keys=["l_suppkey"],
+        aggs={"numwait": ("numwait", "sum")}, num_partitions=4)
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    named = hash_join(per_supp, supp, left_on="l_suppkey",
+                      right_on="s_suppkey", num_partitions=4)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"s_name": t["s_name"], "numwait": t["numwait"]})
+
+    return named.map_batches(fin, batch_format="pyarrow").sort(
+        ["numwait", "s_name"], descending=[True, False]).limit(k)
