@@ -2898,6 +2898,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return q21_waiting_supplier(sf)
 
+    def q_transcripts_position_profile(sf):
+        """Turn-length drift across conversation position: per (role,
+        position decile) turn count + mean token length — one conv-hash
+        exchange, text folded to int64 before the shuffle
+        (stages/dialog.position_profile)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import position_profile
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "role", "text"])
+        return _round_floats(position_profile(turns))
+
+    def q_emb_dim_variance(sf):
+        """Per-dimension mean + sample variance of the embedding matrix
+        (feature-variance profile) — two-pass centered moments, d-row
+        partials per batch (stages/similarity.dim_moments)."""
+        from s_tsfe_dl_ray.stages.similarity import dim_moments
+
+        emb = read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+        return _round_floats(dim_moments(emb))
+
+    def q_events_gini_users(sf):
+        """Gini coefficient of per-user activity inside each event type —
+        counts fold combiner-side, rank sum exact int64
+        (stages/activity.activity_gini)."""
+        from s_tsfe_dl_ray.stages.activity import activity_gini
+
+        ds = read_events(sf, columns=["event_type", "user_id"])
+        return _round_floats(activity_gini(ds))
+
+    def q_events_record_highs(sf):
+        """All-time-high record statistics per user (count, last record
+        time, standing record) — ordered per-key scan, vectorized
+        shifted cummax (stages/scan.record_highs)."""
+        from s_tsfe_dl_ray.stages.scan import record_highs
+
+        ds = read_events(sf, columns=["event_id", "ts", "user_id", "value"])
+        return _round_floats(record_highs(ds))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3154,6 +3193,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_local_suppliers": q_tpch_q5_local_suppliers,
         "tpch_q9_product_profit": q_tpch_q9_product_profit,
         "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
+        "transcripts_position_profile": q_transcripts_position_profile,
+        "emb_dim_variance": q_emb_dim_variance,
+        "events_gini_users": q_events_gini_users,
+        "events_record_highs": q_events_record_highs,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -5591,6 +5634,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_name, count(*)::BIGINT AS numwait
             FROM blame JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10
+        """,
+        "transcripts_position_profile": f"""
+            WITH t AS (
+              SELECT role, turn_idx, {TOKLEN} AS tok,
+                     count(*) OVER (PARTITION BY conv_id) AS n_conv
+              FROM {T})
+            SELECT role,
+                   least(9, (10 * turn_idx) // n_conv)::BIGINT AS decile,
+                   count(*)::BIGINT AS n_turns,
+                   round(sum(tok)::DOUBLE / count(*), 6) AS mean_tokens
+            FROM t GROUP BY 1, 2 ORDER BY role, decile
+        """,
+        # two-pass centered variance (same recipe as events_skew_kurtosis:
+        # raw power sums cancel catastrophically; dims via
+        # generate_subscripts, 1-based like the Ray side)
+        "emb_dim_variance": """
+            WITH x AS (
+              SELECT generate_subscripts(embedding, 1) AS dim,
+                     unnest(embedding)::DOUBLE AS v
+              FROM embeddings),
+            m AS (
+              SELECT dim, count(*)::BIGINT AS n_vectors,
+                     sum(v) / count(*) AS mean
+              FROM x GROUP BY 1),
+            d AS (
+              SELECT x.dim, x.v - m.mean AS dv, m.n_vectors, m.mean
+              FROM x JOIN m USING (dim))
+            SELECT dim::BIGINT AS dim, min(n_vectors) AS n_vectors,
+                   round(min(mean), 6) AS mean,
+                   round(sum(dv*dv) / (min(n_vectors) - 1), 6) AS variance
+            FROM d GROUP BY dim ORDER BY dim
+        """,
+        # rank-sum Gini: ties need no tie-break (equal values commute in
+        # the rank sum); the expression mirrors the Ray float ops exactly
+        "events_gini_users": """
+            WITH c AS (
+              SELECT event_type, user_id, count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2),
+            r AS (
+              SELECT event_type, n,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY n) AS rn
+              FROM c)
+            SELECT event_type,
+                   count(*)::BIGINT AS n_users,
+                   sum(n)::BIGINT AS total_events,
+                   round((2.0 * sum(rn * n)) / (count(*) * sum(n))
+                         - (count(*) + 1.0) / count(*), 6) AS gini
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "events_record_highs": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     max(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prevmax
+              FROM events)
+            SELECT user_id,
+                   count(*)::BIGINT AS n_events,
+                   (count(*) FILTER (WHERE prevmax IS NULL
+                                     OR value > prevmax))::BIGINT
+                     AS n_records,
+                   max(ts) FILTER (WHERE prevmax IS NULL
+                                   OR value > prevmax) AS last_record_ts,
+                   round(max(value), 6) AS record_value
+            FROM o GROUP BY 1 ORDER BY 1
         """,
         # ---- round-4e wave ----------------------------------------------
         # trigram positions via generate_subscripts; zero-overlap pairs

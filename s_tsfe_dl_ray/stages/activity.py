@@ -265,3 +265,74 @@ def active_users_approx(
         .groupby("_pkey")
         .map_groups(estimate, batch_format="pandas")
     )
+
+
+def activity_gini(
+    ds: Dataset,
+    *,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Gini coefficient of per-key activity inside each group — the
+    inequality summary that complements the HHI concentration op
+    (``events_daily_user_hhi``): HHI asks "is volume dominated by a few
+    keys", Gini asks "how unequal is the whole distribution".
+
+    Shape: one combiner pass folds events to (group, key, n) counts
+    (grouped_aggregate — partials only cross the exchange), then each
+    group's count vector is sorted WITHIN its partition (key-complete
+    co-location) and the classic rank formula folds vectorized:
+
+        G = 2·Σᵢ i·c₍ᵢ₎ / (n·Σc) − (n+1)/n        (c sorted asc, i = 1..n)
+
+    Ties don't disturb the rank sum (swapping equal values leaves
+    Σ i·c₍ᵢ₎ unchanged), so no tie-break is needed and the result is
+    partition-invariant.  The rank sum rides as exact int64; only the
+    final two divisions are float — the oracle mirrors the identical
+    expression, so parity is bit-exact.  Output: ``{group_col},
+    n_users, total_events, gini`` sorted by group.
+    """
+    from ..pipelines.relational import grouped_aggregate
+    from .grouped import grouped_apply
+
+    counts = grouped_aggregate(
+        ds, keys=[group_col, key_col],
+        aggs={"n": (key_col, "count")},
+        num_partitions=num_partitions)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                group_col: pd.Series([], dtype="object"),
+                "n_users": pd.Series([], dtype="int64"),
+                "total_events": pd.Series([], dtype="int64"),
+                "gini": pd.Series([], dtype="float64"),
+            })
+        df = df.sort_values([group_col, "n"], kind="mergesort")
+        g = df.groupby(group_col, sort=False)
+        n = g["n"].transform("size").to_numpy(dtype=np.int64)
+        rank = (df.groupby(group_col, sort=False).cumcount().to_numpy(
+            dtype=np.int64) + 1)
+        c = df["n"].to_numpy(dtype=np.int64)
+        prod = rank * c
+        agg = pd.DataFrame({
+            group_col: df[group_col].to_numpy(),
+            "_s1": prod, "_c": c, "_one": np.ones(len(df), dtype=np.int64),
+        }).groupby(group_col, sort=False, as_index=False).agg(
+            s1=("_s1", "sum"), tot=("_c", "sum"), nu=("_one", "sum"))
+        nn = agg["nu"].to_numpy(dtype=np.float64)
+        tot = agg["tot"].to_numpy(dtype=np.float64)
+        s1 = agg["s1"].to_numpy(dtype=np.float64)
+        gini = (2.0 * s1) / (nn * tot) - (nn + 1.0) / nn
+        return pd.DataFrame({
+            group_col: agg[group_col],
+            "n_users": agg["nu"].astype("int64"),
+            "total_events": agg["tot"].astype("int64"),
+            "gini": gini,
+        })
+
+    return grouped_apply(
+        counts, keys=[group_col], fn=fold,
+        num_partitions=min(num_partitions, 16),
+        whole_partition=True).sort(group_col)

@@ -893,3 +893,87 @@ def conversation_duration_stats(
         .repartition(1)
         .map_batches(fold, batch_format="pandas", batch_size=None)
     )
+
+
+def position_profile(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    n_bins: int = 10,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Turn-length drift across conversation position: per (role,
+    position decile) the turn count and mean whitespace-token length,
+    where a turn's decile is ``min(n_bins-1, n_bins*turn_idx // n_conv)``
+    over its conversation's turn count.
+
+    The decile needs the conversation's total turn count, so this is one
+    conv-hash exchange (the standard key-complete partitioning
+    assumption) carrying only ``(conv_id, turn_idx, role, token_len)`` —
+    text folds to an int64 before the shuffle; each partition folds its
+    (role, decile) partial sums vectorized and a tiny final merge
+    combines ≤ roles×n_bins rows.
+
+    Reference analog: the per-position channel statistics the window
+    generator exposes for model input inspection
+    (/root/reference/TSFEDL/timeseries_batch_generator.py:238-256).
+    Output: ``role, decile, n_turns, mean_tokens`` (role, decile asc).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.derive import token_count
+    from .grouped import grouped_apply
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            conv_col: t[conv_col],
+            "_turn": pc.cast(t[turn_col], pa.int64()),
+            role_col: t[role_col],
+            "_tok": token_count(t[text_col]),
+        })
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "role": pd.Series([], dtype="object"),
+                "decile": pd.Series([], dtype="int64"),
+                "n_turns": pd.Series([], dtype="int64"),
+                "tok_sum": pd.Series([], dtype="int64"),
+            })
+        n_conv = df.groupby(conv_col, sort=False)["_turn"].transform("size")
+        dec = (n_bins * df["_turn"].to_numpy(dtype=np.int64)
+               // n_conv.to_numpy(dtype=np.int64))
+        dec = np.minimum(dec, n_bins - 1)
+        out = (pd.DataFrame({
+            "role": df[role_col].to_numpy(),
+            "decile": dec,
+            "n_turns": 1,
+            "tok_sum": df["_tok"].to_numpy(dtype=np.int64),
+        }).groupby(["role", "decile"], sort=False, as_index=False)
+            .agg(n_turns=("n_turns", "sum"), tok_sum=("tok_sum", "sum")))
+        return out
+
+    partials = grouped_apply(
+        ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
+        keys=[conv_col], fn=fold, num_partitions=num_partitions,
+        whole_partition=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        m = t.group_by(["role", "decile"], use_threads=False).aggregate(
+            [("n_turns", "sum"), ("tok_sum", "sum")])
+        n = pc.cast(m["n_turns_sum"], pa.float64())
+        s = pc.cast(m["tok_sum_sum"], pa.float64())
+        return pa.table({
+            "role": m["role"],
+            "decile": m["decile"],
+            "n_turns": m["n_turns_sum"],
+            "mean_tokens": pc.divide(s, n),
+        })
+
+    return (partials.repartition(1)
+            .map_batches(finish, batch_format="pyarrow")
+            .sort(["role", "decile"]))

@@ -606,3 +606,70 @@ def cusum(
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(scan_partition, batch_format="pandas")
+
+
+def record_highs(
+    ds: Dataset,
+    *,
+    key_col: str = "user_id",
+    order_by: list[str] | None = None,
+    value_col: str = "value",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Record statistics per key: how many events set a new all-time
+    high (value strictly above the running max of all PRIOR events in
+    ``order_by`` order; the first event is a record by definition), when
+    the last record fell, and the standing record value.
+
+    One key-hash exchange (key-complete co-location), then everything
+    is vectorized across keys in each partition: stable sort by (key,
+    order), per-key shifted ``cummax``, boolean fold.  Same salting
+    escape hatch as the other ordered scans for pathological hot keys.
+
+    Record counts grow ~ln(n) for exchangeable series, so a key whose
+    record count tracks its event count is trending — the cheap
+    monotonic-drift probe next to the heavier CUSUM/changepoint ops.
+
+    Reference analog: the running peak detection inside the reference's
+    R-peak segmenting loop (/root/reference/TSFEDL/data.py:50-76).
+    Output: ``{key_col}, n_events, n_records, last_record_ts,
+    record_value``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .grouped import grouped_apply
+
+    order_by = order_by or ["ts", "event_id"]
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype="object"),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_records": pd.Series([], dtype="int64"),
+                "last_record_ts": pd.Series([], dtype="datetime64[us]"),
+                "record_value": pd.Series([], dtype="float64"),
+            })
+        df = df.sort_values([key_col, *order_by], kind="mergesort")
+        g = df.groupby(key_col, sort=False)
+        # shifted per-key cummax without a per-key Python crossing:
+        # cython GroupBy.cummax, global shift, first-row-of-key mask
+        prevmax = g[value_col].cummax().shift(1)
+        first = df[key_col].ne(df[key_col].shift(1)).to_numpy()
+        v = df[value_col].to_numpy(dtype=np.float64)
+        is_rec = first | (v > prevmax.to_numpy(dtype=np.float64))
+        out = pd.DataFrame({
+            key_col: df[key_col].to_numpy(),
+            "_one": np.ones(len(df), dtype=np.int64),
+            "_rec": is_rec.astype(np.int64),
+            "_rts": df[order_by[0]].where(is_rec),
+            "_val": v,
+        }).groupby(key_col, sort=False, as_index=False).agg(
+            n_events=("_one", "sum"), n_records=("_rec", "sum"),
+            last_record_ts=("_rts", "max"), record_value=("_val", "max"))
+        return out.rename(columns={out.columns[0]: key_col})
+
+    return grouped_apply(
+        ds, keys=[key_col], fn=fold, num_partitions=num_partitions,
+        whole_partition=True).sort(key_col)

@@ -1290,3 +1290,87 @@ def knn_ivf_pq(
 
     return partials.groupby("query_id").map_groups(
         topk_group, batch_format="pandas")
+
+
+def dim_moments(
+    ds: Dataset,
+    *,
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Per-dimension mean and sample variance of the embedding matrix —
+    the feature-variance profile that drives dimension pruning /
+    whitening decisions (which dims carry signal, which are dead).
+
+    Two-pass centered moments (NOT E[x²]−E[x]² — cancellation there
+    flips the 6th decimal, the same hazard documented on the
+    skew/kurtosis op): pass 1 folds per-batch (sum, n) partials per
+    dimension — d rows per batch regardless of batch size — and the
+    d-length mean vector (bounded: one float per dimension) broadcasts
+    into pass 2, which folds Σ(x−mean)² partials the same way.
+    Embeddings never cross an exchange; both passes stream.
+
+    ``dim`` is 1-based to match SQL list indexing (oracle:
+    ``avg/sum over generate_subscripts``).  Output: ``dim, n_vectors,
+    mean, variance`` (variance = m2/(n−1), NULL for n<2) sorted by dim.
+
+    Reference analog: the per-channel BatchNorm statistics every
+    architecture fits over its input (TSFEDL/blocks_keras.py:96-118) —
+    here as a standalone corpus profile.
+    """
+    import ray
+    import ray.data
+
+    def p1(t: pa.Table) -> pa.Table:
+        vecs = t[vec_col].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "_s": pa.array([], pa.float64()),
+                             "_n": pa.array([], pa.int64())})
+        flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(vecs[0])
+        mat = flat.reshape(t.num_rows, d)
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "_s": pa.array(mat.sum(axis=0)),
+            "_n": pa.array(np.full(d, t.num_rows, dtype=np.int64)),
+        })
+
+    part1 = ds.map_batches(p1, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    g = part1.groupby("dim", sort=True).agg(_s=("_s", "sum"), _n=("_n", "sum"))
+    means = (g["_s"] / g["_n"]).to_numpy()
+    n_total = int(g["_n"].iloc[0]) if len(g) else 0
+    mean_ref = ray.put(means)
+
+    def p2(t: pa.Table) -> pa.Table:
+        import ray
+
+        mu = ray.get(mean_ref)
+        vecs = t[vec_col].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "_m2": pa.array([], pa.float64())})
+        flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(vecs[0])
+        dev = flat.reshape(t.num_rows, d) - mu[None, :]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "_m2": pa.array((dev * dev).sum(axis=0)),
+        })
+
+    part2 = ds.map_batches(p2, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    m2 = part2.groupby("dim", sort=True)["_m2"].sum()
+
+    out = pd.DataFrame({
+        "dim": g.index.to_numpy(dtype=np.int64),
+        "n_vectors": g["_n"].to_numpy(dtype=np.int64),
+        "mean": means,
+        "variance": (m2.to_numpy() / (n_total - 1)) if n_total > 1
+        else np.full(len(g), np.nan),
+    })
+    return ray.data.from_pandas(out) if len(out) else ray.data.from_pandas(
+        pd.DataFrame({"dim": pd.Series([], dtype="int64"),
+                      "n_vectors": pd.Series([], dtype="int64"),
+                      "mean": pd.Series([], dtype="float64"),
+                      "variance": pd.Series([], dtype="float64")}))

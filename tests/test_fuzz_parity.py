@@ -47,6 +47,8 @@ QUERIES = [
     "events_kendall_tau",
     "events_mode_type",
     "events_value_histogram",
+    "events_gini_users",
+    "events_record_highs",
 ]
 
 SHAPES = [
