@@ -2937,6 +2937,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_events(sf, columns=["event_id", "ts", "user_id", "value"])
         return _round_floats(record_highs(ds))
 
+    def q_events_stl_strength(sf):
+        """MA-detrended STL-lite per event type: seasonal/trend strength
+        from the residual variance (stages/trend.stl_lite) — combiner
+        hour counts, per-key vectorized decomposition."""
+        from s_tsfe_dl_ray.stages.trend import stl_lite
+
+        ds = read_events(sf, columns=["event_type", "ts"])
+        return _round_floats(stl_lite(ds))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3197,6 +3206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dim_variance": q_emb_dim_variance,
         "events_gini_users": q_events_gini_users,
         "events_record_highs": q_events_record_highs,
+        "events_stl_strength": q_events_stl_strength,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -5683,6 +5693,72 @@ def oracle_sql() -> dict[str, str]:
                    round((2.0 * sum(rn * n)) / (count(*) * sum(n))
                          - (count(*) + 1.0) / count(*), 6) AS gini
             FROM r GROUP BY 1 ORDER BY 1
+        """,
+        # STL-lite: dense hour grid per key, centered 25h MA (full
+        # windows only, exact int window sums), phase means of the
+        # detrended series, two-pass population variances.  greatest()
+        # ignores NULLs in DuckDB -> explicit CASE for the clamp.
+        "events_stl_strength": """
+            WITH c AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 3600000000)::BIGINT AS hr,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+                  FROM c GROUP BY 1),
+            grid AS (
+              SELECT b.event_type, b.h0, b.h1, g.hr
+              FROM b, LATERAL (SELECT unnest(range(b.h0, b.h1 + 1)) AS hr) g),
+            y AS (
+              SELECT grid.event_type, grid.h0, grid.h1, grid.hr,
+                     coalesce(c.n, 0)::BIGINT AS y
+              FROM grid LEFT JOIN c
+                ON grid.event_type = c.event_type AND grid.hr = c.hr),
+            t AS (
+              SELECT *,
+                     sum(y) OVER (PARTITION BY event_type ORDER BY hr
+                                  ROWS BETWEEN 12 PRECEDING
+                                  AND 12 FOLLOWING) AS wsum
+              FROM y),
+            d AS (
+              SELECT event_type, hr, y, y - wsum / 25.0 AS d,
+                     (hr % 24) AS phase
+              FROM t WHERE hr - h0 >= 12 AND h1 - hr >= 12),
+            s AS (SELECT event_type, phase, sum(d) / count(*) AS smean
+                  FROM d GROUP BY 1, 2),
+            r AS (
+              SELECT d.event_type, d.d, d.d - s.smean AS resid,
+                     d.y - s.smean AS deseason
+              FROM d JOIN s USING (event_type, phase)),
+            m AS (
+              SELECT event_type, count(*) AS n,
+                     sum(d) / count(*) AS md,
+                     sum(resid) / count(*) AS mr,
+                     sum(deseason) / count(*) AS mdes
+              FROM r GROUP BY 1),
+            v AS (
+              SELECT r.event_type, min(m.n) AS n,
+                     sum((r.d - m.md) * (r.d - m.md)) / min(m.n) AS var_d,
+                     sum((r.resid - m.mr) * (r.resid - m.mr)) / min(m.n)
+                       AS var_resid,
+                     sum((r.deseason - m.mdes) * (r.deseason - m.mdes))
+                       / min(m.n) AS var_des
+              FROM r JOIN m ON r.event_type = m.event_type GROUP BY 1),
+            span AS (SELECT event_type, (h1 - h0 + 1)::BIGINT AS n_hours
+                     FROM b)
+            SELECT span.event_type, span.n_hours,
+                   coalesce(v.n, 0)::BIGINT AS n_valid,
+                   round(v.var_resid, 6) AS var_resid,
+                   CASE WHEN v.var_d > 0 THEN
+                     round(CASE WHEN 1 - v.var_resid / v.var_d < 0
+                           THEN 0.0 ELSE 1 - v.var_resid / v.var_d END, 6)
+                   END AS seasonal_strength,
+                   CASE WHEN v.var_des > 0 THEN
+                     round(CASE WHEN 1 - v.var_resid / v.var_des < 0
+                           THEN 0.0 ELSE 1 - v.var_resid / v.var_des END, 6)
+                   END AS trend_strength
+            FROM span LEFT JOIN v ON v.event_type = span.event_type
+            ORDER BY span.event_type
         """,
         "events_record_highs": """
             WITH o AS (

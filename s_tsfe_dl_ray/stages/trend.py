@@ -839,3 +839,117 @@ def hrv_stats(
     return grouped_apply(ds, keys=[key], fn=part,
                          num_partitions=num_partitions,
                          whole_partition=True)
+
+
+def stl_lite(
+    ds: Dataset,
+    *,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    period: int = 24,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Moving-average STL-lite decomposition of each key's hourly count
+    series, reporting Hyndman-style trend / seasonal strength:
+
+        y (dense hourly counts, gaps = 0)
+        trend     = centered (period+1)-hour moving average (full
+                    windows only)
+        detrended = y − trend
+        seasonal  = phase mean of detrended (phase = hour mod period)
+        resid     = detrended − seasonal
+
+        seasonal_strength = max(0, 1 − Var(resid)/Var(detrended))
+        trend_strength    = max(0, 1 − Var(resid)/Var(y − seasonal))
+
+    Unlike :func:`seasonal_adjust` (phase means on raw values — the
+    seasonal-naive step), this removes the trend FIRST, so a drifting
+    level doesn't contaminate the seasonal profile; the strengths say
+    how forecastable each series is and whether by trend or by season.
+
+    Scale shape: one combiner pass folds events to (key, hour) counts —
+    partials only cross the exchange — then each key's dense series
+    builds and decomposes vectorized inside its partition (key-complete
+    co-location; series length = key's hour span, a per-key Python step
+    over BOUNDED key cardinality — types, not users).  Exactness: window
+    sums over int counts are exact int64 (cumsum differences), so the
+    trend and everything downstream is reproducible bit-for-bit against
+    the SQL twin.
+
+    Reference analog: the trend/seasonality diagnostics a forecasting
+    pipeline runs before choosing a model class — the reference hardwires
+    the choice (one architecture per experiment, keras_experiment.py);
+    a data engine must measure it.  Output: ``{key}, n_hours, n_valid,
+    var_resid, seasonal_strength, trend_strength``.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.windows import window_start_us
+    from ..pipelines.relational import grouped_aggregate
+    from .grouped import grouped_apply
+
+    half = period // 2
+    win = 2 * half + 1
+
+    def hour_fold(t: pa.Table) -> pa.Table:
+        hr = pc.divide(window_start_us(t[ts_col], "1h"),
+                       pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({key: t[key], "hr": hr})
+
+    counts = grouped_aggregate(
+        ds.map_batches(hour_fold, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=[key, "hr"], aggs={"n": ("hr", "count")},
+        num_partitions=num_partitions)
+
+    def decompose(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: [], "n_hours": [], "n_valid": [], "var_resid": [],
+                "seasonal_strength": [], "trend_strength": []}
+        for k, g in df.groupby(key, sort=False):
+            hr = g["hr"].to_numpy(dtype=np.int64)
+            cnt = g["n"].to_numpy(dtype=np.int64)
+            h0, h1 = int(hr.min()), int(hr.max())
+            n_hours = h1 - h0 + 1
+            y = np.zeros(n_hours, dtype=np.int64)
+            y[hr - h0] = cnt
+            n_valid = n_hours - 2 * half
+            if n_valid <= 0:
+                row = (k, n_hours, 0, np.nan, np.nan, np.nan)
+            else:
+                cs = np.concatenate(([0], np.cumsum(y)))
+                wsum = cs[win:] - cs[:-win]          # exact int64
+                trend = wsum / float(win)
+                yv = y[half:n_hours - half].astype(np.float64)
+                d = yv - trend
+                phase = (np.arange(h0 + half, h0 + half + n_valid,
+                                   dtype=np.int64)) % period
+                ssum = np.zeros(period)
+                scnt = np.zeros(period, dtype=np.int64)
+                np.add.at(ssum, phase, d)
+                np.add.at(scnt, phase, 1)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    smean = ssum / scnt
+                seas = smean[phase]
+                resid = d - seas
+                deseason = yv - seas
+
+                def pvar(x: np.ndarray) -> float:
+                    mu = x.sum() / len(x)
+                    dev = x - mu
+                    return float((dev * dev).sum() / len(x))
+
+                var_d, var_r, var_des = pvar(d), pvar(resid), pvar(deseason)
+                s_str = (max(0.0, 1.0 - var_r / var_d)
+                         if var_d > 0 else np.nan)
+                t_str = (max(0.0, 1.0 - var_r / var_des)
+                         if var_des > 0 else np.nan)
+                row = (k, n_hours, n_valid, var_r, s_str, t_str)
+            for c, v in zip(cols, row):
+                cols[c].append(v)
+        out = pd.DataFrame(cols)
+        return out.astype({"n_hours": "int64", "n_valid": "int64"})
+
+    return grouped_apply(
+        counts, keys=[key], fn=decompose,
+        num_partitions=min(num_partitions, 8),
+        whole_partition=True).sort(key)

@@ -49,6 +49,7 @@ QUERIES = [
     "events_value_histogram",
     "events_gini_users",
     "events_record_highs",
+    "events_stl_strength",
 ]
 
 SHAPES = [
