@@ -2946,6 +2946,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_events(sf, columns=["event_type", "ts"])
         return _round_floats(stl_lite(ds))
 
+    def q_docs_dup_rate_by_source(sf):
+        """Exact-dup contamination rate per source — text-hash partition,
+        dup membership marked vectorized, per-source partials
+        (stages/dedup.dup_rate_by_group)."""
+        from s_tsfe_dl_ray.stages.dedup import dup_rate_by_group
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["text", "source"])
+        return _round_floats(dup_rate_by_group(docs))
+
+    def q_emb_label_separability(sf):
+        """Mean pairwise intra-label cosine via the ‖Σv̂‖²−Σ‖v̂‖² combiner
+        identity — O(n²) pair sum, zero pairs materialized
+        (stages/similarity.label_separability)."""
+        from s_tsfe_dl_ray.stages.similarity import label_separability
+
+        emb = read_table(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "label", "embedding"])
+        return _round_floats(label_separability(emb).sort("label"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3207,6 +3227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gini_users": q_events_gini_users,
         "events_record_highs": q_events_record_highs,
         "events_stl_strength": q_events_stl_strength,
+        "docs_dup_rate_by_source": q_docs_dup_rate_by_source,
+        "emb_label_separability": q_emb_label_separability,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -5759,6 +5781,40 @@ def oracle_sql() -> dict[str, str]:
                    END AS trend_strength
             FROM span LEFT JOIN v ON v.event_type = span.event_type
             ORDER BY span.event_type
+        """,
+        "docs_dup_rate_by_source": """
+            WITH c AS (SELECT text, count(*) AS n FROM documents GROUP BY 1)
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   (count(*) FILTER (WHERE c.n > 1))::BIGINT AS n_dup_docs,
+                   round((count(*) FILTER (WHERE c.n > 1))::DOUBLE
+                         / count(*), 6) AS dup_ratio
+            FROM documents d JOIN c USING (text)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # pairwise intra-label cosine via the combiner identity
+        # sum_{i!=j} vi.vj = |S|^2 - T on unit vectors; zero vectors
+        # normalize to 0 on the Ray side -> explicit CASE here
+        "emb_label_separability": """
+            WITH x AS (
+              SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+                     unnest(embedding)::DOUBLE AS v
+              FROM embeddings),
+            nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nn FROM x GROUP BY 1),
+            u AS (SELECT x.label, x.vec_id, x.dim,
+                         CASE WHEN nrm.nn = 0 THEN 0.0
+                              ELSE x.v / nrm.nn END AS uv
+                  FROM x JOIN nrm USING (vec_id)),
+            s AS (SELECT label, dim, sum(uv) AS s FROM u GROUP BY 1, 2),
+            s2 AS (SELECT label, sum(s*s) AS s2 FROM s GROUP BY 1),
+            tt AS (SELECT label, count(DISTINCT vec_id) AS n,
+                          sum(uv*uv) AS t
+                   FROM u GROUP BY 1)
+            SELECT tt.label, tt.n::BIGINT AS n_vectors,
+                   CASE WHEN tt.n > 1 THEN
+                     round((s2.s2 - tt.t) / (tt.n * (tt.n - 1.0)), 6)
+                   END AS mean_intra_cosine
+            FROM tt JOIN s2 USING (label)
+            ORDER BY label
         """,
         "events_record_highs": """
             WITH o AS (

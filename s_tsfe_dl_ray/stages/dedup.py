@@ -665,3 +665,71 @@ def ngram_jaccard_pairs(
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
     return merged.map_batches(score, batch_format="pyarrow")
+
+
+def dup_rate_by_group(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Exact-duplicate contamination rate per group: for each group
+    (source/shard/snapshot), how many of its docs carry a text that
+    appears more than once ANYWHERE in the corpus — the corpus-health
+    dashboard row beside :func:`exact_dedup_ids` (which picks survivors;
+    this measures how much there was to kill, attributed to the group
+    that contributed it).
+
+    One text-hash exchange: docs partition by hash(text) so all copies
+    of a text co-locate (only ``(hash, group)`` crosses, never text);
+    each partition marks dup membership vectorized and folds per-group
+    partials; a final tiny merge sums ≤ |groups| rows on one partition.
+    Hash-dup semantics match exact_dedup_ids (md5; collisions
+    negligible and identical on both paths).
+
+    Output: ``{group_col}, n_docs, n_dup_docs, dup_ratio`` by group.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({group_col: b[group_col],
+                             "h": md5_hex(b[text_col])})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"])
+        if len(df) == 0:
+            return pd.DataFrame({group_col: pd.Series([], dtype="object"),
+                                 "n_docs": pd.Series([], dtype="int64"),
+                                 "n_dup_docs": pd.Series([], dtype="int64")})
+        n_copies = df.groupby("h", sort=False)["h"].transform("size")
+        return pd.DataFrame({
+            group_col: df[group_col].to_numpy(),
+            "n_docs": np.ones(len(df), dtype=np.int64),
+            "n_dup_docs": (n_copies.to_numpy() > 1).astype(np.int64),
+        }).groupby(group_col, sort=False, as_index=False).sum()
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t["h"], num_partitions))
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas")
+    partials = (hashed.map_batches(add_pkey, batch_format="pyarrow")
+                .groupby("_pkey").map_groups(fold, batch_format="pandas"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        m = t.group_by(group_col, use_threads=False).aggregate(
+            [("n_docs", "sum"), ("n_dup_docs", "sum")])
+        nd = pc.cast(m["n_docs_sum"], pa.float64())
+        dd = pc.cast(m["n_dup_docs_sum"], pa.float64())
+        return pa.table({
+            group_col: m[group_col],
+            "n_docs": m["n_docs_sum"],
+            "n_dup_docs": m["n_dup_docs_sum"],
+            "dup_ratio": pc.divide(dd, nd),
+        })
+
+    return (partials.repartition(1)
+            .map_batches(finish, batch_format="pyarrow").sort(group_col))

@@ -1374,3 +1374,78 @@ def dim_moments(
                       "n_vectors": pd.Series([], dtype="int64"),
                       "mean": pd.Series([], dtype="float64"),
                       "variance": pd.Series([], dtype="float64")}))
+
+
+def label_separability(
+    ds: Dataset,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Mean pairwise intra-label cosine similarity per label — the
+    cluster-cohesion diagnostic beside the centroid confusability matrix
+    (inter-label) and the k-means silhouette (model-based): high mean
+    intra-cosine = the label is an embedding-tight class.
+
+    The whole O(n²) pairwise sum folds to a COMBINER via the identity
+    (on unit-normalized vectors v̂):
+
+        Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖Σᵢ v̂ᵢ‖² − Σᵢ‖v̂ᵢ‖²
+
+    so each batch reduces to (label, Σv̂ per dim, Σ‖v̂‖², n) partials —
+    d+2 numbers per label per batch, never a pair, never an exchange of
+    embeddings.  mean = (‖S‖² − T) / (n(n−1)); NULL for n < 2.
+
+    Reference analog: the class-prototype cohesion check behind the
+    reference's confusion-matrix reporting (keras_experiment.py:583-601).
+    Output: ``{label_col}, n_vectors, mean_intra_cosine`` by label.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({label_col: pa.array([], t[label_col].type),
+                             "dim": pa.array([], pa.int64()),
+                             "_s": pa.array([], pa.float64()),
+                             "_n": pa.array([], pa.int64())})
+        vecs = t[vec_col].combine_chunks()
+        flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(vecs[0])
+        mat = _l2_normalize(flat.reshape(t.num_rows, d))
+        labs = t[label_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labs, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        tnorm = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(tnorm, inv, (mat * mat).sum(axis=1))
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        # long rows: dim 1..d carry Σv̂; dim 0 carries Σ‖v̂‖²
+        return pa.table({
+            label_col: pa.array(np.repeat(uniq, d + 1)),
+            "dim": pa.array(np.tile(np.arange(0, d + 1, dtype=np.int64),
+                                    len(uniq))),
+            "_s": pa.array(np.concatenate(
+                [np.concatenate(([tnorm[i]], sums[i])) for i in
+                 range(len(uniq))])),
+            "_n": pa.array(np.repeat(counts, d + 1)),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    g = part.groupby([label_col, "dim"], sort=True).agg(
+        _s=("_s", "sum"), _n=("_n", "sum")).reset_index()
+    rows = {label_col: [], "n_vectors": [], "mean_intra_cosine": []}
+    for lab, sub in g.groupby(label_col, sort=True):
+        n = int(sub["_n"].iloc[0])
+        t_norm = float(sub.loc[sub["dim"] == 0, "_s"].iloc[0])
+        s = sub.loc[sub["dim"] > 0, "_s"].to_numpy()
+        s2 = float((s * s).sum())
+        mean = ((s2 - t_norm) / (n * (n - 1.0))) if n > 1 else np.nan
+        rows[label_col].append(lab)
+        rows["n_vectors"].append(n)
+        rows["mean_intra_cosine"].append(mean)
+    import ray.data
+
+    out = pd.DataFrame(rows)
+    out["n_vectors"] = out["n_vectors"].astype("int64")
+    out["mean_intra_cosine"] = out["mean_intra_cosine"].astype("float64")
+    return ray.data.from_pandas(out)

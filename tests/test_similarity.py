@@ -337,3 +337,53 @@ def test_knn_ivf_pq_recall_and_planted_neighbors():
     merged = approx.merge(
         exact, on=["query_id", "neighbor_id"])
     assert np.abs(merged.cosine_pq - merged.cosine).max() < 0.2
+
+
+def test_label_separability_matches_bruteforce_pairs():
+    """The |S|^2 - T combiner identity == literal pairwise mean cosine."""
+    import pandas as pd
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.similarity import label_separability
+
+    rng = np.random.default_rng(7)
+    rows, expected = [], {}
+    for lab, n in [("a", 5), ("b", 2), ("c", 1), ("d", 30)]:
+        mat = rng.standard_normal((n, 16))
+        for v in mat:
+            rows.append({"vec_id": len(rows), "label": lab,
+                         "embedding": [float(x) for x in v]})
+        u = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        if n > 1:
+            cos = u @ u.T
+            expected[lab] = (cos.sum() - np.trace(cos)) / (n * (n - 1))
+        else:
+            expected[lab] = np.nan
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = to_pdf(label_separability(ds)).set_index("label")
+    for lab, exp in expected.items():
+        got = out.loc[lab, "mean_intra_cosine"]
+        if np.isnan(exp):
+            assert np.isnan(got)
+        else:
+            assert abs(got - exp) < 1e-9, (lab, got, exp)
+    assert out.loc["d", "n_vectors"] == 30
+
+
+def test_dim_moments_matches_numpy():
+    import pandas as pd
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.similarity import dim_moments
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((200, 8)) * np.arange(1, 9)
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"embedding": [[float(x) for x in v] for v in mat]}))
+    out = to_pdf(dim_moments(ds)).sort_values("dim")
+    assert list(out.dim) == list(range(1, 9))
+    np.testing.assert_allclose(out["mean"], mat.mean(axis=0), atol=1e-12)
+    np.testing.assert_allclose(out["variance"], mat.var(axis=0, ddof=1),
+                               rtol=1e-12)
