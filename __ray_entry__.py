@@ -2966,6 +2966,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          columns=["vec_id", "label", "embedding"])
         return _round_floats(label_separability(emb).sort("label"))
 
+    def q_events_ljung_box(sf):
+        """Ljung–Box white-noise Q per user (standard full-series-moment
+        acf estimator, lags 1–3) — the forecastability gate in front of
+        holt/ar2 (stages/trend.ljung_box)."""
+        from s_tsfe_dl_ray.stages.trend import ljung_box
+
+        ds = read_events(sf, columns=["event_id", "ts", "user_id", "value"])
+        return _round_floats(ljung_box(
+            ds, key="user_id", value_col="value",
+            order_by=["ts", "event_id"]).sort("user_id"))
+
+    def q_lineitem_part_pairs(sf):
+        """Market-basket over the star schema: part pairs co-purchased in
+        the same order with support ≥ 2, lift + Jaccard — the generic
+        pair_cooccurrence op composed onto (order, part) instead of
+        (user, event_type)."""
+        import ray.data
+
+        from s_tsfe_dl_ray.stages.distinct import pair_cooccurrence
+
+        li = ray.data.read_parquet(f"{sf}/lineitem.parquet",
+                                   columns=["l_orderkey", "l_partkey"])
+        pairs = pair_cooccurrence(li, group_col="l_orderkey",
+                                  member_col="l_partkey")
+        pairs = pairs.filter(expr="n_both >= 2")
+        return _round_floats(pairs.sort(
+            ["n_both", "member_a", "member_b"],
+            descending=[True, False, False]))
+
+    def q_transcripts_escalation(sf):
+        """Share of conversations whose user turns grow longer over the
+        dialog (exact int OLS slope per conversation, one-row corpus
+        fold) — stages/dialog.escalation_share."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import escalation_share
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "role", "text"])
+        return _round_floats(escalation_share(turns))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3229,6 +3269,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stl_strength": q_events_stl_strength,
         "docs_dup_rate_by_source": q_docs_dup_rate_by_source,
         "emb_label_separability": q_emb_label_separability,
+        "events_ljung_box": q_events_ljung_box,
+        "lineitem_part_pairs": q_lineitem_part_pairs,
+        "transcripts_escalation": q_transcripts_escalation,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -5667,6 +5710,29 @@ def oracle_sql() -> dict[str, str]:
             FROM blame JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10
         """,
+        # per-conversation OLS slope over exact integer sums (HUGEINT on
+        # the SQL side, int64 on the Ray side -> identical doubles)
+        "transcripts_escalation": f"""
+            WITH ut AS (
+              SELECT conv_id, turn_idx::BIGINT AS x,
+                     ({TOKLEN})::BIGINT AS y
+              FROM {T} WHERE role = 'user'),
+            s AS (
+              SELECT conv_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*x) AS sxx, sum(x*y) AS sxy
+              FROM ut GROUP BY 1),
+            sl AS (
+              SELECT conv_id,
+                     (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx) AS slope
+              FROM s WHERE n >= 2 AND n*sxx - sx*sx > 0)
+            SELECT count(*)::BIGINT AS n_convs,
+                   (count(*) FILTER (WHERE slope > 0))::BIGINT
+                     AS n_escalating,
+                   round((count(*) FILTER (WHERE slope > 0))::DOUBLE
+                         / count(*), 6) AS escalating_share,
+                   round(sum(slope) / count(*), 6) AS mean_slope
+            FROM sl
+        """,
         "transcripts_position_profile": f"""
             WITH t AS (
               SELECT role, turn_idx, {TOKLEN} AS tok,
@@ -5781,6 +5847,56 @@ def oracle_sql() -> dict[str, str]:
                    END AS trend_strength
             FROM span LEFT JOIN v ON v.event_type = span.event_type
             ORDER BY span.event_type
+        """,
+        # standard time-series acf estimator (full-series mean/variance),
+        # NOT pairwise Pearson: d = x - mu joined in, lagged products.
+        # NULL propagation makes q_stat NULL whenever any rk is NULL.
+        "events_ljung_box": """
+            WITH m AS (SELECT user_id, count(*) AS n,
+                              sum(value)/count(*) AS mu
+                       FROM events GROUP BY 1),
+            c AS (SELECT e.user_id, e.ts, e.event_id, e.value - m.mu AS d,
+                         m.n
+                  FROM events e JOIN m USING (user_id)),
+            l AS (SELECT user_id, n, d,
+                         lag(d, 1) OVER w AS d1,
+                         lag(d, 2) OVER w AS d2,
+                         lag(d, 3) OVER w AS d3
+                  FROM c
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, min(n) AS n, sum(d*d) AS s0,
+                         sum(d*d1) AS s1, sum(d*d2) AS s2, sum(d*d3) AS s3
+                  FROM l GROUP BY 1)
+            SELECT user_id, n::BIGINT AS n_obs,
+                   round(s1/s0, 6) AS r1,
+                   round(s2/s0, 6) AS r2,
+                   round(s3/s0, 6) AS r3,
+                   round(n*(n+2.0) * ((s1/s0)*(s1/s0)/(n-1)
+                                      + (s2/s0)*(s2/s0)/(n-2)
+                                      + (s3/s0)*(s3/s0)/(n-3)), 6) AS q_stat
+            FROM s ORDER BY user_id
+        """,
+        "lineitem_part_pairs": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            u AS (SELECT count(DISTINCT l_orderkey) AS ng FROM op),
+            c AS (SELECT l_partkey, count(*)::BIGINT AS n FROM op GROUP BY 1),
+            p AS (
+              SELECT a.l_partkey AS member_a, b.l_partkey AS member_b,
+                     count(*)::BIGINT AS n_both
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2)
+            SELECT p.member_a, p.member_b, p.n_both,
+                   round((p.n_both * u.ng)::DOUBLE / (ca.n * cb.n), 6)
+                     AS lift,
+                   round(p.n_both::DOUBLE / (ca.n + cb.n - p.n_both), 6)
+                     AS jaccard
+            FROM p, u
+            JOIN c ca ON ca.l_partkey = p.member_a
+            JOIN c cb ON cb.l_partkey = p.member_b
+            WHERE p.n_both >= 2
+            ORDER BY p.n_both DESC, p.member_a, p.member_b
         """,
         "docs_dup_rate_by_source": """
             WITH c AS (SELECT text, count(*) AS n FROM documents GROUP BY 1)

@@ -977,3 +977,88 @@ def position_profile(
     return (partials.repartition(1)
             .map_batches(finish, batch_format="pyarrow")
             .sort(["role", "decile"]))
+
+
+def escalation_share(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    role: str = "user",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Escalation probe: in what share of conversations do the USER's
+    turns grow longer as the conversation proceeds?  Per conversation,
+    the OLS slope of user-turn token length against turn index rides as
+    exact integer sums (n·Σxy − Σx·Σy over n·Σx² − (Σx)², all int64),
+    so "slope > 0" is an exact predicate; the corpus folds to one row.
+
+    Conversations with < 2 user turns or a degenerate x spread are
+    excluded from the denominator (no slope exists).  One conv-hash
+    exchange carrying (conv, turn, token_len); per-partition vectorized
+    groupby-sums; three-number partials to the final fold.
+
+    Output (single row): ``n_convs, n_escalating, escalating_share,
+    mean_slope``.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.derive import token_count
+    from .grouped import grouped_apply
+
+    def narrow(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t[role_col], role)
+        sel = t.filter(mask)
+        return pa.table({
+            conv_col: sel[conv_col],
+            "_x": pc.cast(sel[turn_col], pa.int64()),
+            "_y": token_count(sel[text_col]),
+        })
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "n_convs": pd.Series([], dtype="int64"),
+                "n_escalating": pd.Series([], dtype="int64"),
+                "slope_sum": pd.Series([], dtype="float64"),
+            })
+        x = df["_x"].to_numpy(dtype=np.int64)
+        y = df["_y"].to_numpy(dtype=np.int64)
+        g = pd.DataFrame({
+            conv_col: df[conv_col].to_numpy(),
+            "_n": np.ones(len(df), dtype=np.int64),
+            "_sx": x, "_sy": y, "_sxx": x * x, "_sxy": x * y,
+        }).groupby(conv_col, sort=False, as_index=False).sum()
+        n = g["_n"].to_numpy()
+        sx = g["_sx"].to_numpy()
+        sy = g["_sy"].to_numpy()
+        den = n * g["_sxx"].to_numpy() - sx * sx
+        num = n * g["_sxy"].to_numpy() - sx * sy
+        ok = (n >= 2) & (den > 0)
+        slope = num[ok].astype(np.float64) / den[ok].astype(np.float64)
+        return pd.DataFrame({
+            "n_convs": pd.Series([int(ok.sum())], dtype="int64"),
+            "n_escalating": pd.Series([int((slope > 0).sum())],
+                                      dtype="int64"),
+            "slope_sum": pd.Series([float(slope.sum())], dtype="float64"),
+        })
+
+    partials = grouped_apply(
+        ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
+        keys=[conv_col], fn=fold, num_partitions=num_partitions,
+        whole_partition=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n_convs"].sum())
+        e = int(df["n_escalating"].sum())
+        ss = float(df["slope_sum"].sum())
+        return pd.DataFrame({
+            "n_convs": pd.Series([n], dtype="int64"),
+            "n_escalating": pd.Series([e], dtype="int64"),
+            "escalating_share": [e / n if n else np.nan],
+            "mean_slope": [ss / n if n else np.nan],
+        })
+
+    return partials.repartition(1).map_batches(finish, batch_format="pandas")

@@ -953,3 +953,81 @@ def stl_lite(
         counts, keys=[key], fn=decompose,
         num_partitions=min(num_partitions, 8),
         whole_partition=True).sort(key)
+
+
+def ljung_box(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    order_by: list[str],
+    max_lag: int = 3,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Ljung–Box white-noise test per key: Q = n(n+2)·Σₖ rₖ²/(n−k),
+    k = 1..max_lag, with the STANDARD autocorrelation estimator
+
+        rₖ = Σₜ (xₜ−x̄)(xₜ₋ₖ−x̄) / Σₜ (xₜ−x̄)²
+
+    (full-series mean and variance in the denominator — the time-series
+    convention; note this is NOT the pairwise Pearson corr of
+    :func:`acf`, which conditions both moments on the overlapping
+    pairs).  High Q ⇒ the series is not white noise ⇒ the
+    forecasting/AR ops (holt, ar2) have signal to work with — this is
+    the gate in front of them.
+
+    One key-hash co-partition, then everything vectorized across keys
+    (bincount moment folds per lag, no per-key Python).  NULL rules
+    mirror the SQL twin: rₖ is NULL when the key has ≤ k observations
+    or zero variance; Q is NULL unless ALL max_lag lags exist.
+
+    Output: ``{key}, n_obs, r1..r{max_lag}, q_stat``.
+    """
+    import pyarrow as pa
+
+    from .rollup import _stable_pkey
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def lb_partition(df: pd.DataFrame) -> pd.DataFrame:
+        rcols = [f"r{k}" for k in range(1, max_lag + 1)]
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [key] + order_by, kind="mergesort").reset_index(drop=True)
+        if len(df) == 0:
+            base = {key: [], "n_obs": pd.Series([], dtype="int64")}
+            base.update({c: pd.Series([], dtype="float64") for c in rcols})
+            base["q_stat"] = pd.Series([], dtype="float64")
+            return pd.DataFrame(base)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        keys_all, gid, starts = _key_groups(df, key)
+        nk = int(gid[-1]) + 1
+        n = np.bincount(gid, minlength=nk).astype(np.int64)
+        mu = np.bincount(gid, weights=v, minlength=nk) / n
+        d = v - mu[gid]
+        s0 = np.bincount(gid, weights=d * d, minlength=nk)
+        out = {key: keys_all[starts], "n_obs": n}
+        with np.errstate(invalid="ignore", divide="ignore"):
+            q = n * (n + 2.0) * 0.0
+            q_valid = np.ones(nk, dtype=bool)
+            for k in range(1, max_lag + 1):
+                prev = np.concatenate([np.full(k, np.nan), d[:-k]]) \
+                    if k < len(d) else np.full(len(d), np.nan)
+                # zero out pairs that cross a key boundary
+                same = np.concatenate([np.full(k, False),
+                                       gid[k:] == gid[:-k]]) \
+                    if k < len(d) else np.zeros(len(d), dtype=bool)
+                prod = np.where(same, d * np.where(same, prev, 0.0), 0.0)
+                sk = np.bincount(gid, weights=prod, minlength=nk)
+                rk = sk / s0
+                rk = np.where((n > k) & (s0 > 0), rk, np.nan)
+                out[f"r{k}"] = rk
+                q = q + np.where(np.isnan(rk), 0.0, rk * rk) / (n - k)
+                q_valid &= ~np.isnan(rk)
+            q = np.where(q_valid, n * (n + 2.0) * q, np.nan)
+        out["q_stat"] = q
+        return pd.DataFrame(out)
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(
+        lb_partition, batch_format="pandas")

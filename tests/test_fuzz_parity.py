@@ -50,6 +50,7 @@ QUERIES = [
     "events_gini_users",
     "events_record_highs",
     "events_stl_strength",
+    "events_ljung_box",
 ]
 
 SHAPES = [
@@ -125,7 +126,8 @@ def test_fuzz_query_matches_oracle(tmp_path_factory, entrymod, shape, name):
 # ---------------------------------------------------------------------------
 
 T_QUERIES = ["transcripts_latency_by_hour", "transcripts_duration_stats",
-             "transcripts_prompt_ols", "transcripts_reply_latency"]
+             "transcripts_prompt_ols", "transcripts_reply_latency",
+             "transcripts_escalation", "transcripts_position_profile"]
 
 
 def _synth_transcripts(tmpdir: str, seed: int, n: int, ties: bool) -> str:
@@ -179,8 +181,8 @@ def test_fuzz_transcript_query_matches_oracle(tmp_path_factory, entrymod,
     import ray.data
 
     from s_tsfe_dl_ray.stages.dialog import (
-        conversation_duration_stats, prompt_response_ols, reply_latency,
-        reply_latency_by_hour)
+        conversation_duration_stats, escalation_share, position_profile,
+        prompt_response_ols, reply_latency, reply_latency_by_hour)
 
     ds = ray.data.read_parquet(f"{d}/part-0.parquet")
     if name == "transcripts_latency_by_hour":
@@ -189,6 +191,10 @@ def test_fuzz_transcript_query_matches_oracle(tmp_path_factory, entrymod,
         out = conversation_duration_stats(ds)
     elif name == "transcripts_prompt_ols":
         out = prompt_response_ols(ds)
+    elif name == "transcripts_escalation":
+        out = escalation_share(ds)
+    elif name == "transcripts_position_profile":
+        out = position_profile(ds)
     else:
         out = reply_latency(ds, conv_col="conv_id", ts_col="ts",
                             order_by=["ts", "turn_idx"])
