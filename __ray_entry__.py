@@ -3006,6 +3006,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            columns=["conv_id", "turn_idx", "role", "text"])
         return _round_floats(escalation_share(turns))
 
+    def q_events_runs_test(sf):
+        """Wald–Wolfowitz runs test per user (above/below exact lower
+        median, integer run counts) — the order-only randomness sibling
+        of ljung_box (stages/robust.runs_test)."""
+        from s_tsfe_dl_ray.stages.robust import runs_test
+
+        ds = read_events(sf, columns=["event_id", "ts", "user_id", "value"])
+        return _round_floats(runs_test(
+            ds, key="user_id", value_col="value",
+            order_by=["ts", "event_id"]).sort("user_id"))
+
+    def q_events_hour_entropy(sf):
+        """Shannon entropy of each user's hour-of-day activity profile
+        (cron-like vs human timing) — pure combiner, ≤24 rows per user
+        per batch (stages/activity.hour_entropy)."""
+        from s_tsfe_dl_ray.stages.activity import hour_entropy
+
+        ds = read_events(sf, columns=["user_id", "ts"])
+        return _round_floats(hour_entropy(ds).sort("user_id"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3272,6 +3292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ljung_box": q_events_ljung_box,
         "lineitem_part_pairs": q_lineitem_part_pairs,
         "transcripts_escalation": q_transcripts_escalation,
+        "events_runs_test": q_events_runs_test,
+        "events_hour_entropy": q_events_hour_entropy,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -5875,6 +5897,58 @@ def oracle_sql() -> dict[str, str]:
                                       + (s2/s0)*(s2/s0)/(n-2)
                                       + (s3/s0)*(s3/s0)/(n-3)), 6) AS q_stat
             FROM s ORDER BY user_id
+        """,
+        # runs test: quantile_disc(0.5) == exact lower median (the
+        # documented discrete-quantile recipe); ties with the median drop
+        # out on both sides; n1/n2/R ride as exact ints
+        "events_runs_test": """
+            WITH med AS (
+              SELECT user_id, quantile_disc(value, 0.5) AS med,
+                     count(*) AS n_obs
+              FROM events GROUP BY 1),
+            f AS (
+              SELECT e.user_id, m.n_obs, e.value > m.med AS s,
+                     e.ts, e.event_id
+              FROM events e JOIN med m USING (user_id)
+              WHERE e.value != m.med),
+            r AS (
+              SELECT user_id, n_obs, s,
+                     lag(s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS ps
+              FROM f),
+            agg AS (
+              SELECT user_id, min(n_obs) AS n_obs, count(*) AS n_used,
+                     (count(*) FILTER (WHERE s)) AS n1,
+                     (count(*) FILTER (WHERE NOT s)) AS n2,
+                     (count(*) FILTER (WHERE ps IS NULL OR s != ps))
+                       AS n_runs
+              FROM r GROUP BY 1)
+            SELECT m2.user_id, m2.n_obs::BIGINT AS n_obs,
+                   coalesce(a.n_used, 0)::BIGINT AS n_used,
+                   coalesce(a.n_runs, 0)::BIGINT AS n_runs,
+                   CASE WHEN a.n1 > 0 AND a.n2 > 0 THEN
+                     round((a.n_runs - (2.0*a.n1*a.n2/(a.n1+a.n2) + 1.0))
+                           / sqrt((2.0*a.n1*a.n2
+                                   * (2.0*a.n1*a.n2 - a.n1 - a.n2))
+                                  / ((a.n1+a.n2)::DOUBLE * (a.n1+a.n2)
+                                     * ((a.n1+a.n2) - 1.0))), 6)
+                   END AS z
+            FROM med m2 LEFT JOIN agg a USING (user_id)
+            ORDER BY user_id
+        """,
+        "events_hour_entropy": """
+            WITH h AS (
+              SELECT user_id,
+                     ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS hour,
+                     count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2),
+            n AS (SELECT user_id, sum(c) AS n FROM h GROUP BY 1)
+            SELECT h.user_id, min(n.n)::BIGINT AS n_events,
+                   count(*)::BIGINT AS n_hours_active,
+                   round(-sum((h.c::DOUBLE / n.n)
+                              * ln(h.c::DOUBLE / n.n)), 6) AS hour_entropy
+            FROM h JOIN n USING (user_id)
+            GROUP BY 1 ORDER BY 1
         """,
         "lineitem_part_pairs": """
             WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -336,3 +336,73 @@ def activity_gini(
         counts, keys=[group_col], fn=fold,
         num_partitions=min(num_partitions, 16),
         whole_partition=True).sort(group_col)
+
+
+def hour_entropy(
+    ds: Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Timing-regularity entropy per key: Shannon entropy (nats) of the
+    key's event distribution over hour-of-day.  0 = perfectly regular
+    (one active hour); ln 24 ≈ 3.178 = uniformly spread — the
+    behavioral-regularity score that separates cron-like traffic from
+    human traffic, complementing :func:`activity_gini` (who is active)
+    with WHEN they are active.
+
+    Pure combiner: events fold per batch to (key, hour, count) — ≤ 24
+    rows per key per batch cross the exchange — then one key-hash merge
+    computes the entropy vectorized.  Output: ``{key_col}, n_events,
+    n_hours_active, hour_entropy``.
+    """
+    from ..functions.windows import window_start_us
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hr = pc.cast(pc.divide(window_start_us(t[ts_col], "1h"),
+                               pa.scalar(3_600_000_000, pa.int64())),
+                     pa.int64())
+        hour = pc.subtract(hr, pc.multiply(
+            pc.if_else(pc.less(hr, 0),
+                       pc.divide(pc.subtract(hr, pa.scalar(23, pa.int64())),
+                                 pa.scalar(24, pa.int64())),
+                       pc.divide(hr, pa.scalar(24, pa.int64()))),
+            pa.scalar(24, pa.int64())))
+        base = pa.table({key_col: t[key_col], "hour": hour})
+        out = base.group_by([key_col, "hour"], use_threads=False).aggregate(
+            [([], "count_all")])
+        out = out.rename_columns([key_col, "hour", "c"])
+        return out.append_column(
+            "_pkey", _stable_pkey(out[key_col], num_partitions))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"])
+        if len(df) == 0:
+            return pd.DataFrame({
+                key_col: [], "n_events": pd.Series([], dtype="int64"),
+                "n_hours_active": pd.Series([], dtype="int64"),
+                "hour_entropy": pd.Series([], dtype="float64")})
+        g = df.groupby([key_col, "hour"], sort=True, as_index=False)["c"].sum()
+        n = g.groupby(key_col, sort=False)["c"].transform("sum").to_numpy(
+            dtype=np.float64)
+        p = g["c"].to_numpy(dtype=np.float64) / n
+        term = p * np.log(p)
+        out = pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            "_n": g["c"].to_numpy(dtype=np.int64),
+            "_h": np.ones(len(g), dtype=np.int64),
+            "_t": term,
+        }).groupby(key_col, sort=False, as_index=False).sum()
+        return pd.DataFrame({
+            key_col: out[key_col],
+            "n_events": out["_n"].astype("int64"),
+            "n_hours_active": out["_h"].astype("int64"),
+            "hour_entropy": -out["_t"].to_numpy(),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_pkey").map_groups(merge, batch_format="pandas"))

@@ -608,3 +608,99 @@ def anova_oneway(
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def runs_test(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    order_by: list[str],
+    num_partitions: int = 64,
+) -> Dataset:
+    """Wald–Wolfowitz runs test per key: is the sequence of
+    above/below-median excursions random, or does the series cluster
+    (trend/regime) or alternate (oscillation)?
+
+    Per key, in ``order_by`` order: drop values EQUAL to the key's
+    median (the standard tie convention), label the rest +/− against
+    the median, count sign runs R, and standardize
+
+        μ = 2·n₁·n₂/(n₁+n₂) + 1
+        σ² = 2·n₁·n₂·(2·n₁·n₂ − n₁ − n₂) / ((n₁+n₂)²·(n₁+n₂−1))
+        z = (R − μ)/σ
+
+    The median is the exact lower-median element (``quantile_disc 0.5``
+    — the element at sorted index ⌈n/2⌉−1), so the above/below labels
+    and R are integer-exact and z mirrors the SQL twin bit-for-bit
+    (n₁, n₂, R ride as int64; only μ, σ, z are float).  |z| > 2 ⇒ not
+    random — the nonparametric sibling of :func:`~.trend.ljung_box`
+    (which needs moments; this needs only order).
+
+    One key-hash exchange, vectorized across keys inside each
+    partition (sorted labels, boundary masks — no per-key Python).
+    Output: ``{key}, n_obs, n_used, n_runs, z`` (z NULL when n₁ or n₂
+    is 0, or σ = 0).
+    """
+    import pyarrow as pa
+
+    from .rollup import _stable_pkey
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [key] + order_by, kind="mergesort").reset_index(drop=True)
+        if len(df) == 0:
+            return pd.DataFrame({
+                key: [], "n_obs": pd.Series([], dtype="int64"),
+                "n_used": pd.Series([], dtype="int64"),
+                "n_runs": pd.Series([], dtype="int64"),
+                "z": pd.Series([], dtype="float64")})
+        v = df[value_col].to_numpy(dtype=np.float64)
+        keys_all = df[key].to_numpy()
+        uniq, inv = np.unique(keys_all, return_inverse=True)
+        # exact lower median per key: sort (key, value), pick the element
+        # at index ceil(n/2)-1 within each key segment (uniq is sorted,
+        # so segment order aligns with uniq — no per-row dict lookups)
+        order = np.lexsort((v, keys_all))
+        ks, vs = keys_all[order], v[order]
+        change = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(ks)]])
+        n_per = ends - starts
+        med_idx = starts + np.ceil(n_per / 2).astype(np.int64) - 1
+        med = vs[med_idx][inv]
+        keep = v != med
+        sign = v > med
+        # run starts among kept rows: first kept row of a key, or kept row
+        # whose previous KEPT row in the same key has the opposite sign
+        kk, ss = keys_all[keep], sign[keep]
+        if len(kk):
+            same2 = np.concatenate([[False], kk[1:] == kk[:-1]])
+            new_run = ~same2 | (np.concatenate([[True], ss[1:] != ss[:-1]])
+                                & same2)
+        n_obs = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        n1 = np.bincount(inv, weights=(keep & sign).astype(np.float64),
+                         minlength=len(uniq)).astype(np.int64)
+        n2 = np.bincount(inv, weights=(keep & ~sign).astype(np.float64),
+                         minlength=len(uniq)).astype(np.int64)
+        n_used = n1 + n2
+        r = np.zeros(len(uniq), dtype=np.int64)
+        if len(kk):
+            uk, invk = np.unique(kk, return_inverse=True)
+            rk = np.bincount(invk, weights=new_run).astype(np.int64)
+            r[np.searchsorted(uniq, uk)] = rk
+        with np.errstate(invalid="ignore", divide="ignore"):
+            tnn = 2.0 * n1 * n2
+            nsum = (n1 + n2).astype(np.float64)
+            mu = tnn / nsum + 1.0
+            var = (tnn * (tnn - n1 - n2)) / (nsum * nsum * (nsum - 1.0))
+            z = (r - mu) / np.sqrt(var)
+        z = np.where((n1 > 0) & (n2 > 0) & np.isfinite(z), z, np.nan)
+        return pd.DataFrame({key: uniq, "n_obs": n_obs, "n_used": n_used,
+                             "n_runs": r, "z": z})
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(fold, batch_format="pandas")

@@ -51,6 +51,8 @@ QUERIES = [
     "events_record_highs",
     "events_stl_strength",
     "events_ljung_box",
+    "events_runs_test",
+    "events_hour_entropy",
 ]
 
 SHAPES = [
