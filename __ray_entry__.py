@@ -3026,6 +3026,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_events(sf, columns=["user_id", "ts"])
         return _round_floats(hour_entropy(ds).sort("user_id"))
 
+    def q_docs_compressibility(sf):
+        """Per-doc zlib redundancy ratio (boilerplate/loop detector) —
+        deterministic, shuffle-free; rows-only (no SQL deflate), golden
+        + monotonicity pytest in tests/test_text.py
+        (stages/text.compressibility)."""
+        from s_tsfe_dl_ray.stages.text import compressibility
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        return _round_floats(compressibility(docs).sort("doc_id"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3279,6 +3290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_duration_stats": q_transcripts_duration_stats,
         "orders_lineitem_join_size": q_orders_lineitem_join_size,
         "docs_curation_job": q_docs_curation_job,
+        "docs_compressibility": q_docs_compressibility,
         "tpch_q5_local_suppliers": q_tpch_q5_local_suppliers,
         "tpch_q9_product_profit": q_tpch_q9_product_profit,
         "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,

@@ -1410,3 +1410,50 @@ def ngram_contamination(
 
     return merged.repartition(1).map_batches(fin, batch_format="pandas",
                                              batch_size=None)
+
+
+def compressibility(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> Dataset:
+    """Per-document zlib compressibility — the classic cheap redundancy
+    signal for LLM-corpus curation (boilerplate, template spam and
+    generation loops compress far below natural prose; near-random
+    noise compresses above 1.0).  ``ratio = deflate_len / raw_len``
+    (NULL for empty docs).
+
+    Deterministic (fixed zlib level, no dictionary), so thresholds are
+    reproducible across runs and machines; shuffle-free and streaming —
+    the per-doc C deflate call is the work, exactly like the md5 path
+    of the hash-split ops (no Arrow kernel exists; the loop is a C call
+    per row, not Python arithmetic).  Pairs with
+    :func:`~.dedup.dup_rate_by_group` (exact redundancy ACROSS docs)
+    by measuring redundancy WITHIN each doc.
+
+    Reference analog: the waveform normalization/compression the
+    reference applies before windowing (data.py:163-176) — here as a
+    quality feature rather than a storage step.
+    Output: ``{id_col}, raw_len, gz_len, ratio``.
+    """
+    import zlib
+
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].astype(str)
+        raw = texts.str.encode("utf-8")
+        raw_len = raw.str.len().to_numpy(dtype=np.int64)
+        gz_len = np.fromiter(
+            (len(zlib.compress(b, level)) for b in raw),
+            dtype=np.int64, count=len(raw))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(raw_len > 0, gz_len / raw_len, np.nan)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "raw_len": raw_len,
+            "gz_len": gz_len,
+            "ratio": ratio,
+        })
+
+    return ds.map_batches(body, batch_format="pandas")

@@ -343,3 +343,30 @@ def test_lexical_diversity_golden():
     assert out.loc[3, "n_tokens"] == 0
     import numpy as np
     assert np.isnan(out.loc[3, "type_token_ratio"])
+
+
+def test_compressibility_golden_and_monotonic():
+    """Deterministic zlib ratios: repetitive text compresses far below
+    random-ish text; empty doc -> NULL ratio; values reproducible."""
+    import zlib
+
+    import pandas as pd
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.text import compressibility
+
+    rep = "spam ham " * 200
+    mixed = " ".join(f"w{i * 7919 % 1000}" for i in range(400))
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": [rep, mixed, ""]})
+    out = to_pdf(compressibility(
+        ray.data.from_pandas(df))).set_index("doc_id")
+    # golden: exactly the local zlib result
+    assert out.loc[1, "gz_len"] == len(zlib.compress(rep.encode(), 6))
+    assert out.loc[2, "gz_len"] == len(zlib.compress(mixed.encode(), 6))
+    assert out.loc[1, "raw_len"] == len(rep)
+    # repetitive text compresses much harder than varied text
+    assert out.loc[1, "ratio"] < 0.05 < out.loc[2, "ratio"]
+    import numpy as np
+    assert np.isnan(out.loc[3, "ratio"]) and out.loc[3, "raw_len"] == 0
