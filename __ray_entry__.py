@@ -3037,6 +3037,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           columns=["doc_id", "text"])
         return _round_floats(compressibility(docs).sort("doc_id"))
 
+    def q_docs_charlm_logloss(sf):
+        """Corpus char-bigram LM perplexity proxy per doc (add-one
+        smoothing, fit-combiner + broadcast-score passes) —
+        stages/text.charlm_logloss."""
+        from s_tsfe_dl_ray.stages.text import charlm_logloss
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        return _round_floats(charlm_logloss(docs).sort("doc_id"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3306,6 +3316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_escalation": q_transcripts_escalation,
         "events_runs_test": q_events_runs_test,
         "events_hour_entropy": q_events_hour_entropy,
+        "docs_charlm_logloss": q_docs_charlm_logloss,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -5947,6 +5958,28 @@ def oracle_sql() -> dict[str, str]:
                    END AS z
             FROM med m2 LEFT JOIN agg a USING (user_id)
             ORDER BY user_id
+        """,
+        # char-bigram LM: substr is codepoint-based == the Ray side's
+        # utf-32 codepoints; add-one smoothing over a fixed 256 denom;
+        # docs with < 2 chars have no bigram and emit nothing (both sides)
+        "docs_charlm_logloss": """
+            WITH pos AS (
+              SELECT doc_id, text,
+                     unnest(range(2, length(text) + 1)) AS i
+              FROM documents WHERE length(text) >= 2),
+            bg AS (SELECT doc_id, substr(text, (i - 1)::INT, 1) AS c1,
+                          substr(text, i::INT, 1) AS c2
+                   FROM pos),
+            cnt AS (SELECT c1, c2, count(*)::BIGINT AS n12
+                    FROM bg GROUP BY 1, 2),
+            c1n AS (SELECT c1, sum(n12) AS n1 FROM cnt GROUP BY 1),
+            lp AS (SELECT cnt.c1, cnt.c2,
+                          ln((cnt.n12 + 1.0) / (c1n.n1 + 256.0)) AS lp
+                   FROM cnt JOIN c1n USING (c1))
+            SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+                   round(-sum(lp.lp) / count(*), 6) AS avg_logloss
+            FROM bg JOIN lp ON bg.c1 = lp.c1 AND bg.c2 = lp.c2
+            GROUP BY 1 ORDER BY 1
         """,
         "events_hour_entropy": """
             WITH h AS (

@@ -1457,3 +1457,106 @@ def compressibility(
         })
 
     return ds.map_batches(body, batch_format="pandas")
+
+
+def charlm_logloss(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smooth_denom: float = 256.0,
+) -> Dataset:
+    """Per-document average negative log-likelihood under a corpus-wide
+    character-bigram model with add-one smoothing — the classic cheap
+    perplexity proxy for quality filtering (gibberish and
+    wrong-language text score far above in-distribution prose).
+
+        p(c₂|c₁) = (n(c₁c₂) + 1) / (n(c₁·) + smooth_denom)
+        score(doc) = −Σ ln p(cᵢ|cᵢ₋₁) / (len−1)
+
+    Trained-model-scorer shape with an EXACT oracle: pass 1 fits the
+    bigram table as a combiner (each batch folds to (c₁, c₂, n)
+    partials — bounded by the observed character-pair vocabulary, the
+    documented small-side assumption), the log-prob table broadcasts
+    via ``ray.put``, and pass 2 scores each batch vectorized (codepoint
+    pairs → searchsorted against the sorted pair index).  Docs shorter
+    than 2 characters emit nothing (no bigram exists) — same rule as
+    the SQL twin.
+
+    Characters are Unicode CODEPOINTS (mirrors DuckDB ``substr``
+    semantics, not bytes).  Reference analog: the trained-scaler →
+    batch-score split of the reference experiments
+    (keras_experiment.py:66-88 fit, 583-593 score).
+    Output: ``{id_col}, n_bigrams, avg_logloss``.
+    """
+    import ray
+
+    def _codepoints(s: str) -> np.ndarray:
+        return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+    def _pairs_of(df: pd.DataFrame):
+        """(doc_index_per_pair, pair_code) over all docs in the batch."""
+        texts = df[text_col].astype(str).tolist()
+        cps = [_codepoints(t) for t in texts]
+        lens = np.array([len(c) for c in cps], dtype=np.int64)
+        keep = lens >= 2
+        if not keep.any():
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64))
+        flat = np.concatenate(
+            [c for c, k in zip(cps, keep) if k]).astype(np.int64)
+        klens = lens[keep]
+        # pair start p is valid iff p and p+1 lie in the same doc:
+        # knock out the last-char position of every doc but the final one
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        ends = np.cumsum(klens)[:-1]
+        valid[ends - 1] = False
+        offs = np.flatnonzero(valid)
+        pair = flat[offs] * (1 << 21) + flat[offs + 1]
+        # doc index per pair, aligned with ascending offs
+        idx = np.repeat(np.arange(len(klens)), klens - 1)
+        orig = np.flatnonzero(keep)[idx]
+        return orig, pair
+
+    def fit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, pair = _pairs_of(df)
+        if len(pair) == 0:
+            return pd.DataFrame({"pair": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        uniq, cnt = np.unique(pair, return_counts=True)
+        return pd.DataFrame({"pair": uniq, "n": cnt.astype(np.int64)})
+
+    fitted = ds.map_batches(fit_partial, batch_format="pandas").to_pandas()
+    tbl = fitted.groupby("pair", sort=True)["n"].sum()
+    pair_keys = tbl.index.to_numpy(dtype=np.int64)
+    n12 = tbl.to_numpy(dtype=np.float64)
+    c1 = pair_keys >> 21
+    inv1 = np.unique(c1, return_inverse=True)[1]
+    n1 = np.bincount(inv1, weights=n12)[inv1]
+    logp = np.log((n12 + 1.0) / (n1 + smooth_denom))
+    model = ray.put((pair_keys, logp))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        keys, lp = _ray.get(model)
+        orig, pair = _pairs_of(df)
+        if len(pair) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=df[id_col].dtype),
+                "n_bigrams": pd.Series([], dtype="int64"),
+                "avg_logloss": pd.Series([], dtype="float64")})
+        pos = np.searchsorted(keys, pair)
+        ll = lp[pos]  # every pair was seen in fit (same corpus)
+        nb = np.bincount(orig, minlength=len(df)).astype(np.int64)
+        ssum = np.bincount(orig, weights=ll, minlength=len(df))
+        keep = nb >= 1
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = -ssum[keep] / nb[keep]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[keep],
+            "n_bigrams": nb[keep],
+            "avg_logloss": avg,
+        })
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -222,6 +222,8 @@ D_QUERIES = [
     "docs_zipf_slope",
     "docs_bigram_top20",
     "docs_exact_dedup",
+    "docs_charlm_logloss",
+    "docs_dup_rate_by_source",
 ]
 
 _WORDS = ["the", "fast", "data", "merge", "la", "le", "und", "der",
