@@ -3047,6 +3047,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           columns=["doc_id", "text"])
         return _round_floats(charlm_logloss(docs).sort("doc_id"))
 
+    def q_events_holt_winters(sf):
+        """Additive Holt–Winters (level+trend+24h season) per event type
+        over the dense hourly grid; rows-only (recursive state — no SQL
+        twin; convergence + short-series pytest in tests/test_trend.py)
+        — stages/trend.holt_winters."""
+        from s_tsfe_dl_ray.stages.trend import holt_winters
+
+        ds = read_events(sf, columns=["event_type", "ts"])
+        return _round_floats(holt_winters(ds))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3301,6 +3311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join_size": q_orders_lineitem_join_size,
         "docs_curation_job": q_docs_curation_job,
         "docs_compressibility": q_docs_compressibility,
+        "events_holt_winters": q_events_holt_winters,
         "tpch_q5_local_suppliers": q_tpch_q5_local_suppliers,
         "tpch_q9_product_profit": q_tpch_q9_product_profit,
         "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,

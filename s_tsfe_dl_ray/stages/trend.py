@@ -1031,3 +1031,104 @@ def ljung_box(
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(
         lb_partition, batch_format="pandas")
+
+
+def holt_winters(
+    ds: Dataset,
+    *,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    period: int = 24,
+    alpha: float = 0.3,
+    beta: float = 0.05,
+    gamma: float = 0.2,
+    horizons: tuple[int, ...] = (1, 2, 3),
+    num_partitions: int = 16,
+) -> Dataset:
+    """Additive Holt–Winters (triple exponential smoothing) over each
+    key's dense hourly count series — the seasonal completion of the
+    forecasting ladder (seasonal-naive MASE → Holt level+trend → this).
+
+        l' = α(y − s[p]) + (1−α)(l + b)
+        b' = β(l' − l) + (1−β)b
+        s'[p] = γ(y − l') + (1−γ)s[p]
+        ŷ(+h) = l + h·b + s[(p + h) mod m]
+
+    Classic initialization over the first two seasons (l₀ = mean of
+    cycle 1, b₀ = (mean₂ − mean₁)/m, s₀ = cycle-1 deviations); keys
+    whose span is shorter than 2·period emit NULL state.  Same
+    two-stage shape as :func:`stl_lite`: a combiner folds events to
+    (key, hour) counts — partials only cross the exchange — and the
+    recurrence runs per key inside its partition.  The per-key step
+    loop is over the HOURLY GRID (span/3600s iterations over bounded
+    key cardinality), not over events; the state is affine in y, so the
+    salted-carry composition the Holt op documents applies if a single
+    key's grid ever outgrows a worker.
+
+    Reference analog: the recurrent cell state the reference carries
+    per series (models_keras.py:64 LSTM scan) — here with an
+    interpretable 2+m-dim state.  Output: ``{key}, n_hours, level,
+    trend, forecast_h{h}...``.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.windows import window_start_us
+    from ..pipelines.relational import grouped_aggregate
+    from .grouped import grouped_apply
+
+    m = period
+
+    def hour_fold(t: pa.Table) -> pa.Table:
+        hr = pc.divide(window_start_us(t[ts_col], "1h"),
+                       pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({key: t[key], "hr": hr})
+
+    counts = grouped_aggregate(
+        ds.map_batches(hour_fold, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=[key, "hr"], aggs={"n": ("hr", "count")},
+        num_partitions=num_partitions)
+
+    def fit(df: pd.DataFrame) -> pd.DataFrame:
+        cols: dict[str, list] = {key: [], "n_hours": [], "level": [],
+                                 "trend": []}
+        for h in horizons:
+            cols[f"forecast_h{h}"] = []
+        for k, g in df.groupby(key, sort=False):
+            hr = g["hr"].to_numpy(dtype=np.int64)
+            cnt = g["n"].to_numpy(dtype=np.int64)
+            h0, h1 = int(hr.min()), int(hr.max())
+            n_hours = h1 - h0 + 1
+            y = np.zeros(n_hours, dtype=np.float64)
+            y[hr - h0] = cnt
+            phases = (np.arange(h0, h1 + 1, dtype=np.int64)) % m
+            if n_hours < 2 * m:
+                vals = [np.nan, np.nan] + [np.nan] * len(horizons)
+            else:
+                mu1 = y[:m].sum() / m
+                mu2 = y[m:2 * m].sum() / m
+                l, b = mu1, (mu2 - mu1) / m
+                s = np.empty(m)
+                s[phases[:m]] = y[:m] - mu1
+                for i in range(m, n_hours):
+                    p = phases[i]
+                    lp = alpha * (y[i] - s[p]) + (1.0 - alpha) * (l + b)
+                    b = beta * (lp - l) + (1.0 - beta) * b
+                    s[p] = gamma * (y[i] - lp) + (1.0 - gamma) * s[p]
+                    l = lp
+                last_p = phases[-1]
+                vals = [l, b] + [l + h * b + s[(last_p + h) % m]
+                                 for h in horizons]
+            cols[key].append(k)
+            cols["n_hours"].append(n_hours)
+            cols["level"].append(vals[0])
+            cols["trend"].append(vals[1])
+            for h, v in zip(horizons, vals[2:]):
+                cols[f"forecast_h{h}"].append(v)
+        out = pd.DataFrame(cols)
+        return out.astype({"n_hours": "int64"})
+
+    return grouped_apply(
+        counts, keys=[key], fn=fit,
+        num_partitions=min(num_partitions, 8),
+        whole_partition=True).sort(key)

@@ -254,3 +254,52 @@ def test_lag1_autocorr_hand_cases():
     np.testing.assert_allclose(out.loc["alt", "autocorr"], -1.0, atol=1e-12)
     np.testing.assert_allclose(out.loc["ramp", "autocorr"], 1.0, atol=1e-12)
     assert np.isnan(out.loc["const", "autocorr"])
+
+
+def test_holt_winters_converges_on_seasonal_series():
+    """On y = base + slope*t + season[p], the fitted state converges to
+    the true slope and the forecasts to the true future values."""
+    import pandas as pd
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.trend import holt_winters
+
+    m = 24
+    n = 24 * 40
+    season = np.sin(np.arange(m) / m * 2 * np.pi) * 5.0
+    t0 = 1_700_000 * 3600  # seconds, hour-aligned
+    rows = []
+    for i in range(n):
+        hr = t0 // 3600 + i
+        # counts must be ints: encode the signal as event multiplicity
+        yv = int(round(20 + 0.1 * i + season[hr % m]))
+        for _ in range(yv):
+            rows.append({"event_type": "s", "ts": np.datetime64(
+                (t0 + i * 3600) * 1_000_000, "us")})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = to_pdf(holt_winters(ds)).set_index("event_type")
+    assert out.loc["s", "n_hours"] == n
+    assert abs(out.loc["s", "trend"] - 0.1) < 0.02
+    # forecast error small relative to the signal range (~±5 season)
+    last_hr = t0 // 3600 + n - 1
+    for h in (1, 2, 3):
+        truth = 20 + 0.1 * (n - 1 + h) + season[(last_hr + h) % m]
+        got = out.loc["s", f"forecast_h{h}"]
+        assert abs(got - truth) < 1.5, (h, got, truth)
+
+
+def test_holt_winters_short_series_null_state():
+    import pandas as pd
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.trend import holt_winters
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "event_type": ["x"] * 10,
+        "ts": pd.date_range("2024-01-01", periods=10, freq="h",
+                            unit="us"),
+    }))
+    out = to_pdf(holt_winters(ds))
+    assert len(out) == 1 and np.isnan(out.level.iloc[0])
