@@ -3057,6 +3057,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_events(sf, columns=["event_type", "ts"])
         return _round_floats(holt_winters(ds))
 
+    def q_events_psi_daily(sf):
+        """Population Stability Index per observed day vs previous day
+        (10 equal-width global bins, Laplace-smoothed) — the
+        distribution-drift monitor (stages/robust.psi_daily)."""
+        from s_tsfe_dl_ray.stages.robust import psi_daily
+
+        ds = read_events(sf, columns=["ts", "value"])
+        return _round_floats(psi_daily(ds).sort("day"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3328,6 +3337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_runs_test": q_events_runs_test,
         "events_hour_entropy": q_events_hour_entropy,
         "docs_charlm_logloss": q_docs_charlm_logloss,
+        "events_psi_daily": q_events_psi_daily,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -5991,6 +6001,39 @@ def oracle_sql() -> dict[str, str]:
                    round(-sum(lp.lp) / count(*), 6) AS avg_logloss
             FROM bg JOIN lp ON bg.c1 = lp.c1 AND bg.c2 = lp.c2
             GROUP BY 1 ORDER BY 1
+        """,
+        # PSI: equal-width bins over the exact global [min,max]; Laplace
+        # smoothing (c+0.5)/(n+5); constant corpus degenerates to bin 0
+        "events_psi_daily": """
+            WITH mm AS (SELECT min(value) AS lo, max(value) AS hi
+                        FROM events),
+            b AS (
+              SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+                     CASE WHEN mm.hi = mm.lo THEN 0
+                          ELSE least(9, greatest(0,
+                            floor((value - mm.lo) * 10.0
+                                  / (mm.hi - mm.lo))::BIGINT))
+                     END AS bin
+              FROM events, mm),
+            c AS (SELECT day, bin, count(*)::BIGINT AS c
+                  FROM b GROUP BY 1, 2),
+            days AS (SELECT DISTINCT day FROM c),
+            grid AS (SELECT day, unnest(range(0, 10)) AS bin FROM days),
+            d AS (SELECT grid.day, grid.bin, coalesce(c.c, 0)::BIGINT AS c
+                  FROM grid LEFT JOIN c USING (day, bin)),
+            s AS (SELECT day, bin,
+                         sum(c) OVER (PARTITION BY day) AS n,
+                         dense_rank() OVER (ORDER BY day) AS rk,
+                         (c + 0.5)
+                         / (sum(c) OVER (PARTITION BY day) + 5.0) AS p
+                  FROM d)
+            SELECT make_timestamp(cur.day * 86400000000) AS day,
+                   min(cur.n)::BIGINT AS n_events,
+                   round(sum((cur.p - prev.p) * ln(cur.p / prev.p)), 6)
+                     AS psi
+            FROM s cur LEFT JOIN s prev
+              ON prev.rk = cur.rk - 1 AND prev.bin = cur.bin
+            GROUP BY cur.day ORDER BY 1
         """,
         "events_hour_entropy": """
             WITH h AS (

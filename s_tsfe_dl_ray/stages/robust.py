@@ -704,3 +704,101 @@ def runs_test(
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(fold, batch_format="pandas")
+
+
+def psi_daily(
+    ds: Dataset,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_bins: int = 10,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Population Stability Index per observed day vs the PREVIOUS
+    observed day — the model-monitoring drift staple (rule of thumb:
+    < 0.1 stable, 0.1–0.25 shifting, > 0.25 drifted), the whole-
+    distribution sibling of the two-sample KS ops.
+
+        PSI(day) = Σ_bins (p_day − p_prev) · ln(p_day / p_prev)
+
+    over ``n_bins`` equal-width bins of the GLOBAL [min, max] value
+    range (exact combiner aggregates — no quantile estimation, no
+    sample), with Laplace smoothing p = (c + ½)/(n + n_bins/2) so
+    empty bins stay finite; a constant corpus (max == min) degenerates
+    to a single bin and PSI 0 between all day pairs.
+
+    Three cheap passes: global min/max combiner (one row), (day, bin)
+    count combiner (partials only), and a days×bins final fold on one
+    partition.  Output: ``day (µs-epoch date), n_events, psi`` — one
+    row per observed day; the first observed day has no predecessor and
+    reports NULL psi (so a single-day corpus still emits its row).
+    """
+    import pyarrow as pa
+
+    from ..functions.windows import window_to_timestamp
+    from ..pipelines.relational import grouped_aggregate
+
+    # pass 1: exact global range
+    def mm_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "_all": pa.array([1], pa.int8()),
+            "lo": pa.array([pc.min(t[value_col]).as_py()], pa.float64()),
+            "hi": pa.array([pc.max(t[value_col]).as_py()], pa.float64()),
+        })
+
+    mm = grouped_aggregate(
+        ds.map_batches(mm_part, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["_all"], aggs={"lo": ("lo", "min"), "hi": ("hi", "max")},
+        num_partitions=1).to_pandas()
+    lo = float(mm["lo"].iloc[0])
+    hi = float(mm["hi"].iloc[0])
+
+    def bin_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        day = pc.divide(pc.cast(pc.cast(
+            t[ts_col], pa.timestamp("us")), pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if hi == lo:
+            b = np.zeros(len(v), dtype=np.int64)
+        else:
+            b = np.floor((v - lo) * float(n_bins) / (hi - lo)).astype(
+                np.int64)
+            b = np.minimum(n_bins - 1, np.maximum(0, b))
+        return pa.table({"day": day, "bin": pa.array(b)})
+
+    counts = grouped_aggregate(
+        ds.map_batches(bin_part, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["day", "bin"], aggs={"c": ("bin", "count")},
+        num_partitions=num_partitions)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "day": pd.Series([], dtype="datetime64[us]"),
+                "n_events": pd.Series([], dtype="int64"),
+                "psi": pd.Series([], dtype="float64")})
+        days = np.sort(df["day"].unique())
+        grid = pd.MultiIndex.from_product(
+            [days, range(n_bins)], names=["day", "bin"])
+        c = (df.set_index(["day", "bin"])["c"]
+             .reindex(grid, fill_value=0).to_numpy(dtype=np.float64)
+             .reshape(len(days), n_bins))
+        n = c.sum(axis=1)
+        p = (c + 0.5) / (n + n_bins / 2.0)[:, None]
+        cur, prev = p[1:], p[:-1]
+        psi = np.concatenate(
+            [[np.nan], ((cur - prev) * np.log(cur / prev)).sum(axis=1)])
+        out_days = pa.array(days * 86_400_000_000, pa.int64())
+        return pd.DataFrame({
+            "day": window_to_timestamp(out_days).to_pandas(),
+            "n_events": n.astype(np.int64),
+            "psi": psi,
+        })
+
+    return counts.repartition(1).map_batches(finish, batch_format="pandas")

@@ -53,6 +53,7 @@ QUERIES = [
     "events_ljung_box",
     "events_runs_test",
     "events_hour_entropy",
+    "events_psi_daily",
 ]
 
 SHAPES = [
