@@ -3066,6 +3066,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_events(sf, columns=["ts", "value"])
         return _round_floats(psi_daily(ds).sort("day"))
 
+    def q_events_out_of_order(sf):
+        """Ingestion-order audit per user: late-event share and worst
+        lateness in arrival (event_id) order — the watermark-tuning
+        measurement (stages/scan.out_of_order_stats)."""
+        from s_tsfe_dl_ray.stages.scan import out_of_order_stats
+
+        ds = read_events(sf, columns=["event_id", "ts", "user_id"])
+        return _round_floats(out_of_order_stats(ds))
+
+    def q_events_trimmed_mean(sf):
+        """10%-trimmed mean per user (deterministic (value, event_id)
+        cut) — the robust location estimate between mean and median
+        (stages/robust.trimmed_mean)."""
+        from s_tsfe_dl_ray.stages.robust import trimmed_mean
+
+        ds = read_events(sf, columns=["event_id", "user_id", "value"])
+        return _round_floats(trimmed_mean(
+            ds, key="user_id", value_col="value", id_col="event_id"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3338,6 +3357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hour_entropy": q_events_hour_entropy,
         "docs_charlm_logloss": q_docs_charlm_logloss,
         "events_psi_daily": q_events_psi_daily,
+        "events_out_of_order": q_events_out_of_order,
+        "events_trimmed_mean": q_events_trimmed_mean,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -6001,6 +6022,42 @@ def oracle_sql() -> dict[str, str]:
                    round(-sum(lp.lp) / count(*), 6) AS avg_logloss
             FROM bg JOIN lp ON bg.c1 = lp.c1 AND bg.c2 = lp.c2
             GROUP BY 1 ORDER BY 1
+        """,
+        "events_out_of_order": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS pm
+              FROM events)
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   (count(*) FILTER (WHERE pm IS NOT NULL AND ts < pm))
+                     ::BIGINT AS n_late,
+                   round((count(*) FILTER (WHERE pm IS NOT NULL
+                                           AND ts < pm))::DOUBLE
+                         / count(*), 6) AS late_share,
+                   round(max(CASE WHEN pm IS NOT NULL AND ts < pm THEN
+                             date_diff('microsecond', ts, pm) END)
+                         / 1000000.0, 6) AS max_lateness_s
+            FROM o GROUP BY 1 ORDER BY 1
+        """,
+        # floor(0.1*n) is the same float64 product on both sides, so the
+        # trim cut is bit-identical; (value, event_id) rank = the lexsort
+        "events_trimmed_mean": """
+            WITH r AS (
+              SELECT user_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events)
+            SELECT user_id, min(n)::BIGINT AS n_events,
+                   min(floor(0.1 * n))::BIGINT AS n_trimmed_each,
+                   round(sum(value) FILTER (
+                           WHERE rn > floor(0.1 * n)
+                             AND rn <= n - floor(0.1 * n))
+                         / (min(n) - 2 * min(floor(0.1 * n))), 6)
+                     AS trimmed_mean
+            FROM r GROUP BY 1 ORDER BY 1
         """,
         # PSI: equal-width bins over the exact global [min,max]; Laplace
         # smoothing (c+0.5)/(n+5); constant corpus degenerates to bin 0

@@ -802,3 +802,59 @@ def psi_daily(
         })
 
     return counts.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+def trimmed_mean(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    id_col: str,
+    trim: float = 0.1,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key trimmed mean: drop the ``floor(trim·n)`` smallest and
+    largest observations (ties broken by ``id_col`` for a deterministic
+    cut) and average the middle — the robust location estimate between
+    the mean (trim 0) and the median (trim 0.5), resistant to the
+    outliers that drag :func:`~..pipelines.relational.grouped_aggregate`
+    means.
+
+    One key-hash exchange; inside each partition one lexsort across all
+    keys, rank-window masks per key segment, and a masked sum — no
+    per-key Python.  The trimmed sum is a float64 fold over values in
+    (value, id) order, mirroring the SQL twin's rank-window sum.
+    Output: ``{key}, n_events, n_trimmed_each, trimmed_mean``.
+    """
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                key: pd.Series([], dtype="object"),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_trimmed_each": pd.Series([], dtype="int64"),
+                "trimmed_mean": pd.Series([], dtype="float64")})
+        v = df[value_col].to_numpy(dtype=np.float64)
+        i = df[id_col].to_numpy()
+        k = df[key].to_numpy()
+        order = np.lexsort((i, v, k))
+        ks, vs = k[order], v[order]
+        uniq, inv = np.unique(ks, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+        rank = np.arange(len(ks)) - starts[inv]          # 0-based per key
+        t = np.floor(trim * n).astype(np.int64)
+        keep = (rank >= t[inv]) & (rank < (n - t)[inv])
+        ssum = np.bincount(inv, weights=np.where(keep, vs, 0.0),
+                           minlength=len(uniq))
+        kept = (n - 2 * t).astype(np.float64)
+        return pd.DataFrame({
+            key: uniq,
+            "n_events": n,
+            "n_trimmed_each": t,
+            "trimmed_mean": ssum / kept,
+        })
+
+    return grouped_apply(ds, keys=[key], fn=fold,
+                         num_partitions=num_partitions,
+                         whole_partition=True).sort(key)

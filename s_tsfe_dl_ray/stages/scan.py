@@ -673,3 +673,66 @@ def record_highs(
     return grouped_apply(
         ds, keys=[key_col], fn=fold, num_partitions=num_partitions,
         whole_partition=True).sort(key_col)
+
+
+def out_of_order_stats(
+    ds: Dataset,
+    *,
+    key_col: str = "user_id",
+    seq_col: str = "event_id",
+    ts_col: str = "ts",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Ingestion-order audit per key: in ARRIVAL order (``seq_col``),
+    how many events carry an event-time earlier than the running
+    maximum event-time already seen for that key — i.e. would be "late"
+    to any watermark — and how late is the worst one.
+
+    The measurement that feeds watermark tuning
+    (:func:`~.stream.watermark_rollup`'s ``allowed_lateness``): the
+    p100 lateness here is the smallest allowed-lateness that drops
+    nothing.  Same vectorized shifted-cummax shape as
+    :func:`record_highs`, but over µs timestamps in sequence order —
+    lateness rides as exact int64 µs, converted to seconds only in the
+    output.  Output: ``{key_col}, n_events, n_late, late_share,
+    max_lateness_s`` (max_lateness NULL when nothing is late).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .grouped import grouped_apply
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype="object"),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_late": pd.Series([], dtype="int64"),
+                "late_share": pd.Series([], dtype="float64"),
+                "max_lateness_s": pd.Series([], dtype="float64"),
+            })
+        df = df.sort_values([key_col, seq_col], kind="mergesort")
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        work = pd.DataFrame({key_col: df[key_col].to_numpy(), "_ts": ts})
+        g = work.groupby(key_col, sort=False)
+        prevmax = g["_ts"].cummax().shift(1)
+        first = work[key_col].ne(work[key_col].shift(1)).to_numpy()
+        pm = prevmax.to_numpy(dtype=np.float64)
+        late_us = np.where(first, 0.0, pm - ts)
+        is_late = ~first & (late_us > 0)
+        out = pd.DataFrame({
+            key_col: work[key_col].to_numpy(),
+            "_one": np.ones(len(work), dtype=np.int64),
+            "_late": is_late.astype(np.int64),
+            "_lat_us": np.where(is_late, late_us, np.nan),
+        }).groupby(key_col, sort=False, as_index=False).agg(
+            n_events=("_one", "sum"), n_late=("_late", "sum"),
+            _max_us=("_lat_us", "max"))
+        out["late_share"] = (out["n_late"].to_numpy(dtype=np.float64)
+                             / out["n_events"].to_numpy(dtype=np.float64))
+        out["max_lateness_s"] = out["_max_us"].to_numpy() / 1e6
+        return out.drop(columns=["_max_us"])
+
+    return grouped_apply(
+        ds, keys=[key_col], fn=fold, num_partitions=num_partitions,
+        whole_partition=True).sort(key_col)

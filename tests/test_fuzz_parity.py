@@ -54,6 +54,8 @@ QUERIES = [
     "events_runs_test",
     "events_hour_entropy",
     "events_psi_daily",
+    "events_out_of_order",
+    "events_trimmed_mean",
 ]
 
 SHAPES = [
