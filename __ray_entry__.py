@@ -3085,6 +3085,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(trimmed_mean(
             ds, key="user_id", value_col="value", id_col="event_id"))
 
+    def q_events_session_type_pairs(sf):
+        """Session-scoped event-type co-occurrence: label_sessions →
+        pair_cooccurrence composition (which types happen in the SAME
+        30m session, vs the per-user lifetime variant)."""
+        import pyarrow.compute as _pc
+
+        from s_tsfe_dl_ray.stages.distinct import pair_cooccurrence
+        from s_tsfe_dl_ray.stages.sessionize import label_sessions
+
+        ds = read_events(sf, columns=["event_id", "ts", "user_id",
+                                      "event_type"])
+        labeled = label_sessions(ds, key="user_id", ts_col="ts",
+                                 order_by=["ts", "event_id"], gap="30m")
+
+        def skey(t: pa.Table) -> pa.Table:
+            sk = _pc.binary_join_element_wise(
+                _pc.cast(t["user_id"], pa.string()),
+                _pc.cast(t["session_id"], pa.string()), ":")
+            return pa.table({"skey": sk, "event_type": t["event_type"]})
+
+        pairs = pair_cooccurrence(
+            labeled.map_batches(skey, batch_format="pyarrow"),
+            group_col="skey", member_col="event_type")
+        return _round_floats(pairs.sort(["member_a", "member_b"]))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3359,6 +3384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_psi_daily": q_events_psi_daily,
         "events_out_of_order": q_events_out_of_order,
         "events_trimmed_mean": q_events_trimmed_mean,
+        "events_session_type_pairs": q_events_session_type_pairs,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -6022,6 +6048,43 @@ def oracle_sql() -> dict[str, str]:
                    round(-sum(lp.lp) / count(*), 6) AS avg_logloss
             FROM bg JOIN lp ON bg.c1 = lp.c1 AND bg.c2 = lp.c2
             GROUP BY 1 ORDER BY 1
+        """,
+        # session labels == the sessionize CTE (ts, event_id order);
+        # then the standard distinct-pair / lift / jaccard shape over
+        # (user:session) groups
+        "events_session_type_pairs": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id || ':' ||
+                     (sum(new_session) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW))::VARCHAR AS skey,
+                     event_type
+              FROM o),
+            d AS (SELECT DISTINCT skey, event_type FROM s),
+            u AS (SELECT count(DISTINCT skey) AS ng FROM d),
+            c AS (SELECT event_type, count(*)::BIGINT AS n
+                  FROM d GROUP BY 1),
+            p AS (
+              SELECT a.event_type AS member_a, b.event_type AS member_b,
+                     count(*)::BIGINT AS n_both
+              FROM d a JOIN d b
+                ON a.skey = b.skey AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+            SELECT p.member_a, p.member_b, p.n_both,
+                   round((p.n_both * u.ng)::DOUBLE / (ca.n * cb.n), 6)
+                     AS lift,
+                   round(p.n_both::DOUBLE / (ca.n + cb.n - p.n_both), 6)
+                     AS jaccard
+            FROM p, u
+            JOIN c ca ON ca.event_type = p.member_a
+            JOIN c cb ON cb.event_type = p.member_b
+            ORDER BY p.member_a, p.member_b
         """,
         "events_out_of_order": """
             WITH o AS (

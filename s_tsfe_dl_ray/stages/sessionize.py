@@ -327,3 +327,60 @@ def session_conversion(
 
     return partials.repartition(1).map_batches(
         fold, batch_format="pandas", batch_size=None)
+
+
+def label_sessions(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    order_by: list[str],
+    gap: str | int = "30m",
+    out_col: str = "session_id",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-ROW session labels (the labeling half of :func:`sessionize`,
+    which emits session summaries): every event keeps its columns and
+    gains ``out_col`` — the 0-based session ordinal within its key,
+    incremented wherever the gap to the previous event exceeds ``gap``.
+
+    What downstream compositions need when the session is the GROUPING
+    key rather than the result — e.g. session-scoped co-occurrence
+    (which event types appear in the same session) or per-session
+    funnels.  One key-hash exchange; gap detection and the cumulative
+    label are vectorized across all keys of a partition (diff + boundary
+    mask + cumsum, no per-key Python).
+    """
+    import pyarrow as pa
+
+    from .rollup import _stable_pkey
+
+    if isinstance(gap, str):
+        unit = gap[-1]
+        mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
+        gap_us = int(gap[:-1]) * mult * 1_000_000
+    else:
+        gap_us = int(gap) * 1_000_000
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey", _stable_pkey(t[key], num_partitions))
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [key] + order_by, kind="mergesort").reset_index(drop=True)
+        if len(df) == 0:
+            df[out_col] = pd.Series([], dtype="int64")
+            return df
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        first = df[key].ne(df[key].shift(1)).to_numpy()
+        gap_brk = np.concatenate([[False], (ts[1:] - ts[:-1]) > gap_us])
+        new_sess = (~first) & gap_brk
+        # cumulative within key: global cumsum minus the key's offset
+        cs = np.cumsum(new_sess.astype(np.int64))
+        offset = np.zeros(len(df), dtype=np.int64)
+        offset[first] = cs[first]
+        df[out_col] = cs - np.maximum.accumulate(offset)
+        return df
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(label, batch_format="pandas")

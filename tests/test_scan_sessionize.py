@@ -145,3 +145,41 @@ def test_debounce_greedy_semantics():
     expdf = pd.DataFrame(exp, columns=["k", "ts"])
     assert out[["k", "ts"]].values.tolist() == expdf.values.tolist()
     assert 0 < len(out) < len(df)
+
+
+def test_label_sessions_consistent_with_sessionize():
+    """Aggregating the per-row labels reproduces sessionize()'s summary
+    rows exactly (same gap, same ordering contract)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.sessionize import label_sessions, sessionize
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    ts = np.sort(rng.integers(0, 3_600_000_000 * 50, n))
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 25, n),
+        "ts": ts.astype("datetime64[us]"),
+    })
+    ds = ray.data.from_pandas(df)
+    labeled = to_pdf(label_sessions(
+        ds, key="user_id", ts_col="ts", order_by=["ts", "event_id"],
+        gap="30m"))
+    summary = (labeled.groupby(["user_id", "session_id"])
+               .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+                    n_rows=("ts", "size"))
+               .reset_index())
+    expected = to_pdf(sessionize(
+        ray.data.from_pandas(df), keys=["user_id"], ts_col="ts",
+        order_by=["ts", "event_id"], gap="30m"))
+    merged = summary.merge(
+        expected, on=["user_id", "session_id"],
+        suffixes=("", "_exp"))
+    assert len(merged) == len(expected) == len(summary)
+    assert (merged.session_start == merged.session_start_exp).all()
+    assert (merged.session_end == merged.session_end_exp).all()
+    assert (merged.n_rows == merged.n_rows_exp).all()
