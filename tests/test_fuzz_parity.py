@@ -56,6 +56,7 @@ QUERIES = [
     "events_psi_daily",
     "events_out_of_order",
     "events_trimmed_mean",
+    "events_session_type_pairs",
 ]
 
 SHAPES = [
