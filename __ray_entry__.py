@@ -3110,6 +3110,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             group_col="skey", member_col="event_type")
         return _round_floats(pairs.sort(["member_a", "member_b"]))
 
+    def q_emb_centroid_drift(sf):
+        """Per-label even/odd-half centroid cosine (embedding-store
+        drift probe) — pure combiner, embeddings never shuffled
+        (stages/similarity.centroid_drift)."""
+        from s_tsfe_dl_ray.stages.similarity import centroid_drift
+
+        emb = read_table(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "label", "embedding"])
+        return _round_floats(centroid_drift(emb))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3385,6 +3395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_out_of_order": q_events_out_of_order,
         "events_trimmed_mean": q_events_trimmed_mean,
         "events_session_type_pairs": q_events_session_type_pairs,
+        "emb_centroid_drift": q_emb_centroid_drift,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -6048,6 +6059,34 @@ def oracle_sql() -> dict[str, str]:
                    round(-sum(lp.lp) / count(*), 6) AS avg_logloss
             FROM bg JOIN lp ON bg.c1 = lp.c1 AND bg.c2 = lp.c2
             GROUP BY 1 ORDER BY 1
+        """,
+        "emb_centroid_drift": """
+            WITH x AS (
+              SELECT label, vec_id % 2 AS half,
+                     generate_subscripts(embedding, 1) AS dim,
+                     unnest(embedding)::DOUBLE AS v
+              FROM embeddings),
+            s AS (SELECT label, half, dim, sum(v) / count(*) AS c,
+                         count(*) AS n
+                  FROM x GROUP BY 1, 2, 3),
+            hn AS (SELECT label, half, min(n) AS n FROM s GROUP BY 1, 2),
+            n AS (SELECT label,
+                         max(CASE WHEN half = 0 THEN n END) AS n_even,
+                         max(CASE WHEN half = 1 THEN n END) AS n_odd
+                  FROM hn GROUP BY 1),
+            p AS (
+              SELECT a.label, sum(a.c * b.c) AS dot,
+                     sum(a.c * a.c) AS q0, sum(b.c * b.c) AS q1
+              FROM s a JOIN s b ON a.label = b.label AND a.dim = b.dim
+              WHERE a.half = 0 AND b.half = 1
+              GROUP BY 1)
+            SELECT n.label, coalesce(n.n_even, 0)::BIGINT AS n_even,
+                   coalesce(n.n_odd, 0)::BIGINT AS n_odd,
+                   CASE WHEN p.q0 > 0 AND p.q1 > 0 THEN
+                     round(p.dot / (sqrt(p.q0) * sqrt(p.q1)), 6)
+                   END AS centroid_cosine
+            FROM n LEFT JOIN p USING (label)
+            ORDER BY label
         """,
         # session labels == the sessionize CTE (ts, event_id order);
         # then the standard distinct-pair / lift / jaccard shape over

@@ -1449,3 +1449,103 @@ def label_separability(
     out["n_vectors"] = out["n_vectors"].astype("int64")
     out["mean_intra_cosine"] = out["mean_intra_cosine"].astype("float64")
     return ray.data.from_pandas(out)
+
+
+def centroid_drift(
+    ds: Dataset,
+    *,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Embedding-store drift probe per label: split each label's vectors
+    into two deterministic halves (``id % 2``) and report the cosine
+    between the halves' centroids — ≈1 means the label's embedding mass
+    is stable/homogeneous; a low value flags a label whose vectors come
+    from two different regimes (re-embedded model version, mixed
+    sources, ingestion drift).
+
+    Pure combiner like :func:`label_centroids`: each batch folds to
+    (label, half, dim, Σv, n) long partials — 2·d rows per label per
+    batch, embeddings never cross an exchange — and the labels×2×d
+    merged table folds to one row per label.  Labels with an empty half
+    report NULL cosine (nothing to compare).
+
+    Output: ``{label_col}, n_even, n_odd, centroid_cosine`` by label.
+    """
+    from .rollup import _stable_pkey
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({label_col: pa.array([], t[label_col].type),
+                             "half": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "_s": pa.array([], pa.float64()),
+                             "_n": pa.array([], pa.int64()),
+                             "_pkey": pa.array([], pa.int64())})
+        vecs = t[vec_col].combine_chunks()
+        flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(vecs[0])
+        mat = flat.reshape(t.num_rows, d)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = t[label_col].to_numpy(zero_copy_only=False)
+        half = ids % 2
+        # composite group (label, half) without dtype-destroying strings
+        ulabs, linv = np.unique(labs, return_inverse=True)
+        code = linv.astype(np.int64) * 2 + half
+        uniq, inv = np.unique(code, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        lab_of = ulabs[uniq >> 1]
+        half_of = (uniq & 1).astype(np.int64)
+        out = pa.table({
+            label_col: pa.array(np.repeat(lab_of, d)),
+            "half": pa.array(np.repeat(half_of, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(uniq))),
+            "_s": pa.array(sums.ravel()),
+            "_n": pa.array(np.repeat(counts, d)),
+        })
+        return out.append_column("_pkey",
+                                 _stable_pkey(out[label_col], 8))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"])
+        if len(df) == 0:
+            return pd.DataFrame({
+                label_col: pd.Series([], dtype="object"),
+                "n_even": pd.Series([], dtype="int64"),
+                "n_odd": pd.Series([], dtype="int64"),
+                "centroid_cosine": pd.Series([], dtype="float64")})
+        g = df.groupby([label_col, "half", "dim"], sort=True).agg(
+            _s=("_s", "sum"), _n=("_n", "sum")).reset_index()
+        g["c"] = g["_s"] / g["_n"]
+        rows = {label_col: [], "n_even": [], "n_odd": [],
+                "centroid_cosine": []}
+        for lab, sub in g.groupby(label_col, sort=True):
+            e = sub[sub["half"] == 0].sort_values("dim")
+            o = sub[sub["half"] == 1].sort_values("dim")
+            ne = int(e["_n"].iloc[0]) if len(e) else 0
+            no = int(o["_n"].iloc[0]) if len(o) else 0
+            if ne and no:
+                c0 = e["c"].to_numpy()
+                c1 = o["c"].to_numpy()
+                dot = float((c0 * c1).sum())
+                q0 = float((c0 * c0).sum())
+                q1 = float((c1 * c1).sum())
+                cos = (dot / (np.sqrt(q0) * np.sqrt(q1))
+                       if q0 > 0 and q1 > 0 else np.nan)
+            else:
+                cos = np.nan
+            rows[label_col].append(lab)
+            rows["n_even"].append(ne)
+            rows["n_odd"].append(no)
+            rows["centroid_cosine"].append(cos)
+        out = pd.DataFrame(rows)
+        return out.astype({"n_even": "int64", "n_odd": "int64"})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_pkey").map_groups(merge, batch_format="pandas")
+            .sort(label_col))
