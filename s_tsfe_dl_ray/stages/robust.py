@@ -753,6 +753,14 @@ def psi_daily(
                        zero_copy_batch=True),
         keys=["_all"], aggs={"lo": ("lo", "min"), "hi": ("hi", "max")},
         num_partitions=1).to_pandas()
+    if (len(mm) == 0 or "lo" not in mm.columns
+            or mm["lo"].isna().all()):  # empty input
+        import ray.data
+
+        return ray.data.from_pandas(pd.DataFrame({
+            "day": pd.Series([], dtype="datetime64[us]"),
+            "n_events": pd.Series([], dtype="int64"),
+            "psi": pd.Series([], dtype="float64")}))
     lo = float(mm["lo"].iloc[0])
     hi = float(mm["hi"].iloc[0])
 

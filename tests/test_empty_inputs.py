@@ -67,3 +67,41 @@ def test_scalar_fold_ops_empty_or_degenerate():
     out = anova_oneway(ds, group_col="event_type",
                        value_col="value").to_pandas()
     assert len(out) == 0 or out.iloc[0]["n_rows"] == 0
+
+
+def test_round4g_ops_empty():
+    """The 4g wave degrades cleanly on 0-row input (no crash; empty or
+    schema-stable output)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from s_tsfe_dl_ray.stages.activity import activity_gini, hour_entropy
+    from s_tsfe_dl_ray.stages.robust import psi_daily, runs_test, trimmed_mean
+    from s_tsfe_dl_ray.stages.scan import out_of_order_stats, record_highs
+    from s_tsfe_dl_ray.stages.trend import holt_winters, ljung_box, stl_lite
+
+    empty = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+    }))
+    for out in [
+        activity_gini(empty),
+        hour_entropy(empty),
+        runs_test(empty, key="user_id", value_col="value",
+                  order_by=["ts", "event_id"]),
+        trimmed_mean(empty, key="user_id", value_col="value",
+                     id_col="event_id"),
+        psi_daily(empty),
+        out_of_order_stats(empty),
+        record_highs(empty),
+        stl_lite(empty),
+        ljung_box(empty, key="user_id", value_col="value",
+                  order_by=["ts", "event_id"]),
+        holt_winters(empty),
+    ]:
+        df = out.to_pandas()
+        assert len(df) == 0
