@@ -3120,6 +3120,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          columns=["vec_id", "label", "embedding"])
         return _round_floats(centroid_drift(emb))
 
+    def q_transcripts_turn_neardup(sf):
+        """MinHash-LSH near-dup pairs over DISTINCT turn texts — the
+        production dedup ladder composed onto transcripts: exact-dedup
+        to one representative per text first (first_per_key on a text
+        hash), then near-dup only across representatives — so the
+        quadratic-ish stage sees the template pool, not every turn.
+        Rows-only; planted-dup guarantees pytest-pinned on the docs
+        path."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dedup import first_per_key, md5_hex, minhash_dedup_pairs
+
+        turns = read_table(_transcripts_for(sf), columns=["text"])
+
+        def add_key(b):
+            b = b.copy()
+            b["turn_id"] = md5_hex(b["text"])
+            return b
+
+        reps = first_per_key(
+            turns.map_batches(add_key, batch_format="pandas"),
+            keys=["turn_id"], order_by=["turn_id"])
+        return _round_floats(minhash_dedup_pairs(
+            reps, id_col="turn_id", threshold=0.9))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3396,6 +3420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trimmed_mean": q_events_trimmed_mean,
         "events_session_type_pairs": q_events_session_type_pairs,
         "emb_centroid_drift": q_emb_centroid_drift,
+        "transcripts_turn_neardup": q_transcripts_turn_neardup,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 

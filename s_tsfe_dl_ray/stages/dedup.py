@@ -340,6 +340,21 @@ def _pair_side_join(
     side_schema = _as_arrow_schema(side)
     id_type = side_schema.field(id_col).type
     val_types = {v: side_schema.field(v).type for v in value_cols}
+    if pairs.schema() is None:
+        # zero candidate pairs anywhere (e.g. an all-distinct corpus at a
+        # high threshold): Ray reports no schema for the empty derived
+        # dataset — return the typed empty result instead of crashing.
+        # carry types are unknowable here; string is the engine's carry
+        # convention (band ids / keys), and the table is empty anyway.
+        import ray.data
+
+        empty_schema = pa.schema(
+            [("id_a", id_type), ("id_b", id_type)]
+            + [(c, pa.string()) for c in carry]
+            + [(f"{v}_a", val_types[v]) for v in value_cols]
+            + [(f"{v}_b", val_types[v]) for v in value_cols]
+        )
+        return ray.data.from_arrow(empty_schema.empty_table())
     pairs_schema = _as_arrow_schema(pairs)
     carry_types = {c: pairs_schema.field(c).type for c in carry}
 
