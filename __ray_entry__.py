@@ -3144,6 +3144,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(minhash_dedup_pairs(
             reps, id_col="turn_id", threshold=0.9))
 
+    def q_emb_index_job(sf):
+        """Durable ANN index build (IVF + uint8 buckets + lineage
+        manifests) then pruned-read search for the first 10 corpus
+        vectors — pipelines/emb_index_job.EmbIndexJob.  Rows-only;
+        determinism/resume/recall pinned in tests/test_emb_index_job.py."""
+        import hashlib as _hl
+
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from s_tsfe_dl_ray.pipelines.emb_index_job import EmbIndexJob
+
+        tag = _hl.md5(sf.encode()).hexdigest()[:10]
+        out = f"/tmp/s_tsfe_dl_ray_emb_index_{tag}"
+        job = EmbIndexJob(f"{sf}/embeddings.parquet", out, n_clusters=8)
+        job.run()
+        t = pq.read_table(f"{sf}/embeddings.parquet",
+                          filters=[("vec_id", "<", 10)])
+        q = np.array([np.asarray(v, dtype=np.float64)
+                      for v in t["embedding"].to_pylist()])
+        res = job.search(q, k=5, nprobe=4)
+        return ray.data.from_pandas(res.sort_values(
+            ["query_idx", "cosine", "neighbor_id"],
+            ascending=[True, False, True]).reset_index(drop=True))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3421,6 +3447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_type_pairs": q_events_session_type_pairs,
         "emb_centroid_drift": q_emb_centroid_drift,
         "transcripts_turn_neardup": q_transcripts_turn_neardup,
+        "emb_index_job": q_emb_index_job,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 

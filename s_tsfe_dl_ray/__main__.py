@@ -9,6 +9,7 @@ after a failure skips finished buckets via their lineage manifests):
 
 - ``rollup``  — transcript tier rollup (pipelines/job.TranscriptRollupJob)
 - ``curate``  — docs curation (pipelines/docs_job.DocsCurationJob)
+- ``index``   — embedding ANN index build (pipelines/emb_index_job)
 
 This is the ONLY library-adjacent place allowed to call ``ray.init``
 (guarded — under ``ray job submit`` the session already exists and the
@@ -56,6 +57,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--min-quality", type=float, default=0.35)
     c.add_argument("--keep-langs", default="en")
 
+    i = sub.add_parser("index", help="embedding ANN index build job")
+    i.add_argument("--input", required=True)
+    i.add_argument("--out", required=True)
+    i.add_argument("--n-clusters", type=int, default=16)
+
     args = p.parse_args(argv)
     _ensure_ray()
     if args.cmd == "rollup":
@@ -68,7 +74,7 @@ def main(argv: list[str] | None = None) -> int:
             gapfill_mode=args.gapfill,
             encode_series=args.encode_series,
         ).run()
-    else:
+    elif args.cmd == "curate":
         from .pipelines.docs_job import DocsCurationJob
 
         summary = DocsCurationJob(
@@ -77,6 +83,11 @@ def main(argv: list[str] | None = None) -> int:
             min_quality=args.min_quality,
             keep_langs=tuple(args.keep_langs.split(",")),
         ).run()
+    else:
+        from .pipelines.emb_index_job import EmbIndexJob
+
+        summary = EmbIndexJob(
+            args.input, args.out, n_clusters=args.n_clusters).run()
     print(json.dumps(summary, default=str))
     return 0
 
