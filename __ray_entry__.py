@@ -3170,6 +3170,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["query_idx", "cosine", "neighbor_id"],
             ascending=[True, False, True]).reset_index(drop=True))
 
+    def q_customer_rfm(sf):
+        """RFM segmentation base per customer (recency vs global latest
+        order, frequency, exact-cents monetary) — pure combiner over
+        orders (pipelines/relational.customer_rfm)."""
+        from s_tsfe_dl_ray.pipelines.relational import customer_rfm
+
+        return _round_floats(customer_rfm(sf))
+
+    def q_events_user_lifetime(sf):
+        """Per-user lifetime summary: first/last seen, inclusive
+        calendar tenure, exact active-day count — one combiner pass
+        (stages/activity.user_lifetime)."""
+        from s_tsfe_dl_ray.stages.activity import user_lifetime
+
+        ds = read_events(sf, columns=["user_id", "ts"])
+        return _round_floats(user_lifetime(ds))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3448,6 +3465,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_centroid_drift": q_emb_centroid_drift,
         "transcripts_turn_neardup": q_transcripts_turn_neardup,
         "emb_index_job": q_emb_index_job,
+        "customer_rfm": q_customer_rfm,
+        "events_user_lifetime": q_events_user_lifetime,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -6111,6 +6130,27 @@ def oracle_sql() -> dict[str, str]:
                    round(-sum(lp.lp) / count(*), 6) AS avg_logloss
             FROM bg JOIN lp ON bg.c1 = lp.c1 AND bg.c2 = lp.c2
             GROUP BY 1 ORDER BY 1
+        """,
+        "customer_rfm": """
+            WITH a AS (SELECT max(o_orderdate) AS anchor FROM orders)
+            SELECT o_custkey AS c_custkey,
+                   count(*)::BIGINT AS n_orders,
+                   ((epoch_us(a.anchor) - epoch_us(max(o_orderdate)))
+                    // 86400000000)::BIGINT AS recency_days,
+                   round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         / 100.0, 6) AS monetary
+            FROM orders, a
+            GROUP BY o_custkey, a.anchor ORDER BY 1
+        """,
+        "events_user_lifetime": """
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   min(ts) AS first_seen, max(ts) AS last_seen,
+                   (epoch_us(max(ts)) // 86400000000
+                    - epoch_us(min(ts)) // 86400000000 + 1)::BIGINT
+                     AS tenure_days,
+                   count(DISTINCT epoch_us(ts) // 86400000000)::BIGINT
+                     AS active_days
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "emb_centroid_drift": """
             WITH x AS (

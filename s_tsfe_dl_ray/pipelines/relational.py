@@ -337,3 +337,74 @@ def revenue_by_nation(sf_dir: str, *, num_partitions: int = 64) -> Dataset:
         })
 
     return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def customer_rfm(sf_dir: str, *, num_partitions: int = 64) -> Dataset:
+    """RFM (recency / frequency / monetary) table per customer — the
+    classic segmentation base over the star schema: days since the
+    customer's last order (relative to the corpus's global latest
+    order date), order count, and exact lifetime spend.
+
+    Pure combiner: orders fold per batch to (custkey, max date, n,
+    spend-cents) partials; the global anchor date is its own one-row
+    combiner; money rides as int64 cents (distributed partial sums are
+    associative-exact — the engine's standard money discipline).
+    Scoring quintiles is a deliberate non-goal here: a global NTILE
+    needs a rank exchange; the scale path is quantile boundaries over
+    this (already customer-grained) table.
+
+    Output: ``c_custkey, n_orders, recency_days, monetary`` by custkey.
+    """
+    import numpy as np
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "n_orders": pa.array(np.ones(t.num_rows, np.int64)),
+            "last_order": t["o_orderdate"],
+            "spend_c": cents,
+        })
+
+    agg = grouped_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        keys=["c_custkey"],
+        aggs={"n_orders": ("n_orders", "sum"),
+              "last_order": ("last_order", "max"),
+              "spend_c": ("spend_c", "sum")},
+        num_partitions=num_partitions)
+
+    import pyarrow.parquet as pq
+
+    # global anchor: latest order date (footer statistics would do; one
+    # tiny column scan keeps it engine-only)
+    anchor = pc.max(pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"])["o_orderdate"]
+    ).as_py()
+
+    import datetime as dt
+
+    a_us = int((anchor - dt.datetime(1970, 1, 1)).total_seconds()
+               * 1_000_000)
+
+    def fin(t: pa.Table) -> pa.Table:
+        last_us = pc.cast(pc.cast(t["last_order"], pa.timestamp("us")),
+                          pa.int64())
+        rec_days = pc.divide(
+            pc.subtract(pa.scalar(a_us, pa.int64()), last_us),
+            pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "n_orders": t["n_orders"],
+            "recency_days": rec_days,
+            "monetary": pc.divide(pc.cast(t["spend_c"], pa.float64()),
+                                  pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort("c_custkey")

@@ -406,3 +406,65 @@ def hour_entropy(
     return (ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("_pkey").map_groups(merge, batch_format="pandas"))
+
+
+def user_lifetime(
+    ds: Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key lifetime summary: first/last event time, calendar tenure
+    (inclusive days between first and last active day) and exact active
+    day count — the per-user base table cohort/retention analyses join
+    against (cohort asks about the population; this is the per-user
+    row).
+
+    One combiner pass: each batch folds to (key, day, min ts, max ts,
+    n) — at most one row per key per active day per batch — and the
+    key-hash merge computes distinct days as a vectorized nunique over
+    the partials (exact: the partition holds the key's complete day
+    set).  Output: ``{key_col}, n_events, first_seen, last_seen,
+    tenure_days, active_days``.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = window_start_us(t[ts_col], "1d")
+        base = pa.table({key_col: t[key_col], "_day": day,
+                         "_ts": t[ts_col]})
+        out = base.group_by([key_col, "_day"], use_threads=False).aggregate(
+            [("_ts", "min"), ("_ts", "max"), ("_ts", "count")])
+        out = out.rename_columns([key_col, "_day", "_tmin", "_tmax", "_n"])
+        return out.append_column(
+            "_pkey", _stable_pkey(out[key_col], num_partitions))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"])
+        if len(df) == 0:
+            return pd.DataFrame({
+                key_col: [], "n_events": pd.Series([], dtype="int64"),
+                "first_seen": pd.Series([], dtype="datetime64[us]"),
+                "last_seen": pd.Series([], dtype="datetime64[us]"),
+                "tenure_days": pd.Series([], dtype="int64"),
+                "active_days": pd.Series([], dtype="int64")})
+        g = df.groupby(key_col, sort=True).agg(
+            n_events=("_n", "sum"),
+            first_seen=("_tmin", "min"),
+            last_seen=("_tmax", "max"),
+            active_days=("_day", "nunique")).reset_index()
+        f_us = g["first_seen"].to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        l_us = g["last_seen"].to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        g["tenure_days"] = (l_us // 86_400_000_000
+                            - f_us // 86_400_000_000 + 1)
+        return g[[key_col, "n_events", "first_seen", "last_seen",
+                  "tenure_days", "active_days"]].astype(
+            {"n_events": "int64", "tenure_days": "int64",
+             "active_days": "int64"})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_pkey").map_groups(merge, batch_format="pandas")
+            .sort(key_col))

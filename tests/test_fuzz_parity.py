@@ -57,6 +57,7 @@ QUERIES = [
     "events_out_of_order",
     "events_trimmed_mean",
     "events_session_type_pairs",
+    "events_user_lifetime",
 ]
 
 SHAPES = [
