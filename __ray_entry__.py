@@ -3187,6 +3187,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_events(sf, columns=["user_id", "ts"])
         return _round_floats(user_lifetime(ds))
 
+    def q_orders_fulfillment_latency(sf):
+        """Order→first-shipment latency quantiles per priority (exact
+        day-diff order statistics) — fold-before-join
+        (pipelines/tpch.fulfillment_latency)."""
+        from s_tsfe_dl_ray.pipelines.tpch import fulfillment_latency
+
+        return fulfillment_latency(sf)
+
+    def q_transcripts_tool_cooccurrence(sf):
+        """Which TOOLS get used in the same conversation (support /
+        lift / jaccard) — the generic pair_cooccurrence composed onto
+        (conv_id, tool), empty-tool turns excluded."""
+        import pyarrow.compute as _pc
+
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.distinct import pair_cooccurrence
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "tool"])
+        toolturns = turns.map_batches(
+            lambda t: t.filter(_pc.not_equal(t["tool"], "")),
+            batch_format="pyarrow", zero_copy_batch=True)
+        pairs = pair_cooccurrence(toolturns, group_col="conv_id",
+                                  member_col="tool")
+        return _round_floats(pairs.sort(["member_a", "member_b"]))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3467,6 +3493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_index_job": q_emb_index_job,
         "customer_rfm": q_customer_rfm,
         "events_user_lifetime": q_events_user_lifetime,
+        "orders_fulfillment_latency": q_orders_fulfillment_latency,
+        "transcripts_tool_cooccurrence": q_transcripts_tool_cooccurrence,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -6130,6 +6158,42 @@ def oracle_sql() -> dict[str, str]:
                    round(-sum(lp.lp) / count(*), 6) AS avg_logloss
             FROM bg JOIN lp ON bg.c1 = lp.c1 AND bg.c2 = lp.c2
             GROUP BY 1 ORDER BY 1
+        """,
+        "orders_fulfillment_latency": """
+            WITH fs AS (
+              SELECT l_orderkey, min(l_shipdate) AS first_ship
+              FROM lineitem GROUP BY 1),
+            d AS (
+              SELECT o.o_orderpriority,
+                     ((epoch_us(fs.first_ship) - epoch_us(o.o_orderdate))
+                      // 86400000000)::BIGINT AS days
+              FROM fs JOIN orders o ON fs.l_orderkey = o.o_orderkey)
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+                   quantile_disc(days, 0.5)::BIGINT AS p50_days,
+                   quantile_disc(days, 0.9)::BIGINT AS p90_days,
+                   max(days)::BIGINT AS max_days
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
+        "transcripts_tool_cooccurrence": f"""
+            WITH d AS (
+              SELECT DISTINCT conv_id, tool FROM {T} WHERE tool != ''),
+            u AS (SELECT count(DISTINCT conv_id) AS ng FROM d),
+            c AS (SELECT tool, count(*)::BIGINT AS n FROM d GROUP BY 1),
+            p AS (
+              SELECT a.tool AS member_a, b.tool AS member_b,
+                     count(*)::BIGINT AS n_both
+              FROM d a JOIN d b
+                ON a.conv_id = b.conv_id AND a.tool < b.tool
+              GROUP BY 1, 2)
+            SELECT p.member_a, p.member_b, p.n_both,
+                   round((p.n_both * u.ng)::DOUBLE / (ca.n * cb.n), 6)
+                     AS lift,
+                   round(p.n_both::DOUBLE / (ca.n + cb.n - p.n_both), 6)
+                     AS jaccard
+            FROM p, u
+            JOIN c ca ON ca.tool = p.member_a
+            JOIN c cb ON cb.tool = p.member_b
+            ORDER BY p.member_a, p.member_b
         """,
         "customer_rfm": """
             WITH a AS (SELECT max(o_orderdate) AS anchor FROM orders)

@@ -1143,3 +1143,78 @@ def q21_waiting_supplier(
 
     return named.map_batches(fin, batch_format="pyarrow").sort(
         ["numwait", "s_name"], descending=[True, False]).limit(k)
+
+
+def fulfillment_latency(
+    sf_dir: str,
+    *,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Order-to-first-shipment latency profile per order priority — the
+    operations-analytics staple over the star schema: how long after
+    placement does the FIRST line ship, and does priority actually buy
+    speed?
+
+    Shape: lineitem folds to (orderkey, min shipdate) partials BEFORE
+    any join (the exchange carries one row per order, not per line);
+    one partitioned hash join attaches (orderdate, priority); exact
+    integer day-diffs fold per priority into the discrete-quantile cut
+    (``quantile_disc`` recipe — element at ⌈n·q⌉−1 — so p50/p90 are
+    order statistics, not interpolations).
+    Output: ``o_orderpriority, n_orders, p50_days, p90_days, max_days``.
+    """
+    import numpy as np
+
+    from ..stages.grouped import grouped_apply
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+    first_ship = grouped_aggregate(
+        li, keys=["l_orderkey"], aggs={"first_ship": ("l_shipdate", "min")},
+        num_partitions=num_partitions)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = hash_join(first_ship, orders, left_on="l_orderkey",
+                  right_on="o_orderkey", num_partitions=num_partitions)
+
+    def derive(t: pa.Table) -> pa.Table:
+        ship_us = pc.cast(pc.cast(t["first_ship"], pa.timestamp("us")),
+                          pa.int64()).to_numpy(zero_copy_only=False)
+        ord_us = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+        # FLOOR division (numpy), matching SQL `//` even if a line ever
+        # ships "before" its order date (arrow's int divide truncates)
+        days = (ship_us - ord_us) // 86_400_000_000
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "days": pa.array(days, pa.int64())})
+
+    def fold(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype="object"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "p50_days": pd.Series([], dtype="int64"),
+                "p90_days": pd.Series([], dtype="int64"),
+                "max_days": pd.Series([], dtype="int64")})
+        rows = {"o_orderpriority": [], "n_orders": [], "p50_days": [],
+                "p90_days": [], "max_days": []}
+        for prio, g in df.groupby("o_orderpriority", sort=True):
+            d = np.sort(g["days"].to_numpy(dtype=np.int64))
+            n = len(d)
+            rows["o_orderpriority"].append(prio)
+            rows["n_orders"].append(n)
+            rows["p50_days"].append(int(d[int(np.ceil(n * 0.5)) - 1]))
+            rows["p90_days"].append(int(d[int(np.ceil(n * 0.9)) - 1]))
+            rows["max_days"].append(int(d[-1]))
+        out = pd.DataFrame(rows)
+        return out.astype({"n_orders": "int64", "p50_days": "int64",
+                           "p90_days": "int64", "max_days": "int64"})
+
+    derived = j.map_batches(derive, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return grouped_apply(derived, keys=["o_orderpriority"], fn=fold,
+                         num_partitions=8,
+                         whole_partition=True).sort("o_orderpriority")
