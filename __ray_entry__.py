@@ -3213,6 +3213,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   member_col="tool")
         return _round_floats(pairs.sort(["member_a", "member_b"]))
 
+    def q_events_bursts(sf):
+        """Kleinberg two-state burst episodes per event type over the
+        dense hourly grid (Viterbi over Poisson costs); rows-only —
+        planted-burst recovery pinned in tests/test_trend.py
+        (stages/trend.kleinberg_bursts)."""
+        from s_tsfe_dl_ray.stages.trend import kleinberg_bursts
+
+        ds = read_events(sf, columns=["event_type", "ts"])
+        return kleinberg_bursts(ds)
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3495,6 +3505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_lifetime": q_events_user_lifetime,
         "orders_fulfillment_latency": q_orders_fulfillment_latency,
         "transcripts_tool_cooccurrence": q_transcripts_tool_cooccurrence,
+        "events_bursts": q_events_bursts,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 

@@ -1132,3 +1132,126 @@ def holt_winters(
         counts, keys=[key], fn=fit,
         num_partitions=min(num_partitions, 8),
         whole_partition=True).sort(key)
+
+
+def kleinberg_bursts(
+    ds: Dataset,
+    *,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    s: float = 3.0,
+    gamma: float = 1.0,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Kleinberg two-state burst detection over each key's dense hourly
+    count series (Kleinberg, KDD 2002 "Bursty and Hierarchical
+    Structure in Streams"): a hidden automaton with a base state
+    (expected rate λ₀ = the key's mean hourly count) and a burst state
+    (λ₁ = s·λ₀), Poisson emission costs −ln P(count | λ), and an
+    entry cost γ·ln(n) for climbing into the burst state; the Viterbi
+    path marks the burst hours.
+
+    Where the threshold ops (trailing z-score, CUSUM) flag single
+    points, this labels coherent EPISODES — the burst segmentation a
+    feed/alerting pipeline wants.  Same two-stage shape as
+    :func:`stl_lite`: combiner hour counts, then a per-key DP whose
+    step loop runs over the HOURLY GRID (bounded key cardinality ×
+    span/3600 s), states vectorized.
+
+    Rows-only by nature (a Viterbi argmin is not SQL-expressible);
+    tests/test_trend.py plants a 10× burst and pins its recovery.
+    Output: ``{key}, n_hours, n_bursts, burst_hours,
+    longest_burst, peak_hour`` (peak_hour = start of the max-count
+    burst hour, NULL when no burst).
+    """
+    import pyarrow.compute as pc
+
+    from math import lgamma
+
+    from ..functions.windows import window_start_us
+    from ..pipelines.relational import grouped_aggregate
+    from .grouped import grouped_apply
+
+    def hour_fold(t: pa.Table) -> pa.Table:
+        hr = pc.divide(window_start_us(t[ts_col], "1h"),
+                       pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({key: t[key], "hr": hr})
+
+    counts = grouped_aggregate(
+        ds.map_batches(hour_fold, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=[key, "hr"], aggs={"n": ("hr", "count")},
+        num_partitions=num_partitions)
+
+    def detect(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: [], "n_hours": [], "n_bursts": [],
+                "burst_hours": [], "longest_burst": [], "peak_hour": []}
+        for k, g in df.groupby(key, sort=False):
+            hr = g["hr"].to_numpy(dtype=np.int64)
+            cnt = g["n"].to_numpy(dtype=np.int64)
+            h0, h1 = int(hr.min()), int(hr.max())
+            n_hours = h1 - h0 + 1
+            y = np.zeros(n_hours, dtype=np.int64)
+            y[hr - h0] = cnt
+            lam0 = max(y.sum() / n_hours, 1e-9)
+            lam1 = s * lam0
+            # Poisson negative log-likelihood per state, vectorized over t
+            lg = np.array([lgamma(v + 1.0) for v in
+                           range(int(y.max()) + 1)])
+            nll0 = lam0 - y * np.log(lam0) + lg[y]
+            nll1 = lam1 - y * np.log(lam1) + lg[y]
+            climb = gamma * np.log(max(n_hours, 2))
+            # 2-state Viterbi
+            c_prev = np.array([nll0[0], nll1[0] + climb])
+            back = np.zeros((n_hours, 2), dtype=np.int8)
+            for t in range(1, n_hours):
+                stay0 = c_prev[0]
+                down = c_prev[1]
+                if down < stay0:
+                    back[t, 0] = 1
+                    base = down
+                else:
+                    base = stay0
+                up = c_prev[0] + climb
+                stay1 = c_prev[1]
+                if up < stay1:
+                    back[t, 1] = 0
+                    high = up
+                else:
+                    back[t, 1] = 1
+                    high = stay1
+                c_prev = np.array([base + nll0[t], high + nll1[t]])
+            state = np.zeros(n_hours, dtype=np.int8)
+            state[-1] = int(c_prev[1] < c_prev[0])
+            for t in range(n_hours - 1, 0, -1):
+                state[t - 1] = back[t, state[t]]
+            burst = state == 1
+            # episodes
+            edges = np.flatnonzero(np.diff(np.concatenate(
+                [[0], burst.view(np.int8), [0]])) == 1)
+            ends = np.flatnonzero(np.diff(np.concatenate(
+                [[0], burst.view(np.int8), [0]])) == -1)
+            n_bursts = len(edges)
+            longest = int((ends - edges).max()) if n_bursts else 0
+            if burst.any():
+                peak_idx = int(np.flatnonzero(burst)[
+                    np.argmax(y[burst])])
+                peak = pd.Timestamp((h0 + peak_idx) * 3_600_000_000,
+                                    unit="us")
+            else:
+                peak = pd.NaT
+            cols[key].append(k)
+            cols["n_hours"].append(n_hours)
+            cols["n_bursts"].append(n_bursts)
+            cols["burst_hours"].append(int(burst.sum()))
+            cols["longest_burst"].append(longest)
+            cols["peak_hour"].append(peak)
+        out = pd.DataFrame(cols)
+        return out.astype({"n_hours": "int64", "n_bursts": "int64",
+                           "burst_hours": "int64",
+                           "longest_burst": "int64"})
+
+    return grouped_apply(
+        counts, keys=[key], fn=detect,
+        num_partitions=min(num_partitions, 8),
+        whole_partition=True).sort(key)

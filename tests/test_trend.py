@@ -303,3 +303,51 @@ def test_holt_winters_short_series_null_state():
     }))
     out = to_pdf(holt_winters(ds))
     assert len(out) == 1 and np.isnan(out.level.iloc[0])
+
+
+def test_kleinberg_bursts_recovers_planted_burst():
+    """A 10x-rate 12-hour segment inside a 10-day baseline is labeled
+    as one coherent burst episode covering (roughly) those hours."""
+    import pandas as pd
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.trend import kleinberg_bursts
+
+    rng = np.random.default_rng(3)
+    hours = 240
+    t0_us = 1_700_000 * 3600 * 1_000_000
+    rows = []
+    for h in range(hours):
+        rate = 50 if 100 <= h < 112 else 5
+        n = rng.poisson(rate)
+        for _ in range(n):
+            rows.append({"event_type": "a", "ts": np.datetime64(
+                t0_us + h * 3_600_000_000 + 7, "us")})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = to_pdf(kleinberg_bursts(ds)).set_index("event_type")
+    r = out.loc["a"]
+    assert r.n_bursts == 1, out
+    assert 10 <= r.burst_hours <= 14
+    assert r.longest_burst == r.burst_hours
+    lo = pd.Timestamp(t0_us + 100 * 3_600_000_000, unit="us")
+    hi = pd.Timestamp(t0_us + 112 * 3_600_000_000, unit="us")
+    assert lo <= r.peak_hour < hi
+
+
+def test_kleinberg_quiet_series_no_bursts():
+    import pandas as pd
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.trend import kleinberg_bursts
+
+    rng = np.random.default_rng(9)
+    t0_us = 1_700_000 * 3600 * 1_000_000
+    rows = [{"event_type": "q", "ts": np.datetime64(
+        t0_us + int(h) * 3_600_000_000, "us")}
+        for h in range(100) for _ in range(int(rng.poisson(5)))]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = to_pdf(kleinberg_bursts(ds)).set_index("event_type")
+    assert out.loc["q", "n_bursts"] == 0
+    assert pd.isna(out.loc["q", "peak_hour"])
