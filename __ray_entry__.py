@@ -229,9 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_events_ewma(sf):
         """Per-user EWMA (alpha 0.3) in explicit (ts, event_id) order —
         the recency-weighted smoother for drift/anomaly baselines.
-        Bitwise-identical to a DuckDB recursive-CTE twin (pytest
-        tests/test_ewma.py carries it); registered rows-only here — the
-        driver's 50-row cap is spent on the oracle-paired set."""
+        Bitwise-identical to the DuckDB recursive-CTE twin (also pinned
+        by pytest tests/test_ewma.py, incl. salted==unsalted)."""
         from s_tsfe_dl_ray.stages.transform import ewma
 
         ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
@@ -242,10 +241,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_docs_mixture_sample(sf):
         """Deterministic source-mixture downsampling (LLM data-mixing
-        step): md5 hex-threshold per source, row-exact reproducible.
-        Pytest carries the DuckDB twin (tests/test_text.py); registered
-        rows-only here — the driver's 50-row cap is spent on the
-        oracle-paired set."""
+        step): md5 hex-threshold per source, row-exact reproducible
+        against the DuckDB md5 twin (also pinned by pytest
+        tests/test_text.py, incl. rate-landing checks)."""
         from s_tsfe_dl_ray.stages.transform import mixture_sample
 
         ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "source"])
@@ -625,9 +623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_docs_dup_words(sf):
         """Within-document repetition quality signal (duplicate-word
-        fraction).  Pytest carries the DuckDB list_distinct oracle
-        (tests/test_text.py); registered rows-only here — the driver's
-        50-row cap is spent on the oracle-paired set."""
+        fraction) — list_distinct oracle twin (also pinned by pytest
+        tests/test_text.py)."""
         from s_tsfe_dl_ray.stages.text import dup_word_stats
 
         ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
@@ -6291,6 +6288,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN c ca ON ca.event_type = p.member_a
             JOIN c cb ON cb.event_type = p.member_b
             ORDER BY p.member_a, p.member_b
+        """,
+        # single-space split == the Ray tokenizer on this corpus;
+        # promoted from the pytest-only twin (tests/test_text.py)
+        "docs_dup_words": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(words)) AS BIGINT)
+                     AS n_distinct_words,
+                   round(1.0 - len(list_distinct(words))::DOUBLE
+                         / len(words), 6) AS dup_word_frac
+            FROM w
+        """,
+        # md5 hex-threshold sampling == hashlib md5 (the documented
+        # deterministic-sampling twin); promoted from the pytest-only
+        # twin (tests/test_text.py) to an external oracle
+        "docs_mixture_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE substring(md5(source || '|' || doc_id::VARCHAR), 1, 4)
+                  < CASE source WHEN 'src0' THEN '4000'
+                                WHEN 'src1' THEN 'c000'
+                                ELSE '8000' END
+        """,
+        # the affine recurrence is bitwise-identical in float64 on both
+        # sides (1-0.3 == 0.7 exactly in IEEE754); promoted from the
+        # pytest-only twin (tests/test_ewma.py) to an external oracle
+        "events_ewma": """
+            WITH RECURSIVE base AS (
+              SELECT event_id, user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ), r AS (
+              SELECT event_id, user_id, ts, value, rn,
+                     value AS value_ewma
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.event_id, b.user_id, b.ts, b.value, b.rn,
+                     0.3 * b.value + 0.7 * r.value_ewma
+              FROM base b
+              JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+            )
+            SELECT event_id, user_id, ts, round(value, 6) AS value,
+                   round(value_ewma, 6) AS value_ewma
+            FROM r ORDER BY user_id, rn
         """,
         "events_out_of_order": """
             WITH o AS (
