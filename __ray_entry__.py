@@ -1424,8 +1424,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Greedy min-gap throttle (alert dedup): keep an event only if
         >= 60s since the user's last KEPT event; survivor-jump
         searchsorted walk, loop length == output size
-        (stages/sessionize.debounce). Greedy chain -> no SQL twin;
-        literal-fold + blocking-invariance pytest."""
+        (stages/sessionize.debounce).  The greedy keep-chain is
+        row-stepped-recursive — expressible as a recursive CTE with
+        (kept, last_kept) state (the EWMA pattern), now an external
+        oracle; literal-fold + blocking-invariance pytest still pin
+        it."""
         from s_tsfe_dl_ray.stages.sessionize import debounce
 
         ds = read_events(sf, columns=["event_id", "user_id", "ts"])
@@ -6288,6 +6291,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN c ca ON ca.event_type = p.member_a
             JOIN c cb ON cb.event_type = p.member_b
             ORDER BY p.member_a, p.member_b
+        """,
+        # greedy keep-chain as a row-stepped recursive CTE: kept iff
+        # ts - last_kept >= gap (date_diff microseconds, the exact
+        # time-delta recipe); first row of each user always survives
+        "events_debounce_1m": """
+            WITH RECURSIVE base AS (
+              SELECT event_id, user_id, ts,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            r AS (
+              SELECT event_id, user_id, ts, rn, TRUE AS kept,
+                     ts AS last_kept
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.event_id, b.user_id, b.ts, b.rn,
+                     date_diff('microsecond', r.last_kept, b.ts)
+                       >= 60000000 AS kept,
+                     CASE WHEN date_diff('microsecond', r.last_kept, b.ts)
+                               >= 60000000
+                          THEN b.ts ELSE r.last_kept END AS last_kept
+              FROM base b
+              JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+            SELECT event_id, user_id, ts FROM r WHERE kept
+            ORDER BY user_id, rn
         """,
         # single-space split == the Ray tokenizer on this corpus;
         # promoted from the pytest-only twin (tests/test_text.py)

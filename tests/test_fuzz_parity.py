@@ -58,6 +58,8 @@ QUERIES = [
     "events_trimmed_mean",
     "events_session_type_pairs",
     "events_user_lifetime",
+    "events_debounce_1m",
+    "events_ewma",
 ]
 
 SHAPES = [
