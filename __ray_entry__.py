@@ -1269,9 +1269,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_events_holt_forecast(sf):
         """Holt double-exponential smoothing per user (level + trend +
         one-step forecast) — the classical forecast baseline; affine
-        (A^n, v) salted carries (stages/transform.holt_smooth).  Second-
-        order recurrence -> no SQL twin; pinned in pytest against the
-        literal sequential fold and salted parity."""
+        (A^n, v) salted carries (stages/transform.holt_smooth).  The
+        second-order recurrence is a two-state recursive CTE (l, b
+        columns; 1−α and 1−β exact in IEEE754) — external oracle;
+        literal-fold + salted-parity pytest still pin it."""
         from s_tsfe_dl_ray.stages.transform import holt_smooth
 
         ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
@@ -6291,6 +6292,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN c ca ON ca.event_type = p.member_a
             JOIN c cb ON cb.event_type = p.member_b
             ORDER BY p.member_a, p.member_b
+        """,
+        # two-state recursive CTE: the b_new step repeats the l_new
+        # expression verbatim (same float ops -> identical doubles);
+        # alpha=0.4, beta=0.2 so 1-a=0.6 and 1-b=0.8 are exact
+        "events_holt_forecast": """
+            WITH RECURSIVE base AS (
+              SELECT event_id, user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            r AS (
+              SELECT event_id, user_id, ts, value, rn,
+                     value::DOUBLE AS l, 0.0::DOUBLE AS b
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT bb.event_id, bb.user_id, bb.ts, bb.value, bb.rn,
+                     0.4 * bb.value + 0.6 * (r.l + r.b) AS l,
+                     0.2 * ((0.4 * bb.value + 0.6 * (r.l + r.b)) - r.l)
+                       + 0.8 * r.b AS b
+              FROM base bb
+              JOIN r ON bb.user_id = r.user_id AND bb.rn = r.rn + 1)
+            SELECT event_id, user_id, ts, round(value, 6) AS value,
+                   round(l, 6) AS holt_level,
+                   round(b, 6) AS holt_trend,
+                   round(l + b, 6) AS holt_forecast
+            FROM r ORDER BY user_id, rn
         """,
         # greedy keep-chain as a row-stepped recursive CTE: kept iff
         # ts - last_kept >= gap (date_diff microseconds, the exact

@@ -60,6 +60,7 @@ QUERIES = [
     "events_user_lifetime",
     "events_debounce_1m",
     "events_ewma",
+    "events_holt_forecast",
 ]
 
 SHAPES = [
