@@ -45,7 +45,7 @@ BENCH_TURNS = int(os.environ.get("GRAFT_BENCH_TURNS", "20000000"))
 CODEC_TURNS = min(BENCH_TURNS, 5_000_000)
 
 SUITE = ("events_tiers", "events_gapfill_interp", "docs_minhash_dedup",
-         "emb_knn", "codec_encode")
+         "emb_knn", "codec_encode", "docs_curation", "emb_index_build")
 
 
 def _timed(fn):
@@ -216,6 +216,50 @@ def run_codec_encode() -> float:
         return encode_series(ds, key="conv_id", ts_col="ts", value_col="value").count()
 
     t, _ = _timed(go)
+    return t
+
+
+def run_docs_curation() -> float:
+    """Durable docs-curation job, cold build (fresh out dir each run)."""
+    import shutil
+
+    from s_tsfe_dl_ray.pipelines.docs_job import DocsCurationJob
+
+    out = "/tmp/s_tsfe_dl_ray_bench_curate"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def go():
+        return DocsCurationJob(
+            f"{SF_DIR}/documents.parquet", out, n_buckets=16).run()
+
+    t, _ = _timed(go)
+    shutil.rmtree(out, ignore_errors=True)
+    return t
+
+
+def run_emb_index_build() -> float:
+    """Durable ANN-index job, cold build + a 10-query probe."""
+    import shutil
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from s_tsfe_dl_ray.pipelines.emb_index_job import EmbIndexJob
+
+    out = "/tmp/s_tsfe_dl_ray_bench_embidx"
+    shutil.rmtree(out, ignore_errors=True)
+    t10 = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                        filters=[("vec_id", "<", 10)])
+    q = np.array([np.asarray(v, dtype=np.float64)
+                  for v in t10["embedding"].to_pylist()])
+
+    def go():
+        job = EmbIndexJob(f"{SF_DIR}/embeddings.parquet", out, n_clusters=16)
+        job.run()
+        return len(job.search(q, k=10, nprobe=4))
+
+    t, _ = _timed(go)
+    shutil.rmtree(out, ignore_errors=True)
     return t
 
 
