@@ -3224,6 +3224,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_events(sf, columns=["event_type", "ts"])
         return kleinberg_bursts(ds)
 
+    def q_events_peak_detect(sf):
+        """R-peak-style detection per user: strict interior local maxima
+        above the exact per-user p90, 60s greedy refractory period —
+        the reference's QRS anchor loop as a distributed op
+        (stages/scan.peak_detect)."""
+        from s_tsfe_dl_ray.stages.scan import peak_detect
+
+        ds = read_events(sf, columns=["event_id", "ts", "user_id", "value"])
+        return _round_floats(peak_detect(ds))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3507,6 +3517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_fulfillment_latency": q_orders_fulfillment_latency,
         "transcripts_tool_cooccurrence": q_transcripts_tool_cooccurrence,
         "events_bursts": q_events_bursts,
+        "events_peak_detect": q_events_peak_detect,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -6292,6 +6303,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN c ca ON ca.event_type = p.member_a
             JOIN c cb ON cb.event_type = p.member_b
             ORDER BY p.member_a, p.member_b
+        """,
+        # candidates = strict interior local maxima above quantile_disc
+        # p90; refractory period = the debounce recursive-CTE keep-chain
+        # run over the candidate set
+        "events_peak_detect": """
+            WITH RECURSIVE o AS (
+              SELECT user_id, event_id, ts, value,
+                     lag(value) OVER w AS pv, lead(value) OVER w AS nv
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            thr AS (SELECT user_id, quantile_disc(value, 0.9) AS p90
+                    FROM events GROUP BY 1),
+            cand AS (
+              SELECT o.user_id, o.event_id, o.ts, o.value,
+                     row_number() OVER (PARTITION BY o.user_id
+                                        ORDER BY o.ts, o.event_id) AS rn
+              FROM o JOIN thr USING (user_id)
+              WHERE o.pv IS NOT NULL AND o.nv IS NOT NULL
+                AND o.value > o.pv AND o.value > o.nv
+                AND o.value > thr.p90),
+            rec AS (
+              SELECT user_id, event_id, ts, value, rn, TRUE AS kept,
+                     ts AS last_kept
+              FROM cand WHERE rn = 1
+              UNION ALL
+              SELECT c.user_id, c.event_id, c.ts, c.value, c.rn,
+                     date_diff('microsecond', rec.last_kept, c.ts)
+                       >= 60000000 AS kept,
+                     CASE WHEN date_diff('microsecond', rec.last_kept,
+                                         c.ts) >= 60000000
+                          THEN c.ts ELSE rec.last_kept END AS last_kept
+              FROM cand c
+              JOIN rec ON c.user_id = rec.user_id AND c.rn = rec.rn + 1)
+            SELECT user_id, event_id, ts, round(value, 6) AS value
+            FROM rec WHERE kept ORDER BY user_id, rn
         """,
         # two-state recursive CTE: the b_new step repeats the l_new
         # expression verbatim (same float ops -> identical doubles);

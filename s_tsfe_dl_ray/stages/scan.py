@@ -736,3 +736,88 @@ def out_of_order_stats(
     return grouped_apply(
         ds, keys=[key_col], fn=fold, num_partitions=num_partitions,
         whole_partition=True).sort(key_col)
+
+
+def peak_detect(
+    ds: Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    q: float = 0.9,
+    min_gap_us: int = 60_000_000,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Peak detection per key — the engine analog of the reference's
+    R-peak segmentation loop (/root/reference/TSFEDL/data.py:50-76,
+    where QRS peaks anchor every training window): a row is a PEAK if
+    it is a strict interior local maximum (greater than both ordered
+    neighbors), above the key's exact ``q``-quantile
+    (``quantile_disc`` — element at ⌈n·q⌉−1), and at least
+    ``min_gap_us`` after the previously KEPT peak (greedy refractory
+    period, exactly :func:`~.sessionize.debounce`'s keep-chain run on
+    the candidate set).
+
+    One key-hash exchange; neighbor compares and the quantile threshold
+    are vectorized across all keys of a partition; the greedy
+    separation walks survivors per key (loop length = peaks out, the
+    throttling regime).  Output: the peak rows ``{key_col}, {id_col},
+    {ts_col}, {value_col}``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .rollup import _stable_pkey
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey",
+                               _stable_pkey(t[key_col], num_partitions))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [key_col, ts_col, id_col], kind="mergesort").reset_index(
+            drop=True)
+        cols = [key_col, id_col, ts_col, value_col]
+        if len(df) == 0:
+            return df[cols] if set(cols) <= set(df.columns) else \
+                pd.DataFrame({c: [] for c in cols})
+        v = df[value_col].to_numpy(dtype=np.float64)
+        k = df[key_col].to_numpy()
+        same_prev = np.concatenate([[False], k[1:] == k[:-1]])
+        same_next = np.concatenate([k[1:] == k[:-1], [False]])
+        pv = np.concatenate([[np.nan], v[:-1]])
+        nv = np.concatenate([v[1:], [np.nan]])
+        local_max = same_prev & same_next & (v > pv) & (v > nv)
+        # exact per-key q-quantile (lower-element convention)
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        change = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(ks)]])
+        n_per = ends - starts
+        qi = starts + np.ceil(n_per * q).astype(np.int64) - 1
+        uniq, inv = np.unique(k, return_inverse=True)
+        thr = vs[qi][inv]
+        cand = local_max & (v > thr)
+        idx = np.flatnonzero(cand)
+        if len(idx) == 0:
+            return df.iloc[[]][cols]
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ck, cts = k[idx], ts[idx]
+        change2 = np.flatnonzero(ck[1:] != ck[:-1]) + 1
+        st2 = np.concatenate([[0], change2])
+        en2 = np.concatenate([change2, [len(ck)]])
+        kept = []
+        for lo, hi in zip(st2, en2):
+            i = lo
+            while i < hi:
+                kept.append(idx[i])
+                i = max(i + 1,
+                        lo + np.searchsorted(cts[lo:hi],
+                                             cts[i] + min_gap_us,
+                                             side="left"))
+        return df.iloc[kept][cols].reset_index(drop=True)
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(fold, batch_format="pandas")

@@ -61,6 +61,7 @@ QUERIES = [
     "events_debounce_1m",
     "events_ewma",
     "events_holt_forecast",
+    "events_peak_detect",
 ]
 
 SHAPES = [
