@@ -774,14 +774,18 @@ def peak_detect(
         return t.append_column("_pkey",
                                _stable_pkey(t[key_col], num_partitions))
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["_pkey"]).sort_values(
+    cols = [key_col, id_col, ts_col, value_col]
+
+    def fold(t: pa.Table) -> pa.Table:
+        # arrow in/out so a zero-peak partition (e.g. a constant series —
+        # no strict local maxima exist) still carries its typed schema
+        # through Ray's empty-block path
+        out_schema = pa.schema([t.schema.field(c) for c in cols])
+        df = t.to_pandas().drop(columns=["_pkey"]).sort_values(
             [key_col, ts_col, id_col], kind="mergesort").reset_index(
             drop=True)
-        cols = [key_col, id_col, ts_col, value_col]
         if len(df) == 0:
-            return df[cols] if set(cols) <= set(df.columns) else \
-                pd.DataFrame({c: [] for c in cols})
+            return out_schema.empty_table()
         v = df[value_col].to_numpy(dtype=np.float64)
         k = df[key_col].to_numpy()
         same_prev = np.concatenate([[False], k[1:] == k[:-1]])
@@ -802,7 +806,7 @@ def peak_detect(
         cand = local_max & (v > thr)
         idx = np.flatnonzero(cand)
         if len(idx) == 0:
-            return df.iloc[[]][cols]
+            return out_schema.empty_table()
         ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
         ck, cts = k[idx], ts[idx]
         change2 = np.flatnonzero(ck[1:] != ck[:-1]) + 1
@@ -817,7 +821,9 @@ def peak_detect(
                         lo + np.searchsorted(cts[lo:hi],
                                              cts[i] + min_gap_us,
                                              side="left"))
-        return df.iloc[kept][cols].reset_index(drop=True)
+        out = df.iloc[kept][cols].reset_index(drop=True)
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
-    return tagged.groupby("_pkey").map_groups(fold, batch_format="pandas")
+    return tagged.groupby("_pkey").map_groups(fold, batch_format="pyarrow")
