@@ -3234,6 +3234,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_events(sf, columns=["event_id", "ts", "user_id", "value"])
         return _round_floats(peak_detect(ds))
 
+    def q_events_rr_intervals(sf):
+        """RR-interval HRV summary over DETECTED peaks (the reference's
+        literal R-peak → RR → HRV pipeline): mean interval + RMSSD per
+        user (stages/scan.peak_intervals)."""
+        from s_tsfe_dl_ray.stages.scan import peak_intervals
+
+        ds = read_events(sf, columns=["event_id", "ts", "user_id", "value"])
+        return _round_floats(peak_intervals(ds))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3518,6 +3527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_tool_cooccurrence": q_transcripts_tool_cooccurrence,
         "events_bursts": q_events_bursts,
         "events_peak_detect": q_events_peak_detect,
+        "events_rr_intervals": q_events_rr_intervals,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -6338,6 +6348,65 @@ def oracle_sql() -> dict[str, str]:
               JOIN rec ON c.user_id = rec.user_id AND c.rn = rec.rn + 1)
             SELECT user_id, event_id, ts, round(value, 6) AS value
             FROM rec WHERE kept ORDER BY user_id, rn
+        """,
+        # the peak_detect CTE chain + lagged gaps; gaps ride as exact
+        # int microseconds; squared diffs go through DOUBLE on BOTH
+        # sides (int64 d_us*d_us overflows at multi-day gaps)
+        "events_rr_intervals": """
+            WITH RECURSIVE o AS (
+              SELECT user_id, event_id, ts, value,
+                     lag(value) OVER w AS pv, lead(value) OVER w AS nv
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            thr AS (SELECT user_id, quantile_disc(value, 0.9) AS p90
+                    FROM events GROUP BY 1),
+            cand AS (
+              SELECT o.user_id, o.event_id, o.ts,
+                     row_number() OVER (PARTITION BY o.user_id
+                                        ORDER BY o.ts, o.event_id) AS rn
+              FROM o JOIN thr USING (user_id)
+              WHERE o.pv IS NOT NULL AND o.nv IS NOT NULL
+                AND o.value > o.pv AND o.value > o.nv
+                AND o.value > thr.p90),
+            rec AS (
+              SELECT user_id, event_id, ts, rn, TRUE AS kept,
+                     ts AS last_kept
+              FROM cand WHERE rn = 1
+              UNION ALL
+              SELECT c.user_id, c.event_id, c.ts, c.rn,
+                     date_diff('microsecond', rec.last_kept, c.ts)
+                       >= 60000000 AS kept,
+                     CASE WHEN date_diff('microsecond', rec.last_kept,
+                                         c.ts) >= 60000000
+                          THEN c.ts ELSE rec.last_kept END AS last_kept
+              FROM cand c
+              JOIN rec ON c.user_id = rec.user_id AND c.rn = rec.rn + 1),
+            g AS (
+              SELECT user_id, rn,
+                     date_diff('microsecond',
+                               lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY rn), ts) AS g_us
+              FROM rec WHERE kept),
+            p AS (SELECT user_id, count(*) AS n
+                  FROM rec WHERE kept GROUP BY 1),
+            gg AS (SELECT user_id, g_us,
+                          g_us - lag(g_us) OVER (PARTITION BY user_id
+                                                 ORDER BY rn) AS d_us
+                   FROM g WHERE g_us IS NOT NULL),
+            agg AS (SELECT user_id, sum(g_us) AS gsum,
+                           (count(*) FILTER (WHERE d_us IS NOT NULL))
+                             AS nd,
+                           sum((d_us::DOUBLE) * (d_us::DOUBLE)) AS ssq
+                    FROM gg GROUP BY 1)
+            SELECT p.user_id, p.n::BIGINT AS n_peaks,
+                   CASE WHEN p.n >= 2 THEN
+                     round((agg.gsum::DOUBLE / 1000000.0) / (p.n - 1), 6)
+                   END AS mean_rr_s,
+                   CASE WHEN agg.nd >= 1 THEN
+                     round(sqrt(agg.ssq / 1000000000000.0 / agg.nd), 6)
+                   END AS rmssd_s
+            FROM p LEFT JOIN agg USING (user_id)
+            ORDER BY p.user_id
         """,
         # two-state recursive CTE: the b_new step repeats the l_new
         # expression verbatim (same float ops -> identical doubles);

@@ -827,3 +827,79 @@ def peak_detect(
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(fold, batch_format="pyarrow")
+
+
+def peak_intervals(
+    ds: Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    q: float = 0.9,
+    min_gap_us: int = 60_000_000,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Peak-to-peak interval statistics — the reference's literal
+    pipeline (R-peak detection → RR intervals → HRV summary,
+    /root/reference/TSFEDL/data.py:50-76 feeding every arrhythmia
+    model) as a two-stage composition: :func:`peak_detect` finds the
+    peaks, then per key the successive peak gaps fold to mean interval
+    and RMSSD (root-mean-square of successive differences — computed on
+    the INTERVALS, i.e. second differences of peak times).
+
+    Exactness: gaps ride as exact int64 µs (the date_diff recipe) and
+    convert to seconds only inside the final expressions.  Keys need
+    ≥ 2 peaks for ``mean_rr_s`` and ≥ 3 for ``rmssd_s`` (NULL below).
+    Output: ``{key_col}, n_peaks, mean_rr_s, rmssd_s``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .grouped import grouped_apply
+
+    peaks = peak_detect(
+        ds, key_col=key_col, ts_col=ts_col, id_col=id_col,
+        value_col=value_col, q=q, min_gap_us=min_gap_us,
+        num_partitions=num_partitions)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype="object"),
+                "n_peaks": pd.Series([], dtype="int64"),
+                "mean_rr_s": pd.Series([], dtype="float64"),
+                "rmssd_s": pd.Series([], dtype="float64")})
+        df = df.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        k = df[key_col].to_numpy()
+        same = np.concatenate([[False], k[1:] == k[:-1]])
+        gap_us = np.where(same, ts - np.concatenate([[0], ts[:-1]]), 0)
+        uniq, inv = np.unique(k, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        gsum = np.bincount(inv, weights=gap_us.astype(np.float64),
+                           minlength=len(uniq))
+        # successive differences of the gaps (within key, gaps only)
+        gk, gv = k[same], gap_us[same].astype(np.float64)
+        same2 = np.concatenate([[False], gk[1:] == gk[:-1]])
+        d2 = np.where(same2, gv - np.concatenate([[0.0], gv[:-1]]), 0.0)
+        u2, inv2 = np.unique(gk, return_inverse=True)
+        nd = np.bincount(inv2, weights=same2.astype(np.float64),
+                         minlength=len(u2))
+        ssq = np.bincount(inv2, weights=np.where(same2, d2 * d2, 0.0),
+                          minlength=len(u2))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_rr = np.where(n >= 2, (gsum / 1e6) / np.maximum(n - 1, 1),
+                               np.nan)
+            rms = np.full(len(uniq), np.nan)
+            pos = np.searchsorted(uniq, u2)
+            rms[pos] = np.where(nd >= 1, np.sqrt(ssq / 1e12
+                                                 / np.maximum(nd, 1)),
+                                np.nan)
+        return pd.DataFrame({
+            key_col: uniq, "n_peaks": n,
+            "mean_rr_s": mean_rr, "rmssd_s": rms})
+
+    return grouped_apply(peaks, keys=[key_col], fn=fold,
+                         num_partitions=num_partitions,
+                         whole_partition=True).sort(key_col)

@@ -62,6 +62,7 @@ QUERIES = [
     "events_ewma",
     "events_holt_forecast",
     "events_peak_detect",
+    "events_rr_intervals",
 ]
 
 SHAPES = [
