@@ -3243,6 +3243,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_events(sf, columns=["event_id", "ts", "user_id", "value"])
         return _round_floats(peak_intervals(ds))
 
+    def q_transcripts_tool_effect(sf):
+        """Assistant turn length split by whether the previous turn was
+        a tool result — the tool-augmentation length probe
+        (stages/dialog.tool_effect)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import tool_effect
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "role", "text"])
+        return _round_floats(tool_effect(turns))
+
+    def q_events_seasonal_outliers(sf):
+        """Robust anomaly count on DESEASONALIZED values: hour-of-day
+        profile removed (stages/trend.seasonal_adjust per type),
+        then the MAD outlier battery on the residuals — the
+        seasonal-aware anomaly count a raw-value MAD over-flags every
+        morning peak on."""
+        from s_tsfe_dl_ray.stages.robust import grouped_mad
+        from s_tsfe_dl_ray.stages.trend import seasonal_adjust
+
+        ds = read_events(sf, columns=["event_type", "ts", "value"])
+        adj = seasonal_adjust(ds, key="event_type", ts_col="ts",
+                              value_col="value", period="hour_of_day")
+        return _round_floats(grouped_mad(
+            adj.select_columns(["event_type", "residual"]),
+            key="event_type", value_col="residual").sort("event_type"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3528,6 +3555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bursts": q_events_bursts,
         "events_peak_detect": q_events_peak_detect,
         "events_rr_intervals": q_events_rr_intervals,
+        "transcripts_tool_effect": q_transcripts_tool_effect,
+        "events_seasonal_outliers": q_events_seasonal_outliers,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -5988,6 +6017,42 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS escalating_share,
                    round(sum(slope) / count(*), 6) AS mean_slope
             FROM sl
+        """,
+        # composition oracle: the seasonal_adjust phase-mean window
+        # feeding the mad_per_user battery, both already-proven idioms
+        "events_seasonal_outliers": """
+            WITH r AS (
+              SELECT event_type,
+                     value - avg(value) OVER (PARTITION BY event_type,
+                                              hour(ts)) AS resid
+              FROM events),
+            m AS (SELECT event_type, count(*)::BIGINT AS n_events,
+                         median(resid) AS med
+                  FROM r GROUP BY 1),
+            d AS (SELECT r.event_type, m.n_events, m.med,
+                         abs(r.resid - m.med) AS dev
+                  FROM r JOIN m USING (event_type)),
+            a AS (SELECT event_type, median(dev) AS mad FROM d GROUP BY 1)
+            SELECT d.event_type, min(d.n_events) AS n_events,
+                   round(min(d.med), 6) AS med,
+                   round(min(a.mad), 6) AS mad,
+                   sum(CASE WHEN d.dev > 3 * 1.4826 * a.mad
+                            THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+            FROM d JOIN a USING (event_type)
+            GROUP BY d.event_type ORDER BY 1
+        """,
+        "transcripts_tool_effect": f"""
+            WITH t AS (
+              SELECT conv_id, role, {TOKLEN} AS tok,
+                     lag(role) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS prev_role
+              FROM {T})
+            SELECT (prev_role = 'tool') AS after_tool,
+                   count(*)::BIGINT AS n_turns,
+                   round(sum(tok)::DOUBLE / count(*), 6) AS mean_tokens
+            FROM t
+            WHERE role = 'assistant' AND prev_role IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         "transcripts_position_profile": f"""
             WITH t AS (

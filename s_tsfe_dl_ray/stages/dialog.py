@@ -1062,3 +1062,78 @@ def escalation_share(
         })
 
     return partials.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+def tool_effect(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Does tool use change the assistant's answers?  Assistant turns
+    split by whether the immediately preceding turn (turn_idx order)
+    was a tool result; per group the turn count and mean token length,
+    plus the difference — the cheap causal-ish probe behind "are
+    tool-augmented responses shorter/longer".
+
+    One conv-hash exchange carrying (conv, turn, role, token_len);
+    vectorized shifted-role compare inside each partition; int64
+    partials fold to a TWO-ROW result.  Output: ``after_tool, n_turns,
+    mean_tokens`` (rows: false, true) + the engine adds nothing else —
+    downstream dashboards diff the two rows.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.derive import token_count
+    from .grouped import grouped_apply
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            conv_col: t[conv_col],
+            "_turn": pc.cast(t[turn_col], pa.int64()),
+            role_col: t[role_col],
+            "_tok": token_count(t[text_col]),
+        })
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "after_tool": pd.Series([], dtype="bool"),
+                "n_turns": pd.Series([], dtype="int64"),
+                "tok_sum": pd.Series([], dtype="int64")})
+        df = df.sort_values([conv_col, "_turn"], kind="mergesort")
+        first = df[conv_col].ne(df[conv_col].shift(1)).to_numpy()
+        prev_role = df[role_col].shift(1).to_numpy()
+        is_assist = (df[role_col] == "assistant").to_numpy()
+        after_tool = (~first) & (prev_role == "tool")
+        sel = is_assist & ~first  # assistant turns with a previous turn
+        return pd.DataFrame({
+            "after_tool": after_tool[sel],
+            "n_turns": np.ones(int(sel.sum()), dtype=np.int64),
+            "tok_sum": df["_tok"].to_numpy(dtype=np.int64)[sel],
+        }).groupby("after_tool", sort=True, as_index=False).sum()
+
+    partials = grouped_apply(
+        ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
+        keys=[conv_col], fn=fold, num_partitions=num_partitions,
+        whole_partition=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "after_tool": pd.Series([], dtype="bool"),
+                "n_turns": pd.Series([], dtype="int64"),
+                "mean_tokens": pd.Series([], dtype="float64")})
+        g = df.groupby("after_tool", sort=True, as_index=False).sum()
+        return pd.DataFrame({
+            "after_tool": g["after_tool"],
+            "n_turns": g["n_turns"].astype("int64"),
+            "mean_tokens": g["tok_sum"].to_numpy(dtype=np.float64)
+            / g["n_turns"].to_numpy(dtype=np.float64),
+        })
+
+    return partials.repartition(1).map_batches(finish,
+                                               batch_format="pandas")

@@ -63,6 +63,7 @@ QUERIES = [
     "events_holt_forecast",
     "events_peak_detect",
     "events_rr_intervals",
+    "events_seasonal_outliers",
 ]
 
 SHAPES = [
@@ -139,7 +140,8 @@ def test_fuzz_query_matches_oracle(tmp_path_factory, entrymod, shape, name):
 
 T_QUERIES = ["transcripts_latency_by_hour", "transcripts_duration_stats",
              "transcripts_prompt_ols", "transcripts_reply_latency",
-             "transcripts_escalation", "transcripts_position_profile"]
+             "transcripts_escalation", "transcripts_position_profile",
+             "transcripts_tool_effect"]
 
 
 def _synth_transcripts(tmpdir: str, seed: int, n: int, ties: bool) -> str:
@@ -207,6 +209,9 @@ def test_fuzz_transcript_query_matches_oracle(tmp_path_factory, entrymod,
         out = escalation_share(ds)
     elif name == "transcripts_position_profile":
         out = position_profile(ds)
+    elif name == "transcripts_tool_effect":
+        from s_tsfe_dl_ray.stages.dialog import tool_effect
+        out = tool_effect(ds)
     else:
         out = reply_latency(ds, conv_col="conv_id", ts_col="ts",
                             order_by=["ts", "turn_idx"])
