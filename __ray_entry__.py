@@ -3270,6 +3270,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             adj.select_columns(["event_type", "residual"]),
             key="event_type", value_col="residual").sort("event_type"))
 
+    def q_transcripts_conv_features(sf):
+        """The conversation-level ML feature table: role/tool counts,
+        token volume, wall duration, opening/closing roles — one wide
+        row per conversation (stages/dialog.conversation_features)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import conversation_features
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "role", "text",
+                                    "tool", "ts"])
+        return _round_floats(conversation_features(turns))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3557,6 +3569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rr_intervals": q_events_rr_intervals,
         "transcripts_tool_effect": q_transcripts_tool_effect,
         "events_seasonal_outliers": q_events_seasonal_outliers,
+        "transcripts_conv_features": q_transcripts_conv_features,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -6040,6 +6053,29 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END)::BIGINT AS n_outliers
             FROM d JOIN a USING (event_type)
             GROUP BY d.event_type ORDER BY 1
+        """,
+        # arg_min/arg_max on unique turn_idx = deterministic open/close
+        # roles; duration via the exact date_diff microsecond recipe
+        "transcripts_conv_features": f"""
+            SELECT conv_id,
+                   count(*)::BIGINT AS n_turns,
+                   (count(*) FILTER (WHERE role = 'user'))::BIGINT
+                     AS n_user,
+                   (count(*) FILTER (WHERE role = 'assistant'))::BIGINT
+                     AS n_assistant,
+                   (count(*) FILTER (WHERE tool != ''))::BIGINT
+                     AS n_tool_turns,
+                   (count(DISTINCT tool)
+                      FILTER (WHERE tool != ''))::BIGINT
+                     AS n_distinct_tools,
+                   sum({TOKLEN})::BIGINT AS total_tokens,
+                   round(sum({TOKLEN})::DOUBLE / count(*), 6)
+                     AS mean_tokens,
+                   round(date_diff('microsecond', min(ts), max(ts))
+                         / 1000000.0, 6) AS duration_s,
+                   arg_min(role, turn_idx) AS first_role,
+                   arg_max(role, turn_idx) AS last_role
+            FROM {T} GROUP BY 1 ORDER BY 1
         """,
         "transcripts_tool_effect": f"""
             WITH t AS (

@@ -1137,3 +1137,98 @@ def tool_effect(
 
     return partials.repartition(1).map_batches(finish,
                                                batch_format="pandas")
+
+
+def conversation_features(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+    num_partitions: int = 64,
+) -> Dataset:
+    """The conversation-level FEATURE TABLE — one wide row per
+    conversation with the descriptors a conv-level model (routing,
+    quality, abuse, cost prediction) trains on: turn counts per role,
+    distinct tools touched, total/mean token volume, wall duration and
+    the opening/closing roles.
+
+    This is the engine's analog of the reference's per-record feature
+    extraction before windowing (data.py:99-154 derives per-segment
+    descriptors); expressed as ONE combiner-friendly pass — everything
+    here is a per-(conv) fold of per-row narrow values, vectorized
+    across all conversations of a partition.
+
+    Output: ``{conv_col}, n_turns, n_user, n_assistant, n_tool_turns,
+    n_distinct_tools, total_tokens, mean_tokens, duration_s,
+    first_role, last_role``.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.derive import token_count
+    from .grouped import grouped_apply
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            conv_col: t[conv_col],
+            "_turn": pc.cast(t[turn_col], pa.int64()),
+            role_col: t[role_col],
+            tool_col: t[tool_col],
+            "_tok": token_count(t[text_col]),
+            ts_col: t[ts_col],
+        })
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                conv_col: pd.Series([], dtype="object"),
+                "n_turns": pd.Series([], dtype="int64"),
+                "n_user": pd.Series([], dtype="int64"),
+                "n_assistant": pd.Series([], dtype="int64"),
+                "n_tool_turns": pd.Series([], dtype="int64"),
+                "n_distinct_tools": pd.Series([], dtype="int64"),
+                "total_tokens": pd.Series([], dtype="int64"),
+                "mean_tokens": pd.Series([], dtype="float64"),
+                "duration_s": pd.Series([], dtype="float64"),
+                "first_role": pd.Series([], dtype="object"),
+                "last_role": pd.Series([], dtype="object"),
+            })
+        df = df.sort_values([conv_col, "_turn"], kind="mergesort")
+        g = df.groupby(conv_col, sort=True)
+        ts_us = df[ts_col].to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        work = pd.DataFrame({
+            conv_col: df[conv_col].to_numpy(),
+            "_one": np.ones(len(df), dtype=np.int64),
+            "_u": (df[role_col] == "user").to_numpy().astype(np.int64),
+            "_a": (df[role_col] == "assistant").to_numpy().astype(np.int64),
+            "_t": (df[tool_col] != "").to_numpy().astype(np.int64),
+            "_tok": df["_tok"].to_numpy(dtype=np.int64),
+            "_ts": ts_us,
+        })
+        agg = work.groupby(conv_col, sort=True, as_index=False).agg(
+            n_turns=("_one", "sum"), n_user=("_u", "sum"),
+            n_assistant=("_a", "sum"), n_tool_turns=("_t", "sum"),
+            total_tokens=("_tok", "sum"),
+            _tmin=("_ts", "min"), _tmax=("_ts", "max"))
+        ndt = (df[df[tool_col] != ""].groupby(conv_col, sort=True)
+               [tool_col].nunique())
+        agg["n_distinct_tools"] = agg[conv_col].map(ndt).fillna(0) \
+            .astype("int64")
+        agg["mean_tokens"] = (agg["total_tokens"].to_numpy(np.float64)
+                              / agg["n_turns"].to_numpy(np.float64))
+        agg["duration_s"] = (agg["_tmax"] - agg["_tmin"]) / 1e6
+        agg["first_role"] = g[role_col].first().to_numpy()
+        agg["last_role"] = g[role_col].last().to_numpy()
+        return agg[[conv_col, "n_turns", "n_user", "n_assistant",
+                    "n_tool_turns", "n_distinct_tools", "total_tokens",
+                    "mean_tokens", "duration_s", "first_role",
+                    "last_role"]]
+
+    return grouped_apply(
+        ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
+        keys=[conv_col], fn=fold, num_partitions=num_partitions,
+        whole_partition=True).sort(conv_col)

@@ -141,7 +141,7 @@ def test_fuzz_query_matches_oracle(tmp_path_factory, entrymod, shape, name):
 T_QUERIES = ["transcripts_latency_by_hour", "transcripts_duration_stats",
              "transcripts_prompt_ols", "transcripts_reply_latency",
              "transcripts_escalation", "transcripts_position_profile",
-             "transcripts_tool_effect"]
+             "transcripts_tool_effect", "transcripts_conv_features"]
 
 
 def _synth_transcripts(tmpdir: str, seed: int, n: int, ties: bool) -> str:
@@ -212,6 +212,9 @@ def test_fuzz_transcript_query_matches_oracle(tmp_path_factory, entrymod,
     elif name == "transcripts_tool_effect":
         from s_tsfe_dl_ray.stages.dialog import tool_effect
         out = tool_effect(ds)
+    elif name == "transcripts_conv_features":
+        from s_tsfe_dl_ray.stages.dialog import conversation_features
+        out = conversation_features(ds)
     else:
         out = reply_latency(ds, conv_col="conv_id", ts_col="ts",
                             order_by=["ts", "turn_idx"])
