@@ -3282,6 +3282,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     "tool", "ts"])
         return _round_floats(conversation_features(turns))
 
+    def q_events_daily_type_entropy(sf):
+        """Per-day traffic-mix entropy + dominant type/share (the
+        mix-collapse monitor beside psi_daily's value drift) —
+        stages/activity.daily_mix_entropy."""
+        from s_tsfe_dl_ray.stages.activity import daily_mix_entropy
+
+        ds = read_events(sf, columns=["event_type", "ts"])
+        return _round_floats(daily_mix_entropy(ds).sort("day"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3570,6 +3579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_tool_effect": q_transcripts_tool_effect,
         "events_seasonal_outliers": q_events_seasonal_outliers,
         "transcripts_conv_features": q_transcripts_conv_features,
+        "events_daily_type_entropy": q_events_daily_type_entropy,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -6030,6 +6040,31 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS escalating_share,
                    round(sum(slope) / count(*), 6) AS mean_slope
             FROM sl
+        """,
+        # dominant type via the struct_pack argmin recipe (negated count,
+        # then type ascending as the tie-break)
+        "events_daily_type_entropy": """
+            WITH c AS (
+              SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+                     event_type, count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2),
+            n AS (SELECT day, sum(c) AS n, count(*) AS n_types
+                  FROM c GROUP BY 1),
+            e AS (SELECT c.day,
+                         sum((c.c::DOUBLE / n.n) * ln(c.c::DOUBLE / n.n))
+                           AS t
+                  FROM c JOIN n USING (day) GROUP BY 1),
+            top AS (SELECT day,
+                           min(struct_pack(negc := -c, et := event_type))
+                             AS s
+                    FROM c GROUP BY 1)
+            SELECT make_timestamp(n.day * 86400000000) AS day,
+                   n.n::BIGINT AS n_events, n.n_types::BIGINT AS n_types,
+                   round(-e.t, 6) AS mix_entropy,
+                   struct_extract(top.s, 'et') AS top_type,
+                   round((-struct_extract(top.s, 'negc'))::DOUBLE / n.n, 6)
+                     AS top_share
+            FROM n JOIN e USING (day) JOIN top USING (day) ORDER BY 1
         """,
         # composition oracle: the seasonal_adjust phase-mean window
         # feeding the mad_per_user battery, both already-proven idioms

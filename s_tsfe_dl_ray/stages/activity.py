@@ -468,3 +468,78 @@ def user_lifetime(
                            zero_copy_batch=True)
             .groupby("_pkey").map_groups(merge, batch_format="pandas")
             .sort(key_col))
+
+
+def daily_mix_entropy(
+    ds: Dataset,
+    *,
+    cat_col: str = "event_type",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Traffic-mix diversity per day: Shannon entropy (nats) of the
+    day's event-type distribution, plus the dominant type and its
+    share — the one-line answer to "did the traffic mix collapse
+    yesterday" (an entropy drop = one type took over; pairs with
+    :func:`~.robust.psi_daily`, which watches the VALUE distribution).
+
+    Pure combiner: (day, type) counts fold per batch; one small
+    exchange; entropy + argmax vectorized over the days×types table.
+    Output: ``day, n_events, n_types, mix_entropy, top_type,
+    top_share``.
+    """
+    from ..functions.windows import window_start_us, window_to_timestamp
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        day = window_start_us(t[ts_col], "1d")
+        base = pa.table({"_day": day, cat_col: t[cat_col]})
+        out = base.group_by(["_day", cat_col], use_threads=False).aggregate(
+            [([], "count_all")])
+        return out.rename_columns(["_day", cat_col, "c"])
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("_day").map_groups(
+                  lambda df: df.groupby(["_day", cat_col], sort=True,
+                                        as_index=False)["c"].sum(),
+                  batch_format="pandas"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "day": pd.Series([], dtype="datetime64[us]"),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_types": pd.Series([], dtype="int64"),
+                "mix_entropy": pd.Series([], dtype="float64"),
+                "top_type": pd.Series([], dtype="object"),
+                "top_share": pd.Series([], dtype="float64")})
+        n = df.groupby("_day", sort=False)["c"].transform("sum").to_numpy(
+            dtype=np.float64)
+        p = df["c"].to_numpy(dtype=np.float64) / n
+        term = p * np.log(p)
+        # deterministic argmax: highest count, ties -> smallest type
+        df2 = df.sort_values(["_day", "c", cat_col],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+        top = df2.groupby("_day", sort=True).first().reset_index()
+        agg = pd.DataFrame({
+            "_day": df["_day"].to_numpy(),
+            "_n": df["c"].to_numpy(dtype=np.int64),
+            "_one": np.ones(len(df), dtype=np.int64),
+            "_t": term,
+        }).groupby("_day", sort=True, as_index=False).sum()
+        out = pd.DataFrame({
+            "day": window_to_timestamp(
+                pa.array(agg["_day"].to_numpy(dtype=np.int64))).to_pandas(),
+            "n_events": agg["_n"].astype("int64"),
+            "n_types": agg["_one"].astype("int64"),
+            "mix_entropy": -agg["_t"].to_numpy(),
+            "top_type": top[cat_col].to_numpy(),
+            "top_share": top["c"].to_numpy(dtype=np.float64)
+            / agg["_n"].to_numpy(dtype=np.float64),
+        })
+        return out
+
+    return counts.repartition(1).map_batches(finish, batch_format="pandas")

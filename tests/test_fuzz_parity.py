@@ -64,6 +64,7 @@ QUERIES = [
     "events_peak_detect",
     "events_rr_intervals",
     "events_seasonal_outliers",
+    "events_daily_type_entropy",
 ]
 
 SHAPES = [
