@@ -3291,6 +3291,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_events(sf, columns=["event_type", "ts"])
         return _round_floats(daily_mix_entropy(ds).sort("day"))
 
+    def q_events_arch_effect(sf):
+        """Volatility clustering (ARCH-effect) probe per user: lag-1
+        autocorrelation of |Δvalue| — composition of the ordered-scan
+        delta, an abs kernel, and the multi-lag acf stage."""
+        import pyarrow.compute as _pc
+
+        from s_tsfe_dl_ray.stages.trend import acf
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        d = ordered_scan(
+            ds, keys=["user_id"], order_by=["ts", "event_id"],
+            scans={"vd": ("value", "delta")})
+
+        def absd(t: pa.Table) -> pa.Table:
+            out = pa.table({
+                "event_id": t["event_id"], "user_id": t["user_id"],
+                "ts": t["ts"], "ad": _pc.abs(t["vd"]),
+            })
+            return out.filter(_pc.is_valid(out["ad"]))
+
+        series = d.map_batches(absd, batch_format="pyarrow")
+        r = acf(series, key="user_id", value_col="ad",
+                order_by=["ts", "event_id"], lags=(1,))
+
+        def fin(t: pa.Table) -> pa.Table:
+            return pa.table({"user_id": t["user_id"],
+                             "n_pairs": t["n_pairs"],
+                             "arch_corr": t["autocorr"]})
+
+        return _round_floats(
+            r.map_batches(fin, batch_format="pyarrow").sort("user_id"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3580,6 +3612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonal_outliers": q_events_seasonal_outliers,
         "transcripts_conv_features": q_transcripts_conv_features,
         "events_daily_type_entropy": q_events_daily_type_entropy,
+        "events_arch_effect": q_events_arch_effect,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -6040,6 +6073,23 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS escalating_share,
                    round(sum(slope) / count(*), 6) AS mean_slope
             FROM sl
+        """,
+        # lag-1 pairwise corr over the |delta| series (acf NULL rules:
+        # <2 pairs or a constant side -> NULL); users with < 2 events
+        # have an empty |delta| series and drop out on both sides
+        "events_arch_effect": """
+            WITH d AS (
+              SELECT user_id, ts, event_id,
+                     abs(value - lag(value) OVER w) AS ad
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            l AS (SELECT user_id, ad,
+                         lag(ad) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS pad
+                  FROM d WHERE ad IS NOT NULL)
+            SELECT user_id, count(pad)::BIGINT AS n_pairs,
+                   round(corr(ad, pad), 6) AS arch_corr
+            FROM l GROUP BY 1 ORDER BY 1
         """,
         # dominant type via the struct_pack argmin recipe (negated count,
         # then type ascending as the tie-break)

@@ -65,6 +65,7 @@ QUERIES = [
     "events_rr_intervals",
     "events_seasonal_outliers",
     "events_daily_type_entropy",
+    "events_arch_effect",
 ]
 
 SHAPES = [
