@@ -251,3 +251,62 @@ def grouped_auc(
         .groupby("_pkey")
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+def average_precision(
+    ds: Dataset,
+    *,
+    score_col: str,
+    label_col: str,
+) -> Dataset:
+    """Exact average precision (area under the precision–recall curve,
+    step-interpolated): AP = Σₛ ΔR(s)·P(s) over DISTINCT scores in
+    decreasing order, where at threshold s the tie block's positives
+    all enter at once — identical to scikit-learn's
+    ``average_precision_score`` formula, made tie-robust by operating
+    on the score histogram rather than an arbitrary within-tie order.
+
+    Same scale shape as :func:`auc_roc`: per-batch (score → n_pos,
+    n_neg) histogram partials — one row per distinct score crosses the
+    exchange — and one vectorized fold computes the cumulative
+    precision sweep.  PR-AUC is the metric that stays honest under
+    class imbalance, where ROC-AUC saturates.  One row out:
+    ``n_pos, n_neg, avg_precision`` (NULL when no positives).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[score_col], pa.float64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(t[label_col], pa.bool_()).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(s, return_inverse=True)
+        npos = np.bincount(inv, weights=y.astype(np.float64),
+                           minlength=len(uniq))
+        nall = np.bincount(inv, minlength=len(uniq))
+        return pa.table({
+            "_s": pa.array(uniq),
+            "_pos": pa.array(npos.astype(np.int64)),
+            "_neg": pa.array((nall - npos).astype(np.int64)),
+        })
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        h = df.groupby("_s", sort=True)[["_pos", "_neg"]].sum()[::-1]
+        pos = h["_pos"].to_numpy(dtype=np.float64)
+        neg = h["_neg"].to_numpy(dtype=np.float64)
+        n_pos, n_neg = pos.sum(), neg.sum()
+        if n_pos == 0:
+            ap = np.nan
+        else:
+            tp = np.cumsum(pos)
+            fp = np.cumsum(neg)
+            mask = pos > 0
+            ap = float(((pos[mask] / n_pos)
+                        * (tp[mask] / (tp[mask] + fp[mask]))).sum())
+        return pd.DataFrame([{
+            "n_pos": int(n_pos), "n_neg": int(n_neg),
+            "avg_precision": ap,
+        }])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(finalize, batch_format="pandas", batch_size=None)
+    )

@@ -66,6 +66,7 @@ QUERIES = [
     "events_seasonal_outliers",
     "events_daily_type_entropy",
     "events_arch_effect",
+    "events_avg_precision",
 ]
 
 SHAPES = [
