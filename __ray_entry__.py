@@ -3340,6 +3340,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(average_precision(
             ds, score_col="value", label_col="label"))
 
+    def q_events_expectations(sf):
+        """Declarative data-contract sweep over the events drop
+        (not-null, PK-unique, enum membership, range, RE2 shape) —
+        one read, per-rule combiner folds (schema.expectations_report)."""
+        from s_tsfe_dl_ray.schema import expectations_report
+
+        ds = read_events(sf, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+        rules = [
+            {"rule": "not_null", "col": "value"},
+            {"rule": "unique", "col": "event_id"},
+            {"rule": "in_set", "col": "event_type",
+             "values": ["view", "click", "purchase", "signup", "error"]},
+            {"rule": "range", "col": "value", "lo": -1000.0, "hi": 1000.0},
+            {"rule": "regex", "col": "props", "pattern": r"\{.*\}"},
+        ]
+        return expectations_report(ds, rules)
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3631,6 +3649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_type_entropy": q_events_daily_type_entropy,
         "events_arch_effect": q_events_arch_effect,
         "events_avg_precision": q_events_avg_precision,
+        "events_expectations": q_events_expectations,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 
@@ -6091,6 +6110,43 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS escalating_share,
                    round(sum(slope) / count(*), 6) AS mean_slope
             FROM sl
+        """,
+        # one UNION ALL row per contract rule; regexp_full_match is the
+        # RE2 twin of pyarrow's anchored match_substring_regex
+        "events_expectations": """
+            SELECT 0::BIGINT AS rule_id, 'not_null' AS rule,
+                   'value' AS col, count(*)::BIGINT AS n_checked,
+                   (count(*) - count(value))::BIGINT AS n_violations,
+                   (count(*) - count(value)) = 0 AS passed
+            FROM events
+            UNION ALL
+            SELECT 1, 'unique', 'event_id', count(*)::BIGINT,
+                   (count(*) - count(DISTINCT event_id))::BIGINT,
+                   count(*) = count(DISTINCT event_id)
+            FROM events
+            UNION ALL
+            SELECT 2, 'in_set', 'event_type', count(*)::BIGINT,
+                   (count(*) - count(*) FILTER (WHERE event_type IN
+                     ('view','click','purchase','signup','error')))
+                     ::BIGINT,
+                   count(*) = count(*) FILTER (WHERE event_type IN
+                     ('view','click','purchase','signup','error'))
+            FROM events
+            UNION ALL
+            SELECT 3, 'range', 'value', count(*)::BIGINT,
+                   (count(*) - count(*) FILTER
+                     (WHERE value BETWEEN -1000.0 AND 1000.0))::BIGINT,
+                   count(*) = count(*) FILTER
+                     (WHERE value BETWEEN -1000.0 AND 1000.0)
+            FROM events
+            UNION ALL
+            SELECT 4, 'regex', 'props', count(*)::BIGINT,
+                   (count(*) - count(*) FILTER
+                     (WHERE regexp_full_match(props, '\\{.*\\}')))::BIGINT,
+                   count(*) = count(*) FILTER
+                     (WHERE regexp_full_match(props, '\\{.*\\}'))
+            FROM events
+            ORDER BY 1
         """,
         # step AP over distinct-score thresholds (sklearn formula):
         # AP = sum_s (np_s/pos) * (tp_s/(tp_s+fp_s)), score descending

@@ -67,6 +67,7 @@ QUERIES = [
     "events_daily_type_entropy",
     "events_arch_effect",
     "events_avg_precision",
+    "events_expectations",
 ]
 
 SHAPES = [
