@@ -87,3 +87,35 @@ def test_misra_gries_trim_bound(items, capacity):
     for item, t in true.items():
         if t > err:
             assert item in est
+
+
+def test_expectations_detect_violations():
+    """Each rule kind actually fires on a corpus built to violate it."""
+    import pandas as pd
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.schema import expectations_report
+
+    df = pd.DataFrame({
+        "event_id": [1, 1, 2, 3],            # dup PK
+        "event_type": ["view", "bogus", "view", "view"],
+        "value": [5.0, None, 2000.0, 7.0],   # null + out-of-range
+        "props": ["{}", "nope", "{}", "{}"],
+    })
+    rules = [
+        {"rule": "not_null", "col": "value"},
+        {"rule": "unique", "col": "event_id"},
+        {"rule": "in_set", "col": "event_type",
+         "values": ["view", "click"]},
+        {"rule": "range", "col": "value", "lo": -1000.0, "hi": 1000.0},
+        {"rule": "regex", "col": "props", "pattern": r"\{.*\}"},
+    ]
+    out = to_pdf(expectations_report(
+        ray.data.from_pandas(df), rules)).set_index("rule_id")
+    assert out.loc[0, "n_violations"] == 1 and not out.loc[0, "passed"]
+    assert out.loc[1, "n_violations"] == 1          # one extra copy of PK 1
+    assert out.loc[2, "n_violations"] == 1          # 'bogus'
+    assert out.loc[3, "n_violations"] == 2          # null + 2000.0
+    assert out.loc[4, "n_violations"] == 1          # 'nope'
+    assert (out.n_checked == 4).all()
