@@ -562,3 +562,59 @@ def test_categorical_concentration_extremes():
     assert out.loc["uni", "hhi"] == pytest.approx(0.25)
     assert out.loc["uni", "entropy"] == pytest.approx(np.log(4.0))
     assert out.loc["uni", "n_members"] == 4
+
+
+def test_4g_ops_blocking_invariance():
+    """The 4g per-key ops give IDENTICAL results at 1 input block and
+    at 7 — partitioning must never leak into values (the combiner /
+    key-complete-partition contracts)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.activity import activity_gini, hour_entropy
+    from s_tsfe_dl_ray.stages.robust import psi_daily, runs_test, trimmed_mean
+    from s_tsfe_dl_ray.stages.scan import out_of_order_stats, record_highs
+    from s_tsfe_dl_ray.stages.trend import ljung_box, stl_lite
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.sort(rng.integers(
+            1_700_000_000_000_000, 1_700_600_000_000_000, n)
+        ).astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(1, 30, n)),
+        "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+        "value": pa.array(rng.normal(10, 3, n)),
+    })
+    path = "/tmp/blockinv_4g.parquet"
+    pq.write_table(t, path)
+
+    def run(blocks):
+        ds = ray.data.read_parquet(path, override_num_blocks=blocks)
+        return {
+            "gini": to_pdf(activity_gini(ds)),
+            "hent": to_pdf(hour_entropy(ds).sort("user_id")),
+            "runs": to_pdf(runs_test(ds, key="user_id", value_col="value",
+                                     order_by=["ts", "event_id"])
+                           .sort("user_id")),
+            "trim": to_pdf(trimmed_mean(ds, key="user_id",
+                                        value_col="value",
+                                        id_col="event_id")),
+            "psi": to_pdf(psi_daily(ds).sort("day")),
+            "ooo": to_pdf(out_of_order_stats(ds)),
+            "rec": to_pdf(record_highs(ds)),
+            "stl": to_pdf(stl_lite(ds, key="event_type")),
+            "lb": to_pdf(ljung_box(ds, key="user_id", value_col="value",
+                                   order_by=["ts", "event_id"])
+                         .sort("user_id")),
+        }
+
+    a, b = run(1), run(7)
+    for k in a:
+        pd.testing.assert_frame_equal(
+            a[k].reset_index(drop=True), b[k].reset_index(drop=True),
+            check_exact=True, obj=k)
