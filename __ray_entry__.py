@@ -3358,6 +3358,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ]
         return expectations_report(ds, rules)
 
+    def q_events_dtw_shape(sf):
+        """Banded DTW distance from each type's hourly series to the
+        corpus mean series (shape-anomaly ranking; Sakoe–Chiba band) —
+        rows-only (DP argmin; identity/shift-tolerance pytest in
+        tests/test_trend.py) — stages/trend.dtw_to_mean."""
+        from s_tsfe_dl_ray.stages.trend import dtw_to_mean
+
+        ds = read_events(sf, columns=["event_type", "ts"])
+        return _round_floats(dtw_to_mean(ds))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3650,6 +3660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_arch_effect": q_events_arch_effect,
         "events_avg_precision": q_events_avg_precision,
         "events_expectations": q_events_expectations,
+        "events_dtw_shape": q_events_dtw_shape,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
     }
 

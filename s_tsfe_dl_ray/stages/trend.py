@@ -1255,3 +1255,116 @@ def kleinberg_bursts(
         counts, keys=[key], fn=detect,
         num_partitions=min(num_partitions, 8),
         whole_partition=True).sort(key)
+
+
+def dtw_to_mean(
+    ds: Dataset,
+    *,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    band: int = 12,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Banded Dynamic Time Warping distance from each key's hourly count
+    series to the corpus MEAN series — the classic elastic time-series
+    distance (Sakoe–Chiba band), answering "which series' SHAPE
+    deviates from the fleet" where Euclidean/correlation ops punish
+    small phase shifts.
+
+    Three stages: (1) combiner hour counts per key; (2) the mean series
+    folds from per-(hour) partials over a common grid (the corpus span)
+    and broadcasts via ``ray.put`` (grid-sized, not data-sized); (3)
+    each key's z-normalized series runs the O(n·band) DP inside its
+    partition (loop over the SERIES length — bounded key cardinality,
+    same accepted cost class as holt_winters/stl).  Both series
+    z-normalize first so the distance is shape-only.
+
+    Rows-only by nature (a DP argmin is not SQL-expressible);
+    tests/test_trend.py pins DTW(x, x) = 0, the shift-tolerance
+    property Euclidean lacks, and blocking invariance.
+    Output: ``{key}, n_hours, dtw_dist, dtw_per_step``.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.windows import window_start_us
+    from ..pipelines.relational import grouped_aggregate
+    from .grouped import grouped_apply
+
+    def hour_fold(t: pa.Table) -> pa.Table:
+        hr = pc.divide(window_start_us(t[ts_col], "1h"),
+                       pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({key: t[key], "hr": hr})
+
+    counts = grouped_aggregate(
+        ds.map_batches(hour_fold, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=[key, "hr"], aggs={"n": ("hr", "count")},
+        num_partitions=num_partitions).materialize()
+
+    # corpus grid + mean series (grid-sized driver pull, broadcast once)
+    pdf = counts.to_pandas()
+    if len(pdf) == 0:
+        import ray.data
+
+        return ray.data.from_pandas(pd.DataFrame({
+            key: pd.Series([], dtype="object"),
+            "n_hours": pd.Series([], dtype="int64"),
+            "dtw_dist": pd.Series([], dtype="float64"),
+            "dtw_per_step": pd.Series([], dtype="float64")}))
+    h0, h1 = int(pdf["hr"].min()), int(pdf["hr"].max())
+    span = h1 - h0 + 1
+    nk = pdf[key].nunique()
+    mean = np.zeros(span)
+    np.add.at(mean, pdf["hr"].to_numpy(dtype=np.int64) - h0,
+              pdf["n"].to_numpy(dtype=np.float64))
+    mean /= nk
+
+    def znorm(x: np.ndarray) -> np.ndarray:
+        mu = x.mean()
+        sd = x.std()
+        return (x - mu) / sd if sd > 0 else x - mu
+
+    mz = znorm(mean)
+
+    import ray
+
+    ref = ray.put(mz)
+
+    def dtw(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        rows = {key: [], "n_hours": [], "dtw_dist": [],
+                "dtw_per_step": []}
+        for k, g in df.groupby(key, sort=False):
+            y = np.zeros(span)
+            y[g["hr"].to_numpy(dtype=np.int64) - h0] = \
+                g["n"].to_numpy(dtype=np.float64)
+            yz = znorm(y)
+            n = span
+            w = max(band, 1)
+            INF = np.inf
+            prev = np.full(n + 1, INF)
+            prev[0] = 0.0
+            for i in range(1, n + 1):
+                cur = np.full(n + 1, INF)
+                lo = max(1, i - w)
+                hi = min(n, i + w)
+                d = np.abs(yz[i - 1] - m[lo - 1:hi])
+                # cur[j] = d + min(prev[j], prev[j-1], cur[j-1]) — the
+                # cur[j-1] term forces a sequential scan over the band
+                base = np.minimum(prev[lo:hi + 1], prev[lo - 1:hi])
+                run = INF
+                for jj in range(lo, hi + 1):
+                    run = d[jj - lo] + min(base[jj - lo], run)
+                    cur[jj] = run
+                prev = cur
+            dist = float(prev[n])
+            rows[key].append(k)
+            rows["n_hours"].append(n)
+            rows["dtw_dist"].append(dist)
+            rows["dtw_per_step"].append(dist / n)
+        out = pd.DataFrame(rows)
+        return out.astype({"n_hours": "int64"})
+
+    return grouped_apply(counts, keys=[key], fn=dtw,
+                         num_partitions=min(num_partitions, 8),
+                         whole_partition=True).sort(key)

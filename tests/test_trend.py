@@ -351,3 +351,54 @@ def test_kleinberg_quiet_series_no_bursts():
     out = to_pdf(kleinberg_bursts(ds)).set_index("event_type")
     assert out.loc["q", "n_bursts"] == 0
     assert pd.isna(out.loc["q", "peak_hour"])
+
+
+def test_dtw_identity_and_shift_tolerance():
+    """DTW(x, x) == 0, and a phase-shifted copy of the mean scores far
+    below an unrelated series (the property Euclidean distance lacks)."""
+    import pandas as pd
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.trend import dtw_to_mean
+
+    rng = np.random.default_rng(21)
+    hours = 24 * 10
+    t0 = 1_700_000 * 3600
+    base = 20 + 10 * np.sin(np.arange(hours) / 24 * 2 * np.pi)
+    rows = []
+
+    def emit(name, series):
+        for h, v in enumerate(series):
+            for _ in range(max(int(round(v)), 0)):
+                rows.append({"event_type": name, "ts": np.datetime64(
+                    (t0 + h * 3600) * 1_000_000, "us")})
+
+    emit("base", base)                       # defines most of the mean
+    emit("same", base)                       # identical shape
+    emit("shift", np.roll(base, 3))          # 3h phase shift
+    emit("noise", rng.integers(5, 60, hours).astype(float))  # unrelated
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = to_pdf(dtw_to_mean(ds, band=6)).set_index("event_type")
+    # identical series: tiny distance to the 4-series mean is impossible,
+    # but same == base so their distances are equal
+    assert abs(out.loc["same", "dtw_dist"] - out.loc["base", "dtw_dist"]) < 1e-9
+    # the shifted copy warps onto the mean far better than noise
+    assert out.loc["shift", "dtw_per_step"] < out.loc["noise", "dtw_per_step"]
+
+
+def test_dtw_self_distance_zero():
+    import pandas as pd
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.trend import dtw_to_mean
+
+    # single key: the mean series IS the key's series -> distance 0
+    t0 = 1_700_000 * 3600
+    rows = [{"event_type": "only", "ts": np.datetime64(
+        (t0 + h * 3600) * 1_000_000, "us")}
+        for h in range(48) for _ in range(h % 5 + 1)]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = to_pdf(dtw_to_mean(ds, band=4)).set_index("event_type")
+    assert abs(out.loc["only", "dtw_dist"]) < 1e-12
