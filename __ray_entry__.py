@@ -3368,6 +3368,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_events(sf, columns=["event_type", "ts"])
         return _round_floats(dtw_to_mean(ds))
 
+    def q_lineitem_qty_price_ols(sf):
+        """Per-returnflag OLS of extended price on quantity — does price
+        scale with quantity within each flag?  The generic two-column
+        regression sketch (stages/trend.grouped_ols_xy); exchange carries
+        six moments per key per batch, never rows."""
+        from s_tsfe_dl_ray.stages.trend import grouped_ols_xy
+
+        ds = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_returnflag", "l_quantity",
+                                 "l_extendedprice"])
+        return _round_floats(grouped_ols_xy(
+            ds, key="l_returnflag", x_col="l_quantity",
+            y_col="l_extendedprice").sort("l_returnflag"))
+
+    def q_events_value_ecdf(sf):
+        """Exact per-type empirical CDF at fixed probe values — the
+        inverse view of the quantile ops (value → share instead of
+        share → value); K+2 exact int64 counts per key per batch cross
+        the exchange (stages/quantile.grouped_ecdf_at)."""
+        from s_tsfe_dl_ray.stages.quantile import grouped_ecdf_at
+
+        ds = read_events(sf, columns=["event_type", "value"])
+        return _round_floats(grouped_ecdf_at(
+            ds, key="event_type", value_col="value",
+            thresholds=(1.0, 5.0, 20.0, 50.0, 100.0, 250.0),
+        ).sort(["event_type", "threshold"]))
+
+    def q_events_tail_value_share(sf):
+        """Per-type share of rows and of total value above the exact
+        global p99 (quantile_disc from the distinct-value histogram;
+        int-cent sums) — the single-threshold Lorenz point
+        (stages/robust.tail_value_share)."""
+        from s_tsfe_dl_ray.stages.robust import tail_value_share
+
+        ds = read_events(sf, columns=["event_type", "value"])
+        return _round_floats(tail_value_share(
+            ds, key="event_type", value_col="value", q=0.99,
+        ).sort("event_type"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -3642,6 +3681,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_psi_daily": q_events_psi_daily,
         "events_out_of_order": q_events_out_of_order,
         "events_trimmed_mean": q_events_trimmed_mean,
+        "lineitem_qty_price_ols": q_lineitem_qty_price_ols,
+        "events_value_ecdf": q_events_value_ecdf,
+        "events_tail_value_share": q_events_tail_value_share,
         "events_session_type_pairs": q_events_session_type_pairs,
         "emb_centroid_drift": q_emb_centroid_drift,
         "transcripts_turn_neardup": q_transcripts_turn_neardup,
@@ -7683,5 +7725,47 @@ def oracle_sql() -> dict[str, str]:
                       FROM orders o JOIN lineitem l
                       ON o.o_orderkey = l.l_orderkey)::BIGINT
                      AS n_matching_keys
+        """,
+        # regr_*/corr vs raw-moment merge: same closed form over sums that
+        # agree to ~1e-13 relative (conditioned x), identical at round 6
+        "lineitem_qty_price_ols": """
+            SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+                   round(regr_slope(l_extendedprice, l_quantity), 6)
+                     AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6)
+                     AS intercept,
+                   round(corr(l_extendedprice, l_quantity), 6) AS corr_xy
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        # exact int counts both sides; (value <= t) is NULL-false under
+        # FILTER, matching the NaN-excluded numpy counts
+        "events_value_ecdf": """
+            SELECT event_type, CAST(t AS DOUBLE) AS threshold,
+                   count(*)::BIGINT AS n_rows,
+                   (count(*) FILTER (WHERE value <= t))::BIGINT AS n_le,
+                   round((count(*) FILTER (WHERE value <= t))::DOUBLE
+                         / count(*), 6) AS ecdf
+            FROM events
+            CROSS JOIN (VALUES (1.0), (5.0), (20.0), (50.0), (100.0),
+                               (250.0)) ts(t)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # quantile_disc == element at sorted index ceil(n*q)-1 (house
+        # recipe); int-cent sums (round = half-away both sides) make the
+        # share division see identical integers
+        "events_tail_value_share": """
+            WITH h AS (SELECT quantile_disc(value, 0.99) AS thr
+                       FROM events)
+            SELECT event_type, count(value)::BIGINT AS n_rows,
+                   (count(*) FILTER (WHERE value >= thr))::BIGINT
+                     AS n_tail,
+                   round((count(*) FILTER (WHERE value >= thr))::DOUBLE
+                         / count(value), 6) AS row_share,
+                   round((sum(CAST(round(value * 100) AS BIGINT))
+                            FILTER (WHERE value >= thr))::DOUBLE
+                         / sum(CAST(round(value * 100) AS BIGINT)), 6)
+                     AS value_share,
+                   round(min(thr), 6) AS threshold
+            FROM events, h GROUP BY 1 ORDER BY 1
         """,
     }

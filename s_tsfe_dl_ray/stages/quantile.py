@@ -100,6 +100,78 @@ def grouped_quantiles(
         .map_groups(merge_and_select, batch_format="pandas")
     )
 
+def grouped_ecdf_at(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    thresholds: tuple[float, ...],
+    num_partitions: int = 64,
+) -> Dataset:
+    """Exact per-key empirical CDF evaluated at fixed probe points:
+    ``P(value ≤ t)`` for each ``t`` in ``thresholds`` — the inverse view
+    of :func:`grouped_quantiles` (value → rank instead of rank → value),
+    and the fixed-grid distribution profile the reference reads off its
+    sorted held-out scores (/root/reference/experiments/keras_experiment.py
+    :583-593 top-k thresholding, here as shares at chosen cut points).
+
+    Scale shape: the per-batch combiner folds each batch to ONE row per
+    key — ``(key, n, n_le(t_0), …, n_le(t_K))`` exact int64 counts — so the
+    single ``_pkey`` exchange carries K+2 integers per key per batch
+    regardless of batch size or value cardinality (no value histogram
+    needed, unlike the quantile op).  Counts merge by addition; the
+    finalize emits the long (key, threshold) grid.
+
+    Output: one row per (key, threshold) — ``key, threshold (float64),
+    n_rows (int64), n_le (int64), ecdf (float64)``, thresholds in the
+    given order per key.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    thr = np.asarray(thresholds, dtype=np.float64)
+    lecols = [f"_le{i}" for i in range(len(thr))]
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        labs = t[key].combine_chunks() if isinstance(t[key], pa.ChunkedArray) else t[key]
+        labs = labs.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labs, return_inverse=True)
+        k = len(uniq)
+        cols = {
+            key: pa.array(uniq, type=t[key].type),
+            "n": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
+        }
+        # NaN compares false on every <= — NaN rows count into n only,
+        # matching SQL where (value <= t) is NULL-false under FILTER
+        for i, tv in enumerate(thr):
+            w = (v <= tv).astype(np.int64)
+            cols[lecols[i]] = pa.array(
+                np.bincount(inv, weights=w, minlength=k).astype(np.int64))
+        out = pa.table(cols)
+        return out.append_column("_pkey", _stable_pkey(out[key], num_partitions))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=True)[["n"] + lecols].sum().reset_index()
+        kk = len(g)
+        n = np.repeat(g["n"].to_numpy(dtype=np.int64), len(thr))
+        n_le = g[lecols].to_numpy(dtype=np.int64).reshape(-1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ecdf = np.where(n > 0, n_le / n, np.nan)
+        return pd.DataFrame({
+            key: np.repeat(g[key].to_numpy(), len(thr)),
+            "threshold": np.tile(thr, kk),
+            "n_rows": n,
+            "n_le": n_le,
+            "ecdf": ecdf,
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # approximate quantiles for CONTINUOUS columns (t-digest-style sketch)
 # ---------------------------------------------------------------------------

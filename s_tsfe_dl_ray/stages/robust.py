@@ -866,3 +866,115 @@ def trimmed_mean(
     return grouped_apply(ds, keys=[key], fn=fold,
                          num_partitions=num_partitions,
                          whole_partition=True).sort(key)
+
+
+def tail_value_share(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    q: float = 0.99,
+    value_decimals: int = 2,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key share of rows and of TOTAL VALUE contributed by values at
+    or above the exact global ``quantile_disc(q)`` — the "how much of the
+    mass lives in the tail" concentration probe (the single-threshold
+    Lorenz-curve point; the per-key sibling of the user-level Gini op),
+    matching the reference's top-k score-threshold cut
+    (/root/reference/experiments/keras_experiment.py:583-593), here with
+    the threshold derived exactly and the shares fully distributed.
+
+    Two cheap passes:
+
+    1. exact global threshold from the (value → count) distinct-value
+       histogram (combiner partials; the histogram — not the rows — is
+       collected, same discipline as the AUC score histogram).  Requires
+       a bounded-cardinality value column (fixed-decimal metrics, counts);
+       quantize upstream for continuous columns.
+    2. per-key combiner: ``(key, n, n_tail, Σcents, Σcents_tail)`` where
+       cents = value scaled by 10^value_decimals and rounded
+       half-away-from-zero to int64 — EXACT integer sums for
+       fixed-decimal columns, so the share division sees identical
+       integers on both engine and SQL sides.
+
+    Output: one row per key — ``{key}, n_rows, n_tail, row_share,
+    value_share, threshold`` (threshold constant across rows; empty
+    input → empty typed frame).
+    """
+    import ray.data
+
+    from ..pipelines.relational import grouped_aggregate
+
+    scale = float(10 ** value_decimals)
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        out = (t.select([value_col])
+               .group_by([value_col], use_threads=False)
+               .aggregate([([], "count_all")]))
+        return out.rename_columns([value_col, "_cnt"])
+
+    hist = grouped_aggregate(
+        ds.map_batches(hist_part, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=[value_col], aggs={"_cnt": ("_cnt", "sum")},
+        num_partitions=8).to_pandas()
+    hist = hist.dropna(subset=[value_col])
+    if len(hist) == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            key: pd.Series([], dtype="object"),
+            "n_rows": pd.Series([], dtype="int64"),
+            "n_tail": pd.Series([], dtype="int64"),
+            "row_share": pd.Series([], dtype="float64"),
+            "value_share": pd.Series([], dtype="float64"),
+            "threshold": pd.Series([], dtype="float64")}))
+    hist = hist.sort_values(value_col).reset_index(drop=True)
+    cum = hist["_cnt"].cumsum().to_numpy()
+    n_total = int(cum[-1])
+    # quantile_disc: element at sorted 0-based index ceil(n*q)-1
+    target = max(int(np.ceil(n_total * q)), 1)
+    thr = float(hist[value_col].to_numpy()[np.searchsorted(cum, target)])
+
+    def part(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        # DuckDB round: half away from zero (not numpy's half-even)
+        cents = np.copysign(np.floor(np.abs(v) * scale + 0.5), v)
+        cents = np.where(ok, cents, 0.0).astype(np.int64)
+        tail = ok & (v >= thr)
+        labs = t[key].combine_chunks() if isinstance(t[key], pa.ChunkedArray) else t[key]
+        labs = labs.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labs, return_inverse=True)
+        k = len(uniq)
+        out = pa.table({
+            key: pa.array(uniq, type=t[key].type),
+            "n": pa.array(np.bincount(inv, weights=ok, minlength=k).astype(np.int64)),
+            "nt": pa.array(np.bincount(inv, weights=tail, minlength=k).astype(np.int64)),
+            "c": pa.array(np.bincount(inv, weights=cents, minlength=k).astype(np.int64)),
+            "ct": pa.array(np.bincount(inv, weights=np.where(tail, cents, 0),
+                                       minlength=k).astype(np.int64)),
+        })
+        from .rollup import _stable_pkey
+        return out.append_column("_pkey", _stable_pkey(out[key], num_partitions))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=True)[["n", "nt", "c", "ct"]].sum().reset_index()
+        n = g["n"].to_numpy(dtype=np.float64)
+        c = g["c"].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            row_share = np.where(n > 0, g["nt"].to_numpy() / n, np.nan)
+            value_share = np.where(c != 0, g["ct"].to_numpy() / c, np.nan)
+        return pd.DataFrame({
+            key: g[key],
+            "n_rows": g["n"].astype(np.int64),
+            "n_tail": g["nt"].astype(np.int64),
+            "row_share": row_share,
+            "value_share": value_share,
+            "threshold": np.full(len(g), thr),
+        })
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
+    )

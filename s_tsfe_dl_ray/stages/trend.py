@@ -108,6 +108,81 @@ def grouped_linear_trend(
     )
 
 
+def grouped_ols_xy(
+    ds: Dataset,
+    *,
+    key: str,
+    x_col: str,
+    y_col: str,
+    n_col: str = "n_rows",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key OLS of ``y_col`` on ``x_col`` — the generic two-column
+    sibling of :func:`grouped_linear_trend` (which is pinned to x = time).
+    Same moment-sum sketch: each batch reduces to ONE
+    ``(key, n, Σx, Σy, Σx², Σxy, Σy²)`` row per key, merged by addition
+    across the single ``_pkey`` exchange, closed-form finalize per key.
+
+    The reference fits per-architecture regressions in a driver loop
+    (/root/reference/experiments/arrythmia_experiment.py:179); here the
+    per-group "fit" is the exact least-squares line, one pass, any key
+    cardinality.  Conditioning caveat as in the module docstring: x must
+    be O(1..1e6)-scaled (quantities, counts, token lengths), not absolute
+    epochs.
+
+    Output: one row per key — ``key, n_col, slope, intercept, corr_xy``
+    (NULL fit for degenerate keys, matching SQL regr_*/corr semantics).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[x_col], pa.float64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(t[y_col], pa.float64()).to_numpy(zero_copy_only=False)
+        labs = t[key].combine_chunks() if isinstance(t[key], pa.ChunkedArray) else t[key]
+        labs = labs.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labs, return_inverse=True)
+        k = len(uniq)
+        out = pa.table({
+            key: pa.array(uniq, type=t[key].type),
+            "n": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
+            "sx": pa.array(np.bincount(inv, weights=x, minlength=k)),
+            "sy": pa.array(np.bincount(inv, weights=y, minlength=k)),
+            "sxx": pa.array(np.bincount(inv, weights=x * x, minlength=k)),
+            "sxy": pa.array(np.bincount(inv, weights=x * y, minlength=k)),
+            "syy": pa.array(np.bincount(inv, weights=y * y, minlength=k)),
+        })
+        return out.append_column("_pkey", _stable_pkey(out[key], num_partitions))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)[list(_MOMS)].sum().reset_index()
+        n = g["n"].to_numpy(dtype=np.float64)
+        sx, sy = g["sx"].to_numpy(), g["sy"].to_numpy()
+        sxx, sxy, syy = g["sxx"].to_numpy(), g["sxy"].to_numpy(), g["syy"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cov = sxy - sx * sy / n
+            varx = sxx - sx * sx / n
+            vary = syy - sy * sy / n
+            slope = cov / varx
+            intercept = (sy - slope * sx) / n
+            corr = cov / np.sqrt(varx * vary)
+        out = pd.DataFrame({
+            key: g[key],
+            n_col: g["n"].astype(np.int64),
+            "slope": slope,
+            "intercept": intercept,
+            "corr_xy": corr,
+        })
+        for c in ("slope", "intercept", "corr_xy"):
+            v = out[c].to_numpy()
+            out[c] = np.where(np.isfinite(v), v, np.nan)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def seasonal_adjust(
     ds: Dataset,
     *,

@@ -105,3 +105,19 @@ def test_round4g_ops_empty():
     ]:
         df = out.to_pandas()
         assert len(df) == 0
+
+
+def test_ecdf_ols_tailshare_empty():
+    from s_tsfe_dl_ray.stages.quantile import grouped_ecdf_at
+    from s_tsfe_dl_ray.stages.robust import tail_value_share
+    from s_tsfe_dl_ray.stages.trend import grouped_ols_xy
+
+    ds = _empty_events()
+    for out in [
+        grouped_ecdf_at(ds, key="event_type", value_col="value",
+                        thresholds=(1.0, 10.0)),
+        tail_value_share(ds, key="event_type", value_col="value"),
+        grouped_ols_xy(ds, key="event_type", x_col="event_id",
+                       y_col="value"),
+    ]:
+        assert len(out.to_pandas()) == 0

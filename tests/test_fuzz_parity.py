@@ -68,6 +68,8 @@ QUERIES = [
     "events_arch_effect",
     "events_avg_precision",
     "events_expectations",
+    "events_value_ecdf",
+    "events_tail_value_share",
 ]
 
 SHAPES = [
