@@ -3395,6 +3395,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             thresholds=(1.0, 5.0, 20.0, 50.0, 100.0, 250.0),
         ).sort(["event_type", "threshold"]))
 
+    def q_events_granger(sf):
+        """Granger-style predictive probe on the hourly count grid: does
+        last hour's click count predict this hour's purchase count beyond
+        purchases' own lag?  Restricted-vs-full OLS from exact int64
+        moment sums, fixed expression tree mirrored by the SQL twin
+        (stages/trend.granger_probe)."""
+        from s_tsfe_dl_ray.stages.trend import granger_probe
+
+        ds = read_events(sf, columns=["ts", "event_type"])
+        return _round_floats(granger_probe(
+            ds, ts_col="ts", type_col="event_type",
+            type_cause="click", type_effect="purchase", tier="1h"))
+
     def q_events_tail_value_share(sf):
         """Per-type share of rows and of total value above the exact
         global p99 (quantile_disc from the distinct-value histogram;
@@ -3684,6 +3697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_price_ols": q_lineitem_qty_price_ols,
         "events_value_ecdf": q_events_value_ecdf,
         "events_tail_value_share": q_events_tail_value_share,
+        "events_granger": q_events_granger,
         "events_session_type_pairs": q_events_session_type_pairs,
         "emb_centroid_drift": q_emb_centroid_drift,
         "transcripts_turn_neardup": q_transcripts_turn_neardup,
@@ -7749,6 +7763,62 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (VALUES (1.0), (5.0), (20.0), (50.0), (100.0),
                                (250.0)) ts(t)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # every sum is an exact integer cast to DOUBLE once; the finalize
+        # arithmetic is the SAME expression tree as the numpy fold, so all
+        # doubles are bit-identical; degenerate cases (constant lag,
+        # collinear, perfect fit) go NULL via 0-division on both sides
+        "events_granger": """
+            WITH g AS (
+              SELECT date_trunc('hour', ts) AS w,
+                     sum((event_type = 'click')::BIGINT) AS x_n,
+                     sum((event_type = 'purchase')::BIGINT) AS y_n
+              FROM events GROUP BY 1
+            ), s AS (
+              SELECT y_n AS y,
+                     lag(y_n) OVER (ORDER BY w) AS y1,
+                     lag(x_n) OVER (ORDER BY w) AS x1
+              FROM g
+            ), m AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(y)::DOUBLE AS sy, sum(y1)::DOUBLE AS sy1,
+                     sum(x1)::DOUBLE AS sx1,
+                     sum(y * y)::DOUBLE AS syy,
+                     sum(y * y1)::DOUBLE AS syy1,
+                     sum(y * x1)::DOUBLE AS syx1,
+                     sum(y1 * y1)::DOUBLE AS sy1y1,
+                     sum(x1 * x1)::DOUBLE AS sx1x1,
+                     sum(y1 * x1)::DOUBLE AS sy1x1
+              FROM s WHERE y1 IS NOT NULL
+            ), c AS (
+              SELECT n,
+                     syy - sy * sy / n AS cyy,
+                     syy1 - sy * sy1 / n AS cyy1,
+                     syx1 - sy * sx1 / n AS cyx1,
+                     sy1y1 - sy1 * sy1 / n AS cy1y1,
+                     sx1x1 - sx1 * sx1 / n AS cx1x1,
+                     sy1x1 - sy1 * sx1 / n AS cy1x1
+              FROM m
+            ), f AS (
+              SELECT n, cyy, cyy1, cyx1,
+                     cyy - cyy1 * cyy1 / cy1y1 AS rss_r,
+                     cy1y1 * cx1x1 - cy1x1 * cy1x1 AS det,
+                     (cyy1 * cx1x1 - cyx1 * cy1x1)
+                       / (cy1y1 * cx1x1 - cy1x1 * cy1x1) AS b_self,
+                     (cy1y1 * cyx1 - cy1x1 * cyy1)
+                       / (cy1y1 * cx1x1 - cy1x1 * cy1x1) AS b_cross
+              FROM c
+            ), r AS (
+              SELECT n, rss_r, b_self, b_cross, cyy,
+                     cyy - b_self * cyy1 - b_cross * cyx1 AS rss_f
+              FROM f
+            )
+            SELECT n::BIGINT AS n_pairs,
+                   round(b_self, 6) AS b_self,
+                   round(b_cross, 6) AS b_cross,
+                   round((rss_r - rss_f) / cyy, 6) AS delta_r2,
+                   round((rss_r - rss_f) * (n - 3.0) / rss_f, 6) AS f_stat
+            FROM r
         """,
         # quantile_disc == element at sorted index ceil(n*q)-1 (house
         # recipe); int-cent sums (round = half-away both sides) make the

@@ -529,6 +529,99 @@ def cross_series_corr(
                                                batch_size=None)
 
 
+def granger_probe(
+    ds: Dataset,
+    *,
+    ts_col: str,
+    type_col: str,
+    type_cause: str,
+    type_effect: str,
+    tier: str = "1h",
+) -> Dataset:
+    """Granger-style predictive probe on the tumbling-window count grid:
+    does last window's ``type_cause`` count improve the prediction of this
+    window's ``type_effect`` count beyond the effect's OWN last value?
+    Fits the restricted AR(1) model ``y_t ~ y_{t-1}`` and the full model
+    ``y_t ~ y_{t-1} + x_{t-1}`` over OBSERVED windows and reports the
+    cross coefficient, the incremental R², and the single-restriction
+    F statistic — the multivariate upgrade of
+    :func:`cross_series_corr`'s lag-1 correlation (which cannot tell
+    "x predicts y" from "y predicts itself and x rides along").
+
+    Dataflow: the same per-batch ``(window, x_n, y_n)`` count combiner —
+    O(windows) rows per batch, counts exact int64 — then ONE tiny ordered
+    fold on a single partition (the hourly grid for years of data is
+    ~1e4 rows).  All moment sums are exact integers; the finalize
+    arithmetic is a fixed expression tree mirrored verbatim by the SQL
+    twin, so both sides compute bit-identical doubles.  Degenerate inputs
+    (n_pairs < 4, constant regressors, collinear lags, perfect fit)
+    yield NULLs through 0-division on both sides.
+
+    Output: one row — ``n_pairs (int64), b_self, b_cross, delta_r2,
+    f_stat``.
+    """
+    from ..functions.windows import window_start_us
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = window_start_us(t[ts_col], tier)
+        is_x = pc.cast(pc.equal(t[type_col], type_cause), pa.int64())
+        is_y = pc.cast(pc.equal(t[type_col], type_effect), pa.int64())
+        out = pa.table({"w": w, "x_n": is_x, "y_n": is_y}) \
+            .group_by(["w"], use_threads=False) \
+            .aggregate([("x_n", "sum"), ("y_n", "sum")])
+        return out.rename_columns(["w", "x_n", "y_n"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("w", sort=True)[["x_n", "y_n"]].sum()
+        xs = g["x_n"].to_numpy(dtype=np.int64)
+        ys = g["y_n"].to_numpy(dtype=np.int64)
+        y, y1, x1 = ys[1:], ys[:-1], xs[:-1]
+        n_pairs = len(y)
+        if n_pairs == 0:
+            return pd.DataFrame({
+                "n_pairs": pd.Series([0], dtype="int64"),
+                "b_self": [np.nan], "b_cross": [np.nan],
+                "delta_r2": [np.nan], "f_stat": [np.nan]})
+        # exact int64 moment sums → float64 once (same rounding as the
+        # SQL twin's ::DOUBLE cast of its exact integer sums); np.float64
+        # scalars so 0-division yields inf/nan (→ NULL) instead of raising
+        # like Python floats would
+        n = np.float64(n_pairs)
+        sy, sy1 = np.float64(y.sum()), np.float64(y1.sum())
+        sx1 = np.float64(x1.sum())
+        syy = np.float64(np.dot(y, y))
+        syy1 = np.float64(np.dot(y, y1))
+        syx1 = np.float64(np.dot(y, x1))
+        sy1y1 = np.float64(np.dot(y1, y1))
+        sx1x1 = np.float64(np.dot(x1, x1))
+        sy1x1 = np.float64(np.dot(y1, x1))
+        # fixed expression tree — keep in lockstep with the SQL twin
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cyy = syy - sy * sy / n
+            cyy1 = syy1 - sy * sy1 / n
+            cyx1 = syx1 - sy * sx1 / n
+            cy1y1 = sy1y1 - sy1 * sy1 / n
+            cx1x1 = sx1x1 - sx1 * sx1 / n
+            cy1x1 = sy1x1 - sy1 * sx1 / n
+            rss_r = cyy - cyy1 * cyy1 / cy1y1
+            det = cy1y1 * cx1x1 - cy1x1 * cy1x1
+            b_self = (cyy1 * cx1x1 - cyx1 * cy1x1) / det
+            b_cross = (cy1y1 * cyx1 - cy1x1 * cyy1) / det
+            rss_f = cyy - b_self * cyy1 - b_cross * cyx1
+            delta_r2 = (rss_r - rss_f) / cyy
+            f_stat = (rss_r - rss_f) * (n - 3.0) / rss_f
+        vals = [b_self, b_cross, delta_r2, f_stat]
+        vals = [v if np.isfinite(v) else np.nan for v in vals]
+        return pd.DataFrame({
+            "n_pairs": pd.Series([n_pairs], dtype="int64"),
+            "b_self": [vals[0]], "b_cross": [vals[1]],
+            "delta_r2": [vals[2]], "f_stat": [vals[3]]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.repartition(1).map_batches(fin, batch_format="pandas",
+                                               batch_size=None)
+
+
 def acf(
     ds: Dataset,
     *,

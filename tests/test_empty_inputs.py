@@ -121,3 +121,14 @@ def test_ecdf_ols_tailshare_empty():
                        y_col="value"),
     ]:
         assert len(out.to_pandas()) == 0
+
+
+def test_granger_empty_or_degenerate():
+    from s_tsfe_dl_ray.stages.trend import granger_probe
+
+    out = granger_probe(_empty_events(), ts_col="ts",
+                        type_col="event_type", type_cause="click",
+                        type_effect="purchase").to_pandas()
+    # zero blocks (fold never fires) or the degenerate 0-pair row
+    assert len(out) == 0 or (out.iloc[0]["n_pairs"] == 0
+                             and pd.isna(out.iloc[0]["f_stat"]))

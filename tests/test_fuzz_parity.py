@@ -70,6 +70,7 @@ QUERIES = [
     "events_expectations",
     "events_value_ecdf",
     "events_tail_value_share",
+    "events_granger",
 ]
 
 SHAPES = [
