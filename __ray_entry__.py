@@ -3395,6 +3395,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             thresholds=(1.0, 5.0, 20.0, 50.0, 100.0, 250.0),
         ).sort(["event_type", "threshold"]))
 
+    def q_events_hurst(sf):
+        """Per-user Hurst exponent via single-scale rescaled range
+        (32-step chunks, int-cent exactness) — long-memory /
+        persistence ranking (stages/trend.hurst_rs)."""
+        from s_tsfe_dl_ray.stages.trend import hurst_rs
+
+        ds = read_events(sf, columns=["event_id", "ts", "user_id",
+                                      "value"])
+        return _round_floats(hurst_rs(
+            ds, key="user_id", value_col="value",
+            order_by=["ts", "event_id"], chunk_len=32))
+
     def q_events_granger(sf):
         """Granger-style predictive probe on the hourly count grid: does
         last hour's click count predict this hour's purchase count beyond
@@ -3698,6 +3710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ecdf": q_events_value_ecdf,
         "events_tail_value_share": q_events_tail_value_share,
         "events_granger": q_events_granger,
+        "events_hurst": q_events_hurst,
         "events_session_type_pairs": q_events_session_type_pairs,
         "emb_centroid_drift": q_emb_centroid_drift,
         "transcripts_turn_neardup": q_transcripts_turn_neardup,
@@ -7763,6 +7776,43 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (VALUES (1.0), (5.0), (20.0), (50.0), (100.0),
                                (250.0)) ts(t)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # int-cent prefix/moment sums are exact; the per-chunk finalize is
+        # the same expression tree as the numpy fold; zero-variance chunks
+        # filtered by sd > 0 on both sides; avg over ≤~hundreds of O(1)
+        # chunk ratios is orders below the 6-decimal rounding grain
+        "events_hurst": """
+            WITH o AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) AS c,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1 AS rn
+              FROM events
+            ), ch AS (
+              SELECT user_id, rn // 32 AS chunk, rn % 32 AS i, c,
+                     count(*) OVER (PARTITION BY user_id, rn // 32) AS m
+              FROM o
+            ), p AS (
+              SELECT user_id, chunk, i,
+                     sum(c) OVER (PARTITION BY user_id, chunk
+                                  ORDER BY i)::DOUBLE AS pref,
+                     sum(c) OVER (PARTITION BY user_id, chunk)::DOUBLE AS s,
+                     sum(c * c) OVER (PARTITION BY user_id, chunk)::DOUBLE
+                       AS sxx
+              FROM ch WHERE m = 32
+            ), d AS (
+              SELECT user_id, chunk,
+                     max(pref - (i + 1) * (s / 32.0))
+                       - min(pref - (i + 1) * (s / 32.0)) AS r,
+                     sqrt((min(sxx) - min(s) * min(s) / 32.0) / 32.0) AS sd
+              FROM p GROUP BY 1, 2
+            )
+            SELECT user_id, count(*)::BIGINT AS n_chunks,
+                   (count(*) FILTER (WHERE sd > 0))::BIGINT AS n_valid,
+                   round(avg(r / sd) FILTER (WHERE sd > 0), 6) AS mean_rs,
+                   round(ln(avg(r / sd) FILTER (WHERE sd > 0)) / ln(32.0),
+                         6) AS hurst
+            FROM d GROUP BY 1 ORDER BY 1
         """,
         # every sum is an exact integer cast to DOUBLE once; the finalize
         # arithmetic is the SAME expression tree as the numpy fold, so all

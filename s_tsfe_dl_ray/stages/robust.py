@@ -919,8 +919,11 @@ def tail_value_share(
                        zero_copy_batch=True),
         keys=[value_col], aggs={"_cnt": ("_cnt", "sum")},
         num_partitions=8).to_pandas()
-    hist = hist.dropna(subset=[value_col])
-    if len(hist) == 0:
+    # empty input can yield a column-less frame (Ray drops empty-block
+    # schemas) — guard before dropna
+    if value_col in hist.columns:
+        hist = hist.dropna(subset=[value_col])
+    if len(hist) == 0 or value_col not in hist.columns:
         return ray.data.from_pandas(pd.DataFrame({
             key: pd.Series([], dtype="object"),
             "n_rows": pd.Series([], dtype="int64"),

@@ -622,6 +622,103 @@ def granger_probe(
                                                batch_size=None)
 
 
+def hurst_rs(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    order_by: list[str],
+    chunk_len: int = 32,
+    value_decimals: int = 2,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key Hurst exponent via the classic rescaled-range (R/S)
+    statistic at ONE chunk scale: split each key's ordered series into
+    consecutive full chunks of ``chunk_len``, compute R/S per chunk
+    (range of the cumulative mean-deviation walk over the population
+    std), and estimate H = ln(mean R/S) / ln(chunk_len) — the
+    long-memory / trend-persistence probe (H≈0.5 random walk, >0.5
+    persistent, <0.5 mean-reverting) complementing the ACF and
+    Ljung-Box ops.  Single-scale by design: the multi-scale log-log fit
+    needs series lengths this engine's per-key grids rarely reach, and
+    one scale already ranks keys by persistence.
+
+    Exactness: values are scaled to int 10^value_decimals units
+    (half-away rounding, mirroring DuckDB ``round``), so chunk prefix
+    sums and moment sums are exact integers; the per-chunk finalize is
+    a fixed float expression tree mirrored by the SQL twin.  Zero-
+    variance chunks are excluded from the mean (both sides filter
+    sd > 0); keys with no full chunk emit no row, keys with no valid
+    chunk report NULL mean_rs/hurst.
+
+    One key-hash exchange; inside each partition one lexsort, then the
+    full chunks fold as a (n_chunks × chunk_len) matrix — no per-key
+    Python.  Output: ``{key}, n_chunks, n_valid, mean_rs, hurst``.
+    """
+    from .grouped import grouped_apply
+
+    L = int(chunk_len)
+    scale = float(10 ** value_decimals)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key: pd.Series([], dtype="object"),
+            "n_chunks": pd.Series([], dtype="int64"),
+            "n_valid": pd.Series([], dtype="int64"),
+            "mean_rs": pd.Series([], dtype="float64"),
+            "hurst": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values([key] + order_by,
+                            kind="mergesort").reset_index(drop=True)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        cents = np.copysign(np.floor(np.abs(v) * scale + 0.5),
+                            v).astype(np.int64)
+        k = df[key].to_numpy()
+        uniq, inv = np.unique(k, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+        rank = np.arange(len(k)) - starts[inv]
+        full = rank < (n[inv] // L) * L          # keep full chunks only
+        if not full.any() or n.max() < L:
+            return empty
+        ki, cc = inv[full], cents[full]
+        m = cc.reshape(-1, L)                     # chunk rows, time cols
+        chunk_key = ki.reshape(-1, L)[:, 0]       # key index per chunk
+        pref = np.cumsum(m, axis=1, dtype=np.int64).astype(np.float64)
+        s = pref[:, -1]                           # exact chunk sums
+        sxx = np.einsum("ij,ij->i", m, m).astype(np.float64)
+        i1 = np.arange(1, L + 1, dtype=np.float64)
+        # fixed expression tree — keep in lockstep with the SQL twin
+        dev = pref - i1[None, :] * (s / float(L))[:, None]
+        r = dev.max(axis=1) - dev.min(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sd = np.sqrt((sxx - s * s / float(L)) / float(L))
+            rs = r / sd
+        valid = sd > 0
+        nk = len(uniq)
+        n_chunks = np.bincount(chunk_key, minlength=nk).astype(np.int64)
+        n_valid = np.bincount(chunk_key, weights=valid,
+                              minlength=nk).astype(np.int64)
+        rs_sum = np.bincount(chunk_key, weights=np.where(valid, rs, 0.0),
+                             minlength=nk)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_rs = np.where(n_valid > 0, rs_sum / n_valid, np.nan)
+            hurst = np.where(mean_rs > 0, np.log(mean_rs) / np.log(float(L)),
+                             np.nan)
+        keep = n_chunks > 0
+        return pd.DataFrame({
+            key: uniq[keep],
+            "n_chunks": n_chunks[keep],
+            "n_valid": n_valid[keep],
+            "mean_rs": mean_rs[keep],
+            "hurst": hurst[keep]})
+
+    return grouped_apply(ds, keys=[key], fn=fold,
+                         num_partitions=num_partitions,
+                         whole_partition=True).sort(key)
+
+
 def acf(
     ds: Dataset,
     *,

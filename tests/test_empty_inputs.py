@@ -123,6 +123,25 @@ def test_ecdf_ols_tailshare_empty():
         assert len(out.to_pandas()) == 0
 
 
+def test_hurst_empty_and_short():
+    import ray
+
+    from s_tsfe_dl_ray.stages.trend import hurst_rs
+
+    assert len(hurst_rs(_empty_events(), key="user_id",
+                        value_col="value",
+                        order_by=["ts", "event_id"]).to_pandas()) == 0
+    # below one full chunk → no row (matches the SQL twin's m=32 filter)
+    short = ray.data.from_arrow(pa.table({
+        "event_id": pa.array(list(range(10)), pa.int64()),
+        "user_id": pa.array([1] * 10, pa.int64()),
+        "ts": pa.array(np.arange(10).astype("datetime64[us]")),
+        "value": pa.array(np.linspace(1, 2, 10)),
+    }))
+    assert len(hurst_rs(short, key="user_id", value_col="value",
+                        order_by=["ts", "event_id"]).to_pandas()) == 0
+
+
 def test_granger_empty_or_degenerate():
     from s_tsfe_dl_ray.stages.trend import granger_probe
 

@@ -71,6 +71,7 @@ QUERIES = [
     "events_value_ecdf",
     "events_tail_value_share",
     "events_granger",
+    "events_hurst",
 ]
 
 SHAPES = [
