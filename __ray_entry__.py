@@ -3395,6 +3395,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             thresholds=(1.0, 5.0, 20.0, 50.0, 100.0, 250.0),
         ).sort(["event_type", "threshold"]))
 
+    def q_docs_lang_confusion(sf):
+        """Multiclass confusion-matrix metrics for the language-ID
+        model vs the corpus's true lang labels: per-class tp /
+        precision / recall / F1 (stages/metrics.multiclass_prf over
+        stages/text.lang_id) — the k-class generalization of
+        events_binary_metrics."""
+        from s_tsfe_dl_ray.stages.metrics import multiclass_prf
+        from s_tsfe_dl_ray.stages.text import lang_id
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text", "lang"])
+        return _round_floats(multiclass_prf(
+            lang_id(ds), true_col="lang", pred_col="lang_pred"))
+
     def q_events_hurst(sf):
         """Per-user Hurst exponent via single-scale rescaled range
         (32-step chunks, int-cent exactness) — long-memory /
@@ -3711,6 +3725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tail_value_share": q_events_tail_value_share,
         "events_granger": q_events_granger,
         "events_hurst": q_events_hurst,
+        "docs_lang_confusion": q_docs_lang_confusion,
         "events_session_type_pairs": q_events_session_type_pairs,
         "emb_centroid_drift": q_emb_centroid_drift,
         "transcripts_turn_neardup": q_transcripts_turn_neardup,
@@ -7776,6 +7791,47 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (VALUES (1.0), (5.0), (20.0), (50.0), (100.0),
                                (250.0)) ts(t)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # confusion counts are exact ints; the metric divisions mirror the
+        # engine's expression tree; zero denominators -> NULL both sides;
+        # "precision" quoted (DuckDB type keyword)
+        "docs_lang_confusion": f"""
+            WITH c AS (
+              SELECT lang, {lang_cases}
+                     regexp_matches(text, '[一-鿿]') AS has_cjk
+              FROM documents
+            ), pr AS (
+              SELECT lang AS t,
+                     CASE WHEN has_cjk THEN 'zh'
+                          WHEN {lang_max} = 0 THEN 'und'
+                          WHEN ({lang_ties}) > 1 THEN 'und'
+                          {lang_pick}
+                     END AS p
+              FROM c
+            ), m AS (
+              SELECT t, p, count(*)::BIGINT AS n FROM pr GROUP BY 1, 2
+            ), cls AS (
+              SELECT t AS c FROM m UNION SELECT p FROM m
+            ), agg AS (
+              SELECT c AS class,
+                     coalesce(sum(n) FILTER (WHERE t = c), 0)::BIGINT
+                       AS n_true,
+                     coalesce(sum(n) FILTER (WHERE p = c), 0)::BIGINT
+                       AS n_pred,
+                     coalesce(sum(n) FILTER (WHERE t = c AND p = c), 0)
+                       ::BIGINT AS tp
+              FROM cls CROSS JOIN m GROUP BY 1
+            ), met AS (
+              SELECT class, n_true, n_pred, tp,
+                     tp::DOUBLE / n_pred AS prec,
+                     tp::DOUBLE / n_true AS rec
+              FROM agg
+            )
+            SELECT class, n_true, n_pred, tp,
+                   round(prec, 6) AS "precision",
+                   round(rec, 6) AS recall,
+                   round(2.0 * prec * rec / (prec + rec), 6) AS f1
+            FROM met ORDER BY class
         """,
         # int-cent prefix/moment sums are exact; the per-chunk finalize is
         # the same expression tree as the numpy fold; zero-variance chunks

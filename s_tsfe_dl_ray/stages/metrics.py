@@ -310,3 +310,78 @@ def average_precision(
         .repartition(1)
         .map_batches(finalize, batch_format="pandas", batch_size=None)
     )
+
+
+def multiclass_prf(
+    ds: Dataset,
+    *,
+    true_col: str,
+    pred_col: str,
+) -> Dataset:
+    """Per-class precision / recall / F1 from the multiclass confusion
+    matrix — the k-class generalization of :func:`binary_metrics`
+    (reference analog: the per-architecture sklearn classification
+    report, /root/reference/experiments/arrythmia_experiment.py:200-204,
+    here distributed and exact).
+
+    Shape: per-batch ``(true, pred) → count`` combiner partials (≤ k²
+    rows per batch, never raw rows), one tiny single-partition merge,
+    then a vectorized per-class fold over the union of observed true and
+    predicted classes.  Counts are exact int64; the metric divisions are
+    a fixed expression tree mirrored by the SQL twin (zero denominators
+    → NULL on both sides).
+
+    Output: one row per class — ``class, n_true, n_pred, tp, precision,
+    recall, f1`` sorted by class.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = (t.select([true_col, pred_col])
+               .group_by([true_col, pred_col], use_threads=False)
+               .aggregate([([], "count_all")]))
+        return out.rename_columns(["t", "p", "n"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "class": pd.Series([], dtype="object"),
+                "n_true": pd.Series([], dtype="int64"),
+                "n_pred": pd.Series([], dtype="int64"),
+                "tp": pd.Series([], dtype="int64"),
+                "precision": pd.Series([], dtype="float64"),
+                "recall": pd.Series([], dtype="float64"),
+                "f1": pd.Series([], dtype="float64")})
+        m = df.groupby(["t", "p"], sort=False)["n"].sum().reset_index()
+        classes = np.unique(np.concatenate([m["t"].to_numpy(),
+                                            m["p"].to_numpy()]))
+        ti = np.searchsorted(classes, m["t"].to_numpy())
+        pi = np.searchsorted(classes, m["p"].to_numpy())
+        n = m["n"].to_numpy(dtype=np.int64)
+        k = len(classes)
+        n_true = np.bincount(ti, weights=n, minlength=k).astype(np.int64)
+        n_pred = np.bincount(pi, weights=n, minlength=k).astype(np.int64)
+        diag = ti == pi
+        tp = np.bincount(ti[diag], weights=n[diag],
+                         minlength=k).astype(np.int64)
+        # fixed expression tree — keep in lockstep with the SQL twin
+        with np.errstate(invalid="ignore", divide="ignore"):
+            prec = tp.astype(np.float64) / n_pred
+            rec = tp.astype(np.float64) / n_true
+            f1 = 2.0 * prec * rec / (prec + rec)
+        out = pd.DataFrame({
+            "class": classes,
+            "n_true": n_true,
+            "n_pred": n_pred,
+            "tp": tp,
+            "precision": prec,
+            "recall": rec,
+            "f1": f1})
+        for c in ("precision", "recall", "f1"):
+            v = out[c].to_numpy()
+            out[c] = np.where(np.isfinite(v), v, np.nan)
+        return out.sort_values("class").reset_index(drop=True)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.repartition(1).map_batches(fin, batch_format="pandas",
+                                               batch_size=None)

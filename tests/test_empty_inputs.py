@@ -123,6 +123,18 @@ def test_ecdf_ols_tailshare_empty():
         assert len(out.to_pandas()) == 0
 
 
+def test_multiclass_prf_empty():
+    import ray
+
+    from s_tsfe_dl_ray.stages.metrics import multiclass_prf
+
+    empty = ray.data.from_arrow(pa.table({
+        "y": pa.array([], pa.string()),
+        "yhat": pa.array([], pa.string())}))
+    out = multiclass_prf(empty, true_col="y", pred_col="yhat").to_pandas()
+    assert len(out) == 0
+
+
 def test_hurst_empty_and_short():
     import ray
 
