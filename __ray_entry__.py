@@ -3395,6 +3395,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             thresholds=(1.0, 5.0, 20.0, 50.0, 100.0, 250.0),
         ).sort(["event_type", "threshold"]))
 
+    def q_events_hill_tail(sf):
+        """Per-type Hill estimator of the heavy-tail index over the
+        top-100 order statistics (positive values; histogram-folded, no
+        row expansion) — the tail-SHAPE probe completing
+        tail_value_share/gini/HHI (stages/robust.hill_tail_index)."""
+        from s_tsfe_dl_ray.stages.robust import hill_tail_index
+
+        ds = read_events(sf, columns=["event_type", "value"])
+        return _round_floats(hill_tail_index(
+            ds, key="event_type", value_col="value", k=100))
+
     def q_docs_lang_confusion(sf):
         """Multiclass confusion-matrix metrics for the language-ID
         model vs the corpus's true lang labels: per-class tp /
@@ -3725,6 +3736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tail_value_share": q_events_tail_value_share,
         "events_granger": q_events_granger,
         "events_hurst": q_events_hurst,
+        "events_hill_tail": q_events_hill_tail,
         "docs_lang_confusion": q_docs_lang_confusion,
         "events_session_type_pairs": q_events_session_type_pairs,
         "emb_centroid_drift": q_emb_centroid_drift,
@@ -7791,6 +7803,28 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (VALUES (1.0), (5.0), (20.0), (50.0), (100.0),
                                (250.0)) ts(t)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # distinct-value histogram == the engine's partials, so the window
+        # cumsum has no tie peers; the top-k multiset splits the boundary
+        # tie group by multiplicity identically (least(c, k - before));
+        # keys with < k+1 positive rows go NULL via the empty FILTER
+        "events_hill_tail": """
+            WITH h AS (
+              SELECT event_type, value AS v, count(*)::BIGINT AS c
+              FROM events WHERE value > 0 GROUP BY 1, 2
+            ), w AS (
+              SELECT event_type, v, c,
+                     sum(c) OVER (PARTITION BY event_type
+                                  ORDER BY v DESC) AS cum
+              FROM h
+            )
+            SELECT event_type, sum(c)::BIGINT AS n_pos,
+                   round(max(v) FILTER (WHERE cum >= 101), 6) AS x_k1,
+                   round((sum(ln(v) * least(c, 100 - (cum - c)))
+                            FILTER (WHERE cum - c < 100)) / 100.0
+                         - ln(max(v) FILTER (WHERE cum >= 101)), 6)
+                     AS hill
+            FROM w GROUP BY 1 ORDER BY 1
         """,
         # confusion counts are exact ints; the metric divisions mirror the
         # engine's expression tree; zero denominators -> NULL both sides;

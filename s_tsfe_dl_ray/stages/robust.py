@@ -981,3 +981,94 @@ def tail_value_share(
         .groupby("_pkey")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def hill_tail_index(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    k: int = 100,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key Hill estimator of the tail index over the top-``k`` order
+    statistics of the POSITIVE values:
+
+        hill = (1/k) Σ_{i=1..k} ln(x_(i)) − ln(x_(k+1))     (x desc)
+
+    — the standard heavy-tail exponent probe (small hill → light tail,
+    large → Pareto-like), completing the concentration family
+    (:func:`tail_value_share`, Gini, HHI) with an actual tail-shape
+    estimate.  1/hill estimates the Pareto alpha.
+
+    Shape: per-batch ``(key, value) → count`` histogram partials cross
+    ONE key-hash exchange (same memory class as the exact-quantile op —
+    bounded-cardinality values; quantize continuous columns upstream);
+    per-partition the top-k fold works on the DESC-sorted histogram with
+    tie groups split by multiplicity, so no row expansion ever happens.
+    Ties need no ordering contract: equal values contribute equal
+    ln terms.  Keys with fewer than k+1 positive rows report NULL
+    (same via the SQL twin's empty FILTER).
+
+    Output: ``{key}, n_pos, x_k1, hill`` sorted by key.
+    """
+    from ..pipelines.relational import grouped_aggregate
+    from .rollup import _stable_pkey
+
+    kf = float(k)
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        flt = t.filter(pc.greater(t[value_col], 0.0))
+        out = (flt.select([key, value_col])
+               .group_by([key, value_col], use_threads=False)
+               .aggregate([([], "count_all")]))
+        out = out.rename_columns([key, "v", "c"])
+        return out.append_column(
+            "_pkey", _stable_pkey(out[key], num_partitions))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                key: pd.Series([], dtype="object"),
+                "n_pos": pd.Series([], dtype="int64"),
+                "x_k1": pd.Series([], dtype="float64"),
+                "hill": pd.Series([], dtype="float64")})
+        h = df.groupby([key, "v"], sort=False)["c"].sum().reset_index()
+        h = h.sort_values([key, "v"], ascending=[True, False],
+                          kind="mergesort").reset_index(drop=True)
+        kk = h[key].to_numpy()
+        v = h["v"].to_numpy(dtype=np.float64)
+        c = h["c"].to_numpy(dtype=np.int64)
+        uniq, inv = np.unique(kk, return_inverse=True)
+        nk = len(uniq)
+        cum = np.cumsum(c)
+        seg_tot = np.bincount(inv, weights=c, minlength=nk).astype(np.int64)
+        seg_end = np.cumsum(seg_tot)
+        cum_in = cum - (seg_end - seg_tot)[inv]     # cum within key, desc
+        before = cum_in - c
+        # top-k multiset: rows starting before rank k, tie groups split
+        topm = np.where(before < k, np.minimum(c, k - before), 0)
+        sum_ln = np.bincount(inv, weights=np.log(v) * topm, minlength=nk)
+        # x_(k+1): largest value whose cumulative count reaches k+1
+        has_k1 = cum_in >= (k + 1)
+        x_k1 = np.full(nk, np.nan)
+        first = np.full(nk, -1, dtype=np.int64)
+        idx = np.flatnonzero(has_k1)
+        if len(idx):
+            # first qualifying row per key segment (rows are key-grouped)
+            fi = pd.Series(idx).groupby(inv[idx]).min()
+            first[fi.index.to_numpy()] = fi.to_numpy()
+            got = first >= 0
+            x_k1[got] = v[first[got]]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            hill = sum_ln / kf - np.log(x_k1)
+        return pd.DataFrame({
+            key: uniq,
+            "n_pos": seg_tot,
+            "x_k1": x_k1,
+            "hill": np.where(np.isfinite(hill), hill, np.nan)})
+
+    partials = ds.map_batches(hist_part, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return (partials.groupby("_pkey")
+            .map_groups(fold, batch_format="pandas").sort(key))

@@ -123,6 +123,22 @@ def test_ecdf_ols_tailshare_empty():
         assert len(out.to_pandas()) == 0
 
 
+def test_hill_tail_empty_and_nonpositive():
+    import ray
+
+    from s_tsfe_dl_ray.stages.robust import hill_tail_index
+
+    assert len(hill_tail_index(_empty_events(), key="event_type",
+                               value_col="value").to_pandas()) == 0
+    # all-nonpositive values → no positive histogram → no rows
+    neg = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 8),
+        "value": pa.array([-1.0, 0.0] * 4),
+    }))
+    assert len(hill_tail_index(neg, key="event_type",
+                               value_col="value").to_pandas()) == 0
+
+
 def test_multiclass_prf_empty():
     import ray
 

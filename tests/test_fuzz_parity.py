@@ -72,6 +72,7 @@ QUERIES = [
     "events_tail_value_share",
     "events_granger",
     "events_hurst",
+    "events_hill_tail",
 ]
 
 SHAPES = [
