@@ -3395,6 +3395,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             thresholds=(1.0, 5.0, 20.0, 50.0, 100.0, 250.0),
         ).sort(["event_type", "threshold"]))
 
+    def q_transcripts_token_gini(sf):
+        """Token-volume inequality across conversations within each
+        role: Gini over per-conversation token SUMS (weighted variant of
+        stages/activity.activity_gini) — are a few conversations eating
+        the context budget?"""
+        from s_tsfe_dl_ray.functions.derive import token_count
+        from s_tsfe_dl_ray.sources.parquet import read_transcripts
+        from s_tsfe_dl_ray.stages.activity import activity_gini
+
+        ds = read_transcripts(
+            _transcripts_for(sf), columns=["conv_id", "role", "text"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            return pa.table({"role": t["role"], "conv_id": t["conv_id"],
+                             "_tok": token_count(t["text"])})
+
+        out = activity_gini(
+            ds.map_batches(derive, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            group_col="role", key_col="conv_id", weight_col="_tok")
+        return _round_floats(out.map_batches(
+            lambda df: df.rename(columns={"n_users": "n_convs",
+                                          "total_events": "total_tokens"}),
+            batch_format="pandas"))
+
     def q_events_hill_tail(sf):
         """Per-type Hill estimator of the heavy-tail index over the
         top-100 order statistics (positive values; histogram-folded, no
@@ -3738,6 +3763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hurst": q_events_hurst,
         "events_hill_tail": q_events_hill_tail,
         "docs_lang_confusion": q_docs_lang_confusion,
+        "transcripts_token_gini": q_transcripts_token_gini,
         "events_session_type_pairs": q_events_session_type_pairs,
         "emb_centroid_drift": q_emb_centroid_drift,
         "transcripts_turn_neardup": q_transcripts_turn_neardup,
@@ -7803,6 +7829,24 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (VALUES (1.0), (5.0), (20.0), (50.0), (100.0),
                                (250.0)) ts(t)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # same rank-formula twin as events_gini_users, with per-conv token
+        # SUMS (exact ints) as the sorted weights
+        "transcripts_token_gini": f"""
+            WITH c AS (
+              SELECT role, conv_id, sum({TOKLEN})::BIGINT AS n
+              FROM {T} GROUP BY 1, 2),
+            r AS (
+              SELECT role, n,
+                     row_number() OVER (PARTITION BY role
+                                        ORDER BY n) AS rn
+              FROM c)
+            SELECT role,
+                   count(*)::BIGINT AS n_convs,
+                   sum(n)::BIGINT AS total_tokens,
+                   round((2.0 * sum(rn * n)) / (count(*) * sum(n))
+                         - (count(*) + 1.0) / count(*), 6) AS gini
+            FROM r GROUP BY 1 ORDER BY 1
         """,
         # distinct-value histogram == the engine's partials, so the window
         # cumsum has no tie peers; the top-k multiset splits the boundary

@@ -272,6 +272,7 @@ def activity_gini(
     *,
     group_col: str = "event_type",
     key_col: str = "user_id",
+    weight_col: str | None = None,
     num_partitions: int = 64,
 ) -> Dataset:
     """Gini coefficient of per-key activity inside each group — the
@@ -292,13 +293,18 @@ def activity_gini(
     final two divisions are float — the oracle mirrors the identical
     expression, so parity is bit-exact.  Output: ``{group_col},
     n_users, total_events, gini`` sorted by group.
+
+    ``weight_col``: Gini over per-key SUMS of an integer weight instead
+    of row counts (e.g. tokens per conversation within each role) —
+    same exactness, sums stay int64.
     """
     from ..pipelines.relational import grouped_aggregate
     from .grouped import grouped_apply
 
     counts = grouped_aggregate(
         ds, keys=[group_col, key_col],
-        aggs={"n": (key_col, "count")},
+        aggs={"n": (key_col, "count") if weight_col is None
+              else (weight_col, "sum")},
         num_partitions=num_partitions)
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:

@@ -150,7 +150,8 @@ def test_fuzz_query_matches_oracle(tmp_path_factory, entrymod, shape, name):
 T_QUERIES = ["transcripts_latency_by_hour", "transcripts_duration_stats",
              "transcripts_prompt_ols", "transcripts_reply_latency",
              "transcripts_escalation", "transcripts_position_profile",
-             "transcripts_tool_effect", "transcripts_conv_features"]
+             "transcripts_tool_effect", "transcripts_conv_features",
+             "transcripts_token_gini"]
 
 
 def _synth_transcripts(tmpdir: str, seed: int, n: int, ties: bool) -> str:
@@ -224,6 +225,23 @@ def test_fuzz_transcript_query_matches_oracle(tmp_path_factory, entrymod,
     elif name == "transcripts_conv_features":
         from s_tsfe_dl_ray.stages.dialog import conversation_features
         out = conversation_features(ds)
+    elif name == "transcripts_token_gini":
+        import pyarrow as _pa
+
+        from s_tsfe_dl_ray.functions.derive import token_count
+        from s_tsfe_dl_ray.stages.activity import activity_gini
+
+        def _derive(t: "_pa.Table") -> "_pa.Table":
+            return _pa.table({"role": t["role"], "conv_id": t["conv_id"],
+                              "_tok": token_count(t["text"])})
+
+        out = activity_gini(
+            ds.map_batches(_derive, batch_format="pyarrow"),
+            group_col="role", key_col="conv_id",
+            weight_col="_tok").map_batches(
+            lambda df: df.rename(columns={"n_users": "n_convs",
+                                          "total_events": "total_tokens"}),
+            batch_format="pandas")
     else:
         out = reply_latency(ds, conv_col="conv_id", ts_col="ts",
                             order_by=["ts", "turn_idx"])
