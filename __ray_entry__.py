@@ -999,6 +999,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             col="value", window=5, out_col="value_med5",
         ))
 
+    def q_events_rolling_p90(sf):
+        """Trailing discrete p90 over the user's 20 most recent rows —
+        the spike-envelope alerting threshold; exact quantile_disc
+        selection per window (stages/transform.rolling_quantile)."""
+        from s_tsfe_dl_ray.stages.transform import rolling_quantile
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts", "value"])
+        return _round_floats(rolling_quantile(
+            ds, keys=["user_id"], order_by=["ts", "event_id"],
+            col="value", window=20, q=0.9, out_col="value_p90",
+        ))
+
     def q_docs_token_entropy(sf):
         """Per-document unigram Shannon entropy (nats) — the
         repetition/diversity corpus-quality signal; pure per-batch
@@ -3764,6 +3776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hill_tail": q_events_hill_tail,
         "docs_lang_confusion": q_docs_lang_confusion,
         "transcripts_token_gini": q_transcripts_token_gini,
+        "events_rolling_p90": q_events_rolling_p90,
         "events_session_type_pairs": q_events_session_type_pairs,
         "emb_centroid_drift": q_emb_centroid_drift,
         "transcripts_turn_neardup": q_transcripts_turn_neardup,
@@ -4603,6 +4616,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, ts, round(value, 6) AS value,
                    round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS value_med5
+            FROM events
+        """,
+        # pure order-statistic selection (no arithmetic) — values equal
+        # bit-exactly before rounding; partial head windows included
+        "events_rolling_p90": """
+            SELECT event_id, user_id, ts, round(value, 6) AS value,
+                   round(quantile_disc(value, 0.9) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6)
+                     AS value_p90
             FROM events
         """,
         "docs_token_entropy": """

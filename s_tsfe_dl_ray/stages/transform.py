@@ -93,6 +93,63 @@ def rolling_median(
                     out_col=out_col, stat="median", salt_every_us=salt_every_us)
 
 
+class _RollingQuantileGroup:
+    """Trailing discrete quantile per row: sort each trailing window
+    (strided view, one vectorized sort per key) and pick the exact
+    ``quantile_disc`` order statistic — index ceil(m·q)−1 over the m
+    non-null values in the window (partial head windows included,
+    matching SQL ``ROWS w-1 PRECEDING``; NULLs sort last and shrink m,
+    matching SQL aggregate NULL-skipping)."""
+
+    def __init__(self, col: str, out_col: str, window: int,
+                 order_by: list[str], q: float):
+        self.col, self.out_col = col, out_col
+        self.window, self.order_by, self.q = window, order_by, q
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(self.order_by, kind="mergesort")
+        v = g[self.col].to_numpy(dtype=np.float64)
+        n, w = len(v), self.window
+        if n == 0:
+            g[self.out_col] = np.array([], dtype=np.float64)
+            return g
+        a = np.concatenate([np.full(w - 1, np.nan), v])
+        m2 = np.lib.stride_tricks.sliding_window_view(a, w)
+        s = np.sort(m2, axis=1)                    # NaNs sort last
+        m = w - np.isnan(m2).sum(axis=1)           # non-null count per win
+        idx = np.maximum(np.ceil(m * self.q), 1).astype(np.int64) - 1
+        out = s[np.arange(n), np.minimum(idx, w - 1)]
+        out = np.where(m > 0, out, np.nan)
+        g[self.out_col] = out
+        return g
+
+
+def rolling_quantile(
+    ds: Dataset,
+    *,
+    keys: list[str],
+    order_by: list[str],
+    col: str,
+    window: int,
+    q: float = 0.9,
+    out_col: str | None = None,
+) -> Dataset:
+    """Trailing rolling DISCRETE quantile over the ``window`` most recent
+    rows per key (min_periods=1) — the order-statistic generalization of
+    :func:`rolling_median` (p90/p99 spike envelopes for alerting
+    thresholds).  Semantics == SQL ``quantile_disc(col, q) OVER (ROWS
+    window-1 PRECEDING AND CURRENT ROW)`` including partial head windows
+    and NULL skipping; values are reproduced exactly (selection, no
+    arithmetic).  One ``_pkey`` exchange; inside each key one strided
+    window sort, O(n·w log w)."""
+    out_col = out_col or f"{col}_p{int(q * 100)}w{window}"
+    from .grouped import grouped_apply
+
+    return grouped_apply(ds, keys=keys,
+                         fn=_RollingQuantileGroup(col, out_col, window,
+                                                  order_by, q))
+
+
 def _rolling(
     ds: Dataset,
     *,

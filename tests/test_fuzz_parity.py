@@ -73,6 +73,7 @@ QUERIES = [
     "events_granger",
     "events_hurst",
     "events_hill_tail",
+    "events_rolling_p90",
 ]
 
 SHAPES = [
