@@ -1634,6 +1634,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _round_floats(revenue_by_nation(sf))
 
+    def q_revenue_share_hierarchy(sf):
+        """Percent-of-parent OLAP rollup: order revenue per nation with
+        share-of-region and share-of-global — partitioned orders⋈customer
+        hash join + broadcast dims + exact int-cent share divisions
+        (pipelines/relational.revenue_share_hierarchy)."""
+        from s_tsfe_dl_ray.pipelines.relational import revenue_share_hierarchy
+
+        return _round_floats(revenue_share_hierarchy(sf))
+
     def q_docs_bigram_top20(sf):
         """Corpus top-20 bigrams — vectorized in-doc pair construction +
         token-hash partitioned count merge (stages/text.top_bigrams)."""
@@ -3777,6 +3786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_confusion": q_docs_lang_confusion,
         "transcripts_token_gini": q_transcripts_token_gini,
         "events_rolling_p90": q_events_rolling_p90,
+        "revenue_share_hierarchy": q_revenue_share_hierarchy,
         "events_session_type_pairs": q_events_session_type_pairs,
         "emb_centroid_drift": q_emb_centroid_drift,
         "transcripts_turn_neardup": q_transcripts_turn_neardup,
@@ -7852,6 +7862,27 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (VALUES (1.0), (5.0), (20.0), (50.0), (100.0),
                                (250.0)) ts(t)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # int-cent revenue partials; parent totals via window sums over
+        # identical integers, so the share divisions are bit-identical
+        "revenue_share_hierarchy": """
+            WITH o AS (
+              SELECT r_name, n_name,
+                     count(*)::BIGINT AS n_orders,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY 1, 2)
+            SELECT r_name, n_name, n_orders,
+                   round(cents::DOUBLE / 100.0, 6) AS revenue,
+                   round(cents::DOUBLE
+                         / sum(cents) OVER (PARTITION BY r_name), 6)
+                     AS share_of_region,
+                   round(cents::DOUBLE / sum(cents) OVER (), 6)
+                     AS share_of_global
+            FROM o ORDER BY 1, 2
         """,
         # same rank-formula twin as events_gini_users, with per-conv token
         # SUMS (exact ints) as the sorted weights

@@ -408,3 +408,95 @@ def customer_rfm(sf_dir: str, *, num_partitions: int = 64) -> Dataset:
         })
 
     return agg.map_batches(fin, batch_format="pyarrow").sort("c_custkey")
+
+
+def revenue_share_hierarchy(sf_dir: str, *, num_partitions: int = 64) -> Dataset:
+    """Percent-of-parent OLAP rollup over the region → nation hierarchy:
+    order revenue per nation with its share of the region subtotal and of
+    the global total — the share-of-parent staple GROUPING SETS alone
+    doesn't give (shares need the parent total next to every child row).
+
+    Scale design: the one large-large join (orders ⋈ customer) is the
+    partitioned hash join; nation and region are driver-read broadcast
+    closures (25 + 5 rows); revenue rides as exact int cents so the
+    share divisions see identical integers on both sides; the final
+    share fold runs once on the ≤|nations| aggregate (single tiny
+    partition).  Output: ``r_name, n_name, n_orders, revenue,
+    share_of_region, share_of_global`` sorted by (r_name, n_name).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.join import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                t["o_totalprice"], pa.scalar(100.0))), pa.int64()),
+        })
+
+    j = hash_join(orders.map_batches(cents, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                  customer, left_on="o_custkey", right_on="c_custkey",
+                  num_partitions=num_partitions)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    rlut = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
+    nkeys = nat["n_nationkey"].to_numpy()
+    nname = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    rname = np.asarray([rlut[k] for k in nat["n_regionkey"].to_pylist()],
+                       dtype=object)
+    nlut = np.empty(int(nkeys.max()) + 1, dtype=object)
+    nlut[nkeys] = nname
+    rlut_arr = np.empty(int(nkeys.max()) + 1, dtype=object)
+    rlut_arr[nkeys] = rname
+
+    def add_dims(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_name": pa.array(rlut_arr[nk], pa.string()),
+            "n_name": pa.array(nlut[nk], pa.string()),
+            "cents": t["cents"],
+        })
+
+    agg = grouped_aggregate(
+        j.map_batches(add_dims, batch_format="pyarrow"),
+        keys=["r_name", "n_name"],
+        aggs={"n_orders": ("cents", "count"), "cents": ("cents", "sum")},
+        num_partitions=num_partitions)
+
+    def shares(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "r_name": pd.Series([], dtype="object"),
+                "n_name": pd.Series([], dtype="object"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "revenue": pd.Series([], dtype="float64"),
+                "share_of_region": pd.Series([], dtype="float64"),
+                "share_of_global": pd.Series([], dtype="float64")})
+        df = df.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+        c = df["cents"].to_numpy(dtype=np.float64)
+        rtot = df.groupby("r_name", sort=False)["cents"].transform(
+            "sum").to_numpy(dtype=np.float64)
+        gtot = float(df["cents"].sum())
+        return pd.DataFrame({
+            "r_name": df["r_name"],
+            "n_name": df["n_name"],
+            "n_orders": df["n_orders"].astype(np.int64),
+            "revenue": c / 100.0,
+            "share_of_region": c / rtot,
+            "share_of_global": c / gtot})
+
+    return agg.repartition(1).map_batches(shares, batch_format="pandas",
+                                          batch_size=None)
