@@ -618,3 +618,71 @@ def test_4g_ops_blocking_invariance():
         pd.testing.assert_frame_equal(
             a[k].reset_index(drop=True), b[k].reset_index(drop=True),
             check_exact=True, obj=k)
+
+
+def test_4h_ops_blocking_invariance():
+    """The 4h wave gives IDENTICAL results at 1 input block and at 7 —
+    combiner partials and key-complete partitions must never leak the
+    blocking into values (ECDF counts, tail-share cents, OLS moments,
+    Hurst chunks, Hill histogram, rolling-quantile windows, Granger
+    window counts)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.quantile import grouped_ecdf_at
+    from s_tsfe_dl_ray.stages.robust import hill_tail_index, tail_value_share
+    from s_tsfe_dl_ray.stages.transform import rolling_quantile
+    from s_tsfe_dl_ray.stages.trend import granger_probe, grouped_ols_xy, hurst_rs
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.sort(rng.integers(
+            1_700_000_000_000_000, 1_700_600_000_000_000, n)
+        ).astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(1, 20, n)),
+        "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+        "value": pa.array(np.round(rng.normal(50, 20, n), 2)),
+    })
+    path = "/tmp/blockinv_4h.parquet"
+    pq.write_table(t, path)
+
+    def run(blocks):
+        ds = ray.data.read_parquet(path, override_num_blocks=blocks)
+        return {
+            "ecdf": to_pdf(grouped_ecdf_at(
+                ds, key="event_type", value_col="value",
+                thresholds=(20.0, 50.0, 80.0))
+                .sort(["event_type", "threshold"])),
+            "tail": to_pdf(tail_value_share(
+                ds, key="event_type", value_col="value", q=0.95)
+                .sort("event_type")),
+            # float-moment partials (like grouped_linear_trend) are
+            # blocking-stable only to ~1e-13 relative — assert at the
+            # 6-decimal contract the oracle guarantees, not bit-exact
+            "ols~6": to_pdf(grouped_ols_xy(
+                ds, key="event_type", x_col="event_id", y_col="value")
+                .sort("event_type")).round(6),
+            "hurst": to_pdf(hurst_rs(
+                ds, key="user_id", value_col="value",
+                order_by=["ts", "event_id"])),
+            "hill": to_pdf(hill_tail_index(
+                ds, key="event_type", value_col="value", k=50)),
+            "rq": to_pdf(rolling_quantile(
+                ds, keys=["user_id"], order_by=["ts", "event_id"],
+                col="value", window=10, q=0.9)
+                .sort(["user_id", "ts", "event_id"])),
+            "granger": to_pdf(granger_probe(
+                ds, ts_col="ts", type_col="event_type",
+                type_cause="a", type_effect="b")),
+        }
+
+    a, b = run(1), run(7)
+    for k in a:
+        pd.testing.assert_frame_equal(
+            a[k].reset_index(drop=True), b[k].reset_index(drop=True),
+            check_exact=True, obj=k)
