@@ -93,6 +93,24 @@ def rolling_median(
                     out_col=out_col, stat="median", salt_every_us=salt_every_us)
 
 
+def _disc_quantile_windows(v: np.ndarray, w: int, q: float,
+                           n_prefix: int = 0) -> np.ndarray:
+    """Exact quantile_disc per trailing window of ``v``, returning one
+    value per position ``v[n_prefix:]`` (len(v) − n_prefix values).
+    The first ``n_prefix`` values of ``v`` are carried history that only
+    seeds windows; requires ``n_prefix ≤ w−1`` and at least one output
+    position.  Index = ceil(m·q)−1 over the m non-NaN values of each
+    window (partial head windows NaN-padded; NaNs sort last and shrink
+    m, matching SQL NULL skipping)."""
+    a = np.concatenate([np.full(w - 1 - n_prefix, np.nan), v])
+    m2 = np.lib.stride_tricks.sliding_window_view(a, w)
+    s = np.sort(m2, axis=1)                    # NaNs sort last
+    m = w - np.isnan(m2).sum(axis=1)           # non-null count per window
+    idx = np.maximum(np.ceil(m * q), 1).astype(np.int64) - 1
+    out = s[np.arange(len(s)), np.minimum(idx, w - 1)]
+    return np.where(m > 0, out, np.nan)
+
+
 class _RollingQuantileGroup:
     """Trailing discrete quantile per row: sort each trailing window
     (strided view, one vectorized sort per key) and pick the exact
@@ -109,18 +127,10 @@ class _RollingQuantileGroup:
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(self.order_by, kind="mergesort")
         v = g[self.col].to_numpy(dtype=np.float64)
-        n, w = len(v), self.window
-        if n == 0:
+        if len(v) == 0:
             g[self.out_col] = np.array([], dtype=np.float64)
             return g
-        a = np.concatenate([np.full(w - 1, np.nan), v])
-        m2 = np.lib.stride_tricks.sliding_window_view(a, w)
-        s = np.sort(m2, axis=1)                    # NaNs sort last
-        m = w - np.isnan(m2).sum(axis=1)           # non-null count per win
-        idx = np.maximum(np.ceil(m * self.q), 1).astype(np.int64) - 1
-        out = s[np.arange(n), np.minimum(idx, w - 1)]
-        out = np.where(m > 0, out, np.nan)
-        g[self.out_col] = out
+        g[self.out_col] = _disc_quantile_windows(v, self.window, self.q)
         return g
 
 
@@ -133,6 +143,7 @@ def rolling_quantile(
     window: int,
     q: float = 0.9,
     out_col: str | None = None,
+    salt_every_us: int | None = None,
 ) -> Dataset:
     """Trailing rolling DISCRETE quantile over the ``window`` most recent
     rows per key (min_periods=1) — the order-statistic generalization of
@@ -141,13 +152,49 @@ def rolling_quantile(
     window-1 PRECEDING AND CURRENT ROW)`` including partial head windows
     and NULL skipping; values are reproduced exactly (selection, no
     arithmetic).  One ``_pkey`` exchange; inside each key one strided
-    window sort, O(n·w log w)."""
-    out_col = out_col or f"{col}_p{int(q * 100)}w{window}"
-    from .grouped import grouped_apply
+    window sort, O(n·w log w).
 
-    return grouped_apply(ds, keys=keys,
-                         fn=_RollingQuantileGroup(col, out_col, window,
-                                                  order_by, q))
+    ``salt_every_us``: mega-key mode (stages/salted.py) — each time chunk
+    carries only the previous chunks' last ``window−1`` values, so no
+    partition holds a hot key's full history; order statistics have no
+    accumulator drift, so the salted output is EXACTLY the unsalted one.
+    """
+    out_col = out_col or f"{col}_p{int(q * 100)}w{window}"
+    if salt_every_us is None:
+        from .grouped import grouped_apply
+
+        return grouped_apply(ds, keys=keys,
+                             fn=_RollingQuantileGroup(col, out_col, window,
+                                                      order_by, q))
+
+    if len(keys) != 1:
+        raise ValueError("salted rolling requires a single key")
+    from .salted import salted_scan
+
+    keep = window - 1
+
+    def summarize(g: pd.DataFrame) -> dict:
+        return {"tail": [float(v) for v in g[col].to_numpy()[-keep:]]
+                if keep else []}
+
+    def step(carry: dict | None, s: dict) -> dict:
+        prev = carry["tail"] if carry else []
+        return {"tail": (prev + s["tail"])[-keep:] if keep else []}
+
+    def apply(g: pd.DataFrame, carry: dict | None) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        g = g.sort_values(order_by, kind="mergesort")
+        prev = np.asarray(carry["tail"] if carry else [], dtype=np.float64)
+        v = np.concatenate([prev, g[col].to_numpy(dtype=np.float64)])
+        # windows align to the current chunk's rows (one per v[len(prev):])
+        g[out_col] = _disc_quantile_windows(v, window, q, len(prev))
+        return g
+
+    return salted_scan(
+        ds, key=keys[0], ts_col=order_by[0], salt_every_us=salt_every_us,
+        summarize=summarize, step=step, apply=apply, order_by=order_by,
+    )
 
 
 def _rolling(

@@ -225,3 +225,24 @@ def test_salted_bollinger_exact():
         # EXACT: every window sees identical contents; stats are
         # deterministic two-pass (no accumulator drift across chunks)
         assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+
+
+def test_salted_rolling_quantile_exact():
+    """Order statistics have no accumulator drift — the salted rolling
+    p90 must equal the unsalted one BIT-EXACTLY."""
+    from s_tsfe_dl_ray.stages.transform import rolling_quantile
+
+    df = _corpus()
+    base = to_pdf(rolling_quantile(
+        ray.data.from_pandas(df), keys=["user_id"],
+        order_by=["ts", "event_id"], col="value", window=7, q=0.9))
+    salted = to_pdf(rolling_quantile(
+        ray.data.from_pandas(df), keys=["user_id"],
+        order_by=["ts", "event_id"], col="value", window=7, q=0.9,
+        salt_every_us=SALT_US))
+    b = base.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    s = salted.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert len(b) == len(s) == len(df)
+    np.testing.assert_allclose(b.value_p90w7.to_numpy(),
+                               s.value_p90w7.to_numpy(),
+                               rtol=0, atol=0, equal_nan=True)
