@@ -3017,6 +3017,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["n_both", "member_a", "member_b"],
             descending=[True, False, False]))
 
+    def q_lineitem_part_pagerank(sf):
+        """Weighted PageRank over the part co-purchase graph (pair
+        co-occurrence edges both directions, weight = co-order count) —
+        the iterative rank-propagation class, one combiner pass per
+        iteration (stages/cluster.pagerank).  Rows-only (iterative);
+        tests pin mass conservation / ring uniformity / hub dominance."""
+        import ray.data
+
+        from s_tsfe_dl_ray.stages.cluster import pagerank
+        from s_tsfe_dl_ray.stages.distinct import pair_cooccurrence
+
+        li = ray.data.read_parquet(f"{sf}/lineitem.parquet",
+                                   columns=["l_orderkey", "l_partkey"])
+        pairs = pair_cooccurrence(li, group_col="l_orderkey",
+                                  member_col="l_partkey")
+
+        def both_dirs(t: pa.Table) -> pa.Table:
+            a = t["member_a"].to_numpy(zero_copy_only=False)
+            b = t["member_b"].to_numpy(zero_copy_only=False)
+            w = t["n_both"].to_numpy(zero_copy_only=False)
+            import numpy as _np
+
+            return pa.table({
+                "src": pa.array(_np.concatenate([a, b])),
+                "dst": pa.array(_np.concatenate([b, a])),
+                "w": pa.array(_np.concatenate([w, w]).astype(_np.float64)),
+            })
+
+        edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+        out = pagerank(edges, src_col="src", dst_col="dst",
+                       weight_col="w", n_iter=10)
+        return _round_floats(out.sort("rank", descending=True).limit(50))
+
     def q_transcripts_escalation(sf):
         """Share of conversations whose user turns grow longer over the
         dialog (exact int OLS slope per conversation, one-row corpus
@@ -3807,6 +3840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_expectations": q_events_expectations,
         "events_dtw_shape": q_events_dtw_shape,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
+        "lineitem_part_pagerank": q_lineitem_part_pagerank,
     }
 
 

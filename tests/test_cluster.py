@@ -91,3 +91,58 @@ def test_dedup_keep_one_survivor_per_cluster():
     assert kept == (set(range(20)) - {3, 7, 18})
     # survivors carry their original payload columns
     assert set(out.columns) >= {"doc_id", "text", "component", "keep"}
+
+
+def _edges(rows):
+    import pyarrow as pa
+    import ray
+    s, d, w = zip(*rows)
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array(list(s), pa.int64()),
+        "dst": pa.array(list(d), pa.int64()),
+        "w": pa.array(list(w), pa.float64())}))
+
+
+def test_pagerank_ring_is_uniform_and_conserves_mass():
+    from s_tsfe_dl_ray.stages.cluster import pagerank
+
+    k = 10
+    out = pagerank(_edges([(i, (i + 1) % k, 1.0) for i in range(k)]),
+                   src_col="src", dst_col="dst", weight_col="w",
+                   n_iter=20).to_pandas()
+    assert len(out) == k
+    np.testing.assert_allclose(out["rank"].to_numpy(), 1.0 / k, rtol=1e-12)
+    assert abs(out["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_star_hub_dominates():
+    from s_tsfe_dl_ray.stages.cluster import pagerank
+
+    # spokes 1..9 all point at 0; 0 is dangling (mass redistributes)
+    out = pagerank(_edges([(i, 0, 1.0) for i in range(1, 10)]),
+                   src_col="src", dst_col="dst", weight_col="w",
+                   n_iter=30).to_pandas().set_index("node")
+    assert out.loc[0, "rank"] > 5 * out.loc[1, "rank"]
+    spokes = out.drop(index=0)["rank"].to_numpy()
+    np.testing.assert_allclose(spokes, spokes[0], rtol=1e-12)
+    assert abs(out["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_weight_tilts_rank_and_empty_is_empty():
+    import ray
+
+    from s_tsfe_dl_ray.stages.cluster import pagerank
+
+    out = pagerank(_edges([(0, 1, 3.0), (0, 2, 1.0),
+                           (1, 0, 1.0), (2, 0, 1.0)]),
+                   src_col="src", dst_col="dst", weight_col="w",
+                   n_iter=30).to_pandas().set_index("node")
+    assert out.loc[1, "rank"] > out.loc[2, "rank"]
+
+    import pyarrow as pa
+    empty = ray.data.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()),
+        "dst": pa.array([], pa.int64()),
+        "w": pa.array([], pa.float64())}))
+    assert len(pagerank(empty, src_col="src", dst_col="dst",
+                        weight_col="w").to_pandas()) == 0
