@@ -3017,6 +3017,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["n_both", "member_a", "member_b"],
             descending=[True, False, False]))
 
+    def q_events_markov_stationary(sf):
+        """Per-user stationary distribution of the event-type Markov
+        chain — the long-run behavior mix the user's DYNAMICS converge
+        to (vs the observed frequency mix); batched power iteration
+        across all keys of a partition (stages/trend.markov_stationary).
+        Rows-only (eigenvector); closed-form-chain pytest."""
+        from s_tsfe_dl_ray.stages.trend import markov_stationary
+
+        ds = read_events(sf, columns=["event_id", "ts", "user_id",
+                                      "event_type"])
+        return _round_floats(markov_stationary(
+            ds, key="user_id", state_col="event_type",
+            order_by=["ts", "event_id"]))
+
     def q_lineitem_part_pagerank(sf):
         """Weighted PageRank over the part co-purchase graph (pair
         co-occurrence edges both directions, weight = co-order count) —
@@ -3841,6 +3855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dtw_shape": q_events_dtw_shape,
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
         "lineitem_part_pagerank": q_lineitem_part_pagerank,
+        "events_markov_stationary": q_events_markov_stationary,
     }
 
 

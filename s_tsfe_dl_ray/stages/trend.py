@@ -1633,3 +1633,90 @@ def dtw_to_mean(
     return grouped_apply(counts, keys=[key], fn=dtw,
                          num_partitions=min(num_partitions, 8),
                          whole_partition=True).sort(key)
+
+
+def markov_stationary(
+    ds: Dataset,
+    *,
+    key: str,
+    state_col: str,
+    order_by: list[str],
+    n_iter: int = 50,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key stationary distribution of the first-order Markov chain
+    over ``state_col`` transitions — the LONG-RUN behavior mix each
+    key's dynamics converge to, complementing the observed-frequency
+    mix (which ignores dynamics) and the transition-matrix ops (which
+    show one step).  The reference's fit-one-tiny-model-per-unit loop
+    shape (experiments/arrythmia_experiment.py:179), here a V×V chain
+    per key with the power iteration BATCHED across all keys of a
+    partition (one einsum per iteration, no per-key Python).
+
+    Conventions: states = the key's own observed vocabulary mapped onto
+    the partition-global sorted vocab; a from-state with no outgoing
+    transition (each series' last state, if unique) gets a uniform row
+    so every matrix stays stochastic; keys with < 2 rows emit nothing
+    (no transitions).  Power iteration from the uniform vector;
+    ``n_iter`` fixed for determinism (blocking-invariant: counts are
+    exact, iteration is the same driver-free arithmetic everywhere).
+
+    Output: ``{key}, state, stationary (float64)`` — one row per
+    (key, observed-vocab state), shares summing to 1 per key.  No SQL
+    twin (eigenvector); tests pin closed-form two-state chains and
+    mass conservation.
+    """
+    from .grouped import grouped_apply
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key: pd.Series([], dtype="object"),
+            "state": pd.Series([], dtype="object"),
+            "stationary": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values([key] + order_by,
+                            kind="mergesort").reset_index(drop=True)
+        kk = df[key].to_numpy()
+        st = df[state_col].to_numpy()
+        vocab, sidx = np.unique(st, return_inverse=True)
+        v = len(vocab)
+        uniq, kidx = np.unique(kk, return_inverse=True)
+        same = kk[1:] == kk[:-1]
+        f, t = sidx[:-1][same], sidx[1:][same]
+        ku = kidx[1:][same]
+        if len(ku) == 0:
+            return empty
+        # only keys with >= 1 transition participate
+        used, ku = np.unique(ku, return_inverse=True)
+        nk = len(used)
+        cnt = np.bincount(ku * v * v + f * v + t,
+                          minlength=nk * v * v).reshape(nk, v, v)
+        # each key's chain lives on its OWN observed vocabulary: mask to
+        # observed states so results don't depend on what other keys in
+        # the partition observed (blocking invariance)
+        old2used = np.full(len(uniq), -1, dtype=np.int64)
+        old2used[used] = np.arange(nk)
+        ko = old2used[kidx]
+        obs = np.zeros((nk, v), dtype=bool)
+        sel = ko >= 0
+        obs[ko[sel], sidx[sel]] = True
+        nobs = obs.sum(axis=1).astype(np.float64)
+        rows = cnt.sum(axis=2, keepdims=True)
+        uni = obs / nobs[:, None]                  # uniform over observed
+        p = np.where(rows > 0, cnt / np.maximum(rows, 1),
+                     uni[:, None, :])
+        # dead rows for unobserved from-states never receive mass (x
+        # starts on observed states; counts only target observed states)
+        x = uni.copy()
+        for _ in range(n_iter):
+            x = np.einsum("uv,uvw->uw", x, p)
+        keep = obs.reshape(-1)
+        return pd.DataFrame({
+            key: np.repeat(uniq[used], v)[keep],
+            "state": np.tile(vocab, nk)[keep],
+            "stationary": x.reshape(-1)[keep]})
+
+    return grouped_apply(ds, keys=[key], fn=fold,
+                         num_partitions=num_partitions,
+                         whole_partition=True).sort([key, "state"])

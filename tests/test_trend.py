@@ -402,3 +402,67 @@ def test_dtw_self_distance_zero():
     ds = ray.data.from_pandas(pd.DataFrame(rows))
     out = to_pdf(dtw_to_mean(ds, band=4)).set_index("event_type")
     assert abs(out.loc["only", "dtw_dist"]) < 1e-12
+
+
+def _chain_events(seq_by_user: dict) -> "ray.data.Dataset":
+    import pyarrow as pa
+    import ray
+    rows_u, rows_t, rows_s, rows_e = [], [], [], []
+    eid = 0
+    for u, seq in seq_by_user.items():
+        for i, s in enumerate(seq):
+            rows_u.append(u)
+            rows_t.append(1_700_000_000_000_000 + i * 1_000_000)
+            rows_s.append(s)
+            rows_e.append(eid)
+            eid += 1
+    return ray.data.from_arrow(pa.table({
+        "user_id": pa.array(rows_u, pa.int64()),
+        "ts": pa.array(np.array(rows_t, dtype="datetime64[us]")),
+        "event_type": pa.array(rows_s, pa.string()),
+        "event_id": pa.array(rows_e, pa.int64())}))
+
+
+def test_markov_stationary_alternating_is_half_half():
+    from s_tsfe_dl_ray.stages.trend import markov_stationary
+
+    ds = _chain_events({1: ["a", "b"] * 20})
+    out = markov_stationary(ds, key="user_id", state_col="event_type",
+                            order_by=["ts", "event_id"]).to_pandas()
+    assert set(out["state"]) == {"a", "b"}
+    np.testing.assert_allclose(out["stationary"].to_numpy(), 0.5,
+                               rtol=1e-12)
+
+
+def test_markov_stationary_closed_form_two_state():
+    from s_tsfe_dl_ray.stages.trend import markov_stationary
+
+    # transition counts a->a 9, a->b 1, b->b 1, b->a 1:
+    # P = [[.9,.1],[.5,.5]] -> stationary (5/6, 1/6)
+    seq = ["a"] * 10 + ["b", "b", "a"]
+    ds = _chain_events({7: seq})
+    out = markov_stationary(ds, key="user_id", state_col="event_type",
+                            order_by=["ts", "event_id"]) \
+        .to_pandas().set_index("state")
+    np.testing.assert_allclose(out.loc["a", "stationary"], 5 / 6,
+                               rtol=1e-9)
+    np.testing.assert_allclose(out.loc["b", "stationary"], 1 / 6,
+                               rtol=1e-9)
+    assert abs(out["stationary"].sum() - 1.0) < 1e-12
+
+
+def test_markov_stationary_vocab_is_per_key_and_short_keys_drop():
+    from s_tsfe_dl_ray.stages.trend import markov_stationary
+
+    ds = _chain_events({
+        1: ["a", "b", "a", "b"],      # never sees 'c'
+        2: ["c", "c", "c"],           # never sees 'a'/'b'
+        3: ["a"],                     # no transition -> no rows
+    })
+    out = markov_stationary(ds, key="user_id", state_col="event_type",
+                            order_by=["ts", "event_id"]).to_pandas()
+    assert set(out[out.user_id == 1]["state"]) == {"a", "b"}
+    assert set(out[out.user_id == 2]["state"]) == {"c"}
+    assert (out.user_id != 3).all()
+    sums = out.groupby("user_id")["stationary"].sum()
+    np.testing.assert_allclose(sums.to_numpy(), 1.0, rtol=1e-12)
