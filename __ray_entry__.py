@@ -3017,6 +3017,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["n_both", "member_a", "member_b"],
             descending=[True, False, False]))
 
+    def q_docs_word_vectors(sf):
+        """Train static word embeddings FROM the corpus: exact top-V
+        vocabulary → symmetric windowed co-occurrence partials → PPMI →
+        eigh → 16-d vectors (stages/text.ppmi_word_vectors, the
+        count-based word2vec equivalent).  Rows-only
+        (eigendecomposition); context-sharing cosine pytest."""
+        from s_tsfe_dl_ray.stages.text import ppmi_word_vectors
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        return _round_floats(ppmi_word_vectors(
+            docs, vocab_size=64, window=2, dim=16))
+
     def q_events_markov_stationary(sf):
         """Per-user stationary distribution of the event-type Markov
         chain — the long-run behavior mix the user's DYNAMICS converge
@@ -3856,6 +3869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf_pq": q_emb_knn_ivf_pq,
         "lineitem_part_pagerank": q_lineitem_part_pagerank,
         "events_markov_stationary": q_events_markov_stationary,
+        "docs_word_vectors": q_docs_word_vectors,
     }
 
 

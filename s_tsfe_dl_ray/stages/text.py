@@ -1560,3 +1560,131 @@ def charlm_logloss(
         })
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def ppmi_word_vectors(
+    ds: "Dataset",
+    *,
+    text_col: str = "text",
+    vocab_size: int = 256,
+    window: int = 2,
+    dim: int = 16,
+    num_partitions: int = 64,
+) -> "Dataset":
+    """Train static word embeddings FROM the corpus: positive-PMI
+    co-occurrence factorization (the count-based word2vec equivalent —
+    Levy & Goldberg 2014 showed skip-gram ≈ factorized shifted PMI).
+    The engine's "derive features from the data" trainer for text, the
+    lexical sibling of the embedding-side PCA: corpus → top-``vocab_size``
+    vocabulary → symmetric ±``window`` co-occurrence counts → PPMI →
+    eigendecomposition → ``dim``-d vectors.
+
+    Scale shape: two combiner passes over the corpus (exact token counts
+    partitioned BY TOKEN, so global top-V is exact; then sparse
+    (i, j, n) co-occurrence partials bounded by V² per batch) and one
+    driver-side eigh on the V×V PPMI matrix — the same driver-bounded
+    contract as PCA's d×d moment matrix and k-means' k×d centroids.
+    Counts are exact ints; eigenvectors are sign-fixed (largest-|entry|
+    positive); pairwise cosines are invariant to the remaining
+    degenerate-eigenspace rotation, which is what tests pin.
+
+    Output: ``token (string), n (int64), vector (list<float64> of dim)``
+    sorted by count desc / token asc.  No SQL twin (eigendecomposition);
+    tests pin that tokens sharing contexts embed close and unrelated
+    ones don't.
+    """
+    import ray.data
+
+    from .dedup import _grouped_min
+
+    # ---- pass 1: exact global top-V vocabulary ------------------------
+    vocab_tbl = top_tokens(ds, text_col=text_col, k=vocab_size,
+                           num_partitions=num_partitions).to_pandas()
+    if len(vocab_tbl) == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "token": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "vector": pd.Series([], dtype="object")}))
+    vcounts = dict(zip(vocab_tbl["token"], vocab_tbl["n"]))
+    vocab = np.sort(vocab_tbl["token"].to_numpy())
+    v = len(vocab)
+
+    # ---- pass 2: sparse symmetric co-occurrence partials --------------
+    def cooc_part(t: pa.Table) -> pa.Table:
+        empty = pa.table({"i": pa.array([], pa.int64()),
+                          "j": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        toks = pc.split_pattern(pc.utf8_trim(t[text_col], " "), " ")
+        dense = None
+        for ch in (toks.chunks if isinstance(toks, pa.ChunkedArray)
+                   else [toks]):
+            vals = ch.flatten()
+            nv = len(vals)
+            if nv < 2:
+                continue
+            arr = vals.to_numpy(zero_copy_only=False)
+            lengths = pc.list_value_length(ch).to_numpy(zero_copy_only=False)
+            doc_id = np.repeat(np.arange(len(lengths)), lengths)
+            pos = np.searchsorted(vocab, arr)
+            ok = (pos < v)
+            ok &= vocab[np.minimum(pos, v - 1)] == arr
+            for off in range(1, window + 1):
+                if nv <= off:
+                    break
+                keep = (doc_id[off:] == doc_id[:-off]) \
+                    & ok[off:] & ok[:-off]
+                if not keep.any():
+                    continue
+                a = pos[:-off][keep]
+                b = pos[off:][keep]
+                flat = np.concatenate([a * v + b, b * v + a])
+                d = np.bincount(flat, minlength=v * v)
+                dense = d if dense is None else dense + d
+        if dense is None:
+            return empty
+        nz = np.flatnonzero(dense)
+        return pa.table({"i": pa.array((nz // v).astype(np.int64)),
+                         "j": pa.array((nz % v).astype(np.int64)),
+                         "n": pa.array(dense[nz].astype(np.int64))})
+
+    cooc = (ds.map_batches(cooc_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(lambda df: df.groupby(["i", "j"], sort=True)["n"]
+                         .sum().reset_index(),
+                         batch_format="pandas", batch_size=None)
+            .to_pandas())
+
+    m = np.zeros((v, v))
+    if len(cooc):
+        m[cooc["i"].to_numpy(), cooc["j"].to_numpy()] = \
+            cooc["n"].to_numpy(dtype=np.float64)
+
+    # ---- driver: PPMI + eigendecomposition -----------------------------
+    total = m.sum()
+    if total <= 0:
+        vecs = np.zeros((v, dim))
+    else:
+        r = m.sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pmi = np.log((m * total) / (r[:, None] * r[None, :]))
+        ppmi = np.where(np.isfinite(pmi), np.maximum(pmi, 0.0), 0.0)
+        w, u = np.linalg.eigh(ppmi)
+        order = np.argsort(w)[::-1][:dim]
+        lam = np.maximum(w[order], 0.0)
+        basis = u[:, order]
+        # deterministic sign: largest-|entry| component positive
+        flip = basis[np.abs(basis).argmax(axis=0), np.arange(len(order))] < 0
+        basis = basis * np.where(flip, -1.0, 1.0)[None, :]
+        vecs = basis * np.sqrt(lam)[None, :]
+        if vecs.shape[1] < dim:
+            vecs = np.pad(vecs, ((0, 0), (0, dim - vecs.shape[1])))
+
+    out = pd.DataFrame({
+        "token": vocab,
+        "n": np.asarray([vcounts[t] for t in vocab], dtype=np.int64),
+        "vector": [row for row in vecs],
+    })
+    out = out.sort_values(["n", "token"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    return ray.data.from_pandas(out)

@@ -370,3 +370,43 @@ def test_compressibility_golden_and_monotonic():
     assert out.loc[1, "ratio"] < 0.05 < out.loc[2, "ratio"]
     import numpy as np
     assert np.isnan(out.loc[3, "ratio"]) and out.loc[3, "raw_len"] == 0
+
+
+def test_ppmi_word_vectors_context_sharing_embeds_close():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from s_tsfe_dl_ray.stages.text import ppmi_word_vectors
+
+    # cat and dog appear in IDENTICAL contexts; rock lives elsewhere
+    docs = (["the cat sat on the mat", "the dog sat on the mat"] * 12
+            + ["rock quarry stone gravel rock", "gravel stone quarry"] * 12)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string())}))
+    out = ppmi_word_vectors(ds, vocab_size=32, window=2,
+                            dim=8).to_pandas().set_index("token")
+
+    def cos(a, b):
+        va = np.asarray(out.loc[a, "vector"], dtype=float)
+        vb = np.asarray(out.loc[b, "vector"], dtype=float)
+        return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+
+    assert cos("cat", "dog") > 0.9
+    assert cos("cat", "rock") < 0.5
+    assert cos("quarry", "gravel") > cos("quarry", "mat")
+    # counts exact: 'the' appears 2x per sentence x 24 sentences
+    assert out.loc["the", "n"] == 48
+
+
+def test_ppmi_word_vectors_empty_corpus():
+    import pyarrow as pa
+    import ray
+
+    from s_tsfe_dl_ray.stages.text import ppmi_word_vectors
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert len(ppmi_word_vectors(ds).to_pandas()) == 0
