@@ -3017,6 +3017,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["n_both", "member_a", "member_b"],
             descending=[True, False, False]))
 
+    def q_events_als_factors(sf):
+        """ALS matrix factorization of the (user × event_type) activity
+        matrix — per-user taste factors from alternating optimization,
+        user factors recomputed per pass, never stored
+        (stages/similarity.als_factorize).  Rows-only (iterative);
+        planted-block-recovery pytest."""
+        import pyarrow.compute as _pc
+
+        from s_tsfe_dl_ray.stages.similarity import als_factorize
+
+        ds = read_events(sf, columns=["user_id", "event_type"])
+        ones = ds.map_batches(
+            lambda t: t.append_column(
+                "r", _pc.cast(_pc.equal(t["event_type"], t["event_type"]),
+                              pa.float64())),
+            batch_format="pyarrow")
+        uf, _vf = als_factorize(ones, user_col="user_id",
+                                item_col="event_type", rating_col="r",
+                                rank=3, n_iter=6)
+        return _round_floats(uf.sort("user_id"))
+
     def q_docs_word_vectors(sf):
         """Train static word embeddings FROM the corpus: exact top-V
         vocabulary → symmetric windowed co-occurrence partials → PPMI →
@@ -3870,6 +3891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_part_pagerank": q_lineitem_part_pagerank,
         "events_markov_stationary": q_events_markov_stationary,
         "docs_word_vectors": q_docs_word_vectors,
+        "events_als_factors": q_events_als_factors,
     }
 
 

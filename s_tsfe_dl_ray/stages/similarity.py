@@ -1549,3 +1549,143 @@ def centroid_drift(
                            zero_copy_batch=True)
             .groupby("_pkey").map_groups(merge, batch_format="pandas")
             .sort(label_col))
+
+
+def als_factorize(
+    ds: Dataset,
+    *,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    rank: int = 3,
+    n_iter: int = 8,
+    reg: float = 0.1,
+    num_partitions: int = 64,
+) -> tuple[Dataset, "pd.DataFrame"]:
+    """Alternating-least-squares matrix factorization of the dense
+    (user × item) rating matrix — the recommender-trainer family,
+    completing the engine's ML set (PCA = one-shot spectral, k-means =
+    assign/update, PageRank = propagation; ALS = alternating
+    optimization).  Ratings absent from the table are 0 (dense
+    formulation), so the user step shares one (VᵀV + λI)⁻¹ across all
+    users and vectorizes to a single matmul per partition.
+
+    Dataflow per iteration (user factors are RECOMPUTED, never stored —
+    the two-phase-resume discipline): one combiner pass over the
+    (user, item, r) table co-partitioned by user; each partition
+    recomputes its users' factors F = R V A⁻¹ vectorized, emits the
+    k×k FᵀF and k×items FᵀR partials; the driver solves the new item
+    factors (items × rank, tiny).  A final pass emits the per-user
+    factor table (distributed, never collected).
+
+    The item universe must be driver-bounded (categorical vocabularies —
+    event types, tool names); users are unbounded.
+
+    Returns ``(user_factors Dataset: user, f_0..f_{rank-1}, item_factors
+    DataFrame: item, f_0..)``.  No SQL twin (iterative); tests pin
+    planted low-rank recovery.
+    """
+    from ..pipelines.relational import grouped_aggregate
+    from .rollup import _stable_pkey
+
+    # ratings: exact (user, item, r) aggregate, co-partitioned by user
+    rat = grouped_aggregate(ds, keys=[user_col, item_col],
+                            aggs={"r": (rating_col, "sum")},
+                            num_partitions=num_partitions)
+    uvals = rat.select_columns([item_col]).unique(item_col) or []
+    items = np.sort(np.atleast_1d(np.asarray(uvals)))
+    ni = len(items)
+    if ni == 0:
+        import ray.data
+        cols = {user_col: pd.Series([], dtype="object")}
+        cols.update({f"f_{i}": pd.Series([], dtype="float64")
+                     for i in range(rank)})
+        return (ray.data.from_pandas(pd.DataFrame(cols)),
+                pd.DataFrame({item_col: []}))
+    rat = rat.materialize()  # iteration working set
+
+    rng = np.random.default_rng(0)
+    vf = rng.normal(0.0, 0.1, (ni, rank))  # item factors, deterministic
+
+    def pass_partials(v: np.ndarray):
+        a_inv = np.linalg.inv(v.T @ v + reg * np.eye(rank))
+
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"i": pd.Series([], dtype="int64"),
+                                     "j": pd.Series([], dtype="int64"),
+                                     "v": pd.Series([], dtype="float64")})
+            u, uinv = np.unique(df[user_col].to_numpy(),
+                                return_inverse=True)
+            ii = np.searchsorted(items, df[item_col].to_numpy())
+            r = df["r"].to_numpy(dtype=np.float64)
+            nu = len(u)
+            rv = np.zeros((nu, rank))          # R_u V  (sparse matmul)
+            np.add.at(rv, uinv, r[:, None] * v[ii])
+            f = rv @ a_inv                     # user factors, batched
+            ftf = f.T @ f                      # k×k
+            ftr = np.zeros((rank, ni))         # k×items: Σ_u f_u r_ui
+            np.add.at(ftr.T, ii, r[:, None] * f[uinv])
+            i1, j1 = np.meshgrid(np.arange(rank), np.arange(rank),
+                                 indexing="ij")
+            i2, j2 = np.meshgrid(np.arange(rank),
+                                 rank + np.arange(ni), indexing="ij")
+            return pd.DataFrame({
+                "i": np.concatenate([i1.ravel(), i2.ravel()]),
+                "j": np.concatenate([j1.ravel(), j2.ravel()]),
+                "v": np.concatenate([ftf.ravel(), ftr.ravel()])})
+
+        rows = (rat.map_batches(
+                    lambda t: t.append_column(
+                        "_pkey", _stable_pkey(t[user_col],
+                                              num_partitions)),
+                    batch_format="pyarrow")
+                .groupby("_pkey")
+                .map_groups(lambda df: part(df.drop(columns=["_pkey"])),
+                            batch_format="pandas")
+                .to_pandas())
+        g = rows.groupby(["i", "j"], sort=True)["v"].sum()
+        ftf = np.zeros((rank, rank))
+        ftr = np.zeros((rank, ni))
+        for (i, j), val in g.items():
+            if j < rank:
+                ftf[i, j] = val
+            else:
+                ftr[i, j - rank] = val
+        return ftf, ftr
+
+    for _ in range(n_iter):
+        ftf, ftr = pass_partials(vf)
+        vf = np.linalg.solve(ftf + reg * np.eye(rank), ftr).T
+
+    # final pass: emit per-user factors (distributed)
+    v_fin = vf
+    a_inv_fin = np.linalg.inv(v_fin.T @ v_fin + reg * np.eye(rank))
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {user_col: pd.Series([], dtype="object")}
+        cols.update({f"f_{i}": pd.Series([], dtype="float64")
+                     for i in range(rank)})
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        u, uinv = np.unique(df[user_col].to_numpy(), return_inverse=True)
+        ii = np.searchsorted(items, df[item_col].to_numpy())
+        r = df["r"].to_numpy(dtype=np.float64)
+        rv = np.zeros((len(u), rank))
+        np.add.at(rv, uinv, r[:, None] * v_fin[ii])
+        f = rv @ a_inv_fin
+        out = {user_col: u}
+        out.update({f"f_{i}": f[:, i] for i in range(rank)})
+        return pd.DataFrame(out)
+
+    uf = (rat.map_batches(
+              lambda t: t.append_column(
+                  "_pkey", _stable_pkey(t[user_col], num_partitions)),
+              batch_format="pyarrow")
+          .groupby("_pkey")
+          .map_groups(lambda df: emit(df.drop(columns=["_pkey"])),
+                      batch_format="pandas"))
+    item_df = pd.DataFrame({item_col: items})
+    for i in range(rank):
+        item_df[f"f_{i}"] = vf[:, i]
+    return uf, item_df

@@ -387,3 +387,56 @@ def test_dim_moments_matches_numpy():
     np.testing.assert_allclose(out["mean"], mat.mean(axis=0), atol=1e-12)
     np.testing.assert_allclose(out["variance"], mat.var(axis=0, ddof=1),
                                rtol=1e-12)
+
+
+def test_als_recovers_planted_block_structure():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from s_tsfe_dl_ray.stages.similarity import als_factorize
+
+    # two taste groups over four items: A-users rate {x, y} = 5,
+    # B-users rate {z, w} = 5; no cross ratings (implicit 0)
+    rows_u, rows_i, rows_r = [], [], []
+    for u in range(20):
+        items = ["x", "y"] if u % 2 == 0 else ["z", "w"]
+        for it in items:
+            rows_u.append(u)
+            rows_i.append(it)
+            rows_r.append(5.0)
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array(rows_u, pa.int64()),
+        "item": pa.array(rows_i, pa.string()),
+        "r": pa.array(rows_r, pa.float64())}))
+    uf, vf = als_factorize(ds, user_col="user_id", item_col="item",
+                           rating_col="r", rank=2, n_iter=12)
+    u = uf.to_pandas().set_index("user_id").sort_index()
+    v = vf.set_index("item")
+    fu = u[[c for c in u.columns]].to_numpy()
+    fv = v[[c for c in v.columns]].to_numpy()
+    items = list(v.index)
+    pred = fu @ fv.T  # users × items reconstruction
+    xi, zi = items.index("x"), items.index("z")
+    # group-A users prefer x over z; group-B the reverse — every user
+    a_pref = pred[0::2, xi] - pred[0::2, zi]
+    b_pref = pred[1::2, zi] - pred[1::2, xi]
+    assert (a_pref > 1.0).all() and (b_pref > 1.0).all()
+    # in-block reconstruction lands near the planted 5
+    assert abs(float(pred[0, xi]) - 5.0) < 1.0
+    assert abs(float(pred[1, zi]) - 5.0) < 1.0
+
+
+def test_als_empty_items():
+    import pyarrow as pa
+    import ray
+
+    from s_tsfe_dl_ray.stages.similarity import als_factorize
+
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "item": pa.array([], pa.string()),
+        "r": pa.array([], pa.float64())}))
+    uf, vf = als_factorize(ds, user_col="user_id", item_col="item",
+                           rating_col="r", rank=2, n_iter=2)
+    assert len(uf.to_pandas()) == 0 and len(vf) == 0
