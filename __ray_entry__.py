@@ -3533,6 +3533,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(hill_tail_index(
             ds, key="event_type", value_col="value", k=100))
 
+    def q_events_survival_km(sf):
+        """Kaplan–Meier survival curve over user lifetimes (whole days,
+        right-censored for users active within 7 days of corpus end) —
+        the product-limit churn estimate (stages/cohort.survival_km)."""
+        from s_tsfe_dl_ray.stages.cohort import survival_km
+
+        ds = read_events(sf, columns=["user_id", "ts"])
+        return _round_floats(survival_km(
+            ds, key="user_id", ts_col="ts", censor_days=7).sort("day"))
+
     def q_docs_lang_confusion(sf):
         """Multiclass confusion-matrix metrics for the language-ID
         model vs the corpus's true lang labels: per-class tp /
@@ -3864,6 +3874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_granger": q_events_granger,
         "events_hurst": q_events_hurst,
         "events_hill_tail": q_events_hill_tail,
+        "events_survival_km": q_events_survival_km,
         "docs_lang_confusion": q_docs_lang_confusion,
         "transcripts_token_gini": q_transcripts_token_gini,
         "events_rolling_p90": q_events_rolling_p90,
@@ -8008,6 +8019,36 @@ def oracle_sql() -> dict[str, str]:
                          - ln(max(v) FILTER (WHERE cum >= 101)), 6)
                      AS hill
             FROM w GROUP BY 1 ORDER BY 1
+        """,
+        # duration/censor arithmetic is exact int µs; at-risk is a suffix
+        # sum of exact ints; the product-limit factor sequence (incl. the
+        # exact ×1.0 of d=0 days) multiplies ascending on both sides
+        "events_survival_km": """
+            WITH mx AS (SELECT max(ts) AS m FROM events),
+            u AS (
+              SELECT user_id,
+                     (epoch_us(max(ts)) - epoch_us(min(ts)))
+                       // 86400000000 AS dur,
+                     (epoch_us(max(ts)) <= epoch_us(min(m))
+                        - 604800000000) AS obs
+              FROM events, mx GROUP BY user_id
+            ), h AS (
+              SELECT dur, (count(*) FILTER (WHERE obs))::BIGINT AS d,
+                     count(*)::BIGINT AS tot
+              FROM u GROUP BY 1
+            ), w AS (
+              SELECT dur, d,
+                     sum(tot) OVER (ORDER BY dur DESC) AS n_risk
+              FROM h
+            ), s AS (
+              SELECT dur, d, n_risk,
+                     product(1.0 - d::DOUBLE / n_risk)
+                       OVER (ORDER BY dur) AS surv
+              FROM w
+            )
+            SELECT dur AS day, n_risk::BIGINT AS n_risk, d AS n_events,
+                   round(surv, 6) AS survival
+            FROM s WHERE d > 0 ORDER BY day
         """,
         # confusion counts are exact ints; the metric divisions mirror the
         # engine's expression tree; zero denominators -> NULL both sides;

@@ -90,3 +90,119 @@ def cohort_retention(
         .groupby("_pkey2")
         .map_groups(final_merge, batch_format="pandas")
     )
+
+
+def survival_km(
+    ds: Dataset,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Kaplan–Meier survival curve over per-key LIFETIMES (first-seen →
+    last-seen, whole days): the product-limit estimate of "what share
+    of users survive past t days", with right-censoring for keys still
+    active within ``censor_days`` of the corpus end (their lifetime is
+    a lower bound, not a churn) — the survival-analysis staple that the
+    plain user_lifetime histogram gets wrong by treating active users
+    as churned.
+
+        S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)
+
+    over distinct OBSERVED churn durations t_i (d = churns at t_i, n =
+    at-risk = keys with duration ≥ t_i, censored included until they
+    drop).
+
+    Three cheap passes: global max-ts combiner (one row), per-key
+    (min, max) lifetimes (partials), then a duration histogram (day →
+    churns, total) whose span-bounded rows fold once — suffix-sum
+    at-risk, sequential cumulative product mirrored by the SQL twin's
+    windowed ``product()`` (d = 0 rows contribute an exact ×1.0, so
+    including them changes nothing on either side).
+
+    Output: ``day (int64), n_risk (int64), n_events (int64), survival
+    (float64)`` — one row per day with ≥ 1 observed churn, ascending.
+    """
+    from ..pipelines.relational import grouped_aggregate
+
+    # pass 1: global max ts (the censoring anchor)
+    def mx_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "_all": pa.array([1], pa.int8()),
+            "mx": pa.array([pc.max(pc.cast(t[ts_col],
+                                           pa.timestamp("us"))).as_py()],
+                           pa.timestamp("us"))})
+
+    mx = grouped_aggregate(
+        ds.map_batches(mx_part, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["_all"], aggs={"mx": ("mx", "max")},
+        num_partitions=1).to_pandas()
+    if len(mx) == 0 or "mx" not in mx.columns or mx["mx"].isna().all():
+        import ray.data
+
+        return ray.data.from_pandas(pd.DataFrame({
+            "day": pd.Series([], dtype="int64"),
+            "n_risk": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "survival": pd.Series([], dtype="float64")}))
+    cutoff_us = (pd.Timestamp(mx["mx"].iloc[0]).value // 1000
+                 - censor_days * 86_400_000_000)
+
+    # pass 2: per-key lifetime -> (duration-day, observed) -> histogram
+    def life_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        out = (pa.table({key: t[key], "ts": ts})
+               .group_by([key], use_threads=False)
+               .aggregate([("ts", "min"), ("ts", "max")]))
+        out = out.rename_columns([key, "lo", "hi"])
+        return out.append_column(
+            "_pkey", _stable_pkey(out[key], num_partitions))
+
+    def life_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False).agg(
+            lo=("lo", "min"), hi=("hi", "max")).reset_index()
+        dur = (g["hi"].to_numpy(np.int64) - g["lo"].to_numpy(np.int64)) \
+            // 86_400_000_000
+        obs = g["hi"].to_numpy(np.int64) <= cutoff_us
+        h = pd.DataFrame({"dur": dur, "obs": obs})
+        out = h.groupby("dur").agg(
+            d=("obs", "sum"), tot=("obs", "size")).reset_index()
+        out["d"] = out["d"].astype(np.int64)
+        out["tot"] = out["tot"].astype(np.int64)
+        return out
+
+    hist = (ds.map_batches(life_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_pkey")
+            .map_groups(life_merge, batch_format="pandas"))
+
+    # pass 3: span-bounded ordered fold
+    def km(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "day": pd.Series([], dtype="int64"),
+            "n_risk": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "survival": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        g = df.groupby("dur", sort=True).agg(
+            d=("d", "sum"), tot=("tot", "sum")).reset_index()
+        tot = g["tot"].to_numpy(np.float64)
+        d = g["d"].to_numpy(np.float64)
+        n_risk = np.cumsum(tot[::-1])[::-1]        # at-risk: dur >= t
+        surv = np.cumprod(1.0 - d / n_risk)        # d=0 rows multiply by 1
+        keep = g["d"].to_numpy(np.int64) > 0
+        return pd.DataFrame({
+            "day": g["dur"].to_numpy(np.int64)[keep],
+            "n_risk": n_risk[keep].astype(np.int64),
+            "n_events": g["d"].to_numpy(np.int64)[keep],
+            "survival": surv[keep]})
+
+    return hist.repartition(1).map_batches(km, batch_format="pandas",
+                                           batch_size=None)

@@ -74,6 +74,7 @@ QUERIES = [
     "events_hurst",
     "events_hill_tail",
     "events_rolling_p90",
+    "events_survival_km",
 ]
 
 SHAPES = [
