@@ -3533,6 +3533,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(hill_tail_index(
             ds, key="event_type", value_col="value", k=100))
 
+    def q_events_ab_ztest(sf):
+        """A/B experiment readout: deterministic md5 50/50 user split,
+        conversion = any purchase, pooled two-proportion z statistic
+        (stages/metrics.ab_ztest)."""
+        import pyarrow.compute as _pc
+
+        from s_tsfe_dl_ray.stages.metrics import ab_ztest
+
+        ds = read_events(sf, columns=["user_id", "event_type"])
+        conv = ds.map_batches(
+            lambda t: pa.table({
+                "user_id": t["user_id"],
+                "success": _pc.equal(t["event_type"], "purchase")}),
+            batch_format="pyarrow")
+        return _round_floats(ab_ztest(
+            conv, unit_col="user_id", success_col="success",
+            split_fraction=0.5))
+
     def q_events_survival_km(sf):
         """Kaplan–Meier survival curve over user lifetimes (whole days,
         right-censored for users active within 7 days of corpus end) —
@@ -3874,6 +3892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_granger": q_events_granger,
         "events_hurst": q_events_hurst,
         "events_hill_tail": q_events_hill_tail,
+        "events_ab_ztest": q_events_ab_ztest,
         "events_survival_km": q_events_survival_km,
         "docs_lang_confusion": q_docs_lang_confusion,
         "transcripts_token_gini": q_transcripts_token_gini,
@@ -8019,6 +8038,35 @@ def oracle_sql() -> dict[str, str]:
                          - ln(max(v) FILTER (WHERE cum >= 101)), 6)
                      AS hill
             FROM w GROUP BY 1 ORDER BY 1
+        """,
+        # the hash_split hex-threshold idiom (string compare == numeric
+        # for fixed-width lowercase hex); exact counts, z formula tree
+        # mirrored; degenerate arms go NULL via 0-division
+        "events_ab_ztest": """
+            WITH u AS (
+              SELECT user_id,
+                     substring(md5(user_id::VARCHAR), 1, 4) < '8000'
+                       AS grp_b,
+                     bool_or(event_type = 'purchase') AS conv
+              FROM events GROUP BY 1
+            ), c AS (
+              SELECT (count(*) FILTER (WHERE NOT grp_b))::BIGINT AS n_a,
+                     (count(*) FILTER (WHERE grp_b))::BIGINT AS n_b,
+                     (count(*) FILTER (WHERE NOT grp_b AND conv))::BIGINT
+                       AS conv_a,
+                     (count(*) FILTER (WHERE grp_b AND conv))::BIGINT
+                       AS conv_b
+              FROM u
+            )
+            SELECT n_a, n_b, conv_a, conv_b,
+                   round(conv_a::DOUBLE / n_a, 6) AS rate_a,
+                   round(conv_b::DOUBLE / n_b, 6) AS rate_b,
+                   round((conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b)
+                         / sqrt((conv_a + conv_b)::DOUBLE / (n_a + n_b)
+                                * (1.0 - (conv_a + conv_b)::DOUBLE
+                                         / (n_a + n_b))
+                                * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+            FROM c
         """,
         # duration/censor arithmetic is exact int µs; at-risk is a suffix
         # sum of exact ints; the product-limit factor sequence (incl. the

@@ -385,3 +385,93 @@ def multiclass_prf(
                               zero_copy_batch=True)
     return partials.repartition(1).map_batches(fin, batch_format="pandas",
                                                batch_size=None)
+
+
+def ab_ztest(
+    ds: Dataset,
+    *,
+    unit_col: str,
+    success_col: str,
+    split_fraction: float = 0.5,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Two-proportion z-test over a DETERMINISTIC hash split — the A/B
+    experiment readout: units are assigned to arm B when the first 4
+    hex digits of md5(unit) fall below the fraction (the engine's
+    standard order-independent split, stages/transform.hash_split), a
+    unit converts when ANY of its rows has a truthy ``success_col``,
+    and the pooled two-proportion z statistic compares the arms.
+
+    Shape: per-batch (unit, converted) partials → one unit-hash
+    exchange dedups units exactly → four counts → one row.  Counts are
+    exact ints and the z formula is a fixed expression tree mirrored by
+    the SQL twin (hex-string threshold compare == numeric compare for
+    fixed-width lowercase hex).  Degenerate arms (empty, or zero pooled
+    variance) go NULL via 0-division on both sides.
+
+    Output: one row — ``n_a, n_b, conv_a, conv_b, rate_a, rate_b, z``.
+    """
+    import hashlib
+
+    from .rollup import _stable_pkey
+
+    cut_hex = format(int(split_fraction * 65536), "04x")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({unit_col: pd.Series([], dtype="object"),
+                                 "conv": pd.Series([], dtype="bool")})
+        g = df.groupby(unit_col, sort=False)[success_col].any()
+        return pd.DataFrame({unit_col: g.index.to_numpy(),
+                             "conv": g.to_numpy()})
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_pkey", _stable_pkey(t[unit_col], num_partitions))
+
+    def count_arm(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("n_a", "n_b", "conv_a",
+                                           "conv_b")})
+        g = df.groupby(unit_col, sort=False)["conv"].any()
+        units = g.index.to_numpy()
+        conv = g.to_numpy()
+        is_b = np.array([
+            hashlib.md5(str(u).encode()).hexdigest()[:4] < cut_hex
+            for u in units])
+        return pd.DataFrame({
+            "n_a": [int((~is_b).sum())],
+            "n_b": [int(is_b.sum())],
+            "conv_a": [int((conv & ~is_b).sum())],
+            "conv_b": [int((conv & is_b).sum())]})
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "n_a" not in df.columns:
+            df = pd.DataFrame({c: [0] for c in ("n_a", "n_b", "conv_a",
+                                                "conv_b")})
+        s = df.sum()
+        n_a, n_b = np.float64(s["n_a"]), np.float64(s["n_b"])
+        c_a, c_b = np.float64(s["conv_a"]), np.float64(s["conv_b"])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rate_a = c_a / n_a
+            rate_b = c_b / n_b
+            pool = (c_a + c_b) / (n_a + n_b)
+            z = (rate_a - rate_b) / np.sqrt(
+                pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b))
+        vals = [v if np.isfinite(v) else np.nan
+                for v in (rate_a, rate_b, z)]
+        return pd.DataFrame({
+            "n_a": pd.Series([int(s["n_a"])], dtype="int64"),
+            "n_b": pd.Series([int(s["n_b"])], dtype="int64"),
+            "conv_a": pd.Series([int(s["conv_a"])], dtype="int64"),
+            "conv_b": pd.Series([int(s["conv_b"])], dtype="int64"),
+            "rate_a": [vals[0]], "rate_b": [vals[1]], "z": [vals[2]]})
+
+    per_unit = (ds.map_batches(partial, batch_format="pandas")
+                .map_batches(add_pkey, batch_format="pyarrow")
+                .groupby("_pkey")
+                .map_groups(lambda d: count_arm(d.drop(columns=["_pkey"])),
+                            batch_format="pandas"))
+    return per_unit.repartition(1).map_batches(fin, batch_format="pandas",
+                                               batch_size=None)

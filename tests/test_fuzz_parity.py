@@ -75,6 +75,7 @@ QUERIES = [
     "events_hill_tail",
     "events_rolling_p90",
     "events_survival_km",
+    "events_ab_ztest",
 ]
 
 SHAPES = [
