@@ -3533,6 +3533,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(hill_tail_index(
             ds, key="event_type", value_col="value", k=100))
 
+    def q_events_isotonic(sf):
+        """Isotonic (PAV) calibration of value → P(purchase): monotone
+        nonparametric calibrator over the exact score histogram
+        (stages/metrics.isotonic_calibration).  Rows-only (sequential
+        pooling); monotonicity/mass/golden pytest."""
+        import pyarrow.compute as _pc
+
+        from s_tsfe_dl_ray.stages.metrics import isotonic_calibration
+
+        ds = read_events(sf, columns=["value", "event_type"])
+        lab = ds.map_batches(
+            lambda t: pa.table({
+                "value": t["value"],
+                "label": _pc.equal(t["event_type"], "purchase")}),
+            batch_format="pyarrow")
+        return _round_floats(isotonic_calibration(
+            lab, score_col="value", label_col="label"))
+
     def q_events_ab_ztest(sf):
         """A/B experiment readout: deterministic md5 50/50 user split,
         conversion = any purchase, pooled two-proportion z statistic
@@ -3922,6 +3940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_stationary": q_events_markov_stationary,
         "docs_word_vectors": q_docs_word_vectors,
         "events_als_factors": q_events_als_factors,
+        "events_isotonic": q_events_isotonic,
     }
 
 

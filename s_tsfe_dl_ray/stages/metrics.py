@@ -475,3 +475,79 @@ def ab_ztest(
                             batch_format="pandas"))
     return per_unit.repartition(1).map_batches(fin, batch_format="pandas",
                                                batch_size=None)
+
+
+def isotonic_calibration(
+    ds: Dataset,
+    *,
+    score_col: str,
+    label_col: str,
+) -> Dataset:
+    """Isotonic (PAV) score calibration: the monotone-nondecreasing map
+    score → P(label) that minimizes squared error — the nonparametric
+    upgrade of the fixed-bin :func:`calibration_bins` (which can zigzag)
+    and the standard post-hoc calibrator for model scores.
+
+    Shape: the AUC value-histogram discipline — per-batch
+    ``(score → n, n_pos)`` partials cross one exchange (one row per
+    distinct score; quantize continuous scores upstream), then the
+    pool-adjacent-violators fold runs once over the sorted histogram
+    (O(distinct scores), stack-based).  Deterministic: exact integer
+    weights, pooling arithmetic is plain float on exact ints.
+
+    Output: ``score (float64), n (int64), n_pos (int64), calibrated
+    (float64)`` ascending by score, ``calibrated`` monotone
+    nondecreasing with Σ calibrated·n == Σ n_pos (mass preserved).  No
+    SQL twin (sequential pooling); tests pin monotonicity, mass
+    preservation, and a hand-computed pooling golden.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[score_col], pa.float64())
+        y = pc.cast(pc.cast(t[label_col], pa.bool_()), pa.int64())
+        out = (pa.table({"s": s, "y": y})
+               .group_by(["s"], use_threads=False)
+               .aggregate([("y", "sum"), ([], "count_all")]))
+        return out.rename_columns(["s", "np", "n"])
+
+    def pav(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "score": pd.Series([], dtype="float64"),
+            "n": pd.Series([], dtype="int64"),
+            "n_pos": pd.Series([], dtype="int64"),
+            "calibrated": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        g = df.groupby("s", sort=True).agg(
+            np=("np", "sum"), n=("n", "sum")).reset_index()
+        s = g["s"].to_numpy(dtype=np.float64)
+        w = g["n"].to_numpy(dtype=np.float64)
+        pos = g["np"].to_numpy(dtype=np.float64)
+        # stack of pooled blocks: (weight, pos_mass, end_index)
+        bw, bp, be = [], [], []
+        for i in range(len(s)):
+            cw, cp = w[i], pos[i]
+            while bw and bp[-1] * cw >= cp * bw[-1]:
+                # previous block mean >= current -> pool (>= keeps ties
+                # in one block, deterministic)
+                cw += bw.pop()
+                cp += bp.pop()
+                be.pop()
+            bw.append(cw)
+            bp.append(cp)
+            be.append(i)
+        cal = np.empty(len(s))
+        start = 0
+        for wgt, pm, end in zip(bw, bp, be):
+            cal[start:end + 1] = pm / wgt
+            start = end + 1
+        return pd.DataFrame({
+            "score": s,
+            "n": g["n"].to_numpy(dtype=np.int64),
+            "n_pos": g["np"].to_numpy(dtype=np.int64),
+            "calibrated": cal})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.repartition(1).map_batches(pav, batch_format="pandas",
+                                               batch_size=None)

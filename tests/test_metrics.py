@@ -120,3 +120,51 @@ def test_top_n_per_key_ties():
     )).sort_values(["k", "id"]).reset_index(drop=True)
     assert out[out.k == "a"].id.tolist() == [2, 3]  # tie -> lower id first
     assert out[out.k == "b"].id.tolist() == [5]
+
+
+def test_isotonic_calibration_pools_violators_and_preserves_mass():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from s_tsfe_dl_ray.stages.metrics import isotonic_calibration
+
+    # score 1: 4/5 positive, score 2: 1/5, score 3: 9/10
+    s = [1.0] * 5 + [2.0] * 5 + [3.0] * 10
+    y = [True] * 4 + [False] + [True] + [False] * 4 + [True] * 9 + [False]
+    ds = ray.data.from_arrow(pa.table({
+        "score": pa.array(s, pa.float64()),
+        "label": pa.array(y, pa.bool_())}))
+    out = isotonic_calibration(ds, score_col="score",
+                               label_col="label").to_pandas()
+    np.testing.assert_allclose(out["calibrated"].to_numpy(),
+                               [0.5, 0.5, 0.9])
+    # monotone + mass preserved
+    assert (np.diff(out["calibrated"].to_numpy()) >= 0).all()
+    assert float((out["calibrated"] * out["n"]).sum()) == float(
+        out["n_pos"].sum())
+
+
+def test_isotonic_calibration_monotone_input_is_identity_rates():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from s_tsfe_dl_ray.stages.metrics import isotonic_calibration
+
+    rng = np.random.default_rng(5)
+    scores = np.repeat(np.arange(1, 6, dtype=float), 40)
+    rates = {1: 0.1, 2: 0.3, 3: 0.5, 4: 0.7, 5: 0.9}
+    labels = np.concatenate([
+        (np.arange(40) < int(rates[i] * 40)) for i in range(1, 6)])
+    ds = ray.data.from_arrow(pa.table({
+        "score": pa.array(scores), "label": pa.array(labels)}))
+    out = isotonic_calibration(ds, score_col="score",
+                               label_col="label").to_pandas()
+    np.testing.assert_allclose(out["calibrated"].to_numpy(),
+                               [0.1, 0.3, 0.5, 0.7, 0.9])
+    ds_empty = ray.data.from_arrow(pa.table({
+        "score": pa.array([], pa.float64()),
+        "label": pa.array([], pa.bool_())}))
+    assert len(isotonic_calibration(ds_empty, score_col="score",
+                                    label_col="label").to_pandas()) == 0
