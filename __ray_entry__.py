@@ -3570,14 +3570,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             split_fraction=0.5))
 
     def q_events_survival_km(sf):
-        """Kaplan–Meier survival curve over user lifetimes (whole days,
-        right-censored for users active within 7 days of corpus end) —
-        the product-limit churn estimate (stages/cohort.survival_km)."""
+        """Kaplan–Meier time-to-first-purchase curve per user (hour
+        buckets; users who never purchase are right-censored at their
+        last activity) — the product-limit conversion-latency estimate
+        (stages/cohort.survival_km)."""
+        import pyarrow.compute as _pc
+
         from s_tsfe_dl_ray.stages.cohort import survival_km
 
-        ds = read_events(sf, columns=["user_id", "ts"])
+        ds = read_events(sf, columns=["user_id", "ts", "event_type"])
+        ev = ds.map_batches(
+            lambda t: pa.table({
+                "user_id": t["user_id"], "ts": t["ts"],
+                "event": _pc.equal(t["event_type"], "purchase")}),
+            batch_format="pyarrow")
         return _round_floats(survival_km(
-            ds, key="user_id", ts_col="ts", censor_days=7).sort("day"))
+            ev, key="user_id", ts_col="ts",
+            event_col="event").sort("bucket"))
+
+    def q_events_logrank(sf):
+        """Two-sample log-rank test on time-to-first-purchase between
+        the two deterministic md5 A/B arms — the survival-curve
+        companion of events_ab_ztest (same split, latency instead of
+        rate; stages/cohort.logrank_test)."""
+        import hashlib as _hl
+
+        import pyarrow.compute as _pc
+
+        from s_tsfe_dl_ray.stages.cohort import logrank_test
+
+        ds = read_events(sf, columns=["user_id", "ts", "event_type"])
+
+        def derive_t(t: pa.Table) -> pa.Table:
+            import numpy as _np
+            u = t["user_id"].to_numpy(zero_copy_only=False)
+            grp = _np.array([
+                _hl.md5(str(x).encode()).hexdigest()[:4] < "8000"
+                for x in u])
+            return pa.table({
+                "user_id": t["user_id"], "ts": t["ts"],
+                "event": _pc.equal(t["event_type"], "purchase"),
+                "grp": pa.array(grp)})
+
+        g = ds.map_batches(derive_t, batch_format="pyarrow")
+        return _round_floats(logrank_test(
+            g, key="user_id", ts_col="ts", event_col="event",
+            group_col="grp"))
 
     def q_docs_lang_confusion(sf):
         """Multiclass confusion-matrix metrics for the language-ID
@@ -3912,6 +3950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hill_tail": q_events_hill_tail,
         "events_ab_ztest": q_events_ab_ztest,
         "events_survival_km": q_events_survival_km,
+        "events_logrank": q_events_logrank,
         "docs_lang_confusion": q_docs_lang_confusion,
         "transcripts_token_gini": q_transcripts_token_gini,
         "events_rolling_p90": q_events_rolling_p90,
@@ -8058,6 +8097,50 @@ def oracle_sql() -> dict[str, str]:
                      AS hill
             FROM w GROUP BY 1 ORDER BY 1
         """,
+        # at-risk suffix sums per group over exact ints; E1/V per event
+        # day mirror the engine's expression tree; n=1 days pin V to an
+        # exact 0 (CASE vs NaN-guard); zero total variance -> NULL z
+        "events_logrank": """
+            WITH u AS (
+              SELECT user_id,
+                     (epoch_us(coalesce(
+                         min(ts) FILTER (WHERE event_type = 'purchase'),
+                         max(ts)))
+                      - epoch_us(min(ts))) // 3600000000 AS dur,
+                     (min(ts) FILTER (WHERE event_type = 'purchase'))
+                       IS NOT NULL AS obs,
+                     substring(md5(user_id::VARCHAR), 1, 4) < '8000'
+                       AS grp
+              FROM events GROUP BY 1
+            ), h AS (
+              SELECT dur,
+                     (count(*) FILTER (WHERE obs AND grp))::BIGINT AS d1,
+                     (count(*) FILTER (WHERE obs))::BIGINT AS d,
+                     (count(*) FILTER (WHERE grp))::BIGINT AS tot1,
+                     count(*)::BIGINT AS tot
+              FROM u GROUP BY 1
+            ), w AS (
+              SELECT dur, d1, d,
+                     sum(tot) OVER (ORDER BY dur DESC) AS n,
+                     sum(tot1) OVER (ORDER BY dur DESC) AS n1
+              FROM h
+            ), e AS (
+              SELECT d1, d,
+                     d::DOUBLE * n1 / n AS e1,
+                     CASE WHEN n > 1 THEN
+                       d::DOUBLE * (n1::DOUBLE / n)
+                         * (1.0 - n1::DOUBLE / n)
+                         * (n - d) / (n - 1.0)
+                     ELSE 0.0 END AS v
+              FROM w WHERE d > 0
+            )
+            SELECT count(*)::BIGINT AS n_buckets,
+                   sum(d1)::BIGINT AS d1,
+                   round(sum(e1), 6) AS e1,
+                   round(sum(v), 6) AS var,
+                   round((sum(d1) - sum(e1)) / sqrt(sum(v)), 6) AS z
+            FROM e
+        """,
         # the hash_split hex-threshold idiom (string compare == numeric
         # for fixed-width lowercase hex); exact counts, z formula tree
         # mirrored; degenerate arms go NULL via 0-division
@@ -8087,18 +8170,20 @@ def oracle_sql() -> dict[str, str]:
                                 * (1.0 / n_a + 1.0 / n_b)), 6) AS z
             FROM c
         """,
-        # duration/censor arithmetic is exact int µs; at-risk is a suffix
-        # sum of exact ints; the product-limit factor sequence (incl. the
-        # exact ×1.0 of d=0 days) multiplies ascending on both sides
+        # duration arithmetic is exact int µs (first activity → first
+        # purchase, censored at last activity); at-risk is a suffix sum
+        # of exact ints; the product-limit factor sequence (incl. the
+        # exact ×1.0 of d=0 buckets) multiplies ascending on both sides
         "events_survival_km": """
-            WITH mx AS (SELECT max(ts) AS m FROM events),
-            u AS (
+            WITH u AS (
               SELECT user_id,
-                     (epoch_us(max(ts)) - epoch_us(min(ts)))
-                       // 86400000000 AS dur,
-                     (epoch_us(max(ts)) <= epoch_us(min(m))
-                        - 604800000000) AS obs
-              FROM events, mx GROUP BY user_id
+                     (epoch_us(coalesce(
+                         min(ts) FILTER (WHERE event_type = 'purchase'),
+                         max(ts)))
+                      - epoch_us(min(ts))) // 3600000000 AS dur,
+                     (min(ts) FILTER (WHERE event_type = 'purchase'))
+                       IS NOT NULL AS obs
+              FROM events GROUP BY 1
             ), h AS (
               SELECT dur, (count(*) FILTER (WHERE obs))::BIGINT AS d,
                      count(*)::BIGINT AS tot
@@ -8113,9 +8198,9 @@ def oracle_sql() -> dict[str, str]:
                        OVER (ORDER BY dur) AS surv
               FROM w
             )
-            SELECT dur AS day, n_risk::BIGINT AS n_risk, d AS n_events,
-                   round(surv, 6) AS survival
-            FROM s WHERE d > 0 ORDER BY day
+            SELECT dur AS bucket, n_risk::BIGINT AS n_risk,
+                   d AS n_events, round(surv, 6) AS survival
+            FROM s WHERE d > 0 ORDER BY bucket
         """,
         # confusion counts are exact ints; the metric divisions mirror the
         # engine's expression tree; zero denominators -> NULL both sides;

@@ -92,100 +92,49 @@ def cohort_retention(
     )
 
 
+
 def survival_km(
     ds: Dataset,
     *,
     key: str = "user_id",
     ts_col: str = "ts",
-    censor_days: int = 7,
+    event_col: str = "event",
+    bucket_us: int = 3_600_000_000,
     num_partitions: int = 64,
 ) -> Dataset:
-    """Kaplan–Meier survival curve over per-key LIFETIMES (first-seen →
-    last-seen, whole days): the product-limit estimate of "what share
-    of users survive past t days", with right-censoring for keys still
-    active within ``censor_days`` of the corpus end (their lifetime is
-    a lower bound, not a churn) — the survival-analysis staple that the
-    plain user_lifetime histogram gets wrong by treating active users
-    as churned.
+    """Kaplan-Meier survival curve for TIME-TO-CONVERSION: per key, the
+    duration from first activity to the first row with a truthy
+    ``event_col`` (right-CENSORED at the key's last activity when the
+    event never happens) -- the product-limit estimate of "what share
+    of users have not yet converted after t buckets", the
+    survival-analysis upgrade of the naive conversion-latency histogram
+    (which silently drops never-converters and biases the curve down).
 
-        S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)
+        S(t) = prod_{t_i <= t} (1 - d_i / n_i)
 
-    over distinct OBSERVED churn durations t_i (d = churns at t_i, n =
-    at-risk = keys with duration ≥ t_i, censored included until they
-    drop).
+    over distinct observed conversion buckets t_i (d = conversions at
+    t_i, n = at-risk = keys with duration >= t_i, censored included
+    until they drop out).
 
-    Three cheap passes: global max-ts combiner (one row), per-key
-    (min, max) lifetimes (partials), then a duration histogram (day →
-    churns, total) whose span-bounded rows fold once — suffix-sum
-    at-risk, sequential cumulative product mirrored by the SQL twin's
-    windowed ``product()`` (d = 0 rows contribute an exact ×1.0, so
-    including them changes nothing on either side).
+    Two passes: per-key (first ts, first event ts, last ts) partials
+    through one key-hash exchange, then a span-bounded duration
+    histogram folds once -- suffix-sum at-risk, ascending sequential
+    cumulative product mirrored by the SQL twin's windowed
+    ``product()`` (d = 0 rows contribute an exact *1.0 on both sides).
+    Durations bucket to ``bucket_us`` integer units (default hours), so
+    the histogram is span-bounded at any key cardinality.
 
-    Output: ``day (int64), n_risk (int64), n_events (int64), survival
-    (float64)`` — one row per day with ≥ 1 observed churn, ascending.
+    Output: ``bucket (int64), n_risk (int64), n_events (int64),
+    survival (float64)`` -- one row per bucket with >= 1 observed
+    conversion, ascending.
     """
-    from ..pipelines.relational import grouped_aggregate
+    hist = _lifetime_hist(ds, key=key, ts_col=ts_col, event_col=event_col,
+                          bucket_us=bucket_us,
+                          num_partitions=num_partitions, grouped=False)
 
-    # pass 1: global max ts (the censoring anchor)
-    def mx_part(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table({
-            "_all": pa.array([1], pa.int8()),
-            "mx": pa.array([pc.max(pc.cast(t[ts_col],
-                                           pa.timestamp("us"))).as_py()],
-                           pa.timestamp("us"))})
-
-    mx = grouped_aggregate(
-        ds.map_batches(mx_part, batch_format="pyarrow",
-                       zero_copy_batch=True),
-        keys=["_all"], aggs={"mx": ("mx", "max")},
-        num_partitions=1).to_pandas()
-    if len(mx) == 0 or "mx" not in mx.columns or mx["mx"].isna().all():
-        import ray.data
-
-        return ray.data.from_pandas(pd.DataFrame({
-            "day": pd.Series([], dtype="int64"),
-            "n_risk": pd.Series([], dtype="int64"),
-            "n_events": pd.Series([], dtype="int64"),
-            "survival": pd.Series([], dtype="float64")}))
-    cutoff_us = (pd.Timestamp(mx["mx"].iloc[0]).value // 1000
-                 - censor_days * 86_400_000_000)
-
-    # pass 2: per-key lifetime -> (duration-day, observed) -> histogram
-    def life_part(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
-        out = (pa.table({key: t[key], "ts": ts})
-               .group_by([key], use_threads=False)
-               .aggregate([("ts", "min"), ("ts", "max")]))
-        out = out.rename_columns([key, "lo", "hi"])
-        return out.append_column(
-            "_pkey", _stable_pkey(out[key], num_partitions))
-
-    def life_merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(key, sort=False).agg(
-            lo=("lo", "min"), hi=("hi", "max")).reset_index()
-        dur = (g["hi"].to_numpy(np.int64) - g["lo"].to_numpy(np.int64)) \
-            // 86_400_000_000
-        obs = g["hi"].to_numpy(np.int64) <= cutoff_us
-        h = pd.DataFrame({"dur": dur, "obs": obs})
-        out = h.groupby("dur").agg(
-            d=("obs", "sum"), tot=("obs", "size")).reset_index()
-        out["d"] = out["d"].astype(np.int64)
-        out["tot"] = out["tot"].astype(np.int64)
-        return out
-
-    hist = (ds.map_batches(life_part, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("_pkey")
-            .map_groups(life_merge, batch_format="pandas"))
-
-    # pass 3: span-bounded ordered fold
     def km(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({
-            "day": pd.Series([], dtype="int64"),
+            "bucket": pd.Series([], dtype="int64"),
             "n_risk": pd.Series([], dtype="int64"),
             "n_events": pd.Series([], dtype="int64"),
             "survival": pd.Series([], dtype="float64")})
@@ -199,10 +148,148 @@ def survival_km(
         surv = np.cumprod(1.0 - d / n_risk)        # d=0 rows multiply by 1
         keep = g["d"].to_numpy(np.int64) > 0
         return pd.DataFrame({
-            "day": g["dur"].to_numpy(np.int64)[keep],
+            "bucket": g["dur"].to_numpy(np.int64)[keep],
             "n_risk": n_risk[keep].astype(np.int64),
             "n_events": g["d"].to_numpy(np.int64)[keep],
             "survival": surv[keep]})
 
     return hist.repartition(1).map_batches(km, batch_format="pandas",
+                                           batch_size=None)
+
+
+def _lifetime_hist(ds: Dataset, *, key: str, ts_col: str, event_col: str,
+                   bucket_us: int, num_partitions: int,
+                   grouped: bool, group_col: str = "grp") -> Dataset:
+    """Shared KM/log-rank base: per-key (first ts, first event ts,
+    last ts[, group]) partials -> one key-hash exchange -> span-bounded
+    (duration-bucket[, group]) histogram.  duration = first-event-ts -
+    first-ts when observed, last-ts - first-ts when censored."""
+
+    def life_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        ev = pc.cast(t[event_col], pa.bool_())
+        te = pc.if_else(ev, ts, pa.scalar(None, pa.int64()))
+        cols = {key: t[key], "ts": ts, "te": te}
+        aggs = [("ts", "min"), ("te", "min"), ("ts", "max")]
+        names = [key, "lo", "te", "hi"]
+        if grouped:
+            cols["g"] = pc.cast(pc.cast(t[group_col], pa.bool_()),
+                                pa.int8())
+            aggs.append(("g", "max"))
+            names.append("g")
+        out = (pa.table(cols).group_by([key], use_threads=False)
+               .aggregate(aggs))
+        out = out.rename_columns(names)
+        return out.append_column(
+            "_pkey", _stable_pkey(out[key], num_partitions))
+
+    def life_merge(df: pd.DataFrame) -> pd.DataFrame:
+        aggs = dict(lo=("lo", "min"), te=("te", "min"), hi=("hi", "max"))
+        if grouped:
+            aggs["g"] = ("g", "max")
+        g = df.groupby(key, sort=False).agg(**aggs).reset_index()
+        lo = g["lo"].to_numpy(np.int64)
+        hi = g["hi"].to_numpy(np.int64)
+        te = g["te"].to_numpy()                    # float w/ NaN or int
+        obs = pd.notna(g["te"]).to_numpy()
+        end = np.where(obs, np.nan_to_num(
+            g["te"].astype("float64").to_numpy()), hi).astype(np.int64)
+        dur = (end - lo) // int(bucket_us)
+        h = pd.DataFrame({"dur": dur, "obs": obs})
+        if grouped:
+            h["grp"] = g["g"].to_numpy(np.int8) > 0
+            out = h.groupby("dur").agg(
+                d1=("obs", lambda s: int((s & h.loc[s.index, "grp"])
+                                         .sum())),
+                d=("obs", "sum"),
+                tot1=("grp", "sum"),
+                tot=("grp", "size")).reset_index()
+            cols = ("d1", "d", "tot1", "tot")
+        else:
+            out = h.groupby("dur").agg(
+                d=("obs", "sum"), tot=("obs", "size")).reset_index()
+            cols = ("d", "tot")
+        for c in cols:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (ds.map_batches(life_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_pkey")
+            .map_groups(life_merge, batch_format="pandas"))
+
+
+def logrank_test(
+    ds: Dataset,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event",
+    group_col: str = "grp",
+    bucket_us: int = 3_600_000_000,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Two-sample log-rank test on the time-to-conversion curves of two
+    cohorts -- the inference companion of :func:`survival_km` (is the
+    difference between the curves real?).  At every distinct observed
+    conversion bucket t the observed group-1 conversions are compared
+    with their hypergeometric expectation
+
+        E1_t = d_t * n1_t / n_t,
+        V_t  = d_t (n1_t/n_t)(1 - n1_t/n_t)(n_t - d_t)/(n_t - 1)
+
+    and ``z = sum(d1 - E1) / sqrt(sum V)`` (chi-square = z^2).  A key's
+    group is the ANY-true fold of the per-row boolean ``group_col``;
+    censoring as in the KM op (never-converted keys are censored at
+    their last activity).
+
+    Same dataflow as the KM op with a group dimension; per-bucket
+    arithmetic is a fixed expression tree mirrored by the SQL twin
+    (suffix-sum at-risk per group over exact ints; n = 1 buckets pin
+    the variance to an exact 0 on both sides).
+
+    Output: one row -- ``n_buckets (int64), d1 (int64), e1 (float64),
+    var (float64), z (float64)`` (NULL z when sum V = 0; empty input
+    emits no row).
+    """
+    hist = _lifetime_hist(ds, key=key, ts_col=ts_col, event_col=event_col,
+                          bucket_us=bucket_us,
+                          num_partitions=num_partitions, grouped=True,
+                          group_col=group_col)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "n_buckets": pd.Series([], dtype="int64"),
+            "d1": pd.Series([], dtype="int64"),
+            "e1": pd.Series([], dtype="float64"),
+            "var": pd.Series([], dtype="float64"),
+            "z": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        g = df.groupby("dur", sort=True).agg(
+            d1=("d1", "sum"), d=("d", "sum"),
+            tot1=("tot1", "sum"), tot=("tot", "sum")).reset_index()
+        n = np.cumsum(g["tot"].to_numpy(np.float64)[::-1])[::-1]
+        n1 = np.cumsum(g["tot1"].to_numpy(np.float64)[::-1])[::-1]
+        d = g["d"].to_numpy(np.float64)
+        d1 = g["d1"].to_numpy(np.float64)
+        ev = d > 0
+        n, n1, d, d1 = n[ev], n1[ev], d[ev], d1[ev]
+        e1 = d * n1 / n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            v = d * (n1 / n) * (1.0 - n1 / n) * (n - d) / (n - 1.0)
+        v = np.where(np.isfinite(v), v, 0.0)   # n == 1 buckets: V = 0
+        sv = float(v.sum())
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = float((d1.sum() - e1.sum()) / np.sqrt(sv))
+        return pd.DataFrame({
+            "n_buckets": pd.Series([int(ev.sum())], dtype="int64"),
+            "d1": pd.Series([int(d1.sum())], dtype="int64"),
+            "e1": [float(e1.sum())],
+            "var": [sv],
+            "z": [z if np.isfinite(z) else np.nan]})
+
+    return hist.repartition(1).map_batches(fold, batch_format="pandas",
                                            batch_size=None)

@@ -76,6 +76,7 @@ QUERIES = [
     "events_rolling_p90",
     "events_survival_km",
     "events_ab_ztest",
+    "events_logrank",
 ]
 
 SHAPES = [
