@@ -3588,6 +3588,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, key="user_id", ts_col="ts",
             event_col="event").sort("bucket"))
 
+    def q_events_cum_hazard(sf):
+        """Nelson–Aalen cumulative hazard of time-to-first-purchase —
+        the additive sibling of the KM curve
+        (stages/cohort.cumulative_hazard)."""
+        import pyarrow.compute as _pc
+
+        from s_tsfe_dl_ray.stages.cohort import cumulative_hazard
+
+        ds = read_events(sf, columns=["user_id", "ts", "event_type"])
+        ev = ds.map_batches(
+            lambda t: pa.table({
+                "user_id": t["user_id"], "ts": t["ts"],
+                "event": _pc.equal(t["event_type"], "purchase")}),
+            batch_format="pyarrow")
+        return _round_floats(cumulative_hazard(
+            ev, key="user_id", ts_col="ts",
+            event_col="event").sort("bucket"))
+
     def q_events_logrank(sf):
         """Two-sample log-rank test on time-to-first-purchase between
         the two deterministic md5 A/B arms — the survival-curve
@@ -3950,6 +3968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hill_tail": q_events_hill_tail,
         "events_ab_ztest": q_events_ab_ztest,
         "events_survival_km": q_events_survival_km,
+        "events_cum_hazard": q_events_cum_hazard,
         "events_logrank": q_events_logrank,
         "docs_lang_confusion": q_docs_lang_confusion,
         "transcripts_token_gini": q_transcripts_token_gini,
@@ -8096,6 +8115,35 @@ def oracle_sql() -> dict[str, str]:
                          - ln(max(v) FILTER (WHERE cum >= 101)), 6)
                      AS hill
             FROM w GROUP BY 1 ORDER BY 1
+        """,
+        # same base as the KM twin; the ascending hazard-increment sum
+        # (d=0 buckets add an exact 0) mirrors the window sum
+        "events_cum_hazard": """
+            WITH u AS (
+              SELECT user_id,
+                     (epoch_us(coalesce(
+                         min(ts) FILTER (WHERE event_type = 'purchase'),
+                         max(ts)))
+                      - epoch_us(min(ts))) // 3600000000 AS dur,
+                     (min(ts) FILTER (WHERE event_type = 'purchase'))
+                       IS NOT NULL AS obs
+              FROM events GROUP BY 1
+            ), h AS (
+              SELECT dur, (count(*) FILTER (WHERE obs))::BIGINT AS d,
+                     count(*)::BIGINT AS tot
+              FROM u GROUP BY 1
+            ), w AS (
+              SELECT dur, d,
+                     sum(tot) OVER (ORDER BY dur DESC) AS n_risk
+              FROM h
+            ), s AS (
+              SELECT dur, d, n_risk,
+                     sum(d::DOUBLE / n_risk) OVER (ORDER BY dur) AS hz
+              FROM w
+            )
+            SELECT dur AS bucket, n_risk::BIGINT AS n_risk,
+                   d AS n_events, round(hz, 6) AS hazard
+            FROM s WHERE d > 0 ORDER BY bucket
         """,
         # at-risk suffix sums per group over exact ints; E1/V per event
         # day mirror the engine's expression tree; n=1 days pin V to an

@@ -293,3 +293,49 @@ def logrank_test(
 
     return hist.repartition(1).map_batches(fold, batch_format="pandas",
                                            batch_size=None)
+
+
+def cumulative_hazard(
+    ds: Dataset,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event",
+    bucket_us: int = 3_600_000_000,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Nelson–Aalen cumulative hazard H(t) = Σ_{t_i ≤ t} d_i/n_i over
+    the same time-to-conversion base as :func:`survival_km` — the
+    additive view of the same curve (hazard increments sum; useful when
+    comparing slopes or feeding a proportional-hazards check).  Same
+    two passes; the ascending increment sum is mirrored by the SQL
+    twin's window sum.  Output: ``bucket, n_risk, n_events, hazard``
+    (rows with ≥ 1 observed conversion)."""
+
+    hist = _lifetime_hist(ds, key=key, ts_col=ts_col, event_col=event_col,
+                          bucket_us=bucket_us,
+                          num_partitions=num_partitions, grouped=False)
+
+    def na(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "bucket": pd.Series([], dtype="int64"),
+            "n_risk": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "hazard": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        g = df.groupby("dur", sort=True).agg(
+            d=("d", "sum"), tot=("tot", "sum")).reset_index()
+        tot = g["tot"].to_numpy(np.float64)
+        d = g["d"].to_numpy(np.float64)
+        n_risk = np.cumsum(tot[::-1])[::-1]
+        hz = np.cumsum(d / n_risk)                 # d=0 rows add exact 0
+        keep = g["d"].to_numpy(np.int64) > 0
+        return pd.DataFrame({
+            "bucket": g["dur"].to_numpy(np.int64)[keep],
+            "n_risk": n_risk[keep].astype(np.int64),
+            "n_events": g["d"].to_numpy(np.int64)[keep],
+            "hazard": hz[keep]})
+
+    return hist.repartition(1).map_batches(na, batch_format="pandas",
+                                           batch_size=None)

@@ -77,6 +77,7 @@ QUERIES = [
     "events_survival_km",
     "events_ab_ztest",
     "events_logrank",
+    "events_cum_hazard",
 ]
 
 SHAPES = [
