@@ -3588,6 +3588,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, key="user_id", ts_col="ts",
             event_col="event").sort("bucket"))
 
+    def q_events_type_value_mi(sf):
+        """Mutual information between event type and the value band
+        (7 fixed 50-wide bins) + normalized MI — feature-relevance
+        screening next to the chi²/Cramér's-V op
+        (stages/distinct.mutual_information)."""
+        import numpy as _np
+
+        from s_tsfe_dl_ray.stages.distinct import mutual_information
+
+        ds = read_events(sf, columns=["event_type", "value"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            v = t["value"].to_numpy(zero_copy_only=False)
+            b = _np.minimum(_np.floor(v / 50.0), 6.0).astype(_np.int64)
+            return pa.table({"event_type": t["event_type"],
+                             "vband": pa.array(b)})
+
+        return _round_floats(mutual_information(
+            ds.map_batches(derive, batch_format="pyarrow"),
+            col_a="event_type", col_b="vband"))
+
     def q_events_cum_hazard(sf):
         """Nelson–Aalen cumulative hazard of time-to-first-purchase —
         the additive sibling of the KM curve
@@ -3970,6 +3991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_survival_km": q_events_survival_km,
         "events_cum_hazard": q_events_cum_hazard,
         "events_logrank": q_events_logrank,
+        "events_type_value_mi": q_events_type_value_mi,
         "docs_lang_confusion": q_docs_lang_confusion,
         "transcripts_token_gini": q_transcripts_token_gini,
         "events_rolling_p90": q_events_rolling_p90,
@@ -8115,6 +8137,33 @@ def oracle_sql() -> dict[str, str]:
                          - ln(max(v) FILTER (WHERE cum >= 101)), 6)
                      AS hill
             FROM w GROUP BY 1 ORDER BY 1
+        """,
+        # exact contingency counts; per-cell MI terms and marginal
+        # entropies mirror the engine's expression tree (unobserved
+        # cells contribute nothing on either side)
+        "events_type_value_mi": """
+            WITH c AS (
+              SELECT event_type AS a,
+                     CAST(least(floor(value / 50), 6) AS BIGINT) AS b,
+                     count(*)::BIGINT AS o
+              FROM events GROUP BY 1, 2
+            ), ma AS (SELECT a, sum(o)::DOUBLE AS ra FROM c GROUP BY 1),
+            mb AS (SELECT b, sum(o)::DOUBLE AS cb FROM c GROUP BY 1),
+            nn AS (SELECT sum(o)::DOUBLE AS n FROM c),
+            mi AS (
+              SELECT sum((o::DOUBLE / n)
+                         * ln(o::DOUBLE * n / (ra * cb))) AS mi
+              FROM c JOIN ma USING (a) JOIN mb USING (b), nn
+            ), ents AS (
+              SELECT (SELECT -sum((ra / n) * ln(ra / n))
+                      FROM ma, nn) AS h_a,
+                     (SELECT -sum((cb / n) * ln(cb / n))
+                      FROM mb, nn) AS h_b
+            )
+            SELECT (SELECT n FROM nn)::BIGINT AS n,
+                   round(mi, 6) AS mi,
+                   round(mi / sqrt(h_a * h_b), 6) AS nmi
+            FROM mi, ents
         """,
         # same base as the KM twin; the ascending hazard-increment sum
         # (d=0 buckets add an exact 0) mirrors the window sum

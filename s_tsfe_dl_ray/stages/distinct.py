@@ -1020,3 +1020,70 @@ def k_anonymity_audit(
         .repartition(1)
         .map_batches(fold, batch_format="pandas", batch_size=None)
     )
+
+
+def mutual_information(
+    ds: Dataset,
+    *,
+    col_a: str,
+    col_b: str,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Mutual information (nats) between two categorical columns, plus
+    the normalized variant NMI = MI/√(H_a·H_b) — the information-
+    theoretic effect size next to :func:`chi2_independence`'s Cramér's V
+    (feature-relevance screening: how much does knowing A tell you
+    about B?).
+
+    Same contingency discipline: per-batch (a, b) count partials, tiny
+    single-partition finalize over the |a|×|b| table.  Counts are exact
+    ints; the per-cell term ``(o/n)·ln(o·n/(r_a·c_b))`` and the marginal
+    entropies mirror the SQL twin's expression tree (unobserved cells
+    contribute nothing on either side).  Output: one row — ``n (int64),
+    mi (float64), nmi (float64)`` (NULL nmi when either marginal is
+    constant).
+    """
+    from .dedup import _grouped_min
+
+    def partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({"a": t[col_a], "b": t[col_b]})
+        out = tbl.combine_chunks().group_by(
+            ["a", "b"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["a", "b", "o"])
+
+    counts = _grouped_min(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        group_cols=["a", "b"], agg_cols=[("o", "sum")], pkey_col="a",
+        num_partitions=num_partitions)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "n": pd.Series([], dtype="int64"),
+            "mi": pd.Series([], dtype="float64"),
+            "nmi": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        g = df.groupby(["a", "b"], sort=True)["o"].sum().reset_index()
+        o = g["o"].to_numpy(dtype=np.float64)
+        ra = g.groupby("a", sort=False)["o"].transform("sum") \
+            .to_numpy(dtype=np.float64)
+        cb = g.groupby("b", sort=False)["o"].transform("sum") \
+            .to_numpy(dtype=np.float64)
+        n = float(o.sum())
+        mi = float(((o / n) * np.log(o * n / (ra * cb))).sum())
+        pa_ = g.groupby("a", sort=True)["o"].sum() \
+            .to_numpy(dtype=np.float64) / n
+        pb_ = g.groupby("b", sort=True)["o"].sum() \
+            .to_numpy(dtype=np.float64) / n
+        ha = float(-(pa_ * np.log(pa_)).sum())
+        hb = float(-(pb_ * np.log(pb_)).sum())
+        with np.errstate(invalid="ignore", divide="ignore"):
+            nmi = mi / np.sqrt(ha * hb)
+        return pd.DataFrame({
+            "n": pd.Series([int(n)], dtype="int64"),
+            "mi": [mi],
+            "nmi": [float(nmi) if np.isfinite(nmi) else np.nan]})
+
+    return counts.repartition(1).map_batches(fin, batch_format="pandas",
+                                             batch_size=None)

@@ -78,6 +78,7 @@ QUERIES = [
     "events_ab_ztest",
     "events_logrank",
     "events_cum_hazard",
+    "events_type_value_mi",
 ]
 
 SHAPES = [
