@@ -3588,6 +3588,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, key="user_id", ts_col="ts",
             event_col="event").sort("bucket"))
 
+    def q_events_cuped(sf):
+        """CUPED variance-reduced A/B readout: pre-midpoint activity
+        absorbs between-user variance from the post-midpoint metric
+        (stages/metrics.cuped_ab); exact int moments, md5 arms."""
+        from s_tsfe_dl_ray.stages.metrics import cuped_ab
+
+        ds = read_events(sf, columns=["user_id", "ts"])
+        return _round_floats(cuped_ab(
+            ds, unit_col="user_id", ts_col="ts", split_fraction=0.5))
+
     def q_events_type_value_mi(sf):
         """Mutual information between event type and the value band
         (7 fixed 50-wide bins) + normalized MI — feature-relevance
@@ -3992,6 +4002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cum_hazard": q_events_cum_hazard,
         "events_logrank": q_events_logrank,
         "events_type_value_mi": q_events_type_value_mi,
+        "events_cuped": q_events_cuped,
         "docs_lang_confusion": q_docs_lang_confusion,
         "transcripts_token_gini": q_transcripts_token_gini,
         "events_rolling_p90": q_events_rolling_p90,
@@ -8137,6 +8148,51 @@ def oracle_sql() -> dict[str, str]:
                          - ln(max(v) FILTER (WHERE cum >= 101)), 6)
                      AS hill
             FROM w GROUP BY 1 ORDER BY 1
+        """,
+        # midpoint from exact int µs; per-unit (x, y) conditional counts
+        # are exact ints; pooled-theta / diff / variance-reduction trees
+        # mirrored; constant covariate -> NULL via 0-division
+        "events_cuped": """
+            WITH mm AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts)))
+                               // 2 AS mid FROM events),
+            u AS (
+              SELECT user_id,
+                     (count(*) FILTER (WHERE epoch_us(ts) < mid))
+                       ::BIGINT AS x,
+                     (count(*) FILTER (WHERE epoch_us(ts) >= mid))
+                       ::BIGINT AS y,
+                     substring(md5(user_id::VARCHAR), 1, 4) < '8000'
+                       AS grp_b
+              FROM events, mm GROUP BY user_id
+            ), m AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+                     sum(x * x)::DOUBLE AS sxx,
+                     sum(x * y)::DOUBLE AS sxy,
+                     sum(y * y)::DOUBLE AS syy,
+                     (count(*) FILTER (WHERE NOT grp_b))::BIGINT AS n_a,
+                     (count(*) FILTER (WHERE grp_b))::BIGINT AS n_b,
+                     (sum(x) FILTER (WHERE NOT grp_b))::DOUBLE AS sxa,
+                     (sum(y) FILTER (WHERE NOT grp_b))::DOUBLE AS sya,
+                     (sum(x) FILTER (WHERE grp_b))::DOUBLE AS sxb,
+                     (sum(y) FILTER (WHERE grp_b))::DOUBLE AS syb
+              FROM u
+            ), f AS (
+              SELECT n_a, n_b,
+                     (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+                     sya / n_a - syb / n_b AS diff_raw,
+                     sxa / n_a - sxb / n_b AS xdiff,
+                     syy - sy * sy / n AS cyy,
+                     sxy - sx * sy / n AS cxy,
+                     sxx - sx * sx / n AS cxx
+              FROM m
+            )
+            SELECT n_a, n_b, round(theta, 6) AS theta,
+                   round(diff_raw, 6) AS diff_raw,
+                   round(diff_raw - theta * xdiff, 6) AS diff_adj,
+                   round((cyy - cxy * cxy / cxx) / cyy, 6)
+                     AS var_reduction
+            FROM f
         """,
         # exact contingency counts; per-cell MI terms and marginal
         # entropies mirror the engine's expression tree (unobserved

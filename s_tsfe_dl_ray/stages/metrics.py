@@ -551,3 +551,130 @@ def isotonic_calibration(
                               zero_copy_batch=True)
     return partials.repartition(1).map_batches(pav, batch_format="pandas",
                                                batch_size=None)
+
+
+def cuped_ab(
+    ds: Dataset,
+    *,
+    unit_col: str,
+    ts_col: str,
+    split_fraction: float = 0.5,
+    num_partitions: int = 64,
+) -> Dataset:
+    """CUPED variance-reduced A/B readout on activity counts: the
+    pre-period covariate (each unit's row count before the corpus time
+    midpoint) absorbs between-unit variance from the post-period metric
+    (row count after the midpoint), shrinking the arm-difference
+    variance by 1 − ρ² — the modern experimentation upgrade of
+    :func:`ab_ztest`'s raw comparison.
+
+        θ = cov(x, y)/var(x)  (pooled),  diff_adj = Δȳ − θ·Δx̄,
+        var_reduction = var(y − θx)/var(y) = 1 − ρ²
+
+    Shape: global (min, max) ts combiner fixes the midpoint; per-unit
+    (x, y) conditional-count partials dedup through one unit-hash
+    exchange; arms from the deterministic md5 split; all moments are
+    exact int64 sums and the finalize expression tree is mirrored by
+    the SQL twin (constant covariate → NULL θ/adj via 0-division).
+
+    Output: one row — ``n_a, n_b, theta, diff_raw, diff_adj,
+    var_reduction``.
+    """
+    import hashlib
+
+    from ..pipelines.relational import grouped_aggregate
+    from .rollup import _stable_pkey
+
+    cut_hex = format(int(split_fraction * 65536), "04x")
+
+    def mm_part(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        return pa.table({"_all": pa.array([1], pa.int8()),
+                         "lo": pa.array([pc.min(ts).as_py()], pa.int64()),
+                         "hi": pa.array([pc.max(ts).as_py()], pa.int64())})
+
+    mm = grouped_aggregate(
+        ds.map_batches(mm_part, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["_all"], aggs={"lo": ("lo", "min"), "hi": ("hi", "max")},
+        num_partitions=1).to_pandas()
+    empty = pd.DataFrame({
+        "n_a": pd.Series([], dtype="int64"),
+        "n_b": pd.Series([], dtype="int64"),
+        "theta": pd.Series([], dtype="float64"),
+        "diff_raw": pd.Series([], dtype="float64"),
+        "diff_adj": pd.Series([], dtype="float64"),
+        "var_reduction": pd.Series([], dtype="float64")})
+    if len(mm) == 0 or "lo" not in mm.columns or mm["lo"].isna().all():
+        import ray.data
+
+        return ray.data.from_pandas(empty)
+    mid = (int(mm["lo"].iloc[0]) + int(mm["hi"].iloc[0])) // 2
+
+    def xy_part(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        pre = pc.cast(pc.less(ts, pa.scalar(mid, pa.int64())), pa.int64())
+        post = pc.subtract(pa.scalar(1, pa.int64()), pre)
+        out = (pa.table({unit_col: t[unit_col], "x": pre, "y": post})
+               .group_by([unit_col], use_threads=False)
+               .aggregate([("x", "sum"), ("y", "sum")]))
+        out = out.rename_columns([unit_col, "x", "y"])
+        return out.append_column(
+            "_pkey", _stable_pkey(out[unit_col], num_partitions))
+
+    def unit_moments(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ("n", "sx", "sy", "sxx", "sxy", "syy",
+                "n_a", "n_b", "sxa", "sya", "sxb", "syb")
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        g = df.groupby(unit_col, sort=False).agg(
+            x=("x", "sum"), y=("y", "sum")).reset_index()
+        x = g["x"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        is_b = np.array([
+            hashlib.md5(str(u).encode()).hexdigest()[:4] < cut_hex
+            for u in g[unit_col].to_numpy()])
+        return pd.DataFrame({
+            "n": [len(g)], "sx": [int(x.sum())], "sy": [int(y.sum())],
+            "sxx": [int((x * x).sum())], "sxy": [int((x * y).sum())],
+            "syy": [int((y * y).sum())],
+            "n_a": [int((~is_b).sum())], "n_b": [int(is_b.sum())],
+            "sxa": [int(x[~is_b].sum())], "sya": [int(y[~is_b].sum())],
+            "sxb": [int(x[is_b].sum())], "syb": [int(y[is_b].sum())]})
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "n" not in df.columns:
+            return empty
+        s = df.sum()
+        n = np.float64(s["n"])
+        sx, sy = np.float64(s["sx"]), np.float64(s["sy"])
+        sxx, sxy, syy = (np.float64(s["sxx"]), np.float64(s["sxy"]),
+                         np.float64(s["syy"]))
+        n_a, n_b = np.float64(s["n_a"]), np.float64(s["n_b"])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cxx = sxx - sx * sx / n
+            cxy = sxy - sx * sy / n
+            cyy = syy - sy * sy / n
+            theta = cxy / cxx
+            diff_raw = np.float64(s["sya"]) / n_a \
+                - np.float64(s["syb"]) / n_b
+            xdiff = np.float64(s["sxa"]) / n_a \
+                - np.float64(s["sxb"]) / n_b
+            diff_adj = diff_raw - theta * xdiff
+            var_red = (cyy - cxy * cxy / cxx) / cyy
+        vals = [v if np.isfinite(v) else np.nan
+                for v in (theta, diff_raw, diff_adj, var_red)]
+        return pd.DataFrame({
+            "n_a": pd.Series([int(s["n_a"])], dtype="int64"),
+            "n_b": pd.Series([int(s["n_b"])], dtype="int64"),
+            "theta": [vals[0]], "diff_raw": [vals[1]],
+            "diff_adj": [vals[2]], "var_reduction": [vals[3]]})
+
+    moments = (ds.map_batches(xy_part, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("_pkey")
+               .map_groups(lambda d: unit_moments(
+                   d.drop(columns=["_pkey"])), batch_format="pandas"))
+    return moments.repartition(1).map_batches(fin, batch_format="pandas",
+                                              batch_size=None)

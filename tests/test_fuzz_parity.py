@@ -79,6 +79,7 @@ QUERIES = [
     "events_logrank",
     "events_cum_hazard",
     "events_type_value_mi",
+    "events_cuped",
 ]
 
 SHAPES = [
