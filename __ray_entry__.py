@@ -3588,6 +3588,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, key="user_id", ts_col="ts",
             event_col="event").sort("bucket"))
 
+    def q_lineitem_brand_revenue(sf):
+        """Revenue by part brand via the public shuffle-free
+        broadcast_join (part is a driver-bounded dimension): exact
+        int-cent discounted revenue per brand
+        (stages/join.broadcast_join)."""
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+        import ray.data as _rd
+
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+        from s_tsfe_dl_ray.stages.join import broadcast_join
+
+        li = _rd.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"])
+        part = _pq.read_table(f"{sf}/part.parquet",
+                              columns=["p_partkey", "p_brand"])
+
+        def rev(t: pa.Table) -> pa.Table:
+            price_i = _pc.cast(_pc.round(_pc.multiply(
+                t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+            disc_i = _pc.cast(_pc.round(_pc.multiply(
+                t["l_discount"], pa.scalar(100.0))), pa.int64())
+            return pa.table({
+                "l_partkey": t["l_partkey"],
+                "rev_i": _pc.multiply(price_i, _pc.subtract(
+                    pa.scalar(100, pa.int64()), disc_i))})
+
+        joined = broadcast_join(
+            li.map_batches(rev, batch_format="pyarrow"),
+            part, left_on="l_partkey", right_on="p_partkey", how="inner")
+        agg = grouped_aggregate(
+            joined, keys=["p_brand"],
+            aggs={"n_items": ("rev_i", "count"),
+                  "rev_i": ("rev_i", "sum")})
+        return _round_floats(agg.map_batches(
+            lambda t: pa.table({
+                "p_brand": t["p_brand"], "n_items": t["n_items"],
+                "revenue": _pc.divide(_pc.cast(t["rev_i"], pa.float64()),
+                                      pa.scalar(10_000.0))}),
+            batch_format="pyarrow").sort("p_brand"))
+
     def q_events_cuped(sf):
         """CUPED variance-reduced A/B readout: pre-midpoint activity
         absorbs between-user variance from the post-midpoint metric
@@ -4003,6 +4045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_logrank": q_events_logrank,
         "events_type_value_mi": q_events_type_value_mi,
         "events_cuped": q_events_cuped,
+        "lineitem_brand_revenue": q_lineitem_brand_revenue,
         "docs_lang_confusion": q_docs_lang_confusion,
         "transcripts_token_gini": q_transcripts_token_gini,
         "events_rolling_p90": q_events_rolling_p90,
@@ -8148,6 +8191,17 @@ def oracle_sql() -> dict[str, str]:
                          - ln(max(v) FILTER (WHERE cum >= 101)), 6)
                      AS hill
             FROM w GROUP BY 1 ORDER BY 1
+        """,
+        # int-cent revenue (the revenue_by_nation discipline) through the
+        # shuffle-free broadcast dimension join
+        "lineitem_brand_revenue": """
+            SELECT p_brand, count(*)::BIGINT AS n_items,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100)
+                                           AS BIGINT)))::DOUBLE
+                         / 10000.0, 6) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1 ORDER BY 1
         """,
         # midpoint from exact int µs; per-unit (x, y) conditional counts
         # are exact ints; pooled-theta / diff / variance-reduction trees

@@ -607,3 +607,72 @@ def join_size(
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def broadcast_join(
+    large: Dataset,
+    small: pa.Table,
+    *,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+) -> Dataset:
+    """Dimension-enrichment join with NO shuffle: the small side (a
+    driver-resident Arrow table — dimension tables, lookup maps,
+    vocabularies) is sorted once and captured in the map closure (Ray
+    ships the serialized closure to the object store once, every task
+    reads the same copy), and each large-side batch attaches the
+    matching dimension columns via one vectorized ``searchsorted`` —
+    the public generic of the nation/region lut pattern the revenue
+    pipelines use inline (pipelines/relational.py).
+
+    ``how='inner'`` drops unmatched large rows; ``'left'`` keeps them
+    with NULL dimension columns.  The small side's join keys must be
+    unique (raises otherwise).  Use :func:`hash_join` when BOTH sides
+    are large; this op is for the 1e2–1e6-row dimension class where a
+    shuffle would dominate the query.
+
+    Output columns: all large columns + the small side's non-key
+    columns (name collisions raise).
+    """
+    import numpy as np
+
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    small = small.combine_chunks()
+    keys_arr = small[right_on].to_numpy(zero_copy_only=False)
+    if len(np.unique(keys_arr)) != len(keys_arr):
+        raise ValueError("broadcast_join small side keys must be unique")
+    order = np.argsort(keys_arr, kind="mergesort")
+    skeys = keys_arr[order]
+    payload_cols = [c for c in small.column_names if c != right_on]
+    payload = {c: small[c].to_numpy(zero_copy_only=False)[order]
+               for c in payload_cols}
+    payload_types = {c: small.schema.field(c).type for c in payload_cols}
+
+    def attach(t: pa.Table) -> pa.Table:
+        for c in payload_cols:
+            if c in t.column_names:
+                raise ValueError(f"broadcast_join column collision: {c}")
+        lk = t[left_on].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, lk)
+        ok = (pos < len(skeys))
+        ok &= skeys[np.minimum(pos, len(skeys) - 1)] == lk
+        if how == "inner":
+            t = t.filter(pa.array(ok))
+            pos = pos[ok]
+            for c in payload_cols:
+                t = t.append_column(
+                    c, pa.array(payload[c][pos], type=payload_types[c]))
+            return t
+        out = t
+        safe = np.minimum(pos, len(skeys) - 1)
+        for c in payload_cols:
+            vals = payload[c][safe]
+            col = pa.array(vals, type=payload_types[c],
+                           mask=~ok)           # unmatched -> NULL
+            out = out.append_column(c, col)
+        return out
+
+    return large.map_batches(attach, batch_format="pyarrow",
+                             zero_copy_batch=True)

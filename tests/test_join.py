@@ -273,3 +273,41 @@ def test_plan_compaction_bins_respect_target():
         ray.data.from_arrow(audit), target_bytes=100,
         bytes_col="compressed_bytes").to_pandas()
     assert out.equals(out2)
+
+
+def test_broadcast_join_inner_left_and_guards():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from s_tsfe_dl_ray.stages.join import broadcast_join
+
+    large = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 2], pa.int64()),
+        "v": pa.array([10.0, 20.0, 30.0, 40.0, 21.0])}))
+    dim = pa.table({"k2": pa.array([1, 2, 5], pa.int64()),
+                    "name": pa.array(["a", "b", "e"])})
+
+    inner = broadcast_join(large, dim, left_on="k",
+                           right_on="k2").to_pandas()
+    assert sorted(inner["k"].tolist()) == [1, 2, 2]
+    assert set(inner["name"]) == {"a", "b"}
+
+    left = broadcast_join(large, dim, left_on="k", right_on="k2",
+                          how="left").to_pandas().sort_values(
+        ["k", "v"]).reset_index(drop=True)
+    assert len(left) == 5
+    assert left.loc[left.k == 3, "name"].isna().all()
+    assert (left.loc[left.k == 2, "name"] == "b").all()
+
+    dup = pa.table({"k2": pa.array([1, 1], pa.int64()),
+                    "name": pa.array(["a", "b"])})
+    with pytest.raises(ValueError):
+        broadcast_join(large, dup, left_on="k", right_on="k2")
+
+    clash = pa.table({"k2": pa.array([1], pa.int64()),
+                      "v": pa.array([9.0])})
+    with pytest.raises(Exception):
+        broadcast_join(large, clash, left_on="k",
+                       right_on="k2").to_pandas()
