@@ -3588,6 +3588,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, key="user_id", ts_col="ts",
             event_col="event").sort("bucket"))
 
+    def q_transcripts_tool_km(sf):
+        """Kaplan–Meier time-to-first-TOOL-CALL per conversation
+        (minute buckets; conversations that never call a tool are
+        right-censored at their last turn) — the survival view of tool
+        adoption latency (stages/cohort.survival_km on transcripts)."""
+        import pyarrow.compute as _pc
+
+        from s_tsfe_dl_ray.sources.parquet import read_transcripts
+        from s_tsfe_dl_ray.stages.cohort import survival_km
+
+        ds = read_transcripts(_transcripts_for(sf),
+                              columns=["conv_id", "ts", "role"])
+        ev = ds.map_batches(
+            lambda t: pa.table({
+                "conv_id": t["conv_id"], "ts": t["ts"],
+                "event": _pc.equal(t["role"], "tool")}),
+            batch_format="pyarrow")
+        return _round_floats(survival_km(
+            ev, key="conv_id", ts_col="ts", event_col="event",
+            bucket_us=60_000_000).sort("bucket"))
+
     def q_lineitem_brand_revenue(sf):
         """Revenue by part brand via the public shuffle-free
         broadcast_join (part is a driver-bounded dimension): exact
@@ -4046,6 +4067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_value_mi": q_events_type_value_mi,
         "events_cuped": q_events_cuped,
         "lineitem_brand_revenue": q_lineitem_brand_revenue,
+        "transcripts_tool_km": q_transcripts_tool_km,
         "docs_lang_confusion": q_docs_lang_confusion,
         "transcripts_token_gini": q_transcripts_token_gini,
         "events_rolling_p90": q_events_rolling_p90,
@@ -8191,6 +8213,36 @@ def oracle_sql() -> dict[str, str]:
                          - ln(max(v) FILTER (WHERE cum >= 101)), 6)
                      AS hill
             FROM w GROUP BY 1 ORDER BY 1
+        """,
+        # the KM twin on the transcript corpus: minute buckets, censored
+        # at the conversation's last turn when no tool call happens
+        "transcripts_tool_km": f"""
+            WITH u AS (
+              SELECT conv_id,
+                     (epoch_us(coalesce(
+                         min(ts) FILTER (WHERE role = 'tool'),
+                         max(ts)))
+                      - epoch_us(min(ts))) // 60000000 AS dur,
+                     (min(ts) FILTER (WHERE role = 'tool'))
+                       IS NOT NULL AS obs
+              FROM {T} GROUP BY 1
+            ), h AS (
+              SELECT dur, (count(*) FILTER (WHERE obs))::BIGINT AS d,
+                     count(*)::BIGINT AS tot
+              FROM u GROUP BY 1
+            ), w AS (
+              SELECT dur, d,
+                     sum(tot) OVER (ORDER BY dur DESC) AS n_risk
+              FROM h
+            ), s AS (
+              SELECT dur, d, n_risk,
+                     product(1.0 - d::DOUBLE / n_risk)
+                       OVER (ORDER BY dur) AS surv
+              FROM w
+            )
+            SELECT dur AS bucket, n_risk::BIGINT AS n_risk,
+                   d AS n_events, round(surv, 6) AS survival
+            FROM s WHERE d > 0 ORDER BY bucket
         """,
         # int-cent revenue (the revenue_by_nation discipline) through the
         # shuffle-free broadcast dimension join
