@@ -158,7 +158,7 @@ T_QUERIES = ["transcripts_latency_by_hour", "transcripts_duration_stats",
              "transcripts_prompt_ols", "transcripts_reply_latency",
              "transcripts_escalation", "transcripts_position_profile",
              "transcripts_tool_effect", "transcripts_conv_features",
-             "transcripts_token_gini"]
+             "transcripts_token_gini", "transcripts_tool_km"]
 
 
 def _synth_transcripts(tmpdir: str, seed: int, n: int, ties: bool) -> str:
@@ -232,6 +232,20 @@ def test_fuzz_transcript_query_matches_oracle(tmp_path_factory, entrymod,
     elif name == "transcripts_conv_features":
         from s_tsfe_dl_ray.stages.dialog import conversation_features
         out = conversation_features(ds)
+    elif name == "transcripts_tool_km":
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        from s_tsfe_dl_ray.stages.cohort import survival_km
+
+        ev = ds.map_batches(
+            lambda t: _pa.table({
+                "conv_id": t["conv_id"], "ts": t["ts"],
+                "event": _pc.equal(t["role"], "tool")}),
+            batch_format="pyarrow")
+        out = survival_km(ev, key="conv_id", ts_col="ts",
+                          event_col="event",
+                          bucket_us=60_000_000).sort("bucket")
     elif name == "transcripts_token_gini":
         import pyarrow as _pa
 
