@@ -3588,6 +3588,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, key="user_id", ts_col="ts",
             event_col="event").sort("bucket"))
 
+    def q_docs_split_leakage(sf):
+        """Train/test leakage audit: deterministic 80/20 md5 split of
+        the corpus, then count normalized-content fingerprints (and
+        docs) that appear on BOTH sides — the contamination gate run
+        before training on a deduped-but-split corpus (composition:
+        md5_fingerprint × hash_split × grouped fold)."""
+        import hashlib as _hl
+
+        import numpy as _np
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"])
+        fp = ds.map_batches(md5_fingerprint, batch_format="pandas")
+
+        def tag(df):
+            h = df["doc_id"].astype(str).map(
+                lambda s: _hl.md5(s.encode()).hexdigest()[:4] < "3333")
+            return pd.DataFrame({"fingerprint": df["fingerprint"],
+                                 "is_test": h.to_numpy()})
+
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+
+        tagged = fp.map_batches(tag, batch_format="pandas")
+
+        def part(t: pa.Table) -> pa.Table:
+            it = pc.cast(t["is_test"], pa.int64())
+            out = (pa.table({"fp": t["fingerprint"], "t": it})
+                   .group_by(["fp"], use_threads=False)
+                   .aggregate([("t", "sum"), ([], "count_all")]))
+            return out.rename_columns(["fp", "nt", "n"])
+
+        g = grouped_aggregate(
+            tagged.map_batches(part, batch_format="pyarrow"),
+            keys=["fp"], aggs={"nt": ("nt", "sum"), "n": ("n", "sum")})
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "n" not in df.columns:
+                df = pd.DataFrame({"n": [], "nt": []})
+            n = df["n"].to_numpy(dtype=_np.int64) if len(df) else \
+                _np.array([], dtype=_np.int64)
+            nt = df["nt"].to_numpy(dtype=_np.int64) if len(df) else \
+                _np.array([], dtype=_np.int64)
+            leaked = (nt > 0) & (nt < n)
+            return pd.DataFrame({
+                "n_train": pd.Series([int((n - nt).sum())], dtype="int64"),
+                "n_test": pd.Series([int(nt.sum())], dtype="int64"),
+                "n_leaked_fps": pd.Series([int(leaked.sum())],
+                                          dtype="int64"),
+                "n_leaked_docs": pd.Series([int(n[leaked].sum())],
+                                           dtype="int64")})
+
+        return g.repartition(1).map_batches(fin, batch_format="pandas",
+                                            batch_size=None)
+
     def q_transcripts_tool_km(sf):
         """Kaplan–Meier time-to-first-TOOL-CALL per conversation
         (minute buckets; conversations that never call a tool are
@@ -4068,6 +4122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cuped": q_events_cuped,
         "lineitem_brand_revenue": q_lineitem_brand_revenue,
         "transcripts_tool_km": q_transcripts_tool_km,
+        "docs_split_leakage": q_docs_split_leakage,
         "docs_lang_confusion": q_docs_lang_confusion,
         "transcripts_token_gini": q_transcripts_token_gini,
         "events_rolling_p90": q_events_rolling_p90,
@@ -8213,6 +8268,28 @@ def oracle_sql() -> dict[str, str]:
                          - ln(max(v) FILTER (WHERE cum >= 101)), 6)
                      AS hill
             FROM w GROUP BY 1 ORDER BY 1
+        """,
+        # md5 twins on both the content fingerprint and the split hash;
+        # exact counts; "leaked" = fingerprint present on both sides
+        "docs_split_leakage": """
+            WITH d AS (
+              SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                             'g'))) AS fp,
+                     substring(md5(doc_id::VARCHAR), 1, 4) < '3333'
+                       AS is_test
+              FROM documents
+            ), g AS (
+              SELECT fp, count(*)::BIGINT AS n,
+                     (count(*) FILTER (WHERE is_test))::BIGINT AS nt
+              FROM d GROUP BY 1
+            )
+            SELECT sum(n - nt)::BIGINT AS n_train,
+                   sum(nt)::BIGINT AS n_test,
+                   (count(*) FILTER (WHERE nt > 0 AND nt < n))::BIGINT
+                     AS n_leaked_fps,
+                   coalesce(sum(n) FILTER (WHERE nt > 0 AND nt < n), 0)
+                     ::BIGINT AS n_leaked_docs
+            FROM g
         """,
         # the KM twin on the transcript corpus: minute buckets, censored
         # at the conversation's last turn when no tool call happens
