@@ -686,3 +686,79 @@ def test_4h_ops_blocking_invariance():
         pd.testing.assert_frame_equal(
             a[k].reset_index(drop=True), b[k].reset_index(drop=True),
             check_exact=True, obj=k)
+
+
+def test_4jk_ops_blocking_invariance():
+    """Survival/experimentation/MI wave: bit-identical at 1 vs 7 input
+    blocks (exact-count histograms merged before any sequential fold)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.cohort import (
+        cumulative_hazard, logrank_test, survival_km)
+    from s_tsfe_dl_ray.stages.distinct import mutual_information
+    from s_tsfe_dl_ray.stages.metrics import (
+        ab_ztest, cuped_ab, isotonic_calibration, multiclass_prf)
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.sort(rng.integers(
+            1_700_000_000_000_000, 1_700_600_000_000_000, n)
+        ).astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(1, 40, n)),
+        "event_type": pa.array(rng.choice(
+            ["view", "click", "purchase"], n)),
+        "value": pa.array(np.round(rng.normal(50, 20, n), 2)),
+    })
+    path = "/tmp/blockinv_4jk.parquet"
+    pq.write_table(t, path)
+
+    def run(blocks):
+        ds = ray.data.read_parquet(path, override_num_blocks=blocks)
+        ev = ds.map_batches(
+            lambda b: pa.table({
+                "user_id": b["user_id"], "ts": b["ts"],
+                "event": pc.equal(b["event_type"], "purchase"),
+                "grp": pc.equal(b["event_type"], "view"),
+                "success": pc.equal(b["event_type"], "purchase"),
+                "lab": pc.greater(b["value"], pa.scalar(60.0)),
+                "score": b["value"],
+                "vband": pc.cast(pc.less(b["value"],
+                                         pa.scalar(50.0)), pa.int64()),
+                "event_type": b["event_type"],
+                "pred_type": pc.if_else(
+                    pc.greater(b["value"], pa.scalar(55.0)),
+                    pa.scalar("purchase"), b["event_type"])}),
+            batch_format="pyarrow")
+        return {
+            "km": to_pdf(survival_km(ev, key="user_id", ts_col="ts",
+                                     event_col="event").sort("bucket")),
+            "haz": to_pdf(cumulative_hazard(
+                ev, key="user_id", ts_col="ts",
+                event_col="event").sort("bucket")),
+            "lr": to_pdf(logrank_test(ev, key="user_id", ts_col="ts",
+                                      event_col="event",
+                                      group_col="grp")),
+            "ab": to_pdf(ab_ztest(ev, unit_col="user_id",
+                                  success_col="success")),
+            "cuped": to_pdf(cuped_ab(ev, unit_col="user_id",
+                                     ts_col="ts")),
+            "mi": to_pdf(mutual_information(ev, col_a="event_type",
+                                            col_b="vband")),
+            "prf": to_pdf(multiclass_prf(
+                ev, true_col="event_type", pred_col="pred_type")),
+            "iso": to_pdf(isotonic_calibration(
+                ev, score_col="score", label_col="lab")),
+        }
+
+    a, b = run(1), run(7)
+    for k in a:
+        pd.testing.assert_frame_equal(
+            a[k].reset_index(drop=True), b[k].reset_index(drop=True),
+            check_exact=True, obj=k)
