@@ -179,3 +179,42 @@ def test_granger_empty_or_degenerate():
     # zero blocks (fold never fires) or the degenerate 0-pair row
     assert len(out) == 0 or (out.iloc[0]["n_pairs"] == 0
                              and pd.isna(out.iloc[0]["f_stat"]))
+
+
+def test_survival_experiment_ops_empty():
+    import pyarrow as pa
+    import ray
+
+    from s_tsfe_dl_ray.stages.cohort import (
+        cumulative_hazard, logrank_test, survival_km)
+    from s_tsfe_dl_ray.stages.distinct import mutual_information
+    from s_tsfe_dl_ray.stages.metrics import (
+        ab_ztest, cuped_ab, isotonic_calibration)
+
+    empty = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "event": pa.array([], pa.bool_()),
+        "grp": pa.array([], pa.bool_()),
+        "success": pa.array([], pa.bool_()),
+        "a": pa.array([], pa.string()),
+        "b": pa.array([], pa.int64()),
+        "score": pa.array([], pa.float64()),
+        "lab": pa.array([], pa.bool_()),
+    }))
+    assert len(survival_km(empty, key="user_id", ts_col="ts",
+                           event_col="event").to_pandas()) == 0
+    assert len(cumulative_hazard(empty, key="user_id", ts_col="ts",
+                                 event_col="event").to_pandas()) == 0
+    assert len(logrank_test(empty, key="user_id", ts_col="ts",
+                            event_col="event",
+                            group_col="grp").to_pandas()) == 0
+    assert len(mutual_information(empty, col_a="a",
+                                  col_b="b").to_pandas()) == 0
+    assert len(isotonic_calibration(empty, score_col="score",
+                                    label_col="lab").to_pandas()) == 0
+    ab = ab_ztest(empty, unit_col="user_id",
+                  success_col="success").to_pandas()
+    assert len(ab) == 0 or int(ab.iloc[0]["n_a"] + ab.iloc[0]["n_b"]) == 0
+    cp = cuped_ab(empty, unit_col="user_id", ts_col="ts").to_pandas()
+    assert len(cp) == 0
