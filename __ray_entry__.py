@@ -3588,6 +3588,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, key="user_id", ts_col="ts",
             event_col="event").sort("bucket"))
 
+    def q_emb_ivf_recall(sf):
+        """ANN quality audit as a first-class query: recall@10 of the
+        IVF route against the exact brute-force neighbors for the same
+        10 query vectors — the acceptance gate run before trusting an
+        approximate index (composition of knn_ivf × knn_bruteforce).
+        Rows-only (both sides approximate/derived)."""
+        import pandas as _pd
+
+        from s_tsfe_dl_ray.stages.similarity import knn_bruteforce, knn_ivf
+
+        ds = read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+        exact = knn_bruteforce(
+            ds, query_ids=list(range(10)), k=10,
+            source_path=f"{sf}/embeddings.parquet").to_pandas()
+        approx = knn_ivf(ds, n_queries=10, k=10, n_clusters=8,
+                         nprobe=4).to_pandas()
+        qcol = [c for c in exact.columns if "query" in c][0]
+        ncol = [c for c in exact.columns if c != qcol
+                and ("neighbor" in c or "vec" in c)][0]
+        e = set(zip(exact[qcol], exact[ncol]))
+        a = set(zip(approx[qcol], approx[ncol]))
+        per_q = {}
+        for q, nb in e:
+            per_q.setdefault(q, [0, 0])
+            per_q[q][1] += 1
+            if (q, nb) in a:
+                per_q[q][0] += 1
+        rows = _pd.DataFrame({
+            "query_id": sorted(per_q),
+            "recall_at_10": [per_q[q][0] / per_q[q][1]
+                             for q in sorted(per_q)]})
+        rows["n_exact"] = [per_q[q][1] for q in sorted(per_q)]
+        return rows
+
     def q_docs_split_leakage(sf):
         """Train/test leakage audit: deterministic 80/20 md5 split of
         the corpus, then count normalized-content fingerprints (and
@@ -4123,6 +4158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_brand_revenue": q_lineitem_brand_revenue,
         "transcripts_tool_km": q_transcripts_tool_km,
         "docs_split_leakage": q_docs_split_leakage,
+        "emb_ivf_recall": q_emb_ivf_recall,
         "docs_lang_confusion": q_docs_lang_confusion,
         "transcripts_token_gini": q_transcripts_token_gini,
         "events_rolling_p90": q_events_rolling_p90,
