@@ -3588,6 +3588,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, key="user_id", ts_col="ts",
             event_col="event").sort("bucket"))
 
+    def q_events_recs_by_lift(sf):
+        """'Users who did X also did Y': top-3 recommended event types
+        per given type by association lift (ties by name) — the
+        recommender read-out over the pair_cooccurrence op.  Ranking on
+        the UNROUNDED lift, identical doubles both sides."""
+        import numpy as _np
+        import pandas as _pd
+
+        from s_tsfe_dl_ray.stages.distinct import pair_cooccurrence
+
+        ds = read_events(sf, columns=["user_id", "event_type"])
+        pairs = pair_cooccurrence(ds, group_col="user_id",
+                                  member_col="event_type")
+
+        def rank(df: _pd.DataFrame) -> _pd.DataFrame:
+            if len(df) == 0:
+                return _pd.DataFrame({
+                    "given": _pd.Series([], dtype="object"),
+                    "rec": _pd.Series([], dtype="object"),
+                    "lift": _pd.Series([], dtype="float64"),
+                    "rnk": _pd.Series([], dtype="int64")})
+            both = _pd.concat([
+                df.rename(columns={"member_a": "given",
+                                   "member_b": "rec"}),
+                df.rename(columns={"member_b": "given",
+                                   "member_a": "rec"})],
+                ignore_index=True)[["given", "rec", "lift"]]
+            both = both.sort_values(
+                ["given", "lift", "rec"],
+                ascending=[True, False, True]).reset_index(drop=True)
+            both["rnk"] = both.groupby(
+                "given", sort=False).cumcount().to_numpy() + 1
+            out = both[both["rnk"] <= 3].reset_index(drop=True)
+            out["rnk"] = out["rnk"].astype(_np.int64)
+            return out
+
+        # the type vocabulary is tiny — one final partition; at larger
+        # vocabularies route through grouped_apply on `given`
+        return _round_floats(
+            pairs.repartition(1).map_batches(rank, batch_format="pandas",
+                                             batch_size=None)
+            .sort(["given", "rnk"]))
+
     def q_emb_ivf_recall(sf):
         """ANN quality audit as a first-class query: recall@10 of the
         IVF route against the exact brute-force neighbors for the same
@@ -4159,6 +4202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_tool_km": q_transcripts_tool_km,
         "docs_split_leakage": q_docs_split_leakage,
         "emb_ivf_recall": q_emb_ivf_recall,
+        "events_recs_by_lift": q_events_recs_by_lift,
         "docs_lang_confusion": q_docs_lang_confusion,
         "transcripts_token_gini": q_transcripts_token_gini,
         "events_rolling_p90": q_events_rolling_p90,
@@ -6064,6 +6108,37 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(duration_sec), 6) AS avg_duration_sec,
                    round(max(duration_sec), 6) AS max_duration_sec
             FROM sess GROUP BY 1
+        """,
+        # same lift computation as the co-occurrence twin, unrounded for
+        # the ranking (identical doubles both sides), ties by rec name
+        "events_recs_by_lift": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+            u AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+            c AS (SELECT event_type, count(*)::BIGINT AS n
+                  FROM d GROUP BY 1),
+            p AS (
+              SELECT a.event_type AS member_a, b.event_type AS member_b,
+                     count(*)::BIGINT AS n_both
+              FROM d a JOIN d b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY 1, 2),
+            pre AS (
+              SELECT p.member_a, p.member_b,
+                     (p.n_both * u.nu)::DOUBLE / (ca.n * cb.n) AS lift
+              FROM p, u
+              JOIN c ca ON ca.event_type = p.member_a
+              JOIN c cb ON cb.event_type = p.member_b),
+            q AS (
+              SELECT member_a AS given, member_b AS rec, lift FROM pre
+              UNION ALL
+              SELECT member_b, member_a, lift FROM pre),
+            r AS (
+              SELECT given, rec, lift,
+                     row_number() OVER (PARTITION BY given
+                                        ORDER BY lift DESC, rec) AS rnk
+              FROM q)
+            SELECT given, rec, round(lift, 6) AS lift, rnk::BIGINT AS rnk
+            FROM r WHERE rnk <= 3 ORDER BY 1, 4
         """,
         "events_type_cooccurrence": """
             WITH d AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -80,6 +80,7 @@ QUERIES = [
     "events_cum_hazard",
     "events_type_value_mi",
     "events_cuped",
+    "events_recs_by_lift",
 ]
 
 SHAPES = [
