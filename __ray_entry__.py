@@ -3588,6 +3588,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, key="user_id", ts_col="ts",
             event_col="event").sort("bucket"))
 
+    def q_events_ece(sf):
+        """ECE/MCE calibration summary over the reliability bins —
+        same score/label derivation as events_calibration
+        (stages/metrics.expected_calibration_error)."""
+        import pyarrow.compute as _pc
+
+        from s_tsfe_dl_ray.stages.metrics import expected_calibration_error
+
+        def derive(t: pa.Table) -> pa.Table:
+            t = t.append_column(
+                "label", _pc.equal(t["event_type"], "purchase"))
+            return t.append_column("score", _pc.divide(t["value"], 100.0))
+
+        ds = read_events(sf, columns=["value", "event_type"]) \
+            .map_batches(derive, batch_format="pyarrow")
+        return _round_floats(expected_calibration_error(
+            ds, score_col="score", label_col="label"))
+
     def q_events_recs_by_lift(sf):
         """'Users who did X also did Y': top-3 recommended event types
         per given type by association lift (ties by name) — the
@@ -4203,6 +4221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split_leakage": q_docs_split_leakage,
         "emb_ivf_recall": q_emb_ivf_recall,
         "events_recs_by_lift": q_events_recs_by_lift,
+        "events_ece": q_events_ece,
         "docs_lang_confusion": q_docs_lang_confusion,
         "transcripts_token_gini": q_transcripts_token_gini,
         "events_rolling_p90": q_events_rolling_p90,
@@ -4718,6 +4737,30 @@ def oracle_sql() -> dict[str, str]:
                      AS stages_reached
             FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
                    LEFT JOIN s3 USING (user_id)
+        """,
+        # weights are exact bin counts; bin means agree at the usual
+        # float-partial tolerance, orders below the 6-decimal grain
+        "events_ece": """
+            WITH t AS (
+              SELECT value / 100.0 AS s,
+                     event_type = 'purchase' AS y
+              FROM events
+            ), b AS (
+              SELECT CASE WHEN s < 0 THEN 0
+                          WHEN s >= 1 THEN 11
+                          ELSE 1 + floor(s / 0.1) END::BIGINT AS bin,
+                     s, y
+              FROM t
+            ), g AS (
+              SELECT bin, count(*)::BIGINT AS nb, avg(s) AS ms,
+                     avg(CASE WHEN y THEN 1.0 ELSE 0.0 END) AS pr
+              FROM b GROUP BY 1
+            )
+            SELECT sum(nb)::BIGINT AS n_rows,
+                   round(sum((nb::DOUBLE / (SELECT sum(nb) FROM g))
+                             * abs(pr - ms)), 6) AS ece,
+                   round(max(abs(pr - ms)), 6) AS mce
+            FROM g
         """,
         "events_calibration": """
             -- binning mirrors the engine formula exactly (same double

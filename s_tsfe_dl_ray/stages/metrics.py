@@ -678,3 +678,47 @@ def cuped_ab(
                    d.drop(columns=["_pkey"])), batch_format="pandas"))
     return moments.repartition(1).map_batches(fin, batch_format="pandas",
                                               batch_size=None)
+
+
+def expected_calibration_error(
+    ds: Dataset,
+    *,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> Dataset:
+    """ECE/MCE single-number calibration summary over the
+    :func:`calibration_bins` reliability table:
+
+        ECE = Σ_b (n_b/n) · |pos_rate_b − mean_score_b|,
+        MCE = max_b |pos_rate_b − mean_score_b|
+
+    — the headline "is the model's confidence honest" metric reported
+    next to AUC.  One extra tiny fold over the bin partials; weights are
+    exact integer counts, the gap arithmetic mirrors the SQL twin.
+    Output: one row — ``n_rows (int64), ece (float64), mce (float64)``
+    (empty input emits no row).
+    """
+    bins = calibration_bins(ds, score_col=score_col, label_col=label_col,
+                            n_bins=n_bins, lo=lo, hi=hi)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "n_rows": pd.Series([], dtype="int64"),
+            "ece": pd.Series([], dtype="float64"),
+            "mce": pd.Series([], dtype="float64")})
+        if len(df) == 0 or "n_rows" not in df.columns:
+            return empty
+        nb = df["n_rows"].to_numpy(dtype=np.float64)
+        gap = np.abs(df["positive_rate"].to_numpy(dtype=np.float64)
+                     - df["mean_score"].to_numpy(dtype=np.float64))
+        n = nb.sum()
+        return pd.DataFrame({
+            "n_rows": pd.Series([int(n)], dtype="int64"),
+            "ece": [float(((nb / n) * gap).sum())],
+            "mce": [float(gap.max())]})
+
+    return bins.repartition(1).map_batches(fin, batch_format="pandas",
+                                           batch_size=None)

@@ -81,6 +81,7 @@ QUERIES = [
     "events_type_value_mi",
     "events_cuped",
     "events_recs_by_lift",
+    "events_ece",
 ]
 
 SHAPES = [
