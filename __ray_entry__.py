@@ -3588,6 +3588,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, key="user_id", ts_col="ts",
             event_col="event").sort("bucket"))
 
+    def q_events_brier(sf):
+        """Brier score + Murphy decomposition (reliability / resolution
+        / uncertainty) over the reliability bins — the proper-scoring
+        companion of ECE (stages/metrics.brier_score)."""
+        import pyarrow.compute as _pc
+
+        from s_tsfe_dl_ray.stages.metrics import brier_score
+
+        def derive(t: pa.Table) -> pa.Table:
+            t = t.append_column(
+                "label", _pc.equal(t["event_type"], "purchase"))
+            return t.append_column("score", _pc.divide(t["value"], 100.0))
+
+        ds = read_events(sf, columns=["value", "event_type"]) \
+            .map_batches(derive, batch_format="pyarrow")
+        return _round_floats(brier_score(
+            ds, score_col="score", label_col="label"))
+
     def q_events_ece(sf):
         """ECE/MCE calibration summary over the reliability bins —
         same score/label derivation as events_calibration
@@ -4222,6 +4240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivf_recall": q_emb_ivf_recall,
         "events_recs_by_lift": q_events_recs_by_lift,
         "events_ece": q_events_ece,
+        "events_brier": q_events_brier,
         "docs_lang_confusion": q_docs_lang_confusion,
         "transcripts_token_gini": q_transcripts_token_gini,
         "events_rolling_p90": q_events_rolling_p90,
@@ -4737,6 +4756,41 @@ def oracle_sql() -> dict[str, str]:
                      AS stages_reached
             FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
                    LEFT JOIN s3 USING (user_id)
+        """,
+        # every Murphy term mirrors the engine formula (pow == **);
+        # exact bin weights, float bin means at the usual tolerance
+        "events_brier": """
+            WITH t AS (
+              SELECT value / 100.0 AS s,
+                     event_type = 'purchase' AS y
+              FROM events
+            ), b AS (
+              SELECT CASE WHEN s < 0 THEN 0
+                          WHEN s >= 1 THEN 11
+                          ELSE 1 + floor(s / 0.1) END::BIGINT AS bin,
+                     s, y
+              FROM t
+            ), g AS (
+              SELECT bin, count(*)::BIGINT AS nb, avg(s) AS ms,
+                     avg(CASE WHEN y THEN 1.0 ELSE 0.0 END) AS pr
+              FROM b GROUP BY 1
+            ), m AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(pow(s - CASE WHEN y THEN 1.0 ELSE 0.0 END, 2))
+                       AS sq,
+                     sum(CASE WHEN y THEN 1.0 ELSE 0.0 END) AS sy
+              FROM t
+            )
+            SELECT m.n::BIGINT AS n_rows,
+                   round(m.sq / m.n, 6) AS brier,
+                   round(sum((g.nb::DOUBLE / m.n) * pow(g.ms - g.pr, 2)),
+                         6) AS reliability,
+                   round(sum((g.nb::DOUBLE / m.n)
+                             * pow(g.pr - m.sy / m.n, 2)), 6)
+                     AS resolution,
+                   round((m.sy / m.n) * (1.0 - m.sy / m.n), 6)
+                     AS uncertainty
+            FROM g, m GROUP BY m.n, m.sq, m.sy
         """,
         # weights are exact bin counts; bin means agree at the usual
         # float-partial tolerance, orders below the 6-decimal grain

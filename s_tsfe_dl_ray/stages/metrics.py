@@ -722,3 +722,71 @@ def expected_calibration_error(
 
     return bins.repartition(1).map_batches(fin, batch_format="pandas",
                                            batch_size=None)
+
+
+def brier_score(
+    ds: Dataset,
+    *,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> Dataset:
+    """Brier score with the Murphy decomposition over the reliability
+    bins:
+
+        brier       = E[(s − y)²]                (exact per-row pass)
+        reliability = Σ_b (n_b/n)(ms_b − pr_b)²  (miscalibration, ↓ good)
+        resolution  = Σ_b (n_b/n)(pr_b − ȳ)²     (discrimination, ↑ good)
+        uncertainty = ȳ(1 − ȳ)
+
+    (brier ≈ reliability − resolution + uncertainty, exact when bin
+    means are used as forecasts).  One (n, Σ(s−y)², Σy) combiner pass
+    fused with the :func:`calibration_bins` partials fold; the SQL twin
+    mirrors every term.  Output: one row — ``n_rows, brier,
+    reliability, resolution, uncertainty``.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[score_col], pa.float64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(t[label_col], pa.bool_()).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        d = s - y
+        return pa.table({"n": pa.array([len(s)], pa.int64()),
+                         "sq": pa.array([float((d * d).sum())]),
+                         "sy": pa.array([float(y.sum())])})
+
+    bins = calibration_bins(ds, score_col=score_col, label_col=label_col,
+                            n_bins=n_bins, lo=lo, hi=hi).to_pandas()
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .repartition(1)
+           .map_batches(lambda df: pd.DataFrame(
+               {"n": [df["n"].sum()], "sq": [df["sq"].sum()],
+                "sy": [df["sy"].sum()]}) if len(df) else df,
+               batch_format="pandas", batch_size=None)
+           .to_pandas())
+    import ray.data
+
+    empty = pd.DataFrame({
+        "n_rows": pd.Series([], dtype="int64"),
+        "brier": pd.Series([], dtype="float64"),
+        "reliability": pd.Series([], dtype="float64"),
+        "resolution": pd.Series([], dtype="float64"),
+        "uncertainty": pd.Series([], dtype="float64")})
+    if len(agg) == 0 or int(agg["n"].iloc[0]) == 0:
+        return ray.data.from_pandas(empty)
+    n = float(agg["n"].iloc[0])
+    ybar = float(agg["sy"].iloc[0]) / n
+    nb = bins["n_rows"].to_numpy(dtype=np.float64)
+    ms = bins["mean_score"].to_numpy(dtype=np.float64)
+    pr = bins["positive_rate"].to_numpy(dtype=np.float64)
+    rel = float(((nb / n) * (ms - pr) ** 2).sum())
+    res = float(((nb / n) * (pr - ybar) ** 2).sum())
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_rows": pd.Series([int(n)], dtype="int64"),
+        "brier": [float(agg["sq"].iloc[0]) / n],
+        "reliability": [rel],
+        "resolution": [res],
+        "uncertainty": [ybar * (1.0 - ybar)]}))

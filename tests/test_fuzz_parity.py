@@ -82,6 +82,7 @@ QUERIES = [
     "events_cuped",
     "events_recs_by_lift",
     "events_ece",
+    "events_brier",
 ]
 
 SHAPES = [
