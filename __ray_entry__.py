@@ -3588,6 +3588,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, key="user_id", ts_col="ts",
             event_col="event").sort("bucket"))
 
+    def q_events_gains(sf):
+        """Cumulative gains / lift table: positives captured by the
+        top-k decile of value-ranked rows, pro-rata tie handling from
+        the exact score histogram (stages/metrics.gains_table)."""
+        import pyarrow.compute as _pc
+
+        from s_tsfe_dl_ray.stages.metrics import gains_table
+
+        def derive(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "label", _pc.equal(t["event_type"], "purchase"))
+
+        ds = read_events(sf, columns=["value", "event_type"]) \
+            .map_batches(derive, batch_format="pyarrow")
+        return _round_floats(gains_table(
+            ds, score_col="value", label_col="label").sort("tile"))
+
     def q_events_brier(sf):
         """Brier score + Murphy decomposition (reliability / resolution
         / uncertainty) over the reliability bins — the proper-scoring
@@ -4241,6 +4258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_recs_by_lift": q_events_recs_by_lift,
         "events_ece": q_events_ece,
         "events_brier": q_events_brier,
+        "events_gains": q_events_gains,
         "docs_lang_confusion": q_docs_lang_confusion,
         "transcripts_token_gini": q_transcripts_token_gini,
         "events_rolling_p90": q_events_rolling_p90,
@@ -4756,6 +4774,38 @@ def oracle_sql() -> dict[str, str]:
                      AS stages_reached
             FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
                    LEFT JOIN s3 USING (user_id)
+        """,
+        # boundary tie groups contribute pro-rata (p·take/c) so the
+        # table is deterministic from the distinct-score histogram; the
+        # clip expressions mirror the engine's min/max tree
+        "events_gains": """
+            WITH h AS (
+              SELECT value AS s, count(*)::BIGINT AS c,
+                     sum((event_type = 'purchase')::BIGINT) AS p
+              FROM events GROUP BY 1
+            ), w AS (
+              SELECT s, c, p,
+                     sum(c) OVER (ORDER BY s DESC) - c AS bef
+              FROM h
+            ), tot AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum((event_type = 'purchase')::INT)::DOUBLE AS np
+              FROM events
+            ), k AS (
+              SELECT unnest(generate_series(1, 10)) AS tile
+            ), x AS (
+              SELECT k.tile,
+                     sum(w.p * (least(greatest(
+                         tot.n * k.tile / 10.0 - w.bef, 0.0), w.c)
+                         / w.c)) AS captured
+              FROM w, k, tot GROUP BY 1
+            )
+            SELECT x.tile::BIGINT AS tile,
+                   round(x.captured, 6) AS captured_pos,
+                   round(x.captured / tot.np, 6) AS gain,
+                   round(x.captured / tot.np / (x.tile / 10.0), 6)
+                     AS lift
+            FROM x, tot ORDER BY 1
         """,
         # every Murphy term mirrors the engine formula (pow == **);
         # exact bin weights, float bin means at the usual tolerance

@@ -790,3 +790,76 @@ def brier_score(
         "reliability": [rel],
         "resolution": [res],
         "uncertainty": [ybar * (1.0 - ybar)]}))
+
+
+def gains_table(
+    ds: Dataset,
+    *,
+    score_col: str,
+    label_col: str,
+    n_tiles: int = 10,
+) -> Dataset:
+    """Cumulative gains / lift table: for each top-k/n_tiles fraction of
+    rows ranked by score DESC, the share of all positives captured and
+    the lift over random targeting — the campaign-targeting readout next
+    to AUC (AUC summarizes the whole curve; the gains table answers
+    "what do I get if I act on the top 20%?").
+
+    Ties need no ordering contract: the boundary tie group contributes
+    PRO-RATA (positives × taken/count), the standard continuous
+    definition — so the result is deterministic from the score
+    HISTOGRAM alone (the AUC partial discipline: one row per distinct
+    score crosses the exchange, fold once).  The SQL twin mirrors the
+    clip/pro-rata expressions exactly.
+
+    Output: one row per tile 1..n_tiles — ``tile (int64), captured_pos
+    (float64), gain (float64), lift (float64)`` (NULL gain/lift when no
+    positives; empty input emits no rows).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[score_col], pa.float64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(t[label_col], pa.bool_()).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(s, return_inverse=True)
+        return pa.table({
+            "s": pa.array(uniq),
+            "c": pa.array(np.bincount(inv, minlength=len(uniq))
+                          .astype(np.int64)),
+            "p": pa.array(np.bincount(inv, weights=y, minlength=len(uniq))
+                          .astype(np.int64))})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "tile": pd.Series([], dtype="int64"),
+            "captured_pos": pd.Series([], dtype="float64"),
+            "gain": pd.Series([], dtype="float64"),
+            "lift": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        g = df.groupby("s", sort=True).agg(
+            c=("c", "sum"), p=("p", "sum")).reset_index()
+        g = g.iloc[::-1].reset_index(drop=True)       # score DESC
+        c = g["c"].to_numpy(dtype=np.float64)
+        p = g["p"].to_numpy(dtype=np.float64)
+        before = np.cumsum(c) - c
+        n = c.sum()
+        npos = p.sum()
+        tiles = np.arange(1, n_tiles + 1, dtype=np.int64)
+        cap = np.empty(len(tiles))
+        for i, k in enumerate(tiles):
+            target = n * float(k) / float(n_tiles)
+            take = np.minimum(np.maximum(target - before, 0.0), c)
+            cap[i] = float((p * (take / c)).sum())
+        with np.errstate(invalid="ignore", divide="ignore"):
+            gain = cap / npos
+            lift = gain / (tiles.astype(np.float64) / float(n_tiles))
+        gain = np.where(np.isfinite(gain), gain, np.nan)
+        lift = np.where(np.isfinite(lift), lift, np.nan)
+        return pd.DataFrame({"tile": tiles, "captured_pos": cap,
+                             "gain": gain, "lift": lift})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.repartition(1).map_batches(fold, batch_format="pandas",
+                                               batch_size=None)

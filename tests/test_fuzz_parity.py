@@ -83,6 +83,7 @@ QUERIES = [
     "events_recs_by_lift",
     "events_ece",
     "events_brier",
+    "events_gains",
 ]
 
 SHAPES = [
