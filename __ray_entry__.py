@@ -2920,6 +2920,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return q21_waiting_supplier(sf)
 
+    def q_tpch_q2_min_cost_supplier(sf):
+        """Min-cost supplier per part (Q2 skeleton; supply catalog derived
+        from lineitem, cost = min unit price): two-fold correlated MIN +
+        exact float-equality cut (pipelines/tpch.q2_min_cost_supplier)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q2_min_cost_supplier
+
+        return _round_floats(q2_min_cost_supplier(sf))
+
+    def q_tpch_q11_important_parts(sf):
+        """Important-part values for one nation's suppliers (Q11 skeleton):
+        HAVING over a global-sum subquery — int64 cents×qty fold, driver
+        scalar, broadcast threshold (pipelines/tpch.q11_important_part_values)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q11_important_part_values
+
+        return _round_floats(q11_important_part_values(sf))
+
+    def q_tpch_q16_supplier_part_counts(sf):
+        """Distinct-supplier counts per part attribute (Q16 skeleton):
+        NOT-IN anti_join + two-level COUNT DISTINCT as two combiner folds
+        (pipelines/tpch.q16_supplier_part_counts)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q16_supplier_part_counts
+
+        return q16_supplier_part_counts(sf)
+
+    def q_tpch_q20_window_demand(sf):
+        """Nation suppliers whose window demand for prefix-named parts
+        exceeded half their all-time volume (Q20 skeleton): nested EXISTS
+        chain, all-integer predicate (pipelines/tpch.q20_window_demand_suppliers)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q20_window_demand_suppliers
+
+        return q20_window_demand_suppliers(sf)
+
     def q_transcripts_position_profile(sf):
         """Turn-length drift across conversation position: per (role,
         position decile) turn count + mean token length — one conv-hash
@@ -4288,6 +4320,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_word_vectors": q_docs_word_vectors,
         "events_als_factors": q_events_als_factors,
         "events_isotonic": q_events_isotonic,
+        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+        "tpch_q11_important_parts": q_tpch_q11_important_parts,
+        "tpch_q16_supplier_part_counts": q_tpch_q16_supplier_part_counts,
+        "tpch_q20_window_demand": q_tpch_q20_window_demand,
     }
 
 
@@ -8947,5 +8983,101 @@ def oracle_sql() -> dict[str, str]:
                      AS value_share,
                    round(min(thr), 6) AS threshold
             FROM events, h GROUP BY 1 ORDER BY 1
+        """,
+        # Q2 skeleton: both engines minimize over the IDENTICAL set of
+        # IEEE doubles (price/qty), so the equality cut at the per-part
+        # min is exact; the ORDER BY is a total order so the LIMIT cut
+        # is deterministic under any partitioning
+        "tpch_q2_min_cost_supplier": """
+            WITH pr AS (
+              SELECT p_partkey FROM part
+              WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20),
+            sup AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+            cost AS (
+              SELECT l_partkey, l_suppkey,
+                     min(l_extendedprice / l_quantity) AS unit_cost
+              FROM lineitem
+              JOIN pr ON l_partkey = p_partkey
+              JOIN sup ON l_suppkey = s_suppkey
+              GROUP BY 1, 2),
+            best AS (
+              SELECT l_partkey, min(unit_cost) AS best_cost
+              FROM cost GROUP BY 1)
+            SELECT round(s.s_acctbal, 6) AS s_acctbal, s.s_name, s.n_name,
+                   c.l_partkey AS p_partkey,
+                   round(c.unit_cost, 6) AS unit_cost
+            FROM cost c
+            JOIN best b ON c.l_partkey = b.l_partkey
+                       AND c.unit_cost = b.best_cost
+            JOIN sup s ON c.l_suppkey = s.s_suppkey
+            ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p_partkey
+            LIMIT 100
+        """,
+        # Q11 skeleton: per-part value folds as int64 cents*qty; the
+        # global total (HUGEINT in DuckDB, Python int on the Ray side,
+        # both < 2^53 exact) times 0.001 is the same IEEE double, and
+        # the int-vs-double comparison promotes identically
+        "tpch_q11_important_parts": """
+            WITH v AS (
+              SELECT l_partkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_quantity) AS BIGINT)) AS value_i
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_7'
+              GROUP BY 1)
+            SELECT l_partkey AS p_partkey,
+                   round(value_i / 100.0, 6) AS part_value
+            FROM v
+            WHERE value_i > (SELECT sum(value_i) FROM v)::DOUBLE * 0.001
+            ORDER BY part_value DESC, p_partkey
+        """,
+        # Q16 skeleton: negative acctbal stands in for the complaint
+        # filter; distinct pairs then distinct suppliers per attribute
+        # group — pure integer/string, no float anywhere
+        "tpch_q16_supplier_part_counts": """
+            WITH bad AS (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+            pairs AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+              WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad))
+            SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+                   count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM pairs
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        # Q20 skeleton: all-integer predicate 2*qty_win > qty_all —
+        # quantities are integral by construction, folds are int64
+        "tpch_q20_window_demand": """
+            WITH pr AS (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+            agg AS (
+              SELECT l_suppkey,
+                     sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                               AND l_shipdate < TIMESTAMP '1998-01-01'
+                              THEN CAST(round(l_quantity) AS BIGINT)
+                              ELSE 0 END) AS qty_win,
+                     sum(CAST(round(l_quantity) AS BIGINT)) AS qty_all
+              FROM lineitem JOIN pr ON l_partkey = p_partkey
+              GROUP BY l_suppkey, l_partkey),
+            hot AS (
+              SELECT DISTINCT l_suppkey FROM agg
+              WHERE qty_win * 2 > qty_all)
+            SELECT s_name
+            FROM hot
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            ORDER BY s_name
         """,
     }

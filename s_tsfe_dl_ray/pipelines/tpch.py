@@ -1218,3 +1218,338 @@ def fulfillment_latency(
     return grouped_apply(derived, keys=["o_orderpriority"], fn=fold,
                          num_partitions=8,
                          whole_partition=True).sort("o_orderpriority")
+
+
+def q2_min_cost_supplier(
+    sf_dir: str,
+    *,
+    ptype: str = "LARGE",
+    size_lo: int = 10,
+    size_hi: int = 20,
+    region: str = "EUROPE",
+    k: int = 100,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Minimum-cost supplier per part (TPC-H Q2 skeleton).  This star
+    schema carries no ``partsupp``, so the supply catalog is DERIVED
+    from the fact table: supplier *s* supplies part *p* iff a lineitem
+    pairs them, at unit cost ``min(l_extendedprice / l_quantity)`` over
+    those lines.  For parts of ``ptype`` with size in [size_lo, size_hi],
+    find the ``region`` supplier(s) achieving the per-part minimum cost.
+
+    The correlated MIN subquery is the Q15/Q17 two-fold dance: fold 1
+    reduces the (part ⋉ region-supplier)-pruned lineitem to one row per
+    (part, supplier) pair carrying its min unit cost; fold 2 reduces
+    those pairs to one best-cost row per part; an equality join keeps
+    the pairs AT the minimum — float equality is exact because both
+    folds minimize over the identical set of IEEE doubles (the same
+    ``price/qty`` divisions), never re-deriving them.  Supplier name /
+    balance attach to the surviving (tiny) result; nation names come
+    from a driver-side 25-row lookup.  Output: ``s_acctbal, s_name,
+    n_name, p_partkey, unit_cost`` (acctbal desc, total tie-break,
+    limit ``k`` — deterministic under any partitioning).
+
+    Reference analog: per-record argmin selection in the reference's
+    top-k thresholding (keras_experiment.py:583-593) — here as a
+    distributed grouped argmin over a derived catalog.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .relational import grouped_aggregate
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    rkeys = {k_ for k_, n in zip(reg["r_regionkey"].to_pylist(),
+                                 reg["r_name"].to_pylist()) if n == region}
+    region_nations = [int(nk) for nk, rk in
+                      zip(nat["n_nationkey"].to_pylist(),
+                          nat["n_regionkey"].to_pylist()) if int(rk) in rkeys]
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=(pads.field("p_type") == ptype)
+        & (pads.field("p_size") >= size_lo)
+        & (pads.field("p_size") <= size_hi))
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+        filter=pads.field("s_nationkey").isin(region_nations))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+    li = semi_join(li, part, left_on="l_partkey", right_on="p_partkey",
+                   num_partitions=num_partitions)
+    li = semi_join(li, supp, left_on="l_suppkey", right_on="s_suppkey",
+                   num_partitions=num_partitions)
+
+    def unit(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "l_suppkey": t["l_suppkey"],
+            "unit_cost": pc.divide(t["l_extendedprice"], t["l_quantity"]),
+        })
+
+    pairs = grouped_aggregate(
+        li.map_batches(unit, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_partkey", "l_suppkey"],
+        aggs={"unit_cost": ("unit_cost", "min")},
+        num_partitions=num_partitions)
+    best = grouped_aggregate(
+        pairs, keys=["l_partkey"], aggs={"best_cost": ("unit_cost", "min")},
+        num_partitions=8)
+    at_min = hash_join(pairs, best, left_on="l_partkey",
+                       right_on="l_partkey", num_partitions=8)
+    at_min = at_min.map_batches(
+        lambda t: t.filter(pc.equal(t["unit_cost"], t["best_cost"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+    named = hash_join(at_min, supp, left_on="l_suppkey",
+                      right_on="s_suppkey", num_partitions=8)
+
+    nkeys = nat["n_nationkey"].to_numpy()
+    names = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    lut = np.empty(int(nkeys.max()) + 1, dtype=object)
+    lut[nkeys] = names
+
+    def fin(t: pa.Table) -> pa.Table:
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s_acctbal": t["s_acctbal"],
+            "s_name": t["s_name"],
+            "n_name": pa.array(lut[nk], pa.string()),
+            "p_partkey": t["l_partkey"],
+            "unit_cost": t["unit_cost"],
+        })
+
+    return named.map_batches(fin, batch_format="pyarrow").sort(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        descending=[True, False, False, False]).limit(k)
+
+
+def q11_important_part_values(
+    sf_dir: str,
+    *,
+    nation: str = "NATION_7",
+    frac: float = 0.001,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Important-part inventory value (TPC-H Q11 skeleton).  Without
+    ``partsupp``, a part's "stock value" held by ``nation`` is derived
+    from the fact table: ``sum(extendedprice_cents × quantity)`` over
+    lineitems supplied by that nation's suppliers.  Keep parts whose
+    value exceeds ``frac`` × the nation's total — the classic HAVING
+    over a global-sum subquery.
+
+    Scale shape: lineitem is semi-join-pruned to the nation's suppliers
+    (supplier side crosses the exchange as per-batch DISTINCT keys);
+    one combiner fold produces the part-count-sized value table, which
+    is pinned (materialized) because BOTH the global-sum subquery and
+    the filter read it — the int64 global total reduces on the driver,
+    and the threshold broadcast back is one float.  Exact parity: the
+    per-part values are int64 cents×qty (associative), and both engines
+    compare that int against ``float(total) * frac`` in IEEE double.
+    Output: ``p_partkey, part_value`` (value desc, partkey asc).
+    """
+    import pyarrow.parquet as pq
+
+    from .relational import grouped_aggregate
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nkeys = [int(k) for k, n in zip(nat["n_nationkey"].to_pylist(),
+                                    nat["n_name"].to_pylist()) if n == nation]
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"],
+        filter=pads.field("s_nationkey").isin(nkeys))
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+    li = semi_join(li, supp, left_on="l_suppkey", right_on="s_suppkey",
+                   num_partitions=num_partitions)
+
+    def fold(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "value_i": pc.multiply(cents, qty),
+        })
+
+    values = grouped_aggregate(
+        li.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_partkey"], aggs={"value_i": ("value_i", "sum")},
+        num_partitions=num_partitions).materialize()
+    total = values.sum("value_i") or 0
+    thr = float(total) * frac
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["value_i"], pa.scalar(thr)))
+        return pa.table({
+            "p_partkey": t["l_partkey"],
+            "part_value": pc.divide(pc.cast(t["value_i"], pa.float64()),
+                                    pa.scalar(100.0)),
+        })
+
+    return values.map_batches(fin, batch_format="pyarrow").sort(
+        ["part_value", "p_partkey"], descending=[True, False])
+
+
+def q16_supplier_part_counts(
+    sf_dir: str,
+    *,
+    exclude_brand: str = "Brand#45",
+    exclude_type: str = "PROMO",
+    sizes: tuple[int, ...] = (1, 4, 9, 16, 25, 36, 49),
+    num_partitions: int = 64,
+) -> Dataset:
+    """Supplier counts by part attribute (TPC-H Q16 skeleton).  The
+    supply catalog is the DISTINCT (part, supplier) pairs observed in
+    lineitem; suppliers with negative account balance stand in for the
+    reference's complaint filter (no ``s_comment`` on this schema);
+    parts keep everything except ``exclude_brand`` / ``exclude_type``,
+    restricted to the ``sizes`` list.  Output: distinct-supplier count
+    per (brand, type, size).
+
+    Scale shape: the NOT-IN supplier set is an anti_join (per-batch
+    DISTINCT keys cross the exchange, never joined rows); the fact
+    table folds to distinct pairs FIRST (one row per pair survives the
+    shuffle), then one partitioned join attaches part attributes pruned
+    at the read; the two COUNT-DISTINCT levels are two combiner folds —
+    dedup on (brand, type, size, supplier), then count per (brand,
+    type, size).  Nothing wider than the pair table ever moves.
+    Output: ``p_brand, p_type, p_size, supplier_cnt``.
+    """
+    from .relational import grouped_aggregate
+
+    bad = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"],
+        filter=pads.field("s_acctbal") < 0.0)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    li = anti_join(li, bad, left_on="l_suppkey", right_on="s_suppkey",
+                   num_partitions=num_partitions)
+    pairs = grouped_aggregate(
+        li, keys=["l_partkey", "l_suppkey"],
+        aggs={"_n": ("l_suppkey", "count")},
+        num_partitions=num_partitions).drop_columns(["_n"])
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter=(pads.field("p_brand") != exclude_brand)
+        & (pads.field("p_type") != exclude_type)
+        & (pads.field("p_size").isin(list(sizes))))
+    j = hash_join(pairs, part, left_on="l_partkey", right_on="p_partkey",
+                  num_partitions=num_partitions)
+    per_supp = grouped_aggregate(
+        j, keys=["p_brand", "p_type", "p_size", "l_suppkey"],
+        aggs={"_n": ("l_suppkey", "count")},
+        num_partitions=num_partitions)
+    counts = grouped_aggregate(
+        per_supp, keys=["p_brand", "p_type", "p_size"],
+        aggs={"supplier_cnt": ("l_suppkey", "count")},
+        num_partitions=8)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": t["p_brand"],
+            "p_type": t["p_type"],
+            "p_size": pc.cast(t["p_size"], pa.int64()),
+            "supplier_cnt": t["supplier_cnt"],
+        })
+
+    return counts.map_batches(fin, batch_format="pyarrow").sort(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        descending=[True, False, False, False])
+
+
+def q20_window_demand_suppliers(
+    sf_dir: str,
+    *,
+    name_prefix: str = "small",
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    nation: str = "NATION_3",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Window-dominant part suppliers (TPC-H Q20 skeleton).  The
+    reference query's ``ps_availqty > 0.5 × window demand`` needs
+    ``partsupp``; the fact-table analog asks the inverse capacity
+    question: which ``nation`` suppliers saw MORE THAN HALF of their
+    all-time shipped quantity of ``name_prefix%`` parts inside the
+    [date_from, date_to) window — i.e. demand concentrated enough that
+    stock planning matters.  The nested EXISTS chain survives intact:
+    part-prefix filter → per-(supplier, part) conditional fold →
+    predicate → distinct suppliers → nation-pruned supplier join.
+
+    Exactness: quantities fold as int64 (integral by construction) and
+    the predicate is the integer comparison ``2×qty_win > qty_all`` —
+    no float anywhere.  The prefix filter streams (``pc.starts_with``
+    in the map, no driver materialization); everything after the first
+    fold is supplier×part-sized.  Output: ``s_name`` sorted.
+    """
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from .relational import grouped_aggregate
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    part = part.map_batches(
+        lambda t: t.filter(pc.starts_with(t["p_name"],
+                                          name_prefix)).select(["p_partkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+    li = semi_join(li, part, left_on="l_partkey", right_on="p_partkey",
+                   num_partitions=num_partitions)
+
+    lo = dt.datetime.fromisoformat(date_from)
+    hi = dt.datetime.fromisoformat(date_to)
+
+    def fold(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        in_win = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                         pc.less(t["l_shipdate"], pa.scalar(hi)))
+        return pa.table({
+            "l_suppkey": t["l_suppkey"],
+            "l_partkey": t["l_partkey"],
+            "qty_win": pc.if_else(in_win, qty, pa.scalar(0, pa.int64())),
+            "qty_all": qty,
+        })
+
+    per_pair = grouped_aggregate(
+        li.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_suppkey", "l_partkey"],
+        aggs={"qty_win": ("qty_win", "sum"), "qty_all": ("qty_all", "sum")},
+        num_partitions=num_partitions)
+
+    def dominant(t: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.multiply(t["qty_win"], pa.scalar(2, pa.int64())),
+                          t["qty_all"])
+        return t.filter(keep).select(["l_suppkey"])
+
+    hot = grouped_aggregate(
+        per_pair.map_batches(dominant, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        keys=["l_suppkey"], aggs={"_n": ("l_suppkey", "count")},
+        num_partitions=8)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nkeys = [int(k) for k, n in zip(nat["n_nationkey"].to_pylist(),
+                                    nat["n_name"].to_pylist()) if n == nation]
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_nationkey").isin(nkeys))
+    j = hash_join(hot, supp, left_on="l_suppkey", right_on="s_suppkey",
+                  num_partitions=8)
+    return j.map_batches(lambda t: t.select(["s_name"]),
+                         batch_format="pyarrow").sort("s_name")
