@@ -40,6 +40,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -57,9 +58,31 @@ _LANGS = {  # keep in sync with s_tsfe_dl_ray.stages.text._LANG_MARKERS
 _STOP = "the|a|an|and|of|to|in|is|it|that"
 
 
+def _dd_round6(x: "np.ndarray") -> "np.ndarray":
+    """Bit-exact emulation of DuckDB ``round(x, 6)`` on DOUBLE:
+    ``std::round(x * 1e6) / 1e6``, returning the input on inf/nan
+    results.  std::round is half-away-from-zero computed EXACTLY — NOT
+    ``floor(x*1e6 + 0.5)`` (that bumps values whose fraction is the
+    double just below .5) and NOT ``pc.round(..., half_towards_infinity)``
+    (1-ulp disagreements, e.g. 50.846000000000004 stays put under
+    pyarrow but re-quantizes to 50.846 under DuckDB).  The fraction
+    test is exact because ``y - floor(y)`` / ``ceil(y) - y`` are exact
+    float ops (Sterbenz).  Verified bit-identical to DuckDB on 1.1M
+    adversarial doubles incl. ±inf, NaN, 1e308, exact-.5 fractions at
+    every magnitude."""
+    y = x * 1e6
+    f = np.floor(y)
+    c = np.ceil(y)
+    with np.errstate(invalid="ignore"):
+        pos = f + (y - f >= 0.5)
+        neg = c - (c - y >= 0.5)
+        r = np.where(y >= 0, pos, neg) / 1e6
+    return np.where(np.isfinite(r), r, x)
+
+
 def _round_floats(ds):
-    """Round all float64 columns to 6 decimals, half-away-from-zero
-    (matches DuckDB round)."""
+    """Round all float64 columns to 6 decimals, matching DuckDB round
+    bit-for-bit (see :func:`_dd_round6`); nulls stay nulls."""
     from ray.data import Dataset
 
     def rb(t: pa.Table) -> pa.Table:
@@ -68,10 +91,14 @@ def _round_floats(ds):
             # column as arrow `null`; restore it to float64 so degenerate
             # blocks keep a stable schema (fuzz shape3 regression)
             if pa.types.is_floating(f.type) or pa.types.is_null(f.type):
+                col = pc.cast(t[f.name], pa.float64()).combine_chunks()
+                nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+                vals = col.to_numpy(zero_copy_only=False)
+                rounded = _dd_round6(vals)
                 t = t.set_column(
                     i, f.name,
-                    pc.round(pc.cast(t[f.name], pa.float64()), 6,
-                             round_mode="half_towards_infinity"),
+                    pa.array(rounded, pa.float64(),
+                             mask=nulls if nulls.any() else None),
                 )
         return t
 
@@ -2952,6 +2979,109 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return q20_window_demand_suppliers(sf)
 
+    def q_events_wilson_ci(sf):
+        """Daily error-rate with Wilson 95% score interval: one combiner
+        fold to exact (n, successes) counts, closed-form finalize as a
+        fixed float64 expression tree (stages/metrics.wilson_rate_ci)."""
+        from s_tsfe_dl_ray.stages.metrics import wilson_rate_ci
+
+        ds = read_events(sf, columns=["ts", "event_type"])
+        return _round_floats(wilson_rate_ci(
+            ds, ts_col="ts", type_col="event_type",
+            success_value="error", tier="1d"))
+
+    def q_events_lead_lag(sf):
+        """Lead-lag Pearson sweep (lags −3..+3 hours) between the click
+        and purchase hourly count series on the DENSE zero-filled grid —
+        which signal moves first (stages/trend.lead_lag_xcorr)."""
+        from s_tsfe_dl_ray.stages.trend import lead_lag_xcorr
+
+        ds = read_events(sf, columns=["ts", "event_type"])
+        return _round_floats(lead_lag_xcorr(
+            ds, ts_col="ts", type_col="event_type",
+            type_a="click", type_b="purchase", tier="1h", max_lag=3))
+
+    def q_events_target_encoding(sf):
+        """Leave-one-out target encoding of event_type by value: int-cent
+        category fold broadcast back as a shuffle-free per-row map
+        (stages/transform.loo_target_encoding)."""
+        from s_tsfe_dl_ray.stages.transform import loo_target_encoding
+
+        ds = read_events(sf, columns=["event_id", "event_type", "value"])
+        return _round_floats(loo_target_encoding(
+            ds, key_col="event_type", value_col="value", id_col="event_id"))
+
+    def q_transcripts_template_prefix(sf):
+        """Conversation template detection: md5 fingerprint of the opening
+        (role:text) turn per conversation, groups sharing a prefix
+        with ≥2 members — boilerplate/template dedup for training corpora
+        (composition: order_fingerprint over the prefix slice + one
+        combiner fold)."""
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+        from s_tsfe_dl_ray.sources.parquet import read_transcripts
+        from s_tsfe_dl_ray.stages.scan import order_fingerprint
+
+        ds = read_transcripts(_transcripts_for(sf),
+                              columns=["conv_id", "turn_idx", "role", "text"])
+
+        def prefix_rows(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less(t["turn_idx"], 1))
+            return pa.table({
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "rt": pc.binary_join_element_wise(t["role"], t["text"], ":"),
+            })
+
+        fp = order_fingerprint(
+            ds.map_batches(prefix_rows, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            key="conv_id", order_by=["turn_idx"], col="rt")
+        agg = grouped_aggregate(
+            fp, keys=["fingerprint"],
+            aggs={"n_convs": ("conv_id", "count"),
+                  "first_conv": ("conv_id", "min")},
+            num_partitions=8)
+        out = agg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n_convs"], 2)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return out.sort(["n_convs", "fingerprint"],
+                        descending=[True, False])
+
+    def q_events_pareto(sf):
+        """Pareto concentration: smallest user set covering 80% of total
+        value — per-key int-cent fold + one ordered finalize; k defined
+        by counting (not argmax) so both sides agree even with negative
+        values (stages/metrics.pareto_coverage)."""
+        from s_tsfe_dl_ray.stages.metrics import pareto_coverage
+
+        ds = read_events(sf, columns=["user_id", "value"])
+        return _round_floats(pareto_coverage(
+            ds, key_col="user_id", value_col="value", share=0.8))
+
+    def q_transcripts_concurrency_1h(sf):
+        """Hourly open-conversation concurrency profile: per-conv
+        (min ts, max ts) combiner fold, window-range expand, tiny count
+        fold (stages/activity.active_interval_counts)."""
+        from s_tsfe_dl_ray.sources.parquet import read_transcripts
+        from s_tsfe_dl_ray.stages.activity import active_interval_counts
+
+        ds = read_transcripts(_transcripts_for(sf),
+                              columns=["conv_id", "ts"])
+        return active_interval_counts(ds, key="conv_id", ts_col="ts",
+                                      tier="1h")
+
+    def q_docs_containment(sf):
+        """Sub-document duplication: word-3-gram containment
+        (inter / min size) ≥ 0.8 pairs — the asymmetric overlap that
+        catches quote-and-pad duplication Jaccard misses
+        (stages/dedup.ngram_jaccard_pairs score='containment')."""
+        from s_tsfe_dl_ray.stages.dedup import ngram_jaccard_pairs
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"])
+        return _round_floats(ngram_jaccard_pairs(
+            ds, id_col="doc_id", n=3, threshold=0.8, score="containment"))
+
     def q_transcripts_position_profile(sf):
         """Turn-length drift across conversation position: per (role,
         position decile) turn count + mean token length — one conv-hash
@@ -4324,6 +4454,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q11_important_parts": q_tpch_q11_important_parts,
         "tpch_q16_supplier_part_counts": q_tpch_q16_supplier_part_counts,
         "tpch_q20_window_demand": q_tpch_q20_window_demand,
+        "events_wilson_ci": q_events_wilson_ci,
+        "events_lead_lag": q_events_lead_lag,
+        "events_target_encoding": q_events_target_encoding,
+        "transcripts_template_prefix": q_transcripts_template_prefix,
+        "events_pareto": q_events_pareto,
+        "transcripts_concurrency_1h": q_transcripts_concurrency_1h,
+        "docs_containment": q_docs_containment,
     }
 
 
@@ -9079,5 +9216,180 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE n_name = 'NATION_3'
             ORDER BY s_name
+        """,
+        # Wilson 95% interval: exact int counts, then the closed form as
+        # a fixed float64 expression tree — same z literal, same
+        # parenthesization as the engine finalize, so identical doubles
+        "events_wilson_ci": """
+            WITH c AS (
+              SELECT date_trunc('day', ts) AS window_start,
+                     count(*)::BIGINT AS n_events,
+                     (count(*) FILTER (WHERE event_type = 'error'))::BIGINT
+                       AS n_success
+              FROM events GROUP BY 1)
+            SELECT window_start, n_events, n_success,
+                   round(n_success::DOUBLE / n_events::DOUBLE, 6) AS rate,
+                   round((n_success::DOUBLE / n_events::DOUBLE
+                          + (1.959963984540054 * 1.959963984540054)
+                            / (2.0 * n_events::DOUBLE))
+                         / (1.0 + (1.959963984540054 * 1.959963984540054)
+                                  / n_events::DOUBLE)
+                         - 1.959963984540054
+                           * sqrt(n_success::DOUBLE / n_events::DOUBLE
+                                  * (1.0 - n_success::DOUBLE
+                                           / n_events::DOUBLE)
+                                  / n_events::DOUBLE
+                                  + (1.959963984540054 * 1.959963984540054)
+                                    / (4.0 * (n_events::DOUBLE
+                                              * n_events::DOUBLE)))
+                           / (1.0 + (1.959963984540054 * 1.959963984540054)
+                                    / n_events::DOUBLE), 6) AS ci_lo,
+                   round((n_success::DOUBLE / n_events::DOUBLE
+                          + (1.959963984540054 * 1.959963984540054)
+                            / (2.0 * n_events::DOUBLE))
+                         / (1.0 + (1.959963984540054 * 1.959963984540054)
+                                  / n_events::DOUBLE)
+                         + 1.959963984540054
+                           * sqrt(n_success::DOUBLE / n_events::DOUBLE
+                                  * (1.0 - n_success::DOUBLE
+                                           / n_events::DOUBLE)
+                                  / n_events::DOUBLE
+                                  + (1.959963984540054 * 1.959963984540054)
+                                    / (4.0 * (n_events::DOUBLE
+                                              * n_events::DOUBLE)))
+                           / (1.0 + (1.959963984540054 * 1.959963984540054)
+                                    / n_events::DOUBLE), 6) AS ci_hi
+            FROM c ORDER BY window_start
+        """,
+        # dense zero-filled hour grid (generate_series), per-lag Pearson
+        # from six exact integer sums cast to DOUBLE at the same points
+        # as the engine's numpy finalize; empty-overlap lags vanish on
+        # both sides, zero variance goes NULL via 0-division
+        "events_lead_lag": """
+            WITH c AS (
+              SELECT date_trunc('hour', ts) AS w,
+                     count(*) FILTER (WHERE event_type = 'click') AS a_n,
+                     count(*) FILTER (WHERE event_type = 'purchase') AS b_n
+              FROM events GROUP BY 1),
+            span AS (SELECT min(w) AS w0, max(w) AS w1 FROM c),
+            grid AS (SELECT unnest(generate_series(w0, w1, INTERVAL 1 HOUR))
+                       AS w FROM span),
+            g AS (SELECT epoch_us(grid.w) AS wus,
+                         coalesce(c.a_n, 0)::BIGINT AS x,
+                         coalesce(c.b_n, 0)::BIGINT AS y
+                  FROM grid LEFT JOIN c ON grid.w = c.w),
+            lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3])::BIGINT AS lag),
+            p AS (SELECT l.lag, a.x AS x, b.y AS y
+                  FROM lags l JOIN g a ON true
+                  JOIN g b ON b.wus = a.wus + l.lag * 3600000000::BIGINT),
+            s AS (SELECT lag, count(*)::BIGINT AS n, sum(x) AS sx,
+                         sum(y) AS sy, sum(x * y) AS sxy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy
+                  FROM p GROUP BY 1)
+            SELECT lag, n AS n_windows,
+                   round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                         / sqrt((n::DOUBLE * sxx::DOUBLE
+                                 - sx::DOUBLE * sx::DOUBLE)
+                                * (n::DOUBLE * syy::DOUBLE
+                                   - sy::DOUBLE * sy::DOUBLE)), 6) AS r
+            FROM s ORDER BY lag
+        """,
+        # LOO target encoding: int-cent category sums (round-half-away
+        # both sides), exact integer subtraction, two divisions in the
+        # same order; n−1 = 0 and all-NULL categories go NULL identically
+        "events_target_encoding": """
+            WITH s AS (
+              SELECT event_type,
+                     sum(CAST(round(value * 100) AS BIGINT)) AS sum_c,
+                     count(value)::BIGINT AS n_v
+              FROM events WHERE event_type IS NOT NULL GROUP BY 1)
+            SELECT e.event_id, e.event_type,
+                   round(((s.sum_c - CAST(round(e.value * 100) AS BIGINT))
+                            ::DOUBLE
+                          / (s.n_v - 1)::DOUBLE) / 100.0, 6) AS loo_enc
+            FROM events e JOIN s USING (event_type)
+        """,
+        # template detection: md5(string_agg ORDER BY) == the engine's
+        # per-conversation ordered prefix fingerprint (house md5 recipe)
+        "transcripts_template_prefix": f"""
+            WITH pre AS (
+              SELECT conv_id,
+                     md5(string_agg(role || ':' || text, chr(31)
+                                    ORDER BY turn_idx)) AS fingerprint
+              FROM {T} WHERE turn_idx < 1 GROUP BY 1)
+            SELECT fingerprint, count(*)::BIGINT AS n_convs,
+                   min(conv_id) AS first_conv
+            FROM pre GROUP BY 1 HAVING count(*) >= 2
+            ORDER BY n_convs DESC, fingerprint
+        """,
+        # Pareto k: exact int-cent cumulative sums in (value desc, key)
+        # order; k by COUNTING prefixes below the float target (engine
+        # mirrors count+1, capped at n) — agrees even when negative
+        # values make the running sum non-monotone
+        "events_pareto": """
+            WITH s AS (
+              SELECT user_id,
+                     sum(CAST(round(value * 100) AS BIGINT)) AS v
+              FROM events GROUP BY 1),
+            o AS (
+              SELECT v,
+                     sum(v) OVER (ORDER BY v DESC, user_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     row_number() OVER (ORDER BY v DESC, user_id ASC)
+                       AS rn
+              FROM s),
+            t AS (SELECT count(*)::BIGINT AS n_keys, sum(v) AS tot FROM s),
+            kk AS (
+              SELECT least((SELECT count(*) FROM o, t
+                            WHERE cum::DOUBLE < 0.8 * tot::DOUBLE) + 1,
+                           (SELECT n_keys FROM t))::BIGINT AS k
+              FROM t)
+            SELECT t.n_keys, kk.k AS k_keys,
+                   round((SELECT cum FROM o WHERE rn = kk.k)::DOUBLE
+                         / t.tot::DOUBLE, 6) AS share_covered,
+                   round(t.tot::DOUBLE / 100.0, 6) AS total_value
+            FROM t, kk WHERE t.n_keys > 0
+        """,
+        # open-interval concurrency: per-conv hour span expanded on the
+        # dense grid — pure integer window floors and counts
+        "transcripts_concurrency_1h": f"""
+            WITH b AS (
+              SELECT conv_id, date_trunc('hour', min(ts)) AS h0,
+                     date_trunc('hour', max(ts)) AS h1
+              FROM {T} GROUP BY 1),
+            e AS (
+              SELECT conv_id,
+                     unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                       AS window_start
+              FROM b)
+            SELECT window_start, count(*)::BIGINT AS n_active
+            FROM e GROUP BY 1 ORDER BY 1
+        """,
+        # containment = inter / least(sz_a, sz_b): same gram pipeline as
+        # docs_ngram_jaccard, asymmetric finalize — identical float64
+        # division both sides
+        "docs_containment": """
+            WITH toks AS (SELECT doc_id, string_split(trim(text), ' ')
+                            AS w FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+              FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM grams a JOIN grams b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b,
+                   round(inter::DOUBLE / least(sa.sz, sb.sz), 6)
+                     AS containment
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE inter::DOUBLE / least(sa.sz, sb.sz) >= 0.8
         """,
     }

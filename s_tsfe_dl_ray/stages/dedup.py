@@ -604,8 +604,17 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     num_partitions: int = 64,
     max_gram_df: int | None = None,
+    score: str = "jaccard",
 ) -> Dataset:
     """All pairs with word-``n``-gram Jaccard ≥ threshold — EXACT.
+
+    ``score="containment"`` switches the final metric to
+    ``inter / min(sz_a, sz_b)`` (the asymmetric overlap coefficient):
+    a small document fully embedded in a large one scores 1.0 where
+    Jaccard collapses toward 0 — the metric that catches quote-and-pad
+    and sub-document duplication in training corpora.  Same dataflow,
+    same exchanges; only the finalize arithmetic (and the output column
+    name) changes.
 
     Dataflow: explode distinct grams per doc (vectorized hash), each gram
     row CARRYING its doc's total distinct-gram count → inverted-index
@@ -685,15 +694,21 @@ def ngram_jaccard_pairs(
         agg_cols=[("inter", "sum"), ("sz_a", "min"), ("sz_b", "min")], pkey_col="id_a",
     )
 
-    def score(t: pa.Table) -> pa.Table:
+    out_name = "containment" if score == "containment" else "jaccard"
+
+    def score_fn(t: pa.Table) -> pa.Table:
         inter = t["inter"].to_numpy().astype(np.float64)
         sa = t["sz_a"].to_numpy().astype(np.float64)
         sb = t["sz_b"].to_numpy().astype(np.float64)
-        jac = inter / (sa + sb - inter)
-        out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "jaccard": pa.array(jac)})
-        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+        if out_name == "containment":
+            val = inter / np.minimum(sa, sb)
+        else:
+            val = inter / (sa + sb - inter)
+        out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                        out_name: pa.array(val)})
+        return out.filter(pc.greater_equal(out[out_name], threshold))
 
-    return merged.map_batches(score, batch_format="pyarrow")
+    return merged.map_batches(score_fn, batch_format="pyarrow")
 
 
 def dup_rate_by_group(

@@ -863,3 +863,144 @@ def gains_table(
                               zero_copy_batch=True)
     return partials.repartition(1).map_batches(fold, batch_format="pandas",
                                                batch_size=None)
+
+
+def wilson_rate_ci(
+    ds: Dataset,
+    *,
+    ts_col: str,
+    type_col: str,
+    success_value: str,
+    tier: str = "1d",
+    z: float = 1.959963984540054,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Per-window event-rate with its Wilson score confidence interval —
+    the monitoring staple that a raw rate ± normal-approx stderr gets
+    wrong at small n or extreme p (the Wilson interval never leaves
+    [0, 1] and stays calibrated at n=1).  Default ``z`` is the exact
+    two-sided 95% normal quantile, embedded as the same literal in the
+    SQL twin.
+
+    Shape: one combiner fold to (window → n, successes) exact int64
+    counts, then a vectorized finalize evaluating the closed form —
+    a fixed float64 expression tree mirrored verbatim by the SQL twin
+    (same literal, same parenthesization), so both sides compute
+    bit-identical doubles.  n ≥ 1 by construction, so no 0-division
+    branch exists.
+
+    Output: ``window_start (timestamp), n_events, n_success, rate,
+    ci_lo, ci_hi`` per window.
+
+    Reference analog: the reference reports point metrics only
+    (accuracy/AUC in experiments); interval-aware monitoring is the
+    production upgrade (keras_experiment.py:583-593 thresholds on a
+    point estimate).
+    """
+    from ..functions.windows import window_start_us, window_to_timestamp
+    from ..pipelines.relational import grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "w": window_start_us(t[ts_col], tier),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "x": pc.cast(pc.equal(t[type_col], success_value), pa.int64()),
+        })
+
+    folded = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["w"], aggs={"n": ("n", "sum"), "x": ("x", "sum")},
+        num_partitions=num_partitions)
+
+    zf = np.float64(z)
+    z2 = zf * zf
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # fixed expression tree — keep in lockstep with the SQL twin
+        phat = x / n
+        denom = 1.0 + z2 / n
+        center = (phat + z2 / (2.0 * n)) / denom
+        half = zf * np.sqrt(phat * (1.0 - phat) / n
+                            + z2 / (4.0 * (n * n))) / denom
+        return pa.table({
+            "window_start": window_to_timestamp(pc.cast(t["w"], pa.int64())),
+            "n_events": t["n"],
+            "n_success": t["x"],
+            "rate": pa.array(phat, pa.float64()),
+            "ci_lo": pa.array(center - half, pa.float64()),
+            "ci_hi": pa.array(center + half, pa.float64()),
+        })
+
+    return folded.map_batches(fin, batch_format="pyarrow").sort("window_start")
+
+
+def pareto_coverage(
+    ds: Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    share: float = 0.8,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Pareto concentration readout: the smallest number of keys (by
+    descending total value) whose cumulative value reaches ``share`` of
+    the corpus total — "how many users make up 80% of revenue", the
+    concentration number the Gini coefficient
+    (:func:`~.activity.activity_gini`) summarizes but cannot answer
+    directly.
+
+    Dataflow: one combiner fold to per-key int-cent sums (key-count
+    sized), then one ordered finalize on a single partition — the same
+    bounded-key-cardinality contract as the engine's gini/quantile ops.
+    Exactness: cumulative sums are exact int64 in descending
+    (value, key)-order; ``k`` is defined by COUNTING prefixes below the
+    float target (``count(cum < share × total) + 1``) rather than by an
+    argmax, so the engine and the SQL twin agree even when negative
+    values make the running sum non-monotone; the two final divisions
+    are identical float64 ops.
+
+    Output: one row — ``n_keys, k_keys, share_covered, total_value``.
+
+    Reference analog: top-k thresholding over scored records
+    (keras_experiment.py:583-593) — here the threshold is derived from
+    the mass distribution itself.
+    """
+    from ..pipelines.relational import grouped_aggregate
+
+    def fold(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(t[value_col], pa.float64()), pa.scalar(100.0))),
+            pa.int64())
+        return pa.table({key_col: t[key_col], "v": cents})
+
+    per_key = grouped_aggregate(
+        ds.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True),
+        keys=[key_col], aggs={"v": ("v", "sum")},
+        num_partitions=num_partitions)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "n_keys": pd.Series([], dtype="int64"),
+                "k_keys": pd.Series([], dtype="int64"),
+                "share_covered": pd.Series([], dtype="float64"),
+                "total_value": pd.Series([], dtype="float64")})
+        df = df.sort_values(["v", key_col], ascending=[False, True],
+                            kind="mergesort")
+        v = df["v"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(v)
+        tot = np.float64(v.sum())
+        target = np.float64(share) * tot
+        k = min(int((cum.astype(np.float64) < target).sum()) + 1, len(v))
+        return pd.DataFrame({
+            "n_keys": pd.Series([len(v)], dtype="int64"),
+            "k_keys": pd.Series([k], dtype="int64"),
+            "share_covered": [float(np.float64(cum[k - 1]) / tot)
+                              if tot != 0.0 else np.nan],
+            "total_value": [float(tot / np.float64(100.0))]})
+
+    return per_key.repartition(1).map_batches(fin, batch_format="pandas",
+                                              batch_size=None)

@@ -1082,3 +1082,78 @@ def priority_sample(
         .repartition(1)
         .map_batches(final_topk, batch_format="pandas", batch_size=None)
     )
+
+
+def loo_target_encoding(
+    ds: Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    out_col: str = "loo_enc",
+) -> Dataset:
+    """Leave-one-out target encoding — the training-data feature op that
+    replaces a categorical with the mean target of all OTHER rows in
+    its category (plain category means leak the row's own label into
+    its feature; LOO is the standard fix).  Rows with a NULL key are
+    dropped (no category to encode); a NULL value yields a NULL
+    encoding; a category with a single observed value yields NULL
+    (nothing to leave out).
+
+    Shape: one combiner fold to (category → int-cent sum, non-null
+    count) — category-count-sized, collected once to the driver and
+    shipped as a broadcast closure (the engine's small-side-lookup
+    rule; categorical cardinality is bounded by design) — then a
+    shuffle-free vectorized map over the fact rows.  Exactness: values
+    fold as int cents (round-half-away, the house scaling), the
+    per-row subtraction ``sum - cents`` is exact in float64 (both
+    operands integer-valued < 2^53), and the two divisions mirror the
+    SQL twin's expression tree; n−1 = 0 goes NULL via 0-division.
+
+    Output: ``id_col, key_col, out_col`` per surviving input row.
+
+    Reference analog: label-aware per-row derived features feeding the
+    models (oneHotEncode in data.py — the leak-free numeric sibling).
+    """
+    import pyarrow.parquet  # noqa: F401  (keeps import graph explicit)
+
+    from ..pipelines.relational import grouped_aggregate
+
+    def fold(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[key_col]))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5), v)
+        # NULL values contribute nothing to the sum (SQL sum skips them;
+        # a NaN would poison the distributed float64 fold)
+        cents = np.where(np.isnan(cents), 0.0, cents)
+        return pa.table({
+            key_col: t[key_col],
+            "sum_c": pa.array(cents, pa.float64()),
+            "n_v": pc.cast(pc.is_valid(t[value_col]), pa.int64()),
+        })
+
+    folded = grouped_aggregate(
+        ds.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True),
+        keys=[key_col],
+        aggs={"sum_c": ("sum_c", "sum"), "n_v": ("n_v", "sum")},
+        num_partitions=4).take_all()
+    sum_map = {r[key_col]: np.float64(r["sum_c"]) for r in folded}
+    n_map = {r[key_col]: np.float64(r["n_v"]) for r in folded}
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[key_col].notna()]
+        v = df[value_col].to_numpy(dtype=np.float64)
+        cents = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5), v)
+        sums = df[key_col].map(sum_map).to_numpy(dtype=np.float64)
+        ns = df[key_col].map(n_map).to_numpy(dtype=np.float64)
+        # fixed expression tree — keep in lockstep with the SQL twin
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = ((sums - cents) / (ns - 1.0)) / 100.0
+        out[~np.isfinite(out)] = np.nan
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            key_col: df[key_col].to_numpy(),
+            out_col: out,
+        })
+
+    return ds.map_batches(enc, batch_format="pandas")

@@ -1720,3 +1720,104 @@ def markov_stationary(
     return grouped_apply(ds, keys=[key], fn=fold,
                          num_partitions=num_partitions,
                          whole_partition=True).sort([key, "state"])
+
+
+def lead_lag_xcorr(
+    ds: Dataset,
+    *,
+    ts_col: str,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    tier: str = "1h",
+    max_lag: int = 3,
+) -> Dataset:
+    """Lead-lag cross-correlation sweep on the DENSE tumbling-window
+    count grid: Pearson r between the ``type_a`` count series and the
+    ``type_b`` series shifted by every lag in [-max_lag, +max_lag]
+    windows (positive lag = a leads b) — the standard "which signal
+    moves first, and by how much" diagnostic that
+    :func:`cross_series_corr` (observed-hours, lags 0/1 only) and
+    :func:`granger_probe` (one fixed lag) cannot answer.  Missing
+    windows count as zero, exactly like the SQL twin's
+    ``generate_series`` grid.
+
+    Dataflow: the granger-style per-batch (window, a_n, b_n) count
+    combiner — O(windows) rows per batch, exact int64 — then ONE tiny
+    ordered fold on a single partition (the dense grid for years of
+    hourly data is ~1e4 rows; it scales with time span, not row count).
+    Per lag, r derives from six exact integer sums cast to float64 once
+    — a fixed expression tree mirrored verbatim by the SQL twin, so
+    both sides compute bit-identical doubles.  Lags with an empty
+    overlap (grid shorter than the lag) emit no row on either side;
+    zero-variance overlaps go NULL via 0-division.
+
+    Output: one row per surviving lag — ``lag (int64), n_windows
+    (int64), r (float64)``.
+
+    Reference analog: the cross-signal alignment the reference's
+    multi-lead MIT-BIH reader sets up (data.py:99-154 aligns two leads
+    on sample index) — here as a first-class lagged-coupling operator.
+    """
+    from ..functions.windows import _tier_us, window_start_us
+
+    step = _tier_us(tier)
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = window_start_us(t[ts_col], tier)
+        is_a = pc.cast(pc.equal(t[type_col], type_a), pa.int64())
+        is_b = pc.cast(pc.equal(t[type_col], type_b), pa.int64())
+        out = pa.table({"w": w, "a_n": is_a, "b_n": is_b}) \
+            .group_by(["w"], use_threads=False) \
+            .aggregate([("a_n", "sum"), ("b_n", "sum")])
+        return out.rename_columns(["w", "a_n", "b_n"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "lag": pd.Series([], dtype="int64"),
+            "n_windows": pd.Series([], dtype="int64"),
+            "r": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        g = df.groupby("w", sort=True)[["a_n", "b_n"]].sum()
+        w = g.index.to_numpy(dtype=np.int64)
+        horizon = int((w[-1] - w[0]) // step) + 1
+        x = np.zeros(horizon, dtype=np.int64)
+        y = np.zeros(horizon, dtype=np.int64)
+        idx = (w - w[0]) // step
+        x[idx] = g["a_n"].to_numpy(dtype=np.int64)
+        y[idx] = g["b_n"].to_numpy(dtype=np.int64)
+        lags, ns, rs = [], [], []
+        for lag in range(-max_lag, max_lag + 1):
+            n = horizon - abs(lag)
+            if n <= 0:
+                # no overlap: the SQL twin's shifted join produces no
+                # pairs either (and a negative python slice like
+                # y[:horizon+lag] would silently wrap)
+                continue
+            if lag >= 0:
+                xa, yb = x[:horizon - lag], y[lag:]
+            else:
+                xa, yb = x[-lag:], y[:horizon + lag]
+            # exact int64 sums → float64 once; fixed expression tree —
+            # keep in lockstep with the SQL twin
+            nf = np.float64(n)
+            sx, sy = np.float64(xa.sum()), np.float64(yb.sum())
+            sxy = np.float64(np.dot(xa, yb))
+            sxx = np.float64(np.dot(xa, xa))
+            syy = np.float64(np.dot(yb, yb))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                r = (nf * sxy - sx * sy) / np.sqrt(
+                    (nf * sxx - sx * sx) * (nf * syy - sy * sy))
+            lags.append(lag)
+            ns.append(n)
+            rs.append(r if np.isfinite(r) else np.nan)
+        return pd.DataFrame({
+            "lag": pd.Series(lags, dtype="int64"),
+            "n_windows": pd.Series(ns, dtype="int64"),
+            "r": pd.Series(rs, dtype="float64")})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.repartition(1).map_batches(fin, batch_format="pandas",
+                                               batch_size=None)

@@ -84,6 +84,9 @@ QUERIES = [
     "events_ece",
     "events_brier",
     "events_gains",
+    "events_wilson_ci",
+    "events_lead_lag",
+    "events_target_encoding",
 ]
 
 SHAPES = [
