@@ -3082,6 +3082,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(ngram_jaccard_pairs(
             ds, id_col="doc_id", n=3, threshold=0.8, score="containment"))
 
+    def q_transcripts_cache_savings(sf):
+        """Prefix-cache billing simulation per conversation: full-history
+        re-read cost (Σ prefix chars) vs cache-hit cost (each char paid
+        once) and the savings ratio — the LLM-serving economics readout
+        (composition over stages/dialog.context_cost; exact int64)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import context_cost
+
+        cc = context_cost(read_table(
+            _transcripts_for(sf), columns=["conv_id", "turn_idx", "text"]))
+
+        def fin(t: pa.Table) -> pa.Table:
+            cost = t["context_cost"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            total = t["total_chars"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ratio = (cost - total) / cost
+            ratio = np.where(np.isfinite(ratio), ratio, np.nan)
+            return pa.table({
+                "conv_id": t["conv_id"],
+                "n_turns": t["n_turns"],
+                "billed_full_history": t["context_cost"],
+                "billed_prefix_cache": t["total_chars"],
+                "savings_ratio": pa.array(ratio, pa.float64()),
+            })
+
+        return _round_floats(cc.map_batches(fin, batch_format="pyarrow"))
+
+    def q_events_rate_limit(sf):
+        """Fixed-window rate-limiter dry run: windows where a per-user
+        budget of 2 events/hour would drop traffic — one combiner fold,
+        all-integer (stages/stream.rate_limit_drops)."""
+        from s_tsfe_dl_ray.stages.stream import rate_limit_drops
+
+        ds = read_events(sf, columns=["user_id", "ts"])
+        return rate_limit_drops(ds, key="user_id", ts_col="ts",
+                                tier="1h", limit=2)
+
+    def q_docs_minhash_recall(sf):
+        """LSH dedup quality audit: recall of the banded MinHash route
+        against the exact all-pairs n-gram Jaccard ground truth on the
+        SAME (non-strict) shingle basis — the acceptance gate before
+        trusting banding parameters at scale (precision is 1.0 by
+        construction: candidates are exact-verified).  Rows-only
+        (the LSH side is not SQL-expressible); pair sets are audit-sized
+        (above-threshold pairs only)."""
+        import pandas as _pd
+
+        from s_tsfe_dl_ray.stages.dedup import (minhash_dedup_pairs,
+                                                ngram_jaccard_pairs)
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"])
+        truth_df = ngram_jaccard_pairs(
+            ds, id_col="doc_id", n=3, threshold=0.5,
+            strict=False).to_pandas()
+        found_df = minhash_dedup_pairs(
+            ds, id_col="doc_id", threshold=0.5).to_pandas()
+        t = set(zip(truth_df.id_a, truth_df.id_b))
+        f = set(zip(found_df.id_a, found_df.id_b))
+        hit = len(t & f)
+        return _pd.DataFrame({
+            "n_true": _pd.Series([len(t)], dtype="int64"),
+            "n_found": _pd.Series([len(f)], dtype="int64"),
+            "n_hit": _pd.Series([hit], dtype="int64"),
+            "recall": [hit / len(t) if t else float("nan")],
+            "precision": [hit / len(f) if f else float("nan")],
+        })
+
     def q_transcripts_position_profile(sf):
         """Turn-length drift across conversation position: per (role,
         position decile) turn count + mean token length — one conv-hash
@@ -4461,6 +4531,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pareto": q_events_pareto,
         "transcripts_concurrency_1h": q_transcripts_concurrency_1h,
         "docs_containment": q_docs_containment,
+        "transcripts_cache_savings": q_transcripts_cache_savings,
+        "events_rate_limit": q_events_rate_limit,
+        "docs_minhash_recall": q_docs_minhash_recall,
     }
 
 
@@ -9391,5 +9464,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.id_a
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE inter::DOUBLE / least(sa.sz, sb.sz) >= 0.8
+        """,
+        # prefix-cache economics: exact int64 window cumsums; the single
+        # ratio division is the same float64 op both sides; all-empty
+        # conversations (cost 0) go NULL via 0-division
+        "transcripts_cache_savings": f"""
+            WITH p AS (
+              SELECT conv_id, length(text)::BIGINT AS chars,
+                     sum(length(text)) OVER (PARTITION BY conv_id
+                                             ORDER BY turn_idx
+                                             ROWS UNBOUNDED PRECEDING)
+                       AS prefix
+              FROM {T}),
+            c AS (
+              SELECT conv_id, count(*)::BIGINT AS n_turns,
+                     sum(chars) AS total, sum(prefix) AS cost
+              FROM p GROUP BY 1)
+            SELECT conv_id, n_turns,
+                   cost::BIGINT AS billed_full_history,
+                   total::BIGINT AS billed_prefix_cache,
+                   round((cost - total)::DOUBLE / cost::DOUBLE, 6)
+                     AS savings_ratio
+            FROM c
+        """,
+        # fixed-window rate limiter: pure integer counts and subtraction
+        "events_rate_limit": """
+            WITH c AS (
+              SELECT user_id, date_trunc('hour', ts) AS window_start,
+                     count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1, 2)
+            SELECT user_id, window_start, n_events,
+                   (n_events - 2)::BIGINT AS n_dropped
+            FROM c WHERE n_events > 2
+            ORDER BY user_id, window_start
         """,
     }

@@ -605,6 +605,7 @@ def ngram_jaccard_pairs(
     num_partitions: int = 64,
     max_gram_df: int | None = None,
     score: str = "jaccard",
+    strict: bool = True,
 ) -> Dataset:
     """All pairs with word-``n``-gram Jaccard ≥ threshold — EXACT.
 
@@ -615,6 +616,12 @@ def ngram_jaccard_pairs(
     and sub-document duplication in training corpora.  Same dataflow,
     same exchanges; only the finalize arithmetic (and the output column
     name) changes.
+
+    ``strict=False`` switches the shingle basis to MinHash's (a doc
+    shorter than ``n`` words contributes its whole text as one shingle
+    instead of nothing) so this exact path can serve as ground truth
+    for :func:`minhash_dedup_pairs` recall audits; the SQL-mirrored
+    oracle path keeps the default ``strict=True``.
 
     Dataflow: explode distinct grams per doc (vectorized hash), each gram
     row CARRYING its doc's total distinct-gram count → inverted-index
@@ -642,7 +649,7 @@ def ngram_jaccard_pairs(
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         ids, ghs, szs = [], [], []
         for rid, text in zip(b[id_col], b["text"]):
-            grams = set(word_shingles(text, n, strict=True))
+            grams = set(word_shingles(text, n, strict=strict))
             if grams:
                 hs = np.unique(_stable_u64(np.array(sorted(grams), dtype=object)))
                 ids.extend([rid] * len(hs))

@@ -192,3 +192,63 @@ def peak_sliding_rate(
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(body, batch_format="pandas")
+
+
+def rate_limit_drops(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    tier: str = "1h",
+    limit: int = 2,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Fixed-window rate-limiter audit: with a per-key budget of
+    ``limit`` events per tumbling window, how many events WOULD be
+    dropped, and where — the capacity-planning dry run before turning a
+    throttle on (fixed-window semantics: the first ``limit`` events of
+    each (key, window) pass, the rest drop).  Unlike a token bucket,
+    this is fully vectorizable and partition-parallel: drops depend
+    only on the (key, window) count, never on cross-window carried
+    state — the semantics that still work as ONE combiner fold at
+    100 TB.
+
+    Output: ``key, window_start (timestamp), n_events, n_dropped`` for
+    windows that drop at least one event (n_events > limit), sorted.
+
+    Reference analog: the stream experiment's bounded reader queue
+    (keras_experiment.py:41-47, queue 16) — backpressure by bounded
+    admission, here audited per key × window.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.windows import window_start_us, window_to_timestamp
+    from ..pipelines.relational import grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t[key],
+            "w": window_start_us(t[ts_col], tier),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=[key, "w"], aggs={"n_events": ("one", "sum")},
+        num_partitions=num_partitions)
+
+    lim = int(limit)
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_events"], lim))
+        return pa.table({
+            key: t[key],
+            "window_start": window_to_timestamp(pc.cast(t["w"], pa.int64())),
+            "n_events": t["n_events"],
+            "n_dropped": pc.subtract(t["n_events"],
+                                     pa.scalar(lim, pa.int64())),
+        })
+
+    return counts.map_batches(fin, batch_format="pyarrow").sort(
+        [key, "window_start"])

@@ -87,6 +87,7 @@ QUERIES = [
     "events_wilson_ci",
     "events_lead_lag",
     "events_target_encoding",
+    "events_rate_limit",
 ]
 
 SHAPES = [
@@ -165,7 +166,8 @@ T_QUERIES = ["transcripts_latency_by_hour", "transcripts_duration_stats",
              "transcripts_prompt_ols", "transcripts_reply_latency",
              "transcripts_escalation", "transcripts_position_profile",
              "transcripts_tool_effect", "transcripts_conv_features",
-             "transcripts_token_gini", "transcripts_tool_km"]
+             "transcripts_token_gini", "transcripts_tool_km",
+             "transcripts_cache_savings"]
 
 
 def _synth_transcripts(tmpdir: str, seed: int, n: int, ties: bool) -> str:
@@ -270,6 +272,28 @@ def test_fuzz_transcript_query_matches_oracle(tmp_path_factory, entrymod,
             lambda df: df.rename(columns={"n_users": "n_convs",
                                           "total_events": "total_tokens"}),
             batch_format="pandas")
+    elif name == "transcripts_cache_savings":
+        import numpy as _np
+        import pyarrow as _pa
+
+        from s_tsfe_dl_ray.stages.dialog import context_cost
+
+        def _fin(t: "_pa.Table") -> "_pa.Table":
+            cost = t["context_cost"].to_numpy(
+                zero_copy_only=False).astype(_np.float64)
+            total = t["total_chars"].to_numpy(
+                zero_copy_only=False).astype(_np.float64)
+            with _np.errstate(invalid="ignore", divide="ignore"):
+                ratio = (cost - total) / cost
+            ratio = _np.where(_np.isfinite(ratio), ratio, _np.nan)
+            return _pa.table({
+                "conv_id": t["conv_id"], "n_turns": t["n_turns"],
+                "billed_full_history": t["context_cost"],
+                "billed_prefix_cache": t["total_chars"],
+                "savings_ratio": _pa.array(ratio, _pa.float64()),
+            })
+
+        out = context_cost(ds).map_batches(_fin, batch_format="pyarrow")
     else:
         out = reply_latency(ds, conv_col="conv_id", ts_col="ts",
                             order_by=["ts", "turn_idx"])

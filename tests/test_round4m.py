@@ -211,3 +211,54 @@ def test_4m_ops_blocking_invariance():
         pd.testing.assert_frame_equal(
             a[k].reset_index(drop=True), b[k].reset_index(drop=True),
             check_exact=True, obj=k)
+
+
+def test_rate_limit_drops_counts():
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.stream import rate_limit_drops
+
+    base = 1_700_000_000_000_000
+    hour = 3_600_000_000
+    # user 1: 5 events in hour 0 (3 dropped at limit 2), 1 in hour 1;
+    # user 2: 2 events in hour 0 (none dropped)
+    ts = [base + i for i in range(5)] + [base + hour + 1] + [base, base + 9]
+    uid = [1] * 6 + [2, 2]
+    t = pa.table({
+        "user_id": pa.array(uid, pa.int64()),
+        "ts": pa.array(np.array(ts, dtype=np.int64)
+                       .astype("datetime64[us]")),
+    })
+    path = "/tmp/r4m_ratelimit.parquet"
+    pq.write_table(t, path)
+    out = to_pdf(rate_limit_drops(ray.data.read_parquet(path),
+                                  key="user_id", ts_col="ts",
+                                  tier="1h", limit=2))
+    assert len(out) == 1
+    assert out.user_id.iloc[0] == 1
+    assert out.n_events.iloc[0] == 5 and out.n_dropped.iloc[0] == 3
+
+
+def test_cache_savings_identity():
+    """savings = 1 - total/cost and cost >= total always (prefix sums
+    dominate); a 1-turn conversation saves nothing."""
+    import ray
+
+    import __ray_entry__ as em
+    from s_tsfe_dl_ray.stages.dialog import context_cost
+
+    t = pa.table({
+        "conv_id": pa.array(["a", "a", "a", "b"]),
+        "turn_idx": pa.array([0, 1, 2, 0], pa.int32()),
+        "text": pa.array(["xx", "yyy", "z", "hello"]),
+    })
+    path = "/tmp/r4m_cache.parquet"
+    pq.write_table(t, path)
+    cc = context_cost(ray.data.read_parquet(path)).to_pandas()
+    a = cc.set_index("conv_id")
+    # conv a: chars 2,3,1 -> prefixes 2,5,6 -> cost 13, total 6
+    assert a.loc["a", "context_cost"] == 13
+    assert a.loc["a", "total_chars"] == 6
+    # conv b: single turn -> cost == total -> ratio 0
+    assert a.loc["b", "context_cost"] == a.loc["b", "total_chars"]
