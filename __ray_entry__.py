@@ -3152,6 +3152,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "precision": [hit / len(f) if f else float("nan")],
         })
 
+    def q_events_top_paths(sf):
+        """User-journey mining: top-20 session entry paths (first 5 event
+        types per 30m-gap session, joined a>b>c) with session counts —
+        one key exchange + combiner count, deterministic top-k cut
+        (stages/sessionize.session_paths)."""
+        from s_tsfe_dl_ray.stages.sessionize import session_paths
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+        return session_paths(ds, key="user_id", ts_col="ts",
+                             type_col="event_type",
+                             order_by=["ts", "event_id"], gap="30m",
+                             max_steps=5, k=20)
+
     def q_transcripts_position_profile(sf):
         """Turn-length drift across conversation position: per (role,
         position decile) turn count + mean token length — one conv-hash
@@ -4534,6 +4548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_cache_savings": q_transcripts_cache_savings,
         "events_rate_limit": q_events_rate_limit,
         "docs_minhash_recall": q_docs_minhash_recall,
+        "events_top_paths": q_events_top_paths,
     }
 
 
@@ -9497,5 +9512,35 @@ def oracle_sql() -> dict[str, str]:
                    (n_events - 2)::BIGINT AS n_dropped
             FROM c WHERE n_events > 2
             ORDER BY user_id, window_start
+        """,
+        # session entry paths: gap-cumsum sessionization (house recipe),
+        # ordered string_agg of the first 5 steps, count per path; the
+        # (count desc, path asc) ORDER is total so the LIMIT cut is
+        # deterministic
+        "events_top_paths": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)
+                               > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events),
+            s AS (
+              SELECT user_id, event_type, ts, event_id,
+                     (sum(new_session) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     )::BIGINT AS sid
+              FROM o),
+            r AS (
+              SELECT user_id, sid, event_type,
+                     row_number() OVER (PARTITION BY user_id, sid
+                                        ORDER BY ts, event_id) AS rn
+              FROM s),
+            p AS (
+              SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM r WHERE rn <= 5 GROUP BY user_id, sid)
+            SELECT path, count(*)::BIGINT AS n_sessions
+            FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20
         """,
     }

@@ -384,3 +384,89 @@ def label_sessions(
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(label, batch_format="pandas")
+
+
+def session_paths(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    order_by: list[str] | None = None,
+    gap: str | int = "30m",
+    max_steps: int = 5,
+    k: int = 20,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Top-k session entry paths — user-journey mining: sessionize by
+    inactivity ``gap``, take each session's first ``max_steps`` event
+    types in time order, join them into a ``a>b>c`` path string, and
+    count sessions per path.  The "what do sessions LOOK like"
+    complement to :func:`session_conversion` (did they convert) and
+    session_type_pairs (what co-occurred, unordered).
+
+    Dataflow: ONE key-hash exchange; inside each partition the gap
+    detection, session labeling, and step ranking are fully vectorized
+    (diff + boundary cumsum + first-index offsets); only the path join
+    per session is a string op (C-level ``str.join`` over ≤ max_steps
+    tokens).  Path strings then fold through the standard combiner
+    count; top-k cuts on the (count desc, path asc) TOTAL order so the
+    result is deterministic under any partitioning.
+
+    Output: ``path (string), n_sessions (int64)``, top ``k``.
+
+    Reference analog: get_mit_bih_segments' run boundaries
+    (data.py:99-154) generalized to inactivity-gap sessions with an
+    ordered categorical payload.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import grouped_aggregate
+    from .grouped import grouped_apply
+
+    if isinstance(gap, str):
+        unit = gap[-1]
+        mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
+        gap_us = int(gap[:-1]) * mult * 1_000_000
+    else:
+        gap_us = int(gap) * 1_000_000
+    order_by = order_by or [ts_col]
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"path": pd.Series([], dtype="object")})
+        df = df.sort_values([key] + order_by, kind="mergesort")
+        ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        kv = df[key].to_numpy()
+        new_key = np.empty(len(df), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = kv[1:] != kv[:-1]
+        gap_break = np.empty(len(df), dtype=bool)
+        gap_break[0] = True
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(new_key | gap_break) - 1
+        firsts = np.flatnonzero(np.concatenate(
+            [[True], sid[1:] != sid[:-1]]))
+        rank = np.arange(len(df)) - np.repeat(
+            firsts, np.diff(np.concatenate([firsts, [len(df)]])))
+        keep = rank < max_steps
+        types = df[type_col].to_numpy()[keep]
+        sk = sid[keep]
+        paths = pd.Series(types).groupby(sk, sort=False).agg(">".join)
+        return pd.DataFrame({"path": paths.to_numpy()})
+
+    paths_ds = grouped_apply(ds, keys=[key], fn=part,
+                             num_partitions=num_partitions,
+                             whole_partition=True)
+
+    counted = grouped_aggregate(
+        paths_ds.map_batches(
+            lambda t: pa.table({
+                "path": t["path"],
+                "one": pc.cast(pc.is_valid(t["path"]), pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["path"], aggs={"n_sessions": ("one", "sum")},
+        num_partitions=8)
+    return counted.sort(["n_sessions", "path"],
+                        descending=[True, False]).limit(k)

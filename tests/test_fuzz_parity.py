@@ -88,6 +88,7 @@ QUERIES = [
     "events_lead_lag",
     "events_target_encoding",
     "events_rate_limit",
+    "events_top_paths",
 ]
 
 SHAPES = [
