@@ -3166,6 +3166,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              order_by=["ts", "event_id"], gap="30m",
                              max_steps=5, k=20)
 
+    def q_events_return_level(sf):
+        """Tail-risk extrapolation: Gumbel method-of-moments over daily
+        block maxima → 100-day return level — exact int-cent maxima and
+        moment sums, shared constant literals both sides
+        (stages/robust.gumbel_return_level)."""
+        from s_tsfe_dl_ray.stages.robust import gumbel_return_level
+
+        ds = read_events(sf, columns=["ts", "value"])
+        return _round_floats(gumbel_return_level(
+            ds, ts_col="ts", value_col="value", tier="1d",
+            return_period=100.0))
+
+    def q_docs_mixture_weights(sf):
+        """Data-mixing readout: per-source corpus share and the
+        sqrt-temperature sampling weight RELATIVE TO THE LARGEST source
+        (sqrt(n/n_max) — a single division + sqrt, bit-deterministic;
+        a sum-normalized weight would depend on float summation order).
+        One combiner count fold + tiny finalize."""
+        import pandas as _pd
+
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "source"])
+        counts = grouped_aggregate(
+            ds.map_batches(
+                lambda t: pa.table({
+                    "source": t["source"],
+                    "one": pc.cast(pc.is_valid(t["source"]), pa.int64())}),
+                batch_format="pyarrow"),
+            keys=["source"], aggs={"n_docs": ("one", "sum")},
+            num_partitions=4)
+
+        def fin(df: _pd.DataFrame) -> _pd.DataFrame:
+            if len(df) == 0:
+                return _pd.DataFrame({
+                    "source": _pd.Series([], dtype="object"),
+                    "n_docs": _pd.Series([], dtype="int64"),
+                    "share": _pd.Series([], dtype="float64"),
+                    "rel_weight": _pd.Series([], dtype="float64")})
+            df = df.sort_values("source", kind="mergesort")
+            n = df["n_docs"].to_numpy(dtype=np.int64)
+            tot = np.float64(n.sum())
+            mx = np.float64(n.max())
+            return _pd.DataFrame({
+                "source": df["source"].to_numpy(),
+                "n_docs": n,
+                "share": n.astype(np.float64) / tot,
+                "rel_weight": np.sqrt(n.astype(np.float64) / mx)})
+
+        return _round_floats(counts.repartition(1).map_batches(
+            fin, batch_format="pandas", batch_size=None))
+
     def q_transcripts_position_profile(sf):
         """Turn-length drift across conversation position: per (role,
         position decile) turn count + mean token length — one conv-hash
@@ -4549,6 +4602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rate_limit": q_events_rate_limit,
         "docs_minhash_recall": q_docs_minhash_recall,
         "events_top_paths": q_events_top_paths,
+        "events_return_level": q_events_return_level,
+        "docs_mixture_weights": q_docs_mixture_weights,
     }
 
 
@@ -9542,5 +9597,51 @@ def oracle_sql() -> dict[str, str]:
               FROM r WHERE rn <= 5 GROUP BY user_id, sid)
             SELECT path, count(*)::BIGINT AS n_sessions
             FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20
+        """,
+        # Gumbel MoM over daily block maxima: int-cent maxima (combiner
+        # max is order-free), (n, Σ, Σ²) exact integer sums, fixed float
+        # tree with √6 / γ / π / ln(−ln(0.99)) as shared literals; n=1
+        # goes NULL via 0-division, float-cancellation-negative variance
+        # via the CASE guard (numpy sqrt(neg)=NaN mirrors it)
+        "events_return_level": """
+            WITH b AS (
+              SELECT date_trunc('day', ts) AS w,
+                     max(CAST(round(value * 100) AS BIGINT)) AS mx
+              FROM events GROUP BY 1),
+            s AS (SELECT count(*)::BIGINT AS n, sum(mx) AS sm,
+                         sum(mx * mx) AS ss
+                  FROM b),
+            f AS (SELECT n, sm::DOUBLE / n::DOUBLE AS m,
+                         (ss::DOUBLE - sm::DOUBLE * sm::DOUBLE / n::DOUBLE)
+                           / (n::DOUBLE - 1.0) AS var
+                  FROM s WHERE n > 0),
+            g AS (SELECT n, m, CASE WHEN var >= 0 THEN sqrt(var) END AS sd
+                  FROM f),
+            h AS (SELECT n, m, sd,
+                         sd * 2.449489742783178 / 3.141592653589793
+                           AS scale
+                  FROM g),
+            i AS (SELECT n, m, sd, scale,
+                         m - 0.5772156649015329 * scale AS loc
+                  FROM h)
+            SELECT n AS n_blocks,
+                   round(m / 100.0, 6) AS mean_max,
+                   round(sd / 100.0, 6) AS sd_max,
+                   round(loc / 100.0, 6) AS gumbel_loc,
+                   round(scale / 100.0, 6) AS gumbel_scale,
+                   round((loc - scale * (-4.600149226776579)) / 100.0, 6)
+                     AS return_level
+            FROM i
+        """,
+        # mixing weights: exact counts; share and rel_weight are a single
+        # division (+ one correctly-rounded sqrt) each — no float sum
+        "docs_mixture_weights": """
+            WITH s AS (SELECT source, count(source)::BIGINT AS n
+                       FROM documents GROUP BY 1),
+            t AS (SELECT sum(n) AS tot, max(n) AS mx FROM s)
+            SELECT source, n AS n_docs,
+                   round(n::DOUBLE / tot::DOUBLE, 6) AS share,
+                   round(sqrt(n::DOUBLE / mx::DOUBLE), 6) AS rel_weight
+            FROM s, t ORDER BY source
         """,
     }

@@ -1072,3 +1072,93 @@ def hill_tail_index(
                               zero_copy_batch=True)
     return (partials.groupby("_pkey")
             .map_groups(fold, batch_format="pandas").sort(key))
+
+
+def gumbel_return_level(
+    ds: Dataset,
+    *,
+    ts_col: str,
+    value_col: str,
+    tier: str = "1d",
+    return_period: float = 100.0,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Extreme-value return level via block maxima + Gumbel
+    method-of-moments — "what daily maximum do we exceed once per
+    ``return_period`` blocks", the capacity/tail-risk number a p99
+    (:func:`tail_value_share`) cannot extrapolate beyond observed data.
+    Fit: scale = sd·√6/π, loc = mean − γ·scale (γ = Euler–Mascheroni),
+    return level = loc − scale·ln(−ln(1 − 1/T)).
+
+    Exactness: block maxima fold as int cents (combiner max — exact and
+    order-free); mean/sd derive from (n, Σ, Σ²) integer sums cast to
+    float64 at the same points as the SQL twin; √6, γ, π and the
+    ln(−ln(·)) term are embedded as identical LITERALS on both sides
+    (libm log is not guaranteed correctly rounded, a constant is);
+    n ≤ 1 or negative float-cancellation variance goes NULL via
+    0-division / the twin's CASE guard (DuckDB sqrt raises on
+    negatives; numpy yields NaN → NULL).
+
+    Output: one row — ``n_blocks, mean_max, sd_max, gumbel_loc,
+    gumbel_scale, return_level``.
+
+    Reference analog: the stream experiment thresholds anomalies at a
+    fixed top-k (keras_experiment.py:583-593); the return level is the
+    principled extrapolated threshold.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.windows import window_start_us
+    from ..pipelines.relational import grouped_aggregate
+
+    # ln(-ln(1 - 1/T)) precomputed; np.log at runtime could differ from
+    # DuckDB's ln() in the last ulp — a literal cannot
+    if return_period != 100.0:
+        c_rl = float(np.log(-np.log(1.0 - 1.0 / return_period)))
+    else:
+        c_rl = -4.600149226776579
+    SQRT6 = 2.449489742783178
+    GAMMA = 0.5772156649015329
+    PI = 3.141592653589793
+
+    def fold(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(t[value_col], pa.float64()), pa.scalar(100.0))),
+            pa.int64())
+        return pa.table({"w": window_start_us(t[ts_col], tier),
+                         "mx": cents})
+
+    maxima = grouped_aggregate(
+        ds.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["w"], aggs={"mx": ("mx", "max")},
+        num_partitions=num_partitions)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ("n_blocks", "mean_max", "sd_max", "gumbel_loc",
+                "gumbel_scale", "return_level")
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(
+                [], dtype="int64" if c == "n_blocks" else "float64")
+                for c in cols})
+        mx = df["mx"].to_numpy(dtype=np.int64)
+        n = np.float64(len(mx))
+        s = np.float64(mx.sum())
+        ss = np.float64(np.dot(mx, mx))
+        # fixed expression tree — keep in lockstep with the SQL twin
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m = s / n
+            var = (ss - s * s / n) / (n - 1.0)
+            sd = np.sqrt(var)
+            scale = sd * SQRT6 / PI
+            loc = m - GAMMA * scale
+            rl = loc - scale * c_rl
+        vals = [v / 100.0 if np.isfinite(v) else np.nan
+                for v in (m, sd, loc, scale, rl)]
+        return pd.DataFrame({
+            "n_blocks": pd.Series([len(mx)], dtype="int64"),
+            "mean_max": [vals[0]], "sd_max": [vals[1]],
+            "gumbel_loc": [vals[2]], "gumbel_scale": [vals[3]],
+            "return_level": [vals[4]]})
+
+    return maxima.repartition(1).map_batches(fin, batch_format="pandas",
+                                             batch_size=None)

@@ -89,6 +89,7 @@ QUERIES = [
     "events_target_encoding",
     "events_rate_limit",
     "events_top_paths",
+    "events_return_level",
 ]
 
 SHAPES = [
