@@ -218,3 +218,31 @@ def test_survival_experiment_ops_empty():
     assert len(ab) == 0 or int(ab.iloc[0]["n_a"] + ab.iloc[0]["n_b"]) == 0
     cp = cuped_ab(empty, unit_col="user_id", ts_col="ts").to_pandas()
     assert len(cp) == 0
+
+
+def test_round4m_ops_empty():
+    from s_tsfe_dl_ray.stages.activity import active_interval_counts
+    from s_tsfe_dl_ray.stages.metrics import pareto_coverage, wilson_rate_ci
+    from s_tsfe_dl_ray.stages.robust import gumbel_return_level
+    from s_tsfe_dl_ray.stages.sessionize import session_paths
+    from s_tsfe_dl_ray.stages.stream import rate_limit_drops
+    from s_tsfe_dl_ray.stages.transform import loo_target_encoding
+    from s_tsfe_dl_ray.stages.trend import lead_lag_xcorr
+
+    ds = _empty_events()
+    for out in (
+        wilson_rate_ci(ds, ts_col="ts", type_col="event_type",
+                       success_value="error"),
+        lead_lag_xcorr(ds, ts_col="ts", type_col="event_type",
+                       type_a="click", type_b="purchase"),
+        loo_target_encoding(ds, key_col="event_type", value_col="value",
+                            id_col="event_id"),
+        pareto_coverage(ds, key_col="user_id", value_col="value"),
+        active_interval_counts(ds, key="user_id", ts_col="ts"),
+        rate_limit_drops(ds, key="user_id", ts_col="ts", limit=2),
+        gumbel_return_level(ds, ts_col="ts", value_col="value"),
+        session_paths(ds, key="user_id", ts_col="ts",
+                      type_col="event_type",
+                      order_by=["ts", "event_id"]),
+    ):
+        assert len(out.to_pandas()) == 0
