@@ -3219,6 +3219,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(counts.repartition(1).map_batches(
             fin, batch_format="pandas", batch_size=None))
 
+    def q_parts_family_clusters(sf):
+        """Product-family mining: connected components over the part
+        co-purchase graph (edges = pairs co-purchased in ≥3 orders) →
+        component size histogram — pair_cooccurrence × the dedup
+        machinery's label-propagation CC, labels checked against the
+        recursive-CTE oracle."""
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+        from s_tsfe_dl_ray.stages.cluster import connected_components
+        from s_tsfe_dl_ray.stages.distinct import pair_cooccurrence
+
+        import ray.data as _rd
+
+        li = _rd.read_parquet(f"{sf}/lineitem.parquet",
+                              columns=["l_orderkey", "l_partkey"])
+        pairs = pair_cooccurrence(li, group_col="l_orderkey",
+                                  member_col="l_partkey")             .filter(expr="n_both >= 3")             .map_batches(lambda t: pa.table({"id_a": t["member_a"],
+                                             "id_b": t["member_b"]}),
+                         batch_format="pyarrow")
+        comp = connected_components(pairs, id_a="id_a", id_b="id_b")
+        agg = grouped_aggregate(
+            comp.map_batches(
+                lambda t: pa.table({
+                    "component": t["component"],
+                    "one": pc.cast(pc.is_valid(t["component"]),
+                                   pa.int64())}),
+                batch_format="pyarrow"),
+            keys=["component"], aggs={"n_parts": ("one", "sum")},
+            num_partitions=4)
+        return agg.sort(["n_parts", "component"],
+                        descending=[True, False])
+
     def q_transcripts_position_profile(sf):
         """Turn-length drift across conversation position: per (role,
         position decile) turn count + mean token length — one conv-hash
@@ -4604,6 +4635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_paths": q_events_top_paths,
         "events_return_level": q_events_return_level,
         "docs_mixture_weights": q_docs_mixture_weights,
+        "parts_family_clusters": q_parts_family_clusters,
     }
 
 
@@ -9643,5 +9675,32 @@ def oracle_sql() -> dict[str, str]:
                    round(n::DOUBLE / tot::DOUBLE, 6) AS share,
                    round(sqrt(n::DOUBLE / mx::DOUBLE), 6) AS rel_weight
             FROM s, t ORDER BY source
+        """,
+        # product families: same hash-to-min component labeling as the
+        # dedup clusters, over the support>=3 co-purchase edge set
+        "parts_family_clusters": """
+            WITH RECURSIVE po AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+              SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+              FROM po a JOIN po b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            ),
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, r) AS (
+              SELECT DISTINCT a, a FROM e
+              UNION
+              SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+            ),
+            comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+            SELECT component, count(*)::BIGINT AS n_parts
+            FROM comp GROUP BY 1
+            ORDER BY n_parts DESC, component
         """,
     }
