@@ -3250,6 +3250,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return agg.sort(["n_parts", "component"],
                         descending=[True, False])
 
+    def q_transcripts_tool_latency_quantiles(sf):
+        """Per-tool SLA percentiles: p50/p90 round-trip latency (call →
+        next assistant turn) in exact integer µs — tool_call_latencies ×
+        grouped_quantiles, quantile_disc twin."""
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.dialog import tool_call_latencies
+        from s_tsfe_dl_ray.stages.join import hash_join
+        from s_tsfe_dl_ray.stages.quantile import grouped_quantiles
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "ts", "role",
+                                    "tool"])
+        lats = tool_call_latencies(turns, order_by=["ts", "turn_idx"])
+        qs = grouped_quantiles(lats, value_col="lat_us", keys=["tool"],
+                               quantiles=(0.5, 0.9))
+        counts = grouped_aggregate(
+            lats.map_batches(
+                lambda t: pa.table({
+                    "tool": t["tool"],
+                    "one": pc.cast(pc.is_valid(t["tool"]), pa.int64())}),
+                batch_format="pyarrow"),
+            keys=["tool"], aggs={"n_calls": ("one", "sum")},
+            num_partitions=4)
+        j = hash_join(qs, counts.rename_columns({"tool": "tool_r"}),
+                      left_on="tool", right_on="tool_r", num_partitions=4)
+        return j.map_batches(
+            lambda t: pa.table({
+                "tool": t["tool"],
+                "n_calls": t["n_calls"],
+                "p50_us": t["q_50"],
+                "p90_us": t["q_90"],
+            }), batch_format="pyarrow").sort("tool")
+
     def q_transcripts_position_profile(sf):
         """Turn-length drift across conversation position: per (role,
         position decile) turn count + mean token length — one conv-hash
@@ -4636,6 +4670,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_return_level": q_events_return_level,
         "docs_mixture_weights": q_docs_mixture_weights,
         "parts_family_clusters": q_parts_family_clusters,
+        "transcripts_tool_latency_quantiles":
+            q_transcripts_tool_latency_quantiles,
     }
 
 
@@ -9702,5 +9738,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT component, count(*)::BIGINT AS n_parts
             FROM comp GROUP BY 1
             ORDER BY n_parts DESC, component
+        """,
+        # per-tool round trip: IGNORE-NULLS forward window finds the next
+        # assistant turn; exact integer µs; quantile_disc == the engine's
+        # sorted-index recipe
+        "transcripts_tool_latency_quantiles": f"""
+            WITH o AS (
+              SELECT conv_id, ts, turn_idx, role, tool,
+                     first_value(CASE WHEN role = 'assistant' THEN ts END
+                                 IGNORE NULLS)
+                       OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                             ROWS BETWEEN 1 FOLLOWING
+                                      AND UNBOUNDED FOLLOWING) AS next_a
+              FROM {T}),
+            l AS (
+              SELECT tool,
+                     date_diff('microsecond', ts, next_a) AS lat_us
+              FROM o
+              WHERE role = 'assistant' AND tool <> ''
+                AND next_a IS NOT NULL)
+            SELECT tool, count(*)::BIGINT AS n_calls,
+                   quantile_disc(lat_us, 0.5)::BIGINT AS p50_us,
+                   quantile_disc(lat_us, 0.9)::BIGINT AS p90_us
+            FROM l GROUP BY 1 ORDER BY 1
         """,
     }

@@ -1232,3 +1232,67 @@ def conversation_features(
         ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
         keys=[conv_col], fn=fold, num_partitions=num_partitions,
         whole_partition=True).sort(conv_col)
+
+
+def tool_call_latencies(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_by: list[str] | None = None,
+    role_col: str = "role",
+    tool_col: str = "tool",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-call tool round-trip latency rows: for every assistant turn
+    that CALLS a tool (non-empty ``tool_col``), the time to the NEXT
+    assistant turn in the same conversation — the tool's user-visible
+    round trip (call → execution → consuming reply).  Emits one
+    ``(tool, lat_us)`` row per completed call; calls with no following
+    assistant turn (conversation ended mid-flight) emit nothing, like
+    the SQL twin's IGNORE-NULLS forward window.
+
+    Vectorized inside each conv-hash partition: one sort, a reversed
+    ``minimum.accumulate`` computes each row's nearest following
+    assistant index in O(n), conv boundaries invalidated by a per-conv
+    last-index clamp — no per-conversation Python.
+
+    Feeds :func:`~.quantile.grouped_quantiles` for per-tool SLA
+    percentiles (exact integer µs → ``quantile_disc`` twin).
+    """
+    from .grouped import grouped_apply
+
+    order_by = order_by or [ts_col]
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "tool": pd.Series([], dtype="object"),
+                "lat_us": pd.Series([], dtype="int64")})
+        df = df.sort_values([conv_col] + order_by, kind="mergesort")
+        n = len(df)
+        ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        conv = df[conv_col].to_numpy()
+        role = df[role_col].to_numpy()
+        tool = df[tool_col].to_numpy()
+        idx = np.arange(n, dtype=np.int64)
+        # nearest STRICTLY-following assistant index (suffix min of
+        # assistant positions, shifted by one)
+        a_pos = np.where(role == "assistant", idx, n)
+        suffix = np.minimum.accumulate(a_pos[::-1])[::-1]
+        next_a = np.full(n, n, dtype=np.int64)
+        next_a[:-1] = suffix[1:]
+        # conv boundary clamp: following-assistant must be in MY conv
+        gid, firsts, nk = _gid(conv)
+        lasts = np.concatenate([firsts[1:] - 1, [n - 1]])
+        my_last = lasts[gid]
+        is_call = (role == "assistant") & (tool != "") & (tool != None)  # noqa: E711
+        ok = is_call & (next_a <= my_last)
+        return pd.DataFrame({
+            "tool": tool[ok],
+            "lat_us": ts[next_a[ok]] - ts[ok],
+        })
+
+    return grouped_apply(ds, keys=[conv_col], fn=part,
+                         num_partitions=num_partitions,
+                         whole_partition=True)
