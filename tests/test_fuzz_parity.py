@@ -90,6 +90,30 @@ QUERIES = [
     "events_rate_limit",
     "events_top_paths",
     "events_return_level",
+    # post-_dd_round6 additions: ops free of order-dependent float sums
+    # (counts, md5 splits, min/max/first/last, quantile_disc picks,
+    # exact ranks, single-value divisions)
+    "events_one_hot",
+    "events_distinct_users_1h",
+    "events_first_per_key",
+    "events_latest_per_key",
+    "events_segment_runs",
+    "events_hash_split",
+    "events_stratified_split",
+    "events_top_types_per_user",
+    "events_type_counts",
+    "events_error_rate_1d",
+    "events_funnel",
+    "events_funnel_24h",
+    "events_cohort_retention",
+    "events_retention_1h",
+    "events_sessionize_30m",
+    "events_m4_1h",
+    "events_user_quantiles",
+    "events_ks_test",
+    "events_mannwhitney_u",
+    "events_theil_sen",
+    "events_grouping_sets",
 ]
 
 SHAPES = [
