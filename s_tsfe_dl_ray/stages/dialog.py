@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 from .rollup import _stable_pkey
@@ -1296,3 +1297,73 @@ def tool_call_latencies(
     return grouped_apply(ds, keys=[conv_col], fn=part,
                          num_partitions=num_partitions,
                          whole_partition=True)
+
+
+def verbosity_trend(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    idx_col: str = "turn_idx",
+    role: str = "assistant",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-conversation verbosity drift: OLS slope of the given role's
+    reply length (chars) against turn index — does the assistant get
+    wordier or terser as a conversation progresses?  The conversation-
+    local sibling of :func:`prompt_response_ols` (which fits one global
+    line): drift direction is a per-dialog property that the global fit
+    averages away.
+
+    All moments are exact int64 (lengths and indices are integers;
+    pyarrow group_by sums stay integer), cast to float64 once in a
+    fixed expression tree mirrored by the SQL twin:
+    ``slope = (nΣxy − ΣxΣy) / (nΣxx − (Σx)²)``, ``mean = Σy/n``.
+    Conversations with < 2 such turns report NULL slope (0-division —
+    turn indices are unique so the denominator is 0 iff n < 2).
+    One key exchange of tiny moment partials — text never crosses the
+    shuffle.  Output: ``conv_col, n_role_turns (int64), mean_chars,
+    slope_chars_per_turn``.
+    """
+    from ..pipelines.relational import grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t[role_col], role)
+        t = t.filter(keep)
+        x = pc.cast(t[idx_col], pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.utf8_length(t[text_col]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            conv_col: t[conv_col],
+            "_n": pa.array(np.ones(len(x), np.int64)),
+            "_sx": pa.array(x), "_sy": pa.array(y),
+            "_sxx": pa.array(x * x), "_sxy": pa.array(x * y)})
+
+    moments = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=[conv_col],
+        aggs={"_n": ("_n", "sum"), "_sx": ("_sx", "sum"),
+              "_sy": ("_sy", "sum"), "_sxx": ("_sxx", "sum"),
+              "_sxy": ("_sxy", "sum")},
+        num_partitions=num_partitions)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["_n"].to_numpy(np.float64)
+        sx = df["_sx"].to_numpy(np.float64)
+        sy = df["_sy"].to_numpy(np.float64)
+        sxx = df["_sxx"].to_numpy(np.float64)
+        sxy = df["_sxy"].to_numpy(np.float64)
+        # fixed expression tree — keep in lockstep with the SQL twin
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = sy / n
+            den = n * sxx - sx * sx
+            slope = (n * sxy - sx * sy) / den
+        return pd.DataFrame({
+            conv_col: df[conv_col],
+            "n_role_turns": df["_n"].astype(np.int64),
+            "mean_chars": np.where(np.isfinite(mean), mean, np.nan),
+            "slope_chars_per_turn": np.where(np.isfinite(slope), slope,
+                                             np.nan)})
+
+    return moments.map_batches(fin, batch_format="pandas")

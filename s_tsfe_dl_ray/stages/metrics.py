@@ -1004,3 +1004,105 @@ def pareto_coverage(
 
     return per_key.repartition(1).map_batches(fin, batch_format="pandas",
                                               batch_size=None)
+
+
+def ndcg_at_k(
+    ds: Dataset,
+    *,
+    key: str,
+    item_col: str,
+    ts_col: str,
+    id_col: str,
+    k: int = 5,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key NDCG@k of a history-based ranking: split each key's
+    event stream at its midpoint in explicit time order, rank items by
+    first-half frequency (count desc, item asc — the "recommend what
+    they did before" baseline every recommender is benchmarked
+    against), and score that ranking against second-half frequencies
+    as graded relevance:
+
+        DCG@k  = Σ_{i≤k} rel_i / log2(i+1)        (rank order)
+        NDCG@k = DCG@k / IDCG@k                   (ideal = rel desc)
+
+    The position-discounted companion to :func:`gains_table`
+    (population-level lift) and ``events_recs_by_lift`` (association
+    mining) — NDCG answers "is the per-user ranking good", which
+    neither aggregate can see.
+
+    Exactness: relevances are exact int64 counts; the ≤k-term float
+    folds are ratios of sums whose reassociation noise is ~1e-15
+    relative, far below the 6-decimal rounding both sides apply;
+    ``log2`` is the same libm call in numpy and DuckDB.  Keys whose
+    first half is empty (single-event keys) report NULL ndcg — there is
+    no ranking to score; the second half is never empty by
+    construction.  One ``_pkey`` exchange, pandas rank/cumsum kernels —
+    no per-key Python.  Output: ``key, n_train (int64), n_test (int64),
+    ndcg``.
+    """
+    from .grouped import grouped_apply
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key: pd.Series([], dtype="object"),
+            "n_train": pd.Series([], dtype="int64"),
+            "n_test": pd.Series([], dtype="int64"),
+            "ndcg": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values([key, ts_col, id_col],
+                            kind="mergesort").reset_index(drop=True)
+        kv = df[key].to_numpy()
+        change = np.flatnonzero(kv[1:] != kv[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        gid = np.zeros(len(kv), dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        n = np.bincount(gid).astype(np.int64)
+        pos = np.arange(len(kv)) - starts[gid]
+        is_train = pos < (n[gid] // 2)
+        c = (pd.DataFrame({key: df[key], "_it": df[item_col],
+                           "_tr": is_train.astype(np.int64),
+                           "_te": (~is_train).astype(np.int64)})
+             .groupby([key, "_it"], sort=False, as_index=False)
+             [["_tr", "_te"]].sum())
+        # ranking by first-half counts
+        dr = c[c["_tr"] > 0].sort_values(
+            [key, "_tr", "_it"], ascending=[True, False, True],
+            kind="mergesort").copy()
+        dr["_rk"] = dr.groupby(key, sort=False).cumcount() + 1
+        dr = dr[dr["_rk"] <= k]
+        dr["_dc"] = dr["_te"].to_numpy(np.float64) / np.log2(
+            dr["_rk"].to_numpy(np.float64) + 1.0)
+        dcg = dr.groupby(key, sort=False)["_dc"].sum()
+        # ideal ranking by second-half counts
+        ir = c[c["_te"] > 0].sort_values(
+            [key, "_te", "_it"], ascending=[True, False, True],
+            kind="mergesort").copy()
+        ir["_rk"] = ir.groupby(key, sort=False).cumcount() + 1
+        ir = ir[ir["_rk"] <= k]
+        ir["_ic"] = ir["_te"].to_numpy(np.float64) / np.log2(
+            ir["_rk"].to_numpy(np.float64) + 1.0)
+        idcg = ir.groupby(key, sort=False)["_ic"].sum()
+        out = pd.DataFrame({
+            key: kv[starts],
+            "n_train": n // 2,
+            "n_test": n - n // 2})
+        out = (out.merge(dcg.rename("_dcg"), left_on=key,
+                         right_index=True, how="left")
+               .merge(idcg.rename("_idcg"), left_on=key,
+                      right_index=True, how="left"))
+        d = out["_dcg"].to_numpy(np.float64)
+        i = out["_idcg"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ndcg = d / i
+        ndcg = np.where(out["n_train"].to_numpy() > 0, ndcg, np.nan)
+        return pd.DataFrame({
+            key: out[key],
+            "n_train": out["n_train"].astype(np.int64),
+            "n_test": out["n_test"].astype(np.int64),
+            "ndcg": np.where(np.isfinite(ndcg), ndcg, np.nan)})
+
+    return grouped_apply(ds, keys=[key], fn=score,
+                         num_partitions=num_partitions, whole_partition=True)

@@ -1162,3 +1162,241 @@ def gumbel_return_level(
 
     return maxima.repartition(1).map_batches(fin, batch_format="pandas",
                                              batch_size=None)
+
+
+def page_hinkley(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    delta: float = 0.05,
+    threshold: float = 5.0,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key Page–Hinkley drift statistic (Page 1954; the standard
+    online concept-drift detector in streaming-ML libraries): with
+    ``μ_t`` the RUNNING mean of the series in explicit time order,
+    ``m_t = Σ_{i≤t} (x_i − μ_i − δ)`` and
+    ``PH = max_t (m_t − min_{j≤t} m_j)`` — the largest upward excursion
+    of the deviation walk.  Unlike :func:`s_tsfe_dl_ray.stages.scan.cusum`
+    (fixed target) the reference level adapts, so slow level shifts are
+    detected without knowing the pre-shift mean; the reference's
+    anomaly-score thresholding over a scored sequence is the same
+    alarm pattern (/root/reference/experiments/keras_experiment.py
+    anomaly threshold sweep).
+
+    Exactness contract: every step is an ordered sequential fold that
+    DuckDB's unbounded-preceding window executor computes in the same
+    left-to-right order — cumulative sum (μ numerator), single division
+    by the 1-based position, cumulative sum of ``x − μ − δ``, cumulative
+    min, max — so both sides produce bit-identical doubles (the same
+    precedent as ``cusum``/``events_running_sum``, fuzz-verified).
+    ``drift`` compares the UNROUNDED statistic to ``threshold``.
+
+    One ``_pkey`` exchange, grouped cython scans inside each partition —
+    no per-key Python.  Output: ``key, n_events (int64), ph_stat,
+    drift (bool)``; single-point keys report PH = 0.
+    """
+
+    def ph_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                key: pd.Series([], dtype="object"),
+                "n_events": pd.Series([], dtype="int64"),
+                "ph_stat": pd.Series([], dtype="float64"),
+                "drift": pd.Series([], dtype="bool")})
+        df = df.sort_values([key, ts_col, id_col],
+                            kind="mergesort").reset_index(drop=True)
+        g = df.groupby(key, sort=False)
+        x = df[value_col].astype("float64")
+        pos = g.cumcount().to_numpy(np.float64) + 1.0
+        mu = g[value_col].cumsum().to_numpy(np.float64) / pos
+        df["_d"] = x.to_numpy(np.float64) - mu - delta
+        m = df.groupby(key, sort=False)["_d"].cumsum()
+        df["_m"] = m
+        df["_exc"] = m - df.groupby(key, sort=False)["_m"].cummin()
+        out = df.groupby(key, sort=False)["_exc"].agg(
+            n_events="size", ph_stat="max").reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["drift"] = out["ph_stat"].to_numpy(np.float64) > threshold
+        return out
+
+    return grouped_apply(ds, keys=[key], fn=ph_partition,
+                         num_partitions=num_partitions, whole_partition=True)
+
+
+def welch_ttest(
+    ds: Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    value_decimals: int = 2,
+) -> Dataset:
+    """Welch's unequal-variance t-test between two named levels of
+    ``group_col`` — the parametric two-sample companion to
+    :func:`mann_whitney_u` (rank-based) and :func:`anova_oneway`
+    (k-sample, pooled variance): Welch drops the equal-variance
+    assumption, which real telemetry almost never satisfies.
+
+        t  = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)
+        ν  = (v_a/n_a + v_b/n_b)² /
+             ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))   (Satterthwaite)
+
+    Exactness: values are scaled to 10^value_decimals integer units
+    (half-away rounding — the ``copysign(floor(abs·s+0.5))`` ==
+    DuckDB ``round()`` recipe), per-group moment sums are exact int64
+    through pyarrow group_by and stay integer across the merge; the
+    finalize casts each moment to float64 ONCE and runs a fixed
+    expression tree mirrored by the SQL twin.  Degenerate inputs
+    (either group missing / n < 2 / both variances 0) yield NULLs via
+    0-division.  Output: one row — ``n_a, n_b, mean_a, mean_b,
+    mean_diff, t_stat, dof``.
+    """
+    scale = float(10 ** value_decimals)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t[group_col], value_set=pa.array([group_a, group_b]))
+        t = t.filter(keep)
+        v = pc.cast(t[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        cents = np.copysign(np.floor(np.abs(v) * scale + 0.5),
+                            v).astype(np.int64)
+        base = pa.table({
+            "_g": t[group_col],
+            "_one": pa.array(np.ones(len(v), np.int64)),
+            "_s": pa.array(cents),
+            "_ss": pa.array(cents * cents)})
+        out = base.group_by(["_g"], use_threads=False).aggregate(
+            [("_one", "sum"), ("_s", "sum"), ("_ss", "sum")])
+        return out.rename_columns(["_g", "_n", "_s", "_ss"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_g", sort=True)[["_n", "_s", "_ss"]].sum()
+
+        def mom(name):
+            if name not in g.index:
+                return np.float64(0), np.float64(0), np.float64(0)
+            r = g.loc[name]
+            return (np.float64(r["_n"]), np.float64(r["_s"]),
+                    np.float64(r["_ss"]))
+
+        na, sa, ssa = mom(group_a)
+        nb, sb, ssb = mom(group_b)
+        # fixed expression tree — keep in lockstep with the SQL twin
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ma, mb = sa / na, sb / nb
+            va = (ssa - sa * sa / na) / (na - 1.0)
+            vb = (ssb - sb * sb / nb) / (nb - 1.0)
+            ua, ub = va / na, vb / nb
+            t_stat = (ma - mb) / np.sqrt(ua + ub)
+            dof = (ua + ub) * (ua + ub) / (
+                ua * ua / (na - 1.0) + ub * ub / (nb - 1.0))
+        vals = [v if np.isfinite(v) else np.nan
+                for v in (ma / scale, mb / scale, (ma - mb) / scale,
+                          t_stat, dof)]
+        return pd.DataFrame({
+            "n_a": pd.Series([int(na)], dtype="int64"),
+            "n_b": pd.Series([int(nb)], dtype="int64"),
+            "mean_a": [vals[0]], "mean_b": [vals[1]],
+            "mean_diff": [vals[2]], "t_stat": [vals[3]], "dof": [vals[4]]})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def tukey_hsd(
+    ds: Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    value_decimals: int = 2,
+) -> Dataset:
+    """Tukey HSD post-hoc pairwise comparisons after
+    :func:`anova_oneway`: for every unordered level pair (a < b) the
+    mean difference and the studentized-range statistic
+
+        q = |m_a − m_b| / sqrt(MSW/2 · (1/n_a + 1/n_b))
+
+    with MSW the ANOVA within-group mean square — WHICH pairs moved is
+    the question ANOVA's single F cannot answer.  The pair fan-out is
+    k·(k−1)/2 rows over the tiny per-group moment table, never over the
+    data.
+
+    Exactness: int-scaled moment sums (exact int64 through pyarrow
+    group_by and the merge), each cast to float64 once; the Σ_g s_g²/n_g
+    fold runs in group-name order on both sides (engine: sorted cumsum;
+    SQL twin: ordered-window fold) so MSW is bit-identical; mean
+    differences are exact integer differences rescaled once.  Groups
+    with n < 1 cannot occur; k < 2 or MSW ≤ 0 (all-constant groups)
+    yields NULL q via 0-division/sqrt-of-nonpositive.  Output: one row
+    per pair — ``group_a, group_b, n_a, n_b, mean_diff, q_stat`` sorted
+    by (group_a, group_b).
+    """
+    scale = float(10 ** value_decimals)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        cents = np.copysign(np.floor(np.abs(v) * scale + 0.5),
+                            v).astype(np.int64)
+        base = pa.table({
+            "_g": t[group_col],
+            "_one": pa.array(np.ones(len(v), np.int64)),
+            "_s": pa.array(cents),
+            "_ss": pa.array(cents * cents)})
+        out = base.group_by(["_g"], use_threads=False).aggregate(
+            [("_one", "sum"), ("_s", "sum"), ("_ss", "sum")])
+        return out.rename_columns(["_g", "_n", "_s", "_ss"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "group_a": pd.Series([], dtype="object"),
+            "group_b": pd.Series([], dtype="object"),
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+            "mean_diff": pd.Series([], dtype="float64"),
+            "q_stat": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        g = df.groupby("_g", sort=True)[["_n", "_s", "_ss"]].sum()
+        k = len(g)
+        if k < 2:
+            return empty
+        names = g.index.to_numpy()
+        n = g["_n"].to_numpy(np.int64)
+        nf = n.astype(np.float64)
+        s = g["_s"].to_numpy(np.float64)   # exact ints → float64 once
+        ss = g["_ss"].to_numpy(np.float64)
+        big_n = np.float64(n.sum())
+        # within-group SS folded in group-name order (matches the SQL
+        # twin's ordered-window fold) — fixed expression tree below
+        within = ss - s * s / nf
+        # explicit left-to-right fold over sorted names (np.sum would use
+        # pairwise/unrolled accumulation and break bit-parity with the
+        # SQL twin's ordered-window fold); k is tiny
+        ssw = np.float64(0.0)
+        for w in within:
+            ssw = ssw + w
+        with np.errstate(invalid="ignore", divide="ignore"):
+            msw = ssw / (big_n - np.float64(k))
+            ia, ib = np.triu_indices(k, 1)
+            mdiff = (s[ia] / nf[ia] - s[ib] / nf[ib]) / scale
+            se = np.sqrt(msw / 2.0 * (1.0 / nf[ia] + 1.0 / nf[ib])) / scale
+            q = np.abs(mdiff) / se
+        q = np.where(np.isfinite(q), q, np.nan)
+        mdiff = np.where(np.isfinite(mdiff), mdiff, np.nan)
+        return pd.DataFrame({
+            "group_a": names[ia], "group_b": names[ib],
+            "n_a": n[ia], "n_b": n[ib],
+            "mean_diff": mdiff, "q_stat": q})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

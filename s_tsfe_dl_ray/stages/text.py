@@ -1688,3 +1688,50 @@ def ppmi_word_vectors(
     out = out.sort_values(["n", "token"], ascending=[False, True],
                           kind="mergesort").reset_index(drop=True)
     return ray.data.from_pandas(out)
+
+
+def boilerplate_segments(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_len: int = 8,
+    min_docs: int = 3,
+    k: int = 20,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Corpus-level boilerplate detection — the C4/RefinedWeb "repeated
+    line" curation rule re-expressed for a columnar corpus: split every
+    document into non-overlapping ``seg_len``-word segments
+    (:func:`chunk_words` with stride == length), count the DISTINCT
+    documents containing each exact segment, and surface segments that
+    recur across ≥ ``min_docs`` documents — template headers, navigation
+    chrome, license blurbs — as removal candidates.  Document frequency
+    (not occurrence count) is the curation signal: a segment repeated
+    100× inside ONE doc is repetition (:func:`dup_word_stats`'s job),
+    the same segment across 100 docs is boilerplate.
+
+    Scale shape: the segment explode is embarrassingly parallel; only
+    (segment, doc_id) pairs cross ONE segment-hash exchange (pre-deduped
+    per batch by the :func:`grouped_distinct_count` partial), and the
+    final sort runs over the ≥ ``min_docs`` survivors only — at 100 TB
+    this is the same dataflow as the MinHash band-bucket stage.  Exact
+    integer counts, deterministic (n_docs desc, segment asc) top-k.
+
+    Output: ``segment, n_docs (int64)`` — at most ``k`` rows.
+    """
+    from .distinct import grouped_distinct_count
+
+    segs = chunk_words(ds, id_col=id_col, text_col=text_col,
+                       chunk_len=seg_len, stride=seg_len)
+    counts = grouped_distinct_count(
+        segs, keys=["chunk_text"], member_col=id_col,
+        out_col="n_docs", num_partitions=num_partitions)
+
+    def flt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_docs"], min_docs))
+        return pa.table({"segment": t["chunk_text"], "n_docs": t["n_docs"]})
+
+    return (counts.map_batches(flt, batch_format="pyarrow")
+            .sort(["n_docs", "segment"], descending=[True, False])
+            .limit(k))

@@ -1821,3 +1821,108 @@ def lead_lag_xcorr(
                               zero_copy_batch=True)
     return partials.repartition(1).map_batches(fin, batch_format="pandas",
                                                batch_size=None)
+
+
+def adf_test(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    order_by: list[str],
+    value_decimals: int = 2,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key Dickey–Fuller stationarity probe (lag-0 ADF): regress the
+    first difference ``Δx_t`` on the lagged level ``x_{t−1}`` with
+    intercept and report the unit-root coefficient γ and its t-statistic
+    ``DF = γ / se(γ)`` — strongly negative DF means shocks decay (the
+    series mean-reverts and is safe to model with the engine's AR /
+    ACF / Holt features), DF ≈ 0 means a random walk where those
+    features are spurious.  The stationarity gate in front of
+    :func:`ar2_yule_walker` / :func:`acf`, exactly like the
+    stationarity checks run before fitting the reference's recurrent
+    models (/root/reference/TSFEDL/blocks_pytorch.py RNN blocks learn
+    differenced dynamics only when they exist).
+
+    Closed form from six sufficient statistics per key over the pairs
+    ``(y=Δx_t, z=x_{t−1})``::
+
+        γ = (nΣzy − ΣzΣy) / (nΣzz − (Σz)²)
+        α = (Σy − γΣz) / n
+        RSS = Σyy − αΣy − γΣzy ;  s² = RSS/(n−2)
+        se(γ) = sqrt(s²·n / (nΣzz − (Σz)²))
+
+    Exactness: values scale to 10^value_decimals integer units
+    (half-away rounding == DuckDB ``round``), so y/z and every moment
+    sum are exact int64 (``np.add.reduceat`` segment sums); the
+    finalize casts each moment to float64 once and runs a fixed
+    expression tree mirrored by the SQL twin (γ and DF are
+    scale-invariant, so the cent scaling never leaves the moments).
+    Keys with < 4 points (n_pairs < 3), constant levels (zero z
+    variance) or a perfect fit (RSS ≤ 0) yield NULLs through the same
+    guarded branches both sides.  One ``_pkey`` exchange, vectorized
+    segment folds — no per-key Python.  Output: ``key, n_pairs (int64),
+    gamma, df_t``.
+    """
+    from .grouped import grouped_apply
+
+    scale = float(10 ** value_decimals)
+
+    def fit(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key: pd.Series([], dtype="object"),
+            "n_pairs": pd.Series([], dtype="int64"),
+            "gamma": pd.Series([], dtype="float64"),
+            "df_t": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values([key] + order_by,
+                            kind="mergesort").reset_index(drop=True)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        cents = np.copysign(np.floor(np.abs(v) * scale + 0.5),
+                            v).astype(np.int64)
+        k = df[key].to_numpy()
+        n_all = len(k)
+        change = np.flatnonzero(k[1:] != k[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        gid = np.zeros(n_all, dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        pos = np.arange(n_all) - starts[gid]
+        valid = pos >= 1                       # pair rows: t ≥ 2
+        y = np.zeros(n_all, dtype=np.int64)
+        z = np.zeros(n_all, dtype=np.int64)
+        y[1:] = cents[1:] - cents[:-1]
+        z[1:] = cents[:-1]
+        y[~valid] = 0
+        z[~valid] = 0
+
+        def seg(a: np.ndarray) -> np.ndarray:
+            return np.add.reduceat(a, starts)  # exact int64 per key
+
+        n = seg(valid.astype(np.int64)).astype(np.float64)
+        sy = seg(y).astype(np.float64)
+        sz = seg(z).astype(np.float64)
+        syy = seg(y * y).astype(np.float64)
+        szz = seg(z * z).astype(np.float64)
+        szy = seg(z * y).astype(np.float64)
+        # fixed expression tree — keep in lockstep with the SQL twin
+        with np.errstate(invalid="ignore", divide="ignore"):
+            den = n * szz - sz * sz
+            gamma = (n * szy - sz * sy) / den
+            alpha = (sy - gamma * sz) / n
+            rss = syy - alpha * sy - gamma * szy
+            s2 = rss / (n - 2.0)
+            var_g = s2 * n / den
+            df_t = np.where(var_g > 0, gamma / np.sqrt(var_g), np.nan)
+        ok = (n >= 3) & (den != 0.0)
+        gamma = np.where(ok & np.isfinite(gamma), gamma, np.nan)
+        df_t = np.where(ok & np.isfinite(df_t), df_t, np.nan)
+        return pd.DataFrame({
+            key: k[starts],
+            "n_pairs": n.astype(np.int64),
+            "gamma": gamma,
+            "df_t": df_t})
+
+    return grouped_apply(ds, keys=[key], fn=fit,
+                         num_partitions=num_partitions, whole_partition=True)
