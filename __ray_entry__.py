@@ -3284,6 +3284,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "p90_us": t["q_90"],
             }), batch_format="pyarrow").sort("tool")
 
+
+    def q_events_page_hinkley(sf):
+        """Per-user Page-Hinkley drift statistic over the running mean -
+        ordered cumulative folds bit-identical to the windowed SQL twin
+        (stages/robust.page_hinkley)."""
+        from s_tsfe_dl_ray.stages.robust import page_hinkley
+
+        ds = read_events(sf, columns=["user_id", "ts", "event_id", "value"])
+        return _round_floats(page_hinkley(
+            ds, key="user_id", ts_col="ts", value_col="value",
+            id_col="event_id", delta=0.05, threshold=5.0))
+
+    def q_events_adf(sf):
+        """Lag-0 Dickey-Fuller stationarity probe per user: unit-root
+        coefficient + t-stat from exact int-cent segment moments
+        (stages/trend.adf_test)."""
+        from s_tsfe_dl_ray.stages.trend import adf_test
+
+        ds = read_events(sf, columns=["user_id", "ts", "event_id", "value"])
+        return _round_floats(adf_test(
+            ds, key="user_id", value_col="value",
+            order_by=["ts", "event_id"]))
+
+    def q_events_welch_ttest(sf):
+        """Welch unequal-variance t-test click-vs-purchase value means,
+        with Satterthwaite dof - exact int-cent moments, fixed float
+        tree (stages/robust.welch_ttest)."""
+        from s_tsfe_dl_ray.stages.robust import welch_ttest
+
+        ds = read_events(sf, columns=["event_type", "value"])
+        return _round_floats(welch_ttest(
+            ds, group_col="event_type", value_col="value",
+            group_a="click", group_b="purchase"))
+
+    def q_events_tukey_hsd(sf):
+        """Tukey HSD post-hoc pair table after the ANOVA: which event-type
+        value means differ - studentized-range q per pair from exact
+        int-cent moments (stages/robust.tukey_hsd)."""
+        from s_tsfe_dl_ray.stages.robust import tukey_hsd
+
+        ds = read_events(sf, columns=["event_type", "value"])
+        return _round_floats(tukey_hsd(
+            ds, group_col="event_type", value_col="value"))
+
+    def q_events_ndcg(sf):
+        """Per-user NDCG@5 of the frequency-baseline recommender: rank
+        types by first-half counts, score against second-half counts
+        (stages/metrics.ndcg_at_k)."""
+        from s_tsfe_dl_ray.stages.metrics import ndcg_at_k
+
+        ds = read_events(sf, columns=["user_id", "event_type", "ts",
+                                      "event_id"])
+        return _round_floats(ndcg_at_k(
+            ds, key="user_id", item_col="event_type", ts_col="ts",
+            id_col="event_id", k=5))
+
+    def q_transcripts_verbosity_trend(sf):
+        """Per-conversation OLS slope of assistant reply length vs turn
+        index - does the assistant get wordier as the dialog progresses
+        (stages/dialog.verbosity_trend)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table as _rt
+        from s_tsfe_dl_ray.stages.dialog import verbosity_trend
+
+        turns = _rt(_transcripts_for(sf),
+                    columns=["conv_id", "turn_idx", "role", "text"])
+        return _round_floats(verbosity_trend(turns))
+
+    def q_docs_boilerplate(sf):
+        """C4-style boilerplate detection: non-overlapping 8-word segments
+        recurring across >= 3 distinct documents, deterministic top-20
+        (stages/text.boilerplate_segments)."""
+        from s_tsfe_dl_ray.stages.text import boilerplate_segments
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"])
+        return boilerplate_segments(ds, seg_len=8, min_docs=3, k=20)
+
     def q_transcripts_position_profile(sf):
         """Turn-length drift across conversation position: per (role,
         position decile) turn count + mean token length — one conv-hash
@@ -4672,6 +4749,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_family_clusters": q_parts_family_clusters,
         "transcripts_tool_latency_quantiles":
             q_transcripts_tool_latency_quantiles,
+        "events_page_hinkley": q_events_page_hinkley,
+        "events_adf": q_events_adf,
+        "events_welch_ttest": q_events_welch_ttest,
+        "events_tukey_hsd": q_events_tukey_hsd,
+        "events_ndcg": q_events_ndcg,
+        "transcripts_verbosity_trend": q_transcripts_verbosity_trend,
+        "docs_boilerplate": q_docs_boilerplate,
     }
 
 
@@ -9761,5 +9845,225 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(lat_us, 0.5)::BIGINT AS p50_us,
                    quantile_disc(lat_us, 0.9)::BIGINT AS p90_us
             FROM l GROUP BY 1 ORDER BY 1
+        """,
+        # running mean + deviation walk: every step an ordered sequential
+        # fold DuckDB computes left-to-right (cusum precedent)
+        "events_page_hinkley": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, value,
+                     sum(value) OVER w / (row_number() OVER w)::DOUBLE AS mu
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)
+            ), m AS (
+              SELECT user_id, ts, event_id,
+                     sum(value - mu - 0.05) OVER w AS mt
+              FROM o
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)
+            ), r AS (
+              SELECT user_id, mt - min(mt) OVER w AS exc
+              FROM m
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   round(max(exc), 6) AS ph_stat,
+                   max(exc) > 5.0 AS drift
+            FROM r GROUP BY 1
+        """,
+        # exact int-cent moments; gamma and the DF t-stat are
+        # scale-invariant, fixed expression tree mirrored in the engine
+        "events_adf": """
+            WITH s AS (
+              SELECT user_id, ts, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events
+            ), u AS (
+              SELECT user_id FROM s GROUP BY 1
+            ), l AS (
+              SELECT user_id, c,
+                     lag(c) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS cz
+              FROM s
+            ), p AS (
+              SELECT user_id, (c - cz) AS y, cz AS z
+              FROM l WHERE cz IS NOT NULL
+            ), m AS (
+              SELECT user_id, count(*)::BIGINT AS n_pairs,
+                     sum(y)::DOUBLE AS sy, sum(z)::DOUBLE AS sz,
+                     sum(y*y)::DOUBLE AS syy, sum(z*z)::DOUBLE AS szz,
+                     sum(z*y)::DOUBLE AS szy
+              FROM p GROUP BY 1
+            ), c1 AS (SELECT *, n_pairs::DOUBLE AS nf FROM m),
+            c2 AS (SELECT *, nf * szz - sz * sz AS den FROM c1),
+            c3 AS (SELECT *, (nf * szy - sz * sy) / den AS gamma FROM c2),
+            c4 AS (SELECT *, (sy - gamma * sz) / nf AS alpha FROM c3),
+            c5 AS (SELECT *, syy - alpha * sy - gamma * szy AS rss FROM c4),
+            c6 AS (SELECT *, rss / (nf - 2.0) * nf / den AS var_g FROM c5)
+            SELECT u.user_id,
+                   coalesce(c6.n_pairs, 0)::BIGINT AS n_pairs,
+                   round(CASE WHEN c6.n_pairs >= 3 THEN gamma END, 6)
+                     AS gamma,
+                   round(CASE WHEN c6.n_pairs >= 3 AND var_g > 0
+                              THEN gamma / sqrt(var_g) END, 6) AS df_t
+            FROM u LEFT JOIN c6 USING (user_id)
+        """,
+        "events_welch_ttest": """
+            WITH s AS (
+              SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+              FROM events WHERE event_type IN ('click', 'purchase')
+            ), g AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     sum(c)::DOUBLE AS s, sum(c*c)::DOUBLE AS ss
+              FROM s GROUP BY 1
+            ), a AS (SELECT * FROM g WHERE event_type = 'click'),
+            b AS (SELECT * FROM g WHERE event_type = 'purchase'),
+            c1 AS (
+              SELECT coalesce(a.n, 0)::BIGINT AS n_a,
+                     coalesce(b.n, 0)::BIGINT AS n_b,
+                     coalesce(a.s, 0)::DOUBLE AS sa,
+                     coalesce(a.ss, 0)::DOUBLE AS ssa,
+                     coalesce(b.s, 0)::DOUBLE AS sb,
+                     coalesce(b.ss, 0)::DOUBLE AS ssb
+              FROM (SELECT 1) LEFT JOIN a ON true LEFT JOIN b ON true
+            ), c2 AS (
+              SELECT *, sa / n_a::DOUBLE AS ma, sb / n_b::DOUBLE AS mb,
+                     (ssa - sa * sa / n_a::DOUBLE)
+                       / (n_a::DOUBLE - 1.0) AS va,
+                     (ssb - sb * sb / n_b::DOUBLE)
+                       / (n_b::DOUBLE - 1.0) AS vb
+              FROM c1
+            ), c3 AS (
+              SELECT *, va / n_a::DOUBLE AS ua, vb / n_b::DOUBLE AS ub
+              FROM c2
+            )
+            SELECT n_a, n_b,
+                   round(ma / 100.0, 6) AS mean_a,
+                   round(mb / 100.0, 6) AS mean_b,
+                   round((ma - mb) / 100.0, 6) AS mean_diff,
+                   round(CASE WHEN ua + ub > 0
+                              THEN (ma - mb) / sqrt(ua + ub) END, 6)
+                     AS t_stat,
+                   round((ua + ub) * (ua + ub) /
+                         (ua * ua / (n_a::DOUBLE - 1.0)
+                          + ub * ub / (n_b::DOUBLE - 1.0)), 6) AS dof
+            FROM c3
+        """,
+        # within-SS folded in group-name order (ordered window) == the
+        # engine's left-to-right fold over sorted names
+        "events_tukey_hsd": """
+            WITH s AS (
+              SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+              FROM events
+            ), g AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     sum(c)::DOUBLE AS s, sum(c*c)::DOUBLE AS ss
+              FROM s GROUP BY 1
+            ), w AS (
+              SELECT *, ss - s * s / n::DOUBLE AS within FROM g
+            ), f AS (
+              SELECT *,
+                     sum(within) OVER (ORDER BY event_type
+                                       ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(n) OVER () AS big_n, count(*) OVER () AS k,
+                     row_number() OVER (ORDER BY event_type) AS rn
+              FROM w
+            ), mt AS (
+              SELECT cum / (big_n - k)::DOUBLE AS msw
+              FROM f WHERE rn = k AND k >= 2
+            )
+            SELECT a.event_type AS group_a, b.event_type AS group_b,
+                   a.n AS n_a, b.n AS n_b,
+                   round((a.s / a.n::DOUBLE - b.s / b.n::DOUBLE)
+                         / 100.0, 6) AS mean_diff,
+                   round(CASE WHEN msw > 0 THEN
+                         abs((a.s / a.n::DOUBLE - b.s / b.n::DOUBLE)
+                             / 100.0)
+                         / (sqrt(msw / 2.0 * (1.0 / a.n::DOUBLE
+                                              + 1.0 / b.n::DOUBLE))
+                            / 100.0) END, 6) AS q_stat
+            FROM g a JOIN g b ON a.event_type < b.event_type, mt
+        """,
+        # graded relevance = exact int counts; dcg/idcg are <=5-term sums
+        # whose reassociation noise is ~1e-15 relative, far below round-6
+        "events_ndcg": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+            ), c AS (
+              SELECT user_id, event_type,
+                     sum(CASE WHEN rn <= n // 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS tr,
+                     sum(CASE WHEN rn > n // 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS te
+              FROM o GROUP BY 1, 2
+            ), dr AS (
+              SELECT user_id, te,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY tr DESC, event_type) AS rk
+              FROM c WHERE tr > 0
+            ), d AS (
+              SELECT user_id,
+                     sum(te::DOUBLE / log2((rk + 1)::DOUBLE)) AS dcg
+              FROM dr WHERE rk <= 5 GROUP BY 1
+            ), ir AS (
+              SELECT user_id, te,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY te DESC, event_type) AS rk
+              FROM c WHERE te > 0
+            ), i AS (
+              SELECT user_id,
+                     sum(te::DOUBLE / log2((rk + 1)::DOUBLE)) AS idcg
+              FROM ir WHERE rk <= 5 GROUP BY 1
+            ), u AS (
+              SELECT user_id, (max(n) // 2)::BIGINT AS n_train,
+                     (max(n) - max(n) // 2)::BIGINT AS n_test
+              FROM o GROUP BY 1
+            )
+            SELECT u.user_id, u.n_train, u.n_test,
+                   round(CASE WHEN u.n_train > 0
+                              THEN d.dcg / i.idcg END, 6) AS ndcg
+            FROM u LEFT JOIN d USING (user_id) LEFT JOIN i USING (user_id)
+        """,
+        "transcripts_verbosity_trend": f"""
+            WITH a AS (
+              SELECT conv_id, turn_idx::BIGINT AS x,
+                     length(text)::BIGINT AS y
+              FROM {T} WHERE role = 'assistant'
+            ), m AS (
+              SELECT conv_id, count(*)::BIGINT AS n,
+                     sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+                     sum(x*x)::DOUBLE AS sxx, sum(x*y)::DOUBLE AS sxy
+              FROM a GROUP BY 1
+            )
+            SELECT conv_id, n AS n_role_turns,
+                   round(sy / n::DOUBLE, 6) AS mean_chars,
+                   round((n::DOUBLE * sxy - sx * sy)
+                         / (n::DOUBLE * sxx - sx * sx), 6)
+                     AS slope_chars_per_turn
+            FROM m
+        """,
+        # document frequency of exact non-overlapping 8-word segments
+        # (string_split keeps empties == the engine's polars split)
+        "docs_boilerplate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            ), segs AS (
+              SELECT doc_id, (pos - 1) // 8 AS seg,
+                     string_agg(tok, ' ' ORDER BY pos) AS segment
+              FROM toks GROUP BY 1, 2
+            ), df AS (
+              SELECT segment, count(DISTINCT doc_id)::BIGINT AS n_docs
+              FROM segs GROUP BY 1
+            )
+            SELECT segment, n_docs FROM df WHERE n_docs >= 3
+            ORDER BY n_docs DESC, segment LIMIT 20
         """,
     }
