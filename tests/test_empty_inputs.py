@@ -246,3 +246,44 @@ def test_round4m_ops_empty():
                       order_by=["ts", "event_id"]),
     ):
         assert len(out.to_pandas()) == 0
+
+
+def test_round4n_ops_empty():
+    from s_tsfe_dl_ray.stages.metrics import ndcg_at_k
+    from s_tsfe_dl_ray.stages.robust import (page_hinkley, tukey_hsd,
+                                             welch_ttest)
+    from s_tsfe_dl_ray.stages.text import boilerplate_segments
+    from s_tsfe_dl_ray.stages.trend import adf_test
+
+    ds = _empty_events()
+    for out in (
+        page_hinkley(ds, key="user_id", ts_col="ts", value_col="value",
+                     id_col="event_id"),
+        adf_test(ds, key="user_id", value_col="value",
+                 order_by=["ts", "event_id"]),
+        ndcg_at_k(ds, key="user_id", item_col="event_type", ts_col="ts",
+                  id_col="event_id"),
+        tukey_hsd(ds, group_col="event_type", value_col="value"),
+    ):
+        assert len(out.to_pandas()) == 0
+
+    # welch over zero rows: one row of NULLs with zero counts (the
+    # single-row scalar-fold degradation, like ab_ztest)
+    w = welch_ttest(ds, group_col="event_type", value_col="value",
+                    group_a="click", group_b="purchase").to_pandas()
+    if len(w):
+        assert int(w.n_a.iloc[0]) == 0 and int(w.n_b.iloc[0]) == 0
+        assert np.isnan(w.t_stat.iloc[0])
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert len(boilerplate_segments(docs).to_pandas()) == 0
+
+    turns = ray.data.from_arrow(pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "role": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    from s_tsfe_dl_ray.stages.dialog import verbosity_trend
+    assert len(verbosity_trend(turns).to_pandas()) == 0

@@ -114,6 +114,13 @@ QUERIES = [
     "events_mannwhitney_u",
     "events_theil_sen",
     "events_grouping_sets",
+    # 4n wave: ordered folds (page-hinkley), exact int-cent moments
+    # (adf/welch/tukey) and exact-count ranking folds (ndcg)
+    "events_page_hinkley",
+    "events_adf",
+    "events_welch_ttest",
+    "events_tukey_hsd",
+    "events_ndcg",
 ]
 
 SHAPES = [

@@ -762,3 +762,74 @@ def test_4jk_ops_blocking_invariance():
         pd.testing.assert_frame_equal(
             a[k].reset_index(drop=True), b[k].reset_index(drop=True),
             check_exact=True, obj=k)
+
+
+def test_4n_ops_blocking_invariance():
+    """The 4n wave gives IDENTICAL results at 1 input block and at 7 —
+    ordered scans, exact-moment folds and the segment document-frequency
+    count must never leak partitioning into values."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.metrics import ndcg_at_k
+    from s_tsfe_dl_ray.stages.robust import (page_hinkley, tukey_hsd,
+                                             welch_ttest)
+    from s_tsfe_dl_ray.stages.text import boilerplate_segments
+    from s_tsfe_dl_ray.stages.trend import adf_test
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.sort(rng.integers(
+            1_700_000_000_000_000, 1_700_600_000_000_000, n)
+        ).astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(1, 30, n)),
+        "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+        "value": pa.array(np.round(rng.normal(10, 3, n), 2)),
+    })
+    path = "/tmp/blockinv_4n.parquet"
+    pq.write_table(t, path)
+
+    words = rng.choice(["alpha", "beta", "gamma", "delta", "eps"], (60, 24))
+    texts = [" ".join(r) for r in words]
+    texts += texts[:10]  # planted cross-doc repeats
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+    dpath = "/tmp/blockinv_4n_docs.parquet"
+    pq.write_table(docs, dpath)
+
+    def run(blocks):
+        ds = ray.data.read_parquet(path, override_num_blocks=blocks)
+        dd = ray.data.read_parquet(dpath, override_num_blocks=blocks)
+        return {
+            "ph": to_pdf(page_hinkley(ds, key="user_id", ts_col="ts",
+                                      value_col="value",
+                                      id_col="event_id").sort("user_id")),
+            "adf": to_pdf(adf_test(ds, key="user_id", value_col="value",
+                                   order_by=["ts", "event_id"])
+                          .sort("user_id")),
+            "welch": to_pdf(welch_ttest(ds, group_col="event_type",
+                                        value_col="value",
+                                        group_a="a", group_b="b")),
+            "tukey": to_pdf(tukey_hsd(ds, group_col="event_type",
+                                      value_col="value")
+                            .sort(["group_a", "group_b"])),
+            "ndcg": to_pdf(ndcg_at_k(ds, key="user_id",
+                                     item_col="event_type", ts_col="ts",
+                                     id_col="event_id").sort("user_id")),
+            "boiler": to_pdf(boilerplate_segments(dd, seg_len=8,
+                                                  min_docs=2, k=10)),
+        }
+
+    a, b = run(1), run(7)
+    assert len(a["boiler"]) > 0  # planted repeats must surface
+    for k in a:
+        pd.testing.assert_frame_equal(
+            a[k].reset_index(drop=True), b[k].reset_index(drop=True),
+            check_exact=True, obj=k)
