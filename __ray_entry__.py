@@ -4406,6 +4406,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, key="event_type", value_col="value", q=0.99,
         ).sort("event_type"))
 
+    def q_events_cointegration(sf):
+        """Engle–Granger cointegration probe click-vs-purchase on the
+        hourly count grid: long-run OLS from exact int64 moments, then
+        the lag-0 Dickey–Fuller t on its residuals
+        (stages/trend.cointegration_probe)."""
+        from s_tsfe_dl_ray.stages.trend import cointegration_probe
+
+        ds = read_events(sf, columns=["ts", "event_type"])
+        return _round_floats(cointegration_probe(
+            ds, ts_col="ts", type_col="event_type",
+            type_x="click", type_y="purchase", tier="1h"))
+
+    def q_transcripts_self_repetition(sf):
+        """Per-conversation degenerate-loop probe: share of word-trigram
+        occurrences already emitted in an EARLIER turn of the same
+        conversation (stages/dialog.self_repetition)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table as _rt
+        from s_tsfe_dl_ray.stages.dialog import self_repetition
+
+        turns = _rt(_transcripts_for(sf),
+                    columns=["conv_id", "turn_idx", "text"])
+        return _round_floats(self_repetition(turns))
+
+    def q_events_croston(sf):
+        """Croston intermittent-demand forecast of daily purchases per
+        user — twin SES chains (demand size + inter-demand interval)
+        via the verified grouped ewm kernel
+        (stages/trend.croston_forecast)."""
+        from s_tsfe_dl_ray.stages.trend import croston_forecast
+
+        ds = read_events(sf, columns=["user_id", "ts", "event_type"])
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+            batch_format="pyarrow")
+        return _round_floats(croston_forecast(
+            ds, key="user_id", ts_col="ts", alpha=0.3, tier="1d"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -4756,6 +4793,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ndcg": q_events_ndcg,
         "transcripts_verbosity_trend": q_transcripts_verbosity_trend,
         "docs_boilerplate": q_docs_boilerplate,
+        "events_cointegration": q_events_cointegration,
+        "transcripts_self_repetition": q_transcripts_self_repetition,
+        "events_croston": q_events_croston,
     }
 
 
@@ -10065,5 +10105,133 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT segment, n_docs FROM df WHERE n_docs >= 3
             ORDER BY n_docs DESC, segment LIMIT 20
+        """,
+        # step-1 moments are exact int64 → the α/β doubles and the
+        # per-row residual tree (y − α − β·x) are bit-identical; the
+        # step-2 residual sums carry ~1e-16 reassociation noise reported
+        # only through the ρ / df_t ratios, far below 6-decimal rounding.
+        # Degenerate inputs (n<3, constant x, zero residual variance)
+        # go NULL via 0-division / CASE on both sides.
+        "events_cointegration": """
+            WITH g AS (
+              SELECT date_trunc('hour', ts) AS w,
+                     sum((event_type = 'click')::BIGINT) AS x_n,
+                     sum((event_type = 'purchase')::BIGINT) AS y_n
+              FROM events GROUP BY 1
+            ), m AS (
+              SELECT count(*)::BIGINT AS nw, count(*)::DOUBLE AS n,
+                     sum(x_n)::DOUBLE AS sx, sum(y_n)::DOUBLE AS sy,
+                     sum(x_n * x_n)::DOUBLE AS sxx,
+                     sum(x_n * y_n)::DOUBLE AS sxy
+              FROM g
+            ), ab AS (
+              SELECT nw, n,
+                     (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+                     (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                       / n AS alpha
+              FROM m
+            ), e AS (
+              SELECT ab.beta, ab.alpha,
+                     y_n::DOUBLE - ab.alpha - ab.beta * x_n::DOUBLE AS ev,
+                     lag(y_n::DOUBLE - ab.alpha - ab.beta * x_n::DOUBLE)
+                       OVER (ORDER BY w) AS e1
+              FROM g, ab
+            ), s AS (
+              SELECT sum(e1 * (ev - e1)) AS szd,
+                     sum(e1 * e1) AS szz,
+                     sum((ev - e1) * (ev - e1)) AS sdd,
+                     count(*)::DOUBLE AS m2
+              FROM e WHERE e1 IS NOT NULL
+            ), f AS (
+              SELECT szd / szz AS rho,
+                     ((sdd - (szd / szz) * szd) / (m2 - 1.0)) / szz
+                       AS var_rho
+              FROM s
+            )
+            SELECT ab.nw AS n_windows,
+                   round(CASE WHEN ab.nw >= 3 THEN ab.beta END, 6) AS beta,
+                   round(CASE WHEN ab.nw >= 3 THEN ab.alpha END, 6)
+                     AS alpha,
+                   round(CASE WHEN ab.nw >= 3 THEN f.rho END, 6) AS rho,
+                   round(CASE WHEN ab.nw >= 3 AND f.var_rho > 0
+                         THEN f.rho / sqrt(f.var_rho) END, 6) AS df_t
+            FROM ab, f
+        """,
+        # trigram occurrences exactly like docs_contamination (single-
+        # space positions, all three tokens non-empty, never crossing a
+        # turn); "repeated" = turn_idx strictly greater than the
+        # conversation's first turn containing that gram — exact int64
+        # counts, one finite share division
+        "transcripts_self_repetition": f"""
+            WITH w AS (
+              SELECT conv_id, turn_idx,
+                     unnest(string_split(trim(text, ' '), ' ')) AS tok,
+                     generate_subscripts(
+                       string_split(trim(text, ' '), ' '), 1) AS pos
+              FROM {T}
+            ), t2 AS (
+              SELECT a.conv_id, a.turn_idx::BIGINT AS turn_idx,
+                     a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+              FROM w a
+              JOIN w b ON a.conv_id = b.conv_id
+                      AND a.turn_idx = b.turn_idx AND b.pos = a.pos + 1
+              JOIN w c ON a.conv_id = c.conv_id
+                      AND a.turn_idx = c.turn_idx AND c.pos = a.pos + 2
+              WHERE a.tok <> '' AND b.tok <> '' AND c.tok <> ''
+            ), fst AS (
+              SELECT conv_id, gram, min(turn_idx) AS first_turn
+              FROM t2 GROUP BY 1, 2
+            ), j AS (
+              SELECT o.conv_id, count(*)::BIGINT AS n_grams,
+                     (count(*) FILTER (
+                        WHERE o.turn_idx > fst.first_turn))::BIGINT
+                       AS n_repeated
+              FROM t2 o JOIN fst ON o.conv_id = fst.conv_id
+                               AND o.gram = fst.gram
+              GROUP BY 1
+            )
+            SELECT conv_id, n_grams, n_repeated,
+                   round(n_repeated::DOUBLE / n_grams, 6)
+                     AS repeated_share
+            FROM j
+        """,
+        # both SES chains are the pandas ewm(adjust=False) C kernel ==
+        # DuckDB list_reduce with the IDENTICAL per-step float tree
+        # ((1−α)·acc + α·x) / ((1−α)+α), equal-skip included — verified
+        # bit-exact; q_1 = 1 by Croston convention
+        "events_croston": """
+            WITH g AS (
+              SELECT user_id, date_trunc('day', ts) AS w,
+                     count(*)::BIGINT AS d
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            ), o AS (
+              SELECT user_id, d,
+                     epoch_us(w) // 86400000000 AS widx,
+                     lag(epoch_us(w) // 86400000000)
+                       OVER (PARTITION BY user_id ORDER BY w) AS pidx,
+                     row_number() OVER (PARTITION BY user_id ORDER BY w)
+                       AS rn
+              FROM g
+            ), q AS (
+              SELECT user_id, rn, d::DOUBLE AS df,
+                     CASE WHEN pidx IS NULL THEN 1.0
+                          ELSE (widx - pidx)::DOUBLE END AS qf
+              FROM o
+            ), l AS (
+              SELECT user_id, count(*)::BIGINT AS n_demand_periods,
+                     list_reduce(list(df ORDER BY rn), (acc, x) ->
+                       CASE WHEN acc = x THEN acc
+                            ELSE ((1.0 - 0.3) * acc + 0.3 * x)
+                                 / ((1.0 - 0.3) + 0.3) END) AS z,
+                     list_reduce(list(qf ORDER BY rn), (acc, x) ->
+                       CASE WHEN acc = x THEN acc
+                            ELSE ((1.0 - 0.3) * acc + 0.3 * x)
+                                 / ((1.0 - 0.3) + 0.3) END) AS p
+              FROM q GROUP BY 1
+            )
+            SELECT user_id, n_demand_periods,
+                   round(z, 6) AS z_hat, round(p, 6) AS p_hat,
+                   round(z / p, 6) AS forecast_per_period
+            FROM l
         """,
     }

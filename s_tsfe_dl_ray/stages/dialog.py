@@ -1367,3 +1367,119 @@ def verbosity_trend(
                                              np.nan)})
 
     return moments.map_batches(fin, batch_format="pandas")
+
+
+def self_repetition(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Degenerate-loop detection per conversation: the share of word
+    TRIGRAM occurrences that already appeared in an EARLIER turn of the
+    same conversation — the standard "model stuck in a repetition loop"
+    probe an LLM-serving pipeline runs over transcripts (high share =
+    the assistant is re-emitting earlier phrasing; the within-turn
+    sibling is stages/text.dup_word_stats).
+
+    Trigrams are built exactly like
+    :func:`s_tsfe_dl_ray.stages.text.ngram_contamination` — single-space
+    positions, all three tokens non-empty, adjacency never crosses a
+    turn boundary.  A gram occurrence is "repeated" when its turn_idx is
+    strictly greater than the conversation's FIRST turn containing that
+    gram; multiple occurrences inside the first turn itself count as
+    novel (matching the SQL twin's ``turn_idx > min(turn_idx)``).
+
+    Dataflow: the batch combiner explodes trigrams and pre-sums
+    (conv, turn, gram) counts, so ONE conv-hash exchange carries gram
+    count rows (never raw text); each conv-complete partition computes
+    first-turn via a grouped transform — no per-conversation Python.
+    Conversations with no trigram at all (every turn < 3 tokens) emit
+    no row, like the SQL twin's inner join.  Output: ``conv_col,
+    n_grams (int64), n_repeated (int64), repeated_share``.
+    """
+    from .grouped import grouped_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({conv_col: pa.array([], pa.string()),
+                          idx_col: pa.array([], pa.int64()),
+                          "gram": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        toks = pc.split_pattern(pc.utf8_trim(t[text_col], " "), " ")
+        convs = t[conv_col].combine_chunks() if isinstance(
+            t[conv_col], pa.ChunkedArray) else t[conv_col]
+        idxs = pc.cast(t[idx_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        parts = []
+        row_off = 0
+        for ch in (toks.chunks if isinstance(toks, pa.ChunkedArray)
+                   else [toks]):
+            lengths = pc.list_value_length(ch).to_numpy(
+                zero_copy_only=False)
+            nrows = len(lengths)
+            cv = convs.slice(row_off, nrows)
+            ix = idxs[row_off:row_off + nrows]
+            row_off += nrows
+            vals = ch.flatten()
+            nv = len(vals)
+            if nv < 3:
+                continue
+            row_of = np.repeat(np.arange(nrows), lengths)
+            t1 = vals.slice(0, nv - 2)
+            t2 = vals.slice(1, nv - 2)
+            t3 = vals.slice(2, nv - 2)
+            ok = row_of[: nv - 2] == row_of[2:nv]
+            ok &= pc.not_equal(t1, "").to_numpy(zero_copy_only=False)
+            ok &= pc.not_equal(t2, "").to_numpy(zero_copy_only=False)
+            ok &= pc.not_equal(t3, "").to_numpy(zero_copy_only=False)
+            if not ok.any():
+                continue
+            okm = pa.array(ok)
+            gram = pc.binary_join_element_wise(t1, t2, t3, " ").filter(okm)
+            rows = row_of[: nv - 2][ok]
+            parts.append(pa.table({
+                conv_col: cv.take(pa.array(rows)),
+                idx_col: pa.array(ix[rows]),
+                "gram": gram,
+                "cnt": pa.array(np.ones(len(rows), np.int64))}))
+        if not parts:
+            return empty
+        batch = pa.concat_tables(parts).combine_chunks()
+        out = batch.group_by([conv_col, idx_col, "gram"],
+                             use_threads=False).aggregate([("cnt", "sum")])
+        return out.rename_columns([conv_col, idx_col, "gram", "cnt"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            conv_col: pd.Series([], dtype="object"),
+            "n_grams": pd.Series([], dtype="int64"),
+            "n_repeated": pd.Series([], dtype="int64"),
+            "repeated_share": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        first = df.groupby([conv_col, "gram"], sort=False)[idx_col] \
+            .transform("min")
+        rep = np.where(df[idx_col].to_numpy() > first.to_numpy(),
+                       df["cnt"].to_numpy(np.int64), 0)
+        out = (pd.DataFrame({conv_col: df[conv_col],
+                             "_n": df["cnt"].astype("int64"),
+                             "_r": rep})
+               .groupby(conv_col, sort=False, as_index=False)
+               [["_n", "_r"]].sum())
+        n = out["_n"].to_numpy(np.float64)
+        r = out["_r"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            share = r / n
+        return pd.DataFrame({
+            conv_col: out[conv_col],
+            "n_grams": out["_n"].astype(np.int64),
+            "n_repeated": out["_r"].astype(np.int64),
+            "repeated_share": np.where(np.isfinite(share), share, np.nan)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return grouped_apply(partials, keys=[conv_col], fn=fold,
+                         num_partitions=num_partitions,
+                         whole_partition=True)

@@ -1926,3 +1926,190 @@ def adf_test(
 
     return grouped_apply(ds, keys=[key], fn=fit,
                          num_partitions=num_partitions, whole_partition=True)
+
+
+def cointegration_probe(
+    ds: Dataset,
+    *,
+    ts_col: str,
+    type_col: str,
+    type_x: str,
+    type_y: str,
+    tier: str = "1h",
+) -> Dataset:
+    """Engle–Granger cointegration probe on the tumbling-window count
+    grid: do the ``type_x`` and ``type_y`` activity series share a
+    common stochastic trend?  Step 1 fits the long-run relation
+    ``y_w = α + β·x_w`` by OLS over observed windows; step 2 runs the
+    lag-0 Dickey–Fuller regression ``Δe_t = ρ·e_{t−1}`` (no intercept)
+    on the residuals — a strongly negative ``df_t`` means the residual
+    spread mean-reverts, i.e. the two series are cointegrated and
+    spread-based monitoring/pairs logic is sound; ρ ≈ 0 means any
+    apparent relation is spurious trend-chasing.  The two-series
+    companion of :func:`adf_test` (single-series stationarity) and
+    :func:`granger_probe` (short-run prediction).
+
+    Dataflow: the same per-batch ``(window, x_n, y_n)`` count combiner
+    as :func:`granger_probe` — O(windows) rows per batch, exact int64 —
+    then ONE tiny ordered fold on a single partition.  Step-1 moments
+    are exact integers cast to float64 once; residuals are a per-row
+    fixed expression tree (bit-identical both sides); the step-2
+    residual moment sums are float with ~1e-16 relative reassociation
+    noise, reported only through the ratio statistics ρ and df_t where
+    that noise is far below 6-decimal rounding (α/β themselves are
+    bit-exact).  Degenerate inputs (n < 3 windows, constant x, < 2
+    residual pairs, zero residual variance, perfect fit) yield NULLs
+    through guarded 0-divisions mirrored by the SQL twin.
+
+    Output: one row — ``n_windows (int64), beta, alpha, rho, df_t``.
+    """
+    from ..functions.windows import window_start_us
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = window_start_us(t[ts_col], tier)
+        is_x = pc.cast(pc.equal(t[type_col], type_x), pa.int64())
+        is_y = pc.cast(pc.equal(t[type_col], type_y), pa.int64())
+        out = pa.table({"w": w, "x_n": is_x, "y_n": is_y}) \
+            .group_by(["w"], use_threads=False) \
+            .aggregate([("x_n", "sum"), ("y_n", "sum")])
+        return out.rename_columns(["w", "x_n", "y_n"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("w", sort=True)[["x_n", "y_n"]].sum()
+        xs = g["x_n"].to_numpy(dtype=np.int64)
+        ys = g["y_n"].to_numpy(dtype=np.int64)
+        nw = len(g)
+        nulls = pd.DataFrame({
+            "n_windows": pd.Series([nw], dtype="int64"),
+            "beta": [np.nan], "alpha": [np.nan],
+            "rho": [np.nan], "df_t": [np.nan]})
+        if nw < 3:
+            return nulls
+        # exact int64 step-1 moments → float64 once
+        n = np.float64(nw)
+        sx, sy = np.float64(xs.sum()), np.float64(ys.sum())
+        sxx = np.float64(np.dot(xs, xs))
+        sxy = np.float64(np.dot(xs, ys))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            den = n * sxx - sx * sx
+            beta = (n * sxy - sx * sy) / den
+            alpha = (sy - beta * sx) / n
+            if not (np.isfinite(beta) and np.isfinite(alpha)):
+                return nulls
+            # per-row fixed tree: (y − α) − β·x, bit-identical both sides
+            e = ys.astype(np.float64) - alpha - beta * xs.astype(np.float64)
+            z, d = e[:-1], e[1:] - e[:-1]
+            m = np.float64(len(z))
+            szd = np.float64(np.dot(z, d))
+            szz = np.float64(np.dot(z, z))
+            sdd = np.float64(np.dot(d, d))
+            rho = szd / szz
+            s2 = (sdd - rho * szd) / (m - 1.0)
+            var_rho = s2 / szz
+            df_t = rho / np.sqrt(var_rho) if var_rho > 0 else np.nan
+        vals = [v if np.isfinite(v) else np.nan
+                for v in (beta, alpha, rho, df_t)]
+        return pd.DataFrame({
+            "n_windows": pd.Series([nw], dtype="int64"),
+            "beta": [vals[0]], "alpha": [vals[1]],
+            "rho": [vals[2]], "df_t": [vals[3]]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.repartition(1).map_batches(fin, batch_format="pandas",
+                                               batch_size=None)
+
+
+def croston_forecast(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    alpha: float = 0.3,
+    tier: str = "1d",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Croston's method (1972) for INTERMITTENT demand — the standard
+    forecast when most periods are empty (per-user purchase days,
+    spare-part orders), where plain EWMA/Holt decay toward 0 between
+    demands and systematically under-forecast.  Two SES chains over the
+    key's NONZERO demand periods only::
+
+        z_k = α·d_k + (1−α)·z_{k−1}   (demand size;   z_1 = d_1)
+        p_k = α·q_k + (1−α)·p_{k−1}   (inter-demand interval, periods;
+                                       q_1 = 1 by convention)
+        forecast per period = z_K / p_K
+
+    The intermittent-demand member of the forecasting family
+    (:func:`~s_tsfe_dl_ray.stages.transform.ewma` → Holt →
+    Holt–Winters), same reference analog (moving-average pre-filtering,
+    experiments/IGN_experiment.py:190-205).
+
+    Dataflow: per-batch (key, period-window) count combiner — observed
+    (nonzero) periods ONLY cross the one exchange, which is exactly
+    Croston's input; each key-complete partition runs both recursions
+    with pandas' grouped ``ewm(adjust=False)`` C kernel (bit-identical
+    to the naive float64 recurrence — the EWMA stage's verified
+    contract), no per-key Python.  Output: one row per key —
+    ``key, n_demand_periods (int64), z_hat, p_hat, forecast_per_period``
+    (keys with zero events emit nothing; a single demand period gives
+    z=d_1, p=1, forecast=d_1).
+    """
+    from ..functions.windows import window_start_us
+    from .grouped import grouped_apply
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    period_us = {"1h": 3_600_000_000, "1d": 86_400_000_000}[tier]
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = window_start_us(t[ts_col], tier)
+        out = pa.table({key: t[key], "_w": w}) \
+            .group_by([key, "_w"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return out.rename_columns([key, "_w", "_d"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key: pd.Series([], dtype="object"),
+            "n_demand_periods": pd.Series([], dtype="int64"),
+            "z_hat": pd.Series([], dtype="float64"),
+            "p_hat": pd.Series([], dtype="float64"),
+            "forecast_per_period": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        # merge same-(key, window) partials from different batches first
+        m = df.groupby([key, "_w"], sort=False, as_index=False)["_d"].sum()
+        m = m.sort_values([key, "_w"], kind="mergesort") \
+            .reset_index(drop=True)
+        g = m.groupby(key, sort=False)
+        widx = (m["_w"].astype("int64") // period_us).to_numpy(np.int64)
+        q = widx - np.roll(widx, 1)
+        firsts = g.cumcount().to_numpy() == 0
+        q[firsts] = 1                      # q_1 = 1 by convention
+        m["_q"] = q.astype(np.float64)
+        m["_df"] = m["_d"].astype(np.float64)
+        # grouped C-speed ewm kernels; m is key-sorted so the grouped
+        # result aligns with row order positionally
+        m["_z"] = m.groupby(key, sort=False)["_df"].ewm(
+            alpha=alpha, adjust=False).mean().to_numpy()
+        m["_p"] = m.groupby(key, sort=False)["_q"].ewm(
+            alpha=alpha, adjust=False).mean().to_numpy()
+        last = m.groupby(key, sort=False, as_index=False).agg(
+            n_demand_periods=("_d", "size"), _z=("_z", "last"),
+            _p=("_p", "last"))
+        zl = last["_z"].to_numpy(np.float64)
+        pl = last["_p"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            f = zl / pl
+        return pd.DataFrame({
+            key: last[key],
+            "n_demand_periods": last["n_demand_periods"].astype(np.int64),
+            "z_hat": zl, "p_hat": pl,
+            "forecast_per_period": np.where(np.isfinite(f), f, np.nan)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return grouped_apply(partials, keys=[key], fn=fold,
+                         num_partitions=num_partitions,
+                         whole_partition=True)

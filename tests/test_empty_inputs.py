@@ -287,3 +287,27 @@ def test_round4n_ops_empty():
         "text": pa.array([], pa.string())}))
     from s_tsfe_dl_ray.stages.dialog import verbosity_trend
     assert len(verbosity_trend(turns).to_pandas()) == 0
+
+
+def test_round4p_ops_empty():
+    from s_tsfe_dl_ray.stages.dialog import self_repetition
+    from s_tsfe_dl_ray.stages.trend import (cointegration_probe,
+                                            croston_forecast)
+
+    ds = _empty_events()
+    assert len(croston_forecast(ds, key="user_id",
+                                ts_col="ts").to_pandas()) == 0
+
+    # cointegration over zero rows: the single-row scalar-fold
+    # degradation — n_windows = 0, every statistic NULL
+    c = cointegration_probe(ds, ts_col="ts", type_col="event_type",
+                            type_x="click", type_y="purchase").to_pandas()
+    if len(c):
+        assert int(c.n_windows.iloc[0]) == 0
+        assert np.isnan(c.beta.iloc[0]) and np.isnan(c.df_t.iloc[0])
+
+    turns = ray.data.from_arrow(pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "text": pa.array([], pa.string())}))
+    assert len(self_repetition(turns).to_pandas()) == 0

@@ -121,6 +121,10 @@ QUERIES = [
     "events_welch_ttest",
     "events_tukey_hsd",
     "events_ndcg",
+    # 4p wave: exact int64 step-1 moments (cointegration), bit-exact
+    # ewm==list_reduce chains (croston)
+    "events_cointegration",
+    "events_croston",
 ]
 
 SHAPES = [
@@ -200,7 +204,7 @@ T_QUERIES = ["transcripts_latency_by_hour", "transcripts_duration_stats",
              "transcripts_escalation", "transcripts_position_profile",
              "transcripts_tool_effect", "transcripts_conv_features",
              "transcripts_token_gini", "transcripts_tool_km",
-             "transcripts_cache_savings"]
+             "transcripts_cache_savings", "transcripts_self_repetition"]
 
 
 def _synth_transcripts(tmpdir: str, seed: int, n: int, ties: bool) -> str:
@@ -327,6 +331,10 @@ def test_fuzz_transcript_query_matches_oracle(tmp_path_factory, entrymod,
             })
 
         out = context_cost(ds).map_batches(_fin, batch_format="pyarrow")
+    elif name == "transcripts_self_repetition":
+        from s_tsfe_dl_ray.stages.dialog import self_repetition
+
+        out = self_repetition(ds)
     else:
         out = reply_latency(ds, conv_col="conv_id", ts_col="ts",
                             order_by=["ts", "turn_idx"])

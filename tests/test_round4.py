@@ -833,3 +833,113 @@ def test_4n_ops_blocking_invariance():
         pd.testing.assert_frame_equal(
             a[k].reset_index(drop=True), b[k].reset_index(drop=True),
             check_exact=True, obj=k)
+
+
+def test_4p_ops_blocking_invariance():
+    """The 4p wave gives IDENTICAL results at 1 input block and at 7 —
+    the cointegration moment fold, the croston SES chains and the
+    self-repetition first-turn attribution must never leak partitioning
+    into values."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.dialog import self_repetition
+    from s_tsfe_dl_ray.stages.trend import (cointegration_probe,
+                                            croston_forecast)
+
+    rng = np.random.default_rng(43)
+    n = 3000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.sort(rng.integers(
+            1_700_000_000_000_000, 1_700_600_000_000_000, n)
+        ).astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(1, 30, n)),
+        "event_type": pa.array(rng.choice(
+            ["click", "purchase", "view"], n)),
+        "value": pa.array(np.round(rng.normal(10, 3, n), 2)),
+    })
+    path = "/tmp/blockinv_4p.parquet"
+    pq.write_table(t, path)
+
+    words = rng.choice(["alpha", "beta", "gamma", "delta"], (400, 12))
+    texts = [" ".join(r) for r in words]
+    turns = pa.table({
+        "conv_id": pa.array([f"c{i % 40}" for i in range(400)]),
+        "turn_idx": pa.array(np.arange(400) // 40, pa.int32()),
+        "text": pa.array(texts),
+    })
+    tpath = "/tmp/blockinv_4p_turns.parquet"
+    pq.write_table(turns, tpath)
+
+    def run(blocks):
+        ds = ray.data.read_parquet(path, override_num_blocks=blocks)
+        tt = ray.data.read_parquet(tpath, override_num_blocks=blocks)
+        return {
+            "coint": to_pdf(cointegration_probe(
+                ds, ts_col="ts", type_col="event_type",
+                type_x="click", type_y="purchase", tier="1h")),
+            "croston": to_pdf(croston_forecast(
+                ds, key="user_id", ts_col="ts").sort("user_id")),
+            "selfrep": to_pdf(self_repetition(tt).sort("conv_id")),
+        }
+
+    a, b = run(1), run(7)
+    assert a["selfrep"]["n_repeated"].sum() > 0  # repeats must surface
+    for k in a:
+        pd.testing.assert_frame_equal(
+            a[k].reset_index(drop=True), b[k].reset_index(drop=True),
+            check_exact=True, obj=k)
+
+
+def test_croston_matches_naive_recursion():
+    """Croston vs an independent naive per-key Python recursion
+    (z_1 = d_1, q_1 = 1, SES on demand sizes and integer day gaps)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.trend import croston_forecast
+
+    rng = np.random.default_rng(44)
+    n = 2000
+    day = 86_400_000_000
+    t0 = 1_700_000_000_000_000
+    ts = t0 + rng.integers(0, 60, n) * day + rng.integers(0, day, n)
+    t = pa.table({
+        "user_id": pa.array(rng.integers(1, 25, n)),
+        "ts": pa.array(np.sort(ts).astype("datetime64[us]")),
+    })
+    out = to_pdf(croston_forecast(
+        ray.data.from_arrow(t), key="user_id", ts_col="ts",
+        alpha=0.3, tier="1d").sort("user_id"))
+
+    df = t.to_pandas()
+    df["widx"] = (df["ts"].astype("int64") // day).astype(np.int64)
+    alpha = 0.3
+    rows = []
+    for uid, g in df.groupby("user_id", sort=True):
+        per = g.groupby("widx", sort=True).size()
+        widx = per.index.to_numpy(np.int64)
+        d = per.to_numpy(np.float64)
+        z, p = d[0], 1.0
+        for k in range(1, len(d)):
+            z = ((1 - alpha) * z + alpha * d[k]) / ((1 - alpha) + alpha)
+            q = float(widx[k] - widx[k - 1])
+            p = ((1 - alpha) * p + alpha * q) / ((1 - alpha) + alpha)
+        rows.append((uid, len(d), z, p, z / p))
+    exp = pd.DataFrame(rows, columns=["user_id", "n_demand_periods",
+                                      "z_hat", "p_hat",
+                                      "forecast_per_period"])
+    got = out[["user_id", "n_demand_periods", "z_hat", "p_hat",
+               "forecast_per_period"]].reset_index(drop=True)
+    np.testing.assert_allclose(got["z_hat"], exp["z_hat"], rtol=1e-12)
+    np.testing.assert_allclose(got["p_hat"], exp["p_hat"], rtol=1e-12)
+    np.testing.assert_allclose(got["forecast_per_period"],
+                               exp["forecast_per_period"], rtol=1e-12)
+    assert (got["n_demand_periods"].to_numpy()
+            == exp["n_demand_periods"].to_numpy()).all()
