@@ -4443,6 +4443,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(croston_forecast(
             ds, key="user_id", ts_col="ts", alpha=0.3, tier="1d"))
 
+    def q_events_grubbs(sf):
+        """Grubbs' maximum-studentized-extreme outlier screen per event
+        type: G = max deviation / sample sd from exact int-cent moments;
+        the argmax extreme rides along (stages/robust.grubbs_test)."""
+        from s_tsfe_dl_ray.stages.robust import grubbs_test
+
+        ds = read_events(sf, columns=["event_type", "value"])
+        return _round_floats(grubbs_test(
+            ds, group_col="event_type", value_col="value"))
+
+    def q_orders_priority_drift(sf):
+        """Monthly chi-square drift of the order-priority mix against
+        the whole-corpus mix — exact int64 cell counts, bit-identical
+        sorted-category sequential sum on both sides
+        (stages/robust.category_mix_drift)."""
+        from s_tsfe_dl_ray.stages.robust import category_mix_drift
+
+        ds = read_table(f"{sf}/orders.parquet",
+                        columns=["o_orderdate", "o_orderpriority"])
+        return _round_floats(category_mix_drift(
+            ds, ts_col="o_orderdate", cat_col="o_orderpriority",
+            period="1mo"))
+
+    def q_docs_readability(sf):
+        """Flesch reading-ease per document from three exact RE2 counts
+        (whitespace tokens, [.!?]+ sentence runs clamped to >= 1,
+        vowel-group syllables) (stages/text.flesch_readability)."""
+        from s_tsfe_dl_ray.stages.text import flesch_readability
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"])
+        return _round_floats(flesch_readability(ds))
+
+    def q_transcripts_abandonment(sf):
+        """Conversation abandonment by hour of last activity: share of
+        conversations whose FINAL turn is a user turn (asked, never
+        answered) per hour-of-day (stages/dialog.abandonment_by_hour)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table as _rt
+        from s_tsfe_dl_ray.stages.dialog import abandonment_by_hour
+
+        turns = _rt(_transcripts_for(sf),
+                    columns=["conv_id", "turn_idx", "role", "ts"])
+        return _round_floats(abandonment_by_hour(turns))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -4796,6 +4840,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cointegration": q_events_cointegration,
         "transcripts_self_repetition": q_transcripts_self_repetition,
         "events_croston": q_events_croston,
+        "events_grubbs": q_events_grubbs,
+        "orders_priority_drift": q_orders_priority_drift,
+        "docs_readability": q_docs_readability,
+        "transcripts_abandonment": q_transcripts_abandonment,
     }
 
 
@@ -10233,5 +10281,120 @@ def oracle_sql() -> dict[str, str]:
                    round(z, 6) AS z_hat, round(p, 6) AS p_hat,
                    round(z / p, 6) AS forecast_per_period
             FROM l
+        """,
+        # int-cent moments exact; studentized deviation is maximized at
+        # an extreme, so G needs only (n, Σ, Σ², min, max); the high/low
+        # branch compares identical float trees on both sides; n<2 and
+        # zero-variance degenerate to NULL via CASE / 0-division
+        "events_grubbs": """
+            WITH m AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     sum(CAST(round(value * 100.0) AS BIGINT)) AS s,
+                     sum(CAST(round(value * 100.0) AS BIGINT)
+                         * CAST(round(value * 100.0) AS BIGINT)) AS ss,
+                     min(CAST(round(value * 100.0) AS BIGINT)) AS mn,
+                     max(CAST(round(value * 100.0) AS BIGINT)) AS mx
+              FROM events GROUP BY 1
+            ), f AS (
+              SELECT event_type, n,
+                     s::DOUBLE / n::DOUBLE AS mu,
+                     sqrt(CASE WHEN n >= 2 THEN
+                          (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                          / (n::DOUBLE - 1.0) END) AS sd,
+                     mn::DOUBLE AS mnd, mx::DOUBLE AS mxd
+              FROM m
+            )
+            SELECT event_type, n AS n_rows,
+                   round(mu / 100.0, 6) AS mean,
+                   round(sd / 100.0, 6) AS sd,
+                   round((CASE WHEN mxd - mu >= mu - mnd THEN mxd - mu
+                               ELSE mu - mnd END) / sd, 6) AS g_stat,
+                   round((CASE WHEN mxd - mu >= mu - mnd THEN mxd
+                               ELSE mnd END) / 100.0, 6) AS outlier_value
+            FROM f ORDER BY event_type
+        """,
+        # observed/row/column totals exact int64; e = rt*ct/N and
+        # (o-e)^2/e are one fixed tree; the per-period sum runs in
+        # sorted-category order SEQUENTIALLY on both sides (numpy fold
+        # == list_reduce) so chi2 is bit-identical, zero cells included
+        # via the full period x category grid
+        "orders_priority_drift": """
+            WITH c AS (
+              SELECT date_trunc('month', o_orderdate) AS p,
+                     o_orderpriority AS cat, count(*)::BIGINT AS o
+              FROM orders GROUP BY 1, 2
+            ), periods AS (SELECT DISTINCT p FROM c),
+            cats AS (SELECT cat, sum(o)::BIGINT AS ct FROM c GROUP BY 1),
+            rws AS (SELECT p, sum(o)::BIGINT AS rt FROM c GROUP BY 1),
+            tot AS (SELECT sum(o)::DOUBLE AS nn,
+                           count(DISTINCT p)::BIGINT AS npd,
+                           count(DISTINCT cat)::BIGINT AS kk
+                    FROM c),
+            grid AS (
+              SELECT periods.p, cats.cat, cats.ct, rws.rt,
+                     coalesce(c.o, 0)::BIGINT AS o
+              FROM periods CROSS JOIN cats
+              JOIN rws ON rws.p = periods.p
+              LEFT JOIN c ON c.p = periods.p AND c.cat = cats.cat
+            ), terms AS (
+              SELECT p, rt,
+                     (o::DOUBLE - rt::DOUBLE * ct::DOUBLE / tot.nn)
+                     * (o::DOUBLE - rt::DOUBLE * ct::DOUBLE / tot.nn)
+                     / (rt::DOUBLE * ct::DOUBLE / tot.nn) AS term,
+                     cat
+              FROM grid, tot
+            ), agg AS (
+              SELECT p, min(rt) AS rt,
+                     list_reduce(list(term ORDER BY cat),
+                                 (a, x) -> a + x) AS chi2
+              FROM terms GROUP BY 1
+            )
+            SELECT agg.p AS period_start, agg.rt AS n_rows,
+                   tot.kk AS n_cats,
+                   round(CASE WHEN tot.npd >= 2 AND tot.kk >= 2
+                         THEN agg.chi2 END, 6) AS chi2
+            FROM agg, tot ORDER BY 1
+        """,
+        # three exact RE2 counts (pyarrow and DuckDB both embed RE2);
+        # the score is one fixed float tree; zero-word docs go NULL via
+        # 0/0
+        "docs_readability": """
+            WITH c AS (
+              SELECT doc_id,
+                     (CASE WHEN len(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text),
+                                                          '\\s+'))
+                      END)::BIGINT AS n_words,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')),
+                              1)::BIGINT AS n_sentences,
+                     len(regexp_extract_all(
+                       text, '[aeiouyAEIOUY]+'))::BIGINT AS n_syllables
+              FROM documents
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   round(206.835
+                         - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                         - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE),
+                         6) AS flesch
+            FROM c
+        """,
+        # last turn per conversation via the struct_pack argmax (payload
+        # rides along); exact hour counts, one share division
+        "transcripts_abandonment": f"""
+            WITH last AS (
+              SELECT conv_id,
+                     max(struct_pack(k := turn_idx, role := role,
+                                     ts := ts)) AS st
+              FROM {T} GROUP BY 1
+            ), l AS (
+              SELECT (extract(hour FROM (st).ts))::BIGINT AS hour,
+                     ((st).role = 'user')::BIGINT AS ab
+              FROM last
+            )
+            SELECT hour, count(*)::BIGINT AS n_convs,
+                   sum(ab)::BIGINT AS n_abandoned,
+                   round(sum(ab)::DOUBLE / count(*), 6)
+                     AS abandoned_share
+            FROM l GROUP BY 1 ORDER BY 1
         """,
     }

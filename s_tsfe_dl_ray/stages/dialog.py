@@ -1483,3 +1483,62 @@ def self_repetition(
     return grouped_apply(partials, keys=[conv_col], fn=fold,
                          num_partitions=num_partitions,
                          whole_partition=True)
+
+
+def abandonment_by_hour(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+) -> Dataset:
+    """When do conversations get abandoned?  Per hour-of-day of each
+    conversation's LAST activity: how many conversations ended then, and
+    what share ended on a *user* turn (a question the assistant never
+    answered — the operational abandonment signal).  The time-resolved
+    refinement of :func:`final_role_distribution`.
+
+    Composition, no new kernel: :func:`stages.dedup.latest_per_key`
+    (last turn per conversation, argmax by ``order_col`` — ties
+    impossible under the unique-turn_idx contract), then a 24-row
+    hour-count combiner.  Counts are exact int64; the share is one
+    division.  Output: ``hour (int64), n_convs, n_abandoned,
+    abandoned_share``, one row per hour with ≥ 1 ending.
+    """
+    from .dedup import latest_per_key
+
+    last = latest_per_key(ds, keys=[conv_col], order_by=[order_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us // 3_600_000_000) % 24
+        ab = pc.cast(pc.equal(t[role_col], "user"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        base = pa.table({
+            "hour": pa.array(hour.astype(np.int64)),
+            "_n": pa.array(np.ones(len(us), np.int64)),
+            "_a": pa.array(ab)})
+        out = base.group_by(["hour"], use_threads=False).aggregate(
+            [("_n", "sum"), ("_a", "sum")])
+        return out.rename_columns(["hour", "_n", "_a"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "hour": pd.Series([], dtype="int64"),
+                "n_convs": pd.Series([], dtype="int64"),
+                "n_abandoned": pd.Series([], dtype="int64"),
+                "abandoned_share": pd.Series([], dtype="float64")})
+        g = df.groupby("hour", sort=True)[["_n", "_a"]].sum().reset_index()
+        return pd.DataFrame({
+            "hour": g["hour"].astype("int64"),
+            "n_convs": g["_n"].astype("int64"),
+            "n_abandoned": g["_a"].astype("int64"),
+            "abandoned_share": g["_a"].to_numpy(np.float64)
+                               / g["_n"].to_numpy(np.float64)})
+
+    return last.map_batches(
+        partial, batch_format="pyarrow").repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

@@ -1400,3 +1400,198 @@ def tukey_hsd(
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def grubbs_test(
+    ds: Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    value_decimals: int = 2,
+) -> Dataset:
+    """Grubbs' maximum-studentized-extreme test per group: how many
+    sample standard deviations does the most extreme value sit from the
+    group mean?  G > the Grubbs critical value flags a single gross
+    outlier — the classic single-outlier screen a telemetry pipeline
+    runs per metric before fitting anything mean-based (reference
+    analog: the top-k reconstruction-error cut,
+    /root/reference/experiments/keras_experiment.py:583-593; this is
+    its parametric single-point sibling, vs :func:`grouped_mad`'s
+    robust-z count).
+
+    Exactness: values scale to 10^value_decimals integer units
+    (copysign-floor == DuckDB round half-away), so the per-group
+    (n, Σ, Σ², min, max) moments are exact int64 through the combiner
+    and the merge.  The key identity: the studentized deviation is
+    maximized at an extreme, so G = max(maxv − m, m − minv)/sd needs NO
+    per-row second pass — the argmax branch (high vs low extreme) is a
+    comparison of floats from identical expression trees on both sides.
+    Degenerate groups (n < 2, zero variance) yield NULL G via
+    0-division.  Output per group: ``group_col, n_rows, mean, sd,
+    g_stat, outlier_value`` (the extreme attaining G; ties break to the
+    high side).
+    """
+    scale = float(10 ** value_decimals)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        cents = np.copysign(np.floor(np.abs(v) * scale + 0.5),
+                            v).astype(np.int64)
+        base = pa.table({
+            group_col: t[group_col],
+            "_one": pa.array(np.ones(len(v), np.int64)),
+            "_s": pa.array(cents),
+            "_ss": pa.array(cents * cents),
+            "_mn": pa.array(cents),
+            "_mx": pa.array(cents)})
+        out = base.group_by([group_col], use_threads=False).aggregate(
+            [("_one", "sum"), ("_s", "sum"), ("_ss", "sum"),
+             ("_mn", "min"), ("_mx", "max")])
+        return out.rename_columns([group_col, "_n", "_s", "_ss",
+                                   "_mn", "_mx"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                group_col: pd.Series([], dtype="object"),
+                "n_rows": pd.Series([], dtype="int64"),
+                "mean": pd.Series([], dtype="float64"),
+                "sd": pd.Series([], dtype="float64"),
+                "g_stat": pd.Series([], dtype="float64"),
+                "outlier_value": pd.Series([], dtype="float64")})
+        g = df.groupby(group_col, sort=True).agg(
+            _n=("_n", "sum"), _s=("_s", "sum"), _ss=("_ss", "sum"),
+            _mn=("_mn", "min"), _mx=("_mx", "max")).reset_index()
+        n = g["_n"].to_numpy(np.float64)
+        s = g["_s"].to_numpy(np.float64)
+        ss = g["_ss"].to_numpy(np.float64)
+        mn = g["_mn"].to_numpy(np.float64)
+        mx = g["_mx"].to_numpy(np.float64)
+        # fixed expression tree — keep in lockstep with the SQL twin
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m = s / n
+            # explicit n<2 guard: the naive tree gives residual/0 = ±inf
+            # there, and G = dev/inf would COLLAPSE to finite 0.0 while
+            # the SQL twin's x/0 is NULL — pin NaN instead
+            var = np.where(n >= 2.0,
+                           (ss - s * s / n) / (n - 1.0), np.nan)
+            sd = np.sqrt(var)
+            hi = mx - m
+            lo = m - mn
+            dev = np.where(hi >= lo, hi, lo)
+            g_stat = dev / sd
+        out_v = np.where(hi >= lo, mx, mn) / scale
+
+        def _nn(a):
+            return np.where(np.isfinite(a), a, np.nan)
+
+        return pd.DataFrame({
+            group_col: g[group_col],
+            "n_rows": g["_n"].astype(np.int64),
+            "mean": _nn(m / scale),
+            "sd": _nn(sd / scale),
+            "g_stat": _nn(g_stat),
+            "outlier_value": out_v})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def category_mix_drift(
+    ds: Dataset,
+    *,
+    ts_col: str,
+    cat_col: str,
+    period: str = "1mo",
+) -> Dataset:
+    """Per-period chi-square drift of a categorical mix against the
+    whole-corpus mix: is this month's order-priority (event-type,
+    label, …) distribution the usual one, or did the mix shift?  The
+    categorical sibling of :func:`psi_daily` (which bins a continuous
+    value) — chi-square against the GLOBAL column totals, the standard
+    monitoring statistic for label/priority drift.
+
+    Exactness: observed cell counts and the row/column totals are exact
+    int64 through the combiner; expected counts e = rowtot·coltot/N and
+    each term (o−e)²/e form a fixed float tree, and the per-period SUM
+    runs in sorted-category order SEQUENTIALLY on both sides (numpy
+    running fold here == DuckDB ``list_reduce(list(term ORDER BY cat))``
+    in the twin), so the chi-square is bit-identical — no reassociation
+    noise.  Cells absent in a period count as o = 0 (the full
+    period×category grid is materialized on both sides).  Output per
+    period: ``period_start, n_rows (int64), n_cats (int64), chi2``
+    (NULL when the corpus has a single period or category).
+
+    Scale: per-batch (period, category) count partials cross one tiny
+    exchange; the grid fold touches periods×categories rows only.
+    """
+    period_fn = {"1d": None, "1mo": None}
+    if period not in period_fn:
+        raise ValueError(f"period must be one of {sorted(period_fn)}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        if period == "1d":
+            pstart = (us // 86_400_000_000) * 86_400_000_000
+        else:
+            days = us // 86_400_000_000
+            # civil month floor via numpy datetime64[M]
+            months = days.astype("datetime64[D]").astype("datetime64[M]")
+            pstart = months.astype("datetime64[us]").astype(np.int64)
+        base = pa.table({
+            "_p": pa.array(pstart),
+            cat_col: t[cat_col],
+            "_one": pa.array(np.ones(len(us), np.int64))})
+        out = base.group_by(["_p", cat_col], use_threads=False).aggregate(
+            [("_one", "sum")])
+        return out.rename_columns(["_p", cat_col, "_o"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "period_start": pd.Series([], dtype="datetime64[us]"),
+            "n_rows": pd.Series([], dtype="int64"),
+            "n_cats": pd.Series([], dtype="int64"),
+            "chi2": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        m = df.groupby(["_p", cat_col], sort=True, as_index=False)["_o"] \
+            .sum()
+        cats = np.sort(m[cat_col].unique())
+        periods = np.sort(m["_p"].unique())
+        k, npd = len(cats), len(periods)
+        grid = np.zeros((npd, k), np.int64)
+        pi = {p: i for i, p in enumerate(periods)}
+        ci = {c: j for j, c in enumerate(cats)}
+        grid[[pi[p] for p in m["_p"]],
+             [ci[c] for c in m[cat_col]]] = m["_o"].to_numpy(np.int64)
+        rowtot = grid.sum(axis=1)
+        coltot = grid.sum(axis=0)
+        total = np.float64(grid.sum())
+        chi2 = np.full(npd, np.nan)
+        if k >= 2 and npd >= 2:
+            for i in range(npd):
+                acc = np.float64(0.0)
+                rt = np.float64(rowtot[i])
+                for j in range(k):       # sorted-category SEQUENTIAL fold
+                    e = rt * np.float64(coltot[j]) / total
+                    d = np.float64(grid[i, j]) - e
+                    acc = acc + d * d / e
+                chi2[i] = acc if np.isfinite(acc) else np.nan
+        return pd.DataFrame({
+            "period_start": pd.Series(periods).astype("datetime64[us]"),
+            "n_rows": rowtot.astype(np.int64),
+            "n_cats": np.full(npd, k, np.int64),
+            "chi2": chi2})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

@@ -1735,3 +1735,59 @@ def boilerplate_segments(
     return (counts.map_batches(flt, batch_format="pyarrow")
             .sort(["n_docs", "segment"], descending=[True, False])
             .limit(k))
+
+
+def flesch_readability(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Flesch reading-ease score per document from three RE2 counts —
+    the classic surface-form quality feature a curation pipeline ranks
+    corpora by (alongside :func:`quality_score`'s ratios and the
+    char-LM log-loss):
+
+        flesch = 206.835 − 1.015·(words/sentences)
+                         − 84.6·(syllables/words)
+
+    with words = whitespace-token count (the engine-wide convention of
+    :func:`token_stats`), sentences = count of ``[.!?]+`` runs clamped
+    to ≥ 1 (prose without terminal punctuation reads as one sentence),
+    and syllables = vowel-group runs ``[aeiouyAEIOUY]+`` (the standard
+    dictionary-free proxy).  All three are exact int64 RE2 counts —
+    pyarrow and DuckDB both embed RE2, so the SQL twin's
+    ``regexp_extract_all`` lengths are identical and the score is one
+    fixed float tree.  Zero-word docs yield NULL score.  Pure
+    vectorized map — no shuffle, no state.
+
+    Output: ``id_col, n_words, n_sentences, n_syllables, flesch``.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        trimmed = pc.utf8_trim_whitespace(txt)
+        empty = pc.equal(pc.utf8_length(trimmed), 0)
+        n_words = pc.if_else(
+            empty, pa.scalar(0, pa.int64()),
+            pc.cast(pc.add(pc.count_substring_regex(trimmed, r"\s+"), 1),
+                    pa.int64()))
+        n_sent_raw = pc.cast(
+            pc.count_substring_regex(txt, r"[.!?]+"), pa.int64())
+        n_sent = pc.max_element_wise(n_sent_raw, pa.scalar(1, pa.int64()))
+        n_syl = pc.cast(
+            pc.count_substring_regex(txt, r"[aeiouyAEIOUY]+"), pa.int64())
+        w = pc.cast(n_words, pa.float64()).to_numpy(zero_copy_only=False)
+        s = pc.cast(n_sent, pa.float64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(n_syl, pa.float64()).to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            score = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        score = np.where(np.isfinite(score), score, np.nan)
+        return pa.table({
+            id_col: t[id_col],
+            "n_words": n_words,
+            "n_sentences": n_sent,
+            "n_syllables": n_syl,
+            "flesch": pa.array(score, pa.float64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

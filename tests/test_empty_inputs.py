@@ -311,3 +311,27 @@ def test_round4p_ops_empty():
         "turn_idx": pa.array([], pa.int32()),
         "text": pa.array([], pa.string())}))
     assert len(self_repetition(turns).to_pandas()) == 0
+
+
+def test_round4q_ops_empty():
+    from s_tsfe_dl_ray.stages.dialog import abandonment_by_hour
+    from s_tsfe_dl_ray.stages.robust import category_mix_drift, grubbs_test
+    from s_tsfe_dl_ray.stages.text import flesch_readability
+
+    ds = _empty_events()
+    assert len(grubbs_test(ds, group_col="event_type",
+                           value_col="value").to_pandas()) == 0
+    assert len(category_mix_drift(ds, ts_col="ts", cat_col="event_type",
+                                  period="1mo").to_pandas()) == 0
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert len(flesch_readability(docs).to_pandas()) == 0
+
+    turns = ray.data.from_arrow(pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "role": pa.array([], pa.string()),
+        "ts": pa.array([], pa.timestamp("us"))}))
+    assert len(abandonment_by_hour(turns).to_pandas()) == 0

@@ -125,6 +125,8 @@ QUERIES = [
     # ewm==list_reduce chains (croston)
     "events_cointegration",
     "events_croston",
+    # 4q wave: int-cent extreme studentization
+    "events_grubbs",
 ]
 
 SHAPES = [
@@ -204,7 +206,8 @@ T_QUERIES = ["transcripts_latency_by_hour", "transcripts_duration_stats",
              "transcripts_escalation", "transcripts_position_profile",
              "transcripts_tool_effect", "transcripts_conv_features",
              "transcripts_token_gini", "transcripts_tool_km",
-             "transcripts_cache_savings", "transcripts_self_repetition"]
+             "transcripts_cache_savings", "transcripts_self_repetition",
+             "transcripts_abandonment"]
 
 
 def _synth_transcripts(tmpdir: str, seed: int, n: int, ties: bool) -> str:
@@ -335,6 +338,10 @@ def test_fuzz_transcript_query_matches_oracle(tmp_path_factory, entrymod,
         from s_tsfe_dl_ray.stages.dialog import self_repetition
 
         out = self_repetition(ds)
+    elif name == "transcripts_abandonment":
+        from s_tsfe_dl_ray.stages.dialog import abandonment_by_hour
+
+        out = abandonment_by_hour(ds)
     else:
         out = reply_latency(ds, conv_col="conv_id", ts_col="ts",
                             order_by=["ts", "turn_idx"])
@@ -362,6 +369,8 @@ D_QUERIES = [
     "docs_exact_dedup",
     "docs_charlm_logloss",
     "docs_dup_rate_by_source",
+    # 4q wave: RE2 word/sentence/syllable counts
+    "docs_readability",
 ]
 
 _WORDS = ["the", "fast", "data", "merge", "la", "le", "und", "der",

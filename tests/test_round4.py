@@ -943,3 +943,63 @@ def test_croston_matches_naive_recursion():
                                exp["forecast_per_period"], rtol=1e-12)
     assert (got["n_demand_periods"].to_numpy()
             == exp["n_demand_periods"].to_numpy()).all()
+
+
+def test_4q_ops_blocking_invariance():
+    """The 4q wave gives IDENTICAL results at 1 input block and at 7 —
+    int-cent extreme moments, the chi-square grid fold and the
+    last-turn argmax must never leak partitioning into values."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.dialog import abandonment_by_hour
+    from s_tsfe_dl_ray.stages.robust import category_mix_drift, grubbs_test
+
+    rng = np.random.default_rng(45)
+    n = 3000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.sort(rng.integers(
+            1_700_000_000_000_000, 1_710_000_000_000_000, n)
+        ).astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(1, 30, n)),
+        "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+        "value": pa.array(np.round(rng.normal(10, 3, n), 2)),
+    })
+    path = "/tmp/blockinv_4q.parquet"
+    pq.write_table(t, path)
+
+    nt = 600
+    turns = pa.table({
+        "conv_id": pa.array([f"c{i % 50}" for i in range(nt)]),
+        "turn_idx": pa.array(np.arange(nt) // 50, pa.int32()),
+        "role": pa.array(rng.choice(["user", "assistant", "tool"], nt)),
+        "ts": pa.array(np.sort(rng.integers(
+            1_700_000_000_000_000, 1_700_100_000_000_000, nt)
+        ).astype("datetime64[us]")),
+    })
+    tpath = "/tmp/blockinv_4q_turns.parquet"
+    pq.write_table(turns, tpath)
+
+    def run(blocks):
+        ds = ray.data.read_parquet(path, override_num_blocks=blocks)
+        tt = ray.data.read_parquet(tpath, override_num_blocks=blocks)
+        return {
+            "grubbs": to_pdf(grubbs_test(
+                ds, group_col="event_type",
+                value_col="value").sort("event_type")),
+            "drift": to_pdf(category_mix_drift(
+                ds, ts_col="ts", cat_col="event_type",
+                period="1mo").sort("period_start")),
+            "abandon": to_pdf(abandonment_by_hour(tt).sort("hour")),
+        }
+
+    a, b = run(1), run(7)
+    assert a["drift"]["chi2"].notna().any()
+    for k in a:
+        pd.testing.assert_frame_equal(
+            a[k].reset_index(drop=True), b[k].reset_index(drop=True),
+            check_exact=True, obj=k)
