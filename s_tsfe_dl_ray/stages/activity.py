@@ -631,3 +631,80 @@ def active_interval_counts(
 
     return per_window.map_batches(fin, batch_format="pyarrow").sort(
         "window_start")
+
+
+def availability_profile(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    tier: str = "1h",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key presence profile on the tier grid: of the hours (windows)
+    between a key's first and last activity, how many have ≥ 1 event —
+    the SLO-style "availability" of a user/device/stream — plus the
+    longest silent stretch.  The per-key refinement of
+    :func:`active_users` (which counts keys per window) and the
+    windowed cousin of the sessionizer's gap logic.
+
+    Per key: m = distinct active windows, span = (last − first)/tier + 1
+    windows, ``availability = m / span``, ``longest_gap`` = max
+    consecutive missing windows between adjacent active ones (0 when
+    m = 1).  All integers are exact; availability is one division.
+
+    Dataflow: per-batch (key, window) dedup combiner — only distinct
+    pairs cross the ONE key-hash exchange; each key-complete partition
+    sorts once and takes vectorized diffs across ALL keys (boundaries
+    masked), no per-key Python.  Output: ``key, n_active (int64),
+    span (int64), availability, longest_gap (int64)``.
+    """
+    import pyarrow.compute as pc
+
+    from .grouped import grouped_apply
+
+    step = TIER_US[tier]
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = window_start_us(t[ts_col], tier)
+        out = pa.table({key: t[key], "_w": w}) \
+            .group_by([key, "_w"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return out.drop_columns([out.column_names[-1]])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key: pd.Series([], dtype="object"),
+            "n_active": pd.Series([], dtype="int64"),
+            "span": pd.Series([], dtype="int64"),
+            "availability": pd.Series([], dtype="float64"),
+            "longest_gap": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        m = df.drop_duplicates([key, "_w"]) \
+            .sort_values([key, "_w"], kind="mergesort") \
+            .reset_index(drop=True)
+        widx = (m["_w"].astype("int64") // step).to_numpy(np.int64)
+        firsts = m.groupby(key, sort=False).cumcount().to_numpy() == 0
+        d = widx - np.roll(widx, 1)
+        d[firsts] = 1                      # no gap before the first window
+        gaps = d - 1
+        g = m.assign(_g=gaps).groupby(key, sort=False, as_index=False) \
+            .agg(n_active=("_w", "size"), _lo=("_w", "min"),
+                 _hi=("_w", "max"), longest_gap=("_g", "max"))
+        span = ((g["_hi"].astype("int64") - g["_lo"].astype("int64"))
+                // step + 1).to_numpy(np.int64)
+        n_act = g["n_active"].to_numpy(np.int64)
+        return pd.DataFrame({
+            key: g[key],
+            "n_active": n_act,
+            "span": span,
+            "availability": n_act.astype(np.float64)
+                            / span.astype(np.float64),
+            "longest_gap": g["longest_gap"].astype(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return grouped_apply(partials, keys=[key], fn=fold,
+                         num_partitions=num_partitions,
+                         whole_partition=True)

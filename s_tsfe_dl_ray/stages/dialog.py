@@ -1542,3 +1542,92 @@ def abandonment_by_hour(
     return last.map_batches(
         partial, batch_format="pyarrow").repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def tool_adoption(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> Dataset:
+    """Per-tool adoption across the conversation corpus: in how many
+    (and what share of) conversations does each tool appear at least
+    once, and how early — mean first-use turn index.  The adoption
+    companion of :func:`tool_usage` (volume) and
+    :func:`tool_chain_streaks` (loop depth): adoption says which tools
+    conversations REACH, not how often they fire.
+
+    Dataflow: per-batch (tool, conv, min turn_idx) combiner partials
+    cross one conv-hash exchange; each partition folds the global
+    per-(tool, conv) first use vectorized, then per-tool counts and
+    first-turn sums (exact int64) merge on one final partition.  The
+    denominator — total distinct conversations — folds from the same
+    partials (a tool='' row per conversation seen), so empty-tool turns
+    are counted but never scored.  Output per tool: ``tool_col,
+    n_convs (int64), conv_share, mean_first_turn``.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx = pc.cast(t[order_col], pa.int64())
+        base = pa.table({tool_col: t[tool_col], conv_col: t[conv_col],
+                         "_i": idx})
+        out = base.group_by([tool_col, conv_col],
+                            use_threads=False).aggregate([("_i", "min")])
+        return out.rename_columns([tool_col, conv_col, "_i"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # each conversation lives in exactly ONE conv-hash partition, so
+        # per-partition distinct-conv counts (the marker rows,
+        # _is_total=1) sum to the global denominator in `final`
+        empty = pd.DataFrame({
+            tool_col: pd.Series([], dtype="object"),
+            "_convs": pd.Series([], dtype="int64"),
+            "_first_sum": pd.Series([], dtype="int64"),
+            "_is_total": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        m = df.groupby([tool_col, conv_col], sort=False,
+                       as_index=False)["_i"].min()
+        total = m[conv_col].nunique()
+        m = m[m[tool_col] != ""]
+        g = m.groupby(tool_col, sort=False, as_index=False).agg(
+            _convs=("_i", "size"), _first_sum=("_i", "sum"))
+        g["_is_total"] = np.int64(0)
+        marker = pd.DataFrame({tool_col: [""],
+                               "_convs": pd.Series([total], dtype="int64"),
+                               "_first_sum": pd.Series([0], dtype="int64"),
+                               "_is_total": pd.Series([1], dtype="int64")})
+        return pd.concat([g, marker], ignore_index=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            tool_col: pd.Series([], dtype="object"),
+            "n_convs": pd.Series([], dtype="int64"),
+            "conv_share": pd.Series([], dtype="float64"),
+            "mean_first_turn": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        total = np.float64(
+            df.loc[df["_is_total"] == 1, "_convs"].sum())
+        tools = df[df["_is_total"] == 0]
+        if len(tools) == 0:
+            return empty
+        g = tools.groupby(tool_col, sort=True, as_index=False)[
+            ["_convs", "_first_sum"]].sum()
+        n = g["_convs"].to_numpy(np.int64)
+        return pd.DataFrame({
+            tool_col: g[tool_col],
+            "n_convs": n,
+            "conv_share": n.astype(np.float64) / total,
+            "mean_first_turn": g["_first_sum"].to_numpy(np.float64)
+                               / n.astype(np.float64)})
+
+    from .grouped import grouped_apply
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    folded = grouped_apply(partials, keys=[conv_col], fn=fold,
+                           num_partitions=64, whole_partition=True)
+    return folded.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

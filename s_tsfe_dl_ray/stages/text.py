@@ -1791,3 +1791,153 @@ def flesch_readability(
             "flesch": pa.array(score, pa.float64())})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def distinctive_tokens(
+    ds: Dataset,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Top-``k`` distinctive tokens per group by the smoothed
+    log-odds-ratio of the token's odds inside the group vs the rest of
+    the corpus (+0.5 Haldane–Anscombe smoothing, so no cell is ever
+    zero) — the "what vocabulary makes this source different" keyword
+    extractor, the contrastive sibling of :func:`tfidf_top_terms`
+    (which scores within-document salience, not between-group
+    contrast):
+
+        score = ln((n_gt + .5)/(N_g − n_gt + .5))
+              − ln(((n_t − n_gt) + .5)/((N − N_g − (n_t − n_gt)) + .5))
+
+    Tokenization is the engine-wide single-space convention of
+    :func:`top_tokens`.  All counts are exact int64 (integer
+    subtractions happen BEFORE the single float cast), the score is one
+    fixed float tree (ln via the shared libm on both sides — the
+    charlm-logloss precedent), and top-k ordering breaks ties on token
+    asc, so the SQL twin selects identical rows.
+
+    Scale shape: per-batch (group, token, n) combiner partials cross
+    ONE token-hash exchange; per-group token totals N_g come from a
+    second column-pruned counting pass that folds to a ≤|groups|-row
+    closure (the BM25-stats pattern) — raw tokens never cross a
+    shuffle.  Each token-complete partition scores vectorized and emits
+    its local per-group top-k; the ≤ partitions·groups·k candidate rows
+    merge on one final partition.  Output: ``group_col, token,
+    n (int64), score`` — k rows per group (fewer if the group's
+    vocabulary is smaller).
+    """
+    from .grouped import grouped_apply
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_trim(t[text_col], " "), " ")
+        convs = t[group_col].combine_chunks() if isinstance(
+            t[group_col], pa.ChunkedArray) else t[group_col]
+        parts = []
+        row_off = 0
+        for ch in (toks.chunks if isinstance(toks, pa.ChunkedArray)
+                   else [toks]):
+            lengths = pc.list_value_length(ch).to_numpy(
+                zero_copy_only=False)
+            nrows = len(lengths)
+            gv = convs.slice(row_off, nrows)
+            row_off += nrows
+            vals = ch.flatten()
+            if len(vals) == 0:
+                continue
+            row_of = np.repeat(np.arange(nrows), lengths)
+            keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+            if not keep.any():
+                continue
+            parts.append(pa.table({
+                group_col: gv.take(pa.array(row_of[keep])),
+                "token": vals.filter(pa.array(keep)),
+                "_n": pa.array(np.ones(int(keep.sum()), np.int64))}))
+        if not parts:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "_n": pa.array([], pa.int64())})
+        batch = pa.concat_tables(parts).combine_chunks()
+        out = batch.group_by([group_col, "token"],
+                             use_threads=False).aggregate([("_n", "sum")])
+        return out.rename_columns([group_col, "token", "_n"])
+
+    def totals_partial(t: pa.Table) -> pa.Table:
+        # per-group totals must use the SAME tokenization as the
+        # per-token partial (single-space split, empties dropped)
+        lst = pc.split_pattern(pc.utf8_trim(t[text_col], " "), " ")
+        lengths = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+        vals = pc.list_flatten(lst)
+        nonempty = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(len(lengths)), lengths)
+        cnt = np.bincount(row_of[nonempty], minlength=len(lengths)) \
+            .astype(np.int64)
+        base = pa.table({group_col: t[group_col], "_c": pa.array(cnt)})
+        out = base.group_by([group_col], use_threads=False).aggregate(
+            [("_c", "sum")])
+        return out.rename_columns([group_col, "_c"])
+
+    def totals_final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({group_col: pd.Series([], dtype="object"),
+                                 "_c": pd.Series([], dtype="int64")})
+        return df.groupby(group_col, sort=True, as_index=False)["_c"].sum()
+
+    totals = (ds.map_batches(totals_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .repartition(1)
+              .map_batches(totals_final, batch_format="pandas",
+                           batch_size=None)).to_pandas()
+    if len(totals) == 0 or group_col not in totals.columns:
+        n_g, n_all = {}, 0
+    else:
+        n_g = dict(zip(totals[group_col], totals["_c"].astype(np.int64)))
+        n_all = int(totals["_c"].sum())
+
+    def score_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            group_col: pd.Series([], dtype="object"),
+            "token": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        m = df.groupby(["token", group_col], sort=False,
+                       as_index=False)["_n"].sum()
+        nt = m.groupby("token", sort=False)["_n"].transform("sum") \
+            .to_numpy(np.int64)
+        n = m["_n"].to_numpy(np.int64)
+        ng = m[group_col].map(n_g).to_numpy(np.int64)
+        rest = nt - n
+        # integer arithmetic first, ONE float cast, fixed ln tree
+        score = (np.log((n.astype(np.float64) + 0.5)
+                        / ((ng - n).astype(np.float64) + 0.5))
+                 - np.log((rest.astype(np.float64) + 0.5)
+                          / ((n_all - ng - rest).astype(np.float64)
+                             + 0.5)))
+        out = pd.DataFrame({group_col: m[group_col], "token": m["token"],
+                            "n": n, "score": score})
+        out = out.sort_values([group_col, "score", "token"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        return out.groupby(group_col, sort=False).head(k) \
+            .reset_index(drop=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        out = df.sort_values([group_col, "score", "token"],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+        return out.groupby(group_col, sort=False).head(k) \
+            .reset_index(drop=True)
+
+    partials = ds.map_batches(count_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    scored = grouped_apply(partials, keys=["token"], fn=score_partition,
+                           num_partitions=num_partitions,
+                           whole_partition=True)
+    return scored.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

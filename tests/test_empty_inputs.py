@@ -335,3 +335,24 @@ def test_round4q_ops_empty():
         "role": pa.array([], pa.string()),
         "ts": pa.array([], pa.timestamp("us"))}))
     assert len(abandonment_by_hour(turns).to_pandas()) == 0
+
+
+def test_round4r_ops_empty():
+    from s_tsfe_dl_ray.stages.activity import availability_profile
+    from s_tsfe_dl_ray.stages.dialog import tool_adoption
+    from s_tsfe_dl_ray.stages.text import distinctive_tokens
+
+    ds = _empty_events()
+    assert len(availability_profile(ds, key="user_id",
+                                    ts_col="ts").to_pandas()) == 0
+
+    docs = ray.data.from_arrow(pa.table({
+        "source": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    assert len(distinctive_tokens(docs).to_pandas()) == 0
+
+    turns = ray.data.from_arrow(pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "tool": pa.array([], pa.string())}))
+    assert len(tool_adoption(turns).to_pandas()) == 0

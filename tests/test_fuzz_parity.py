@@ -127,6 +127,8 @@ QUERIES = [
     "events_croston",
     # 4q wave: int-cent extreme studentization
     "events_grubbs",
+    # 4r wave: distinct-window integer arithmetic
+    "events_availability",
 ]
 
 SHAPES = [
@@ -207,7 +209,7 @@ T_QUERIES = ["transcripts_latency_by_hour", "transcripts_duration_stats",
              "transcripts_tool_effect", "transcripts_conv_features",
              "transcripts_token_gini", "transcripts_tool_km",
              "transcripts_cache_savings", "transcripts_self_repetition",
-             "transcripts_abandonment"]
+             "transcripts_abandonment", "transcripts_tool_adoption"]
 
 
 def _synth_transcripts(tmpdir: str, seed: int, n: int, ties: bool) -> str:
@@ -227,12 +229,14 @@ def _synth_transcripts(tmpdir: str, seed: int, n: int, ties: bool) -> str:
     roles[tool_rows] = "tool"
     words = rng.integers(0, 40, n)
     text = np.array([" ".join(["w"] * int(w)) for w in words], dtype=object)
+    tools = np.where(tool_rows,
+                     rng.choice(["bash", "sql", "calc"], n), "")
     t = pa.table({
         "conv_id": pa.array([f"c{c}" for c in conv], pa.string()),
         "turn_idx": pa.array(order, pa.int32()),
         "role": pa.array(roles, pa.string()),
         "text": pa.array(text, pa.string()),
-        "tool": pa.array([""] * n, pa.string()),
+        "tool": pa.array(tools.astype(object), pa.string()),
         "ts": pa.array(ts.astype("datetime64[us]")),
     })
     d = os.path.join(tmpdir, f"tfuzz_{seed}")
@@ -342,6 +346,10 @@ def test_fuzz_transcript_query_matches_oracle(tmp_path_factory, entrymod,
         from s_tsfe_dl_ray.stages.dialog import abandonment_by_hour
 
         out = abandonment_by_hour(ds)
+    elif name == "transcripts_tool_adoption":
+        from s_tsfe_dl_ray.stages.dialog import tool_adoption
+
+        out = tool_adoption(ds)
     else:
         out = reply_latency(ds, conv_col="conv_id", ts_col="ts",
                             order_by=["ts", "turn_idx"])
@@ -371,6 +379,8 @@ D_QUERIES = [
     "docs_dup_rate_by_source",
     # 4q wave: RE2 word/sentence/syllable counts
     "docs_readability",
+    # 4r wave: exact-count log-odds with token-asc tiebreak
+    "docs_distinctive_tokens",
 ]
 
 _WORDS = ["the", "fast", "data", "merge", "la", "le", "und", "der",

@@ -1003,3 +1003,70 @@ def test_4q_ops_blocking_invariance():
         pd.testing.assert_frame_equal(
             a[k].reset_index(drop=True), b[k].reset_index(drop=True),
             check_exact=True, obj=k)
+
+
+def test_4r_ops_blocking_invariance():
+    """The 4r wave gives IDENTICAL results at 1 input block and at 7 —
+    the log-odds totals closure, the distinct-window availability fold
+    and the per-partition adoption denominator must never leak
+    partitioning into values."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.activity import availability_profile
+    from s_tsfe_dl_ray.stages.dialog import tool_adoption
+    from s_tsfe_dl_ray.stages.text import distinctive_tokens
+
+    rng = np.random.default_rng(46)
+    n = 3000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(1, 30, n)),
+        "ts": pa.array(np.sort(rng.integers(
+            1_700_000_000_000_000, 1_700_600_000_000_000, n)
+        ).astype("datetime64[us]")),
+    })
+    path = "/tmp/blockinv_4r.parquet"
+    pq.write_table(t, path)
+
+    words = rng.choice(["alpha", "beta", "gamma", "delta", "eps"],
+                       (300, 20))
+    docs = pa.table({
+        "source": pa.array([f"s{i % 3}" for i in range(300)]),
+        "text": pa.array([" ".join(r) for r in words]),
+    })
+    dpath = "/tmp/blockinv_4r_docs.parquet"
+    pq.write_table(docs, dpath)
+
+    nt = 600
+    turns = pa.table({
+        "conv_id": pa.array([f"c{i % 50}" for i in range(nt)]),
+        "turn_idx": pa.array(np.arange(nt) // 50, pa.int32()),
+        "tool": pa.array(np.where(rng.random(nt) < 0.2,
+                                  rng.choice(["bash", "sql"], nt),
+                                  "").astype(object)),
+    })
+    tpath = "/tmp/blockinv_4r_turns.parquet"
+    pq.write_table(turns, tpath)
+
+    def run(blocks):
+        ds = ray.data.read_parquet(path, override_num_blocks=blocks)
+        dd = ray.data.read_parquet(dpath, override_num_blocks=blocks)
+        tt = ray.data.read_parquet(tpath, override_num_blocks=blocks)
+        return {
+            "avail": to_pdf(availability_profile(
+                ds, key="user_id", ts_col="ts").sort("user_id")),
+            "dtok": to_pdf(distinctive_tokens(dd).sort(
+                ["source", "score", "token"],
+                descending=[False, True, False])),
+            "adopt": to_pdf(tool_adoption(tt).sort("tool")),
+        }
+
+    a, b = run(1), run(7)
+    assert len(a["dtok"]) > 0 and len(a["adopt"]) > 0
+    for k in a:
+        pd.testing.assert_frame_equal(
+            a[k].reset_index(drop=True), b[k].reset_index(drop=True),
+            check_exact=True, obj=k)
