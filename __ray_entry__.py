@@ -4531,6 +4531,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, ts_col="l_shipdate", cat_col="l_returnflag",
             period="1mo"))
 
+    def q_events_rolling_corr(sf):
+        """Trailing 24h Pearson correlation between hourly click and
+        purchase counts on the DENSE hour grid — exact int64 trailing
+        prefix moments (stages/trend.rolling_grid_corr)."""
+        from s_tsfe_dl_ray.stages.trend import rolling_grid_corr
+
+        ds = read_events(sf, columns=["ts", "event_type"])
+        return _round_floats(rolling_grid_corr(
+            ds, ts_col="ts", type_col="event_type",
+            type_a="click", type_b="purchase", tier="1h", window=24))
+
+    def q_events_cohort_ltv(sf):
+        """Cohort lifetime-value curve: cumulative value (and per-member
+        value) by signup cohort and age — exact int-cent cumsum
+        (stages/cohort.cohort_ltv)."""
+        from s_tsfe_dl_ray.stages.cohort import cohort_ltv
+
+        ds = read_events(sf, columns=["user_id", "ts", "value"])
+        return _round_floats(cohort_ltv(
+            ds, key="user_id", ts_col="ts", value_col="value"))
+
+    def q_docs_style_cosine(sf):
+        """Pairwise stylistic cosine between sources over token-count
+        vectors — exact int64 dots and norms, one float tree
+        (stages/text.source_style_cosine)."""
+        from s_tsfe_dl_ray.stages.text import source_style_cosine
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["source", "text"])
+        return _round_floats(source_style_cosine(ds, group_col="source"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -4892,6 +4923,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_availability": q_events_availability,
         "transcripts_tool_adoption": q_transcripts_tool_adoption,
         "lineitem_returnflag_drift": q_lineitem_returnflag_drift,
+        "events_rolling_corr": q_events_rolling_corr,
+        "events_cohort_ltv": q_events_cohort_ltv,
+        "docs_style_cosine": q_docs_style_cosine,
     }
 
 
@@ -10557,5 +10591,98 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN tot.npd >= 2 AND tot.kk >= 2
                          THEN agg.chi2 END, 6) AS chi2
             FROM agg, tot ORDER BY 1
+        """,
+        # dense hour grid (generate_series == the engine's np.arange
+        # zero-fill); all trailing moments exact int64; zero-variance
+        # windows go NULL via x/0 on both sides; only full windows emit
+        "events_rolling_corr": """
+            WITH g AS (
+              SELECT date_trunc('hour', ts) AS w,
+                     sum((event_type = 'click')::BIGINT) AS a,
+                     sum((event_type = 'purchase')::BIGINT) AS b
+              FROM events GROUP BY 1
+            ), bounds AS (SELECT min(w) AS lo, max(w) AS hi FROM g),
+            grid AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                       AS w
+              FROM bounds
+            ), d AS (
+              SELECT grid.w, coalesce(g.a, 0)::BIGINT AS a,
+                     coalesce(g.b, 0)::BIGINT AS b
+              FROM grid LEFT JOIN g USING (w)
+            ), r AS (
+              SELECT w, count(*) OVER win AS m,
+                     sum(a) OVER win AS sa, sum(b) OVER win AS sb,
+                     sum(a * b) OVER win AS sab,
+                     sum(a * a) OVER win AS saa,
+                     sum(b * b) OVER win AS sbb
+              FROM d WINDOW win AS (ORDER BY w
+                                    ROWS BETWEEN 23 PRECEDING
+                                             AND CURRENT ROW)
+            )
+            SELECT w AS window_start,
+                   round((24 * sab - sa * sb)::DOUBLE
+                         / (sqrt((24 * saa - sa * sa)::DOUBLE)
+                            * sqrt((24 * sbb - sb * sb)::DOUBLE)), 6)
+                     AS corr
+            FROM r WHERE m = 24 ORDER BY 1
+        """,
+        # int-cent daily sums exact; cohort = min day per user; the
+        # cumulative is an exact int64 windowed sum over observed ages;
+        # two divisions at the end
+        "events_cohort_ltv": """
+            WITH ud AS (
+              SELECT user_id,
+                     epoch_us(date_trunc('day', ts)) // 86400000000
+                       AS d,
+                     sum(CAST(round(value * 100.0) AS BIGINT)) AS cents
+              FROM events GROUP BY 1, 2
+            ), uc AS (
+              SELECT user_id, min(d) AS cd FROM ud GROUP BY 1
+            ), cs AS (
+              SELECT cd, count(*)::BIGINT AS n_users FROM uc GROUP BY 1
+            ), ca AS (
+              SELECT uc.cd, ud.d - uc.cd AS age,
+                     sum(ud.cents)::BIGINT AS cents
+              FROM ud JOIN uc USING (user_id) GROUP BY 1, 2
+            ), cum AS (
+              SELECT cd, age,
+                     sum(cents) OVER (PARTITION BY cd ORDER BY age)
+                       AS cum_cents
+              FROM ca
+            )
+            SELECT make_timestamp(cum.cd * 86400000000) AS cohort_day,
+                   cum.age::BIGINT AS age_days, cs.n_users,
+                   round(cum.cum_cents::DOUBLE / 100.0, 6) AS cum_value,
+                   round(cum.cum_cents::DOUBLE / 100.0
+                         / cs.n_users::DOUBLE, 6) AS cum_value_per_user
+            FROM cum JOIN cs USING (cd) ORDER BY 1, 2
+        """,
+        # exact int64 pair dots and squared norms over the shared
+        # vocabulary; zero-overlap pairs emit nothing on both sides
+        "docs_style_cosine": """
+            WITH w AS (
+              SELECT source,
+                     unnest(string_split(trim(text, ' '), ' ')) AS tok
+              FROM documents
+            ), t AS (
+              SELECT source, tok, count(*)::BIGINT AS n
+              FROM w WHERE tok <> '' GROUP BY 1, 2
+            ), q AS (
+              SELECT source, sum(n * n)::BIGINT AS qq FROM t GROUP BY 1
+            ), p AS (
+              SELECT x.source AS source_a, y.source AS source_b,
+                     count(*)::BIGINT AS n_shared,
+                     sum(x.n * y.n)::BIGINT AS dot
+              FROM t x JOIN t y ON x.tok = y.tok
+                               AND x.source < y.source
+              GROUP BY 1, 2
+            )
+            SELECT p.source_a, p.source_b, p.n_shared,
+                   round(p.dot::DOUBLE / (sqrt(qa.qq::DOUBLE)
+                                          * sqrt(qb.qq::DOUBLE)), 6)
+                     AS cosine
+            FROM p JOIN q qa ON qa.source = p.source_a
+                 JOIN q qb ON qb.source = p.source_b
         """,
     }

@@ -339,3 +339,120 @@ def cumulative_hazard(
 
     return hist.repartition(1).map_batches(na, batch_format="pandas",
                                            batch_size=None)
+
+
+def cohort_ltv(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    value_decimals: int = 2,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Cohort lifetime-value curve: for each signup cohort (the day of
+    a key's FIRST activity) and each age (days since cohort day with
+    any activity), the cumulative value booked by the cohort and the
+    cumulative value per cohort member — the revenue companion of
+    :func:`cohort_retention` (which counts presence; this sums value).
+
+    Exactness: values scale to 10^value_decimals integer units
+    (half-away — the DuckDB ``round()`` twin), per-(key, day) and
+    per-(cohort, age) sums stay exact int64, the running cumulative is
+    an exact int64 cumsum over observed ages in order (== the twin's
+    windowed sum), and the two outputs divide once at the end.
+
+    Dataflow: per-batch (key, day, cents) combiner partials cross ONE
+    key-hash exchange; each key-complete partition derives cohort =
+    min(day) per key vectorized and folds (cohort, age) cells plus a
+    per-cohort member-count marker; the ≤ cohorts·ages cell table
+    merges and cumsums on one final partition.  Output:
+    ``cohort_day (timestamp us), age_days (int64), n_users (int64),
+    cum_value, cum_value_per_user`` — one row per OBSERVED
+    (cohort, age) cell.
+    """
+    import pyarrow.compute as pc
+
+    from .grouped import grouped_apply
+
+    scale = float(10 ** value_decimals)
+    day_us = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        d = us // day_us
+        v = pc.cast(t[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        cents = np.copysign(np.floor(np.abs(v) * scale + 0.5),
+                            v).astype(np.int64)
+        base = pa.table({key: t[key], "_d": pa.array(d),
+                         "_c": pa.array(cents)})
+        out = base.group_by([key, "_d"], use_threads=False).aggregate(
+            [("_c", "sum")])
+        return out.rename_columns([key, "_d", "_c"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # cells: (_cd cohort day, _age, _c cents, _u member-marker)
+        empty = pd.DataFrame({
+            "_cd": pd.Series([], dtype="int64"),
+            "_age": pd.Series([], dtype="int64"),
+            "_c": pd.Series([], dtype="int64"),
+            "_u": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        m = df.groupby([key, "_d"], sort=False, as_index=False)["_c"].sum()
+        cd = m.groupby(key, sort=False)["_d"].transform("min") \
+            .to_numpy(np.int64)
+        cells = pd.DataFrame({
+            "_cd": cd,
+            "_age": m["_d"].to_numpy(np.int64) - cd,
+            "_c": m["_c"].to_numpy(np.int64)}) \
+            .groupby(["_cd", "_age"], sort=False, as_index=False)["_c"] \
+            .sum()
+        cells["_u"] = np.int64(0)
+        members = pd.DataFrame({
+            "_cd": m.loc[m["_d"].to_numpy(np.int64) == cd, "_d"]
+                   .to_numpy(np.int64)}) \
+            .groupby("_cd", sort=False).size().reset_index(name="_n")
+        marker = pd.DataFrame({
+            "_cd": members["_cd"].astype(np.int64),
+            "_age": np.full(len(members), -1, np.int64),
+            "_c": np.zeros(len(members), np.int64),
+            "_u": members["_n"].astype(np.int64)})
+        return pd.concat([cells, marker], ignore_index=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "cohort_day": pd.Series([], dtype="datetime64[us]"),
+            "age_days": pd.Series([], dtype="int64"),
+            "n_users": pd.Series([], dtype="int64"),
+            "cum_value": pd.Series([], dtype="float64"),
+            "cum_value_per_user": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        users = df[df["_age"] == -1].groupby("_cd", sort=False)["_u"] \
+            .sum()
+        cells = df[df["_age"] >= 0].groupby(["_cd", "_age"], sort=True,
+                                            as_index=False)["_c"].sum()
+        if len(cells) == 0:
+            return empty
+        cum = cells.groupby("_cd", sort=False)["_c"].cumsum() \
+            .to_numpy(np.int64)
+        nu = cells["_cd"].map(users).to_numpy(np.int64)
+        val = cum.astype(np.float64) / scale
+        return pd.DataFrame({
+            "cohort_day": pd.Series(cells["_cd"].to_numpy(np.int64)
+                                    * day_us).astype("datetime64[us]"),
+            "age_days": cells["_age"].astype(np.int64),
+            "n_users": nu,
+            "cum_value": val,
+            "cum_value_per_user": val / nu.astype(np.float64)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    folded = grouped_apply(partials, keys=[key], fn=fold,
+                           num_partitions=num_partitions,
+                           whole_partition=True)
+    return folded.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

@@ -1793,6 +1793,44 @@ def flesch_readability(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _grouped_token_counts(t: pa.Table, group_col: str,
+                          text_col: str) -> pa.Table:
+    """Per-batch (group, token, _n) combiner: single-space split of
+    space-trimmed text (the :func:`top_tokens` convention), empties
+    dropped, counts pre-summed so only per-batch distinct (group, token)
+    pairs ever cross a shuffle."""
+    toks = pc.split_pattern(pc.utf8_trim(t[text_col], " "), " ")
+    groups = t[group_col].combine_chunks() if isinstance(
+        t[group_col], pa.ChunkedArray) else t[group_col]
+    parts = []
+    row_off = 0
+    for ch in (toks.chunks if isinstance(toks, pa.ChunkedArray)
+               else [toks]):
+        lengths = pc.list_value_length(ch).to_numpy(zero_copy_only=False)
+        nrows = len(lengths)
+        gv = groups.slice(row_off, nrows)
+        row_off += nrows
+        vals = ch.flatten()
+        if len(vals) == 0:
+            continue
+        row_of = np.repeat(np.arange(nrows), lengths)
+        keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        if not keep.any():
+            continue
+        parts.append(pa.table({
+            group_col: gv.take(pa.array(row_of[keep])),
+            "token": vals.filter(pa.array(keep)),
+            "_n": pa.array(np.ones(int(keep.sum()), np.int64))}))
+    if not parts:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "token": pa.array([], pa.string()),
+                         "_n": pa.array([], pa.int64())})
+    batch = pa.concat_tables(parts).combine_chunks()
+    out = batch.group_by([group_col, "token"],
+                         use_threads=False).aggregate([("_n", "sum")])
+    return out.rename_columns([group_col, "token", "_n"])
+
+
 def distinctive_tokens(
     ds: Dataset,
     *,
@@ -1832,37 +1870,7 @@ def distinctive_tokens(
     from .grouped import grouped_apply
 
     def count_partial(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(pc.utf8_trim(t[text_col], " "), " ")
-        convs = t[group_col].combine_chunks() if isinstance(
-            t[group_col], pa.ChunkedArray) else t[group_col]
-        parts = []
-        row_off = 0
-        for ch in (toks.chunks if isinstance(toks, pa.ChunkedArray)
-                   else [toks]):
-            lengths = pc.list_value_length(ch).to_numpy(
-                zero_copy_only=False)
-            nrows = len(lengths)
-            gv = convs.slice(row_off, nrows)
-            row_off += nrows
-            vals = ch.flatten()
-            if len(vals) == 0:
-                continue
-            row_of = np.repeat(np.arange(nrows), lengths)
-            keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
-            if not keep.any():
-                continue
-            parts.append(pa.table({
-                group_col: gv.take(pa.array(row_of[keep])),
-                "token": vals.filter(pa.array(keep)),
-                "_n": pa.array(np.ones(int(keep.sum()), np.int64))}))
-        if not parts:
-            return pa.table({group_col: pa.array([], pa.string()),
-                             "token": pa.array([], pa.string()),
-                             "_n": pa.array([], pa.int64())})
-        batch = pa.concat_tables(parts).combine_chunks()
-        out = batch.group_by([group_col, "token"],
-                             use_threads=False).aggregate([("_n", "sum")])
-        return out.rename_columns([group_col, "token", "_n"])
+        return _grouped_token_counts(t, group_col, text_col)
 
     def totals_partial(t: pa.Table) -> pa.Table:
         # per-group totals must use the SAME tokenization as the
@@ -1940,4 +1948,112 @@ def distinctive_tokens(
                            num_partitions=num_partitions,
                            whole_partition=True)
     return scored.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
+
+
+def source_style_cosine(
+    ds: Dataset,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Pairwise stylistic similarity between groups: cosine between the
+    groups' token-count vectors over the full shared vocabulary — the
+    corpus-geometry companion of :func:`distinctive_tokens` (which
+    surfaces WHAT differs; this scores HOW MUCH two sources read alike)
+    and of ngram_contamination (set overlap; this is frequency-weighted).
+
+    Exactness: per-(group, token) counts are exact int64; the pair dot
+    products and the per-group squared norms are int64 sums (exact while
+    < 2⁵³ when cast), so the cosine ``dot / (√q_a · √q_b)`` is one fixed
+    float tree.  Pairs sharing NO token emit nothing on both sides (the
+    contamination-op convention).
+
+    Scale shape: (group, token, n) partials cross ONE token-hash
+    exchange; each token-complete partition computes its pair-dot and
+    norm contributions vectorized (self-merge on token, a < b) and
+    emits ≤ |groups|² tiny rows; one final merge divides.  Output:
+    ``source_a, source_b, n_shared (int64), cosine`` for a < b.
+    """
+    from .grouped import grouped_apply
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return _grouped_token_counts(t, group_col, text_col)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "source_a": pd.Series([], dtype="object"),
+            "source_b": pd.Series([], dtype="object"),
+            "_dot": pd.Series([], dtype="int64"),
+            "_shared": pd.Series([], dtype="int64"),
+            "_q": pd.Series([], dtype="int64"),
+            "_is_norm": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        m = df.groupby(["token", group_col], sort=False,
+                       as_index=False)["_n"].sum()
+        n = m["_n"].to_numpy(np.int64)
+        norms = pd.DataFrame({group_col: m[group_col], "_q": n * n}) \
+            .groupby(group_col, sort=False, as_index=False)["_q"].sum()
+        norm_rows = pd.DataFrame({
+            "source_a": norms[group_col], "source_b": "",
+            "_dot": np.zeros(len(norms), np.int64),
+            "_shared": np.zeros(len(norms), np.int64),
+            "_q": norms["_q"].astype(np.int64),
+            "_is_norm": np.ones(len(norms), np.int64)})
+        pairs = m.merge(m, on="token", suffixes=("_a", "_b"))
+        pairs = pairs[pairs[f"{group_col}_a"] < pairs[f"{group_col}_b"]]
+        if len(pairs):
+            pd_ = pd.DataFrame({
+                "source_a": pairs[f"{group_col}_a"],
+                "source_b": pairs[f"{group_col}_b"],
+                "_d": pairs["_n_a"].to_numpy(np.int64)
+                      * pairs["_n_b"].to_numpy(np.int64),
+                "_s": np.ones(len(pairs), np.int64)})
+            g = pd_.groupby(["source_a", "source_b"], sort=False,
+                            as_index=False)[["_d", "_s"]].sum()
+            pair_rows = pd.DataFrame({
+                "source_a": g["source_a"], "source_b": g["source_b"],
+                "_dot": g["_d"].astype(np.int64),
+                "_shared": g["_s"].astype(np.int64),
+                "_q": np.zeros(len(g), np.int64),
+                "_is_norm": np.zeros(len(g), np.int64)})
+        else:
+            pair_rows = empty
+        return pd.concat([pair_rows, norm_rows], ignore_index=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "source_a": pd.Series([], dtype="object"),
+            "source_b": pd.Series([], dtype="object"),
+            "n_shared": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        norms = df[df["_is_norm"] == 1].groupby(
+            "source_a", sort=False)["_q"].sum()
+        pairs = df[df["_is_norm"] == 0]
+        if len(pairs) == 0:
+            return empty
+        g = pairs.groupby(["source_a", "source_b"], sort=True,
+                          as_index=False)[["_dot", "_shared"]].sum()
+        qa = g["source_a"].map(norms).to_numpy(np.int64)
+        qb = g["source_b"].map(norms).to_numpy(np.int64)
+        dot = g["_dot"].to_numpy(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = dot.astype(np.float64) / (
+                np.sqrt(qa.astype(np.float64))
+                * np.sqrt(qb.astype(np.float64)))
+        return pd.DataFrame({
+            "source_a": g["source_a"], "source_b": g["source_b"],
+            "n_shared": g["_shared"].astype(np.int64),
+            "cosine": np.where(np.isfinite(cos), cos, np.nan)})
+
+    partials = ds.map_batches(count_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    folded = grouped_apply(partials, keys=["token"], fn=fold,
+                           num_partitions=num_partitions,
+                           whole_partition=True)
+    return folded.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)

@@ -2113,3 +2113,93 @@ def croston_forecast(
     return grouped_apply(partials, keys=[key], fn=fold,
                          num_partitions=num_partitions,
                          whole_partition=True)
+
+
+def rolling_grid_corr(
+    ds: Dataset,
+    *,
+    ts_col: str,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    tier: str = "1h",
+    window: int = 24,
+) -> Dataset:
+    """Trailing Pearson correlation between two event types' counts on
+    the DENSE tumbling-window grid: for every full ``window``-wide
+    trailing span, how coupled were the two activity series?  The
+    time-resolved refinement of the single-number type correlation and
+    the windowed companion of :func:`granger_probe` /
+    :func:`cointegration_probe` — a monitoring pipeline watches this
+    series for decoupling events.
+
+    The grid is dense (hours with NO events are true zero counts from
+    the min to the max observed window — the SQL twin generates the
+    same series), so the correlation reflects real silence, not just
+    observed hours.  All window moments (Σa, Σb, Σab, Σa², Σb²) are
+    exact int64 trailing-prefix differences; the correlation
+
+        (W·Σab − Σa·Σb) / (√(W·Σa² − (Σa)²) · √(W·Σb² − (Σb)²))
+
+    is one fixed float tree, NULL when either side's window variance is
+    0 (the twin's x/0).  Only full windows emit (the first W−1 grid
+    positions are warm-up).  Output: ``window_start (timestamp us — the
+    window's LAST tier cell), corr``.
+
+    Scale: the same per-batch (window, a_n, b_n) count combiner as
+    granger_probe, one tiny ordered fold on the grid.
+    """
+    from ..functions.windows import TIER_US, window_start_us
+
+    step = TIER_US[tier]
+    if window < 2:
+        raise ValueError("window must be >= 2")
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = window_start_us(t[ts_col], tier)
+        is_a = pc.cast(pc.equal(t[type_col], type_a), pa.int64())
+        is_b = pc.cast(pc.equal(t[type_col], type_b), pa.int64())
+        out = pa.table({"w": w, "a_n": is_a, "b_n": is_b}) \
+            .group_by(["w"], use_threads=False) \
+            .aggregate([("a_n", "sum"), ("b_n", "sum")])
+        return out.rename_columns(["w", "a_n", "b_n"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "window_start": pd.Series([], dtype="datetime64[us]"),
+            "corr": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        g = df.groupby("w", sort=True)[["a_n", "b_n"]].sum()
+        lo = int(g.index[0]) // step
+        hi = int(g.index[-1]) // step
+        m = hi - lo + 1
+        if m < window:
+            return empty
+        a = np.zeros(m, np.int64)
+        b = np.zeros(m, np.int64)
+        pos = (g.index.to_numpy(np.int64) // step) - lo
+        a[pos] = g["a_n"].to_numpy(np.int64)
+        b[pos] = g["b_n"].to_numpy(np.int64)
+
+        def trail(x: np.ndarray) -> np.ndarray:
+            c = np.concatenate(([np.int64(0)], np.cumsum(x)))
+            return c[window:] - c[:-window]
+
+        sa, sb = trail(a), trail(b)
+        sab, saa, sbb = trail(a * b), trail(a * a), trail(b * b)
+        W = np.int64(window)
+        num = (W * sab - sa * sb).astype(np.float64)
+        va = (W * saa - sa * sa).astype(np.float64)
+        vb = (W * sbb - sb * sb).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = num / (np.sqrt(va) * np.sqrt(vb))
+        ends = (np.arange(window - 1, m, dtype=np.int64) + lo) * step
+        return pd.DataFrame({
+            "window_start": pd.Series(ends).astype("datetime64[us]"),
+            "corr": np.where(np.isfinite(corr), corr, np.nan)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.repartition(1).map_batches(fin, batch_format="pandas",
+                                               batch_size=None)

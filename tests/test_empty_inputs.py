@@ -356,3 +356,21 @@ def test_round4r_ops_empty():
         "turn_idx": pa.array([], pa.int32()),
         "tool": pa.array([], pa.string())}))
     assert len(tool_adoption(turns).to_pandas()) == 0
+
+
+def test_round4s_ops_empty():
+    from s_tsfe_dl_ray.stages.cohort import cohort_ltv
+    from s_tsfe_dl_ray.stages.text import source_style_cosine
+    from s_tsfe_dl_ray.stages.trend import rolling_grid_corr
+
+    ds = _empty_events()
+    assert len(rolling_grid_corr(ds, ts_col="ts", type_col="event_type",
+                                 type_a="click",
+                                 type_b="purchase").to_pandas()) == 0
+    assert len(cohort_ltv(ds, key="user_id", ts_col="ts",
+                          value_col="value").to_pandas()) == 0
+
+    docs = ray.data.from_arrow(pa.table({
+        "source": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    assert len(source_style_cosine(docs).to_pandas()) == 0

@@ -129,6 +129,9 @@ QUERIES = [
     "events_grubbs",
     # 4r wave: distinct-window integer arithmetic
     "events_availability",
+    # 4s wave: dense-grid trailing moments; int-cent cohort cumsum
+    "events_rolling_corr",
+    "events_cohort_ltv",
 ]
 
 SHAPES = [
@@ -381,6 +384,8 @@ D_QUERIES = [
     "docs_readability",
     # 4r wave: exact-count log-odds with token-asc tiebreak
     "docs_distinctive_tokens",
+    # 4s wave: exact int64 dots/norms over the shared vocabulary
+    "docs_style_cosine",
 ]
 
 _WORDS = ["the", "fast", "data", "merge", "la", "le", "und", "der",

@@ -1070,3 +1070,62 @@ def test_4r_ops_blocking_invariance():
         pd.testing.assert_frame_equal(
             a[k].reset_index(drop=True), b[k].reset_index(drop=True),
             check_exact=True, obj=k)
+
+
+def test_4s_ops_blocking_invariance():
+    """The 4s wave gives IDENTICAL results at 1 input block and at 7 —
+    the dense-grid trailing moments, the cohort cumsum and the pair
+    dot/norm folds must never leak partitioning into values."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.cohort import cohort_ltv
+    from s_tsfe_dl_ray.stages.text import source_style_cosine
+    from s_tsfe_dl_ray.stages.trend import rolling_grid_corr
+
+    rng = np.random.default_rng(47)
+    n = 3000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(1, 30, n)),
+        "ts": pa.array(np.sort(rng.integers(
+            1_700_000_000_000_000, 1_700_600_000_000_000, n)
+        ).astype("datetime64[us]")),
+        "event_type": pa.array(rng.choice(
+            ["click", "purchase", "view"], n)),
+        "value": pa.array(np.round(rng.normal(10, 3, n), 2)),
+    })
+    path = "/tmp/blockinv_4s.parquet"
+    pq.write_table(t, path)
+
+    words = rng.choice(["alpha", "beta", "gamma", "delta", "eps"],
+                       (300, 20))
+    docs = pa.table({
+        "source": pa.array([f"s{i % 3}" for i in range(300)]),
+        "text": pa.array([" ".join(r) for r in words]),
+    })
+    dpath = "/tmp/blockinv_4s_docs.parquet"
+    pq.write_table(docs, dpath)
+
+    def run(blocks):
+        ds = ray.data.read_parquet(path, override_num_blocks=blocks)
+        dd = ray.data.read_parquet(dpath, override_num_blocks=blocks)
+        return {
+            "corr": to_pdf(rolling_grid_corr(
+                ds, ts_col="ts", type_col="event_type",
+                type_a="click", type_b="purchase")),
+            "ltv": to_pdf(cohort_ltv(
+                ds, key="user_id", ts_col="ts", value_col="value")
+                .sort(["cohort_day", "age_days"])),
+            "style": to_pdf(source_style_cosine(dd)
+                            .sort(["source_a", "source_b"])),
+        }
+
+    a, b = run(1), run(7)
+    assert len(a["corr"]) > 0 and len(a["ltv"]) > 0 and len(a["style"]) == 3
+    for k in a:
+        pd.testing.assert_frame_equal(
+            a[k].reset_index(drop=True), b[k].reset_index(drop=True),
+            check_exact=True, obj=k)
