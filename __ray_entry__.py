@@ -4562,6 +4562,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         columns=["source", "text"])
         return _round_floats(source_style_cosine(ds, group_col="source"))
 
+    def q_events_theta(sf):
+        """Theta-style one-step forecast per user over daily activity:
+        SES level plus half the exact-moment OLS drift
+        (stages/trend.theta_forecast)."""
+        from s_tsfe_dl_ray.stages.trend import theta_forecast
+
+        ds = read_events(sf, columns=["user_id", "ts"])
+        return _round_floats(theta_forecast(
+            ds, key="user_id", ts_col="ts", alpha=0.3, tier="1d"))
+
+    def q_docs_length_ks(sf):
+        """Pairwise Kolmogorov-Smirnov distance between sources' doc
+        length distributions — the distribution-drift matrix
+        (stages/robust.pairwise_ks)."""
+        from s_tsfe_dl_ray.stages.robust import pairwise_ks
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["source", "n_chars"])
+        return _round_floats(pairwise_ks(
+            ds, group_col="source", value_col="n_chars"))
+
+    def q_events_lorenz(sf):
+        """Lorenz concentration table: per rank-decile of users (by
+        event count desc) the share and cumulative share of all events
+        (stages/activity.lorenz_deciles)."""
+        from s_tsfe_dl_ray.stages.activity import lorenz_deciles
+
+        ds = read_events(sf, columns=["user_id"])
+        return _round_floats(lorenz_deciles(ds, key_col="user_id"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -4926,6 +4956,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_corr": q_events_rolling_corr,
         "events_cohort_ltv": q_events_cohort_ltv,
         "docs_style_cosine": q_docs_style_cosine,
+        "events_theta": q_events_theta,
+        "docs_length_ks": q_docs_length_ks,
+        "events_lorenz": q_events_lorenz,
     }
 
 
@@ -10684,5 +10717,100 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM p JOIN q qa ON qa.source = p.source_a
                  JOIN q qb ON qb.source = p.source_b
+        """,
+        # SES chain == list_reduce (croston recipe); slope from exact
+        # int64 moments over the integer period index; single-period
+        # keys go NULL via 0-division
+        "events_theta": """
+            WITH g AS (
+              SELECT user_id, date_trunc('day', ts) AS w,
+                     count(*)::BIGINT AS d
+              FROM events GROUP BY 1, 2
+            ), o AS (
+              SELECT user_id, d,
+                     epoch_us(w) // 86400000000
+                       - min(epoch_us(w) // 86400000000)
+                           OVER (PARTITION BY user_id) AS ti,
+                     row_number() OVER (PARTITION BY user_id ORDER BY w)
+                       AS rn
+              FROM g
+            ), l AS (
+              SELECT user_id, count(*)::BIGINT AS n_periods,
+                     list_reduce(list(d::DOUBLE ORDER BY rn),
+                       (acc, v) -> CASE WHEN acc = v THEN acc
+                            ELSE ((1.0 - 0.3) * acc + 0.3 * v)
+                                 / ((1.0 - 0.3) + 0.3) END) AS z,
+                     sum(ti)::DOUBLE AS st,
+                     sum(ti * ti)::DOUBLE AS stt,
+                     sum(ti * d)::DOUBLE AS stx,
+                     sum(d)::DOUBLE AS sx,
+                     count(*)::DOUBLE AS nn
+              FROM o GROUP BY 1
+            )
+            SELECT user_id, n_periods, round(z, 6) AS level,
+                   round((nn * stx - st * sx)
+                         / (nn * stt - st * st), 6) AS slope,
+                   round(z + (nn * stx - st * sx)
+                             / (nn * stt - st * st) / 2.0, 6)
+                     AS theta_forecast
+            FROM l
+        """,
+        # both ECDFs evaluated on the SAME pooled value grid (LEFT JOIN
+        # + windowed sum == the engine's zero-filled grid cumsum); each
+        # point is one exact-int division; D is a max over identical
+        # float sets
+        "docs_length_ks": """
+            WITH gv AS (
+              SELECT source AS g, n_chars::DOUBLE AS v,
+                     count(*)::BIGINT AS c
+              FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+            ), vals AS (SELECT DISTINCT v FROM gv),
+            gs AS (SELECT DISTINCT g FROM gv),
+            grid AS (
+              SELECT gs.g, vals.v, coalesce(gv.c, 0)::BIGINT AS c
+              FROM gs CROSS JOIN vals
+              LEFT JOIN gv ON gv.g = gs.g AND gv.v = vals.v
+            ), cum AS (
+              SELECT g, v,
+                     sum(c) OVER (PARTITION BY g ORDER BY v) AS cc,
+                     sum(c) OVER (PARTITION BY g) AS n
+              FROM grid
+            ), pr AS (
+              SELECT a.g AS source_a, b.g AS source_b,
+                     max(abs(a.cc::DOUBLE / a.n::DOUBLE
+                             - b.cc::DOUBLE / b.n::DOUBLE)) AS d,
+                     min(a.n) AS na, min(b.n) AS nb
+              FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g
+              GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, na::BIGINT AS n_a,
+                   nb::BIGINT AS n_b, round(d, 6) AS ks_d
+            FROM pr ORDER BY 1, 2
+        """,
+        # row_number ranking with key-asc tiebreak; integer decile cut;
+        # exact int64 decile sums + cumulative, two divisions
+        "events_lorenz": """
+            WITH c AS (
+              SELECT user_id, count(*)::BIGINT AS n
+              FROM events GROUP BY 1
+            ), tot AS (SELECT count(*)::BIGINT AS nk,
+                              sum(n)::DOUBLE AS te FROM c),
+            r AS (
+              SELECT n, row_number() OVER (ORDER BY n DESC, user_id)
+                       AS rn
+              FROM c
+            ), d AS (
+              SELECT ((rn - 1) * 10) // tot.nk + 1 AS decile, n
+              FROM r, tot
+            ), g AS (
+              SELECT decile, count(*)::BIGINT AS n_users,
+                     sum(n)::BIGINT AS n_events
+              FROM d GROUP BY 1
+            )
+            SELECT decile::BIGINT AS decile, n_users, n_events,
+                   round(n_events::DOUBLE / tot.te, 6) AS event_share,
+                   round((sum(n_events) OVER (ORDER BY decile))::DOUBLE
+                         / tot.te, 6) AS cum_share
+            FROM g, tot ORDER BY 1
         """,
     }

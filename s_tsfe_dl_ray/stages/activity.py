@@ -708,3 +708,64 @@ def availability_profile(
     return grouped_apply(partials, keys=[key], fn=fold,
                          num_partitions=num_partitions,
                          whole_partition=True)
+
+
+def lorenz_deciles(
+    ds: Dataset,
+    *,
+    key_col: str = "user_id",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Activity concentration as a Lorenz table: rank keys by event
+    count DESC, cut into 10 rank deciles, and report each decile's
+    share and cumulative share of all events — the "top 10% of users
+    produce X% of traffic" curve behind :func:`activity_gini`'s single
+    number (Gini is twice the area above this curve).
+
+    Exactness: per-key counts fold combiner-side; ranking breaks ties
+    on ``key_col`` asc (row_number semantics, mirrored by the twin);
+    decile = ((rank−1)·10) // n_keys + 1 in integer arithmetic; decile
+    sums and the cumulative ride exact int64 and divide once.  Output:
+    ``decile (int64), n_users, n_events, event_share, cum_share`` —
+    ≤ 10 rows.
+
+    Scale: the per-key count exchange carries (key, n) partials; the
+    final rank-and-cut folds the key-count table on one partition (the
+    gini precedent — counts, not events).
+    """
+    from ..pipelines.relational import grouped_aggregate
+
+    counts = grouped_aggregate(
+        ds, keys=[key_col], aggs={"n": (key_col, "count")},
+        num_partitions=num_partitions)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "decile": pd.Series([], dtype="int64"),
+            "n_users": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "event_share": pd.Series([], dtype="float64"),
+            "cum_share": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        m = df.sort_values(["n", key_col], ascending=[False, True],
+                           kind="mergesort").reset_index(drop=True)
+        nk = np.int64(len(m))
+        rn = np.arange(1, nk + 1, dtype=np.int64)
+        dec = (rn - 1) * 10 // nk + 1
+        c = m["n"].to_numpy(np.int64)
+        g = pd.DataFrame({"decile": dec, "_u": np.ones(len(m), np.int64),
+                          "_c": c}).groupby("decile", sort=True,
+                                            as_index=False).sum()
+        total = np.float64(c.sum())
+        ev = g["_c"].to_numpy(np.int64)
+        cum = np.cumsum(ev)
+        return pd.DataFrame({
+            "decile": g["decile"].astype(np.int64),
+            "n_users": g["_u"].astype(np.int64),
+            "n_events": ev,
+            "event_share": ev.astype(np.float64) / total,
+            "cum_share": cum.astype(np.float64) / total})
+
+    return counts.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

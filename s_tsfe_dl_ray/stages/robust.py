@@ -1595,3 +1595,82 @@ def category_mix_drift(
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def pairwise_ks(
+    ds: Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+) -> Dataset:
+    """Kolmogorov–Smirnov distance between EVERY pair of groups'
+    value distributions: D = max |ECDF_a − ECDF_b| over the pooled
+    distinct values — the all-pairs extension of :func:`ks_test`
+    (two named groups), the distribution-drift matrix a curation
+    pipeline screens sources with before mixing them.
+
+    Exactness: per-(group, value) counts are exact int64; both ECDFs
+    are evaluated on the SAME pooled sorted value grid (missing values
+    carry the cumulative forward — a zero-filled grid cumsum here, a
+    LEFT JOIN + windowed sum in the twin); each ECDF point is one
+    division of exact ints, and D is a max over identical float sets.
+    NULL/NaN values are excluded on both sides.  Output per a < b
+    pair: ``source_a, source_b, n_a (int64), n_b (int64), ks_d``.
+
+    Scale: per-batch (group, value, count) combiner partials (distinct
+    values only) cross one exchange to a single final partition whose
+    size is groups × pooled-distinct-values — the op targets
+    bounded-cardinality values (lengths, counts, scores); winsorize or
+    bin first for unbounded floats.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.float64())
+        keep = pc.and_(pc.is_valid(v), pc.is_finite(v))
+        base = pa.table({group_col: t[group_col], "_v": v}).filter(keep)
+        out = base.group_by([group_col, "_v"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return out.rename_columns([group_col, "_v", "_c"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "source_a": pd.Series([], dtype="object"),
+            "source_b": pd.Series([], dtype="object"),
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+            "ks_d": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        m = df.groupby([group_col, "_v"], sort=False,
+                       as_index=False)["_c"].sum()
+        groups = np.sort(m[group_col].unique())
+        vals = np.sort(m["_v"].unique())
+        k, nv = len(groups), len(vals)
+        if k < 2:
+            return empty
+        gi = {g: i for i, g in enumerate(groups)}
+        vi = {v: j for j, v in enumerate(vals)}
+        grid = np.zeros((k, nv), np.int64)
+        grid[[gi[g] for g in m[group_col]],
+             [vi[v] for v in m["_v"]]] = m["_c"].to_numpy(np.int64)
+        cum = np.cumsum(grid, axis=1)
+        n = cum[:, -1].astype(np.float64)
+        ecdf = cum.astype(np.float64) / n[:, None]
+        rows = []
+        for i in range(k):
+            for j in range(i + 1, k):
+                d = np.abs(ecdf[i] - ecdf[j]).max()
+                rows.append((groups[i], groups[j], int(cum[i, -1]),
+                             int(cum[j, -1]), d))
+        out = pd.DataFrame(rows, columns=["source_a", "source_b",
+                                          "n_a", "n_b", "ks_d"])
+        out["n_a"] = out["n_a"].astype(np.int64)
+        out["n_b"] = out["n_b"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

@@ -2203,3 +2203,97 @@ def rolling_grid_corr(
                               zero_copy_batch=True)
     return partials.repartition(1).map_batches(fin, batch_format="pandas",
                                                batch_size=None)
+
+
+def theta_forecast(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    alpha: float = 0.3,
+    tier: str = "1d",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Theta-style one-step demand forecast per key: simple exponential
+    smoothing PLUS half the linear drift — the decomposition behind the
+    M3-winning Theta method (SES of the theta(0)/theta(2) lines
+    averages to ``SES_level + slope/2``).  Completes the engine's
+    forecasting family: EWMA (level), Holt (level+trend), Croston
+    (intermittent), Theta (drift-damped SES)::
+
+        z_T   = SES(x; α)                 over the key's observed periods
+        b     = OLS slope of x on the INTEGER period index (exact moments)
+        f_1   = z_T + b/2
+
+    Periods are the key's OBSERVED (activity) ``tier`` windows with
+    their event counts; the period index is days/hours since the key's
+    first period, so gaps count in the drift but not in the SES chain
+    (document the convention, it is mirrored by the twin).  SES uses
+    the verified pandas grouped ewm(adjust=False) kernel ==
+    ``list_reduce`` bit-exact recipe; the slope is one fixed float tree
+    over exact int64 moments.  Keys with one period yield NULL slope
+    and forecast.  Output: ``key, n_periods (int64), level, slope,
+    theta_forecast``.
+    """
+    from ..functions.windows import TIER_US, window_start_us
+    from .grouped import grouped_apply
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    step = TIER_US[tier]
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = window_start_us(t[ts_col], tier)
+        out = pa.table({key: t[key], "_w": w}) \
+            .group_by([key, "_w"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return out.rename_columns([key, "_w", "_d"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key: pd.Series([], dtype="object"),
+            "n_periods": pd.Series([], dtype="int64"),
+            "level": pd.Series([], dtype="float64"),
+            "slope": pd.Series([], dtype="float64"),
+            "theta_forecast": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        m = df.groupby([key, "_w"], sort=False, as_index=False)["_d"] \
+            .sum()
+        m = m.sort_values([key, "_w"], kind="mergesort") \
+            .reset_index(drop=True)
+        widx = (m["_w"].astype("int64") // step).to_numpy(np.int64)
+        t0 = m.groupby(key, sort=False)["_w"].transform("min") \
+            .astype("int64").to_numpy() // step
+        ti = widx - t0
+        d = m["_d"].to_numpy(np.int64)
+        m["_x"] = d.astype(np.float64)
+        m["_z"] = m.groupby(key, sort=False)["_x"].ewm(
+            alpha=alpha, adjust=False).mean().to_numpy()
+        # exact int64 slope moments per key
+        mom = pd.DataFrame({
+            key: m[key], "_t": ti, "_tt": ti * ti, "_tx": ti * d,
+            "_xs": d}).groupby(key, sort=False, as_index=False).sum()
+        last = m.groupby(key, sort=False, as_index=False).agg(
+            n_periods=("_d", "size"), _z=("_z", "last"))
+        nn = last["n_periods"].to_numpy(np.int64).astype(np.float64)
+        st = mom["_t"].to_numpy(np.int64).astype(np.float64)
+        stt = mom["_tt"].to_numpy(np.int64).astype(np.float64)
+        stx = mom["_tx"].to_numpy(np.int64).astype(np.float64)
+        sx = mom["_xs"].to_numpy(np.int64).astype(np.float64)
+        z = last["_z"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            b = (nn * stx - st * sx) / (nn * stt - st * st)
+            f = z + b / 2.0
+        return pd.DataFrame({
+            key: last[key],
+            "n_periods": last["n_periods"].astype(np.int64),
+            "level": z,
+            "slope": np.where(np.isfinite(b), b, np.nan),
+            "theta_forecast": np.where(np.isfinite(f), f, np.nan)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return grouped_apply(partials, keys=[key], fn=fold,
+                         num_partitions=num_partitions,
+                         whole_partition=True)

@@ -374,3 +374,20 @@ def test_round4s_ops_empty():
         "source": pa.array([], pa.string()),
         "text": pa.array([], pa.string())}))
     assert len(source_style_cosine(docs).to_pandas()) == 0
+
+
+def test_round4t_ops_empty():
+    from s_tsfe_dl_ray.stages.activity import lorenz_deciles
+    from s_tsfe_dl_ray.stages.robust import pairwise_ks
+    from s_tsfe_dl_ray.stages.trend import theta_forecast
+
+    ds = _empty_events()
+    assert len(theta_forecast(ds, key="user_id",
+                              ts_col="ts").to_pandas()) == 0
+    assert len(lorenz_deciles(ds, key_col="user_id").to_pandas()) == 0
+
+    docs = ray.data.from_arrow(pa.table({
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64())}))
+    assert len(pairwise_ks(docs, group_col="source",
+                           value_col="n_chars").to_pandas()) == 0

@@ -132,6 +132,9 @@ QUERIES = [
     # 4s wave: dense-grid trailing moments; int-cent cohort cumsum
     "events_rolling_corr",
     "events_cohort_ltv",
+    # 4t wave: SES==list_reduce + exact-moment drift; integer rank cut
+    "events_theta",
+    "events_lorenz",
 ]
 
 SHAPES = [
@@ -386,6 +389,8 @@ D_QUERIES = [
     "docs_distinctive_tokens",
     # 4s wave: exact int64 dots/norms over the shared vocabulary
     "docs_style_cosine",
+    # 4t wave: pooled-grid ECDF distances
+    "docs_length_ks",
 ]
 
 _WORDS = ["the", "fast", "data", "merge", "la", "le", "und", "der",

@@ -1129,3 +1129,55 @@ def test_4s_ops_blocking_invariance():
         pd.testing.assert_frame_equal(
             a[k].reset_index(drop=True), b[k].reset_index(drop=True),
             check_exact=True, obj=k)
+
+
+def test_4t_ops_blocking_invariance():
+    """The 4t wave gives IDENTICAL results at 1 input block and at 7 —
+    the SES chain, the pooled ECDF grid and the rank-decile cut must
+    never leak partitioning into values."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.activity import lorenz_deciles
+    from s_tsfe_dl_ray.stages.robust import pairwise_ks
+    from s_tsfe_dl_ray.stages.trend import theta_forecast
+
+    rng = np.random.default_rng(48)
+    n = 3000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(1, 30, n)),
+        "ts": pa.array(np.sort(rng.integers(
+            1_700_000_000_000_000, 1_703_000_000_000_000, n)
+        ).astype("datetime64[us]")),
+    })
+    path = "/tmp/blockinv_4t.parquet"
+    pq.write_table(t, path)
+
+    docs = pa.table({
+        "source": pa.array([f"s{i % 4}" for i in range(800)]),
+        "n_chars": pa.array(rng.integers(10, 200, 800)),
+    })
+    dpath = "/tmp/blockinv_4t_docs.parquet"
+    pq.write_table(docs, dpath)
+
+    def run(blocks):
+        ds = ray.data.read_parquet(path, override_num_blocks=blocks)
+        dd = ray.data.read_parquet(dpath, override_num_blocks=blocks)
+        return {
+            "theta": to_pdf(theta_forecast(
+                ds, key="user_id", ts_col="ts").sort("user_id")),
+            "lorenz": to_pdf(lorenz_deciles(ds, key_col="user_id")),
+            "ks": to_pdf(pairwise_ks(
+                dd, group_col="source", value_col="n_chars")
+                .sort(["source_a", "source_b"])),
+        }
+
+    a, b = run(1), run(7)
+    assert len(a["theta"]) > 0 and len(a["ks"]) == 6
+    for k in a:
+        pd.testing.assert_frame_equal(
+            a[k].reset_index(drop=True), b[k].reset_index(drop=True),
+            check_exact=True, obj=k)
