@@ -4592,6 +4592,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_events(sf, columns=["user_id"])
         return _round_floats(lorenz_deciles(ds, key_col="user_id"))
 
+    def q_emb_dim_participation(sf):
+        """Participation ratio of the per-dimension variance spectrum +
+        top-dimension share — how many axes effectively carry variance
+        (stages/similarity.dim_participation)."""
+        from s_tsfe_dl_ray.stages.similarity import dim_participation
+
+        emb = read_table(f"{sf}/embeddings.parquet",
+                         columns=["embedding"])
+        return _round_floats(dim_participation(emb))
+
+    def q_events_weekend_effect(sf):
+        """Welch t-test of event values weekday vs weekend — the
+        calendar-effect screen, pure composition of a derived flag and
+        the existing stage (stages/robust.welch_ttest)."""
+        from s_tsfe_dl_ray.stages.robust import welch_ttest
+
+        ds = read_events(sf, columns=["ts", "value"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            dow = ((us // 86_400_000_000 + 3) % 7) + 1  # ISO Mon=1
+            import numpy as np
+            return pa.table({
+                "_wk": pa.array(np.where(dow >= 6, "weekend",
+                                         "weekday").astype(object)),
+                "value": t["value"]})
+
+        flagged = ds.map_batches(derive, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        return _round_floats(welch_ttest(
+            flagged, group_col="_wk", value_col="value",
+            group_a="weekday", group_b="weekend"))
+
+    def q_transcripts_compressibility(sf):
+        """Per-conversation zlib compressibility of the ordered turn
+        text — the information-density curation signal.  Rows-only:
+        DuckDB has no DEFLATE; golden + invariance pytest instead
+        (stages/dialog.conv_compressibility)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table as _rt
+        from s_tsfe_dl_ray.stages.dialog import conv_compressibility
+
+        turns = _rt(_transcripts_for(sf),
+                    columns=["conv_id", "turn_idx", "text"])
+        return _round_floats(conv_compressibility(turns))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -4959,6 +5005,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_theta": q_events_theta,
         "docs_length_ks": q_docs_length_ks,
         "events_lorenz": q_events_lorenz,
+        "emb_dim_participation": q_emb_dim_participation,
+        "events_weekend_effect": q_events_weekend_effect,
+        # rows-only (no DEFLATE in DuckDB)
+        "transcripts_compressibility": q_transcripts_compressibility,
     }
 
 
@@ -10812,5 +10862,83 @@ def oracle_sql() -> dict[str, str]:
                    round((sum(n_events) OVER (ORDER BY decile))::DOUBLE
                          / tot.te, 6) AS cum_share
             FROM g, tot ORDER BY 1
+        """,
+        # per-dim two-pass variances (the emb_dim_variance tree); both
+        # spectrum sums fold sequentially in dim order (list_reduce ==
+        # the engine's d-length loop); ~1e-16 sum noise is far below
+        # 6-decimal rounding of a ratio in [1, d]
+        "emb_dim_participation": """
+            WITH x AS (
+              SELECT generate_subscripts(embedding, 1) AS dim,
+                     unnest(embedding)::DOUBLE AS v
+              FROM embeddings),
+            m AS (
+              SELECT dim, count(*)::BIGINT AS n_vectors,
+                     sum(v) / count(*) AS mean
+              FROM x GROUP BY 1),
+            d AS (
+              SELECT x.dim, x.v - m.mean AS dv, m.n_vectors
+              FROM x JOIN m USING (dim)),
+            vv AS (
+              SELECT dim, min(n_vectors) AS nv,
+                     sum(dv * dv) / (min(n_vectors) - 1) AS var
+              FROM d GROUP BY dim),
+            f AS (
+              SELECT count(*)::BIGINT AS n_dims, min(nv)::BIGINT AS nv,
+                     list_reduce(list(var ORDER BY dim),
+                                 (a, x) -> a + x) AS s1,
+                     list_reduce(list(var * var ORDER BY dim),
+                                 (a, x) -> a + x) AS s2,
+                     max(var) AS vmax
+              FROM vv)
+            SELECT n_dims, nv AS n_vectors,
+                   round(s1 * s1 / s2, 6) AS participation_ratio,
+                   round(vmax / s1, 6) AS top_dim_var_share
+            FROM f
+        """,
+        # the welch tree on a derived ISO-weekday flag (isodow >= 6 ==
+        # the engine's ((days+3) % 7) + 1 >= 6)
+        "events_weekend_effect": """
+            WITH s AS (
+              SELECT CASE WHEN isodow(ts) >= 6 THEN 'weekend'
+                          ELSE 'weekday' END AS grp,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events
+            ), g AS (
+              SELECT grp, count(*)::BIGINT AS n,
+                     sum(c)::DOUBLE AS s, sum(c*c)::DOUBLE AS ss
+              FROM s GROUP BY 1
+            ), a AS (SELECT * FROM g WHERE grp = 'weekday'),
+            b AS (SELECT * FROM g WHERE grp = 'weekend'),
+            c1 AS (
+              SELECT coalesce(a.n, 0)::BIGINT AS n_a,
+                     coalesce(b.n, 0)::BIGINT AS n_b,
+                     coalesce(a.s, 0)::DOUBLE AS sa,
+                     coalesce(a.ss, 0)::DOUBLE AS ssa,
+                     coalesce(b.s, 0)::DOUBLE AS sb,
+                     coalesce(b.ss, 0)::DOUBLE AS ssb
+              FROM (SELECT 1) LEFT JOIN a ON true LEFT JOIN b ON true
+            ), c2 AS (
+              SELECT *, sa / n_a::DOUBLE AS ma, sb / n_b::DOUBLE AS mb,
+                     (ssa - sa * sa / n_a::DOUBLE)
+                       / (n_a::DOUBLE - 1.0) AS va,
+                     (ssb - sb * sb / n_b::DOUBLE)
+                       / (n_b::DOUBLE - 1.0) AS vb
+              FROM c1
+            ), c3 AS (
+              SELECT *, va / n_a::DOUBLE AS ua, vb / n_b::DOUBLE AS ub
+              FROM c2
+            )
+            SELECT n_a, n_b,
+                   round(ma / 100.0, 6) AS mean_a,
+                   round(mb / 100.0, 6) AS mean_b,
+                   round((ma - mb) / 100.0, 6) AS mean_diff,
+                   round(CASE WHEN ua + ub > 0
+                              THEN (ma - mb) / sqrt(ua + ub) END, 6)
+                     AS t_stat,
+                   round((ua + ub) * (ua + ub) /
+                         (ua * ua / (n_a::DOUBLE - 1.0)
+                          + ub * ub / (n_b::DOUBLE - 1.0)), 6) AS dof
+            FROM c3
         """,
     }

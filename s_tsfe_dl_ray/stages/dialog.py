@@ -1631,3 +1631,67 @@ def tool_adoption(
                            num_partitions=64, whole_partition=True)
     return folded.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def conv_compressibility(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    level: int = 6,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-conversation DEFLATE compressibility: zlib level-``level``
+    ratio of the turn texts joined in order with newlines — the
+    information-density curation signal (templated / looping / spammy
+    dialogs compress far below organic ones; the codec-level
+    complement of :func:`self_repetition`'s trigram share and
+    dup_word_stats' token ratio).  zlib is deterministic for a fixed
+    level, so results are stable across partitionings and runs; there
+    is no SQL twin (DuckDB has no DEFLATE) — correctness is pinned by
+    a golden test and the blocking-invariance sweep.
+
+    Dataflow: ONE conv-hash exchange of (conv, idx, text) rows; each
+    conv-complete partition sorts once and compresses per conversation
+    (zlib's C loop is the kernel; the Python loop is one call per
+    conversation, not per turn).  Output: ``conv_col, n_turns (int64),
+    raw_bytes (int64), compressed_bytes (int64), compression_ratio``
+    (compressed/raw, NULL for zero-length conversations).
+    """
+    import zlib
+
+    from .grouped import grouped_apply
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            conv_col: pd.Series([], dtype="object"),
+            "n_turns": pd.Series([], dtype="int64"),
+            "raw_bytes": pd.Series([], dtype="int64"),
+            "compressed_bytes": pd.Series([], dtype="int64"),
+            "compression_ratio": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        m = df.sort_values([conv_col, idx_col], kind="mergesort")
+        rows = []
+        for conv, g in m.groupby(conv_col, sort=False):
+            blob = "\n".join(g[text_col].tolist()).encode("utf-8")
+            comp = len(zlib.compress(blob, level))
+            rows.append((conv, len(g), len(blob), comp))
+        out = pd.DataFrame(rows, columns=[conv_col, "n_turns",
+                                          "raw_bytes",
+                                          "compressed_bytes"])
+        raw = out["raw_bytes"].to_numpy(np.float64)
+        comp = out["compressed_bytes"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = comp / raw
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        out["raw_bytes"] = out["raw_bytes"].astype(np.int64)
+        out["compressed_bytes"] = out["compressed_bytes"].astype(np.int64)
+        out["compression_ratio"] = np.where(np.isfinite(ratio), ratio,
+                                            np.nan)
+        return out
+
+    return grouped_apply(ds, keys=[conv_col], fn=fold,
+                         num_partitions=num_partitions,
+                         whole_partition=True)

@@ -1337,6 +1337,14 @@ def dim_moments(
 
     part1 = ds.map_batches(p1, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
+    if len(part1) == 0 or "dim" not in part1.columns:
+        # zero-row input: Ray may skip p1 entirely, leaving a
+        # column-less frame — degrade to the typed empty result
+        return ray.data.from_pandas(
+            pd.DataFrame({"dim": pd.Series([], dtype="int64"),
+                          "n_vectors": pd.Series([], dtype="int64"),
+                          "mean": pd.Series([], dtype="float64"),
+                          "variance": pd.Series([], dtype="float64")}))
     g = part1.groupby("dim", sort=True).agg(_s=("_s", "sum"), _n=("_n", "sum"))
     means = (g["_s"] / g["_n"]).to_numpy()
     n_total = int(g["_n"].iloc[0]) if len(g) else 0
@@ -1689,3 +1697,64 @@ def als_factorize(
     for i in range(rank):
         item_df[f"f_{i}"] = vf[:, i]
     return uf, item_df
+
+
+def dim_participation(
+    ds: Dataset,
+    *,
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Feature-space concentration summary of the embedding matrix: the
+    participation ratio of the per-dimension variance spectrum
+
+        PR = (Σ_d v_d)² / Σ_d v_d²          (1 ≤ PR ≤ d)
+
+    — how many dimensions effectively carry variance (PR ≈ d means a
+    flat spectrum, PR ≈ 1 means one dominant axis) — plus the top
+    dimension's variance share.  The scalar roll-up of
+    :func:`dim_moments` (per-dim profile) and the cheap diagonal proxy
+    for the PCA eigenvalue spectrum (axis-aligned variance, no rotation
+    — :func:`pca_fit_transform` gives the rotated version).
+
+    Both sums fold SEQUENTIALLY over dim order (a d-length Python loop
+    in the tiny final — mirrored by the twin's ``list_reduce``), so the
+    only float divergence is dim_moments' own batch-order sum noise,
+    ~1e-16 relative, far below 6-decimal rounding of a ratio in [1, d].
+    Output: one row — ``n_dims (int64), n_vectors (int64),
+    participation_ratio, top_dim_var_share`` (NULLs when n < 2).
+    """
+
+    moments = dim_moments(ds, vec_col=vec_col)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "dim" not in df.columns:
+            return pd.DataFrame({
+                "n_dims": pd.Series([], dtype="int64"),
+                "n_vectors": pd.Series([], dtype="int64"),
+                "participation_ratio": pd.Series([], dtype="float64"),
+                "top_dim_var_share": pd.Series([], dtype="float64")})
+        m = df.sort_values("dim", kind="mergesort")
+        v = m["variance"].to_numpy(np.float64)
+        nv = int(m["n_vectors"].iloc[0])
+        d = len(m)
+        if np.isnan(v).any():
+            pr = sh = np.nan
+        else:
+            s1 = np.float64(0.0)
+            s2 = np.float64(0.0)
+            for x in v:                 # sequential == list_reduce twin
+                s1 = s1 + x
+                s2 = s2 + x * x
+            with np.errstate(invalid="ignore", divide="ignore"):
+                pr = s1 * s1 / s2
+                sh = np.float64(v.max()) / s1
+            pr = pr if np.isfinite(pr) else np.nan
+            sh = sh if np.isfinite(sh) else np.nan
+        return pd.DataFrame({
+            "n_dims": pd.Series([d], dtype="int64"),
+            "n_vectors": pd.Series([nv], dtype="int64"),
+            "participation_ratio": [pr],
+            "top_dim_var_share": [sh]})
+
+    return moments.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

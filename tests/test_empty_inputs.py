@@ -391,3 +391,19 @@ def test_round4t_ops_empty():
         "n_chars": pa.array([], pa.int64())}))
     assert len(pairwise_ks(docs, group_col="source",
                            value_col="n_chars").to_pandas()) == 0
+
+
+def test_round4u_ops_empty():
+    from s_tsfe_dl_ray.stages.dialog import conv_compressibility
+    from s_tsfe_dl_ray.stages.similarity import dim_participation
+
+    emb = ray.data.from_arrow(pa.table({
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    out = dim_participation(emb).to_pandas()
+    assert len(out) == 0
+
+    turns = ray.data.from_arrow(pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "text": pa.array([], pa.string())}))
+    assert len(conv_compressibility(turns).to_pandas()) == 0

@@ -135,6 +135,8 @@ QUERIES = [
     # 4t wave: SES==list_reduce + exact-moment drift; integer rank cut
     "events_theta",
     "events_lorenz",
+    # 4u wave: welch tree on the derived ISO-weekend flag
+    "events_weekend_effect",
 ]
 
 SHAPES = [

@@ -1181,3 +1181,51 @@ def test_4t_ops_blocking_invariance():
         pd.testing.assert_frame_equal(
             a[k].reset_index(drop=True), b[k].reset_index(drop=True),
             check_exact=True, obj=k)
+
+
+def test_conv_compressibility_golden_and_invariance():
+    """conv_compressibility: zlib golden pinned per conversation, and
+    bit-identical at 1 vs 7 input blocks (text crosses one conv-hash
+    exchange; ordering inside the fold must make it deterministic)."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.dialog import conv_compressibility
+
+    rng = np.random.default_rng(49)
+    nt = 400
+    words = rng.choice(["alpha", "beta", "gamma", "repeat repeat"],
+                       (nt, 15))
+    texts = [" ".join(r) for r in words]
+    turns = pa.table({
+        "conv_id": pa.array([f"c{i % 25}" for i in range(nt)]),
+        "turn_idx": pa.array(np.arange(nt) // 25, pa.int32()),
+        "text": pa.array(texts),
+    })
+    tpath = "/tmp/blockinv_4u_turns.parquet"
+    pq.write_table(turns, tpath)
+
+    def run(blocks):
+        tt = ray.data.read_parquet(tpath, override_num_blocks=blocks)
+        return to_pdf(conv_compressibility(tt).sort("conv_id"))
+
+    a, b = run(1), run(7)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True),
+                                  check_exact=True)
+
+    # independent golden: recompute conv c3 by hand
+    df = turns.to_pandas()
+    g = df[df.conv_id == "c3"].sort_values("turn_idx")
+    blob = "\n".join(g.text.tolist()).encode()
+    row = a[a.conv_id == "c3"].iloc[0]
+    assert int(row.raw_bytes) == len(blob)
+    assert int(row.compressed_bytes) == len(zlib.compress(blob, 6))
+    assert int(row.n_turns) == len(g)
+    # templated text must compress hard
+    assert row.compression_ratio < 0.5
