@@ -500,3 +500,104 @@ def revenue_share_hierarchy(sf_dir: str, *, num_partitions: int = 64) -> Dataset
 
     return agg.repartition(1).map_batches(shares, batch_format="pandas",
                                           batch_size=None)
+
+
+def rfm_segments(sf_dir: str, *, num_partitions: int = 64) -> Dataset:
+    """RFM quintile segmentation summary — the scoring layer
+    :func:`customer_rfm` deliberately leaves out, folded on the already
+    customer-grained table (the lorenz_deciles precedent: the rank
+    exchange happens on keys, not events).  Each customer gets three
+    quintiles, all "1 = best": q_r by (recency asc, custkey), q_f by
+    (order count desc, custkey), q_m by (spend-cents desc, custkey),
+    with the integer cut q = (rank−1)·5 // n + 1; the output is the
+    ≤125-row segment table — how many customers sit in each
+    (q_r, q_f, q_m) cell, their mean recency and total spend.
+
+    Exactness: ranks and cuts are integer; recency/spend aggregate as
+    exact int64 and divide once.  Output: ``q_r, q_f, q_m (int64),
+    n_customers (int64), avg_recency_days, total_monetary``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "n_orders": pa.array(np.ones(t.num_rows, np.int64)),
+            "last_order": t["o_orderdate"],
+            "spend_c": cents,
+        })
+
+    agg = grouped_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        keys=["c_custkey"],
+        aggs={"n_orders": ("n_orders", "sum"),
+              "last_order": ("last_order", "max"),
+              "spend_c": ("spend_c", "sum")},
+        num_partitions=num_partitions)
+
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    anchor = pc.max(pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"])["o_orderdate"]
+    ).as_py()
+    a_us = int((anchor - dt.datetime(1970, 1, 1)).total_seconds()
+               * 1_000_000)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "q_r": pd.Series([], dtype="int64"),
+            "q_f": pd.Series([], dtype="int64"),
+            "q_m": pd.Series([], dtype="int64"),
+            "n_customers": pd.Series([], dtype="int64"),
+            "avg_recency_days": pd.Series([], dtype="float64"),
+            "total_monetary": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        # explicit µs view — a pandas block may carry ns resolution
+        last_us = df["last_order"].to_numpy("datetime64[us]") \
+            .astype(np.int64)
+        rec = (np.int64(a_us) - last_us) // 86_400_000_000
+        m = pd.DataFrame({
+            "k": df["c_custkey"].to_numpy(np.int64),
+            "rec": rec.astype(np.int64),
+            "nf": df["n_orders"].to_numpy(np.int64),
+            "sc": df["spend_c"].to_numpy(np.int64)})
+        n = np.int64(len(m))
+
+        def quint(order_cols, ascending):
+            idx = m.sort_values(order_cols, ascending=ascending,
+                                kind="mergesort").index.to_numpy()
+            rn = np.empty(len(m), np.int64)
+            rn[idx] = np.arange(1, len(m) + 1, dtype=np.int64)
+            return (rn - 1) * 5 // n + 1
+
+        m["q_r"] = quint(["rec", "k"], [True, True])
+        m["q_f"] = quint(["nf", "k"], [False, True])
+        m["q_m"] = quint(["sc", "k"], [False, True])
+        g = m.groupby(["q_r", "q_f", "q_m"], sort=True, as_index=False) \
+            .agg(n_customers=("k", "size"), _rec=("rec", "sum"),
+                 _sc=("sc", "sum"))
+        nc = g["n_customers"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "q_r": g["q_r"].astype(np.int64),
+            "q_f": g["q_f"].astype(np.int64),
+            "q_m": g["q_m"].astype(np.int64),
+            "n_customers": nc,
+            "avg_recency_days": g["_rec"].to_numpy(np.int64)
+                                .astype(np.float64)
+                                / nc.astype(np.float64),
+            "total_monetary": g["_sc"].to_numpy(np.int64)
+                              .astype(np.float64) / 100.0})
+
+    return agg.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

@@ -1695,3 +1695,69 @@ def conv_compressibility(
     return grouped_apply(ds, keys=[conv_col], fn=fold,
                          num_partitions=num_partitions,
                          whole_partition=True)
+
+
+def two_step_transitions(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    order_by: list[str] | None = None,
+) -> Dataset:
+    """Two-step transition matrix P² of the role/type Markov chain:
+    the probability of being in state c two steps after state a,
+    marginalizing over the middle state — the multi-hop behavior view
+    :func:`role_transitions` (P¹) cannot show (e.g. user→assistant→user
+    round-trip mass vs user→assistant→tool escalation mass).
+
+    P¹ comes from :func:`role_transitions`' UNROUNDED row-normalized
+    fractions (bit-identical to the SQL twin); P²(a,c) = Σ_b
+    P(a,b)·P(b,c) folds SEQUENTIALLY over the middle state in sorted
+    order on both sides (``np.add.reduceat`` over mid-sorted products
+    == ``list_reduce(list(q ORDER BY mid))``), so the result is
+    bit-exact.  Pairs with no 2-path emit nothing (inner-join
+    semantics).  Output: ``role_from, role_to, p2``.
+    """
+    trans = role_transitions(ds, conv_col=conv_col, role_col=role_col,
+                             order_by=order_by)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "role_from": pd.Series([], dtype="object"),
+            "role_to": pd.Series([], dtype="object"),
+            "p2": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        f = df[["role_from", "role_to", "frac_from"]]
+        j = f.merge(f, left_on="role_to", right_on="role_from",
+                    suffixes=("_1", "_2"))
+        if len(j) == 0:
+            return empty
+        j = pd.DataFrame({
+            "role_from": j["role_from_1"], "mid": j["role_to_1"],
+            "role_to": j["role_to_2"],
+            "_q": j["frac_from_1"].to_numpy(np.float64)
+                  * j["frac_from_2"].to_numpy(np.float64)})
+        j = j.sort_values(["role_from", "role_to", "mid"],
+                          kind="mergesort").reset_index(drop=True)
+        key_change = (j["role_from"].ne(j["role_from"].shift())
+                      | j["role_to"].ne(j["role_to"].shift()))
+        starts = np.flatnonzero(key_change.to_numpy())
+        # strictly SEQUENTIAL per-segment accumulation == list_reduce
+        # (np.add.reduceat would switch to pairwise above 8 elements)
+        q = j["_q"].to_numpy(np.float64)
+        ends = np.append(starts[1:], len(q))
+        p2 = np.empty(len(starts), np.float64)
+        for i, (s0, e0) in enumerate(zip(starts, ends)):
+            acc = q[s0]
+            for x in q[s0 + 1:e0]:
+                acc = acc + x
+            p2[i] = acc
+        heads = j.iloc[starts]
+        return pd.DataFrame({
+            "role_from": heads["role_from"].to_numpy(),
+            "role_to": heads["role_to"].to_numpy(),
+            "p2": p2})
+
+    return trans.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

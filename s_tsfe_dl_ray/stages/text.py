@@ -2057,3 +2057,59 @@ def source_style_cosine(
                            whole_partition=True)
     return folded.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def quality_pass_rate(
+    ds: Dataset,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> Dataset:
+    """Curation acceptance rate per group: the share of documents whose
+    :func:`quality_score` clears ``threshold`` — the per-source quality
+    funnel a mixing pipeline reads before setting sampling weights
+    (sources below the bar get down-weighted or re-filtered).
+
+    The pass/fail comparison happens on the UNROUNDED quality float,
+    whose expression tree is bit-identical to the SQL twin's (the
+    docs_quality parity), so the counts are exact int64 and the rate is
+    one division.  Pure combiner — no shuffle beyond the ≤|groups|-row
+    final merge.  Output: ``group_col, n_docs (int64), n_pass (int64),
+    pass_rate``.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        scored = quality_score(t, text_col=text_col)
+        ok = pc.cast(pc.greater_equal(scored["quality"],
+                                      pa.scalar(float(threshold))),
+                     pa.int64())
+        base = pa.table({group_col: t[group_col], "_p": ok,
+                         "_n": pa.array(
+                             np.ones(t.num_rows, np.int64))})
+        out = base.group_by([group_col], use_threads=False).aggregate(
+            [("_n", "sum"), ("_p", "sum")])
+        return out.rename_columns([group_col, "_n", "_p"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                group_col: pd.Series([], dtype="object"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_pass": pd.Series([], dtype="int64"),
+                "pass_rate": pd.Series([], dtype="float64")})
+        g = df.groupby(group_col, sort=True, as_index=False)[
+            ["_n", "_p"]].sum()
+        return pd.DataFrame({
+            group_col: g[group_col],
+            "n_docs": g["_n"].astype(np.int64),
+            "n_pass": g["_p"].astype(np.int64),
+            "pass_rate": g["_p"].to_numpy(np.int64).astype(np.float64)
+                         / g["_n"].to_numpy(np.int64).astype(np.float64)})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

@@ -407,3 +407,18 @@ def test_round4u_ops_empty():
         "turn_idx": pa.array([], pa.int32()),
         "text": pa.array([], pa.string())}))
     assert len(conv_compressibility(turns).to_pandas()) == 0
+
+
+def test_round4v_ops_empty():
+    from s_tsfe_dl_ray.stages.dialog import two_step_transitions
+    from s_tsfe_dl_ray.stages.text import quality_pass_rate
+
+    ds = _empty_events()
+    assert len(two_step_transitions(
+        ds, conv_col="user_id", role_col="event_type",
+        order_by=["ts", "event_id"]).to_pandas()) == 0
+
+    docs = ray.data.from_arrow(pa.table({
+        "source": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    assert len(quality_pass_rate(docs).to_pandas()) == 0

@@ -137,6 +137,8 @@ QUERIES = [
     "events_lorenz",
     # 4u wave: welch tree on the derived ISO-weekend flag
     "events_weekend_effect",
+    # 4v wave: sequential mid-state marginalization
+    "events_two_step_transitions",
 ]
 
 SHAPES = [
@@ -393,6 +395,8 @@ D_QUERIES = [
     "docs_style_cosine",
     # 4t wave: pooled-grid ECDF distances
     "docs_length_ks",
+    # 4v wave: exact pass counts over the bit-identical quality tree
+    "docs_quality_pass_rate",
 ]
 
 _WORDS = ["the", "fast", "data", "merge", "la", "le", "und", "der",
