@@ -601,3 +601,92 @@ def rfm_segments(sf_dir: str, *, num_partitions: int = 64) -> Dataset:
 
     return agg.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def supplier_revenue_hhi(sf_dir: str, *, num_partitions: int = 64) -> Dataset:
+    """Supply-concentration audit per nation: the Herfindahl–Hirschman
+    index of supplier revenue shares inside each nation, with the top
+    supplier's share — "is this nation's supply dominated by one
+    vendor" (the weighted-revenue sibling of
+    stages/distinct.categorical_concentration, which counts rows).
+
+    Scale design: supplier→nation is a tiny dimension (10k rows/SF)
+    read once on the driver and broadcast as plain dict closures into
+    the lineitem combiner — lineitem itself never joins or shuffles
+    raw; per-batch (nation, suppkey) partials carry the exact int64
+    scaled revenue (price_i × (100 − disc_i), scale 1e4 — the engine's
+    revenue discipline), and the ≤ nations×suppliers partial table
+    folds on one final partition where each nation's share-square sum
+    runs SEQUENTIALLY in suppkey order (== the twin's ``list_reduce``).
+    Output: ``n_name, n_suppliers (int64), revenue_sum, hhi,
+    top_share`` sorted by nation.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    sup_nat = dict(zip(sup["s_suppkey"].to_pylist(),
+                       sup["s_nationkey"].to_pylist()))
+    nat_name = dict(zip(nat["n_nationkey"].to_pylist(),
+                        nat["n_name"].to_pylist()))
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        price_i = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_i = pc.cast(pc.round(pc.multiply(
+            t["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(price_i,
+                          pc.subtract(pa.scalar(100, pa.int64()), disc_i))
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        nk = np.array([sup_nat[k] for k in sk], dtype=np.int64)
+        base = pa.table({"_nk": pa.array(nk), "_sk": t["l_suppkey"],
+                         "_r": rev})
+        out = base.group_by(["_nk", "_sk"], use_threads=False) \
+            .aggregate([("_r", "sum")])
+        return out.rename_columns(["_nk", "_sk", "_r"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "n_name": pd.Series([], dtype="object"),
+            "n_suppliers": pd.Series([], dtype="int64"),
+            "revenue_sum": pd.Series([], dtype="float64"),
+            "hhi": pd.Series([], dtype="float64"),
+            "top_share": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        g = df.groupby(["_nk", "_sk"], sort=True, as_index=False)["_r"] \
+            .sum()
+        tot = g.groupby("_nk", sort=True).agg(
+            rt=("_r", "sum"), ns=("_r", "size"), rmax=("_r", "max"))
+        rows = []
+        for nk, grp in g.groupby("_nk", sort=True):
+            rt = np.float64(tot.loc[nk, "rt"])
+            acc = np.float64(0.0)
+            # suppkey-sorted sequential fold == list_reduce twin
+            for r in grp["_r"].to_numpy(np.int64):
+                share = np.float64(r) / rt
+                acc = acc + share * share
+            rows.append((nat_name[nk], int(tot.loc[nk, "ns"]),
+                         np.float64(tot.loc[nk, "rt"]) / 10000.0,
+                         acc,
+                         np.float64(tot.loc[nk, "rmax"]) / rt))
+        out = pd.DataFrame(rows, columns=["n_name", "n_suppliers",
+                                          "revenue_sum", "hhi",
+                                          "top_share"])
+        out["n_suppliers"] = out["n_suppliers"].astype(np.int64)
+        return out.sort_values("n_name", kind="mergesort") \
+            .reset_index(drop=True)
+
+    return lineitem.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .repartition(1) \
+        .map_batches(final, batch_format="pandas", batch_size=None)

@@ -432,3 +432,68 @@ def tiered_quantile_digest(
                                          batch_format="pandas",
                                          batch_size=None)
     return result
+
+
+def interarrival_quantiles(
+    ds: "Dataset",
+    *,
+    key: str,
+    ts_col: str,
+    order_by: list[str],
+    qs: tuple = (0.5, 0.9),
+    num_partitions: int = 64,
+) -> "Dataset":
+    """Inter-arrival gap percentiles per key: the p50/p90 (by default)
+    of the microsecond gaps between consecutive events in ``order_by``
+    order — the traffic-burstiness profile per event type / device /
+    tenant (tight p50 + huge p90 = bursty; both tight = steady drip).
+
+    Exactness: gaps are exact integer microseconds (timestamp
+    subtraction — never epoch floats, the date_diff recipe); each
+    percentile is DuckDB ``quantile_disc`` semantics — the element at
+    sorted 0-based index ceil(m·q)−1 — so the only float is the final
+    µs→seconds division.  Keys with < 2 events emit nothing (no gap).
+
+    One key-hash exchange; inside each key-complete partition the sort,
+    diff and index picks are vectorized across ALL keys.  Output:
+    ``key, n_gaps (int64), p{50}_gap_s, p{90}_gap_s`` (column names
+    follow ``qs``).
+    """
+    from .grouped import grouped_apply
+
+    names = [f"p{int(round(q * 100))}_gap_s" for q in qs]
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series([], dtype="object"),
+                "n_gaps": pd.Series([], dtype="int64")}
+        for nm in names:
+            cols[nm] = pd.Series([], dtype="float64")
+        empty = pd.DataFrame(cols)
+        if len(df) == 0:
+            return empty
+        m = df.sort_values([key, *order_by], kind="mergesort") \
+            .reset_index(drop=True)
+        us = m[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        gap = us - np.roll(us, 1)
+        firsts = m.groupby(key, sort=False).cumcount().to_numpy() == 0
+        keep = ~firsts
+        if not keep.any():
+            return empty
+        gk = pd.DataFrame({key: m[key].to_numpy()[keep],
+                           "_g": gap[keep]})
+        gk = gk.sort_values([key, "_g"], kind="mergesort") \
+            .reset_index(drop=True)
+        grp = gk.groupby(key, sort=False)
+        sizes = grp.size().to_numpy(np.int64)
+        keys_ = grp.size().index.to_numpy()
+        offs = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        vals = gk["_g"].to_numpy(np.int64)
+        out = {key: keys_, "n_gaps": sizes}
+        for q, nm in zip(qs, names):
+            idx = np.maximum(np.ceil(sizes * q), 1).astype(np.int64) - 1
+            out[nm] = vals[offs + idx].astype(np.float64) / 1_000_000.0
+        return pd.DataFrame(out)
+
+    return grouped_apply(ds, keys=[key], fn=fold,
+                         num_partitions=num_partitions,
+                         whole_partition=True)

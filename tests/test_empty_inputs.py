@@ -422,3 +422,12 @@ def test_round4v_ops_empty():
         "source": pa.array([], pa.string()),
         "text": pa.array([], pa.string())}))
     assert len(quality_pass_rate(docs).to_pandas()) == 0
+
+
+def test_round4w_ops_empty():
+    from s_tsfe_dl_ray.stages.quantile import interarrival_quantiles
+
+    ds = _empty_events()
+    assert len(interarrival_quantiles(
+        ds, key="event_type", ts_col="ts",
+        order_by=["ts", "event_id"]).to_pandas()) == 0

@@ -139,6 +139,8 @@ QUERIES = [
     "events_weekend_effect",
     # 4v wave: sequential mid-state marginalization
     "events_two_step_transitions",
+    # 4w wave: exact-µs gap quantile_disc picks
+    "events_interarrival_quantiles",
 ]
 
 SHAPES = [
