@@ -364,3 +364,77 @@ def pagerank(
 
     out = pd.DataFrame({"node": nodes, "rank": rank})
     return ray.data.from_pandas(out)
+
+
+def pagerank(
+    edges: Dataset,
+    *,
+    a_col: str = "member_a",
+    b_col: str = "member_b",
+    damping: float = 0.85,
+    iters: int = 20,
+) -> Dataset:
+    """Fixed-iteration PageRank over an UNDIRECTED edge list — the
+    importance ranking of the co-purchase / co-occurrence graph whose
+    connected components :func:`connected_components` already labels
+    (components say "which cluster"; PageRank says "which hub").
+
+    Exactly ``iters`` damped Jacobi iterations from the uniform vector::
+
+        v'(dst) = (1−d)/N + d · Σ_{src∈in(dst)} v(src)/deg(src)
+
+    with the in-neighbor sum folded SEQUENTIALLY in ascending src order
+    on both sides (engine: per-dst segment loop; twin: ``list_reduce
+    (list(… ORDER BY src))`` in an UNROLLED 20-CTE chain — recursive
+    aggregation is avoided on purpose), so the result is bit-exact, not
+    merely converged.  Every node of an undirected graph has degree
+    ≥ 1, so there are no dangling-mass terms.
+
+    Partitioning assumption (custom-operator rule): the edge list is
+    vocabulary-sized (pairs of a categorical key — parts, tags, tools),
+    so one final partition holds it; the upstream pair builder
+    (:func:`~.distinct.pair_cooccurrence`) is what contracts the
+    billion-row fact table down to this.  Output: ``node, degree
+    (int64), pagerank`` for every node with ≥ 1 edge.
+    """
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "node": pd.Series([], dtype="int64"),
+            "degree": pd.Series([], dtype="int64"),
+            "pagerank": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        a = df[a_col].to_numpy()
+        b = df[b_col].to_numpy()
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        nodes, src_i = np.unique(src, return_inverse=True)
+        dst_i = np.searchsorted(nodes, dst)
+        n = len(nodes)
+        deg = np.bincount(src_i, minlength=n).astype(np.int64)
+        # sort edges by (dst, src) once; per-dst segments then fold in
+        # ascending-src order
+        eo = np.lexsort((src, dst_i))
+        s_i, d_i = src_i[eo], dst_i[eo]
+        starts = np.flatnonzero(np.diff(d_i, prepend=-1))
+        ends = np.append(starts[1:], len(d_i))
+        seg_dst = d_i[starts]
+        v = np.full(n, 1.0 / np.float64(n), np.float64)
+        base = (1.0 - damping) / np.float64(n)
+        for _ in range(iters):
+            c = v[s_i] / deg[s_i].astype(np.float64)
+            nv = np.full(n, base, np.float64)
+            for k in range(len(starts)):
+                acc = c[starts[k]]
+                for x in c[starts[k] + 1:ends[k]]:
+                    acc = acc + x
+                nv[seg_dst[k]] = base + damping * acc
+            v = nv
+        return pd.DataFrame({
+            "node": pd.Series(nodes),
+            "degree": deg,
+            "pagerank": v})
+
+    return edges.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

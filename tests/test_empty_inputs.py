@@ -431,3 +431,12 @@ def test_round4w_ops_empty():
     assert len(interarrival_quantiles(
         ds, key="event_type", ts_col="ts",
         order_by=["ts", "event_id"]).to_pandas()) == 0
+
+
+def test_round4x_ops_empty():
+    from s_tsfe_dl_ray.stages.cluster import pagerank
+
+    edges = ray.data.from_arrow(pa.table({
+        "member_a": pa.array([], pa.int64()),
+        "member_b": pa.array([], pa.int64())}))
+    assert len(pagerank(edges).to_pandas()) == 0

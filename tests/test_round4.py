@@ -1229,3 +1229,36 @@ def test_conv_compressibility_golden_and_invariance():
     assert int(row.n_turns) == len(g)
     # templated text must compress hard
     assert row.compression_ratio < 0.5
+
+
+def test_pagerank_properties_and_invariance():
+    """pagerank: sums to ~1 on a connected graph, ranks the hub of a
+    star highest, and is bit-identical at 1 vs 7 input blocks."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from conftest import to_pdf
+    from s_tsfe_dl_ray.stages.cluster import pagerank
+
+    # star: node 0 connected to 1..10, plus a 11-12-13 triangle
+    a = [0] * 10 + [11, 12, 13]
+    b = list(range(1, 11)) + [12, 13, 11]
+    edges = pa.table({"member_a": pa.array(a, pa.int64()),
+                      "member_b": pa.array(b, pa.int64())})
+    path = "/tmp/blockinv_4x_edges.parquet"
+    pq.write_table(edges, path)
+
+    def run(blocks):
+        e = ray.data.read_parquet(path, override_num_blocks=blocks)
+        return to_pdf(pagerank(e).sort("node"))
+
+    one, seven = run(1), run(7)
+    pd.testing.assert_frame_equal(one.reset_index(drop=True),
+                                  seven.reset_index(drop=True),
+                                  check_exact=True)
+    assert abs(one.pagerank.sum() - 1.0) < 1e-9
+    ranks = dict(zip(one.node, one.pagerank))
+    assert ranks[0] == max(ranks.values())          # star hub dominates
+    assert abs(ranks[11] - ranks[12]) < 1e-15       # triangle symmetry
