@@ -4707,6 +4707,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pairs, a_col="member_a", b_col="member_b",
             damping=0.85, iters=20))
 
+    def q_docs_heaps_law(sf):
+        """Heaps'-law vocabulary-growth fit over the doc-id-ordered
+        cumulative curve: ln(vocab) = ln k + beta*ln(tokens), bit-exact
+        sequential OLS folds (stages/text.heaps_law)."""
+        from s_tsfe_dl_ray.stages.text import heaps_law
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"])
+        return _round_floats(heaps_law(ds))
+
+    def q_transcripts_readability_by_role(sf):
+        """Pooled Flesch reading ease per speaker role — exact int64
+        word/sentence/syllable counts, one flesch tree per role
+        (stages/dialog.readability_by_role)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table as _rt
+        from s_tsfe_dl_ray.stages.dialog import readability_by_role
+
+        turns = _rt(_transcripts_for(sf), columns=["role", "text"])
+        return _round_floats(readability_by_role(turns))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -5082,6 +5102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival_quantiles": q_events_interarrival_quantiles,
         "supplier_revenue_hhi": q_supplier_revenue_hhi,
         "parts_pagerank": q_parts_pagerank,
+        "docs_heaps_law": q_docs_heaps_law,
+        "transcripts_readability_by_role": q_transcripts_readability_by_role,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -11206,4 +11228,80 @@ def oracle_sql() -> dict[str, str]:
             FROM tot t JOIN hh USING (n_name) ORDER BY 1
         """,
         "parts_pagerank": PAGERANK_SQL,
+        # first-occurrence counts and cumulative sums are exact int64;
+        # the ln points and all OLS moment sums fold sequentially in
+        # doc-id order (list_reduce == the engine loop)
+        "docs_heaps_law": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(text, ' '), ' ')) AS tok
+              FROM documents
+            ), t AS (
+              SELECT doc_id, tok FROM w WHERE tok <> ''
+            ), fo AS (
+              SELECT tok, min(doc_id) AS d FROM t GROUP BY 1
+            ), nt AS (
+              SELECT doc_id AS d, count(*)::BIGINT AS c
+              FROM t GROUP BY 1
+            ), nv AS (
+              SELECT d, count(*)::BIGINT AS v FROM fo GROUP BY 1
+            ), base AS (
+              SELECT nt.d, nt.c, coalesce(nv.v, 0)::BIGINT AS v
+              FROM nt LEFT JOIN nv USING (d)
+            ), cum AS (
+              SELECT d, sum(c) OVER (ORDER BY d) AS ct,
+                     sum(v) OVER (ORDER BY d) AS cd
+              FROM base
+            ), pts AS (
+              SELECT d, ln(ct::DOUBLE) AS x, ln(cd::DOUBLE) AS y
+              FROM cum
+            ), m AS (
+              SELECT count(*)::BIGINT AS nd, count(*)::DOUBLE AS n,
+                     list_reduce(list(x ORDER BY d),
+                                 (a, b) -> a + b) AS sx,
+                     list_reduce(list(y ORDER BY d),
+                                 (a, b) -> a + b) AS sy,
+                     list_reduce(list(x * x ORDER BY d),
+                                 (a, b) -> a + b) AS sxx,
+                     list_reduce(list(x * y ORDER BY d),
+                                 (a, b) -> a + b) AS sxy
+              FROM pts
+            ), tv AS (
+              SELECT max(ct)::BIGINT AS tt, max(cd)::BIGINT AS vv
+              FROM cum
+            )
+            SELECT m.nd AS n_docs, tv.tt AS total_tokens,
+                   tv.vv AS vocab,
+                   round((m.n * m.sxy - m.sx * m.sy)
+                         / (m.n * m.sxx - m.sx * m.sx), 6) AS heaps_beta,
+                   round((m.sy - (m.n * m.sxy - m.sx * m.sy)
+                                 / (m.n * m.sxx - m.sx * m.sx) * m.sx)
+                         / m.n, 6) AS heaps_lnk
+            FROM m, tv
+        """,
+        # the docs_readability counting trees pooled per role — exact
+        # int64 sums, one flesch tree per role
+        "transcripts_readability_by_role": f"""
+            WITH c AS (
+              SELECT role,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\\s+')) END
+                       AS w,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')),
+                              1) AS s,
+                     len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                       AS y
+              FROM {T}
+            )
+            SELECT role, count(*)::BIGINT AS n_turns,
+                   sum(w)::BIGINT AS n_words,
+                   sum(s)::BIGINT AS n_sentences,
+                   sum(y)::BIGINT AS n_syllables,
+                   round(206.835
+                         - 1.015 * (sum(w)::DOUBLE / sum(s)::DOUBLE)
+                         - 84.6 * (sum(y)::DOUBLE / sum(w)::DOUBLE), 6)
+                     AS flesch
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
     }

@@ -1761,3 +1761,76 @@ def two_step_transitions(
 
     return trans.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def readability_by_role(
+    ds: Dataset,
+    *,
+    role_col: str = "role",
+    text_col: str = "text",
+) -> Dataset:
+    """Corpus-level Flesch reading ease per speaker role, on POOLED
+    counts: sum each role's words / sentence runs (clamped to ≥ 1 per
+    turn) / vowel-group syllables, then evaluate the Flesch tree once
+    per role — do assistants write simpler prose than users paste in?
+    The pooled-aggregate sibling of the per-document
+    :func:`~s_tsfe_dl_ray.stages.text.flesch_readability` (a mean of
+    per-turn scores would need an order-dependent float sum; pooled
+    int64 counts keep the twin exact).
+
+    Output: ``role, n_turns (int64), n_words, n_sentences,
+    n_syllables (int64), flesch`` — NULL score for roles with zero
+    words.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        trimmed = pc.utf8_trim_whitespace(txt)
+        empty = pc.equal(pc.utf8_length(trimmed), 0)
+        n_words = pc.if_else(
+            empty, pa.scalar(0, pa.int64()),
+            pc.cast(pc.add(pc.count_substring_regex(trimmed, r"\s+"), 1),
+                    pa.int64()))
+        n_sent = pc.max_element_wise(
+            pc.cast(pc.count_substring_regex(txt, r"[.!?]+"), pa.int64()),
+            pa.scalar(1, pa.int64()))
+        n_syl = pc.cast(
+            pc.count_substring_regex(txt, r"[aeiouyAEIOUY]+"), pa.int64())
+        base = pa.table({
+            role_col: t[role_col],
+            "_t": pa.array(np.ones(t.num_rows, np.int64)),
+            "_w": n_words, "_s": n_sent, "_y": n_syl})
+        out = base.group_by([role_col], use_threads=False).aggregate(
+            [("_t", "sum"), ("_w", "sum"), ("_s", "sum"), ("_y", "sum")])
+        return out.rename_columns([role_col, "_t", "_w", "_s", "_y"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "role": pd.Series([], dtype="object"),
+                "n_turns": pd.Series([], dtype="int64"),
+                "n_words": pd.Series([], dtype="int64"),
+                "n_sentences": pd.Series([], dtype="int64"),
+                "n_syllables": pd.Series([], dtype="int64"),
+                "flesch": pd.Series([], dtype="float64")})
+        g = df.groupby(role_col, sort=True, as_index=False)[
+            ["_t", "_w", "_s", "_y"]].sum()
+        w = g["_w"].to_numpy(np.int64).astype(np.float64)
+        s = g["_s"].to_numpy(np.int64).astype(np.float64)
+        y = g["_y"].to_numpy(np.int64).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            score = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        return pd.DataFrame({
+            "role": g[role_col],
+            "n_turns": g["_t"].astype(np.int64),
+            "n_words": g["_w"].astype(np.int64),
+            "n_sentences": g["_s"].astype(np.int64),
+            "n_syllables": g["_y"].astype(np.int64),
+            "flesch": np.where(np.isfinite(score), score, np.nan)})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

@@ -1822,9 +1822,10 @@ def _grouped_token_counts(t: pa.Table, group_col: str,
             "token": vals.filter(pa.array(keep)),
             "_n": pa.array(np.ones(int(keep.sum()), np.int64))}))
     if not parts:
-        return pa.table({group_col: pa.array([], pa.string()),
-                         "token": pa.array([], pa.string()),
-                         "_n": pa.array([], pa.int64())})
+        return pa.table({
+            group_col: pa.array([], t.schema.field(group_col).type),
+            "token": pa.array([], pa.string()),
+            "_n": pa.array([], pa.int64())})
     batch = pa.concat_tables(parts).combine_chunks()
     out = batch.group_by([group_col, "token"],
                          use_threads=False).aggregate([("_n", "sum")])
@@ -2113,3 +2114,100 @@ def quality_pass_rate(
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def heaps_law(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Heaps'-law fit of vocabulary growth: accumulate documents in
+    ``id_col`` order and OLS-fit ``ln(vocab) = ln k + β·ln(tokens)``
+    over the cumulative curve — the sub-linearity exponent β is the
+    standard corpus-health check (β ≈ 0.5 for organic text; β → 1
+    flags unbounded noise vocab, β → 0 templated text).  Complements
+    the static :func:`~s_tsfe_dl_ray.stages.distinct` vocab stats with
+    the GROWTH view.
+
+    Exactness: per-doc token totals and first-occurrence counts (token
+    → min doc id, one token-hash exchange) are exact int64; cumulative
+    sums are int64; the ln points and all five OLS moment sums fold
+    SEQUENTIALLY in doc-id order on both sides (Python loop ==
+    ``list_reduce(list(… ORDER BY d))``), so the fit is bit-exact.
+    Docs with zero tokens contribute no curve point (both sides).
+
+    Partitioning note: the curve has one point per document with
+    tokens, folded on one final partition — decimate (sample every
+    k-th doc id) upstream for billion-doc corpora.  Output: one row —
+    ``n_docs (int64), total_tokens (int64), vocab (int64), heaps_beta,
+    heaps_lnk``.
+    """
+    from .grouped import grouped_apply
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        out = _grouped_token_counts(t, id_col, text_col)
+        # (id, token, n) — keep per-doc totals AND per-(token) min-doc
+        return out
+
+    partials = ds.map_batches(count_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # token-hash exchange: global first-occurrence doc per token, then
+    # per-doc new-token counts ride back as tiny rows
+    def first_fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "_d": pd.Series([], dtype="int64"),
+            "_new": pd.Series([], dtype="int64"),
+            "_tok": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        fo = df.groupby("token", sort=False)[id_col].min()
+        new = fo.value_counts().rename_axis("_d").reset_index(name="_new")
+        tot = df.groupby(id_col, sort=False)["_n"].sum() \
+            .rename_axis("_d").reset_index(name="_tok")
+        out = tot.merge(new, on="_d", how="left")
+        out["_new"] = out["_new"].fillna(0).astype(np.int64)
+        out["_d"] = out["_d"].astype(np.int64)
+        out["_tok"] = out["_tok"].astype(np.int64)
+        return out[["_d", "_new", "_tok"]]
+
+    folded = grouped_apply(partials, keys=["token"], fn=first_fold,
+                           num_partitions=num_partitions,
+                           whole_partition=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "n_docs": pd.Series([], dtype="int64"),
+            "total_tokens": pd.Series([], dtype="int64"),
+            "vocab": pd.Series([], dtype="int64"),
+            "heaps_beta": pd.Series([], dtype="float64"),
+            "heaps_lnk": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        m = df.groupby("_d", sort=True, as_index=False)[["_new", "_tok"]] \
+            .sum()
+        ct = np.cumsum(m["_tok"].to_numpy(np.int64))
+        cd = np.cumsum(m["_new"].to_numpy(np.int64))
+        x = np.log(ct.astype(np.float64))
+        y = np.log(cd.astype(np.float64))
+        n = np.float64(len(m))
+        sx = sy = sxx = sxy = np.float64(0.0)
+        for i in range(len(m)):          # sequential == list_reduce twin
+            sx = sx + x[i]
+            sy = sy + y[i]
+            sxx = sxx + x[i] * x[i]
+            sxy = sxy + x[i] * y[i]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            lnk = (sy - beta * sx) / n
+        return pd.DataFrame({
+            "n_docs": pd.Series([len(m)], dtype="int64"),
+            "total_tokens": pd.Series([int(ct[-1])], dtype="int64"),
+            "vocab": pd.Series([int(cd[-1])], dtype="int64"),
+            "heaps_beta": [beta if np.isfinite(beta) else np.nan],
+            "heaps_lnk": [lnk if np.isfinite(lnk) else np.nan]})
+
+    return folded.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

@@ -440,3 +440,18 @@ def test_round4x_ops_empty():
         "member_a": pa.array([], pa.int64()),
         "member_b": pa.array([], pa.int64())}))
     assert len(pagerank(edges).to_pandas()) == 0
+
+
+def test_round4y_ops_empty():
+    from s_tsfe_dl_ray.stages.dialog import readability_by_role
+    from s_tsfe_dl_ray.stages.text import heaps_law
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert len(heaps_law(docs).to_pandas()) == 0
+
+    turns = ray.data.from_arrow(pa.table({
+        "role": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    assert len(readability_by_role(turns).to_pandas()) == 0

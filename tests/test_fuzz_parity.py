@@ -221,7 +221,8 @@ T_QUERIES = ["transcripts_latency_by_hour", "transcripts_duration_stats",
              "transcripts_tool_effect", "transcripts_conv_features",
              "transcripts_token_gini", "transcripts_tool_km",
              "transcripts_cache_savings", "transcripts_self_repetition",
-             "transcripts_abandonment", "transcripts_tool_adoption"]
+             "transcripts_abandonment", "transcripts_tool_adoption",
+             "transcripts_readability_by_role"]
 
 
 def _synth_transcripts(tmpdir: str, seed: int, n: int, ties: bool) -> str:
@@ -362,6 +363,10 @@ def test_fuzz_transcript_query_matches_oracle(tmp_path_factory, entrymod,
         from s_tsfe_dl_ray.stages.dialog import tool_adoption
 
         out = tool_adoption(ds)
+    elif name == "transcripts_readability_by_role":
+        from s_tsfe_dl_ray.stages.dialog import readability_by_role
+
+        out = readability_by_role(ds)
     else:
         out = reply_latency(ds, conv_col="conv_id", ts_col="ts",
                             order_by=["ts", "turn_idx"])
@@ -399,6 +404,8 @@ D_QUERIES = [
     "docs_length_ks",
     # 4v wave: exact pass counts over the bit-identical quality tree
     "docs_quality_pass_rate",
+    # 4y wave: sequential OLS folds over the cumulative vocab curve
+    "docs_heaps_law",
 ]
 
 _WORDS = ["the", "fast", "data", "merge", "la", "le", "und", "der",
