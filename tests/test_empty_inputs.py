@@ -455,3 +455,9 @@ def test_round4y_ops_empty():
         "role": pa.array([], pa.string()),
         "text": pa.array([], pa.string())}))
     assert len(readability_by_role(turns).to_pandas()) == 0
+
+
+def test_round4z_ops_empty():
+    from s_tsfe_dl_ray.stages.funnel import linear_attribution
+
+    assert len(linear_attribution(_empty_events()).to_pandas()) == 0

@@ -141,6 +141,8 @@ QUERIES = [
     "events_two_step_transitions",
     # 4w wave: exact-µs gap quantile_disc picks
     "events_interarrival_quantiles",
+    # 4z wave: 1/k credits folded in (pid, cid) order
+    "events_linear_attribution",
 ]
 
 SHAPES = [
