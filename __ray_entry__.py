@@ -4747,6 +4747,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _round_floats(order_size_dispersion(sf))
 
+    def q_events_weekly_acf(sf):
+        """Weekly-seasonality strength: lag-7 Pearson autocorrelation of
+        daily activity counts on the dense day grid — exact int64
+        moments (stages/trend.grid_lag_autocorr)."""
+        from s_tsfe_dl_ray.stages.trend import grid_lag_autocorr
+
+        ds = read_events(sf, columns=["ts"])
+        return _round_floats(grid_lag_autocorr(
+            ds, ts_col="ts", tier="1d", lag=7))
+
+    def q_transcripts_echo_rate(sf):
+        """Assistant parroting screen per conversation: share of
+        assistant-turn distinct tokens already present in the
+        immediately-preceding user turn — pooled exact counts
+        (stages/dialog.echo_rate)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table as _rt
+        from s_tsfe_dl_ray.stages.dialog import echo_rate
+
+        turns = _rt(_transcripts_for(sf),
+                    columns=["conv_id", "turn_idx", "role", "text"])
+        return _round_floats(echo_rate(turns))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -5126,6 +5148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_readability_by_role": q_transcripts_readability_by_role,
         "events_linear_attribution": q_events_linear_attribution,
         "orders_size_dispersion": q_orders_size_dispersion,
+        "events_weekly_acf": q_events_weekly_acf,
+        "transcripts_echo_rate": q_transcripts_echo_rate,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -11375,5 +11399,81 @@ def oracle_sql() -> dict[str, str]:
                      AS dispersion,
                    mx AS max_lines
             FROM m
+        """,
+        # dense day grid (generate_series == np.arange zero-fill); all
+        # moments exact int64; NULL when fewer than 2 lag pairs or zero
+        # variance on either side
+        "events_weekly_acf": """
+            WITH g AS (
+              SELECT date_trunc('day', ts) AS w, count(*)::BIGINT AS c
+              FROM events GROUP BY 1
+            ), bounds AS (SELECT min(w) AS lo, max(w) AS hi FROM g),
+            grid AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                       AS w
+              FROM bounds
+            ), d AS (
+              SELECT grid.w, coalesce(g.c, 0)::BIGINT AS c
+              FROM grid LEFT JOIN g USING (w)
+            ), l AS (
+              SELECT c AS a, lead(c, 7) OVER (ORDER BY w) AS b FROM d
+            ), p AS (SELECT a, b FROM l WHERE b IS NOT NULL),
+            m AS (
+              SELECT count(*)::BIGINT AS np, count(*)::DOUBLE AS n,
+                     sum(a)::DOUBLE AS sa, sum(b)::DOUBLE AS sb,
+                     sum(a * b)::DOUBLE AS sab,
+                     sum(a * a)::DOUBLE AS saa,
+                     sum(b * b)::DOUBLE AS sbb
+              FROM p
+            ), t AS (SELECT count(*)::BIGINT AS mm FROM d)
+            SELECT t.mm AS n_periods, m.np AS n_pairs,
+                   round(CASE WHEN m.np >= 2 THEN
+                         (m.n * m.sab - m.sa * m.sb)
+                         / (sqrt(m.n * m.saa - m.sa * m.sa)
+                            * sqrt(m.n * m.sbb - m.sb * m.sb)) END, 6)
+                     AS lag_corr
+            FROM m, t
+        """,
+        # distinct per-turn tokens exact; eligibility = assistant turn
+        # directly preceded by a user turn; pooled counts, one division
+        "transcripts_echo_rate": f"""
+            WITH w AS (
+              SELECT conv_id, turn_idx::BIGINT AS turn_idx, role,
+                     unnest(string_split(trim(text, ' '), ' ')) AS tok
+              FROM {T}
+            ), t AS (
+              SELECT DISTINCT conv_id, turn_idx, role, tok
+              FROM w WHERE tok <> ''
+            ), r AS (
+              -- eligibility over TOKEN-BEARING turns only (a tokenless
+              -- user turn cannot be echoed; matches the engine, whose
+              -- partials never see empty turns)
+              SELECT DISTINCT conv_id, turn_idx, role FROM t
+            ), elig AS (
+              SELECT a.conv_id, a.turn_idx
+              FROM r a JOIN r u ON a.conv_id = u.conv_id
+                   AND u.turn_idx = a.turn_idx - 1
+              WHERE a.role = 'assistant' AND u.role = 'user'
+            ), at AS (
+              SELECT t.conv_id, t.turn_idx, t.tok
+              FROM t JOIN elig ON t.conv_id = elig.conv_id
+                   AND t.turn_idx = elig.turn_idx
+            ), echo AS (
+              SELECT at.conv_id, count(*)::BIGINT AS ne
+              FROM at JOIN t u ON u.conv_id = at.conv_id
+                   AND u.turn_idx = at.turn_idx - 1
+                   AND u.tok = at.tok
+              GROUP BY 1
+            ), den AS (
+              SELECT conv_id, count(*)::BIGINT AS nt,
+                     count(DISTINCT turn_idx)::BIGINT AS np
+              FROM at GROUP BY 1
+            )
+            SELECT den.conv_id, den.np AS n_pairs,
+                   den.nt AS n_assistant_tokens,
+                   coalesce(echo.ne, 0)::BIGINT AS n_echo_tokens,
+                   round(coalesce(echo.ne, 0)::DOUBLE / den.nt, 6)
+                     AS echo_share
+            FROM den LEFT JOIN echo USING (conv_id)
         """,
     }

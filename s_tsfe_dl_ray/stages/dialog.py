@@ -1834,3 +1834,139 @@ def readability_by_role(
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def echo_rate(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Assistant parroting detector: of the DISTINCT tokens in each
+    assistant turn whose immediately-preceding turn is a user turn,
+    what share already appear in that user turn?  High echo = the
+    assistant restates the prompt instead of answering — a standard
+    transcript-quality screen beside :func:`self_repetition`
+    (self-copying) and conv_compressibility (global redundancy).
+
+    Pooled per conversation (a mean of per-turn ratios would need an
+    order-dependent float sum): ``echo_share = Σ matched /
+    Σ assistant-turn distinct tokens`` over ELIGIBLE turns only
+    (assistant turns directly preceded by a user turn) — all exact
+    int64, one division.  Tokens are the single-space convention;
+    matching is exact string equality on distinct per-turn tokens.
+    Conversations with no eligible pair emit nothing (both sides).
+
+    One conv-hash exchange of distinct (conv, turn, role, token) rows;
+    the per-partition fold is two vectorized merges.  Output:
+    ``conv_col, n_pairs (int64), n_assistant_tokens (int64),
+    n_echo_tokens (int64), echo_share``.
+    """
+    from .grouped import grouped_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = _explode_turn_tokens(t, conv_col, idx_col, role_col,
+                                    text_col)
+        return toks
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            conv_col: pd.Series([], dtype="object"),
+            "n_pairs": pd.Series([], dtype="int64"),
+            "n_assistant_tokens": pd.Series([], dtype="int64"),
+            "n_echo_tokens": pd.Series([], dtype="int64"),
+            "echo_share": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        m = df.drop_duplicates([conv_col, idx_col, "token"])
+        turns = df.drop_duplicates([conv_col, idx_col])[
+            [conv_col, idx_col, role_col]]
+        a_turns = turns[turns[role_col] == "assistant"]
+        u_turns = turns[turns[role_col] == "user"].copy()
+        u_turns["_next"] = u_turns[idx_col] + 1
+        elig = a_turns.merge(
+            u_turns[[conv_col, "_next"]],
+            left_on=[conv_col, idx_col], right_on=[conv_col, "_next"])
+        if len(elig) == 0:
+            return empty
+        elig = elig[[conv_col, idx_col]]
+        at = m.merge(elig, on=[conv_col, idx_col])
+        ut = m.copy()
+        ut["_next"] = ut[idx_col] + 1
+        echo = at.merge(
+            ut[[conv_col, "_next", "token"]],
+            left_on=[conv_col, idx_col, "token"],
+            right_on=[conv_col, "_next", "token"])
+        den = at.groupby(conv_col, sort=True).agg(
+            n_assistant_tokens=("token", "size"),
+            n_pairs=(idx_col, "nunique"))
+        ec = echo.groupby(conv_col, sort=True)["token"].size()
+        out = den.join(ec.rename("n_echo_tokens"), how="left") \
+            .reset_index()
+        out["n_echo_tokens"] = out["n_echo_tokens"].fillna(0) \
+            .astype(np.int64)
+        nt = out["n_assistant_tokens"].to_numpy(np.int64)
+        ne = out["n_echo_tokens"].to_numpy(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            share = ne.astype(np.float64) / nt.astype(np.float64)
+        return pd.DataFrame({
+            conv_col: out[conv_col],
+            "n_pairs": out["n_pairs"].astype(np.int64),
+            "n_assistant_tokens": nt,
+            "n_echo_tokens": ne,
+            "echo_share": np.where(np.isfinite(share), share, np.nan)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return grouped_apply(partials, keys=[conv_col], fn=fold,
+                         num_partitions=num_partitions,
+                         whole_partition=True)
+
+
+def _explode_turn_tokens(t: pa.Table, conv_col: str, idx_col: str,
+                         role_col: str, text_col: str) -> pa.Table:
+    """Per-batch distinct (conv, turn, role, token) rows — single-space
+    tokens, empties dropped, deduped within the batch (global dedup
+    happens in the conv-complete fold)."""
+    toks = pc.split_pattern(pc.utf8_trim(t[text_col], " "), " ")
+    convs = t[conv_col].combine_chunks() if isinstance(
+        t[conv_col], pa.ChunkedArray) else t[conv_col]
+    idxs = pc.cast(t[idx_col], pa.int64()).to_numpy(zero_copy_only=False)
+    roles = t[role_col].combine_chunks() if isinstance(
+        t[role_col], pa.ChunkedArray) else t[role_col]
+    parts = []
+    row_off = 0
+    for ch in (toks.chunks if isinstance(toks, pa.ChunkedArray)
+               else [toks]):
+        lengths = pc.list_value_length(ch).to_numpy(zero_copy_only=False)
+        nrows = len(lengths)
+        cv = convs.slice(row_off, nrows)
+        rv = roles.slice(row_off, nrows)
+        ix = idxs[row_off:row_off + nrows]
+        row_off += nrows
+        vals = ch.flatten()
+        if len(vals) == 0:
+            continue
+        row_of = np.repeat(np.arange(nrows), lengths)
+        keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        if not keep.any():
+            continue
+        rows = row_of[keep]
+        parts.append(pa.table({
+            conv_col: cv.take(pa.array(rows)),
+            idx_col: pa.array(ix[rows]),
+            role_col: rv.take(pa.array(rows)),
+            "token": vals.filter(pa.array(keep))}))
+    if not parts:
+        return pa.table({
+            conv_col: pa.array([], t.schema.field(conv_col).type),
+            idx_col: pa.array([], pa.int64()),
+            role_col: pa.array([], pa.string()),
+            "token": pa.array([], pa.string())})
+    batch = pa.concat_tables(parts).combine_chunks()
+    return batch.group_by(
+        [conv_col, idx_col, role_col, "token"],
+        use_threads=False).aggregate([])

@@ -2297,3 +2297,75 @@ def theta_forecast(
     return grouped_apply(partials, keys=[key], fn=fold,
                          num_partitions=num_partitions,
                          whole_partition=True)
+
+
+def grid_lag_autocorr(
+    ds: Dataset,
+    *,
+    ts_col: str,
+    tier: str = "1d",
+    lag: int = 7,
+) -> Dataset:
+    """Corpus-level lag autocorrelation of activity counts on the DENSE
+    tumbling grid — lag 7 on the daily grid is the weekly-seasonality
+    strength number ("is traffic weekly-periodic?"), the corpus-level
+    companion of the per-key :func:`acf` (values per user) and the
+    fixed-lag sibling of :func:`rolling_grid_corr` (two series,
+    trailing window).
+
+    The grid is dense (missing periods are true zero counts between the
+    observed min and max — the twin generates the same series); the
+    Pearson correlation of (x_t, x_{t+lag}) over all full pairs uses
+    exact int64 moment sums cast to float once, one fixed tree, NULL
+    when either side's variance is 0 or fewer than 2 pairs exist.
+    Output: one row — ``n_periods (int64), n_pairs (int64), lag_corr``.
+    """
+    from ..functions.windows import TIER_US, window_start_us
+
+    step = TIER_US[tier]
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = window_start_us(t[ts_col], tier)
+        out = pa.table({"w": w}).group_by(["w"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return out.rename_columns(["w", "c"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        nulls = pd.DataFrame({
+            "n_periods": pd.Series([0], dtype="int64"),
+            "n_pairs": pd.Series([0], dtype="int64"),
+            "lag_corr": [np.nan]})
+        if len(df) == 0:
+            return nulls.iloc[:0]
+        g = df.groupby("w", sort=True)["c"].sum()
+        lo = int(g.index[0]) // step
+        hi = int(g.index[-1]) // step
+        m = hi - lo + 1
+        x = np.zeros(m, np.int64)
+        x[(g.index.to_numpy(np.int64) // step) - lo] = \
+            g.to_numpy(np.int64)
+        npairs = m - lag
+        out = pd.DataFrame({
+            "n_periods": pd.Series([m], dtype="int64"),
+            "n_pairs": pd.Series([max(npairs, 0)], dtype="int64"),
+            "lag_corr": [np.nan]})
+        if npairs < 2:
+            return out
+        a, b = x[:-lag], x[lag:]
+        n = np.float64(npairs)
+        sa, sb = np.float64(a.sum()), np.float64(b.sum())
+        sab = np.float64(np.dot(a, b))
+        saa = np.float64(np.dot(a, a))
+        sbb = np.float64(np.dot(b, b))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = (n * sab - sa * sb) / (
+                np.sqrt(n * saa - sa * sa) * np.sqrt(n * sbb - sb * sb))
+        out["lag_corr"] = [corr if np.isfinite(corr) else np.nan]
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.repartition(1).map_batches(fin, batch_format="pandas",
+                                               batch_size=None)

@@ -461,3 +461,19 @@ def test_round4z_ops_empty():
     from s_tsfe_dl_ray.stages.funnel import linear_attribution
 
     assert len(linear_attribution(_empty_events()).to_pandas()) == 0
+
+
+def test_round5a_ops_empty():
+    from s_tsfe_dl_ray.stages.dialog import echo_rate
+    from s_tsfe_dl_ray.stages.trend import grid_lag_autocorr
+
+    ds = _empty_events()
+    assert len(grid_lag_autocorr(ds, ts_col="ts", tier="1d",
+                                 lag=7).to_pandas()) == 0
+
+    turns = ray.data.from_arrow(pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "role": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    assert len(echo_rate(turns).to_pandas()) == 0

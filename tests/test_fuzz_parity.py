@@ -143,6 +143,8 @@ QUERIES = [
     "events_interarrival_quantiles",
     # 4z wave: 1/k credits folded in (pid, cid) order
     "events_linear_attribution",
+    # 5a wave: dense-grid lag moments
+    "events_weekly_acf",
 ]
 
 SHAPES = [
@@ -224,7 +226,7 @@ T_QUERIES = ["transcripts_latency_by_hour", "transcripts_duration_stats",
              "transcripts_token_gini", "transcripts_tool_km",
              "transcripts_cache_savings", "transcripts_self_repetition",
              "transcripts_abandonment", "transcripts_tool_adoption",
-             "transcripts_readability_by_role"]
+             "transcripts_readability_by_role", "transcripts_echo_rate"]
 
 
 def _synth_transcripts(tmpdir: str, seed: int, n: int, ties: bool) -> str:
@@ -369,6 +371,10 @@ def test_fuzz_transcript_query_matches_oracle(tmp_path_factory, entrymod,
         from s_tsfe_dl_ray.stages.dialog import readability_by_role
 
         out = readability_by_role(ds)
+    elif name == "transcripts_echo_rate":
+        from s_tsfe_dl_ray.stages.dialog import echo_rate
+
+        out = echo_rate(ds)
     else:
         out = reply_latency(ds, conv_col="conv_id", ts_col="ts",
                             order_by=["ts", "turn_idx"])
