@@ -4769,6 +4769,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     columns=["conv_id", "turn_idx", "role", "text"])
         return _round_floats(echo_rate(turns))
 
+    def q_customers_order_cadence(sf):
+        """Repeat-purchase rhythm per customer: mean and CV of the
+        integer day gaps between consecutive orders (>= 3 orders)
+        (pipelines/relational.customer_order_cadence)."""
+        from s_tsfe_dl_ray.pipelines.relational import (
+            customer_order_cadence)
+
+        return _round_floats(customer_order_cadence(sf))
+
+    def q_events_activity_streaks(sf):
+        """Consecutive-active-day streaks per user: longest run and the
+        run ending at the user's final active day — gaps-and-islands
+        (stages/activity.activity_streaks)."""
+        from s_tsfe_dl_ray.stages.activity import activity_streaks
+
+        ds = read_events(sf, columns=["user_id", "ts"])
+        return _round_floats(activity_streaks(
+            ds, key="user_id", ts_col="ts"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -5150,6 +5169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_size_dispersion": q_orders_size_dispersion,
         "events_weekly_acf": q_events_weekly_acf,
         "transcripts_echo_rate": q_transcripts_echo_rate,
+        "customers_order_cadence": q_customers_order_cadence,
+        "events_activity_streaks": q_events_activity_streaks,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -11475,5 +11496,52 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(echo.ne, 0)::DOUBLE / den.nt, 6)
                      AS echo_share
             FROM den LEFT JOIN echo USING (conv_id)
+        """,
+        # integer day-index gaps (epoch-µs // day); exact int64 moment
+        # sums; the gap multiset is tie-order invariant
+        "customers_order_cadence": """
+            WITH o AS (
+              SELECT o_custkey AS c,
+                     epoch_us(o_orderdate) // 86400000000 AS d
+              FROM orders
+            ), l AS (
+              SELECT c, d - lag(d) OVER (PARTITION BY c ORDER BY d)
+                       AS g
+              FROM o
+            ), m AS (
+              SELECT c, count(g)::BIGINT AS ng,
+                     count(g)::DOUBLE AS n,
+                     sum(g)::DOUBLE AS s, sum(g * g)::DOUBLE AS ss
+              FROM l WHERE g IS NOT NULL GROUP BY 1
+            )
+            SELECT c AS c_custkey, (ng + 1)::BIGINT AS n_orders,
+                   round(s / n, 6) AS mean_gap_days,
+                   round(sqrt((ss - s * s / n) / (n - 1.0)) / (s / n),
+                         6) AS cv_gap
+            FROM m WHERE ng >= 2 ORDER BY 1
+        """,
+        # distinct (user, day) exact; islands via day - row_number();
+        # last streak = the island holding the max day (struct argmax)
+        "events_activity_streaks": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(date_trunc('day', ts)) // 86400000000
+                       AS day
+              FROM events
+            ), i AS (
+              SELECT user_id, day,
+                     day - row_number() OVER (PARTITION BY user_id
+                                              ORDER BY day) AS grp
+              FROM d
+            ), runs AS (
+              SELECT user_id, grp, count(*)::BIGINT AS len,
+                     max(day) AS last_day
+              FROM i GROUP BY 1, 2
+            )
+            SELECT user_id, sum(len)::BIGINT AS n_active_days,
+                   max(len)::BIGINT AS longest_streak,
+                   (max(struct_pack(k := last_day, len := len)))
+                     .len::BIGINT AS last_streak
+            FROM runs GROUP BY 1 ORDER BY 1
         """,
     }

@@ -742,3 +742,77 @@ def order_size_dispersion(sf_dir: str) -> Dataset:
                           zero_copy_batch=True) \
         .repartition(1) \
         .map_batches(final, batch_format="pandas", batch_size=None)
+
+
+def customer_order_cadence(sf_dir: str, *, num_partitions: int = 64,
+                           min_orders: int = 3) -> Dataset:
+    """Repeat-purchase cadence per customer: mean and coefficient of
+    variation of the day gaps between consecutive orders — low CV =
+    subscription-like regularity, high CV = bursty; the rhythm view the
+    recency/frequency RFM scores flatten away.
+
+    Gaps are exact integer day-index differences (epoch-µs // day — the
+    date_diff discipline); consecutive-gap multisets are invariant
+    under same-day tie order, so no tiebreak is needed; moment sums are
+    exact int64 cast once.  Customers with fewer than ``min_orders``
+    orders emit nothing (at least 2 gaps are needed for a variance).
+    Output: ``c_custkey, n_orders (int64), mean_gap_days, cv_gap``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.grouped import grouped_apply
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "_d": pa.array(us // 86_400_000_000)})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "c_custkey": pd.Series([], dtype="int64"),
+            "n_orders": pd.Series([], dtype="int64"),
+            "mean_gap_days": pd.Series([], dtype="float64"),
+            "cv_gap": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        m = df.sort_values(["c_custkey", "_d"], kind="mergesort") \
+            .reset_index(drop=True)
+        d = m["_d"].to_numpy(np.int64)
+        gap = d - np.roll(d, 1)
+        firsts = m.groupby("c_custkey", sort=False).cumcount() \
+            .to_numpy() == 0
+        g = pd.DataFrame({"c_custkey": m["c_custkey"].to_numpy()[~firsts],
+                          "_g": gap[~firsts]})
+        if len(g) == 0:
+            return empty
+        g["_gg"] = g["_g"] * g["_g"]
+        agg = g.groupby("c_custkey", sort=True, as_index=False).agg(
+            _n=("_g", "size"), _s=("_g", "sum"), _ss=("_gg", "sum"))
+        agg = agg[agg["_n"] >= min_orders - 1]
+        if len(agg) == 0:
+            return empty
+        n = agg["_n"].to_numpy(np.int64).astype(np.float64)
+        s = agg["_s"].to_numpy(np.int64).astype(np.float64)
+        ss = agg["_ss"].to_numpy(np.int64).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s / n
+            var = (ss - s * s / n) / (n - 1.0)
+            cv = np.sqrt(var) / mean
+        return pd.DataFrame({
+            "c_custkey": agg["c_custkey"].astype(np.int64),
+            "n_orders": (agg["_n"] + 1).astype(np.int64),
+            "mean_gap_days": np.where(np.isfinite(mean), mean, np.nan),
+            "cv_gap": np.where(np.isfinite(cv), cv, np.nan)})
+
+    partials = orders.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return grouped_apply(partials, keys=["c_custkey"], fn=fold,
+                         num_partitions=num_partitions,
+                         whole_partition=True)

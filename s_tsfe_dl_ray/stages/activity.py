@@ -769,3 +769,70 @@ def lorenz_deciles(
 
     return counts.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def activity_streaks(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Consecutive-active-day streaks per key: the longest run of
+    consecutive calendar days with ≥ 1 event, and the length of the
+    LAST run (ending at the key's final active day) — the engagement
+    "streak" mechanic, and the gaps-and-islands sibling of
+    :func:`availability_profile` (which measures the share, not the
+    runs).
+
+    Distinct (key, day) pairs are exact; islands come from the classic
+    ``day − row_number()`` grouping (vectorized across all keys of the
+    partition); the last streak is the island holding the key's max
+    day (struct_pack argmax in the twin).  Output: ``key,
+    n_active_days (int64), longest_streak (int64),
+    last_streak (int64)``.
+    """
+    import pyarrow.compute as pc
+
+    from .grouped import grouped_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        base = pa.table({key: t[key],
+                         "_d": pa.array(us // 86_400_000_000)})
+        out = base.group_by([key, "_d"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return out.drop_columns([out.column_names[-1]])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key: pd.Series([], dtype="object"),
+            "n_active_days": pd.Series([], dtype="int64"),
+            "longest_streak": pd.Series([], dtype="int64"),
+            "last_streak": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        m = df.drop_duplicates([key, "_d"]) \
+            .sort_values([key, "_d"], kind="mergesort") \
+            .reset_index(drop=True)
+        d = m["_d"].to_numpy(np.int64)
+        rn = m.groupby(key, sort=False).cumcount().to_numpy(np.int64)
+        m["_grp"] = d - rn
+        runs = m.groupby([key, "_grp"], sort=False, as_index=False) \
+            .agg(_len=("_d", "size"), _last=("_d", "max"))
+        agg = runs.groupby(key, sort=True).agg(
+            n_active_days=("_len", "sum"),
+            longest_streak=("_len", "max"))
+        last_idx = runs.groupby(key, sort=True)["_last"].idxmax()
+        last = runs.loc[last_idx].set_index(key)["_len"]
+        out = agg.join(last.rename("last_streak")).reset_index()
+        for c in ("n_active_days", "longest_streak", "last_streak"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return grouped_apply(partials, keys=[key], fn=fold,
+                         num_partitions=num_partitions,
+                         whole_partition=True)

@@ -477,3 +477,11 @@ def test_round5a_ops_empty():
         "role": pa.array([], pa.string()),
         "text": pa.array([], pa.string())}))
     assert len(echo_rate(turns).to_pandas()) == 0
+
+
+def test_round5b_ops_empty():
+    from s_tsfe_dl_ray.stages.activity import activity_streaks
+
+    ds = _empty_events()
+    assert len(activity_streaks(ds, key="user_id",
+                                ts_col="ts").to_pandas()) == 0

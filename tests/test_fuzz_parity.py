@@ -145,6 +145,8 @@ QUERIES = [
     "events_linear_attribution",
     # 5a wave: dense-grid lag moments
     "events_weekly_acf",
+    # 5b wave: gaps-and-islands streaks
+    "events_activity_streaks",
 ]
 
 SHAPES = [
