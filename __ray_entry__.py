@@ -4788,6 +4788,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(activity_streaks(
             ds, key="user_id", ts_col="ts"))
 
+    def q_transcripts_prompt_curve(sf):
+        """Reply-length response curve: user→assistant pairs binned
+        into prompt-length rank deciles, mean prompt/reply tokens per
+        bin (stages/dialog.prompt_response_curve)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table as _rt
+        from s_tsfe_dl_ray.stages.dialog import prompt_response_curve
+
+        turns = _rt(_transcripts_for(sf),
+                    columns=["conv_id", "turn_idx", "role", "text"])
+        return _round_floats(prompt_response_curve(turns))
+
+    def q_events_value_deciles(sf):
+        """Per-type decile table of event values — nine exact
+        quantile_disc picks per type
+        (stages/quantile.grouped_quantiles)."""
+        from s_tsfe_dl_ray.stages.quantile import grouped_quantiles
+
+        ds = read_events(sf, columns=["event_type", "value"])
+        return _round_floats(grouped_quantiles(
+            ds, value_col="value", keys=["event_type"],
+            quantiles=(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+        ).sort("event_type"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -5171,6 +5194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_echo_rate": q_transcripts_echo_rate,
         "customers_order_cadence": q_customers_order_cadence,
         "events_activity_streaks": q_events_activity_streaks,
+        "transcripts_prompt_curve": q_transcripts_prompt_curve,
+        "events_value_deciles": q_events_value_deciles,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -11543,5 +11568,52 @@ def oracle_sql() -> dict[str, str]:
                    (max(struct_pack(k := last_day, len := len)))
                      .len::BIGINT AS last_streak
             FROM runs GROUP BY 1 ORDER BY 1
+        """,
+        # single-space token counts (TOKLEN); adjacency via lead with
+        # the idx+1 guard; deterministic rank cut on (x, conv, idx);
+        # bin means are exact int sums divided once
+        "transcripts_prompt_curve": f"""
+            WITH o AS (
+              SELECT conv_id, turn_idx::BIGINT AS idx, role,
+                     {TOKLEN} AS tok,
+                     lead(role) OVER w AS nrole,
+                     lead(turn_idx::BIGINT) OVER w AS nidx,
+                     lead({TOKLEN}) OVER w AS ntok
+              FROM {T}
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ), p AS (
+              SELECT conv_id, idx, tok AS x, ntok AS y
+              FROM o WHERE role = 'user' AND nrole = 'assistant'
+                    AND nidx = idx + 1
+            ), t2 AS (SELECT count(*)::BIGINT AS n FROM p),
+            r AS (
+              SELECT x, y,
+                     row_number() OVER (ORDER BY x, conv_id, idx) AS rn
+              FROM p
+            ), d AS (
+              SELECT ((rn - 1) * 10) // t2.n + 1 AS bin, x, y
+              FROM r, t2
+            )
+            SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n_pairs,
+                   round(sum(x)::DOUBLE / count(*)::DOUBLE, 6)
+                     AS mean_prompt_tokens,
+                   round(sum(y)::DOUBLE / count(*)::DOUBLE, 6)
+                     AS mean_reply_tokens
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
+        # nine quantile_disc picks per type (element at sorted index
+        # ceil(n*q)-1 — the house recipe)
+        "events_value_deciles": """
+            SELECT event_type,
+                   round(quantile_disc(value, 0.1), 6) AS q_10,
+                   round(quantile_disc(value, 0.2), 6) AS q_20,
+                   round(quantile_disc(value, 0.3), 6) AS q_30,
+                   round(quantile_disc(value, 0.4), 6) AS q_40,
+                   round(quantile_disc(value, 0.5), 6) AS q_50,
+                   round(quantile_disc(value, 0.6), 6) AS q_60,
+                   round(quantile_disc(value, 0.7), 6) AS q_70,
+                   round(quantile_disc(value, 0.8), 6) AS q_80,
+                   round(quantile_disc(value, 0.9), 6) AS q_90
+            FROM events GROUP BY 1 ORDER BY 1
         """,
     }

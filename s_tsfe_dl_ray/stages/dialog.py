@@ -1970,3 +1970,98 @@ def _explode_turn_tokens(t: pa.Table, conv_col: str, idx_col: str,
     return batch.group_by(
         [conv_col, idx_col, role_col, "token"],
         use_threads=False).aggregate([])
+
+
+def prompt_response_curve(
+    ds: Dataset,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    n_bins: int = 10,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Reply-length response curve: user→assistant adjacent turn pairs,
+    binned into ``n_bins`` rank deciles of PROMPT token length, with
+    each bin's mean prompt and mean reply length — the SHAPE behind
+    :func:`prompt_response_ols`'s single slope (is the response curve
+    linear, saturating, or U-shaped?).
+
+    Token counts are the engine-wide single-space convention (exact
+    int64); bins are integer row_number cuts ordered by (prompt length,
+    conv, turn) so ties split deterministically; bin means are exact
+    int sums divided once.  Output per bin: ``bin (int64), n_pairs
+    (int64), mean_prompt_tokens, mean_reply_tokens``.
+
+    One conv-hash exchange emits only (x, y, conv, idx) pair rows; the
+    rank cut folds them on one final partition (pairs ≤ turns — sample
+    upstream for billion-turn stores).
+    """
+    from ..functions.derive import token_count
+    from .grouped import grouped_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            conv_col: t[conv_col],
+            idx_col: pc.cast(t[idx_col], pa.int64()),
+            role_col: t[role_col],
+            "_tok": pc.cast(token_count(t[text_col]), pa.int64())})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            conv_col: pd.Series([], dtype="object"),
+            idx_col: pd.Series([], dtype="int64"),
+            "_x": pd.Series([], dtype="int64"),
+            "_y": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        m = df.sort_values([conv_col, idx_col], kind="mergesort") \
+            .reset_index(drop=True)
+        nxt_conv = m[conv_col].shift(-1)
+        nxt_role = m[role_col].shift(-1)
+        nxt_idx = m[idx_col].shift(-1)
+        nxt_tok = m["_tok"].shift(-1)
+        sel = ((m[role_col] == "user") & (nxt_role == "assistant")
+               & (nxt_conv == m[conv_col])
+               & (nxt_idx == m[idx_col] + 1))
+        p = m[sel]
+        if len(p) == 0:
+            return empty
+        return pd.DataFrame({
+            conv_col: p[conv_col],
+            idx_col: p[idx_col].astype(np.int64),
+            "_x": p["_tok"].astype(np.int64),
+            "_y": nxt_tok[sel].astype(np.int64)})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "bin": pd.Series([], dtype="int64"),
+            "n_pairs": pd.Series([], dtype="int64"),
+            "mean_prompt_tokens": pd.Series([], dtype="float64"),
+            "mean_reply_tokens": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        m = df.sort_values(["_x", conv_col, idx_col], kind="mergesort") \
+            .reset_index(drop=True)
+        n = np.int64(len(m))
+        rn = np.arange(1, n + 1, dtype=np.int64)
+        m["bin"] = (rn - 1) * n_bins // n + 1
+        g = m.groupby("bin", sort=True, as_index=False).agg(
+            n_pairs=("_x", "size"), _sx=("_x", "sum"), _sy=("_y", "sum"))
+        np_ = g["n_pairs"].to_numpy(np.int64).astype(np.float64)
+        return pd.DataFrame({
+            "bin": g["bin"].astype(np.int64),
+            "n_pairs": g["n_pairs"].astype(np.int64),
+            "mean_prompt_tokens": g["_sx"].to_numpy(np.int64)
+                                  .astype(np.float64) / np_,
+            "mean_reply_tokens": g["_sy"].to_numpy(np.int64)
+                                 .astype(np.float64) / np_})
+
+    pairs = grouped_apply(ds.map_batches(partial, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                          keys=[conv_col], fn=fold,
+                          num_partitions=num_partitions,
+                          whole_partition=True)
+    return pairs.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

@@ -485,3 +485,14 @@ def test_round5b_ops_empty():
     ds = _empty_events()
     assert len(activity_streaks(ds, key="user_id",
                                 ts_col="ts").to_pandas()) == 0
+
+
+def test_round5c_ops_empty():
+    from s_tsfe_dl_ray.stages.dialog import prompt_response_curve
+
+    turns = ray.data.from_arrow(pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "role": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    assert len(prompt_response_curve(turns).to_pandas()) == 0

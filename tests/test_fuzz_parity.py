@@ -147,6 +147,8 @@ QUERIES = [
     "events_weekly_acf",
     # 5b wave: gaps-and-islands streaks
     "events_activity_streaks",
+    # 5c wave: per-type quantile_disc picks
+    "events_value_deciles",
 ]
 
 SHAPES = [
@@ -228,7 +230,8 @@ T_QUERIES = ["transcripts_latency_by_hour", "transcripts_duration_stats",
              "transcripts_token_gini", "transcripts_tool_km",
              "transcripts_cache_savings", "transcripts_self_repetition",
              "transcripts_abandonment", "transcripts_tool_adoption",
-             "transcripts_readability_by_role", "transcripts_echo_rate"]
+             "transcripts_readability_by_role", "transcripts_echo_rate",
+             "transcripts_prompt_curve"]
 
 
 def _synth_transcripts(tmpdir: str, seed: int, n: int, ties: bool) -> str:
@@ -377,6 +380,10 @@ def test_fuzz_transcript_query_matches_oracle(tmp_path_factory, entrymod,
         from s_tsfe_dl_ray.stages.dialog import echo_rate
 
         out = echo_rate(ds)
+    elif name == "transcripts_prompt_curve":
+        from s_tsfe_dl_ray.stages.dialog import prompt_response_curve
+
+        out = prompt_response_curve(ds)
     else:
         out = reply_latency(ds, conv_col="conv_id", ts_col="ts",
                             order_by=["ts", "turn_idx"])
