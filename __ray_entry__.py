@@ -4695,7 +4695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bought together in ≥ 2 orders — the family-clusters pruning):
         20 exact damped Jacobi iterations, bit-exact vs the
         unrolled-CTE twin (stages/cluster.pagerank)."""
-        from s_tsfe_dl_ray.stages.cluster import pagerank
+        from s_tsfe_dl_ray.stages.cluster import pagerank_exact
         from s_tsfe_dl_ray.stages.distinct import pair_cooccurrence
 
         li = read_table(f"{sf}/lineitem.parquet",
@@ -4703,7 +4703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = pair_cooccurrence(li, group_col="l_orderkey",
                                   member_col="l_partkey") \
             .filter(expr="n_both >= 2")
-        return _round_floats(pagerank(
+        return _round_floats(pagerank_exact(
             pairs, a_col="member_a", b_col="member_b",
             damping=0.85, iters=20))
 
@@ -4810,6 +4810,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, value_col="value", keys=["event_type"],
             quantiles=(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
         ).sort("event_type"))
+
+    def q_orders_monthly_yoy(sf):
+        """Monthly revenue with MoM and YoY growth over the observed
+        month sequence — exact int-cent sums, lag-1/lag-12 ratios
+        (pipelines/relational.monthly_revenue_yoy)."""
+        from s_tsfe_dl_ray.pipelines.relational import monthly_revenue_yoy
+
+        return _round_floats(monthly_revenue_yoy(sf))
+
+    def q_events_daily_health(sf):
+        """Composite per-day health table: volume, error rate, exact
+        p95 value, distinct users, WoW volume delta
+        (pipelines/events_rollup.daily_health)."""
+        from s_tsfe_dl_ray.pipelines.events_rollup import daily_health
+
+        return _round_floats(daily_health(sf))
 
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
@@ -5196,6 +5212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_activity_streaks": q_events_activity_streaks,
         "transcripts_prompt_curve": q_transcripts_prompt_curve,
         "events_value_deciles": q_events_value_deciles,
+        "orders_monthly_yoy": q_orders_monthly_yoy,
+        "events_daily_health": q_events_daily_health,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -11615,5 +11633,51 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_disc(value, 0.8), 6) AS q_80,
                    round(quantile_disc(value, 0.9), 6) AS q_90
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        # exact int-cent monthly sums; growth lags over the observed
+        # month sequence; NULL while no base month / zero base
+        "orders_monthly_yoy": """
+            WITH m AS (
+              SELECT date_trunc('month', o_orderdate) AS month,
+                     count(*)::BIGINT AS n,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       ::BIGINT AS c
+              FROM orders GROUP BY 1
+            ), l AS (
+              SELECT month, n, c,
+                     lag(c, 1) OVER (ORDER BY month) AS c1,
+                     lag(c, 12) OVER (ORDER BY month) AS c12
+              FROM m
+            )
+            SELECT month, n AS n_orders,
+                   round(c::DOUBLE / 100.0, 6) AS revenue,
+                   round((c::DOUBLE - c1::DOUBLE) / c1::DOUBLE, 6)
+                     AS mom_growth,
+                   round((c::DOUBLE - c12::DOUBLE) / c12::DOUBLE, 6)
+                     AS yoy_growth
+            FROM l ORDER BY 1
+        """,
+        # exact counts, exact distinct users, quantile_disc p95, WoW
+        # lag-7 ratio over the observed day sequence
+        "events_daily_health": """
+            WITH d AS (
+              SELECT date_trunc('day', ts) AS day,
+                     count(*)::BIGINT AS n,
+                     sum((event_type = 'error')::BIGINT) AS e,
+                     count(DISTINCT user_id)::BIGINT AS nu,
+                     quantile_disc(value, 0.95) AS p95
+              FROM events GROUP BY 1
+            ), l AS (
+              SELECT day, n, e, nu, p95,
+                     lag(n, 7) OVER (ORDER BY day) AS n7
+              FROM d
+            )
+            SELECT day, n AS n_events, e::BIGINT AS n_errors,
+                   round(e::DOUBLE / n::DOUBLE, 6) AS error_rate,
+                   round(p95, 6) AS p95_value,
+                   nu AS n_users,
+                   round((n::DOUBLE - n7::DOUBLE) / n7::DOUBLE, 6)
+                     AS wow_events_delta
+            FROM l ORDER BY 1
         """,
     }

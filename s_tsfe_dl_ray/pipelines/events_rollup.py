@@ -156,3 +156,110 @@ def events_tiers(
             partial = partial.materialize()
         out[tier] = finalize(partial, EVENTS_SPEC)
     return out
+
+
+def daily_health(sf_dir: str, *, num_partitions: int = 64) -> Dataset:
+    """Composite per-day operational health table — the one-glance
+    dashboard a stream owner reads every morning: volume, error rate,
+    p95 value, distinct users and the week-over-week volume delta, all
+    exact (counts/int-cents combiner; exact distinct via (day, user)
+    dedup; p95 = quantile_disc pick from the per-day value histogram;
+    WoW from the observed-day sequence at lag 7).
+
+    Three column-pruned combiner passes produce day-grained small
+    sides (the BM25-stats precedent: day cardinality is bounded, so
+    two of them ride into the final map as driver closures); nothing
+    row-grained ever crosses to the driver.  Output per day:
+    ``day (timestamp us), n_events (int64), n_errors (int64),
+    error_rate, p95_value, n_users (int64), wow_events_delta``.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..stages.quantile import grouped_quantiles
+
+    day_us = 86_400_000_000
+
+    base = read_events(sf_dir, columns=["ts", "event_type", "value",
+                                        "user_id"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        d = (us // day_us) * day_us
+        err = pc.cast(pc.equal(t["event_type"], "error"),
+                      pa.int64())
+        out = pa.table({
+            "_d": pa.array(d),
+            "_one": pa.array(np.ones(t.num_rows, np.int64)),
+            "_err": err}).group_by(["_d"], use_threads=False) \
+            .aggregate([("_one", "sum"), ("_err", "sum")])
+        return out.rename_columns(["_d", "_n", "_e"])
+
+    def user_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        d = (us // day_us) * day_us
+        out = pa.table({"_d": pa.array(d), "_u": t["user_id"]}) \
+            .group_by(["_d", "_u"], use_threads=False).aggregate([])
+        return out
+
+    def add_day(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"_d": pa.array((us // day_us) * day_us),
+                         "value": t["value"]})
+
+    # day-grained small sides (bounded by distinct days)
+    users = (base.map_batches(user_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .map_batches(lambda t: t.group_by(
+                 ["_d", "_u"], use_threads=False).aggregate([]),
+                 batch_format="pyarrow")
+             .to_pandas().drop_duplicates(["_d", "_u"])
+             .groupby("_d").size().rename("n_users"))
+    p95 = grouped_quantiles(
+        base.map_batches(add_day, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        value_col="value", keys=["_d"], quantiles=(0.95,),
+        num_partitions=num_partitions).to_pandas() \
+        .set_index("_d")["q_95"]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "day": pd.Series([], dtype="datetime64[us]"),
+            "n_events": pd.Series([], dtype="int64"),
+            "n_errors": pd.Series([], dtype="int64"),
+            "error_rate": pd.Series([], dtype="float64"),
+            "p95_value": pd.Series([], dtype="float64"),
+            "n_users": pd.Series([], dtype="int64"),
+            "wow_events_delta": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        g = df.groupby("_d", sort=True, as_index=False)[["_n", "_e"]] \
+            .sum()
+        n = g["_n"].to_numpy(np.int64)
+        e = g["_e"].to_numpy(np.int64)
+        wow = np.full(len(g), np.nan)
+        if len(g) > 7:
+            prev = n[:-7].astype(np.float64)
+            cur = n[7:].astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                r = (cur - prev) / prev
+            wow[7:] = np.where(np.isfinite(r), r, np.nan)
+        days = g["_d"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "day": pd.Series(days).astype("datetime64[us]"),
+            "n_events": n,
+            "n_errors": e,
+            "error_rate": e.astype(np.float64) / n.astype(np.float64),
+            "p95_value": pd.Series(days).map(p95).to_numpy(np.float64),
+            "n_users": pd.Series(days).map(users).fillna(0)
+                       .to_numpy(np.int64),
+            "wow_events_delta": wow})
+
+    return base.map_batches(day_partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .repartition(1) \
+        .map_batches(final, batch_format="pandas", batch_size=None)

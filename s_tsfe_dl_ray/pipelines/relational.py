@@ -816,3 +816,75 @@ def customer_order_cadence(sf_dir: str, *, num_partitions: int = 64,
     return grouped_apply(partials, keys=["c_custkey"], fn=fold,
                          num_partitions=num_partitions,
                          whole_partition=True)
+
+
+def monthly_revenue_yoy(sf_dir: str) -> Dataset:
+    """Monthly order revenue with month-over-month and year-over-year
+    growth — the finance-dashboard staple over the star schema: exact
+    int-cent monthly sums, growth = (rev − rev_lag)/rev_lag against the
+    observed-month sequence lags 1 and 12 (NULL while no base month
+    exists or the base is 0).
+
+    Pure combiner: per-batch (month, cents) partials merge once; the
+    ≤months-row fold sorts and lags.  Output: ``month (timestamp us),
+    n_orders (int64), revenue, mom_growth, yoy_growth``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        months = (us // 86_400_000_000).astype("datetime64[D]") \
+            .astype("datetime64[M]")
+        cents = pc.cast(pc.round(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        import numpy as _np
+        base = pa.table({
+            "_m": pa.array(months.astype("datetime64[us]")
+                           .astype(_np.int64)),
+            "_one": pa.array(_np.ones(t.num_rows, _np.int64)),
+            "_c": cents})
+        out = base.group_by(["_m"], use_threads=False).aggregate(
+            [("_one", "sum"), ("_c", "sum")])
+        return out.rename_columns(["_m", "_n", "_c"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "month": pd.Series([], dtype="datetime64[us]"),
+            "n_orders": pd.Series([], dtype="int64"),
+            "revenue": pd.Series([], dtype="float64"),
+            "mom_growth": pd.Series([], dtype="float64"),
+            "yoy_growth": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        g = df.groupby("_m", sort=True, as_index=False)[["_n", "_c"]] \
+            .sum()
+        c = g["_c"].to_numpy(np.int64)
+
+        def growth(lagk: int) -> np.ndarray:
+            out = np.full(len(c), np.nan)
+            if len(c) > lagk:
+                prev = c[:-lagk].astype(np.float64)
+                cur = c[lagk:].astype(np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    r = (cur - prev) / prev
+                out[lagk:] = np.where(np.isfinite(r), r, np.nan)
+            return out
+
+        return pd.DataFrame({
+            "month": pd.Series(g["_m"].to_numpy(np.int64))
+                     .astype("datetime64[us]"),
+            "n_orders": g["_n"].astype(np.int64),
+            "revenue": c.astype(np.float64) / 100.0,
+            "mom_growth": growth(1),
+            "yoy_growth": growth(12)})
+
+    return orders.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .repartition(1) \
+        .map_batches(final, batch_format="pandas", batch_size=None)

@@ -366,7 +366,7 @@ def pagerank(
     return ray.data.from_pandas(out)
 
 
-def pagerank(
+def pagerank_exact(
     edges: Dataset,
     *,
     a_col: str = "member_a",
@@ -375,6 +375,10 @@ def pagerank(
     iters: int = 20,
 ) -> Dataset:
     """Fixed-iteration PageRank over an UNDIRECTED edge list — the
+    ORACLE-PAIRED sibling of :func:`pagerank` (which is weighted,
+    directed, handles dangling mass and runs one distributed
+    combiner pass per iteration): this variant trades generality
+    for a bit-exact SQL twin — the
     importance ranking of the co-purchase / co-occurrence graph whose
     connected components :func:`connected_components` already labels
     (components say "which cluster"; PageRank says "which hub").

@@ -434,12 +434,12 @@ def test_round4w_ops_empty():
 
 
 def test_round4x_ops_empty():
-    from s_tsfe_dl_ray.stages.cluster import pagerank
+    from s_tsfe_dl_ray.stages.cluster import pagerank_exact
 
     edges = ray.data.from_arrow(pa.table({
         "member_a": pa.array([], pa.int64()),
         "member_b": pa.array([], pa.int64())}))
-    assert len(pagerank(edges).to_pandas()) == 0
+    assert len(pagerank_exact(edges).to_pandas()) == 0
 
 
 def test_round4y_ops_empty():

@@ -149,6 +149,8 @@ QUERIES = [
     "events_activity_streaks",
     # 5c wave: per-type quantile_disc picks
     "events_value_deciles",
+    # 5d wave: composite daily health (exact distinct + p95 + WoW lag)
+    "events_daily_health",
 ]
 
 SHAPES = [

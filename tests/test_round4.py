@@ -1240,7 +1240,7 @@ def test_pagerank_properties_and_invariance():
     import ray
 
     from conftest import to_pdf
-    from s_tsfe_dl_ray.stages.cluster import pagerank
+    from s_tsfe_dl_ray.stages.cluster import pagerank_exact
 
     # star: node 0 connected to 1..10, plus a 11-12-13 triangle
     a = [0] * 10 + [11, 12, 13]
@@ -1252,7 +1252,7 @@ def test_pagerank_properties_and_invariance():
 
     def run(blocks):
         e = ray.data.read_parquet(path, override_num_blocks=blocks)
-        return to_pdf(pagerank(e).sort("node"))
+        return to_pdf(pagerank_exact(e).sort("node"))
 
     one, seven = run(1), run(7)
     pd.testing.assert_frame_equal(one.reset_index(drop=True),
