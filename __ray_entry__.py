@@ -4827,6 +4827,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _round_floats(daily_health(sf))
 
+    def q_events_trend_census(sf):
+        """Population trend census: how many users trend up / down /
+        flat by the SIGN of their 6-decimal-rounded OLS slope — the
+        rounding is the driver's own contract, so the classification is
+        bit-exact on both sides (stages/trend.grouped_linear_trend +
+        a one-row sign fold)."""
+        from s_tsfe_dl_ray.stages.trend import grouped_linear_trend
+
+        ds = read_events(sf, columns=["user_id", "ts", "value"])
+        tr = _round_floats(grouped_linear_trend(
+            ds, key="user_id", ts_col="ts", value_col="value",
+            ref_ts_us=1_704_067_200_000_000))
+
+        def census(df):
+            s = df["slope_per_day"] if len(df) else None
+            vals = {
+                "n_users": len(df),
+                "n_up": int((s > 0).sum()) if len(df) else 0,
+                "n_down": int((s < 0).sum()) if len(df) else 0,
+                "n_flat": int((s == 0).sum()) if len(df) else 0,
+                "n_undefined": int(s.isna().sum()) if len(df) else 0,
+            }
+            return pd.DataFrame(
+                {k: pd.Series([v], dtype="int64")
+                 for k, v in vals.items()})
+
+        return tr.repartition(1).map_batches(
+            census, batch_format="pandas", batch_size=None)
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -5214,6 +5243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_deciles": q_events_value_deciles,
         "orders_monthly_yoy": q_orders_monthly_yoy,
         "events_daily_health": q_events_daily_health,
+        "events_trend_census": q_events_trend_census,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -11679,5 +11709,23 @@ def oracle_sql() -> dict[str, str]:
                    round((n::DOUBLE - n7::DOUBLE) / n7::DOUBLE, 6)
                      AS wow_events_delta
             FROM l ORDER BY 1
+        """,
+        # sign census over the 6-decimal-ROUNDED slope (the driver's own
+        # rounding contract), so the classification is exact
+        "events_trend_census": """
+            WITH s AS (
+              SELECT user_id,
+                     round(regr_slope(value,
+                           epoch(ts - TIMESTAMP '2024-01-01')
+                           / 86400.0), 6) AS sl
+              FROM events GROUP BY 1
+            )
+            SELECT count(*)::BIGINT AS n_users,
+                   (count(*) FILTER (WHERE sl > 0))::BIGINT AS n_up,
+                   (count(*) FILTER (WHERE sl < 0))::BIGINT AS n_down,
+                   (count(*) FILTER (WHERE sl = 0))::BIGINT AS n_flat,
+                   (count(*) FILTER (WHERE sl IS NULL))::BIGINT
+                     AS n_undefined
+            FROM s
         """,
     }

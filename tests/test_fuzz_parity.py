@@ -151,6 +151,8 @@ QUERIES = [
     "events_value_deciles",
     # 5d wave: composite daily health (exact distinct + p95 + WoW lag)
     "events_daily_health",
+    # 5e: sign census over the rounded slope
+    "events_trend_census",
 ]
 
 SHAPES = [
