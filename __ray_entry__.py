@@ -4856,6 +4856,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return tr.repartition(1).map_batches(
             census, batch_format="pandas", batch_size=None)
 
+    def q_docs_collocations(sf):
+        """Top-20 collocations by PMI over adjacent token pairs
+        (n_ab >= 5) — association strength vs the raw-frequency
+        top_bigrams (stages/text.collocations_pmi)."""
+        from s_tsfe_dl_ray.stages.text import collocations_pmi
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["text"])
+        return _round_floats(collocations_pmi(ds, k=20, min_count=5))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -5244,6 +5253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_yoy": q_orders_monthly_yoy,
         "events_daily_health": q_events_daily_health,
         "events_trend_census": q_events_trend_census,
+        "docs_collocations": q_docs_collocations,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -11727,5 +11737,41 @@ def oracle_sql() -> dict[str, str]:
                    (count(*) FILTER (WHERE sl IS NULL))::BIGINT
                      AS n_undefined
             FROM s
+        """,
+        # the top_bigrams adjacency; PMI is one fixed float tree over
+        # exact counts (ln via the shared libm), so the (pmi desc,
+        # bigram) top-20 selects identical rows
+        "docs_collocations": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(text), ' ')) AS tok,
+                     generate_subscripts(string_split(trim(text), ' '),
+                                         1) AS pos
+              FROM documents
+            ), b AS (
+              SELECT t1.tok || ' ' || t2.tok AS bigram,
+                     t1.tok AS ta, t2.tok AS tb, count(*)::BIGINT AS nab
+              FROM w t1 JOIN w t2
+                ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+              WHERE t1.tok <> '' AND t2.tok <> ''
+              GROUP BY 1, 2, 3
+            ), u AS (
+              SELECT tok, count(*)::BIGINT AS n
+              FROM w WHERE tok <> '' GROUP BY 1
+            ), tot AS (
+              SELECT (SELECT sum(n) FROM u)::BIGINT AS nu,
+                     (SELECT sum(nab) FROM b)::BIGINT AS nb
+            ), sc AS (
+              SELECT b.bigram, b.nab,
+                     ln((b.nab::DOUBLE / tot.nb::DOUBLE)
+                        / ((ua.n::DOUBLE / tot.nu::DOUBLE)
+                           * (ub.n::DOUBLE / tot.nu::DOUBLE))) AS pmi
+              FROM b JOIN u ua ON ua.tok = b.ta
+                   JOIN u ub ON ub.tok = b.tb
+                   CROSS JOIN tot
+              WHERE b.nab >= 5
+            )
+            SELECT bigram, nab AS n_ab, round(pmi, 6) AS pmi
+            FROM sc ORDER BY sc.pmi DESC, bigram LIMIT 20
         """,
     }

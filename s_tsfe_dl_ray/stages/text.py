@@ -2211,3 +2211,133 @@ def heaps_law(
 
     return folded.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def collocations_pmi(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 5,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Top-``k`` collocations by pointwise mutual information: adjacent
+    token pairs whose co-occurrence beats the unigram-independence
+    baseline —
+
+        pmi = ln( (n_ab/N_b) / ((n_a/N_u) · (n_b/N_u)) )
+
+    with n_ab ≥ ``min_count`` (the classic low-count PMI guard).  The
+    association-strength refinement of :func:`top_bigrams` (raw
+    frequency): "of course the" is frequent, "new york" is a
+    collocation.
+
+    Exactness: all counts exact int64 (the top_bigrams adjacency —
+    pairs never cross documents, runs of spaces break pairs); the PMI
+    ratio is one fixed float tree over the exact counts and ln is the
+    shared libm, so both sides' PMI floats are bit-identical and the
+    (pmi desc, bigram asc) top-k selects identical rows.
+
+    Scale shape: bigram combiner partials cross ONE bigram-hash
+    exchange; unigram counts and both totals fold to a vocab-bounded
+    driver closure (the pair_cooccurrence precedent); each
+    bigram-complete partition scores vectorized and emits its local
+    top-k; ≤ partitions·k candidates merge once.  Output: ``bigram,
+    n_ab (int64), pmi``.
+    """
+    from .grouped import grouped_apply
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bigram": pa.array([], pa.string()),
+                          "_n": pa.array([], pa.int64())})
+        toks = pc.split_pattern(pc.utf8_trim(t[text_col], " "), " ")
+        parts = []
+        for ch in (toks.chunks if isinstance(toks, pa.ChunkedArray)
+                   else [toks]):
+            vals = ch.flatten()
+            nv = len(vals)
+            if nv < 2:
+                continue
+            lengths = pc.list_value_length(ch).to_numpy(
+                zero_copy_only=False)
+            first = vals.slice(0, nv - 1)
+            second = vals.slice(1, nv - 1)
+            pair_ok = np.ones(nv - 1, dtype=bool)
+            ends = np.cumsum(lengths)[:-1] - 1
+            pair_ok[ends[ends < nv - 1]] = False
+            pair_ok &= pc.not_equal(first, "").to_numpy(
+                zero_copy_only=False)
+            pair_ok &= pc.not_equal(second, "").to_numpy(
+                zero_copy_only=False)
+            if not pair_ok.any():
+                continue
+            big = pc.binary_join_element_wise(first, second, " ")
+            parts.append(big.filter(pa.array(pair_ok)))
+        if not parts:
+            return empty
+        vc = pa.chunked_array(parts).combine_chunks().value_counts()
+        return pa.table({"bigram": vc.field("values"),
+                         "_n": pc.cast(vc.field("counts"), pa.int64())})
+
+    def totals_partial(t: pa.Table) -> pa.Table:
+        toks = _grouped_token_counts(
+            t.append_column("_g", pa.array(
+                np.zeros(t.num_rows, np.int8))), "_g", text_col)
+        return pa.table({"token": toks["token"], "_n": toks["_n"]})
+
+    # vocab-bounded small sides: unigram counts, N_u and N_b
+    uni = (ds.map_batches(totals_partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+    if len(uni) == 0:
+        n_a = {}
+        nu = 0
+    else:
+        g = uni.groupby("token", sort=False)["_n"].sum()
+        n_a = g.to_dict()
+        nu = int(g.sum())
+    nb_df = (ds.map_batches(bigram_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas())
+    nb = int(nb_df["_n"].sum()) if len(nb_df) else 0
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "bigram": pd.Series([], dtype="object"),
+            "n_ab": pd.Series([], dtype="int64"),
+            "pmi": pd.Series([], dtype="float64")})
+        if len(df) == 0 or nb == 0 or nu == 0:
+            return empty
+        m = df.groupby("bigram", sort=False, as_index=False)["_n"].sum()
+        m = m[m["_n"] >= min_count]
+        if len(m) == 0:
+            return empty
+        split = m["bigram"].str.split(" ", n=1)
+        na = split.str[0].map(n_a).to_numpy(np.int64)
+        nbb = split.str[1].map(n_a).to_numpy(np.int64)
+        nab = m["_n"].to_numpy(np.int64)
+        # fixed tree — keep in lockstep with the SQL twin
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pmi = np.log(
+                (nab.astype(np.float64) / np.float64(nb))
+                / ((na.astype(np.float64) / np.float64(nu))
+                   * (nbb.astype(np.float64) / np.float64(nu))))
+        out = pd.DataFrame({"bigram": m["bigram"],
+                            "n_ab": nab, "pmi": pmi})
+        out = out.sort_values(["pmi", "bigram"],
+                              ascending=[False, True],
+                              kind="mergesort")
+        return out.head(k).reset_index(drop=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        out = df.sort_values(["pmi", "bigram"],
+                             ascending=[False, True], kind="mergesort")
+        return out.head(k).reset_index(drop=True)
+
+    partials = ds.map_batches(bigram_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    scored = grouped_apply(partials, keys=["bigram"], fn=fold,
+                           num_partitions=num_partitions,
+                           whole_partition=True)
+    return scored.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

@@ -496,3 +496,11 @@ def test_round5c_ops_empty():
         "role": pa.array([], pa.string()),
         "text": pa.array([], pa.string())}))
     assert len(prompt_response_curve(turns).to_pandas()) == 0
+
+
+def test_round5f_ops_empty():
+    from s_tsfe_dl_ray.stages.text import collocations_pmi
+
+    docs = ray.data.from_arrow(pa.table({
+        "text": pa.array([], pa.string())}))
+    assert len(collocations_pmi(docs).to_pandas()) == 0

@@ -427,6 +427,8 @@ D_QUERIES = [
     "docs_quality_pass_rate",
     # 4y wave: sequential OLS folds over the cumulative vocab curve
     "docs_heaps_law",
+    # 5f wave: PMI over exact counts, identical float ordering
+    "docs_collocations",
 ]
 
 _WORDS = ["the", "fast", "data", "merge", "la", "le", "und", "der",
