@@ -61,3 +61,15 @@ def test_rows_only_query_runs(name):
     assert len(out) >= 0
     if name == "transcripts_codec_roundtrip":
         assert out["roundtrip_ok"].all()
+
+
+def test_first_50_recorded_slots_all_oracle_paired():
+    """The driver records rows for exactly the FIRST 50 queries()
+    entries (insertion order) — every recorded slot must be
+    oracle-paired or the driver logs a weaker rows-only check for it.
+    Guards against an accidental dict reorder."""
+    q = entrymod.queries()
+    s = entrymod.oracle_sql()
+    first50 = list(q)[:50]
+    missing = [k for k in first50 if k not in s]
+    assert not missing, f"recorded slots without oracle SQL: {missing}"
