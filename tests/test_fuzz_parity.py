@@ -429,6 +429,8 @@ D_QUERIES = [
     "docs_heaps_law",
     # 5f wave: PMI over exact counts, identical float ordering
     "docs_collocations",
+    # 5g: exact counts + struct argmax dominance
+    "docs_lang_mix",
 ]
 
 _WORDS = ["the", "fast", "data", "merge", "la", "le", "und", "der",
