@@ -4907,6 +4907,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(counts.repartition(1).map_batches(
             fin, batch_format="pandas", batch_size=None))
 
+    def q_events_forecast_backtest(sf):
+        """One-step forecast backtest per event type on the dense daily
+        grid: EWMA-prefix vs naive-carry MAE with the skill ratio —
+        bit-exact prefix folds both sides
+        (stages/trend.forecast_backtest)."""
+        from s_tsfe_dl_ray.stages.trend import forecast_backtest
+
+        ds = read_events(sf, columns=["ts", "event_type"])
+        return _round_floats(forecast_backtest(
+            ds, ts_col="ts", key_col="event_type", tier="1d",
+            alpha=0.3))
+
+    def q_events_type_persistence(sf):
+        """Per-user behavioral stickiness: share of consecutive event
+        pairs repeating the same type (the diagonal mass of the user's
+        own transition matrix) (stages/scan.type_persistence)."""
+        from s_tsfe_dl_ray.stages.scan import type_persistence
+
+        ds = read_events(sf, columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+        return _round_floats(type_persistence(
+            ds, key="user_id", type_col="event_type",
+            order_by=["ts", "event_id"]))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -5297,6 +5321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend_census": q_events_trend_census,
         "docs_collocations": q_docs_collocations,
         "docs_lang_mix": q_docs_lang_mix,
+        "events_forecast_backtest": q_events_forecast_backtest,
+        "events_type_persistence": q_events_type_persistence,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -11833,5 +11859,73 @@ def oracle_sql() -> dict[str, str]:
                    round(c.n_docs::DOUBLE / t.tot::DOUBLE, 6) AS share,
                    (c.lang = t.dom) AS is_dominant
             FROM c JOIN t USING (source) ORDER BY 1, 2
+        """,
+        # dense per-type day grid; naive errors exact int64; EWMA
+        # prediction per step = list_reduce over the prefix window (the
+        # croston tree, equal-skip included); |error| sums fold
+        # sequentially in period order on both sides
+        "events_forecast_backtest": """
+            WITH g AS (
+              SELECT event_type, date_trunc('day', ts) AS w,
+                     count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT event_type, min(w) AS lo, max(w) AS hi
+              FROM g GROUP BY 1
+            ), grid AS (
+              SELECT event_type,
+                     unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                       AS w
+              FROM bounds
+            ), d AS (
+              SELECT grid.event_type, grid.w,
+                     coalesce(g.c, 0)::BIGINT AS c
+              FROM grid LEFT JOIN g USING (event_type, w)
+            ), o AS (
+              SELECT event_type, w, c,
+                     lag(c) OVER pw AS prev,
+                     list(c::DOUBLE) OVER (PARTITION BY event_type
+                       ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS hist
+              FROM d
+              WINDOW pw AS (PARTITION BY event_type ORDER BY w)
+            ), e AS (
+              SELECT event_type, w,
+                     abs(c - prev)::BIGINT AS an,
+                     abs(c::DOUBLE - list_reduce(hist, (acc, x) ->
+                       CASE WHEN acc = x THEN acc
+                            ELSE ((1.0 - 0.3) * acc + 0.3 * x)
+                                 / ((1.0 - 0.3) + 0.3) END)) AS ae
+              FROM o WHERE prev IS NOT NULL
+            ), m AS (
+              SELECT event_type, count(*)::BIGINT AS n_steps,
+                     sum(an)::BIGINT AS sn,
+                     list_reduce(list(ae ORDER BY w),
+                                 (a, b) -> a + b) AS se
+              FROM e GROUP BY 1
+            )
+            SELECT event_type, n_steps,
+                   round(sn::DOUBLE / n_steps::DOUBLE, 6) AS mae_naive,
+                   round(se / n_steps::DOUBLE, 6) AS mae_ewma,
+                   round((se / n_steps::DOUBLE)
+                         / (sn::DOUBLE / n_steps::DOUBLE), 6)
+                     AS skill_ratio
+            FROM m ORDER BY 1
+        """,
+        # exact consecutive-pair counts per user, one division
+        "events_type_persistence": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                       AS prev
+              FROM events
+            )
+            SELECT user_id, count(prev)::BIGINT AS n_transitions,
+                   (count(*) FILTER (WHERE event_type = prev))::BIGINT
+                     AS n_repeats,
+                   round((count(*) FILTER (WHERE event_type = prev))
+                         ::DOUBLE / count(prev), 6) AS repeat_share
+            FROM o WHERE prev IS NOT NULL GROUP BY 1 ORDER BY 1
         """,
     }

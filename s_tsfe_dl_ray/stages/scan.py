@@ -903,3 +903,60 @@ def peak_intervals(
     return grouped_apply(peaks, keys=[key_col], fn=fold,
                          num_partitions=num_partitions,
                          whole_partition=True).sort(key_col)
+
+
+def type_persistence(
+    ds: Dataset,
+    *,
+    key: str,
+    type_col: str,
+    order_by: list[str],
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key behavioral stickiness: of each key's consecutive event
+    pairs (in ``order_by`` order), what share repeats the SAME type —
+    the diagonal mass of the key's own transition matrix, the per-key
+    scalar behind the corpus-level role/type transition matrices (high
+    share = streaky sessions, low = alternating behavior).
+
+    Exact int64 counts, one division.  Keys with < 2 events emit
+    nothing.  One key-hash exchange; the fold is a vectorized shift
+    across all keys of the partition.  Output: ``key, n_transitions
+    (int64), n_repeats (int64), repeat_share``.
+    """
+    import numpy as np
+
+    from .grouped import grouped_apply
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key: pd.Series([], dtype="object"),
+            "n_transitions": pd.Series([], dtype="int64"),
+            "n_repeats": pd.Series([], dtype="int64"),
+            "repeat_share": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        m = df.sort_values([key, *order_by], kind="mergesort") \
+            .reset_index(drop=True)
+        same_key = m[key].eq(m[key].shift()).to_numpy()
+        same_type = m[type_col].eq(m[type_col].shift()).to_numpy()
+        trans = same_key
+        reps = same_key & same_type
+        g = pd.DataFrame({key: m[key],
+                          "_t": trans.astype(np.int64),
+                          "_r": reps.astype(np.int64)}) \
+            .groupby(key, sort=True, as_index=False)[["_t", "_r"]].sum()
+        g = g[g["_t"] > 0]
+        if len(g) == 0:
+            return empty
+        t = g["_t"].to_numpy(np.int64)
+        r = g["_r"].to_numpy(np.int64)
+        return pd.DataFrame({
+            key: g[key],
+            "n_transitions": t,
+            "n_repeats": r,
+            "repeat_share": r.astype(np.float64) / t.astype(np.float64)})
+
+    return grouped_apply(ds, keys=[key], fn=fold,
+                         num_partitions=num_partitions,
+                         whole_partition=True)

@@ -2369,3 +2369,93 @@ def grid_lag_autocorr(
                               zero_copy_batch=True)
     return partials.repartition(1).map_batches(fin, batch_format="pandas",
                                                batch_size=None)
+
+
+def forecast_backtest(
+    ds: Dataset,
+    *,
+    ts_col: str,
+    key_col: str,
+    tier: str = "1d",
+    alpha: float = 0.3,
+) -> Dataset:
+    """One-step-ahead forecast backtest per key on the DENSE tumbling
+    grid: walk the key's count series forward, predicting each period
+    with (a) the EWMA of everything before it and (b) the naive
+    last-value carry, and report both MAEs plus the skill ratio
+    (< 1: the smoother beats persistence; the honest "is EWMA even
+    helping" check behind the engine's forecasting family).
+
+    Exactness: the grid and naive errors are exact int64; the EWMA
+    prediction per step is the prefix fold of the verified
+    pandas-ewm == list_reduce tree (the croston recipe, including the
+    equal-skip branch), and the |error| sums fold SEQUENTIALLY in
+    period order on both sides — so every float is bit-identical to
+    the twin's prefix-window ``list_reduce``.  Keys with < 2 grid
+    periods emit nothing (no step to score — both sides).  Output per
+    key: ``key_col, n_steps (int64), mae_naive, mae_ewma,
+    skill_ratio``.
+    """
+    from ..functions.windows import TIER_US, window_start_us
+
+    step = TIER_US[tier]
+    one_m = 1.0 - alpha
+    den = (1.0 - alpha) + alpha
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = window_start_us(t[ts_col], tier)
+        out = pa.table({key_col: t[key_col], "w": w}) \
+            .group_by([key_col, "w"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return out.rename_columns([key_col, "w", "c"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key_col: pd.Series([], dtype="object"),
+            "n_steps": pd.Series([], dtype="int64"),
+            "mae_naive": pd.Series([], dtype="float64"),
+            "mae_ewma": pd.Series([], dtype="float64"),
+            "skill_ratio": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        g = df.groupby([key_col, "w"], sort=True, as_index=False)["c"] \
+            .sum()
+        rows = []
+        for kval, grp in g.groupby(key_col, sort=True):
+            widx = grp["w"].to_numpy(np.int64) // step
+            cnt = dict(zip(widx, grp["c"].to_numpy(np.int64)))
+            lo, hi = int(widx.min()), int(widx.max())
+            x = np.array([cnt.get(i, 0) for i in range(lo, hi + 1)],
+                         np.int64)
+            m = len(x)
+            if m < 2:
+                continue        # no step to score — emit nothing (twin)
+            sn = np.int64(0)
+            se = np.float64(0.0)
+            z = np.float64(x[0])
+            for t in range(1, m):
+                xt = np.float64(x[t])
+                se = se + np.abs(xt - z)
+                sn += abs(int(x[t]) - int(x[t - 1]))
+                # the verified pandas-ewm tree, equal-skip included
+                if z != xt:
+                    z = (one_m * z + alpha * xt) / den
+            n = np.float64(m - 1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mae_n = np.float64(sn) / n
+                mae_e = se / n
+                ratio = mae_e / mae_n
+            rows.append((kval, m - 1,
+                         mae_n if np.isfinite(mae_n) else np.nan,
+                         mae_e if np.isfinite(mae_e) else np.nan,
+                         ratio if np.isfinite(ratio) else np.nan))
+        out = pd.DataFrame(rows, columns=[key_col, "n_steps",
+                                          "mae_naive", "mae_ewma",
+                                          "skill_ratio"])
+        out["n_steps"] = out["n_steps"].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.repartition(1).map_batches(fin, batch_format="pandas",
+                                               batch_size=None)

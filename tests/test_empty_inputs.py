@@ -504,3 +504,15 @@ def test_round5f_ops_empty():
     docs = ray.data.from_arrow(pa.table({
         "text": pa.array([], pa.string())}))
     assert len(collocations_pmi(docs).to_pandas()) == 0
+
+
+def test_round5h_ops_empty():
+    from s_tsfe_dl_ray.stages.scan import type_persistence
+    from s_tsfe_dl_ray.stages.trend import forecast_backtest
+
+    ds = _empty_events()
+    assert len(forecast_backtest(ds, ts_col="ts",
+                                 key_col="event_type").to_pandas()) == 0
+    assert len(type_persistence(
+        ds, key="user_id", type_col="event_type",
+        order_by=["ts", "event_id"]).to_pandas()) == 0

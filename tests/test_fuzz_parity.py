@@ -153,6 +153,9 @@ QUERIES = [
     "events_daily_health",
     # 5e: sign census over the rounded slope
     "events_trend_census",
+    # 5h: prefix-fold EWMA backtest; exact consecutive-pair counts
+    "events_forecast_backtest",
+    "events_type_persistence",
 ]
 
 SHAPES = [
