@@ -4931,6 +4931,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, key="user_id", type_col="event_type",
             order_by=["ts", "event_id"]))
 
+    def q_lineitem_qty_disc_chi2(sf):
+        """Pearson χ² independence of (quantity band, discount cents)
+        on lineitem — are bigger baskets discounted differently?
+        Integer band cuts, the existing chi2 stage
+        (stages/distinct.chi2_independence)."""
+        from s_tsfe_dl_ray.stages.distinct import chi2_independence
+
+        li = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_quantity", "l_discount"])
+
+        def bands(t: pa.Table) -> pa.Table:
+            import numpy as np
+            q = pc.cast(t["l_quantity"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            d = pc.cast(t["l_discount"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            qi = np.copysign(np.floor(np.abs(q) + 0.5), q).astype(
+                np.int64)
+            di = np.copysign(np.floor(np.abs(d) * 100.0 + 0.5),
+                             d).astype(np.int64)
+            qa = np.char.add("q", ((qi - 1) // 10).astype(str))
+            db = np.char.add("d", di.astype(str))
+            return pa.table({
+                "qty_band": pa.array(qa.astype(object), pa.string()),
+                "disc_band": pa.array(db.astype(object), pa.string())})
+
+        banded = li.map_batches(bands, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        return _round_floats(chi2_independence(
+            banded, col_a="qty_band", col_b="disc_band"))
+
+    def q_transcripts_depth_curve(sf):
+        """Conversation depth survival curve: share of conversations
+        reaching ≥ k turns for k in (2, 5, 10, 20, 50) — exact counts,
+        one division per threshold."""
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+        from s_tsfe_dl_ray.sources.parquet import read_table as _rt
+
+        turns = _rt(_transcripts_for(sf), columns=["conv_id"])
+        counts = grouped_aggregate(turns, keys=["conv_id"],
+                                   aggs={"n": ("conv_id", "count")})
+
+        def fin(df):
+            import numpy as np
+            ks = np.array([2, 5, 10, 20, 50], np.int64)
+            if len(df) == 0:
+                n = np.zeros(0, np.int64)
+            else:
+                n = df["n"].to_numpy(np.int64)
+            tot = np.float64(len(n))
+            reach = np.array([(n >= k).sum() for k in ks], np.int64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                share = reach.astype(np.float64) / tot
+            return pd.DataFrame({
+                "threshold": ks,
+                "n_convs_reaching": reach,
+                "share": np.where(np.isfinite(share), share, np.nan)})
+
+        return _round_floats(counts.repartition(1).map_batches(
+            fin, batch_format="pandas", batch_size=None))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -5323,6 +5384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_mix": q_docs_lang_mix,
         "events_forecast_backtest": q_events_forecast_backtest,
         "events_type_persistence": q_events_type_persistence,
+        "lineitem_qty_disc_chi2": q_lineitem_qty_disc_chi2,
+        "transcripts_depth_curve": q_transcripts_depth_curve,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -11927,5 +11990,52 @@ def oracle_sql() -> dict[str, str]:
                    round((count(*) FILTER (WHERE event_type = prev))
                          ::DOUBLE / count(prev), 6) AS repeat_share
             FROM o WHERE prev IS NOT NULL GROUP BY 1 ORDER BY 1
+        """,
+        # the docs chi2 tree on integer band cuts (half-away scaled
+        # ints == the engine's copysign-floor)
+        "lineitem_qty_disc_chi2": """
+            WITH b AS (
+              SELECT 'q' || CAST((CAST(round(l_quantity) AS BIGINT) - 1)
+                                 // 10 AS VARCHAR) AS a,
+                     'd' || CAST(CAST(round(l_discount * 100) AS BIGINT)
+                                 AS VARCHAR) AS bb
+              FROM lineitem
+            ), o AS (
+              SELECT a, bb AS b, count(*)::DOUBLE AS o
+              FROM b GROUP BY 1, 2
+            ), r AS (SELECT a, sum(o) AS rs FROM o GROUP BY 1),
+            c AS (SELECT b, sum(o) AS cs FROM o GROUP BY 1),
+            t AS (SELECT sum(o) AS n FROM o),
+            cell AS (
+              SELECT r.rs * c.cs / t.n AS e, coalesce(oo.o, 0.0) AS obs
+              FROM r CROSS JOIN c CROSS JOIN t
+              LEFT JOIN o oo ON oo.a = r.a AND oo.b = c.b)
+            SELECT (SELECT n FROM t)::BIGINT AS n,
+                   (((SELECT count(*) FROM r) - 1)
+                    * ((SELECT count(*) FROM c) - 1))::BIGINT AS dof,
+                   round(sum((obs - e) * (obs - e) / e), 6) AS chi2,
+                   round(sqrt(sum((obs - e) * (obs - e) / e)
+                              / ((SELECT n FROM t)
+                                 * least((SELECT count(*) FROM r) - 1,
+                                         (SELECT count(*) FROM c) - 1))),
+                         6) AS cramers_v
+            FROM cell
+        """,
+        # exact per-conversation turn counts; one division per threshold
+        "transcripts_depth_curve": f"""
+            WITH c AS (
+              SELECT conv_id, count(*)::BIGINT AS n
+              FROM {T} GROUP BY 1
+            ), t AS (SELECT count(*)::BIGINT AS tot FROM c),
+            k AS (SELECT unnest([2, 5, 10, 20, 50]::BIGINT[])
+                    AS threshold)
+            SELECT k.threshold,
+                   (SELECT count(*) FROM c
+                    WHERE c.n >= k.threshold)::BIGINT
+                     AS n_convs_reaching,
+                   round((SELECT count(*) FROM c
+                          WHERE c.n >= k.threshold)::DOUBLE / t.tot, 6)
+                     AS share
+            FROM k, t ORDER BY 1
         """,
     }

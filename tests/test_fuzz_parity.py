@@ -238,7 +238,7 @@ T_QUERIES = ["transcripts_latency_by_hour", "transcripts_duration_stats",
              "transcripts_cache_savings", "transcripts_self_repetition",
              "transcripts_abandonment", "transcripts_tool_adoption",
              "transcripts_readability_by_role", "transcripts_echo_rate",
-             "transcripts_prompt_curve"]
+             "transcripts_prompt_curve", "transcripts_depth_curve"]
 
 
 def _synth_transcripts(tmpdir: str, seed: int, n: int, ties: bool) -> str:
@@ -391,6 +391,32 @@ def test_fuzz_transcript_query_matches_oracle(tmp_path_factory, entrymod,
         from s_tsfe_dl_ray.stages.dialog import prompt_response_curve
 
         out = prompt_response_curve(ds)
+    elif name == "transcripts_depth_curve":
+        import numpy as _np
+        import pandas as _pd
+
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+
+        counts = grouped_aggregate(
+            ds.map_batches(lambda t: t.select(["conv_id"]),
+                           batch_format="pyarrow"),
+            keys=["conv_id"], aggs={"n": ("conv_id", "count")})
+
+        def _fin(df):
+            ks = _np.array([2, 5, 10, 20, 50], _np.int64)
+            n = df["n"].to_numpy(_np.int64) if len(df) else \
+                _np.zeros(0, _np.int64)
+            tot = _np.float64(len(n))
+            reach = _np.array([(n >= kk).sum() for kk in ks], _np.int64)
+            with _np.errstate(invalid="ignore", divide="ignore"):
+                share = reach.astype(_np.float64) / tot
+            return _pd.DataFrame({
+                "threshold": ks, "n_convs_reaching": reach,
+                "share": _np.where(_np.isfinite(share), share,
+                                   _np.nan)})
+
+        out = counts.repartition(1).map_batches(
+            _fin, batch_format="pandas", batch_size=None)
     else:
         out = reply_latency(ds, conv_col="conv_id", ts_col="ts",
                             order_by=["ts", "turn_idx"])
