@@ -4992,6 +4992,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(counts.repartition(1).map_batches(
             fin, batch_format="pandas", batch_size=None))
 
+    def q_orders_status_age(sf):
+        """Order backlog profile: per order status the count, share,
+        and mean age in days vs the corpus's latest order date — exact
+        integer day arithmetic (the rfm anchor recipe)."""
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+
+        ds = read_table(f"{sf}/orders.parquet",
+                        columns=["o_orderstatus", "o_orderdate"])
+
+        import datetime as _dt
+
+        import pyarrow.parquet as _pq
+
+        anchor = pc.max(_pq.read_table(
+            f"{sf}/orders.parquet",
+            columns=["o_orderdate"])["o_orderdate"]).as_py()
+        a_day = int((anchor - _dt.datetime(1970, 1, 1)).total_seconds()
+                    * 1_000_000) // 86_400_000_000
+
+        def derive(t: pa.Table) -> pa.Table:
+            import numpy as np
+            us = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            age = np.int64(a_day) - us // 86_400_000_000
+            return pa.table({"o_orderstatus": t["o_orderstatus"],
+                             "_age": pa.array(age.astype(np.int64))})
+
+        agg = grouped_aggregate(
+            ds.map_batches(derive, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            keys=["o_orderstatus"],
+            aggs={"n_orders": ("_age", "count"),
+                  "_age_sum": ("_age", "sum")})
+
+        def fin(df):
+            import numpy as np
+            if len(df) == 0:
+                return pd.DataFrame({
+                    "o_orderstatus": pd.Series([], dtype="object"),
+                    "n_orders": pd.Series([], dtype="int64"),
+                    "share": pd.Series([], dtype="float64"),
+                    "mean_age_days": pd.Series([], dtype="float64")})
+            g = df.sort_values("o_orderstatus", kind="mergesort") \
+                .reset_index(drop=True)
+            n = g["n_orders"].to_numpy(np.int64)
+            tot = np.float64(n.sum())
+            return pd.DataFrame({
+                "o_orderstatus": g["o_orderstatus"],
+                "n_orders": n,
+                "share": n.astype(np.float64) / tot,
+                "mean_age_days": g["_age_sum"].to_numpy(np.int64)
+                                 .astype(np.float64)
+                                 / n.astype(np.float64)})
+
+        return _round_floats(agg.repartition(1).map_batches(
+            fin, batch_format="pandas", batch_size=None))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -5386,6 +5443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_persistence": q_events_type_persistence,
         "lineitem_qty_disc_chi2": q_lineitem_qty_disc_chi2,
         "transcripts_depth_curve": q_transcripts_depth_curve,
+        "orders_status_age": q_orders_status_age,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -12037,5 +12095,24 @@ def oracle_sql() -> dict[str, str]:
                           WHERE c.n >= k.threshold)::DOUBLE / t.tot, 6)
                      AS share
             FROM k, t ORDER BY 1
+        """,
+        # exact integer day ages vs the max-orderdate anchor (the rfm
+        # recipe); exact count/sum folds, two divisions
+        "orders_status_age": """
+            WITH a AS (
+              SELECT epoch_us(max(o_orderdate)) // 86400000000
+                       AS aday
+              FROM orders
+            ), o AS (
+              SELECT o_orderstatus,
+                     a.aday - epoch_us(o_orderdate) // 86400000000
+                       AS age
+              FROM orders, a
+            ), t AS (SELECT count(*)::DOUBLE AS tot FROM orders)
+            SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+                   round(count(*)::DOUBLE / t.tot, 6) AS share,
+                   round(sum(age)::DOUBLE / count(*)::DOUBLE, 6)
+                     AS mean_age_days
+            FROM o, t GROUP BY 1, t.tot ORDER BY 1
         """,
     }
