@@ -5049,6 +5049,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(agg.repartition(1).map_batches(
             fin, batch_format="pandas", batch_size=None))
 
+    def q_events_type_mix_drift(sf):
+        """Daily chi-square drift of the event-type mix vs the
+        whole-corpus mix — the ops-monitoring daily sibling of
+        orders_priority_drift (stages/robust.category_mix_drift,
+        period='1d')."""
+        from s_tsfe_dl_ray.stages.robust import category_mix_drift
+
+        ds = read_events(sf, columns=["ts", "event_type"])
+        return _round_floats(category_mix_drift(
+            ds, ts_col="ts", cat_col="event_type", period="1d"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -5444,6 +5455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_disc_chi2": q_lineitem_qty_disc_chi2,
         "transcripts_depth_curve": q_transcripts_depth_curve,
         "orders_status_age": q_orders_status_age,
+        "events_type_mix_drift": q_events_type_mix_drift,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -12114,5 +12126,43 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(age)::DOUBLE / count(*)::DOUBLE, 6)
                      AS mean_age_days
             FROM o, t GROUP BY 1, t.tot ORDER BY 1
+        """,
+        # the category_mix_drift grid fold on the daily event-type mix
+        "events_type_mix_drift": """
+            WITH c AS (
+              SELECT date_trunc('day', ts) AS p,
+                     event_type AS cat, count(*)::BIGINT AS o
+              FROM events GROUP BY 1, 2
+            ), periods AS (SELECT DISTINCT p FROM c),
+            cats AS (SELECT cat, sum(o)::BIGINT AS ct FROM c GROUP BY 1),
+            rws AS (SELECT p, sum(o)::BIGINT AS rt FROM c GROUP BY 1),
+            tot AS (SELECT sum(o)::DOUBLE AS nn,
+                           count(DISTINCT p)::BIGINT AS npd,
+                           count(DISTINCT cat)::BIGINT AS kk
+                    FROM c),
+            grid AS (
+              SELECT periods.p, cats.cat, cats.ct, rws.rt,
+                     coalesce(c.o, 0)::BIGINT AS o
+              FROM periods CROSS JOIN cats
+              JOIN rws ON rws.p = periods.p
+              LEFT JOIN c ON c.p = periods.p AND c.cat = cats.cat
+            ), terms AS (
+              SELECT p, rt,
+                     (o::DOUBLE - rt::DOUBLE * ct::DOUBLE / tot.nn)
+                     * (o::DOUBLE - rt::DOUBLE * ct::DOUBLE / tot.nn)
+                     / (rt::DOUBLE * ct::DOUBLE / tot.nn) AS term,
+                     cat
+              FROM grid, tot
+            ), agg AS (
+              SELECT p, min(rt) AS rt,
+                     list_reduce(list(term ORDER BY cat),
+                                 (a, x) -> a + x) AS chi2
+              FROM terms GROUP BY 1
+            )
+            SELECT agg.p AS period_start, agg.rt AS n_rows,
+                   tot.kk AS n_cats,
+                   round(CASE WHEN tot.npd >= 2 AND tot.kk >= 2
+                         THEN agg.chi2 END, 6) AS chi2
+            FROM agg, tot ORDER BY 1
         """,
     }

@@ -156,6 +156,8 @@ QUERIES = [
     # 5h: prefix-fold EWMA backtest; exact consecutive-pair counts
     "events_forecast_backtest",
     "events_type_persistence",
+    # 5k: daily type-mix chi-square (the category_mix_drift grid fold)
+    "events_type_mix_drift",
 ]
 
 SHAPES = [
