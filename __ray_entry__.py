@@ -5060,6 +5060,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(category_mix_drift(
             ds, ts_col="ts", cat_col="event_type", period="1d"))
 
+    def q_events_type_weekday_assoc(sf):
+        """Directional association between event type and ISO weekday:
+        χ² + Cramér's V + Theil's U(A|B)/U(B|A) from one contingency
+        fold — "does the weekday predict the event mix, or only the
+        other way round?" (stages/distinct.categorical_association)."""
+        from s_tsfe_dl_ray.stages.distinct import categorical_association
+
+        ds = read_events(sf, columns=["ts", "event_type"])
+
+        def dow(t: pa.Table) -> pa.Table:
+            ts = t["ts"]
+            if isinstance(ts, pa.ChunkedArray):
+                ts = ts.combine_chunks()
+            d = pd.Series(ts.to_pandas()).dt.dayofweek.to_numpy() + 1
+            lab = np.char.add("d", d.astype(str))
+            return pa.table({
+                "event_type": t["event_type"],
+                "dow": pa.array(lab.astype(object), pa.string())})
+
+        return _round_floats(categorical_association(
+            ds.map_batches(dow, batch_format="pyarrow"),
+            col_a="event_type", col_b="dow"))
+
+    def q_customer_balance_by_segment(sf):
+        """Account-balance profile per market segment: exact count /
+        mean / negative share / discrete p50 & p90 from ONE
+        value-histogram pass (stages/quantile.grouped_value_profile,
+        cents-exact)."""
+        from s_tsfe_dl_ray.stages.quantile import grouped_value_profile
+
+        cust = read_table(f"{sf}/customer.parquet",
+                          columns=["c_mktsegment", "c_acctbal"])
+        out = grouped_value_profile(
+            cust, value_col="c_acctbal", keys=["c_mktsegment"],
+            scale=100, quantiles=(0.5, 0.9))
+        return _round_floats(out.sort("c_mktsegment"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -5456,6 +5493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_depth_curve": q_transcripts_depth_curve,
         "orders_status_age": q_orders_status_age,
         "events_type_mix_drift": q_events_type_mix_drift,
+        "events_type_weekday_assoc": q_events_type_weekday_assoc,
+        "customer_balance_by_segment": q_customer_balance_by_segment,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -12164,5 +12203,69 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN tot.npd >= 2 AND tot.kk >= 2
                          THEN agg.chi2 END, 6) AS chi2
             FROM agg, tot ORDER BY 1
+        """,
+        # contingency fold: chi2 / Cramér's V / Theil's U both ways;
+        # isodow == pandas dayofweek+1; 0·ln0 cells excluded both sides
+        "events_type_weekday_assoc": """
+            WITH b AS (
+              SELECT event_type AS a,
+                     'd' || CAST(isodow(ts) AS VARCHAR) AS b
+              FROM events
+            ), o AS (
+              SELECT a, b, count(*)::DOUBLE AS o FROM b GROUP BY 1, 2
+            ), r AS (SELECT a, sum(o) AS rs FROM o GROUP BY 1),
+            c AS (SELECT b, sum(o) AS cs FROM o GROUP BY 1),
+            t AS (SELECT sum(o) AS n FROM o),
+            cell AS (
+              SELECT r.rs * c.cs / t.n AS e, coalesce(oo.o, 0.0) AS obs
+              FROM r CROSS JOIN c CROSS JOIN t
+              LEFT JOIN o oo ON oo.a = r.a AND oo.b = c.b
+            ), chi AS (
+              SELECT sum((obs - e) * (obs - e) / e) AS chi2 FROM cell
+            ), ha AS (
+              SELECT -sum((rs / t.n) * ln(rs / t.n)) AS h FROM r, t
+            ), hb AS (
+              SELECT -sum((cs / t.n) * ln(cs / t.n)) AS h FROM c, t
+            ), hab AS (
+              SELECT -sum((o.o / t.n) * ln(o.o / c.cs)) AS h
+              FROM o JOIN c ON c.b = o.b, t
+            ), hba AS (
+              SELECT -sum((o.o / t.n) * ln(o.o / r.rs)) AS h
+              FROM o JOIN r ON r.a = o.a, t
+            )
+            SELECT t.n::BIGINT AS n,
+                   (SELECT count(*) FROM r)::BIGINT AS r_cats,
+                   (SELECT count(*) FROM c)::BIGINT AS c_cats,
+                   (((SELECT count(*) FROM r) - 1)
+                    * ((SELECT count(*) FROM c) - 1))::BIGINT AS dof,
+                   round(chi.chi2, 6) AS chi2,
+                   round(CASE WHEN least((SELECT count(*) FROM r) - 1,
+                                         (SELECT count(*) FROM c) - 1) > 0
+                         THEN sqrt(chi.chi2 / (t.n *
+                              least((SELECT count(*) FROM r) - 1,
+                                    (SELECT count(*) FROM c) - 1)))
+                         END, 6) AS cramers_v,
+                   round((ha.h - hab.h) / ha.h, 6) AS theils_u_ab,
+                   round((hb.h - hba.h) / hb.h, 6) AS theils_u_ba
+            FROM t, chi, ha, hb, hab, hba
+        """,
+        # one value-histogram pass: exact cents sums, quantile_disc
+        # (element at ceil(n·q)−1) back in dollars
+        "customer_balance_by_segment": """
+            WITH s AS (
+              SELECT c_mktsegment,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS ci
+              FROM customer
+            )
+            SELECT c_mktsegment, count(*)::BIGINT AS n,
+                   round((sum(ci)::DOUBLE / 100.0)
+                         / count(*)::DOUBLE, 6) AS mean,
+                   round(sum(CASE WHEN ci < 0 THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*)::DOUBLE, 6) AS share_neg,
+                   round(quantile_disc(ci, 0.5)::DOUBLE / 100.0, 6)
+                     AS q_50,
+                   round(quantile_disc(ci, 0.9)::DOUBLE / 100.0, 6)
+                     AS q_90
+            FROM s GROUP BY 1 ORDER BY 1
         """,
     }

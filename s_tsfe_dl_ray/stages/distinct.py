@@ -889,6 +889,85 @@ def chi2_independence(
                                              batch_size=None)
 
 
+def categorical_association(
+    ds: Dataset,
+    *,
+    col_a: str,
+    col_b: str,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Full association readout between two categorical columns: Pearson
+    χ² + Cramér's V (symmetric effect size) + Theil's uncertainty
+    coefficients U(A|B) and U(B|A) (asymmetric, entropy-based) — the
+    feature-selection screen that answers "does knowing B reduce
+    uncertainty about A?" where Cramér's V alone hides direction.
+
+    Same combiner shape as :func:`chi2_independence`: per-batch (a, b)
+    counts fold through one hash-partitioned exchange; the tiny |a|×|b|
+    contingency matrix finalizes on one partition.  Definitions (natural
+    log, observed cells only — 0·ln 0 ≡ 0):
+
+    - ``H(A) = −Σ_a (rs/n)·ln(rs/n)``; ``H(A|B) = −Σ_{a,b} (o/n)·ln(o/cs)``
+    - ``U(A|B) = (H(A) − H(A|B)) / H(A)`` — NULL when H(A)=0 (constant A).
+
+    Output: one row ``n, r_cats, c_cats, dof, chi2, cramers_v,
+    theils_u_ab, theils_u_ba``.  NULL propagation through the fixed
+    expression tree relies on np.float64 0/0 → nan == SQL NULL (the
+    granger/ab_ztest recipe).
+    """
+    from .dedup import _grouped_min
+
+    def partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({"a": t[col_a], "b": t[col_b]})
+        out = tbl.combine_chunks().group_by(
+            ["a", "b"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["a", "b", "o"])
+
+    counts = _grouped_min(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        group_cols=["a", "b"], agg_cols=[("o", "sum")], pkey_col="a",
+        num_partitions=num_partitions)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        piv = df.pivot_table(index="a", columns="b", values="o",
+                             aggfunc="sum", fill_value=0).sort_index()
+        obs = piv.to_numpy(dtype=np.float64)
+        rs = obs.sum(axis=1)
+        cs = obs.sum(axis=0)
+        n = obs.sum()
+        e = np.outer(rs, cs) / n
+        chi2 = float(((obs - e) ** 2 / e).sum())
+        r, c = obs.shape
+        dof = (r - 1) * (c - 1)
+        k = min(r - 1, c - 1)
+        v = float(np.sqrt(chi2 / (n * k))) if k > 0 else np.nan
+        # entropies over observed cells (0 ln 0 = 0 by masking)
+        pa_ = rs / n
+        pb_ = cs / n
+        ha = float(-(pa_ * np.log(pa_)).sum())
+        hb = float(-(pb_ * np.log(pb_)).sum())
+        nz = obs > 0
+        pj = obs / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            hab = float(-(pj * np.log(obs / cs[None, :]))[nz].sum())
+            hba = float(-(pj * np.log(obs / rs[:, None]))[nz].sum())
+            u_ab = float((np.float64(ha) - np.float64(hab))
+                         / np.float64(ha))
+            u_ba = float((np.float64(hb) - np.float64(hba))
+                         / np.float64(hb))
+        return pd.DataFrame({
+            "n": pd.Series([int(n)], dtype="int64"),
+            "r_cats": pd.Series([r], dtype="int64"),
+            "c_cats": pd.Series([c], dtype="int64"),
+            "dof": pd.Series([dof], dtype="int64"),
+            "chi2": [chi2], "cramers_v": [v],
+            "theils_u_ab": [u_ab], "theils_u_ba": [u_ba]})
+
+    return counts.repartition(1).map_batches(fin, batch_format="pandas",
+                                             batch_size=None)
+
+
 def count_min_sketch(
     ds: Dataset,
     *,

@@ -100,6 +100,90 @@ def grouped_quantiles(
         .map_groups(merge_and_select, batch_format="pandas")
     )
 
+def grouped_value_profile(
+    ds: Dataset,
+    *,
+    value_col: str,
+    keys: list[str],
+    scale: int = 100,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+    num_partitions: int = 8,
+) -> Dataset:
+    """One-pass per-key profile of a fixed-point money/metric column:
+    exact count, exact mean (int64 ``scale``-cents sum), share of
+    negative values, and exact discrete quantiles — the "balance sheet
+    by segment" readout that would otherwise take three passes
+    (aggregate + filter-count + quantile) and a join.
+
+    Same value-histogram shape as :func:`grouped_quantiles`: the shuffle
+    carries one row per distinct ``(key, scaled_value)``; every final
+    statistic derives from the merged histogram, so nothing here reads
+    the raw rows twice.  Values scale to int64 via the exact
+    half-away-from-zero recipe ``copysign(floor(|x|·scale + 0.5), x)``
+    (== DuckDB ``round(x*scale)``), making the sums and quantile picks
+    bit-exact against a SQL twin.
+
+    Output: ``keys… , n (int64), mean, share_neg, q_<pct>…`` — quantile
+    columns are back in original units (``cents / scale``).
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    qcols = [
+        f"q_{int(q * 100)}" if float(q * 100).is_integer()
+        else f"q_{str(q * 100).replace('.', '_')}"
+        for q in quantiles
+    ]
+
+    def partial_hist(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        x = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        ci = np.copysign(np.floor(np.abs(x) * scale + 0.5), x).astype(
+            np.int64)
+        tbl = t.select(keys).append_column("_ci", pa.array(ci))
+        out = (
+            tbl.group_by(keys + ["_ci"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        out = out.rename_columns(keys + ["_ci", "_cnt"])
+        return out.append_column(
+            "_pkey", _stable_pkey(out[keys[0]], num_partitions))
+
+    def merge_and_profile(df: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            df.groupby(keys + ["_ci"], sort=True)["_cnt"]
+            .sum()
+            .reset_index()
+        )
+        h["_cum"] = h.groupby(keys, sort=False)["_cnt"].cumsum()
+        h["_prod"] = h["_ci"] * h["_cnt"]
+        h["_negc"] = np.where(h["_ci"] < 0, h["_cnt"], 0)
+        g = h.groupby(keys, sort=False)
+        out = pd.DataFrame({
+            "n": g["_cnt"].sum().astype("int64"),
+        })
+        out["mean"] = (g["_prod"].sum().astype(np.float64)
+                       / np.float64(scale)
+                       ) / out["n"].astype(np.float64)
+        out["share_neg"] = (g["_negc"].sum().astype(np.float64)
+                            / out["n"].astype(np.float64))
+        h = h.merge(out["n"].rename("_n"), left_on=keys,
+                    right_index=True)
+        for q, col in zip(quantiles, qcols):
+            target = np.maximum(np.ceil(h["_n"] * q), 1)
+            hit = h[h["_cum"] >= target]
+            picked = hit.groupby(keys, sort=False)["_ci"].first()
+            out[col] = picked.astype(np.float64) / np.float64(scale)
+        return out.reset_index()
+
+    return (
+        ds.map_batches(partial_hist, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(merge_and_profile, batch_format="pandas")
+    )
+
+
 def grouped_ecdf_at(
     ds: Dataset,
     *,

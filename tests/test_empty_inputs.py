@@ -516,3 +516,18 @@ def test_round5h_ops_empty():
     assert len(type_persistence(
         ds, key="user_id", type_col="event_type",
         order_by=["ts", "event_id"]).to_pandas()) == 0
+
+
+def test_round5l_ops_empty():
+    from s_tsfe_dl_ray.stages.distinct import categorical_association
+    from s_tsfe_dl_ray.stages.quantile import grouped_value_profile
+
+    ds = _empty_events()
+    assert len(categorical_association(
+        ds, col_a="event_type", col_b="user_id").to_pandas()) == 0
+    cust = ray.data.from_arrow(pa.table({
+        "c_mktsegment": pa.array([], pa.string()),
+        "c_acctbal": pa.array([], pa.float64())}))
+    assert len(grouped_value_profile(
+        cust, value_col="c_acctbal",
+        keys=["c_mktsegment"]).to_pandas()) == 0

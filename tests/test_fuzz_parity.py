@@ -158,6 +158,8 @@ QUERIES = [
     "events_type_persistence",
     # 5k: daily type-mix chi-square (the category_mix_drift grid fold)
     "events_type_mix_drift",
+    # 5l: chi2 + Cramér's V + Theil's U contingency fold
+    "events_type_weekday_assoc",
 ]
 
 SHAPES = [
