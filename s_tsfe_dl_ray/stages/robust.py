@@ -1674,3 +1674,87 @@ def pairwise_ks(
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def kruskal_wallis(
+    ds: Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> Dataset:
+    """Global Kruskal–Wallis H test — "do the value distributions differ
+    across k groups?" — the k-group generalization of the engine's
+    Mann–Whitney U, with exact average-rank tie handling and the
+    standard tie correction ``C = 1 − Σ(t³−t)/(N³−N)``.
+
+    Scale shape: per-batch ``(group, scaled_value) → count`` partials
+    (the value-histogram discipline, stages/quantile.py) fold to one
+    partition where pooled midranks come from the cumulative value
+    histogram — the shuffle never carries raw rows.  Values quantize to
+    int64 via the exact half-away recipe (== DuckDB ``round(x·scale)``),
+    so midranks are exact half-integers and every rank sum is
+    bit-identical to the SQL twin (``AVG(row_number) OVER (PARTITION BY
+    value)`` midranks).  Same caveat as grouped_quantiles: a continuous
+    column with ~all-distinct values degrades the histogram toward the
+    row count — quantize coarser upstream when that bites.
+
+    Output: one row ``n, k_groups, dof, h, h_adj`` (``h_adj`` NULL when
+    the tie correction is 0, i.e. every value identical).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        x = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        ci = np.copysign(np.floor(np.abs(x) * scale + 0.5), x).astype(
+            np.int64)
+        tbl = pa.table({"g": pc.cast(t[group_col], pa.string()),
+                        "_ci": pa.array(ci)})
+        out = tbl.group_by(["g", "_ci"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return out.rename_columns(["g", "_ci", "_cnt"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n": pd.Series([], dtype="int64"),
+                "k_groups": pd.Series([], dtype="int64"),
+                "dof": pd.Series([], dtype="int64"),
+                "h": [], "h_adj": []}
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        h = (df.groupby(["g", "_ci"], sort=True)["_cnt"]
+             .sum().reset_index())
+        # pooled per-value totals in ascending value order → midranks
+        tv = h.groupby("_ci", sort=True)["_cnt"].sum()
+        tc = tv.to_numpy(dtype=np.float64)
+        c_less = np.cumsum(tc) - tc
+        mid = c_less + (tc + 1.0) / 2.0           # exact half-integers
+        mr = pd.Series(mid, index=tv.index)
+        h["_rg"] = mr.reindex(h["_ci"]).to_numpy() * h["_cnt"].to_numpy()
+        g = h.groupby("g", sort=True)
+        rg = g["_rg"].sum().to_numpy(dtype=np.float64)   # exact halves
+        ng = g["_cnt"].sum().to_numpy(dtype=np.float64)
+        n = np.float64(tc.sum())
+        k = len(rg)
+        # left-fold in sorted-group order == list_reduce(... ORDER BY g)
+        s = np.cumsum(rg * rg / ng)[-1]
+        hstat = np.float64(12.0) / (n * (n + np.float64(1.0))) * s \
+            - np.float64(3.0) * (n + np.float64(1.0))
+        t_term = np.float64((tc * tc * tc - tc).sum())
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c = np.float64(1.0) - t_term / (n * n * n - n)
+            h_adj = hstat / c if c > 0 else np.float64(np.nan)
+        return pd.DataFrame({
+            "n": pd.Series([int(n)], dtype="int64"),
+            "k_groups": pd.Series([k], dtype="int64"),
+            "dof": pd.Series([k - 1], dtype="int64"),
+            "h": [float(hstat)],
+            "h_adj": [float(h_adj)]})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(fin, batch_format="pandas", batch_size=None)
+    )

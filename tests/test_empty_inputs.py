@@ -531,3 +531,11 @@ def test_round5l_ops_empty():
     assert len(grouped_value_profile(
         cust, value_col="c_acctbal",
         keys=["c_mktsegment"]).to_pandas()) == 0
+
+
+def test_round5m_ops_empty():
+    from s_tsfe_dl_ray.stages.robust import kruskal_wallis
+
+    ds = _empty_events()
+    assert len(kruskal_wallis(
+        ds, group_col="event_type", value_col="value").to_pandas()) == 0

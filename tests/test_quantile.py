@@ -131,3 +131,80 @@ def test_approx_quantiles_exact_small_key():
     assert out.q_0.iloc[0] == 0.0
     np.testing.assert_allclose(out.q_50.iloc[0], 50.0, atol=0.5)
     assert out.q_100.iloc[0] == 100.0
+
+
+def test_value_profile_matches_duckdb_random_money():
+    from s_tsfe_dl_ray.stages.quantile import grouped_value_profile
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y", "z"], 4000),
+        "v": np.round(rng.normal(0.0, 5000.0, 4000), 2),
+    })
+    out = grouped_value_profile(
+        rd.from_pandas(df), value_col="v", keys=["k"], scale=100,
+        quantiles=(0.5, 0.9), num_partitions=4,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.sql("""
+        WITH s AS (SELECT k, CAST(round(v * 100) AS BIGINT) AS ci FROM t)
+        SELECT k, count(*)::BIGINT AS n,
+               (sum(ci)::DOUBLE / 100.0) / count(*)::DOUBLE AS mean,
+               sum(CASE WHEN ci < 0 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE AS share_neg,
+               quantile_disc(ci, 0.5)::DOUBLE / 100.0 AS q_50,
+               quantile_disc(ci, 0.9)::DOUBLE / 100.0 AS q_90
+        FROM s GROUP BY 1 ORDER BY 1
+    """).df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_kruskal_wallis_matches_duckdb_random():
+    from s_tsfe_dl_ray.stages.robust import kruskal_wallis
+
+    rng = np.random.default_rng(12)
+    for shift in (0.0, 30.0):  # null + strong-effect corpora
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], 3000),
+            "v": np.round(rng.normal(0.0, 50.0, 3000), 2),
+        })
+        df.loc[df["g"] == "c", "v"] += shift
+        out = kruskal_wallis(
+            rd.from_pandas(df), group_col="g", value_col="v", scale=100,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.sql("""
+            WITH v AS (SELECT g, CAST(round(v*100) AS BIGINT) AS ci FROM t),
+            r AS (SELECT g, ci, AVG(rn) OVER (PARTITION BY ci) AS mr
+                  FROM (SELECT g, ci, row_number() OVER (ORDER BY ci)
+                          AS rn FROM v) q),
+            pg AS (SELECT g, count(*)::DOUBLE AS n_g, sum(mr) AS rg
+                   FROM r GROUP BY 1),
+            ties AS (SELECT sum(c*c*c - c) AS t FROM
+                     (SELECT count(*)::DOUBLE AS c FROM v GROUP BY ci) z),
+            tot AS (SELECT count(*)::DOUBLE AS n,
+                           count(DISTINCT g)::BIGINT AS k FROM v),
+            s AS (SELECT list_reduce(list(rg*rg/n_g ORDER BY g),
+                                     (a, x) -> a + x) AS s FROM pg)
+            SELECT tot.n::BIGINT AS n, tot.k AS k_groups,
+                   (tot.k - 1)::BIGINT AS dof,
+                   12.0/(tot.n*(tot.n+1.0))*s.s - 3.0*(tot.n+1.0) AS h,
+                   (12.0/(tot.n*(tot.n+1.0))*s.s - 3.0*(tot.n+1.0))
+                   / (1.0 - ties.t/(tot.n*tot.n*tot.n - tot.n)) AS h_adj
+            FROM tot, ties, s
+        """).df()
+        pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+        if shift > 0:
+            assert out["h_adj"].iloc[0] > 100.0
+
+
+def test_kruskal_wallis_all_equal_values_null_hadj():
+    from s_tsfe_dl_ray.stages.robust import kruskal_wallis
+
+    df = pd.DataFrame({"g": ["a", "b"] * 50, "v": [7.25] * 100})
+    out = kruskal_wallis(
+        rd.from_pandas(df), group_col="g", value_col="v").to_pandas()
+    assert out["h"].iloc[0] == 0.0
+    assert pd.isna(out["h_adj"].iloc[0])
