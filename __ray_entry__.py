@@ -5180,6 +5180,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(parts.repartition(1).map_batches(
             fin, batch_format="pandas", batch_size=None))
 
+    def q_docs_novelty_rate(sf):
+        """Per-source corpus novelty: the share of each source's
+        distinct doc trigrams that appear for the FIRST time (min
+        doc_id) in that doc — the re-crawl/templating curation signal
+        (stages/text.ngram_novelty)."""
+        from s_tsfe_dl_ray.stages.text import ngram_novelty
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "source", "text"])
+        return _round_floats(ngram_novelty(ds))
+
+    def q_part_brand_price_profile(sf):
+        """Retail-price profile per part brand: exact count / mean /
+        negative-share / discrete p50 & p90 from one cents-exact
+        value-histogram pass (stages/quantile.grouped_value_profile
+        reuse on the part dim)."""
+        from s_tsfe_dl_ray.stages.quantile import grouped_value_profile
+
+        parts = read_table(f"{sf}/part.parquet",
+                           columns=["p_brand", "p_retailprice"])
+        out = grouped_value_profile(
+            parts, value_col="p_retailprice", keys=["p_brand"],
+            scale=100, quantiles=(0.5, 0.9))
+        return _round_floats(out.sort("p_brand"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -5580,6 +5605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_balance_by_segment": q_customer_balance_by_segment,
         "orders_priority_kruskal": q_orders_priority_kruskal,
         "nation_balance_gap": q_nation_balance_gap,
+        "docs_novelty_rate": q_docs_novelty_rate,
+        "part_brand_price_profile": q_part_brand_price_profile,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -12420,5 +12447,59 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN cu ON cu.nk = n_nationkey
             LEFT JOIN su ON su.nk = n_nationkey
             ORDER BY 1
+        """,
+        # first-seen = min doc_id per distinct trigram; counts are ints,
+        # one division per source (same trigram builder as contamination)
+        "docs_novelty_rate": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     unnest(string_split(trim(text, ' '), ' ')) AS tok,
+                     generate_subscripts(string_split(trim(text, ' '), ' '),
+                                         1) AS pos
+              FROM documents
+            ), t AS (
+              SELECT DISTINCT a.doc_id, a.source,
+                     a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+              FROM w a
+              JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+              WHERE a.tok <> '' AND b.tok <> '' AND c.tok <> ''
+            ), f AS (
+              SELECT gram, min(doc_id) AS first_doc FROM t GROUP BY 1
+            ), d AS (
+              SELECT t.source,
+                     count(*)::BIGINT AS n_tris,
+                     sum(CASE WHEN t.doc_id = f.first_doc
+                         THEN 1 ELSE 0 END)::BIGINT AS n_first
+              FROM t JOIN f USING (gram) GROUP BY 1
+            ), nd AS (
+              SELECT source, count(*)::BIGINT AS n_docs
+              FROM documents GROUP BY 1
+            )
+            SELECT nd.source, nd.n_docs,
+                   coalesce(d.n_tris, 0)::BIGINT AS n_tris,
+                   coalesce(d.n_first, 0)::BIGINT AS n_first_seen,
+                   round(d.n_first::DOUBLE / d.n_tris::DOUBLE, 6)
+                     AS novelty_share
+            FROM nd LEFT JOIN d ON d.source = nd.source
+            ORDER BY 1
+        """,
+        # grouped_value_profile reuse on the part dim (cents-exact)
+        "part_brand_price_profile": """
+            WITH s AS (
+              SELECT p_brand,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS ci
+              FROM part
+            )
+            SELECT p_brand, count(*)::BIGINT AS n,
+                   round((sum(ci)::DOUBLE / 100.0)
+                         / count(*)::DOUBLE, 6) AS mean,
+                   round(sum(CASE WHEN ci < 0 THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*)::DOUBLE, 6) AS share_neg,
+                   round(quantile_disc(ci, 0.5)::DOUBLE / 100.0, 6)
+                     AS q_50,
+                   round(quantile_disc(ci, 0.9)::DOUBLE / 100.0, 6)
+                     AS q_90
+            FROM s GROUP BY 1 ORDER BY 1
         """,
     }

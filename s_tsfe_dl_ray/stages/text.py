@@ -2341,3 +2341,160 @@ def collocations_pmi(
                            whole_partition=True)
     return scored.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def ngram_novelty(
+    ds: "Dataset",
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> "Dataset":
+    """Corpus-novelty curve per source: of each document's distinct
+    token trigrams, how many appear for the FIRST time in that document
+    (first = minimum ``id_col`` over the corpus)?  A falling novelty
+    share is the standard "this source is re-crawling / templating
+    itself" curation signal — the temporal sibling of
+    :func:`ngram_contamination` (cross-source overlap).
+
+    Dataflow (100-TB shape): the batch combiner builds distinct
+    ``(doc, source, gram)`` triples exactly like ngram_contamination
+    (documents are single rows, so in-batch dedup is global); ONE
+    exchange hash-partitioned by gram computes min-doc per gram and
+    flags first-seen pairs, pre-summing per source inside the
+    partition; a second tiny exchange merges |sources| counter rows.
+    Per-source doc counts ride a separate one-column combiner pass —
+    no second corpus scan of the text.  Output: ``source, n_docs,
+    n_tris, n_first_seen, novelty_share`` sorted by source
+    (``novelty_share`` NULL for sources with no trigrams).
+    """
+    from .dedup import _grouped_min
+    from .rollup import _stable_pkey
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc": pa.array([], pa.int64()),
+                          "g": pa.array([], pa.string()),
+                          "gram": pa.array([], pa.string())})
+        toks = pc.split_pattern(pc.utf8_trim(t[text_col], " "), " ")
+        groups = t[group_col].combine_chunks() if isinstance(
+            t[group_col], pa.ChunkedArray) else t[group_col]
+        ids = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]
+        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        row_off = 0
+        for ch in (toks.chunks if isinstance(toks, pa.ChunkedArray)
+                   else [toks]):
+            lengths = pc.list_value_length(ch).to_numpy(
+                zero_copy_only=False)
+            ndocs = len(lengths)
+            grp = np.asarray(groups.slice(row_off, ndocs).to_pylist(),
+                             dtype=object)
+            did = ids_np[row_off:row_off + ndocs]
+            row_off += ndocs
+            vals = ch.flatten()
+            nv = len(vals)
+            if nv < 3:
+                continue
+            doc_of = np.repeat(np.arange(ndocs), lengths)
+            t1 = vals.slice(0, nv - 2)
+            t2 = vals.slice(1, nv - 2)
+            t3 = vals.slice(2, nv - 2)
+            ok = doc_of[: nv - 2] == doc_of[2:nv]
+            ok &= pc.not_equal(t1, "").to_numpy(zero_copy_only=False)
+            ok &= pc.not_equal(t2, "").to_numpy(zero_copy_only=False)
+            ok &= pc.not_equal(t3, "").to_numpy(zero_copy_only=False)
+            if not ok.any():
+                continue
+            okm = pa.array(ok)
+            gram = pc.binary_join_element_wise(t1, t2, t3, " ").filter(okm)
+            sel = doc_of[: nv - 2][ok]
+            parts.append(pa.table({
+                "doc": pa.array(did[sel]),
+                "g": pa.array(grp[sel], pa.string()),
+                "gram": gram}))
+        if not parts:
+            return empty
+        batch = pa.concat_tables(parts).combine_chunks()
+        return batch.group_by(["doc", "g", "gram"],
+                              use_threads=False).aggregate([])
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_pkey", _stable_pkey(t["gram"], num_partitions))
+
+    def flag_and_fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame({
+                "g": pd.Series([], dtype=object),
+                "n_tris": pd.Series([], dtype="int64"),
+                "n_first_seen": pd.Series([], dtype="int64")})
+        first = df.groupby("gram", sort=False)["doc"].transform("min")
+        novel = (df["doc"].to_numpy() == first.to_numpy())
+        out = pd.DataFrame({"g": df["g"],
+                            "n_tris": np.int64(1),
+                            "n_first_seen": novel.astype(np.int64)})
+        return (out.groupby("g", sort=False).sum().reset_index())
+
+    folded = (
+        pairs.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(flag_and_fold, batch_format="pandas")
+    )
+    merged = _grouped_min(folded, group_cols=["g"],
+                          agg_cols=[("n_tris", "sum"),
+                                    ("n_first_seen", "sum")],
+                          pkey_col="g", num_partitions=8)
+
+    def doc_counts(t: pa.Table) -> pa.Table:
+        out = (t.select([group_col])
+               .group_by([group_col], use_threads=False)
+               .aggregate([([], "count_all")]))
+        return out.rename_columns(["g", "n_docs"])
+
+    ndocs = _grouped_min(
+        ds.map_batches(doc_counts, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        group_cols=["g"], agg_cols=[("n_docs", "sum")], pkey_col="g",
+        num_partitions=8)
+
+    # tag the two tiny partial streams and union them into one final fold
+    def tag_tris(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["n_docs"] = np.int64(0)
+        return df[["g", "n_docs", "n_tris", "n_first_seen"]]
+
+    def tag_docs(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({
+            "g": df["g"], "n_docs": df["n_docs"].astype("int64"),
+            "n_tris": np.int64(0), "n_first_seen": np.int64(0)})
+
+    unioned = merged.map_batches(tag_tris, batch_format="pandas").union(
+        ndocs.map_batches(tag_docs, batch_format="pandas"))
+
+    def fin(df: "pd.DataFrame") -> "pd.DataFrame":
+        cols = ["g", "n_docs", "n_tris", "n_first_seen"]
+        if len(df) == 0:
+            agg = pd.DataFrame({c: pd.Series(
+                [], dtype=object if c == "g" else "int64")
+                for c in cols})
+        else:
+            agg = df.groupby("g", sort=True)[cols[1:]].sum().reset_index()
+        nt = agg["n_tris"].to_numpy(dtype=np.float64)
+        nf = agg["n_first_seen"].to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            share = nf / nt
+        share = np.where(np.isfinite(share), share, np.nan)
+        return pd.DataFrame({
+            "source": agg["g"],
+            "n_docs": agg["n_docs"].astype("int64"),
+            "n_tris": agg["n_tris"].astype("int64"),
+            "n_first_seen": agg["n_first_seen"].astype("int64"),
+            "novelty_share": share})
+
+    return unioned.repartition(1).map_batches(
+        fin, batch_format="pandas", batch_size=None)

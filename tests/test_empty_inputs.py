@@ -539,3 +539,13 @@ def test_round5m_ops_empty():
     ds = _empty_events()
     assert len(kruskal_wallis(
         ds, group_col="event_type", value_col="value").to_pandas()) == 0
+
+
+def test_round5n_ops_empty():
+    from s_tsfe_dl_ray.stages.text import ngram_novelty
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "source": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    assert len(ngram_novelty(docs).to_pandas()) == 0

@@ -464,6 +464,8 @@ D_QUERIES = [
     "docs_collocations",
     # 5g: exact counts + struct argmax dominance
     "docs_lang_mix",
+    # 5n: first-seen trigram share (min-doc flag, int counts)
+    "docs_novelty_rate",
 ]
 
 _WORDS = ["the", "fast", "data", "merge", "la", "le", "und", "der",
