@@ -5205,6 +5205,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
             scale=100, quantiles=(0.5, 0.9))
         return _round_floats(out.sort("p_brand"))
 
+    def q_docs_editdist_pairs(sf):
+        """Blocked edit-distance near-dup: doc pairs within 10 BYTE edits
+        among docs sharing the same 12-codepoint prefix — the typo /
+        near-rewrite dedup family member MinHash misses on short texts
+        (stages/dedup.edit_distance_pairs; one block-hash exchange, one
+        multi-pair vectorized byte DP, exact DuckDB ``levenshtein``
+        twin)."""
+        from s_tsfe_dl_ray.stages.dedup import edit_distance_pairs
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"])
+        return edit_distance_pairs(
+            ds, id_col="doc_id", text_col="text",
+            prefix_len=12, max_dist=10)
+
+    def q_supplier_catalog_breadth(sf):
+        """Per-supplier catalog breadth: lineitem count, DISTINCT parts
+        supplied, cents-exact extended-price volume, returned-flag share
+        — the assortment-vs-volume skew readout.  Batch partials
+        pre-group by (suppkey, partkey) so the single supplier-hash
+        exchange carries one row per supply relationship, and the
+        distinct-part count is an exact partition-local fold."""
+        from s_tsfe_dl_ray.stages.rollup import _stable_pkey
+
+        ds = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_suppkey", "l_partkey",
+                                 "l_extendedprice", "l_returnflag"])
+
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            v = df["l_extendedprice"].to_numpy(dtype=np.float64)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pd.DataFrame({
+                "sk": df["l_suppkey"].astype("int64"),
+                "pk": df["l_partkey"].astype("int64"),
+                "n": np.int64(1),
+                "ci": ci,
+                "r": (df["l_returnflag"].to_numpy()
+                      == "R").astype(np.int64),
+            }).groupby(["sk", "pk"], sort=False, as_index=False).sum()
+
+        def add_pkey(t: pa.Table) -> pa.Table:
+            return t.append_column("_pkey", _stable_pkey(t["sk"], 32))
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({
+                    "l_suppkey": pd.Series([], dtype="int64"),
+                    "n_items": pd.Series([], dtype="int64"),
+                    "n_parts": pd.Series([], dtype="int64"),
+                    "total_extprice": pd.Series([], dtype="float64"),
+                    "return_share": pd.Series([], dtype="float64")})
+            g = (df.groupby(["sk", "pk"], sort=False, as_index=False)
+                 [["n", "ci", "r"]].sum())
+            out = g.groupby("sk", sort=False).agg(
+                n_items=("n", "sum"), n_parts=("pk", "size"),
+                ci=("ci", "sum"), r=("r", "sum")).reset_index()
+            n = out["n_items"].to_numpy(dtype=np.float64)
+            return pd.DataFrame({
+                "l_suppkey": out["sk"].astype("int64"),
+                "n_items": out["n_items"].astype("int64"),
+                "n_parts": out["n_parts"].astype("int64"),
+                "total_extprice":
+                    out["ci"].to_numpy(dtype=np.float64) / 100.0,
+                "return_share": out["r"].to_numpy(dtype=np.float64) / n,
+            })
+
+        partials = ds.map_batches(part, batch_format="pandas")
+        merged = (partials.map_batches(add_pkey, batch_format="pyarrow")
+                  .groupby("_pkey").map_groups(fold, batch_format="pandas"))
+        return _round_floats(merged.sort("l_suppkey"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -5607,6 +5679,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_balance_gap": q_nation_balance_gap,
         "docs_novelty_rate": q_docs_novelty_rate,
         "part_brand_price_profile": q_part_brand_price_profile,
+        "docs_editdist_pairs": q_docs_editdist_pairs,
+        "supplier_catalog_breadth": q_supplier_catalog_breadth,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -12500,6 +12574,37 @@ def oracle_sql() -> dict[str, str]:
                      AS q_50,
                    round(quantile_disc(ci, 0.9)::DOUBLE / 100.0, 6)
                      AS q_90
+            FROM s GROUP BY 1 ORDER BY 1
+        """,
+        # prefix-blocked levenshtein pairs: DuckDB levenshtein edits
+        # UTF-8 BYTES while substring slices CODEPOINTS — the engine
+        # mirrors exactly that mix (byte DP, codepoint block key)
+        "docs_editdist_pairs": """
+            WITH d AS (
+              SELECT doc_id, text, substring(text, 1, 12) AS p
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   levenshtein(a.text, b.text)::BIGINT AS dist
+            FROM d a JOIN d b ON a.p = b.p AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.text, b.text) <= 10
+            ORDER BY 1, 2
+        """,
+        # per-supplier breadth: cents-exact volume, exact distinct
+        # parts (one row per (supp, part) crosses the exchange)
+        "supplier_catalog_breadth": """
+            WITH s AS (
+              SELECT l_suppkey, l_partkey,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS ci,
+                     CASE WHEN l_returnflag = 'R'
+                          THEN 1 ELSE 0 END AS r
+              FROM lineitem
+            )
+            SELECT l_suppkey, count(*)::BIGINT AS n_items,
+                   count(DISTINCT l_partkey)::BIGINT AS n_parts,
+                   round(sum(ci)::DOUBLE / 100.0, 6) AS total_extprice,
+                   round(sum(r)::DOUBLE / count(*)::DOUBLE, 6)
+                     AS return_share
             FROM s GROUP BY 1 ORDER BY 1
         """,
     }

@@ -784,3 +784,135 @@ def dup_rate_by_group(
 
     return (partials.repartition(1)
             .map_batches(finish, batch_format="pyarrow").sort(group_col))
+
+
+# ---------------------------------------------------------------------------
+# blocked edit-distance near-dup
+# ---------------------------------------------------------------------------
+
+
+def _pad_bytes_matrix(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """UTF-8 strings -> zero-padded byte matrix [n, Lmax] + byte lengths.
+
+    Fully vectorized: the utf8 values buffer is viewed as uint8 and
+    scattered by offsets — no per-row Python encode loop.
+    """
+    a = pc.cast(arr, pa.string())
+    a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    offs = np.frombuffer(a.buffers()[1], dtype=np.int32)[
+        a.offset: a.offset + len(a) + 1].astype(np.int64)
+    data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+    lens = offs[1:] - offs[:-1]
+    lmax = max(int(lens.max(initial=0)), 1)
+    m = np.zeros((len(a), lmax), dtype=np.uint8)
+    mask = np.arange(lmax)[None, :] < lens[:, None]
+    m[mask] = data[(offs[:-1, None] + np.arange(lmax)[None, :])[mask]]
+    return m, lens
+
+
+def _levenshtein_pairs(A: np.ndarray, la: np.ndarray,
+                       B: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Byte-level Levenshtein for P row pairs, vectorized ACROSS pairs.
+
+    One Python iteration per a-side byte position (<= max byte length);
+    inside a row the insertion dependency
+    ``dp[j] = min(t[j], dp[j-1] + 1)`` is resolved closed-form with the
+    prefix-scan identity ``dp[j] = j + cummin_{k<=j}(t[k] - k)`` — so the
+    inner work is pure numpy over the [P, Lmax+1] plane.  Unit = BYTES,
+    matching DuckDB ``levenshtein`` exactly (which edits UTF-8 bytes:
+    ``levenshtein('héllo','hello') = 2``).
+    """
+    P, Lb = B.shape
+    cols = np.arange(Lb + 1, dtype=np.int64)
+    dp = np.broadcast_to(cols, (P, Lb + 1)).copy()
+    t = np.empty_like(dp)
+    for i in range(1, int(la.max(initial=0)) + 1):
+        cost = (B != A[:, i - 1][:, None]).astype(np.int64)
+        t[:, 0] = i
+        t[:, 1:] = np.minimum(dp[:, 1:] + 1, dp[:, :-1] + cost)
+        new = np.minimum.accumulate(t - cols, axis=1) + cols
+        active = la >= i
+        dp[active] = new[active]
+    return dp[np.arange(P), lb]
+
+
+def edit_distance_pairs(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 12,
+    max_dist: int = 10,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Blocked edit-distance near-dup: pairs (id_a < id_b) whose texts are
+    within ``max_dist`` BYTE edits, among docs sharing the same first
+    ``prefix_len`` CODEPOINTS (the classic prefix-blocking scheme for
+    typo/near-rewrite dedup; complements MinHash, which misses short
+    texts, and SimHash, which misses transpositions).
+
+    Reference analog: TSFEDL has no string ops (dense ndarrays,
+    SURVEY.md §2.7); this is an engine curation addition.
+
+    Scale design: every row belongs to exactly ONE block (its prefix), so
+    a single hash exchange on the block key co-locates all candidates and
+    pairs can never be discovered twice (no second dedup exchange, unlike
+    multi-bucket LSH).  Inside a partition the non-colliding majority is
+    dropped with one vectorized duplicated-mask, pairs are pruned by the
+    byte-length band (dist >= |len_a - len_b| in byte units), and ALL
+    surviving pairs run through one multi-pair vectorized DP
+    (`_levenshtein_pairs`) — no per-pair Python loop.
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "id": t[id_col],
+            "text": t[text_col],
+            "block": pc.utf8_slice_codeunits(t[text_col], 0, prefix_len),
+        })
+        return out.append_column(
+            "_pkey", _stable_pkey(out["block"], num_partitions))
+
+    def pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
+        idt = df["id"].dtype
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=idt),
+                              "id_b": pd.Series([], dtype=idt),
+                              "dist": pd.Series([], dtype="int64")})
+        dup = df[df.duplicated("block", keep=False)]
+        if len(dup) == 0:
+            return empty
+        dup = dup.sort_values(["block", "id"],
+                              kind="mergesort").reset_index(drop=True)
+        M, lens = _pad_bytes_matrix(pa.array(dup["text"], pa.string()))
+        blocks = dup["block"].to_numpy()
+        bounds = np.flatnonzero(
+            np.r_[True, blocks[1:] != blocks[:-1], True])
+        ia_l, ib_l = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            k = int(e - s)
+            if k < 2:
+                continue
+            ti, tj = np.triu_indices(k, k=1)
+            ia_l.append(ti + s)
+            ib_l.append(tj + s)
+        if not ia_l:
+            return empty
+        ia = np.concatenate(ia_l)
+        ib = np.concatenate(ib_l)
+        band = np.abs(lens[ia] - lens[ib]) <= max_dist
+        ia, ib = ia[band], ib[band]
+        if len(ia) == 0:
+            return empty
+        d = _levenshtein_pairs(M[ia], lens[ia], M[ib], lens[ib])
+        keep = d <= max_dist
+        ia, ib, d = ia[keep], ib[keep], d[keep]
+        ids = dup["id"].to_numpy()
+        # sorted by (block, id) with ti < tj inside a block => id_a < id_b
+        return pd.DataFrame({"id_a": pd.Series(ids[ia], dtype=idt),
+                             "id_b": pd.Series(ids[ib], dtype=idt),
+                             "dist": pd.Series(d, dtype="int64")})
+
+    tagged = ds.map_batches(prep, batch_format="pyarrow")
+    pairs = tagged.groupby("_pkey").map_groups(
+        pairs_partition, batch_format="pandas")
+    return pairs.sort(["id_a", "id_b"])

@@ -5,6 +5,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+import pyarrow as pa
 import ray.data
 
 from conftest import SF_CHECK, assert_frames_match, to_pdf
@@ -196,3 +197,65 @@ def test_prep_documents_neardup_end_to_end(tmp_path):
     comp = out.set_index("doc_id").component
     assert comp[1] == 1 and comp[4] == 4
     assert {"n_tokens", "quality", "lang_pred"} <= set(out.columns)
+
+
+# ---------------------------------------------------------------------------
+# 5o: blocked edit-distance near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_levenshtein_kernel_matches_duckdb():
+    """The multi-pair byte DP is bit-identical to DuckDB ``levenshtein``
+    on adversarial strings: empties, multibyte UTF-8 (accents/CJK),
+    transpositions, long near-identical strings."""
+    import itertools
+    import random
+
+    import duckdb
+
+    from s_tsfe_dl_ray.stages.dedup import (_levenshtein_pairs,
+                                            _pad_bytes_matrix)
+
+    random.seed(7)
+    pool = ["", " ", "héllo", "hello", "naïve", "数据处理", "abc", "acb",
+            "abcd" * 30, "abdc" * 30 + "x", "ß", "ss",
+            "the fast data merge"]
+    alpha = "abé数 "
+    pool += ["".join(random.choice(alpha)
+                     for _ in range(random.randint(0, 50)))
+             for _ in range(30)]
+    pairs = list(itertools.combinations(range(len(pool)), 2))
+    A = [pool[i] for i, _ in pairs]
+    B = [pool[j] for _, j in pairs]
+    Ma, la = _pad_bytes_matrix(pa.array(A, pa.string()))
+    Mb, lb = _pad_bytes_matrix(pa.array(B, pa.string()))
+    got = _levenshtein_pairs(Ma, la, Mb, lb)
+    exp = duckdb.connect().execute(
+        "SELECT levenshtein(a, b) FROM (SELECT unnest(?) a, unnest(?) b)",
+        [A, B]).df().iloc[:, 0].to_numpy()
+    assert (got == exp).all()
+
+
+def test_edit_distance_pairs_planted(ray_session, tmp_path):
+    """Planted near-dups inside one prefix block are found with exact
+    distances; cross-block near-dups are (by design) not candidates."""
+    import ray as _ray
+
+    from s_tsfe_dl_ray.stages.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            base,
+            base.replace("lazy", "hazy"),          # dist 1, same block
+            base + " bank",                         # dist 5, same block
+            "zzz " + base,                          # diff block: missed
+            "completely unrelated text about sunny coastal weather",
+        ], pa.string()),
+    })
+    out = edit_distance_pairs(
+        _ray.data.from_arrow(docs), prefix_len=12, max_dist=10).to_pandas()
+    got = {(a, b): d for a, b, d in
+           zip(out.id_a, out.id_b, out.dist)}
+    assert got == {(1, 2): 1, (1, 3): 5, (2, 3): 6}

@@ -549,3 +549,12 @@ def test_round5n_ops_empty():
         "source": pa.array([], pa.string()),
         "text": pa.array([], pa.string())}))
     assert len(ngram_novelty(docs).to_pandas()) == 0
+
+
+def test_round5o_ops_empty():
+    from s_tsfe_dl_ray.stages.dedup import edit_distance_pairs
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert len(edit_distance_pairs(docs).to_pandas()) == 0

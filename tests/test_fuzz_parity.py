@@ -466,6 +466,8 @@ D_QUERIES = [
     "docs_lang_mix",
     # 5n: first-seen trigram share (min-doc flag, int counts)
     "docs_novelty_rate",
+    # 5o: prefix-blocked byte-DP levenshtein pairs (planted dups => 0s)
+    "docs_editdist_pairs",
 ]
 
 _WORDS = ["the", "fast", "data", "merge", "la", "le", "und", "der",
