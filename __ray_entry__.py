@@ -5277,6 +5277,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   .groupby("_pkey").map_groups(fold, batch_format="pandas"))
         return _round_floats(merged.sort("l_suppkey"))
 
+    def q_events_mann_kendall(sf):
+        """Per-user Mann–Kendall trend TEST over daily value totals:
+        S over day pairs, tie-corrected Var(S), continuity-corrected z
+        (stages/robust.mann_kendall) — the distribution-free "is this
+        user's spend actually trending" significance screen on top of
+        the kendall_tau effect size.  Daily totals ride as cents-exact
+        int partials, so every sign/tie comparison is bit-exact."""
+        from s_tsfe_dl_ray.stages.robust import mann_kendall
+
+        ds = read_table(f"{sf}/events.parquet",
+                        columns=["user_id", "ts", "value"])
+
+        def part(t: pa.Table) -> pd.DataFrame:
+            us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            v = pc.cast(t["value"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pd.DataFrame({
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "d": us // 86_400_000_000,
+                "sv": ci,
+            }).groupby(["user_id", "d"], sort=False, as_index=False).sum()
+
+        daily = ds.map_batches(part, batch_format="pyarrow")
+        out = mann_kendall(daily, key="user_id", order_col="d",
+                           value_col="sv", min_n=3)
+        return _round_floats(out.sort("user_id"))
+
+    def q_orders_priority_status_chi2(sf):
+        """Priority × status independence on the orders dim: Pearson χ²
+        + Cramér's V over the full contingency grid incl. unobserved
+        zero cells (stages/distinct.chi2_independence reuse) — does
+        urgency actually change fulfillment state?"""
+        from s_tsfe_dl_ray.stages.distinct import chi2_independence
+
+        ds = read_table(f"{sf}/orders.parquet",
+                        columns=["o_orderpriority", "o_orderstatus"])
+        return _round_floats(chi2_independence(
+            ds, col_a="o_orderpriority", col_b="o_orderstatus"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -5681,6 +5723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_price_profile": q_part_brand_price_profile,
         "docs_editdist_pairs": q_docs_editdist_pairs,
         "supplier_catalog_breadth": q_supplier_catalog_breadth,
+        "events_mann_kendall": q_events_mann_kendall,
+        "orders_priority_status_chi2": q_orders_priority_status_chi2,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -12606,5 +12650,70 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(r)::DOUBLE / count(*)::DOUBLE, 6)
                      AS return_share
             FROM s GROUP BY 1 ORDER BY 1
+        """,
+        # MK trend over exact daily cent totals: S and ties are pure int
+        # comparisons; var_s = exact-int numerator / 18.0; z uses the
+        # correctly-rounded sqrt — identical expression tree both sides
+        # (var_s = 0 forces S = 0, so the z CASE never divides by zero)
+        "events_mann_kendall": """
+            WITH e AS (
+              SELECT user_id,
+                     (epoch_us(ts) // 86400000000)::BIGINT AS d,
+                     sum(CAST(round(value * 100) AS BIGINT)) AS sv
+              FROM events GROUP BY 1, 2
+            ), p AS (
+              SELECT a.user_id,
+                     sum(CASE WHEN b.sv > a.sv THEN 1
+                              WHEN b.sv < a.sv THEN -1
+                              ELSE 0 END)::BIGINT AS s
+              FROM e a JOIN e b ON a.user_id = b.user_id AND b.d > a.d
+              GROUP BY 1
+            ), n AS (
+              SELECT user_id, count(*)::BIGINT AS n FROM e GROUP BY 1
+              HAVING count(*) >= 3
+            ), t AS (
+              SELECT user_id,
+                     sum(c * (c - 1) * (2 * c + 5))::BIGINT AS tie_term
+              FROM (SELECT user_id, sv, count(*)::BIGINT AS c
+                    FROM e GROUP BY 1, 2) GROUP BY 1
+            )
+            SELECT n.user_id, n.n AS n_obs, p.s AS s_stat,
+                   round((n.n * (n.n - 1) * (2 * n.n + 5)
+                          - t.tie_term)::DOUBLE / 18.0, 6) AS var_s,
+                   round(CASE
+                     WHEN p.s > 0 THEN (p.s - 1)::DOUBLE
+                       / sqrt((n.n * (n.n - 1) * (2 * n.n + 5)
+                               - t.tie_term)::DOUBLE / 18.0)
+                     WHEN p.s < 0 THEN (p.s + 1)::DOUBLE
+                       / sqrt((n.n * (n.n - 1) * (2 * n.n + 5)
+                               - t.tie_term)::DOUBLE / 18.0)
+                     ELSE 0.0 END, 6) AS z
+            FROM n JOIN p USING (user_id) JOIN t USING (user_id)
+            ORDER BY 1
+        """,
+        # chi2_independence twin on the orders dim (full grid incl.
+        # unobserved zero cells, same cell algebra as qty_disc_chi2)
+        "orders_priority_status_chi2": """
+            WITH o AS (
+              SELECT o_orderpriority AS a, o_orderstatus AS b,
+                     count(*)::DOUBLE AS o
+              FROM orders GROUP BY 1, 2
+            ), r AS (SELECT a, sum(o) AS rs FROM o GROUP BY 1),
+            c AS (SELECT b, sum(o) AS cs FROM o GROUP BY 1),
+            t AS (SELECT sum(o) AS n FROM o),
+            cell AS (
+              SELECT r.rs * c.cs / t.n AS e, coalesce(oo.o, 0.0) AS obs
+              FROM r CROSS JOIN c CROSS JOIN t
+              LEFT JOIN o oo ON oo.a = r.a AND oo.b = c.b)
+            SELECT (SELECT n FROM t)::BIGINT AS n,
+                   (((SELECT count(*) FROM r) - 1)
+                    * ((SELECT count(*) FROM c) - 1))::BIGINT AS dof,
+                   round(sum((obs - e) * (obs - e) / e), 6) AS chi2,
+                   round(sqrt(sum((obs - e) * (obs - e) / e)
+                              / ((SELECT n FROM t)
+                                 * least((SELECT count(*) FROM r) - 1,
+                                         (SELECT count(*) FROM c) - 1))),
+                         6) AS cramers_v
+            FROM cell
         """,
     }

@@ -550,6 +550,93 @@ def kendall_tau(
                          num_partitions=num_partitions, whole_partition=True)
 
 
+def mann_kendall(
+    ds: Dataset,
+    *,
+    key: str,
+    order_col: str,
+    value_col: str,
+    min_n: int = 3,
+    max_key_rows: int = 20_000,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key Mann–Kendall monotone-trend TEST: ``S = Σ_{i<j}
+    sign(x_j − x_i)`` over the series ordered by ``order_col``,
+    tie-corrected ``Var(S) = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18``
+    over value tie groups, and the continuity-corrected
+    ``z = (S ∓ 1)/√Var(S)`` (0 when S = 0).  Adds the significance
+    readout that :func:`kendall_tau` (the effect size) lacks — the
+    classic distribution-free "is this KPI actually trending" screen.
+
+    Duplicate ``(key, order)`` rows are SUMMED inside the partition
+    fold, so upstream per-batch integer partials (e.g. value cents per
+    day) stay exact across any batching — feed integer values and every
+    sign/tie comparison is bit-exact against a SQL twin; the only float
+    ops are the /18 and the (correctly-rounded) sqrt.
+
+    Reference analog: trend screens over rolled-up vitals (SURVEY
+    §2.5); no TSFEDL counterpart (model zoo, not stats).  Same scale
+    contract as :func:`kendall_tau`: one ``_pkey`` exchange
+    (grouped_apply), O(n_k²) numpy pair blocks per key bounded by
+    ``max_key_rows`` — run it on pre-rolled daily/windowed series.
+    Output: ``key, n_obs, s_stat, var_s, z`` (keys with fewer than
+    ``min_n`` distinct order points emit no row).
+    """
+
+    def mk_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                key: [],
+                "n_obs": pd.Series([], dtype="int64"),
+                "s_stat": pd.Series([], dtype="int64"),
+                "var_s": pd.Series([], dtype="float64"),
+                "z": pd.Series([], dtype="float64")})
+        g = (df.groupby([key, order_col], sort=False, as_index=False)
+             [value_col].sum())
+        g = g.sort_values([key, order_col], kind="mergesort")
+        v_all = g[value_col].to_numpy()
+        k_all = g[key].to_numpy()
+        change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
+        starts = np.concatenate([[0], change, [len(g)]])
+        keys, ns, ss, vs, zs = [], [], [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            n = int(e - s)
+            if n < min_n:
+                continue
+            if n > max_key_rows:
+                raise ValueError(
+                    f"mann_kendall: key {k_all[s]!r} has {n} points > "
+                    f"max_key_rows={max_key_rows}; window or downsample "
+                    f"first")
+            v = v_all[s:e]
+            iu, ju = np.triu_indices(n, 1)
+            d = v[ju] - v[iu]
+            s_stat = int((d > 0).sum()) - int((d < 0).sum())
+            cnt = np.unique(v, return_counts=True)[1].astype(np.int64)
+            tie = int((cnt * (cnt - 1) * (2 * cnt + 5)).sum())
+            var_s = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+            if s_stat > 0:
+                z = (s_stat - 1) / np.sqrt(var_s)
+            elif s_stat < 0:
+                z = (s_stat + 1) / np.sqrt(var_s)
+            else:
+                z = 0.0
+            keys.append(k_all[s])
+            ns.append(n)
+            ss.append(s_stat)
+            vs.append(var_s)
+            zs.append(float(z))
+        return pd.DataFrame({
+            key: keys,
+            "n_obs": pd.Series(ns, dtype="int64"),
+            "s_stat": pd.Series(ss, dtype="int64"),
+            "var_s": pd.Series(vs, dtype="float64"),
+            "z": pd.Series(zs, dtype="float64")})
+
+    return grouped_apply(ds, keys=[key], fn=mk_partition,
+                         num_partitions=num_partitions, whole_partition=True)
+
+
 def anova_oneway(
     ds: Dataset,
     *,

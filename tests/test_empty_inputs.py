@@ -558,3 +558,20 @@ def test_round5o_ops_empty():
         "doc_id": pa.array([], pa.int64()),
         "text": pa.array([], pa.string())}))
     assert len(edit_distance_pairs(docs).to_pandas()) == 0
+
+
+def test_round5p_ops_empty():
+    from s_tsfe_dl_ray.stages.distinct import chi2_independence
+    from s_tsfe_dl_ray.stages.robust import mann_kendall
+
+    daily = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "d": pa.array([], pa.int64()),
+        "sv": pa.array([], pa.int64())}))
+    assert len(mann_kendall(daily, key="user_id", order_col="d",
+                            value_col="sv").to_pandas()) == 0
+    cats = ray.data.from_arrow(pa.table({
+        "a": pa.array([], pa.string()),
+        "b": pa.array([], pa.string())}))
+    assert len(chi2_independence(cats, col_a="a",
+                                 col_b="b").to_pandas()) == 0

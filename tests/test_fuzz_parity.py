@@ -45,6 +45,7 @@ QUERIES = [
     "events_mad_per_user",
     "events_spearman_trend",
     "events_kendall_tau",
+    "events_mann_kendall",
     "events_mode_type",
     "events_value_histogram",
     "events_gini_users",
