@@ -5319,6 +5319,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(chi2_independence(
             ds, col_a="o_orderpriority", col_b="o_orderstatus"))
 
+    def q_lineitem_qty_disc_gamma(sf):
+        """Goodman–Kruskal gamma + Kendall tau-b between quantity decile
+        bin and discount level (stages/robust.ordinal_association) —
+        the ORDERED-category association the chi-square sibling ignores:
+        do bigger orders systematically get deeper discounts?  All pair
+        counts are exact int64 suffix-sum folds over the contingency
+        cells; row count never enters the pair loop."""
+        from s_tsfe_dl_ray.stages.robust import ordinal_association
+
+        ds = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_quantity", "l_discount"])
+
+        def binify(t: pa.Table) -> pa.Table:
+            q = pc.cast(t["l_quantity"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            d = pc.cast(t["l_discount"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            qa = ((np.copysign(np.floor(np.abs(q) + 0.5), q)
+                   .astype(np.int64) - 1) // 10)
+            db = np.copysign(np.floor(np.abs(d) * 100.0 + 0.5),
+                             d).astype(np.int64)
+            return pa.table({"qa": pa.array(qa), "db": pa.array(db)})
+
+        binned = ds.map_batches(binify, batch_format="pyarrow")
+        return _round_floats(ordinal_association(
+            binned, col_a="qa", col_b="db"))
+
+    def q_events_friedman_types(sf):
+        """Friedman blocked-ranks test: do event types rank consistently
+        differently across days (blocks = days, treatments = types,
+        value = cents-exact daily total, absent cells = 0)?  The
+        blocked sibling of the Kruskal–Wallis screen
+        (stages/robust.friedman_test); mid-ranks are exact .5 multiples
+        so the statistic matches the SQL window-rank twin bit-for-bit."""
+        from s_tsfe_dl_ray.stages.robust import friedman_test
+
+        ds = read_table(f"{sf}/events.parquet",
+                        columns=["ts", "event_type", "value"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            v = pc.cast(t["value"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pa.table({"d": pa.array(us // 86_400_000_000),
+                             "ty": t["event_type"],
+                             "ci": pa.array(ci)})
+
+        cells = ds.map_batches(derive, batch_format="pyarrow")
+        return _round_floats(friedman_test(
+            cells, block_col="d", treat_col="ty", value_col="ci"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -5725,6 +5779,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_catalog_breadth": q_supplier_catalog_breadth,
         "events_mann_kendall": q_events_mann_kendall,
         "orders_priority_status_chi2": q_orders_priority_status_chi2,
+        "lineitem_qty_disc_gamma": q_lineitem_qty_disc_gamma,
+        "events_friedman_types": q_events_friedman_types,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -12715,5 +12771,79 @@ def oracle_sql() -> dict[str, str]:
                                          (SELECT count(*) FROM c) - 1))),
                          6) AS cramers_v
             FROM cell
+        """,
+        # gamma/tau-b from exact int cell-pair folds; n0 - tie products
+        # cast to DOUBLE before multiplying (n0^2 overflows int64);
+        # 0/0 and x/0.0 both yield NULL = engine NaN
+        "lineitem_qty_disc_gamma": """
+            WITH s AS (
+              SELECT ((CAST(round(l_quantity) AS BIGINT) - 1) // 10)
+                       AS a,
+                     CAST(round(l_discount * 100) AS BIGINT) AS b
+              FROM lineitem
+            ), cell AS (
+              SELECT a, b, count(*)::BIGINT AS o FROM s GROUP BY 1, 2
+            ), p AS (
+              SELECT coalesce(sum(x.o * y.o) FILTER (
+                       WHERE y.a > x.a AND y.b > x.b), 0)::BIGINT
+                       AS conc,
+                     coalesce(sum(x.o * y.o) FILTER (
+                       WHERE y.a > x.a AND y.b < x.b), 0)::BIGINT
+                       AS disc
+              FROM cell x, cell y
+            ), t AS (
+              SELECT (SELECT sum(o) FROM cell)::BIGINT AS n,
+                     (SELECT sum(t1 * (t1 - 1) // 2) FROM
+                       (SELECT sum(o)::BIGINT AS t1 FROM cell
+                        GROUP BY a))::BIGINT AS ta,
+                     (SELECT sum(t2 * (t2 - 1) // 2) FROM
+                       (SELECT sum(o)::BIGINT AS t2 FROM cell
+                        GROUP BY b))::BIGINT AS tb
+            )
+            SELECT t.n, p.conc, p.disc,
+                   round((p.conc - p.disc)::DOUBLE
+                         / (p.conc + p.disc)::DOUBLE, 6) AS gamma,
+                   round((p.conc - p.disc)::DOUBLE
+                         / sqrt((t.n * (t.n - 1) // 2 - t.ta)::DOUBLE
+                                * (t.n * (t.n - 1) // 2 - t.tb)::DOUBLE),
+                         6) AS tau_b
+            FROM t, p
+        """,
+        # Friedman via window mid-ranks (avg(row_number) over the day's
+        # sv tie group) on the zero-completed day x type grid; ranks are
+        # exact .5 multiples so every sum is order-free
+        "events_friedman_types": """
+            WITH e AS (
+              SELECT (epoch_us(ts) // 86400000000)::BIGINT AS d,
+                     event_type AS ty,
+                     sum(CAST(round(value * 100) AS BIGINT)) AS sv
+              FROM events GROUP BY 1, 2
+            ), g AS (
+              SELECT dd.d, tt.ty, coalesce(e.sv, 0)::BIGINT AS sv
+              FROM (SELECT DISTINCT d FROM e) dd
+              CROSS JOIN (SELECT DISTINCT ty FROM e) tt
+              LEFT JOIN e ON e.d = dd.d AND e.ty = tt.ty
+            ), r AS (
+              SELECT d, ty, sv, avg(rn) OVER (PARTITION BY d, sv) AS rk
+              FROM (SELECT d, ty, sv,
+                           row_number() OVER (PARTITION BY d
+                             ORDER BY sv, ty)::BIGINT AS rn
+                    FROM g)
+            ), s AS (
+              SELECT count(DISTINCT d)::BIGINT AS b,
+                     count(DISTINCT ty)::BIGINT AS k
+              FROM g
+            ), agg AS (
+              SELECT (SELECT sum((rsum - b * (k + 1) / 2.0)
+                                 * (rsum - b * (k + 1) / 2.0))
+                      FROM (SELECT ty, sum(rk) AS rsum FROM r
+                            GROUP BY 1), s) AS bb,
+                     (SELECT sum(rk * rk) FROM r)
+                       - (SELECT b * k * (k + 1) * (k + 1) / 4.0
+                          FROM s) AS aa
+            )
+            SELECT s.b AS n_blocks, s.k AS k_treatments,
+                   round((s.k - 1) * agg.bb / agg.aa, 6) AS chi2_f
+            FROM s, agg
         """,
     }

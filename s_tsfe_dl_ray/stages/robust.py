@@ -1845,3 +1845,153 @@ def kruskal_wallis(
         .repartition(1)
         .map_batches(fin, batch_format="pandas", batch_size=None)
     )
+
+
+def ordinal_association(
+    ds: Dataset,
+    *,
+    col_a: str,
+    col_b: str,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Goodman–Kruskal gamma + Kendall tau-b between two ORDINAL integer
+    columns, computed from the contingency table — the ordered-category
+    sibling of :func:`~.distinct.chi2_independence` (which ignores
+    order): does more of A systematically come with more of B?
+
+    All pair counts are EXACT int64 folds over cells: concordant
+    ``C = Σ_xy O_x·O_y`` over cell pairs strictly increasing in both
+    coords (each unordered row pair counted once), discordant ``D``
+    over opposite-moving pairs, tie terms from the marginals
+    (``T_a = Σ n_i(n_i−1)/2``).  ``gamma = (C−D)/(C+D)``;
+    ``tau_b = (C−D)/√((n₀−T_a)(n₀−T_b))`` with the product taken in
+    DOUBLE (n₀² overflows int64 at ~10⁸ rows).  The suffix-sum matrix
+    sweep is O(r·c) after one tiny combiner exchange — row count never
+    matters.  Output: one row ``n, conc, disc, gamma, tau_b`` (floats
+    NULL on degenerate 0/0).
+    """
+    from .dedup import _grouped_min
+
+    def partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({"a": pc.cast(t[col_a], pa.int64()),
+                        "b": pc.cast(t[col_b], pa.int64())})
+        out = tbl.combine_chunks().group_by(
+            ["a", "b"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["a", "b", "o"])
+
+    counts = _grouped_min(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        group_cols=["a", "b"], agg_cols=[("o", "sum")], pkey_col="a",
+        num_partitions=num_partitions)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "n": pd.Series([], dtype="int64"),
+                "conc": pd.Series([], dtype="int64"),
+                "disc": pd.Series([], dtype="int64"),
+                "gamma": pd.Series([], dtype="float64"),
+                "tau_b": pd.Series([], dtype="float64")})
+        piv = df.pivot_table(index="a", columns="b", values="o",
+                             aggfunc="sum", fill_value=0).sort_index()
+        o = piv.to_numpy(dtype=np.int64)
+        # 2D strict suffix sums: S_lo_hi[i,j] = Σ O[i'>i, j'>j], etc.
+        ext = np.zeros((o.shape[0] + 1, o.shape[1] + 1), dtype=np.int64)
+        ext[:-1, :-1] = o
+        suf = np.flip(np.cumsum(np.cumsum(
+            np.flip(ext, (0, 1)), axis=0), axis=1), (0, 1))
+        conc = int((o * suf[1:, 1:]).sum())
+        # discordant: strict down-suffix per column, then a strict left
+        # prefix over it — inner[i,j] = Σ_{i'>i, j'<j} O[i',j']
+        down = np.flip(np.cumsum(np.flip(ext, 0), axis=0), 0)[1:, :-1]
+        left_prefix = np.concatenate(
+            [np.zeros((o.shape[0], 1), dtype=np.int64),
+             np.cumsum(down, axis=1)[:, :-1]], axis=1)
+        disc = int((o * left_prefix).sum())
+        n = int(o.sum())
+        n0 = n * (n - 1) // 2
+        ra = o.sum(axis=1)
+        cb = o.sum(axis=0)
+        ta = int((ra * (ra - 1) // 2).sum())
+        tb = int((cb * (cb - 1) // 2).sum())
+        cd = conc - disc
+        gamma = (cd / float(conc + disc)) if (conc + disc) > 0 else np.nan
+        den = np.sqrt(float(n0 - ta) * float(n0 - tb))
+        tau_b = cd / den if den > 0 else np.nan
+        return pd.DataFrame({
+            "n": pd.Series([n], dtype="int64"),
+            "conc": pd.Series([conc], dtype="int64"),
+            "disc": pd.Series([disc], dtype="int64"),
+            "gamma": [gamma], "tau_b": [tau_b]})
+
+    return counts.repartition(1).map_batches(
+        fin, batch_format="pandas", batch_size=None)
+
+
+def friedman_test(
+    ds: Dataset,
+    *,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+) -> Dataset:
+    """Friedman test over a (block × treatment) value grid: do the
+    treatments rank consistently differently across blocks?  The
+    blocked sibling of :func:`~.robust` Kruskal–Wallis — e.g. blocks =
+    days, treatments = event types, value = daily total.
+
+    The grid is COMPLETED with zeros (absent (block, treatment) = "no
+    activity", a legitimate total), mid-ranks are taken within each
+    block, and the tie-robust form is used:
+
+        A = Σ r_ij² − b·k·(k+1)²/4      B = Σ_j (R_j − b(k+1)/2)²
+        χ²_F = (k−1)·B / A              (NULL when A = 0: all tied)
+
+    Mid-ranks are exact .5 multiples and every sum is over small exact
+    floats, so the statistic matches the SQL window-rank twin bit-for-
+    bit.  One tiny (block, treat, int-sum) combiner exchange; the rank
+    matrix finalizes on one partition (b×k is small by construction).
+    Output: one row ``n_blocks, k_treatments, chi2_f``.
+    """
+    from .dedup import _grouped_min
+
+    def partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({"blk": t[block_col], "trt": t[treat_col],
+                        "sv": pc.cast(t[value_col], pa.int64())})
+        out = tbl.combine_chunks().group_by(
+            ["blk", "trt"], use_threads=False).aggregate([("sv", "sum")])
+        return out.rename_columns(["blk", "trt", "sv"])
+
+    partials = _grouped_min(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        group_cols=["blk", "trt"], agg_cols=[("sv", "sum")],
+        pkey_col="blk", num_partitions=8)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "n_blocks": pd.Series([], dtype="int64"),
+                "k_treatments": pd.Series([], dtype="int64"),
+                "chi2_f": pd.Series([], dtype="float64")})
+        piv = df.pivot_table(index="blk", columns="trt", values="sv",
+                             aggfunc="sum", fill_value=0)
+        b, k = piv.shape
+        if k < 2:
+            return pd.DataFrame({
+                "n_blocks": pd.Series([b], dtype="int64"),
+                "k_treatments": pd.Series([k], dtype="int64"),
+                "chi2_f": pd.Series([np.nan], dtype="float64")})
+        r = piv.rank(axis=1, method="average").to_numpy(dtype=np.float64)
+        rj = r.sum(axis=0)
+        big_b = ((rj - b * (k + 1) / 2.0) ** 2).sum()
+        big_a = (r * r).sum() - b * k * (k + 1) * (k + 1) / 4.0
+        chi2 = np.float64(k - 1) * np.float64(big_b) / np.float64(big_a)
+        return pd.DataFrame({
+            "n_blocks": pd.Series([b], dtype="int64"),
+            "k_treatments": pd.Series([k], dtype="int64"),
+            "chi2_f": [float(chi2) if np.isfinite(chi2) else np.nan]})
+
+    return partials.repartition(1).map_batches(
+        fin, batch_format="pandas", batch_size=None)

@@ -575,3 +575,19 @@ def test_round5p_ops_empty():
         "b": pa.array([], pa.string())}))
     assert len(chi2_independence(cats, col_a="a",
                                  col_b="b").to_pandas()) == 0
+
+
+def test_round5q_ops_empty():
+    from s_tsfe_dl_ray.stages.robust import friedman_test, ordinal_association
+
+    binned = ray.data.from_arrow(pa.table({
+        "qa": pa.array([], pa.int64()),
+        "db": pa.array([], pa.int64())}))
+    assert len(ordinal_association(binned, col_a="qa",
+                                   col_b="db").to_pandas()) == 0
+    cells = ray.data.from_arrow(pa.table({
+        "d": pa.array([], pa.int64()),
+        "ty": pa.array([], pa.string()),
+        "ci": pa.array([], pa.int64())}))
+    assert len(friedman_test(cells, block_col="d", treat_col="ty",
+                             value_col="ci").to_pandas()) == 0

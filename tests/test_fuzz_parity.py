@@ -46,6 +46,7 @@ QUERIES = [
     "events_spearman_trend",
     "events_kendall_tau",
     "events_mann_kendall",
+    "events_friedman_types",
     "events_mode_type",
     "events_value_histogram",
     "events_gini_users",
