@@ -1995,3 +1995,154 @@ def friedman_test(
 
     return partials.repartition(1).map_batches(
         fin, batch_format="pandas", batch_size=None)
+
+
+def cliffs_delta(
+    ds: Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Cliff's delta between two groups over an INTEGER value column:
+    ``δ = (#(x₁ > x₀) − #(x₁ < x₀)) / (n₀·n₁)`` — the distribution-free
+    effect size that accompanies the Mann–Whitney TEST (how often does
+    group 1 beat group 0, net), robust where Cohen's d is not.
+
+    ``group_col`` must be 0/1 int.  Pair counts come from per-value
+    counts sorted by value — ``conc = Σ_v c₁(v)·(Σ_{v'<v} c₀(v'))``
+    (one cumulative sum, exact int64; identical algebra to the SQL
+    window twin), never from materialized pairs, so row count enters
+    only the tiny per-value combiner.  Output: one row
+    ``n_0, n_1, conc, disc, delta`` (δ NULL when either group is
+    empty); no row on empty input.
+    """
+    from .dedup import _grouped_min
+
+    def partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({"g": pc.cast(t[group_col], pa.int64()),
+                        "v": pc.cast(t[value_col], pa.int64())})
+        out = tbl.combine_chunks().group_by(
+            ["g", "v"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "v", "o"])
+
+    counts = _grouped_min(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        group_cols=["g", "v"], agg_cols=[("o", "sum")], pkey_col="v",
+        num_partitions=num_partitions)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "n_0": pd.Series([], dtype="int64"),
+                "n_1": pd.Series([], dtype="int64"),
+                "conc": pd.Series([], dtype="int64"),
+                "disc": pd.Series([], dtype="int64"),
+                "delta": pd.Series([], dtype="float64")})
+        piv = df.pivot_table(index="v", columns="g", values="o",
+                             aggfunc="sum", fill_value=0).sort_index()
+        ca = (piv[0].to_numpy(dtype=np.int64) if 0 in piv.columns
+              else np.zeros(len(piv), dtype=np.int64))
+        cb = (piv[1].to_numpy(dtype=np.int64) if 1 in piv.columns
+              else np.zeros(len(piv), dtype=np.int64))
+        below = np.concatenate([[0], np.cumsum(ca)[:-1]])
+        na, nb = int(ca.sum()), int(cb.sum())
+        conc = int((cb * below).sum())
+        disc = int((cb * (na - below - ca)).sum())
+        delta = ((conc - disc) / float(na * nb)
+                 if na > 0 and nb > 0 else np.nan)
+        return pd.DataFrame({
+            "n_0": pd.Series([na], dtype="int64"),
+            "n_1": pd.Series([nb], dtype="int64"),
+            "conc": pd.Series([conc], dtype="int64"),
+            "disc": pd.Series([disc], dtype="int64"),
+            "delta": [delta]})
+
+    return counts.repartition(1).map_batches(
+        fin, batch_format="pandas", batch_size=None)
+
+
+def durbin_watson(
+    ds: Dataset,
+    *,
+    key: str,
+    order_col: str,
+    value_col: str,
+    min_n: int = 3,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key Durbin–Watson statistic of the OLS-detrended series: is
+    what the linear trend leaves behind serially correlated (DW ≪ 2:
+    momentum the trend line missed; ≈2: white noise; ≫2: alternation)?
+    The regression-residual sibling of :func:`~.trend.lag1_autocorr`.
+
+    Duplicate ``(key, order)`` rows are SUMMED first (feed integer
+    values, e.g. daily cents), ``order`` is re-based to ``t − min(t)``
+    per key, and everything reduces to EXACT integer moments —
+    ``n, Σt, Σy, Σt², Σty, Σy²`` plus the consecutive-delta moments
+    ``ΣΔy², ΣΔyΔt, ΣΔt²`` — pushed through ONE fixed float expression
+    tree shared with the SQL twin::
+
+        b   = (Σty − ΣtΣy/n) / (Σt² − ΣtΣt/n)
+        den = (Σy² − ΣyΣy/n) − 2·b·sty_c + b·b·stt_c
+        dw  = (ΣΔy² − 2·b·ΣΔyΔt + b·b·ΣΔt²) / den
+
+    so both sides agree bit-for-bit (den = 0 ⇒ perfect fit ⇒ NULL).
+    One ``_pkey`` exchange, vectorized inside the partition.  Output:
+    ``key, n_obs, slope, dw``.
+    """
+
+    def dw_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                key: [],
+                "n_obs": pd.Series([], dtype="int64"),
+                "slope": pd.Series([], dtype="float64"),
+                "dw": pd.Series([], dtype="float64")})
+        g = (df.groupby([key, order_col], sort=False, as_index=False)
+             [value_col].sum())
+        g = g.sort_values([key, order_col], kind="mergesort")
+        k_all = g[key].to_numpy()
+        t_raw = g[order_col].to_numpy(dtype=np.int64)
+        y = g[value_col].to_numpy(dtype=np.float64)
+        change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
+        starts = np.concatenate([[0], change, [len(g)]])
+        gid = np.repeat(np.arange(len(starts) - 1),
+                        np.diff(starts))
+        nk = len(starts) - 1
+        t = (t_raw - t_raw[starts[:-1]][gid]).astype(np.float64)
+        n = np.diff(starts).astype(np.float64)
+        st = np.bincount(gid, weights=t, minlength=nk)
+        sy = np.bincount(gid, weights=y, minlength=nk)
+        stt = np.bincount(gid, weights=t * t, minlength=nk)
+        sty = np.bincount(gid, weights=t * y, minlength=nk)
+        syy = np.bincount(gid, weights=y * y, minlength=nk)
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = k_all[1:] == k_all[:-1]
+        dy = np.zeros(len(g))
+        dt = np.zeros(len(g))
+        dy[1:] = (y[1:] - y[:-1])
+        dt[1:] = (t[1:] - t[:-1])
+        w = same.astype(np.float64)
+        dyy = np.bincount(gid, weights=dy * dy * w, minlength=nk)
+        dty = np.bincount(gid, weights=dy * dt * w, minlength=nk)
+        dtt = np.bincount(gid, weights=dt * dt * w, minlength=nk)
+        keep = n >= min_n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sty_c = sty - st * sy / n
+            stt_c = stt - st * st / n
+            syy_c = syy - sy * sy / n
+            b = sty_c / stt_c
+            den = syy_c - 2.0 * b * sty_c + b * b * stt_c
+            dw = (dyy - 2.0 * b * dty + b * b * dtt) / den
+        dw = np.where(np.isfinite(dw), dw, np.nan)
+        b = np.where(np.isfinite(b), b, np.nan)
+        return pd.DataFrame({
+            key: k_all[starts[:-1]][keep],
+            "n_obs": n[keep].astype(np.int64),
+            "slope": b[keep],
+            "dw": dw[keep]})
+
+    return grouped_apply(ds, keys=[key], fn=dw_partition,
+                         num_partitions=num_partitions, whole_partition=True)

@@ -591,3 +591,19 @@ def test_round5q_ops_empty():
         "ci": pa.array([], pa.int64())}))
     assert len(friedman_test(cells, block_col="d", treat_col="ty",
                              value_col="ci").to_pandas()) == 0
+
+
+def test_round5r_ops_empty():
+    from s_tsfe_dl_ray.stages.robust import cliffs_delta, durbin_watson
+
+    pairs = ray.data.from_arrow(pa.table({
+        "g": pa.array([], pa.int64()),
+        "v": pa.array([], pa.int64())}))
+    assert len(cliffs_delta(pairs, group_col="g",
+                            value_col="v").to_pandas()) == 0
+    daily = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "d": pa.array([], pa.int64()),
+        "sv": pa.array([], pa.int64())}))
+    assert len(durbin_watson(daily, key="user_id", order_col="d",
+                             value_col="sv").to_pandas()) == 0

@@ -47,6 +47,8 @@ QUERIES = [
     "events_kendall_tau",
     "events_mann_kendall",
     "events_friedman_types",
+    "events_cliffs_delta",
+    "events_durbin_watson",
     "events_mode_type",
     "events_value_histogram",
     "events_gini_users",
