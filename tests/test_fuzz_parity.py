@@ -472,6 +472,9 @@ D_QUERIES = [
     "docs_novelty_rate",
     # 5o: prefix-blocked byte-DP levenshtein pairs (planted dups => 0s)
     "docs_editdist_pairs",
+    # 5s: closure over those pairs + blocking-selectivity audit
+    "docs_editdist_clusters",
+    "docs_block_selectivity",
 ]
 
 _WORDS = ["the", "fast", "data", "merge", "la", "le", "und", "der",
