@@ -5488,6 +5488,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .map_batches(fold, batch_format="pandas",
                              batch_size=None).sort("block_size"))
 
+    def q_events_yuen_t(sf):
+        """Yuen's trimmed-mean t-test, purchase vs click value: the
+        robust location comparison that survives the heavy tails
+        Welch's t chokes on (stages/robust.yuen_trimmed_t).  20% = N//5
+        observations trimmed per end via exact order statistics on
+        cents cells; t and df flow through one fixed float tree."""
+        from s_tsfe_dl_ray.stages.robust import yuen_trimmed_t
+
+        ds = read_table(f"{sf}/events.parquet",
+                        columns=["event_type", "value"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t["event_type"],
+                            value_set=pa.array(["click", "purchase"]))
+            sub = t.filter(keep)
+            v = pc.cast(sub["value"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pa.table({
+                "g": pc.cast(pc.equal(sub["event_type"], "purchase"),
+                             pa.int64()),
+                "v": pa.array(ci)})
+
+        pairs = ds.map_batches(derive, batch_format="pyarrow")
+        return _round_floats(yuen_trimmed_t(
+            pairs, group_col="g", value_col="v", trim_den=5))
+
+    def q_transcripts_len_cliffs(sf):
+        """Cliff's delta of assistant-vs-user turn length (codepoints):
+        how often does an assistant turn outweigh a user turn, net —
+        the scale-free verbosity-imbalance readout
+        (stages/robust.cliffs_delta reuse on the dialog surface;
+        lengths are exact ints, so pair counts are exact)."""
+        from s_tsfe_dl_ray.stages.robust import cliffs_delta
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["role", "text"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t["role"],
+                            value_set=pa.array(["user", "assistant"]))
+            sub = t.filter(keep)
+            return pa.table({
+                "g": pc.cast(pc.equal(sub["role"], "assistant"),
+                             pa.int64()),
+                "v": pc.cast(pc.utf8_length(sub["text"]), pa.int64())})
+
+        pairs = turns.map_batches(derive, batch_format="pyarrow")
+        return _round_floats(cliffs_delta(
+            pairs, group_col="g", value_col="v"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -5900,6 +5952,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_durbin_watson": q_events_durbin_watson,
         "docs_editdist_clusters": q_docs_editdist_clusters,
         "docs_block_selectivity": q_docs_block_selectivity,
+        "events_yuen_t": q_events_yuen_t,
+        "transcripts_len_cliffs": q_transcripts_len_cliffs,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -13087,5 +13141,100 @@ def oracle_sql() -> dict[str, str]:
                    (count(*) * (c * (c - 1) // 2))::BIGINT
                      AS n_candidate_pairs
             FROM b GROUP BY 1 ORDER BY 1
+        """,
+        # Yuen from per-value cells: k = n//5 (integer trim — no
+        # 0.2*N float-floor ambiguity), middle sums from clipped
+        # cumulative counts, winsorized tails from exact order stats;
+        # one fixed float tree both sides
+        "events_yuen_t": """
+            WITH s AS (
+              SELECT CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END AS g,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+              WHERE event_type IN ('click', 'purchase')
+            ), c AS (
+              SELECT g, v, count(*)::BIGINT AS o FROM s GROUP BY 1, 2
+            ), w AS (
+              SELECT g, v, o,
+                     sum(o) OVER (PARTITION BY g ORDER BY v)::BIGINT
+                       AS cum,
+                     (sum(o) OVER (PARTITION BY g ORDER BY v)
+                      - o)::BIGINT AS lo,
+                     sum(o) OVER (PARTITION BY g)::BIGINT AS n
+              FROM c
+            ), k AS (
+              SELECT *, (n // 5)::BIGINT AS kk FROM w
+            ), a AS (
+              SELECT g, max(n)::BIGINT AS n, max(kk)::BIGINT AS kk,
+                     (max(n) - 2 * max(kk))::BIGINT AS h,
+                     sum(v * greatest(least(cum, n - kk)
+                                      - greatest(lo, kk), 0))::BIGINT
+                       AS mid_sum,
+                     sum(v * v * greatest(least(cum, n - kk)
+                                          - greatest(lo, kk), 0))::BIGINT
+                       AS mid_ss,
+                     min(v) FILTER (WHERE cum > kk)::BIGINT AS v_low,
+                     min(v) FILTER (WHERE cum >= n - kk)::BIGINT
+                       AS v_high
+              FROM k GROUP BY 1
+              HAVING (max(n) - 2 * max(kk)) >= 2
+            ), st AS (
+              SELECT g, h,
+                     mid_sum::DOUBLE / h::DOUBLE AS tmean,
+                     ((mid_ss + kk * v_low * v_low
+                       + kk * v_high * v_high)::DOUBLE
+                      - (mid_sum + kk * v_low + kk * v_high)::DOUBLE
+                        * (mid_sum + kk * v_low + kk * v_high)::DOUBLE
+                        / n::DOUBLE)
+                     / (n - 1)::DOUBLE
+                     * (n - 1)::DOUBLE / (h * (h - 1))::DOUBLE AS d
+              FROM a
+            )
+            SELECT a0.h AS h_0, a1.h AS h_1,
+                   round(a0.tmean, 6) AS tmean_0,
+                   round(a1.tmean, 6) AS tmean_1,
+                   round((a1.tmean - a0.tmean)
+                         / sqrt(a0.d + a1.d), 6) AS t_stat,
+                   round((a0.d + a1.d) * (a0.d + a1.d)
+                         / (a0.d * a0.d / (a0.h - 1)::DOUBLE
+                            + a1.d * a1.d / (a1.h - 1)::DOUBLE), 6)
+                     AS df
+            FROM (SELECT * FROM st WHERE g = 0) a0,
+                 (SELECT * FROM st WHERE g = 1) a1
+        """,
+        # cliffs_delta reuse on the dialog surface: exact codepoint
+        # lengths, same window-cumsum pair counts
+        "transcripts_len_cliffs": f"""
+            WITH s AS (
+              SELECT CASE WHEN role = 'assistant'
+                          THEN 1 ELSE 0 END AS g,
+                     length(text)::BIGINT AS v
+              FROM {T}
+              WHERE role IN ('user', 'assistant')
+            ), c AS (
+              SELECT v,
+                     sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS ca,
+                     sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS cb
+              FROM s GROUP BY 1
+            ), w AS (
+              SELECT v, ca, cb,
+                     coalesce(sum(ca) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)::BIGINT AS below_a
+              FROM c
+            ), t AS (
+              SELECT (SELECT sum(ca) FROM c)::BIGINT AS na,
+                     (SELECT sum(cb) FROM c)::BIGINT AS nb
+            )
+            SELECT t.na AS n_0, t.nb AS n_1,
+                   sum(cb * below_a)::BIGINT AS conc,
+                   sum(cb * (t.na - below_a - ca))::BIGINT AS disc,
+                   round((sum(cb * below_a)
+                          - sum(cb * (t.na - below_a - ca)))::DOUBLE
+                         / (t.na * t.nb)::DOUBLE, 6) AS delta
+            FROM w, t GROUP BY 1, 2 HAVING count(*) > 0
         """,
     }

@@ -2146,3 +2146,103 @@ def durbin_watson(
 
     return grouped_apply(ds, keys=[key], fn=dw_partition,
                          num_partitions=num_partitions, whole_partition=True)
+
+
+def yuen_trimmed_t(
+    ds: Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    trim_den: int = 5,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Yuen's trimmed-mean t-test between two groups (0/1 in
+    ``group_col``) over an INTEGER value column — the robust two-sample
+    location test that survives heavy tails where Welch's t does not:
+    per group trim ``k = N // trim_den`` observations from EACH end,
+    compare trimmed means with winsorized variances::
+
+        d_g = (N_g − 1)·s²w_g / (h_g·(h_g − 1)),   h = N − 2k
+        t   = (x̄t₁ − x̄t₀) / √(d₀ + d₁)
+        df  = (d₀ + d₁)² / (d₀²/(h₀−1) + d₁²/(h₁−1))
+
+    Trim counts use INTEGER division (k = N // trim_den) so both sides
+    pick identical cut ranks with no 0.2·N float-floor ambiguity.  All
+    selection happens on per-value count cells (one tiny combiner
+    exchange): middle-section sums come from clipped cumulative counts,
+    the winsorized tails from the exact (k+1)-th / (N−k)-th order
+    statistics — row count never enters the fold, and every sum is an
+    exact integer, so t and df flow through one fixed float tree shared
+    with the SQL window twin.  Output: one row ``h_0, h_1, tmean_0,
+    tmean_1, t_stat, df`` — only when both groups have h ≥ 2 (else no
+    row, matching the twin's inner join).
+    """
+    from .dedup import _grouped_min
+
+    def partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({"g": pc.cast(t[group_col], pa.int64()),
+                        "v": pc.cast(t[value_col], pa.int64())})
+        out = tbl.combine_chunks().group_by(
+            ["g", "v"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "v", "o"])
+
+    counts = _grouped_min(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        group_cols=["g", "v"], agg_cols=[("o", "sum")], pkey_col="v",
+        num_partitions=num_partitions)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "h_0": pd.Series([], dtype="int64"),
+            "h_1": pd.Series([], dtype="int64"),
+            "tmean_0": pd.Series([], dtype="float64"),
+            "tmean_1": pd.Series([], dtype="float64"),
+            "t_stat": pd.Series([], dtype="float64"),
+            "df": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        stats = {}
+        for gval, sub in df.groupby("g", sort=True):
+            sub = (sub.groupby("v", sort=True, as_index=False)["o"].sum())
+            v = sub["v"].to_numpy(dtype=np.int64)
+            o = sub["o"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(o)
+            lo = cum - o
+            n = int(cum[-1])
+            k = n // trim_den
+            h = n - 2 * k
+            if h < 2:
+                continue
+            cnt_mid = np.clip(np.minimum(cum, n - k)
+                              - np.maximum(lo, k), 0, None)
+            mid_sum = int((v * cnt_mid).sum())
+            mid_ss = int((v * v * cnt_mid).sum())
+            v_low = int(v[np.searchsorted(cum, k, side="right")])
+            v_high = int(v[np.searchsorted(cum, n - k, side="left")])
+            win_sum = mid_sum + k * v_low + k * v_high
+            win_ss = mid_ss + k * v_low * v_low + k * v_high * v_high
+            tmean = mid_sum / np.float64(h)
+            s2w = ((win_ss - win_sum * np.float64(win_sum) / n)
+                   / np.float64(n - 1))
+            # np.float64 all the way down: degenerate 0/0 later must
+            # yield nan -> NULL (Python floats would raise instead)
+            d = s2w * (n - 1) / np.float64(h * (h - 1))
+            stats[int(gval)] = (h, np.float64(tmean), np.float64(d))
+        if 0 not in stats or 1 not in stats:
+            return empty
+        h0, tm0, d0 = stats[0]
+        h1, tm1, d1 = stats[1]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t_stat = (tm1 - tm0) / np.sqrt(d0 + d1)
+            dfree = ((d0 + d1) * (d0 + d1)
+                     / (d0 * d0 / (h0 - 1) + d1 * d1 / (h1 - 1)))
+        return pd.DataFrame({
+            "h_0": pd.Series([h0], dtype="int64"),
+            "h_1": pd.Series([h1], dtype="int64"),
+            "tmean_0": [tm0], "tmean_1": [tm1],
+            "t_stat": [float(t_stat) if np.isfinite(t_stat) else np.nan],
+            "df": [float(dfree) if np.isfinite(dfree) else np.nan]})
+
+    return counts.repartition(1).map_batches(
+        fin, batch_format="pandas", batch_size=None)

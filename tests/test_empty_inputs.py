@@ -607,3 +607,13 @@ def test_round5r_ops_empty():
         "sv": pa.array([], pa.int64())}))
     assert len(durbin_watson(daily, key="user_id", order_col="d",
                              value_col="sv").to_pandas()) == 0
+
+
+def test_round5t_ops_empty():
+    from s_tsfe_dl_ray.stages.robust import yuen_trimmed_t
+
+    pairs = ray.data.from_arrow(pa.table({
+        "g": pa.array([], pa.int64()),
+        "v": pa.array([], pa.int64())}))
+    assert len(yuen_trimmed_t(pairs, group_col="g",
+                              value_col="v").to_pandas()) == 0

@@ -49,6 +49,7 @@ QUERIES = [
     "events_friedman_types",
     "events_cliffs_delta",
     "events_durbin_watson",
+    "events_yuen_t",
     "events_mode_type",
     "events_value_histogram",
     "events_gini_users",
@@ -238,7 +239,8 @@ def test_fuzz_query_matches_oracle(tmp_path_factory, entrymod, shape, name):
 # ties), oracle SQL repointed from the pinned corpus to the fuzz corpus
 # ---------------------------------------------------------------------------
 
-T_QUERIES = ["transcripts_latency_by_hour", "transcripts_duration_stats",
+T_QUERIES = ["transcripts_len_cliffs",
+             "transcripts_latency_by_hour", "transcripts_duration_stats",
              "transcripts_prompt_ols", "transcripts_reply_latency",
              "transcripts_escalation", "transcripts_position_profile",
              "transcripts_tool_effect", "transcripts_conv_features",
@@ -375,6 +377,24 @@ def test_fuzz_transcript_query_matches_oracle(tmp_path_factory, entrymod,
             })
 
         out = context_cost(ds).map_batches(_fin, batch_format="pyarrow")
+    elif name == "transcripts_len_cliffs":
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        from s_tsfe_dl_ray.stages.robust import cliffs_delta
+
+        def _lenpairs(t: "_pa.Table") -> "_pa.Table":
+            keep = _pc.is_in(t["role"],
+                             value_set=_pa.array(["user", "assistant"]))
+            sub = t.filter(keep)
+            return _pa.table({
+                "g": _pc.cast(_pc.equal(sub["role"], "assistant"),
+                              _pa.int64()),
+                "v": _pc.cast(_pc.utf8_length(sub["text"]), _pa.int64())})
+
+        out = cliffs_delta(ds.map_batches(_lenpairs,
+                                          batch_format="pyarrow"),
+                           group_col="g", value_col="v")
     elif name == "transcripts_self_repetition":
         from s_tsfe_dl_ray.stages.dialog import self_repetition
 
