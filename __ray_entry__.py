@@ -5540,6 +5540,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(cliffs_delta(
             pairs, group_col="g", value_col="v"))
 
+    def q_events_seasonal_mk(sf):
+        """Seasonal (Hirsch–Slack) Mann–Kendall over daily value totals
+        with weekday seasons: per-weekday MK S and integer variance
+        numerators summed exactly before the single /18.0, so the
+        weekly cycle can't fake or mask a monotone trend
+        (stages/robust.seasonal_mann_kendall)."""
+        from s_tsfe_dl_ray.stages.robust import seasonal_mann_kendall
+
+        ds = read_table(f"{sf}/events.parquet", columns=["ts", "value"])
+
+        def part(t: pa.Table) -> pd.DataFrame:
+            us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            v = pc.cast(t["value"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            d = us // 86_400_000_000
+            return pd.DataFrame({
+                "season": ((d + 3) % 7) + 1,   # ISO Mon=1..Sun=7
+                "d": d,
+                "sv": ci,
+            }).groupby(["season", "d"], sort=False, as_index=False).sum()
+
+        daily = ds.map_batches(part, batch_format="pyarrow")
+        return _round_floats(seasonal_mann_kendall(
+            daily, season_col="season", order_col="d", value_col="sv",
+            min_n=2))
+
+    def q_transcripts_alternation_runs(sf):
+        """Per-conversation Wald–Wolfowitz runs test on the
+        user/assistant role sequence (stages/robust.binary_runs_test):
+        z ≪ 0 = monologue streaks, z ≫ 0 = stricter-than-chance
+        turn-taking — the dialog-structure randomness screen."""
+        from s_tsfe_dl_ray.stages.robust import binary_runs_test
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "ts", "role"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t["role"],
+                            value_set=pa.array(["user", "assistant"]))
+            sub = t.filter(keep)
+            return pa.table({
+                "conv_id": sub["conv_id"],
+                "ts": sub["ts"], "turn_idx": sub["turn_idx"],
+                "b": pc.cast(pc.equal(sub["role"], "assistant"),
+                             pa.int64())})
+
+        seq = turns.map_batches(derive, batch_format="pyarrow")
+        out = binary_runs_test(seq, key="conv_id", flag_col="b",
+                               order_by=["ts", "turn_idx"])
+        return _round_floats(out.sort("conv_id"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -5954,6 +6008,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_block_selectivity": q_docs_block_selectivity,
         "events_yuen_t": q_events_yuen_t,
         "transcripts_len_cliffs": q_transcripts_len_cliffs,
+        "events_seasonal_mk": q_events_seasonal_mk,
+        "transcripts_alternation_runs": q_transcripts_alternation_runs,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -13236,5 +13292,85 @@ def oracle_sql() -> dict[str, str]:
                           - sum(cb * (t.na - below_a - ca)))::DOUBLE
                          / (t.na * t.nb)::DOUBLE, 6) AS delta
             FROM w, t GROUP BY 1, 2 HAVING count(*) > 0
+        """,
+        # per-season S and INTEGER variance numerators summed exactly,
+        # one /18.0 at the end (summing seven x/18.0 floats would be
+        # order-dependent); Σvn = 0 forces ΣS = 0 so z never divides
+        # by zero; no row when no season reaches 2 days
+        "events_seasonal_mk": """
+            WITH e AS (
+              SELECT (epoch_us(ts) // 86400000000)::BIGINT AS d,
+                     sum(CAST(round(value * 100) AS BIGINT)) AS sv
+              FROM events GROUP BY 1
+            ), sd AS (
+              SELECT ((d + 3) % 7) + 1 AS season, d, sv FROM e
+            ), p AS (
+              SELECT a.season,
+                     sum(CASE WHEN b.sv > a.sv THEN 1
+                              WHEN b.sv < a.sv THEN -1
+                              ELSE 0 END)::BIGINT AS s
+              FROM sd a JOIN sd b
+                ON a.season = b.season AND b.d > a.d
+              GROUP BY 1
+            ), n AS (
+              SELECT season, count(*)::BIGINT AS n FROM sd GROUP BY 1
+              HAVING count(*) >= 2
+            ), t AS (
+              SELECT season,
+                     sum(c * (c - 1) * (2 * c + 5))::BIGINT AS tie
+              FROM (SELECT season, sv, count(*)::BIGINT AS c
+                    FROM sd GROUP BY 1, 2) GROUP BY 1
+            ), per AS (
+              SELECT n.season, n.n, coalesce(p.s, 0)::BIGINT AS s,
+                     (n.n * (n.n - 1) * (2 * n.n + 5)
+                      - t.tie)::BIGINT AS vn
+              FROM n JOIN t USING (season)
+              LEFT JOIN p USING (season)
+            )
+            SELECT count(*)::BIGINT AS n_seasons,
+                   sum(n)::BIGINT AS n_obs,
+                   sum(s)::BIGINT AS s_stat,
+                   round(sum(vn)::DOUBLE / 18.0, 6) AS var_s,
+                   round(CASE
+                     WHEN sum(s) > 0 THEN (sum(s) - 1)::DOUBLE
+                       / sqrt(sum(vn)::DOUBLE / 18.0)
+                     WHEN sum(s) < 0 THEN (sum(s) + 1)::DOUBLE
+                       / sqrt(sum(vn)::DOUBLE / 18.0)
+                     ELSE 0.0 END, 6) AS z
+            FROM per HAVING count(*) > 0
+        """,
+        # exact run/boundary counts per conversation; degenerate keys
+        # (single symbol or one turn) give 0/0 -> NULL both sides
+        "transcripts_alternation_runs": f"""
+            WITH s AS (
+              SELECT conv_id,
+                     CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
+                       AS b,
+                     ts, turn_idx
+              FROM {T}
+              WHERE role IN ('user', 'assistant')
+            ), l AS (
+              SELECT conv_id, b,
+                     lag(b) OVER (PARTITION BY conv_id
+                                  ORDER BY ts, turn_idx) AS pb
+              FROM s
+            ), m AS (
+              SELECT conv_id,
+                     sum(CASE WHEN b = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n0,
+                     sum(b)::BIGINT AS n1,
+                     (1 + sum(CASE WHEN pb IS NOT NULL AND b <> pb
+                              THEN 1 ELSE 0 END))::BIGINT AS r
+              FROM l GROUP BY 1
+            )
+            SELECT conv_id, n0 AS n_zero, n1 AS n_one, r AS n_runs,
+                   round((r::DOUBLE
+                          - ((2 * n0 * n1)::DOUBLE
+                             / (n0 + n1)::DOUBLE + 1.0))
+                         / sqrt((2 * n0 * n1
+                                 * (2 * n0 * n1 - n0 - n1))::DOUBLE
+                                / (((n0 + n1) * (n0 + n1))::DOUBLE
+                                   * (n0 + n1 - 1)::DOUBLE)), 6) AS z
+            FROM m ORDER BY 1
         """,
     }

@@ -550,6 +550,20 @@ def kendall_tau(
                          num_partitions=num_partitions, whole_partition=True)
 
 
+def _mk_s_varnum(v: np.ndarray) -> tuple[int, int]:
+    """Mann–Kendall S and the INTEGER variance numerator
+    ``n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)`` for one series — kept integer so
+    callers (plain and seasonal MK) can sum variance contributions
+    exactly before the single /18.0."""
+    n = len(v)
+    iu, ju = np.triu_indices(n, 1)
+    d = v[ju] - v[iu]
+    s_stat = int((d > 0).sum()) - int((d < 0).sum())
+    cnt = np.unique(v, return_counts=True)[1].astype(np.int64)
+    tie = int((cnt * (cnt - 1) * (2 * cnt + 5)).sum())
+    return s_stat, n * (n - 1) * (2 * n + 5) - tie
+
+
 def mann_kendall(
     ds: Dataset,
     *,
@@ -608,13 +622,8 @@ def mann_kendall(
                     f"mann_kendall: key {k_all[s]!r} has {n} points > "
                     f"max_key_rows={max_key_rows}; window or downsample "
                     f"first")
-            v = v_all[s:e]
-            iu, ju = np.triu_indices(n, 1)
-            d = v[ju] - v[iu]
-            s_stat = int((d > 0).sum()) - int((d < 0).sum())
-            cnt = np.unique(v, return_counts=True)[1].astype(np.int64)
-            tie = int((cnt * (cnt - 1) * (2 * cnt + 5)).sum())
-            var_s = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+            s_stat, var_num = _mk_s_varnum(v_all[s:e])
+            var_s = var_num / 18.0
             if s_stat > 0:
                 z = (s_stat - 1) / np.sqrt(var_s)
             elif s_stat < 0:
@@ -2246,3 +2255,164 @@ def yuen_trimmed_t(
 
     return counts.repartition(1).map_batches(
         fin, batch_format="pandas", batch_size=None)
+
+
+def seasonal_mann_kendall(
+    ds: Dataset,
+    *,
+    season_col: str,
+    order_col: str,
+    value_col: str,
+    min_n: int = 2,
+    max_key_rows: int = 20_000,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Seasonal (Hirsch–Slack) Mann–Kendall: run MK independently inside
+    each season (e.g. weekday) and combine — ``S = Σ_s S_s``,
+    ``Var = Σ_s Var_s`` — so a strong weekly cycle can't masquerade as
+    (or mask) a monotone trend the way it does in plain
+    :func:`mann_kendall`.
+
+    Per-season variance contributions stay INTEGER numerators
+    (`_mk_s_varnum`) and are summed exactly before the single /18.0, so
+    the combined z is bit-exact against the SQL twin (7 per-season
+    ``x/18.0`` floats summed in arbitrary order would not be).
+    Duplicate ``(season, order)`` rows are summed first (feed integer
+    values).  One season-hash exchange, one-row output:
+    ``n_seasons, n_obs, s_stat, var_s, z`` (no row when no season
+    reaches ``min_n``).
+    """
+
+    def mk_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "season": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "s": pd.Series([], dtype="int64"),
+            "vn": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        g = (df.groupby([season_col, order_col], sort=False,
+                        as_index=False)[value_col].sum())
+        g = g.sort_values([season_col, order_col], kind="mergesort")
+        v_all = g[value_col].to_numpy()
+        k_all = g[season_col].to_numpy()
+        change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
+        starts = np.concatenate([[0], change, [len(g)]])
+        rows = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            n = int(e - s)
+            if n < min_n:
+                continue
+            if n > max_key_rows:
+                raise ValueError(
+                    f"seasonal_mann_kendall: season {k_all[s]!r} has "
+                    f"{n} points > max_key_rows={max_key_rows}")
+            s_stat, vn = _mk_s_varnum(v_all[s:e])
+            rows.append((int(k_all[s]), n, s_stat, vn))
+        if not rows:
+            return empty
+        a = np.array(rows, dtype=np.int64)
+        return pd.DataFrame({"season": a[:, 0], "n": a[:, 1],
+                             "s": a[:, 2], "vn": a[:, 3]})
+
+    per_season = grouped_apply(ds, keys=[season_col], fn=mk_partition,
+                               num_partitions=num_partitions,
+                               whole_partition=True)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "n_seasons": pd.Series([], dtype="int64"),
+                "n_obs": pd.Series([], dtype="int64"),
+                "s_stat": pd.Series([], dtype="int64"),
+                "var_s": pd.Series([], dtype="float64"),
+                "z": pd.Series([], dtype="float64")})
+        s = int(df["s"].sum())
+        vn = int(df["vn"].sum())
+        var_s = vn / 18.0
+        if s > 0:
+            z = (s - 1) / np.sqrt(var_s)
+        elif s < 0:
+            z = (s + 1) / np.sqrt(var_s)
+        else:
+            z = 0.0
+        return pd.DataFrame({
+            "n_seasons": pd.Series([len(df)], dtype="int64"),
+            "n_obs": pd.Series([int(df["n"].sum())], dtype="int64"),
+            "s_stat": pd.Series([s], dtype="int64"),
+            "var_s": [var_s], "z": [float(z)]})
+
+    return per_season.repartition(1).map_batches(
+        combine, batch_format="pandas", batch_size=None)
+
+
+def binary_runs_test(
+    ds: Dataset,
+    *,
+    key: str,
+    flag_col: str,
+    order_by: list[str],
+    num_partitions: int = 64,
+) -> Dataset:
+    """Wald–Wolfowitz runs test on an explicit BINARY sequence per key
+    (no median split): with n₀ zeros, n₁ ones and R observed runs,
+
+        μ = 2·n₀·n₁/(n₀+n₁) + 1
+        σ² = 2·n₀·n₁·(2·n₀·n₁ − n₀ − n₁) / ((n₀+n₁)²·(n₀+n₁−1))
+        z = (R − μ)/σ
+
+    — z ≪ 0: the two symbols clump (monologue streaks); z ≫ 0: they
+    alternate more than chance (strict turn-taking).  The dialog-shaped
+    sibling of :func:`runs_test`; all counts are exact ints and z flows
+    through one fixed float tree (degenerate single-symbol or n=1 keys
+    give 0/0 → NULL on both sides).
+
+    One key-hash exchange, vectorized boundary counting inside the
+    partition.  Output: ``key, n_zero, n_one, n_runs, z``.
+    """
+    from .rollup import _stable_pkey
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        return t.append_column("_pkey",
+                               _stable_pkey(t[key], num_partitions))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                key: [],
+                "n_zero": pd.Series([], dtype="int64"),
+                "n_one": pd.Series([], dtype="int64"),
+                "n_runs": pd.Series([], dtype="int64"),
+                "z": pd.Series([], dtype="float64")})
+        df = df.drop(columns=["_pkey"]).sort_values(
+            [key] + order_by, kind="mergesort").reset_index(drop=True)
+        k_all = df[key].to_numpy()
+        b = df[flag_col].to_numpy(dtype=np.int64)
+        change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
+        starts = np.concatenate([[0], change, [len(df)]])
+        gid = np.repeat(np.arange(len(starts) - 1), np.diff(starts))
+        nk = len(starts) - 1
+        same = np.zeros(len(df), dtype=bool)
+        same[1:] = k_all[1:] == k_all[:-1]
+        flip = np.zeros(len(df), dtype=np.float64)
+        flip[1:] = (b[1:] != b[:-1]) & same[1:]
+        n1 = np.bincount(gid, weights=b.astype(np.float64), minlength=nk)
+        ntot = np.diff(starts).astype(np.float64)
+        n0 = ntot - n1
+        r = 1.0 + np.bincount(gid, weights=flip, minlength=nk)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mu = 2.0 * n0 * n1 / (n0 + n1) + 1.0
+            sig2 = (2.0 * n0 * n1 * (2.0 * n0 * n1 - n0 - n1)
+                    / ((n0 + n1) * (n0 + n1) * (n0 + n1 - 1.0)))
+            z = (r - mu) / np.sqrt(sig2)
+        z = np.where(np.isfinite(z), z, np.nan)
+        return pd.DataFrame({
+            key: k_all[starts[:-1]],
+            "n_zero": n0.astype(np.int64),
+            "n_one": n1.astype(np.int64),
+            "n_runs": r.astype(np.int64),
+            "z": z})
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+    return tagged.groupby("_pkey").map_groups(fold,
+                                              batch_format="pandas")

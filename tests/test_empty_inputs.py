@@ -617,3 +617,24 @@ def test_round5t_ops_empty():
         "v": pa.array([], pa.int64())}))
     assert len(yuen_trimmed_t(pairs, group_col="g",
                               value_col="v").to_pandas()) == 0
+
+
+def test_round5u_ops_empty():
+    from s_tsfe_dl_ray.stages.robust import (binary_runs_test,
+                                             seasonal_mann_kendall)
+
+    daily = ray.data.from_arrow(pa.table({
+        "season": pa.array([], pa.int64()),
+        "d": pa.array([], pa.int64()),
+        "sv": pa.array([], pa.int64())}))
+    assert len(seasonal_mann_kendall(
+        daily, season_col="season", order_col="d",
+        value_col="sv").to_pandas()) == 0
+    seq = ray.data.from_arrow(pa.table({
+        "conv_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "turn_idx": pa.array([], pa.int64()),
+        "b": pa.array([], pa.int64())}))
+    assert len(binary_runs_test(seq, key="conv_id", flag_col="b",
+                                order_by=["ts", "turn_idx"])
+               .to_pandas()) == 0

@@ -50,6 +50,7 @@ QUERIES = [
     "events_cliffs_delta",
     "events_durbin_watson",
     "events_yuen_t",
+    "events_seasonal_mk",
     "events_mode_type",
     "events_value_histogram",
     "events_gini_users",
@@ -239,7 +240,7 @@ def test_fuzz_query_matches_oracle(tmp_path_factory, entrymod, shape, name):
 # ties), oracle SQL repointed from the pinned corpus to the fuzz corpus
 # ---------------------------------------------------------------------------
 
-T_QUERIES = ["transcripts_len_cliffs",
+T_QUERIES = ["transcripts_len_cliffs", "transcripts_alternation_runs",
              "transcripts_latency_by_hour", "transcripts_duration_stats",
              "transcripts_prompt_ols", "transcripts_reply_latency",
              "transcripts_escalation", "transcripts_position_profile",
@@ -377,6 +378,26 @@ def test_fuzz_transcript_query_matches_oracle(tmp_path_factory, entrymod,
             })
 
         out = context_cost(ds).map_batches(_fin, batch_format="pyarrow")
+    elif name == "transcripts_alternation_runs":
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        from s_tsfe_dl_ray.stages.robust import binary_runs_test
+
+        def _roleseq(t: "_pa.Table") -> "_pa.Table":
+            keep = _pc.is_in(t["role"],
+                             value_set=_pa.array(["user", "assistant"]))
+            sub = t.filter(keep)
+            return _pa.table({
+                "conv_id": sub["conv_id"], "ts": sub["ts"],
+                "turn_idx": sub["turn_idx"],
+                "b": _pc.cast(_pc.equal(sub["role"], "assistant"),
+                              _pa.int64())})
+
+        out = binary_runs_test(
+            ds.map_batches(_roleseq, batch_format="pyarrow"),
+            key="conv_id", flag_col="b",
+            order_by=["ts", "turn_idx"]).sort("conv_id")
     elif name == "transcripts_len_cliffs":
         import pyarrow as _pa
         import pyarrow.compute as _pc
