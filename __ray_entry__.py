@@ -5594,6 +5594,121 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                order_by=["ts", "turn_idx"])
         return _round_floats(out.sort("conv_id"))
 
+    def q_nation_part_coverage(sf):
+        """Supply-chain coverage per nation: distinct suppliers, distinct
+        parts its suppliers ship, and the share of the whole part
+        catalog covered — a 3-way star join where lineitem's (supp,
+        part) pairs dedup through ONE hash exchange and the supplier →
+        nation map rides as a broadcast dict (100 rows), never a
+        shuffle."""
+        import pyarrow.parquet as pq
+
+        from s_tsfe_dl_ray.stages.dedup import _grouped_min
+
+        sup = pq.read_table(f"{sf}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+        nat = pq.read_table(f"{sf}/nation.parquet",
+                            columns=["n_nationkey", "n_name"])
+        n_parts_total = pq.read_metadata(f"{sf}/part.parquet").num_rows
+        sk2nk = dict(zip(sup["s_suppkey"].to_pylist(),
+                         sup["s_nationkey"].to_pylist()))
+        nk2name = dict(zip(nat["n_nationkey"].to_pylist(),
+                           nat["n_name"].to_pylist()))
+        sup_per_nation = (pd.Series(list(sk2nk.values()))
+                          .value_counts().to_dict())
+
+        li = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_suppkey", "l_partkey"])
+
+        def to_nation_part(df: pd.DataFrame) -> pd.DataFrame:
+            nk = df["l_suppkey"].map(sk2nk).astype("int64")
+            return (pd.DataFrame({"nk": nk,
+                                  "pk": df["l_partkey"].astype("int64")})
+                    .drop_duplicates())
+
+        pairs = li.map_batches(to_nation_part, batch_format="pandas")
+        dedup = _grouped_min(pairs, group_cols=["nk", "pk"],
+                             agg_cols=[("pk", "count")], pkey_col="pk")
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({
+                    "n_name": pd.Series([], dtype="object"),
+                    "n_suppliers": pd.Series([], dtype="int64"),
+                    "n_parts_supplied": pd.Series([], dtype="int64"),
+                    "coverage": pd.Series([], dtype="float64")})
+            g = df.groupby("nk", sort=True).size()
+            nk = g.index.to_numpy(dtype=np.int64)
+            np_sup = g.to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "n_name": [nk2name[int(k)] for k in nk],
+                "n_suppliers": pd.Series(
+                    [sup_per_nation[int(k)] for k in nk], dtype="int64"),
+                "n_parts_supplied": np_sup,
+                "coverage": np_sup / np.float64(n_parts_total)})
+
+        out = (dedup.repartition(1)
+               .map_batches(fold, batch_format="pandas", batch_size=None))
+        return _round_floats(out.sort("n_name"))
+
+    def q_lineitem_qty_slope_by_decile(sf):
+        """Heterogeneous price sensitivity: OLS slope + intercept of
+        extended price on quantity WITHIN each quantity decile bin —
+        does the per-unit price change across order sizes?  All moments
+        are exact int64 (qty ints × price cents) through one tiny
+        exchange; the closed-form fit runs the identical float tree as
+        the SQL twin."""
+        from s_tsfe_dl_ray.stages.dedup import _grouped_min
+
+        ds = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_quantity", "l_extendedprice"])
+
+        def part(t: pa.Table) -> pd.DataFrame:
+            q = pc.cast(t["l_quantity"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            p = pc.cast(t["l_extendedprice"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            x = np.copysign(np.floor(np.abs(q) + 0.5), q).astype(np.int64)
+            y = np.copysign(np.floor(np.abs(p) * 100.0 + 0.5),
+                            p).astype(np.int64)
+            return pd.DataFrame({
+                "qty_bin": (x - 1) // 10,
+                "n": np.int64(1), "sx": x, "sy": y,
+                "sxx": x * x, "sxy": x * y,
+            }).groupby("qty_bin", sort=False, as_index=False).sum()
+
+        partials = ds.map_batches(part, batch_format="pyarrow")
+        merged = _grouped_min(
+            partials, group_cols=["qty_bin"],
+            agg_cols=[("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                      ("sxx", "sum"), ("sxy", "sum")],
+            pkey_col="qty_bin", num_partitions=4)
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({
+                    "qty_bin": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "slope": pd.Series([], dtype="float64"),
+                    "intercept": pd.Series([], dtype="float64")})
+            n = df["n"].to_numpy(dtype=np.float64)
+            sx = df["sx"].to_numpy(dtype=np.float64)
+            sy = df["sy"].to_numpy(dtype=np.float64)
+            sxx = df["sxx"].to_numpy(dtype=np.float64)
+            sxy = df["sxy"].to_numpy(dtype=np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                a = (sy - b * sx) / n
+            return pd.DataFrame({
+                "qty_bin": df["qty_bin"].astype("int64"),
+                "n": df["n"].astype("int64"),
+                "slope": np.where(np.isfinite(b), b, np.nan) / 100.0,
+                "intercept": np.where(np.isfinite(a), a, np.nan) / 100.0})
+
+        out = (merged.repartition(1)
+               .map_batches(fin, batch_format="pandas", batch_size=None))
+        return _round_floats(out.sort("qty_bin"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -6010,6 +6125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_len_cliffs": q_transcripts_len_cliffs,
         "events_seasonal_mk": q_events_seasonal_mk,
         "transcripts_alternation_runs": q_transcripts_alternation_runs,
+        "nation_part_coverage": q_nation_part_coverage,
+        "lineitem_qty_slope_by_decile": q_lineitem_qty_slope_by_decile,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -13372,5 +13489,55 @@ def oracle_sql() -> dict[str, str]:
                                 / (((n0 + n1) * (n0 + n1))::DOUBLE
                                    * (n0 + n1 - 1)::DOUBLE)), 6) AS z
             FROM m ORDER BY 1
+        """,
+        # distinct (nation, part) pairs via the supplier map; coverage
+        # over the full part catalog
+        "nation_part_coverage": """
+            WITH np_ AS (
+              SELECT DISTINCT s.s_nationkey AS nk, l.l_partkey AS pk
+              FROM lineitem l JOIN supplier s
+                ON l.l_suppkey = s.s_suppkey
+            ), agg AS (
+              SELECT nk, count(*)::BIGINT AS n_parts_supplied
+              FROM np_ GROUP BY 1
+            ), su AS (
+              SELECT s_nationkey AS nk, count(*)::BIGINT AS n_suppliers
+              FROM supplier GROUP BY 1
+            ), tp AS (SELECT count(*)::BIGINT AS total FROM part)
+            SELECT n.n_name, su.n_suppliers, agg.n_parts_supplied,
+                   round(agg.n_parts_supplied::DOUBLE / tp.total::DOUBLE,
+                         6) AS coverage
+            FROM agg JOIN su USING (nk)
+            JOIN nation n ON n.n_nationkey = agg.nk
+            CROSS JOIN tp
+            ORDER BY 1
+        """,
+        # per-decile OLS from exact int64 moments (qty ints x cents);
+        # identical float tree, /100.0 back to dollars at the end
+        "lineitem_qty_slope_by_decile": """
+            WITH s AS (
+              SELECT ((CAST(round(l_quantity) AS BIGINT) - 1) // 10)
+                       AS qty_bin,
+                     CAST(round(l_quantity) AS BIGINT) AS x,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+              FROM lineitem
+            ), m AS (
+              SELECT qty_bin, count(*)::BIGINT AS n,
+                     sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(x * x)::BIGINT AS sxx,
+                     sum(x * y)::BIGINT AS sxy
+              FROM s GROUP BY 1
+            ), b AS (
+              SELECT qty_bin, n, sx, sy,
+                     (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                     / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                       AS bb
+              FROM m
+            )
+            SELECT qty_bin, n,
+                   round(bb / 100.0, 6) AS slope,
+                   round((sy::DOUBLE - bb * sx::DOUBLE) / n::DOUBLE
+                         / 100.0, 6) AS intercept
+            FROM b ORDER BY 1
         """,
     }

@@ -638,3 +638,19 @@ def test_round5u_ops_empty():
     assert len(binary_runs_test(seq, key="conv_id", flag_col="b",
                                 order_by=["ts", "turn_idx"])
                .to_pandas()) == 0
+
+
+def test_round5v_decile_slope_empty():
+    from s_tsfe_dl_ray.stages.dedup import _grouped_min
+
+    partials = ray.data.from_arrow(pa.table({
+        "qty_bin": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()),
+        "sx": pa.array([], pa.int64()),
+        "sy": pa.array([], pa.int64()),
+        "sxx": pa.array([], pa.int64()),
+        "sxy": pa.array([], pa.int64())}))
+    merged = _grouped_min(partials, group_cols=["qty_bin"],
+                          agg_cols=[("n", "sum")], pkey_col="qty_bin",
+                          num_partitions=4)
+    assert len(merged.to_pandas()) == 0
