@@ -5709,6 +5709,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                .map_batches(fin, batch_format="pandas", batch_size=None))
         return _round_floats(out.sort("qty_bin"))
 
+    def q_docs_lang_length_kw(sf):
+        """Kruskal–Wallis H across languages on document length
+        (n_chars): does length distribution differ by language, rank-
+        robustly?  kruskal_wallis reuse at scale=1 — lengths are
+        already exact ints, so pooled midranks are exact half-integers."""
+        from s_tsfe_dl_ray.stages.robust import kruskal_wallis
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["lang", "n_chars"])
+        return _round_floats(kruskal_wallis(
+            docs, group_col="lang", value_col="n_chars", scale=1))
+
+    def q_customer_segment_yuen(sf):
+        """Yuen's trimmed t: BUILDING-segment vs all-other customer
+        account balances (cents-exact) — the robust 'is this segment
+        richer' location test immune to balance outliers
+        (stages/robust.yuen_trimmed_t reuse on the customer dim)."""
+        from s_tsfe_dl_ray.stages.robust import yuen_trimmed_t
+
+        ds = read_table(f"{sf}/customer.parquet",
+                        columns=["c_mktsegment", "c_acctbal"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            v = pc.cast(t["c_acctbal"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pa.table({
+                "g": pc.cast(pc.equal(t["c_mktsegment"], "BUILDING"),
+                             pa.int64()),
+                "v": pa.array(ci)})
+
+        pairs = ds.map_batches(derive, batch_format="pyarrow")
+        return _round_floats(yuen_trimmed_t(
+            pairs, group_col="g", value_col="v", trim_den=5))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -6127,6 +6163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_alternation_runs": q_transcripts_alternation_runs,
         "nation_part_coverage": q_nation_part_coverage,
         "lineitem_qty_slope_by_decile": q_lineitem_qty_slope_by_decile,
+        "docs_lang_length_kw": q_docs_lang_length_kw,
+        "customer_segment_yuen": q_customer_segment_yuen,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -13539,5 +13577,100 @@ def oracle_sql() -> dict[str, str]:
                    round((sy::DOUBLE - bb * sx::DOUBLE) / n::DOUBLE
                          / 100.0, 6) AS intercept
             FROM b ORDER BY 1
+        """,
+        # kruskal_wallis twin at scale=1 over the docs length column
+        "docs_lang_length_kw": """
+            WITH v AS (
+              SELECT lang AS g,
+                     CAST(round(n_chars * 1) AS BIGINT) AS ci
+              FROM documents
+            ), r AS (
+              SELECT g, ci, AVG(rn) OVER (PARTITION BY ci) AS mr
+              FROM (SELECT g, ci,
+                           row_number() OVER (ORDER BY ci) AS rn
+                    FROM v) q
+            ), pg AS (
+              SELECT g, count(*)::DOUBLE AS n_g, sum(mr) AS rg
+              FROM r GROUP BY 1
+            ), ties AS (
+              SELECT sum(c * c * c - c) AS t
+              FROM (SELECT count(*)::DOUBLE AS c FROM v GROUP BY ci) z
+            ), tot AS (
+              SELECT count(*)::DOUBLE AS n,
+                     count(DISTINCT g)::BIGINT AS k
+              FROM v
+            ), s AS (
+              SELECT list_reduce(list(rg * rg / n_g ORDER BY g),
+                                 (a, x) -> a + x) AS s
+              FROM pg
+            ), hh AS (
+              SELECT 12.0 / (tot.n * (tot.n + 1.0)) * s.s
+                     - 3.0 * (tot.n + 1.0) AS h,
+                     1.0 - ties.t / (tot.n * tot.n * tot.n - tot.n) AS c
+              FROM tot, ties, s
+            )
+            SELECT tot.n::BIGINT AS n, tot.k AS k_groups,
+                   (tot.k - 1)::BIGINT AS dof,
+                   round(hh.h, 6) AS h,
+                   round(CASE WHEN hh.c > 0 THEN hh.h / hh.c END, 6)
+                     AS h_adj
+            FROM tot, hh
+        """,
+        # yuen_trimmed_t twin on the customer dim (BUILDING vs rest)
+        "customer_segment_yuen": """
+            WITH s AS (
+              SELECT CASE WHEN c_mktsegment = 'BUILDING'
+                          THEN 1 ELSE 0 END AS g,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS v
+              FROM customer
+            ), c AS (
+              SELECT g, v, count(*)::BIGINT AS o FROM s GROUP BY 1, 2
+            ), w AS (
+              SELECT g, v, o,
+                     sum(o) OVER (PARTITION BY g ORDER BY v)::BIGINT
+                       AS cum,
+                     (sum(o) OVER (PARTITION BY g ORDER BY v)
+                      - o)::BIGINT AS lo,
+                     sum(o) OVER (PARTITION BY g)::BIGINT AS n
+              FROM c
+            ), k AS (
+              SELECT *, (n // 5)::BIGINT AS kk FROM w
+            ), a AS (
+              SELECT g, max(n)::BIGINT AS n, max(kk)::BIGINT AS kk,
+                     (max(n) - 2 * max(kk))::BIGINT AS h,
+                     sum(v * greatest(least(cum, n - kk)
+                                      - greatest(lo, kk), 0))::BIGINT
+                       AS mid_sum,
+                     sum(v * v * greatest(least(cum, n - kk)
+                                          - greatest(lo, kk), 0))::BIGINT
+                       AS mid_ss,
+                     min(v) FILTER (WHERE cum > kk)::BIGINT AS v_low,
+                     min(v) FILTER (WHERE cum >= n - kk)::BIGINT
+                       AS v_high
+              FROM k GROUP BY 1
+              HAVING (max(n) - 2 * max(kk)) >= 2
+            ), st AS (
+              SELECT g, h,
+                     mid_sum::DOUBLE / h::DOUBLE AS tmean,
+                     ((mid_ss + kk * v_low * v_low
+                       + kk * v_high * v_high)::DOUBLE
+                      - (mid_sum + kk * v_low + kk * v_high)::DOUBLE
+                        * (mid_sum + kk * v_low + kk * v_high)::DOUBLE
+                        / n::DOUBLE)
+                     / (n - 1)::DOUBLE
+                     * (n - 1)::DOUBLE / (h * (h - 1))::DOUBLE AS d
+              FROM a
+            )
+            SELECT a0.h AS h_0, a1.h AS h_1,
+                   round(a0.tmean, 6) AS tmean_0,
+                   round(a1.tmean, 6) AS tmean_1,
+                   round((a1.tmean - a0.tmean)
+                         / sqrt(a0.d + a1.d), 6) AS t_stat,
+                   round((a0.d + a1.d) * (a0.d + a1.d)
+                         / (a0.d * a0.d / (a0.h - 1)::DOUBLE
+                            + a1.d * a1.d / (a1.h - 1)::DOUBLE), 6)
+                     AS df
+            FROM (SELECT * FROM st WHERE g = 0) a0,
+                 (SELECT * FROM st WHERE g = 1) a1
         """,
     }

@@ -516,6 +516,8 @@ D_QUERIES = [
     # 5s: closure over those pairs + blocking-selectivity audit
     "docs_editdist_clusters",
     "docs_block_selectivity",
+    # 5w: kruskal reuse over n_chars (exact-int midranks)
+    "docs_lang_length_kw",
 ]
 
 _WORDS = ["the", "fast", "data", "merge", "la", "le", "und", "der",
