@@ -5745,6 +5745,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(yuen_trimmed_t(
             pairs, group_col="g", value_col="v", trim_den=5))
 
+    def q_events_weekend_cliffs(sf):
+        """Cliff's delta of weekend vs weekday DAILY value totals —
+        the rank-robust sibling of events_weekend_effect (Welch): how
+        often does a weekend day out-earn a weekday, net?  Daily cents
+        ride as exact partials into the per-value cell fold
+        (stages/robust.cliffs_delta reuse)."""
+        from s_tsfe_dl_ray.stages.dedup import _grouped_min
+        from s_tsfe_dl_ray.stages.robust import cliffs_delta
+
+        ds = read_table(f"{sf}/events.parquet", columns=["ts", "value"])
+
+        def part(t: pa.Table) -> pd.DataFrame:
+            us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            v = pc.cast(t["value"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pd.DataFrame({
+                "d": us // 86_400_000_000, "sv": ci,
+            }).groupby("d", sort=False, as_index=False).sum()
+
+        daily = _grouped_min(
+            ds.map_batches(part, batch_format="pyarrow"),
+            group_cols=["d"], agg_cols=[("sv", "sum")], pkey_col="d",
+            num_partitions=8)
+
+        def to_pairs(t: pa.Table) -> pa.Table:
+            d = t["d"].to_numpy(zero_copy_only=False)
+            dow = ((d + 3) % 7) + 1          # ISO Mon=1..Sun=7
+            return pa.table({
+                "g": pa.array((dow >= 6).astype(np.int64)),
+                "v": t["sv"]})
+
+        pairs = daily.map_batches(to_pairs, batch_format="pyarrow")
+        return _round_floats(cliffs_delta(
+            pairs, group_col="g", value_col="v"))
+
+    def q_lineitem_tax_disc_gamma(sf):
+        """Ordinal association between tax level and discount level
+        (stages/robust.ordinal_association reuse): do discounted lines
+        systematically carry different tax?  Exact suffix-sum pair
+        counts over the tiny levels grid."""
+        from s_tsfe_dl_ray.stages.robust import ordinal_association
+
+        ds = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_tax", "l_discount"])
+
+        def binify(t: pa.Table) -> pa.Table:
+            tx = pc.cast(t["l_tax"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            d = pc.cast(t["l_discount"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "ta": pa.array(np.copysign(
+                    np.floor(np.abs(tx) * 100.0 + 0.5),
+                    tx).astype(np.int64)),
+                "db": pa.array(np.copysign(
+                    np.floor(np.abs(d) * 100.0 + 0.5),
+                    d).astype(np.int64))})
+
+        binned = ds.map_batches(binify, batch_format="pyarrow")
+        return _round_floats(ordinal_association(
+            binned, col_a="ta", col_b="db"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -6165,6 +6230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_slope_by_decile": q_lineitem_qty_slope_by_decile,
         "docs_lang_length_kw": q_docs_lang_length_kw,
         "customer_segment_yuen": q_customer_segment_yuen,
+        "events_weekend_cliffs": q_events_weekend_cliffs,
+        "lineitem_tax_disc_gamma": q_lineitem_tax_disc_gamma,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -13672,5 +13739,76 @@ def oracle_sql() -> dict[str, str]:
                      AS df
             FROM (SELECT * FROM st WHERE g = 0) a0,
                  (SELECT * FROM st WHERE g = 1) a1
+        """,
+        # cliffs_delta twin over daily cent totals, weekend flag from
+        # the ISO dow of the epoch day
+        "events_weekend_cliffs": """
+            WITH e AS (
+              SELECT (epoch_us(ts) // 86400000000)::BIGINT AS d,
+                     sum(CAST(round(value * 100) AS BIGINT)) AS sv
+              FROM events GROUP BY 1
+            ), s AS (
+              SELECT CASE WHEN ((d + 3) % 7) + 1 >= 6
+                          THEN 1 ELSE 0 END AS g,
+                     sv AS v
+              FROM e
+            ), c AS (
+              SELECT v,
+                     sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS ca,
+                     sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS cb
+              FROM s GROUP BY 1
+            ), w AS (
+              SELECT v, ca, cb,
+                     coalesce(sum(ca) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)::BIGINT AS below_a
+              FROM c
+            ), t AS (
+              SELECT (SELECT sum(ca) FROM c)::BIGINT AS na,
+                     (SELECT sum(cb) FROM c)::BIGINT AS nb
+            )
+            SELECT t.na AS n_0, t.nb AS n_1,
+                   sum(cb * below_a)::BIGINT AS conc,
+                   sum(cb * (t.na - below_a - ca))::BIGINT AS disc,
+                   round((sum(cb * below_a)
+                          - sum(cb * (t.na - below_a - ca)))::DOUBLE
+                         / (t.na * t.nb)::DOUBLE, 6) AS delta
+            FROM w, t GROUP BY 1, 2 HAVING count(*) > 0
+        """,
+        # ordinal_association twin over (tax, discount) percent levels
+        "lineitem_tax_disc_gamma": """
+            WITH s AS (
+              SELECT CAST(round(l_tax * 100) AS BIGINT) AS a,
+                     CAST(round(l_discount * 100) AS BIGINT) AS b
+              FROM lineitem
+            ), cell AS (
+              SELECT a, b, count(*)::BIGINT AS o FROM s GROUP BY 1, 2
+            ), p AS (
+              SELECT coalesce(sum(x.o * y.o) FILTER (
+                       WHERE y.a > x.a AND y.b > x.b), 0)::BIGINT
+                       AS conc,
+                     coalesce(sum(x.o * y.o) FILTER (
+                       WHERE y.a > x.a AND y.b < x.b), 0)::BIGINT
+                       AS disc
+              FROM cell x, cell y
+            ), t AS (
+              SELECT (SELECT sum(o) FROM cell)::BIGINT AS n,
+                     (SELECT sum(t1 * (t1 - 1) // 2) FROM
+                       (SELECT sum(o)::BIGINT AS t1 FROM cell
+                        GROUP BY a))::BIGINT AS ta,
+                     (SELECT sum(t2 * (t2 - 1) // 2) FROM
+                       (SELECT sum(o)::BIGINT AS t2 FROM cell
+                        GROUP BY b))::BIGINT AS tb
+            )
+            SELECT t.n, p.conc, p.disc,
+                   round((p.conc - p.disc)::DOUBLE
+                         / (p.conc + p.disc)::DOUBLE, 6) AS gamma,
+                   round((p.conc - p.disc)::DOUBLE
+                         / sqrt((t.n * (t.n - 1) // 2 - t.ta)::DOUBLE
+                                * (t.n * (t.n - 1) // 2 - t.tb)::DOUBLE),
+                         6) AS tau_b
+            FROM t, p
         """,
     }

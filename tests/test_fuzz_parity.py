@@ -51,6 +51,7 @@ QUERIES = [
     "events_durbin_watson",
     "events_yuen_t",
     "events_seasonal_mk",
+    "events_weekend_cliffs",
     "events_mode_type",
     "events_value_histogram",
     "events_gini_users",
