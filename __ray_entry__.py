@@ -5810,6 +5810,106 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(ordinal_association(
             binned, col_a="ta", col_b="db"))
 
+    def q_events_median_test(sf):
+        """Brown–Mood median test across event types: per type, counts
+        above vs at-or-below the POOLED cents median (exact
+        quantile_disc element), then the k×2 chi-square — the
+        median-based sibling of Kruskal–Wallis that only needs one
+        order statistic.  Per-value cells cross one tiny exchange; the
+        pooled median and every count are exact."""
+        from s_tsfe_dl_ray.stages.dedup import _grouped_min
+
+        ds = read_table(f"{sf}/events.parquet",
+                        columns=["event_type", "value"])
+
+        def part(t: pa.Table) -> pa.Table:
+            v = pc.cast(t["value"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            out = pa.table({"ty": t["event_type"], "v": pa.array(ci)})
+            out = out.combine_chunks().group_by(
+                ["ty", "v"], use_threads=False).aggregate(
+                [([], "count_all")])
+            return out.rename_columns(["ty", "v", "o"])
+
+        cells = _grouped_min(
+            ds.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            group_cols=["ty", "v"], agg_cols=[("o", "sum")],
+            pkey_col="v", num_partitions=8)
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({
+                    "n": pd.Series([], dtype="int64"),
+                    "k_groups": pd.Series([], dtype="int64"),
+                    "pooled_median": pd.Series([], dtype="float64"),
+                    "chi2": pd.Series([], dtype="float64")})
+            g = (df.groupby(["ty", "v"], sort=True, as_index=False)
+                 ["o"].sum())
+            # pooled lower median: element at sorted index ceil(n/2)-1
+            vs = g.groupby("v", sort=True)["o"].sum()
+            vals = vs.index.to_numpy(dtype=np.int64)
+            cnts = vs.to_numpy(dtype=np.int64)
+            cum = np.cumsum(cnts)
+            n = int(cum[-1])
+            med = int(vals[np.searchsorted(cum, (n + 1) // 2,
+                                           side="left")])
+            g["above"] = (g["v"].to_numpy() > med).astype(np.int64)
+            # OBSERVED above-levels only (a constant corpus has just
+            # the 0 column -> k x 1 grid -> chi2 = 0, matching the twin)
+            tab = (g.groupby(["ty", "above"], sort=True)["o"].sum()
+                   .unstack(fill_value=0))
+            obs = tab.to_numpy(dtype=np.float64)
+            rs = obs.sum(axis=1)
+            cs = obs.sum(axis=0)
+            e = np.outer(rs, cs) / np.float64(n)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                chi2 = float(((obs - e) ** 2 / e).sum())
+            k = obs.shape[0]
+            return pd.DataFrame({
+                "n": pd.Series([n], dtype="int64"),
+                "k_groups": pd.Series([k], dtype="int64"),
+                "pooled_median": [med / 100.0],
+                "chi2": [chi2 if np.isfinite(chi2) else np.nan]})
+
+        return _round_floats(cells.repartition(1).map_batches(
+            fin, batch_format="pandas", batch_size=None))
+
+    def q_orders_monthly_mk(sf):
+        """Mann–Kendall trend test over MONTHLY order revenue totals
+        (whole-business cadence; stages/robust.mann_kendall reuse with
+        a single global key) — is revenue monotonically drifting month
+        over month, distribution-free?"""
+        from s_tsfe_dl_ray.stages.robust import mann_kendall
+
+        ds = read_table(f"{sf}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+
+        def part(t: pa.Table) -> pd.DataFrame:
+            us = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            d = us // 86_400_000_000
+            # month index = year*12 + (month-1) via civil arithmetic is
+            # overkill here: the corpus spans ~2 years, so derive the
+            # month key from the ISO date string both sides
+            ym = pd.to_datetime(d, unit="D")
+            mk = (ym.year.to_numpy() * 12
+                  + ym.month.to_numpy() - 1).astype(np.int64)
+            v = pc.cast(t["o_totalprice"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pd.DataFrame({
+                "scope": np.int64(1), "m": mk, "sv": ci,
+            }).groupby(["scope", "m"], sort=False, as_index=False).sum()
+
+        monthly = ds.map_batches(part, batch_format="pyarrow")
+        out = mann_kendall(monthly, key="scope", order_col="m",
+                          value_col="sv", min_n=3)
+        return _round_floats(out)
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -6232,6 +6332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_segment_yuen": q_customer_segment_yuen,
         "events_weekend_cliffs": q_events_weekend_cliffs,
         "lineitem_tax_disc_gamma": q_lineitem_tax_disc_gamma,
+        "events_median_test": q_events_median_test,
+        "orders_monthly_mk": q_orders_monthly_mk,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -13810,5 +13912,74 @@ def oracle_sql() -> dict[str, str]:
                                 * (t.n * (t.n - 1) // 2 - t.tb)::DOUBLE),
                          6) AS tau_b
             FROM t, p
+        """,
+        # Brown-Mood: pooled lower median (quantile_disc), k x observed
+        # above-levels grid, chi2 over the full expected grid
+        "events_median_test": """
+            WITH s AS (
+              SELECT event_type AS ty,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ), med AS (
+              SELECT quantile_disc(v, 0.5)::BIGINT AS m FROM s
+            ), o AS (
+              SELECT ty,
+                     CASE WHEN v > (SELECT m FROM med)
+                          THEN 1 ELSE 0 END AS above,
+                     count(*)::DOUBLE AS o
+              FROM s GROUP BY 1, 2
+            ), r AS (SELECT ty, sum(o) AS rs FROM o GROUP BY 1),
+            c AS (SELECT above, sum(o) AS cs FROM o GROUP BY 1),
+            t AS (SELECT sum(o) AS n FROM o),
+            cell AS (
+              SELECT r.rs * c.cs / t.n AS e, coalesce(oo.o, 0.0) AS obs
+              FROM r CROSS JOIN c CROSS JOIN t
+              LEFT JOIN o oo ON oo.ty = r.ty AND oo.above = c.above)
+            SELECT (SELECT n FROM t)::BIGINT AS n,
+                   (SELECT count(*) FROM r)::BIGINT AS k_groups,
+                   round((SELECT m FROM med)::DOUBLE / 100.0, 6)
+                     AS pooled_median,
+                   round(sum((obs - e) * (obs - e) / e), 6) AS chi2
+            FROM cell
+        """,
+        # mann_kendall reuse at monthly cadence over cents-exact
+        # revenue totals; 'scope' is the single global key
+        "orders_monthly_mk": """
+            WITH e AS (
+              SELECT 1::BIGINT AS scope,
+                     (year(o_orderdate) * 12
+                      + month(o_orderdate) - 1)::BIGINT AS m,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS sv
+              FROM orders GROUP BY 1, 2
+            ), p AS (
+              SELECT a.scope,
+                     sum(CASE WHEN b.sv > a.sv THEN 1
+                              WHEN b.sv < a.sv THEN -1
+                              ELSE 0 END)::BIGINT AS s
+              FROM e a JOIN e b ON a.scope = b.scope AND b.m > a.m
+              GROUP BY 1
+            ), n AS (
+              SELECT scope, count(*)::BIGINT AS n FROM e GROUP BY 1
+              HAVING count(*) >= 3
+            ), t AS (
+              SELECT scope,
+                     sum(c * (c - 1) * (2 * c + 5))::BIGINT AS tie_term
+              FROM (SELECT scope, sv, count(*)::BIGINT AS c
+                    FROM e GROUP BY 1, 2) GROUP BY 1
+            )
+            SELECT n.scope, n.n AS n_obs, p.s AS s_stat,
+                   round((n.n * (n.n - 1) * (2 * n.n + 5)
+                          - t.tie_term)::DOUBLE / 18.0, 6) AS var_s,
+                   round(CASE
+                     WHEN p.s > 0 THEN (p.s - 1)::DOUBLE
+                       / sqrt((n.n * (n.n - 1) * (2 * n.n + 5)
+                               - t.tie_term)::DOUBLE / 18.0)
+                     WHEN p.s < 0 THEN (p.s + 1)::DOUBLE
+                       / sqrt((n.n * (n.n - 1) * (2 * n.n + 5)
+                               - t.tie_term)::DOUBLE / 18.0)
+                     ELSE 0.0 END, 6) AS z
+            FROM n JOIN p USING (scope) JOIN t USING (scope)
+            ORDER BY 1
         """,
     }

@@ -52,6 +52,7 @@ QUERIES = [
     "events_yuen_t",
     "events_seasonal_mk",
     "events_weekend_cliffs",
+    "events_median_test",
     "events_mode_type",
     "events_value_histogram",
     "events_gini_users",
