@@ -5910,6 +5910,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           value_col="sv", min_n=3)
         return _round_floats(out)
 
+    def q_events_type_cliffs_matrix(sf):
+        """Pairwise Cliff's delta matrix over the event types' DAILY
+        cent totals: for every ordered type pair (a < b), the net share
+        of day pairs where b's daily total beats a's — the full
+        rank-robust effect-size grid behind the pairwise-KS matrix.
+        Daily totals ride as exact int partials; the 5×5 grid
+        finalizes on one tiny partition."""
+        from s_tsfe_dl_ray.stages.dedup import _grouped_min
+
+        ds = read_table(f"{sf}/events.parquet",
+                        columns=["ts", "event_type", "value"])
+
+        def part(t: pa.Table) -> pd.DataFrame:
+            us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            v = pc.cast(t["value"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pd.DataFrame({
+                "ty": t["event_type"].to_numpy(zero_copy_only=False),
+                "d": us // 86_400_000_000, "sv": ci,
+            }).groupby(["ty", "d"], sort=False, as_index=False).sum()
+
+        daily = _grouped_min(
+            ds.map_batches(part, batch_format="pyarrow"),
+            group_cols=["ty", "d"], agg_cols=[("sv", "sum")],
+            pkey_col="d", num_partitions=8)
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({
+                    "ty_a": pd.Series([], dtype="object"),
+                    "ty_b": pd.Series([], dtype="object"),
+                    "n_a": pd.Series([], dtype="int64"),
+                    "n_b": pd.Series([], dtype="int64"),
+                    "delta": pd.Series([], dtype="float64")})
+            g = (df.groupby(["ty", "d"], sort=True, as_index=False)
+                 ["sv"].sum())
+            types = sorted(g["ty"].unique())
+            rows = []
+            for i, ta in enumerate(types):
+                va = g.loc[g["ty"] == ta, "sv"].to_numpy()
+                for tb in types[i + 1:]:
+                    vb = g.loc[g["ty"] == tb, "sv"].to_numpy()
+                    diff = vb[:, None] - va[None, :]
+                    conc = int((diff > 0).sum())
+                    disc = int((diff < 0).sum())
+                    rows.append((ta, tb, len(va), len(vb),
+                                 (conc - disc)
+                                 / np.float64(len(va) * len(vb))))
+            return pd.DataFrame({
+                "ty_a": [r[0] for r in rows],
+                "ty_b": [r[1] for r in rows],
+                "n_a": pd.Series([r[2] for r in rows], dtype="int64"),
+                "n_b": pd.Series([r[3] for r in rows], dtype="int64"),
+                "delta": [float(r[4]) for r in rows]})
+
+        out = (daily.repartition(1)
+               .map_batches(fin, batch_format="pandas", batch_size=None))
+        return _round_floats(out.sort(["ty_a", "ty_b"]))
+
+    def q_part_size_price_gamma(sf):
+        """Ordinal association between part size and retail-price cents
+        (stages/robust.ordinal_association reuse): do physically bigger
+        parts command higher list prices, rank-wise?"""
+        from s_tsfe_dl_ray.stages.robust import ordinal_association
+
+        ds = read_table(f"{sf}/part.parquet",
+                        columns=["p_size", "p_retailprice"])
+
+        def binify(t: pa.Table) -> pa.Table:
+            p = pc.cast(t["p_retailprice"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "sz": pc.cast(t["p_size"], pa.int64()),
+                "pr": pa.array(np.copysign(
+                    np.floor(np.abs(p) * 100.0 + 0.5),
+                    p).astype(np.int64))})
+
+        binned = ds.map_batches(binify, batch_format="pyarrow")
+        return _round_floats(ordinal_association(
+            binned, col_a="sz", col_b="pr"))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-4 rotation (VERDICT r3 #1): the
     # round-3 operator wave (trend/M4/z-score/funnels/cohort/CUSUM/
@@ -6334,6 +6418,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_tax_disc_gamma": q_lineitem_tax_disc_gamma,
         "events_median_test": q_events_median_test,
         "orders_monthly_mk": q_orders_monthly_mk,
+        "events_type_cliffs_matrix": q_events_type_cliffs_matrix,
+        "part_size_price_gamma": q_part_size_price_gamma,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -13981,5 +14067,65 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0.0 END, 6) AS z
             FROM n JOIN p USING (scope) JOIN t USING (scope)
             ORDER BY 1
+        """,
+        # pairwise deltas from the tiny daily-total cell cross join
+        # (exact int comparisons; one division per pair)
+        "events_type_cliffs_matrix": """
+            WITH e AS (
+              SELECT event_type AS ty,
+                     (epoch_us(ts) // 86400000000)::BIGINT AS d,
+                     sum(CAST(round(value * 100) AS BIGINT)) AS sv
+              FROM events GROUP BY 1, 2
+            ), n AS (
+              SELECT ty, count(*)::BIGINT AS n FROM e GROUP BY 1
+            ), p AS (
+              SELECT a.ty AS ty_a, b.ty AS ty_b,
+                     sum(CASE WHEN b.sv > a.sv THEN 1
+                              ELSE 0 END)::BIGINT AS conc,
+                     sum(CASE WHEN b.sv < a.sv THEN 1
+                              ELSE 0 END)::BIGINT AS disc
+              FROM e a JOIN e b ON a.ty < b.ty
+              GROUP BY 1, 2
+            )
+            SELECT p.ty_a, p.ty_b, na.n AS n_a, nb.n AS n_b,
+                   round((p.conc - p.disc)::DOUBLE
+                         / (na.n * nb.n)::DOUBLE, 6) AS delta
+            FROM p JOIN n na ON na.ty = p.ty_a
+            JOIN n nb ON nb.ty = p.ty_b
+            ORDER BY 1, 2
+        """,
+        # ordinal_association twin over (size, price-cents)
+        "part_size_price_gamma": """
+            WITH s AS (
+              SELECT p_size::BIGINT AS a,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS b
+              FROM part
+            ), cell AS (
+              SELECT a, b, count(*)::BIGINT AS o FROM s GROUP BY 1, 2
+            ), p AS (
+              SELECT coalesce(sum(x.o * y.o) FILTER (
+                       WHERE y.a > x.a AND y.b > x.b), 0)::BIGINT
+                       AS conc,
+                     coalesce(sum(x.o * y.o) FILTER (
+                       WHERE y.a > x.a AND y.b < x.b), 0)::BIGINT
+                       AS disc
+              FROM cell x, cell y
+            ), t AS (
+              SELECT (SELECT sum(o) FROM cell)::BIGINT AS n,
+                     (SELECT sum(t1 * (t1 - 1) // 2) FROM
+                       (SELECT sum(o)::BIGINT AS t1 FROM cell
+                        GROUP BY a))::BIGINT AS ta,
+                     (SELECT sum(t2 * (t2 - 1) // 2) FROM
+                       (SELECT sum(o)::BIGINT AS t2 FROM cell
+                        GROUP BY b))::BIGINT AS tb
+            )
+            SELECT t.n, p.conc, p.disc,
+                   round((p.conc - p.disc)::DOUBLE
+                         / (p.conc + p.disc)::DOUBLE, 6) AS gamma,
+                   round((p.conc - p.disc)::DOUBLE
+                         / sqrt((t.n * (t.n - 1) // 2 - t.ta)::DOUBLE
+                                * (t.n * (t.n - 1) // 2 - t.tb)::DOUBLE),
+                         6) AS tau_b
+            FROM t, p
         """,
     }

@@ -53,6 +53,7 @@ QUERIES = [
     "events_seasonal_mk",
     "events_weekend_cliffs",
     "events_median_test",
+    "events_type_cliffs_matrix",
     "events_mode_type",
     "events_value_histogram",
     "events_gini_users",
