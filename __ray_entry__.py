@@ -5815,67 +5815,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         above vs at-or-below the POOLED cents median (exact
         quantile_disc element), then the k×2 chi-square — the
         median-based sibling of Kruskal–Wallis that only needs one
-        order statistic.  Per-value cells cross one tiny exchange; the
-        pooled median and every count are exact."""
-        from s_tsfe_dl_ray.stages.dedup import _grouped_min
+        order statistic (stages/robust.median_test)."""
+        from s_tsfe_dl_ray.stages.robust import median_test
 
         ds = read_table(f"{sf}/events.parquet",
                         columns=["event_type", "value"])
+        return _round_floats(median_test(
+            ds, group_col="event_type", value_col="value", scale=100))
 
-        def part(t: pa.Table) -> pa.Table:
-            v = pc.cast(t["value"], pa.float64()).to_numpy(
-                zero_copy_only=False)
-            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
-                             v).astype(np.int64)
-            out = pa.table({"ty": t["event_type"], "v": pa.array(ci)})
-            out = out.combine_chunks().group_by(
-                ["ty", "v"], use_threads=False).aggregate(
-                [([], "count_all")])
-            return out.rename_columns(["ty", "v", "o"])
+    def q_lineitem_returnflag_median(sf):
+        """Brown–Mood median test of extended price across return
+        flags (stages/robust.median_test reuse): do returned lines
+        skew above or below the pooled price median?"""
+        from s_tsfe_dl_ray.stages.robust import median_test
 
-        cells = _grouped_min(
-            ds.map_batches(part, batch_format="pyarrow",
-                           zero_copy_batch=True),
-            group_cols=["ty", "v"], agg_cols=[("o", "sum")],
-            pkey_col="v", num_partitions=8)
-
-        def fin(df: pd.DataFrame) -> pd.DataFrame:
-            if len(df) == 0:
-                return pd.DataFrame({
-                    "n": pd.Series([], dtype="int64"),
-                    "k_groups": pd.Series([], dtype="int64"),
-                    "pooled_median": pd.Series([], dtype="float64"),
-                    "chi2": pd.Series([], dtype="float64")})
-            g = (df.groupby(["ty", "v"], sort=True, as_index=False)
-                 ["o"].sum())
-            # pooled lower median: element at sorted index ceil(n/2)-1
-            vs = g.groupby("v", sort=True)["o"].sum()
-            vals = vs.index.to_numpy(dtype=np.int64)
-            cnts = vs.to_numpy(dtype=np.int64)
-            cum = np.cumsum(cnts)
-            n = int(cum[-1])
-            med = int(vals[np.searchsorted(cum, (n + 1) // 2,
-                                           side="left")])
-            g["above"] = (g["v"].to_numpy() > med).astype(np.int64)
-            # OBSERVED above-levels only (a constant corpus has just
-            # the 0 column -> k x 1 grid -> chi2 = 0, matching the twin)
-            tab = (g.groupby(["ty", "above"], sort=True)["o"].sum()
-                   .unstack(fill_value=0))
-            obs = tab.to_numpy(dtype=np.float64)
-            rs = obs.sum(axis=1)
-            cs = obs.sum(axis=0)
-            e = np.outer(rs, cs) / np.float64(n)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                chi2 = float(((obs - e) ** 2 / e).sum())
-            k = obs.shape[0]
-            return pd.DataFrame({
-                "n": pd.Series([n], dtype="int64"),
-                "k_groups": pd.Series([k], dtype="int64"),
-                "pooled_median": [med / 100.0],
-                "chi2": [chi2 if np.isfinite(chi2) else np.nan]})
-
-        return _round_floats(cells.repartition(1).map_batches(
-            fin, batch_format="pandas", batch_size=None))
+        ds = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_returnflag", "l_extendedprice"])
+        return _round_floats(median_test(
+            ds, group_col="l_returnflag", value_col="l_extendedprice",
+            scale=100))
 
     def q_orders_monthly_mk(sf):
         """Mann–Kendall trend test over MONTHLY order revenue totals
@@ -6420,6 +6378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_mk": q_orders_monthly_mk,
         "events_type_cliffs_matrix": q_events_type_cliffs_matrix,
         "part_size_price_gamma": q_part_size_price_gamma,
+        "lineitem_returnflag_median": q_lineitem_returnflag_median,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -14006,6 +13965,34 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type AS ty,
                      CAST(round(value * 100) AS BIGINT) AS v
               FROM events
+            ), med AS (
+              SELECT quantile_disc(v, 0.5)::BIGINT AS m FROM s
+            ), o AS (
+              SELECT ty,
+                     CASE WHEN v > (SELECT m FROM med)
+                          THEN 1 ELSE 0 END AS above,
+                     count(*)::DOUBLE AS o
+              FROM s GROUP BY 1, 2
+            ), r AS (SELECT ty, sum(o) AS rs FROM o GROUP BY 1),
+            c AS (SELECT above, sum(o) AS cs FROM o GROUP BY 1),
+            t AS (SELECT sum(o) AS n FROM o),
+            cell AS (
+              SELECT r.rs * c.cs / t.n AS e, coalesce(oo.o, 0.0) AS obs
+              FROM r CROSS JOIN c CROSS JOIN t
+              LEFT JOIN o oo ON oo.ty = r.ty AND oo.above = c.above)
+            SELECT (SELECT n FROM t)::BIGINT AS n,
+                   (SELECT count(*) FROM r)::BIGINT AS k_groups,
+                   round((SELECT m FROM med)::DOUBLE / 100.0, 6)
+                     AS pooled_median,
+                   round(sum((obs - e) * (obs - e) / e), 6) AS chi2
+            FROM cell
+        """,
+        # median_test reuse over (returnflag, extendedprice cents)
+        "lineitem_returnflag_median": """
+            WITH s AS (
+              SELECT l_returnflag AS ty,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+              FROM lineitem
             ), med AS (
               SELECT quantile_disc(v, 0.5)::BIGINT AS m FROM s
             ), o AS (

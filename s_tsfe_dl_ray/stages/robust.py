@@ -2416,3 +2416,74 @@ def binary_runs_test(
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
     return tagged.groupby("_pkey").map_groups(fold,
                                               batch_format="pandas")
+
+
+def median_test(
+    ds: Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Brown–Mood k-sample median test: counts above vs at-or-below the
+    POOLED lower median per group, then the k × observed-above-levels
+    chi-square — the median-only sibling of :func:`kruskal_wallis`
+    (needs one order statistic, not full ranks).
+
+    Values quantize to int64 (``round(x·scale)`` half-away recipe); the
+    pooled median is the exact element at sorted index ⌈n/2⌉−1
+    (== DuckDB ``quantile_disc(0.5)``), all counts are exact, and the
+    grid keeps OBSERVED above-levels only so a constant corpus
+    collapses to k×1 with χ² = 0 on both sides.  Per-value cells cross
+    one tiny exchange; the fold is a single partition.  Output: one row
+    ``n, k_groups, pooled_median, chi2``.
+    """
+    from .dedup import _grouped_min
+
+    def part(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        ci = np.copysign(np.floor(np.abs(v) * scale + 0.5),
+                         v).astype(np.int64)
+        out = pa.table({"ty": t[group_col], "v": pa.array(ci)})
+        out = out.combine_chunks().group_by(
+            ["ty", "v"], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["ty", "v", "o"])
+
+    cells = _grouped_min(
+        ds.map_batches(part, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        group_cols=["ty", "v"], agg_cols=[("o", "sum")], pkey_col="v",
+        num_partitions=num_partitions)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "n": pd.Series([], dtype="int64"),
+                "k_groups": pd.Series([], dtype="int64"),
+                "pooled_median": pd.Series([], dtype="float64"),
+                "chi2": pd.Series([], dtype="float64")})
+        g = df.groupby(["ty", "v"], sort=True, as_index=False)["o"].sum()
+        vs = g.groupby("v", sort=True)["o"].sum()
+        vals = vs.index.to_numpy(dtype=np.int64)
+        cum = np.cumsum(vs.to_numpy(dtype=np.int64))
+        n = int(cum[-1])
+        med = int(vals[np.searchsorted(cum, (n + 1) // 2, side="left")])
+        g["above"] = (g["v"].to_numpy() > med).astype(np.int64)
+        tab = (g.groupby(["ty", "above"], sort=True)["o"].sum()
+               .unstack(fill_value=0))
+        obs = tab.to_numpy(dtype=np.float64)
+        rs = obs.sum(axis=1)
+        cs = obs.sum(axis=0)
+        e = np.outer(rs, cs) / np.float64(n)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            chi2 = float(((obs - e) ** 2 / e).sum())
+        return pd.DataFrame({
+            "n": pd.Series([n], dtype="int64"),
+            "k_groups": pd.Series([obs.shape[0]], dtype="int64"),
+            "pooled_median": [med / np.float64(scale)],
+            "chi2": [chi2 if np.isfinite(chi2) else np.nan]})
+
+    return cells.repartition(1).map_batches(
+        fin, batch_format="pandas", batch_size=None)

@@ -654,3 +654,13 @@ def test_round5v_decile_slope_empty():
                           agg_cols=[("n", "sum")], pkey_col="qty_bin",
                           num_partitions=4)
     assert len(merged.to_pandas()) == 0
+
+
+def test_round6a_median_test_empty():
+    from s_tsfe_dl_ray.stages.robust import median_test
+
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64())}))
+    assert len(median_test(ds, group_col="event_type",
+                           value_col="value").to_pandas()) == 0
