@@ -5835,6 +5835,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, group_col="l_returnflag", value_col="l_extendedprice",
             scale=100))
 
+    def q_market_balance_cliffs(sf):
+        """Cross-table Cliff's delta: supplier (g=1) vs customer (g=0)
+        account balances — the rank-robust answer to 'which side of the
+        market holds the cash' that nation_balance_gap's means can't
+        give when balances are heavy-tailed.  Two pruned reads union
+        into the per-value cell fold (stages/robust.cliffs_delta)."""
+        from s_tsfe_dl_ray.stages.robust import cliffs_delta
+
+        cu = read_table(f"{sf}/customer.parquet", columns=["c_acctbal"])
+        su = read_table(f"{sf}/supplier.parquet", columns=["s_acctbal"])
+
+        def tag(col: str, g: int):
+            def fn(t: pa.Table) -> pa.Table:
+                v = pc.cast(t[col], pa.float64()).to_numpy(
+                    zero_copy_only=False)
+                ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                                 v).astype(np.int64)
+                return pa.table({
+                    "g": pa.array(np.full(len(ci), g, dtype=np.int64)),
+                    "v": pa.array(ci)})
+            return fn
+
+        pairs = (cu.map_batches(tag("c_acctbal", 0),
+                                batch_format="pyarrow")
+                 .union(su.map_batches(tag("s_acctbal", 1),
+                                       batch_format="pyarrow")))
+        return _round_floats(cliffs_delta(
+            pairs, group_col="g", value_col="v"))
+
+    def q_orders_status_yuen(sf):
+        """Yuen's trimmed t: fulfilled (F, g=0) vs open (O, g=1) order
+        totals — did open orders change size, robust to total-price
+        outliers (stages/robust.yuen_trimmed_t reuse)."""
+        from s_tsfe_dl_ray.stages.robust import yuen_trimmed_t
+
+        ds = read_table(f"{sf}/orders.parquet",
+                        columns=["o_orderstatus", "o_totalprice"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t["o_orderstatus"],
+                            value_set=pa.array(["F", "O"]))
+            sub = t.filter(keep)
+            v = pc.cast(sub["o_totalprice"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pa.table({
+                "g": pc.cast(pc.equal(sub["o_orderstatus"], "O"),
+                             pa.int64()),
+                "v": pa.array(ci)})
+
+        pairs = ds.map_batches(derive, batch_format="pyarrow")
+        return _round_floats(yuen_trimmed_t(
+            pairs, group_col="g", value_col="v", trim_den=5))
+
     def q_orders_monthly_mk(sf):
         """Mann–Kendall trend test over MONTHLY order revenue totals
         (whole-business cadence; stages/robust.mann_kendall reuse with
@@ -6379,6 +6434,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_cliffs_matrix": q_events_type_cliffs_matrix,
         "part_size_price_gamma": q_part_size_price_gamma,
         "lineitem_returnflag_median": q_lineitem_returnflag_median,
+        "market_balance_cliffs": q_market_balance_cliffs,
+        "orders_status_yuen": q_orders_status_yuen,
         # rows-only (no DEFLATE in DuckDB)
         "transcripts_compressibility": q_transcripts_compressibility,
     }
@@ -14014,6 +14071,99 @@ def oracle_sql() -> dict[str, str]:
                      AS pooled_median,
                    round(sum((obs - e) * (obs - e) / e), 6) AS chi2
             FROM cell
+        """,
+        # cliffs_delta twin over the UNION of both balance columns
+        "market_balance_cliffs": """
+            WITH s AS (
+              SELECT 0 AS g,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS v
+              FROM customer
+              UNION ALL
+              SELECT 1 AS g,
+                     CAST(round(s_acctbal * 100) AS BIGINT) AS v
+              FROM supplier
+            ), c AS (
+              SELECT v,
+                     sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS ca,
+                     sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS cb
+              FROM s GROUP BY 1
+            ), w AS (
+              SELECT v, ca, cb,
+                     coalesce(sum(ca) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)::BIGINT AS below_a
+              FROM c
+            ), t AS (
+              SELECT (SELECT sum(ca) FROM c)::BIGINT AS na,
+                     (SELECT sum(cb) FROM c)::BIGINT AS nb
+            )
+            SELECT t.na AS n_0, t.nb AS n_1,
+                   sum(cb * below_a)::BIGINT AS conc,
+                   sum(cb * (t.na - below_a - ca))::BIGINT AS disc,
+                   round((sum(cb * below_a)
+                          - sum(cb * (t.na - below_a - ca)))::DOUBLE
+                         / (t.na * t.nb)::DOUBLE, 6) AS delta
+            FROM w, t GROUP BY 1, 2 HAVING count(*) > 0
+        """,
+        # yuen_trimmed_t twin over F-vs-O order totals
+        "orders_status_yuen": """
+            WITH s AS (
+              SELECT CASE WHEN o_orderstatus = 'O'
+                          THEN 1 ELSE 0 END AS g,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders
+              WHERE o_orderstatus IN ('F', 'O')
+            ), c AS (
+              SELECT g, v, count(*)::BIGINT AS o FROM s GROUP BY 1, 2
+            ), w AS (
+              SELECT g, v, o,
+                     sum(o) OVER (PARTITION BY g ORDER BY v)::BIGINT
+                       AS cum,
+                     (sum(o) OVER (PARTITION BY g ORDER BY v)
+                      - o)::BIGINT AS lo,
+                     sum(o) OVER (PARTITION BY g)::BIGINT AS n
+              FROM c
+            ), k AS (
+              SELECT *, (n // 5)::BIGINT AS kk FROM w
+            ), a AS (
+              SELECT g, max(n)::BIGINT AS n, max(kk)::BIGINT AS kk,
+                     (max(n) - 2 * max(kk))::BIGINT AS h,
+                     sum(v * greatest(least(cum, n - kk)
+                                      - greatest(lo, kk), 0))::BIGINT
+                       AS mid_sum,
+                     sum(v * v * greatest(least(cum, n - kk)
+                                          - greatest(lo, kk), 0))::BIGINT
+                       AS mid_ss,
+                     min(v) FILTER (WHERE cum > kk)::BIGINT AS v_low,
+                     min(v) FILTER (WHERE cum >= n - kk)::BIGINT
+                       AS v_high
+              FROM k GROUP BY 1
+              HAVING (max(n) - 2 * max(kk)) >= 2
+            ), st AS (
+              SELECT g, h,
+                     mid_sum::DOUBLE / h::DOUBLE AS tmean,
+                     ((mid_ss + kk * v_low * v_low
+                       + kk * v_high * v_high)::DOUBLE
+                      - (mid_sum + kk * v_low + kk * v_high)::DOUBLE
+                        * (mid_sum + kk * v_low + kk * v_high)::DOUBLE
+                        / n::DOUBLE)
+                     / (n - 1)::DOUBLE
+                     * (n - 1)::DOUBLE / (h * (h - 1))::DOUBLE AS d
+              FROM a
+            )
+            SELECT a0.h AS h_0, a1.h AS h_1,
+                   round(a0.tmean, 6) AS tmean_0,
+                   round(a1.tmean, 6) AS tmean_1,
+                   round((a1.tmean - a0.tmean)
+                         / sqrt(a0.d + a1.d), 6) AS t_stat,
+                   round((a0.d + a1.d) * (a0.d + a1.d)
+                         / (a0.d * a0.d / (a0.h - 1)::DOUBLE
+                            + a1.d * a1.d / (a1.h - 1)::DOUBLE), 6)
+                     AS df
+            FROM (SELECT * FROM st WHERE g = 0) a0,
+                 (SELECT * FROM st WHERE g = 1) a1
         """,
         # mann_kendall reuse at monthly cadence over cents-exact
         # revenue totals; 'scope' is the single global key
