@@ -5904,9 +5904,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             us = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
                          pa.int64()).to_numpy(zero_copy_only=False)
             d = us // 86_400_000_000
-            # month index = year*12 + (month-1) via civil arithmetic is
-            # overkill here: the corpus spans ~2 years, so derive the
-            # month key from the ISO date string both sides
+            # month index = year*12 + month - 1, computed from the date
+            # on both sides (pd.to_datetime year/month here, DuckDB
+            # year()/month() in the twin)
             ym = pd.to_datetime(d, unit="D")
             mk = (ym.year.to_numpy() * 12
                   + ym.month.to_numpy() - 1).astype(np.int64)

@@ -104,9 +104,13 @@ class EmbIndexJob:
         sample = (ds.map_batches(pick, batch_format="pandas")
                   .to_pandas().sort_values("vec_id"))
         if len(sample) < self.n_clusters:
+            # undershoot fallback: the `target` smallest vec_ids, picked
+            # by a DISTRIBUTED sort + limit so the driver pull stays
+            # bounded at `target` rows — never the whole table
             sample = (read_table(self.input_path,
                                  columns=["vec_id", "embedding"])
-                      .to_pandas().sort_values("vec_id").head(target))
+                      .sort("vec_id").limit(int(target))
+                      .to_pandas().sort_values("vec_id"))
         mat = _l2_normalize(_stack_embeddings(sample, "embedding"))
         cent = _kmeans_fit(mat, self.n_clusters)
         t = pa.table({

@@ -533,10 +533,7 @@ def kendall_tau(
                     f"kendall_tau: key {k_all[s]!r} has {n} rows > "
                     f"max_key_rows={max_key_rows}; window or downsample first")
             v = v_all[s:e]
-            iu, ju = np.triu_indices(n, 1)
-            d = v[ju] - v[iu]
-            c = int((d > 0).sum())
-            dsc = int((d < 0).sum())
+            c, dsc = _sign_pair_counts(v)
             n0 = n * (n - 1) // 2
             keys.append(k_all[s])
             n_pairs.append(n0)
@@ -550,15 +547,37 @@ def kendall_tau(
                          num_partitions=num_partitions, whole_partition=True)
 
 
+def _sign_pair_counts(v: np.ndarray) -> tuple[int, int]:
+    """Exact (concordant, discordant) pair counts ``(#{i<j: v_j > v_i},
+    #{i<j: v_j < v_i})`` in BLOCKS of rows so peak memory stays
+    O(block · n) (~64 MB) instead of the O(n²) ``np.triu_indices``
+    arrays (~5 GB at n = 20 000) — same comparisons, bit-identical
+    counts, just chunked."""
+    n = len(v)
+    c = d = 0
+    block = max(1, 8_000_000 // max(n, 1))
+    for s in range(0, n - 1, block):
+        e = min(s + block, n - 1)
+        # rows s..e-1 as "i"; compare each against all j in [s, n),
+        # masked to j > i — every (i < j) pair is visited exactly once
+        # as the i-block sweeps
+        sub = v[s:e, None] - v[None, s:]          # (e-s, n-s)
+        ii, jj = np.indices(sub.shape, sparse=True)
+        tri = jj > ii                              # j > i within slice
+        c += int(((sub < 0) & tri).sum())          # v_j > v_i
+        d += int(((sub > 0) & tri).sum())
+        del sub
+    return c, d
+
+
 def _mk_s_varnum(v: np.ndarray) -> tuple[int, int]:
     """Mann–Kendall S and the INTEGER variance numerator
     ``n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)`` for one series — kept integer so
     callers (plain and seasonal MK) can sum variance contributions
     exactly before the single /18.0."""
     n = len(v)
-    iu, ju = np.triu_indices(n, 1)
-    d = v[ju] - v[iu]
-    s_stat = int((d > 0).sum()) - int((d < 0).sum())
+    c, d = _sign_pair_counts(np.asarray(v))
+    s_stat = c - d
     cnt = np.unique(v, return_counts=True)[1].astype(np.int64)
     tie = int((cnt * (cnt - 1) * (2 * cnt + 5)).sum())
     return s_stat, n * (n - 1) * (2 * n + 5) - tie
@@ -2114,29 +2133,40 @@ def durbin_watson(
         g = g.sort_values([key, order_col], kind="mergesort")
         k_all = g[key].to_numpy()
         t_raw = g[order_col].to_numpy(dtype=np.int64)
-        y = g[value_col].to_numpy(dtype=np.float64)
+        y_i = g[value_col].to_numpy(dtype=np.int64)
         change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
         starts = np.concatenate([[0], change, [len(g)]])
         gid = np.repeat(np.arange(len(starts) - 1),
                         np.diff(starts))
         nk = len(starts) - 1
-        t = (t_raw - t_raw[starts[:-1]][gid]).astype(np.float64)
+        # integer moments: np.bincount(weights=...) accumulates in
+        # float64 and silently rounds past 2^53 (sum(y²) on cent-scale
+        # daily totals reaches ~1e16) — the SQL twin sums in BIGINT, so
+        # accumulate int64 exactly and cast ONCE at the expression tree
+        t_i = t_raw - t_raw[starts[:-1]][gid]
+
+        def isum(w: np.ndarray) -> np.ndarray:
+            acc = np.zeros(nk, dtype=np.int64)
+            np.add.at(acc, gid, w)
+            return acc
+
         n = np.diff(starts).astype(np.float64)
-        st = np.bincount(gid, weights=t, minlength=nk)
-        sy = np.bincount(gid, weights=y, minlength=nk)
-        stt = np.bincount(gid, weights=t * t, minlength=nk)
-        sty = np.bincount(gid, weights=t * y, minlength=nk)
-        syy = np.bincount(gid, weights=y * y, minlength=nk)
+        st = isum(t_i).astype(np.float64)
+        sy = isum(y_i).astype(np.float64)
+        stt = isum(t_i * t_i).astype(np.float64)
+        sty = isum(t_i * y_i).astype(np.float64)
+        syy = isum(y_i * y_i).astype(np.float64)
         same = np.zeros(len(g), dtype=bool)
         same[1:] = k_all[1:] == k_all[:-1]
-        dy = np.zeros(len(g))
-        dt = np.zeros(len(g))
-        dy[1:] = (y[1:] - y[:-1])
-        dt[1:] = (t[1:] - t[:-1])
-        w = same.astype(np.float64)
-        dyy = np.bincount(gid, weights=dy * dy * w, minlength=nk)
-        dty = np.bincount(gid, weights=dy * dt * w, minlength=nk)
-        dtt = np.bincount(gid, weights=dt * dt * w, minlength=nk)
+        dy = np.zeros(len(g), dtype=np.int64)
+        dt = np.zeros(len(g), dtype=np.int64)
+        dy[1:] = y_i[1:] - y_i[:-1]
+        dt[1:] = t_i[1:] - t_i[:-1]
+        dy = np.where(same, dy, 0)
+        dt = np.where(same, dt, 0)
+        dyy = isum(dy * dy).astype(np.float64)
+        dty = isum(dy * dt).astype(np.float64)
+        dtt = isum(dt * dt).astype(np.float64)
         keep = n >= min_n
         with np.errstate(invalid="ignore", divide="ignore"):
             sty_c = sty - st * sy / n
