@@ -6007,6 +6007,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_floats(ordinal_association(
             binned, col_a="sz", col_b="pr"))
 
+    def q_events_window_pairs(sf):
+        """Supervised (input-window, label-window) pair generation — the
+        reference's forecasting batch generator as a Dataset fan-out
+        (stages/slide.window_pairs; timeseries_batch_generator.py:
+        186-299): per user, series ordered by (ts, event_id), anchors
+        every stride=4 rows emit input v[p-8:p] / label v[p:p+4] over
+        int-cent values.  Windows ride as Arrow lists in the engine; the
+        query stringifies them (array_to_string twin) so the driver's
+        value hash sees scalar columns."""
+        from s_tsfe_dl_ray.stages.slide import window_pairs
+
+        ds = read_table(f"{sf}/events.parquet",
+                        columns=["user_id", "ts", "event_id", "value"])
+
+        def cents(t: pa.Table) -> pa.Table:
+            v = pc.cast(t["value"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                             "event_id": t["event_id"],
+                             "cv": pa.array(ci)})
+
+        prep = ds.map_batches(cents, batch_format="pyarrow")
+        out = window_pairs(prep, keys=["user_id"],
+                           order_by=["ts", "event_id"], value_col="cv",
+                           length=8, length_target=4, stride=4)
+
+        def fmt(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["input_win"] = [",".join(map(str, a))
+                               for a in df["input_win"]]
+            df["label_win"] = [",".join(map(str, a))
+                               for a in df["label_win"]]
+            return df
+
+        return (out.map_batches(fmt, batch_format="pandas")
+                .sort(["user_id", "anchor_idx"]))
+
     # ORDER MATTERS: the driver records rows for exactly the FIRST 50 dict
     # entries (insertion order).  Round-5 rotation (VERDICT r4 #1): the
     # round-4/5 operator waves (robust battery MAD/Theil–Sen/Spearman/
@@ -6078,12 +6117,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cliffs_delta": q_events_cliffs_delta,
         "events_mann_kendall": q_events_mann_kendall,
         "events_yuen_t": q_events_yuen_t,
-        "emb_quantize_error": q_emb_quantize_error,
+        "events_window_pairs": q_events_window_pairs,
         # ---- 50-row cap boundary (see ORDER MATTERS above) ---------------
         # oracle-paired overflow: checked by the rehearsal test at driver
         # scale; driver rows appear only if the cap lifts.  Demoted r3/r4
         # wave (r4 driver rows on record) first, then demoted veterans
         # (r1–r3 rows), then the rest.
+        "emb_quantize_error": q_emb_quantize_error,
         "events_linear_trend": q_events_linear_trend,
         "events_m4_1h": q_events_m4_1h,
         "events_trailing_zscore": q_events_trailing_zscore,
@@ -13372,6 +13412,31 @@ def oracle_sql() -> dict[str, str]:
         # comparisons; var_s = exact-int numerator / 18.0; z uses the
         # correctly-rounded sqrt — identical expression tree both sides
         # (var_s = 0 forces S = 0, so the z CASE never divides by zero)
+        "events_window_pairs": """
+            WITH b AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) AS cv,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1 AS p,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+            ), w AS (
+              SELECT user_id, p, n,
+                     list(cv) OVER (PARTITION BY user_id ORDER BY p
+                                    ROWS BETWEEN 8 PRECEDING
+                                             AND 1 PRECEDING) AS iw,
+                     list(cv) OVER (PARTITION BY user_id ORDER BY p
+                                    ROWS BETWEEN CURRENT ROW
+                                             AND 3 FOLLOWING) AS lw
+              FROM b
+            )
+            SELECT user_id, p AS anchor_idx,
+                   array_to_string(iw, ',') AS input_win,
+                   array_to_string(lw, ',') AS label_win
+            FROM w
+            WHERE p >= 8 AND p + 4 <= n AND (p - 8) % 4 = 0
+            ORDER BY user_id, anchor_idx
+        """,
         "events_mann_kendall": """
             WITH e AS (
               SELECT user_id,

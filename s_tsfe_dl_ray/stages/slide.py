@@ -164,3 +164,87 @@ def reverse_series(ds: Dataset, *, keys: list[str], order_by: list[str]) -> Data
     from .grouped import grouped_apply
 
     return grouped_apply(ds, keys=keys, fn=_ReverseGroup(order_by))
+
+
+def window_pairs(
+    ds: Dataset,
+    *,
+    keys: list[str],
+    order_by: list[str],
+    value_col: str,
+    length: int,
+    length_target: int,
+    stride: int = 1,
+    sampling_rate: int = 1,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Supervised (input-window, label-window) pair generator — the
+    reference's forecasting batch generator re-expressed as a Dataset
+    fan-out (timeseries_batch_generator.py:186-299): per key, order the
+    series by ``order_by`` and for every anchor position ``p`` (0-based
+    within the key) with ``length <= p <= n - length_target`` and
+    ``(p - length) % stride == 0``, emit
+
+        input_win  = v[p - length : p : sampling_rate]
+        label_win  = v[p : p + length_target : sampling_rate]
+
+    exactly the reference's ``data[row-length:row:r]`` /
+    ``targets[row:row+length_target:r]`` slices — the aligned
+    feature/label window pairs a downstream trainer consumes, carried as
+    Arrow ``list`` columns instead of a driver-held (B, L, V) tensor.
+
+    Execution shape: ONE ``_pkey`` exchange co-locates each key's rows
+    (``grouped_apply`` whole-partition), then anchor selection and both
+    window gathers are single vectorized numpy ``take`` matrices across
+    ALL keys of the partition — no per-key or per-window Python.  Memory
+    per partition is O(rows · length/stride) for the emitted pairs
+    (inherent to the fan-out; pick ``stride`` ≥ 1 to bound it, exactly
+    like the reference's stride argument).
+
+    Output: ``keys…, anchor_idx, input_win, label_win`` with window
+    values in series order.  Keys shorter than ``length +
+    length_target`` emit no rows (no partial windows, matching the
+    reference's ``start_index > end_index`` guard).
+    """
+    from .grouped import grouped_apply
+
+    L, Lt, S, r = length, length_target, stride, sampling_rate
+    if L < 1 or Lt < 1 or S < 1 or r < 1:
+        raise ValueError("length, length_target, stride, sampling_rate "
+                         "must all be >= 1")
+    key = keys[0]
+
+    def pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            **{k: pd.Series([], dtype=df[k].dtype if k in df else "object")
+               for k in keys},
+            "anchor_idx": pd.Series([], dtype="int64"),
+            "input_win": pd.Series([], dtype="object"),
+            "label_win": pd.Series([], dtype="object")})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(keys + order_by, kind="mergesort")
+        v = df[value_col].to_numpy()
+        k_all = df[key].to_numpy()
+        change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
+        starts = np.concatenate([[0], change, [len(df)]])
+        gid = np.repeat(np.arange(len(starts) - 1), np.diff(starts))
+        pos = np.arange(len(df)) - starts[:-1][gid]       # key-local 0-based
+        nloc = np.diff(starts)[gid]                        # key length
+        anchors = np.flatnonzero(
+            (pos >= L) & (pos + Lt <= nloc) & ((pos - L) % S == 0))
+        if len(anchors) == 0:
+            return empty
+        in_take = anchors[:, None] + np.arange(-L, 0, r)[None, :]
+        lab_take = anchors[:, None] + np.arange(0, Lt, r)[None, :]
+        in_w = v[in_take]
+        lab_w = v[lab_take]
+        out = df.iloc[anchors][keys].reset_index(drop=True)
+        out["anchor_idx"] = pos[anchors]
+        out["input_win"] = list(in_w)
+        out["label_win"] = list(lab_w)
+        return out
+
+    return grouped_apply(ds, keys=[key], fn=pairs_partition,
+                         num_partitions=num_partitions,
+                         whole_partition=True)

@@ -59,3 +59,39 @@ def test_reverse_series_positions():
     for k, g in out.groupby("k"):
         g = g.sort_values("rev_idx")
         assert (g["i"].to_numpy() == np.arange(9, -1, -1)).all()
+
+
+def test_window_pairs_matches_naive():
+    """Reference forecasting-generator slices
+    (timeseries_batch_generator.py:186-299): input v[p-L:p:r], label
+    v[p:p+Lt:r], anchors p in [L, n-Lt] stepped by stride — brute-force
+    parity across lengths/strides/dilations incl. too-short keys."""
+    import ray.data as rd
+
+    from s_tsfe_dl_ray.stages.slide import window_pairs
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for k in range(10):
+        n = int(rng.integers(0, 35))
+        for i in range(n):
+            rows.append({"k": f"u{k}", "i": i,
+                         "v": int(rng.integers(-9, 120))})
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df).repartition(3)
+    for (L, Lt, S, r) in [(3, 2, 1, 1), (4, 3, 2, 1), (5, 2, 3, 2),
+                          (1, 1, 1, 1), (6, 4, 2, 3)]:
+        out = window_pairs(ds, keys=["k"], order_by=["i"], value_col="v",
+                           length=L, length_target=Lt, stride=S,
+                           sampling_rate=r).to_pandas()
+        exp = []
+        for k, g in df.groupby("k"):
+            v = g.sort_values("i")["v"].to_numpy()
+            for p in range(L, len(v) - Lt + 1):
+                if (p - L) % S:
+                    continue
+                exp.append((k, p, tuple(v[p - L:p:r]),
+                            tuple(v[p:p + Lt:r])))
+        got = sorted((t.k, t.anchor_idx, tuple(t.input_win),
+                      tuple(t.label_win)) for t in out.itertuples())
+        assert got == sorted(exp), (L, Lt, S, r)
