@@ -1,0 +1,794 @@
+"""Documents-table (text corpus) query bodies.
+
+Mechanically split out of ``__ray_entry__.py`` (VERDICT r4 #8): every
+``q_*`` callable keeps its original closure shape inside :func:`build`;
+the driver's recorded-50 ordering lives in ``registry.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._common import (_LANGS, _STOP, _dd_round6, _events_gapfill,
+                      _round_floats, _transcripts_for)
+
+__all__ = ["build"]
+
+
+def build() -> dict:
+    from s_tsfe_dl_ray.pipelines.events_rollup import (
+        events_tier, events_tiers, events_top_windows, events_type_rate,
+    )
+    from s_tsfe_dl_ray.pipelines.relational import pricing_summary
+    from s_tsfe_dl_ray.pipelines.transcript_rollup import transcript_tiers
+    from s_tsfe_dl_ray.sources.parquet import read_events, read_table
+    from s_tsfe_dl_ray.stages.dedup import (
+        exact_dedup_ids, first_per_key, minhash_dedup_pairs, simhash_signatures,
+    )
+    from s_tsfe_dl_ray.stages.gapfill import gapfill
+    from s_tsfe_dl_ray.stages.scan import ordered_scan
+    from s_tsfe_dl_ray.stages.sessionize import sessionize
+    from s_tsfe_dl_ray.stages.similarity import (
+        embedding_neardup_pairs, knn_bruteforce, knn_ivf,
+    )
+    from s_tsfe_dl_ray.stages.text import (
+        lang_id, md5_fingerprint, quality_score, rolling_fingerprint, token_stats,
+    )
+    from s_tsfe_dl_ray.state.encode import decode_series, encode_series
+
+    def q_docs_mixture_sample(sf):
+        """Deterministic source-mixture downsampling (LLM data-mixing
+        step): md5 hex-threshold per source, row-exact reproducible
+        against the DuckDB md5 twin (also pinned by pytest
+        tests/test_text.py, incl. rate-landing checks)."""
+        from s_tsfe_dl_ray.stages.transform import mixture_sample
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "source"])
+        return mixture_sample(
+            ds, id_col="doc_id", source_col="source",
+            rates={"src0": 0.25, "src1": 0.75}, default_rate=0.5,
+        )
+
+    def q_docs_top_tokens(sf):
+        """Distributed word-count → global top-50 tokens (per-batch
+        vectorized explode+count combiner; only distinct (token, n)
+        partials cross the shuffle)."""
+        from s_tsfe_dl_ray.stages.text import top_tokens
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return top_tokens(ds, k=50)
+
+    def q_docs_simhash_pairs(sf):
+        """SimHash near-dup pairs (band 4x16 bits -> exact Hamming
+        verify) - rows-only (the 64-bit hash isn't SQL-reproducible)."""
+        from s_tsfe_dl_ray.stages.dedup import simhash_dedup_pairs
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return simhash_dedup_pairs(ds, id_col="doc_id", max_hamming=3)
+
+    def q_docs_prep_pipeline(sf):
+        """Composite LLM training-data prep: quality filter → language
+        filter → exact dedup in one streaming dataflow (one row per
+        distinct kept text, smallest doc_id wins)."""
+        from s_tsfe_dl_ray.pipelines.docs_prep import prep_documents
+
+        return _round_floats(prep_documents(
+            f"{sf}/documents.parquet", min_quality=0.35, keep_langs=("en",)
+        ))
+
+    def q_docs_exact_dedup(sf):
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return exact_dedup_ids(ds, text_col="text", id_col="doc_id")
+
+    def q_docs_token_stats(sf):
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        out = ds.map_batches(token_stats, batch_format="pyarrow")
+        return _round_floats(out.select_columns(
+            ["doc_id", "n_tokens", "n_chars_engine", "avg_token_len"]
+        ))
+
+    def q_docs_quality(sf):
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        out = ds.map_batches(quality_score, batch_format="pyarrow")
+        return _round_floats(out.select_columns(
+            ["doc_id", "stopword_ratio", "punct_ratio", "quality"]
+        ))
+
+    def q_docs_normalize(sf):
+        """Canonical text form (whitespace collapse → lower → NFC) — the
+        pre-dedup cleanup; SQL twin uses DuckDB nfc_normalize."""
+        from s_tsfe_dl_ray.stages.text import normalize_text
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        out = ds.map_batches(normalize_text, batch_format="pyarrow")
+        return out.select_columns(["doc_id", "text_norm"]).sort("doc_id")
+
+    def q_docs_chars_quantiles(sf):
+        """Exact per-source p50/p95/p99 of n_chars via the distributed
+        value-histogram quantile op (shuffle carries one row per distinct
+        (source, n_chars), never raw rows)."""
+        from s_tsfe_dl_ray.stages.quantile import grouped_quantiles
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["source", "n_chars"])
+        return grouped_quantiles(
+            ds, value_col="n_chars", keys=["source"],
+            quantiles=(0.5, 0.95, 0.99),
+        ).sort("source")
+
+    def q_docs_lang_id(sf):
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return lang_id(ds).select_columns(["doc_id", "lang_pred"])
+
+    def q_docs_fingerprint(sf):
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        out = ds.map_batches(md5_fingerprint, batch_format="pandas")
+        return out.select_columns(["doc_id", "fingerprint"])
+
+    def q_docs_ngram_jaccard(sf):
+        from s_tsfe_dl_ray.stages.dedup import ngram_jaccard_pairs
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return _round_floats(ngram_jaccard_pairs(
+            ds, id_col="doc_id", n=3, threshold=0.5
+        ))
+
+    def q_docs_chunk_windows(sf):
+        """Context-window chunking: every document → overlapping 16-word
+        windows at stride 8 (the training-sample construction step of an
+        LLM data pipeline; per-row fan-out, no shuffle).  SQL twin:
+        generate_series offsets + list_slice."""
+        from s_tsfe_dl_ray.stages.text import chunk_words
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return chunk_words(ds, chunk_len=16, stride=8)
+
+    def q_docs_redact(sf):
+        """PII-style regex scrubbing: match count + global replacement as
+        pure RE2 Arrow kernels (DuckDB regexp_* is RE2 too, so the oracle
+        matches byte-for-byte)."""
+        from functools import partial
+
+        from s_tsfe_dl_ray.stages.text import redact_regex
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        out = ds.map_batches(
+            partial(redact_regex, pattern=r"\b(customer|value)\b",
+                    replacement="<PII>"),
+            batch_format="pyarrow",
+        )
+        return out.select_columns(["doc_id", "n_redacted", "text_redacted"])
+
+    def q_docs_dup_words(sf):
+        """Within-document repetition quality signal (duplicate-word
+        fraction) — list_distinct oracle twin (also pinned by pytest
+        tests/test_text.py)."""
+        from s_tsfe_dl_ray.stages.text import dup_word_stats
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        out = ds.map_batches(dup_word_stats, batch_format="pyarrow")
+        return _round_floats(out.select_columns(
+            ["doc_id", "n_words", "n_distinct_words", "dup_word_frac"]
+        ))
+
+    def q_docs_dedup_keep(sf):
+        """Corpus dedup decision: n-gram-Jaccard near-dup pairs →
+        components → one survivor (min doc_id) per cluster; unpaired docs
+        keep themselves."""
+        import pyarrow.compute as pc
+
+        from s_tsfe_dl_ray.stages.cluster import dedup_keep
+        from s_tsfe_dl_ray.stages.dedup import ngram_jaccard_pairs
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        pairs = ngram_jaccard_pairs(ds, id_col="doc_id", n=3, threshold=0.5)
+        out = dedup_keep(ds.select_columns(["doc_id"]), pairs, id_col="doc_id")
+        # keep as BIGINT 0/1: integers are the battle-tested comparator path
+        out = out.map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("keep"), "keep",
+                pc.cast(t["keep"], pa.int64())),
+            batch_format="pyarrow",
+        )
+        return out.sort("doc_id")
+
+    def q_docs_minhash_dedup(sf):
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return _round_floats(minhash_dedup_pairs(ds, id_col="doc_id", threshold=0.5))
+
+    def q_docs_simhash(sf):
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return simhash_signatures(ds, id_col="doc_id")
+
+    def q_docs_rolling_fingerprint(sf):
+        ds = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        out = ds.map_batches(rolling_fingerprint, batch_format="pandas")
+        return out.select_columns(["doc_id", "fingerprint"])
+
+    def q_docs_token_entropy(sf):
+        """Per-document unigram Shannon entropy (nats) — the
+        repetition/diversity corpus-quality signal; pure per-batch
+        explode + group_by, no shuffle (stages/text.token_entropy)."""
+        from s_tsfe_dl_ray.stages.text import token_entropy
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return _round_floats(token_entropy(docs))
+
+    def q_docs_heavy_hitters(sf):
+        """Approximate heavy hitters (Misra-Gries) over document tokens:
+        bounded summaries (<= capacity rows) merged through a two-level
+        tree; count_lo <= true <= count_hi guarantee (stages/
+        distinct.heavy_hitters). Sketch-state-dependent -> rows-only;
+        the bound guarantees are pinned by pytest against exact counts."""
+        from s_tsfe_dl_ray.stages.distinct import heavy_hitters
+        from s_tsfe_dl_ray.stages.text import explode_tokens
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        toks = explode_tokens(docs, id_col="doc_id", text_col="text")
+        return heavy_hitters(toks, col="token", capacity=512, k=20)
+
+    def q_docs_bm25(sf):
+        """BM25 relevance to the query {'hash', 'join', 'shuffle'}
+        (Lucene idf variant): tiny stats pass (per-term df + avgdl
+        partials, |query|+1 rows per batch) folded into a broadcast
+        scoring closure; one vectorized scoring pass
+        (stages/text.bm25_score)."""
+        from s_tsfe_dl_ray.stages.text import bm25_score
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return _round_floats(bm25_score(
+            docs, query_terms=["hash", "join", "shuffle"]))
+
+    def q_docs_bpe_token_count(sf):
+        """Subword-style token cost estimate: GPT-2-ish pre-tokenizer
+        regex matches per document — EXACT SQL twin because pyarrow and
+        DuckDB share the RE2 engine (stages/text.bpe_token_count)."""
+        from s_tsfe_dl_ray.stages.text import bpe_token_count
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        out = docs.map_batches(bpe_token_count, batch_format="pyarrow")
+        return out.drop_columns(["text"])
+
+    def q_docs_tfidf_top3(sf):
+        """Corpus-statistics feature extraction: top-3 TF-IDF terms per
+        document (stages/text.tfidf_top_terms — tf final per batch, df by
+        token partition, rank by doc partition; no broadcast dictionary)."""
+        from s_tsfe_dl_ray.stages.text import tfidf_top_terms
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return _round_floats(tfidf_top_terms(docs, k=3))
+
+    def q_docs_bigram_top20(sf):
+        """Corpus top-20 bigrams — vectorized in-doc pair construction +
+        token-hash partitioned count merge (stages/text.top_bigrams)."""
+        from s_tsfe_dl_ray.stages.text import top_bigrams
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return top_bigrams(docs, k=20)
+
+    def q_docs_zipf_slope(sf):
+        """Zipf exponent of the corpus (regr_slope of ln count on ln rank
+        over the top-100 tokens) — corpus-health one-number check
+        (stages/text.zipf_slope)."""
+        from s_tsfe_dl_ray.stages.text import zipf_slope
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return _round_floats(zipf_slope(docs, top_n=100))
+
+    def q_docs_js_divergence(sf):
+        """Jensen–Shannon divergence between two sources' token
+        distributions — corpus-drift check (stages/text.js_divergence)."""
+        from s_tsfe_dl_ray.stages.text import js_divergence
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["source", "text"])
+        return _round_floats(js_divergence(
+            docs, side_col="source", side_a="src0", side_b="src1"))
+
+    def q_docs_vocab_stats(sf):
+        """Corpus vocabulary health: instances / vocab / hapax counts +
+        type-token and hapax ratios (stages/text.vocab_stats)."""
+        from s_tsfe_dl_ray.stages.text import vocab_stats
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return _round_floats(vocab_stats(docs))
+
+    def q_docs_pack_512(sf):
+        """Greedy first-fit-decreasing sample packing into 512-token
+        bins, partition-local (stages/text.pack_sequences) — rows-only
+        (the greedy assignment is order-dependent, no SQL twin; property
+        tests pin budget respect / coverage / determinism)."""
+        from s_tsfe_dl_ray.stages.text import pack_sequences
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return pack_sequences(docs, budget=512)
+
+    def q_docs_top_bigram(sf):
+        """Per-doc most-frequent bigram + character-coverage fraction —
+        the Gopher-style repetition signal (stages/text.doc_top_bigram,
+        shuffle-free)."""
+        from s_tsfe_dl_ray.stages.text import doc_top_bigram
+
+        docs = read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return _round_floats(doc_top_bigram(docs))
+
+    def q_docs_lexical_diversity(sf):
+        """Per-doc vocabulary richness: type–token ratio + hapax ratio —
+        shuffle-free per-batch token histograms
+        (stages/text.lexical_diversity)."""
+        from s_tsfe_dl_ray.stages.text import lexical_diversity
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        return _round_floats(lexical_diversity(docs))
+
+    def q_docs_contamination(sf):
+        """Pairwise trigram contamination between sources — distinct
+        (source, gram) combiner, gram-partitioned pair expansion,
+        overlap coefficient + Jaccard (stages/text.ngram_contamination)."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.text import ngram_contamination
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["source", "text"])
+        return _round_floats(ngram_contamination(docs, group_col="source"))
+
+    def q_docs_source_lang_chi2(sf):
+        """Pearson χ² independence of (source, lang) + Cramér's V — the
+        stratification-balance check (stages/distinct.chi2_independence)."""
+        from s_tsfe_dl_ray.stages.distinct import chi2_independence
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["source", "lang"])
+        return _round_floats(chi2_independence(
+            docs, col_a="source", col_b="lang"))
+
+    def q_docs_source_ks(sf):
+        """Per-language two-sample KS D between src0 and src1 document
+        lengths — source drift detection over the docs table, the same
+        exact rational-ECDF op the events query verifies
+        (stages/robust.ks_test)."""
+        from s_tsfe_dl_ray.stages.robust import ks_test
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["lang", "source", "n_chars"])
+        return _round_floats(ks_test(
+            docs, key="lang", group_col="source", value_col="n_chars",
+            group_a="src0", group_b="src1"))
+
+    def q_docs_curation_job(sf):
+        """Durable resumable docs-curation job (quality→lang→exact
+        dedup with per-bucket lineage manifests) — runs into /tmp,
+        reruns skip finished buckets, result == the streaming prep
+        pipeline so it shares that oracle
+        (pipelines/docs_job.DocsCurationJob)."""
+        import hashlib as _hl
+
+        import ray.data
+
+        from s_tsfe_dl_ray.pipelines.docs_job import DocsCurationJob
+
+        tag = _hl.md5(sf.encode()).hexdigest()[:10]
+        out = f"/tmp/s_tsfe_dl_ray_docs_job_{tag}"
+        DocsCurationJob(f"{sf}/documents.parquet", out, n_buckets=8).run()
+        ds = ray.data.read_parquet(f"{out}/curated")
+        return _round_floats(ds.sort("doc_id"))
+
+    def q_docs_containment(sf):
+        """Sub-document duplication: word-3-gram containment
+        (inter / min size) ≥ 0.8 pairs — the asymmetric overlap that
+        catches quote-and-pad duplication Jaccard misses
+        (stages/dedup.ngram_jaccard_pairs score='containment')."""
+        from s_tsfe_dl_ray.stages.dedup import ngram_jaccard_pairs
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"])
+        return _round_floats(ngram_jaccard_pairs(
+            ds, id_col="doc_id", n=3, threshold=0.8, score="containment"))
+
+    def q_docs_minhash_recall(sf):
+        """LSH dedup quality audit: recall of the banded MinHash route
+        against the exact all-pairs n-gram Jaccard ground truth on the
+        SAME (non-strict) shingle basis — the acceptance gate before
+        trusting banding parameters at scale (precision is 1.0 by
+        construction: candidates are exact-verified).  Rows-only
+        (the LSH side is not SQL-expressible); pair sets are audit-sized
+        (above-threshold pairs only)."""
+        import pandas as _pd
+
+        from s_tsfe_dl_ray.stages.dedup import (minhash_dedup_pairs,
+                                                ngram_jaccard_pairs)
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"])
+        truth_df = ngram_jaccard_pairs(
+            ds, id_col="doc_id", n=3, threshold=0.5,
+            strict=False).to_pandas()
+        found_df = minhash_dedup_pairs(
+            ds, id_col="doc_id", threshold=0.5).to_pandas()
+        t = set(zip(truth_df.id_a, truth_df.id_b))
+        f = set(zip(found_df.id_a, found_df.id_b))
+        hit = len(t & f)
+        return _pd.DataFrame({
+            "n_true": _pd.Series([len(t)], dtype="int64"),
+            "n_found": _pd.Series([len(f)], dtype="int64"),
+            "n_hit": _pd.Series([hit], dtype="int64"),
+            "recall": [hit / len(t) if t else float("nan")],
+            "precision": [hit / len(f) if f else float("nan")],
+        })
+
+    def q_docs_mixture_weights(sf):
+        """Data-mixing readout: per-source corpus share and the
+        sqrt-temperature sampling weight RELATIVE TO THE LARGEST source
+        (sqrt(n/n_max) — a single division + sqrt, bit-deterministic;
+        a sum-normalized weight would depend on float summation order).
+        One combiner count fold + tiny finalize."""
+        import pandas as _pd
+
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "source"])
+        counts = grouped_aggregate(
+            ds.map_batches(
+                lambda t: pa.table({
+                    "source": t["source"],
+                    "one": pc.cast(pc.is_valid(t["source"]), pa.int64())}),
+                batch_format="pyarrow"),
+            keys=["source"], aggs={"n_docs": ("one", "sum")},
+            num_partitions=4)
+
+        def fin(df: _pd.DataFrame) -> _pd.DataFrame:
+            if len(df) == 0:
+                return _pd.DataFrame({
+                    "source": _pd.Series([], dtype="object"),
+                    "n_docs": _pd.Series([], dtype="int64"),
+                    "share": _pd.Series([], dtype="float64"),
+                    "rel_weight": _pd.Series([], dtype="float64")})
+            df = df.sort_values("source", kind="mergesort")
+            n = df["n_docs"].to_numpy(dtype=np.int64)
+            tot = np.float64(n.sum())
+            mx = np.float64(n.max())
+            return _pd.DataFrame({
+                "source": df["source"].to_numpy(),
+                "n_docs": n,
+                "share": n.astype(np.float64) / tot,
+                "rel_weight": np.sqrt(n.astype(np.float64) / mx)})
+
+        return _round_floats(counts.repartition(1).map_batches(
+            fin, batch_format="pandas", batch_size=None))
+
+    def q_docs_boilerplate(sf):
+        """C4-style boilerplate detection: non-overlapping 8-word segments
+        recurring across >= 3 distinct documents, deterministic top-20
+        (stages/text.boilerplate_segments)."""
+        from s_tsfe_dl_ray.stages.text import boilerplate_segments
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"])
+        return boilerplate_segments(ds, seg_len=8, min_docs=3, k=20)
+
+    def q_docs_dup_rate_by_source(sf):
+        """Exact-dup contamination rate per source — text-hash partition,
+        dup membership marked vectorized, per-source partials
+        (stages/dedup.dup_rate_by_group)."""
+        from s_tsfe_dl_ray.stages.dedup import dup_rate_by_group
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["text", "source"])
+        return _round_floats(dup_rate_by_group(docs))
+
+    def q_docs_word_vectors(sf):
+        """Train static word embeddings FROM the corpus: exact top-V
+        vocabulary → symmetric windowed co-occurrence partials → PPMI →
+        eigh → 16-d vectors (stages/text.ppmi_word_vectors, the
+        count-based word2vec equivalent).  Rows-only
+        (eigendecomposition); context-sharing cosine pytest."""
+        from s_tsfe_dl_ray.stages.text import ppmi_word_vectors
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        return _round_floats(ppmi_word_vectors(
+            docs, vocab_size=64, window=2, dim=16))
+
+    def q_docs_compressibility(sf):
+        """Per-doc zlib redundancy ratio (boilerplate/loop detector) —
+        deterministic, shuffle-free; rows-only (no SQL deflate), golden
+        + monotonicity pytest in tests/test_text.py
+        (stages/text.compressibility)."""
+        from s_tsfe_dl_ray.stages.text import compressibility
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        return _round_floats(compressibility(docs).sort("doc_id"))
+
+    def q_docs_charlm_logloss(sf):
+        """Corpus char-bigram LM perplexity proxy per doc (add-one
+        smoothing, fit-combiner + broadcast-score passes) —
+        stages/text.charlm_logloss."""
+        from s_tsfe_dl_ray.stages.text import charlm_logloss
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        return _round_floats(charlm_logloss(docs).sort("doc_id"))
+
+    def q_docs_split_leakage(sf):
+        """Train/test leakage audit: deterministic 80/20 md5 split of
+        the corpus, then count normalized-content fingerprints (and
+        docs) that appear on BOTH sides — the contamination gate run
+        before training on a deduped-but-split corpus (composition:
+        md5_fingerprint × hash_split × grouped fold)."""
+        import hashlib as _hl
+
+        import numpy as _np
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"])
+        fp = ds.map_batches(md5_fingerprint, batch_format="pandas")
+
+        def tag(df):
+            h = df["doc_id"].astype(str).map(
+                lambda s: _hl.md5(s.encode()).hexdigest()[:4] < "3333")
+            return pd.DataFrame({"fingerprint": df["fingerprint"],
+                                 "is_test": h.to_numpy()})
+
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+
+        tagged = fp.map_batches(tag, batch_format="pandas")
+
+        def part(t: pa.Table) -> pa.Table:
+            it = pc.cast(t["is_test"], pa.int64())
+            out = (pa.table({"fp": t["fingerprint"], "t": it})
+                   .group_by(["fp"], use_threads=False)
+                   .aggregate([("t", "sum"), ([], "count_all")]))
+            return out.rename_columns(["fp", "nt", "n"])
+
+        g = grouped_aggregate(
+            tagged.map_batches(part, batch_format="pyarrow"),
+            keys=["fp"], aggs={"nt": ("nt", "sum"), "n": ("n", "sum")})
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "n" not in df.columns:
+                df = pd.DataFrame({"n": [], "nt": []})
+            n = df["n"].to_numpy(dtype=_np.int64) if len(df) else \
+                _np.array([], dtype=_np.int64)
+            nt = df["nt"].to_numpy(dtype=_np.int64) if len(df) else \
+                _np.array([], dtype=_np.int64)
+            leaked = (nt > 0) & (nt < n)
+            return pd.DataFrame({
+                "n_train": pd.Series([int((n - nt).sum())], dtype="int64"),
+                "n_test": pd.Series([int(nt.sum())], dtype="int64"),
+                "n_leaked_fps": pd.Series([int(leaked.sum())],
+                                          dtype="int64"),
+                "n_leaked_docs": pd.Series([int(n[leaked].sum())],
+                                           dtype="int64")})
+
+        return g.repartition(1).map_batches(fin, batch_format="pandas",
+                                            batch_size=None)
+
+    def q_docs_lang_confusion(sf):
+        """Multiclass confusion-matrix metrics for the language-ID
+        model vs the corpus's true lang labels: per-class tp /
+        precision / recall / F1 (stages/metrics.multiclass_prf over
+        stages/text.lang_id) — the k-class generalization of
+        events_binary_metrics."""
+        from s_tsfe_dl_ray.stages.metrics import multiclass_prf
+        from s_tsfe_dl_ray.stages.text import lang_id
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text", "lang"])
+        return _round_floats(multiclass_prf(
+            lang_id(ds), true_col="lang", pred_col="lang_pred"))
+
+    def q_docs_readability(sf):
+        """Flesch reading-ease per document from three exact RE2 counts
+        (whitespace tokens, [.!?]+ sentence runs clamped to >= 1,
+        vowel-group syllables) (stages/text.flesch_readability)."""
+        from s_tsfe_dl_ray.stages.text import flesch_readability
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"])
+        return _round_floats(flesch_readability(ds))
+
+    def q_docs_distinctive_tokens(sf):
+        """Top-5 distinctive tokens per source by smoothed
+        log-odds-ratio vs the rest of the corpus — contrastive keyword
+        extraction (stages/text.distinctive_tokens)."""
+        from s_tsfe_dl_ray.stages.text import distinctive_tokens
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["source", "text"])
+        return _round_floats(distinctive_tokens(
+            ds, group_col="source", k=5))
+
+    def q_docs_style_cosine(sf):
+        """Pairwise stylistic cosine between sources over token-count
+        vectors — exact int64 dots and norms, one float tree
+        (stages/text.source_style_cosine)."""
+        from s_tsfe_dl_ray.stages.text import source_style_cosine
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["source", "text"])
+        return _round_floats(source_style_cosine(ds, group_col="source"))
+
+    def q_docs_length_ks(sf):
+        """Pairwise Kolmogorov-Smirnov distance between sources' doc
+        length distributions — the distribution-drift matrix
+        (stages/robust.pairwise_ks)."""
+        from s_tsfe_dl_ray.stages.robust import pairwise_ks
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["source", "n_chars"])
+        return _round_floats(pairwise_ks(
+            ds, group_col="source", value_col="n_chars"))
+
+    def q_docs_quality_pass_rate(sf):
+        """Curation acceptance rate per source: share of docs whose
+        quality score clears 0.5 — exact counts over the bit-identical
+        quality tree (stages/text.quality_pass_rate)."""
+        from s_tsfe_dl_ray.stages.text import quality_pass_rate
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["source", "text"])
+        return _round_floats(quality_pass_rate(
+            ds, group_col="source", threshold=0.5))
+
+    def q_docs_heaps_law(sf):
+        """Heaps'-law vocabulary-growth fit over the doc-id-ordered
+        cumulative curve: ln(vocab) = ln k + beta*ln(tokens), bit-exact
+        sequential OLS folds (stages/text.heaps_law)."""
+        from s_tsfe_dl_ray.stages.text import heaps_law
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"])
+        return _round_floats(heaps_law(ds))
+
+    def q_docs_collocations(sf):
+        """Top-20 collocations by PMI over adjacent token pairs
+        (n_ab >= 5) — association strength vs the raw-frequency
+        top_bigrams (stages/text.collocations_pmi)."""
+        from s_tsfe_dl_ray.stages.text import collocations_pmi
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["text"])
+        return _round_floats(collocations_pmi(ds, k=20, min_count=5))
+
+    def q_docs_lang_mix(sf):
+        """Source × declared-language mix: per source the language
+        counts, share, and whether it is the source's dominant language
+        (count-desc, lang-asc argmax) — the metadata-side companion of
+        docs_lang_id (which predicts from text)."""
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["source", "lang"])
+        counts = grouped_aggregate(ds, keys=["source", "lang"],
+                                   aggs={"n_docs": ("lang", "count")})
+
+        def fin(df):
+            if len(df) == 0:
+                return pd.DataFrame({
+                    "source": pd.Series([], dtype="object"),
+                    "lang": pd.Series([], dtype="object"),
+                    "n_docs": pd.Series([], dtype="int64"),
+                    "share": pd.Series([], dtype="float64"),
+                    "is_dominant": pd.Series([], dtype="bool")})
+            import numpy as np
+            g = df.sort_values(["source", "lang"], kind="mergesort") \
+                .reset_index(drop=True)
+            tot = g.groupby("source", sort=False)["n_docs"] \
+                .transform("sum").to_numpy(np.int64)
+            n = g["n_docs"].to_numpy(np.int64)
+            top = g.sort_values(["source", "n_docs", "lang"],
+                                ascending=[True, False, True],
+                                kind="mergesort") \
+                .groupby("source", sort=False).head(1)
+            dom = set(zip(top["source"], top["lang"]))
+            return pd.DataFrame({
+                "source": g["source"], "lang": g["lang"],
+                "n_docs": n,
+                "share": n.astype(np.float64) / tot.astype(np.float64),
+                "is_dominant": [
+                    (s0, l0) in dom
+                    for s0, l0 in zip(g["source"], g["lang"])]})
+
+        return _round_floats(counts.repartition(1).map_batches(
+            fin, batch_format="pandas", batch_size=None))
+
+    def q_docs_novelty_rate(sf):
+        """Per-source corpus novelty: the share of each source's
+        distinct doc trigrams that appear for the FIRST time (min
+        doc_id) in that doc — the re-crawl/templating curation signal
+        (stages/text.ngram_novelty)."""
+        from s_tsfe_dl_ray.stages.text import ngram_novelty
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "source", "text"])
+        return _round_floats(ngram_novelty(ds))
+
+    def q_docs_editdist_pairs(sf):
+        """Blocked edit-distance near-dup: doc pairs within 10 BYTE edits
+        among docs sharing the same 12-codepoint prefix — the typo /
+        near-rewrite dedup family member MinHash misses on short texts
+        (stages/dedup.edit_distance_pairs; one block-hash exchange, one
+        multi-pair vectorized byte DP, exact DuckDB ``levenshtein``
+        twin)."""
+        from s_tsfe_dl_ray.stages.dedup import edit_distance_pairs
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"])
+        return edit_distance_pairs(
+            ds, id_col="doc_id", text_col="text",
+            prefix_len=12, max_dist=10)
+
+    def q_docs_editdist_clusters(sf):
+        """Transitive closure of the prefix-blocked edit-distance pairs:
+        every near-rewrite doc labeled with its connected component's
+        min id (hash-to-min label propagation over the 5o pair stage) —
+        completes the dedup family's editdist branch the way
+        emb_dedup_clusters completes the embedding branch.  Oracle:
+        recursive-CTE reachability min."""
+        from s_tsfe_dl_ray.stages.cluster import connected_components
+        from s_tsfe_dl_ray.stages.dedup import edit_distance_pairs
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"])
+        pairs = edit_distance_pairs(ds, id_col="doc_id", text_col="text",
+                                    prefix_len=12, max_dist=10)
+        return connected_components(pairs).sort("id")
+
+    def q_docs_block_selectivity(sf):
+        """Blocking-selectivity audit for the editdist prefix scheme:
+        per block SIZE, how many blocks and how many candidate pairs
+        the quadratic verify would face — the readout you compute
+        BEFORE running pair expansion on a 100-TB corpus to bound its
+        cost.  One block-count combiner, then a tiny count-of-counts
+        fold."""
+        from s_tsfe_dl_ray.stages.dedup import _grouped_min
+
+        ds = read_table(f"{sf}/documents.parquet", columns=["text"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            blk = pc.utf8_slice_codeunits(t["text"], 0, 12)
+            out = pa.table({"p": blk}).combine_chunks().group_by(
+                ["p"], use_threads=False).aggregate([([], "count_all")])
+            return out.rename_columns(["p", "c"])
+
+        counts = _grouped_min(
+            ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            group_cols=["p"], agg_cols=[("c", "sum")], pkey_col="p",
+            num_partitions=8)
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({
+                    "block_size": pd.Series([], dtype="int64"),
+                    "n_blocks": pd.Series([], dtype="int64"),
+                    "n_candidate_pairs": pd.Series([], dtype="int64")})
+            g = df.groupby("c", sort=True).size()
+            c = g.index.to_numpy(dtype=np.int64)
+            nb = g.to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "block_size": c,
+                "n_blocks": nb,
+                "n_candidate_pairs": nb * (c * (c - 1) // 2)})
+
+        return (counts.repartition(1)
+                .map_batches(fold, batch_format="pandas",
+                             batch_size=None).sort("block_size"))
+
+    def q_docs_lang_length_kw(sf):
+        """Kruskal–Wallis H across languages on document length
+        (n_chars): does length distribution differ by language, rank-
+        robustly?  kruskal_wallis reuse at scale=1 — lengths are
+        already exact ints, so pooled midranks are exact half-integers."""
+        from s_tsfe_dl_ray.stages.robust import kruskal_wallis
+
+        docs = read_table(f"{sf}/documents.parquet",
+                          columns=["lang", "n_chars"])
+        return _round_floats(kruskal_wallis(
+            docs, group_col="lang", value_col="n_chars", scale=1))
+
+    return {k[2:]: v for k, v in locals().items() if k.startswith("q_")}

@@ -1,0 +1,1235 @@
+"""Relational / TPC-H / parquet-audit query bodies.
+
+Mechanically split out of ``__ray_entry__.py`` (VERDICT r4 #8): every
+``q_*`` callable keeps its original closure shape inside :func:`build`;
+the driver's recorded-50 ordering lives in ``registry.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._common import (_LANGS, _STOP, _dd_round6, _events_gapfill,
+                      _round_floats, _transcripts_for)
+
+__all__ = ["build"]
+
+
+def build() -> dict:
+    from s_tsfe_dl_ray.pipelines.events_rollup import (
+        events_tier, events_tiers, events_top_windows, events_type_rate,
+    )
+    from s_tsfe_dl_ray.pipelines.relational import pricing_summary
+    from s_tsfe_dl_ray.pipelines.transcript_rollup import transcript_tiers
+    from s_tsfe_dl_ray.sources.parquet import read_events, read_table
+    from s_tsfe_dl_ray.stages.dedup import (
+        exact_dedup_ids, first_per_key, minhash_dedup_pairs, simhash_signatures,
+    )
+    from s_tsfe_dl_ray.stages.gapfill import gapfill
+    from s_tsfe_dl_ray.stages.scan import ordered_scan
+    from s_tsfe_dl_ray.stages.sessionize import sessionize
+    from s_tsfe_dl_ray.stages.similarity import (
+        embedding_neardup_pairs, knn_bruteforce, knn_ivf,
+    )
+    from s_tsfe_dl_ray.stages.text import (
+        lang_id, md5_fingerprint, quality_score, rolling_fingerprint, token_stats,
+    )
+    from s_tsfe_dl_ray.state.encode import decode_series, encode_series
+
+    def q_lineitem_pricing_summary(sf):
+        return _round_floats(pricing_summary(sf))
+
+    def q_orders_lineitem_join(sf):
+        """Partitioned hash join of two large tables (orders ⋈ lineitem)
+        with a grouped revenue rollup on top."""
+        import ray.data
+
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+        from s_tsfe_dl_ray.stages.join import hash_join
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+        )
+        lineitem = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+        )
+        joined = hash_join(orders, lineitem, left_on="o_orderkey", right_on="l_orderkey")
+
+        def rev_i(t: pa.Table) -> pa.Table:
+            # exact money: price/discount have ≤2 decimals → int64 cents;
+            # revenue_i = price_i*(100-disc_i) at scale 1e4 sums exactly
+            price_i = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+            disc_i = pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64())
+            return t.append_column(
+                "revenue_i", pc.multiply(price_i, pc.subtract(pa.scalar(100, pa.int64()), disc_i))
+            )
+
+        joined = joined.map_batches(rev_i, batch_format="pyarrow")
+        agg = grouped_aggregate(
+            joined, keys=["o_orderstatus"],
+            aggs={"n_items": ("revenue_i", "count"), "revenue_sum_i": ("revenue_i", "sum")},
+        )
+
+        def fin(t: pa.Table) -> pa.Table:
+            s = pc.divide(pc.cast(t["revenue_sum_i"], pa.float64()), pa.scalar(10_000.0))
+            return pa.table({
+                "o_orderstatus": t["o_orderstatus"], "n_items": t["n_items"],
+                "revenue_sum": s,
+                "revenue_mean": pc.divide(s, pc.cast(t["n_items"], pa.float64())),
+            })
+
+        return _round_floats(agg.map_batches(fin, batch_format="pyarrow"))
+
+    def q_customers_no_orders(sf):
+        """Distributed anti join (NOT EXISTS): the right side is reduced
+        to distinct keys per batch before the exchange (stages/join.py
+        semi_join — the set-op gap-fill uses internally, first-class).
+        Right side restricted to urgent orders so the anti set is
+        non-empty at every test scale."""
+        from s_tsfe_dl_ray.sources.parquet import read_table
+        from s_tsfe_dl_ray.stages.join import anti_join
+
+        cust = read_table(f"{sf}/customer.parquet",
+                          columns=["c_custkey", "c_name", "c_acctbal"])
+        orders = read_table(f"{sf}/orders.parquet",
+                            columns=["o_custkey", "o_orderpriority"])
+        urgent = orders.map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+                       .select(["o_custkey"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        return _round_floats(
+            anti_join(cust, urgent, left_on="c_custkey", right_on="o_custkey")
+        )
+
+    def q_revenue_by_nation(sf):
+        """TPC-H Q5 skeleton: lineitem ⋈ orders ⋈ customer chained hash
+        joins + broadcast nation dimension → exact scaled-int revenue per
+        nation (pipelines/relational.revenue_by_nation)."""
+        from s_tsfe_dl_ray.pipelines.relational import revenue_by_nation
+
+        return _round_floats(revenue_by_nation(sf))
+
+    def q_revenue_share_hierarchy(sf):
+        """Percent-of-parent OLAP rollup: order revenue per nation with
+        share-of-region and share-of-global — partitioned orders⋈customer
+        hash join + broadcast dims + exact int-cent share divisions
+        (pipelines/relational.revenue_share_hierarchy)."""
+        from s_tsfe_dl_ray.pipelines.relational import revenue_share_hierarchy
+
+        return _round_floats(revenue_share_hierarchy(sf))
+
+    def q_tpch_q3_shipping(sf):
+        """Top-10 open-order revenue (Q3 skeleton): segment semi-join +
+        date-pruned reads + one combiner aggregate + tiny sorted cut
+        (pipelines/tpch.q3_shipping_priority)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q3_shipping_priority
+
+        return _round_floats(q3_shipping_priority(sf))
+
+    def q_tpch_q4_priority_returns(sf):
+        """Priority distribution of orders with a returned line (Q4
+        skeleton, EXISTS via shuffle-light semi_join)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q4_priority_returns
+
+        return q4_priority_returns(sf)
+
+    def q_tpch_q10_returned_revenue(sf):
+        """Top-20 customers by returned-lineitem revenue (Q10 skeleton):
+        early per-customer fold, broadcast nation dimension."""
+        from s_tsfe_dl_ray.pipelines.tpch import q10_returned_revenue
+
+        return _round_floats(q10_returned_revenue(sf))
+
+    def q_tpch_q14_promo_share(sf):
+        """Promo revenue share for one ship-month (Q14 skeleton) — exact
+        int64 numerator/denominator through one global combiner."""
+        from s_tsfe_dl_ray.pipelines.tpch import q14_promo_share
+
+        return _round_floats(q14_promo_share(sf))
+
+    def q_tpch_q18_large_orders(sf):
+        """Orders whose total quantity exceeds 300 with customer identity
+        (Q18 skeleton): HAVING-filter BEFORE any join."""
+        from s_tsfe_dl_ray.pipelines.tpch import q18_large_orders
+
+        return _round_floats(q18_large_orders(sf))
+
+    def q_tpch_q12_priority_lines(sf):
+        """Order-priority mix per lineitem status for a ship-year (Q12
+        skeleton on this schema): conditional counters folded per batch
+        after the partitioned join."""
+        from s_tsfe_dl_ray.pipelines.tpch import q12_priority_lines
+
+        return q12_priority_lines(sf)
+
+    def q_tpch_q19_disjunctive_revenue(sf):
+        """OR-of-ANDs brand/size/quantity revenue (Q19 skeleton): the
+        conjunctive envelope pushed into both reads, residual disjunction
+        one boolean kernel post-join."""
+        from s_tsfe_dl_ray.pipelines.tpch import q19_disjunctive_revenue
+
+        return _round_floats(q19_disjunctive_revenue(sf))
+
+    def q_tpch_q7_nation_volume(sf):
+        """Nation-pair shipping volume per year (Q7 skeleton): two big
+        hash joins, early fold to (nation, supp, year) partials, nation
+        dimension broadcast."""
+        from s_tsfe_dl_ray.pipelines.tpch import q7_nation_volume
+
+        return _round_floats(q7_nation_volume(sf))
+
+    def q_tpch_q6_forecast_revenue(sf):
+        """Discount-band revenue scan (Q6 skeleton): all three predicates
+        pushed into the parquet read, exact int64 product through one
+        global combiner cell (pipelines/tpch.q6_forecast_revenue)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q6_forecast_revenue
+
+        return _round_floats(q6_forecast_revenue(sf))
+
+    def q_tpch_q8_market_share(sf):
+        """Target-nation revenue share per order year within one region
+        (Q8 skeleton): semi-join part prune, broadcast nation⋈region
+        flags, early (year, suppkey) fold
+        (pipelines/tpch.q8_market_share)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q8_market_share
+
+        return _round_floats(q8_market_share(sf))
+
+    def q_tpch_q13_order_counts(sf):
+        """Customer order-count histogram including zero-order customers
+        (Q13 skeleton): combiner fold, LEFT hash join, null→0, second
+        tiny fold (pipelines/tpch.q13_order_count_distribution)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q13_order_count_distribution
+
+        return q13_order_count_distribution(sf)
+
+    def q_tpch_q15_top_supplier(sf):
+        """Top supplier(s) by quarter revenue (Q15 skeleton): revenue
+        view folded once, exact int64 MAX subquery, equality cut
+        (pipelines/tpch.q15_top_supplier)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q15_top_supplier
+
+        return _round_floats(q15_top_supplier(sf))
+
+    def q_tpch_q17_small_qty(sf):
+        """Avg yearly revenue below 0.2× the part's mean quantity (Q17
+        skeleton): correlated AVG as a two-pass fold+rejoin over the
+        brand-pruned slice (pipelines/tpch.q17_small_quantity_revenue)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q17_small_quantity_revenue
+
+        return _round_floats(q17_small_quantity_revenue(sf))
+
+    def q_tpch_q22_dormant_customers(sf):
+        """Above-average-balance customers with no recent order, by
+        nation (Q22 skeleton): exact driver-side AVG fold + date-pruned
+        anti_join (pipelines/tpch.q22_global_sales_opportunity)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q22_global_sales_opportunity
+
+        return _round_floats(q22_global_sales_opportunity(sf))
+
+    def q_tpch_integrity_audit(sf):
+        """Referential-integrity audit across the star schema's seven
+        FK→PK relationships: child rows / distinct keys / orphan rows /
+        orphan keys per edge (stages/join.referential_orphans)."""
+        from s_tsfe_dl_ray.stages.join import referential_orphans
+
+        rels = [
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem", "l_partkey", "part", "p_partkey"),
+            ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+            ("supplier", "s_nationkey", "nation", "n_nationkey"),
+            ("nation", "n_regionkey", "region", "r_regionkey"),
+        ]
+        out = None
+        for ctab, fk, ptab, pk in rels:
+            child = read_table(f"{sf}/{ctab}.parquet", columns=[fk])
+            parent = read_table(f"{sf}/{ptab}.parquet", columns=[pk])
+            one = referential_orphans(
+                child, parent, fk=fk, pk=pk,
+                relationship=f"{ctab}.{fk}->{ptab}.{pk}")
+            out = one if out is None else out.union(one)
+        return out.sort("relationship")
+
+    def q_orders_lineitem_join_salted(sf):
+        """The orders ⋈ lineitem revenue rollup routed through the
+        skew-aware salted join (stages/join.salted_join): identical
+        result to the plain hash join — salting only changes routing —
+        so it shares the plain join's oracle."""
+        import ray.data
+
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+        from s_tsfe_dl_ray.stages.join import salted_join
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+        )
+        lineitem = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"]
+        )
+        joined = salted_join(
+            lineitem, orders, left_on="l_orderkey", right_on="o_orderkey",
+            hot_keys=[1, 7, 13, 32, 33], salt=4)
+
+        def rev_i(t: pa.Table) -> pa.Table:
+            price_i = pc.cast(pc.round(pc.multiply(
+                t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+            disc_i = pc.cast(pc.round(pc.multiply(
+                t["l_discount"], pa.scalar(100.0))), pa.int64())
+            return t.append_column(
+                "revenue_i", pc.multiply(
+                    price_i, pc.subtract(pa.scalar(100, pa.int64()), disc_i)))
+
+        joined = joined.map_batches(rev_i, batch_format="pyarrow")
+        agg = grouped_aggregate(
+            joined, keys=["o_orderstatus"],
+            aggs={"n_items": ("revenue_i", "count"),
+                  "revenue_sum_i": ("revenue_i", "sum")},
+        )
+
+        def fin(t: pa.Table) -> pa.Table:
+            s = pc.divide(pc.cast(t["revenue_sum_i"], pa.float64()),
+                          pa.scalar(10_000.0))
+            return pa.table({
+                "o_orderstatus": t["o_orderstatus"],
+                "n_items": t["n_items"],
+                "revenue_sum": s,
+                "revenue_mean": pc.divide(
+                    s, pc.cast(t["n_items"], pa.float64())),
+            })
+
+        return _round_floats(agg.map_batches(fin, batch_format="pyarrow"))
+
+    def q_parquet_layout_audit(sf):
+        """Footer-only physical-layout audit (rows / columns / bytes per
+        row group) of the correctness-scale tables — PINNED to sf0.01
+        like the transcript corpus so the SQL twin can name concrete
+        paths (sources/parquet.parquet_layout_audit)."""
+        from s_tsfe_dl_ray.sources.parquet import parquet_layout_audit
+
+        paths = [f"/root/testdata/sf0.01/{t}.parquet"
+                 for t in ("events", "lineitem", "documents", "embeddings")]
+        return parquet_layout_audit(paths).sort(
+            ["file_name", "row_group_id"])
+
+    def q_parquet_zonemap_audit(sf):
+        """Per-column zone-map/statistics audit (read-pruning health) of
+        the correctness-scale tables — pinned paths like the layout
+        audit (sources/parquet.parquet_zonemap_audit)."""
+        from s_tsfe_dl_ray.sources.parquet import parquet_zonemap_audit
+
+        paths = [f"/root/testdata/sf0.01/{t}.parquet"
+                 for t in ("events", "lineitem", "documents", "embeddings")]
+        return parquet_zonemap_audit(paths).sort(
+            ["file_name", "row_group_id", "column"])
+
+    def q_parquet_compaction_plan(sf):
+        """Greedy FFD compaction plan over the layout audit (pinned
+        sf0.01 paths; sources/parquet.plan_compaction).  Rows-only by
+        nature (a plan, not a query); tests pin bin-capacity and
+        determinism."""
+        from s_tsfe_dl_ray.sources.parquet import (
+            parquet_layout_audit, plan_compaction)
+
+        paths = [f"/root/testdata/sf0.01/{t}.parquet"
+                 for t in ("events", "lineitem", "documents", "embeddings")]
+        return plan_compaction(parquet_layout_audit(paths),
+                               target_bytes=1 << 20)
+
+    def q_orders_lineitem_join_size(sf):
+        """Exact orders ⋈ lineitem cardinality WITHOUT executing the
+        join — count-product combiner (stages/join.join_size)."""
+        from s_tsfe_dl_ray.stages.join import join_size
+
+        orders = read_table(f"{sf}/orders.parquet", columns=["o_orderkey"])
+        lineitem = read_table(f"{sf}/lineitem.parquet",
+                              columns=["l_orderkey"])
+        return join_size(orders, lineitem,
+                         left_on="o_orderkey", right_on="l_orderkey")
+
+    def q_tpch_q5_local_suppliers(sf):
+        """Local-supplier revenue per nation (Q5 skeleton): two big hash
+        joins, region pushed into the customer scan, early fold to
+        (nation, supplier) partials, same-nation predicate on the fold."""
+        from s_tsfe_dl_ray.pipelines.tpch import q5_local_supplier_volume
+
+        return _round_floats(q5_local_supplier_volume(sf))
+
+    def q_tpch_q9_product_profit(sf):
+        """Product profit per (supplier nation, order year) — Q9 adapted
+        (no partsupp table: profit = discounted revenue).  Part filter as
+        a semi join; partials fold before the supplier join."""
+        from s_tsfe_dl_ray.pipelines.tpch import q9_product_profit
+
+        return _round_floats(q9_product_profit(sf))
+
+    def q_tpch_q21_waiting_supplier(sf):
+        """Suppliers who kept multi-supplier 'F' orders waiting — Q21
+        adapted to available columns (strictly-latest l_shipdate stands
+        in for the receipt-delay EXISTS/NOT-EXISTS pair)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q21_waiting_supplier
+
+        return q21_waiting_supplier(sf)
+
+    def q_tpch_q2_min_cost_supplier(sf):
+        """Min-cost supplier per part (Q2 skeleton; supply catalog derived
+        from lineitem, cost = min unit price): two-fold correlated MIN +
+        exact float-equality cut (pipelines/tpch.q2_min_cost_supplier)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q2_min_cost_supplier
+
+        return _round_floats(q2_min_cost_supplier(sf))
+
+    def q_tpch_q11_important_parts(sf):
+        """Important-part values for one nation's suppliers (Q11 skeleton):
+        HAVING over a global-sum subquery — int64 cents×qty fold, driver
+        scalar, broadcast threshold (pipelines/tpch.q11_important_part_values)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q11_important_part_values
+
+        return _round_floats(q11_important_part_values(sf))
+
+    def q_tpch_q16_supplier_part_counts(sf):
+        """Distinct-supplier counts per part attribute (Q16 skeleton):
+        NOT-IN anti_join + two-level COUNT DISTINCT as two combiner folds
+        (pipelines/tpch.q16_supplier_part_counts)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q16_supplier_part_counts
+
+        return q16_supplier_part_counts(sf)
+
+    def q_tpch_q20_window_demand(sf):
+        """Nation suppliers whose window demand for prefix-named parts
+        exceeded half their all-time volume (Q20 skeleton): nested EXISTS
+        chain, all-integer predicate (pipelines/tpch.q20_window_demand_suppliers)."""
+        from s_tsfe_dl_ray.pipelines.tpch import q20_window_demand_suppliers
+
+        return q20_window_demand_suppliers(sf)
+
+    def q_parts_family_clusters(sf):
+        """Product-family mining: connected components over the part
+        co-purchase graph (edges = pairs co-purchased in ≥3 orders) →
+        component size histogram — pair_cooccurrence × the dedup
+        machinery's label-propagation CC, labels checked against the
+        recursive-CTE oracle."""
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+        from s_tsfe_dl_ray.stages.cluster import connected_components
+        from s_tsfe_dl_ray.stages.distinct import pair_cooccurrence
+
+        import ray.data as _rd
+
+        li = _rd.read_parquet(f"{sf}/lineitem.parquet",
+                              columns=["l_orderkey", "l_partkey"])
+        pairs = pair_cooccurrence(li, group_col="l_orderkey",
+                                  member_col="l_partkey")             .filter(expr="n_both >= 3")             .map_batches(lambda t: pa.table({"id_a": t["member_a"],
+                                             "id_b": t["member_b"]}),
+                         batch_format="pyarrow")
+        comp = connected_components(pairs, id_a="id_a", id_b="id_b")
+        agg = grouped_aggregate(
+            comp.map_batches(
+                lambda t: pa.table({
+                    "component": t["component"],
+                    "one": pc.cast(pc.is_valid(t["component"]),
+                                   pa.int64())}),
+                batch_format="pyarrow"),
+            keys=["component"], aggs={"n_parts": ("one", "sum")},
+            num_partitions=4)
+        return agg.sort(["n_parts", "component"],
+                        descending=[True, False])
+
+    def q_lineitem_part_pairs(sf):
+        """Market-basket over the star schema: part pairs co-purchased in
+        the same order with support ≥ 2, lift + Jaccard — the generic
+        pair_cooccurrence op composed onto (order, part) instead of
+        (user, event_type)."""
+        import ray.data
+
+        from s_tsfe_dl_ray.stages.distinct import pair_cooccurrence
+
+        li = ray.data.read_parquet(f"{sf}/lineitem.parquet",
+                                   columns=["l_orderkey", "l_partkey"])
+        pairs = pair_cooccurrence(li, group_col="l_orderkey",
+                                  member_col="l_partkey")
+        pairs = pairs.filter(expr="n_both >= 2")
+        return _round_floats(pairs.sort(
+            ["n_both", "member_a", "member_b"],
+            descending=[True, False, False]))
+
+    def q_lineitem_part_pagerank(sf):
+        """Weighted PageRank over the part co-purchase graph (pair
+        co-occurrence edges both directions, weight = co-order count) —
+        the iterative rank-propagation class, one combiner pass per
+        iteration (stages/cluster.pagerank).  Rows-only (iterative);
+        tests pin mass conservation / ring uniformity / hub dominance."""
+        import ray.data
+
+        from s_tsfe_dl_ray.stages.cluster import pagerank
+        from s_tsfe_dl_ray.stages.distinct import pair_cooccurrence
+
+        li = ray.data.read_parquet(f"{sf}/lineitem.parquet",
+                                   columns=["l_orderkey", "l_partkey"])
+        pairs = pair_cooccurrence(li, group_col="l_orderkey",
+                                  member_col="l_partkey")
+
+        def both_dirs(t: pa.Table) -> pa.Table:
+            a = t["member_a"].to_numpy(zero_copy_only=False)
+            b = t["member_b"].to_numpy(zero_copy_only=False)
+            w = t["n_both"].to_numpy(zero_copy_only=False)
+            import numpy as _np
+
+            return pa.table({
+                "src": pa.array(_np.concatenate([a, b])),
+                "dst": pa.array(_np.concatenate([b, a])),
+                "w": pa.array(_np.concatenate([w, w]).astype(_np.float64)),
+            })
+
+        edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+        out = pagerank(edges, src_col="src", dst_col="dst",
+                       weight_col="w", n_iter=10)
+        return _round_floats(out.sort("rank", descending=True).limit(50))
+
+    def q_customer_rfm(sf):
+        """RFM segmentation base per customer (recency vs global latest
+        order, frequency, exact-cents monetary) — pure combiner over
+        orders (pipelines/relational.customer_rfm)."""
+        from s_tsfe_dl_ray.pipelines.relational import customer_rfm
+
+        return _round_floats(customer_rfm(sf))
+
+    def q_orders_fulfillment_latency(sf):
+        """Order→first-shipment latency quantiles per priority (exact
+        day-diff order statistics) — fold-before-join
+        (pipelines/tpch.fulfillment_latency)."""
+        from s_tsfe_dl_ray.pipelines.tpch import fulfillment_latency
+
+        return fulfillment_latency(sf)
+
+    def q_lineitem_qty_price_ols(sf):
+        """Per-returnflag OLS of extended price on quantity — does price
+        scale with quantity within each flag?  The generic two-column
+        regression sketch (stages/trend.grouped_ols_xy); exchange carries
+        six moments per key per batch, never rows."""
+        from s_tsfe_dl_ray.stages.trend import grouped_ols_xy
+
+        ds = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_returnflag", "l_quantity",
+                                 "l_extendedprice"])
+        return _round_floats(grouped_ols_xy(
+            ds, key="l_returnflag", x_col="l_quantity",
+            y_col="l_extendedprice").sort("l_returnflag"))
+
+    def q_lineitem_brand_revenue(sf):
+        """Revenue by part brand via the public shuffle-free
+        broadcast_join (part is a driver-bounded dimension): exact
+        int-cent discounted revenue per brand
+        (stages/join.broadcast_join)."""
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+        import ray.data as _rd
+
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+        from s_tsfe_dl_ray.stages.join import broadcast_join
+
+        li = _rd.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"])
+        part = _pq.read_table(f"{sf}/part.parquet",
+                              columns=["p_partkey", "p_brand"])
+
+        def rev(t: pa.Table) -> pa.Table:
+            price_i = _pc.cast(_pc.round(_pc.multiply(
+                t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+            disc_i = _pc.cast(_pc.round(_pc.multiply(
+                t["l_discount"], pa.scalar(100.0))), pa.int64())
+            return pa.table({
+                "l_partkey": t["l_partkey"],
+                "rev_i": _pc.multiply(price_i, _pc.subtract(
+                    pa.scalar(100, pa.int64()), disc_i))})
+
+        joined = broadcast_join(
+            li.map_batches(rev, batch_format="pyarrow"),
+            part, left_on="l_partkey", right_on="p_partkey", how="inner")
+        agg = grouped_aggregate(
+            joined, keys=["p_brand"],
+            aggs={"n_items": ("rev_i", "count"),
+                  "rev_i": ("rev_i", "sum")})
+        return _round_floats(agg.map_batches(
+            lambda t: pa.table({
+                "p_brand": t["p_brand"], "n_items": t["n_items"],
+                "revenue": _pc.divide(_pc.cast(t["rev_i"], pa.float64()),
+                                      pa.scalar(10_000.0))}),
+            batch_format="pyarrow").sort("p_brand"))
+
+    def q_orders_priority_drift(sf):
+        """Monthly chi-square drift of the order-priority mix against
+        the whole-corpus mix — exact int64 cell counts, bit-identical
+        sorted-category sequential sum on both sides
+        (stages/robust.category_mix_drift)."""
+        from s_tsfe_dl_ray.stages.robust import category_mix_drift
+
+        ds = read_table(f"{sf}/orders.parquet",
+                        columns=["o_orderdate", "o_orderpriority"])
+        return _round_floats(category_mix_drift(
+            ds, ts_col="o_orderdate", cat_col="o_orderpriority",
+            period="1mo"))
+
+    def q_lineitem_returnflag_drift(sf):
+        """Monthly chi-square drift of the lineitem return-flag mix vs
+        the whole-corpus mix — the same stage as orders_priority_drift
+        on a different table (stages/robust.category_mix_drift)."""
+        from s_tsfe_dl_ray.stages.robust import category_mix_drift
+
+        ds = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_shipdate", "l_returnflag"])
+        return _round_floats(category_mix_drift(
+            ds, ts_col="l_shipdate", cat_col="l_returnflag",
+            period="1mo"))
+
+    def q_customers_rfm_segments(sf):
+        """RFM quintile segment table over the customer-grained base:
+        (q_r, q_f, q_m) cell counts with mean recency and total spend —
+        integer rank cuts, all-1-is-best
+        (pipelines/relational.rfm_segments)."""
+        from s_tsfe_dl_ray.pipelines.relational import rfm_segments
+
+        return _round_floats(rfm_segments(sf))
+
+    def q_supplier_revenue_hhi(sf):
+        """Supply-concentration audit: HHI of supplier revenue shares
+        per nation with the top supplier's share — broadcast dimension,
+        exact int64 scaled revenue
+        (pipelines/relational.supplier_revenue_hhi)."""
+        from s_tsfe_dl_ray.pipelines.relational import supplier_revenue_hhi
+
+        return _round_floats(supplier_revenue_hhi(sf))
+
+    def q_parts_pagerank(sf):
+        """PageRank hubs of the repeat-co-purchase part graph (pairs
+        bought together in ≥ 2 orders — the family-clusters pruning):
+        20 exact damped Jacobi iterations, bit-exact vs the
+        unrolled-CTE twin (stages/cluster.pagerank)."""
+        from s_tsfe_dl_ray.stages.cluster import pagerank_exact
+        from s_tsfe_dl_ray.stages.distinct import pair_cooccurrence
+
+        li = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_orderkey", "l_partkey"])
+        pairs = pair_cooccurrence(li, group_col="l_orderkey",
+                                  member_col="l_partkey") \
+            .filter(expr="n_both >= 2")
+        return _round_floats(pagerank_exact(
+            pairs, a_col="member_a", b_col="member_b",
+            damping=0.85, iters=20))
+
+    def q_orders_size_dispersion(sf):
+        """Order-size profile: lineitems per order with the Poisson
+        dispersion index from exact int64 moments
+        (pipelines/relational.order_size_dispersion)."""
+        from s_tsfe_dl_ray.pipelines.relational import (
+            order_size_dispersion)
+
+        return _round_floats(order_size_dispersion(sf))
+
+    def q_customers_order_cadence(sf):
+        """Repeat-purchase rhythm per customer: mean and CV of the
+        integer day gaps between consecutive orders (>= 3 orders)
+        (pipelines/relational.customer_order_cadence)."""
+        from s_tsfe_dl_ray.pipelines.relational import (
+            customer_order_cadence)
+
+        return _round_floats(customer_order_cadence(sf))
+
+    def q_orders_monthly_yoy(sf):
+        """Monthly revenue with MoM and YoY growth over the observed
+        month sequence — exact int-cent sums, lag-1/lag-12 ratios
+        (pipelines/relational.monthly_revenue_yoy)."""
+        from s_tsfe_dl_ray.pipelines.relational import monthly_revenue_yoy
+
+        return _round_floats(monthly_revenue_yoy(sf))
+
+    def q_lineitem_qty_disc_chi2(sf):
+        """Pearson χ² independence of (quantity band, discount cents)
+        on lineitem — are bigger baskets discounted differently?
+        Integer band cuts, the existing chi2 stage
+        (stages/distinct.chi2_independence)."""
+        from s_tsfe_dl_ray.stages.distinct import chi2_independence
+
+        li = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_quantity", "l_discount"])
+
+        def bands(t: pa.Table) -> pa.Table:
+            import numpy as np
+            q = pc.cast(t["l_quantity"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            d = pc.cast(t["l_discount"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            qi = np.copysign(np.floor(np.abs(q) + 0.5), q).astype(
+                np.int64)
+            di = np.copysign(np.floor(np.abs(d) * 100.0 + 0.5),
+                             d).astype(np.int64)
+            qa = np.char.add("q", ((qi - 1) // 10).astype(str))
+            db = np.char.add("d", di.astype(str))
+            return pa.table({
+                "qty_band": pa.array(qa.astype(object), pa.string()),
+                "disc_band": pa.array(db.astype(object), pa.string())})
+
+        banded = li.map_batches(bands, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        return _round_floats(chi2_independence(
+            banded, col_a="qty_band", col_b="disc_band"))
+
+    def q_orders_status_age(sf):
+        """Order backlog profile: per order status the count, share,
+        and mean age in days vs the corpus's latest order date — exact
+        integer day arithmetic (the rfm anchor recipe)."""
+        from s_tsfe_dl_ray.pipelines.relational import grouped_aggregate
+
+        ds = read_table(f"{sf}/orders.parquet",
+                        columns=["o_orderstatus", "o_orderdate"])
+
+        import datetime as _dt
+
+        import pyarrow.parquet as _pq
+
+        anchor = pc.max(_pq.read_table(
+            f"{sf}/orders.parquet",
+            columns=["o_orderdate"])["o_orderdate"]).as_py()
+        a_day = int((anchor - _dt.datetime(1970, 1, 1)).total_seconds()
+                    * 1_000_000) // 86_400_000_000
+
+        def derive(t: pa.Table) -> pa.Table:
+            import numpy as np
+            us = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            age = np.int64(a_day) - us // 86_400_000_000
+            return pa.table({"o_orderstatus": t["o_orderstatus"],
+                             "_age": pa.array(age.astype(np.int64))})
+
+        agg = grouped_aggregate(
+            ds.map_batches(derive, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            keys=["o_orderstatus"],
+            aggs={"n_orders": ("_age", "count"),
+                  "_age_sum": ("_age", "sum")})
+
+        def fin(df):
+            import numpy as np
+            if len(df) == 0:
+                return pd.DataFrame({
+                    "o_orderstatus": pd.Series([], dtype="object"),
+                    "n_orders": pd.Series([], dtype="int64"),
+                    "share": pd.Series([], dtype="float64"),
+                    "mean_age_days": pd.Series([], dtype="float64")})
+            g = df.sort_values("o_orderstatus", kind="mergesort") \
+                .reset_index(drop=True)
+            n = g["n_orders"].to_numpy(np.int64)
+            tot = np.float64(n.sum())
+            return pd.DataFrame({
+                "o_orderstatus": g["o_orderstatus"],
+                "n_orders": n,
+                "share": n.astype(np.float64) / tot,
+                "mean_age_days": g["_age_sum"].to_numpy(np.int64)
+                                 .astype(np.float64)
+                                 / n.astype(np.float64)})
+
+        return _round_floats(agg.repartition(1).map_batches(
+            fin, batch_format="pandas", batch_size=None))
+
+    def q_customer_balance_by_segment(sf):
+        """Account-balance profile per market segment: exact count /
+        mean / negative share / discrete p50 & p90 from ONE
+        value-histogram pass (stages/quantile.grouped_value_profile,
+        cents-exact)."""
+        from s_tsfe_dl_ray.stages.quantile import grouped_value_profile
+
+        cust = read_table(f"{sf}/customer.parquet",
+                          columns=["c_mktsegment", "c_acctbal"])
+        out = grouped_value_profile(
+            cust, value_col="c_acctbal", keys=["c_mktsegment"],
+            scale=100, quantiles=(0.5, 0.9))
+        return _round_floats(out.sort("c_mktsegment"))
+
+    def q_orders_priority_kruskal(sf):
+        """Kruskal–Wallis H: do order values differ across the five
+        order priorities?  Pooled midranks from the cents-exact value
+        histogram, exact half-integer rank sums, tie-corrected H
+        (stages/robust.kruskal_wallis)."""
+        from s_tsfe_dl_ray.stages.robust import kruskal_wallis
+
+        orders = read_table(f"{sf}/orders.parquet",
+                            columns=["o_orderpriority", "o_totalprice"])
+        return _round_floats(kruskal_wallis(
+            orders, group_col="o_orderpriority",
+            value_col="o_totalprice", scale=100))
+
+    def q_nation_balance_gap(sf):
+        """Customer-vs-supplier mean account balance per nation: two
+        combiner passes (cents-exact int64 sums) union into one tiny
+        per-nation merge with the broadcast 25-row nation dim — the
+        cross-table 'which side of the market holds the cash here'
+        readout."""
+        import pyarrow.parquet as pq
+
+        cu = read_table(f"{sf}/customer.parquet",
+                        columns=["c_nationkey", "c_acctbal"])
+        su = read_table(f"{sf}/supplier.parquet",
+                        columns=["s_nationkey", "s_acctbal"])
+        ndf = pq.read_table(f"{sf}/nation.parquet",
+                            columns=["n_nationkey", "n_name"]).to_pandas()
+
+        def _tag(nk_col: str, bal_col: str, cust: bool):
+            def part(df: pd.DataFrame) -> pd.DataFrame:
+                v = df[bal_col].to_numpy(dtype=np.float64)
+                ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                                 v).astype(np.int64)
+                g = pd.DataFrame({
+                    "nk": df[nk_col].astype("int64"),
+                    "n_customers": np.int64(1) if cust else np.int64(0),
+                    "sc": ci if cust else np.int64(0),
+                    "n_suppliers": np.int64(0) if cust else np.int64(1),
+                    "ss": np.int64(0) if cust else ci,
+                }).groupby("nk", sort=False).sum().reset_index()
+                return g
+            return part
+
+        parts = cu.map_batches(
+            _tag("c_nationkey", "c_acctbal", True),
+            batch_format="pandas",
+        ).union(su.map_batches(
+            _tag("s_nationkey", "s_acctbal", False),
+            batch_format="pandas"))
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                df = pd.DataFrame({
+                    "nk": pd.Series([], dtype="int64"),
+                    "n_customers": pd.Series([], dtype="int64"),
+                    "sc": pd.Series([], dtype="int64"),
+                    "n_suppliers": pd.Series([], dtype="int64"),
+                    "ss": pd.Series([], dtype="int64")})
+            agg = df.groupby("nk", sort=False).sum().reset_index()
+            out = ndf.merge(agg, left_on="n_nationkey", right_on="nk",
+                            how="left").sort_values("n_name")
+            nc = out["n_customers"].fillna(0).to_numpy(dtype=np.float64)
+            ns = out["n_suppliers"].fillna(0).to_numpy(dtype=np.float64)
+            sc = out["sc"].to_numpy(dtype=np.float64)
+            ss = out["ss"].to_numpy(dtype=np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mc = (sc / 100.0) / nc
+                ms = (ss / 100.0) / ns
+                gap = mc - ms
+            mc = np.where(np.isfinite(mc), mc, np.nan)
+            ms = np.where(np.isfinite(ms), ms, np.nan)
+            gap = np.where(np.isfinite(gap), gap, np.nan)
+            return pd.DataFrame({
+                "nation": out["n_name"].to_numpy(),
+                "n_customers": nc.astype(np.int64),
+                "n_suppliers": ns.astype(np.int64),
+                "mean_cust_balance": mc,
+                "mean_supp_balance": ms,
+                "balance_gap": gap})
+
+        return _round_floats(parts.repartition(1).map_batches(
+            fin, batch_format="pandas", batch_size=None))
+
+    def q_part_brand_price_profile(sf):
+        """Retail-price profile per part brand: exact count / mean /
+        negative-share / discrete p50 & p90 from one cents-exact
+        value-histogram pass (stages/quantile.grouped_value_profile
+        reuse on the part dim)."""
+        from s_tsfe_dl_ray.stages.quantile import grouped_value_profile
+
+        parts = read_table(f"{sf}/part.parquet",
+                           columns=["p_brand", "p_retailprice"])
+        out = grouped_value_profile(
+            parts, value_col="p_retailprice", keys=["p_brand"],
+            scale=100, quantiles=(0.5, 0.9))
+        return _round_floats(out.sort("p_brand"))
+
+    def q_supplier_catalog_breadth(sf):
+        """Per-supplier catalog breadth: lineitem count, DISTINCT parts
+        supplied, cents-exact extended-price volume, returned-flag share
+        — the assortment-vs-volume skew readout.  Batch partials
+        pre-group by (suppkey, partkey) so the single supplier-hash
+        exchange carries one row per supply relationship, and the
+        distinct-part count is an exact partition-local fold."""
+        from s_tsfe_dl_ray.stages.rollup import _stable_pkey
+
+        ds = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_suppkey", "l_partkey",
+                                 "l_extendedprice", "l_returnflag"])
+
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            v = df["l_extendedprice"].to_numpy(dtype=np.float64)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pd.DataFrame({
+                "sk": df["l_suppkey"].astype("int64"),
+                "pk": df["l_partkey"].astype("int64"),
+                "n": np.int64(1),
+                "ci": ci,
+                "r": (df["l_returnflag"].to_numpy()
+                      == "R").astype(np.int64),
+            }).groupby(["sk", "pk"], sort=False, as_index=False).sum()
+
+        def add_pkey(t: pa.Table) -> pa.Table:
+            return t.append_column("_pkey", _stable_pkey(t["sk"], 32))
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({
+                    "l_suppkey": pd.Series([], dtype="int64"),
+                    "n_items": pd.Series([], dtype="int64"),
+                    "n_parts": pd.Series([], dtype="int64"),
+                    "total_extprice": pd.Series([], dtype="float64"),
+                    "return_share": pd.Series([], dtype="float64")})
+            g = (df.groupby(["sk", "pk"], sort=False, as_index=False)
+                 [["n", "ci", "r"]].sum())
+            out = g.groupby("sk", sort=False).agg(
+                n_items=("n", "sum"), n_parts=("pk", "size"),
+                ci=("ci", "sum"), r=("r", "sum")).reset_index()
+            n = out["n_items"].to_numpy(dtype=np.float64)
+            return pd.DataFrame({
+                "l_suppkey": out["sk"].astype("int64"),
+                "n_items": out["n_items"].astype("int64"),
+                "n_parts": out["n_parts"].astype("int64"),
+                "total_extprice":
+                    out["ci"].to_numpy(dtype=np.float64) / 100.0,
+                "return_share": out["r"].to_numpy(dtype=np.float64) / n,
+            })
+
+        partials = ds.map_batches(part, batch_format="pandas")
+        merged = (partials.map_batches(add_pkey, batch_format="pyarrow")
+                  .groupby("_pkey").map_groups(fold, batch_format="pandas"))
+        return _round_floats(merged.sort("l_suppkey"))
+
+    def q_orders_priority_status_chi2(sf):
+        """Priority × status independence on the orders dim: Pearson χ²
+        + Cramér's V over the full contingency grid incl. unobserved
+        zero cells (stages/distinct.chi2_independence reuse) — does
+        urgency actually change fulfillment state?"""
+        from s_tsfe_dl_ray.stages.distinct import chi2_independence
+
+        ds = read_table(f"{sf}/orders.parquet",
+                        columns=["o_orderpriority", "o_orderstatus"])
+        return _round_floats(chi2_independence(
+            ds, col_a="o_orderpriority", col_b="o_orderstatus"))
+
+    def q_lineitem_qty_disc_gamma(sf):
+        """Goodman–Kruskal gamma + Kendall tau-b between quantity decile
+        bin and discount level (stages/robust.ordinal_association) —
+        the ORDERED-category association the chi-square sibling ignores:
+        do bigger orders systematically get deeper discounts?  All pair
+        counts are exact int64 suffix-sum folds over the contingency
+        cells; row count never enters the pair loop."""
+        from s_tsfe_dl_ray.stages.robust import ordinal_association
+
+        ds = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_quantity", "l_discount"])
+
+        def binify(t: pa.Table) -> pa.Table:
+            q = pc.cast(t["l_quantity"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            d = pc.cast(t["l_discount"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            qa = ((np.copysign(np.floor(np.abs(q) + 0.5), q)
+                   .astype(np.int64) - 1) // 10)
+            db = np.copysign(np.floor(np.abs(d) * 100.0 + 0.5),
+                             d).astype(np.int64)
+            return pa.table({"qa": pa.array(qa), "db": pa.array(db)})
+
+        binned = ds.map_batches(binify, batch_format="pyarrow")
+        return _round_floats(ordinal_association(
+            binned, col_a="qa", col_b="db"))
+
+    def q_nation_part_coverage(sf):
+        """Supply-chain coverage per nation: distinct suppliers, distinct
+        parts its suppliers ship, and the share of the whole part
+        catalog covered — a 3-way star join where lineitem's (supp,
+        part) pairs dedup through ONE hash exchange and the supplier →
+        nation map rides as a broadcast dict (100 rows), never a
+        shuffle."""
+        import pyarrow.parquet as pq
+
+        from s_tsfe_dl_ray.stages.dedup import _grouped_min
+
+        sup = pq.read_table(f"{sf}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+        nat = pq.read_table(f"{sf}/nation.parquet",
+                            columns=["n_nationkey", "n_name"])
+        n_parts_total = pq.read_metadata(f"{sf}/part.parquet").num_rows
+        sk2nk = dict(zip(sup["s_suppkey"].to_pylist(),
+                         sup["s_nationkey"].to_pylist()))
+        nk2name = dict(zip(nat["n_nationkey"].to_pylist(),
+                           nat["n_name"].to_pylist()))
+        sup_per_nation = (pd.Series(list(sk2nk.values()))
+                          .value_counts().to_dict())
+
+        li = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_suppkey", "l_partkey"])
+
+        def to_nation_part(df: pd.DataFrame) -> pd.DataFrame:
+            nk = df["l_suppkey"].map(sk2nk).astype("int64")
+            return (pd.DataFrame({"nk": nk,
+                                  "pk": df["l_partkey"].astype("int64")})
+                    .drop_duplicates())
+
+        pairs = li.map_batches(to_nation_part, batch_format="pandas")
+        dedup = _grouped_min(pairs, group_cols=["nk", "pk"],
+                             agg_cols=[("pk", "count")], pkey_col="pk")
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({
+                    "n_name": pd.Series([], dtype="object"),
+                    "n_suppliers": pd.Series([], dtype="int64"),
+                    "n_parts_supplied": pd.Series([], dtype="int64"),
+                    "coverage": pd.Series([], dtype="float64")})
+            g = df.groupby("nk", sort=True).size()
+            nk = g.index.to_numpy(dtype=np.int64)
+            np_sup = g.to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "n_name": [nk2name[int(k)] for k in nk],
+                "n_suppliers": pd.Series(
+                    [sup_per_nation[int(k)] for k in nk], dtype="int64"),
+                "n_parts_supplied": np_sup,
+                "coverage": np_sup / np.float64(n_parts_total)})
+
+        out = (dedup.repartition(1)
+               .map_batches(fold, batch_format="pandas", batch_size=None))
+        return _round_floats(out.sort("n_name"))
+
+    def q_lineitem_qty_slope_by_decile(sf):
+        """Heterogeneous price sensitivity: OLS slope + intercept of
+        extended price on quantity WITHIN each quantity decile bin —
+        does the per-unit price change across order sizes?  All moments
+        are exact int64 (qty ints × price cents) through one tiny
+        exchange; the closed-form fit runs the identical float tree as
+        the SQL twin."""
+        from s_tsfe_dl_ray.stages.dedup import _grouped_min
+
+        ds = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_quantity", "l_extendedprice"])
+
+        def part(t: pa.Table) -> pd.DataFrame:
+            q = pc.cast(t["l_quantity"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            p = pc.cast(t["l_extendedprice"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            x = np.copysign(np.floor(np.abs(q) + 0.5), q).astype(np.int64)
+            y = np.copysign(np.floor(np.abs(p) * 100.0 + 0.5),
+                            p).astype(np.int64)
+            return pd.DataFrame({
+                "qty_bin": (x - 1) // 10,
+                "n": np.int64(1), "sx": x, "sy": y,
+                "sxx": x * x, "sxy": x * y,
+            }).groupby("qty_bin", sort=False, as_index=False).sum()
+
+        partials = ds.map_batches(part, batch_format="pyarrow")
+        merged = _grouped_min(
+            partials, group_cols=["qty_bin"],
+            agg_cols=[("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                      ("sxx", "sum"), ("sxy", "sum")],
+            pkey_col="qty_bin", num_partitions=4)
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({
+                    "qty_bin": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "slope": pd.Series([], dtype="float64"),
+                    "intercept": pd.Series([], dtype="float64")})
+            n = df["n"].to_numpy(dtype=np.float64)
+            sx = df["sx"].to_numpy(dtype=np.float64)
+            sy = df["sy"].to_numpy(dtype=np.float64)
+            sxx = df["sxx"].to_numpy(dtype=np.float64)
+            sxy = df["sxy"].to_numpy(dtype=np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                a = (sy - b * sx) / n
+            return pd.DataFrame({
+                "qty_bin": df["qty_bin"].astype("int64"),
+                "n": df["n"].astype("int64"),
+                "slope": np.where(np.isfinite(b), b, np.nan) / 100.0,
+                "intercept": np.where(np.isfinite(a), a, np.nan) / 100.0})
+
+        out = (merged.repartition(1)
+               .map_batches(fin, batch_format="pandas", batch_size=None))
+        return _round_floats(out.sort("qty_bin"))
+
+    def q_customer_segment_yuen(sf):
+        """Yuen's trimmed t: BUILDING-segment vs all-other customer
+        account balances (cents-exact) — the robust 'is this segment
+        richer' location test immune to balance outliers
+        (stages/robust.yuen_trimmed_t reuse on the customer dim)."""
+        from s_tsfe_dl_ray.stages.robust import yuen_trimmed_t
+
+        ds = read_table(f"{sf}/customer.parquet",
+                        columns=["c_mktsegment", "c_acctbal"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            v = pc.cast(t["c_acctbal"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pa.table({
+                "g": pc.cast(pc.equal(t["c_mktsegment"], "BUILDING"),
+                             pa.int64()),
+                "v": pa.array(ci)})
+
+        pairs = ds.map_batches(derive, batch_format="pyarrow")
+        return _round_floats(yuen_trimmed_t(
+            pairs, group_col="g", value_col="v", trim_den=5))
+
+    def q_lineitem_tax_disc_gamma(sf):
+        """Ordinal association between tax level and discount level
+        (stages/robust.ordinal_association reuse): do discounted lines
+        systematically carry different tax?  Exact suffix-sum pair
+        counts over the tiny levels grid."""
+        from s_tsfe_dl_ray.stages.robust import ordinal_association
+
+        ds = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_tax", "l_discount"])
+
+        def binify(t: pa.Table) -> pa.Table:
+            tx = pc.cast(t["l_tax"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            d = pc.cast(t["l_discount"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "ta": pa.array(np.copysign(
+                    np.floor(np.abs(tx) * 100.0 + 0.5),
+                    tx).astype(np.int64)),
+                "db": pa.array(np.copysign(
+                    np.floor(np.abs(d) * 100.0 + 0.5),
+                    d).astype(np.int64))})
+
+        binned = ds.map_batches(binify, batch_format="pyarrow")
+        return _round_floats(ordinal_association(
+            binned, col_a="ta", col_b="db"))
+
+    def q_lineitem_returnflag_median(sf):
+        """Brown–Mood median test of extended price across return
+        flags (stages/robust.median_test reuse): do returned lines
+        skew above or below the pooled price median?"""
+        from s_tsfe_dl_ray.stages.robust import median_test
+
+        ds = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_returnflag", "l_extendedprice"])
+        return _round_floats(median_test(
+            ds, group_col="l_returnflag", value_col="l_extendedprice",
+            scale=100))
+
+    def q_market_balance_cliffs(sf):
+        """Cross-table Cliff's delta: supplier (g=1) vs customer (g=0)
+        account balances — the rank-robust answer to 'which side of the
+        market holds the cash' that nation_balance_gap's means can't
+        give when balances are heavy-tailed.  Two pruned reads union
+        into the per-value cell fold (stages/robust.cliffs_delta)."""
+        from s_tsfe_dl_ray.stages.robust import cliffs_delta
+
+        cu = read_table(f"{sf}/customer.parquet", columns=["c_acctbal"])
+        su = read_table(f"{sf}/supplier.parquet", columns=["s_acctbal"])
+
+        def tag(col: str, g: int):
+            def fn(t: pa.Table) -> pa.Table:
+                v = pc.cast(t[col], pa.float64()).to_numpy(
+                    zero_copy_only=False)
+                ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                                 v).astype(np.int64)
+                return pa.table({
+                    "g": pa.array(np.full(len(ci), g, dtype=np.int64)),
+                    "v": pa.array(ci)})
+            return fn
+
+        pairs = (cu.map_batches(tag("c_acctbal", 0),
+                                batch_format="pyarrow")
+                 .union(su.map_batches(tag("s_acctbal", 1),
+                                       batch_format="pyarrow")))
+        return _round_floats(cliffs_delta(
+            pairs, group_col="g", value_col="v"))
+
+    def q_orders_status_yuen(sf):
+        """Yuen's trimmed t: fulfilled (F, g=0) vs open (O, g=1) order
+        totals — did open orders change size, robust to total-price
+        outliers (stages/robust.yuen_trimmed_t reuse)."""
+        from s_tsfe_dl_ray.stages.robust import yuen_trimmed_t
+
+        ds = read_table(f"{sf}/orders.parquet",
+                        columns=["o_orderstatus", "o_totalprice"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t["o_orderstatus"],
+                            value_set=pa.array(["F", "O"]))
+            sub = t.filter(keep)
+            v = pc.cast(sub["o_totalprice"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pa.table({
+                "g": pc.cast(pc.equal(sub["o_orderstatus"], "O"),
+                             pa.int64()),
+                "v": pa.array(ci)})
+
+        pairs = ds.map_batches(derive, batch_format="pyarrow")
+        return _round_floats(yuen_trimmed_t(
+            pairs, group_col="g", value_col="v", trim_den=5))
+
+    def q_orders_monthly_mk(sf):
+        """Mann–Kendall trend test over MONTHLY order revenue totals
+        (whole-business cadence; stages/robust.mann_kendall reuse with
+        a single global key) — is revenue monotonically drifting month
+        over month, distribution-free?"""
+        from s_tsfe_dl_ray.stages.robust import mann_kendall
+
+        ds = read_table(f"{sf}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+
+        def part(t: pa.Table) -> pd.DataFrame:
+            us = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            d = us // 86_400_000_000
+            # month index = year*12 + month - 1, computed from the date
+            # on both sides (pd.to_datetime year/month here, DuckDB
+            # year()/month() in the twin)
+            ym = pd.to_datetime(d, unit="D")
+            mk = (ym.year.to_numpy() * 12
+                  + ym.month.to_numpy() - 1).astype(np.int64)
+            v = pc.cast(t["o_totalprice"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pd.DataFrame({
+                "scope": np.int64(1), "m": mk, "sv": ci,
+            }).groupby(["scope", "m"], sort=False, as_index=False).sum()
+
+        monthly = ds.map_batches(part, batch_format="pyarrow")
+        out = mann_kendall(monthly, key="scope", order_col="m",
+                          value_col="sv", min_n=3)
+        return _round_floats(out)
+
+    def q_part_size_price_gamma(sf):
+        """Ordinal association between part size and retail-price cents
+        (stages/robust.ordinal_association reuse): do physically bigger
+        parts command higher list prices, rank-wise?"""
+        from s_tsfe_dl_ray.stages.robust import ordinal_association
+
+        ds = read_table(f"{sf}/part.parquet",
+                        columns=["p_size", "p_retailprice"])
+
+        def binify(t: pa.Table) -> pa.Table:
+            p = pc.cast(t["p_retailprice"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "sz": pc.cast(t["p_size"], pa.int64()),
+                "pr": pa.array(np.copysign(
+                    np.floor(np.abs(p) * 100.0 + 0.5),
+                    p).astype(np.int64))})
+
+        binned = ds.map_batches(binify, batch_format="pyarrow")
+        return _round_floats(ordinal_association(
+            binned, col_a="sz", col_b="pr"))
+
+    return {k[2:]: v for k, v in locals().items() if k.startswith("q_")}
