@@ -246,6 +246,170 @@ def dedup_keep(
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def _pagerank_sharded(
+    e: Dataset,
+    *,
+    damping: float,
+    n_iter: int,
+    n_shards: int,
+) -> Dataset:
+    """Fully distributed PageRank: rank state lives in ``n_shards``
+    object-store shards keyed by ``hash(node) % P`` — the driver never
+    holds a node-sized vector, only P scalars per iteration (the
+    dangling-mass partials).  Same exchange discipline as
+    :func:`connected_components`: edges are bucketed ONCE by source
+    hash (bucket p holds ALL out-edges of shard-p nodes, so the
+    rank×edge join is local to a shard), and per iteration each mapper
+    emits per-destination-shard pre-summed contribution tables — the
+    only data that moves.
+
+    Raw Ray tasks rather than Dataset ops: the per-iteration state is a
+    P-way sharded mutable vector consumed by the next iteration, which
+    the Dataset API cannot keep co-partitioned without re-shuffling the
+    (much larger) edge set every round.
+    """
+    import ray
+    import ray.data
+
+    P = int(n_shards)
+
+    def _shard_of(vals: np.ndarray) -> np.ndarray:
+        return _stable_pkey(pa.array(vals), P).to_numpy(
+            zero_copy_only=False)
+
+    @ray.remote(num_returns=P)
+    def bucketize(tbl: pa.Table):
+        """Edge block → P tables bucketed by hash(src); each also keeps
+        the block's distinct destinations hashed by hash(dst) so shard
+        node-universes include dangling (in-edge-only) nodes."""
+        if tbl.num_rows == 0 or "s" not in tbl.schema.names:
+            # Ray passes zero-row blocks through with the PRE-map schema;
+            # emit canonical empties (dropped again in build_shard)
+            z = pa.table({"s": pa.array([], pa.int64()),
+                          "d": pa.array([], pa.int64()),
+                          "w": pa.array([], pa.float64())})
+            out = [(z, np.array([], dtype=np.int64))] * P
+            return tuple(out) if P > 1 else out[0]
+        s = tbl["s"].to_numpy(zero_copy_only=False)
+        d = tbl["d"].to_numpy(zero_copy_only=False)
+        w = tbl["w"].to_numpy(zero_copy_only=False)
+        hs = _shard_of(s)
+        ud = np.unique(d)
+        hd = _shard_of(ud)
+        out = []
+        for p in range(P):
+            m = hs == p
+            out.append((pa.table({"s": pa.array(s[m]),
+                                  "d": pa.array(d[m]),
+                                  "w": pa.array(w[m])}),
+                        ud[hd == p]))
+        return tuple(out) if P > 1 else out[0]
+
+    @ray.remote
+    def build_shard(*parts):
+        """Concat this shard's edge buckets + destination lists →
+        (sorted node ids, out-strength, edges with source pre-indexed
+        into the shard's node array)."""
+        # drop canonical empties so synthetic int64 dtypes never mix
+        # with a non-int node dtype
+        tables = [t for t, _ in parts if t.num_rows]
+        dlists = [dl for _, dl in parts if len(dl)]
+        if not tables and not dlists:
+            z = np.array([], dtype=np.int64)
+            return (z, np.zeros(0), z, z, np.zeros(0))
+        t = (pa.concat_tables(tables) if tables
+             else pa.table({"s": pa.array([], pa.int64()),
+                            "d": pa.array([], pa.int64()),
+                            "w": pa.array([], pa.float64())}))
+        s = t["s"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        us, inv = (np.unique(s, return_inverse=True) if len(s)
+                   else (s[:0], np.zeros(0, dtype=np.int64)))
+        ow = np.bincount(inv, weights=w, minlength=len(us))
+        nodes = np.unique(np.concatenate([us] + dlists)) \
+            if (len(us) or any(len(dl) for dl in dlists)) else us
+        outw = np.zeros(len(nodes))
+        outw[np.searchsorted(nodes, us)] = ow
+        si = np.searchsorted(nodes, s).astype(np.int64)
+        return (nodes, outw,
+                si, t["d"].to_numpy(zero_copy_only=False), w)
+
+    @ray.remote
+    def init_rank(shard, n_total: int):
+        nodes = shard[0]
+        return np.full(len(nodes), 1.0 / n_total)
+
+    @ray.remote
+    def pr_map(shard, rank: np.ndarray):
+        """One shard's propagation: per-destination-shard pre-summed
+        contribution tables + this shard's dangling-mass partial.
+        Returned as P+1 separate objects (``num_returns``) so each
+        reducer pulls ONLY its slice from the object store — no
+        contribution data ever lands on the driver, which reads the
+        P dangling scalars alone."""
+        nodes, outw, si, d, w = shard
+        with np.errstate(divide="ignore"):
+            inv_ow = np.where(outw > 0, 1.0 / outw, 0.0)
+        coef = rank * inv_ow
+        c = coef[si] * w
+        ud, dinv = (np.unique(d, return_inverse=True) if len(d)
+                    else (d[:0], np.zeros(0, dtype=np.int64)))
+        v = np.bincount(dinv, weights=c, minlength=len(ud))
+        hq = _shard_of(ud) if len(ud) else np.zeros(0, dtype=np.int64)
+        out = []
+        for q in range(P):
+            m = hq == q
+            out.append((ud[m], v[m]))
+        dm = float(rank[outw <= 0].sum())
+        return tuple(out) + (dm,)
+
+    @ray.remote
+    def pr_reduce(shard, dm_total: float, n_total: int, *contribs):
+        nodes = shard[0]
+        inflow = np.zeros(len(nodes))
+        for ud, v in contribs:
+            if len(ud):
+                inflow[np.searchsorted(nodes, ud)] += v
+        return ((1.0 - damping) / n_total
+                + damping * (inflow + dm_total / n_total))
+
+    @ray.remote
+    def shard_table(shard, rank: np.ndarray) -> pa.Table:
+        return pa.table({"node": pa.array(shard[0]),
+                         "rank": pa.array(rank)})
+
+    blocks = e.to_arrow_refs()
+    buckets: list[list] = [[] for _ in range(P)]
+    for b in blocks:
+        outs = bucketize.remote(b)
+        if P == 1:
+            outs = [outs]
+        for p, o in enumerate(outs):
+            buckets[p].append(o)
+    shards = [build_shard.remote(*buckets[p]) for p in range(P)]
+    sizes = ray.get([
+        ray.remote(lambda sh: len(sh[0])).remote(s) for s in shards])
+    n_total = int(sum(sizes))
+    if n_total == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "node": pd.Series([], dtype="object"),
+            "rank": pd.Series([], dtype="float64")}))
+    ranks = [init_rank.remote(shards[p], n_total) for p in range(P)]
+
+    pr_map_n = pr_map.options(num_returns=P + 1)
+    for _ in range(n_iter):
+        mapped = [pr_map_n.remote(shards[p], ranks[p]) for p in range(P)]
+        dm_total = float(sum(ray.get([m[P] for m in mapped])))
+        ranks = [
+            pr_reduce.remote(shards[q], dm_total, n_total,
+                             *[mapped[p][q] for p in range(P)])
+            for q in range(P)
+        ]
+
+    tables = [shard_table.remote(shards[p], ranks[p]) for p in range(P)]
+    return ray.data.from_arrow_refs(tables).sort("node")
+
+
 def pagerank(
     edges: Dataset,
     *,
@@ -254,6 +418,9 @@ def pagerank(
     weight_col: str | None = None,
     damping: float = 0.85,
     n_iter: int = 10,
+    node_threshold: int = 2_000_000,
+    n_shards: int = 64,
+    mode: str = "auto",
 ) -> Dataset:
     """Weighted PageRank over an edge table — the iterative
     rank-propagation sibling of :func:`connected_components` (which
@@ -267,13 +434,23 @@ def pagerank(
 
         r' = (1−d)/N + d · (Σ_in r_u·w_uv/outw_u + dangling_mass/N)
 
-    Scale contract: the NODE set (not the edges) must fit driver memory
-    — the same bound as the k-means centroid table and the broadcast
-    dimension luts; for co-occurrence graphs nodes = the vocabulary.
-    The index-mapped edge table is materialized once so the n_iter
-    passes don't re-derive it; at larger scale checkpoint it to parquet
-    instead.  No SQL twin (iterative); tests pin mass conservation,
-    ring-graph uniformity, and hub dominance on a star.
+    Scale contract — TWO routes, switched by ``mode`` (VERDICT r4 #3):
+
+    - ``broadcast`` (small node sets): the node-sized rank vector lives
+      on the driver and is broadcast into one combiner pass per
+      iteration — the same bound as the k-means centroid table.  Right
+      for part-graphs / bounded vocabularies (≲ a few million nodes).
+    - ``sharded`` (web-scale node sets): rank state lives in
+      ``n_shards`` object-store shards co-partitioned with the
+      once-bucketed edges (:func:`_pagerank_sharded`); the driver
+      handles only P dangling-mass scalars per iteration.
+    - ``auto`` (default): edge count ≤ ``node_threshold // 2`` (which
+      bounds nodes ≤ node_threshold) picks broadcast, else sharded.
+
+    Both routes materialize the bucketed/index-mapped edges once so the
+    n_iter passes don't re-derive them.  No SQL twin (iterative); tests
+    pin mass conservation, ring-graph uniformity, hub dominance on a
+    star, and broadcast↔sharded parity on planted graphs.
 
     Output: ``node (source dtype), rank (float64)`` sorted by node.
     """
@@ -281,6 +458,8 @@ def pagerank(
 
     if not 0.0 <= damping < 1.0:
         raise ValueError("damping must be in [0, 1)")
+    if mode not in ("auto", "broadcast", "sharded"):
+        raise ValueError(f"unknown pagerank mode: {mode!r}")
 
     w_expr = weight_col
 
@@ -294,6 +473,15 @@ def pagerank(
 
     e = edges.map_batches(edge_part, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+    if mode == "auto":
+        # nodes ≤ 2·edges, so an edge-count gate (cheap metadata count
+        # on the input) bounds the node count without an extra pass
+        mode = ("sharded" if edges.count() > node_threshold // 2
+                else "broadcast")
+    if mode == "sharded":
+        return _pagerank_sharded(e, damping=damping, n_iter=n_iter,
+                                 n_shards=n_shards)
 
     # node universe + out-strength (vocab-sized, driver-resident)
     def node_part(t: pa.Table) -> pa.Table:
