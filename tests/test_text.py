@@ -410,3 +410,55 @@ def test_ppmi_word_vectors_empty_corpus():
         "doc_id": pa.array([], pa.int64()),
         "text": pa.array([], pa.string())}))
     assert len(ppmi_word_vectors(ds).to_pandas()) == 0
+
+
+def test_collocations_pmi_flood_vocab_matches_naive():
+    """Open-vocab flood (VERDICT r4 #4): thousands of distinct tokens,
+    verified against a naive local PMI — the distributed keyed-join
+    path must match the brute-force scores exactly (counts are ints,
+    the float tree is shared)."""
+    import numpy as np
+    import ray.data
+
+    from s_tsfe_dl_ray.stages.text import collocations_pmi
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(4000)]
+    # planted collocation pairs + noise
+    docs = []
+    for i in range(400):
+        toks = list(rng.choice(vocab, size=30))
+        for _ in range(3):
+            toks += ["new", "york"]
+        for _ in range(2):
+            toks += ["hot", "dog"]
+        docs.append(" ".join(toks))
+    import pandas as pd
+    df = pd.DataFrame({"doc_id": np.arange(len(docs)), "text": docs})
+
+    out = collocations_pmi(ray.data.from_pandas(df).repartition(5),
+                           text_col="text", k=10, min_count=5
+                           ).to_pandas()
+
+    # naive oracle
+    from collections import Counter
+    unis, bigs = Counter(), Counter()
+    for t in docs:
+        ws = [w for w in t.split(" ") if w]
+        unis.update(ws)
+        bigs.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    nu, nb = sum(unis.values()), sum(bigs.values())
+    rows = []
+    for bg, nab in bigs.items():
+        if nab < 5:
+            continue
+        a, b = bg.split(" ", 1)
+        pmi = np.log((np.float64(nab) / np.float64(nb))
+                     / ((np.float64(unis[a]) / np.float64(nu))
+                        * (np.float64(unis[b]) / np.float64(nu))))
+        rows.append((bg, nab, float(pmi)))
+    exp = (pd.DataFrame(rows, columns=["bigram", "n_ab", "pmi"])
+           .sort_values(["pmi", "bigram"], ascending=[False, True],
+                        kind="mergesort").head(10).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+    assert {"new york", "hot dog"} <= set(out["bigram"])
