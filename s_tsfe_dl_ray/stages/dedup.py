@@ -236,21 +236,26 @@ class MinHasher:
 
 
 def _band_rows(batch: pd.DataFrame, *, id_col: str, bands: int, rows: int) -> pd.DataFrame:
-    """Explode signatures to (band_id, band_hash, id) rows — vectorized:
-    the band hash is a wrapping-uint64 polynomial over the band's rows."""
+    """Explode signatures to (band_hash, id) rows — vectorized: the band
+    hash is a wrapping-uint64 polynomial over the band's rows, seeded by
+    the band id (one packed int64 bucket key)."""
     n = len(batch)
     if n == 0:
-        return pd.DataFrame({"band_id": pd.Series([], dtype="int64"),
-                             "band_hash": pd.Series([], dtype="int64"),
+        return pd.DataFrame({"band_hash": pd.Series([], dtype="int64"),
                              id_col: batch[id_col]})
     sig = np.vstack(batch["sig"].to_numpy()).view(np.uint64).reshape(n, bands, rows)
     prime = np.uint64(1099511628211)
-    h = np.zeros((n, bands), dtype=np.uint64)
+    # band_id folds into the polynomial SEED, so one int64 carries both
+    # (band, hash) — halves the bucket-key bytes crossing the exchange;
+    # a cross-band collision needs a full 64-bit hash match and any such
+    # candidate still passes exact-Jaccard verify
+    h = np.broadcast_to((np.arange(bands, dtype=np.uint64) + np.uint64(1))
+                        * np.uint64(0x9E3779B97F4A7C15),
+                        (n, bands)).copy()
     with np.errstate(over="ignore"):
         for r in range(rows):
             h = h * prime + sig[:, :, r]
     return pd.DataFrame({
-        "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
         "band_hash": h.reshape(-1).view(np.int64),
         id_col: np.repeat(batch[id_col].to_numpy(), bands),
     })
@@ -290,7 +295,7 @@ def minhash_lsh_candidates(
         lambda b: _band_rows(b, id_col=id_col, bands=bands, rows=rows),
         batch_format="pandas",
     )
-    return _collision_pairs(banded, id_col=id_col, bucket_cols=["band_id", "band_hash"])
+    return _collision_pairs(banded, id_col=id_col, bucket_cols=["band_hash"])
 
 
 def _as_arrow_schema(ds: Dataset) -> pa.Schema:
@@ -320,9 +325,14 @@ def _pair_side_join(
     value_cols: list[str],
     carry: list[str] | None = None,
     num_partitions: int = 64,
+    side_schema: pa.Schema | None = None,
 ) -> Dataset:
     """Attach per-id attributes to BOTH ends of candidate pairs, fully
     partitioned — the distributed verify join (no broadcast, no driver hop).
+
+    ``side_schema``: pass the side table's Arrow schema when the caller
+    already knows it — ``side.schema()`` on a lazy read+repartition
+    chain executes the whole exchange just to see one row.
 
     Round 1 ("fetch"): every pair emits two request rows keyed by the id it
     needs (``_rid`` = id_a for side 0, id_b for side 1); the side table
@@ -337,7 +347,8 @@ def _pair_side_join(
     Output columns: ``id_a, id_b, *carry, *<v>_a, *<v>_b``.
     """
     carry = list(carry or [])
-    side_schema = _as_arrow_schema(side)
+    if side_schema is None:
+        side_schema = _as_arrow_schema(side)
     id_type = side_schema.field(id_col).type
     val_types = {v: side_schema.field(v).type for v in value_cols}
     if pairs.schema() is None:
@@ -485,14 +496,21 @@ def minhash_dedup_pairs(
     corpus = ds.select_columns([id_col, text_col])
     if text_col != "text":
         corpus = corpus.rename_columns({text_col: "text"})
+    # schema probe BEFORE the repartition: .schema() on the lazy
+    # read+repartition chain would execute the whole exchange
+    corpus_schema = _as_arrow_schema(corpus)
     corpus = corpus.repartition(target)
     cands = minhash_lsh_candidates(
         corpus, id_col=id_col, num_perm=num_perm,
         bands=bands, seed=seed, shingle_n=shingle_n, split=None,
-    )
+    ).materialize()
+    # materialize: _pair_side_join's pairs.schema() probe would
+    # otherwise re-execute the ENTIRE candidate chain (sign → band →
+    # collide → dedup) a second time — measured 2× end-to-end
     withtexts = _pair_side_join(cands, corpus, id_col=id_col,
                                 value_cols=["text"],
-                                num_partitions=nparts)
+                                num_partitions=nparts,
+                                side_schema=corpus_schema)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         jac = np.empty(len(batch), dtype=np.float64)
