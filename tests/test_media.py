@@ -23,7 +23,8 @@ def test_media_stats(media_ds):
     from s_tsfe_dl_ray.stages.media import media_stats
 
     out = to_pdf(media_ds.map_batches(media_stats, batch_format="pyarrow"))
-    assert (out.payload_bytes >= 256).all() and (out.payload_bytes < 4096).all()
+    # incompressible RGB-PNG payloads reach w*h*3 (+deflate overhead)
+    assert (out.payload_bytes >= 256).all() and (out.payload_bytes < 16384).all()
 
 
 def test_decode_images_deterministic(media_ds):
@@ -47,12 +48,14 @@ def test_sample_video_frames(media_ds):
     assert (out.frame_ms == (out.frame_idx / 25.0 * 1000).astype(int)).all()
 
 
-def test_strict_decode_raises_on_non_png_only():
-    """strict=True: PNG decodes for real; an undecodable format (JPEG
-    magic) raises honestly instead of silently faking."""
+def test_strict_decode_raises_on_undecodable_only():
+    """strict=True: PNG and baseline JPEG decode for real; an
+    undecodable format (GIF magic) raises honestly instead of silently
+    faking, and a truncated JPEG raises ValueError."""
     import pandas as pd
 
-    from s_tsfe_dl_ray.stages.media import DecodeImage, png_encode
+    from s_tsfe_dl_ray.stages.media import (DecodeImage, jpeg_encode_gray,
+                                            png_encode)
 
     img = np.arange(64, dtype=np.uint8).reshape(8, 8)
     st = DecodeImage(strict=True)
@@ -60,9 +63,20 @@ def test_strict_decode_raises_on_non_png_only():
         "media_id": [0], "payload": [png_encode(img)], "width": [8], "height": [8],
     }))
     assert np.isclose(out.pixel_mean[0], img.mean())
+    out_j = st(pd.DataFrame({
+        "media_id": [2], "payload": [jpeg_encode_gray(np.full((8, 8), 99,
+                                                              np.uint8))],
+        "width": [8], "height": [8],
+    }))
+    assert abs(out_j.pixel_mean[0] - 99.0) <= 2.0  # Q50 DC quantization
     with pytest.raises(NotImplementedError):
         st(pd.DataFrame({
-            "media_id": [1], "payload": [b"\xff\xd8\xff\xe0" + b"x" * 64],
+            "media_id": [1], "payload": [b"GIF89a" + b"x" * 64],
+            "width": [8], "height": [8],
+        }))
+    with pytest.raises(ValueError):
+        st(pd.DataFrame({
+            "media_id": [3], "payload": [b"\xff\xd8\xff\xe0" + b"x" * 64],
             "width": [8], "height": [8],
         }))
 
@@ -146,3 +160,65 @@ def test_video_frame_sampling_counts():
     # frame timestamps are within each video's duration
     meta = media.to_pandas().set_index("media_id")["duration_ms"]
     assert (frames["frame_ms"] <= frames["media_id"].map(meta)).all()
+
+
+def test_jpeg_codec_golden():
+    """Baseline JPEG golden pins (VERDICT r4 #6): flat blocks decode
+    EXACTLY (DC-only), DC prediction across blocks is exact, an all-ones
+    quant table round-trips random pixels within 1 LSB (float DCT
+    rounding only), and a single planted AC coefficient reproduces the
+    analytic IDCT basis function."""
+    from s_tsfe_dl_ray.stages.media import (_dct_matrix, jpeg_decode_gray,
+                                            jpeg_encode_gray)
+
+    # flat image: every block is DC-only
+    img = np.full((16, 24), 130, np.uint8)
+    assert (jpeg_decode_gray(jpeg_encode_gray(img)) == img).all()
+
+    # DC prediction across blocks
+    img2 = np.zeros((8, 16), np.uint8)
+    img2[:, :8], img2[:, 8:] = 40, 220
+    assert (jpeg_decode_gray(jpeg_encode_gray(img2)) == img2).all()
+
+    # near-lossless with quant == 1 (non-multiple-of-8 dims → edge pad)
+    rng = np.random.default_rng(5)
+    img3 = rng.integers(0, 256, (41, 53), np.uint8)
+    out3 = jpeg_decode_gray(jpeg_encode_gray(
+        img3, quant=np.ones(64, np.int32)))
+    assert out3.shape == img3.shape
+    assert np.abs(out3.astype(int) - img3.astype(int)).max() <= 1
+
+    # analytic golden: one AC coefficient = quantized cosine basis
+    D = _dct_matrix()
+    S = np.zeros((8, 8))
+    S[0, 1] = 64.0
+    blk = np.clip(np.round(D.T @ S @ D + 128.0), 0, 255).astype(np.uint8)
+    out4 = jpeg_decode_gray(jpeg_encode_gray(
+        blk, quant=np.ones(64, np.int32)))
+    assert np.abs(out4.astype(int) - blk.astype(int)).max() <= 1
+
+    # smooth gradient under the default Q50 table stays within 1 LSB
+    gx = np.tile(np.arange(64, dtype=np.uint8) * 3, (32, 1))
+    out5 = jpeg_decode_gray(jpeg_encode_gray(gx))
+    assert np.abs(out5.astype(int) - gx.astype(int)).max() <= 1
+
+
+def test_rgb_png_roundtrip_and_features():
+    """RGB-8 PNG decodes exactly; DecodeImage folds RGB to luma for the
+    thumbnail and computes stats over all channels."""
+    import pandas as pd
+
+    from s_tsfe_dl_ray.stages.media import (DecodeImage, png_decode,
+                                            png_encode_rgb)
+
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (20, 15, 3), np.uint8)
+    back = png_decode(png_encode_rgb(rgb))
+    assert back.shape == (20, 15, 3) and (back == rgb).all()
+
+    out = DecodeImage(strict=True)(pd.DataFrame({
+        "media_id": [0], "payload": [png_encode_rgb(rgb)],
+        "width": [15], "height": [20],
+    }))
+    assert np.isclose(out.pixel_mean[0], rgb.mean())
+    assert len(out.thumbnail[0]) == 64
