@@ -19,6 +19,7 @@ from conftest import assert_frames_match, to_pdf
 # events-only oracle-paired queries cheap enough to fuzz
 QUERIES = [
     "events_rollup_1h",
+    "events_window_pairs",
     "events_running_sum",
     "events_active_users",
     "events_new_returning",
