@@ -6219,6 +6219,31 @@ def _part_docs(*, tp, T, TOKLEN, _REL_EDGES, INTEGRITY_SQL, _pr_steps, _pr_joine
 
 def _part_transcripts(*, tp, T, TOKLEN, _REL_EDGES, INTEGRITY_SQL, _pr_steps, _pr_joined, PAGERANK_SQL, rollup, gapfill, lang_cases, lang_max, lang_ties, lang_pick, **_):
     return {
+        "transcripts_window_pairs": f"""
+            WITH b AS (
+              SELECT conv_id,
+                     CAST({TOKLEN} AS BIGINT) AS tl,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) - 1 AS p,
+                     count(*) OVER (PARTITION BY conv_id) AS n
+              FROM {T}
+            ), w AS (
+              SELECT conv_id, p, n,
+                     list(tl) OVER (PARTITION BY conv_id ORDER BY p
+                                    ROWS BETWEEN 4 PRECEDING
+                                             AND 1 PRECEDING) AS iw,
+                     list(tl) OVER (PARTITION BY conv_id ORDER BY p
+                                    ROWS BETWEEN CURRENT ROW
+                                             AND 1 FOLLOWING) AS lw
+              FROM b
+            )
+            SELECT conv_id, p AS anchor_idx,
+                   array_to_string(iw, ',') AS input_win,
+                   array_to_string(lw, ',') AS label_win
+            FROM w
+            WHERE p >= 4 AND p + 2 <= n AND (p - 4) % 2 = 0
+            ORDER BY conv_id, anchor_idx
+        """,
         "transcripts_reply_latency": f"""
             WITH nx AS (
               SELECT conv_id, ts, role,

@@ -810,4 +810,39 @@ def build() -> dict:
                                order_by=["ts", "turn_idx"])
         return _round_floats(out.sort("conv_id"))
 
+    def q_transcripts_window_pairs(sf):
+        """Supervised (input, label) window pairs over the flagship
+        payload table: per conversation ordered by turn_idx, anchors
+        every stride=2 turns emit input token-length window
+        tl[p-4:p] / label tl[p:p+2] (stages/slide.window_pairs —
+        timeseries_batch_generator.py:186-299) — the training-sample
+        construction a forecasting head consumes, on dialog series."""
+        from s_tsfe_dl_ray.functions.derive import token_count
+        from s_tsfe_dl_ray.stages.slide import window_pairs
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "text"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "tl": pc.cast(token_count(t["text"]), pa.int64())})
+
+        seq = turns.map_batches(derive, batch_format="pyarrow")
+        out = window_pairs(seq, keys=["conv_id"], order_by=["turn_idx"],
+                           value_col="tl", length=4, length_target=2,
+                           stride=2)
+
+        def fmt(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["input_win"] = [",".join(map(str, a))
+                               for a in df["input_win"]]
+            df["label_win"] = [",".join(map(str, a))
+                               for a in df["label_win"]]
+            return df
+
+        return (out.map_batches(fmt, batch_format="pandas")
+                .sort(["conv_id", "anchor_idx"]))
+
     return {k[2:]: v for k, v in locals().items() if k.startswith("q_")}
