@@ -584,10 +584,24 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def media_stats(batch: pa.Table) -> pa.Table:
-    """Metadata + payload byte stats (vectorized; no decode)."""
+    """Metadata + payload byte stats + magic-byte format sniff
+    (vectorized binary kernels; no decode).  ``format`` classifies the
+    payload from its leading bytes — png / jpeg / wav / unknown — the
+    cheap audit pass a curation pipeline runs before routing payloads
+    to the decoder pools (a mime column lies; magic bytes don't)."""
     nbytes = pc.binary_length(batch["payload"])
     batch = batch.append_column("payload_bytes", pc.cast(nbytes, pa.int64()))
-    return batch
+    is_png = pc.equal(pc.binary_slice(batch["payload"], 0, 8),
+                      pa.scalar(_PNG_SIG, pa.binary()))
+    is_jpg = pc.equal(pc.binary_slice(batch["payload"], 0, 2),
+                      pa.scalar(b"\xFF\xD8", pa.binary()))
+    is_wav = pc.equal(pc.binary_slice(batch["payload"], 0, 4),
+                      pa.scalar(b"RIFF", pa.binary()))
+    fmt = pc.if_else(is_png, pa.scalar("png"),
+                     pc.if_else(is_jpg, pa.scalar("jpeg"),
+                                pc.if_else(is_wav, pa.scalar("wav"),
+                                           pa.scalar("unknown"))))
+    return batch.append_column("format", fmt)
 
 
 class DecodeImage:

@@ -222,3 +222,15 @@ def test_rgb_png_roundtrip_and_features():
     }))
     assert np.isclose(out.pixel_mean[0], rgb.mean())
     assert len(out.thumbnail[0]) == 64
+
+
+def test_media_stats_format_sniff(media_ds):
+    """Magic-byte format column matches the mime the synth corpus wrote
+    (png payloads → png, jpeg → jpeg, wav → wav, raw video blobs →
+    unknown unless they randomly start with a known magic)."""
+    from s_tsfe_dl_ray.stages.media import media_stats
+
+    out = to_pdf(media_ds.map_batches(media_stats, batch_format="pyarrow"))
+    assert (out.loc[out.mime == "image/png", "format"] == "png").all()
+    assert (out.loc[out.mime == "image/jpeg", "format"] == "jpeg").all()
+    assert (out.loc[out.mime == "audio/wav", "format"] == "wav").all()
