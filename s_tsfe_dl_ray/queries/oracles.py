@@ -3630,7 +3630,7 @@ def _part_events(*, tp, T, TOKLEN, _REL_EDGES, INTEGRITY_SQL, _pr_steps, _pr_joi
                    array_to_string(iw, ',') AS input_win,
                    array_to_string(lw, ',') AS label_win
             FROM w
-            WHERE p >= 8 AND p + 4 <= n AND (p - 8) % 4 = 0
+            WHERE p >= 8 AND p + 4 < n AND (p - 8) % 4 = 0
             ORDER BY user_id, anchor_idx
         """,
         "events_mann_kendall": """
@@ -6241,7 +6241,7 @@ def _part_transcripts(*, tp, T, TOKLEN, _REL_EDGES, INTEGRITY_SQL, _pr_steps, _p
                    array_to_string(iw, ',') AS input_win,
                    array_to_string(lw, ',') AS label_win
             FROM w
-            WHERE p >= 4 AND p + 2 <= n AND (p - 4) % 2 = 0
+            WHERE p >= 4 AND p + 2 < n AND (p - 4) % 2 = 0
             ORDER BY conv_id, anchor_idx
         """,
         "transcripts_reply_latency": f"""

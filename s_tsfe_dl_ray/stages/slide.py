@@ -171,7 +171,8 @@ def window_pairs(
     *,
     keys: list[str],
     order_by: list[str],
-    value_col: str,
+    value_col: str | None = None,
+    value_cols: list[str] | None = None,
     length: int,
     length_target: int,
     stride: int = 1,
@@ -182,7 +183,9 @@ def window_pairs(
     reference's forecasting batch generator re-expressed as a Dataset
     fan-out (timeseries_batch_generator.py:186-299): per key, order the
     series by ``order_by`` and for every anchor position ``p`` (0-based
-    within the key) with ``length <= p <= n - length_target`` and
+    within the key) with ``length <= p <= n - 1 - length_target`` (the
+    reference's ``end_index = len(data) - 1 - length_target`` bound —
+    it deliberately leaves the final timestep out of every label) and
     ``(p - length) % stride == 0``, emit
 
         input_win  = v[p - length : p : sampling_rate]
@@ -192,6 +195,14 @@ def window_pairs(
     ``targets[row:row+length_target:r]`` slices — the aligned
     feature/label window pairs a downstream trainer consumes, carried as
     Arrow ``list`` columns instead of a driver-held (B, L, V) tensor.
+
+    ``value_cols`` (multi-feature series — the reference's V-wide
+    timestep): one ``input_<col>`` / ``label_<col>`` list-column pair
+    per feature.  With the single ``value_col`` form the output keeps
+    the ``input_win`` / ``label_win`` names.  ``length_target=0`` is
+    the reference's autoencoder behaviour (``length_target`` forced to
+    0, targets = the input windows): label columns equal the input
+    windows and anchors run to the end of the series.
 
     Execution shape: ONE ``_pkey`` exchange co-locates each key's rows
     (``grouped_apply`` whole-partition), then anchor selection and both
@@ -209,9 +220,15 @@ def window_pairs(
     from .grouped import grouped_apply
 
     L, Lt, S, r = length, length_target, stride, sampling_rate
-    if L < 1 or Lt < 1 or S < 1 or r < 1:
-        raise ValueError("length, length_target, stride, sampling_rate "
-                         "must all be >= 1")
+    if L < 1 or Lt < 0 or S < 1 or r < 1:
+        raise ValueError("length >= 1, length_target >= 0, stride and "
+                         "sampling_rate >= 1 required")
+    if (value_col is None) == (value_cols is None):
+        raise ValueError("pass exactly one of value_col / value_cols")
+    single = value_cols is None
+    vcols = [value_col] if single else list(value_cols)
+    names = ([("input_win", "label_win")] if single
+             else [(f"input_{c}", f"label_{c}") for c in vcols])
     key = keys[0]
 
     def pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
@@ -219,30 +236,32 @@ def window_pairs(
             **{k: pd.Series([], dtype=df[k].dtype if k in df else "object")
                for k in keys},
             "anchor_idx": pd.Series([], dtype="int64"),
-            "input_win": pd.Series([], dtype="object"),
-            "label_win": pd.Series([], dtype="object")})
+            **{n: pd.Series([], dtype="object")
+               for pair in names for n in pair}})
         if len(df) == 0:
             return empty
         df = df.sort_values(keys + order_by, kind="mergesort")
-        v = df[value_col].to_numpy()
         k_all = df[key].to_numpy()
         change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
         starts = np.concatenate([[0], change, [len(df)]])
         gid = np.repeat(np.arange(len(starts) - 1), np.diff(starts))
         pos = np.arange(len(df)) - starts[:-1][gid]       # key-local 0-based
         nloc = np.diff(starts)[gid]                        # key length
+        # reference bound: p <= n - 1 - Lt (end_index excludes the final
+        # timestep from labels; for Lt = 0 this is simply p <= n - 1)
         anchors = np.flatnonzero(
-            (pos >= L) & (pos + Lt <= nloc) & ((pos - L) % S == 0))
+            (pos >= L) & (pos + Lt < nloc) & ((pos - L) % S == 0))
         if len(anchors) == 0:
             return empty
         in_take = anchors[:, None] + np.arange(-L, 0, r)[None, :]
-        lab_take = anchors[:, None] + np.arange(0, Lt, r)[None, :]
-        in_w = v[in_take]
-        lab_w = v[lab_take]
+        lab_take = (in_take if Lt == 0 else
+                    anchors[:, None] + np.arange(0, Lt, r)[None, :])
         out = df.iloc[anchors][keys].reset_index(drop=True)
         out["anchor_idx"] = pos[anchors]
-        out["input_win"] = list(in_w)
-        out["label_win"] = list(lab_w)
+        for c, (in_name, lab_name) in zip(vcols, names):
+            v = df[c].to_numpy()
+            out[in_name] = list(v[in_take])
+            out[lab_name] = list(v[lab_take])
         return out
 
     return grouped_apply(ds, keys=[key], fn=pairs_partition,

@@ -64,8 +64,10 @@ def test_reverse_series_positions():
 def test_window_pairs_matches_naive():
     """Reference forecasting-generator slices
     (timeseries_batch_generator.py:186-299): input v[p-L:p:r], label
-    v[p:p+Lt:r], anchors p in [L, n-Lt] stepped by stride — brute-force
-    parity across lengths/strides/dilations incl. too-short keys."""
+    v[p:p+Lt:r], anchors p in [L, n-1-Lt] stepped by stride (the
+    reference's end_index bound) — brute-force parity across
+    lengths/strides/dilations incl. too-short keys, the Lt=0
+    autoencoder behaviour, and the multi-feature value_cols form."""
     import ray.data as rd
 
     from s_tsfe_dl_ray.stages.slide import window_pairs
@@ -87,7 +89,7 @@ def test_window_pairs_matches_naive():
         exp = []
         for k, g in df.groupby("k"):
             v = g.sort_values("i")["v"].to_numpy()
-            for p in range(L, len(v) - Lt + 1):
+            for p in range(L, len(v) - Lt):
                 if (p - L) % S:
                     continue
                 exp.append((k, p, tuple(v[p - L:p:r]),
@@ -95,3 +97,22 @@ def test_window_pairs_matches_naive():
         got = sorted((t.k, t.anchor_idx, tuple(t.input_win),
                       tuple(t.label_win)) for t in out.itertuples())
         assert got == sorted(exp), (L, Lt, S, r)
+
+    # autoencoder behaviour: Lt = 0 → labels == inputs, anchors to n-1
+    out0 = window_pairs(ds, keys=["k"], order_by=["i"], value_col="v",
+                        length=3, length_target=0, stride=2).to_pandas()
+    assert len(out0) and all(tuple(a) == tuple(b) for a, b in
+                             zip(out0.input_win, out0.label_win))
+    exp0 = sum(1 for k, g in df.groupby("k")
+               for p in range(3, len(g)) if (p - 3) % 2 == 0)
+    assert len(out0) == exp0
+
+    # multi-feature form: one list-column pair per value col
+    df2 = df.assign(w=df["v"] * 2 + 1)
+    ds2 = rd.from_pandas(df2).repartition(3)
+    outm = window_pairs(ds2, keys=["k"], order_by=["i"],
+                        value_cols=["v", "w"], length=3,
+                        length_target=2).to_pandas()
+    assert {"input_v", "label_v", "input_w", "label_w"} <= set(outm)
+    assert all(tuple(np.asarray(a) * 2 + 1) == tuple(b)
+               for a, b in zip(outm.input_v, outm.input_w))
