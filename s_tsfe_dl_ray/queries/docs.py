@@ -791,4 +791,15 @@ def build() -> dict:
         return _round_floats(kruskal_wallis(
             docs, group_col="lang", value_col="n_chars", scale=1))
 
+    def q_docs_vocab_simpson(sf):
+        """Per-source Simpson token concentration (stages/text.
+        vocab_simpson): probability two tokens drawn without
+        replacement are the same type — the boilerplate/template
+        screen, exact int64 counts with one final division."""
+        from s_tsfe_dl_ray.stages.text import vocab_simpson
+
+        ds = read_table(f"{sf}/documents.parquet",
+                        columns=["source", "text"])
+        return _round_floats(vocab_simpson(ds, group_col="source"))
+
     return {k[2:]: v for k, v in locals().items() if k.startswith("q_")}

@@ -1625,4 +1625,29 @@ def build() -> dict:
         return (out.map_batches(fmt, batch_format="pandas")
                 .sort(["user_id", "anchor_idx"]))
 
+    def q_events_xicor(sf):
+        """Chatterjee's rank correlation xi of value against time order,
+        per event type (stages/robust.xicor): does the metric depend on
+        WHEN at all — monotone or not?  Integer tie-robust estimator
+        over cents; one fixed float tree shared with the rank-window
+        SQL twin."""
+        from s_tsfe_dl_ray.stages.robust import xicor
+
+        ds = read_table(f"{sf}/events.parquet",
+                        columns=["event_type", "ts", "event_id", "value"])
+
+        def part(t: pa.Table) -> pa.Table:
+            v = pc.cast(t["value"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pa.table({"event_type": t["event_type"],
+                             "ts": t["ts"], "event_id": t["event_id"],
+                             "y": pa.array(ci)})
+
+        prep = ds.map_batches(part, batch_format="pyarrow")
+        out = xicor(prep, key="event_type", order_by=["ts", "event_id"],
+                    value_col="y", min_n=3)
+        return _round_floats(out.sort("event_type"))
+
     return {k[2:]: v for k, v in locals().items() if k.startswith("q_")}

@@ -15,6 +15,37 @@ __all__ = ["build_oracle_sql"]
 
 def _part_events(*, tp, T, TOKLEN, _REL_EDGES, INTEGRITY_SQL, _pr_steps, _pr_joined, PAGERANK_SQL, rollup, gapfill, lang_cases, lang_max, lang_ties, lang_pick, **_):
     return {
+        "events_xicor": """
+            WITH b AS (
+              SELECT event_type AS ty,
+                     CAST(round(value * 100) AS BIGINT) AS y,
+                     ts, event_id,
+                     count(*) OVER (PARTITION BY event_type) AS n,
+                     count(*) OVER (PARTITION BY event_type)
+                       - rank() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(round(value * 100)
+                                               AS BIGINT) DESC) + 1 AS r,
+                     count(*) OVER (PARTITION BY event_type)
+                       - rank() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(round(value * 100)
+                                               AS BIGINT) ASC) + 1 AS l
+              FROM events
+            ), d AS (
+              SELECT ty, n, r, l,
+                     lead(r) OVER (PARTITION BY ty
+                                   ORDER BY ts, event_id) AS r_next
+              FROM b
+            ), s AS (
+              SELECT ty, max(n) AS n,
+                     sum(CASE WHEN r_next IS NULL THEN 0
+                              ELSE abs(r_next - r) END)::BIGINT AS s1,
+                     sum(l * (n - l))::BIGINT AS s2
+              FROM d GROUP BY ty HAVING max(n) >= 3
+            )
+            SELECT ty AS event_type, CAST(n AS BIGINT) AS n_obs,
+                   round(1.0 - (n::DOUBLE * s1) / (2.0 * s2), 6) AS xi
+            FROM s ORDER BY 1
+        """,
         "events_rollup_1m": rollup("minute"),
         "events_rollup_1h": rollup("hour"),
         "events_rollup_1d": rollup("day"),
@@ -3979,6 +4010,21 @@ def _part_events(*, tp, T, TOKLEN, _REL_EDGES, INTEGRITY_SQL, _pr_steps, _pr_joi
 
 def _part_relational(*, tp, T, TOKLEN, _REL_EDGES, INTEGRITY_SQL, _pr_steps, _pr_joined, PAGERANK_SQL, rollup, gapfill, lang_cases, lang_max, lang_ties, lang_pick, **_):
     return {
+        "supplier_theil_revenue": """
+            WITH s AS (
+              SELECT l_suppkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       ::BIGINT AS v
+              FROM lineitem GROUP BY 1
+            ), g AS (
+              SELECT count(*)::BIGINT AS n, sum(v)::BIGINT AS x FROM s
+            )
+            SELECT l_suppkey, v AS value,
+                   round(v::DOUBLE / x, 6) AS share,
+                   round((v::DOUBLE / x) * ln((n::DOUBLE * v) / x), 6)
+                     AS theil_term
+            FROM s, g WHERE v > 0 ORDER BY l_suppkey
+        """,
         "lineitem_pricing_summary": """
             -- money has ≤2 decimals: DECIMAL sums are exact, mirroring the
             -- engine's scaled-int64 combiner; avg written as sum::DOUBLE/n
@@ -5265,6 +5311,24 @@ def _part_relational(*, tp, T, TOKLEN, _REL_EDGES, INTEGRITY_SQL, _pr_steps, _pr
 
 def _part_docs(*, tp, T, TOKLEN, _REL_EDGES, INTEGRITY_SQL, _pr_steps, _pr_joined, PAGERANK_SQL, rollup, gapfill, lang_cases, lang_max, lang_ties, lang_pick, **_):
     return {
+        "docs_vocab_simpson": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(string_split(text, ' ')) AS t
+              FROM documents
+            ), tc AS (
+              SELECT source, t, count(*)::BIGINT AS n
+              FROM tok WHERE t <> '' GROUP BY 1, 2
+            ), s AS (
+              SELECT source, sum(n * (n - 1))::BIGINT AS s2,
+                     sum(n)::BIGINT AS nn
+              FROM tc GROUP BY 1 HAVING sum(n) >= 2
+            )
+            SELECT source, nn AS n_tokens,
+                   round(s2::DOUBLE / (nn::DOUBLE * (nn - 1)), 6)
+                     AS simpson
+            FROM s ORDER BY source
+        """,
         "docs_exact_dedup": """
             SELECT md5(text) AS h, min(doc_id) AS doc_id
             FROM documents GROUP BY text

@@ -1232,4 +1232,27 @@ def build() -> dict:
         return _round_floats(ordinal_association(
             binned, col_a="sz", col_b="pr"))
 
+    def q_supplier_theil_revenue(sf):
+        """Per-supplier Theil-T inequality decomposition of lineitem
+        revenue (stages/activity.theil_contributions): each supplier's
+        additive term (x/X)*ln(n*x/X) — the decomposable concentration
+        lens beside gini and HHI.  Cents-exact sums; per-row fixed
+        float tree (no cross-row float sum to hash-drift)."""
+        from s_tsfe_dl_ray.stages.activity import theil_contributions
+
+        ds = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_suppkey", "l_extendedprice"])
+
+        def part(t: pa.Table) -> pa.Table:
+            v = pc.cast(t["l_extendedprice"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pa.table({"l_suppkey": t["l_suppkey"],
+                             "cents": pa.array(ci)})
+
+        prep = ds.map_batches(part, batch_format="pyarrow")
+        return _round_floats(theil_contributions(
+            prep, key_col="l_suppkey", value_col="cents"))
+
     return {k[2:]: v for k, v in locals().items() if k.startswith("q_")}

@@ -836,3 +836,61 @@ def activity_streaks(
     return grouped_apply(partials, keys=[key], fn=fold,
                          num_partitions=num_partitions,
                          whole_partition=True)
+
+
+def theil_contributions(
+    ds: Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key Theil-T inequality decomposition: each key's additive
+    contribution ``(x_i/X)·ln(n·x_i/X)`` to the Theil index over an
+    integer measure (revenue cents, token counts) — the third
+    concentration lens beside :func:`activity_gini` (whole-distribution
+    inequality) and HHI (dominance): Theil is the only one that
+    DECOMPOSES additively, so per-key rows are the natural output and
+    the cross-row float sum (the one thing a value hash can't pin)
+    never happens inside the engine.
+
+    Exactness: per-key sums ride the combiner exchange as int64; n and
+    X come from one tiny reduced fold; the per-row expression
+    ``(x/X)·ln((n·x)/X)`` is a fixed float tree over exact ints (ln =
+    shared libm).  Keys with x ≤ 0 are excluded (ln undefined), same
+    filter as the twin.  Output: ``key_col, value (int64), share,
+    theil_term`` — the index itself is ``sum(theil_term)`` downstream
+    if wanted.
+    """
+    from ..pipelines.relational import grouped_aggregate
+
+    sums = grouped_aggregate(
+        ds, keys=[key_col], aggs={"v": (value_col, "sum")},
+        num_partitions=num_partitions).materialize()
+    x_tot = sums.sum("v") or 0
+    n_keys = sums.count()
+
+    def score(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = v > 0
+        vf = v[keep].astype(np.float64)
+        xf = np.float64(x_tot)
+        nf = np.float64(n_keys)
+        share = vf / xf
+        term = share * np.log((nf * vf) / xf)
+        kept = t.filter(pa.array(keep))
+        return pa.table({
+            key_col: kept[key_col],
+            "value": pa.array(v[keep]),
+            "share": pa.array(share),
+            "theil_term": pa.array(term)})
+
+    if x_tot <= 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            key_col: pa.array([], pa.int64()),
+            "value": pa.array([], pa.int64()),
+            "share": pa.array([], pa.float64()),
+            "theil_term": pa.array([], pa.float64())}))
+    return sums.map_batches(score, batch_format="pyarrow").sort(key_col)

@@ -2517,3 +2517,77 @@ def median_test(
 
     return cells.repartition(1).map_batches(
         fin, batch_format="pandas", batch_size=None)
+
+
+def xicor(
+    ds: Dataset,
+    *,
+    key: str,
+    order_by: list[str],
+    value_col: str,
+    min_n: int = 3,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Chatterjee's rank correlation ξ (Chatterjee 2021, JASA "A New
+    Coefficient of Correlation") per key: does ``value_col`` depend on
+    the ``order_by`` position AT ALL — linearly, periodically, or any
+    other measurable way?  ξ ≈ 0 for independence, → 1 as y becomes a
+    noiseless function of the order; unlike Spearman/Kendall it detects
+    NON-monotone dependence (a V-shape scores 0 for both classical
+    rank correlations, positive for ξ).
+
+    Tie-robust integer formulation (the general-ties estimator)::
+
+        r_i = #{j: y_j ≤ y_i},  l_i = #{j: y_j ≥ y_i}
+        ξ   = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ l_i(n − l_i))
+
+    with i running in ``order_by`` order.  Every count is an exact
+    int64 (searchsorted against the key's sorted values) and the final
+    expression is one fixed float tree, so the SQL twin — max-rank via
+    ``count(*) − rank() DESC + 1``, the lag-diff via ``lead`` — hashes
+    identically.  Keys with zero y-variance emit NULL (denominator 0),
+    matching SQL float 0/0 → NULL.
+
+    One ``_pkey`` exchange (grouped_apply), vectorized per key inside
+    the partition.  Output: ``key, n_obs, xi`` sorted upstream by the
+    caller.
+    """
+    from .grouped import grouped_apply
+
+    def xi_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key: pd.Series([], dtype="object"),
+            "n_obs": pd.Series([], dtype="int64"),
+            "xi": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values([key] + order_by, kind="mergesort")
+        k_all = df[key].to_numpy()
+        y_all = df[value_col].to_numpy(dtype=np.int64)
+        change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
+        starts = np.concatenate([[0], change, [len(df)]])
+        keys_o, ns, xis = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            n = int(e - s)
+            if n < min_n:
+                continue
+            y = y_all[s:e]
+            ys = np.sort(y)
+            r = np.searchsorted(ys, y, side="right").astype(np.int64)
+            li = n - np.searchsorted(ys, y, side="left").astype(np.int64)
+            s1 = int(np.abs(np.diff(r)).sum())
+            s2 = int((li * (n - li)).sum())
+            with np.errstate(invalid="ignore", divide="ignore"):
+                xi = 1.0 - (np.float64(n) * np.float64(s1)) \
+                    / (2.0 * np.float64(s2))
+            keys_o.append(k_all[s])
+            ns.append(n)
+            xis.append(xi if np.isfinite(xi) else np.nan)
+        return pd.DataFrame({
+            key: keys_o,
+            "n_obs": pd.Series(ns, dtype="int64"),
+            "xi": pd.Series(xis, dtype="float64")})
+
+    return grouped_apply(ds, keys=[key], fn=xi_partition,
+                         num_partitions=num_partitions,
+                         whole_partition=True)

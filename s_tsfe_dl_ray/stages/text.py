@@ -2599,3 +2599,78 @@ def ngram_novelty(
 
     return unioned.repartition(1).map_batches(
         fin, batch_format="pandas", batch_size=None)
+
+
+def vocab_simpson(
+    ds: "Dataset",
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> "Dataset":
+    """Per-group Simpson concentration of the token distribution:
+    ``λ = Σ_t n_t(n_t−1) / (N(N−1))`` — the probability two tokens
+    drawn WITHOUT replacement from the group are the same type.  High λ
+    = template/boilerplate vocabulary, low λ = diverse prose; the
+    unbiased finite-sample cousin of the token-entropy screen (entropy
+    weights rare types, Simpson the dominant ones).
+
+    Scale shape: per-batch (group, token, n) combiner partials cross
+    ONE token-hash exchange; inside each token-complete partition the
+    per-(group, token) counts close and fold to two int64 partials per
+    group (Σ n(n−1), Σ n); a second tiny group-keyed merge emits one
+    row per group.  Every count is exact int64; the single division is
+    one fixed float tree, so the SQL twin hashes identically.
+    Groups with N < 2 emit no row (the twin's HAVING).
+    Output: ``group_col, n_tokens (int64), simpson (float64)``.
+    """
+    from .grouped import grouped_apply
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return _grouped_token_counts(t, group_col, text_col)
+
+    partials = ds.map_batches(count_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def close_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            group_col: pd.Series([], dtype="object"),
+            "_s2": pd.Series([], dtype="int64"),
+            "_n": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        n_t = (df.groupby([group_col, "token"], sort=False, as_index=False)
+               ["_n"].sum())
+        n = n_t["_n"].to_numpy(np.int64)
+        n_t["_s2"] = n * (n - 1)
+        out = (n_t.groupby(group_col, sort=False, as_index=False)
+               .agg(_s2=("_s2", "sum"), _n=("_n", "sum")))
+        return out
+
+    closed = grouped_apply(partials, keys=["token"], fn=close_tokens,
+                           num_partitions=num_partitions,
+                           whole_partition=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            group_col: pd.Series([], dtype="object"),
+            "n_tokens": pd.Series([], dtype="int64"),
+            "simpson": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        g = df.groupby(group_col, sort=True, as_index=False).agg(
+            _s2=("_s2", "sum"), _n=("_n", "sum"))
+        g = g[g["_n"] >= 2]
+        if len(g) == 0:
+            return empty
+        s2 = g["_s2"].to_numpy(np.int64).astype(np.float64)
+        nn = g["_n"].to_numpy(np.int64)
+        simpson = s2 / (nn.astype(np.float64) * (nn - 1).astype(np.float64))
+        return pd.DataFrame({
+            group_col: g[group_col],
+            "n_tokens": g["_n"].astype("int64"),
+            "simpson": simpson})
+
+    return grouped_apply(closed, keys=[group_col], fn=final,
+                         num_partitions=1,
+                         whole_partition=True)

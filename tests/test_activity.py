@@ -93,3 +93,27 @@ def test_wau_hll_error_envelope():
     rel = (approx - exact).abs() / exact
     # 1.04/sqrt(4096) ~ 1.6%; allow 4 sigma
     assert rel.max() < 0.065, rel.sort_values().tail()
+
+
+def test_theil_contributions_decomposition():
+    """Per-key Theil terms sum to the classic Theil-T index computed
+    locally; equal shares give zero terms; zero keys are excluded."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from s_tsfe_dl_ray.stages.activity import theil_contributions
+
+    df = pd.DataFrame({"k": [1, 1, 2, 3, 4],
+                       "v": [100, 200, 300, 300, 0]})
+    out = theil_contributions(ray.data.from_pandas(df).repartition(2),
+                              key_col="k", value_col="v").to_pandas()
+    assert list(out["k"]) == [1, 2, 3]          # zero key dropped
+    x = np.array([300.0, 300.0, 300.0]); X = x.sum(); n = 4.0
+    exp = (x / X) * np.log(n * x / X)
+    np.testing.assert_allclose(out["theil_term"], exp, rtol=1e-12)
+
+    eq = pd.DataFrame({"k": [1, 2, 3], "v": [5, 5, 5]})
+    oeq = theil_contributions(ray.data.from_pandas(eq),
+                              key_col="k", value_col="v").to_pandas()
+    np.testing.assert_allclose(oeq["theil_term"], 0.0, atol=1e-15)

@@ -253,3 +253,39 @@ def test_energy_by_chunks_golden():
     assert len(out.loc[2]) == 3
     assert abs(out.loc[(2, 1), "energy_frac"] - 4 / 5) < 1e-12
     assert out.loc[(2, 2), "energy_frac"] == 0.0
+
+
+def test_xicor_detects_nonmonotone_dependence():
+    """Chatterjee's xi: ~0 for independence, high for a noiseless
+    V-shape (which Spearman/Kendall score ~0), 1-ish for monotone."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from s_tsfe_dl_ray.stages.robust import xicor
+
+    n = 400
+    i = np.arange(n)
+    rng = np.random.default_rng(2)
+    frames = []
+    frames.append(pd.DataFrame({
+        "k": "vee", "i": i, "y": np.abs(i - n // 2)}))
+    frames.append(pd.DataFrame({
+        "k": "mono", "i": i, "y": i * 3}))
+    frames.append(pd.DataFrame({
+        "k": "noise", "i": i, "y": rng.integers(0, 10_000, n)}))
+    df = pd.concat(frames, ignore_index=True)
+    out = (xicor(ray.data.from_pandas(df).repartition(3), key="k",
+                 order_by=["i"], value_col="y")
+           .to_pandas().set_index("k"))
+    assert out.loc["vee", "xi"] > 0.9
+    assert out.loc["mono", "xi"] > 0.9
+    assert abs(out.loc["noise", "xi"]) < 0.15
+    # brute-force the tie-robust estimator on the V series
+    y = np.abs(i - n // 2)
+    ys = np.sort(y)
+    r = np.searchsorted(ys, y, side="right")
+    li = n - np.searchsorted(ys, y, side="left")
+    exp = 1.0 - (np.float64(n) * np.abs(np.diff(r)).sum()) \
+        / (2.0 * np.float64((li * (n - li)).sum()))
+    assert out.loc["vee", "xi"] == exp

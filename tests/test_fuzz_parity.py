@@ -20,6 +20,7 @@ from conftest import assert_frames_match, to_pdf
 QUERIES = [
     "events_rollup_1h",
     "events_window_pairs",
+    "events_xicor",
     "events_running_sum",
     "events_active_users",
     "events_new_returning",

@@ -462,3 +462,29 @@ def test_collocations_pmi_flood_vocab_matches_naive():
                         kind="mergesort").head(10).reset_index(drop=True))
     pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
     assert {"new york", "hot dog"} <= set(out["bigram"])
+
+
+def test_vocab_simpson_matches_naive():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from collections import Counter
+
+    from s_tsfe_dl_ray.stages.text import vocab_simpson
+
+    docs = pd.DataFrame({
+        "source": ["a", "a", "b", "b", "c"],
+        "text": ["x x x y", "x z", "p q r s", "t u v w", "only"],
+    })
+    out = (vocab_simpson(ray.data.from_pandas(docs).repartition(3),
+                         group_col="source")
+           .to_pandas().set_index("source"))
+    for src_, grp in docs.groupby("source"):
+        c = Counter(w for t in grp["text"] for w in t.split() if w)
+        nn = sum(c.values())
+        if nn < 2:
+            assert src_ not in out.index  # the HAVING filter
+            continue
+        lam = sum(v * (v - 1) for v in c.values()) / (nn * (nn - 1))
+        assert out.loc[src_, "simpson"] == lam
+        assert out.loc[src_, "n_tokens"] == nn
