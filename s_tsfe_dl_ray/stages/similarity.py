@@ -469,9 +469,17 @@ def embedding_neardup_lsh(
         })
 
     side = sel.map_batches(to_blob, batch_format="pandas")
+    # materialize the candidate pairs: _pair_side_join's pairs.schema()
+    # probe would otherwise re-execute the entire sign/collide chain a
+    # second time (the minhash fix); the side schema is known statically
+    from .dedup import _as_arrow_schema
+
+    id_type = _as_arrow_schema(sel).field(id_col).type
     withvecs = _pair_side_join(
-        cands, side, id_col=id_col, value_cols=["emb_bin"],
+        cands.materialize(), side, id_col=id_col, value_cols=["emb_bin"],
         num_partitions=num_partitions,
+        side_schema=pa.schema([(id_col, id_type),
+                               ("emb_bin", pa.binary())]),
     )
 
     def verify(b: pd.DataFrame) -> pd.DataFrame:
