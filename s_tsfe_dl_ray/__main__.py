@@ -10,6 +10,8 @@ after a failure skips finished buckets via their lineage manifests):
 - ``rollup``  — transcript tier rollup (pipelines/job.TranscriptRollupJob)
 - ``curate``  — docs curation (pipelines/docs_job.DocsCurationJob)
 - ``index``   — embedding ANN index build (pipelines/emb_index_job)
+- ``export``  — supervised window-pair training export
+  (pipelines/export_job.WindowPairExportJob)
 
 This is the ONLY library-adjacent place allowed to call ``ray.init``
 (guarded — under ``ray job submit`` the session already exists and the
@@ -62,6 +64,16 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--out", required=True)
     i.add_argument("--n-clusters", type=int, default=16)
 
+    e = sub.add_parser("export",
+                       help="supervised window-pair training export job")
+    e.add_argument("--input", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--n-buckets", type=int, default=32)
+    e.add_argument("--length", type=int, default=8)
+    e.add_argument("--length-target", type=int, default=4)
+    e.add_argument("--stride", type=int, default=4)
+    e.add_argument("--sampling-rate", type=int, default=1)
+
     args = p.parse_args(argv)
     _ensure_ray()
     if args.cmd == "rollup":
@@ -82,6 +94,17 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=args.n_buckets,
             min_quality=args.min_quality,
             keep_langs=tuple(args.keep_langs.split(",")),
+        ).run()
+    elif args.cmd == "export":
+        from .pipelines.export_job import WindowPairExportJob
+
+        summary = WindowPairExportJob(
+            args.input, args.out,
+            n_buckets=args.n_buckets,
+            length=args.length,
+            length_target=args.length_target,
+            stride=args.stride,
+            sampling_rate=args.sampling_rate,
         ).run()
     else:
         from .pipelines.emb_index_job import EmbIndexJob

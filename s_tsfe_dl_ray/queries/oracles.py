@@ -6308,6 +6308,31 @@ def _part_transcripts(*, tp, T, TOKLEN, _REL_EDGES, INTEGRITY_SQL, _pr_steps, _p
             WHERE p >= 4 AND p + 2 < n AND (p - 4) % 2 = 0
             ORDER BY conv_id, anchor_idx
         """,
+        "transcripts_pair_export_job": f"""
+            WITH b AS (
+              SELECT conv_id,
+                     CAST({TOKLEN} AS BIGINT) AS tl,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) - 1 AS p,
+                     count(*) OVER (PARTITION BY conv_id) AS n
+              FROM {T}
+            ), w AS (
+              SELECT conv_id, p, n,
+                     list(tl) OVER (PARTITION BY conv_id ORDER BY p
+                                    ROWS BETWEEN 4 PRECEDING
+                                             AND 1 PRECEDING) AS iw,
+                     list(tl) OVER (PARTITION BY conv_id ORDER BY p
+                                    ROWS BETWEEN CURRENT ROW
+                                             AND 1 FOLLOWING) AS lw
+              FROM b
+            )
+            SELECT conv_id, p AS anchor_idx,
+                   array_to_string(iw, ',') AS input_win,
+                   array_to_string(lw, ',') AS label_win
+            FROM w
+            WHERE p >= 4 AND p + 2 < n AND (p - 4) % 2 = 0
+            ORDER BY conv_id, anchor_idx
+        """,
         "transcripts_reply_latency": f"""
             WITH nx AS (
               SELECT conv_id, ts, role,

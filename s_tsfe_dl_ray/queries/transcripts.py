@@ -845,4 +845,34 @@ def build() -> dict:
         return (out.map_batches(fmt, batch_format="pandas")
                 .sort(["conv_id", "anchor_idx"]))
 
+    def q_transcripts_pair_export_job(sf):
+        """Durable resumable training-pair EXPORT job
+        (pipelines/export_job.WindowPairExportJob): per-conversation
+        (input, label) token-length windows written as partitioned
+        parquet with lineage manifests — reruns skip finished buckets;
+        output equals the window_pairs stage, so it shares that SQL
+        twin (stringified windows)."""
+        import hashlib as _hl
+
+        from s_tsfe_dl_ray.pipelines.export_job import WindowPairExportJob
+
+        corpus = _transcripts_for(sf)
+        tag = _hl.md5(corpus.encode()).hexdigest()[:10]
+        out = f"/tmp/s_tsfe_dl_ray_pair_export_{tag}"
+        job = WindowPairExportJob(corpus, out, n_buckets=8,
+                                  length=4, length_target=2, stride=2)
+        job.run()
+
+        def fmt(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["input_win"] = [",".join(map(str, a))
+                               for a in df["input_win"]]
+            df["label_win"] = [",".join(map(str, a))
+                               for a in df["label_win"]]
+            return df
+
+        return (job.read_pairs()
+                .map_batches(fmt, batch_format="pandas")
+                .sort(["conv_id", "anchor_idx"]))
+
     return {k[2:]: v for k, v in locals().items() if k.startswith("q_")}

@@ -232,38 +232,61 @@ def window_pairs(
     key = keys[0]
 
     def pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            **{k: pd.Series([], dtype=df[k].dtype if k in df else "object")
-               for k in keys},
-            "anchor_idx": pd.Series([], dtype="int64"),
-            **{n: pd.Series([], dtype="object")
-               for pair in names for n in pair}})
-        if len(df) == 0:
-            return empty
-        df = df.sort_values(keys + order_by, kind="mergesort")
-        k_all = df[key].to_numpy()
-        change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
-        starts = np.concatenate([[0], change, [len(df)]])
-        gid = np.repeat(np.arange(len(starts) - 1), np.diff(starts))
-        pos = np.arange(len(df)) - starts[:-1][gid]       # key-local 0-based
-        nloc = np.diff(starts)[gid]                        # key length
-        # reference bound: p <= n - 1 - Lt (end_index excludes the final
-        # timestep from labels; for Lt = 0 this is simply p <= n - 1)
-        anchors = np.flatnonzero(
-            (pos >= L) & (pos + Lt < nloc) & ((pos - L) % S == 0))
-        if len(anchors) == 0:
-            return empty
-        in_take = anchors[:, None] + np.arange(-L, 0, r)[None, :]
-        lab_take = (in_take if Lt == 0 else
-                    anchors[:, None] + np.arange(0, Lt, r)[None, :])
-        out = df.iloc[anchors][keys].reset_index(drop=True)
-        out["anchor_idx"] = pos[anchors]
-        for c, (in_name, lab_name) in zip(vcols, names):
-            v = df[c].to_numpy()
-            out[in_name] = list(v[in_take])
-            out[lab_name] = list(v[lab_take])
-        return out
+        return window_pairs_frame(
+            df, keys=keys, order_by=order_by, vcols=vcols, names=names,
+            length=L, length_target=Lt, stride=S, sampling_rate=r)
 
     return grouped_apply(ds, keys=[key], fn=pairs_partition,
                          num_partitions=num_partitions,
                          whole_partition=True)
+
+
+def window_pairs_frame(
+    df: pd.DataFrame,
+    *,
+    keys: list[str],
+    order_by: list[str],
+    vcols: list[str],
+    names: list[tuple[str, str]],
+    length: int,
+    length_target: int,
+    stride: int,
+    sampling_rate: int,
+) -> pd.DataFrame:
+    """The key-complete window-pair kernel shared by the
+    :func:`window_pairs` stage (behind its ``_pkey`` exchange) and the
+    durable export job (whose bucket grouping already co-locates each
+    key's rows) — one vectorized pass over ALL keys of the frame."""
+    L, Lt, S, r = length, length_target, stride, sampling_rate
+    key = keys[0]
+    empty = pd.DataFrame({
+        **{k: pd.Series([], dtype=df[k].dtype if k in df else "object")
+           for k in keys},
+        "anchor_idx": pd.Series([], dtype="int64"),
+        **{n: pd.Series([], dtype="object")
+           for pair in names for n in pair}})
+    if len(df) == 0:
+        return empty
+    df = df.sort_values(keys + order_by, kind="mergesort")
+    k_all = df[key].to_numpy()
+    change = np.flatnonzero(k_all[1:] != k_all[:-1]) + 1
+    starts = np.concatenate([[0], change, [len(df)]])
+    gid = np.repeat(np.arange(len(starts) - 1), np.diff(starts))
+    pos = np.arange(len(df)) - starts[:-1][gid]       # key-local 0-based
+    nloc = np.diff(starts)[gid]                        # key length
+    # reference bound: p <= n - 1 - Lt (end_index excludes the final
+    # timestep from labels; for Lt = 0 this is simply p <= n - 1)
+    anchors = np.flatnonzero(
+        (pos >= L) & (pos + Lt < nloc) & ((pos - L) % S == 0))
+    if len(anchors) == 0:
+        return empty
+    in_take = anchors[:, None] + np.arange(-L, 0, r)[None, :]
+    lab_take = (in_take if Lt == 0 else
+                anchors[:, None] + np.arange(0, Lt, r)[None, :])
+    out = df.iloc[anchors][keys].reset_index(drop=True)
+    out["anchor_idx"] = pos[anchors]
+    for c, (in_name, lab_name) in zip(vcols, names):
+        v = df[c].to_numpy()
+        out[in_name] = list(v[in_take])
+        out[lab_name] = list(v[lab_take])
+    return out

@@ -349,3 +349,59 @@ def test_encode_series_mega_conv_chunked(small_transcripts, tmp_path):
     TranscriptRollupJob(small_transcripts, chunked, n_buckets=4,
                         encode_series=True, series_chunk_rows=7).run()
     assert _tree_hashes(chunked) == expected
+
+
+def test_window_pair_export_job(small_transcripts, tmp_path):
+    """The training-pair export job: resumable, byte-identical rerun,
+    and its output matches the window_pairs STAGE run directly over the
+    same corpus (bucket-local kernel == exchange-based stage)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data  # noqa: F401
+
+    from s_tsfe_dl_ray.functions.derive import token_count
+    from s_tsfe_dl_ray.pipelines.export_job import WindowPairExportJob
+    from s_tsfe_dl_ray.sources.parquet import read_table
+    from s_tsfe_dl_ray.stages.slide import window_pairs
+
+    out = str(tmp_path / "pairs_out")
+    job = WindowPairExportJob(small_transcripts, out, n_buckets=6,
+                              length=4, length_target=2, stride=2)
+    r1 = job.run()
+    assert r1["buckets_written"] == 6 and r1["rows"] > 0
+    hashes1 = _tree_hashes(out)
+
+    r2 = job.run()
+    assert r2["buckets_written"] == 0 and r2["buckets_skipped"] == 6
+    assert _tree_hashes(out) == hashes1
+
+    # parity with the stage
+    ds = read_table(small_transcripts,
+                    columns=["conv_id", "turn_idx", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "tl": pc.cast(token_count(t["text"]), pa.int64())})
+
+    stage = (window_pairs(ds.map_batches(derive, batch_format="pyarrow"),
+                          keys=["conv_id"], order_by=["turn_idx"],
+                          value_col="tl", length=4, length_target=2,
+                          stride=2)
+             .to_pandas())
+    got = job.read_pairs().to_pandas()
+    assert len(got) == r1["rows"] == len(stage)
+    key = lambda df: sorted(
+        (c, a, tuple(i), tuple(l))
+        for c, a, i, l in zip(df.conv_id, df.anchor_idx,
+                              df.input_win, df.label_win))
+    assert key(got) == key(stage)
+
+    # changed parameters refused (mixing sample semantics)
+    job2 = WindowPairExportJob(small_transcripts, out, n_buckets=6,
+                               length=5, length_target=2, stride=2)
+    with pytest.raises(RuntimeError):
+        job2.run()
