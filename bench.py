@@ -45,7 +45,8 @@ BENCH_TURNS = int(os.environ.get("GRAFT_BENCH_TURNS", "20000000"))
 CODEC_TURNS = min(BENCH_TURNS, 5_000_000)
 
 SUITE = ("events_tiers", "events_gapfill_interp", "docs_minhash_dedup",
-         "emb_knn", "codec_encode", "docs_curation", "emb_index_build")
+         "emb_knn", "codec_encode", "docs_curation", "emb_index_build",
+         "pair_export")
 
 
 def _timed(fn):
@@ -231,6 +232,27 @@ def run_docs_curation() -> float:
     def go():
         return DocsCurationJob(
             f"{SF_DIR}/documents.parquet", out, n_buckets=16).run()
+
+    t, _ = _timed(go)
+    shutil.rmtree(out, ignore_errors=True)
+    return t
+
+
+def run_pair_export() -> float:
+    """Durable window-pair training-export job, cold build (fresh out
+    dir each run) over the codec-scale transcript corpus."""
+    import shutil
+
+    from s_tsfe_dl_ray.pipelines.export_job import WindowPairExportJob
+    from s_tsfe_dl_ray.synth import transcripts_parquet
+
+    cpath = transcripts_parquet(n_turns=CODEC_TURNS, seed=42)
+    _warm_dir(cpath)
+    out = "/tmp/s_tsfe_dl_ray_bench_pairs"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def go():
+        return WindowPairExportJob(cpath, out, n_buckets=32).run()
 
     t, _ = _timed(go)
     shutil.rmtree(out, ignore_errors=True)
