@@ -4010,6 +4010,20 @@ def _part_events(*, tp, T, TOKLEN, _REL_EDGES, INTEGRITY_SQL, _pr_steps, _pr_joi
 
 def _part_relational(*, tp, T, TOKLEN, _REL_EDGES, INTEGRITY_SQL, _pr_steps, _pr_joined, PAGERANK_SQL, rollup, gapfill, lang_cases, lang_max, lang_ties, lang_pick, **_):
     return {
+        "customer_theil_balance": """
+            WITH s AS (
+              SELECT c_custkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT)::BIGINT AS v
+              FROM customer
+            ), g AS (
+              SELECT count(*)::BIGINT AS n, sum(v)::BIGINT AS x FROM s
+            )
+            SELECT c_custkey, v AS value,
+                   round(v::DOUBLE / x, 6) AS share,
+                   round((v::DOUBLE / x) * ln((n::DOUBLE * v) / x), 6)
+                     AS theil_term
+            FROM s, g WHERE v > 0 ORDER BY c_custkey
+        """,
         "supplier_theil_revenue": """
             WITH s AS (
               SELECT l_suppkey,
@@ -6283,6 +6297,37 @@ def _part_docs(*, tp, T, TOKLEN, _REL_EDGES, INTEGRITY_SQL, _pr_steps, _pr_joine
 
 def _part_transcripts(*, tp, T, TOKLEN, _REL_EDGES, INTEGRITY_SQL, _pr_steps, _pr_joined, PAGERANK_SQL, rollup, gapfill, lang_cases, lang_max, lang_ties, lang_pick, **_):
     return {
+        "transcripts_len_xicor": f"""
+            WITH b AS (
+              SELECT role,
+                     CAST({TOKLEN} AS BIGINT) AS y,
+                     ts, turn_idx,
+                     count(*) OVER (PARTITION BY role) AS n,
+                     count(*) OVER (PARTITION BY role)
+                       - rank() OVER (PARTITION BY role
+                                      ORDER BY CAST({TOKLEN} AS BIGINT)
+                                      DESC) + 1 AS r,
+                     count(*) OVER (PARTITION BY role)
+                       - rank() OVER (PARTITION BY role
+                                      ORDER BY CAST({TOKLEN} AS BIGINT)
+                                      ASC) + 1 AS l
+              FROM {T}
+            ), d AS (
+              SELECT role, n, r, l,
+                     lead(r) OVER (PARTITION BY role
+                                   ORDER BY ts, turn_idx) AS r_next
+              FROM b
+            ), s AS (
+              SELECT role, max(n) AS n,
+                     sum(CASE WHEN r_next IS NULL THEN 0
+                              ELSE abs(r_next - r) END)::BIGINT AS s1,
+                     sum(l * (n - l))::BIGINT AS s2
+              FROM d GROUP BY role HAVING max(n) >= 3
+            )
+            SELECT role, CAST(n AS BIGINT) AS n_obs,
+                   round(1.0 - (n::DOUBLE * s1) / (2.0 * s2), 6) AS xi
+            FROM s ORDER BY 1
+        """,
         "transcripts_window_pairs": f"""
             WITH b AS (
               SELECT conv_id,

@@ -1255,4 +1255,27 @@ def build() -> dict:
         return _round_floats(theil_contributions(
             prep, key_col="l_suppkey", value_col="cents"))
 
+    def q_customer_theil_balance(sf):
+        """Per-customer Theil-T decomposition of positive account
+        balances (stages/activity.theil_contributions reuse on the
+        customer dimension): which customers carry the concentration
+        of balance mass.  Negative/zero balances drop (ln undefined)
+        exactly like the twin's WHERE."""
+        from s_tsfe_dl_ray.stages.activity import theil_contributions
+
+        ds = read_table(f"{sf}/customer.parquet",
+                        columns=["c_custkey", "c_acctbal"])
+
+        def part(t: pa.Table) -> pa.Table:
+            v = pc.cast(t["c_acctbal"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pa.table({"c_custkey": t["c_custkey"],
+                             "cents": pa.array(ci)})
+
+        prep = ds.map_batches(part, batch_format="pyarrow")
+        return _round_floats(theil_contributions(
+            prep, key_col="c_custkey", value_col="cents"))
+
     return {k[2:]: v for k, v in locals().items() if k.startswith("q_")}

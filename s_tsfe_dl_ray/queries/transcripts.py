@@ -875,4 +875,28 @@ def build() -> dict:
                 .map_batches(fmt, batch_format="pandas")
                 .sort(["conv_id", "anchor_idx"]))
 
+    def q_transcripts_len_xicor(sf):
+        """Chatterjee's xi of assistant/user turn length against
+        conversation position, per role (stages/robust.xicor reuse on
+        the dialog payload): does verbosity depend on WHERE in the
+        conversation a turn sits — monotone or not."""
+        from s_tsfe_dl_ray.functions.derive import token_count
+        from s_tsfe_dl_ray.stages.robust import xicor
+
+        turns = read_table(_transcripts_for(sf),
+                           columns=["conv_id", "turn_idx", "ts",
+                                    "role", "text"])
+
+        def part(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "role": t["role"],
+                "ts": t["ts"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "y": pc.cast(token_count(t["text"]), pa.int64())})
+
+        prep = turns.map_batches(part, batch_format="pyarrow")
+        out = xicor(prep, key="role", order_by=["ts", "turn_idx"],
+                    value_col="y", min_n=3)
+        return _round_floats(out.sort("role"))
+
     return {k[2:]: v for k, v in locals().items() if k.startswith("q_")}
