@@ -664,3 +664,34 @@ def test_round6a_median_test_empty():
         "value": pa.array([], pa.float64())}))
     assert len(median_test(ds, group_col="event_type",
                            value_col="value").to_pandas()) == 0
+
+
+def test_round5_ops_empty():
+    """Round-5 additions degrade to empty results on zero-row input:
+    window_pairs, xicor, theil_contributions, vocab_simpson,
+    collocations_pmi (post keyed-join rewrite)."""
+    from s_tsfe_dl_ray.stages.activity import theil_contributions
+    from s_tsfe_dl_ray.stages.robust import xicor
+    from s_tsfe_dl_ray.stages.slide import window_pairs
+    from s_tsfe_dl_ray.stages.text import collocations_pmi, vocab_simpson
+
+    ds = _empty_events()
+    iv = ds.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                            "event_id": t["event_id"],
+                            "y": pa.array([], pa.int64())}),
+        batch_format="pyarrow")
+    assert len(window_pairs(iv, keys=["user_id"],
+                            order_by=["ts", "event_id"], value_col="y",
+                            length=3, length_target=2).to_pandas()) == 0
+    assert len(xicor(iv, key="user_id", order_by=["ts", "event_id"],
+                     value_col="y").to_pandas()) == 0
+    assert len(theil_contributions(iv, key_col="user_id",
+                                   value_col="y").to_pandas()) == 0
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "source": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    assert len(vocab_simpson(docs, group_col="source").to_pandas()) == 0
+    assert len(collocations_pmi(docs).to_pandas()) == 0
