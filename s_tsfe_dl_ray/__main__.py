@@ -73,6 +73,8 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--length-target", type=int, default=4)
     e.add_argument("--stride", type=int, default=4)
     e.add_argument("--sampling-rate", type=int, default=1)
+    e.add_argument("--payload", choices=["tokens", "text"],
+                   default="tokens")
 
     args = p.parse_args(argv)
     _ensure_ray()
@@ -105,6 +107,7 @@ def main(argv: list[str] | None = None) -> int:
             length_target=args.length_target,
             stride=args.stride,
             sampling_rate=args.sampling_rate,
+            payload=args.payload,
         ).run()
     else:
         from .pipelines.emb_index_job import EmbIndexJob

@@ -11,14 +11,18 @@ Per conversation ordered by ``turn_idx``, the exported rows are
 
     input_win = tl[p-L : p : r],   label_win = tl[p : p+Lt : r]
 
-over the per-turn token-length series (``window_pairs_frame`` — the
-same kernel the :func:`~..stages.slide.window_pairs` stage runs), with
-the reference's ``end_index`` anchor bound and stride/dilation
-semantics, written as Arrow ``list<int64>`` columns.
+over the per-turn series (``window_pairs_frame`` — the same kernel the
+:func:`~..stages.slide.window_pairs` stage runs), with the reference's
+``end_index`` anchor bound and stride/dilation semantics.  Two
+payloads: ``tokens`` (token-length series → ``list<int64>`` windows,
+forecasting-shaped) and ``text`` (the turn texts themselves →
+``list<string>`` windows — the actual next-turns LLM training sample).
 
-Scale shape: ONE hash exchange of narrow (bucket, conv_id, turn_idx,
-tl) rows — text is consumed by the token-length derive and never
-crosses the shuffle.  Bucket = md5(conv_id) (library-independent,
+Scale shape: ONE hash exchange of (bucket, conv_id, turn_idx, v) rows —
+in ``tokens`` mode the text is consumed by the derive and never crosses
+the shuffle; in ``text`` mode the text IS the exported payload, so it
+crosses once (inherent to the output, same volume as the final write).
+Bucket = md5(conv_id) (library-independent,
 stable across runs), so every conversation lands whole in one bucket
 and window generation is bucket-local and exact.  Each bucket writes
 one deterministic parquet shard (sorted, fixed compression →
@@ -50,8 +54,9 @@ class WindowPairExportJob:
     """``WindowPairExportJob(input_path, out_dir).run()`` → summary dict.
 
     Output tree: ``out_dir/pairs/bucket=K.parquet`` (+ ``_manifests/``)
-    with columns ``conv_id, anchor_idx, input_win (list<int64>),
-    label_win (list<int64>)`` sorted by (conv_id, anchor_idx).
+    with columns ``conv_id, anchor_idx, input_win, label_win``
+    (``list<int64>`` in tokens mode, ``list<string>`` in text mode)
+    sorted by (conv_id, anchor_idx).
     """
 
     def __init__(
@@ -64,9 +69,12 @@ class WindowPairExportJob:
         length_target: int = 4,
         stride: int = 4,
         sampling_rate: int = 1,
+        payload: str = "tokens",
     ):
         if n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
+        if payload not in ("tokens", "text"):
+            raise ValueError("payload must be 'tokens' or 'text'")
         self.input_path = input_path
         self.out_dir = out_dir
         self.n_buckets = n_buckets
@@ -74,6 +82,12 @@ class WindowPairExportJob:
         self.length_target = int(length_target)
         self.stride = int(stride)
         self.sampling_rate = int(sampling_rate)
+        # "tokens": windows over the per-turn token-length series
+        # (list<int64> — forecasting-shaped).  "text": windows over the
+        # turn TEXTS themselves (list<string> — the actual next-turns
+        # LLM training sample; per-turn text equality rides through
+        # unchanged under the stable (conv, turn_idx) ordering).
+        self.payload = payload
 
     # -- dataflow ----------------------------------------------------------
 
@@ -88,27 +102,35 @@ class WindowPairExportJob:
         return {"n_buckets": self.n_buckets, "length": self.length,
                 "length_target": self.length_target,
                 "stride": self.stride,
-                "sampling_rate": self.sampling_rate}
+                "sampling_rate": self.sampling_rate,
+                "payload": self.payload}
 
     def _narrow_rows(self, todo: list[int]) -> Dataset:
-        """(bucket, conv_id, turn_idx, tl) per turn; text dropped at the
-        map, rows outside ``todo`` buckets pruned before the exchange."""
+        """(bucket, conv_id, turn_idx, v) per turn; in tokens mode the
+        text folds to its token length at the map; rows outside
+        ``todo`` buckets are pruned before the exchange."""
         ds = read_table(self.input_path,
                         columns=["conv_id", "turn_idx", "text"])
         nb = self.n_buckets
         todo_arr = pa.array(sorted(todo))
 
+        text_mode = self.payload == "text"
+
         def narrow(t: pa.Table) -> pd.DataFrame:
             conv = t["conv_id"].to_pandas()
             h = md5_hex(conv)
-            return pd.DataFrame({
+            out = pd.DataFrame({
                 "bucket": h.str.slice(0, 12).apply(int, base=16) % nb,
                 "conv_id": conv,
                 "turn_idx": pc.cast(t["turn_idx"], pa.int64())
                 .to_numpy(zero_copy_only=False),
-                "tl": pc.cast(token_count(t["text"]), pa.int64())
-                .to_numpy(zero_copy_only=False),
             })
+            if text_mode:
+                out["v"] = t["text"].to_pandas()
+            else:
+                out["v"] = pc.cast(token_count(t["text"]), pa.int64()) \
+                    .to_numpy(zero_copy_only=False)
+            return out
 
         rows = ds.map_batches(narrow, batch_format="pyarrow")
 
@@ -119,7 +141,7 @@ class WindowPairExportJob:
 
     def _pairs_frame(self, g: pd.DataFrame) -> pd.DataFrame:
         out = window_pairs_frame(
-            g, keys=["conv_id"], order_by=["turn_idx"], vcols=["tl"],
+            g, keys=["conv_id"], order_by=["turn_idx"], vcols=["v"],
             names=[("input_win", "label_win")], length=self.length,
             length_target=self.length_target, stride=self.stride,
             sampling_rate=self.sampling_rate)
@@ -130,17 +152,26 @@ class WindowPairExportJob:
                       bucket: int | None = None) -> dict:
         bucket = int(g["bucket"].iloc[0]) if bucket is None else int(bucket)
         pairs = self._pairs_frame(g)
+        if self.payload == "text":
+            wtype = pa.list_(pa.string())
+
+            def cells(col):
+                return pa.array([list(a) for a in pairs[col]], wtype)
+        else:
+            wtype = pa.list_(pa.int64())
+
+            def cells(col):
+                return pa.array(
+                    [np.asarray(a, dtype=np.int64) for a in pairs[col]],
+                    wtype)
+
         t = pa.table({
             "conv_id": pa.array(pairs["conv_id"].to_numpy(dtype=object),
                                 pa.string()),
             "anchor_idx": pa.array(
                 pairs["anchor_idx"].to_numpy(dtype=np.int64)),
-            "input_win": pa.array(
-                [np.asarray(a, dtype=np.int64) for a in pairs["input_win"]],
-                pa.list_(pa.int64())),
-            "label_win": pa.array(
-                [np.asarray(a, dtype=np.int64) for a in pairs["label_win"]],
-                pa.list_(pa.int64())),
+            "input_win": cells("input_win"),
+            "label_win": cells("label_win"),
         })
         buf = io.BytesIO()
         pq.write_table(t, buf, compression="zstd",
@@ -227,5 +258,5 @@ def _empty_bucket_frame() -> pd.DataFrame:
         "bucket": pd.Series([], dtype="int64"),
         "conv_id": pd.Series([], dtype="object"),
         "turn_idx": pd.Series([], dtype="int64"),
-        "tl": pd.Series([], dtype="int64"),
+        "v": pd.Series([], dtype="object"),
     })

@@ -405,3 +405,42 @@ def test_window_pair_export_job(small_transcripts, tmp_path):
                                length=5, length_target=2, stride=2)
     with pytest.raises(RuntimeError):
         job2.run()
+
+
+def test_window_pair_export_text_mode(small_transcripts, tmp_path):
+    """payload='text': list<string> windows carrying the turn texts —
+    per-turn text equality under stable ordering, byte-identical rerun,
+    and tokens-vs-text mode refusal on resume."""
+    import pyarrow.parquet as pq
+
+    from s_tsfe_dl_ray.pipelines.export_job import WindowPairExportJob
+
+    out = str(tmp_path / "pairs_text")
+    job = WindowPairExportJob(small_transcripts, out, n_buckets=4,
+                              length=3, length_target=1, stride=1,
+                              payload="text")
+    r1 = job.run()
+    assert r1["rows"] > 0
+    h1 = _tree_hashes(out)
+    assert job.run()["buckets_written"] == 0
+    assert _tree_hashes(out) == h1
+
+    got = job.read_pairs().to_pandas()
+    assert got.input_win.map(len).eq(3).all()
+    assert got.label_win.map(len).eq(1).all()
+
+    # spot-check one conversation against the raw corpus ordering
+    import pandas as pd
+    raw = pd.read_parquet(small_transcripts,
+                          columns=["conv_id", "turn_idx", "text"])
+    row = got.iloc[0]
+    conv = (raw[raw.conv_id == row.conv_id]
+            .sort_values("turn_idx").reset_index(drop=True))
+    p = int(row.anchor_idx)
+    assert list(row.input_win) == conv.text.iloc[p - 3:p].tolist()
+    assert list(row.label_win) == [conv.text.iloc[p]]
+
+    # a tokens-mode resume into the text-mode tree is refused
+    with pytest.raises(RuntimeError):
+        WindowPairExportJob(small_transcripts, out, n_buckets=4,
+                            length=3, length_target=1, stride=1).run()
