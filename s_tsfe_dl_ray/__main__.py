@@ -68,7 +68,7 @@ def main(argv: list[str] | None = None) -> int:
                        help="supervised window-pair training export job")
     e.add_argument("--input", required=True)
     e.add_argument("--out", required=True)
-    e.add_argument("--n-buckets", type=int, default=32)
+    e.add_argument("--n-buckets", type=int, default=None)
     e.add_argument("--length", type=int, default=8)
     e.add_argument("--length-target", type=int, default=4)
     e.add_argument("--stride", type=int, default=4)

@@ -64,20 +64,22 @@ class WindowPairExportJob:
         input_path: str,
         out_dir: str,
         *,
-        n_buckets: int = 32,
+        n_buckets: int | None = None,
         length: int = 8,
         length_target: int = 4,
         stride: int = 4,
         sampling_rate: int = 1,
         payload: str = "tokens",
     ):
-        if n_buckets < 1:
+        if n_buckets is not None and n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
         if payload not in ("tokens", "text"):
             raise ValueError("payload must be 'tokens' or 'text'")
         self.input_path = input_path
         self.out_dir = out_dir
-        self.n_buckets = n_buckets
+        self.payload = payload
+        self.n_buckets = (n_buckets if n_buckets is not None
+                          else self._auto_n_buckets())
         self.length = int(length)
         self.length_target = int(length_target)
         self.stride = int(stride)
@@ -87,9 +89,29 @@ class WindowPairExportJob:
         # turn TEXTS themselves (list<string> — the actual next-turns
         # LLM training sample; per-turn text equality rides through
         # unchanged under the stable (conv, turn_idx) ordering).
-        self.payload = payload
 
     # -- dataflow ----------------------------------------------------------
+
+    def _auto_n_buckets(self) -> int:
+        """``n_buckets=None``: scale the bucket count with input size so
+        a bucket group's in-memory rows stay bounded as the corpus grows
+        (the rollup job's auto-sizing, pipelines/job.py).  Tokens mode
+        holds narrow ~56 B rows per turn; text mode holds the turn
+        texts, so it budgets actual input bytes.  Target ≈256 MiB per
+        bucket, floor 32 (unchanged behavior at bench scale); derived
+        from immutable parquet metadata so run and resume agree."""
+        rows = 0
+        nbytes = 0
+        for frag in self._input_fragments():
+            md = pq.ParquetFile(frag).metadata
+            rows += md.num_rows
+            nbytes += sum(md.row_group(i).total_byte_size
+                          for i in range(md.num_row_groups))
+        if self.payload == "text":
+            # parquet is compressed; assume ~3x expansion in memory
+            return max(32, -(-(nbytes * 3) // (256 << 20)))
+        target_rows = (256 << 20) // 56
+        return max(32, -(-rows // target_rows))
 
     def _input_fragments(self) -> list[str]:
         p = self.input_path
