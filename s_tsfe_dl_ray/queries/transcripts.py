@@ -857,7 +857,11 @@ def build() -> dict:
         from s_tsfe_dl_ray.pipelines.export_job import WindowPairExportJob
 
         corpus = _transcripts_for(sf)
-        tag = _hl.md5(corpus.encode()).hexdigest()[:10]
+        # tag includes the job parameters, so a library upgrade that
+        # widens the manifest schema starts a fresh tree instead of
+        # tripping the (correct) param-drift refusal on the old one
+        params = "nb8_L4_Lt2_S2_r1_tokens_v2"
+        tag = _hl.md5(f"{corpus}|{params}".encode()).hexdigest()[:10]
         out = f"/tmp/s_tsfe_dl_ray_pair_export_{tag}"
         job = WindowPairExportJob(corpus, out, n_buckets=8,
                                   length=4, length_target=2, stride=2)
