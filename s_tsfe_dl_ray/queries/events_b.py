@@ -1650,4 +1650,26 @@ def build() -> dict:
                     value_col="y", min_n=3)
         return _round_floats(out.sort("event_type"))
 
+    def q_events_theil_users(sf):
+        """Per-user Theil-T decomposition of positive event-value mass
+        (stages/activity.theil_contributions reuse on the events
+        table): which users carry the value concentration; non-positive
+        per-user sums drop exactly like the twin's WHERE."""
+        from s_tsfe_dl_ray.stages.activity import theil_contributions
+
+        ds = read_table(f"{sf}/events.parquet",
+                        columns=["user_id", "value"])
+
+        def part(t: pa.Table) -> pa.Table:
+            v = pc.cast(t["value"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pa.table({"user_id": t["user_id"],
+                             "cents": pa.array(ci)})
+
+        prep = ds.map_batches(part, batch_format="pyarrow")
+        return _round_floats(theil_contributions(
+            prep, key_col="user_id", value_col="cents"))
+
     return {k[2:]: v for k, v in locals().items() if k.startswith("q_")}

@@ -15,6 +15,20 @@ __all__ = ["build_oracle_sql"]
 
 def _part_events(*, tp, T, TOKLEN, _REL_EDGES, INTEGRITY_SQL, _pr_steps, _pr_joined, PAGERANK_SQL, rollup, gapfill, lang_cases, lang_max, lang_ties, lang_pick, **_):
     return {
+        "events_theil_users": """
+            WITH s AS (
+              SELECT user_id,
+                     sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS v
+              FROM events GROUP BY 1
+            ), g AS (
+              SELECT count(*)::BIGINT AS n, sum(v)::BIGINT AS x FROM s
+            )
+            SELECT user_id, v AS value,
+                   round(v::DOUBLE / x, 6) AS share,
+                   round((v::DOUBLE / x) * ln((n::DOUBLE * v) / x), 6)
+                     AS theil_term
+            FROM s, g WHERE v > 0 ORDER BY user_id
+        """,
         "events_xicor": """
             WITH b AS (
               SELECT event_type AS ty,
@@ -4010,6 +4024,38 @@ def _part_events(*, tp, T, TOKLEN, _REL_EDGES, INTEGRITY_SQL, _pr_steps, _pr_joi
 
 def _part_relational(*, tp, T, TOKLEN, _REL_EDGES, INTEGRITY_SQL, _pr_steps, _pr_joined, PAGERANK_SQL, rollup, gapfill, lang_cases, lang_max, lang_ties, lang_pick, **_):
     return {
+        "lineitem_qty_xicor": """
+            WITH b AS (
+              SELECT l_returnflag AS g,
+                     CAST(l_quantity AS BIGINT) AS y,
+                     l_shipdate, l_orderkey, l_linenumber,
+                     count(*) OVER (PARTITION BY l_returnflag) AS n,
+                     count(*) OVER (PARTITION BY l_returnflag)
+                       - rank() OVER (PARTITION BY l_returnflag
+                                      ORDER BY CAST(l_quantity AS BIGINT)
+                                      DESC) + 1 AS r,
+                     count(*) OVER (PARTITION BY l_returnflag)
+                       - rank() OVER (PARTITION BY l_returnflag
+                                      ORDER BY CAST(l_quantity AS BIGINT)
+                                      ASC) + 1 AS l
+              FROM lineitem
+            ), d AS (
+              SELECT g, n, r, l,
+                     lead(r) OVER (PARTITION BY g
+                                   ORDER BY l_shipdate, l_orderkey,
+                                            l_linenumber, y) AS r_next
+              FROM b
+            ), s AS (
+              SELECT g, max(n) AS n,
+                     sum(CASE WHEN r_next IS NULL THEN 0
+                              ELSE abs(r_next - r) END)::BIGINT AS s1,
+                     sum(l * (n - l))::BIGINT AS s2
+              FROM d GROUP BY g HAVING max(n) >= 3
+            )
+            SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_obs,
+                   round(1.0 - (n::DOUBLE * s1) / (2.0 * s2), 6) AS xi
+            FROM s ORDER BY 1
+        """,
         "customer_theil_balance": """
             WITH s AS (
               SELECT c_custkey,

@@ -1278,4 +1278,31 @@ def build() -> dict:
         return _round_floats(theil_contributions(
             prep, key_col="c_custkey", value_col="cents"))
 
+    def q_lineitem_qty_xicor(sf):
+        """Chatterjee's xi of line quantity against ship-date order per
+        return flag (stages/robust.xicor reuse): does ordered quantity
+        depend on WHEN it ships, monotonically or not — integer
+        quantities, (shipdate, orderkey, linenumber) tiebreak."""
+        from s_tsfe_dl_ray.stages.robust import xicor
+
+        ds = read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_returnflag", "l_shipdate",
+                                 "l_orderkey", "l_linenumber",
+                                 "l_quantity"])
+
+        def part(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_returnflag": t["l_returnflag"],
+                "l_shipdate": t["l_shipdate"],
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "l_linenumber": pc.cast(t["l_linenumber"], pa.int64()),
+                "y": pc.cast(t["l_quantity"], pa.int64())})
+
+        prep = ds.map_batches(part, batch_format="pyarrow")
+        out = xicor(prep, key="l_returnflag",
+                    order_by=["l_shipdate", "l_orderkey", "l_linenumber",
+                              "y"],
+                    value_col="y", min_n=3)
+        return _round_floats(out.sort("l_returnflag"))
+
     return {k[2:]: v for k, v in locals().items() if k.startswith("q_")}
