@@ -21,11 +21,12 @@ decomposed onto exactly-summable bases (scaled int64 / decimal128) instead;
 for the exp-sum/variance cases no exact base exists, so the risk is
 documented here rather than hidden.
 
-Driver row cap: the round-2 driver recorded exactly the first 50 entries
-of ``queries()`` — keep oracle-paired queries within the first 50 (see the
-ordering note inside ``queries()``).  With 141 registered queries (118
-oracle-paired) the tail is ordered by information value: demoted veterans
-with r1–r3 driver rows on record first, then the round-3/round-4 waves
+Driver row cap: the driver records exactly the first 50 entries of
+``queries()`` — keep oracle-paired queries within the first 50 (see the
+ORDER MATTERS note in s_tsfe_dl_ray/queries/registry.py).  With 410
+registered queries (371 oracle-paired) the tail is ordered by
+information value: the demoted round-3 wave (r4 driver rows on record)
+first, then demoted veterans (r1–r3 rows), then the round-4/5 waves
 (all oracle-paired, verified at driver scale by
 tests/test_entry_contract.py), then the pytest-covered rows-only queries
 (minhash dedup, IVF, EWMA, dup-words, mixture sampling, embedding-LSH
