@@ -1672,4 +1672,34 @@ def build() -> dict:
         return _round_floats(theil_contributions(
             prep, key_col="user_id", value_col="cents"))
 
+    def q_events_kendall_w(sf):
+        """Kendall's coefficient of concordance across event types over
+        daily value ranks (stages/robust.kendalls_w): do all types
+        agree which days are the big days?  Doubled average ranks ride
+        as exact int64; one fixed float division."""
+        from s_tsfe_dl_ray.stages.robust import kendalls_w
+
+        ds = read_table(f"{sf}/events.parquet",
+                        columns=["event_type", "ts", "value"])
+
+        def part(t: pa.Table) -> pd.DataFrame:
+            us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            v = pc.cast(t["value"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ci = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5),
+                             v).astype(np.int64)
+            return pd.DataFrame({
+                "event_type": t["event_type"].to_numpy(
+                    zero_copy_only=False),
+                "d": us // 86_400_000_000,
+                "cv": ci,
+            }).groupby(["event_type", "d"], sort=False,
+                       as_index=False).sum()
+
+        daily = ds.map_batches(part, batch_format="pyarrow")
+        return _round_floats(kendalls_w(
+            daily, judge_col="event_type", object_col="d",
+            value_col="cv"))
+
     return {k[2:]: v for k, v in locals().items() if k.startswith("q_")}

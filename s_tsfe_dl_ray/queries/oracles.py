@@ -15,6 +15,44 @@ __all__ = ["build_oracle_sql"]
 
 def _part_events(*, tp, T, TOKLEN, _REL_EDGES, INTEGRITY_SQL, _pr_steps, _pr_joined, PAGERANK_SQL, rollup, gapfill, lang_cases, lang_max, lang_ties, lang_pick, **_):
     return {
+        "events_kendall_w": """
+            WITH e AS (
+              SELECT event_type AS j,
+                     (epoch_us(ts) // 86400000000)::BIGINT AS o,
+                     sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS v
+              FROM events GROUP BY 1, 2
+            ), mj AS (SELECT count(DISTINCT j)::BIGINT AS m FROM e),
+            keep AS (
+              SELECT o FROM e GROUP BY o
+              HAVING count(*) = (SELECT m FROM mj)
+            ), f AS (SELECT e.* FROM e JOIN keep USING (o)),
+            rn AS (
+              SELECT j, o, v,
+                     row_number() OVER (PARTITION BY j
+                                        ORDER BY v, o) AS rn
+              FROM f
+            ), r2 AS (
+              SELECT j, o, v,
+                     (min(rn) OVER (PARTITION BY j, v)
+                      + max(rn) OVER (PARTITION BY j, v))::BIGINT AS r2
+              FROM rn
+            ), rd AS (SELECT o, sum(r2)::BIGINT AS sr FROM r2 GROUP BY o),
+            t AS (SELECT j, v, count(*)::BIGINT AS c FROM f GROUP BY 1, 2),
+            agg AS (
+              SELECT (SELECT m FROM mj) AS m,
+                     (SELECT count(*)::BIGINT FROM rd) AS n,
+                     (SELECT sum(sr * sr)::BIGINT FROM rd) AS sr2,
+                     (SELECT sum(c * c * c - c)::BIGINT FROM t) AS tt
+            )
+            SELECT m AS n_judges, n AS n_objects,
+                   round(CASE WHEN (m * m * n * (n * n - 1) - m * tt) = 0
+                              THEN NULL
+                         ELSE (3 * (sr2 - m * m * n * (n + 1) * (n + 1)))
+                                ::DOUBLE
+                              / (m * m * n * (n * n - 1) - m * tt)
+                         END, 6) AS w
+            FROM agg
+        """,
         "events_theil_users": """
             WITH s AS (
               SELECT user_id,

@@ -2591,3 +2591,92 @@ def xicor(
     return grouped_apply(ds, keys=[key], fn=xi_partition,
                          num_partitions=num_partitions,
                          whole_partition=True)
+
+
+def kendalls_w(
+    ds: Dataset,
+    *,
+    judge_col: str,
+    object_col: str,
+    value_col: str,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Kendall's coefficient of concordance W: do the ``judge_col``
+    series agree on how the ``object_col`` instances rank by
+    ``value_col``?  (Do all event types rank the same days as
+    high-activity days?)  W = 1 perfect agreement, → 0 independent
+    rankings — the multi-judge generalization of the pairwise rank
+    correlations (Spearman is W for m = 2 up to an affine map).
+
+    Tie-corrected estimator over the m×n complete block (only objects
+    every judge scored enter — the twin's HAVING count(*) = m)::
+
+        W = [12·Σ_d R_d² − 3·m²·n·(n+1)²] / [m²·n·(n²−1) − m·ΣT_j]
+
+    with R_d = Σ_j avgrank_j(d) and T_j = Σ_ties (t³−t).  Average
+    ranks are half-integers, so the fold carries DOUBLED ranks as exact
+    int64 (12/4 → the numerator becomes 3·(ΣR2² − m²n(n+1)²)) and the
+    single division is one fixed float tree — hash-exact against the
+    AVG(row_number)-window SQL twin.  Degenerate cases (n < 2, or every
+    judge all-tied ⇒ denominator 0) emit NULL.
+
+    Shape: per-batch (judge, object, v) integer partials cross one
+    judge-hash exchange for exact sums, then ONE tiny m×n final fold.
+    Output: one row ``n_judges, n_objects, w``.
+    """
+    from .dedup import _grouped_min
+
+    def partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({"j": t[judge_col], "o": t[object_col],
+                        "v": pc.cast(t[value_col], pa.int64())})
+        out = tbl.combine_chunks().group_by(
+            ["j", "o"], use_threads=False).aggregate([("v", "sum")])
+        return out.rename_columns(["j", "o", "v"])
+
+    sums = _grouped_min(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        group_cols=["j", "o"], agg_cols=[("v", "sum")], pkey_col="j",
+        num_partitions=num_partitions)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "n_judges": pd.Series([], dtype="int64"),
+            "n_objects": pd.Series([], dtype="int64"),
+            "w": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        m = df["j"].nunique()
+        cnt = df.groupby("o", sort=False)["j"].nunique()
+        keep_o = cnt[cnt == m].index
+        df = df[df["o"].isin(keep_o)]
+        n = df["o"].nunique()
+        if n < 2 or m < 1:
+            return pd.DataFrame({
+                "n_judges": pd.Series([m], dtype="int64"),
+                "n_objects": pd.Series([n], dtype="int64"),
+                "w": pd.Series([np.nan], dtype="float64")})
+        # doubled average ranks per judge: 2*avgrank over ties of v
+        df = df.sort_values(["j", "v", "o"], kind="mergesort")
+        rn = df.groupby("j", sort=False).cumcount().to_numpy() + 1
+        df = df.assign(_rn=rn)
+        g = df.groupby(["j", "v"], sort=False)["_rn"]
+        # 2*avg(rn) over the tie group = (min+max) of rn (consecutive ints)
+        r2 = (g.transform("min") + g.transform("max")).to_numpy(np.int64)
+        df = df.assign(_r2=r2)
+        R2 = df.groupby("o", sort=False)["_r2"].sum().to_numpy(np.int64)
+        tie_sizes = df.groupby(["j", "v"], sort=False).size().to_numpy(
+            np.int64)
+        T = int((tie_sizes ** 3 - tie_sizes).sum())
+        mm, nn = int(m), int(n)
+        num = 3 * (int((R2.astype(object) ** 2).sum())
+                   - mm * mm * nn * (nn + 1) * (nn + 1))
+        den = mm * mm * nn * (nn * nn - 1) - mm * T
+        w = (np.float64(num) / np.float64(den)) if den != 0 else np.nan
+        return pd.DataFrame({
+            "n_judges": pd.Series([mm], dtype="int64"),
+            "n_objects": pd.Series([nn], dtype="int64"),
+            "w": pd.Series([w], dtype="float64")})
+
+    return sums.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None)

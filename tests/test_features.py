@@ -289,3 +289,59 @@ def test_xicor_detects_nonmonotone_dependence():
     exp = 1.0 - (np.float64(n) * np.abs(np.diff(r)).sum()) \
         / (2.0 * np.float64((li * (n - li)).sum()))
     assert out.loc["vee", "xi"] == exp
+
+
+def test_kendalls_w_known_cases():
+    """Kendall's W pins: perfect agreement -> exactly 1.0; reversed
+    pair of judges (m=2) -> W near 0; ties path matches a naive
+    tie-corrected implementation."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from s_tsfe_dl_ray.stages.robust import kendalls_w
+
+    def run(df):
+        return kendalls_w(ray.data.from_pandas(df).repartition(2),
+                          judge_col="j", object_col="o",
+                          value_col="v").to_pandas().iloc[0]
+
+    # perfect agreement, no ties
+    rows = [{"j": f"J{j}", "o": o, "v": (o + 1) * 10 + j}
+            for j in range(4) for o in range(9)]
+    r = run(pd.DataFrame(rows))
+    assert r.n_judges == 4 and r.n_objects == 9 and r.w == 1.0
+
+    # two judges, exactly reversed: W = (1 + rho)/2 with rho = -1 -> 0
+    rows = ([{"j": "A", "o": o, "v": o} for o in range(10)]
+            + [{"j": "B", "o": o, "v": -o} for o in range(10)])
+    assert run(pd.DataFrame(rows)).w == 0.0
+
+    # ties: naive reference implementation
+    rng = np.random.default_rng(8)
+    rows = [{"j": f"J{j}", "o": o, "v": int(rng.integers(0, 4))}
+            for j in range(3) for o in range(12)]
+    df = pd.DataFrame(rows)
+    got = run(df)
+    m, n = 3, 12
+    R = np.zeros(n)
+    T = 0
+    for j, g in df.groupby("j"):
+        g = g.sort_values("o")
+        v = g["v"].to_numpy()
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(n)
+        sv = v[order]
+        i = 0
+        while i < n:
+            k = i
+            while k < n and sv[k] == sv[i]:
+                k += 1
+            ranks[order[i:k]] = (i + 1 + k) / 2.0
+            t = k - i
+            T += t ** 3 - t
+            i = k
+        R += ranks
+    W = (12 * (R ** 2).sum() - 3 * m * m * n * (n + 1) ** 2) \
+        / (m * m * n * (n * n - 1) - m * T)
+    assert abs(got.w - W) < 1e-12

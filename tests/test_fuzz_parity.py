@@ -21,6 +21,7 @@ QUERIES = [
     "events_rollup_1h",
     "events_window_pairs",
     "events_xicor",
+    "events_kendall_w",
     "events_running_sum",
     "events_active_users",
     "events_new_returning",
